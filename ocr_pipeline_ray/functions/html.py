@@ -1,0 +1,134 @@
+"""Main-content extraction from HTML: boilerplate stripping.
+
+Readability / trafilatura-style text-density heuristic (pure stdlib —
+no external parser in the container): segment the DOM into block-level
+units, score each block by text length, link density and tag context,
+keep blocks above threshold, and emit the cleaned text in document
+order. This is the text-span analog of the reference's per-region
+extraction contract — ordered, lossless spans per document
+(reference pipeline/file_utils.py:48-51).
+
+The heuristic:
+  * block-level boundaries: p, div, li, td, th, h1-h6, article,
+    section, blockquote, pre, br.
+  * per block: ``text_len`` (chars of visible text), ``link_len``
+    (chars inside <a>), ``boiler_depth`` (inside nav/footer/header/
+    aside/form/script/style).
+  * drop script/style content entirely.
+  * keep a block iff it is outside boilerplate containers, its link
+    density ``link_len / text_len`` is < 0.33, and ``text_len`` >= 25
+    — long, low-link-density prose survives; short link-dense chrome
+    does not (the published text-density criterion from the
+    readability/Arc90 and Kohlschütter boilerplate literature).
+  * output: kept block texts, whitespace-normalized, joined by a
+    single space, in document order.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+_BLOCK_TAGS = frozenset(
+    "p div li td th h1 h2 h3 h4 h5 h6 article section blockquote pre br tr ul ol table".split()
+)
+_BOILER_TAGS = frozenset("nav footer header aside form".split())
+_SKIP_TAGS = frozenset("script style noscript template".split())
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+_WS = re.compile(r"\s+")
+
+
+def normalize_ws(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+class _Block:
+    __slots__ = ("parts", "link_len", "boiler")
+
+    def __init__(self, boiler: bool):
+        self.parts: list[str] = []
+        self.link_len = 0
+        self.boiler = boiler
+
+    def text(self) -> str:
+        return normalize_ws("".join(self.parts))
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._boiler_depth = 0
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._cur: _Block | None = None
+
+    def _flush(self) -> None:
+        self._cur = None
+
+    def _ensure(self) -> _Block:
+        if self._cur is None:
+            self._cur = _Block(self._boiler_depth > 0)
+            self.blocks.append(self._cur)
+        return self._cur
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BOILER_TAGS:
+            self._boiler_depth += 1
+            self._flush()
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._link_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _BOILER_TAGS:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            self._flush()
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        blk = self._ensure()
+        blk.parts.append(data)
+        if self._link_depth:
+            blk.link_len += len(normalize_ws(data))
+
+
+def strip_boilerplate(html: str) -> str:
+    """Extract main content text from an HTML string (pure function)."""
+    if not html:
+        return ""
+    if "<" not in html:
+        # plain text span — pass through normalized
+        return normalize_ws(unescape(html))
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return normalize_ws(html)
+    kept: list[str] = []
+    for blk in parser.blocks:
+        if blk.boiler:
+            continue
+        txt = blk.text()
+        n = len(txt)
+        if n < MIN_BLOCK_CHARS:
+            continue
+        if blk.link_len / n >= MAX_LINK_DENSITY:
+            continue
+        kept.append(txt)
+    return " ".join(kept)

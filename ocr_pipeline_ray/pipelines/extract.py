@@ -1,0 +1,145 @@
+"""The flagship pipeline: interleaved docs -> ordered extracted spans.
+
+Ray-Data-first shape (SURVEY.md §7)::
+
+    read_parquet(docs)
+      -> map_batches(explode)                       # doc rows -> span rows
+      -> map_batches(strip_html)                    # stateless tasks
+      -> map_batches(MediaExtractActor, pool)       # warm engines
+      -> groupby(doc_id).map_groups(pack)           # THE shuffle
+      [-> write_parquet(out, partitioned)]
+
+Replaces the reference's HTTP microservice chain (pipeline/app.py:157-212)
+and its bucket/monitor dynamic batching (message_queue/bucket.py:60-81,
+monitor.py:15-93): ``map_batches(batch_size=B)`` + the streaming
+executor provide cross-document batch formation and backpressure
+natively (SURVEY.md §2.4 G1).
+
+Two stage topologies:
+
+* ``split_kinds=False`` (default): one pass; a single extract pool
+  handles text inline-vectorized and media via the store. No branch,
+  no input re-read — right when engine cost per span is uniform.
+* ``split_kinds=True``: size/kind-aware routing (north-rule skew
+  requirement). The exploded span rows are staged to disk partitioned
+  by kind ONCE (so the three branches do not re-execute the read), then
+  light HTML rows flow through cheap stateless tasks while image/pdf
+  rows get dedicated actor pools — the pdf pool with a smaller
+  ``batch_size`` (the analog of the reference's 350-crop GPU batch cap,
+  reference README.md:84-88).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ocr_pipeline_ray.stages.explode import explode_batch
+from ocr_pipeline_ray.stages.extract import (
+    MediaExtractActor,
+    strip_html_batch,
+)
+from ocr_pipeline_ray.stages.reassemble import reassemble
+from ocr_pipeline_ray.state.media_store import broadcast_media
+
+SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref", "error", "size_hint"]
+
+
+def read_docs(path: str) -> "ray.data.Dataset":
+    """Read the docs table (parquet directory or file).
+
+    Lance is the preferred format per the north rule; this container
+    has no lance package, so parquet (identical Arrow schema) is the
+    fallback — swap in ``ray.data.read_lance`` where available.
+    """
+    return ray.data.read_parquet(path)
+
+
+class _ExtractAll(MediaExtractActor):
+    """Single-pass extract: text spans vectorized inline, media via store."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = strip_html_batch(batch)
+        return super().__call__(batch)
+
+
+def _select(ds, cols=SPAN_COLS):
+    return ds.select_columns(cols)
+
+
+def build_extraction_pipeline(
+    docs_ds: "ray.data.Dataset",
+    media: pa.Table | "ray.ObjectRef",
+    *,
+    split_kinds: bool = False,
+    stage_dir: str | None = None,
+    extract_concurrency=(1, 8),
+    text_batch_size: int = 1024,
+    image_batch_size: int = 512,
+    pdf_batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Assemble the lazy extraction Dataset; caller consumes it."""
+    media_ref = media if isinstance(media, ray.ObjectRef) else broadcast_media(media)
+    spans = docs_ds.map_batches(explode_batch, batch_format="pyarrow")
+
+    if not split_kinds:
+        done = spans.map_batches(
+            _ExtractAll,
+            fn_constructor_kwargs={"media_object_ref": media_ref},
+            batch_format="pyarrow",
+            batch_size=text_batch_size,
+            concurrency=extract_concurrency,
+        )
+        return reassemble(_select(done))
+
+    if stage_dir is None:
+        raise ValueError("split_kinds=True requires stage_dir (disk-staged routing)")
+    # Stage the exploded rows partitioned by kind in ONE pass so the
+    # per-kind branches read their slice instead of re-executing the
+    # upstream read (a Dataset branch re-runs its lineage otherwise).
+    spans.write_parquet(stage_dir, partition_cols=["kind"])
+
+    branches = []
+    for kind, batch_size, use_actor in (
+        ("text", text_batch_size, False),
+        ("image", image_batch_size, True),
+        ("pdf", pdf_batch_size, True),
+    ):
+        part = os.path.join(stage_dir, f"kind={kind}")
+        if not os.path.isdir(part):
+            continue
+        branch = ray.data.read_parquet(part)
+        branch = branch.map_batches(
+            _restore_kind(kind), batch_format="pyarrow", batch_size=batch_size
+        )
+        if use_actor:
+            branch = branch.map_batches(
+                MediaExtractActor,
+                fn_constructor_kwargs={"media_object_ref": media_ref},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=extract_concurrency,
+            )
+        else:
+            branch = branch.map_batches(
+                strip_html_batch, batch_format="pyarrow", batch_size=batch_size
+            )
+        branches.append(_select(branch))
+    head, *rest = branches
+    merged = head.union(*rest) if rest else head
+    return reassemble(merged)
+
+
+def _restore_kind(kind: str):
+    """Hive partitioning strips/dictionary-encodes the partition column;
+    restore a plain string ``kind`` column in schema position."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        if "kind" in batch.column_names:
+            batch = batch.drop_columns(["kind"])
+        return batch.append_column("kind", pa.array([kind] * len(batch), pa.string()))
+
+    return _f

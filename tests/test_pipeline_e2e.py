@@ -1,0 +1,71 @@
+"""Distributed pipeline vs golden: span-sequence equality (kind, text,
+media_ref, order) per document — the BASELINE.json per-row invariant."""
+
+import ray
+import ray.data
+
+from ocr_pipeline_ray.pipelines.extract import build_extraction_pipeline
+
+
+def _spans_map(ds) -> dict[str, list[tuple]]:
+    out = {}
+    for row in ds.iter_rows():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+        ]
+    return out
+
+
+def _golden_map(golden) -> dict[str, list[tuple]]:
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in golden.to_pylist()
+    }
+
+
+def test_inline_pipeline_matches_golden(small_corpus):
+    docs, media, golden = small_corpus
+    ds = ray.data.from_arrow(docs).repartition(6)
+    out = build_extraction_pipeline(ds, media)
+    assert _spans_map(out) == _golden_map(golden)
+
+
+def test_shuffled_input_partitions_still_ordered(small_corpus):
+    """FIXTURES.md §4: shuffled arrival order must not change the output."""
+    docs, media, golden = small_corpus
+    ds = ray.data.from_arrow(docs).random_shuffle(seed=7).repartition(5)
+    out = build_extraction_pipeline(ds, media)
+    assert _spans_map(out) == _golden_map(golden)
+
+
+def test_split_kinds_pipeline_matches_golden(small_corpus, tmp_path):
+    docs, media, golden = small_corpus
+    ds = ray.data.from_arrow(docs).repartition(4)
+    out = build_extraction_pipeline(
+        ds, media, split_kinds=True, stage_dir=str(tmp_path / "stage")
+    )
+    assert _spans_map(out) == _golden_map(golden)
+
+
+def test_error_rows_kept_in_band(small_corpus):
+    docs, media, _ = small_corpus
+    ds = ray.data.from_arrow(docs)
+    out = build_extraction_pipeline(ds, media)
+    rows = {r["doc_id"]: r for r in out.iter_rows()}
+    # doc 1 carries the missing-media span: kept, text "", one error
+    r = rows["doc-00000001"]
+    assert r["n_errors"] == 1
+    assert r["spans"][-1]["text"] == ""
+    assert r["n_spans"] == len(r["spans"])
+
+
+def test_batch_size_invariance(small_corpus):
+    """Results identical for batch_size 1 vs 64 (the property the
+    reference asserts informally at str-recognition/processor.py:137)."""
+    docs, media, golden = small_corpus
+    small = docs.slice(0, 40)
+    ds1 = ray.data.from_arrow(small)
+    ds2 = ray.data.from_arrow(small)
+    out1 = build_extraction_pipeline(ds1, media, text_batch_size=1)
+    out2 = build_extraction_pipeline(ds2, media, text_batch_size=64)
+    assert _spans_map(out1) == _spans_map(out2)
