@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the caller BEFORE this module is imported —
+nothing here (or in ``ocr_pipeline_ray``) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps operator names -> callables over an sf_dir of the
+driver's parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible operator (column names match exactly).
+Entries without SQL (heuristic scoring, sketches, ANN) get the
+driver's rows-only check and are additionally property-tested in
+``tests/``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,84 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: wrap sf0.001 ``documents`` into interleaved
+    text+media docs, run explode -> HTML-strip -> OCR/PDF actor pools
+    -> ordered reassembly, return per-doc extracted texts."""
+    from ocr_pipeline_ray.pipelines.interleave import extract_interleaved
+
+    return extract_interleaved(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_pipeline_ray.pipelines import (
+        dedup,
+        events,
+        interleave,
+        relational,
+        similarity,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction engine (full pipeline, SQL oracle)
+        "extract_interleaved": interleave.extract_interleaved,
+        # relational: scans, joins, aggregates, sort/top-k, distinct
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "top_orders": relational.top_orders,
+        "distinct_segments": relational.distinct_segments,
+        "part_brand_stats": relational.part_brand_stats,
+        "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        # stream-shaped
+        "events_hourly": events.events_hourly,
+        "sessionize": events.sessionize,
+        "asof_latest_order": events.asof_latest_order,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_neardup": dedup.simhash_neardup,
+        "embedding_neardup": similarity.embedding_neardup,
+        # similarity search
+        "knn_brute_force": similarity.knn_brute_force,
+        "knn_lsh": similarity.knn_lsh,
+        # text analysis
+        "token_counts": text.token_counts,
+        "fingerprints": text.fingerprints,
+        "language_id": text.language_id,
+        "quality_scores": text.quality_scores,
+        "winnowing": text.winnowing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_pipeline_ray.pipelines import dedup, events, interleave, relational, similarity, text
+
+    return {
+        "extract_interleaved": interleave.EXTRACT_INTERLEAVED_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_nation_revenue": relational.Q5_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "distinct_segments": relational.DISTINCT_SEGMENTS_SQL,
+        "part_brand_stats": relational.PART_BRAND_SQL,
+        "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
+        "events_hourly": events.EVENTS_HOURLY_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
+        "asof_latest_order": events.ASOF_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "token_counts": text.TOKEN_COUNTS_SQL,
+        "fingerprints": text.FINGERPRINTS_SQL,
+        "knn_brute_force": similarity.knn_sql(),
+        # no oracle (heuristic / sketch / ANN): language_id,
+        # quality_scores, winnowing, minhash_lsh_dedup,
+        # ngram_jaccard_pairs, simhash_neardup, embedding_neardup,
+        # knn_lsh -> driver rows-only check + pytest property tests
+    }

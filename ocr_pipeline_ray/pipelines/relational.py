@@ -1,0 +1,373 @@
+"""Relational operators on Ray Data: joins, aggregates, sorts, top-k.
+
+The reference has no relational layer (SURVEY.md §2.5 — correlation by
+request_id string only); these are the general query capabilities the
+new engine adds so that one system covers both extraction and the
+analytics around it.
+
+Join strategy (scale-first):
+
+* ``broadcast_join`` — small side materialized once (``ray.put``),
+  merged per batch inside ``map_batches``. No shuffle; the 100 TB-side
+  streams. Right for dimension tables (region/nation/customer at
+  TPC-H-ish ratios, model vocab, blocklists).
+* ``shuffle_hash_join`` — both sides large: add ``__bucket = hash(key)
+  % B`` to both, tag provenance, union, ``groupby(__bucket)`` (ONE
+  shuffle moves both sides), then per-bucket pandas hash-join inside
+  ``map_groups``. B sizes partitions so one bucket's rows fit a worker
+  heap; salt hot keys by widening B. Ray 2.49 also ships a native
+  ``Dataset.join`` (hash shuffle) — we keep an explicit implementation
+  so partitioning and skew policy are visible and testable.
+
+Float discipline: aggregate outputs are rounded (ROUND_DECIMALS) in
+BOTH the Ray pipelines and the DuckDB oracle SQL so value-hash
+comparison is insensitive to summation order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+ROUND_DECIMALS = 4
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def broadcast_join(
+    big: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    on,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Join a streaming Dataset against a driver-resident small table.
+
+    ``small_df`` is put in the object store ONCE; every map task reads
+    it zero-copy from its node's store (never re-shipped per batch).
+    """
+    ref = ray.put(small_df)
+
+    class _Merge:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how, suffixes=("", suffix))
+
+    return big.map_batches(_Merge, batch_format="pandas", concurrency=(1, 8))
+
+
+def shuffle_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Partitioned hash join for two large sides (one shuffle total)."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    left_cols = left.columns()
+    right_cols = right.columns()
+    # union schema so the two tagged sides block-concat cleanly
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def _tag(side: str):
+        def _f(batch: pd.DataFrame) -> pd.DataFrame:
+            key = pd.util.hash_pandas_object(batch[on_cols], index=False)
+            batch = batch.reindex(columns=all_cols)
+            batch["__bucket"] = (key.to_numpy() % num_buckets).astype("int64")
+            batch["__side"] = side
+            return batch
+
+        return _f
+
+    lt = left.map_batches(_tag("l"), batch_format="pandas")
+    rt = right.map_batches(_tag("r"), batch_format="pandas")
+
+    def _join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][left_cols]
+        rg = group[group["__side"] == "r"][right_cols]
+        return lg.merge(rg, on=on_cols, how=how, suffixes=("", "_r"))
+
+    return (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(_join_bucket, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style pipelines over /root/testdata tables
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, cols, nd: int = ROUND_DECIMALS) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered scan -> grouped aggregate.
+
+    Column pruning at the read; revenue computed vectorized per Arrow
+    batch; groupby over a low-cardinality key (pre-aggregation happens
+    inside Ray's sort-based aggregate).
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return _round_cols(
+        df, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price", "avg_disc"]
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                 AS sum_qty,
+       round(sum(l_extendedprice), 4)                            AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)         AS sum_disc_price,
+       round(avg(l_quantity), 4)                                 AS avg_qty,
+       round(avg(l_extendedprice), 4)                            AS avg_price,
+       round(avg(l_discount), 4)                                 AS avg_disc,
+       count(*)                                                  AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: two joins -> grouped revenue -> top 10.
+
+    customer and orders are the small sides at this ratio -> broadcast;
+    lineitem streams. Tie-break by l_orderkey for determinism.
+    """
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[orders["o_custkey"].isin(cust["c_custkey"])]
+    orders = orders[orders["o_orderdate"] < pd.Timestamp("1998-03-15")]
+    small = orders[["o_orderkey", "o_orderdate"]].rename(columns={"o_orderkey": "l_orderkey"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-03-15"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), small, on="l_orderkey")
+    agg = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    df = agg.to_pandas()
+    df = df.merge(small.drop_duplicates("l_orderkey"), on="l_orderkey")
+    df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return df[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (customer-nation variant): 4-way dimension join
+    chain broadcast onto streaming lineitem, grouped by nation."""
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    dim = dim[dim["r_name"] == "ASIA"]
+    orders = orders[
+        (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))
+    ]
+    side = orders.merge(dim[["c_custkey", "n_name"]], left_on="o_custkey", right_on="c_custkey")
+    side = side[["o_orderkey", "n_name"]].rename(columns={"o_orderkey": "l_orderkey"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), side, on="l_orderkey")
+    df = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
+    return df.sort_values("revenue", ascending=False).reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+     JOIN customer ON c_nationkey = n_nationkey
+     JOIN orders ON o_custkey = c_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: vectorized filter + global sum (no shuffle —
+    partial sums per batch reduce in a single tiny aggregate)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.Table.from_arrays([rev], names=["rev"])
+
+    total = ds.map_batches(prep, batch_format="pyarrow").sum("rev")
+    return pd.DataFrame({"revenue": [round(float(total or 0.0), ROUND_DECIMALS)]})
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k: sort + limit (distributed sort, tiny materialize)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    df = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    df["o_totalprice"] = df["o_totalprice"].round(ROUND_DECIMALS)
+    return df
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (``unique`` — a small shuffle)."""
+    vals = sorted(_read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def part_brand_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped multi-aggregate over part."""
+    df = (
+        _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+            Min("p_size", alias_name="min_size"),
+        )
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    return _round_cols(df, ["avg_price"])
+
+
+PART_BRAND_SQL = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size,
+       min(p_size) AS min_size
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def supplier_balance_by_nation(sf_dir: str) -> pd.DataFrame:
+    """shuffle_hash_join demo on real tables (supplier x nation)."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).map_batches(
+        lambda df: df.rename(columns={"n_nationkey": "s_nationkey"}), batch_format="pandas"
+    )
+    joined = shuffle_hash_join(sup, nat, on="s_nationkey", num_buckets=8)
+    df = (
+        joined.groupby("n_name")
+        .aggregate(Sum("s_acctbal", alias_name="total_bal"), Count(alias_name="n_suppliers"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return _round_cols(df, ["total_bal"])
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT n_name, round(sum(s_acctbal), 4) AS total_bal, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""

@@ -1,0 +1,242 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* brute-force cosine top-k — the exact baseline: the query matrix is
+  broadcast once (``ray.put``), each batch does one float64 matmul
+  against it; per-batch top-k partials reduce on the driver (k * n_q
+  rows — tiny). Nothing materializes the corpus.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  bucket the corpus; queries probe their bucket (+ multiprobe
+  neighbors); exact cosine re-ranks inside buckets. Recall is tested
+  against the brute-force baseline in pytest.
+* embedding-cosine near-dup — all corpus pairs above a cosine
+  threshold via the same bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ocr_pipeline_ray.pipelines.relational import _read
+
+
+def _to_matrix(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = df["vec_id"].to_numpy()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, m
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute_force(sf_dir: str, k: int = 5, n_queries: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries (self excluded).
+
+    Returns (query_id, neighbor_id, rank) — ints only, so the DuckDB
+    oracle compares exactly; ties broken by neighbor_id ascending.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids, q = _to_matrix(qdf)
+    qn = _normalize(q)
+    ref = ray.put((q_ids, qn))
+
+    class _TopK:
+        def __init__(self):
+            self.q_ids, self.qn = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            sims = _normalize(m) @ self.qn.T  # (batch, n_q) float64
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                s = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], s[mask]
+                top = min(k, cand_ids.size)
+                # partial top-k per batch; final reduce on driver
+                order = np.lexsort((cand_ids, -cand_s))[:top]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[order],
+                            "sim": cand_s[order],
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(_TopK, batch_format="pandas", batch_size=2048, concurrency=(1, 8)).to_pandas()
+    # global reduce: top-k per query across batch partials
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    top = parts.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
+def knn_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_bits))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) > 0
+    return (bits.astype(np.uint64) << np.arange(planes.shape[1], dtype=np.uint64)).sum(axis=1)
+
+
+def knn_lsh(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    n_bits: int = 6,
+    n_tables: int = 16,
+) -> pd.DataFrame:
+    """Random-hyperplane LSH ANN with multiple independent tables.
+
+    Each table buckets rows by an ``n_bits`` sign pattern; a corpus row
+    is a candidate for a query if they collide (bucket or a 1-bit-flip
+    multiprobe neighbor) in ANY table — the standard L-tables trick
+    that recovers recall when pairwise angles are wide. Exact cosine
+    re-ranks candidates. Approximate by design: recall vs
+    :func:`knn_brute_force` is the test (tests/test_similarity.py).
+
+    Scale path: each batch computes its sign patterns against the
+    broadcast planes and keeps only rows whose (table, bucket) hits a
+    probed key — the corpus streams once; candidates (a small superset
+    of k * n_queries) reduce on the driver.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids, q = _to_matrix(qdf)
+    qn = _normalize(q)
+    dim = qn.shape[1]
+    tables = [_hyperplanes(dim, n_bits, seed=100 + t) for t in range(n_tables)]
+
+    # per table: the probed bucket keys of all queries (+1-bit flips)
+    probed_by_table: list[set[int]] = []
+    probes_per_query: list[list[set[int]]] = []  # [table][query] -> keys
+    for planes in tables:
+        qb = _bucket_of(qn, planes)
+        per_q = [
+            {int(b)} | {int(b) ^ (1 << i) for i in range(n_bits)} for b in qb
+        ]
+        probes_per_query.append(per_q)
+        probed_by_table.append(set().union(*per_q))
+    ref = ray.put((tables, probed_by_table))
+
+    class _Candidates:
+        def __init__(self):
+            self.tables, self.probed = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            keep = np.zeros(len(ids), dtype=bool)
+            buckets = np.zeros((len(self.tables), len(ids)), dtype=np.int64)
+            for t, planes in enumerate(self.tables):
+                b = _bucket_of(mn, planes).astype(np.int64)
+                buckets[t] = b
+                probed = self.probed[t]
+                keep |= np.fromiter((int(x) in probed for x in b), dtype=bool, count=len(b))
+            out = batch.iloc[keep].copy()
+            for t in range(len(self.tables)):
+                out[f"b{t}"] = buckets[t][keep]
+            return out
+
+    cand = ds.map_batches(
+        _Candidates, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype("int64")
+    c_ids, c_m = _to_matrix(cand)
+    c_mn = _normalize(c_m)
+    c_buckets = [cand[f"b{t}"].to_numpy() for t in range(n_tables)]
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        mask = np.zeros(len(c_ids), dtype=bool)
+        for t in range(n_tables):
+            keys = probes_per_query[t][qi]
+            mask |= np.fromiter((int(x) in keys for x in c_buckets[t]), dtype=bool, count=len(c_ids))
+        mask &= c_ids != qid
+        if not mask.any():
+            continue
+        s = c_mn[mask] @ qn[qi]
+        ids_m = c_ids[mask]
+        order = np.lexsort((ids_m, -s))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((int(qid), int(ids_m[j]), r))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype("int64")
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Blocked exact scan: corpus streams once; each batch multiplies
+    against the (broadcast) normalized corpus blocks of the *other*
+    batches would require all-pairs — instead we LSH-bucket (16-bit
+    sign pattern) and verify exactly within buckets, so only
+    same-bucket pairs are computed. Near-identical vectors agree on
+    all sign bits with overwhelming probability.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    planes_ref = ray.put(_hyperplanes(64, 12))
+
+    class _Sig:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            out = batch.copy()
+            out["bucket"] = _bucket_of(mn, self.planes).astype("int64")
+            return out
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+        ids, m = _to_matrix(g)
+        mn = _normalize(m)
+        sims = mn @ mn.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pd.DataFrame({"a": a, "b": b, "cosine": np.round(sims[ii[keep], jj[keep]], 4)})
+
+    out = (
+        ds.map_batches(_Sig, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        .groupby("bucket")
+        .map_groups(_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
+        )
+    return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,58 @@
+"""Spot-check a representative subset of queries() against oracle_sql()
+via DuckDB at sf0.001 (the driver does the full sweep at sf0.01;
+tools/driver_sim.py runs everything)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+SUBSET = [
+    "extract_interleaved",
+    "q1_pricing_summary",
+    "supplier_balance_by_nation",
+    "sessionize",
+    "asof_latest_order",
+    "dedup_exact",
+    "knn_brute_force",
+    "fingerprints",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(name, con):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    mine = fn(SF)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    mine = canon(mine)
+    gold = canon(con.sql(sql).df())
+    pd.testing.assert_frame_equal(mine, gold, check_dtype=False)

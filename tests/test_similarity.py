@@ -1,0 +1,66 @@
+"""ANN recall + near-dup behavior (no SQL oracle for these — the
+property tests here are their correctness story)."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_lsh_recall_vs_brute_force():
+    from ocr_pipeline_ray.pipelines.similarity import knn_brute_force, knn_lsh
+
+    exact = knn_brute_force(SF, k=5, n_queries=10)
+    approx = knn_lsh(SF, k=5, n_queries=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7  # 16 tables x 6 bits + 1-bit multiprobe
+
+
+def test_minhash_lsh_finds_near_identical_pairs(tmp_path):
+    """Plant near-duplicate documents; LSH + verify must find them."""
+    import pandas as pd
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
+        "omicron pi rho sigma tau upsilon phi chi psi omega stream vector tensor"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                base,
+                base + " extra",  # near-dup of 0
+                "totally different words about shuffle partition offset span document",
+                base.replace("alpha", "ALPHA-PRIME"),  # near-dup of 0 and 1
+            ],
+        }
+    )
+    d = tmp_path / "mini"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    from ocr_pipeline_ray.pipelines.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(str(d), threshold=0.5)
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_simhash_neardup_planted(tmp_path):
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    docs = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [base, base + "tonight", "unrelated quantum lattice tensor shard words " * 6],
+        }
+    )
+    d = tmp_path / "mini2"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    from ocr_pipeline_ray.pipelines.dedup import simhash_neardup
+
+    pairs = simhash_neardup(str(d), max_hamming=8)
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    assert (10, 11) in got
+    assert all(12 not in p for p in got)

@@ -1,0 +1,47 @@
+from ocr_pipeline_ray.functions.textstats import (
+    detect_language,
+    fingerprint_md5,
+    quality_stats,
+    tokenize,
+    winnow_fingerprints,
+)
+
+
+def test_tokenize_ascii_words():
+    assert tokenize("foo bar_1 baz!  qux") == ["foo", "bar_1", "baz", "qux"]
+
+
+def test_fingerprint_whitespace_case_insensitive():
+    assert fingerprint_md5("Hello   World\n") == fingerprint_md5("hello world")
+    assert fingerprint_md5("hello world") != fingerprint_md5("hello worlds")
+
+
+def test_detect_language():
+    assert detect_language("the cat and the dog sat in a house for a while") == "en"
+    assert detect_language("der hund und die katze ist nicht zu haus mit von") == "de"
+    assert detect_language("el perro y la casa es un lugar que por con") == "es"
+    assert detect_language("le chien est dans la maison pour un moment sur et") == "fr"
+    assert detect_language("这是一个中文文档") == "zh"
+    assert detect_language("") == "unknown"
+
+
+def test_quality_stats():
+    good = quality_stats(
+        "This is a well formed paragraph of text with the usual words and punctuation. "
+        "It has enough tokens to look like real content."
+    )
+    bad = quality_stats("x")
+    assert good["quality_score"] > bad["quality_score"]
+    assert good["n_tokens"] > 10
+    assert bad["n_chars"] == 1
+
+
+def test_winnowing_overlap_property():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    other = "one two three four five six seven eight nine ten " * 5
+    fp_base = set(winnow_fingerprints(base))
+    fp_same = set(winnow_fingerprints(base))
+    fp_other = set(winnow_fingerprints(other))
+    assert fp_base == fp_same
+    assert len(fp_base & fp_other) == 0
+    assert winnow_fingerprints("too short") == []
