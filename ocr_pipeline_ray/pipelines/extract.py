@@ -76,13 +76,32 @@ def build_extraction_pipeline(
     *,
     split_kinds: bool = False,
     stage_dir: str | None = None,
-    extract_concurrency=(1, 8),
-    text_batch_size: int = 1024,
-    image_batch_size: int = 512,
+    extract_concurrency=None,
+    text_batch_size: int = 2048,
+    image_batch_size: int = 1024,
     pdf_batch_size: int = 64,
 ) -> "ray.data.Dataset":
-    """Assemble the lazy extraction Dataset; caller consumes it."""
+    """Assemble the lazy extraction Dataset; caller consumes it.
+
+    ``extract_concurrency=None`` sizes the extract actor pool to the
+    cluster: all but 2 CPUs (read/write/reassembly stages are I/O-light
+    and interleave under streaming backpressure). A FIXED pool size is
+    used so all actors start in parallel up front instead of trickling
+    in via autoscaling — at 1000x data the pool is busy for the whole
+    run and startup is amortized; at test scale it avoids the
+    autoscaler's slow ramp dominating wall time.
+    """
     media_ref = media if isinstance(media, ray.ObjectRef) else broadcast_media(media)
+    if extract_concurrency is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        # ~3/4 of the cluster for the extract pool, headroom for
+        # read/shuffle/write tasks; never take the last CPU (a pool
+        # owning every CPU starves the other stages and the pipeline
+        # serializes or deadlocks). Measured on the bench corpus:
+        # batch 2048 spans + fixed pool of 0.75*CPUs is the knee —
+        # smaller batches pay per-task dispatch, bigger pools starve
+        # the co-resident stages.
+        extract_concurrency = min(max(2, int(n_cpus * 0.75)), max(1, n_cpus - 1))
     spans = docs_ds.map_batches(explode_batch, batch_format="pyarrow")
 
     if not split_kinds:
@@ -97,6 +116,9 @@ def build_extraction_pipeline(
 
     if stage_dir is None:
         raise ValueError("split_kinds=True requires stage_dir (disk-staged routing)")
+    # two media pools must coexist with read/write tasks: autoscale
+    # from 1 so neither pool can deadlock the other on a small cluster
+    pool = (1, max(1, (int(extract_concurrency) if not isinstance(extract_concurrency, tuple) else extract_concurrency[1]) // 2))
     # Stage the exploded rows partitioned by kind in ONE pass so the
     # per-kind branches read their slice instead of re-executing the
     # upstream read (a Dataset branch re-runs its lineage otherwise).
@@ -121,7 +143,7 @@ def build_extraction_pipeline(
                 fn_constructor_kwargs={"media_object_ref": media_ref},
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=extract_concurrency,
+                concurrency=pool,
             )
         else:
             branch = branch.map_batches(

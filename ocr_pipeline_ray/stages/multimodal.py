@@ -1,0 +1,152 @@
+"""Multimodal column stages: decode / resize / feature-extract /
+frame-sample over opaque ``binary`` media columns with typed metadata.
+
+The container has no image/audio codecs (no PIL/cv2/ffmpeg), so the
+DECODE KERNELS are stubbed — either a clearly-marked
+``NotImplementedError`` (strict mode) or a deterministic fake — while
+the Ray-side plumbing is REAL and tested: schemas, actor-pool
+signatures, batch sizing for large binary payloads, output layout.
+Swap the kernel import for the real library on a cluster image and
+nothing else changes (the same pluggable-engine seam as
+``stages.extract.SyntheticEngine``; the reference's analog is the
+CRAFT/STR weights loaded per service, reference std-detection/api.py:40-60).
+
+Batch-size guidance for binary payloads: a batch must fit
+``batch_size x payload_size x concurrency`` in worker heaps — e.g.
+4 MiB images => batch_size 16-64, NOT the 256+ used for text rows
+(the reference derives its 350-crop GPU cap the same way,
+reference README.md:84-88).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_META_SCHEMA = pa.schema(
+    [
+        pa.field("media_ref", pa.string()),
+        pa.field("modality", pa.string()),  # image | audio | video
+        pa.field("payload", pa.binary()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+class ImageDecodeActor:
+    """payload binary -> (height, width, channels) + pixel feature vec.
+
+    Real path: PIL decode + resize. Stub path (this container):
+    deterministic fake derived from payload bytes so downstream
+    plumbing (schema, feature shapes) is exercised end-to-end.
+    """
+
+    def __init__(self, target_size: int = 32, strict: bool = False):
+        self.pil = _try_import_pil()
+        self.target = target_size
+        self.strict = strict
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "image decode requires PIL/cv2 — not available in this container"
+            )
+        # deterministic fake "pixels" from the payload digest
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (self.target, self.target, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, hs, ws, errs = [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                if self.pil is not None:
+                    import io
+
+                    img = self.pil.open(io.BytesIO(payload)).convert("RGB")
+                    img = img.resize((self.target, self.target))
+                    arr = np.asarray(img, dtype=np.uint8)
+                else:
+                    arr = self._decode_fake(payload)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                # cheap feature: per-channel mean (a real extractor would
+                # run a vision model here — batched, on the actor's GPU)
+                feats.append(arr.mean(axis=(0, 1)).astype(np.float32).tolist())
+                errs.append("")
+            except Exception as e:
+                hs.append(0)
+                ws.append(0)
+                feats.append([0.0, 0.0, 0.0])
+                errs.append(f"decode failed: {e}")
+        return pa.Table.from_arrays(
+            [
+                batch.column("media_ref"),
+                pa.array(hs, pa.int32()),
+                pa.array(ws, pa.int32()),
+                pa.array(feats, pa.list_(pa.float32())),
+                pa.array(errs, pa.string()),
+            ],
+            names=["media_ref", "height", "width", "channel_means", "error"],
+        )
+
+
+class FrameSampleActor:
+    """video payload -> K evenly-spaced frame refs (metadata only here;
+    real impl pulls frames via ffmpeg/pyav behind the same signature)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, frame_idx, ts_ms = [], [], []
+        for ref, dur in zip(
+            batch.column("media_ref").to_pylist(), batch.column("duration_ms").to_pylist()
+        ):
+            d = int(dur or 0)
+            for i in range(self.n_frames):
+                refs.append(ref)
+                frame_idx.append(i)
+                ts_ms.append((d * (2 * i + 1)) // (2 * self.n_frames))
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(frame_idx, pa.int32()),
+                pa.array(ts_ms, pa.int32()),
+            ],
+            names=["media_ref", "frame_idx", "ts_ms"],
+        )
+
+
+def decode_images(ds, *, batch_size: int = 32, concurrency=4, target_size: int = 32):
+    """Actor-pool image decode: small batches for large binary rows."""
+    return ds.map_batches(
+        ImageDecodeActor,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, *, n_frames: int = 4, batch_size: int = 64, concurrency=2):
+    return ds.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -45,6 +45,84 @@ def pack_group(group: pa.Table) -> pa.Table:
     )
 
 
-def reassemble(span_rows_ds):
-    """``groupby(doc_id).map_groups`` — the ordered-reassembly shuffle."""
-    return span_rows_ds.groupby("doc_id").map_groups(pack_group, batch_format="pyarrow")
+def pack_bucket(group: pa.Table) -> pa.Table:
+    """Vectorized pack of ONE HASH BUCKET of doc_ids (many docs per
+    UDF call): sort by (doc_id, offset) once, find doc boundaries with
+    numpy, build the list<struct> column with Arrow offset arithmetic.
+
+    Replaces per-doc ``pack_group`` calls (~0.1-0.5 ms Python overhead
+    each — at 10^12 docs that is pure overhead) with one Arrow kernel
+    pass per bucket.
+    """
+    import numpy as np
+
+    order = pc.sort_indices(
+        group, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
+    )
+    g = group.take(order)
+    ids = np.asarray(g.column("doc_id").to_pandas(), dtype=object)
+    n = len(ids)
+    change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+    bounds = np.concatenate(([0], change, [n]))
+    struct = pa.StructArray.from_arrays(
+        [
+            g.column("kind").combine_chunks(),
+            g.column("text").combine_chunks(),
+            g.column("media_ref").combine_chunks(),
+            g.column("offset").combine_chunks(),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), struct)
+    err = (np.asarray(g.column("error").to_pandas(), dtype=object) != "").astype(np.int64)
+    n_errors = np.add.reduceat(err, bounds[:-1]) if n else np.empty(0, np.int64)
+    n_spans = np.diff(bounds)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids[bounds[:-1]], pa.string()),
+            spans,
+            pa.array(n_spans, pa.int32()),
+            pa.array(n_errors, pa.int32()),
+        ],
+        names=["doc_id", "spans", "n_spans", "n_errors"],
+    )
+
+
+def add_bucket(num_buckets: int):
+    """Vectorized doc_id -> hash bucket column (the shuffle key)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        h = pd.util.hash_array(np.asarray(batch.column("doc_id").to_pandas(), dtype=object))
+        return batch.append_column(
+            "bucket", pa.array((h % num_buckets).astype("int64"), pa.int64())
+        )
+
+    return _f
+
+
+def reassemble(span_rows_ds, num_buckets: int | None = None):
+    """The ordered-reassembly shuffle, bucketized.
+
+    ``groupby(bucket)`` moves each doc's span rows to one place (same
+    guarantee as grouping by doc_id — bucket is a pure function of
+    doc_id) while giving the packer whole buckets to vectorize over.
+    ``num_buckets`` must scale with cluster size/data so one bucket
+    fits a worker's heap: default 4x cluster CPUs; at petabyte scale
+    pass an explicit larger value (it only adds tiny per-group calls).
+    """
+    import ray
+
+    if num_buckets is None:
+        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    return (
+        span_rows_ds.map_batches(add_bucket(num_buckets), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pack_bucket_drop, batch_format="pyarrow")
+    )
+
+
+def _pack_bucket_drop(group: pa.Table) -> pa.Table:
+    return pack_bucket(group.drop_columns(["bucket"]))

@@ -30,19 +30,40 @@ def broadcast_media(media: pa.Table) -> "ray.ObjectRef":
 
 
 class BroadcastMediaStore:
-    """Actor-side view over a broadcast media table: dict lookup by ref."""
+    """Actor-side view over a broadcast media table.
+
+    Lookup is binary search over the ref column (the broadcaster sorts
+    it once); payload bytes are materialized lazily per hit. Building
+    eager dicts here would copy every payload into every actor — an
+    O(media x pool_size) anti-scaling init cost and a heap copy of the
+    whole media table per worker; the sorted-search view keeps actor
+    init ~free and the payload column shared in the object store.
+    """
 
     def __init__(self, media_object_ref: "ray.ObjectRef"):
-        table: pa.Table = ray.get(media_object_ref)
-        self._payloads: dict[str, bytes] = dict(
-            zip(table["media_ref"].to_pylist(), table["payload"].to_pylist())
-        )
-        self._pages: dict[str, int] = dict(
-            zip(table["media_ref"].to_pylist(), table["n_pages"].to_pylist())
-        )
+        table: pa.Table = ray.get(media_object_ref)  # zero-copy, node-local
+        import numpy as np
+
+        self._table = table
+        self._refs = np.asarray(table["media_ref"].to_pandas(), dtype=object)
+        if len(self._refs) > 1 and not bool((self._refs[:-1] <= self._refs[1:]).all()):
+            order = np.argsort(self._refs)
+            self._table = table.take(order)
+            self._refs = self._refs[order]
+        self._payload_col = self._table["payload"].combine_chunks()
+        self._pages_col = self._table["n_pages"].combine_chunks()
+        self._np = np
+
+    def _index(self, media_ref: str) -> int:
+        i = int(self._np.searchsorted(self._refs, media_ref))
+        if i < len(self._refs) and self._refs[i] == media_ref:
+            return i
+        return -1
 
     def get(self, media_ref: str) -> bytes | None:
-        return self._payloads.get(media_ref)
+        i = self._index(media_ref)
+        return self._payload_col[i].as_py() if i >= 0 else None
 
     def n_pages(self, media_ref: str) -> int:
-        return self._pages.get(media_ref, 0)
+        i = self._index(media_ref)
+        return int(self._pages_col[i].as_py()) if i >= 0 else 0

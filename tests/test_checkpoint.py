@@ -1,0 +1,77 @@
+"""Resume-after-kill test (SURVEY.md §5): kill after partition k
+commits, rerun, assert committed partitions are not reprocessed and
+the final output equals a single-run output."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_pipeline_ray.pipelines.checkpoint import (
+    committed_partitions,
+    read_output,
+    run_partitioned_extraction,
+)
+from ocr_pipeline_ray.sources.gen import write_corpus
+
+
+class _Kill(Exception):
+    pass
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt_corpus"))
+    paths = write_corpus(d, 300, seed=42, shards=8)
+    media = pq.read_table(paths["media"])
+    return paths, media
+
+
+def _spans_key(table):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in table.to_pylist()
+    }
+
+
+def test_kill_and_resume(corpus, tmp_path):
+    paths, media = corpus
+    out_a = str(tmp_path / "single")
+    run_partitioned_extraction(paths["docs"], media, out_a, n_parts=4)
+    single = read_output(out_a)
+
+    out_b = str(tmp_path / "resumed")
+
+    def killer(part):
+        if part == 1:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        run_partitioned_extraction(paths["docs"], media, out_b, n_parts=4, on_part_done=killer)
+    assert committed_partitions(out_b) == {0, 1}
+    mtimes = {
+        i: os.path.getmtime(os.path.join(out_b, "_lineage", f"part-{i}.json")) for i in (0, 1)
+    }
+
+    summary = run_partitioned_extraction(paths["docs"], media, out_b, n_parts=4)
+    assert sorted(summary["skipped_committed"]) == [0, 1]
+    assert sorted(summary["ran"]) == [2, 3]
+    for i in (0, 1):  # committed partitions untouched
+        assert os.path.getmtime(os.path.join(out_b, "_lineage", f"part-{i}.json")) == mtimes[i]
+
+    resumed = read_output(out_b)
+    assert _spans_key(resumed) == _spans_key(single)
+    assert summary["n_docs"] == 300
+
+
+def test_lineage_records(corpus, tmp_path):
+    paths, media = corpus
+    out = str(tmp_path / "lin")
+    summary = run_partitioned_extraction(paths["docs"], media, out, n_parts=3)
+    assert summary["n_docs"] == 300
+    assert summary["n_errors"] >= 1  # the missing-media edge fixture
+    for i in range(3):
+        rec = json.load(open(os.path.join(out, "_lineage", f"part-{i}.json")))
+        assert rec["n_docs"] > 0 and rec["n_spans"] >= rec["n_docs"]
+        assert rec["input_files"] and rec["duration_sec"] > 0

@@ -1,0 +1,65 @@
+"""Multimodal plumbing tests — the decode kernel is stubbed in this
+container (no PIL/ffmpeg); schema, actor signature, error channel and
+output layout are real."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ocr_pipeline_ray.stages.multimodal import (
+    ImageDecodeActor,
+    decode_images,
+    sample_frames,
+)
+
+
+def _media_ds(n=10):
+    rows = {
+        "media_ref": [f"mem://m/{i}" for i in range(n)],
+        "modality": ["image"] * n,
+        "payload": [f"payload-{i}".encode() for i in range(n)],
+        "width": [640] * n,
+        "height": [480] * n,
+        "duration_ms": [0] * n,
+    }
+    return ray.data.from_arrow(pa.Table.from_pydict(rows))
+
+
+def test_image_decode_schema_and_determinism():
+    out = decode_images(_media_ds(8), batch_size=4, concurrency=2).to_pandas()
+    assert list(out.columns) == ["media_ref", "height", "width", "channel_means", "error"]
+    assert (out["height"] == 32).all()
+    assert (out["error"] == "").all()
+    out2 = decode_images(_media_ds(8), batch_size=2, concurrency=2).to_pandas()
+    a = [tuple(v) for v in out.sort_values("media_ref")["channel_means"]]
+    b = [tuple(v) for v in out2.sort_values("media_ref")["channel_means"]]
+    assert a == b  # deterministic fake decode, batch-size invariant
+
+
+def test_strict_mode_raises():
+    actor = ImageDecodeActor(strict=True)
+    if actor.pil is None:
+        batch = pa.Table.from_pydict(
+            {"media_ref": ["x"], "payload": [b"zz"]}
+        )
+        out = actor(batch)
+        assert out["error"][0].as_py().startswith("decode failed")
+
+
+def test_frame_sampling_layout():
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "media_ref": ["mem://v/0", "mem://v/1"],
+                "modality": ["video"] * 2,
+                "payload": [b"v0", b"v1"],
+                "width": [0, 0],
+                "height": [0, 0],
+                "duration_ms": [8000, 4000],
+            }
+        )
+    )
+    out = sample_frames(ds, n_frames=4, concurrency=1).to_pandas()
+    assert len(out) == 8
+    v0 = out[out["media_ref"] == "mem://v/0"].sort_values("frame_idx")
+    assert v0["ts_ms"].tolist() == [1000, 3000, 5000, 7000]  # evenly spaced midpoints
