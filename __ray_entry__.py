@@ -51,10 +51,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "part_brand_stats": relational.part_brand_stats,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        "customers_without_orders": relational.customers_without_orders,
+        "parts_with_lineitems": relational.parts_with_lineitems,
+        "nations_without_suppliers": relational.nations_without_suppliers,
         # stream-shaped
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
         "asof_latest_order": events.asof_latest_order,
+        "rolling_user_value": events.rolling_user_value,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -86,9 +90,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": relational.DISTINCT_SEGMENTS_SQL,
         "part_brand_stats": relational.PART_BRAND_SQL,
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
+        "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
+        "nations_without_suppliers": relational.NATIONS_WITHOUT_SUPPLIERS_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_latest_order": events.ASOF_SQL,
+        "rolling_user_value": events.ROLLING_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,

@@ -20,16 +20,47 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+# odd constants for the k-gram positional combine (wraparound uint64
+# multiply-add — a stable vectorized polynomial hash over token hashes)
+_GRAM_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63],
+    dtype=np.uint64,
+)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per token, memoized per process (vocabulary
+    is tiny relative to token stream — this removes the per-shingle
+    cryptographic hash from the hot path)."""
+    out = np.empty(len(toks), dtype=np.uint64)
+    cache = _TOKEN_CACHE
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = _stable_hash64(t)
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
 def shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (uint64, unique, sorted)."""
+    """Word k-gram shingle hashes (uint64, unique, sorted) — token
+    hashes memoized, k-gram combination vectorized."""
     toks = tokenize(text.lower())
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(np.fromiter((_stable_hash64(g) for g in grams), dtype=np.uint64))
+    x = _token_hashes(toks)
+    if len(x) < k:
+        k = len(x)
+    n_grams = len(x) - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n_grams, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * np.uint64(0x100000001B3) + x[j : j + n_grams] * _GRAM_C[j % len(_GRAM_C)]
+    return np.unique(acc)
 
 
 def minhash_params(num_perm: int = 128, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:

@@ -77,20 +77,49 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
 
 
 class _MinhashBands:
-    """Actor: MinHash params built once; per batch emit band rows."""
+    """Actor: MinHash params built once; per batch emit band rows.
+
+    Batch-vectorized: the permutation hashes are computed ONCE over the
+    batch's unique shingle set (cross-doc shingle overlap is high in
+    real corpora), then each doc's signature is a min-reduction over
+    its slice — instead of an independent outer product per doc.
+    """
 
     def __init__(self, num_perm=MINHASH_PERMS, bands=LSH_BANDS, rows=LSH_ROWS, shingle_k=3):
         self.a, self.b = minhash_params(num_perm)
         self.bands, self.rows, self.k = bands, rows, shingle_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.hashing import _MAX_HASH, _MERSENNE
+
+        texts = t["text"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        sh_list = [shingles(s, self.k) for s in texts]
+        lens = np.array([s.size for s in sh_list])
         doc_ids, band_ids, band_keys = [], [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(shingles(text, self.k), self.a, self.b)
-            for band_id, key in enumerate(lsh_band_keys(sig, self.bands, self.rows)):
-                doc_ids.append(doc_id)
-                band_ids.append(band_id)
-                band_keys.append(key)
+        if lens.sum() > 0:
+            all_sh = np.concatenate([s for s in sh_list if s.size])
+            uniq, inv = np.unique(all_sh & _MAX_HASH, return_inverse=True)
+            # (num_perm, n_unique) permutation values, computed once
+            phv = ((np.outer(self.a, uniq) + self.b[:, None]) % _MERSENNE) & _MAX_HASH
+            pos = 0
+            for doc_id, n in zip(ids, lens):
+                if n == 0:
+                    sig = np.full(self.a.shape[0], _MAX_HASH, dtype=np.uint64)
+                else:
+                    sig = phv[:, inv[pos : pos + n]].min(axis=1)
+                    pos += n
+                for band_id, key in enumerate(lsh_band_keys(sig, self.bands, self.rows)):
+                    doc_ids.append(doc_id)
+                    band_ids.append(band_id)
+                    band_keys.append(key)
+        else:
+            for doc_id in ids:
+                sig = np.full(self.a.shape[0], _MAX_HASH, dtype=np.uint64)
+                for band_id, key in enumerate(lsh_band_keys(sig, self.bands, self.rows)):
+                    doc_ids.append(doc_id)
+                    band_ids.append(band_id)
+                    band_keys.append(key)
         return pa.Table.from_arrays(
             [
                 pa.array(doc_ids, pa.int64()),
@@ -109,6 +138,47 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
 
+N_COARSE_BUCKETS = 64
+
+
+def _add_coarse_bucket(t: pa.Table) -> pa.Table:
+    """Hash (band_id, band_key) into a few coarse shuffle buckets so
+    candidate-pair extraction is one vectorized call per COARSE bucket
+    instead of one Python call per (band_id, band_key) group — the
+    same per-tiny-group-overhead fix as reassembly's pack_bucket."""
+    b = np.asarray(t["band_id"].to_pandas(), dtype=np.int64)
+    k = np.asarray(t["band_key"].to_pandas(), dtype=np.int64)
+    h = (b * np.int64(0x9E3779B1) ^ k) % N_COARSE_BUCKETS
+    return t.append_column("cbucket", pa.array(h, pa.int64()))
+
+
+def _pairs_in_coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """All doc pairs sharing an exact (band_id, band_key) within this
+    coarse bucket: lexsort once, find equal-key runs with numpy, emit
+    pairs only for runs of >=2 (actual candidates are rare)."""
+    b = g["band_id"].to_numpy()
+    k = g["band_key"].to_numpy()
+    d = g["doc_id"].to_numpy()
+    order = np.lexsort((d, k, b))
+    b, k, d = b[order], k[order], d[order]
+    if len(d) < 2:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    new_run = np.concatenate(([0], np.flatnonzero((b[1:] != b[:-1]) | (k[1:] != k[:-1])) + 1, [len(d)]))
+    out_a, out_b = [], []
+    for s, e in zip(new_run[:-1], new_run[1:]):
+        if e - s < 2:
+            continue
+        ids = np.unique(d[s:e])
+        if len(ids) < 2:
+            continue
+        ii, jj = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ii])
+        out_b.append(ids[jj])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+
 def minhash_candidate_pairs(sf_dir: str, shingle_k: int = 3) -> pd.DataFrame:
     """LSH candidate pairs (unverified), deduplicated across bands."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -116,11 +186,13 @@ def minhash_candidate_pairs(sf_dir: str, shingle_k: int = 3) -> pd.DataFrame:
         _MinhashBands,
         fn_constructor_kwargs={"shingle_k": shingle_k},
         batch_format="pyarrow",
+        batch_size=512,
         concurrency=(1, 8),
     )
     pairs = (
-        bands.groupby(["band_id", "band_key"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        bands.map_batches(_add_coarse_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(_pairs_in_coarse_bucket, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
@@ -184,11 +256,12 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     for doc_id, h in sig.items():
         for band_id, key in simhash_band_keys(h, bands=4):
             rows.append((doc_id, band_id, key))
-    bdf = pd.DataFrame(rows, columns=["doc_id", "band_id", "key"])
+    bdf = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_key"])
     pairs = (
         ray.data.from_pandas(bdf)
-        .groupby(["band_id", "key"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .map_batches(_add_coarse_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(_pairs_in_coarse_bucket, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )

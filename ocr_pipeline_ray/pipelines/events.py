@@ -154,6 +154,37 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def rolling_user_value(sf_dir: str, window: int = 5) -> pd.DataFrame:
+    """Per-user rolling mean over the last ``window`` events (row-based
+    sliding window): ``groupby(user).map_groups`` over ts-sorted events
+    — the bounded-log window pattern (ray_guide streaming section).
+    Tie-safe ordering: (ts, event_id)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g = g.assign(
+            rolling_mean=g["value"].rolling(window, min_periods=1).mean().round(ROUND_DECIMALS)
+        )
+        return g[["event_id", "user_id", "rolling_mean"]]
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(_roll, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+ROLLING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_mean
+FROM events ORDER BY event_id
+"""
+
+
 ASOF_SQL = """
 WITH ranked AS (
   SELECT e.event_id, o.o_orderkey,

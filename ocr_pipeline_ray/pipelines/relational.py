@@ -371,3 +371,76 @@ SELECT n_name, round(sum(s_acctbal), 4) AS total_bal, count(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+def semi_anti_join(big: "ray.data.Dataset", keys: set, col: str, anti: bool = False):
+    """Semi/anti join against a broadcast key set: the set is put in
+    the object store once; each batch filters with a vectorized isin.
+    (At larger key cardinality, broadcast a Bloom filter instead —
+    same shape, probabilistic membership + exact verify.)"""
+    ref = ray.put(pa.array(sorted(keys)))
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[col], value_set=ray.get(ref))
+        return t.filter(pc.invert(mask) if anti else mask)
+
+    return big.map_batches(_f, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join: customers that never placed an order (broadcast key set)."""
+    order_custs = set(
+        _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = semi_anti_join(cust, order_custs, "c_custkey", anti=True).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")}
+        )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def parts_with_lineitems(sf_dir: str) -> pd.DataFrame:
+    """Semi join: parts that appear in at least one lineitem."""
+    part_keys = set(_read(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey"))
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    return (
+        semi_anti_join(part, part_keys, "p_partkey", anti=False)
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+PARTS_WITH_LINEITEMS_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+ORDER BY p_partkey
+"""
+
+
+def nations_without_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Anti join with a guaranteed-nonempty result at test scales."""
+    sup_nations = set(_read(sf_dir, "supplier", columns=["s_nationkey"]).unique("s_nationkey"))
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    out = semi_anti_join(nation, sup_nations, "n_nationkey", anti=True).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"n_nationkey": pd.Series(dtype="int32"), "n_name": pd.Series(dtype="object")}
+        )
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
+NATIONS_WITHOUT_SUPPLIERS_SQL = """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+ORDER BY n_nationkey
+"""
