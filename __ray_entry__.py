@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "part_brand_stats": relational.part_brand_stats,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "nations_without_suppliers": relational.nations_without_suppliers,
@@ -70,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh,
         # text analysis
         "token_counts": text.token_counts,
+        "bpe_token_counts": text.bpe_token_counts,
         "fingerprints": text.fingerprints,
         "language_id": text.language_id,
         "quality_scores": text.quality_scores,
@@ -90,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": relational.DISTINCT_SEGMENTS_SQL,
         "part_brand_stats": relational.PART_BRAND_SQL,
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
+        "q10_returned_revenue": relational.Q10_SQL,
+        "q14_promo_revenue": relational.Q14_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         "nations_without_suppliers": relational.NATIONS_WITHOUT_SUPPLIERS_SQL,

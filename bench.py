@@ -122,7 +122,10 @@ def bench_once(headline_only: bool = False) -> dict:
 
 SCALE_LO = int(os.environ.get("SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("SCALE_HI", "16"))
-SCALING_DOCS = int(os.environ.get("SCALING_DOCS", "200000"))
+# sized so extract compute (~0.45 ms/doc after the fast stripper)
+# dominates the ~15-20 s fixed session+pool+shuffle overhead at the
+# high level — smaller corpora measure overhead, not scaling
+SCALING_DOCS = int(os.environ.get("SCALING_DOCS", "800000"))
 
 
 def _taskset_prefix(n_cores: int) -> list[str]:
@@ -147,25 +150,28 @@ def scaling() -> dict:
     framework, so ceiling-relative efficiency is reported alongside
     raw efficiency."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DOCS=str(SCALING_DOCS))
-        best = None
-        for _ in range(2):
-            p = subprocess.run(
-                _taskset_prefix(ncpu)
-                + [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"), "--headline-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            r = json.loads(p.stdout.strip().splitlines()[-1])
-            if best is None or r["queries"]["extract_headline"] < best["queries"]["extract_headline"]:
-                best = r
-        return best
+        p = subprocess.run(
+            _taskset_prefix(ncpu)
+            + [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
 
     _corpus(SCALING_DOCS)  # generate once, outside timing
-    lo, hi = run(SCALE_LO), run(SCALE_HI)
+    # interleave levels (lo, hi, lo, hi, ...) so slow host drift hits
+    # both levels equally; min per level damps noise spikes
+    lo = hi = None
+    for _ in range(2):
+        r_lo, r_hi = run_once(SCALE_LO), run_once(SCALE_HI)
+        if lo is None or r_lo["queries"]["extract_headline"] < lo["queries"]["extract_headline"]:
+            lo = r_lo
+        if hi is None or r_hi["queries"]["extract_headline"] < hi["queries"]["extract_headline"]:
+            hi = r_hi
     t_lo = lo["queries"]["extract_headline"]
     t_hi = hi["queries"]["extract_headline"]
     ratio = SCALE_HI / SCALE_LO

@@ -14,6 +14,32 @@ import re
 TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 _WS = re.compile(r"\s+")
 
+# GPT-2-style pre-tokenizer pattern (public regex from the GPT-2 /
+# tiktoken lineage, lookahead-free variant): contractions, letter
+# runs, digit runs, punctuation runs, whitespace runs. Counting these
+# pieces approximates BPE token counts well enough for length
+# filtering / cost estimation at corpus scale.
+BPE_SPLIT_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_estimate(text: str, chars_per_subword: float = 4.5) -> int:
+    """Whitespace+BPE-ish token count estimate: count pre-tokenizer
+    pieces, splitting long letter-runs into ~4.5-char subwords (the
+    published average for English BPE vocabularies)."""
+    n = 0
+    for m in BPE_SPLIT_RE.finditer(text):
+        piece = m.group(0)
+        if piece.isspace():
+            continue
+        stripped = piece.strip()
+        if len(stripped) > chars_per_subword and stripped.isalpha():
+            n += max(1, round(len(stripped) / chars_per_subword))
+        else:
+            n += 1
+    return n
+
 # tiny per-language stopword inventories for the n-gram/stopword
 # language heuristic (public-knowledge closed-class words)
 STOPWORDS = {

@@ -444,3 +444,76 @@ SELECT n_nationkey, n_name FROM nation
 WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
 ORDER BY n_nationkey
 """
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20. lineitem streams with a vectorized returnflag filter;
+    orders/customer/nation broadcast."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    side = orders.rename(columns={"o_orderkey": "l_orderkey"})
+
+    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), side, on="l_orderkey")
+    per_cust = joined.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    df = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
+    df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    return df[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: share of revenue from 'PROMO' parts in a date
+    window — conditional aggregate over a broadcast part-type lookup."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    promo_keys = set(part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"])
+    ref = ray.put(pa.array(sorted(promo_keys)))
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-07-01"))),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        promo = pc.is_in(t["l_partkey"], value_set=ray.get(ref))
+        promo_rev = pc.if_else(promo, rev, pa.scalar(0.0))
+        return pa.Table.from_pydict({"rev": rev, "promo_rev": promo_rev})
+
+    agg = li.map_batches(prep, batch_format="pyarrow")
+    total = agg.sum(["rev", "promo_rev"])
+    pct = 100.0 * total["sum(promo_rev)"] / total["sum(rev)"] if total["sum(rev)"] else 0.0
+    return pd.DataFrame({"promo_revenue_pct": [round(pct, ROUND_DECIMALS)]})
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+"""

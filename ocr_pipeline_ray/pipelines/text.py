@@ -13,6 +13,7 @@ import pyarrow as pa
 
 from ocr_pipeline_ray.functions.textstats import (
     TOKEN_RE,
+    bpe_token_estimate,
     detect_language,
     fingerprint_md5,
     quality_stats,
@@ -53,6 +54,20 @@ FINGERPRINTS_SQL = r"""
 SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
 FROM documents ORDER BY doc_id
 """
+
+
+def bpe_token_counts(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_bpe_tokens) — BPE-ish estimate (no SQL oracle; the
+    subword-split heuristic is not expressible in RE2)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ns = [bpe_token_estimate(s) for s in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(ns, pa.int64())], names=["doc_id", "n_bpe_tokens"]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 class _LangId:
