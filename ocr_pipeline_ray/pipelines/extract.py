@@ -39,6 +39,7 @@ import ray.data
 
 from ocr_pipeline_ray.stages.explode import explode_batch
 from ocr_pipeline_ray.stages.extract import (
+    InlineMediaExtract,
     MediaExtractActor,
     strip_html_batch,
 )
@@ -76,6 +77,7 @@ def build_extraction_pipeline(
     docs_ds: "ray.data.Dataset",
     media: pa.Table | "ray.ObjectRef",
     *,
+    media_mode: str = "broadcast",
     split_kinds: bool = False,
     stage_dir: str | None = None,
     extract_concurrency=None,
@@ -93,6 +95,33 @@ def build_extraction_pipeline(
     run and startup is amortized; at test scale it avoids the
     autoscaler's slow ramp dominating wall time.
     """
+    if media_mode == "join":
+        # media too large to broadcast: bucketed hash join attaches
+        # payloads inline, then a stateless-state actor pool extracts
+        import pyarrow as _pa
+
+        media_ds = media if isinstance(media, ray.data.Dataset) else ray.data.from_arrow(media)
+        spans = docs_ds.map_batches(explode_batch, batch_format="pyarrow")
+        joined = join_media_spans(spans, media_ds)
+
+        def _cast_offset(t: "pa.Table") -> "pa.Table":
+            i = t.schema.get_field_index("offset")
+            t = t.set_column(i, "offset", t.column("offset").cast(_pa.int32()))
+            j = t.schema.get_field_index("size_hint")
+            return t.set_column(j, "size_hint", t.column("size_hint").cast(_pa.int32()))
+
+        done = (
+            joined.map_batches(_cast_offset, batch_format="pyarrow")
+            .map_batches(strip_html_batch, batch_format="pyarrow", batch_size=text_batch_size)
+            .map_batches(
+                InlineMediaExtract,
+                batch_format="pyarrow",
+                batch_size=image_batch_size,
+                concurrency=(1, 8),
+            )
+        )
+        return reassemble(_select(done))
+
     media_ref = media if isinstance(media, ray.ObjectRef) else broadcast_media(media)
     if extract_concurrency is None:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -155,6 +184,79 @@ def build_extraction_pipeline(
     head, *rest = branches
     merged = head.union(*rest) if rest else head
     return reassemble(merged)
+
+
+def join_media_spans(
+    spans_ds: "ray.data.Dataset",
+    media_ds: "ray.data.Dataset",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Attach media payloads to span rows by a bucketed hash join on
+    ``media_ref`` — the media path when the media table is TOO LARGE to
+    broadcast (the 100 TB regime): both sides shuffle once on
+    ``hash(media_ref) % num_buckets`` and join per bucket.
+
+    Skew guard: text spans carry ``media_ref == ""``; hashing them by
+    key would funnel 70% of all rows into one hot bucket, so empty-ref
+    rows are spread by ``(doc_id, offset)`` instead (they match no
+    media and only need to ride through the shuffle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _COLS = ["doc_id", "offset", "kind", "text", "media_ref", "error", "size_hint", "payload", "__bucket", "__side"]
+
+    def _conform(df: pd.DataFrame) -> pd.DataFrame:
+        df["offset"] = df["offset"].astype("int64")
+        df["size_hint"] = df["size_hint"].astype("int64")
+        return df[_COLS]
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        ref_hash = pd.util.hash_array(df["media_ref"].to_numpy(dtype=object))
+        spread = pd.util.hash_array(df["doc_id"].to_numpy(dtype=object)) + df[
+            "offset"
+        ].to_numpy().astype("uint64")
+        empty = (df["media_ref"] == "").to_numpy()
+        df["__bucket"] = (np.where(empty, spread, ref_hash) % num_buckets).astype("int64")
+        df["__side"] = "s"
+        df["payload"] = pd.Series([None] * len(df), dtype=object)
+        return _conform(df)
+
+    def tag_media(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                # dtype-compatible placeholders so the union schema
+                # matches the span side block-for-block
+                "doc_id": "",
+                "offset": np.int32(-1),
+                "kind": "",
+                "text": "",
+                "media_ref": df["media_ref"].to_numpy(),
+                "error": "",
+                "size_hint": np.int32(0),
+                "payload": df["payload"].to_numpy(dtype=object),
+            }
+        )
+        out["__bucket"] = (
+            pd.util.hash_array(out["media_ref"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        out["__side"] = "m"
+        return _conform(out)
+
+    st = spans_ds.map_batches(tag_spans, batch_format="pandas")
+    mt = media_ds.map_batches(tag_media, batch_format="pandas")
+    span_cols = SPAN_COLS + ["payload"]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["__side"] == "s"][span_cols].drop(columns=["payload"])
+        m = g[g["__side"] == "m"][["media_ref", "payload"]]
+        out = s.merge(m, on="media_ref", how="left")
+        # text rows have media_ref "" -> payload NaN; normalize to None
+        out["payload"] = out["payload"].where(out["payload"].notna(), None)
+        return out
+
+    return st.union(mt).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
 def _restore_kind(kind: str):

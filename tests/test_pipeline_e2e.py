@@ -47,6 +47,16 @@ def test_split_kinds_pipeline_matches_golden(small_corpus, tmp_path):
     assert _spans_map(out) == _golden_map(golden)
 
 
+def test_join_media_mode_matches_golden(small_corpus):
+    """The at-scale media path (bucketed hash join instead of
+    broadcast) must produce identical output — including the
+    missing-media error fixture surviving the left join."""
+    docs, media, golden = small_corpus
+    ds = ray.data.from_arrow(docs).repartition(4)
+    out = build_extraction_pipeline(ds, media, media_mode="join")
+    assert _spans_map(out) == _golden_map(golden)
+
+
 def test_error_rows_kept_in_band(small_corpus):
     docs, media, _ = small_corpus
     ds = ray.data.from_arrow(docs)
@@ -57,6 +67,29 @@ def test_error_rows_kept_in_band(small_corpus):
     assert r["n_errors"] == 1
     assert r["spans"][-1]["text"] == ""
     assert r["n_spans"] == len(r["spans"])
+
+
+def test_wide_row_doc(small_corpus):
+    """A single doc with 5000 spans (far past the 128-span heavy tier)
+    must round-trip: explode-early spreads it across blocks instead of
+    one straggler row (SURVEY.md §7 'wide rows')."""
+    import pyarrow as pa
+
+    from ocr_pipeline_ray.schema import DOCS_SCHEMA
+
+    _, media, _ = small_corpus
+    spans = [
+        {"kind": "text", "text": f"<p>{'word ' * 30}span {i} text</p>", "media_ref": "", "offset": i}
+        for i in range(5000)
+    ]
+    docs = pa.Table.from_pydict({"doc_id": ["doc-wide"], "spans": [spans]}, schema=DOCS_SCHEMA)
+    out = build_extraction_pipeline(ray.data.from_arrow(docs), media)
+    rows = list(out.iter_rows())
+    assert len(rows) == 1
+    got = rows[0]["spans"]
+    assert len(got) == 5000
+    assert [s["offset"] for s in got] == list(range(5000))
+    assert got[4999]["text"].endswith("span 4999 text")
 
 
 def test_batch_size_invariance(small_corpus):
