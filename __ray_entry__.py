@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction engine (full pipeline, SQL oracle)
         "extract_interleaved": interleave.extract_interleaved,
+        "extract_span_stats": interleave.extract_span_stats,
         # relational: scans, joins, aggregates, sort/top-k, distinct
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "top3_orders_per_segment": relational.top3_orders_per_segment,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "nations_without_suppliers": relational.nations_without_suppliers,
@@ -85,6 +87,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_interleaved": interleave.EXTRACT_INTERLEAVED_SQL,
+        "extract_span_stats": interleave.EXTRACT_SPAN_STATS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,
@@ -95,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
         "q10_returned_revenue": relational.Q10_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
+        "top3_orders_per_segment": relational.TOP3_PER_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         "nations_without_suppliers": relational.NATIONS_WITHOUT_SUPPLIERS_SQL,

@@ -79,7 +79,11 @@ def run_operator_benches(out: dict) -> None:
         "sessionize": events.sessionize,
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
+        "simhash_neardup": dedup.simhash_neardup,
         "knn_brute_force": similarity.knn_brute_force,
+        "knn_lsh": similarity.knn_lsh,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "rolling_user_value": events.rolling_user_value,
         "token_counts": text.token_counts,
     }
     for name, fn in benches.items():

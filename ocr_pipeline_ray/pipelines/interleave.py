@@ -111,6 +111,63 @@ def extract_interleaved(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def extract_span_stats(sf_dir: str) -> pd.DataFrame:
+    """Metric aggregation over the flagship output (the G7 counters
+    analog, reference monitoring/monitoring.py:116-130): per span kind,
+    span count + total extracted chars — a grouped aggregate computed
+    FROM the Ray extraction output, oracle-checked against the
+    SQL-derivable expectation."""
+    import pyarrow.compute as pc_
+
+    docs, media = docs_from_documents(sf_dir)
+    ds = ray.data.from_arrow(docs)
+    out = build_extraction_pipeline(ds, media)
+
+    def stats(batch):
+        import pyarrow as pa_
+
+        flat = pc_.list_flatten(batch.column("spans").combine_chunks())
+        kind = pc_.struct_field(flat, "kind")
+        chars = pc_.utf8_length(pc_.struct_field(flat, "text"))
+        return pa_.Table.from_arrays([kind, chars], names=["kind", "chars"])
+
+    from ray.data.aggregate import Count, Sum
+
+    df = (
+        out.map_batches(stats, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Count(alias_name="n_spans"), Sum("chars", alias_name="total_chars"))
+        .to_pandas()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    df["total_chars"] = df["total_chars"].astype("int64")
+    return df
+
+
+EXTRACT_SPAN_STATS_SQL = r"""
+WITH base AS (
+  SELECT trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+         regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT CASE WHEN length(norm) >= 25 THEN length(norm) ELSE 0 END AS text_chars,
+         length(array_to_string(toks[1:5], ' ')) AS image_chars,
+         CASE WHEN len(toks) >= 10
+              THEN length(array_to_string(toks[6:7], ' ') || ' ' || array_to_string(toks[8:10], ' '))
+              ELSE 0 END AS pdf_chars
+  FROM base
+)
+SELECT kind, count(*) AS n_spans, CAST(sum(chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT 'text' AS kind, text_chars AS chars FROM per_doc
+  UNION ALL SELECT 'image', image_chars FROM per_doc
+  UNION ALL SELECT 'pdf', pdf_chars FROM per_doc
+)
+GROUP BY kind ORDER BY kind
+"""
+
+
 EXTRACT_INTERLEAVED_SQL = r"""
 WITH base AS (
   SELECT doc_id,

@@ -54,14 +54,57 @@ def broadcast_join(
     """
     ref = ray.put(small_df)
 
-    class _Merge:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        # ray.get of a put object is node-local (zero-copy read from
+        # the object store) — stateless tasks scale elastically with
+        # the cluster, no actor-pool ramp
+        small = ray.get(ref)
+        return batch.merge(small, on=on, how=how, suffixes=("", suffix))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how, suffixes=("", suffix))
+    return big.map_batches(_merge, batch_format="pandas")
 
-    return big.map_batches(_Merge, batch_format="pandas", concurrency=(1, 8))
+
+def broadcast_lookup(
+    big: "ray.data.Dataset",
+    key_col: str,
+    small_df: pd.DataFrame,
+    key: str,
+    value_cols: list[str],
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Vectorized broadcast equi-join for a single integer key: the
+    small side is sorted ONCE on the driver and shipped as plain numpy
+    arrays; every batch resolves matches with ``np.searchsorted`` —
+    no per-batch hash-table rebuild (which makes pandas ``merge``
+    O(|small|) per batch and dominates when the 'small' side is 10^5+
+    rows). Inner or left semantics; arrow in/out.
+    """
+    import numpy as np
+
+    s = small_df.sort_values(key)
+    keys_np = s[key].to_numpy()
+    vals = {c: s[c].to_numpy() for c in value_cols}
+    ref = ray.put((keys_np, vals))
+
+    def _f(t: pa.Table) -> pa.Table:
+        keys, values = ray.get(ref)
+        k = t[key_col].to_numpy()
+        idx = np.searchsorted(keys, k)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        valid = (idx < len(keys)) & (keys[idx_c] == k)
+        if how == "inner":
+            t = t.filter(pa.array(valid))
+            take = idx_c[valid]
+            for c in value_cols:
+                t = t.append_column(c, pa.array(values[c][take]))
+        else:  # left
+            for c in value_cols:
+                col = values[c][idx_c].astype("float64")
+                col[~valid] = np.nan
+                t = t.append_column(c, pa.array(col))
+        return t
+
+    return big.map_batches(_f, batch_format="pyarrow")
 
 
 def shuffle_hash_join(
@@ -193,7 +236,10 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("rev", rev).select(["l_orderkey", "rev"])
 
-    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), small, on="l_orderkey")
+    joined = broadcast_lookup(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_orderkey", small[["l_orderkey"]], "l_orderkey", [],
+    )
     agg = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
     df = agg.to_pandas()
     df = df.merge(small.drop_duplicates("l_orderkey"), on="l_orderkey")
@@ -462,8 +508,23 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     side = orders.rename(columns={"o_orderkey": "l_orderkey"})
 
-    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), side, on="l_orderkey")
-    per_cust = joined.groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    joined = broadcast_lookup(
+        li.map_batches(prep, batch_format="pyarrow"),
+        "l_orderkey", side, "l_orderkey", ["o_custkey"],
+    )
+    # pre-aggregate per batch before the groupby shuffle: one partial
+    # row per custkey per batch, so the shuffle moves partials, not rows
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["o_custkey", "rev"]).to_pandas()
+        g = df.groupby("o_custkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
     df = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
     )
@@ -482,6 +543,46 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+"""
+
+
+def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k: the 3 highest-value orders per market segment
+    (window-rank shape): broadcast-join segment onto orders, then
+    per-group sort+head inside ``map_groups``."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.assign(rank=range(1, len(g) + 1))
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    df = (
+        joined.groupby("c_mktsegment")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "rank"])
+        .reset_index(drop=True)
+    )
+    df["o_totalprice"] = df["o_totalprice"].round(ROUND_DECIMALS)
+    df["rank"] = df["rank"].astype("int64")
+    return df
+
+
+TOP3_PER_SEGMENT_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, rank, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM ranked WHERE rank <= 3
+ORDER BY c_mktsegment, rank
 """
 
 
