@@ -58,11 +58,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "nations_without_suppliers": relational.nations_without_suppliers,
+        "union_all_keys": relational.union_all_keys,
         # stream-shaped
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
         "asof_latest_order": events.asof_latest_order,
         "rolling_user_value": events.rolling_user_value,
+        "props_k_by_type": events.props_k_by_type,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -102,10 +104,12 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         "nations_without_suppliers": relational.NATIONS_WITHOUT_SUPPLIERS_SQL,
+        "union_all_keys": relational.UNION_ALL_KEYS_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_latest_order": events.ASOF_SQL,
         "rolling_user_value": events.ROLLING_SQL,
+        "props_k_by_type": events.PROPS_K_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,

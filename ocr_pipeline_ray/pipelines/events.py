@@ -154,6 +154,51 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def props_k_by_type(sf_dir: str) -> pd.DataFrame:
+    """JSON-payload parser operator: extract ``props.k`` per event
+    (vectorized json parse per batch) and aggregate per event_type —
+    the semi-structured-parsing capability (events.props is a JSON
+    string column)."""
+    import json
+
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k")
+                ks.append(int(v) if v is not None else None)
+            except (ValueError, TypeError, AttributeError):
+                ks.append(None)  # malformed JSON -> NULL (SQL semantics)
+        return pa.Table.from_arrays(
+            [t["event_type"], pa.array(ks, pa.int64())], names=["event_type", "k"]
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    df = (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n_events"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    df["sum_k"] = df["sum_k"].astype("Int64")  # nullable: all-NULL group -> <NA> (SQL parity)
+    return df
+
+
+PROPS_K_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def rolling_user_value(sf_dir: str, window: int = 5) -> pd.DataFrame:
     """Per-user rolling mean over the last ``window`` events (row-based
     sliding window): ``groupby(user).map_groups`` over ts-sorted events

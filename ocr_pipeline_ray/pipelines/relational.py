@@ -546,6 +546,36 @@ LIMIT 20
 """
 
 
+def union_all_keys(sf_dir: str) -> pd.DataFrame:
+    """Dataset union: customer and supplier keys as one tagged column
+    (``ds.union`` — block concatenation, no shuffle)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["c_custkey"], pa.array(["customer"] * len(t), pa.string())],
+            names=["key", "side"],
+        ),
+        batch_format="pyarrow",
+    )
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["s_suppkey"], pa.array(["supplier"] * len(t), pa.string())],
+            names=["key", "side"],
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        cust.union(sup).to_pandas().sort_values(["side", "key"]).reset_index(drop=True)
+    )
+
+
+UNION_ALL_KEYS_SQL = """
+SELECT c_custkey AS key, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_suppkey, 'supplier' FROM supplier
+ORDER BY side, key
+"""
+
+
 def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k: the 3 highest-value orders per market segment
     (window-rank shape): broadcast-join segment onto orders, then
