@@ -130,14 +130,6 @@ class _MinhashBands:
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(g["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
-
-
 N_COARSE_BUCKETS = 64
 
 
