@@ -57,13 +57,16 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
             [t["doc_id"], pa.array(hashes, pa.string())], names=["doc_id", "h"]
         )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+    from ray.data.aggregate import Min
 
+    # vectorized Min aggregate, not per-group Python — at 10^12 rows
+    # nearly every hash group has one member and per-group UDF calls
+    # would dominate (same lesson as reassemble.pack_bucket)
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
