@@ -11,8 +11,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 SUBSET = [
     "extract_interleaved",
+    "extract_span_stats",
     "q1_pricing_summary",
+    "q10_returned_revenue",
     "supplier_balance_by_nation",
+    "top3_orders_per_segment",
+    "union_all_keys",
+    "props_k_by_type",
     "sessionize",
     "asof_latest_order",
     "dedup_exact",
