@@ -70,6 +70,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_neardup": dedup.simhash_neardup,
+        # exact blocked pair join (DuckDB oracle); the LSH-bucketed
+        # scale path (embedding_neardup_lsh) targets the >=0.9-cosine
+        # regime where random test corpora have no pairs, so its
+        # correctness story is the planted-dup recall tests in
+        # tests/test_similarity.py rather than a 0-row driver check
         "embedding_neardup": similarity.embedding_neardup,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
@@ -114,8 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text.TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
         "knn_brute_force": similarity.knn_sql(),
+        "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         # no oracle (heuristic / sketch / ANN): language_id,
         # quality_scores, winnowing, minhash_lsh_dedup,
-        # ngram_jaccard_pairs, simhash_neardup, embedding_neardup,
+        # ngram_jaccard_pairs, simhash_neardup,
         # knn_lsh -> driver rows-only check + pytest property tests
     }

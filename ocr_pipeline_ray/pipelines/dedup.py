@@ -27,11 +27,9 @@ import ray
 import ray.data
 
 from ocr_pipeline_ray.functions.hashing import (
-    hamming64,
     jaccard,
     lsh_band_keys,
     minhash_params,
-    minhash_signature,
     shingles,
     simhash64,
     simhash_band_keys,
@@ -195,11 +193,41 @@ def minhash_candidate_pairs(sf_dir: str, shingle_k: int = 3) -> pd.DataFrame:
     return pairs.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def candidate_shingle_sets(
+    sf_dir: str, need_ids, shingle_k: int = 3
+) -> dict[int, np.ndarray]:
+    """Collect the shingle sets of ONLY the candidate docs.
+
+    The candidate-id set is broadcast once (``ray.put``); every batch
+    filters with a vectorized ``pc.is_in`` and shingles the survivors
+    inside ``map_batches`` — the corpus text streams through workers
+    and never reaches the driver. Only (doc_id, shingles) rows for
+    candidates (<< corpus, typically k*|pairs|) are collected.
+    """
+    import pyarrow.compute as pc
+
+    need_ref = ray.put(pa.array(sorted(int(x) for x in need_ids), pa.int64()))
+
+    def _shingle_candidates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=ray.get(need_ref)))
+        shs = [shingles(s, shingle_k).astype("uint64") for s in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array([s.tolist() for s in shs], pa.list_(pa.uint64()))],
+            names=["doc_id", "sh"],
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(_shingle_candidates, batch_format="pyarrow").take_all()
+    return {int(r["doc_id"]): np.asarray(r["sh"], dtype=np.uint64) for r in out}
+
+
 def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs verified by exact Jaccard >= threshold.
 
-    Verification broadcasts only the candidate docs' shingle sets
-    (candidates << corpus); returns (a, b, jacc) pairs.
+    Verification is distributed: the candidate-id set (small) is
+    broadcast and each batch re-shingles only its candidate rows (see
+    :func:`candidate_shingle_sets`); the full corpus is never
+    materialized driver-side. Returns (a, b, jacc) pairs.
     """
     pairs = minhash_candidate_pairs(sf_dir, shingle_k)
     if pairs.empty:
@@ -207,9 +235,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3) -
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "jacc": pd.Series(dtype="float64")}
         )
     need = set(pairs["a"]).union(pairs["b"])
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    docs = docs[docs["doc_id"].isin(need)]
-    sh = {r.doc_id: shingles(r.text, shingle_k) for r in docs.itertuples()}
+    sh = candidate_shingle_sets(sf_dir, need, shingle_k)
     jc = [jaccard(sh[a], sh[b]) for a, b in zip(pairs["a"], pairs["b"])]
     pairs = pairs.assign(jacc=np.round(jc, 4))
     out = pairs[pairs["jacc"] >= threshold].reset_index(drop=True)
@@ -232,6 +258,91 @@ class _Simhash:
         )
 
 
+class _SimhashBands:
+    """Batch UDF: simhash per doc, band rows emitted IN the UDF (the
+    fingerprint table never round-trips through the driver). The full
+    signature rides along on each band row (8 bytes x bands — cheap)
+    so Hamming verification happens inside the distributed pair
+    extraction with zero extra passes over the corpus."""
+
+    def __init__(self, bands: int = 4):
+        self.bands = bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_keys, sigs = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = simhash64(text)
+            for band_id, key in simhash_band_keys(h, bands=self.bands):
+                doc_ids.append(doc_id)
+                band_ids.append(band_id)
+                band_keys.append(key)
+                sigs.append(np.uint64(h).astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.int64()),
+                pa.array(band_ids, pa.int32()),
+                pa.array(band_keys, pa.int64()),
+                pa.array(sigs, pa.int64()),
+            ],
+            names=["doc_id", "band_id", "band_key", "sig"],
+        )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1).astype(np.int64)
+
+
+def _simhash_pairs_in_coarse_bucket(max_hamming: int):
+    """Pair extraction + inline Hamming verify within a coarse bucket:
+    same run-finding as :func:`_pairs_in_coarse_bucket`, but each band
+    row carries its doc's full signature, so pairs are verified with a
+    vectorized xor+popcount right where they are generated — nothing
+    but surviving (a, b, hamming) rows leaves the workers."""
+
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
+        )
+        b = g["band_id"].to_numpy()
+        k = g["band_key"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        s = g["sig"].to_numpy().astype(np.uint64)
+        order = np.lexsort((d, k, b))
+        b, k, d, s = b[order], k[order], d[order], s[order]
+        if len(d) < 2:
+            return empty
+        new_run = np.concatenate(
+            ([0], np.flatnonzero((b[1:] != b[:-1]) | (k[1:] != k[:-1])) + 1, [len(d)])
+        )
+        out_a, out_b, out_h = [], [], []
+        for st, en in zip(new_run[:-1], new_run[1:]):
+            if en - st < 2:
+                continue
+            ids, first = np.unique(d[st:en], return_index=True)
+            if len(ids) < 2:
+                continue
+            sig_run = s[st:en][first]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sig_run[ii] ^ sig_run[jj])
+            keep = ham <= max_hamming
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return _f
+
+
 def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return (
@@ -244,30 +355,23 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup pairs: pigeonhole banding (4 x 16-bit blocks
-    catches all pairs with hamming <= 3) then exact Hamming verify."""
-    fps = simhash_fingerprints(sf_dir)
-    sig = {r.doc_id: np.uint64(r.simhash).item() & 0xFFFFFFFFFFFFFFFF for r in fps.itertuples()}
-    rows = []
-    for doc_id, h in sig.items():
-        for band_id, key in simhash_band_keys(h, bands=4):
-            rows.append((doc_id, band_id, key))
-    bdf = pd.DataFrame(rows, columns=["doc_id", "band_id", "band_key"])
+    catches all pairs with hamming <= 3) then exact Hamming verify.
+
+    Fully distributed: band rows (with signature attached) are emitted
+    inside the batch UDF, pair extraction + Hamming verification run
+    per coarse bucket inside ``map_groups``; only verified pairs (a
+    tiny result) reach the driver."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = (
-        ray.data.from_pandas(bdf)
+        ds.map_batches(_SimhashBands, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
         .map_batches(_add_coarse_bucket, batch_format="pyarrow")
         .groupby("cbucket")
-        .map_groups(_pairs_in_coarse_bucket, batch_format="pandas")
+        .map_groups(_simhash_pairs_in_coarse_bucket(max_hamming), batch_format="pandas")
         .to_pandas()
-        .drop_duplicates()
+        .drop_duplicates(["a", "b"])
     )
     if pairs.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
         )
-    ham = [hamming64(sig[a], sig[b]) for a, b in zip(pairs["a"], pairs["b"])]
-    pairs = pairs.assign(hamming=ham)
-    return (
-        pairs[pairs["hamming"] <= max_hamming]
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)

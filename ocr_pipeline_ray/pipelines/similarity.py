@@ -136,16 +136,18 @@ def knn_lsh(
     dim = qn.shape[1]
     tables = [_hyperplanes(dim, n_bits, seed=100 + t) for t in range(n_tables)]
 
-    # per table: the probed bucket keys of all queries (+1-bit flips)
-    probed_by_table: list[set[int]] = []
-    probes_per_query: list[list[set[int]]] = []  # [table][query] -> keys
+    # per table: the probed bucket keys of all queries (+1-bit flips),
+    # kept as sorted int64 arrays so membership tests are np.isin
+    probed_by_table: list[np.ndarray] = []
+    probes_per_query: list[list[np.ndarray]] = []  # [table][query] -> keys
     for planes in tables:
         qb = _bucket_of(qn, planes)
         per_q = [
-            {int(b)} | {int(b) ^ (1 << i) for i in range(n_bits)} for b in qb
+            np.array(sorted({int(b)} | {int(b) ^ (1 << i) for i in range(n_bits)}), dtype=np.int64)
+            for b in qb
         ]
         probes_per_query.append(per_q)
-        probed_by_table.append(set().union(*per_q))
+        probed_by_table.append(np.unique(np.concatenate(per_q)))
     ref = ray.put((tables, probed_by_table))
 
     class _Candidates:
@@ -160,8 +162,9 @@ def knn_lsh(
             for t, planes in enumerate(self.tables):
                 b = _bucket_of(mn, planes).astype(np.int64)
                 buckets[t] = b
-                probed = self.probed[t]
-                keep |= np.fromiter((int(x) in probed for x in b), dtype=bool, count=len(b))
+                # vectorized membership against the (pre-sorted) probed
+                # key array — not a per-row Python `in`-set loop
+                keep |= np.isin(b, self.probed[t])
             out = batch.iloc[keep].copy()
             for t in range(len(self.tables)):
                 out[f"b{t}"] = buckets[t][keep]
@@ -179,8 +182,7 @@ def knn_lsh(
     for qi, qid in enumerate(q_ids):
         mask = np.zeros(len(c_ids), dtype=bool)
         for t in range(n_tables):
-            keys = probes_per_query[t][qi]
-            mask |= np.fromiter((int(x) in keys for x in c_buckets[t]), dtype=bool, count=len(c_ids))
+            mask |= np.isin(c_buckets[t], probes_per_query[t][qi])
         mask &= c_ids != qid
         if not mask.any():
             continue
@@ -192,26 +194,102 @@ def knn_lsh(
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype("int64")
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+_EMPTY_PAIRS = {
+    "a": pd.Series(dtype="int64"),
+    "b": pd.Series(dtype="int64"),
+    "cosine": pd.Series(dtype="float64"),
+}
 
-    Blocked exact scan: corpus streams once; each batch multiplies
-    against the (broadcast) normalized corpus blocks of the *other*
-    batches would require all-pairs — instead we LSH-bucket (16-bit
-    sign pattern) and verify exactly within buckets, so only
-    same-bucket pairs are computed. Near-identical vectors agree on
-    all sign bits with overwhelming probability.
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame:
+    """EXACT embedding-cosine pair join (a < b, cosine >= threshold).
+
+    Blocked all-pairs scan: the normalized corpus matrix is broadcast
+    ONCE (``ray.put``); the corpus then streams through ``map_batches``
+    and each batch does one matmul against the broadcast block,
+    keeping only (a < b, sim >= threshold) pairs — O(n^2/P) compute,
+    O(n*dim) broadcast, and only surviving pairs move. Exact, so it
+    has a DuckDB cross-join oracle (EMBEDDING_NEARDUP_SQL).
+
+    Scale ceiling: the broadcast side is the whole corpus matrix
+    (fine to ~10^7 x dim floats per node); past that, exact all-pairs
+    is no longer the right operator — use
+    :func:`embedding_neardup_lsh`, which buckets by sign pattern and
+    verifies only within buckets (designed for the high-threshold
+    near-duplicate regime).
+
+    The default threshold (0.4) is calibrated so random-embedding test
+    corpora yield a nonzero, oracle-checkable result; real near-dup
+    sweeps pass 0.9+.
     """
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_df = ds.to_pandas()
+    ids_all, m_all = _to_matrix(all_df)
+    corpus_ref = ray.put((ids_all, _normalize(m_all)))
 
-    planes_ref = ray.put(_hyperplanes(64, 12))
-
-    class _Sig:
+    class _PairScan:
         def __init__(self):
-            self.planes = ray.get(planes_ref)
+            self.ids, self.mn = ray.get(corpus_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             ids, m = _to_matrix(batch)
+            sims = _normalize(m) @ self.mn.T  # (batch, n)
+            bi, cj = np.nonzero((sims >= threshold) & (ids[:, None] < self.ids[None, :]))
+            if bi.size == 0:
+                return pd.DataFrame(_EMPTY_PAIRS)
+            return pd.DataFrame(
+                {
+                    "a": ids[bi].astype("int64"),
+                    "b": self.ids[cj].astype("int64"),
+                    "cosine": np.round(sims[bi, cj], 4),
+                }
+            )
+
+    out = ds.map_batches(
+        _PairScan, batch_format="pandas", batch_size=2048, concurrency=(1, 8)
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_neardup_sql(threshold: float = 0.4) -> str:
+    return f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {threshold}
+ORDER BY a, b
+"""
+
+
+EMBEDDING_NEARDUP_SQL = embedding_neardup_sql()
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95, n_bits: int = 12) -> pd.DataFrame:
+    """LSH-bucketed near-dup pairs — the beyond-broadcast scale path.
+
+    Sign-pattern bucketing (``n_bits`` random hyperplanes, dim derived
+    from the data — not hardcoded) groups the corpus; exact cosine
+    verifies within buckets, so only same-bucket pairs are ever
+    computed. Near-identical vectors (the >=0.9-cosine regime this
+    operator targets) agree on all sign bits with overwhelming
+    probability; recall vs :func:`embedding_neardup` is property-tested
+    on planted duplicates (tests/test_similarity.py).
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class _Sig:
+        def __init__(self):
+            self.planes = None  # derived from the first batch's dim
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            if self.planes is None:
+                # seeded -> every actor derives identical planes
+                self.planes = _hyperplanes(m.shape[1], n_bits)
             mn = _normalize(m)
             out = batch.copy()
             out["bucket"] = _bucket_of(mn, self.planes).astype("int64")
@@ -219,7 +297,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
+            return pd.DataFrame(_EMPTY_PAIRS)
         ids, m = _to_matrix(g)
         mn = _normalize(m)
         sims = mn @ mn.T
@@ -236,7 +314,5 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
         .to_pandas()
     )
     if out.empty:
-        return pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")}
-        )
+        return pd.DataFrame(_EMPTY_PAIRS)
     return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)

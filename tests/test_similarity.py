@@ -59,12 +59,58 @@ def test_embedding_neardup_planted(tmp_path):
     d = tmp_path / "emb"
     d.mkdir()
     df.to_parquet(d / "embeddings.parquet")
-    from ocr_pipeline_ray.pipelines.similarity import embedding_neardup
+    from ocr_pipeline_ray.pipelines.similarity import embedding_neardup, embedding_neardup_lsh
 
     pairs = embedding_neardup(str(d), threshold=0.95)
     got = {(r.a, r.b) for r in pairs.itertuples()}
     assert (0, 1) in got
     assert all(p == (0, 1) for p in got)  # no false positives among randoms
+
+    # LSH scale path: derives dim from the data, must recall the
+    # planted pair and add no false positives at this threshold
+    lsh_pairs = embedding_neardup_lsh(str(d), threshold=0.95)
+    lsh_got = {(r.a, r.b) for r in lsh_pairs.itertuples()}
+    assert lsh_got == {(0, 1)}
+
+
+def test_embedding_neardup_lsh_derives_dim(tmp_path):
+    """Non-64-dim corpus must work (the hyperplane dim is not hardcoded)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32).astype(np.float32)
+    near = (base + rng.standard_normal(32).astype(np.float32) * 0.01).astype(np.float32)
+    others = rng.standard_normal((10, 32)).astype(np.float32)
+    vecs = [base, near] + list(others)
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs],
+                       "label": [0] * len(vecs)})
+    d = tmp_path / "emb32"
+    d.mkdir()
+    df.to_parquet(d / "embeddings.parquet")
+    from ocr_pipeline_ray.pipelines.similarity import embedding_neardup_lsh
+
+    pairs = embedding_neardup_lsh(str(d), threshold=0.95)
+    assert {(r.a, r.b) for r in pairs.itertuples()} == {(0, 1)}
+
+
+def test_embedding_neardup_exact_matches_duckdb(tmp_path):
+    """The exact pair join agrees with a DuckDB cross-join oracle on
+    real testdata at the default (nonzero-yielding) threshold."""
+    import duckdb
+
+    from ocr_pipeline_ray.pipelines.similarity import EMBEDDING_NEARDUP_SQL, embedding_neardup
+
+    got = embedding_neardup(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    exp = con.execute(EMBEDDING_NEARDUP_SQL).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["a"].to_numpy() == exp["a"].to_numpy()).all()
+    assert (got["b"].to_numpy() == exp["b"].to_numpy()).all()
+    assert abs(got["cosine"].to_numpy() - exp["cosine"].to_numpy()).max() < 1e-6
 
 
 def test_simhash_neardup_planted(tmp_path):
