@@ -11,14 +11,27 @@ hot keys into (key, ts-day) sub-groups if they don't).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from ocr_pipeline_ray.pipelines.relational import ROUND_DECIMALS, _read, broadcast_join
+from ocr_pipeline_ray.pipelines.relational import ROUND_DECIMALS, _read
 
 SESSION_GAP_MIN = 30
+
+# Per-key windows never group by the fine key directly: a Python
+# map_groups call costs ~0.3-0.5 ms per group (measured, BASELINE.md),
+# which dominates at 10^6+ users. Keys hash into <=64 coarse buckets
+# (the reassemble.pack_bucket pattern); within a bucket the window op
+# is ONE vectorized call over all its users' rows.
+N_USER_BUCKETS = 64
+
+
+def _add_user_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["__bucket"] = (df["user_id"].to_numpy() % N_USER_BUCKETS).astype("int64")
+    return df
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
@@ -65,25 +78,49 @@ def sessionize(sf_dir: str) -> pd.DataFrame:
     SURVEY.md M12)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype("int64")
-        out = (
-            g.assign(session_id=sid)
-            .groupby("session_id", as_index=False)
-            .agg(
-                user_id=("user_id", "first"),
-                n_events=("ts", "size"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
+    def _sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All users of one coarse bucket, sessionized in ONE
+        vectorized pass: sort by (user, ts), find session boundaries
+        (user change OR gap), reduce runs with numpy — no per-user
+        Python call."""
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        if len(u) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "session_id": pd.Series(dtype="int64"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "session_start": pd.Series(dtype="datetime64[us]"),
+                    "session_end": pd.Series(dtype="datetime64[us]"),
+                }
             )
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(
+            ([False], (ts[1:] - ts[:-1]) > np.timedelta64(SESSION_GAP_MIN * 60, "s"))
         )
-        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+        new_sess = new_user | gap
+        sess_ord = np.cumsum(new_sess) - 1  # global session ordinal in bucket
+        user_idx = np.cumsum(new_user) - 1
+        first_sess_of_user = sess_ord[np.flatnonzero(new_user)]
+        session_id = sess_ord - first_sess_of_user[user_idx]
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(u))
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "session_id": session_id[starts].astype("int64"),
+                "n_events": (ends - starts).astype("int64"),
+                "session_start": ts[starts],
+                "session_end": ts[ends - 1],
+            }
+        )
 
     return (
-        ds.groupby("user_id")
-        .map_groups(_sessions, batch_format="pandas")
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_sessions_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values(["user_id", "session_id"])
         .reset_index(drop=True)
@@ -115,43 +152,77 @@ def asof_latest_order(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each event, the most recent order of that
     customer with o_orderdate <= ts (backward as-of).
 
-    Implementation: broadcast the (small) orders side sorted by date,
-    then ``pd.merge_asof`` per ts-sorted batch group inside
-    ``map_groups`` keyed by user. Both-sides-large variant: bucket by
-    key then merge_asof per bucket (same shape as shuffle_hash_join).
+    BOTH sides stream: events and orders are tagged with the same
+    coarse user-bucket, union into one dataset (block concat, no
+    shuffle yet), and ONE ``groupby(bucket)`` co-locates each bucket's
+    events + orders; ``pd.merge_asof(..., by='user_id')`` then resolves
+    the whole bucket in one vectorized call — no per-user Python call,
+    no fact-table broadcast. Skewed users salt into (user, ts-range)
+    sub-buckets if a single user outgrows a worker.
     """
-    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    orders = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .to_pandas()
-        .sort_values(["o_orderdate", "o_orderkey"])  # ties -> merge_asof takes the last row = max o_orderkey
-    )
-    ref = ray.put(orders.rename(columns={"o_custkey": "user_id"}))
+    all_cols = ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]
 
-    def _asof(g: pd.DataFrame) -> pd.DataFrame:
-        orders_local = ray.get(ref)  # zero-copy from the local object store
-        g = g.sort_values("ts")
-        out = pd.merge_asof(
-            g,
-            orders_local,
-            left_on="ts",
-            right_on="o_orderdate",
-            by="user_id",
-            direction="backward",
+    def _tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        # event_id rides as float64 (exact to 2^53) so both sides'
+        # blocks share one Arrow schema across the union
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("float64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "o_orderkey": np.nan,
+                "o_orderdate": pd.NaT,
+            }
         )
-        # deterministic pick among same-date orders: orders pre-sorted
-        # by (date, orderkey) and merge_asof takes the last row = max key
+        out["o_orderdate"] = out["o_orderdate"].astype(df["ts"].dtype)
+        out["__bucket"] = (out["user_id"].to_numpy() % N_USER_BUCKETS).astype("int64")
+        out["__side"] = "e"
+        return out
+
+    def _tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": np.nan,
+                "user_id": df["o_custkey"].astype("int64"),
+                "ts": pd.NaT,
+                "o_orderkey": df["o_orderkey"].astype("float64"),
+                "o_orderdate": df["o_orderdate"],
+            }
+        )
+        out["ts"] = out["ts"].astype(df["o_orderdate"].dtype)
+        out["__bucket"] = (out["user_id"].to_numpy() % N_USER_BUCKETS).astype("int64")
+        out["__side"] = "o"
+        return out
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        _tag_events, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _tag_orders, batch_format="pandas"
+    )
+
+    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["__side"] == "e"][["event_id", "user_id", "ts"]].sort_values("ts")
+        # ties -> merge_asof takes the last row = max o_orderkey
+        od = g[g["__side"] == "o"][["user_id", "o_orderkey", "o_orderdate"]].sort_values(
+            ["o_orderdate", "o_orderkey"]
+        )
+        out = pd.merge_asof(
+            ev, od, left_on="ts", right_on="o_orderdate", by="user_id", direction="backward"
+        )
         return out[["event_id", "user_id", "o_orderkey"]]
 
     out = (
-        events.groupby("user_id")
-        .map_groups(_asof, batch_format="pandas")
+        events.union(orders)
+        .groupby("__bucket")
+        .map_groups(_asof_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+    out["event_id"] = out["event_id"].astype("int64")
     out["o_orderkey"] = out["o_orderkey"].astype("float64")
-    return out
+    return out[["event_id", "user_id", "o_orderkey"]]
 
 
 def props_k_by_type(sf_dir: str) -> pd.DataFrame:
@@ -201,21 +272,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def rolling_user_value(sf_dir: str, window: int = 5) -> pd.DataFrame:
     """Per-user rolling mean over the last ``window`` events (row-based
-    sliding window): ``groupby(user).map_groups`` over ts-sorted events
-    — the bounded-log window pattern (ray_guide streaming section).
-    Tie-safe ordering: (ts, event_id)."""
+    sliding window) — the bounded-log window pattern (ray_guide
+    streaming section). Tie-safe ordering: (ts, event_id).
+
+    Users hash into coarse buckets; one vectorized shifted-sum pass
+    per bucket computes every user's window (the window sum adds at
+    most ``window`` aligned terms — no long cumsum error chains, no
+    per-user Python call)."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def _roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        g = g.assign(
-            rolling_mean=g["value"].rolling(window, min_periods=1).mean().round(ROUND_DECIMALS)
+    def _roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "rolling_mean": pd.Series(dtype="float64"),
+                }
+            )
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        user_idx = np.cumsum(new_user) - 1
+        user_start = np.flatnonzero(new_user)
+        pos = np.arange(n) - user_start[user_idx]  # 0-based pos within user
+        roll = v.copy()
+        for k in range(1, window):
+            m = pos >= k
+            roll[m] += v[np.flatnonzero(m) - k]
+        mean = roll / np.minimum(pos + 1, window)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": u,
+                "rolling_mean": np.round(mean, ROUND_DECIMALS),
+            }
         )
-        return g[["event_id", "user_id", "rolling_mean"]]
 
     return (
-        ds.groupby("user_id")
-        .map_groups(_roll, batch_format="pandas")
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_roll_bucket, batch_format="pandas")
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)

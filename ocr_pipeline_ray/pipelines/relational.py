@@ -78,9 +78,28 @@ def broadcast_lookup(
     no per-batch hash-table rebuild (which makes pandas ``merge``
     O(|small|) per batch and dominates when the 'small' side is 10^5+
     rows). Inner or left semantics; arrow in/out.
+
+    Preconditions (asserted): the small side's key must be UNIQUE —
+    searchsorted resolves one row per key, so a one-to-many join would
+    silently drop matches (use :func:`broadcast_join` /
+    :func:`shuffle_hash_join` for duplicated keys). ``how='left'``
+    additionally requires NUMERIC value columns (unmatched rows are
+    filled with NaN via a float64 cast).
     """
     import numpy as np
 
+    if not small_df[key].is_unique:
+        raise ValueError(
+            f"broadcast_lookup: small side key {key!r} has duplicates; "
+            "use broadcast_join/shuffle_hash_join for one-to-many joins"
+        )
+    if how == "left":
+        for c in value_cols:
+            if not pd.api.types.is_numeric_dtype(small_df[c]):
+                raise ValueError(
+                    f"broadcast_lookup(how='left'): value column {c!r} must be "
+                    "numeric (unmatched rows are NaN-filled via float64)"
+                )
     s = small_df.sort_values(key)
     keys_np = s[key].to_numpy()
     vals = {c: s[c].to_numpy() for c in value_cols}
@@ -154,6 +173,28 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def partial_topk(
+    ds: "ray.data.Dataset",
+    by: list[str],
+    ascending: list[bool],
+    k: int,
+    group: str | None = None,
+) -> pd.DataFrame:
+    """Top-k (optionally per group) without a global sort shuffle:
+    each batch keeps its local top-k (per group), the driver reduces
+    the tiny partials (k rows per group per batch at most). The same
+    partial/combiner shape as knn_brute_force's per-batch top-k."""
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=ascending)
+        return df.groupby(group, sort=False).head(k) if group else df.head(k)
+
+    parts = ds.map_batches(_local, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(by, ascending=ascending)
+    out = parts.groupby(group, sort=False).head(k) if group else parts.head(k)
+    return out.reset_index(drop=True)
+
+
 def _round_cols(df: pd.DataFrame, cols, nd: int = ROUND_DECIMALS) -> pd.DataFrame:
     for c in cols:
         df[c] = df[c].astype(float).round(nd)
@@ -219,32 +260,54 @@ ORDER BY l_returnflag, l_linestatus
 def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q3 shape: two joins -> grouped revenue -> top 10.
 
-    customer and orders are the small sides at this ratio -> broadcast;
-    lineitem streams. Tie-break by l_orderkey for determinism.
+    Scale shape: customer is the only broadcast side (a true dimension
+    here — the BUILDING custkey set); ORDERS AND LINEITEM BOTH STREAM.
+    lineitem is pre-aggregated per orderkey (partial per batch, then
+    one groupby over partials), the filtered orders projection joins it
+    via the bucketed shuffle join, and the top-10 is a per-batch
+    partial reduce — no fact table ever materializes on the driver.
     """
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[orders["o_custkey"].isin(cust["c_custkey"])]
-    orders = orders[orders["o_orderdate"] < pd.Timestamp("1998-03-15")]
-    small = orders[["o_orderkey", "o_orderdate"]].rename(columns={"o_orderkey": "l_orderkey"})
+    building_ref = ray.put(
+        pa.array(sorted(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]), pa.int64())
+    )
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-03-15"))))
+        t = t.filter(pc.is_in(t["o_custkey"], value_set=ray.get(building_ref)))
+        return t.select(["o_orderkey", "o_orderdate"]).rename_columns(["l_orderkey", "o_orderdate"])
+
+    orders_f = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_prep, batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-03-15"))))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+        # partial aggregate per batch: the groupby shuffle moves one
+        # row per (batch, orderkey), not one per lineitem
+        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
+        )
 
-    joined = broadcast_lookup(
-        li.map_batches(prep, batch_format="pyarrow"),
-        "l_orderkey", small[["l_orderkey"]], "l_orderkey", [],
+    rev_per_order = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
     )
-    agg = joined.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
-    df = agg.to_pandas()
-    df = df.merge(small.drop_duplicates("l_orderkey"), on="l_orderkey")
-    df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
-    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    joined = shuffle_hash_join(rev_per_order, orders_f, on="l_orderkey", num_buckets=32)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
+        return df
+
+    df = partial_topk(
+        joined.map_batches(_round, batch_format="pandas"),
+        by=["revenue", "l_orderkey"], ascending=[False, True], k=10,
+    )
     return df[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
@@ -264,33 +327,60 @@ LIMIT 10
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5 shape (customer-nation variant): 4-way dimension join
-    chain broadcast onto streaming lineitem, grouped by nation."""
+    """TPC-H Q5 shape (customer-nation variant): dimension chain
+    (region x nation x customer — true dimensions) broadcast onto
+    STREAMING orders, then a bucketed shuffle join with streaming
+    pre-aggregated lineitem, grouped by nation. Neither fact table
+    ever materializes on the driver."""
     region = _read(sf_dir, "region").to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
 
     dim = (
         cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
         .merge(region, left_on="n_regionkey", right_on="r_regionkey")
     )
-    dim = dim[dim["r_name"] == "ASIA"]
-    orders = orders[
-        (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
-        & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))
-    ]
-    side = orders.merge(dim[["c_custkey", "n_name"]], left_on="o_custkey", right_on="c_custkey")
-    side = side[["o_orderkey", "n_name"]].rename(columns={"o_orderkey": "l_orderkey"})
+    dim = dim[dim["r_name"] == "ASIA"][["c_custkey", "n_name"]]
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+        )
+        return t.filter(m)
+
+    orders_n = broadcast_lookup(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_prep, batch_format="pyarrow"),
+        "o_custkey", dim, "c_custkey", ["n_name"],
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "n_name"]).rename_columns(["l_orderkey", "n_name"]),
+        batch_format="pyarrow",
+    )
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+        # partial aggregate per (batch, orderkey) before the shuffle
+        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
+        )
 
-    joined = broadcast_join(li.map_batches(prep, batch_format="pyarrow"), side, on="l_orderkey")
-    df = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    joined = shuffle_hash_join(
+        li.map_batches(prep, batch_format="pyarrow"), orders_n, on="l_orderkey", num_buckets=32
+    )
+
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", as_index=False)["rev"].sum()
+
+    df = (
+        joined.map_batches(nation_partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
     df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
     return df.sort_values("revenue", ascending=False).reset_index(drop=True)
 
@@ -494,42 +584,62 @@ ORDER BY n_nationkey
 
 def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q10 shape: revenue lost to returned items per customer,
-    top 20. lineitem streams with a vectorized returnflag filter;
-    orders/customer/nation broadcast."""
+    top 20. BOTH fact tables stream: lineitem partials shuffle-join
+    streaming orders on orderkey, revenue aggregates per custkey, the
+    top-20 is a per-batch partial reduce, and customer/nation names
+    attach to the final 20 rows only — the driver never holds more
+    than the answer."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev).select(["l_orderkey", "rev"])
+        # partial aggregate per (batch, orderkey) before the shuffle
+        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
+        )
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    side = orders.rename(columns={"o_orderkey": "l_orderkey"})
-
-    joined = broadcast_lookup(
-        li.map_batches(prep, batch_format="pyarrow"),
-        "l_orderkey", side, "l_orderkey", ["o_custkey"],
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
     )
-    # pre-aggregate per batch before the groupby shuffle: one partial
-    # row per custkey per batch, so the shuffle moves partials, not rows
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.select(["o_custkey", "rev"]).to_pandas()
-        g = df.groupby("o_custkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    joined = shuffle_hash_join(
+        li.map_batches(prep, batch_format="pyarrow"), orders, on="l_orderkey", num_buckets=32
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["rev"].sum()
 
     per_cust = (
-        joined.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(cust_partial, batch_format="pandas")
         .groupby("o_custkey")
         .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
+        return df
+
+    top = partial_topk(
+        per_cust.map_batches(_round, batch_format="pandas"),
+        by=["revenue", "o_custkey"], ascending=[False, True], k=20,
+    )
+    # names for the 20 winners only: stream-filter customer by the
+    # winner keys (broadcast id set), nation is tiny
+    keys_ref = ray.put(pa.array(sorted(top["o_custkey"].astype(int)), pa.int64()))
+    cust20 = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=ray.get(keys_ref))),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    df = per_cust.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    df = top.merge(cust20, left_on="o_custkey", right_on="c_custkey").merge(
         nation, left_on="c_nationkey", right_on="n_nationkey"
     )
-    df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
-    df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(20)
+    df = df.sort_values(["revenue", "c_custkey"], ascending=[False, True])
     return df[["c_custkey", "c_name", "n_name", "revenue"]].reset_index(drop=True)
 
 
@@ -578,29 +688,26 @@ ORDER BY side, key
 
 def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k: the 3 highest-value orders per market segment
-    (window-rank shape): broadcast-join segment onto orders, then
-    per-group sort+head inside ``map_groups``."""
+    (window-rank shape): broadcast-join segment onto streaming orders,
+    then PER-BATCH partial top-3 per segment + a tiny driver reduce —
+    no ``groupby(segment)`` shuffle (a whole market segment is ~1/5 of
+    all orders; putting it in one ``map_groups`` heap would be the
+    skew bottleneck at scale)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     joined = broadcast_join(
         orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
     )
-
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
-        g = g.assign(rank=range(1, len(g) + 1))
-        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
-
-    df = (
-        joined.groupby("c_mktsegment")
-        .map_groups(top3, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["c_mktsegment", "rank"])
-        .reset_index(drop=True)
+    df = partial_topk(
+        joined,
+        by=["o_totalprice", "o_orderkey"], ascending=[False, True], k=3,
+        group="c_mktsegment",
     )
+    df["rank"] = df.groupby("c_mktsegment", sort=False).cumcount() + 1
+    df = df.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
     df["o_totalprice"] = df["o_totalprice"].round(ROUND_DECIMALS)
     df["rank"] = df["rank"].astype("int64")
-    return df
+    return df[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
 
 
 TOP3_PER_SEGMENT_SQL = """
