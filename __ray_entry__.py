@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction engine (full pipeline, SQL oracle)
         "extract_interleaved": interleave.extract_interleaved,
+        "extract_interleaved_ppm": interleave.extract_interleaved_ppm,
         "extract_span_stats": interleave.extract_span_stats,
         # relational: scans, joins, aggregates, sort/top-k, distinct
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_interleaved": interleave.EXTRACT_INTERLEAVED_SQL,
+        "extract_interleaved_ppm": interleave.EXTRACT_INTERLEAVED_PPM_SQL,
         "extract_span_stats": interleave.EXTRACT_SPAN_STATS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SQL,

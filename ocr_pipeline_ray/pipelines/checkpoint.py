@@ -63,6 +63,31 @@ def committed_partitions(out_dir: str) -> set[int]:
     return parts
 
 
+def _lineage_record(out_dir: str, i: int) -> dict | None:
+    lp = os.path.join(out_dir, "_lineage", f"part-{i}.json")
+    if not os.path.exists(lp):
+        return None
+    with open(lp) as f:
+        return json.load(f)
+
+
+def valid_committed_partitions(out_dir: str, parts: list[list[str]]) -> set[int]:
+    """Committed partitions whose lineage record matches the CURRENT
+    striped file assignment. If the input file set or partition count
+    changed between the original run and this resume, membership
+    shifts — a record whose ``input_files`` no longer equals the
+    current ``parts[i]`` is stale and its partition must re-run
+    (otherwise new files would silently never be processed)."""
+    valid = set()
+    for i in committed_partitions(out_dir):
+        if i >= len(parts):
+            continue  # partition index no longer exists under the new layout
+        rec = _lineage_record(out_dir, i)
+        if rec is not None and rec.get("input_files") == parts[i]:
+            valid.add(i)
+    return valid
+
+
 def run_partitioned_extraction(
     docs_path: str,
     media: pa.Table,
@@ -81,13 +106,16 @@ def run_partitioned_extraction(
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     files = list_input_files(docs_path)
     parts = _partitions(files, n_parts)
-    done = committed_partitions(out_dir) if resume else set()
-    if not resume:
-        for i in range(len(parts)):
-            shutil.rmtree(os.path.join(out_dir, f"part-{i}"), ignore_errors=True)
-            lp = os.path.join(out_dir, "_lineage", f"part-{i}.json")
-            if os.path.exists(lp):
-                os.remove(lp)
+    # resume trusts a lineage record only if its input_files match the
+    # current striped assignment — a changed file set or n_parts
+    # invalidates stale commits instead of silently skipping new work
+    done = valid_committed_partitions(out_dir, parts) if resume else set()
+    stale = committed_partitions(out_dir) - done
+    for i in sorted(stale) if resume else range(len(parts)):
+        shutil.rmtree(os.path.join(out_dir, f"part-{i}"), ignore_errors=True)
+        lp = os.path.join(out_dir, "_lineage", f"part-{i}.json")
+        if os.path.exists(lp):
+            os.remove(lp)
 
     media_ref = ray.put(media)
     ran, skipped = [], []
@@ -151,10 +179,15 @@ def run_partitioned_extraction(
 
 
 def read_output(out_dir: str) -> pa.Table:
-    """Read all committed partitions as one Arrow table."""
+    """Read all COMMITTED partitions as one Arrow table.
+
+    A partition counts only if its lineage record exists — a data dir
+    without a record (torn run, or leftover from a prior layout with
+    more partitions) is never read, so stale ``part-{i}`` dirs can't
+    duplicate docs."""
     dirs = [
-        os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("part-") and not d.endswith(".tmp")
+        os.path.join(out_dir, f"part-{i}")
+        for i in sorted(committed_partitions(out_dir))
+        if os.path.isdir(os.path.join(out_dir, f"part-{i}"))
     ]
     return pa.concat_tables([pa.parquet.read_table(d) for d in dirs])

@@ -84,6 +84,9 @@ def build_extraction_pipeline(
     text_batch_size: int = 2048,
     image_batch_size: int = 1024,
     pdf_batch_size: int = 64,
+    engine_factory=None,
+    max_restarts: int = 4,
+    max_task_retries: int = 4,
 ) -> "ray.data.Dataset":
     """Assemble the lazy extraction Dataset; caller consumes it.
 
@@ -94,7 +97,21 @@ def build_extraction_pipeline(
     in via autoscaling — at 1000x data the pool is busy for the whole
     run and startup is amortized; at test scale it avoids the
     autoscaler's slow ramp dominating wall time.
+
+    Fault tolerance: extract-pool actors are created with explicit
+    ``max_restarts`` / ``max_task_retries`` (the reference DECLARES
+    ``retries: 5`` in configs/config.yml:24-25 but never wires it; here
+    a killed worker restarts and its in-flight batch is retried —
+    golden-tested in tests/test_fault_tolerance.py). Doc identity is
+    deterministic, so replays are idempotent.
+
+    ``engine_factory`` overrides the media engine (default
+    :class:`SyntheticEngine`); it must be picklable (a top-level
+    class), e.g. the real stdlib PPM/BMP decoder engine or a
+    PaddleOCR/pdfium wrapper.
     """
+    fault_args = {"max_restarts": max_restarts, "max_task_retries": max_task_retries}
+    engine_kwargs = {} if engine_factory is None else {"engine_factory": engine_factory}
     if media_mode == "join":
         # media too large to broadcast: bucketed hash join attaches
         # payloads inline, then a stateless-state actor pool extracts
@@ -115,9 +132,11 @@ def build_extraction_pipeline(
             .map_batches(strip_html_batch, batch_format="pyarrow", batch_size=text_batch_size)
             .map_batches(
                 InlineMediaExtract,
+                fn_constructor_kwargs=engine_kwargs,
                 batch_format="pyarrow",
                 batch_size=image_batch_size,
                 concurrency=(1, 8),
+                **fault_args,
             )
         )
         return reassemble(_select(done))
@@ -138,10 +157,11 @@ def build_extraction_pipeline(
     if not split_kinds:
         done = spans.map_batches(
             _ExtractAll,
-            fn_constructor_kwargs={"media_object_ref": media_ref},
+            fn_constructor_kwargs={"media_object_ref": media_ref, **engine_kwargs},
             batch_format="pyarrow",
             batch_size=text_batch_size,
             concurrency=extract_concurrency,
+            **fault_args,
         )
         return reassemble(_select(done))
 
@@ -171,10 +191,11 @@ def build_extraction_pipeline(
         if use_actor:
             branch = branch.map_batches(
                 MediaExtractActor,
-                fn_constructor_kwargs={"media_object_ref": media_ref},
+                fn_constructor_kwargs={"media_object_ref": media_ref, **engine_kwargs},
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 concurrency=pool,
+                **fault_args,
             )
         else:
             branch = branch.map_batches(

@@ -15,6 +15,18 @@ gives the whole extraction engine a DuckDB oracle:
 * pdf span    = 2 layout blocks (tokens 6-7 and 8-10) stored in
   REVERSED order with reading-order coordinates -> extraction must
   re-sort them; docs with <10 tokens get an empty payload -> "".
+
+Everything is streaming: the wrap runs INSIDE ``map_batches`` (both
+the docs view and the media side-table are lazy Datasets over the
+same pruned parquet read), media attaches via the bucketed hash join
+(``media_mode='join'`` — no driver-side media table), and the per-doc
+unwrap is another batch stage; the driver only ever holds the final
+query result.
+
+``codec='ppm'`` swaps the synthetic payloads for REAL rasters
+(functions/ppm_ocr.py): media spans round-trip through an actual
+P6-PPM decode -> glyph segmentation -> template-match OCR kernel
+(engine seam proof — reference T1/T5 semantics with real compute).
 """
 
 from __future__ import annotations
@@ -24,18 +36,23 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ocr_pipeline_ray.functions.ppm_ocr import (
+    PpmOcrEngine,
+    encode_pdf_ppm,
+    render_text_ppm,
+)
 from ocr_pipeline_ray.functions.synthetic_media import (
     encode_image_payload,
     encode_pdf_payload,
 )
-from ocr_pipeline_ray.functions.textstats import TOKEN_RE, normalize_text
+from ocr_pipeline_ray.functions.textstats import TOKEN_RE
 from ocr_pipeline_ray.pipelines.extract import build_extraction_pipeline
 from ocr_pipeline_ray.schema import DOCS_SCHEMA, MEDIA_SCHEMA
 
 _NAV = '<a href="/">home</a> | <a href="/a">about</a> | <a href="/c">contact</a>'
 
 
-def _wrap_row(doc_id_int: int, text: str) -> tuple[str, list[dict], list[tuple]]:
+def _wrap_row(doc_id_int: int, text: str, codec: str = "synthetic") -> tuple[str, list[dict], list[tuple]]:
     doc_id = f"doc-{doc_id_int:08d}"
     html = (
         f"<html><body><nav>{_NAV}</nav>"
@@ -45,14 +62,24 @@ def _wrap_row(doc_id_int: int, text: str) -> tuple[str, list[dict], list[tuple]]
     # normalize (not lower): must match trim(regexp_replace(text,'\s+',' ','g'))
     toks = TOKEN_RE.findall(text)
     img_ref = f"mem://{doc_id}/1"
-    img_payload = encode_image_payload(img_ref, " ".join(toks[:5]))
     pdf_ref = f"mem://{doc_id}/2"
-    if len(toks) >= 10:
-        block_a = {"y": 0, "x": 0, "t": " ".join(toks[5:7])}
-        block_b = {"y": 1, "x": 0, "t": " ".join(toks[7:10])}
-        pdf_payload = encode_pdf_payload([[block_b, block_a]])  # stored reversed
+    if codec == "ppm":
+        img_payload = render_text_ppm(" ".join(toks[:5]))
+        if len(toks) >= 10:
+            # stored out of reading order -> the decoder must re-sort
+            pdf_payload = encode_pdf_ppm(
+                [(1, 0, " ".join(toks[7:10])), (0, 0, " ".join(toks[5:7]))]
+            )
+        else:
+            pdf_payload = encode_pdf_ppm([])
     else:
-        pdf_payload = encode_pdf_payload([])
+        img_payload = encode_image_payload(img_ref, " ".join(toks[:5]))
+        if len(toks) >= 10:
+            block_a = {"y": 0, "x": 0, "t": " ".join(toks[5:7])}
+            block_b = {"y": 1, "x": 0, "t": " ".join(toks[7:10])}
+            pdf_payload = encode_pdf_payload([[block_b, block_a]])  # stored reversed
+        else:
+            pdf_payload = encode_pdf_payload([])
     spans = [
         {"kind": "text", "text": html, "media_ref": "", "offset": 0},
         {"kind": "image", "text": "", "media_ref": img_ref, "offset": 1},
@@ -62,27 +89,79 @@ def _wrap_row(doc_id_int: int, text: str) -> tuple[str, list[dict], list[tuple]]
     return doc_id, spans, media
 
 
-def docs_from_documents(sf_dir: str) -> tuple[pa.Table, pa.Table]:
-    """Deterministically interleave the ``documents`` table (driver-side
-    prep for the flagship run; pure function of the input)."""
-    src = pa.parquet.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids, spans_col, media_rows = [], [], []
-    for did, text in zip(src["doc_id"].to_pylist(), src["text"].to_pylist()):
-        doc_id, spans, media = _wrap_row(did, text)
-        ids.append(doc_id)
-        spans_col.append(spans)
-        media_rows.extend(media)
-    docs = pa.Table.from_pydict({"doc_id": ids, "spans": spans_col}, schema=DOCS_SCHEMA)
-    media = pa.Table.from_pydict(
-        {
-            "media_ref": [m[0] for m in media_rows],
-            "kind": [m[1] for m in media_rows],
-            "payload": [m[2] for m in media_rows],
-            "n_pages": [m[3] for m in media_rows],
-        },
-        schema=MEDIA_SCHEMA,
+def _wrap_docs_batch(codec: str):
+    def _f(t: pa.Table) -> pa.Table:
+        ids, spans_col = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            doc_id, spans, _ = _wrap_row(did, text, codec)
+            ids.append(doc_id)
+            spans_col.append(spans)
+        return pa.Table.from_pydict({"doc_id": ids, "spans": spans_col}, schema=DOCS_SCHEMA)
+
+    return _f
+
+
+def _wrap_media_batch(codec: str):
+    def _f(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            _, _, media = _wrap_row(did, text, codec)
+            rows.extend(media)
+        return pa.Table.from_pydict(
+            {
+                "media_ref": [m[0] for m in rows],
+                "kind": [m[1] for m in rows],
+                "payload": [m[2] for m in rows],
+                "n_pages": [m[3] for m in rows],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _f
+
+
+def interleaved_datasets(
+    sf_dir: str, codec: str = "synthetic"
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Lazy (docs, media) Datasets over the ``documents`` table — the
+    deterministic wrap runs inside ``map_batches`` on workers; the
+    driver never holds a corpus-sized table."""
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        _wrap_docs_batch(codec), batch_format="pyarrow"
+    )
+    media = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        _wrap_media_batch(codec), batch_format="pyarrow"
     )
     return docs, media
+
+
+def _unwrap_batch(t: pa.Table) -> pa.Table:
+    """Per-doc wide row from the reassembled span lists (runs on
+    workers — the driver sees only the final query result)."""
+    ids, texts, images, pdfs = [], [], [], []
+    for did, spans in zip(t["doc_id"].to_pylist(), t["spans"].to_pylist()):
+        by_off = {s["offset"]: s["text"] for s in spans}
+        ids.append(int(did.split("-")[1]))
+        texts.append(by_off.get(0, ""))
+        images.append(by_off.get(1, ""))
+        pdfs.append(by_off.get(2, ""))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_extracted": pa.array(texts, pa.string()),
+            "image_extracted": pa.array(images, pa.string()),
+            "pdf_extracted": pa.array(pdfs, pa.string()),
+        }
+    )
+
+
+def _extract_interleaved(sf_dir: str, codec: str, engine_factory=None) -> "ray.data.Dataset":
+    docs, media = interleaved_datasets(sf_dir, codec)
+    out = build_extraction_pipeline(
+        docs, media, media_mode="join", engine_factory=engine_factory
+    )
+    return out.map_batches(_unwrap_batch, batch_format="pyarrow")
 
 
 def extract_interleaved(sf_dir: str) -> pd.DataFrame:
@@ -91,23 +170,16 @@ def extract_interleaved(sf_dir: str) -> pd.DataFrame:
     Output columns (all oracle-comparable): doc_id BIGINT,
     text_extracted, image_extracted, pdf_extracted.
     """
-    docs, media = docs_from_documents(sf_dir)
-    ds = ray.data.from_arrow(docs)
-    out = build_extraction_pipeline(ds, media)
-    rows = []
-    for row in out.iter_rows():
-        spans = {s["offset"]: s["text"] for s in row["spans"]}
-        rows.append(
-            (
-                int(row["doc_id"].split("-")[1]),
-                spans.get(0, ""),
-                spans.get(1, ""),
-                spans.get(2, ""),
-            )
-        )
-    df = pd.DataFrame(
-        rows, columns=["doc_id", "text_extracted", "image_extracted", "pdf_extracted"]
-    )
+    df = _extract_interleaved(sf_dir, "synthetic").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def extract_interleaved_ppm(sf_dir: str) -> pd.DataFrame:
+    """Flagship variant on the REAL raster kernel: media payloads are
+    P6 PPM images / block containers and the engine actually decodes
+    pixels (functions/ppm_ocr.py). The raster alphabet uppercases
+    text, so the oracle applies upper() to the media spans."""
+    df = _extract_interleaved(sf_dir, "ppm", engine_factory=PpmOcrEngine).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -119,9 +191,8 @@ def extract_span_stats(sf_dir: str) -> pd.DataFrame:
     SQL-derivable expectation."""
     import pyarrow.compute as pc_
 
-    docs, media = docs_from_documents(sf_dir)
-    ds = ray.data.from_arrow(docs)
-    out = build_extraction_pipeline(ds, media)
+    docs, media = interleaved_datasets(sf_dir, "synthetic")
+    out = build_extraction_pipeline(docs, media, media_mode="join")
 
     def stats(batch):
         import pyarrow as pa_
@@ -180,6 +251,25 @@ SELECT doc_id,
        array_to_string(toks[1:5], ' ') AS image_extracted,
        CASE WHEN len(toks) >= 10
             THEN array_to_string(toks[6:7], ' ') || ' ' || array_to_string(toks[8:10], ' ')
+            ELSE '' END AS pdf_extracted
+FROM base ORDER BY doc_id
+"""
+
+
+# the raster alphabet is A-Z 0-9 _ and space; documents tokens are
+# [A-Za-z0-9_]+ so upper() alone reproduces the OCR normalization
+EXTRACT_INTERLEAVED_PPM_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+         regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(norm) >= 25 THEN norm ELSE '' END AS text_extracted,
+       upper(array_to_string(toks[1:5], ' ')) AS image_extracted,
+       CASE WHEN len(toks) >= 10
+            THEN upper(array_to_string(toks[6:7], ' ') || ' ' || array_to_string(toks[8:10], ' '))
             ELSE '' END AS pdf_extracted
 FROM base ORDER BY doc_id
 """

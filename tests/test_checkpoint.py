@@ -65,6 +65,48 @@ def test_kill_and_resume(corpus, tmp_path):
     assert summary["n_docs"] == 300
 
 
+def test_resume_invalidates_stale_layout(corpus, tmp_path):
+    """A resume with a different n_parts (shifted striped assignment)
+    must NOT trust old lineage records: stale commits re-run and
+    read_output never mixes in leftover part dirs from the old layout."""
+    paths, media = corpus
+    out = str(tmp_path / "relayout")
+
+    def killer(part):
+        if part == 2:
+            raise _Kill()
+
+    with pytest.raises(_Kill):
+        run_partitioned_extraction(paths["docs"], media, out, n_parts=6, on_part_done=killer)
+    assert committed_partitions(out) == {0, 1, 2}
+
+    # resume under a DIFFERENT partition layout: every old record's
+    # input_files mismatches the new striping -> all 4 partitions run
+    summary = run_partitioned_extraction(paths["docs"], media, out, n_parts=4)
+    assert summary["skipped_committed"] == []
+    assert sorted(summary["ran"]) == [0, 1, 2, 3]
+    assert summary["n_docs"] == 300
+
+    resumed = read_output(out)
+    ref_out = str(tmp_path / "relayout_ref")
+    run_partitioned_extraction(paths["docs"], media, ref_out, n_parts=4)
+    assert _spans_key(resumed) == _spans_key(read_output(ref_out))
+
+
+def test_read_output_ignores_uncommitted_dirs(corpus, tmp_path):
+    """A part dir without a lineage record (torn run or stale layout)
+    is never read back."""
+    paths, media = corpus
+    out = str(tmp_path / "torn")
+    run_partitioned_extraction(paths["docs"], media, out, n_parts=2)
+    base = read_output(out)
+    # fake a torn/stale extra partition dir: data present, no record
+    import shutil
+
+    shutil.copytree(os.path.join(out, "part-0"), os.path.join(out, "part-7"))
+    assert _spans_key(read_output(out)) == _spans_key(base)
+
+
 def test_lineage_records(corpus, tmp_path):
     paths, media = corpus
     out = str(tmp_path / "lin")
