@@ -142,7 +142,26 @@ def strip_boilerplate_ref(html: str) -> str:
 # pipeline's hot kernel (the "model forward" of the text path).
 # ---------------------------------------------------------------------------
 
-_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[\s/][^>]*)?/?>|<!--.*?-->|<![^>]*>", re.S)
+# attr body handles quoted sections ("..."/'...') so a legal '>' inside
+# a quoted attribute value (e.g. <a href="x>y">) tokenizes exactly like
+# the stdlib HTMLParser reference path (differential-tested). Three
+# capture groups (slash, tag, attrs) so re.split yields a flat
+# [data, slash, tag, attrs, data, ...] stream — no match objects, no
+# per-tag .group()/.start()/.end() calls in the hot loop.
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[\s/](?:\"[^\"]*\"|'[^']*'|[^>])*)?)>|<!--.*?-->|<![^>]*>",
+    re.S,
+)
+
+# dict dispatch: one hash lookup classifies a tag (tags are stored
+# lowercase; uppercase input falls back through .lower() once)
+_CLS_SKIP, _CLS_BOILER, _CLS_BLOCK, _CLS_LINK = 1, 2, 3, 4
+_TAG_CLASS: dict[str, int] = (
+    {t: _CLS_SKIP for t in _SKIP_TAGS}
+    | {t: _CLS_BOILER for t in _BOILER_TAGS}
+    | {t: _CLS_BLOCK for t in _BLOCK_TAGS}
+    | {"a": _CLS_LINK}
+)
 
 
 def strip_boilerplate(html: str) -> str:
@@ -159,18 +178,56 @@ def strip_boilerplate(html: str) -> str:
     boiler_depth = 0
     skip_depth = 0
     link_depth = 0
-    pos = 0
+    tag_class = _TAG_CLASS
+    _append = blocks.append
 
-    def flush():
-        nonlocal cur, cur_link
-        if cur is not None:
-            blocks.append((cur, cur_link, cur_boiler))
-            cur = None
-            cur_link = 0
-
-    for m in _TAG_RE.finditer(html):
-        data = html[pos : m.start()]
-        pos = m.end()
+    parts = _TAG_RE.split(html)
+    n = len(parts)
+    i = -3  # first iteration handles the leading data chunk only
+    slash = tag = attrs = None
+    while i < n:
+        if i >= 0:
+            slash, tag, attrs = parts[i], parts[i + 1], parts[i + 2]
+            data = parts[i + 3]
+        else:
+            data = parts[0]
+        i += 4
+        if tag is not None:
+            cls = tag_class.get(tag)
+            if cls is None and not tag.islower():
+                cls = tag_class.get(tag.lower())
+            if cls is not None:
+                self_closing = bool(attrs) and attrs[-1] == "/"
+                if cls == _CLS_BLOCK:
+                    if cur is not None:
+                        _append((cur, cur_link, cur_boiler))
+                        cur = None
+                        cur_link = 0
+                elif cls == _CLS_BOILER:
+                    if not self_closing:
+                        if slash:
+                            if boiler_depth > 0:
+                                boiler_depth -= 1
+                        else:
+                            boiler_depth += 1
+                    if cur is not None:
+                        _append((cur, cur_link, cur_boiler))
+                        cur = None
+                        cur_link = 0
+                elif cls == _CLS_LINK:
+                    if not self_closing:
+                        if slash:
+                            if link_depth > 0:
+                                link_depth -= 1
+                        else:
+                            link_depth += 1
+                else:  # _CLS_SKIP
+                    if not self_closing:
+                        if slash:
+                            if skip_depth > 0:
+                                skip_depth -= 1
+                        else:
+                            skip_depth += 1
         if data and not skip_depth:
             if cur is None:
                 cur = []
@@ -180,53 +237,18 @@ def strip_boilerplate(html: str) -> str:
             cur.append(data)
             if link_depth:
                 cur_link += len(normalize_ws(data))
-        tag = m.group(2)
-        if tag is None:  # comment / doctype
-            continue
-        tag = tag.lower()
-        closing = m.group(1) == "/"
-        self_closing = not closing and m.group(0).endswith("/>")
-        if tag in _SKIP_TAGS:
-            if self_closing:
-                pass
-            elif closing:
-                skip_depth = max(0, skip_depth - 1)
-            else:
-                skip_depth += 1
-        elif tag in _BOILER_TAGS:
-            if not self_closing:
-                boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
-            flush()
-        elif tag in _BLOCK_TAGS:
-            flush()
-        elif tag == "a":
-            if self_closing:
-                pass
-            elif closing:
-                link_depth = max(0, link_depth - 1)
-            else:
-                link_depth += 1
-    tail = html[pos:]
-    if tail and not skip_depth:
-        if cur is None:
-            cur = []
-            cur_boiler = boiler_depth > 0
-        if "&" in tail:
-            tail = unescape(tail)
-        cur.append(tail)
-        if link_depth:
-            cur_link += len(normalize_ws(tail))
-    flush()
+    if cur is not None:
+        _append((cur, cur_link, cur_boiler))
 
     kept: list[str] = []
-    for parts, link_len, boiler in blocks:
+    for chunk, link_len, boiler in blocks:
         if boiler:
             continue
-        txt = normalize_ws("".join(parts))
-        n = len(txt)
-        if n < MIN_BLOCK_CHARS:
+        txt = normalize_ws("".join(chunk))
+        ln = len(txt)
+        if ln < MIN_BLOCK_CHARS:
             continue
-        if link_len / n >= MAX_LINK_DENSITY:
+        if link_len / ln >= MAX_LINK_DENSITY:
             continue
         kept.append(txt)
     return " ".join(kept)

@@ -55,3 +55,65 @@ def test_plain_text_passthrough():
 
 def test_empty():
     assert strip_boilerplate("") == ""
+
+
+# ---------------------------------------------------------------------------
+# differential suite: the fast regex tokenizer vs the stdlib HTMLParser
+# reference must agree block-for-block on every input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_pipeline_ray.functions.html import strip_boilerplate_ref
+
+
+DIFFERENTIAL_CASES = [
+    "",
+    "plain text with &amp; entities and no tags at all, long enough to matter",
+    page(f"<p>{MAIN}</p><nav><a href='/'>x</a></nav>"),
+    page(f"<P>{MAIN}</P>"),  # case-insensitive tags
+    page(f"<p>{MAIN}</p><!-- comment with <p>fake</p> inside -->"),
+    page(f"<script>var x = '<p>not text</p>';</script><p>{MAIN}</p>"),
+    page(f"<br/><p>{MAIN}</p><br />trailing tail text that is long enough to keep"),
+    page(f'<a href="x>y">deep link</a> {MAIN}'),  # '>' inside quoted attr
+    page(f"<a href='a>b'>q</a> {MAIN}"),
+    page(f'<div title="5 > 3 && 2 < 4">{MAIN}</div>'),
+    page(f"<div data-x='mixed \"quotes\"'>{MAIN}</div>"),
+    page(f"<footer><p>{MAIN}</p></footer><p>{MAIN} two</p>"),
+    page(f"<ul><li>{MAIN}</li><li>short</li></ul>"),
+    page(f"<pre>{MAIN}\n  preserves   runs</pre>"),
+    page(f"<p>{MAIN} &lt;escaped&gt; &amp; more</p>"),
+    f"<p>{MAIN}",  # unterminated block
+    f"{MAIN} <p",  # dangling open bracket
+    page(f"<p>{MAIN}</p><aside>{MAIN}</aside>"),
+]
+
+
+def test_differential_targeted():
+    for html in DIFFERENTIAL_CASES:
+        assert strip_boilerplate(html) == strip_boilerplate_ref(html), html
+
+
+_frag = st.sampled_from(
+    [
+        f"<p>{MAIN}</p>",
+        "<div>short</div>",
+        f"<nav><a href='/x'>nav link</a></nav>",
+        f"<li>{MAIN} in a list</li>",
+        "<script>ignored()</script>",
+        f"<a href=\"q>r\">{MAIN}</a>",
+        "<!-- c -->",
+        "loose tail text fragment that runs long enough to pass the block threshold",
+        "&amp; entity soup &#65; here",
+        "<br/>",
+        f"<footer>{MAIN}</footer>",
+        f"<blockquote>{MAIN} quoted</blockquote>",
+    ]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_frag, min_size=0, max_size=8))
+def test_differential_random_compositions(frags):
+    html = page("".join(frags))
+    assert strip_boilerplate(html) == strip_boilerplate_ref(html)

@@ -1,0 +1,56 @@
+"""read_docs source routing: Lance layout -> read_lance, anything
+else -> parquet; missing lance package degrades to the parquet
+fallback (the container has no `lance`, so the live branch can only
+be exercised via a stub — documented in README)."""
+
+import ray
+import ray.data
+
+from ocr_pipeline_ray.pipelines.extract import read_docs
+
+
+def _lance_layout(tmp_path):
+    d = tmp_path / "corpus.lance"
+    (d / "_versions").mkdir(parents=True)
+    return d
+
+
+def test_lance_layout_routes_to_read_lance(tmp_path, monkeypatch):
+    d = _lance_layout(tmp_path)
+    seen = {}
+
+    def fake_read_lance(path):
+        seen["path"] = path
+        return ray.data.from_items([{"doc_id": "doc-0", "spans": []}])
+
+    monkeypatch.setattr(ray.data, "read_lance", fake_read_lance, raising=False)
+    ds = read_docs(str(d))
+    assert seen["path"] == str(d)
+    assert ds.count() == 1
+
+
+def test_lance_import_error_falls_back_to_parquet(tmp_path, monkeypatch):
+    import pandas as pd
+
+    d = _lance_layout(tmp_path)
+    pd.DataFrame({"doc_id": ["doc-0"], "spans": [[]]}).to_parquet(d / "data.parquet")
+
+    def broken_read_lance(path):
+        raise ImportError("lance is not installed")
+
+    monkeypatch.setattr(ray.data, "read_lance", broken_read_lance, raising=False)
+    ds = read_docs(str(d))
+    assert ds.count() == 1
+
+
+def test_plain_parquet_path_never_touches_lance(tmp_path, monkeypatch):
+    import pandas as pd
+
+    p = tmp_path / "docs.parquet"
+    pd.DataFrame({"doc_id": ["doc-0"], "spans": [[]]}).to_parquet(p)
+
+    def explode(path):
+        raise AssertionError("read_lance must not be called for parquet input")
+
+    monkeypatch.setattr(ray.data, "read_lance", explode, raising=False)
+    assert read_docs(str(p)).count() == 1
