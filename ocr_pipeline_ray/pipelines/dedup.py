@@ -55,15 +55,17 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
             [t["doc_id"], pa.array(hashes, pa.string())], names=["doc_id", "h"]
         )
 
-    from ray.data.aggregate import Min
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
 
-    # vectorized Min aggregate, not per-group Python — at 10^12 rows
-    # nearly every hash group has one member and per-group UDF calls
-    # would dominate (same lesson as reassemble.pack_bucket)
+    # nearly every hash group has one member, so the key is maximally
+    # high-cardinality — the bucketed aggregate keeps the min-doc_id
+    # reduction vectorized (Ray's groupby().aggregate() pays a
+    # per-group Python cost in reduce; see bucketed_aggregate)
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        bucketed_aggregate(
+            ds.map_batches(add_hash, batch_format="pyarrow"),
+            "h", {"doc_id": ("doc_id", "min")},
+        )
         .select_columns(["doc_id"])
         .to_pandas()
         .sort_values("doc_id")

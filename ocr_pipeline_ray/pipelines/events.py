@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ocr_pipeline_ray.pipelines.relational import ROUND_DECIMALS, _read
 
@@ -41,6 +40,8 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
     the shuffle groups by (event_type, hour) directly — a pre-keyed
     tumbling window, not a driver loop.
     """
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def add_hour(df: pd.DataFrame) -> pd.DataFrame:
@@ -48,10 +49,14 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         df["hour"] = df["ts"].dt.floor("h")
         return df.drop(columns=["ts"])
 
+    # (event_type, hour) grows with the stream's time extent ->
+    # high-cardinality-safe bucketed aggregate
     out = (
-        ds.map_batches(add_hour, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        bucketed_aggregate(
+            ds.map_batches(add_hour, batch_format="pandas"),
+            ["event_type", "hour"],
+            {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        )
         .to_pandas()
         .sort_values(["event_type", "hour"])
         .reset_index(drop=True)

@@ -132,11 +132,19 @@ def shuffle_hash_join(
     on,
     how: str = "inner",
     num_buckets: int = 32,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
-    """Partitioned hash join for two large sides (one shuffle total)."""
+    """Partitioned hash join for two large sides (one shuffle total).
+
+    Pass ``left_cols``/``right_cols`` when the side is a lazy
+    aggregate/transform chain: ``Dataset.columns()`` on such inputs
+    EXECUTES upstream work just to learn the schema, and the join
+    would then execute it a second time (measured 2-3x wall-time on
+    the TPC-H-shape queries)."""
     on_cols = [on] if isinstance(on, str) else list(on)
-    left_cols = left.columns()
-    right_cols = right.columns()
+    left_cols = left_cols if left_cols is not None else left.columns()
+    right_cols = right_cols if right_cols is not None else right.columns()
     # union schema so the two tagged sides block-concat cleanly
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
@@ -171,6 +179,56 @@ def shuffle_hash_join(
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+_COMBINE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def bucketed_aggregate(
+    ds: "ray.data.Dataset",
+    keys,
+    agg_spec: dict[str, tuple[str, str]],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Grouped aggregate for HIGH-CARDINALITY keys.
+
+    Ray's built-in ``groupby().aggregate()`` reduce step pays a
+    per-group Python cost (measured on this host: ~4 ms/group — 100k
+    rows with 15k distinct keys takes 60 s in one block, while 100
+    keys take 2 s), so it is reserved for low-cardinality keys. This
+    helper keeps the same semantics with two vectorized levels:
+
+    1. per-batch pandas partial aggregate (one groupby call per batch),
+       tagged with ``__bucket = hash(key) % num_buckets``;
+    2. ONE shuffle on the coarse bucket (low-cardinality — Ray's sort
+       machinery is fine at 64 groups), then one vectorized pandas
+       combine per bucket.
+
+    ``agg_spec``: ``out_col -> (in_col, fn)`` with fn in
+    sum|min|max|count (count partials combine by summing).
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    partial_spec = {
+        out: (c, "size" if fn == "count" else fn) for out, (c, fn) in agg_spec.items()
+    }
+    combine_spec = {
+        out: (out, _COMBINE_FN[fn]) for out, (_, fn) in agg_spec.items()
+    }
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_cols, as_index=False).agg(**partial_spec)
+        h = pd.util.hash_pandas_object(g[key_cols], index=False)
+        g["__bucket"] = (h.to_numpy() % num_buckets).astype("int64")
+        return g
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_cols, as_index=False).agg(**combine_spec)
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_combine, batch_format="pandas")
+    )
 
 
 def partial_topk(
@@ -293,19 +351,25 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
             df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
         )
 
-    rev_per_order = (
-        li.map_batches(prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+    # join FIRST (the inner join doubles as the semi filter, so the
+    # one shuffle moves lineitem partials exactly once), then the
+    # high-cardinality per-order aggregate runs bucketed over the
+    # small matching subset — never Ray's per-group-cost aggregate
+    joined = shuffle_hash_join(
+        li.map_batches(prep, batch_format="pyarrow"), orders_f,
+        on="l_orderkey", num_buckets=32,
+        left_cols=["l_orderkey", "rev"], right_cols=["l_orderkey", "o_orderdate"],
     )
-    joined = shuffle_hash_join(rev_per_order, orders_f, on="l_orderkey", num_buckets=32)
+    rev_per_order = bucketed_aggregate(
+        joined, ["l_orderkey", "o_orderdate"], {"revenue": ("rev", "sum")}
+    )
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
         return df
 
     df = partial_topk(
-        joined.map_batches(_round, batch_format="pandas"),
+        rev_per_order.map_batches(_round, batch_format="pandas"),
         by=["revenue", "l_orderkey"], ascending=[False, True], k=10,
     )
     return df[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
@@ -369,7 +433,8 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         )
 
     joined = shuffle_hash_join(
-        li.map_batches(prep, batch_format="pyarrow"), orders_n, on="l_orderkey", num_buckets=32
+        li.map_batches(prep, batch_format="pyarrow"), orders_n, on="l_orderkey", num_buckets=32,
+        left_cols=["l_orderkey", "rev"], right_cols=["l_orderkey", "n_name"],
     )
 
     def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -604,17 +669,12 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
     )
     joined = shuffle_hash_join(
-        li.map_batches(prep, batch_format="pyarrow"), orders, on="l_orderkey", num_buckets=32
+        li.map_batches(prep, batch_format="pyarrow"), orders, on="l_orderkey", num_buckets=32,
+        left_cols=["l_orderkey", "rev"], right_cols=["l_orderkey", "o_custkey"],
     )
 
-    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_custkey", as_index=False)["rev"].sum()
-
-    per_cust = (
-        joined.map_batches(cust_partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
-    )
+    # per-customer revenue is a high-cardinality aggregate -> bucketed
+    per_cust = bucketed_aggregate(joined, "o_custkey", {"revenue": ("rev", "sum")})
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["revenue"] = df["revenue"].round(ROUND_DECIMALS)
