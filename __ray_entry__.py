@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         interleave,
+        media,
         relational,
         similarity,
         text,
@@ -80,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
+        # multimodal decode stages over real P6 rasters
+        "media_dimensions": media.media_dimensions,
+        "media_channel_stats": media.media_channel_stats,
         # text analysis
         "token_counts": text.token_counts,
         "bpe_token_counts": text.bpe_token_counts,
@@ -91,7 +95,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocr_pipeline_ray.pipelines import dedup, events, interleave, relational, similarity, text
+    from ocr_pipeline_ray.pipelines import (
+        dedup,
+        events,
+        interleave,
+        media,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
         "extract_interleaved": interleave.EXTRACT_INTERLEAVED_SQL,
@@ -122,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": text.FINGERPRINTS_SQL,
         "knn_brute_force": similarity.knn_sql(),
         "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
+        "media_dimensions": media.MEDIA_DIMENSIONS_SQL,
         # no oracle (heuristic / sketch / ANN): language_id,
         # quality_scores, winnowing, minhash_lsh_dedup,
         # ngram_jaccard_pairs, simhash_neardup,

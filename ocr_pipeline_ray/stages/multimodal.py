@@ -49,12 +49,20 @@ def _try_import_pil():
 class ImageDecodeActor:
     """payload binary -> (height, width, channels) + pixel feature vec.
 
-    Real path: PIL decode + resize. Stub path (this container):
-    deterministic fake derived from payload bytes so downstream
-    plumbing (schema, feature shapes) is exercised end-to-end.
+    Decode ladder, most-real first:
+    1. PIL (any format) when the cluster image ships it;
+    2. the REAL pure-numpy P6-PPM parser + bilinear resize
+       (functions/ppm_ocr.py + functions/raster.py) — exercised live
+       in this container;
+    3. a deterministic fake from the payload digest (strict=False) or
+       a clearly-marked ``NotImplementedError`` (strict=True) so the
+       plumbing (schema, feature shapes) stays testable for formats
+       with no in-container codec.
     """
 
-    def __init__(self, target_size: int = 32, strict: bool = False):
+    def __init__(self, target_size: int | None = 32, strict: bool = False):
+        """``target_size=None`` keeps the decoded raster's native
+        dimensions (no resize) — the metadata-extraction mode."""
         self.pil = _try_import_pil()
         self.target = target_size
         self.strict = strict
@@ -65,11 +73,15 @@ class ImageDecodeActor:
                 "image decode requires PIL/cv2 — not available in this container"
             )
         # deterministic fake "pixels" from the payload digest
+        size = self.target or 32
         seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
         rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, (self.target, self.target, 3), dtype=np.uint8)
+        return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
+        from ocr_pipeline_ray.functions.raster import resize_bilinear
+
         feats, hs, ws, errs = [], [], [], []
         for payload in batch.column("payload").to_pylist():
             try:
@@ -77,8 +89,14 @@ class ImageDecodeActor:
                     import io
 
                     img = self.pil.open(io.BytesIO(payload)).convert("RGB")
-                    img = img.resize((self.target, self.target))
+                    if self.target is not None:
+                        img = img.resize((self.target, self.target))
                     arr = np.asarray(img, dtype=np.uint8)
+                elif payload[:2] == b"P6":
+                    # real decode + real resize, no codec library
+                    arr = parse_ppm(payload)
+                    if self.target is not None:
+                        arr = resize_bilinear(arr, self.target, self.target)
                 else:
                     arr = self._decode_fake(payload)
                 hs.append(arr.shape[0])
@@ -131,7 +149,7 @@ class FrameSampleActor:
         )
 
 
-def decode_images(ds, *, batch_size: int = 32, concurrency=4, target_size: int = 32):
+def decode_images(ds, *, batch_size: int = 32, concurrency=4, target_size: int | None = 32):
     """Actor-pool image decode: small batches for large binary rows."""
     return ds.map_batches(
         ImageDecodeActor,

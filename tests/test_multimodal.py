@@ -46,6 +46,34 @@ def test_strict_mode_raises():
         assert out["error"][0].as_py().startswith("decode failed")
 
 
+def test_image_decode_real_ppm_path():
+    """P6 payloads take the REAL decode path: parse pixels + bilinear
+    resize — channel means reflect actual raster content, not the
+    digest fake."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.ppm_ocr import render_text_ppm
+
+    payloads = [render_text_ppm("AAAA"), render_text_ppm("    ")]
+    rows = {
+        "media_ref": ["mem://p/0", "mem://p/1"],
+        "modality": ["image"] * 2,
+        "payload": payloads,
+        "width": [0, 0],
+        "height": [0, 0],
+        "duration_ms": [0, 0],
+    }
+    out = (
+        decode_images(ray.data.from_arrow(pa.Table.from_pydict(rows)), concurrency=1)
+        .to_pandas()
+        .sort_values("media_ref")
+    )
+    glyph_mean = np.mean(out["channel_means"].iloc[0])
+    blank_mean = np.mean(out["channel_means"].iloc[1])
+    assert glyph_mean > blank_mean == 0.0  # glyph pixels present, blank all-black
+    assert (out["error"] == "").all()
+
+
 def test_frame_sampling_layout():
     ds = ray.data.from_arrow(
         pa.Table.from_pydict(
