@@ -61,11 +61,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_with_lineitems": relational.parts_with_lineitems,
         "nations_without_suppliers": relational.nations_without_suppliers,
         "union_all_keys": relational.union_all_keys,
+        # set ops + quantiles
+        "keys_in_both": relational.keys_in_both,
+        "custkeys_not_suppkeys": relational.custkeys_not_suppkeys,
+        "quantity_quantiles": relational.quantity_quantiles,
         # stream-shaped
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
         "asof_latest_order": events.asof_latest_order,
         "rolling_user_value": events.rolling_user_value,
+        "cumulative_user_value": events.cumulative_user_value,
+        "distinct_users_per_type": events.distinct_users_per_type,
         "props_k_by_type": events.props_k_by_type,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -124,10 +130,15 @@ def oracle_sql() -> dict[str, str]:
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         "nations_without_suppliers": relational.NATIONS_WITHOUT_SUPPLIERS_SQL,
         "union_all_keys": relational.UNION_ALL_KEYS_SQL,
+        "keys_in_both": relational.KEYS_IN_BOTH_SQL,
+        "custkeys_not_suppkeys": relational.CUSTKEYS_NOT_SUPPKEYS_SQL,
+        "quantity_quantiles": relational.QUANTITY_QUANTILES_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_latest_order": events.ASOF_SQL,
         "rolling_user_value": events.ROLLING_SQL,
+        "cumulative_user_value": events.CUMULATIVE_SQL,
+        "distinct_users_per_type": events.DISTINCT_USERS_SQL,
         "props_k_by_type": events.PROPS_K_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,

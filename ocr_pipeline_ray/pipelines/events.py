@@ -346,3 +346,78 @@ SELECT e.event_id, e.user_id, CAST(r.o_orderkey AS DOUBLE) AS o_orderkey
 FROM events e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
 ORDER BY e.event_id
 """
+
+
+def cumulative_user_value(sf_dir: str) -> pd.DataFrame:
+    """Running (cumulative) sum of ``value`` per user ordered by
+    (ts, event_id) — the unbounded-preceding window. Coarse-bucketed:
+    one pandas ``groupby(user).cumsum`` per bucket (sequential
+    accumulation order matches the SQL window frame, so the rounded
+    values compare exactly)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def _cum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cum = g.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_value": np.round(cum.to_numpy(), ROUND_DECIMALS),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_cum_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+CUMULATIVE_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS cum_value
+FROM events ORDER BY event_id
+"""
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """count(DISTINCT user_id) per event_type, EXACTLY, at scale:
+    per-batch dedup of (event_type, user_id) pairs, ONE coarse-bucket
+    shuffle on hash(user) co-locates duplicates, per-bucket dedup +
+    per-type partial counts, tiny driver reduce (|types| x |buckets|
+    rows). No high-cardinality groupby, no driver-side pair set; the
+    approximate path at extreme cardinality is an HLL sketch with the
+    same partial/combine shape."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])
+        d = d.assign(__bucket=(d["user_id"].to_numpy() % N_USER_BUCKETS).astype("int64"))
+        return d
+
+    def _count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", as_index=False)["n"].sum()
+    out = out.rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""

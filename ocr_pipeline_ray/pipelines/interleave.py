@@ -164,6 +164,65 @@ def _extract_interleaved(sf_dir: str, codec: str, engine_factory=None) -> "ray.d
     return out.map_batches(_unwrap_batch, batch_format="pyarrow")
 
 
+class _InlineFusedExtract:
+    """Payload-INLINE fused topology: documents batch -> wrapped span
+    rows with the media payload riding the row -> HTML strip ->
+    warm-engine media extract -> per-doc wide rows, all inside ONE
+    actor stage. Zero shuffle — the same doc-locality-by-construction
+    argument as extract.py's _ExtractPackAll (spans are created in
+    this batch and never leave it). This is the third media topology
+    next to broadcast (bench headline) and the bucketed join
+    (extract_interleaved): payloads that already live in the row
+    (inlined at ingest) need neither a store nor a shuffle.
+    """
+
+    def __init__(self, codec: str, engine_factory):
+        from ocr_pipeline_ray.stages.extract import InlineMediaExtract
+
+        self.codec = codec
+        self.inner = InlineMediaExtract(engine_factory)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.stages.extract import strip_html_batch
+
+        ids, offs, kinds, texts, refs, payloads = [], [], [], [], [], []
+        doc_ints = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            doc_id, spans, media = _wrap_row(did, text, self.codec)
+            pay = {m[0]: m[2] for m in media}
+            doc_ints.append(did)
+            for s in spans:  # exactly 3 spans per doc, offsets 0,1,2
+                ids.append(doc_id)
+                offs.append(s["offset"])
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+                payloads.append(pay.get(s["media_ref"]))
+        spans_t = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "offset": pa.array(offs, pa.int32()),
+                "kind": pa.array(kinds, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+                "error": pa.array([""] * len(ids), pa.string()),
+                "size_hint": pa.array([1] * len(ids), pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+        out = self.inner(strip_html_batch(spans_t))
+        # rows stay in emit order: 3 consecutive rows per doc
+        ex = out["text"].to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ints, pa.int64()),
+                "text_extracted": pa.array(ex[0::3], pa.string()),
+                "image_extracted": pa.array(ex[1::3], pa.string()),
+                "pdf_extracted": pa.array(ex[2::3], pa.string()),
+            }
+        )
+
+
 def extract_interleaved(sf_dir: str) -> pd.DataFrame:
     """Run the full extraction engine; return per-doc extracted texts.
 
@@ -175,12 +234,22 @@ def extract_interleaved(sf_dir: str) -> pd.DataFrame:
 
 
 def extract_interleaved_ppm(sf_dir: str) -> pd.DataFrame:
-    """Flagship variant on the REAL raster kernel: media payloads are
-    P6 PPM images / block containers and the engine actually decodes
-    pixels (functions/ppm_ocr.py). The raster alphabet uppercases
-    text, so the oracle applies upper() to the media spans."""
-    df = _extract_interleaved(sf_dir, "ppm", engine_factory=PpmOcrEngine).to_pandas()
-    return df.sort_values("doc_id").reset_index(drop=True)
+    """Flagship variant on the REAL raster kernel AND the inline
+    topology: media payloads are P6 PPM images / block containers
+    riding the row, and the warm-engine actor pool actually decodes
+    pixels (functions/ppm_ocr.py) — fused, zero shuffle. The raster
+    alphabet uppercases text, so the oracle applies upper() to the
+    media spans."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        _InlineFusedExtract,
+        fn_constructor_kwargs={"codec": "ppm", "engine_factory": PpmOcrEngine},
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def extract_span_stats(sf_dir: str) -> pd.DataFrame:

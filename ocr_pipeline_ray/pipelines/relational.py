@@ -815,3 +815,144 @@ SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
 """
+
+
+# ---------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT) — distributed, no driver key sets
+# ---------------------------------------------------------------------------
+
+def _tagged_keys(sf_dir: str, table: str, col: str, side_bit: int, num_buckets: int):
+    """(key, side) partials: per-batch dedup + coarse bucket tag."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = np.unique(np.asarray(t[col].to_pandas(), dtype=np.int64))
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.full(len(k), side_bit, dtype=np.int64), pa.int64()),
+                "__bucket": pa.array(k % num_buckets, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, table, columns=[col]).map_batches(_f, batch_format="pyarrow")
+
+
+def key_set_op(
+    sf_dir: str,
+    left: tuple[str, str],
+    right: tuple[str, str],
+    op: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Distributed INTERSECT / EXCEPT over two key columns: per-batch
+    unique partials from both sides union into one dataset, ONE
+    coarse-bucket shuffle co-locates equal keys, and a vectorized
+    or-reduction per bucket decides membership — no driver-side key
+    set, no high-cardinality groupby."""
+    lt = _tagged_keys(sf_dir, left[0], left[1], 1, num_buckets)
+    rt = _tagged_keys(sf_dir, right[0], right[1], 2, num_buckets)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # side bits are 1|2 and (key, side) pairs are unique per side
+        # after the per-batch dedup, so a vectorized SUM of deduped
+        # pairs equals the bitwise-or membership mask (3=both, 1=left)
+        m = g.drop_duplicates(["key", "side"]).groupby("key")["side"].sum()
+        if op == "intersect":
+            keys = m[m == 3].index.to_numpy()
+        elif op == "except":
+            keys = m[m == 1].index.to_numpy()
+        else:
+            raise ValueError(op)
+        return pd.DataFrame({"key": np.sort(keys)})
+
+    out = (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(_resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def keys_in_both(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT: keys that are both a custkey and a suppkey."""
+    return key_set_op(sf_dir, ("customer", "c_custkey"), ("supplier", "s_suppkey"), "intersect")
+
+
+KEYS_IN_BOTH_SQL = """
+SELECT c_custkey AS key FROM customer
+INTERSECT
+SELECT s_suppkey FROM supplier
+ORDER BY key
+"""
+
+
+def custkeys_not_suppkeys(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT: custkeys that are not suppkeys."""
+    return key_set_op(sf_dir, ("customer", "c_custkey"), ("supplier", "s_suppkey"), "except")
+
+
+CUSTKEYS_NOT_SUPPKEYS_SQL = """
+SELECT c_custkey AS key FROM customer
+EXCEPT
+SELECT s_suppkey FROM supplier
+ORDER BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles over a discrete domain
+# ---------------------------------------------------------------------------
+
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.9)
+
+
+def quantity_quantiles(sf_dir: str, ps=QUANTILE_PS) -> pd.DataFrame:
+    """EXACT quantiles of l_quantity (percentile_disc semantics):
+    the domain is discrete (~50 values), so a distributed value-count
+    (one tiny shuffle over at most |domain| x batches partial rows)
+    plus a driver-side cumulative walk over |domain| rows gives exact
+    answers at any scale. Continuous domains need a sketch
+    (t-digest/KLL) — that variant is approximate by design and is
+    covered by the sampling-based ANN/near-dup property tests'
+    methodology instead of a SQL oracle."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df.assign(n=1)[["l_quantity", "n"]], batch_format="pandas"
+            ),
+            "l_quantity",
+            {"n": ("n", "count")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("l_quantity")
+    )
+    tot = counts["n"].sum()
+    cum = counts["n"].cumsum().to_numpy()
+    vals = counts["l_quantity"].to_numpy()
+    out = []
+    for p in ps:
+        rank = int(np.ceil(p * tot))  # percentile_disc: first v with cum >= ceil(p*n)
+        out.append((p, float(vals[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(out, columns=["p", "value"])
+
+
+# DuckDB's quantile_disc requires CONSTANT p -> one SELECT per level
+QUANTITY_QUANTILES_SQL = """
+SELECT CAST(0.25 AS DOUBLE) AS p, quantile_disc(l_quantity, 0.25) AS value FROM lineitem
+UNION ALL
+SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem
+UNION ALL
+SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
+ORDER BY p
+"""
