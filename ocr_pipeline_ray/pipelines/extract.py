@@ -113,6 +113,7 @@ def build_extraction_pipeline(
     max_restarts: int | None = None,
     max_task_retries: int | None = None,
     local_reassembly: bool = True,
+    heavy_page_threshold: int = 5,
 ) -> "ray.data.Dataset":
     """Assemble the lazy extraction Dataset; caller consumes it.
 
@@ -225,18 +226,34 @@ def build_extraction_pipeline(
     # two media pools must coexist with read/write tasks: autoscale
     # from 1 so neither pool can deadlock the other on a small cluster
     pool = (1, max(1, (int(extract_concurrency) if not isinstance(extract_concurrency, tuple) else extract_concurrency[1]) // 2))
-    # Stage the exploded rows partitioned by kind in ONE pass so the
-    # per-kind branches read their slice instead of re-executing the
+    # SIZE-AWARE routing (north rule: heavy multi-page PDFs must not
+    # ride in the same batches as tiny HTML rows): the route column is
+    # kind, except pdf spans whose page count (from the broadcast
+    # media store) reaches ``heavy_page_threshold`` — those go to a
+    # dedicated heavy pool with 4x smaller batches, so one heavy batch
+    # can't head-of-line-block a worker for minutes at cluster scale.
+    spans = spans.map_batches(
+        _SizeRouter,
+        fn_constructor_kwargs={
+            "media_object_ref": media_ref,
+            "heavy_page_threshold": heavy_page_threshold,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    # Stage the exploded rows partitioned by route in ONE pass so the
+    # per-route branches read their slice instead of re-executing the
     # upstream read (a Dataset branch re-runs its lineage otherwise).
-    spans.write_parquet(stage_dir, partition_cols=["kind"])
+    spans.write_parquet(stage_dir, partition_cols=["route"])
 
     branches = []
-    for kind, batch_size, use_actor in (
-        ("text", text_batch_size, False),
-        ("image", image_batch_size, True),
-        ("pdf", pdf_batch_size, True),
+    for route, kind, batch_size, use_actor in (
+        ("text", "text", text_batch_size, False),
+        ("image", "image", image_batch_size, True),
+        ("pdf", "pdf", pdf_batch_size, True),
+        ("pdf_heavy", "pdf", max(8, pdf_batch_size // 4), True),
     ):
-        part = os.path.join(stage_dir, f"kind={kind}")
+        part = os.path.join(stage_dir, f"route={route}")
         if not os.path.isdir(part):
             continue
         branch = ray.data.read_parquet(part)
@@ -335,13 +352,37 @@ def join_media_spans(
     return st.union(mt).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+class _SizeRouter:
+    """Actor stage appending the size-aware ``route`` column: kind,
+    except pdf spans with ``n_pages >= heavy_page_threshold`` (looked
+    up in the broadcast media store — resolved ONCE per actor in
+    ``__init__``, zero-copy) which route to the dedicated heavy pool."""
+
+    def __init__(self, media_object_ref, heavy_page_threshold: int):
+        from ocr_pipeline_ray.state.media_store import BroadcastMediaStore
+
+        self.store = BroadcastMediaStore(media_object_ref)
+        self.threshold = heavy_page_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        routes = list(kinds)
+        if "pdf" in set(kinds):
+            refs = batch.column("media_ref").to_pylist()
+            for i, (k, r) in enumerate(zip(kinds, refs)):
+                if k == "pdf" and self.store.n_pages(r) >= self.threshold:
+                    routes[i] = "pdf_heavy"
+        return batch.append_column("route", pa.array(routes, pa.string()))
+
+
 def _restore_kind(kind: str):
     """Hive partitioning strips/dictionary-encodes the partition column;
     restore a plain string ``kind`` column in schema position."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        if "kind" in batch.column_names:
-            batch = batch.drop_columns(["kind"])
+        drop = [c for c in ("kind", "route") if c in batch.column_names]
+        if drop:
+            batch = batch.drop_columns(drop)
         return batch.append_column("kind", pa.array([kind] * len(batch), pa.string()))
 
     return _f

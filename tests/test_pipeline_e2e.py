@@ -39,12 +39,20 @@ def test_shuffled_input_partitions_still_ordered(small_corpus):
 
 
 def test_split_kinds_pipeline_matches_golden(small_corpus, tmp_path):
+    """Kind+size routing: the corpus has 2-8 page pdfs, so the
+    heavy route (n_pages >= 5 -> dedicated small-batch pool) engages,
+    and the output must still be golden-identical."""
+    import os
+
     docs, media, golden = small_corpus
     ds = ray.data.from_arrow(docs).repartition(4)
-    out = build_extraction_pipeline(
-        ds, media, split_kinds=True, stage_dir=str(tmp_path / "stage")
-    )
-    assert _spans_map(out) == _golden_map(golden)
+    stage = str(tmp_path / "stage")
+    out = build_extraction_pipeline(ds, media, split_kinds=True, stage_dir=stage)
+    result = _spans_map(out)
+    # size-aware routing actually split the pdfs into light and heavy
+    assert os.path.isdir(os.path.join(stage, "route=pdf"))
+    assert os.path.isdir(os.path.join(stage, "route=pdf_heavy"))
+    assert result == _golden_map(golden)
 
 
 def test_join_media_mode_matches_golden(small_corpus):
