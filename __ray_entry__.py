@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": text.language_id,
         "quality_scores": text.quality_scores,
         "winnowing": text.winnowing,
+        "vocab_top_terms": text.vocab_top_terms,
+        "doc_length_histogram": text.doc_length_histogram,
+        "hash_sample": text.hash_sample,
     }
 
 
@@ -143,6 +146,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
+        "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
+        "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,
+        "hash_sample": text.HASH_SAMPLE_SQL,
         "knn_brute_force": similarity.knn_sql(),
         "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "media_dimensions": media.MEDIA_DIMENSIONS_SQL,

@@ -68,23 +68,36 @@ def run_headline(out: dict) -> None:
 
 
 def run_operator_benches(out: dict) -> None:
-    from ocr_pipeline_ray.pipelines import dedup, events, interleave, relational, similarity, text
+    from ocr_pipeline_ray.pipelines import (
+        dedup,
+        events,
+        interleave,
+        media,
+        relational,
+        similarity,
+        text,
+    )
 
     benches = {
         "extract_interleaved": interleave.extract_interleaved,
+        "extract_interleaved_ppm": interleave.extract_interleaved_ppm,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
+        "asof_latest_order": events.asof_latest_order,
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "simhash_neardup": dedup.simhash_neardup,
+        "embedding_neardup": similarity.embedding_neardup,
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "rolling_user_value": events.rolling_user_value,
         "token_counts": text.token_counts,
+        "vocab_top_terms": text.vocab_top_terms,
+        "media_dimensions": media.media_dimensions,
     }
     for name, fn in benches.items():
         t0 = time.time()

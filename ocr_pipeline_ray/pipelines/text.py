@@ -116,3 +116,119 @@ def winnowing(sf_dir: str, k: int = 5, window: int = 4) -> pd.DataFrame:
         return pa.Table.from_arrays([t["doc_id"], pa.array(ns, pa.int64())], names=["doc_id", "n_fingerprints"])
 
     return ds.map_batches(f, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def vocab_top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Corpus vocabulary: top-k tokens by total count (the
+    vocab-building / n-gram-counting primitive of a training-data
+    pipeline). Per-batch term counting is one ``np.unique`` over the
+    batch's concatenated token stream; totals combine through the
+    high-cardinality-safe bucketed aggregate (the vocabulary IS the
+    key domain), and the top-k is a per-batch partial reduce.
+    Deterministic tie-break: count desc, term asc."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+    out = partial_topk(totals, by=["n", "term"], ascending=[False, True], k=k)
+    out["n"] = out["n"].astype("int64")
+    return out[["term", "n"]].reset_index(drop=True)
+
+
+def vocab_top_terms_sql(k: int = 50) -> str:
+    return f"""
+SELECT t.term, CAST(count(*) AS BIGINT) AS n
+FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+GROUP BY t.term
+ORDER BY n DESC, term
+LIMIT {k}
+"""
+
+
+VOCAB_TOP_TERMS_SQL = vocab_top_terms_sql()
+
+
+def doc_length_histogram(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Corpus length profile: docs per ``bucket_chars``-wide length
+    bucket — the length-filter diagnostic every curation pipeline
+    runs. Fully distributed: per-batch bucket counts, tiny combine."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["text"].str.len() // bucket_chars).astype("int64")
+        out = b.value_counts().rename_axis("len_bucket").reset_index(name="n")
+        return out
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(f, batch_format="pandas"),
+            "len_bucket",
+            {"n_docs": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("len_bucket")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(length(text) // 200 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def hash_sample(sf_dir: str, modulus: int = 10, keep: int = 3) -> pd.DataFrame:
+    """Deterministic hash-based sampling (the reproducible-subset
+    primitive: same rows on every run and every cluster size, no RNG
+    state to coordinate). Keeps doc_id % modulus == keep; vectorized
+    Arrow filter at the read."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        # doc_id % modulus via arrow integer kernels (no Python rows)
+        sel = pc.equal(
+            pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], modulus), modulus)),
+            pa.scalar(keep),
+        )
+        t = t.filter(sel)
+        n_tok = [len(TOKEN_RE.findall(s)) for s in t["text"].to_pylist()]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(n_tok, pa.int64())], names=["doc_id", "n_tokens"]
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+HASH_SAMPLE_SQL = r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id
+"""
