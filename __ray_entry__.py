@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_segment": relational.top3_orders_per_segment,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
+        "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
         "nations_without_suppliers": relational.nations_without_suppliers,
         "union_all_keys": relational.union_all_keys,
         # set ops + quantiles
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": events.rolling_user_value,
         "cumulative_user_value": events.cumulative_user_value,
         "distinct_users_per_type": events.distinct_users_per_type,
+        "distinct_users_hll": events.distinct_users_hll,
         "props_k_by_type": events.props_k_by_type,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -131,6 +133,8 @@ def oracle_sql() -> dict[str, str]:
         "top3_orders_per_segment": relational.TOP3_PER_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
+        # bloom prefilter + exact verify == exact semi join
+        "parts_with_lineitems_bloom": relational.PARTS_WITH_LINEITEMS_SQL,
         "nations_without_suppliers": relational.NATIONS_WITHOUT_SUPPLIERS_SQL,
         "union_all_keys": relational.UNION_ALL_KEYS_SQL,
         "keys_in_both": relational.KEYS_IN_BOTH_SQL,

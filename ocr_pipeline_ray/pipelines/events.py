@@ -421,3 +421,40 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def distinct_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """APPROXIMATE count(DISTINCT user_id) per event_type via
+    HyperLogLog: one fixed-size register array per (batch, type)
+    partial, max-merged on the driver (|types| x |batches| tiny rows)
+    — O(2^p) state per group at any cardinality, the sketch analog of
+    :func:`distinct_users_per_type`. No SQL oracle (approximate by
+    design); accuracy vs the exact operator is property-tested."""
+    import pyarrow as pa
+
+    from ocr_pipeline_ray.functions.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            h = HyperLogLog(p).add(g["user_id"].to_numpy().astype(np.uint64))
+            rows.append((etype, h.registers.tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "registers"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").take_all()
+    merged: dict[str, HyperLogLog] = {}
+    for r in parts:
+        h = HyperLogLog(p)
+        h.registers = np.frombuffer(r["registers"], dtype=np.uint8).copy()
+        if r["event_type"] in merged:
+            merged[r["event_type"]].merge(h)
+        else:
+            merged[r["event_type"]] = h
+    out = pd.DataFrame(
+        sorted((k, int(round(v.estimate()))) for k, v in merged.items()),
+        columns=["event_type", "n_users_approx"],
+    )
+    out["n_users_approx"] = out["n_users_approx"].astype("int64")
+    return out

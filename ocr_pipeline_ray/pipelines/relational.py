@@ -956,3 +956,101 @@ UNION ALL
 SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
 ORDER BY p
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join: the 10^9-key regime where an exact
+# broadcast key set no longer ships
+# ---------------------------------------------------------------------------
+
+def build_bloom(ds: "ray.data.Dataset", col: str, n_bits: int = 1 << 20, k: int = 5):
+    """Distributed Bloom build: one fixed-size partial filter per
+    batch, OR-reduced on the driver (the filter is ~n_bits/8 bytes no
+    matter how many keys — the whole point)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.sketches import BloomFilter
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, k).add(
+            np.asarray(t[col].to_pandas(), dtype=np.int64).astype(np.uint64)
+        )
+        return pa.Table.from_pydict({"words": pa.array([bf.words.tobytes()], pa.binary())})
+
+    out = BloomFilter(n_bits, k)
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        part = BloomFilter(n_bits, k)
+        part.words = np.frombuffer(row["words"], dtype=np.uint64).copy()
+        out.merge(part)
+    return out
+
+
+def parts_with_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
+    """Semi join at broadcast-won't-fit scale: a Bloom filter of
+    l_partkey (fixed-size, built distributed, OR-merged) prefilters
+    the part side vectorized — then an EXACT membership verify (the
+    key_set_op coarse-bucket shape) removes the Bloom's false
+    positives, so the result matches the exact SQL oracle. Only
+    bloom-surviving part rows and per-batch-deduped lineitem keys
+    ever shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    bloom = build_bloom(_read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
+    bloom_ref = ray.put((bloom.words, bloom.n_bits, bloom.k))
+
+    def _prefilter(t: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.sketches import BloomFilter
+
+        words, n_bits, k = ray.get(bloom_ref)
+        bf = BloomFilter(n_bits, k)
+        bf.words = words
+        keys = np.asarray(t["p_partkey"].to_pandas(), dtype=np.int64).astype(np.uint64)
+        m = bf.contains(keys)
+        t = t.filter(pa.array(m))
+        return pa.Table.from_pydict(
+            {
+                "key": t["p_partkey"].cast(pa.int64()),
+                "p_name": t["p_name"],
+                "__bucket": pa.array(
+                    np.asarray(t["p_partkey"].to_pandas(), dtype=np.int64) % 64, pa.int64()
+                ),
+                "__side": pa.array(["p"] * len(t), pa.string()),
+            }
+        )
+
+    cand = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        _prefilter, batch_format="pyarrow"
+    )
+
+    def _li_keys(t: pa.Table) -> pa.Table:
+        k = np.unique(np.asarray(t["l_partkey"].to_pandas(), dtype=np.int64))
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(k, pa.int64()),
+                "p_name": pa.array([""] * len(k), pa.string()),
+                "__bucket": pa.array(k % 64, pa.int64()),
+                "__side": pa.array(["l"] * len(k), pa.string()),
+            }
+        )
+
+    li_keys = _read(sf_dir, "lineitem", columns=["l_partkey"]).map_batches(
+        _li_keys, batch_format="pyarrow"
+    )
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        have = np.unique(g.loc[g["__side"] == "l", "key"].to_numpy())
+        p = g[g["__side"] == "p"]
+        keep = np.isin(p["key"].to_numpy(), have)
+        out = p.loc[keep, ["key", "p_name"]].rename(columns={"key": "p_partkey"})
+        return out
+
+    out = (
+        cand.union(li_keys)
+        .groupby("__bucket")
+        .map_groups(_verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -1,0 +1,67 @@
+"""Mergeable sketches: Bloom (no false negatives, FP near theory,
+OR-merge associativity) and HLL (error bound, max-merge), plus the
+pipelines built on them."""
+
+import numpy as np
+
+from ocr_pipeline_ray.functions.sketches import BloomFilter, HyperLogLog
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_and_fp_bound():
+    rng = np.random.default_rng(0)
+    keys = np.unique(rng.integers(0, 1 << 62, 50_000, dtype=np.int64).astype(np.uint64))
+    others = np.setdiff1d(
+        np.unique(rng.integers(0, 1 << 62, 50_000, dtype=np.int64).astype(np.uint64)), keys
+    )
+    bf = BloomFilter(1 << 20, 5).add(keys)
+    assert bf.contains(keys).all()  # NEVER a false negative
+    fp = bf.contains(others).mean()
+    assert fp < 3 * max(bf.fp_rate(len(keys)), 1e-4)
+
+
+def test_bloom_merge_equals_single_build():
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 1 << 62, 10_000, dtype=np.int64).astype(np.uint64)
+    whole = BloomFilter(1 << 18, 4).add(keys)
+    merged = BloomFilter(1 << 18, 4).add(keys[:5000]).merge(
+        BloomFilter(1 << 18, 4).add(keys[5000:])
+    )
+    assert (whole.words == merged.words).all()
+
+
+def test_hll_error_bound_and_merge():
+    rng = np.random.default_rng(2)
+    for n in (500, 50_000):
+        ks = rng.integers(0, 1 << 62, n, dtype=np.int64).astype(np.uint64)
+        true = len(np.unique(ks))
+        h = HyperLogLog(12).add(ks[: n // 2]).merge(HyperLogLog(12).add(ks[n // 2 :]))
+        err = abs(h.estimate() - true) / true
+        assert err < 0.08  # 1.04/sqrt(4096) ~ 1.6%; 5-sigma headroom
+
+
+def test_hll_pipeline_close_to_exact():
+    from ocr_pipeline_ray.pipelines.events import (
+        distinct_users_hll,
+        distinct_users_per_type,
+    )
+
+    exact = distinct_users_per_type(SF).set_index("event_type")["n_users"]
+    approx = distinct_users_hll(SF).set_index("event_type")["n_users_approx"]
+    assert set(exact.index) == set(approx.index)
+    for etype in exact.index:
+        err = abs(int(approx[etype]) - int(exact[etype])) / max(1, int(exact[etype]))
+        assert err < 0.08, (etype, int(exact[etype]), int(approx[etype]))
+
+
+def test_bloom_semi_join_matches_exact():
+    from ocr_pipeline_ray.pipelines.relational import (
+        parts_with_lineitems,
+        parts_with_lineitems_bloom,
+    )
+
+    exact = parts_with_lineitems(SF)
+    bloomed = parts_with_lineitems_bloom(SF)
+    assert exact["p_partkey"].tolist() == bloomed["p_partkey"].tolist()
+    assert exact["p_name"].tolist() == bloomed["p_name"].tolist()
