@@ -129,8 +129,15 @@ def run_partitioned_extraction(
         shutil.rmtree(tmp_dir, ignore_errors=True)  # torn previous attempt
         shutil.rmtree(part_dir, ignore_errors=True)
 
+        part_kwargs = dict(pipeline_kwargs)
+        if part_kwargs.get("stage_dir"):
+            # kind-split staging is per-partition state: isolate it so
+            # a partition never reads another partition's staged rows
+            part_kwargs["stage_dir"] = os.path.join(part_kwargs["stage_dir"], f"part-{i}")
+            shutil.rmtree(part_kwargs["stage_dir"], ignore_errors=True)
+
         ds = ray.data.read_parquet(part_files)
-        out = build_extraction_pipeline(ds, media_ref, **pipeline_kwargs)
+        out = build_extraction_pipeline(ds, media_ref, **part_kwargs)
         out.write_parquet(tmp_dir)
 
         # partition metrics from the committed parquet (exact, cheap)
