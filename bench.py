@@ -25,6 +25,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+# min-of-N per pipeline: the shared sandbox host has ±2-4x co-tenant
+# load spikes; a single sample can quadruple a 3 s query (measured)
+BENCH_REPS = int(os.environ.get("BENCH_REPS", "2"))
 CORPUS_ROOT = "/tmp/ocr_ray_bench"
 
 
@@ -48,23 +51,26 @@ def run_headline(out: dict) -> None:
     # warm page cache so we measure compute+shuffle, not first disk read
     ray.data.read_parquet(paths["docs"]).count()
 
-    t0 = time.time()
-    ds = read_docs(paths["docs"])
-    result = build_extraction_pipeline(ds, media)
-    sink = f"/tmp/ocr_ray_bench/out_{NUM_CPUS}"
     import shutil
 
-    shutil.rmtree(sink, ignore_errors=True)
-    result.write_parquet(sink)
-    dt = time.time() - t0
+    best = None
+    for _ in range(BENCH_REPS):
+        t0 = time.time()
+        ds = read_docs(paths["docs"])
+        result = build_extraction_pipeline(ds, media)
+        sink = f"/tmp/ocr_ray_bench/out_{NUM_CPUS}"
+        shutil.rmtree(sink, ignore_errors=True)
+        result.write_parquet(sink)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
     n = sum(
         pq.ParquetFile(os.path.join(sink, f)).metadata.num_rows
         for f in os.listdir(sink)
         if f.endswith(".parquet")
     )
-    out["queries"]["extract_headline"] = round(dt, 3)
+    out["queries"]["extract_headline"] = round(best, 3)
     out["docs"] = n
-    out["docs_per_sec"] = round(n / dt, 2)
+    out["docs_per_sec"] = round(n / best, 2)
 
 
 def run_operator_benches(out: dict) -> None:
@@ -100,9 +106,13 @@ def run_operator_benches(out: dict) -> None:
         "media_dimensions": media.media_dimensions,
     }
     for name, fn in benches.items():
-        t0 = time.time()
-        fn(SF_DIR)
-        out["queries"][name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            fn(SF_DIR)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out["queries"][name] = round(best, 3)
 
 
 def bench_once(headline_only: bool = False) -> dict:
@@ -168,7 +178,10 @@ def scaling() -> dict:
     raw efficiency."""
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DOCS=str(SCALING_DOCS))
+        # BENCH_REPS=1: the outer interleaved min-of-2 already damps
+        # host noise; doubling inside each subprocess would only slow
+        # the study without adding an independent sample
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_DOCS=str(SCALING_DOCS), BENCH_REPS="1")
         p = subprocess.run(
             _taskset_prefix(ncpu)
             + [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"), "--headline-only"],
