@@ -875,6 +875,8 @@ def key_set_op(
         .map_groups(_resolve, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty:  # both inputs empty -> schemaless empty frame
+        return pd.DataFrame({"key": pd.Series(dtype="int64")})
     return out.sort_values("key").reset_index(drop=True)
 
 

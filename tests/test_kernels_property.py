@@ -1,0 +1,93 @@
+"""Property tests for the central distributed kernels against their
+single-process pandas equivalents: bucketed_aggregate, partial_topk,
+key_set_op. Random frames via hypothesis; Ray datasets built with
+random block splits so kernel results must be partitioning-invariant."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+from hypothesis import given, settings, strategies as st
+
+from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+
+def _make(seed, nk, n):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {"k": rng.integers(0, nk, n), "v": np.round(rng.random(n) * 100, 3)}
+    )
+
+
+frames = st.builds(_make, st.integers(0, 2**31), st.integers(1, 50), st.integers(1, 300))
+
+
+def _ds(df: pd.DataFrame, n_blocks: int) -> "ray.data.Dataset":
+    return ray.data.from_pandas(df).repartition(min(n_blocks, max(1, len(df))))
+
+
+@settings(max_examples=15, deadline=None)
+@given(frames, st.integers(1, 5))
+def test_bucketed_aggregate_matches_pandas(df, n_blocks):
+    got = (
+        bucketed_aggregate(_ds(df, n_blocks), "k",
+                           {"s": ("v", "sum"), "mn": ("v", "min"),
+                            "mx": ("v", "max"), "n": ("v", "count")},
+                           num_buckets=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert np.allclose(got["s"], exp["s"])
+    assert np.allclose(got["mn"], exp["mn"]) and np.allclose(got["mx"], exp["mx"])
+    assert got["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(frames, st.integers(1, 5), st.integers(1, 8))
+def test_partial_topk_matches_pandas(df, n_blocks, k):
+    got = partial_topk(_ds(df, n_blocks), by=["v", "k"], ascending=[False, True], k=k)
+    exp = df.sort_values(["v", "k"], ascending=[False, True]).head(k).reset_index(drop=True)
+    assert got["v"].tolist() == exp["v"].tolist()
+    assert got["k"].tolist() == exp["k"].tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(frames, st.integers(1, 5), st.integers(1, 8))
+def test_partial_topk_grouped_matches_pandas(df, n_blocks, k):
+    df = df.assign(g=(df["k"] % 3).astype("int64"))
+    got = partial_topk(
+        _ds(df, n_blocks), by=["v", "k"], ascending=[False, True], k=k, group="g"
+    )
+    exp = (
+        df.sort_values(["v", "k"], ascending=[False, True])
+        .groupby("g", sort=False)
+        .head(k)
+    )
+    got_s = got.sort_values(["g", "v", "k"], ascending=[True, False, True]).reset_index(drop=True)
+    exp_s = exp.sort_values(["g", "v", "k"], ascending=[True, False, True]).reset_index(drop=True)
+    assert got_s[["g", "k", "v"]].values.tolist() == exp_s[["g", "k", "v"]].values.tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31), st.integers(0, 40), st.integers(0, 40))
+def test_key_set_op_matches_python_sets(tmp_path_factory, seed, na, nb):
+    from ocr_pipeline_ray.pipelines.relational import key_set_op
+
+    rng = np.random.default_rng(seed)
+    a = np.unique(rng.integers(0, 60, na)) if na else np.array([], dtype=np.int64)
+    b = np.unique(rng.integers(0, 60, nb)) if nb else np.array([], dtype=np.int64)
+    d = tmp_path_factory.mktemp("setop")
+    pd.DataFrame({"c_custkey": a.astype("int64")}).to_parquet(d / "customer.parquet")
+    pd.DataFrame({"s_suppkey": b.astype("int64")}).to_parquet(d / "supplier.parquet")
+    inter = key_set_op(str(d), ("customer", "c_custkey"), ("supplier", "s_suppkey"), "intersect")
+    exc = key_set_op(str(d), ("customer", "c_custkey"), ("supplier", "s_suppkey"), "except")
+    assert inter["key"].tolist() == sorted(set(a) & set(b))
+    assert exc["key"].tolist() == sorted(set(a) - set(b))
