@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_terms": text.vocab_top_terms,
         "doc_length_histogram": text.doc_length_histogram,
         "hash_sample": text.hash_sample,
+        "tfidf_top_term": text.tfidf_top_term,
+        # vector aggregates over the embeddings table
+        "label_centroid_stats": similarity.label_centroid_stats,
+        "label_centroid_norms": similarity.label_centroid_norms,
     }
 
 
@@ -153,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
         "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,
         "hash_sample": text.HASH_SAMPLE_SQL,
+        "tfidf_top_term": text.TFIDF_TOP_TERM_SQL,
+        "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
         "knn_brute_force": similarity.knn_sql(),
         "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "media_dimensions": media.MEDIA_DIMENSIONS_SQL,

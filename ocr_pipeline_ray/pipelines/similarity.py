@@ -316,3 +316,74 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95, n_bits: int = 12
     if out.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
     return out.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def label_centroid_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped VECTOR aggregate: per label, the vector count and the
+    mean of per-row component sums — the centroid-building shape
+    (per-batch partial vector sums by label, tiny combine; labels are
+    low-cardinality so the final reduce is trivial). Output
+    (label, n_vecs, avg_sum) is scalar, so DuckDB list_aggregate gives
+    an exact oracle; the full centroid vectors come from
+    :func:`label_centroids` (list-typed, pytest-checked)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sums = np.stack(df["embedding"].to_numpy()).astype(np.float64).sum(axis=1)
+        g = pd.DataFrame({"label": df["label"].to_numpy(), "s": sums, "n": 1})
+        return g.groupby("label", as_index=False).agg(s=("s", "sum"), n=("n", "size"))
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("label", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+    out["avg_sum"] = np.round(out["s"] / out["n"], 4)
+    out["n_vecs"] = out["n"].astype("int64")
+    out["label"] = out["label"].astype("int64")
+    return out[["label", "n_vecs", "avg_sum"]].sort_values("label").reset_index(drop=True)
+
+
+LABEL_CENTROID_STATS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       round(avg(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')), 4) AS avg_sum
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Full centroid vectors per label (mean embedding): per-batch
+    partial (sum vector, count) by label -> driver combine (|labels| x
+    dim — tiny). List-typed output; correctness via pytest (centroid
+    of planted clusters recovers the cluster means) and via
+    :func:`label_centroid_stats`' oracle on the scalar projection."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append((int(label), m.sum(axis=0).tolist(), len(g)))
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "n"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for label, g in parts.groupby("label"):
+        total = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+        n = int(g["n"].sum())
+        out_rows.append((int(label), (total / n).round(6).tolist(), n))
+    return (
+        pd.DataFrame(out_rows, columns=["label", "centroid", "n_vecs"])
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+
+
+def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
+    """Driver-friendly scalar projection of :func:`label_centroids`:
+    (label, n_vecs, centroid_norm) — list columns don't hash-compare,
+    so the full vectors stay a library/pytest surface."""
+    cents = label_centroids(sf_dir)
+    cents["centroid_norm"] = np.round(
+        [float(np.linalg.norm(np.asarray(v))) for v in cents["centroid"]], 4
+    )
+    out = cents[["label", "n_vecs", "centroid_norm"]].copy()
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out

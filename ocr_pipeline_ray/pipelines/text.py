@@ -232,3 +232,104 @@ HASH_SAMPLE_SQL = r"""
 SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
 FROM documents WHERE doc_id % 10 = 3 ORDER BY doc_id
 """
+
+
+def tfidf_top_term(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top TF-IDF term (the discriminative-term primitive):
+
+    1. document frequency per term: per-batch per-doc-deduped
+       (doc, term) pairs reduce through the high-cardinality-safe
+       bucketed aggregate (the vocabulary is the key domain);
+    2. the df map broadcasts once (vocabulary << corpus);
+    3. one streaming pass scores tf * ln(N/df) per doc and keeps the
+       argmax (tie -> lexicographically first term).
+
+    Ranking uses unrounded scores (matching the SQL window order);
+    the reported tfidf rounds to 4 decimals for hash comparison."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_terms(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for s in t["text"].to_pylist():
+            terms.extend(set(TOKEN_RE.findall(s.lower())))
+        uniq, counts = (
+            np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            if terms
+            else (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "df": pa.array(counts, pa.int64())}
+        )
+
+    df_tab = (
+        bucketed_aggregate(
+            ds.map_batches(_doc_terms, batch_format="pyarrow"),
+            "term",
+            {"df": ("df", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("term")
+    )
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    df_ref = ray.put((df_tab["term"].to_numpy(), df_tab["df"].to_numpy().astype(np.float64)))
+
+    class _Score:
+        def __init__(self):
+            self.terms, self.dfs = ray.get(df_ref)
+            self.idf = np.log(float(n_docs) / self.dfs)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, top_terms, scores = [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                toks = TOKEN_RE.findall(s.lower())
+                if not toks:
+                    continue
+                uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                idx = np.searchsorted(self.terms, uniq)
+                score = tf * self.idf[idx]
+                best = np.lexsort((uniq, -score))[0]  # max score, tie term asc
+                ids.append(did)
+                top_terms.append(str(uniq[best]))
+                scores.append(round(float(score[best]), 4))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "term": pa.array(top_terms, pa.string()),
+                    "tfidf": pa.array(scores, pa.float64()),
+                }
+            )
+
+    return (
+        ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+TFIDF_TOP_TERM_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                                     tf.term) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, round(score, 4) AS tfidf
+FROM scored WHERE rn = 1 ORDER BY doc_id
+"""

@@ -132,3 +132,28 @@ def test_simhash_neardup_planted(tmp_path):
     got = {(r.a, r.b) for r in pairs.itertuples()}
     assert (10, 11) in got
     assert all(12 not in p for p in got)
+
+
+def test_label_centroids_recover_planted_clusters(tmp_path):
+    """Centroid of each planted cluster ~= the cluster mean."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    means = {0: rng.standard_normal(16) * 3, 1: rng.standard_normal(16) * 3}
+    rows = []
+    for label, mu in means.items():
+        for i in range(40):
+            rows.append((len(rows), (mu + rng.standard_normal(16) * 0.1).tolist(), label))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = tmp_path / "emb"
+    d.mkdir()
+    df.to_parquet(d / "embeddings.parquet")
+
+    from ocr_pipeline_ray.pipelines.similarity import label_centroids
+
+    cents = label_centroids(str(d))
+    assert cents["n_vecs"].tolist() == [40, 40]
+    for _, row in cents.iterrows():
+        err = np.linalg.norm(np.asarray(row["centroid"]) - means[row["label"]])
+        assert err < 0.15
