@@ -148,8 +148,25 @@ def strip_boilerplate_ref(html: str) -> str:
 # capture groups (slash, tag, attrs) so re.split yields a flat
 # [data, slash, tag, attrs, data, ...] stream — no match objects, no
 # per-tag .group()/.start()/.end() calls in the hot loop.
+# The attr body is an ATOMIC-group alternation with a possessive
+# star (Python 3.11 re): a quote opens a quoted value only right
+# after '=' (HTMLParser's rule — elsewhere a quote is a plain char),
+# each closed quoted value is consumed atomically, and the possessive
+# star forbids give-back backtracking — so malformed input (e.g. a
+# crawl document truncated mid-tag, full of quote pairs) fails in
+# LINEAR time instead of the exponential blowup the naive overlapping
+# alternation ("..."|'...'|[^>])* exhibits (confirmed: 2x per added
+# quote pair). KNOWN DIVERGENCE from the HTMLParser reference path:
+# an attribute value that OPENS a quote and never closes it anywhere
+# (e.g. a doc truncated inside <p a=" ...) — HTMLParser then treats
+# the '<' as literal data; the fast path ends the tag at the next
+# '>'. Both behaviors are arbitrary on that malformed input; the
+# differential suite pins every well-formed and every other malformed
+# shape.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[\s/](?:\"[^\"]*\"|'[^']*'|[^>])*)?)>|<!--.*?-->|<![^>]*>",
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:[\s/](?:=\s*(?>\"[^\"]*\")|=\s*(?>'[^']*')|[^>])*+)?)>"
+    r"|<!--.*?-->|<![^>]*>",
     re.S,
 )
 

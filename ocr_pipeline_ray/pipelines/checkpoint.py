@@ -108,10 +108,19 @@ def run_partitioned_extraction(
     parts = _partitions(files, n_parts)
     # resume trusts a lineage record only if its input_files match the
     # current striped assignment — a changed file set or n_parts
-    # invalidates stale commits instead of silently skipping new work
+    # invalidates stale commits instead of silently skipping new work.
+    # Cleanup covers EVERY existing part index (committed or not, in
+    # or beyond the current layout): a resume=False re-run with fewer
+    # parts must not leave old part-{i} dirs that read_output would
+    # then concatenate as duplicates.
     done = valid_committed_partitions(out_dir, parts) if resume else set()
-    stale = committed_partitions(out_dir) - done
-    for i in sorted(stale) if resume else range(len(parts)):
+    existing = committed_partitions(out_dir) | {
+        int(d[len("part-"):])
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and not d.endswith(".tmp") and d[len("part-"):].isdigit()
+    }
+    stale = existing - done if resume else existing | set(range(len(parts)))
+    for i in sorted(stale):
         shutil.rmtree(os.path.join(out_dir, f"part-{i}"), ignore_errors=True)
         lp = os.path.join(out_dir, "_lineage", f"part-{i}.json")
         if os.path.exists(lp):

@@ -55,7 +55,7 @@ def events_hourly(sf_dir: str) -> pd.DataFrame:
         bucketed_aggregate(
             ds.map_batches(add_hour, batch_format="pandas"),
             ["event_type", "hour"],
-            {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+            {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
         )
         .to_pandas()
         .sort_values(["event_type", "hour"])

@@ -53,20 +53,75 @@ _NAV = '<a href="/">home</a> | <a href="/a">about</a> | <a href="/c">contact</a>
 
 
 def _wrap_row(doc_id_int: int, text: str, codec: str = "synthetic") -> tuple[str, list[dict], list[tuple]]:
+    """Full wrap (spans + media) — used by the inline fused topology,
+    which genuinely needs both halves in one pass. Pdf blocks are
+    stored out of reading order -> the decoder must re-sort; the text
+    span's expected extraction matches
+    trim(regexp_replace(text,'\\s+',' ','g'))."""
+    doc_id, spans = _wrap_spans_only(doc_id_int, text)
+    media = _wrap_media_only(doc_id_int, text, codec)
+    return doc_id, spans, media
+
+
+def _wrap_spans_only(doc_id_int: int, text: str) -> tuple[str, list[dict]]:
+    """The docs-side half of :func:`_wrap_row`: builds the HTML wrap
+    and span skeleton WITHOUT encoding any media payloads (the media
+    dataset does the complementary half — neither side pays for the
+    other's work)."""
     doc_id = f"doc-{doc_id_int:08d}"
     html = (
         f"<html><body><nav>{_NAV}</nav>"
         f'<div class="content"><p>{text}</p></div>'
         f"<div>(c) corp</div><footer>{_NAV}</footer></body></html>"
     )
-    # normalize (not lower): must match trim(regexp_replace(text,'\s+',' ','g'))
+    spans = [
+        {"kind": "text", "text": html, "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": f"mem://{doc_id}/1", "offset": 1},
+        {"kind": "pdf", "text": "", "media_ref": f"mem://{doc_id}/2", "offset": 2},
+    ]
+    return doc_id, spans
+
+
+def _wrap_docs_batch(codec: str):
+    def _f(t: pa.Table) -> pa.Table:
+        ids, spans_col = [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            doc_id, spans = _wrap_spans_only(did, text)
+            ids.append(doc_id)
+            spans_col.append(spans)
+        return pa.Table.from_pydict({"doc_id": ids, "spans": spans_col}, schema=DOCS_SCHEMA)
+
+    return _f
+
+
+def _wrap_media_batch(codec: str):
+    def _f(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            rows.extend(_wrap_media_only(did, text, codec))
+        return pa.Table.from_pydict(
+            {
+                "media_ref": [m[0] for m in rows],
+                "kind": [m[1] for m in rows],
+                "payload": [m[2] for m in rows],
+                "n_pages": [m[3] for m in rows],
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _f
+
+
+def _wrap_media_only(doc_id_int: int, text: str, codec: str) -> list[tuple]:
+    """The media-side half of :func:`_wrap_row`: payload encoding
+    without rebuilding the HTML wrap."""
+    doc_id = f"doc-{doc_id_int:08d}"
     toks = TOKEN_RE.findall(text)
     img_ref = f"mem://{doc_id}/1"
     pdf_ref = f"mem://{doc_id}/2"
     if codec == "ppm":
         img_payload = render_text_ppm(" ".join(toks[:5]))
         if len(toks) >= 10:
-            # stored out of reading order -> the decoder must re-sort
             pdf_payload = encode_pdf_ppm(
                 [(1, 0, " ".join(toks[7:10])), (0, 0, " ".join(toks[5:7]))]
             )
@@ -80,44 +135,7 @@ def _wrap_row(doc_id_int: int, text: str, codec: str = "synthetic") -> tuple[str
             pdf_payload = encode_pdf_payload([[block_b, block_a]])  # stored reversed
         else:
             pdf_payload = encode_pdf_payload([])
-    spans = [
-        {"kind": "text", "text": html, "media_ref": "", "offset": 0},
-        {"kind": "image", "text": "", "media_ref": img_ref, "offset": 1},
-        {"kind": "pdf", "text": "", "media_ref": pdf_ref, "offset": 2},
-    ]
-    media = [(img_ref, "image", img_payload, 1), (pdf_ref, "pdf", pdf_payload, 1)]
-    return doc_id, spans, media
-
-
-def _wrap_docs_batch(codec: str):
-    def _f(t: pa.Table) -> pa.Table:
-        ids, spans_col = [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            doc_id, spans, _ = _wrap_row(did, text, codec)
-            ids.append(doc_id)
-            spans_col.append(spans)
-        return pa.Table.from_pydict({"doc_id": ids, "spans": spans_col}, schema=DOCS_SCHEMA)
-
-    return _f
-
-
-def _wrap_media_batch(codec: str):
-    def _f(t: pa.Table) -> pa.Table:
-        rows = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            _, _, media = _wrap_row(did, text, codec)
-            rows.extend(media)
-        return pa.Table.from_pydict(
-            {
-                "media_ref": [m[0] for m in rows],
-                "kind": [m[1] for m in rows],
-                "payload": [m[2] for m in rows],
-                "n_pages": [m[3] for m in rows],
-            },
-            schema=MEDIA_SCHEMA,
-        )
-
-    return _f
+    return [(img_ref, "image", img_payload, 1), (pdf_ref, "pdf", pdf_payload, 1)]
 
 
 def interleaved_datasets(

@@ -181,7 +181,7 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-_COMBINE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+_COMBINE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum", "size": "sum"}
 
 
 def bucketed_aggregate(
@@ -205,12 +205,12 @@ def bucketed_aggregate(
        combine per bucket.
 
     ``agg_spec``: ``out_col -> (in_col, fn)`` with fn in
-    sum|min|max|count (count partials combine by summing).
+    sum|min|max|count|size. SQL semantics: ``size`` is COUNT(*) (rows,
+    nulls included); ``count`` is COUNT(col) (non-null only). Count
+    partials combine by summing.
     """
     key_cols = [keys] if isinstance(keys, str) else list(keys)
-    partial_spec = {
-        out: (c, "size" if fn == "count" else fn) for out, (c, fn) in agg_spec.items()
-    }
+    partial_spec = {out: (c, fn) for out, (c, fn) in agg_spec.items()}
     combine_spec = {
         out: (out, _COMBINE_FN[fn]) for out, (_, fn) in agg_spec.items()
     }
@@ -229,6 +229,24 @@ def bucketed_aggregate(
         .groupby("__bucket")
         .map_groups(_combine, batch_format="pandas")
     )
+
+
+def _rev_partials(filter_fn=None):
+    """Shared q3/q5/q10 lineitem stage: optional vectorized filter,
+    rev = extendedprice*(1-discount), partial-aggregate per
+    (batch, orderkey) so the shuffle moves one row per key per batch
+    instead of one per lineitem row."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        if filter_fn is not None:
+            t = t.filter(filter_fn(t))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
+        )
+
+    return prep
 
 
 def partial_topk(
@@ -341,15 +359,9 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-03-15"))))
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        # partial aggregate per batch: the groupby shuffle moves one
-        # row per (batch, orderkey), not one per lineitem
-        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
-        return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
-        )
+    prep = _rev_partials(
+        lambda t: pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-03-15")))
+    )
 
     # join FIRST (the inner join doubles as the semi filter, so the
     # one shuffle moves lineitem partials exactly once), then the
@@ -424,13 +436,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        # partial aggregate per (batch, orderkey) before the shuffle
-        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
-        return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
-        )
+    prep = _rev_partials()
 
     joined = shuffle_hash_join(
         li.map_batches(prep, batch_format="pyarrow"), orders_n, on="l_orderkey", num_buckets=32,
@@ -656,14 +662,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     than the answer."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        # partial aggregate per (batch, orderkey) before the shuffle
-        df = pa.Table.from_arrays([t["l_orderkey"], rev], names=["l_orderkey", "rev"]).to_pandas()
-        return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False)["rev"].sum(), preserve_index=False
-        )
+    prep = _rev_partials(lambda t: pc.equal(t["l_returnflag"], pa.scalar("R")))
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
@@ -931,7 +930,7 @@ def quantity_quantiles(sf_dir: str, ps=QUANTILE_PS) -> pd.DataFrame:
                 lambda df: df.assign(n=1)[["l_quantity", "n"]], batch_format="pandas"
             ),
             "l_quantity",
-            {"n": ("n", "count")},
+            {"n": ("n", "size")},
             num_buckets=8,
         )
         .to_pandas()
@@ -1001,22 +1000,23 @@ def parts_with_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
     bloom = build_bloom(_read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
     bloom_ref = ray.put((bloom.words, bloom.n_bits, bloom.k))
 
+    num_buckets = 64  # same coarse-bucket width as key_set_op
+
     def _prefilter(t: pa.Table) -> pa.Table:
         from ocr_pipeline_ray.functions.sketches import BloomFilter
 
         words, n_bits, k = ray.get(bloom_ref)
         bf = BloomFilter(n_bits, k)
         bf.words = words
-        keys = np.asarray(t["p_partkey"].to_pandas(), dtype=np.int64).astype(np.uint64)
-        m = bf.contains(keys)
+        keys = np.asarray(t["p_partkey"].to_pandas(), dtype=np.int64)
+        m = bf.contains(keys.astype(np.uint64))
         t = t.filter(pa.array(m))
+        kept = keys[m]
         return pa.Table.from_pydict(
             {
-                "key": t["p_partkey"].cast(pa.int64()),
+                "key": pa.array(kept, pa.int64()),
                 "p_name": t["p_name"],
-                "__bucket": pa.array(
-                    np.asarray(t["p_partkey"].to_pandas(), dtype=np.int64) % 64, pa.int64()
-                ),
+                "__bucket": pa.array(kept % num_buckets, pa.int64()),
                 "__side": pa.array(["p"] * len(t), pa.string()),
             }
         )
@@ -1031,7 +1031,7 @@ def parts_with_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
             {
                 "key": pa.array(k, pa.int64()),
                 "p_name": pa.array([""] * len(k), pa.string()),
-                "__bucket": pa.array(k % 64, pa.int64()),
+                "__bucket": pa.array(k % num_buckets, pa.int64()),
                 "__side": pa.array(["l"] * len(k), pa.string()),
             }
         )

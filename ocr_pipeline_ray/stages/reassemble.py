@@ -56,6 +56,18 @@ def pack_bucket(group: pa.Table) -> pa.Table:
     """
     import numpy as np
 
+    if len(group) == 0:
+        # empty block (e.g. an empty input shard through the fused
+        # local-pack path) -> typed empty doc table, not an IndexError
+        return pa.Table.from_arrays(
+            [
+                pa.array([], pa.string()),
+                pa.array([], pa.list_(SPAN_STRUCT)),
+                pa.array([], pa.int32()),
+                pa.array([], pa.int32()),
+            ],
+            names=["doc_id", "spans", "n_spans", "n_errors"],
+        )
     order = pc.sort_indices(
         group, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
     )

@@ -107,6 +107,21 @@ def test_read_output_ignores_uncommitted_dirs(corpus, tmp_path):
     assert _spans_key(read_output(out)) == _spans_key(base)
 
 
+def test_no_resume_rerun_with_fewer_parts_never_duplicates(corpus, tmp_path):
+    """resume=False with a smaller n_parts must clean up ALL old part
+    dirs (including indices beyond the new layout) — otherwise
+    read_output concatenates stale parts and duplicates docs."""
+    paths, media = corpus
+    out = str(tmp_path / "shrink")
+    run_partitioned_extraction(paths["docs"], media, out, n_parts=8)
+    first = read_output(out)
+    summary = run_partitioned_extraction(paths["docs"], media, out, n_parts=3, resume=False)
+    assert sorted(summary["ran"]) == [0, 1, 2]
+    again = read_output(out)
+    assert again.num_rows == first.num_rows == 300
+    assert _spans_key(again) == _spans_key(first)
+
+
 def test_lineage_records(corpus, tmp_path):
     paths, media = corpus
     out = str(tmp_path / "lin")

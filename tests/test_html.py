@@ -86,7 +86,23 @@ DIFFERENTIAL_CASES = [
     f"<p>{MAIN}",  # unterminated block
     f"{MAIN} <p",  # dangling open bracket
     page(f"<p>{MAIN}</p><aside>{MAIN}</aside>"),
+    page(f'<a href=x" y>dangling quote</a> {MAIN}'),  # quote not after '='
+    page(f"<a href=x' y>dangling squote</a> {MAIN}"),
+    page(f'<p a="x > y">{MAIN}</p>'),  # '>' inside quoted value
+    page(f'<a href = "spaced > quote">{MAIN}</a> {MAIN}'),
+    page('<a ' + '"" ' * 10 + f">weird attrs</a> {MAIN}"),
 ]
+
+
+def test_no_catastrophic_backtracking():
+    """A document truncated mid-tag with many quote pairs must strip in
+    linear time (the overlapping-alternation regex hung here)."""
+    import time
+
+    for evil in ['<a ' + '"" ' * 200, '<a ' + '" ' * 200, '<a ' + '="" ' * 200, '<a ' + '=" ' * 120]:
+        t0 = time.time()
+        strip_boilerplate(evil + MAIN)
+        assert time.time() - t0 < 0.5
 
 
 def test_differential_targeted():

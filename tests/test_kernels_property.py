@@ -32,7 +32,7 @@ def test_bucketed_aggregate_matches_pandas(df, n_blocks):
     got = (
         bucketed_aggregate(_ds(df, n_blocks), "k",
                            {"s": ("v", "sum"), "mn": ("v", "min"),
-                            "mx": ("v", "max"), "n": ("v", "count")},
+                            "mx": ("v", "max"), "n": ("v", "size")},
                            num_buckets=7)
         .to_pandas()
         .sort_values("k")
