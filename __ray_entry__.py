@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keys_in_both": relational.keys_in_both,
         "custkeys_not_suppkeys": relational.custkeys_not_suppkeys,
         "quantity_quantiles": relational.quantity_quantiles,
+        "order_price_quantiles_sketch": relational.order_price_quantiles_sketch,
         # stream-shaped
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": text.doc_length_histogram,
         "hash_sample": text.hash_sample,
         "tfidf_top_term": text.tfidf_top_term,
+        "curate_corpus": text.curate_corpus,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
         "label_centroid_norms": similarity.label_centroid_norms,

@@ -129,3 +129,68 @@ class HyperLogLog:
         if est <= 2.5 * m and zeros:
             return float(m * np.log(m / zeros))  # linear counting
         return float(est)
+
+
+class KLLSketch:
+    """KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016
+    family): a hierarchy of compactors; level i items carry weight
+    2^i. ``add`` buffers at level 0, compaction keeps alternating
+    ranked items (deterministic seeded parity choice), ``merge``
+    concatenates level-wise then re-compacts. Rank error is
+    O(1/k) * n with ~2k items of state — the continuous-domain
+    complement of the exact discrete value-count quantiles."""
+
+    def __init__(self, k: int = 256, seed: int = 17):
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self._rng = np.random.default_rng(seed)
+
+    def add(self, values) -> "KLLSketch":
+        vs = np.asarray(values, dtype=np.float64)
+        self.levels[0].extend(vs.tolist())
+        self._compress()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for i, lvl in enumerate(other.levels):
+            self.levels[i].extend(lvl)
+        self._compress()
+        return self
+
+    def _capacity(self, level: int) -> int:
+        # geometrically decaying capacities toward higher levels,
+        # floored so every level keeps a useful population
+        return max(8, int(self.k * (2 / 3) ** (len(self.levels) - 1 - level)))
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self._capacity(i):
+                buf = np.sort(np.asarray(self.levels[i], dtype=np.float64))
+                start = int(self._rng.integers(0, 2))
+                promoted = buf[start::2]
+                self.levels[i] = []
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[i + 1].extend(promoted.tolist())
+            i += 1
+
+    def quantile(self, q: float) -> float:
+        items, weights = [], []
+        for lvl, buf in enumerate(self.levels):
+            items.extend(buf)
+            weights.extend([1 << lvl] * len(buf))
+        if not items:
+            return float("nan")
+        it = np.asarray(items, dtype=np.float64)
+        w = np.asarray(weights, dtype=np.float64)
+        order = np.argsort(it)
+        it, w = it[order], w[order]
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        return float(it[np.searchsorted(cum, target)] if target <= cum[-1] else it[-1])
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]

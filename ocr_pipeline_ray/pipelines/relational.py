@@ -1056,3 +1056,35 @@ def parts_with_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def order_price_quantiles_sketch(sf_dir: str, ps=QUANTILE_PS, k: int = 256) -> pd.DataFrame:
+    """APPROXIMATE quantiles over the CONTINUOUS o_totalprice domain
+    via a mergeable KLL-style sketch: one ~2k-item partial sketch per
+    batch (emitted as (level, value) rows — a few hundred rows
+    regardless of batch size), level-wise merge + recompress on the
+    driver. The continuous-domain complement of the exact discrete
+    :func:`quantity_quantiles`; rank error is property-tested against
+    the exact sorted quantiles (no SQL oracle — approximate by
+    design)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.sketches import KLLSketch
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = KLLSketch(k).add(df["o_totalprice"].to_numpy())
+        rows = [(lvl, v) for lvl, buf in enumerate(s.levels) for v in buf]
+        return pd.DataFrame(rows, columns=["level", "value"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    merged = KLLSketch(k)
+    for lvl, g in parts.groupby("level"):
+        while len(merged.levels) <= lvl:
+            merged.levels.append([])
+        merged.levels[int(lvl)].extend(g["value"].tolist())
+    merged._compress()
+    return pd.DataFrame(
+        {"p": list(ps), "value": np.round(merged.quantiles(ps), 4)}
+    )

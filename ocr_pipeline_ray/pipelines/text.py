@@ -333,3 +333,41 @@ scored AS (
 SELECT doc_id, term, round(score, 4) AS tfidf
 FROM scored WHERE rn = 1 ORDER BY doc_id
 """
+
+
+def curate_corpus(sf_dir: str, min_quality: float = 0.5, langs=("en", "unknown")) -> pd.DataFrame:
+    """End-to-end corpus curation COMPOSITION — the shape of a real
+    training-data job: one streaming pass computes quality + language
+    per doc and filters; survivors emit (md5, doc_id) pairs; the
+    bucketed min-per-hash aggregate keeps one doc per identical text.
+    Output: surviving doc_ids (rows-only check; each component is
+    oracle- or property-tested on its own)."""
+    import hashlib
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _signals(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if quality_stats(s)["quality_score"] < min_quality:
+                continue
+            if detect_language(s) not in langs:
+                continue
+            ids.append(did)
+            hs.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.string())}
+        )
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_signals, batch_format="pyarrow"),
+            "h", {"doc_id": ("doc_id", "min")},
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)

@@ -65,3 +65,31 @@ def test_bloom_semi_join_matches_exact():
     bloomed = parts_with_lineitems_bloom(SF)
     assert exact["p_partkey"].tolist() == bloomed["p_partkey"].tolist()
     assert exact["p_name"].tolist() == bloomed["p_name"].tolist()
+
+
+def test_kll_rank_error_bound_and_merge():
+    rng = np.random.default_rng(4)
+    data = rng.lognormal(3, 1, 200_000)
+    from ocr_pipeline_ray.functions.sketches import KLLSketch
+
+    parts = [KLLSketch(256).add(c) for c in np.array_split(data, 20)]
+    s = parts[0]
+    for p in parts[1:]:
+        s.merge(p)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est_rank = (data <= s.quantile(q)).mean()
+        assert abs(est_rank - q) < 0.02, (q, est_rank)
+    assert sum(len(l) for l in s.levels) < 4 * 256  # bounded state
+
+
+def test_kll_pipeline_close_to_exact():
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.relational import order_price_quantiles_sketch
+
+    got = order_price_quantiles_sketch(SF)
+    prices = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])["o_totalprice"].to_numpy()
+    for _, row in got.iterrows():
+        est_rank = (prices <= row["value"]).mean()
+        assert abs(est_rank - row["p"]) < 0.05, (row["p"], est_rank)

@@ -45,3 +45,31 @@ def test_winnowing_overlap_property():
     assert fp_base == fp_same
     assert len(fp_base & fp_other) == 0
     assert winnow_fingerprints("too short") == []
+
+
+def test_curate_corpus_composition(tmp_path):
+    """Quality junk dropped, duplicates collapse to min doc_id,
+    survivors keep their ids."""
+    import pandas as pd
+
+    good = ("the quick brown fox jumps over the lazy dog and runs to the river "
+            "bank again today with plenty of good long english words to read")
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                good,
+                good,                      # exact dup of 0 -> dropped
+                "@@## !!",                # junk -> quality-filtered
+                good + " unique tail",    # distinct survivor
+                "x",                       # too short -> filtered
+            ],
+        }
+    )
+    d = tmp_path / "cur"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    from ocr_pipeline_ray.pipelines.text import curate_corpus
+
+    out = curate_corpus(str(d))
+    assert out["doc_id"].tolist() == [0, 3]
