@@ -35,6 +35,10 @@ _BLOCK_TAGS = frozenset(
 )
 _BOILER_TAGS = frozenset("nav footer header aside form".split())
 _SKIP_TAGS = frozenset("script style noscript template".split())
+# HTMLParser puts ONLY these two into CDATA mode (opaque content,
+# ended solely by the exact matching close tag); noscript/template
+# parse normally and are handled by depth counting
+_CDATA_TAGS = frozenset(("script", "style"))
 
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.33
@@ -195,6 +199,7 @@ def strip_boilerplate(html: str) -> str:
     boiler_depth = 0
     skip_depth = 0
     link_depth = 0
+    cdata_tag = None  # inside <script>/<style>: HTMLParser CDATA mode
     tag_class = _TAG_CLASS
     _append = blocks.append
 
@@ -210,11 +215,26 @@ def strip_boilerplate(html: str) -> str:
             data = parts[0]
         i += 4
         if tag is not None:
-            cls = tag_class.get(tag)
-            if cls is None and not tag.islower():
-                cls = tag_class.get(tag.lower())
+            low = tag if tag.islower() else tag.lower()
+            if cdata_tag is not None:
+                # CDATA content is opaque: NOTHING is an event except
+                # the exact matching close (</script> with at most
+                # whitespace before '>') — inner tags must not touch
+                # the depth counters (HTMLParser semantics). On exit,
+                # fall through: the data AFTER the close tag is
+                # outside the CDATA region.
+                if slash and low == cdata_tag and (not attrs or attrs.isspace()):
+                    cdata_tag = None
+                else:
+                    continue
+                cls = None
+            else:
+                cls = tag_class.get(low)
             if cls is not None:
-                self_closing = bool(attrs) and attrs[-1] == "/"
+                # a trailing '/' marks self-closing ONLY on an opening
+                # tag; '</nav/>' is a (malformed) CLOSING tag and must
+                # still decrement, or all later text is dropped
+                self_closing = (not slash) and bool(attrs) and attrs[-1] == "/"
                 if cls == _CLS_BLOCK:
                     if cur is not None:
                         _append((cur, cur_link, cur_boiler))
@@ -243,9 +263,11 @@ def strip_boilerplate(html: str) -> str:
                         if slash:
                             if skip_depth > 0:
                                 skip_depth -= 1
+                        elif low in _CDATA_TAGS:
+                            cdata_tag = low
                         else:
                             skip_depth += 1
-        if data and not skip_depth:
+        if data and not skip_depth and cdata_tag is None:
             if cur is None:
                 cur = []
                 cur_boiler = boiler_depth > 0

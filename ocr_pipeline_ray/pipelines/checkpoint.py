@@ -114,14 +114,15 @@ def run_partitioned_extraction(
     # parts must not leave old part-{i} dirs that read_output would
     # then concatenate as duplicates.
     done = valid_committed_partitions(out_dir, parts) if resume else set()
-    existing = committed_partitions(out_dir) | {
-        int(d[len("part-"):])
-        for d in os.listdir(out_dir)
-        if d.startswith("part-") and not d.endswith(".tmp") and d[len("part-"):].isdigit()
-    }
+    existing = committed_partitions(out_dir)
+    for d in os.listdir(out_dir):
+        name = d[:-len(".tmp")] if d.endswith(".tmp") else d
+        if name.startswith("part-") and name[len("part-"):].isdigit():
+            existing.add(int(name[len("part-"):]))
     stale = existing - done if resume else existing | set(range(len(parts)))
     for i in sorted(stale):
         shutil.rmtree(os.path.join(out_dir, f"part-{i}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, f"part-{i}.tmp"), ignore_errors=True)
         lp = os.path.join(out_dir, "_lineage", f"part-{i}.json")
         if os.path.exists(lp):
             os.remove(lp)

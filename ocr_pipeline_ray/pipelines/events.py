@@ -430,7 +430,6 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
     — O(2^p) state per group at any cardinality, the sketch analog of
     :func:`distinct_users_per_type`. No SQL oracle (approximate by
     design); accuracy vs the exact operator is property-tested."""
-    import pyarrow as pa
 
     from ocr_pipeline_ray.functions.sketches import HyperLogLog
 

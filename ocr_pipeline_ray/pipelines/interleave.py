@@ -82,7 +82,9 @@ def _wrap_spans_only(doc_id_int: int, text: str) -> tuple[str, list[dict]]:
     return doc_id, spans
 
 
-def _wrap_docs_batch(codec: str):
+def _wrap_docs_batch():
+    # the span skeleton is codec-independent — only the media side
+    # varies with the payload codec
     def _f(t: pa.Table) -> pa.Table:
         ids, spans_col = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
@@ -146,7 +148,7 @@ def interleaved_datasets(
     driver never holds a corpus-sized table."""
     path = f"{sf_dir}/documents.parquet"
     docs = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
-        _wrap_docs_batch(codec), batch_format="pyarrow"
+        _wrap_docs_batch(), batch_format="pyarrow"
     )
     media = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
         _wrap_media_batch(codec), batch_format="pyarrow"

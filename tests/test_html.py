@@ -91,6 +91,17 @@ DIFFERENTIAL_CASES = [
     page(f'<p a="x > y">{MAIN}</p>'),  # '>' inside quoted value
     page(f'<a href = "spaced > quote">{MAIN}</a> {MAIN}'),
     page('<a ' + '"" ' * 10 + f">weird attrs</a> {MAIN}"),
+    # malformed closing tags with trailing slash must still close
+    page(f"<nav>junk</nav/>{MAIN} and still long enough to be kept"),
+    page(f"<a>link</a/>{MAIN} and still long enough to be kept"),
+    # CDATA opacity: tags inside script/style are NOT events
+    page(f"<script><nav><p>inner</p></nav></script><p>{MAIN}</p>"),
+    page(f"<style>.x {{ content: '<footer>'; }}</style><p>{MAIN}</p>"),
+    page(f"<SCRIPT>x</SCRIPT>{MAIN} outside and long enough to be kept"),
+    page(f"<script>var s = '</scrip' + 't>';</script><p>{MAIN}</p>"),
+    page(f"<script>unclosed cdata swallows the rest <p>{MAIN}</p>"),
+    # noscript/template parse normally (not CDATA)
+    page(f"<template><nav>t</nav></template><p>{MAIN}</p>"),
 ]
 
 
@@ -124,6 +135,12 @@ _frag = st.sampled_from(
         "<br/>",
         f"<footer>{MAIN}</footer>",
         f"<blockquote>{MAIN} quoted</blockquote>",
+        "</nav/>",
+        "</a/>",
+        "</script/>",
+        "<script><nav>opaque</nav></script>",
+        "<SCRIPT>x</SCRIPT>",
+        f"<template><footer>t</footer></template>",
     ]
 )
 
