@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# self-locating: `ray job submit --working-dir .` (or a bare python
+# invocation from anywhere) must find the package without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
