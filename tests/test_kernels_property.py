@@ -91,3 +91,38 @@ def test_key_set_op_matches_python_sets(tmp_path_factory, seed, na, nb):
     exc = key_set_op(str(d), ("customer", "c_custkey"), ("supplier", "s_suppkey"), "except")
     assert inter["key"].tolist() == sorted(set(a) & set(b))
     assert exc["key"].tolist() == sorted(set(a) - set(b))
+
+
+def test_shuffle_hash_join_salted_hot_key_matches_pandas():
+    """A 90%-hot key salted across sub-buckets must produce exactly
+    the unsalted/pandas join result (inner and left)."""
+    from ocr_pipeline_ray.pipelines.relational import shuffle_hash_join
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.9, 42, rng.integers(0, 50, n))
+    left = pd.DataFrame({"k": keys.astype("int64"), "lv": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(50, dtype="int64"), "rv": np.arange(50) * 10})
+    # give the hot key several build rows to exercise replication
+    right = pd.concat(
+        [right, pd.DataFrame({"k": [42, 42], "rv": [1000, 2000]})], ignore_index=True
+    )
+    for how in ("inner", "left"):
+        got = (
+            shuffle_hash_join(
+                _ds(left, 4), _ds(right, 2), on="k", how=how, num_buckets=8,
+                left_cols=["k", "lv"], right_cols=["k", "rv"],
+                hot_keys=[42], salt=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.merge(right, on="k", how=how)
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp), (how, len(got), len(exp))
+        assert got["lv"].tolist() == exp["lv"].tolist()
+        assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
