@@ -1136,3 +1136,29 @@ def order_price_quantiles_sketch(sf_dir: str, ps=QUANTILE_PS, k: int = 256) -> p
     return pd.DataFrame(
         {"p": list(ps), "value": np.round(merged.quantiles(ps), 4)}
     )
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    col: str,
+    hot_fraction: float = 0.05,
+    sample_batches: int = 8,
+) -> list:
+    """Sampled hot-key detection for :func:`shuffle_hash_join` salting:
+    per-batch value counts over the first ``sample_batches`` batches
+    (streaming take — the dataset is not fully executed), combined on
+    the driver; keys holding more than ``hot_fraction`` of sampled
+    rows are hot. Deterministic for a deterministic input order."""
+    import itertools
+
+    counts: dict = {}
+    total = 0
+    it = ds.iter_batches(batch_size=4096, batch_format="pandas")
+    for df in itertools.islice(it, sample_batches):
+        vc = df[col].value_counts()
+        total += int(vc.sum())
+        for k, n in vc.items():
+            counts[k] = counts.get(k, 0) + int(n)
+    if not total:
+        return []
+    return sorted(k for k, n in counts.items() if n / total > hot_fraction)

@@ -126,3 +126,16 @@ def test_shuffle_hash_join_salted_hot_key_matches_pandas():
         assert len(got) == len(exp), (how, len(got), len(exp))
         assert got["lv"].tolist() == exp["lv"].tolist()
         assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+
+def test_detect_hot_keys_finds_planted_skew():
+    from ocr_pipeline_ray.pipelines.relational import detect_hot_keys
+
+    rng = np.random.default_rng(9)
+    keys = np.where(rng.random(20_000) < 0.4, 7, rng.integers(100, 5000, 20_000))
+    ds = _ds(pd.DataFrame({"k": keys.astype("int64")}), 4)
+    hot = detect_hot_keys(ds, "k", hot_fraction=0.05)
+    assert hot == [7]
+    # uniform keys -> nothing hot
+    ds2 = _ds(pd.DataFrame({"k": rng.integers(0, 5000, 20_000).astype("int64")}), 4)
+    assert detect_hot_keys(ds2, "k", hot_fraction=0.05) == []
