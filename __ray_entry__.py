@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_not_suppkeys": relational.custkeys_not_suppkeys,
         "quantity_quantiles": relational.quantity_quantiles,
         "order_price_quantiles_sketch": relational.order_price_quantiles_sketch,
+        "quantity_quantiles_by_flag": relational.quantity_quantiles_by_flag,
         # stream-shaped
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "keys_in_both": relational.KEYS_IN_BOTH_SQL,
         "custkeys_not_suppkeys": relational.CUSTKEYS_NOT_SUPPKEYS_SQL,
         "quantity_quantiles": relational.QUANTITY_QUANTILES_SQL,
+        "quantity_quantiles_by_flag": relational.QUANTITY_QUANTILES_BY_FLAG_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "asof_latest_order": events.ASOF_SQL,

@@ -1162,3 +1162,47 @@ def detect_hot_keys(
     if not total:
         return []
     return sorted(k for k, n in counts.items() if n / total > hot_fraction)
+
+
+def quantity_quantiles_by_flag(sf_dir: str, ps=QUANTILE_PS) -> pd.DataFrame:
+    """GROUPED exact quantiles (quantile_disc per l_returnflag): one
+    bucketed value-count over the (flag, quantity) pairs — both
+    domains discrete, so the count table is |flags| x |domain| rows —
+    then a vectorized cumulative walk per group on the driver."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df.assign(n=1)[["l_returnflag", "l_quantity", "n"]],
+                batch_format="pandas",
+            ),
+            ["l_returnflag", "l_quantity"],
+            {"n": ("n", "size")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_quantity"])
+    )
+    out = []
+    for flag, g in counts.groupby("l_returnflag"):
+        cum = g["n"].cumsum().to_numpy()
+        vals = g["l_quantity"].to_numpy()
+        tot = int(cum[-1])
+        for p in ps:
+            rank = int(np.ceil(p * tot))
+            out.append((flag, p, float(vals[np.searchsorted(cum, rank)])))
+    return pd.DataFrame(out, columns=["l_returnflag", "p", "value"])
+
+
+QUANTITY_QUANTILES_BY_FLAG_SQL = """
+SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p, quantile_disc(l_quantity, 0.25) AS value FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag, p
+"""
