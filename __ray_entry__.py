@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": text.hash_sample,
         "tfidf_top_term": text.tfidf_top_term,
         "curate_corpus": text.curate_corpus,
+        "repetition_stats": text.repetition_stats,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
         "label_centroid_norms": similarity.label_centroid_norms,

@@ -371,3 +371,55 @@ def curate_corpus(sf_dir: str, min_quality: float = 0.5, langs=("en", "unknown")
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
     return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc: fraction of tokens in
+    duplicate lines, and the share of the most frequent word bigram —
+    the repetition filters every curation pipeline runs before
+    training. Stateless map; output rounded (rows-only check; the
+    heuristics are property-tested on planted repetitive docs)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, dup_line_frac, top_bigram_frac = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            lines = [ln.strip() for ln in s.splitlines() if ln.strip()]
+            toks = TOKEN_RE.findall(s.lower())
+            n_tok = len(toks)
+            if lines and n_tok:
+                seen: dict[str, int] = {}
+                dup_tokens = 0
+                for ln in lines:
+                    k = len(TOKEN_RE.findall(ln))
+                    if ln in seen:
+                        dup_tokens += k
+                    seen[ln] = seen.get(ln, 0) + 1
+                dl = dup_tokens / n_tok
+            else:
+                dl = 0.0
+            if n_tok >= 2:
+                bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                _, counts = np.unique(np.asarray(bigrams, dtype=object), return_counts=True)
+                tb = float(counts.max()) / len(bigrams)
+            else:
+                tb = 0.0
+            ids.append(did)
+            dup_line_frac.append(round(dl, 4))
+            top_bigram_frac.append(round(tb, 4))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+                "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

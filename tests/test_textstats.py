@@ -73,3 +73,27 @@ def test_curate_corpus_composition(tmp_path):
 
     out = curate_corpus(str(d))
     assert out["doc_id"].tolist() == [0, 3]
+
+
+def test_repetition_stats_planted(tmp_path):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # clean
+                "same line here\nsame line here\nsame line here\nunique tail words",  # dup lines
+                "spam spam spam spam spam spam spam spam",  # one bigram dominates
+            ],
+        }
+    )
+    d = tmp_path / "rep"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    from ocr_pipeline_ray.pipelines.text import repetition_stats
+
+    out = repetition_stats(str(d)).set_index("doc_id")
+    assert out.loc[0, "dup_line_frac"] == 0.0 and out.loc[0, "top_bigram_frac"] < 0.2
+    assert out.loc[1, "dup_line_frac"] > 0.35  # 6 of 15 tokens in repeated lines
+    assert out.loc[2, "top_bigram_frac"] == 1.0
