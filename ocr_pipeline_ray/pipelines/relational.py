@@ -631,8 +631,10 @@ GROUP BY n_name ORDER BY n_name
 def semi_anti_join(big: "ray.data.Dataset", keys: set, col: str, anti: bool = False):
     """Semi/anti join against a broadcast key set: the set is put in
     the object store once; each batch filters with a vectorized isin.
-    (At larger key cardinality, broadcast a Bloom filter instead —
-    same shape, probabilistic membership + exact verify.)"""
+    For DIMENSION-scale key sides only (the set materializes on the
+    driver) — fact-scale key sides go through
+    :func:`bucketed_semi_anti_join` (distributed, no driver set) or
+    the Bloom prefilter path."""
     ref = ray.put(pa.array(sorted(keys)))
 
     def _f(t: pa.Table) -> pa.Table:
@@ -642,13 +644,65 @@ def semi_anti_join(big: "ray.data.Dataset", keys: set, col: str, anti: bool = Fa
     return big.map_batches(_f, batch_format="pyarrow")
 
 
+def bucketed_semi_anti_join(
+    probe: "ray.data.Dataset",
+    probe_key: str,
+    probe_cols: list[str],
+    keys: "ray.data.Dataset",
+    keys_col: str,
+    anti: bool = False,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed semi/anti join for FACT-scale key sides: the key
+    side is per-batch deduped (so the shuffle moves at most
+    |distinct keys in batch| rows per batch, not one per fact row),
+    both sides tag ``__bucket = hash(key) % B``, ONE coarse-bucket
+    shuffle co-locates equal keys, and a vectorized ``isin`` per
+    bucket decides membership. Neither side ever materializes on the
+    driver — the scale-safe replacement for :func:`semi_anti_join`'s
+    broadcast set when the key side is a fact-table column.
+
+    Caveat: the key-side rows carry NaN payload columns through the
+    union, so INTEGER payload columns would round-trip through
+    float64 — probe payloads here are strings/keys, and the resolve
+    returns only probe rows with their original values."""
+
+    def _keys_batch(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[keys_col].drop_duplicates().rename(probe_key).to_frame()
+        k = k.reindex(columns=probe_cols)
+        h = pd.util.hash_pandas_object(k[probe_key], index=False).to_numpy()
+        k["__bucket"] = (h % num_buckets).astype("int64")
+        k["__side"] = 0
+        return k
+
+    def _probe_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[probe_cols].copy()
+        h = pd.util.hash_pandas_object(df[probe_key], index=False).to_numpy()
+        df["__bucket"] = (h % num_buckets).astype("int64")
+        df["__side"] = 1
+        return df
+
+    kt = keys.map_batches(_keys_batch, batch_format="pandas")
+    pt = probe.map_batches(_probe_batch, batch_format="pandas")
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["__side"] == 0, probe_key].unique()
+        p = g[g["__side"] == 1]
+        m = p[probe_key].isin(have)
+        return p.loc[~m if anti else m, probe_cols]
+
+    return pt.union(kt).groupby("__bucket").map_groups(_resolve, batch_format="pandas")
+
+
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join: customers that never placed an order (broadcast key set)."""
-    order_custs = set(
-        _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    )
+    """Anti join: customers that never placed an order. The key side
+    (orders.o_custkey) is fact-scale, so it streams through the
+    distributed bucketed anti join — no driver key set."""
+    order_custs = _read(sf_dir, "orders", columns=["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    out = semi_anti_join(cust, order_custs, "c_custkey", anti=True).to_pandas()
+    out = bucketed_semi_anti_join(
+        cust, "c_custkey", ["c_custkey", "c_name"], order_custs, "o_custkey", anti=True
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")}
@@ -664,15 +718,21 @@ ORDER BY c_custkey
 
 
 def parts_with_lineitems(sf_dir: str) -> pd.DataFrame:
-    """Semi join: parts that appear in at least one lineitem."""
-    part_keys = set(_read(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey"))
+    """Semi join: parts that appear in at least one lineitem. The key
+    side (lineitem.l_partkey) is the biggest fact column, so it
+    streams through the distributed bucketed semi join — no driver
+    ``unique()`` (see :func:`parts_with_lineitems_bloom` for the
+    Bloom-prefiltered variant of the same query)."""
+    li_keys = _read(sf_dir, "lineitem", columns=["l_partkey"])
     part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
-    return (
-        semi_anti_join(part, part_keys, "p_partkey", anti=False)
-        .to_pandas()
-        .sort_values("p_partkey")
-        .reset_index(drop=True)
-    )
+    out = bucketed_semi_anti_join(
+        part, "p_partkey", ["p_partkey", "p_name"], li_keys, "l_partkey", anti=False
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"p_partkey": pd.Series(dtype="int64"), "p_name": pd.Series(dtype="object")}
+        )
+    return out.sort_values("p_partkey").reset_index(drop=True)
 
 
 PARTS_WITH_LINEITEMS_SQL = """
@@ -832,26 +892,62 @@ ORDER BY c_mktsegment, rank
 
 def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q14 shape: share of revenue from 'PROMO' parts in a date
-    window — conditional aggregate over a broadcast part-type lookup."""
-    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
-    promo_keys = set(part.loc[part["p_type"].str.startswith("PROMO"), "p_partkey"])
-    ref = ray.put(pa.array(sorted(promo_keys)))
+    window. Fully distributed — ``part`` scales with SF, so instead of
+    a driver-built promo key set both sides stream: lineitem revenue
+    pre-aggregates per (batch, partkey), part streams its
+    (p_partkey, is_promo) flags, ONE coarse-bucket shuffle co-locates
+    equal partkeys, each bucket emits a single (rev, promo_rev)
+    partial, and the driver sums the B bucket rows."""
+    num_buckets = 32
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
+    def li_prep(t: pa.Table) -> pd.DataFrame:
         m = pc.and_(
             pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
             pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-07-01"))),
         )
         t = t.filter(m)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        promo = pc.is_in(t["l_partkey"], value_set=ray.get(ref))
-        promo_rev = pc.if_else(promo, rev, pa.scalar(0.0))
-        return pa.Table.from_pydict({"rev": rev, "promo_rev": promo_rev})
+        df = pd.DataFrame({"key": t["l_partkey"].to_numpy(), "rev": rev.to_numpy()})
+        g = df.groupby("key", as_index=False)["rev"].sum()
+        g["promo"] = -1  # lineitem side: promo membership unknown
+        g["__bucket"] = (g["key"].to_numpy() % num_buckets).astype("int64")
+        return g
 
-    agg = li.map_batches(prep, batch_format="pyarrow")
-    total = agg.sum(["rev", "promo_rev"])
-    pct = 100.0 * total["sum(promo_rev)"] / total["sum(rev)"] if total["sum(rev)"] else 0.0
+    def part_prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "key": df["p_partkey"].to_numpy(),
+                "rev": 0.0,
+                "promo": df["p_type"].str.startswith("PROMO").astype("int64"),
+            }
+        )
+        out["__bucket"] = (out["key"].to_numpy() % num_buckets).astype("int64")
+        return out
+
+    li_parts = li.map_batches(li_prep, batch_format="pyarrow")
+    part_flags = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        part_prep, batch_format="pandas"
+    )
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        promo_keys = g.loc[g["promo"] == 1, "key"]
+        l = g[g["promo"] < 0]
+        return pd.DataFrame(
+            {
+                "rev": [l["rev"].sum()],
+                "promo_rev": [l.loc[l["key"].isin(promo_keys), "rev"].sum()],
+            }
+        )
+
+    totals = (
+        li_parts.union(part_flags)
+        .groupby("__bucket")
+        .map_groups(_resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    rev, promo_rev = totals["rev"].sum(), totals["promo_rev"].sum()
+    pct = 100.0 * promo_rev / rev if rev else 0.0
     return pd.DataFrame({"promo_revenue_pct": [round(pct, ROUND_DECIMALS)]})
 
 
@@ -1012,10 +1108,20 @@ ORDER BY p
 # broadcast key set no longer ships
 # ---------------------------------------------------------------------------
 
-def build_bloom(ds: "ray.data.Dataset", col: str, n_bits: int = 1 << 20, k: int = 5):
-    """Distributed Bloom build: one fixed-size partial filter per
-    batch, OR-reduced on the driver (the filter is ~n_bits/8 bytes no
-    matter how many keys — the whole point)."""
+def _bloom_partials_reduced(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    reduce_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed Bloom partials with an in-dataset tree reduce: one
+    fixed-size partial filter per input batch, then ONE repartition of
+    the (tiny) partial rows and a per-partition OR inside
+    ``map_batches(batch_size=None)`` — so the driver only ever sees
+    O(reduce_partitions) filters, not O(input batches). At 100 TB
+    (~10^6 batches x 128 KiB) the per-batch partials would otherwise
+    be ~128 GB of driver traffic and a serial merge."""
     import numpy as np
 
     from ocr_pipeline_ray.functions.sketches import BloomFilter
@@ -1026,11 +1132,38 @@ def build_bloom(ds: "ray.data.Dataset", col: str, n_bits: int = 1 << 20, k: int 
         )
         return pa.Table.from_pydict({"words": pa.array([bf.words.tobytes()], pa.binary())})
 
+    def _or_partition(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bits // 64, dtype=np.uint64)
+        for buf in t["words"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.Table.from_pydict({"words": pa.array([acc.tobytes()], pa.binary())})
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .repartition(reduce_partitions)
+        .map_batches(_or_partition, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def build_bloom(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    reduce_partitions: int = 32,
+):
+    """Distributed Bloom build (tree-reduced): per-batch partials OR
+    into one filter per partition inside the dataset; the driver
+    merges only the ~``reduce_partitions`` survivors."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.sketches import BloomFilter
+
     out = BloomFilter(n_bits, k)
-    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
-        part = BloomFilter(n_bits, k)
-        part.words = np.frombuffer(row["words"], dtype=np.uint64).copy()
-        out.merge(part)
+    rows = _bloom_partials_reduced(ds, col, n_bits, k, reduce_partitions).take_all()
+    assert len(rows) <= reduce_partitions
+    for row in rows:
+        out.words |= np.frombuffer(row["words"], dtype=np.uint64)
     return out
 
 

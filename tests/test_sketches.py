@@ -67,6 +67,57 @@ def test_bloom_semi_join_matches_exact():
     assert exact["p_name"].tolist() == bloomed["p_name"].tolist()
 
 
+def test_bloom_build_tree_reduced():
+    """The driver-side merge sees O(reduce_partitions) partials, not
+    O(input batches), and the tree-reduced filter is bitwise-identical
+    to a single-process build over the same keys."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ocr_pipeline_ray.pipelines.relational import (
+        _bloom_partials_reduced,
+        build_bloom,
+    )
+
+    keys = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey"])[
+        "l_partkey"
+    ].to_numpy()
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    # force many input blocks so per-batch partials >> reduce partitions
+    ds = ds.repartition(16)
+    reduced = _bloom_partials_reduced(ds, "l_partkey", 1 << 16, 4, reduce_partitions=4)
+    assert reduced.count() <= 4
+    bf = build_bloom(ds, "l_partkey", 1 << 16, 4, reduce_partitions=4)
+    direct = BloomFilter(1 << 16, 4).add(keys.astype(np.uint64))
+    assert (bf.words == direct.words).all()
+
+
+def test_bucketed_semi_anti_join_planted():
+    """Distributed semi/anti join vs a plain pandas isin on planted
+    data (duplicated keys on the key side, payload preserved)."""
+    import pandas as pd
+    import ray.data
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_semi_anti_join
+
+    probe = pd.DataFrame({"k": np.arange(100, dtype=np.int64), "name": [f"n{i}" for i in range(100)]})
+    keys = pd.DataFrame({"fk": np.repeat(np.arange(0, 100, 3, dtype=np.int64), 5)})
+    pds = ray.data.from_pandas(probe).repartition(4)
+    kds = ray.data.from_pandas(keys).repartition(4)
+    semi = (
+        bucketed_semi_anti_join(pds, "k", ["k", "name"], kds, "fk", anti=False)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    anti = (
+        bucketed_semi_anti_join(pds, "k", ["k", "name"], kds, "fk", anti=True)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = probe["k"].isin(keys["fk"])
+    assert semi["k"].tolist() == probe.loc[want, "k"].tolist()
+    assert anti["k"].tolist() == probe.loc[~want, "k"].tolist()
+    assert semi["name"].tolist() == probe.loc[want, "name"].tolist()
+
+
 def test_kll_rank_error_bound_and_merge():
     rng = np.random.default_rng(4)
     data = rng.lognormal(3, 1, 200_000)
