@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh,
         # multimodal decode stages over real P6 rasters
         "media_dimensions": media.media_dimensions,
+        "media_dimensions_png": media.media_dimensions_png,
         "media_channel_stats": media.media_channel_stats,
         # text analysis
         "token_counts": text.token_counts,
@@ -158,7 +159,12 @@ def oracle_sql() -> dict[str, str]:
         "props_k_by_type": events.PROPS_K_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
+        "bpe_token_counts": text.BPE_TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
+        "language_id": text.LANGUAGE_ID_SQL,
+        "quality_scores": text.QUALITY_SCORES_SQL,
+        "repetition_stats": text.REPETITION_STATS_SQL,
+        "curate_corpus": text.CURATE_CORPUS_SQL,
         "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
         "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,
         "hash_sample": text.HASH_SAMPLE_SQL,
@@ -167,8 +173,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": similarity.knn_sql(),
         "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "media_dimensions": media.MEDIA_DIMENSIONS_SQL,
-        # no oracle (heuristic / sketch / ANN): language_id,
-        # quality_scores, winnowing, minhash_lsh_dedup,
-        # ngram_jaccard_pairs, simhash_neardup,
-        # knn_lsh -> driver rows-only check + pytest property tests
+        "media_dimensions_png": media.MEDIA_DIMENSIONS_SQL,
+        # no oracle (sketch / ANN / non-SQL hash, approximate by
+        # design): winnowing (blake2b rolling hash not in DuckDB),
+        # minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,
+        # knn_lsh, distinct_users_hll, order_price_quantiles_sketch,
+        # media_channel_stats, embedding_neardup_lsh
+        # -> driver rows-only check + pytest property tests
     }

@@ -128,12 +128,16 @@ def quality_stats(text: str) -> dict:
         score += 0.2
     if alpha_ratio >= 0.6:
         score += 0.2
+    # ratio features stay UNROUNDED: they are integer ratios, so the
+    # SQL oracle's DOUBLE division produces the bit-identical IEEE
+    # value (decimal rounding, by contrast, diverges between Python's
+    # correctly-rounded half-even round() and DuckDB's scaled round)
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "n_punct": n_punct,
-        "mean_word_len": round(mean_word_len, 4),
-        "stopword_ratio": round(stop_ratio, 4),
-        "alpha_ratio": round(alpha_ratio, 4),
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_ratio,
+        "alpha_ratio": alpha_ratio,
         "quality_score": round(score, 4),
     }

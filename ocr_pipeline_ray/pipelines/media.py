@@ -27,16 +27,26 @@ from ocr_pipeline_ray.pipelines.relational import ROUND_DECIMALS
 from ocr_pipeline_ray.stages.multimodal import decode_images
 
 
-def _media_payload_ds(sf_dir: str) -> "ray.data.Dataset":
-    """documents -> (media_ref=doc_id, payload=P6 raster of the first
-    5 tokens); the wrap runs inside map_batches."""
+def _media_payload_ds(sf_dir: str, fmt: str = "ppm") -> "ray.data.Dataset":
+    """documents -> (media_ref=doc_id, payload=raster of the first
+    5 tokens); the wrap runs inside map_batches. ``fmt='png'`` encodes
+    the same glyph raster as a real PNG (stdlib zlib DEFLATE), so the
+    decode stage exercises an actual wire format end to end."""
 
     def wrap(t: pa.Table) -> pa.Table:
         refs, payloads = [], []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             toks = TOKEN_RE.findall(text)
             refs.append(str(did))
-            payloads.append(render_text_ppm(" ".join(toks[:5])))
+            ppm = render_text_ppm(" ".join(toks[:5]))
+            if fmt == "png":
+                from ocr_pipeline_ray.functions.png import encode_png
+                from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
+
+                # Sub filter: exercises the decoder's cumsum unfilter path
+                payloads.append(encode_png(parse_ppm(ppm), filter_type=1))
+            else:
+                payloads.append(ppm)
         return pa.Table.from_pydict(
             {
                 "media_ref": pa.array(refs, pa.string()),
@@ -57,6 +67,27 @@ def media_dimensions(sf_dir: str) -> pd.DataFrame:
     """Decode every payload's native raster dimensions (no resize) via
     the actor-pool decode stage. Output: (doc_id, width, height)."""
     out = decode_images(_media_payload_ds(sf_dir), target_size=None, concurrency=(1, 4)).to_pandas()
+    out["doc_id"] = out["media_ref"].astype("int64")
+    return (
+        out[["doc_id", "width", "height"]]
+        .astype({"width": "int64", "height": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def media_dimensions_png(sf_dir: str) -> pd.DataFrame:
+    """Same geometry oracle as :func:`media_dimensions`, but the
+    payloads are REAL PNGs (stdlib encoder, Sub-filtered scanlines):
+    the Ray side must walk chunks, inflate IDAT and unfilter to
+    produce the dimensions. Shares MEDIA_DIMENSIONS_SQL — the raster
+    geometry is format-independent."""
+    out = decode_images(
+        _media_payload_ds(sf_dir, fmt="png"), target_size=None, concurrency=(1, 4)
+    ).to_pandas()
+    bad = out[out["error"] != ""]
+    if len(bad):
+        raise ValueError(f"png decode errors: {bad['error'].iloc[0]}")
     out["doc_id"] = out["media_ref"].astype("int64")
     return (
         out[["doc_id", "width", "height"]]

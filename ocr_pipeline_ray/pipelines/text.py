@@ -93,7 +93,10 @@ def language_id(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_scores(sf_dir: str) -> pd.DataFrame:
-    """Per-doc quality features + composite score (C4/Gopher-style)."""
+    """Per-doc quality features + composite score (C4/Gopher-style).
+    Ratio features are raw IEEE doubles (integer ratios — bit-equal to
+    the SQL oracle's DOUBLE division); the composite score rounds to 4
+    decimals on both sides."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -104,6 +107,84 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pydict(cols)
 
     return ds.map_batches(f, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_SCORES_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z0-9_]+', '', 'g')) AS tok_chars,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+             x -> x IN ('the','and','of','a','to','in','is','that','it','for'))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]+', '', 'g')) AS n_alpha
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, n_tokens, n_punct,
+         CASE WHEN n_tokens > 0 THEN tok_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mwl,
+         CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopr,
+         CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alphar
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       mwl AS mean_word_len,
+       stopr AS stopword_ratio,
+       alphar AS alpha_ratio,
+       round(CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0 END
+           + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 0.3 ELSE 0 END
+           + CASE WHEN stopr >= 0.01 THEN 0.2 ELSE 0 END
+           + CASE WHEN alphar >= 0.6 THEN 0.2 ELSE 0 END, 4) AS quality_score
+FROM feat ORDER BY doc_id
+"""
+
+
+BPE_TOKEN_COUNTS_SQL = r"""
+WITH pieces AS (
+  SELECT doc_id, piece, trim(piece) AS s
+  FROM documents, unnest(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS u(piece)
+),
+counts AS (
+  SELECT doc_id, sum(
+    CASE WHEN length(s) >= 5 AND regexp_matches(s, '^[A-Za-z]+$')
+         THEN greatest(1, CAST(round(length(s) / 4.5) AS BIGINT))
+         ELSE 1 END) AS n
+  FROM pieces WHERE NOT regexp_matches(piece, '^\s+$')
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN counts c USING (doc_id) ORDER BY doc_id
+"""
+
+
+LANGUAGE_ID_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_matches(substr(text, 1, 2000), '[\x{4E00}-\x{9FFF}]') AS cjk,
+    regexp_extract_all(lower(substr(text, 1, 4000)), '[a-z0-9_]+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, cjk, len(toks) AS n,
+    len(list_filter(toks, x -> x IN ('the','and','of','a','to','in','is','that','it','for'))) AS en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS de,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es,
+    len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','sur'))) AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN cjk THEN 'zh'
+       WHEN n = 0 THEN 'unknown'
+       WHEN greatest(de, en, es, fr) = 0 THEN 'unknown'
+       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       WHEN en >= es AND en >= fr THEN 'en'
+       WHEN es >= fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM s ORDER BY doc_id
+"""
 
 
 def winnowing(sf_dir: str, k: int = 5, window: int = 4) -> pd.DataFrame:
@@ -340,8 +421,9 @@ def curate_corpus(sf_dir: str, min_quality: float = 0.5, langs=("en", "unknown")
     training-data job: one streaming pass computes quality + language
     per doc and filters; survivors emit (md5, doc_id) pairs; the
     bucketed min-per-hash aggregate keeps one doc per identical text.
-    Output: surviving doc_ids (rows-only check; each component is
-    oracle- or property-tested on its own)."""
+    Output: surviving doc_ids (oracle-checked — the quality, language
+    and md5-dedup components are each SQL-expressible, so the whole
+    composition has a DuckDB oracle)."""
     import hashlib
 
     from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
@@ -377,8 +459,9 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signals per doc: fraction of tokens in
     duplicate lines, and the share of the most frequent word bigram —
     the repetition filters every curation pipeline runs before
-    training. Stateless map; output rounded (rows-only check; the
-    heuristics are property-tested on planted repetitive docs)."""
+    training. Stateless map; fractions are raw IEEE integer ratios
+    (bit-equal to the DuckDB oracle's DOUBLE division) and the
+    heuristics are additionally property-tested on planted docs."""
     import numpy as np
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -407,8 +490,8 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
             else:
                 tb = 0.0
             ids.append(did)
-            dup_line_frac.append(round(dl, 4))
-            top_bigram_frac.append(round(tb, 4))
+            dup_line_frac.append(dl)
+            top_bigram_frac.append(tb)
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -423,3 +506,91 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# dup_line_frac: tokens on repeated (trimmed, non-empty) lines over
+# all tokens; top_bigram_frac: max bigram count over total bigrams.
+# Bigrams via list_zip(tk, tk[2:]) — the zip pads the shifted list
+# with NULL, so the trailing NULL-concat row is filtered out.
+REPETITION_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents
+),
+ntok AS (SELECT doc_id, len(tk) AS n_tok FROM toks),
+lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE trim(l) <> ''
+),
+line_stats AS (
+  SELECT doc_id, line, count(*) AS cnt,
+         len(regexp_extract_all(line, '[A-Za-z0-9_]+')) AS k
+  FROM lines GROUP BY doc_id, line
+),
+dup AS (SELECT doc_id, sum((cnt - 1) * k) AS dup_tokens FROM line_stats GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, b.bigram
+  FROM toks, unnest(list_transform(list_zip(tk, tk[2:]), x -> x[1] || ' ' || x[2])) AS b(bigram)
+  WHERE b.bigram IS NOT NULL
+),
+bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+bgm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM bgc GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN coalesce(n.n_tok, 0) > 0 AND dup.doc_id IS NOT NULL
+       THEN dup.dup_tokens / CAST(n.n_tok AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN coalesce(n.n_tok, 0) >= 2
+       THEN bgm.maxc / CAST(bgm.tot AS DOUBLE) ELSE 0.0 END AS top_bigram_frac
+FROM documents d
+LEFT JOIN ntok n USING (doc_id)
+LEFT JOIN dup USING (doc_id)
+LEFT JOIN bgm USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# quality filter (decimal score arithmetic is exact, so >= 0.5 agrees
+# with the Python side's 4-decimal-rounded comparison) -> language
+# filter -> exact md5 dedup keeping min doc_id: the full curation
+# composition is SQL-expressible end to end.
+CURATE_CORPUS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z0-9_]+', '', 'g')) AS tok_chars,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+             x -> x IN ('the','and','of','a','to','in','is','that','it','for'))) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]+', '', 'g')) AS n_alpha
+  FROM documents
+), feat AS (
+  SELECT doc_id, text,
+         CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0 END
+       + CASE WHEN n_tokens > 0 AND tok_chars / CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0 END
+       + CASE WHEN n_tokens > 0 AND n_stop / CAST(n_tokens AS DOUBLE) >= 0.01 THEN 0.2 ELSE 0 END
+       + CASE WHEN n_chars > 0 AND n_alpha / CAST(n_chars AS DOUBLE) >= 0.6 THEN 0.2 ELSE 0 END AS score
+  FROM base
+), lang AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(substr(text, 1, 2000), '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+         WHEN len(toks) = 0 THEN 'unknown'
+         WHEN greatest(de, en, es, fr) = 0 THEN 'unknown'
+         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         WHEN en >= es AND en >= fr THEN 'en'
+         WHEN es >= fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM (
+    SELECT doc_id,
+      len(list_filter(toks, x -> x IN ('the','and','of','a','to','in','is','that','it','for'))) AS en,
+      len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS de,
+      len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es,
+      len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour','dans','sur'))) AS fr,
+      toks
+    FROM (SELECT doc_id, regexp_extract_all(lower(substr(text, 1, 4000)), '[a-z0-9_]+') AS toks FROM documents)
+  )
+), keep AS (
+  SELECT f.doc_id, md5(f.text) AS h
+  FROM feat f JOIN lang l USING (doc_id)
+  WHERE f.score >= 0.5 AND l.lang_pred IN ('en', 'unknown')
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM keep GROUP BY h ORDER BY doc_id
+"""

@@ -50,10 +50,10 @@ class ImageDecodeActor:
     """payload binary -> (height, width, channels) + pixel feature vec.
 
     Decode ladder, most-real first:
-    1. PIL (any format) when the cluster image ships it;
-    2. the REAL pure-numpy P6-PPM parser + bilinear resize
-       (functions/ppm_ocr.py + functions/raster.py) — exercised live
-       in this container;
+    1. the REAL dependency-free parsers exercised live in this
+       container — P6 PPM (functions/ppm_ocr.py) and PNG via stdlib
+       zlib (functions/png.py) — + pure-numpy bilinear resize;
+    2. PIL (any other format) when the cluster image ships it;
     3. a deterministic fake from the payload digest (strict=False) or
        a clearly-marked ``NotImplementedError`` (strict=True) so the
        plumbing (schema, feature shapes) stays testable for formats
@@ -79,24 +79,30 @@ class ImageDecodeActor:
         return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.png import PNG_MAGIC, parse_png
         from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
         from ocr_pipeline_ray.functions.raster import resize_bilinear
 
         feats, hs, ws, errs = [], [], [], []
         for payload in batch.column("payload").to_pylist():
             try:
-                if self.pil is not None:
+                if payload[:2] == b"P6":
+                    # real decode + real resize, no codec library
+                    arr = parse_ppm(payload)
+                    if self.target is not None:
+                        arr = resize_bilinear(arr, self.target, self.target)
+                elif payload.startswith(PNG_MAGIC):
+                    # real wire format: stdlib zlib inflate + unfilter
+                    arr = parse_png(payload)
+                    if self.target is not None:
+                        arr = resize_bilinear(arr, self.target, self.target)
+                elif self.pil is not None:
                     import io
 
                     img = self.pil.open(io.BytesIO(payload)).convert("RGB")
                     if self.target is not None:
                         img = img.resize((self.target, self.target))
                     arr = np.asarray(img, dtype=np.uint8)
-                elif payload[:2] == b"P6":
-                    # real decode + real resize, no codec library
-                    arr = parse_ppm(payload)
-                    if self.target is not None:
-                        arr = resize_bilinear(arr, self.target, self.target)
                 else:
                     arr = self._decode_fake(payload)
                 hs.append(arr.shape[0])
