@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
+        "embedding_neardup_lsh_planted": similarity.embedding_neardup_lsh_planted,
         # multimodal decode stages over real P6 rasters
         "media_dimensions": media.media_dimensions,
         "media_dimensions_png": media.media_dimensions_png,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": text.TOKEN_COUNTS_SQL,
         "bpe_token_counts": text.BPE_TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,
+        "winnowing": text.WINNOWING_SQL,
         "language_id": text.LANGUAGE_ID_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
@@ -172,11 +174,11 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
         "knn_brute_force": similarity.knn_sql(),
         "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
+        "embedding_neardup_lsh_planted": similarity.EMBEDDING_NEARDUP_LSH_PLANTED_SQL,
         "media_dimensions": media.MEDIA_DIMENSIONS_SQL,
         "media_dimensions_png": media.MEDIA_DIMENSIONS_SQL,
         # no oracle (sketch / ANN / non-SQL hash, approximate by
-        # design): winnowing (blake2b rolling hash not in DuckDB),
-        # minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,
+        # design): minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,
         # knn_lsh, distinct_users_hll, order_price_quantiles_sketch,
         # media_channel_stats, embedding_neardup_lsh
         # -> driver rows-only check + pytest property tests

@@ -70,14 +70,17 @@ def fingerprint_md5(text: str) -> str:
 def winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): rolling hash over k-grams of tokens, keep the min hash
-    of each sliding window (rightmost min), dedup consecutive picks."""
+    of each sliding window (rightmost min), dedup consecutive picks.
+
+    The k-gram hash is ``md5 digest bytes [8:16], little-endian`` ==
+    DuckDB's ``md5_number_lower`` (byte order verified empirically),
+    which is what makes WINNOWING_SQL an exact oracle."""
     toks = tokenize(text.lower())
     if len(toks) < k:
         return []
     grams = (" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
     hashes = [
-        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-        for g in grams
+        int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") for g in grams
     ]
     out: list[int] = []
     last_pick = -1

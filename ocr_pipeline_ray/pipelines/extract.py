@@ -112,6 +112,7 @@ def build_extraction_pipeline(
     engine_factory=None,
     max_restarts: int | None = None,
     max_task_retries: int | None = None,
+    media_remote_args: dict | None = None,
     local_reassembly: bool = True,
     heavy_page_threshold: int = 5,
 ) -> "ray.data.Dataset":
@@ -156,6 +157,13 @@ def build_extraction_pipeline(
         fault_args["max_restarts"] = max_restarts
     if max_task_retries is not None:
         fault_args["max_task_retries"] = max_task_retries
+    # resources for the MEDIA/extract actor pools only (num_gpus=0.5,
+    # resources={"accel": 1}, ...) — a real GPU engine behind the
+    # engine_factory seam sizes its pool with these; the default {}
+    # keeps Ray Data's actor-task submission fast path (any explicit
+    # ray_remote_args on this host costs ~1.8x wall, see BASELINE.md),
+    # and GPU batch sizing guidance lives in stages/multimodal.py.
+    fault_args.update(media_remote_args or {})
     engine_kwargs = {} if engine_factory is None else {"engine_factory": engine_factory}
     if media_mode == "join":
         # media too large to broadcast: bucketed hash join attaches
@@ -201,11 +209,18 @@ def build_extraction_pipeline(
         if local_reassembly:
             # doc locality is preserved by construction in this path
             # (see _ExtractPackAll) -> fused single stage, ZERO shuffle
+            # whole blocks = whole documents (zero-shuffle local pack)
+            # — except under a GPU request, where Ray Data requires an
+            # explicit batch size (GPU memory is sized per batch, the
+            # reference's 350-crop cap analog, reference README.md:84-88);
+            # doc locality still holds: batches are formed from whole
+            # input rows, never split mid-document.
+            fused_batch = text_batch_size if "num_gpus" in fault_args else None
             return docs_ds.map_batches(
                 _ExtractPackAll,
                 fn_constructor_kwargs={"media_object_ref": media_ref, **engine_kwargs},
                 batch_format="pyarrow",
-                batch_size=None,  # whole blocks = whole documents
+                batch_size=fused_batch,
                 concurrency=extract_concurrency,
                 **fault_args,
             )

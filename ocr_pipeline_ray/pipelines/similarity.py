@@ -268,7 +268,48 @@ ORDER BY a, b
 EMBEDDING_NEARDUP_SQL = embedding_neardup_sql()
 
 
-def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95, n_bits: int = 12) -> pd.DataFrame:
+PLANT_OFFSET = 1_000_000_000
+
+
+def embedding_neardup_lsh_planted(sf_dir: str, plant_every: int = 20) -> pd.DataFrame:
+    """The LSH near-dup path over a corpus with DETERMINISTIC planted
+    duplicates, so the approximate operator gets an EXACT oracle.
+
+    Every ``plant_every``-th vec_id is re-emitted as (vec_id +
+    PLANT_OFFSET, 2x embedding) inside ``map_batches`` (the planting
+    is distributed — no driver materialization). A scaled copy
+    normalizes to the BIT-IDENTICAL unit vector (x2 and the /norm are
+    both exact-quotient-preserving in IEEE), so sign-bucketing cannot
+    miss it; and the base corpus's max off-diagonal cosine (~0.51 in
+    the test data) is far below the 0.95 threshold, so the exact
+    all-pairs SQL over the same augmented corpus
+    (EMBEDDING_NEARDUP_LSH_PLANTED_SQL) equals the LSH result — recall
+    1.0 is structural, not probabilistic, in this regime."""
+    return embedding_neardup_lsh(sf_dir, plant_every=plant_every)
+
+
+def embedding_neardup_lsh_planted_sql(plant_every: int = 20, threshold: float = 0.95) -> str:
+    return f"""
+WITH aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET}, list_transform(CAST(embedding AS DOUBLE[]), x -> 2 * x)
+  FROM embeddings WHERE vec_id % {plant_every} = 0
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+ORDER BY a, b
+"""
+
+
+EMBEDDING_NEARDUP_LSH_PLANTED_SQL = embedding_neardup_lsh_planted_sql()
+
+
+def embedding_neardup_lsh(
+    sf_dir: str, threshold: float = 0.95, n_bits: int = 12, plant_every: int | None = None
+) -> pd.DataFrame:
     """LSH-bucketed near-dup pairs — the beyond-broadcast scale path.
 
     Sign-pattern bucketing (``n_bits`` random hyperplanes, dim derived
@@ -280,6 +321,17 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = 0.95, n_bits: int = 12
     on planted duplicates (tests/test_similarity.py).
     """
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    if plant_every is not None:
+
+        def _plant(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = (batch["vec_id"] % plant_every) == 0
+            dup = batch[mask].copy()
+            dup["vec_id"] = dup["vec_id"] + PLANT_OFFSET
+            dup["embedding"] = dup["embedding"].map(lambda v: np.asarray(v) * 2)
+            return pd.concat([batch, dup], ignore_index=True)
+
+        ds = ds.map_batches(_plant, batch_format="pandas")
 
     class _Sig:
         def __init__(self):

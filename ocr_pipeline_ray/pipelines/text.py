@@ -187,9 +187,53 @@ FROM s ORDER BY doc_id
 """
 
 
+# Exact winnowing oracle. Equivalences it relies on (both verified
+# against the Python loop over the full test corpus):
+# * the k-gram hash is DuckDB md5_number_lower == md5 bytes[8:16] LE;
+# * "dedup consecutive picks" == COUNT(DISTINCT picked position) —
+#   the rightmost-min position is non-decreasing as the window slides
+#   (a tie resolves to the same rightmost index in both windows), so
+#   repeats are always consecutive.
+# Window min + rightmost tie-break: per start, min(h) over the
+# window's grams, then max(pos) among grams attaining it.
+WINNOWING_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, i.i AS pos,
+         md5_number_lower(array_to_string(tk[i.i : i.i + 5 - 1], ' ')) AS h,
+         len(tk) - 5 + 1 AS n_grams
+  FROM toks, unnest(generate_series(1, len(tk) - 5 + 1)) AS i(i)
+  WHERE len(tk) >= 5
+),
+starts AS (
+  SELECT doc_id, s.s AS i
+  FROM (SELECT DISTINCT doc_id, n_grams FROM grams),
+       unnest(generate_series(1, greatest(1, n_grams - 4 + 1))) AS s(s)
+),
+win AS (
+  SELECT s.doc_id, s.i, min(g.h) AS min_h
+  FROM starts s JOIN grams g ON g.doc_id = s.doc_id AND g.pos BETWEEN s.i AND s.i + 4 - 1
+  GROUP BY s.doc_id, s.i
+),
+picks AS (
+  SELECT w.doc_id, w.i, max(g.pos) AS j
+  FROM win w JOIN grams g
+    ON g.doc_id = w.doc_id AND g.pos BETWEEN w.i AND w.i + 4 - 1 AND g.h = w.min_h
+  GROUP BY w.doc_id, w.i
+)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_fingerprints
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(DISTINCT j) AS n FROM picks GROUP BY doc_id) p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def winnowing(sf_dir: str, k: int = 5, window: int = 4) -> pd.DataFrame:
     """(doc_id, n_fingerprints) winnowing summary (full fingerprint
-    sets are list-typed; the count is the driver-checkable scalar)."""
+    sets are list-typed; the count is the driver-checkable scalar,
+    oracle-checked via WINNOWING_SQL)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:

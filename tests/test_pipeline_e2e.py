@@ -110,3 +110,36 @@ def test_batch_size_invariance(small_corpus):
     out1 = build_extraction_pipeline(ds1, media, text_batch_size=1)
     out2 = build_extraction_pipeline(ds2, media, text_batch_size=64)
     assert _spans_map(out1) == _spans_map(out2)
+
+
+def test_media_remote_args_reach_map_batches(small_corpus, monkeypatch):
+    """media_remote_args (num_gpus / custom resources for a real GPU
+    engine behind the engine seam) must flow into the extract pool's
+    map_batches ray_remote_args."""
+    import ray.data
+
+    from ocr_pipeline_ray.pipelines.extract import build_extraction_pipeline
+
+    docs, media, _ = small_corpus
+    seen = []
+    orig = ray.data.Dataset.map_batches
+
+    def spy(self, fn, **kwargs):
+        seen.append((getattr(fn, "__name__", str(fn)), kwargs))
+        return orig(self, fn, **kwargs)
+
+    monkeypatch.setattr(ray.data.Dataset, "map_batches", spy)
+    build_extraction_pipeline(
+        ray.data.from_arrow(docs), media,
+        media_remote_args={"num_gpus": 0.25, "resources": {"accel": 1}},
+    )
+    pool_calls = [kw for name, kw in seen if "ExtractPackAll" in name]
+    assert pool_calls, f"extract pool stage not built: {[n for n, _ in seen]}"
+    assert pool_calls[0]["num_gpus"] == 0.25
+    assert pool_calls[0]["resources"] == {"accel": 1}
+    # default stays empty: the no-override call must NOT pass the args
+    # (explicit ray_remote_args disable an actor submission fast path)
+    seen.clear()
+    build_extraction_pipeline(ray.data.from_arrow(docs), media)
+    pool_calls = [kw for name, kw in seen if "ExtractPackAll" in name]
+    assert "num_gpus" not in pool_calls[0] and "resources" not in pool_calls[0]

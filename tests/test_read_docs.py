@@ -54,3 +54,19 @@ def test_plain_parquet_path_never_touches_lance(tmp_path, monkeypatch):
 
     monkeypatch.setattr(ray.data, "read_lance", explode, raising=False)
     assert read_docs(str(p)).count() == 1
+
+
+def test_real_lance_roundtrip(tmp_path):
+    """Write + read an actual Lance dataset when the optional package
+    is installed (pip install .[lance]); skipped in containers without
+    it — the routing logic above is always covered."""
+    import pytest
+
+    lance = pytest.importorskip("lance")
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": ["doc-0", "doc-1"], "text": ["a", "b"]})
+    d = str(tmp_path / "docs.lance")
+    lance.write_dataset(t, d)
+    out = read_docs(d)
+    assert sorted(r["doc_id"] for r in out.take_all()) == ["doc-0", "doc-1"]
