@@ -160,6 +160,97 @@ def decode_text_ppm(payload: bytes) -> str:
 
 
 # ---------------------------------------------------------------------------
+# detection boxes + polygon refinement (reference T1-T3)
+# ---------------------------------------------------------------------------
+
+
+def _refine_polygon(mask: np.ndarray, x_off: int) -> list[list[int]] | None:
+    """T3 analog of CRAFT's ``getPoly_core``
+    (std-detection/craft_utils.py:81-225): trace a 14-point polygon
+    from the region's binary mask by splitting the box into 7 x
+    segments and taking the top/bottom foreground contour of each —
+    7 top points left->right then 7 bottom points right->left, the
+    same vertex convention as the reference. Returns ``None`` (caller
+    keeps the rectangle) when the box is too narrow or a segment has
+    no foreground — the reference's small-box / low-confidence
+    fallbacks (craft_utils.py:87-89,118-120)."""
+    h, w = mask.shape
+    if w < 2 * PITCH:  # polygon not beneficial for small boxes
+        return None
+    edges = np.linspace(0, w, 8).astype(int)
+    top: list[list[int]] = []
+    bot: list[list[int]] = []
+    for s in range(7):
+        seg = mask[:, edges[s] : edges[s + 1]]
+        rows = np.nonzero(seg.any(axis=1))[0]
+        if rows.size == 0:  # blank segment -> no reliable contour
+            return None
+        xc = x_off + int(edges[s] + edges[s + 1] - 1) // 2
+        top.append([xc, int(rows[0])])
+        bot.append([xc, int(rows[-1])])
+    return top + bot[::-1]
+
+
+def detect_boxes_ppm(payload: bytes, poly: bool = False) -> list[dict]:
+    """T1-T2(+T3) analog: word-level detection over the raster.
+
+    Binarize, segment fixed-pitch glyph cells, group contiguous
+    occupied cells into word regions (the detector), classify each
+    cell by template match (the recognizer), and — when ``poly=True``,
+    off by default exactly like the reference (``poly=False``
+    std-detection/test.py:53, api.py:87) — refine each rectangle to a
+    14-point polygon via :func:`_refine_polygon`.
+
+    Returns one dict per word region:
+    ``{text, x0, y0, x1, y1, confidence, polygon}`` with pixel
+    coordinates snapped to the cell grid (x1/y1 exclusive, i.e. the
+    box spans columns ``x0..x1-1``) and confidence = matched-pixel
+    fraction of the winning templates.
+    """
+    img = parse_ppm(payload)
+    bits = (img[:, :, 0] > 127).astype(np.uint8)
+    h, w = bits.shape
+    if h != GLYPH_H:
+        raise ValueError(f"unsupported raster height {h}")
+    n_cells = w // PITCH
+    if n_cells == 0:
+        return []
+    usable = bits[:, : n_cells * PITCH].reshape(GLYPH_H, n_cells, PITCH)
+    cells = usable.transpose(1, 0, 2)[:, :, :GLYPH_W]
+    flat = cells.reshape(n_cells, -1)
+    lit = flat.sum(axis=1) > 0
+    a = flat.astype(np.int16)
+    b = _FONT.reshape(len(_FONT_CHARS), -1).astype(np.int16)
+    dist = (a[:, None, :] != b[None, :, :]).sum(axis=2)
+    best = dist.argmin(axis=1)
+    regions: list[dict] = []
+    c = 0
+    while c < n_cells:
+        if not lit[c]:
+            c += 1
+            continue
+        c0 = c
+        while c < n_cells and lit[c]:
+            c += 1
+        text = "".join(_FONT_CHARS[k] for k in best[c0:c])
+        n_px = GLYPH_W * GLYPH_H * (c - c0)
+        conf = 1.0 - float(dist[np.arange(c0, c), best[c0:c]].sum()) / n_px
+        x0, x1 = PITCH * c0, PITCH * (c - 1) + GLYPH_W
+        regions.append(
+            {
+                "text": text,
+                "x0": x0,
+                "y0": 0,
+                "x1": x1,
+                "y1": GLYPH_H,
+                "confidence": round(conf, 4),
+                "polygon": _refine_polygon(bits[:, x0:x1], x0) if poly else None,
+            }
+        )
+    return regions
+
+
+# ---------------------------------------------------------------------------
 # pdf-analog container: blocks with layout coords, reading-order decode
 # ---------------------------------------------------------------------------
 

@@ -112,6 +112,66 @@ FROM base ORDER BY doc_id
 """
 
 
+def media_word_boxes(sf_dir: str) -> pd.DataFrame:
+    """Word-level detection + polygon refinement (reference T1-T3) as
+    a fully oracled query: raster every doc's leading tokens, run
+    :func:`~ocr_pipeline_ray.functions.ppm_ocr.detect_boxes_ppm` with
+    ``poly=True`` (the T3 path executes for every region; the
+    14-point polygons themselves are font-dependent so their golden
+    checks live in tests/test_ppm_ocr.py), and emit the word text +
+    box geometry, which DuckDB can derive from token layout alone.
+
+    Output: (doc_id, word_idx, word_text, x0, x1) per detected word.
+    """
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm
+
+    def detect(t: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, x0s, x1s = [], [], [], [], []
+        for ref, payload in zip(t["media_ref"].to_pylist(), t["payload"].to_pylist()):
+            for i, r in enumerate(detect_boxes_ppm(payload, poly=True)):
+                doc_ids.append(int(ref))
+                idxs.append(i)
+                texts.append(r["text"])
+                x0s.append(r["x0"])
+                x1s.append(r["x1"] - 1)  # inclusive last glyph column
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "word_idx": pa.array(idxs, pa.int64()),
+                "word_text": pa.array(texts, pa.string()),
+                "x0": pa.array(x0s, pa.int64()),
+                "x1": pa.array(x1s, pa.int64()),
+            }
+        )
+
+    out = _media_payload_ds(sf_dir).map_batches(detect, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "word_idx"]).reset_index(drop=True)
+
+
+# the raster is a pure function of the first-5-token layout: word i
+# starts at cell sum(len+1) of preceding words, 6 px pitch, glyphs
+# 5 px wide; OCR-normalize = upper() (tokens are [A-Za-z0-9_]+, all
+# in the font alphabet)
+MEDIA_WORD_BOXES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:5]) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:5], 1) AS idx
+  FROM documents
+), pos AS (
+  SELECT doc_id, idx - 1 AS word_idx, upper(tok) AS word_text, length(tok) AS len,
+         coalesce(sum(length(tok) + 1) OVER (
+           PARTITION BY doc_id ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+  FROM toks
+)
+SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, word_text,
+       CAST(6 * c0 AS BIGINT) AS x0,
+       CAST(6 * (c0 + len - 1) + 4 AS BIGINT) AS x1
+FROM pos ORDER BY doc_id, word_idx
+"""
+
+
 def media_channel_stats(sf_dir: str) -> pd.DataFrame:
     """Real pixel statistics per doc raster: mean channel intensity of
     the decoded (resized) image — the feature-extraction stage shape.

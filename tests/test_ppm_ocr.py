@@ -62,3 +62,72 @@ def test_engine_interface():
         eng.extract("video", "mem://x/3", b"")
     with pytest.raises(ValueError):
         eng.extract("image", "mem://x/4", b"not a ppm")
+
+
+# ---------------------------------------------------------------------------
+# detection boxes + T3 polygon refinement
+# ---------------------------------------------------------------------------
+
+
+def test_detect_boxes_words_and_geometry():
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm
+
+    regs = detect_boxes_ppm(render_text_ppm("HELLO WORLD X"))
+    assert [r["text"] for r in regs] == ["HELLO", "WORLD", "X"]
+    # cell-grid geometry: word i starts at 6*sum(len+1) of prior words
+    assert [(r["x0"], r["x1"]) for r in regs] == [(0, 29), (36, 65), (72, 77)]
+    assert all(r["y0"] == 0 and r["y1"] == 7 for r in regs)
+    # exact rendering -> perfect template match
+    assert all(r["confidence"] == 1.0 for r in regs)
+    # poly defaults off, like the reference (std-detection/test.py:53)
+    assert all(r["polygon"] is None for r in regs)
+    assert detect_boxes_ppm(render_text_ppm("")) == []
+
+
+def test_detect_boxes_noise_confidence():
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm
+
+    payload = bytearray(render_text_ppm("WALKS"))
+    header_len = len(b"P6\n30 7\n255\n")
+    # flip one pixel (3 bytes RGB) of the first glyph
+    for b in range(3):
+        payload[header_len + b] = 255 - payload[header_len + b]
+    (reg,) = detect_boxes_ppm(bytes(payload))
+    assert reg["text"] == "WALKS"  # still nearest glyph
+    assert 0.9 < reg["confidence"] < 1.0  # but no longer a perfect match
+
+
+def test_polygon_golden_from_font():
+    """The 14-point polygon must equal the contour computed directly
+    from the font bitmaps (independent reimplementation)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.ppm_ocr import _FONT, _FONT_CHARS, detect_boxes_ppm
+
+    word = "TAIL"
+    (reg,) = detect_boxes_ppm(render_text_ppm(word), poly=True)
+    # reassemble the word's mask from font bitmaps: 6px pitch, 5px glyphs
+    w = 6 * (len(word) - 1) + 5
+    mask = np.zeros((7, w), dtype=np.uint8)
+    for i, ch in enumerate(word):
+        mask[:, 6 * i : 6 * i + 5] = _FONT[_FONT_CHARS.index(ch)]
+    edges = np.linspace(0, w, 8).astype(int)
+    top, bot = [], []
+    for s in range(7):
+        rows = np.nonzero(mask[:, edges[s] : edges[s + 1]].any(axis=1))[0]
+        xc = int(edges[s] + edges[s + 1] - 1) // 2
+        top.append([xc, int(rows[0])])
+        bot.append([xc, int(rows[-1])])
+    assert reg["polygon"] == top + bot[::-1]
+    assert len(reg["polygon"]) == 14
+
+
+def test_polygon_small_box_fallback():
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm
+
+    # words narrower than 2 glyph pitches keep the rectangle (polygon
+    # None), mirroring the reference's small-box fallback
+    regs = detect_boxes_ppm(render_text_ppm("A BC DEF"), poly=True)
+    assert [r["text"] for r in regs] == ["A", "BC", "DEF"]
+    assert regs[0]["polygon"] is None and regs[1]["polygon"] is None
+    assert regs[2]["polygon"] is not None
