@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "top3_orders_per_segment": relational.top3_orders_per_segment,
+        "q4_order_priority": relational.q4_order_priority,
+        "q12_priority_by_linestatus": relational.q12_priority_by_linestatus,
+        "q13_customer_distribution": relational.q13_customer_distribution,
+        "q18_large_volume_orders": relational.q18_large_volume_orders,
+        "q22_idle_high_balance": relational.q22_idle_high_balance,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
@@ -142,6 +147,11 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": relational.Q10_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
         "top3_orders_per_segment": relational.TOP3_PER_SEGMENT_SQL,
+        "q4_order_priority": relational.Q4_SQL,
+        "q12_priority_by_linestatus": relational.Q12_SQL,
+        "q13_customer_distribution": relational.Q13_SQL,
+        "q18_large_volume_orders": relational.Q18_SQL,
+        "q22_idle_high_balance": relational.Q22_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         # bloom prefilter + exact verify == exact semi join

@@ -1339,3 +1339,247 @@ UNION ALL
 SELECT l_returnflag, 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem GROUP BY l_returnflag
 ORDER BY l_returnflag, p
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes q4 / q12 / q13 / q18 / q22 over the available columns
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (EXISTS semi join + grouped count): orders in a
+    6-month window with at least one returned lineitem, counted per
+    priority. The key side (filtered lineitem orderkeys) is
+    fact-scale, so membership resolves through the distributed
+    bucketed semi join; the 5-priority count is a per-batch partial +
+    tiny driver combine (no aggregate shuffle)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1996-07-01"))),
+            )
+        ).drop_columns(["o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    returned = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], pa.scalar("R"))).drop_columns(["l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    hits = bucketed_semi_anti_join(
+        orders, "o_orderkey", ["o_orderkey", "o_orderpriority"], returned, "l_orderkey"
+    )
+    parts = hits.map_batches(
+        lambda df: df.groupby("o_orderpriority", as_index=False).size(), batch_format="pandas"
+    ).to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)["size"].sum()
+    out = out.rename(columns={"size": "order_count"}).sort_values("o_orderpriority")
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q12_priority_by_linestatus(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (fact-fact join + conditional counts by mode;
+    l_linestatus stands in for the absent l_shipmode column):
+    lineitems shipped in 1997 pre-aggregate per (orderkey,
+    linestatus), shuffle-join streaming orders for the priority flag,
+    and the CASE counts reduce per batch -> driver (2 groups)."""
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+            )
+        )
+        df = pd.DataFrame(
+            {"l_orderkey": t["l_orderkey"].to_numpy(), "l_linestatus": t["l_linestatus"].to_pylist()}
+        )
+        return df.groupby(["l_orderkey", "l_linestatus"], as_index=False).size().rename(columns={"size": "n"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
+        li_prep, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]), batch_format="pyarrow"
+    )
+    joined = shuffle_hash_join(
+        li, orders, on="l_orderkey", num_buckets=32,
+        left_cols=["l_orderkey", "l_linestatus", "n"],
+        right_cols=["l_orderkey", "o_orderpriority"],
+    )
+
+    def _case_counts(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        df = df.assign(high_line_count=df["n"].where(high, 0), low_line_count=df["n"].where(~high, 0))
+        return df.groupby("l_linestatus", as_index=False)[["high_line_count", "low_line_count"]].sum()
+
+    parts = joined.map_batches(_case_counts, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_linestatus", as_index=False)[["high_line_count", "low_line_count"]].sum()
+    out[["high_line_count", "low_line_count"]] = out[["high_line_count", "low_line_count"]].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (left join + double aggregation): orders per
+    customer, then the distribution of those counts. The per-customer
+    count is a high-cardinality bucketed aggregate over the fact
+    table; the count histogram reduces per batch -> driver (the
+    c_count domain is tiny). Customers with ZERO orders never appear
+    in the fact aggregate, so their histogram bar is derived by
+    subtraction: |customer| - |distinct custkeys in orders| — the
+    left-join semantics without materializing either key set."""
+    per_cust = bucketed_aggregate(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"]),
+        "o_custkey",
+        {"c_count": ("o_orderkey", "count")},
+    )
+    parts = per_cust.map_batches(
+        lambda df: df.groupby("c_count", as_index=False).size(), batch_format="pandas"
+    ).to_pandas()
+    hist = parts.groupby("c_count", as_index=False)["size"].sum().rename(columns={"size": "custdist"})
+    n_customers = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = n_customers - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    hist = hist.astype({"c_count": "int64", "custdist": "int64"})
+    return hist.sort_values(["custdist", "c_count"], ascending=[False, False]).reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (grouped HAVING + join + top-k): orders whose
+    total lineitem quantity exceeds 250, top 100 by quantity. The
+    per-order quantity is a bucketed aggregate over lineitem; the
+    HAVING filter runs vectorized in the same stream; the top-100 is
+    a per-batch partial reduce; order/customer attributes attach to
+    the 100 winners only (broadcast id set), like q10."""
+    qty = bucketed_aggregate(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]),
+        "l_orderkey",
+        {"total_qty": ("l_quantity", "sum")},
+    ).map_batches(lambda df: df[df["total_qty"] > 250], batch_format="pandas")
+    top = partial_topk(qty, by=["total_qty", "l_orderkey"], ascending=[False, True], k=100)
+    keys_ref = ray.put(pa.array(sorted(top["l_orderkey"].astype(int)), pa.int64()))
+    winners = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=ray.get(keys_ref))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cust_ref = ray.put(pa.array(sorted(set(winners["o_custkey"].astype(int))), pa.int64()))
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=ray.get(cust_ref))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    df = top.merge(winners, left_on="l_orderkey", right_on="o_orderkey").merge(
+        names, left_on="o_custkey", right_on="c_custkey"
+    )
+    df = df.sort_values(["total_qty", "o_orderkey"], ascending=[False, True])
+    df = _round_cols(df, ["total_qty", "o_totalprice"])
+    return df[["c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty"]].reset_index(drop=True)
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
+       round(total_qty, 4) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) t
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey LIMIT 100
+"""
+
+
+def q22_idle_high_balance(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (global scalar aggregate + anti join + grouped
+    aggregate; nationkey stands in for the absent phone prefix):
+    customers with above-average positive balance who never placed a
+    large (>250k) order, counted per nation. The average is a
+    per-batch partial -> one driver scalar; the anti join streams the
+    filtered fact keys through the distributed bucketed machinery; the
+    25-nation aggregate reduces per batch -> driver."""
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def _bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df.loc[df["c_acctbal"] > 0, "c_acctbal"]
+        return pd.DataFrame({"s": [pos.sum()], "n": [len(pos)]})
+
+    bal = (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(_bal_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    threshold = round(float(bal["s"].sum() / bal["n"].sum()), ROUND_DECIMALS)
+
+    rich = _read(sf_dir, "customer", columns=cust_cols).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], pa.scalar(threshold))),
+        batch_format="pyarrow",
+    )
+    big_orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(250000.0))).drop_columns(
+            ["o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    idle = bucketed_semi_anti_join(rich, "c_custkey", cust_cols, big_orders, "o_custkey", anti=True)
+
+    parts = idle.map_batches(
+        lambda df: df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    out = parts.groupby("c_nationkey", as_index=False).agg(
+        numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum")
+    )
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["totacctbal"].round(ROUND_DECIMALS)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q22_SQL = """
+WITH avg_bal AS (
+  SELECT round(avg(c_acctbal), 4) AS v FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT v FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
