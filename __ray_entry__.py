@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         "embedding_neardup_lsh_planted": similarity.embedding_neardup_lsh_planted,
         # multimodal decode stages over real P6 rasters
         "media_dimensions": media.media_dimensions,
@@ -191,7 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "media_word_boxes": media.MEDIA_WORD_BOXES_SQL,
         # no oracle (sketch / ANN / non-SQL hash, approximate by
         # design): minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,
-        # knn_lsh, distinct_users_hll, order_price_quantiles_sketch,
+        # knn_lsh, knn_ivf, distinct_users_hll, order_price_quantiles_sketch,
         # media_channel_stats, embedding_neardup_lsh
         # -> driver rows-only check + pytest property tests
     }

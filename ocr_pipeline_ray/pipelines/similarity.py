@@ -194,6 +194,114 @@ def knn_lsh(
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).astype("int64")
 
 
+def _kmeans_spherical(
+    sample: np.ndarray, n_lists: int, iters: int = 5, seed: int = 11
+) -> np.ndarray:
+    """Seeded spherical k-means over a (bounded) training sample —
+    the IVF coarse quantizer. Deterministic: seeded init, fixed
+    iteration count; empty clusters keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample.astype(np.float64))
+    n_lists = min(n_lists, len(sample))
+    # farthest-first init (deterministic k-means++ analog): each next
+    # seed is the point least similar to its closest chosen seed —
+    # avoids the two-seeds-in-one-cluster local optimum of random init
+    first = int(rng.integers(len(sample)))
+    chosen = [first]
+    best_sim = sample @ sample[first]
+    for _ in range(n_lists - 1):
+        nxt = int(best_sim.argmin())
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, sample @ sample[nxt])
+    cents = sample[chosen].copy()
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    train_cap: int = 4096,
+) -> pd.DataFrame:
+    """IVF-bucketed ANN — the centroid-partitioned scale path
+    (IVF-flat, the standard inverted-file layout): a coarse quantizer
+    (spherical k-means, trained on a BOUNDED sample — ``limit()``
+    streams only the blocks it needs, so training cost is constant in
+    corpus size) partitions the corpus into ``n_lists`` lists; each
+    query probes its ``n_probe`` nearest centroids and exact cosine
+    re-ranks only rows assigned to a probed list.
+
+    One streaming pass: centroids + per-query probe sets broadcast
+    once; every batch computes its own list assignments (one matmul
+    against the centroid matrix), drops rows outside all probed lists,
+    and emits per-query top-k partials — the driver reduces k rows per
+    query per batch at most. On a persisted deployment the assignment
+    becomes a list_id-partitioned parquet layout written once and
+    pruned at the read; the streaming form here keeps the same math
+    with zero index state. Approximate by design: recall vs
+    :func:`knn_brute_force` is property-tested
+    (tests/test_similarity.py)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    train = ds.limit(train_cap).to_pandas().sort_values("vec_id")
+    _, tm = _to_matrix(train)
+    cents = _kmeans_spherical(tm, n_lists)
+
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids, q = _to_matrix(qdf)
+    qn = _normalize(q)
+    # per-query probed lists + the union (for the batch-level filter)
+    q_sims = qn @ cents.T
+    probes = np.argsort(-q_sims, axis=1)[:, :n_probe]  # (n_q, n_probe)
+    probed_union = np.unique(probes)
+    ref = ray.put((cents, q_ids, qn, probes, probed_union))
+
+    class _ProbeTopK:
+        def __init__(self):
+            self.cents, self.q_ids, self.qn, self.probes, self.union = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            lists = (mn @ self.cents.T).argmax(axis=1)
+            keep = np.isin(lists, self.union)
+            if not keep.any():
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+                )
+            ids, mn, lists = ids[keep], mn[keep], lists[keep]
+            sims = mn @ self.qn.T  # (kept, n_q)
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                mask = np.isin(lists, self.probes[qi]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids, cand_s = ids[mask], sims[mask, qi]
+                order = np.lexsort((cand_ids, -cand_s))[: min(k, cand_ids.size)]
+                out.append(pd.DataFrame({"query_id": qid, "neighbor_id": cand_ids[order], "sim": cand_s[order]}))
+            if not out:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"), "neighbor_id": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+                )
+            return pd.concat(out, ignore_index=True)
+
+    parts = ds.map_batches(_ProbeTopK, batch_format="pandas", batch_size=2048, concurrency=(1, 8)).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "rank"]).astype("int64")
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    top = parts.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
 _EMPTY_PAIRS = {
     "a": pd.Series(dtype="int64"),
     "b": pd.Series(dtype="int64"),

@@ -157,3 +157,41 @@ def test_label_centroids_recover_planted_clusters(tmp_path):
     for _, row in cents.iterrows():
         err = np.linalg.norm(np.asarray(row["centroid"]) - means[row["label"]])
         assert err < 0.15
+
+
+def test_knn_ivf_recall_and_full_probe_exactness():
+    """IVF recall grows with n_probe; probing ALL lists must equal the
+    brute-force result exactly (IVF with full probe is exhaustive
+    search — a structural identity, not a probabilistic bar)."""
+    import pandas as pd
+
+    from ocr_pipeline_ray.pipelines.similarity import knn_brute_force, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    bf = knn_brute_force(sf)
+    exact = set(map(tuple, bf[["query_id", "neighbor_id"]].values))
+
+    r = {}
+    for n_probe in (6, 16):
+        a = knn_ivf(sf, n_probe=n_probe)
+        r[n_probe] = len(exact & set(map(tuple, a[["query_id", "neighbor_id"]].values))) / len(exact)
+    assert r[6] >= 0.5  # partial probe keeps useful recall on random vectors
+    assert r[16] == 1.0  # full probe == brute force
+    full = knn_ivf(sf, n_probe=16)
+    pd.testing.assert_frame_equal(full, bf)
+
+
+def test_kmeans_spherical_deterministic_and_separating():
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.similarity import _kmeans_spherical, _normalize
+
+    rng = np.random.default_rng(3)
+    mus = _normalize(rng.standard_normal((4, 32)))
+    pts = np.concatenate([mu + 0.05 * rng.standard_normal((50, 32)) for mu in mus])
+    c1 = _kmeans_spherical(pts, 4)
+    c2 = _kmeans_spherical(pts, 4)
+    assert np.array_equal(c1, c2)  # seeded -> deterministic
+    # every planted mean is close to some centroid
+    sims = _normalize(mus) @ c1.T
+    assert (sims.max(axis=1) > 0.95).all()
