@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q18_large_volume_orders": relational.q18_large_volume_orders,
         "q22_idle_high_balance": relational.q22_idle_high_balance,
+        "order_rank_in_segment": relational.order_rank_in_segment,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": text.tfidf_top_term,
         "curate_corpus": text.curate_corpus,
         "repetition_stats": text.repetition_stats,
+        "segment_dedup": text.segment_dedup,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
         "label_centroid_norms": similarity.label_centroid_norms,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": relational.Q13_SQL,
         "q18_large_volume_orders": relational.Q18_SQL,
         "q22_idle_high_balance": relational.Q22_SQL,
+        "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         # bloom prefilter + exact verify == exact semi join
@@ -178,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": text.LANGUAGE_ID_SQL,
         "quality_scores": text.QUALITY_SCORES_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
+        "segment_dedup": text.SEGMENT_DEDUP_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,
         "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
         "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,

@@ -638,3 +638,82 @@ WITH base AS (
 )
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM keep GROUP BY h ORDER BY doc_id
 """
+
+
+SEG_IDX_BITS = 20  # (doc_id, seg_idx) packed into one int64 order key
+
+
+def segment_dedup(sf_dir: str, seg_len: int = 3) -> pd.DataFrame:
+    """GLOBAL exact segment-level dedup (the paragraph-dedup shape for
+    corpora whose docs are flat token streams): split every doc into
+    consecutive ``seg_len``-token segments and keep only the FIRST
+    occurrence of each distinct segment corpus-wide, ordered by
+    (doc_id, seg_idx).
+
+    Distributed first-occurrence = a MIN aggregate over a packed
+    ``doc_id << 20 | seg_idx`` order key, grouped by segment text —
+    high-cardinality, so it rides :func:`bucketed_aggregate` (per-batch
+    partial min + one coarse-bucket shuffle). No driver set, no
+    whole-corpus materialization; output rows decode the packed key
+    back to (doc_id, seg_idx).
+
+    Output: (doc_id, seg_idx, seg) of kept segments.
+    """
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    assert seg_len > 0
+
+    def _segs(t: pa.Table) -> pd.DataFrame:
+        doc_ids, idxs, segs = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = TOKEN_RE.findall(s)
+            for i in range(0, len(toks), seg_len):
+                doc_ids.append(did)
+                idxs.append(i // seg_len)
+                segs.append(" ".join(toks[i : i + seg_len]))
+        import numpy as np
+
+        df = pd.DataFrame({"seg": segs})
+        df["order"] = (np.asarray(doc_ids, dtype="int64") << SEG_IDX_BITS) | np.asarray(
+            idxs, dtype="int64"
+        )
+        return df
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _segs, batch_format="pyarrow"
+    )
+    first = bucketed_aggregate(ds, "seg", {"first_order": ("order", "min")})
+
+    def _decode(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = df["first_order"].to_numpy().astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": order >> SEG_IDX_BITS,
+                "seg_idx": order & ((1 << SEG_IDX_BITS) - 1),
+                "seg": df["seg"].to_numpy(),
+            }
+        )
+
+    out = first.map_batches(_decode, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+
+
+SEGMENT_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts FROM documents
+), segs AS (
+  SELECT doc_id, i - 1 AS seg_idx,
+         array_to_string(ts[(i - 1) * 3 + 1 : (i - 1) * 3 + 3], ' ') AS seg
+  FROM (SELECT doc_id, ts,
+               unnest(range(1, CAST(ceil(len(ts) / 3.0) AS BIGINT) + 1)) AS i
+        FROM toks)
+), ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, seg
+FROM ranked WHERE rn = 1 ORDER BY doc_id, seg_idx
+"""

@@ -139,3 +139,60 @@ def test_detect_hot_keys_finds_planted_skew():
     # uniform keys -> nothing hot
     ds2 = _ds(pd.DataFrame({"k": rng.integers(0, 5000, 20_000).astype("int64")}), 4)
     assert detect_hot_keys(ds2, "k", hot_fraction=0.05) == []
+
+
+def test_rank_in_group_matches_pandas_window(ray_session):
+    """rank_in_group == row_number() OVER (PARTITION BY g ORDER BY v
+    DESC, t) on a skewed distribution with heavy value ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocr_pipeline_ray.pipelines.relational import rank_in_group
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=n, p=[0.8, 0.15, 0.05]),
+            # few distinct values -> ties straddle range boundaries
+            "v": rng.integers(0, 40, size=n).astype(float),
+            "t": np.arange(n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        rank_in_group(ds, "g", "v", "t", out_cols=["g", "v", "t"], num_ranges=8)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["g", "v", "t"], ascending=[True, False, True]).reset_index(drop=True)
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    pd.testing.assert_frame_equal(got, exp[["g", "v", "t", "rank"]], check_dtype=False)
+
+
+def test_segment_dedup_first_occurrence(ray_session, tmp_path):
+    """Keeps exactly the first (doc_id, seg_idx) occurrence of each
+    distinct segment, including within-doc repeats and partial tails."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b c a b c d e",   # segs: 'a b c' x2 -> second dropped; tail 'd e'
+                "a b c x y z",       # 'a b c' dup of doc 1; 'x y z' new
+                "",                  # no tokens -> no segments
+            ],
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+
+    from ocr_pipeline_ray.pipelines.text import segment_dedup
+
+    out = segment_dedup(str(d))
+    got = list(map(tuple, out[["doc_id", "seg_idx", "seg"]].values))
+    assert got == [(1, 0, "a b c"), (1, 2, "d e"), (2, 1, "x y z")]

@@ -23,6 +23,11 @@ SUBSET = [
     "dedup_exact",
     "knn_brute_force",
     "fingerprints",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "segment_dedup",
+    "order_rank_in_segment",
+    "media_word_boxes",
 ]
 
 
