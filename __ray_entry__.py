@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": text.curate_corpus,
         "repetition_stats": text.repetition_stats,
         "segment_dedup": text.segment_dedup,
+        "heavy_hitter_terms": text.heavy_hitter_terms,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
         "label_centroid_norms": similarity.label_centroid_norms,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text.QUALITY_SCORES_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
+        "heavy_hitter_terms": text.HEAVY_HITTER_TERMS_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,
         "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
         "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,

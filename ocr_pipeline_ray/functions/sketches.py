@@ -194,3 +194,47 @@ class KLLSketch:
 
     def quantiles(self, qs) -> list[float]:
         return [self.quantile(q) for q in qs]
+
+
+class CountMinSketch:
+    """Count-min sketch over uint64 keys: ``depth`` rows x ``width``
+    counters; ``add`` is vectorized (per-row seeded remix of the key),
+    ``estimate`` takes the row-wise min (never underestimates),
+    ``merge`` is elementwise + (counts are linear, so partial sketches
+    built per batch/partition combine associatively — same
+    tree-reduce shape as the Bloom build). Used as the heavy-hitter
+    PRE-filter: candidates the sketch keeps are exact-verified with a
+    counting pass, so overestimates cost work, never correctness."""
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _pos(self, keys: np.ndarray) -> np.ndarray:
+        rows = []
+        for d in range(self.depth):
+            rows.append(_mix64(keys ^ _mix64(np.uint64(d + 1))) % np.uint64(self.width))
+        return np.stack(rows).astype(np.int64)  # (depth, n)
+
+    def add(self, keys, counts) -> "CountMinSketch":
+        keys = np.asarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return self
+        counts = np.asarray(counts, dtype=np.int64)
+        pos = self._pos(keys)
+        for d in range(self.depth):
+            np.add.at(self.table[d], pos[d], counts)
+        return self
+
+    def estimate(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if keys.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = self._pos(keys)
+        return np.stack([self.table[d][pos[d]] for d in range(self.depth)]).min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.width == other.width and self.depth == other.depth
+        self.table += other.table
+        return self

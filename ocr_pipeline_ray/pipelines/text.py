@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import ray
 
 from ocr_pipeline_ray.functions.textstats import (
     TOKEN_RE,
@@ -716,4 +717,134 @@ WITH toks AS (
 )
 SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, seg
 FROM ranked WHERE rn = 1 ORDER BY doc_id, seg_idx
+"""
+
+
+def heavy_hitter_terms(
+    sf_dir: str,
+    min_frac: float = 0.033,
+    width: int = 1 << 14,
+    depth: int = 4,
+    reduce_partitions: int = 8,
+) -> pd.DataFrame:
+    """Heavy hitters: every term whose corpus-wide count is at least
+    ``ceil(min_frac * total_tokens)`` — exact result, sketch-powered
+    plan (the count-min analog of the Bloom semi join:
+    sketch PRE-filter + exact verify, so approximation costs work,
+    never correctness):
+
+    1. one pass builds per-batch partials — a count-min sketch over
+       the batch's term counts, the batch token total, and the batch's
+       LOCAL heavy hitters (count >= min_frac * batch_total; by
+       pigeonhole every global heavy hitter is a local one in at
+       least one batch, so the union is an exact candidate superset) —
+       tree-reduced in-dataset (CMS merge is elementwise +), the
+       driver sees only ``reduce_partitions`` fixed-size rows;
+    2. the merged sketch prunes candidates (CMS never underestimates,
+       so pruning keeps the superset property);
+    3. a second pass exact-counts the surviving candidates (broadcast
+       set, per-batch partials, tiny driver combine) and applies the
+       true threshold.
+
+    Output: (term, n) for terms with n >= ceil(min_frac * N), count
+    desc then term asc.
+    """
+    import math
+
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.sketches import CountMinSketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _term_counts(t: pa.Table):
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return None, None
+        return np.unique(np.asarray(toks, dtype=object), return_counts=True)
+
+    def _hash_terms(terms) -> "np.ndarray":
+        return pd.util.hash_pandas_object(pd.Series(terms, dtype=object), index=False).to_numpy()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        uniq, counts = _term_counts(t)
+        if uniq is None:
+            uniq, counts = np.array([], dtype=object), np.array([], dtype=np.int64)
+        cms = CountMinSketch(width, depth).add(_hash_terms(uniq), counts)
+        total = int(counts.sum())
+        cands = [str(x) for x in uniq[counts >= min_frac * total]] if total else []
+        return pa.Table.from_pydict(
+            {
+                "cms": pa.array([cms.table.tobytes()], pa.binary()),
+                "total": pa.array([total], pa.int64()),
+                "cands": pa.array([cands], pa.list_(pa.string())),
+            }
+        )
+
+    def _merge_partition(t: pa.Table) -> pa.Table:
+        acc = np.zeros((depth, width), dtype=np.int64)
+        total = 0
+        cands: set[str] = set()
+        for blob, n, cl in zip(t["cms"].to_pylist(), t["total"].to_pylist(), t["cands"].to_pylist()):
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+            total += n
+            cands.update(cl)
+        return pa.Table.from_pydict(
+            {
+                "cms": pa.array([acc.tobytes()], pa.binary()),
+                "total": pa.array([total], pa.int64()),
+                "cands": pa.array([sorted(cands)], pa.list_(pa.string())),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .repartition(reduce_partitions)
+        .map_batches(_merge_partition, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    assert len(rows) <= reduce_partitions
+    cms = CountMinSketch(width, depth)
+    n_total = 0
+    cand_union: set[str] = set()
+    for row in rows:
+        cms.table += np.frombuffer(row["cms"], dtype=np.int64).reshape(depth, width)
+        n_total += row["total"]
+        cand_union.update(row["cands"])
+    if not n_total:
+        return pd.DataFrame({"term": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")})
+    thresh = math.ceil(min_frac * n_total)
+    cands = np.array(sorted(cand_union), dtype=object)
+    cands = cands[cms.estimate(_hash_terms(cands)) >= thresh]
+
+    cand_ref = ray.put(set(cands.tolist()))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        uniq, counts = _term_counts(t)
+        if uniq is None:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        keep = np.isin(uniq, np.array(sorted(ray.get(cand_ref)), dtype=object))
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq[keep]), pa.string()), "n": pa.array(counts[keep], pa.int64())}
+        )
+
+    parts = ds.map_batches(_verify, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("term", as_index=False)["n"].sum()
+    out = out[out["n"] >= thresh].sort_values(["n", "term"], ascending=[False, True])
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+HEAVY_HITTER_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM documents
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY term
+HAVING count(*) >= ceil(0.033 * (SELECT n FROM tot))
+ORDER BY n DESC, term
 """
