@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_neardup": dedup.simhash_neardup,
+        "exact_jaccard_pairs": dedup.exact_jaccard_pairs,
+        "neardup_clusters": dedup.neardup_clusters,
         # exact blocked pair join (DuckDB oracle); the LSH-bucketed
         # scale path (embedding_neardup_lsh) targets the >=0.9-cosine
         # regime where random test corpora have no pairs, so its
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": events.DISTINCT_USERS_SQL,
         "props_k_by_type": events.PROPS_K_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "exact_jaccard_pairs": dedup.EXACT_JACCARD_PAIRS_SQL,
+        "neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,
         "token_counts": text.TOKEN_COUNTS_SQL,
         "bpe_token_counts": text.BPE_TOKEN_COUNTS_SQL,
         "fingerprints": text.FINGERPRINTS_SQL,

@@ -377,3 +377,227 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
         )
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (inverted shingle index) + connected-
+# component clustering — the "group near-dups, keep one per cluster"
+# step that follows pair generation in corpus curation.
+# ---------------------------------------------------------------------------
+
+def exact_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle_k: int = 3) -> pd.DataFrame:
+    """EXACT Jaccard>=threshold pairs via a distributed inverted
+    shingle index — no LSH pruning, so (unlike
+    :func:`ngram_jaccard_pairs`) the result is deterministic-complete
+    and SQL-oracle-able.
+
+    Shape: (doc_id, shingle, n_doc) rows stream out of ``map_batches``;
+    ONE shuffle on a coarse shingle bucket; per bucket a vectorized
+    run-scan emits (a, b, shared-count) partials (each shingle lives in
+    exactly one bucket, so partials sum exactly); a bucketed aggregate
+    combines partials and the Jaccard filter runs vectorized. Only
+    final pairs reach the driver.
+
+    Scale note: this is the exact operator — its cost is the inverted
+    index (sum over shingles of |bucket postings|^2). Hot shingles
+    (boilerplate) make that quadratic; above ~1 TB use
+    :func:`minhash_lsh_dedup` (same verify, LSH-pruned candidates) —
+    the documented recall/cost trade, same split as
+    embedding_neardup vs embedding_neardup_lsh.
+    """
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _shingle_rows(t: pa.Table) -> pa.Table:
+        ids, shs, ns = [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = shingles(s, shingle_k).astype(np.int64)
+            ids.append(np.full(sh.size, doc_id, dtype=np.int64))
+            shs.append(sh)
+            ns.append(np.full(sh.size, sh.size, dtype=np.int64))
+        if not ids:
+            ids, shs, ns = [np.array([], dtype=np.int64)] * 3
+        return pa.Table.from_pydict(
+            {
+                "doc_id": np.concatenate(ids),
+                "sh": np.concatenate(shs),
+                "n": np.concatenate(ns),
+            }
+        )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        h = (np.asarray(t["sh"].to_pandas(), dtype=np.int64) * np.int64(0x9E3779B1)) % N_COARSE_BUCKETS
+        return t.append_column("cbucket", pa.array(np.abs(h), pa.int64()))
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        n_by_doc = dict(zip(d, g["n"].to_numpy()))
+        order = np.lexsort((d, sh))
+        sh, d = sh[order], d[order]
+        runs = np.concatenate(([0], np.flatnonzero(sh[1:] != sh[:-1]) + 1, [len(sh)]))
+        out_a, out_b = [], []
+        for s, e in zip(runs[:-1], runs[1:]):
+            if e - s < 2:
+                continue
+            ids = np.unique(d[s:e])
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("a", "b", "cnt", "n_a", "n_b")}
+            )
+        df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        df = df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "cnt"})
+        df["n_a"] = df["a"].map(n_by_doc).astype("int64")
+        df["n_b"] = df["b"].map(n_by_doc).astype("int64")
+        return df
+
+    partials = (
+        ds.map_batches(_shingle_rows, batch_format="pyarrow")
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(_pair_partials, batch_format="pandas")
+    )
+    combined = bucketed_aggregate(
+        partials, ["a", "b"], {"cnt": ("cnt", "sum"), "n_a": ("n_a", "min"), "n_b": ("n_b", "min")}
+    )
+
+    def _jacc_filter(df: pd.DataFrame) -> pd.DataFrame:
+        jacc = df["cnt"] / (df["n_a"] + df["n_b"] - df["cnt"])
+        df = df.assign(jacc=np.round(jacc, 4))[jacc >= threshold]
+        return df[["a", "b", "jacc"]]
+
+    out = combined.map_batches(_jacc_filter, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "jacc": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def connected_components(edges: "ray.data.Dataset", max_iters: int = 64) -> pd.DataFrame:
+    """Distributed connected components by min-label propagation over
+    an edge Dataset with int64 columns (a, b).
+
+    Each round is one bucketed hash join (labels shipped to
+    neighbors) + one bucketed min-aggregate; labels are monotone
+    nonincreasing per node, so the rounds converge (<= graph diameter)
+    and ``sum(label)`` is a fixpoint certificate — the driver sees one
+    scalar per round plus the final (node, label) table. Nothing else
+    leaves the cluster; the corpus itself is never touched here.
+    """
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, shuffle_hash_join
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_pandas(), dtype=np.int64)
+        b = np.asarray(t["b"].to_pandas(), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    if sym.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")})
+
+    # init: label(u) = min(u, min direct neighbor) — one free round
+    labels = bucketed_aggregate(sym, "u", {"label": ("v", "min")}).map_batches(
+        lambda df: df.assign(label=np.minimum(df["u"], df["label"])),
+        batch_format="pandas",
+    )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        labels = labels.materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        labels_v = labels.map_batches(
+            lambda df: df.rename(columns={"u": "v"}), batch_format="pandas"
+        )
+        msgs = shuffle_hash_join(
+            sym, labels_v, on="v", left_cols=["u", "v"], right_cols=["v", "label"]
+        ).map_batches(lambda df: df[["u", "label"]], batch_format="pandas")
+        labels = bucketed_aggregate(
+            msgs.union(labels), "u", {"label": ("label", "min")}
+        )
+    out = labels.to_pandas().rename(columns={"u": "doc_id", "label": "cluster_id"})
+    out = out.astype({"doc_id": "int64", "cluster_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def neardup_clusters(sf_dir: str, threshold: float = 0.5, shingle_k: int = 3) -> pd.DataFrame:
+    """Near-duplicate clusters: exact Jaccard pairs (inverted shingle
+    index) -> distributed connected components; cluster_id = min
+    doc_id of the component (the canonical "keep one per cluster" key
+    used downstream by corpus curation). Output: (doc_id, cluster_id)
+    for every doc in at least one near-dup pair."""
+    pairs = exact_jaccard_pairs(sf_dir, threshold=threshold, shingle_k=shingle_k)
+    edges = ray.data.from_pandas(pairs[["a", "b"]]) if not pairs.empty else ray.data.from_items([])
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")})
+    return connected_components(edges)
+
+
+# exact Jaccard over distinct lowercase [a-z0-9_]+ 3-gram shingles,
+# then transitive closure (recursive CTE) == the label-propagation
+# fixpoint; cluster_id = min doc_id reachable.
+NEARDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM toks
+), grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sb ON sb.doc_id = inter.b
+  WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.5
+), sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+)
+SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+EXACT_JACCARD_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM toks
+), grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 4) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.5
+ORDER BY a, b
+"""

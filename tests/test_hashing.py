@@ -57,3 +57,40 @@ def test_simhash_similar_texts_close():
     assert d_sim < d_diff
     assert d_sim <= 12
     assert simhash64(t1) == simhash64(t1)
+
+
+def test_connected_components_chain_and_islands():
+    """A chain a-b-c clusters transitively; disjoint pairs stay apart;
+    label propagation converges and labels = min of component."""
+    import pandas as pd
+    import ray
+
+    from ocr_pipeline_ray.pipelines.dedup import connected_components
+
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"a": [7, 2, 10, 30, 31], "b": [2, 9, 11, 31, 32]})
+    )
+    got = connected_components(edges)
+    want = {7: 2, 2: 2, 9: 2, 10: 10, 11: 10, 30: 30, 31: 30, 32: 30}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_exact_jaccard_pairs_vs_bruteforce():
+    """The inverted-index pairs equal the all-pairs O(n^2) scan."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.functions.hashing import jaccard, shingles
+    from ocr_pipeline_ray.pipelines.dedup import exact_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = exact_jaccard_pairs(sf, threshold=0.5)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sh = {d: shingles(s, 3) for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    want = sorted(
+        (a, b, round(jaccard(sh[a], sh[b]), 4))
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if jaccard(sh[a], sh[b]) >= 0.5
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
