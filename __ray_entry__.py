@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_not_suppkeys": relational.custkeys_not_suppkeys,
         "quantity_quantiles": relational.quantity_quantiles,
         "order_price_quantiles_sketch": relational.order_price_quantiles_sketch,
+        "price_quantiles_by_flag_sketch": relational.price_quantiles_by_flag_sketch,
         "quantity_quantiles_by_flag": relational.quantity_quantiles_by_flag,
         # stream-shaped
         "events_hourly": events.events_hourly,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "segment_dedup": text.segment_dedup,
         "heavy_hitter_terms": text.heavy_hitter_terms,
+        "stratified_sample": text.stratified_sample,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
         "label_centroid_norms": similarity.label_centroid_norms,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": text.REPETITION_STATS_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
         "heavy_hitter_terms": text.HEAVY_HITTER_TERMS_SQL,
+        "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,
         "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
         "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,

@@ -1699,3 +1699,48 @@ SELECT c_mktsegment, o_orderkey, round(o_totalprice, 4) AS o_totalprice,
 FROM orders JOIN customer ON o_custkey = c_custkey
 ORDER BY c_mktsegment, rank
 """
+
+
+def price_quantiles_by_flag_sketch(sf_dir: str, ps=QUANTILE_PS, k: int = 256) -> pd.DataFrame:
+    """GROUPED approximate quantiles: one mergeable KLL sketch per
+    (batch, l_returnflag) over the continuous l_extendedprice domain,
+    emitted as (flag, level, value) rows — a few hundred rows per
+    batch per group regardless of batch size — merged level-wise per
+    group on the driver. The grouped complement of
+    :func:`order_price_quantiles_sketch`; the group count (3 flags) is
+    tiny while the value domain is fact-table-sized, so the sketch
+    rows are the ONLY thing that moves. Rank error property-tested
+    vs the exact per-group sorted quantiles (no SQL oracle —
+    approximate by design)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.sketches import KLLSketch
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            s = KLLSketch(k).add(g["l_extendedprice"].to_numpy())
+            rows = [(flag, lvl, v) for lvl, buf in enumerate(s.levels) for v in buf]
+            frames.append(pd.DataFrame(rows, columns=["flag", "level", "value"]))
+        if not frames:
+            return pd.DataFrame(
+                {"flag": pd.Series(dtype="object"), "level": pd.Series(dtype="int64"), "value": pd.Series(dtype="float64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for flag, fg in parts.groupby("flag"):
+        merged = KLLSketch(k)
+        for lvl, g in fg.groupby("level"):
+            while len(merged.levels) <= lvl:
+                merged.levels.append([])
+            merged.levels[int(lvl)].extend(g["value"].tolist())
+        merged._compress()
+        for p, v in zip(ps, merged.quantiles(ps)):
+            out_rows.append((flag, p, round(float(v), 4)))
+    return pd.DataFrame(out_rows, columns=["l_returnflag", "p", "value"]).sort_values(
+        ["l_returnflag", "p"]
+    ).reset_index(drop=True)

@@ -848,3 +848,42 @@ FROM toks GROUP BY term
 HAVING count(*) >= ceil(0.033 * (SELECT n FROM tot))
 ORDER BY n DESC, term
 """
+
+
+def stratified_sample(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic stratified sample: the k docs per ``source``
+    stratum with the smallest md5(doc_id) — reproducible on any
+    cluster size (pure hash order, no RNG state), equal-depth across
+    strata regardless of stratum skew.
+
+    Distributed shape: per-batch top-k per stratum (vectorized
+    hash + groupby head), driver combines k x strata x batches
+    partial rows — the corpus never shuffles (same partial-top-k
+    shape as knn/top_orders).
+    """
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(h=[hashlib.md5(str(int(d)).encode()).hexdigest() for d in df["doc_id"]])
+        return df.sort_values(["h", "doc_id"]).groupby("source", sort=False).head(k)
+
+    parts = ds.map_batches(_local, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["h", "doc_id"])
+        .groupby("source", sort=False)
+        .head(k)[["source", "doc_id"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64"})
+
+
+STRATIFIED_SAMPLE_SQL = r"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY source, doc_id
+"""

@@ -186,3 +186,18 @@ def test_heavy_hitters_exact_vs_pandas():
     want["n"] = want["n"].astype("int64")
     assert len(got) > 0
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_grouped_kll_close_to_exact():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.relational import price_quantiles_by_flag_sketch
+
+    got = price_quantiles_by_flag_sketch(SF)
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]).to_pandas()
+    assert set(got["l_returnflag"]) == set(t["l_returnflag"].unique())
+    for _, row in got.iterrows():
+        vals = t.loc[t["l_returnflag"] == row["l_returnflag"], "l_extendedprice"].to_numpy()
+        est_rank = (vals <= row["value"]).mean()
+        assert abs(est_rank - row["p"]) < 0.05, (row["l_returnflag"], row["p"], est_rank)
