@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
+        "events_hopping": events.events_hopping,
         "asof_latest_order": events.asof_latest_order,
         "rolling_user_value": events.rolling_user_value,
         "cumulative_user_value": events.cumulative_user_value,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "quantity_quantiles_by_flag": relational.QUANTITY_QUANTILES_BY_FLAG_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
+        "events_hopping": events.EVENTS_HOPPING_SQL,
         "asof_latest_order": events.ASOF_SQL,
         "rolling_user_value": events.ROLLING_SQL,
         "cumulative_user_value": events.CUMULATIVE_SQL,

@@ -103,6 +103,8 @@ def run_operator_benches(out: dict) -> None:
         "rolling_user_value": events.rolling_user_value,
         "token_counts": text.token_counts,
         "vocab_top_terms": text.vocab_top_terms,
+        "heavy_hitter_terms": text.heavy_hitter_terms,
+        "neardup_clusters": dedup.neardup_clusters,
         "media_dimensions": media.media_dimensions,
     }
     for name, fn in benches.items():

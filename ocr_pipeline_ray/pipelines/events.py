@@ -457,3 +457,53 @@ def distinct_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
     )
     out["n_users_approx"] = out["n_users_approx"].astype("int64")
     return out
+
+
+def events_hopping(sf_dir: str, window_min: int = 60, hop_min: int = 15) -> pd.DataFrame:
+    """HOPPING (overlapping) window per event_type: 1-hour windows
+    advancing every 15 min — each event lands in window/hop (=4)
+    windows. The assignment explodes vectorized per batch (np.repeat +
+    one floor), so the shuffle sees pre-keyed (event_type,
+    window_start) rows exactly like the tumbling case — the overlap
+    factor multiplies rows inside the map stage, never the driver.
+    The overlapping complement of :func:`events_hourly`."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    k = window_min // hop_min
+    hop = pd.Timedelta(minutes=hop_min)
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def explode_windows(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{hop_min}min")
+        idx = np.repeat(np.arange(len(df)), k)
+        offs = np.tile(np.arange(k), len(df))
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy()[idx],
+                "window_start": base.to_numpy()[idx] - offs * hop.to_numpy(),
+                "value": df["value"].to_numpy()[idx],
+            }
+        )
+        return out
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(explode_windows, batch_format="pandas"),
+            ["event_type", "window_start"],
+            {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    out["sum_value"] = out["sum_value"].round(ROUND_DECIMALS)
+    return out
+
+
+EVENTS_HOPPING_SQL = """
+SELECT event_type,
+       make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - u.k) * 900000000) AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events, unnest([0, 1, 2, 3]) AS u(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

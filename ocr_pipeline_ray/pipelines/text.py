@@ -800,7 +800,10 @@ def heavy_hitter_terms(
         )
 
     rows = (
-        ds.map_batches(_partial, batch_format="pyarrow")
+        # batch_size=None -> one 512 KiB CMS partial per BLOCK, not per
+        # default-sized batch (the partial is fixed-size, so fewer,
+        # bigger adds cut the shuffled partial bytes ~10x)
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
         .repartition(reduce_partitions)
         .map_batches(_merge_partition, batch_format="pyarrow", batch_size=None)
         .take_all()
@@ -819,7 +822,7 @@ def heavy_hitter_terms(
     cands = np.array(sorted(cand_union), dtype=object)
     cands = cands[cms.estimate(_hash_terms(cands)) >= thresh]
 
-    cand_ref = ray.put(set(cands.tolist()))
+    cand_ref = ray.put(np.sort(cands))
 
     def _verify(t: pa.Table) -> pa.Table:
         uniq, counts = _term_counts(t)
@@ -827,7 +830,7 @@ def heavy_hitter_terms(
             return pa.Table.from_pydict(
                 {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
             )
-        keep = np.isin(uniq, np.array(sorted(ray.get(cand_ref)), dtype=object))
+        keep = np.isin(uniq, ray.get(cand_ref))
         return pa.Table.from_pydict(
             {"term": pa.array(list(uniq[keep]), pa.string()), "n": pa.array(counts[keep], pa.int64())}
         )
