@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal decode stages over real P6 rasters
         "media_dimensions": media.media_dimensions,
         "media_dimensions_png": media.media_dimensions_png,
+        "media_dimensions_jpeg": media.media_dimensions_jpeg,
         "media_channel_stats": media.media_channel_stats,
         "media_word_boxes": media.media_word_boxes,
         # text analysis
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh_planted": similarity.EMBEDDING_NEARDUP_LSH_PLANTED_SQL,
         "media_dimensions": media.MEDIA_DIMENSIONS_SQL,
         "media_dimensions_png": media.MEDIA_DIMENSIONS_SQL,
+        "media_dimensions_jpeg": media.MEDIA_DIMENSIONS_SQL,
         "media_word_boxes": media.MEDIA_WORD_BOXES_SQL,
         # no oracle (sketch / ANN / non-SQL hash, approximate by
         # design): minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,

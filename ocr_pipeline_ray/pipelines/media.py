@@ -45,6 +45,12 @@ def _media_payload_ds(sf_dir: str, fmt: str = "ppm") -> "ray.data.Dataset":
 
                 # Sub filter: exercises the decoder's cumsum unfilter path
                 payloads.append(encode_png(parse_ppm(ppm), filter_type=1))
+            elif fmt == "jpeg":
+                from ocr_pipeline_ray.functions.jpeg import encode_jpeg
+                from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
+
+                # lossy wire format — geometry survives exactly
+                payloads.append(encode_jpeg(parse_ppm(ppm), quality=90))
             else:
                 payloads.append(ppm)
         return pa.Table.from_pydict(
@@ -184,4 +190,24 @@ def media_channel_stats(sf_dir: str) -> pd.DataFrame:
     )
     return (
         out[["doc_id", "mean_intensity"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def media_dimensions_jpeg(sf_dir: str) -> pd.DataFrame:
+    """Same geometry oracle, payloads are REAL baseline JPEGs (our
+    pure-numpy T.81 encoder): the Ray side must walk markers, Huffman
+    decode and IDCT to produce the dimensions. Lossy pixels, exact
+    geometry — shares MEDIA_DIMENSIONS_SQL."""
+    out = decode_images(
+        _media_payload_ds(sf_dir, fmt="jpeg"), target_size=None, concurrency=(1, 4)
+    ).to_pandas()
+    bad = out[out["error"] != ""]
+    if len(bad):
+        raise ValueError(f"jpeg decode errors: {bad['error'].iloc[0]}")
+    out["doc_id"] = out["media_ref"].astype("int64")
+    return (
+        out[["doc_id", "width", "height"]]
+        .astype({"width": "int64", "height": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )

@@ -79,6 +79,7 @@ class ImageDecodeActor:
         return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.jpeg import JPEG_MAGIC, decode_jpeg
         from ocr_pipeline_ray.functions.png import PNG_MAGIC, parse_png
         from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
         from ocr_pipeline_ray.functions.raster import resize_bilinear
@@ -94,6 +95,11 @@ class ImageDecodeActor:
                 elif payload.startswith(PNG_MAGIC):
                     # real wire format: stdlib zlib inflate + unfilter
                     arr = parse_png(payload)
+                    if self.target is not None:
+                        arr = resize_bilinear(arr, self.target, self.target)
+                elif payload.startswith(JPEG_MAGIC):
+                    # real wire format: baseline T.81 Huffman+IDCT
+                    arr = decode_jpeg(payload)
                     if self.target is not None:
                         arr = resize_bilinear(arr, self.target, self.target)
                 elif self.pil is not None:
