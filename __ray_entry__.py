@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text.stratified_sample,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
+        "nearest_centroid_assign": similarity.nearest_centroid_assign,
         "label_centroid_norms": similarity.label_centroid_norms,
     }
 
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": text.HASH_SAMPLE_SQL,
         "tfidf_top_term": text.TFIDF_TOP_TERM_SQL,
         "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
+        "nearest_centroid_assign": similarity.NEAREST_CENTROID_ASSIGN_SQL,
         "knn_brute_force": similarity.knn_sql(),
         "embedding_neardup": similarity.EMBEDDING_NEARDUP_SQL,
         "embedding_neardup_lsh_planted": similarity.EMBEDDING_NEARDUP_LSH_PLANTED_SQL,

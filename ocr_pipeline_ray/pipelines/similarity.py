@@ -547,3 +547,77 @@ def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
     out = cents[["label", "n_vecs", "centroid_norm"]].copy()
     out["n_vecs"] = out["n_vecs"].astype("int64")
     return out
+
+
+def nearest_centroid_assign(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid classification over the embeddings table:
+    build per-label mean centroids distributed (per-batch partial
+    vector sums, tiny driver combine — same shape as
+    :func:`label_centroids`, unrounded so the float64 math matches the
+    SQL oracle), broadcast the (labels x dim) centroid matrix once
+    (``ray.put``), then stream the corpus through a vectorized
+    per-batch cosine argmax. Only (vec_id, label_pred, sim) rows move.
+    Ties break to the smallest label. The assignment step of a
+    k-means/IVF iteration as a standalone oracled operator."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append((int(label), m.sum(axis=0), len(g)))
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "n"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    labels, cents = [], []
+    for label, g in sorted(parts.groupby("label"), key=lambda kv: kv[0]):
+        labels.append(int(label))
+        cents.append(np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / int(g["n"].sum()))
+    label_arr = np.array(labels, dtype=np.int64)
+    cmat = np.stack(cents)
+    cmat_n = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    ref = ray.put((label_arr, cmat_n))
+
+    vecs = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        la, cn = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cn.T  # (batch, labels)
+        best = sims.argmax(axis=1)  # ties -> lowest index = smallest label
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "label_pred": la[best],
+                "sim": np.round(sims[np.arange(len(best)), best], 4),
+            }
+        )
+
+    out = vecs.map_batches(_assign, batch_format="pandas").to_pandas()
+    return out.astype({"vec_id": "int64", "label_pred": "int64"}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+
+
+NEAREST_CENTROID_ASSIGN_SQL = """
+WITH dims AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT label, array_agg(xm ORDER BY d) AS c FROM (
+    SELECT label, d, avg(x) AS xm FROM dims GROUP BY label, d
+  ) GROUP BY label
+), sims AS (
+  SELECT e.vec_id, c.label AS label_pred,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS sim
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, label_pred, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, label_pred) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(label_pred AS BIGINT) AS label_pred, round(sim, 4) AS sim
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
