@@ -507,3 +507,71 @@ SELECT event_type,
 FROM events, unnest([0, 1, 2, 3]) AS u(k)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def event_value_moments(sf_dir: str) -> pd.DataFrame:
+    """Distributed second-moment aggregates per event_type: population
+    stddev of ``value`` and corr(value, props.k) — the mergeable
+    co-moment pattern: each batch emits (n, Σx, Σx², Σk, Σk², Σxk)
+    partials (one row per group per batch), a tiny combine sums them,
+    and the moments come out closed-form. Nothing but six scalars per
+    (batch, group) ever moves — the same partial/combine discipline as
+    the centroid and KLL builds, for variance/covariance."""
+    import json
+
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k")
+                ks.append(float(v) if v is not None else np.nan)
+            except (ValueError, TypeError, AttributeError):
+                ks.append(np.nan)
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pylist(),
+                "x": np.asarray(t["value"].to_pandas(), dtype=np.float64),
+                "k": np.asarray(ks, dtype=np.float64),
+            }
+        )
+        df["x2"] = df["x"] * df["x"]
+        df["k2"] = df["k"] * df["k"]
+        df["xk"] = df["x"] * df["k"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sx2=("x2", "sum"),
+            sk=("k", "sum"), sk2=("k2", "sum"), sxk=("xk", "sum"),
+        )
+        return g
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("event_type", as_index=False).sum()
+    n = out["n"].astype(np.float64)
+    mean = out["sx"] / n
+    var = out["sx2"] / n - mean**2
+    mk = out["sk"] / n
+    cov = out["sxk"] / n - mean * mk
+    vark = out["sk2"] / n - mk**2
+    corr = cov / np.sqrt(var * vark)
+    res = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n_events": out["n"].astype("int64"),
+            "avg_value": np.round(mean, 4),
+            "stddev_value": np.round(np.sqrt(var), 4),
+            "corr_value_k": np.round(corr, 4),
+        }
+    )
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+EVENT_VALUE_MOMENTS_SQL = r"""
+SELECT event_type, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       round(stddev_pop(value), 4) AS stddev_value,
+       round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE)), 4) AS corr_value_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""

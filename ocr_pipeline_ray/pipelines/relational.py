@@ -1744,3 +1744,70 @@ def price_quantiles_by_flag_sketch(sf_dir: str, ps=QUANTILE_PS, k: int = 256) ->
     return pd.DataFrame(out_rows, columns=["l_returnflag", "p", "value"]).sort_values(
         ["l_returnflag", "p"]
     ).reset_index(drop=True)
+
+
+def balance_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(region, nation) over supplier account balances — the
+    multi-level aggregate WITHOUT multiple passes: ONE distributed
+    pass produces the finest level (per-batch partials keyed by
+    s_nationkey — the key domain is 25 nations, so the partials are
+    tiny), then the region subtotals and the grand total are derived
+    from that 25-row aggregate with the dimension tables broadcast.
+    At 100 TB the fact table streams once no matter how many rollup
+    levels are requested.
+
+    Output: (r_name, n_name, total_bal, n_suppliers) with NULL n_name
+    on region subtotals and NULL r_name+n_name on the grand total —
+    SQL GROUP BY ROLLUP semantics."""
+    import pyarrow.parquet as pq
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_nationkey", as_index=False).agg(
+            total_bal=("s_acctbal", "sum"), n_suppliers=("s_acctbal", "size")
+        )
+
+    fine = (
+        sup.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("s_nationkey", as_index=False)
+        .sum()
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]).to_pandas()
+    fine = fine.merge(nat, left_on="s_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    level0 = fine[["r_name", "n_name", "total_bal", "n_suppliers"]].copy()
+    level1 = (
+        fine.groupby("r_name", as_index=False)
+        .agg(total_bal=("total_bal", "sum"), n_suppliers=("n_suppliers", "sum"))
+        .assign(n_name=None)
+    )
+    level2 = pd.DataFrame(
+        {
+            "r_name": [None],
+            "n_name": [None],
+            "total_bal": [fine["total_bal"].sum()],
+            "n_suppliers": [fine["n_suppliers"].sum()],
+        }
+    )
+    out = pd.concat([level0, level1, level2], ignore_index=True)[
+        ["r_name", "n_name", "total_bal", "n_suppliers"]
+    ]
+    out["total_bal"] = out["total_bal"].astype(float).round(ROUND_DECIMALS)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values(
+        ["r_name", "n_name"], na_position="first"
+    ).reset_index(drop=True)
+
+
+BALANCE_ROLLUP_SQL = """
+SELECT r_name, n_name, round(sum(s_acctbal), 4) AS total_bal, count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
