@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "balance_rollup": relational.balance_rollup,
+        "fuzzy_name_pairs": relational.fuzzy_name_pairs,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "top3_orders_per_segment": relational.top3_orders_per_segment,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": events.distinct_users_hll,
         "props_k_by_type": events.props_k_by_type,
         "event_value_moments": events.event_value_moments,
+        "funnel_signup_purchase": events.funnel_signup_purchase,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -158,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": relational.PART_BRAND_SQL,
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
         "balance_rollup": relational.BALANCE_ROLLUP_SQL,
+        "fuzzy_name_pairs": relational.FUZZY_NAME_PAIRS_SQL,
         "q10_returned_revenue": relational.Q10_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
         "top3_orders_per_segment": relational.TOP3_PER_SEGMENT_SQL,
@@ -186,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": events.DISTINCT_USERS_SQL,
         "props_k_by_type": events.PROPS_K_SQL,
         "event_value_moments": events.EVENT_VALUE_MOMENTS_SQL,
+        "funnel_signup_purchase": events.FUNNEL_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "exact_jaccard_pairs": dedup.EXACT_JACCARD_PAIRS_SQL,
         "neardup_clusters": dedup.NEARDUP_CLUSTERS_SQL,

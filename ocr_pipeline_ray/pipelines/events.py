@@ -575,3 +575,76 @@ SELECT event_type, count(*) AS n_events,
        round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE)), 4) AS corr_value_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def funnel_signup_purchase(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
+    """Funnel conversion: users whose first ``signup`` is followed by a
+    ``purchase`` within ``window_hours`` — (user_id, signup_ts,
+    purchase_ts = earliest qualifying, latency_us).
+
+    Same partitioning as sessionize: rows hash to coarse user buckets
+    (a user's events co-locate), ONE shuffle, and inside each bucket
+    the funnel is two vectorized groupby-mins (first signup per user,
+    earliest qualifying purchase per user) — no per-user Python. Only
+    converting users leave the workers. The read prunes to the two
+    funnel stages with an Arrow filter before the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _prefilter(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.is_in(t["event_type"], value_set=pa.array(["signup", "purchase"])))
+
+    def _funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "signup_ts"})
+        )
+        p = g[g["event_type"] == "purchase"].merge(s, on="user_id")
+        p = p[(p["ts"] > p["signup_ts"]) & (p["ts"] <= p["signup_ts"] + pd.Timedelta(hours=window_hours))]
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "signup_ts": pd.Series(dtype="datetime64[us]"),
+                    "purchase_ts": pd.Series(dtype="datetime64[us]"),
+                    "latency_us": pd.Series(dtype="int64"),
+                }
+            )
+        out = p.groupby(["user_id", "signup_ts"], as_index=False)["ts"].min().rename(
+            columns={"ts": "purchase_ts"}
+        )
+        out["latency_us"] = (
+            (out["purchase_ts"] - out["signup_ts"]).dt.total_seconds() * 1_000_000
+        ).round().astype("int64")
+        return out[["user_id", "signup_ts", "purchase_ts", "latency_us"]]
+
+    return (
+        ds.map_batches(_prefilter, batch_format="pyarrow")
+        .map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_funnel_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+    AND e.ts <= s.signup_ts + INTERVAL 24 HOUR
+  GROUP BY e.user_id, s.signup_ts
+)
+SELECT user_id, signup_ts, purchase_ts,
+       CAST(epoch_us(purchase_ts) - epoch_us(signup_ts) AS BIGINT) AS latency_us
+FROM p ORDER BY user_id
+"""

@@ -1811,3 +1811,103 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Standard (insert/delete/substitute) edit distance — the same
+    definition as DuckDB's ``levenshtein``."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _delete_variants(s: str, d: int) -> set[str]:
+    outs = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for x in frontier:
+            for i in range(len(x)):
+                nxt.add(x[:i] + x[i + 1 :])
+        outs |= nxt
+        frontier = nxt
+    return outs
+
+
+def fuzzy_name_pairs(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
+    """Fuzzy string-similarity join over part names: all DISTINCT name
+    pairs within Levenshtein distance ``max_dist`` — exact result via
+    SymSpell-style deletion-neighborhood blocking (if dist(a,b) <= d,
+    some string is reachable from BOTH by <= d deletions), then an
+    inline exact-DP verify.
+
+    Distributed shape: ONE pass dedups names (bucketed aggregate —
+    the name domain, not the row count, bounds everything after);
+    each distinct name explodes to its O(len^d) delete-variant hash
+    rows inside ``map_batches``; one coarse-bucket shuffle co-locates
+    colliding variants; pair extraction + Levenshtein verify run per
+    bucket (the `_pairs_in_coarse_bucket` shape) and only verified
+    (name_a, name_b, dist) rows reach the driver, which dedups pairs
+    that collided under several variant keys."""
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    names = bucketed_aggregate(ds, "p_name", {"n": ("p_name", "size")}, num_buckets=32)
+
+    def _explode_variants(df: pd.DataFrame) -> pd.DataFrame:
+        # stable cross-process hash (Python's hash() is per-process
+        # randomized — workers must agree on variant keys)
+        from ocr_pipeline_ray.functions.hashing import _stable_hash64
+
+        keys, nms = [], []
+        for s in df["p_name"]:
+            for v in _delete_variants(s, max_dist):
+                keys.append(_stable_hash64(v) & 0x7FFFFFFFFFFFFFFF)
+                nms.append(s)
+        out = pd.DataFrame({"vkey": pd.Series(keys, dtype="int64"), "p_name": nms})
+        out["__vbucket"] = (out["vkey"] % 64).astype("int64")
+        return out
+
+    def _pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = set()
+        for _, grp in g.groupby("vkey", sort=False):
+            uniq = sorted(set(grp["p_name"]))
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    pairs.add((uniq[i], uniq[j]))
+        rows = []
+        for a, b in pairs:
+            if abs(len(a) - len(b)) > max_dist:
+                continue
+            dist = _levenshtein(a, b)
+            if dist <= max_dist:
+                rows.append((a, b, dist))
+        return pd.DataFrame(rows, columns=["name_a", "name_b", "dist"]) if rows else pd.DataFrame(
+            {"name_a": pd.Series(dtype="object"), "name_b": pd.Series(dtype="object"), "dist": pd.Series(dtype="int64")}
+        )
+
+    out = (
+        names.map_batches(_explode_variants, batch_format="pandas")
+        .groupby("__vbucket")
+        .map_groups(_pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["name_a", "name_b"])
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+    out["dist"] = out["dist"].astype("int64")
+    return out
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
