@@ -28,6 +28,17 @@ SUBSET = [
     "segment_dedup",
     "order_rank_in_segment",
     "media_word_boxes",
+    # round-3 additions
+    "heavy_hitter_terms",
+    "neardup_clusters",
+    "events_hopping",
+    "event_value_moments",
+    "balance_rollup",
+    "funnel_signup_purchase",
+    "fuzzy_name_pairs",
+    "nearest_centroid_assign",
+    "stratified_sample",
+    "media_dimensions_jpeg",
 ]
 
 
