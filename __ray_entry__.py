@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dimensions_png": media.media_dimensions_png,
         "media_dimensions_jpeg": media.media_dimensions_jpeg,
         "media_channel_stats": media.media_channel_stats,
+        "media_lit_stats": media.media_lit_stats,
         "media_word_boxes": media.media_word_boxes,
         # text analysis
         "token_counts": text.token_counts,
@@ -216,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
         "media_dimensions": media.MEDIA_DIMENSIONS_SQL,
         "media_dimensions_png": media.MEDIA_DIMENSIONS_SQL,
         "media_dimensions_jpeg": media.MEDIA_DIMENSIONS_SQL,
+        "media_lit_stats": media.MEDIA_LIT_STATS_SQL,
+        "label_centroid_norms": similarity.LABEL_CENTROID_NORMS_SQL,
         "media_word_boxes": media.MEDIA_WORD_BOXES_SQL,
         # no oracle (sketch / ANN / non-SQL hash, approximate by
         # design): minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,

@@ -211,3 +211,52 @@ def media_dimensions_jpeg(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def media_lit_stats(sf_dir: str) -> pd.DataFrame:
+    """PIXEL-CONTENT oracle for the decode stage: the lit (white)
+    pixel COUNT of each doc's native-size raster, recovered from the
+    decode stage's channel means (the raster is binary 0/255, so
+    n_lit = mean * 7*width / 255 — the stage's float32 mean has
+    relative error ~1e-7, far below the 0.5 needed to flip the
+    integer, making the output exact with NO float rounding on either
+    side). Per-character lit counts are a pure function of the 5x7
+    font, embedded in MEDIA_LIT_STATS_SQL as a VALUES table: the Ray
+    side must actually decode every payload pixel; DuckDB derives the
+    expectation from the text alone. A much stronger end-to-end
+    decode check than geometry — every glyph pixel is accounted
+    for."""
+    out = decode_images(_media_payload_ds(sf_dir), target_size=None, concurrency=(1, 4)).to_pandas()
+    out["doc_id"] = out["media_ref"].astype("int64")
+    mean = np.array([float(np.mean(v)) for v in out["channel_means"]])
+    w = out["width"].astype("int64").to_numpy()
+    out["n_lit"] = np.round(mean * 7 * w / 255.0).astype("int64")
+    out["width"] = w
+    return out[["doc_id", "width", "n_lit"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _lit_values_table() -> str:
+    from ocr_pipeline_ray.functions.ppm_ocr import _FONT, _FONT_CHARS
+
+    rows = ", ".join(
+        f"('{c}', {int(_FONT[i].sum())})" for i, c in enumerate(_FONT_CHARS) if c != "'"
+    )
+    return rows
+
+
+MEDIA_LIT_STATS_SQL = f"""
+WITH font(ch, lit) AS (VALUES {_lit_values_table()}),
+base AS (
+  SELECT doc_id,
+         upper(array_to_string(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:5], ' ')) AS s
+  FROM documents
+), chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(s, '.')) AS ch FROM base
+), lits AS (
+  SELECT c.doc_id, sum(f.lit) AS lit FROM chars c JOIN font f USING (ch) GROUP BY c.doc_id
+)
+SELECT b.doc_id,
+       CAST(greatest(1, 6 * length(b.s)) AS BIGINT) AS width,
+       CAST(coalesce(l.lit, 0) AS BIGINT) AS n_lit
+FROM base b LEFT JOIN lits l USING (doc_id) ORDER BY b.doc_id
+"""

@@ -537,16 +537,50 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
 
 
 def label_centroid_norms(sf_dir: str) -> pd.DataFrame:
-    """Driver-friendly scalar projection of :func:`label_centroids`:
-    (label, n_vecs, centroid_norm) — list columns don't hash-compare,
-    so the full vectors stay a library/pytest surface."""
-    cents = label_centroids(sf_dir)
-    cents["centroid_norm"] = np.round(
-        [float(np.linalg.norm(np.asarray(v))) for v in cents["centroid"]], 4
+    """Scalar projection of the centroid build: (label, n_vecs,
+    centroid_norm) — list columns don't hash-compare, so the full
+    vectors stay a library/pytest surface while the norm carries the
+    whole vector's information into an exact DuckDB oracle. Uses the
+    UNROUNDED distributed sums (same partial/combine as
+    :func:`label_centroids`) so the float64 math matches SQL's
+    avg-per-dimension exactly at 4-decimal rounding."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append((int(label), m.sum(axis=0), len(g)))
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "n"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for label, g in parts.groupby("label"):
+        n = int(g["n"].sum())
+        cent = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / n
+        out_rows.append((int(label), n, round(float(np.linalg.norm(cent)), 4)))
+    return (
+        pd.DataFrame(out_rows, columns=["label", "n_vecs", "centroid_norm"])
+        .sort_values("label")
+        .reset_index(drop=True)
     )
-    out = cents[["label", "n_vecs", "centroid_norm"]].copy()
-    out["n_vecs"] = out["n_vecs"].astype("int64")
-    return out
+
+
+LABEL_CENTROID_NORMS_SQL = """
+WITH dims AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT label, d, avg(x) AS xm FROM dims GROUP BY label, d
+), norms AS (
+  SELECT label, sqrt(sum(xm * xm)) AS nrm FROM cent GROUP BY label
+), cnts AS (
+  SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label, n_vecs, round(nrm, 4) AS centroid_norm
+FROM norms JOIN cnts USING (label) ORDER BY label
+"""
 
 
 def nearest_centroid_assign(sf_dir: str) -> pd.DataFrame:
