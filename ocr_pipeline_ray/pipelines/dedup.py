@@ -501,11 +501,16 @@ def connected_components(edges: "ray.data.Dataset", max_iters: int = 64) -> pd.D
         )
 
     sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
-    if sym.count() == 0:
+    n_edges = sym.count()
+    if n_edges == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")})
+    # size the shuffles to the edge set: each round's cost is dominated
+    # by fixed per-bucket task overhead, so a small dup graph gets few
+    # fat buckets and a 100 TB one scales the bucket count with size
+    nb = max(4, min(64, n_edges // 50_000 + 4))
 
     # init: label(u) = min(u, min direct neighbor) — one free round
-    labels = bucketed_aggregate(sym, "u", {"label": ("v", "min")}).map_batches(
+    labels = bucketed_aggregate(sym, "u", {"label": ("v", "min")}, num_buckets=nb).map_batches(
         lambda df: df.assign(label=np.minimum(df["u"], df["label"])),
         batch_format="pandas",
     )
@@ -521,10 +526,11 @@ def connected_components(edges: "ray.data.Dataset", max_iters: int = 64) -> pd.D
             lambda df: df.rename(columns={"u": "v"}), batch_format="pandas"
         )
         msgs = shuffle_hash_join(
-            sym, labels_v, on="v", left_cols=["u", "v"], right_cols=["v", "label"]
+            sym, labels_v, on="v", left_cols=["u", "v"], right_cols=["v", "label"],
+            num_buckets=nb,
         ).map_batches(lambda df: df[["u", "label"]], batch_format="pandas")
         labels = bucketed_aggregate(
-            msgs.union(labels), "u", {"label": ("label", "min")}
+            msgs.union(labels), "u", {"label": ("label", "min")}, num_buckets=nb
         )
     out = labels.to_pandas().rename(columns={"u": "doc_id", "label": "cluster_id"})
     out = out.astype({"doc_id": "int64", "cluster_id": "int64"})
