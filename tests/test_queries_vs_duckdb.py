@@ -39,6 +39,8 @@ SUBSET = [
     "nearest_centroid_assign",
     "stratified_sample",
     "media_dimensions_jpeg",
+    "media_lit_stats",
+    "label_centroid_norms",
 ]
 
 
