@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events.events_hourly,
         "sessionize": events.sessionize,
         "events_hopping": events.events_hopping,
+        "events_hourly_incremental": events.events_hourly_incremental,
         "asof_latest_order": events.asof_latest_order,
         "rolling_user_value": events.rolling_user_value,
         "cumulative_user_value": events.cumulative_user_value,
@@ -184,6 +185,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "events_hopping": events.EVENTS_HOPPING_SQL,
+        # incremental maintenance must reproduce the one-shot batch
+        # aggregate exactly -> same oracle as events_hourly
+        "events_hourly_incremental": events.EVENTS_HOURLY_SQL,
         "asof_latest_order": events.ASOF_SQL,
         "rolling_user_value": events.ROLLING_SQL,
         "cumulative_user_value": events.CUMULATIVE_SQL,

@@ -648,3 +648,75 @@ SELECT user_id, signup_ts, purchase_ts,
        CAST(epoch_us(purchase_ts) - epoch_us(signup_ts) AS BIGINT) AS latency_us
 FROM p ORDER BY user_id
 """
+
+
+def events_hourly_incremental(sf_dir: str, cutoff_frac: float = 0.6) -> pd.DataFrame:
+    """INCREMENTAL aggregate maintenance: the tumbling-hour aggregate
+    built in two runs — a base run over events with ts < cutoff (the
+    "yesterday" batch), persisted as a partial-state parquet +
+    high-watermark, then a delta run that reads ONLY rows past the
+    watermark (Arrow predicate at the read — the delta scan prunes,
+    it does not rescan history) and merges its partials into the
+    persisted state. Returns the merged aggregate, which must equal
+    the one-shot batch aggregate exactly (EVENTS_HOURLY_SQL is the
+    oracle) — the correctness contract of incremental ETL. Sum/count
+    partials merge by +; the state file is the mergeable-sketch
+    discipline applied to plain aggregates."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    # deterministic cutoff: quantile of ts over a sampled read
+    full = _read(sf_dir, "events", columns=["ts"])
+    lo, hi = full.min("ts"), full.max("ts")
+    cutoff = lo + (hi - lo) * cutoff_frac
+
+    def _agg(ds) -> pd.DataFrame:
+        def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["hour"] = df["ts"].dt.floor("h")
+            return df.drop(columns=["ts"])
+
+        return (
+            bucketed_aggregate(
+                ds.map_batches(add_hour, batch_format="pandas"),
+                ["event_type", "hour"],
+                {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+            )
+            .to_pandas()
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="hourly_state_")
+    cols = ["event_type", "ts", "value"]
+
+    # run 1: base batch -> persist state + watermark
+    base = _read(sf_dir, "events", columns=cols).map_batches(
+        lambda t: t.filter(pc.less(t["ts"], pa.scalar(cutoff))), batch_format="pyarrow"
+    )
+    base_parts = _agg(base)
+    pq.write_table(pa.Table.from_pandas(base_parts, preserve_index=False),
+                   os.path.join(state_dir, "state.parquet"))
+    with open(os.path.join(state_dir, "watermark.txt"), "w") as f:
+        f.write(str(cutoff))
+
+    # run 2 (fresh logical job): read watermark, scan ONLY the delta
+    wm = pd.Timestamp(open(os.path.join(state_dir, "watermark.txt")).read())
+    delta = _read(sf_dir, "events", columns=cols).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(wm))), batch_format="pyarrow"
+    )
+    delta_parts = _agg(delta)
+    state = pq.read_table(os.path.join(state_dir, "state.parquet")).to_pandas()
+    merged = (
+        pd.concat([state, delta_parts], ignore_index=True)
+        .groupby(["event_type", "hour"], as_index=False)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    merged["sum_value"] = merged["sum_value"].round(ROUND_DECIMALS)
+    return merged

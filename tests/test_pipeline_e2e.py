@@ -143,3 +143,17 @@ def test_media_remote_args_reach_map_batches(small_corpus, monkeypatch):
     build_extraction_pipeline(ray.data.from_arrow(docs), media)
     pool_calls = [kw for name, kw in seen if "ExtractPackAll" in name]
     assert "num_gpus" not in pool_calls[0] and "resources" not in pool_calls[0]
+
+
+def test_incremental_hourly_equals_batch():
+    """Incremental maintenance contract: base run + delta merge ==
+    one-shot batch aggregate, bit-for-bit (any cutoff)."""
+    import pandas as pd
+
+    from ocr_pipeline_ray.pipelines.events import events_hourly, events_hourly_incremental
+
+    sf = "/root/testdata/sf0.001"
+    batch = events_hourly(sf)
+    for frac in (0.3, 0.6, 0.95):
+        inc = events_hourly_incremental(sf, cutoff_frac=frac)
+        pd.testing.assert_frame_equal(inc, batch)
