@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": text.segment_dedup,
         "heavy_hitter_terms": text.heavy_hitter_terms,
         "stratified_sample": text.stratified_sample,
+        "bpe_learn_merges": text.bpe_learn_merges,
         # vector aggregates over the embeddings table
         "label_centroid_stats": similarity.label_centroid_stats,
         "nearest_centroid_assign": similarity.nearest_centroid_assign,

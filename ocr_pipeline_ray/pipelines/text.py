@@ -890,3 +890,88 @@ SELECT source, doc_id FROM (
   FROM documents
 ) WHERE rn <= 5 ORDER BY source, doc_id
 """
+
+
+def _apply_merges(sym: list[str], merges: list[tuple[str, str]]) -> list[str]:
+    """Apply learned merges in rank order, left-to-right non-overlapping
+    (the Sennrich-BPE apply rule)."""
+    for left, right in merges:
+        i, out = 0, []
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_learn_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """BPE tokenizer TRAINING (Sennrich 2016) as a distributed
+    iterative pipeline: one corpus pass reduces to the word-type
+    vocabulary (word, count) — the only corpus-scale step — then each
+    merge round is (a) broadcast the merges learned so far, (b)
+    ``map_batches`` over the vocab re-segments each word and emits
+    weighted adjacent-pair partials, (c) a bucketed aggregate + tiny
+    top-1 picks the most frequent pair (ties: lexicographic). The
+    corpus never moves after pass 1; each round moves only (pair,
+    count) partials. Deterministic; no SQL oracle (iterative
+    algorithm) — rows-only + pytest vs an independent single-process
+    reference implementation.
+
+    Output: (rank, left, right, n) per learned merge."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _word_counts(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(w.lower() for w in TOKEN_RE.findall(s))
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(_word_counts, batch_format="pyarrow"), "word", {"n": ("n", "sum")}
+    ).materialize()
+
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for rank in range(n_merges):
+        merges_ref = ray.put(list(merges))
+
+        def _pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+
+            ms = ray.get(merges_ref)
+            c = Counter()
+            for word, n in zip(df["word"], df["n"]):
+                sym = _apply_merges(list(word), ms)
+                for a, b in zip(sym, sym[1:]):
+                    c[(a, b)] += int(n)
+            if not c:
+                return pd.DataFrame(
+                    {"left": pd.Series(dtype="object"), "right": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+                )
+            ks = list(c.keys())
+            return pd.DataFrame(
+                {"left": [k[0] for k in ks], "right": [k[1] for k in ks], "n": list(c.values())}
+            )
+
+        pair_counts = bucketed_aggregate(
+            vocab.map_batches(_pair_partials, batch_format="pandas"),
+            ["left", "right"],
+            {"n": ("n", "sum")},
+        )
+        top = partial_topk(pair_counts, by=["n", "left", "right"], ascending=[False, True, True], k=1)
+        if top.empty:
+            break
+        best = (str(top["left"].iloc[0]), str(top["right"].iloc[0]))
+        out_rows.append((rank, best[0], best[1], int(top["n"].iloc[0])))
+        merges.append(best)
+    return pd.DataFrame(out_rows, columns=["rank", "left", "right", "n"]).astype(
+        {"rank": "int64", "n": "int64"}
+    )

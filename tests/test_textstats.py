@@ -97,3 +97,48 @@ def test_repetition_stats_planted(tmp_path):
     assert out.loc[0, "dup_line_frac"] == 0.0 and out.loc[0, "top_bigram_frac"] < 0.2
     assert out.loc[1, "dup_line_frac"] > 0.35  # 6 of 15 tokens in repeated lines
     assert out.loc[2, "top_bigram_frac"] == 1.0
+
+
+def test_bpe_learn_merges_vs_reference():
+    """Distributed BPE training matches an INDEPENDENT single-process
+    implementation (Counter-based, no shared code path beyond the
+    tokenizer regex and the published merge rule)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.functions.textstats import TOKEN_RE
+    from ocr_pipeline_ray.pipelines.text import bpe_learn_merges
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_learn_merges(sf, n_merges=6)
+
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist()
+    vocab = Counter(w.lower() for s in texts for w in TOKEN_RE.findall(s))
+    words = {w: list(w) for w in vocab}
+    want = []
+    for rank in range(6):
+        pairs = Counter()
+        for w, sym in words.items():
+            n = vocab[w]
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # deterministic tie-break: count desc, then lexicographic asc
+        top_n = max(pairs.values())
+        cands = sorted(k for k, v in pairs.items() if v == top_n)
+        best = cands[0]
+        want.append((rank, best[0], best[1], top_n))
+        l, r = best
+        for w, sym in words.items():
+            i, out = 0, []
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            words[w] = out
+    assert [tuple(row) for row in got.itertuples(index=False)] == want
