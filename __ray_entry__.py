@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": relational.supplier_balance_by_nation,
         "balance_rollup": relational.balance_rollup,
         "fuzzy_name_pairs": relational.fuzzy_name_pairs,
+        "part_copurchase_pairs": relational.part_copurchase_pairs,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "top3_orders_per_segment": relational.top3_orders_per_segment,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_by_nation": relational.SUPPLIER_BALANCE_SQL,
         "balance_rollup": relational.BALANCE_ROLLUP_SQL,
         "fuzzy_name_pairs": relational.FUZZY_NAME_PAIRS_SQL,
+        "part_copurchase_pairs": relational.PART_COPURCHASE_SQL,
         "q10_returned_revenue": relational.Q10_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
         "top3_orders_per_segment": relational.TOP3_PER_SEGMENT_SQL,

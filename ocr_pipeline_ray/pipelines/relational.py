@@ -1911,3 +1911,70 @@ FROM n a JOIN n b ON a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 2
 ORDER BY name_a, name_b
 """
+
+
+def part_copurchase_pairs(sf_dir: str, min_count: int = 3) -> pd.DataFrame:
+    """Co-occurrence mining (the market-basket shape): part pairs
+    bought together in at least ``min_count`` orders.
+
+    Distributed: the (orderkey, partkey) projection streams out of the
+    read and hashes into coarse ORDER buckets so each order's rows
+    co-locate; pairs are emitted per order with a numpy run-scan. The
+    same pair can arise from orders in different buckets, so the
+    per-bucket counts are PARTIALS — one bucketed aggregate sums them
+    before the HAVING filter.
+    Baskets are small (TPC-H orders have <=7 lines), so the per-order
+    pair explosion is bounded — the hot-basket analog of the shingle
+    inverted index."""
+    import numpy as np
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        df["__obucket"] = (df["l_orderkey"].to_numpy() % 64).astype("int64")
+        return df
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        o = g["l_orderkey"].to_numpy()
+        p = g["l_partkey"].to_numpy()
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        runs = np.concatenate(([0], np.flatnonzero(o[1:] != o[:-1]) + 1, [len(o)]))
+        out_a, out_b = [], []
+        for s, e in zip(runs[:-1], runs[1:]):
+            if e - s < 2:
+                continue
+            ids = p[s:e]  # already unique+sorted within the order
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"part_a": pd.Series(dtype="int64"), "part_b": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        df = pd.DataFrame({"part_a": np.concatenate(out_a), "part_b": np.concatenate(out_b)})
+        return df.groupby(["part_a", "part_b"], as_index=False).size().rename(columns={"size": "n"})
+
+    combined = bucketed_aggregate(
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__obucket")
+        .map_groups(_pairs, batch_format="pandas"),
+        ["part_a", "part_b"],
+        {"n": ("n", "sum")},
+    )
+    out = combined.map_batches(
+        lambda df: df[df["n"] >= min_count], batch_format="pandas"
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+PART_COPURCHASE_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY part_a, part_b
+"""
