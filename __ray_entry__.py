@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_rollup": relational.balance_rollup,
         "fuzzy_name_pairs": relational.fuzzy_name_pairs,
         "part_copurchase_pairs": relational.part_copurchase_pairs,
+        "weighted_sample_orders": relational.weighted_sample_orders,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "top3_orders_per_segment": relational.top3_orders_per_segment,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "balance_rollup": relational.BALANCE_ROLLUP_SQL,
         "fuzzy_name_pairs": relational.FUZZY_NAME_PAIRS_SQL,
         "part_copurchase_pairs": relational.PART_COPURCHASE_SQL,
+        "weighted_sample_orders": relational.WEIGHTED_SAMPLE_SQL,
         "q10_returned_revenue": relational.Q10_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
         "top3_orders_per_segment": relational.TOP3_PER_SEGMENT_SQL,

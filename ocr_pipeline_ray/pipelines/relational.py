@@ -1978,3 +1978,56 @@ FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2 HAVING count(*) >= 3
 ORDER BY part_a, part_b
 """
+
+
+def weighted_sample_orders(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    each order gets key = u^(1/w) with w = o_totalprice and u a
+    DETERMINISTIC uniform derived from md5(o_orderkey) — the top-k
+    keys are a weighted sample, identical on any cluster size and
+    re-run (the hash replaces RNG state, like ``stratified_sample``).
+
+    Distributed: keys are computed vectorized per batch and each batch
+    keeps only its local top-k (``partial_topk``) — the driver reduces
+    k x batches rows, the fact table never shuffles."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _keys(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.array(
+            [
+                (int(hashlib.md5(str(int(x)).encode()).hexdigest()[:8], 16) + 1.0) / (2**32 + 1)
+                for x in df["o_orderkey"]
+            ]
+        )
+        df = df.copy()
+        df["skey"] = u ** (1.0 / df["o_totalprice"].to_numpy())
+        return df
+
+    out = partial_topk(
+        ds.map_batches(_keys, batch_format="pandas"),
+        by=["skey", "o_orderkey"],
+        ascending=[False, True],
+        k=k,
+    )
+    return (
+        out[["o_orderkey", "o_totalprice"]]
+        .astype({"o_orderkey": "int64"})
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         pow((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
+             / (4294967296.0 + 1), 1.0 / o_totalprice) AS skey
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice FROM keyed
+ORDER BY skey DESC, o_orderkey LIMIT 20
+"""
