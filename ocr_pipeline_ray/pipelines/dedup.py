@@ -385,7 +385,9 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # step that follows pair generation in corpus curation.
 # ---------------------------------------------------------------------------
 
-def exact_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle_k: int = 3) -> pd.DataFrame:
+def exact_jaccard_pairs_ds(
+    sf_dir: str, threshold: float = 0.5, shingle_k: int = 3
+) -> "ray.data.Dataset":
     """EXACT Jaccard>=threshold pairs via a distributed inverted
     shingle index — no LSH pruning, so (unlike
     :func:`ngram_jaccard_pairs`) the result is deterministic-complete
@@ -472,7 +474,14 @@ def exact_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle_k: int = 3)
         df = df.assign(jacc=np.round(jacc, 4))[jacc >= threshold]
         return df[["a", "b", "jacc"]]
 
-    out = combined.map_batches(_jacc_filter, batch_format="pandas").to_pandas()
+    return combined.map_batches(_jacc_filter, batch_format="pandas")
+
+
+def exact_jaccard_pairs(sf_dir: str, threshold: float = 0.5, shingle_k: int = 3) -> pd.DataFrame:
+    """Driver-facing projection of :func:`exact_jaccard_pairs_ds` —
+    the verified pairs (tiny by construction) are the only rows that
+    leave the cluster."""
+    out = exact_jaccard_pairs_ds(sf_dir, threshold, shingle_k).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "jacc": pd.Series(dtype="float64")}
@@ -500,14 +509,18 @@ def connected_components(edges: "ray.data.Dataset", max_iters: int = 64) -> pd.D
             {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}
         )
 
-    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
-    n_edges = sym.count()
+    sym0 = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    n_edges = sym0.count()
     if n_edges == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")})
     # size the shuffles to the edge set: each round's cost is dominated
     # by fixed per-bucket task overhead, so a small dup graph gets few
     # fat buckets and a 100 TB one scales the bucket count with size
     nb = max(4, min(64, n_edges // 50_000 + 4))
+    # the upstream pair pipeline leaves one near-empty block per
+    # coarse bucket; compact to nb blocks so each propagation round
+    # launches O(nb) tasks, not O(upstream buckets)
+    sym = sym0.repartition(nb).materialize()
 
     # init: label(u) = min(u, min direct neighbor) — one free round
     labels = bucketed_aggregate(sym, "u", {"label": ("v", "min")}, num_buckets=nb).map_batches(
@@ -543,10 +556,11 @@ def neardup_clusters(sf_dir: str, threshold: float = 0.5, shingle_k: int = 3) ->
     doc_id of the component (the canonical "keep one per cluster" key
     used downstream by corpus curation). Output: (doc_id, cluster_id)
     for every doc in at least one near-dup pair."""
-    pairs = exact_jaccard_pairs(sf_dir, threshold=threshold, shingle_k=shingle_k)
-    edges = ray.data.from_pandas(pairs[["a", "b"]]) if not pairs.empty else ray.data.from_items([])
-    if pairs.empty:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64")})
+    edges = exact_jaccard_pairs_ds(sf_dir, threshold=threshold, shingle_k=shingle_k).map_batches(
+        lambda df: df[["a", "b"]], batch_format="pandas"
+    )
+    # the edge Dataset flows straight into label propagation — pairs
+    # never round-trip through the driver
     return connected_components(edges)
 
 

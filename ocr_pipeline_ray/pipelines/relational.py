@@ -1556,12 +1556,31 @@ def q22_idle_high_balance(sf_dir: str) -> pd.DataFrame:
     )
     idle = bucketed_semi_anti_join(rich, "c_custkey", cust_cols, big_orders, "o_custkey", anti=True)
 
-    parts = idle.map_batches(
-        lambda df: df.groupby("c_nationkey", as_index=False).agg(
+    def _nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # a bucket whose anti join resolves to zero rows surfaces as a
+        # schema-less empty block — emit the output schema explicitly
+        if df.empty or "c_nationkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series(dtype="float64"),
+                    "numcust": pd.Series(dtype="int64"),
+                    "totacctbal": pd.Series(dtype="float64"),
+                }
+            )
+        return df.groupby("c_nationkey", as_index=False).agg(
             numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum")
-        ),
-        batch_format="pandas",
-    ).to_pandas()
+        )
+
+    parts = idle.map_batches(_nation_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        # every above-average-balance customer had a large order
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "numcust": pd.Series(dtype="int64"),
+                "totacctbal": pd.Series(dtype="float64"),
+            }
+        )
     out = parts.groupby("c_nationkey", as_index=False).agg(
         numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum")
     )
