@@ -66,6 +66,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q18_large_volume_orders": relational.q18_large_volume_orders,
         "q22_idle_high_balance": relational.q22_idle_high_balance,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_profit_by_nation_year": relational.q9_profit_by_nation_year,
+        "q11_important_parts": relational.q11_important_parts,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "order_rank_in_segment": relational.order_rank_in_segment,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
@@ -176,6 +185,15 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": relational.Q13_SQL,
         "q18_large_volume_orders": relational.Q18_SQL,
         "q22_idle_high_balance": relational.Q22_SQL,
+        "q2_min_cost_supplier": relational.Q2_SQL,
+        "q7_volume_shipping": relational.Q7_SQL,
+        "q8_market_share": relational.Q8_SQL,
+        "q9_profit_by_nation_year": relational.Q9_SQL,
+        "q11_important_parts": relational.Q11_SQL,
+        "q15_top_supplier": relational.Q15_SQL,
+        "q16_supplier_counts": relational.Q16_SQL,
+        "q17_small_quantity_revenue": relational.Q17_SQL,
+        "q19_disjunctive_revenue": relational.Q19_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,

@@ -26,6 +26,7 @@ comparison is insensitive to summation order.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2049,4 +2050,597 @@ WITH keyed AS (
 )
 SELECT o_orderkey, o_totalprice FROM keyed
 ORDER BY skey DESC, o_orderkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes q2 / q7 / q8 / q9 / q11 / q15 / q16 / q17 / q19 over the
+# available columns (no partsupp table: supply-cost shapes substitute the
+# lineitem-derived unit price; no l_commitdate/receiptdate: date predicates
+# use l_shipdate).  Reference provenance: these exercise the same
+# join/aggregate machinery the extraction engine's media join uses
+# (SURVEY.md section 2.5) — multi-dim broadcast chains, fact-fact shuffle
+# joins, grouped aggregates over high-cardinality keys, and
+# global-scalar-then-filter plans.
+# ---------------------------------------------------------------------------
+
+def _supp_nation_map(sf_dir: str, nations: list[str] | None = None) -> pd.DataFrame:
+    """(s_suppkey -> supp_nation) dimension map, optionally filtered.
+    supplier is a true dimension (10k x SF rows)."""
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    m = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")[
+        ["s_suppkey", "n_name"]
+    ].rename(columns={"n_name": "supp_nation"})
+    if nations is not None:
+        m = m[m["supp_nation"].isin(nations)]
+    return m
+
+
+def q7_volume_shipping(
+    sf_dir: str, nation_a: str = "NATION_3", nation_b: str = "NATION_7"
+) -> pd.DataFrame:
+    """TPC-H Q7 shape: revenue shipped between two nations by year.
+    Both fact tables stream; each side is pre-filtered by a broadcast
+    dimension lookup (supplier-nation on lineitem, customer-nation on
+    orders) so the orderkey shuffle join moves only the ~8% of rows
+    belonging to the two nations."""
+    pair = [nation_a, nation_b]
+    supp_map = _supp_nation_map(sf_dir, pair)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    cust_map = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"n_name": "cust_nation"})
+    cust_map = cust_map[cust_map["cust_nation"].isin(pair)]
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_suppkey"], rev, year],
+            names=["l_orderkey", "l_suppkey", "rev", "l_year"],
+        )
+
+    li = broadcast_lookup(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        "l_suppkey",
+        supp_map,
+        "s_suppkey",
+        ["supp_nation"],
+    )
+
+    orders_side = broadcast_lookup(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        "o_custkey",
+        cust_map,
+        "c_custkey",
+        ["cust_nation"],
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "cust_nation"]).rename_columns(
+            ["l_orderkey", "cust_nation"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = shuffle_hash_join(
+        li,
+        orders_side,
+        on="l_orderkey",
+        num_buckets=32,
+        left_cols=["l_orderkey", "l_suppkey", "rev", "l_year", "supp_nation"],
+        right_cols=["l_orderkey", "cust_nation"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nation"] != df["cust_nation"]]
+        return df.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).agg(
+            revenue=("rev", "sum")
+        )
+
+    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["supp_nation", "cust_nation", "l_year"], as_index=False).agg(
+        revenue=("revenue", "sum")
+    )
+    out["revenue"] = out["revenue"].round(ROUND_DECIMALS)
+    out["l_year"] = out["l_year"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(rev), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(
+    sf_dir: str, region: str = "AMERICA", target_nation: str = "NATION_5"
+) -> pd.DataFrame:
+    """TPC-H Q8 shape: the target nation's share of supplier revenue
+    into one region's customers, by order year. Ratio-of-aggregates
+    plan: one shuffle join, then a two-accumulator partial (total and
+    target-only revenue) that combines on the driver."""
+    supp_map = _supp_nation_map(sf_dir)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    dim = dim[dim["r_name"] == region][["c_custkey"]]
+    dim["in_region"] = np.int64(1)
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+        )
+        t = t.filter(m)
+        year = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        return pa.Table.from_arrays(
+            [t["o_orderkey"], t["o_custkey"], year], names=["l_orderkey", "o_custkey", "o_year"]
+        )
+
+    orders_side = broadcast_lookup(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            o_prep, batch_format="pyarrow"
+        ),
+        "o_custkey",
+        dim,
+        "c_custkey",
+        ["in_region"],
+    ).map_batches(
+        lambda t: t.select(["l_orderkey", "o_year"]), batch_format="pyarrow"
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], t["l_suppkey"], rev], names=["l_orderkey", "l_suppkey", "rev"]
+        )
+
+    li = broadcast_lookup(
+        _read(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        "l_suppkey",
+        supp_map,
+        "s_suppkey",
+        ["supp_nation"],
+    )
+
+    joined = shuffle_hash_join(
+        li,
+        orders_side,
+        on="l_orderkey",
+        num_buckets=32,
+        left_cols=["l_orderkey", "l_suppkey", "rev", "supp_nation"],
+        right_cols=["l_orderkey", "o_year"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(target_rev=df["rev"].where(df["supp_nation"] == target_nation, 0.0))
+        return df.groupby("o_year", as_index=False).agg(
+            total=("rev", "sum"), target=("target_rev", "sum")
+        )
+
+    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_year", as_index=False).agg(total=("total", "sum"), target=("target", "sum"))
+    out["mkt_share"] = (out["target"] / out["total"]).round(ROUND_DECIMALS)
+    out["o_year"] = out["o_year"].astype("int64")
+    return out[["o_year", "mkt_share"]].sort_values("o_year").reset_index(drop=True)
+
+
+Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END) / sum(rev), 4)
+         AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, n1.n_name AS supp_nation,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q9_profit_by_nation_year(sf_dir: str, token: str = "red") -> pd.DataFrame:
+    """TPC-H Q9 shape (no partsupp: profit = discounted revenue):
+    revenue from parts whose name contains ``token``, grouped by the
+    supplier's nation and ship year. The part filter broadcasts only
+    the MATCHING part keys (a ~20% dimension subset; at fact-scale
+    part cardinality route through build_bloom, relational.py:1148)."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    keys = part.loc[part["p_name"].str.contains(token), ["p_partkey"]].copy()
+    keys["matched"] = np.int64(1)
+    supp_map = _supp_nation_map(sf_dir)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        return pa.Table.from_arrays(
+            [t["l_partkey"], t["l_suppkey"], rev, year],
+            names=["l_partkey", "l_suppkey", "rev", "o_year"],
+        )
+
+    li = broadcast_lookup(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        ).map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey",
+        keys,
+        "p_partkey",
+        ["matched"],
+    )
+    li = broadcast_lookup(li, "l_suppkey", supp_map, "s_suppkey", ["supp_nation"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["supp_nation", "o_year"], as_index=False).agg(profit=("rev", "sum"))
+
+    parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["supp_nation", "o_year"], as_index=False).agg(profit=("profit", "sum"))
+    out = out.rename(columns={"supp_nation": "n_name"})
+    out["profit"] = out["profit"].round(ROUND_DECIMALS)
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+Q9_SQL = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year
+"""
+
+
+def q11_important_parts(sf_dir: str, fraction: float = 0.0006) -> pd.DataFrame:
+    """TPC-H Q11 shape (HAVING over a global scalar): parts whose
+    revenue exceeds ``fraction`` of total revenue. Per-part revenue is
+    a bucketed high-cardinality aggregate; the global total reuses the
+    same partials via a second tiny per-batch reduction — the fact
+    table is read once."""
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_arrays([t["l_partkey"], rev], names=["l_partkey", "rev"])
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    per_part = bucketed_aggregate(li, "l_partkey", {"part_value": ("rev", "sum")}).materialize()
+    total = float(
+        per_part.map_batches(
+            lambda df: pd.DataFrame({"s": [df["part_value"].sum()]}), batch_format="pandas"
+        ).to_pandas()["s"].sum()
+    )
+    thresh = total * fraction
+
+    out = per_part.map_batches(
+        lambda df: df[df["part_value"] > thresh], batch_format="pandas"
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"l_partkey": pd.Series(dtype="int64"), "part_value": pd.Series(dtype="float64")}
+        )
+    out["part_value"] = out["part_value"].round(ROUND_DECIMALS)
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    return out.sort_values(["part_value", "l_partkey"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey, round(part_value, 4) AS part_value
+FROM per_part
+WHERE part_value > 0.0006 * (SELECT sum(part_value) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (argmax over a grouped aggregate): supplier(s)
+    with maximum revenue in a quarter. Per-supplier revenue is a
+    bucketed aggregate that stays distributed; the max is a per-batch
+    partial -> one driver scalar; the equality filter runs inside the
+    dataset and only the winners reach the driver."""
+    def li_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-04-01"))),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.Table.from_arrays([t["l_suppkey"], rev], names=["l_suppkey", "rev"])
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    per_supp = bucketed_aggregate(
+        li, "l_suppkey", {"total_revenue": ("rev", "sum")}, num_buckets=16
+    ).map_batches(
+        lambda df: df.assign(total_revenue=df["total_revenue"].round(ROUND_DECIMALS)),
+        batch_format="pandas",
+    ).materialize()
+    best = float(
+        per_supp.map_batches(
+            lambda df: pd.DataFrame({"m": [df["total_revenue"].max()]}), batch_format="pandas"
+        ).to_pandas()["m"].max()
+    )
+    winners = per_supp.map_batches(
+        lambda df: df[df["total_revenue"] == best], batch_format="pandas"
+    ).to_pandas()
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")[
+        ["s_suppkey", "s_name", "total_revenue"]
+    ]
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_counts(sf_dir: str, excluded_brand: str = "Brand#5") -> pd.DataFrame:
+    """TPC-H Q16 shape (COUNT DISTINCT per group, partsupp replaced by
+    observed lineitem part-supplier pairs): distinct supplier count per
+    (brand, type, size). Two bucketed dedup rounds keep the distinct
+    sets distributed: (partkey, suppkey) pairs, then
+    (brand, type, size, suppkey), then a size aggregate."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    pairs = bucketed_aggregate(
+        li, ["l_partkey", "l_suppkey"], {"n": ("l_suppkey", "size")}, num_buckets=32
+    )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[part["p_brand"] != excluded_brand]
+
+    attrs = broadcast_lookup(
+        pairs.map_batches(lambda df: df[["l_partkey", "l_suppkey"]], batch_format="pandas"),
+        "l_partkey",
+        part,
+        "p_partkey",
+        ["p_brand", "p_type", "p_size"],
+    )
+    triple_supp = bucketed_aggregate(
+        attrs,
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"n": ("l_suppkey", "size")},
+        num_buckets=32,
+    )
+    counts = bucketed_aggregate(
+        triple_supp,
+        ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": ("l_suppkey", "size")},
+        num_buckets=16,
+    ).to_pandas()
+    counts["supplier_cnt"] = counts["supplier_cnt"].astype("int64")
+    counts["p_size"] = counts["p_size"].astype("int64")
+    return counts.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"], ascending=[False, True, True, True]
+    ).reset_index(drop=True)
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#3") -> pd.DataFrame:
+    """TPC-H Q17 shape (correlated per-key average joined back to the
+    fact): yearly-average revenue from small-quantity orders of one
+    brand's parts. The per-part average is a bucketed aggregate whose
+    result (one row per brand part — a 1/|brands| dimension slice) is
+    broadcast back onto the same filtered fact stream."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    keys = part.loc[part["p_brand"] == brand, ["p_partkey"]].copy()
+    keys["matched"] = np.int64(1)
+
+    li = broadcast_lookup(
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        "l_partkey",
+        keys,
+        "p_partkey",
+        ["matched"],
+    )
+
+    avg = bucketed_aggregate(
+        li, "l_partkey", {"s": ("l_quantity", "sum"), "n": ("l_quantity", "count")}, num_buckets=16
+    ).to_pandas()
+    avg["avg_qty"] = avg["s"] / avg["n"]
+    avg_map = avg[["l_partkey", "avg_qty"]].rename(columns={"l_partkey": "p_partkey"})
+
+    small = broadcast_lookup(li, "l_partkey", avg_map, "p_partkey", ["avg_qty"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"s": [df.loc[df["l_quantity"] < 0.2 * df["avg_qty"], "l_extendedprice"].sum()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    avg_yearly = round(float(small["s"].sum()) / 7.0, ROUND_DECIMALS)
+    return pd.DataFrame({"avg_yearly": [avg_yearly]})
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (disjunctive join predicates): revenue from
+    three OR'd (brand, size-range, quantity-range) branches. Part
+    attributes broadcast onto the streaming fact; the whole predicate
+    evaluates as one vectorized numpy expression per batch."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+
+    li = broadcast_lookup(
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        ),
+        "l_partkey",
+        part,
+        "p_partkey",
+        ["p_brand", "p_size"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        b, s, q = df["p_brand"], df["p_size"], df["l_quantity"]
+        m = (
+            ((b == "Brand#1") & (s <= 15) & (q >= 1) & (q <= 11))
+            | ((b == "Brand#2") & (s <= 25) & (q >= 10) & (q <= 20))
+            | ((b == "Brand#3") & (s <= 35) & (q >= 20) & (q <= 30))
+        )
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"]))[m]
+        return pd.DataFrame({"s": [rev.sum()]})
+
+    parts = li.map_batches(_partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"revenue": [round(float(parts["s"].sum()), ROUND_DECIMALS)]})
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 25) -> pd.DataFrame:
+    """TPC-H Q2 shape (argmin per key, partsupp replaced by the
+    lineitem-observed unit price): for each part of one size, the
+    supplier offering the minimum unit price (min suppkey on ties).
+    Plan: filter-broadcast the part slice, bucketed min-per-part of
+    the rounded unit price, broadcast the per-part min back, equality
+    filter inside the stream, bucketed min-suppkey, then dimension
+    name attach — two streaming passes, no fact materialization."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).to_pandas()
+    keys = part.loc[part["p_size"] == size, ["p_partkey"]].copy()
+    keys["matched"] = np.int64(1)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        unit = pc.round(
+            pc.divide(t["l_extendedprice"], t["l_quantity"]), ndigits=ROUND_DECIMALS
+        )
+        return pa.Table.from_arrays(
+            [t["l_partkey"], t["l_suppkey"], unit], names=["l_partkey", "l_suppkey", "unit"]
+        )
+
+    def _li():
+        return broadcast_lookup(
+            _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+            .map_batches(li_prep, batch_format="pyarrow"),
+            "l_partkey",
+            keys,
+            "p_partkey",
+            ["matched"],
+        )
+
+    min_unit = bucketed_aggregate(
+        _li(), "l_partkey", {"min_unit": ("unit", "min")}, num_buckets=16
+    ).to_pandas()[["l_partkey", "min_unit"]].rename(columns={"l_partkey": "p_partkey"})
+
+    at_min = broadcast_lookup(_li(), "l_partkey", min_unit, "p_partkey", ["min_unit"]).map_batches(
+        lambda df: df.loc[df["unit"] == df["min_unit"], ["l_partkey", "l_suppkey", "min_unit"]],
+        batch_format="pandas",
+    )
+    best = bucketed_aggregate(
+        at_min, ["l_partkey", "min_unit"], {"s_suppkey": ("l_suppkey", "min")}, num_buckets=16
+    ).to_pandas()
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, on="s_suppkey")
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["min_unit"] = out["min_unit"].astype(float).round(ROUND_DECIMALS)
+    return out[["p_partkey", "min_unit", "s_suppkey", "s_name"]].sort_values(
+        "p_partkey"
+    ).reset_index(drop=True)
+
+
+Q2_SQL = """
+WITH units AS (
+  SELECT l_partkey, l_suppkey, round(l_extendedprice / l_quantity, 4) AS unit
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_size = 25
+), mins AS (
+  SELECT l_partkey, min(unit) AS min_unit FROM units GROUP BY l_partkey
+), best AS (
+  SELECT u.l_partkey AS p_partkey, m.min_unit, min(u.l_suppkey) AS bk
+  FROM units u JOIN mins m ON u.l_partkey = m.l_partkey AND u.unit = m.min_unit
+  GROUP BY u.l_partkey, m.min_unit
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, min_unit,
+       CAST(bk AS BIGINT) AS s_suppkey, s_name
+FROM best JOIN supplier ON s_suppkey = bk
+ORDER BY p_partkey
 """
