@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": events.props_k_by_type,
         "event_value_moments": events.event_value_moments,
         "funnel_signup_purchase": events.funnel_signup_purchase,
+        "events_hourly_delta": events.events_hourly_delta,
+        "user_value_anomalies": events.user_value_anomalies,
+        "pivot_user_event_values": events.pivot_user_event_values,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -194,6 +197,9 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_counts": relational.Q16_SQL,
         "q17_small_quantity_revenue": relational.Q17_SQL,
         "q19_disjunctive_revenue": relational.Q19_SQL,
+        "events_hourly_delta": events.EVENTS_HOURLY_DELTA_SQL,
+        "user_value_anomalies": events.USER_VALUE_ANOMALIES_SQL,
+        "pivot_user_event_values": events.PIVOT_USER_EVENT_VALUES_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,

@@ -720,3 +720,164 @@ def events_hourly_incremental(sf_dir: str, cutoff_frac: float = 0.6) -> pd.DataF
     )
     merged["sum_value"] = merged["sum_value"].round(ROUND_DECIMALS)
     return merged
+
+
+def events_hourly_delta(sf_dir: str) -> pd.DataFrame:
+    """Hour-over-hour change per event_type (window lag over an
+    aggregated series): the tumbling-hour aggregate stays distributed
+    (bucketed, as events_hourly), then the lag-diff runs inside ONE
+    map_groups per event_type — the series is already reduced to
+    |types| x |hours| rows, so the per-type sort is tiny and the full
+    event stream never re-sorts."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    hourly = bucketed_aggregate(
+        ds.map_batches(add_hour, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"sum_value": ("value", "sum")},
+    )
+
+    def _lag_diff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour").reset_index(drop=True)
+        sv = g["sum_value"].round(ROUND_DECIMALS)
+        g["sum_value"] = sv
+        g["delta"] = (sv - sv.shift(1)).round(ROUND_DECIMALS)
+        return g
+
+    out = (
+        hourly.groupby("event_type")
+        .map_groups(_lag_diff, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    return out[["event_type", "hour", "sum_value", "delta"]]
+
+
+EVENTS_HOURLY_DELTA_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, round(sum(value), 4) AS sum_value
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour, sum_value,
+       round(sum_value - lag(sum_value) OVER (PARTITION BY event_type ORDER BY hour), 4) AS delta
+FROM h ORDER BY event_type, hour
+"""
+
+
+def user_value_anomalies(sf_dir: str, z_thresh: float = 3.0) -> pd.DataFrame:
+    """Per-user anomaly detection (z-score against the user's own
+    distribution): per-user moments are a bucketed co-moment partial
+    (n, Σx, Σx² — the event_value_moments discipline), the closed-form
+    mean/std table broadcasts back onto the streaming events, and the
+    |z| filter runs vectorized per batch — only anomalous rows reach
+    the driver. Membership compares the ROUNDED z so the float-drift
+    tolerance is the same proven 4-decimal contract as the other
+    moment queries."""
+    from ocr_pipeline_ray.pipelines.relational import broadcast_lookup, bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def _widen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["x2"] = df["value"] * df["value"]
+        return df
+
+    stats = bucketed_aggregate(
+        ds.map_batches(_widen, batch_format="pandas"),
+        "user_id",
+        {"n": ("value", "size"), "sx": ("value", "sum"), "sx2": ("x2", "sum")},
+        num_buckets=32,
+    ).to_pandas()
+    n = stats["n"].astype(np.float64)
+    mu = stats["sx"] / n
+    sd = np.sqrt(np.maximum(stats["sx2"] / n - mu * mu, 0.0))
+    stat_map = pd.DataFrame({"user_id": stats["user_id"], "mu": mu, "sd": sd})
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.round((df["value"] - df["mu"]) / df["sd"], ROUND_DECIMALS)
+        keep = (df["sd"] > 0) & (z.abs() > z_thresh)
+        out = df.loc[keep, ["event_id", "user_id", "value"]].copy()
+        out["z"] = z[keep]
+        return out
+
+    out = (
+        broadcast_lookup(ds, "user_id", stat_map, "user_id", ["mu", "sd"])
+        .map_batches(_flag, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="float64"),
+                "z": pd.Series(dtype="float64"),
+            }
+        )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+USER_VALUE_ANOMALIES_SQL = """
+WITH s AS (
+  SELECT user_id, count(*) AS n, avg(value) AS mu,
+         sqrt(greatest(sum(value * value) / count(*) - avg(value) * avg(value), 0)) AS sd
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, value, round((value - mu) / sd, 4) AS z
+FROM events e JOIN s ON e.user_id = s.user_id
+WHERE sd > 0 AND abs(round((value - mu) / sd, 4)) > 3
+ORDER BY event_id
+"""
+
+
+def pivot_user_event_values(sf_dir: str) -> pd.DataFrame:
+    """Pivot / wide aggregation: one row per user with the summed
+    ``value`` per event type as columns. The CASE-WHEN widening is
+    vectorized per batch; the per-user reduce is the bucketed
+    high-cardinality aggregate (10k x SF users) — the pivoted fact
+    never exists row-wise."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def _widen(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": df["user_id"]}
+        for t in types:
+            out[f"{t}_value"] = df["value"].where(df["event_type"] == t, 0.0)
+        return pd.DataFrame(out)
+
+    spec = {f"{t}_value": (f"{t}_value", "sum") for t in types}
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_widen, batch_format="pandas"), "user_id", spec, num_buckets=32
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    for t in types:
+        out[f"{t}_value"] = out[f"{t}_value"].round(ROUND_DECIMALS)
+    return out
+
+
+PIVOT_USER_EVENT_VALUES_SQL = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 4) AS click_value,
+       round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END), 4) AS error_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
+       round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0 END), 4) AS signup_value,
+       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS view_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -41,6 +41,15 @@ SUBSET = [
     "media_dimensions_jpeg",
     "media_lit_stats",
     "label_centroid_norms",
+    # round-3b additions
+    "q7_volume_shipping",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "events_hourly_delta",
+    "user_value_anomalies",
+    "pivot_user_event_values",
 ]
 
 
