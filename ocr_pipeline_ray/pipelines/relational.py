@@ -1933,9 +1933,10 @@ ORDER BY name_a, name_b
 """
 
 
-def part_copurchase_pairs(sf_dir: str, min_count: int = 3) -> pd.DataFrame:
-    """Co-occurrence mining (the market-basket shape): part pairs
-    bought together in at least ``min_count`` orders.
+def _copurchase_edges_ds(sf_dir: str, min_count: int) -> "ray.data.Dataset":
+    """Shared co-purchase edge build (part pairs bought together in
+    >= min_count orders) as a STREAMING Dataset of (part_a < part_b, n)
+    — consumed by both the market-basket query and triangle counting.
 
     Distributed: the (orderkey, partkey) projection streams out of the
     read and hashes into coarse ORDER buckets so each order's rows
@@ -1984,11 +1985,173 @@ def part_copurchase_pairs(sf_dir: str, min_count: int = 3) -> pd.DataFrame:
         ["part_a", "part_b"],
         {"n": ("n", "sum")},
     )
-    out = combined.map_batches(
+    return combined.map_batches(
         lambda df: df[df["n"] >= min_count], batch_format="pandas"
-    ).to_pandas()
+    )
+
+
+def part_copurchase_pairs(sf_dir: str, min_count: int = 3) -> pd.DataFrame:
+    """Market-basket co-occurrence query: the driver-facing projection
+    of :func:`_copurchase_edges_ds` (the HAVING-filtered pair set is
+    tiny by construction)."""
+    out = _copurchase_edges_ds(sf_dir, min_count).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "part_a": pd.Series(dtype="int64"),
+                "part_b": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+
+
+def part_triangle_counts(
+    sf_dir: str, min_count: int = 2, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Distributed triangle counting on the co-purchase graph (the
+    clustering-coefficient / community-structure primitive): per part,
+    how many triangles it participates in.
+
+    Plan (all-distributed, two shuffles past the edge build):
+    1. wedges — edges bucket by APEX (the lower endpoint ``part_a``);
+       inside each bucket a numpy run-scan emits every neighbor pair
+       (b, c), b < c, per apex. Apex-ordering (a < b < c) means each
+       triangle is generated exactly once, from its smallest node.
+    2. closure — wedge rows and edge rows tag with
+       ``hash((b, c)) % num_buckets``; ONE union shuffle co-locates
+       each wedge with the edge that would close it, and a vectorized
+       merge keeps closed wedges = triangles.
+    3. per-node counts — each triangle explodes to its 3 nodes,
+       reduced by the bucketed high-cardinality aggregate.
+    """
+    import numpy as np
+
+    edges = _copurchase_edges_ds(sf_dir, min_count).map_batches(
+        lambda df: df[["part_a", "part_b"]], batch_format="pandas"
+    ).materialize()
+
+    def _apex_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__abucket"] = (df["part_a"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["part_a"].to_numpy()
+        b = g["part_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        runs = np.concatenate(([0], np.flatnonzero(a[1:] != a[:-1]) + 1, [len(a)]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(runs[:-1], runs[1:]):
+            if e - s < 2:
+                continue
+            nb = b[s:e]  # unique+sorted neighbors above apex
+            ii, jj = np.triu_indices(len(nb), k=1)
+            out_a.append(np.full(len(ii), a[s], dtype=np.int64))
+            out_b.append(nb[ii])
+            out_c.append(nb[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "apex": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "apex": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "c": np.concatenate(out_c),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(_apex_bucket, batch_format="pandas")
+        .groupby("__abucket")
+        .map_groups(_wedges, batch_format="pandas")
+    )
+
+    def _tag_wedge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "b" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "apex": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "c": pd.Series(dtype="int64"),
+                    "__ebucket": pd.Series(dtype="int64"),
+                    "__side": pd.Series(dtype="int64"),
+                }
+            )
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[["b", "c"]], index=False).to_numpy()
+        df["__ebucket"] = (h % num_buckets).astype("int64")
+        df["__side"] = np.int64(1)
+        return df
+
+    def _tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"part_a": "b", "part_b": "c"})
+        df["apex"] = np.int64(-1)
+        h = pd.util.hash_pandas_object(df[["b", "c"]], index=False).to_numpy()
+        df["__ebucket"] = (h % num_buckets).astype("int64")
+        df["__side"] = np.int64(0)
+        return df[["apex", "b", "c", "__ebucket", "__side"]]
+
+    def _close(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["__side"] == 0, ["b", "c"]]
+        w = g[g["__side"] == 1]
+        tri = w.merge(have, on=["b", "c"], how="inner")
+        if tri.empty:
+            return pd.DataFrame({"part": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        nodes = np.concatenate(
+            [tri["apex"].to_numpy(), tri["b"].to_numpy(), tri["c"].to_numpy()]
+        )
+        return (
+            pd.DataFrame({"part": nodes})
+            .groupby("part", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    tagged = wedges.map_batches(_tag_wedge, batch_format="pandas").union(
+        edges.map_batches(_tag_edge, batch_format="pandas")
+    )
+    per_node = bucketed_aggregate(
+        tagged.groupby("__ebucket").map_groups(_close, batch_format="pandas"),
+        "part",
+        {"n_triangles": ("n", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    if per_node.empty:
+        return pd.DataFrame(
+            {"part": pd.Series(dtype="int64"), "n_triangles": pd.Series(dtype="int64")}
+        )
+    per_node["part"] = per_node["part"].astype("int64")
+    per_node["n_triangles"] = per_node["n_triangles"].astype("int64")
+    return per_node.sort_values("part").reset_index(drop=True)
+
+
+PART_TRIANGLE_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+t AS (
+  SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.part_a = e1.part_a AND e2.part_b > e1.part_b
+  JOIN e e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b
+)
+SELECT part, count(*) AS n_triangles FROM (
+  SELECT a AS part FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t
+) GROUP BY part ORDER BY part
+"""
 
 
 PART_COPURCHASE_SQL = """

@@ -50,6 +50,7 @@ SUBSET = [
     "events_hourly_delta",
     "user_value_anomalies",
     "pivot_user_event_values",
+    "part_triangle_counts",
 ]
 
 
