@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": relational.fuzzy_name_pairs,
         "part_copurchase_pairs": relational.part_copurchase_pairs,
         "part_triangle_counts": relational.part_triangle_counts,
+        "part_pagerank": relational.part_pagerank,
         "weighted_sample_orders": relational.weighted_sample_orders,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": relational.Q17_SQL,
         "q19_disjunctive_revenue": relational.Q19_SQL,
         "part_triangle_counts": relational.PART_TRIANGLE_SQL,
+        "part_pagerank": relational.PART_PAGERANK_SQL,
         "events_hourly_delta": events.EVENTS_HOURLY_DELTA_SQL,
         "user_value_anomalies": events.USER_VALUE_ANOMALIES_SQL,
         "pivot_user_event_values": events.PIVOT_USER_EVENT_VALUES_SQL,

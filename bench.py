@@ -106,6 +106,9 @@ def run_operator_benches(out: dict) -> None:
         "heavy_hitter_terms": text.heavy_hitter_terms,
         "neardup_clusters": dedup.neardup_clusters,
         "media_dimensions": media.media_dimensions,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "part_triangle_counts": relational.part_triangle_counts,
+        "pivot_user_event_values": events.pivot_user_event_values,
     }
     for name, fn in benches.items():
         best = None

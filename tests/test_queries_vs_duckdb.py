@@ -51,6 +51,7 @@ SUBSET = [
     "user_value_anomalies",
     "pivot_user_event_values",
     "part_triangle_counts",
+    "part_pagerank",
 ]
 
 
