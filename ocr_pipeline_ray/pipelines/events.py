@@ -881,3 +881,76 @@ SELECT user_id,
        round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 4) AS view_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def events_hourly_filled(sf_dir: str) -> pd.DataFrame:
+    """Time-series densify (gap-fill): the tumbling-hour aggregate
+    re-gridded onto the full [min_hour, max_hour] range per event
+    type, missing hours zero-filled and flagged. The global bounds are
+    per-batch min/max partials (two scalars to the driver); the
+    densify runs per event_type inside map_groups against the
+    already-reduced hourly series — the grid never materializes
+    row-wise before the fill."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    hourly = bucketed_aggregate(
+        ds.map_batches(add_hour, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"sum_value": ("value", "sum")},
+    ).materialize()
+
+    bounds = hourly.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["hour"].min()], "hi": [df["hour"].max()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = bounds["lo"].min(), bounds["hi"].max()
+    grid = pd.date_range(lo, hi, freq="h")
+
+    def _fill(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        s = g.set_index("hour")["sum_value"].reindex(grid)
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "hour": grid,
+                "sum_value": s.fillna(0.0).round(ROUND_DECIMALS).to_numpy(),
+                "filled": s.isna().to_numpy(),
+            }
+        )
+
+    out = (
+        hourly.groupby("event_type")
+        .map_groups(_fill, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+EVENTS_HOURLY_FILLED_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, round(sum(value), 4) AS sum_value
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+grid AS (
+  SELECT t.event_type, g.ts AS hour
+  FROM (SELECT DISTINCT event_type FROM h) t
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                  INTERVAL 1 HOUR)) AS ts
+  ) g
+)
+SELECT grid.event_type, grid.hour, coalesce(h.sum_value, 0.0) AS sum_value,
+       h.sum_value IS NULL AS filled
+FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.hour = grid.hour
+ORDER BY grid.event_type, grid.hour
+"""

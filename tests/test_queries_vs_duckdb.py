@@ -52,6 +52,7 @@ SUBSET = [
     "pivot_user_event_values",
     "part_triangle_counts",
     "part_pagerank",
+    "events_hourly_filled",
 ]
 
 
