@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangle_counts": relational.part_triangle_counts,
         "part_pagerank": relational.part_pagerank,
         "weighted_sample_orders": relational.weighted_sample_orders,
+        "repeat_orders_within_week": relational.repeat_orders_within_week,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "top3_orders_per_segment": relational.top3_orders_per_segment,
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
+        "filtered_knn": similarity.filtered_knn,
         "embedding_neardup_lsh_planted": similarity.embedding_neardup_lsh_planted,
         # multimodal decode stages over real P6 rasters
         "media_dimensions": media.media_dimensions,
@@ -202,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": relational.Q19_SQL,
         "part_triangle_counts": relational.PART_TRIANGLE_SQL,
         "part_pagerank": relational.PART_PAGERANK_SQL,
+        "filtered_knn": similarity.FILTERED_KNN_SQL,
+        "repeat_orders_within_week": relational.REPEAT_ORDERS_SQL,
         "events_hourly_delta": events.EVENTS_HOURLY_DELTA_SQL,
         "user_value_anomalies": events.USER_VALUE_ANOMALIES_SQL,
         "pivot_user_event_values": events.PIVOT_USER_EVENT_VALUES_SQL,

@@ -2936,3 +2936,70 @@ r3 AS (
 )
 SELECT CAST(u AS BIGINT) AS part, round(r, 6) AS rank FROM r3 ORDER BY part
 """
+
+
+def repeat_orders_within_week(sf_dir: str, max_days: int = 7) -> pd.DataFrame:
+    """Interval self-join (banded/range join): pairs of orders by the
+    same customer placed within ``max_days`` of each other. Orders
+    hash into coarse CUSTOMER buckets (a customer's orders co-locate
+    after ONE shuffle); inside each bucket a vectorized self-merge per
+    customer applies the band predicate — the quadratic blowup is
+    bounded by per-customer order counts (~10), the banded analog of
+    the market-basket pair scan."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__cbucket"] = (df["o_custkey"].to_numpy() % 64).astype("int64")
+        return df
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["o_custkey", "o_orderkey", "o_orderdate"]].merge(
+            g[["o_custkey", "o_orderkey", "o_orderdate"]], on="o_custkey", suffixes=("_a", "_b")
+        )
+        m = m[m["o_orderkey_a"] < m["o_orderkey_b"]]
+        gap = (m["o_orderdate_b"] - m["o_orderdate_a"]).abs()
+        m = m[gap <= pd.Timedelta(days=max_days)]
+        days = (
+            (m["o_orderdate_b"] - m["o_orderdate_a"]).abs().dt.days.to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": m["o_custkey"].to_numpy(),
+                "okey_a": m["o_orderkey_a"].to_numpy(),
+                "okey_b": m["o_orderkey_b"].to_numpy(),
+                "days_between": days.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__cbucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "o_custkey": pd.Series(dtype="int64"),
+                "okey_a": pd.Series(dtype="int64"),
+                "okey_b": pd.Series(dtype="int64"),
+                "days_between": pd.Series(dtype="int64"),
+            }
+        )
+    for c in ("o_custkey", "okey_a", "okey_b", "days_between"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_custkey", "okey_a", "okey_b"]).reset_index(drop=True)
+
+
+REPEAT_ORDERS_SQL = """
+SELECT a.o_custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+       CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) AS BIGINT)
+         AS days_between
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 7
+ORDER BY a.o_custkey, okey_a, okey_b
+"""

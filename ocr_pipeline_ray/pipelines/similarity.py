@@ -655,3 +655,107 @@ WITH dims AS (
 SELECT vec_id, CAST(label_pred AS BIGINT) AS label_pred, round(sim, 4) AS sim
 FROM ranked WHERE rn = 1 ORDER BY vec_id
 """
+
+
+def filtered_knn(sf_dir: str, k: int = 5, n_queries: int = 10, lang: str = "en") -> pd.DataFrame:
+    """Hybrid metadata-filtered vector search (the RAG retrieval
+    shape): exact cosine top-k restricted to vectors whose document
+    has ``lang``. The language predicate joins in via ONE streaming
+    shuffle (documents is corpus-scale — broadcasting its key set is
+    the anti-pattern); the filtered corpus then flows through the same
+    broadcast-query matmul scan as knn_brute_force. Only k x n_q
+    partial rows per batch reach the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # the language predicate reduces to an id-set membership filter:
+    # per-batch distinct ids stream off the documents read and the set
+    # broadcasts ONCE (ray.put) into an Arrow is_in filter fused into
+    # the scan — the embedding payload (which cannot ride a pandas
+    # shuffle) never moves. Beyond broadcast-set scale, swap the set
+    # for the tree-reduced Bloom + exact verify (relational.build_bloom,
+    # the parts_with_lineitems_bloom pattern).
+    allowed_ids = np.sort(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"])
+        .map_batches(
+            lambda df: df.loc[df["lang"] == lang, ["doc_id"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()["doc_id"]
+        .to_numpy()
+    )
+    ids_ref = ray.put(allowed_ids)
+
+    def _lang_filter(t: "pa.Table") -> "pa.Table":
+        keep = pc.is_in(t["vec_id"], value_set=pa.array(ray.get(ids_ref)))
+        return t.filter(keep)
+
+    allowed = ds.map_batches(_lang_filter, batch_format="pyarrow")
+
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids, q = _to_matrix(qdf)
+    qn = _normalize(q)
+    ref = ray.put((q_ids, qn))
+
+    class _TopK:
+        def __init__(self):
+            self.q_ids, self.qn = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if batch.empty or "vec_id" not in batch.columns:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int64"),
+                        "neighbor_id": pd.Series(dtype="int64"),
+                        "sim": pd.Series(dtype="float64"),
+                    }
+                )
+            ids, m = _to_matrix(batch)
+            ids = ids.astype(np.int64)
+            sims = _normalize(m) @ self.qn.T
+            out = []
+            for qi, qid in enumerate(self.q_ids):
+                s = sims[:, qi]
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], s[mask]
+                top = min(k, cand_ids.size)
+                order = np.lexsort((cand_ids, -cand_s))[:top]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": cand_ids[order], "sim": cand_s[order]}
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+    parts = allowed.map_batches(_TopK, batch_format="pandas", batch_size=2048, concurrency=(1, 8)).to_pandas()
+    parts = parts.sort_values(["query_id", "sim", "neighbor_id"], ascending=[True, False, True])
+    top = parts.groupby("query_id").head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank"]].astype("int64")
+
+
+def filtered_knn_sql(k: int = 5, n_queries: int = 10, lang: str = "en") -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
+allowed AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = '{lang}'
+),
+sims AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM allowed a CROSS JOIN q
+  WHERE a.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+FILTERED_KNN_SQL = filtered_knn_sql()

@@ -53,6 +53,8 @@ SUBSET = [
     "part_triangle_counts",
     "part_pagerank",
     "events_hourly_filled",
+    "filtered_knn",
+    "repeat_orders_within_week",
 ]
 
 
