@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_anomalies": events.user_value_anomalies,
         "pivot_user_event_values": events.pivot_user_event_values,
         "events_hourly_filled": events.events_hourly_filled,
+        "user_behavior_profile": events.user_behavior_profile,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_anomalies": events.USER_VALUE_ANOMALIES_SQL,
         "pivot_user_event_values": events.PIVOT_USER_EVENT_VALUES_SQL,
         "events_hourly_filled": events.EVENTS_HOURLY_FILLED_SQL,
+        "user_behavior_profile": events.USER_BEHAVIOR_PROFILE_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,

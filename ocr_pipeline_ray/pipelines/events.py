@@ -954,3 +954,81 @@ SELECT grid.event_type, grid.hour, coalesce(h.sum_value, 0.0) AS sum_value,
 FROM grid LEFT JOIN h ON h.event_type = grid.event_type AND h.hour = grid.hour
 ORDER BY grid.event_type, grid.hour
 """
+
+
+def user_behavior_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-user behavior profile: event count, distinct types, modal
+    event type (count desc, type asc tie-break), and Shannon entropy
+    of the type distribution. The (user, type) counts are one bucketed
+    aggregate; mode and entropy reduce per USER bucket with vectorized
+    pandas (sort + drop_duplicates for the argmax, a transform-sum for
+    the distribution) — the <=|types| rows per user never leave their
+    bucket unreduced."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = bucketed_aggregate(
+        ds, ["user_id", "event_type"], {"n": ("event_type", "size")}, num_buckets=32
+    )
+
+    def _ubucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__ubucket"] = (df["user_id"].to_numpy() % 32).astype("int64")
+        return df
+
+    def _profile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+        tot = g.groupby("user_id")["n"].transform("sum")
+        p = g["n"] / tot
+        ent = (
+            (-p * np.log(p))
+            .groupby(g["user_id"])
+            .sum()
+            .rename("entropy")
+            .reset_index()
+        )
+        agg = g.groupby("user_id", as_index=False).agg(
+            n_events=("n", "sum"), n_types=("event_type", "size")
+        )
+        mode = g.drop_duplicates("user_id")[["user_id", "event_type"]].rename(
+            columns={"event_type": "mode_type"}
+        )
+        out = agg.merge(mode, on="user_id").merge(ent, on="user_id")
+        out["entropy"] = out["entropy"].round(ROUND_DECIMALS)
+        return out
+
+    out = (
+        counts.map_batches(_ubucket, batch_format="pandas")
+        .groupby("__ubucket")
+        .map_groups(_profile, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_types"] = out["n_types"].astype("int64")
+    return out[["user_id", "n_events", "n_types", "mode_type", "entropy"]].sort_values(
+        "user_id"
+    ).reset_index(drop=True)
+
+
+USER_BEHAVIOR_PROFILE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id),
+e AS (
+  SELECT c.user_id, CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_types,
+         round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 4) AS entropy
+  FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id
+),
+m AS (
+  SELECT user_id, event_type AS mode_type
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        FROM c)
+  WHERE rn = 1
+)
+SELECT e.user_id, n_events, n_types, mode_type, entropy
+FROM e JOIN m ON e.user_id = m.user_id
+ORDER BY e.user_id
+"""
