@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_channel_stats": media.media_channel_stats,
         "media_lit_stats": media.media_lit_stats,
         "media_word_boxes": media.media_word_boxes,
+        "media_frame_sample": media.media_frame_sample,
         # text analysis
         "token_counts": text.token_counts,
         "bpe_token_counts": text.bpe_token_counts,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_user_event_values": events.PIVOT_USER_EVENT_VALUES_SQL,
         "events_hourly_filled": events.EVENTS_HOURLY_FILLED_SQL,
         "user_behavior_profile": events.USER_BEHAVIOR_PROFILE_SQL,
+        "media_frame_sample": media.MEDIA_FRAME_SAMPLE_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,

@@ -260,3 +260,41 @@ SELECT b.doc_id,
        CAST(coalesce(l.lit, 0) AS BIGINT) AS n_lit
 FROM base b LEFT JOIN lits l USING (doc_id) ORDER BY b.doc_id
 """
+
+
+def media_frame_sample(sf_dir: str, n_frames: int = 4) -> pd.DataFrame:
+    """Video frame-sampling plumbing (reference analog: the per-media
+    preprocessing fan-out): each document becomes a synthetic video
+    whose duration derives deterministically from its length
+    (duration_ms = n_chars * 40); the actor-pool FrameSampleActor
+    emits K evenly-spaced (frame_idx, ts_ms) refs per payload. The
+    timestamps are integer arithmetic, so the oracle is exact."""
+    from ocr_pipeline_ray.stages.multimodal import sample_frames
+
+    def wrap(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa_
+
+        dur = [int(n) * 40 for n in t["n_chars"].to_pylist()]
+        return pa_.Table.from_pydict(
+            {
+                "media_ref": pa_.array([str(d) for d in t["doc_id"].to_pylist()], pa_.string()),
+                "duration_ms": pa_.array(dur, pa_.int32()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(wrap, batch_format="pyarrow")
+    out = sample_frames(ds, n_frames=n_frames).to_pandas()
+    out["frame_idx"] = out["frame_idx"].astype("int64")
+    out["ts_ms"] = out["ts_ms"].astype("int64")
+    return out.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+
+
+MEDIA_FRAME_SAMPLE_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(((n_chars * 40) * (2 * i + 1)) // 8 AS BIGINT) AS ts_ms
+FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+ORDER BY media_ref, frame_idx
+"""
