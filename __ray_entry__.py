@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_event_values": events.pivot_user_event_values,
         "events_hourly_filled": events.events_hourly_filled,
         "user_behavior_profile": events.user_behavior_profile,
+        "cohort_retention": events.cohort_retention,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_filled": events.EVENTS_HOURLY_FILLED_SQL,
         "user_behavior_profile": events.USER_BEHAVIOR_PROFILE_SQL,
         "media_frame_sample": media.MEDIA_FRAME_SAMPLE_SQL,
+        "cohort_retention": events.COHORT_RETENTION_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,

@@ -1032,3 +1032,77 @@ SELECT e.user_id, n_events, n_types, mode_type, entropy
 FROM e JOIN m ON e.user_id = m.user_id
 ORDER BY e.user_id
 """
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix (product-analytics shape): users bucket
+    into their first-activity week; each (cohort_week, activity_week)
+    cell counts the cohort's users active that week. Weeks are integer
+    epoch-day arithmetic (exact in both engines). All three reductions
+    are distributed: distinct (user, week) pairs and per-user cohort
+    minima via bucketed aggregates, the cohort attach via ONE
+    streaming shuffle join (user cardinality is fact-scale — no
+    broadcast), the cell counts via a final bucketed aggregate. Key
+    columns pin int64 before re-joining (see shuffle_hash_join's dtype
+    discipline)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, shuffle_hash_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _week(df: pd.DataFrame) -> pd.DataFrame:
+        days = (df["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+        return pd.DataFrame({"user_id": df["user_id"], "week": (days // 7).astype("int64")})
+
+    activity = bucketed_aggregate(
+        ds.map_batches(_week, batch_format="pandas"),
+        ["user_id", "week"],
+        {"n": ("week", "size")},
+        num_buckets=32,
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "week": df["week"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    cohort = bucketed_aggregate(
+        activity, "user_id", {"cohort_week": ("week", "min")}, num_buckets=16
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "cohort_week": df["cohort_week"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    joined = shuffle_hash_join(
+        activity,
+        cohort,
+        on="user_id",
+        num_buckets=16,
+        left_cols=["user_id", "week"],
+        right_cols=["user_id", "cohort_week"],
+    )
+    out = bucketed_aggregate(
+        joined, ["cohort_week", "week"], {"n_users": ("user_id", "size")}, num_buckets=16
+    ).to_pandas()
+    out = out.rename(columns={"week": "activity_week"})
+    for c in ("cohort_week", "activity_week", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort_week", "activity_week"]).reset_index(drop=True)
+
+
+COHORT_RETENTION_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+  FROM events
+),
+c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
+SELECT cohort_week, week AS activity_week, count(*) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY cohort_week, week
+ORDER BY cohort_week, activity_week
+"""
