@@ -466,6 +466,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — consume them so the real marker byte is read
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -34,6 +34,7 @@ from ocr_pipeline_ray.functions.hashing import (
     simhash64,
     simhash_band_keys,
 )
+from ocr_pipeline_ray.functions.textstats import tokenize
 from ocr_pipeline_ray.pipelines.relational import _read
 
 MINHASH_PERMS = 128
@@ -414,6 +415,11 @@ def exact_jaccard_pairs_ds(
     def _shingle_rows(t: pa.Table) -> pa.Table:
         ids, shs, ns = [], [], []
         for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            # STRICT k-grams: shingles() falls back to shorter grams
+            # for sub-k-token docs (right for MinHash recall, wrong for
+            # the EXACT operator — the SQL oracle emits no grams there)
+            if len(tokenize(s.lower())) < shingle_k:
+                continue
             sh = shingles(s, shingle_k).astype(np.int64)
             ids.append(np.full(sh.size, doc_id, dtype=np.int64))
             shs.append(sh)
@@ -528,11 +534,28 @@ def connected_components(edges: "ray.data.Dataset", max_iters: int = 64) -> pd.D
         batch_format="pandas",
     )
 
+    def _pin(df: pd.DataFrame) -> pd.DataFrame:
+        # shuffle_hash_join's union-schema reindex promotes key columns
+        # of empty buckets to float64; a mixed int/float block stream
+        # hash-partitions the SAME node into DIFFERENT buckets (the
+        # shuffle_hash_join dtype discipline), which would split nodes
+        # into duplicate label rows — pin int64 every round. Empty
+        # buckets surface as schema-less blocks: emit typed empties.
+        if df.empty or "u" not in df.columns:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"u": df["u"].astype("int64"), "label": df["label"].astype("int64")}
+        )
+
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         labels = labels.materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         labels_v = labels.map_batches(
@@ -541,9 +564,15 @@ def connected_components(edges: "ray.data.Dataset", max_iters: int = 64) -> pd.D
         msgs = shuffle_hash_join(
             sym, labels_v, on="v", left_cols=["u", "v"], right_cols=["v", "label"],
             num_buckets=nb,
-        ).map_batches(lambda df: df[["u", "label"]], batch_format="pandas")
+        ).map_batches(_pin, batch_format="pandas")
         labels = bucketed_aggregate(
             msgs.union(labels), "u", {"label": ("label", "min")}, num_buckets=nb
+        ).map_batches(_pin, batch_format="pandas")
+    if not converged:
+        # a silent non-fixpoint would return non-transitive labels
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            "(component diameter exceeds max_iters — raise it)"
         )
     out = labels.to_pandas().rename(columns={"u": "doc_id", "label": "cluster_id"})
     out = out.astype({"doc_id": "int64", "cluster_id": "int64"})

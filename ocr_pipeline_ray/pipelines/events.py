@@ -541,9 +541,17 @@ def event_value_moments(sf_dir: str) -> pd.DataFrame:
         df["x2"] = df["x"] * df["x"]
         df["k2"] = df["k"] * df["k"]
         df["xk"] = df["x"] * df["k"]
+        # corr must be PAIRWISE-complete (DuckDB corr() drops rows with
+        # a NULL k, while avg/stddev of value keep them) — track the
+        # x-moments twice: over all rows (mean/std) and over rows with
+        # a parseable k (corr), plus the pairwise row count nk
+        mask = ~df["k"].isna()
+        df["xp"] = df["x"].where(mask)
+        df["x2p"] = df["x2"].where(mask)
         g = df.groupby("event_type", as_index=False).agg(
             n=("x", "size"), sx=("x", "sum"), sx2=("x2", "sum"),
-            sk=("k", "sum"), sk2=("k2", "sum"), sxk=("xk", "sum"),
+            nk=("k", "count"), sk=("k", "sum"), sk2=("k2", "sum"), sxk=("xk", "sum"),
+            sxp=("xp", "sum"), sx2p=("x2p", "sum"),
         )
         return g
 
@@ -552,10 +560,13 @@ def event_value_moments(sf_dir: str) -> pd.DataFrame:
     n = out["n"].astype(np.float64)
     mean = out["sx"] / n
     var = out["sx2"] / n - mean**2
-    mk = out["sk"] / n
-    cov = out["sxk"] / n - mean * mk
-    vark = out["sk2"] / n - mk**2
-    corr = cov / np.sqrt(var * vark)
+    nk = out["nk"].astype(np.float64)
+    mk = out["sk"] / nk
+    mxp = out["sxp"] / nk
+    cov = out["sxk"] / nk - mxp * mk
+    vark = out["sk2"] / nk - mk**2
+    varxp = out["sx2p"] / nk - mxp**2
+    corr = cov / np.sqrt(varxp * vark)
     res = pd.DataFrame(
         {
             "event_type": out["event_type"],
@@ -572,7 +583,7 @@ EVENT_VALUE_MOMENTS_SQL = r"""
 SELECT event_type, count(*) AS n_events,
        round(avg(value), 4) AS avg_value,
        round(stddev_pop(value), 4) AS stddev_value,
-       round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE)), 4) AS corr_value_k
+       round(corr(value, CAST(regexp_extract(props, '"k":\s*(-?\d+(?:\.\d+)?)', 1) AS DOUBLE)), 4) AS corr_value_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -691,26 +702,31 @@ def events_hourly_incremental(sf_dir: str, cutoff_frac: float = 0.6) -> pd.DataF
             .to_pandas()
         )
 
+    import shutil
+
     state_dir = tempfile.mkdtemp(prefix="hourly_state_")
-    cols = ["event_type", "ts", "value"]
+    try:
+        cols = ["event_type", "ts", "value"]
 
-    # run 1: base batch -> persist state + watermark
-    base = _read(sf_dir, "events", columns=cols).map_batches(
-        lambda t: t.filter(pc.less(t["ts"], pa.scalar(cutoff))), batch_format="pyarrow"
-    )
-    base_parts = _agg(base)
-    pq.write_table(pa.Table.from_pandas(base_parts, preserve_index=False),
-                   os.path.join(state_dir, "state.parquet"))
-    with open(os.path.join(state_dir, "watermark.txt"), "w") as f:
-        f.write(str(cutoff))
+        # run 1: base batch -> persist state + watermark
+        base = _read(sf_dir, "events", columns=cols).map_batches(
+            lambda t: t.filter(pc.less(t["ts"], pa.scalar(cutoff))), batch_format="pyarrow"
+        )
+        base_parts = _agg(base)
+        pq.write_table(pa.Table.from_pandas(base_parts, preserve_index=False),
+                       os.path.join(state_dir, "state.parquet"))
+        with open(os.path.join(state_dir, "watermark.txt"), "w") as f:
+            f.write(str(cutoff))
 
-    # run 2 (fresh logical job): read watermark, scan ONLY the delta
-    wm = pd.Timestamp(open(os.path.join(state_dir, "watermark.txt")).read())
-    delta = _read(sf_dir, "events", columns=cols).map_batches(
-        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(wm))), batch_format="pyarrow"
-    )
-    delta_parts = _agg(delta)
-    state = pq.read_table(os.path.join(state_dir, "state.parquet")).to_pandas()
+        # run 2 (fresh logical job): read watermark, scan ONLY the delta
+        wm = pd.Timestamp(open(os.path.join(state_dir, "watermark.txt")).read())
+        delta = _read(sf_dir, "events", columns=cols).map_batches(
+            lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(wm))), batch_format="pyarrow"
+        )
+        delta_parts = _agg(delta)
+        state = pq.read_table(os.path.join(state_dir, "state.parquet")).to_pandas()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
     merged = (
         pd.concat([state, delta_parts], ignore_index=True)
         .groupby(["event_type", "hour"], as_index=False)

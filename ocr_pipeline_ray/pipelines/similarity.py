@@ -685,10 +685,12 @@ def filtered_knn(sf_dir: str, k: int = 5, n_queries: int = 10, lang: str = "en")
         .to_pandas()["doc_id"]
         .to_numpy()
     )
-    ids_ref = ray.put(allowed_ids)
+    # put the Arrow array itself so batches read it zero-copy instead
+    # of re-converting the numpy set per batch
+    ids_ref = ray.put(pa.array(allowed_ids))
 
     def _lang_filter(t: "pa.Table") -> "pa.Table":
-        keep = pc.is_in(t["vec_id"], value_set=pa.array(ray.get(ids_ref)))
+        keep = pc.is_in(t["vec_id"], value_set=ray.get(ids_ref))
         return t.filter(keep)
 
     allowed = ds.map_batches(_lang_filter, batch_format="pyarrow")

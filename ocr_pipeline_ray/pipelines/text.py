@@ -641,7 +641,7 @@ SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM keep GROUP BY h ORDER BY doc_i
 """
 
 
-SEG_IDX_BITS = 20  # (doc_id, seg_idx) packed into one int64 order key
+SEG_IDX_BITS = 32  # (doc_id, seg_idx) packed into one int64 order key
 
 
 def segment_dedup(sf_dir: str, seg_len: int = 3) -> pd.DataFrame:
@@ -652,7 +652,7 @@ def segment_dedup(sf_dir: str, seg_len: int = 3) -> pd.DataFrame:
     (doc_id, seg_idx).
 
     Distributed first-occurrence = a MIN aggregate over a packed
-    ``doc_id << 20 | seg_idx`` order key, grouped by segment text —
+    ``doc_id << 32 | seg_idx`` order key, grouped by segment text —
     high-cardinality, so it rides :func:`bucketed_aggregate` (per-batch
     partial min + one coarse-bucket shuffle). No driver set, no
     whole-corpus materialization; output rows decode the packed key
@@ -674,10 +674,17 @@ def segment_dedup(sf_dir: str, seg_len: int = 3) -> pd.DataFrame:
                 segs.append(" ".join(toks[i : i + seg_len]))
         import numpy as np
 
+        di = np.asarray(doc_ids, dtype="int64")
+        ix = np.asarray(idxs, dtype="int64")
+        # loud guard: overflowing either field would silently attribute
+        # kept segments to the wrong document
+        if len(ix) and (ix.max() >= (1 << SEG_IDX_BITS) or di.max() >= (1 << (63 - SEG_IDX_BITS))):
+            raise ValueError(
+                f"segment_dedup: doc_id/seg_idx exceed the {63 - SEG_IDX_BITS}/"
+                f"{SEG_IDX_BITS}-bit pack (doc {di.max()}, seg {ix.max()})"
+            )
         df = pd.DataFrame({"seg": segs})
-        df["order"] = (np.asarray(doc_ids, dtype="int64") << SEG_IDX_BITS) | np.asarray(
-            idxs, dtype="int64"
-        )
+        df["order"] = (di << SEG_IDX_BITS) | ix
         return df
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(

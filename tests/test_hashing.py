@@ -75,6 +75,31 @@ def test_connected_components_chain_and_islands():
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
 
 
+def test_connected_components_multiblock_dtype_stability():
+    """Regression: with MANY input blocks, some join buckets come back
+    empty and their reindexed key columns promote to float64; mixed
+    int/float blocks then hash-partition the SAME node into different
+    buckets and split it into duplicate label rows. The int64 pin must
+    keep every node to exactly one row with the component-min label."""
+    import pandas as pd
+    import ray
+
+    from ocr_pipeline_ray.pipelines.dedup import connected_components
+
+    # a path (several propagation rounds) spread over one-edge blocks
+    # to force empty shuffle buckets (each round costs two shuffles,
+    # so keep the diameter small enough for CI)
+    n = 6
+    a = list(range(100, 100 + n - 1))
+    b = list(range(101, 100 + n))
+    frames = [pd.DataFrame({"a": [x], "b": [y]}) for x, y in zip(a, b)]
+    edges = ray.data.from_pandas(frames)
+    got = connected_components(edges)
+    assert got["doc_id"].is_unique, "node split into duplicate label rows"
+    assert len(got) == n
+    assert (got["cluster_id"] == 100).all()
+
+
 def test_exact_jaccard_pairs_vs_bruteforce():
     """The inverted-index pairs equal the all-pairs O(n^2) scan."""
     import itertools

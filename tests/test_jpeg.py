@@ -113,3 +113,19 @@ def test_decode_rejects_non_jpeg():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"P6 1 1 255 \x00\x00\x00")
+
+
+def test_decode_skips_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; real encoders emit them. Regression: the marker parser
+    previously read the second 0xFF as the marker byte and consumed
+    the real marker as a bogus segment length."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(16 * 24 * 3, dtype=np.uint8) % 251).reshape(16, 24, 3)
+    data = encode_jpeg(img, quality=90)
+    i = data.find(b"\xff\xdb")
+    patched = data[:i] + b"\xff\xff" + data[i:]
+    assert (decode_jpeg(patched) == decode_jpeg(data)).all()
