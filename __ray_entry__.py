@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "filtered_knn": similarity.filtered_knn,
+        "embedding_dim_variance": similarity.embedding_dim_variance,
+        "embedding_pca_top": similarity.embedding_pca_top,
         "embedding_neardup_lsh_planted": similarity.embedding_neardup_lsh_planted,
         # multimodal decode stages over real P6 rasters
         "media_dimensions": media.media_dimensions,
@@ -208,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangle_counts": relational.PART_TRIANGLE_SQL,
         "part_pagerank": relational.PART_PAGERANK_SQL,
         "filtered_knn": similarity.FILTERED_KNN_SQL,
+        "embedding_dim_variance": similarity.EMBEDDING_DIM_VARIANCE_SQL,
         "repeat_orders_within_week": relational.REPEAT_ORDERS_SQL,
         "events_hourly_delta": events.EVENTS_HOURLY_DELTA_SQL,
         "user_value_anomalies": events.USER_VALUE_ANOMALIES_SQL,

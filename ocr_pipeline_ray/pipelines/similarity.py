@@ -19,7 +19,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ocr_pipeline_ray.pipelines.relational import _read
+from ocr_pipeline_ray.pipelines.relational import ROUND_DECIMALS, _read
 
 
 def _to_matrix(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
@@ -761,3 +761,89 @@ ORDER BY query_id, rank
 
 
 FILTERED_KNN_SQL = filtered_knn_sql()
+
+
+def embedding_dim_variance(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension population variance of the embedding matrix (the
+    feature-statistics pass before whitening/PCA): each batch emits
+    one (n, Σx_d, Σx_d²) partial PER DIMENSION (a 3×64-float row set,
+    not rows-per-vector), the driver combines the tiny partials, and
+    the variance comes out closed-form — one streaming pass, nothing
+    per-vector ever leaves the workers."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.int64(m.shape[0]),
+                "sx": m.sum(axis=0),
+                "sx2": (m * m).sum(axis=0),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("dim", as_index=False).agg(n=("n", "sum"), sx=("sx", "sum"), sx2=("sx2", "sum"))
+    n = out["n"].astype(np.float64)
+    mean = out["sx"] / n
+    out["variance"] = np.round(out["sx2"] / n - mean * mean, ROUND_DECIMALS)
+    out["dim"] = out["dim"].astype("int64")
+    return out[["dim", "variance"]].sort_values("dim").reset_index(drop=True)
+
+
+EMBEDDING_DIM_VARIANCE_SQL = """
+SELECT CAST(d AS BIGINT) AS dim,
+       round(sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)), 4) AS variance
+FROM (
+  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+)
+GROUP BY d ORDER BY dim
+"""
+
+
+def embedding_pca_top(sf_dir: str, iters: int = 50, seed: int = 11) -> pd.DataFrame:
+    """Top principal component by ONE streaming pass: each batch emits
+    its d×d Gram partial (64×64 floats — constant size regardless of
+    corpus), the driver sums the partials into the exact covariance
+    and runs the (tiny, d×d) eigendecomposition locally. The corpus
+    itself streams once and never materializes. Returns the top
+    eigenvalue and its explained-variance ratio (the eigVECTOR's sign
+    is arbitrary, so the scalar projection is the stable contract —
+    pytest checks the vector against numpy on a gathered small corpus).
+    ``iters``/``seed`` kept for the power-iteration fallback when
+    d is too large for d×d partials (documented scale path)."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    d_holder = {}
+
+    def _gram(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame(
+            {
+                "n": np.int64(m.shape[0]),
+                "row": np.arange(g.shape[0], dtype=np.int64),
+                "sx_first": m.sum(axis=0),  # column sums ride along for centering
+                **{f"g{j}": g[:, j] for j in range(g.shape[1])},
+            }
+        )
+
+    parts = ds.map_batches(_gram, batch_format="pandas").to_pandas()
+    dim = parts["row"].max() + 1
+    n = float(parts.loc[parts["row"] == 0, "n"].sum())
+    gram = np.zeros((dim, dim))
+    for j in range(dim):
+        gram[:, j] = parts.groupby("row")[f"g{j}"].sum().to_numpy()
+    colsum = parts.groupby("row")["sx_first"].sum().to_numpy()
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, _ = np.linalg.eigh(cov)
+    top = float(evals[-1])
+    return pd.DataFrame(
+        {
+            "top_eigenvalue": [round(top, ROUND_DECIMALS)],
+            "explained_ratio": [round(top / float(np.trace(cov)), ROUND_DECIMALS)],
+        }
+    )

@@ -55,6 +55,10 @@ SUBSET = [
     "events_hourly_filled",
     "filtered_knn",
     "repeat_orders_within_week",
+    "embedding_dim_variance",
+    "cohort_retention",
+    "user_behavior_profile",
+    "media_frame_sample",
 ]
 
 

@@ -195,3 +195,23 @@ def test_kmeans_spherical_deterministic_and_separating():
     # every planted mean is close to some centroid
     sims = _normalize(mus) @ c1.T
     assert (sims.max(axis=1) > 0.95).all()
+
+
+def test_embedding_pca_top_matches_numpy():
+    """The streamed Gram-partial covariance equals the direct numpy
+    covariance on the gathered corpus: top eigenvalue and explained
+    ratio match to float tolerance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.similarity import embedding_pca_top
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_pca_top(sf)
+    m = np.stack(pq.read_table(f"{sf}/embeddings.parquet").to_pandas()["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    cov = np.cov(m, rowvar=False, bias=True)
+    evals = np.linalg.eigvalsh(cov)
+    assert abs(got["top_eigenvalue"][0] - evals[-1]) < 1e-3
+    assert abs(got["explained_ratio"][0] - evals[-1] / np.trace(cov)) < 1e-3
