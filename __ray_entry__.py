@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_pagerank": relational.part_pagerank,
         "weighted_sample_orders": relational.weighted_sample_orders,
         "repeat_orders_within_week": relational.repeat_orders_within_week,
+        "profile_lineitem": relational.profile_lineitem,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "top3_orders_per_segment": relational.top3_orders_per_segment,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_knn": similarity.FILTERED_KNN_SQL,
         "embedding_dim_variance": similarity.EMBEDDING_DIM_VARIANCE_SQL,
         "repeat_orders_within_week": relational.REPEAT_ORDERS_SQL,
+        "profile_lineitem": relational.PROFILE_LINEITEM_SQL,
         "events_hourly_delta": events.EVENTS_HOURLY_DELTA_SQL,
         "user_value_anomalies": events.USER_VALUE_ANOMALIES_SQL,
         "pivot_user_event_values": events.PIVOT_USER_EVENT_VALUES_SQL,

@@ -3003,3 +3003,85 @@ FROM orders a JOIN orders b
 WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 7
 ORDER BY a.o_custkey, okey_a, okey_b
 """
+
+
+PROFILE_COLS = ["l_quantity", "l_discount", "l_returnflag"]
+
+
+def profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style column profile (the stats pass a query planner
+    or data-quality gate runs first): row count, null count, min/max,
+    and exact distinct count per column. One streaming pass emits a
+    constant-size partial per (batch, column) — counts, extrema, and
+    the batch's DISTINCT VALUE SET (these columns are low-cardinality
+    domains; a fact-cardinality column would swap the value set for
+    the HLL sketch, functions/sketches.py). Values serialize as
+    strings so mixed column types share one schema."""
+    ds = _read(sf_dir, "lineitem", columns=PROFILE_COLS)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in PROFILE_COLS:
+            s = df[c]
+            nn = s.dropna()
+            rows.append(
+                {
+                    "column": c,
+                    "numeric": bool(pd.api.types.is_numeric_dtype(s)),
+                    "n_rows": len(s),
+                    "n_null": int(s.isna().sum()),
+                    "min_v": str(nn.min()) if len(nn) else "",
+                    "max_v": str(nn.max()) if len(nn) else "",
+                    "vals": "\x1f".join(sorted({str(v) for v in nn.unique()})),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+
+    def _combine(g: pd.DataFrame) -> pd.Series:
+        vals = set()
+        for v in g["vals"]:
+            if v:
+                vals.update(v.split("\x1f"))
+        # per-batch extrema are stringified — numeric columns must
+        # combine NUMERICALLY ("9.0" > "50.0" as strings)
+        key = float if g["numeric"].iloc[0] else str
+        mins = [v for v in g["min_v"] if v != ""]
+        maxs = [v for v in g["max_v"] if v != ""]
+        return pd.Series(
+            {
+                "n_rows": int(g["n_rows"].sum()),
+                "n_null": int(g["n_null"].sum()),
+                "min_v": min(mins, key=key),
+                "max_v": max(maxs, key=key),
+                "n_distinct": len(vals),
+            }
+        )
+
+    out = parts.groupby("column").apply(_combine, include_groups=False).reset_index()
+    for c in ("n_rows", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out[["column", "n_rows", "n_null", "min_v", "max_v", "n_distinct"]].sort_values(
+        "column"
+    ).reset_index(drop=True)
+
+
+PROFILE_LINEITEM_SQL = """
+SELECT 'l_discount' AS "column", count(*) AS n_rows,
+       count(*) - count(l_discount) AS n_null,
+       CAST(min(l_discount) AS VARCHAR) AS min_v, CAST(max(l_discount) AS VARCHAR) AS max_v,
+       count(DISTINCT l_discount) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+       CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+       count(DISTINCT l_quantity)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       min(l_returnflag), max(l_returnflag),
+       count(DISTINCT l_returnflag)
+FROM lineitem
+ORDER BY "column"
+"""

@@ -59,6 +59,7 @@ SUBSET = [
     "cohort_retention",
     "user_behavior_profile",
     "media_frame_sample",
+    "profile_lineitem",
 ]
 
 
