@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_filled": events.events_hourly_filled,
         "user_behavior_profile": events.user_behavior_profile,
         "cohort_retention": events.cohort_retention,
+        "session_concurrency": events.session_concurrency,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "user_behavior_profile": events.USER_BEHAVIOR_PROFILE_SQL,
         "media_frame_sample": media.MEDIA_FRAME_SAMPLE_SQL,
         "cohort_retention": events.COHORT_RETENTION_SQL,
+        "session_concurrency": events.SESSION_CONCURRENCY_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,

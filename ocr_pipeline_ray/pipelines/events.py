@@ -1122,3 +1122,85 @@ FROM a JOIN c ON a.user_id = c.user_id
 GROUP BY cohort_week, week
 ORDER BY cohort_week, activity_week
 """
+
+def session_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap coverage: for every wall-clock hour, how many
+    sessions were active (a session covers every hour bucket its
+    [start, end] interval touches). Stream-shaped: sessions are built
+    per coarse user bucket (the ``sessionize`` machinery), each session
+    explodes into its covered hours VECTORIZED (repeat + offset
+    arange, no per-session Python), counts pre-aggregate inside the
+    same map_groups call, and one small bucketed aggregate sums the
+    per-bucket partials. Only (hour, partial_count) rows shuffle —
+    never the sessions, never the events."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    hour_us = 3_600_000_000
+
+    def _hours_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        if len(u) == 0:
+            return pd.DataFrame(
+                {"hour": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([False], (ts[1:] - ts[:-1]) > SESSION_GAP_MIN * 60_000_000))
+        new_sess = new_user | gap
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(u))
+        start_h = ts[starts] // hour_us
+        end_h = ts[ends - 1] // hour_us
+        n_hours = end_h - start_h + 1
+        # explode [start_h..end_h] per session: repeat starts, add a
+        # per-session 0..n-1 ramp built from one global arange
+        total = int(n_hours.sum())
+        base = np.repeat(start_h, n_hours)
+        excl = np.concatenate(([0], np.cumsum(n_hours)[:-1]))
+        ramp = np.arange(total) - np.repeat(excl, n_hours)
+        hours = base + ramp
+        hr, cnt = np.unique(hours, return_counts=True)
+        return pd.DataFrame({"hour": hr.astype("int64"), "n": cnt.astype("int64")})
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_add_user_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_hours_bucket, batch_format="pandas"),
+            "hour",
+            {"n_active": ("n", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    out["n_active"] = out["n_active"].astype("int64")
+    out["hour"] = pd.to_datetime(out["hour"].astype("int64") * hour_us, unit="us")
+    return out[["hour", "n_active"]]
+
+
+SESSION_CONCURRENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), agg AS (
+  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT t.hour, count(*) AS n_active
+FROM agg CROSS JOIN unnest(generate_series(date_trunc('hour', session_start),
+                            date_trunc('hour', session_end), INTERVAL 1 HOUR)) AS t(hour)
+GROUP BY t.hour ORDER BY t.hour
+"""

@@ -60,6 +60,7 @@ SUBSET = [
     "user_behavior_profile",
     "media_frame_sample",
     "profile_lineitem",
+    "session_concurrency",
 ]
 
 
