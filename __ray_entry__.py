@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": relational.q13_customer_distribution,
         "q18_large_volume_orders": relational.q18_large_volume_orders,
         "q22_idle_high_balance": relational.q22_idle_high_balance,
+        "q20_surplus_suppliers": relational.q20_surplus_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q8_market_share": relational.q8_market_share,
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keys_in_both": relational.keys_in_both,
         "custkeys_not_suppkeys": relational.custkeys_not_suppkeys,
         "quantity_quantiles": relational.quantity_quantiles,
+        "median_extendedprice": relational.median_extendedprice,
         "order_price_quantiles_sketch": relational.order_price_quantiles_sketch,
         "price_quantiles_by_flag_sketch": relational.price_quantiles_by_flag_sketch,
         "quantity_quantiles_by_flag": relational.quantity_quantiles_by_flag,
@@ -112,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_behavior_profile": events.user_behavior_profile,
         "cohort_retention": events.cohort_retention,
         "session_concurrency": events.session_concurrency,
+        "event_transitions": events.event_transitions,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -149,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "winnowing": text.winnowing,
         "vocab_top_terms": text.vocab_top_terms,
+        "source_term_divergence": text.source_term_divergence,
         "doc_length_histogram": text.doc_length_histogram,
         "hash_sample": text.hash_sample,
         "tfidf_top_term": text.tfidf_top_term,
@@ -200,6 +205,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_customer_distribution": relational.Q13_SQL,
         "q18_large_volume_orders": relational.Q18_SQL,
         "q22_idle_high_balance": relational.Q22_SQL,
+        "q20_surplus_suppliers": relational.Q20_SURPLUS_SUPPLIERS_SQL,
+        "q21_waiting_suppliers": relational.Q21_WAITING_SUPPLIERS_SQL,
         "q2_min_cost_supplier": relational.Q2_SQL,
         "q7_volume_shipping": relational.Q7_SQL,
         "q8_market_share": relational.Q8_SQL,
@@ -223,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_sample": media.MEDIA_FRAME_SAMPLE_SQL,
         "cohort_retention": events.COHORT_RETENTION_SQL,
         "session_concurrency": events.SESSION_CONCURRENCY_SQL,
+        "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
@@ -233,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "keys_in_both": relational.KEYS_IN_BOTH_SQL,
         "custkeys_not_suppkeys": relational.CUSTKEYS_NOT_SUPPKEYS_SQL,
         "quantity_quantiles": relational.QUANTITY_QUANTILES_SQL,
+        "median_extendedprice": relational.MEDIAN_EXTENDEDPRICE_SQL,
         "quantity_quantiles_by_flag": relational.QUANTITY_QUANTILES_BY_FLAG_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "sessionize": events.SESSIONIZE_SQL,
@@ -262,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,
         "vocab_top_terms": text.VOCAB_TOP_TERMS_SQL,
+        "source_term_divergence": text.SOURCE_TERM_DIVERGENCE_SQL,
         "doc_length_histogram": text.DOC_LENGTH_HISTOGRAM_SQL,
         "hash_sample": text.HASH_SAMPLE_SQL,
         "tfidf_top_term": text.TFIDF_TOP_TERM_SQL,

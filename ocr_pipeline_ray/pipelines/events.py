@@ -1204,3 +1204,64 @@ FROM agg CROSS JOIN unnest(generate_series(date_trunc('hour', session_start),
                             date_trunc('hour', session_end), INTERVAL 1 HOUR)) AS t(hour)
 GROUP BY t.hour ORDER BY t.hour
 """
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts over each user's event stream: global
+    counts of (prev_type -> next_type) adjacent pairs in (ts,
+    event_id) order. Same partitioning contract as ``sessionize``:
+    users hash into coarse buckets, ONE vectorized shift per bucket
+    (user-boundary rows masked out), pairs pre-count inside the
+    map_groups call, and a small bucketed aggregate sums the
+    per-bucket partials — only (pair, count) rows shuffle."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(u) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype="object"),
+                    "next_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        same_user = u[1:] == u[:-1]
+        prev = et[:-1][same_user]
+        nxt = et[1:][same_user]
+        # pre-count within the bucket: factorize pairs, one bincount
+        df = pd.DataFrame({"prev_type": prev, "next_type": nxt})
+        cnt = df.groupby(["prev_type", "next_type"], sort=False).size().reset_index(name="n")
+        cnt["n"] = cnt["n"].astype("int64")
+        return cnt
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_add_user_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_pairs_bucket, batch_format="pandas"),
+            ["prev_type", "next_type"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+"""

@@ -3085,3 +3085,273 @@ SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
 FROM lineitem
 ORDER BY "column"
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed median over a CONTINUOUS domain (histogram
+# refinement): the classic two-phase order-statistic search
+# ---------------------------------------------------------------------------
+
+def median_extendedprice(sf_dir: str, n_bins: int = 4096) -> pd.DataFrame:
+    """EXACT median of lineitem.l_extendedprice — a continuous,
+    high-cardinality domain where ``quantity_quantiles``' value-count
+    walk would shuffle one row per distinct value. Three streaming
+    passes, each a per-batch partial + tiny driver reduce:
+
+    1. (count, min, max) partials -> global n, lo, hi.
+    2. fixed-width histogram per batch (``np.bincount`` over
+       ``n_bins`` bins) -> bin counts summed via one bucketed
+       aggregate; the cumulative walk over ``n_bins`` rows locates the
+       bin(s) holding order statistics k1=(n-1)//2 and k2=n//2.
+    3. re-stream, keep only rows whose BIN INDEX (same float binning
+       expression as pass 2 — boundary-consistent by construction)
+       falls in the target bins (~n/n_bins rows), sort the survivors
+       on the driver, index k1/k2 relative to the count below.
+
+    At 100 TB each pass is one pruned-column scan and the driver never
+    holds more than n_bins + n/n_bins rows."""
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", columns=[col])
+
+    def _extrema(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"n": [], "lo": [], "hi": []})
+        return pd.DataFrame({"n": [len(v)], "lo": [float(v.min())], "hi": [float(v.max())]})
+
+    parts = ds.map_batches(_extrema, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    if n == 0:
+        return pd.DataFrame({"median_price": [float("nan")]})
+    width = (hi - lo) or 1.0
+
+    def _bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bin_of(df[col].to_numpy())
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype("int64"), "cnt": cnt[nz].astype("int64")})
+
+    hist = (
+        bucketed_aggregate(
+            ds.map_batches(_hist, batch_format="pandas"),
+            "bin",
+            {"cnt": ("cnt", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    k1, k2 = (n - 1) // 2, n // 2  # 0-based order statistics
+    b1 = int(hist["bin"].to_numpy()[np.searchsorted(cum, k1 + 1)])
+    b2 = int(hist["bin"].to_numpy()[np.searchsorted(cum, k2 + 1)])
+    target = {b1, b2}
+    below = int(cum[np.searchsorted(hist["bin"].to_numpy(), b1) - 1]) if b1 > hist["bin"].iloc[0] else 0
+
+    def _survivors(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        keep = np.isin(_bin_of(v), list(target))
+        return pd.DataFrame({col: v[keep]})
+
+    surv = np.sort(
+        ds.map_batches(_survivors, batch_format="pandas").to_pandas()[col].to_numpy()
+    )
+    med = (surv[k1 - below] + surv[k2 - below]) / 2.0
+    return pd.DataFrame({"median_price": [round(float(med), ROUND_DECIMALS)]})
+
+
+MEDIAN_EXTENDEDPRICE_SQL = """
+SELECT round(median(l_extendedprice), 4) AS median_price FROM lineitem
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 10, late_days: int = 90) -> pd.DataFrame:
+    """TPC-H Q21 shape (per-order exists/not-exists anti join): count,
+    per supplier, the finished multi-supplier orders on which that
+    supplier was the ONLY late one. The schema has no
+    commit/receipt dates, so "late" is l_shipdate > o_orderdate +
+    ``late_days`` (same join/anti-join topology as the original).
+
+    Both facts stream: lineitem and F-status orders tag the same
+    orderkey hash bucket and union; ONE shuffle co-locates each
+    order's lines with its header, and the whole bucket resolves in
+    vectorized pandas (per-order distinct-supplier and late-supplier
+    counts via drop_duplicates + groupby). Only (suppkey, 1) partials
+    leave the buckets; a bucketed aggregate sums them; names attach to
+    the survivors by broadcast and a partial top-k yields ``k``."""
+    num_buckets = 32
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "okey": df["l_orderkey"].astype("int64"),
+                "suppkey": df["l_suppkey"].astype("float64"),
+                "ship": df["l_shipdate"],
+                "odate": pd.Series(pd.NaT, index=df.index, dtype=df["l_shipdate"].dtype),
+            }
+        )
+        out["__bucket"] = (out["okey"].to_numpy() % num_buckets).astype("int64")
+        return out
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"] == "F"]
+        out = pd.DataFrame(
+            {
+                "okey": df["o_orderkey"].astype("int64"),
+                "suppkey": np.nan,
+                "ship": pd.Series(pd.NaT, index=df.index, dtype=df["o_orderdate"].dtype),
+                "odate": df["o_orderdate"],
+            }
+        )
+        out["__bucket"] = (out["okey"].to_numpy() % num_buckets).astype("int64")
+        return out
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        li_prep, batch_format="pandas"
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(o_prep, batch_format="pandas")
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        heads = g[g["suppkey"].isna()][["okey", "odate"]]
+        lines = g[g["suppkey"].notna()][["okey", "suppkey", "ship"]]
+        j = lines.merge(heads, on="okey", how="inner")  # F orders only
+        if len(j) == 0:
+            return pd.DataFrame({"suppkey": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        pairs = j[["okey", "suppkey"]].drop_duplicates()
+        n_supp = pairs.groupby("okey", sort=False).size()
+        late = j[j["ship"] > j["odate"] + pd.Timedelta(days=late_days)]
+        late_pairs = late[["okey", "suppkey"]].drop_duplicates()
+        n_late = late_pairs.groupby("okey", sort=False).size()
+        ok = n_late.index[(n_late == 1)].intersection(n_supp.index[n_supp >= 2])
+        winners = late_pairs[late_pairs["okey"].isin(ok)]
+        out = winners.groupby("suppkey", sort=False).size().reset_index(name="n")
+        out["suppkey"] = out["suppkey"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_supp = bucketed_aggregate(
+        li.union(orders).groupby("__bucket").map_groups(_resolve, batch_format="pandas"),
+        "suppkey",
+        {"numwait": ("n", "sum")},
+        num_buckets=8,
+    ).map_batches(
+        lambda df: df.assign(suppkey=df["suppkey"].astype("int64")), batch_format="pandas"
+    )
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    named = broadcast_lookup(per_supp, "suppkey", sup.assign(s_name_v=sup["s_name"]),
+                             "s_suppkey", ["s_name_v"])
+    out = partial_topk(named, by=["numwait", "s_name_v"], ascending=[False, True], k=k)
+    out = out.rename(columns={"s_name_v": "s_name"})
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+Q21_WAITING_SUPPLIERS_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+         max(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q20_surplus_suppliers(sf_dir: str, max_size: int = 10, qty_threshold: float = 50.0) -> pd.DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain): suppliers that
+    shipped more than ``qty_threshold`` units of some small part
+    (p_size <= ``max_size``) during 1995. The schema has no partsupp
+    table, so the availqty comparison becomes a shipped-quantity
+    threshold — the topology (grouped fact aggregate -> semi join
+    against a filtered part set -> distinct suppliers -> name attach)
+    is the original's.
+
+    Scale shape: per-(partkey, suppkey) quantities reduce through a
+    bucketed aggregate; the part filter streams through the bucketed
+    semi join (part is fact-scale — never a driver key set); distinct
+    surviving suppliers reduce distributed; only the final supplier
+    rows reach the driver."""
+
+    def li_prep(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+        )
+        t = t.filter(m)
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(),
+                "l_suppkey": t["l_suppkey"].to_numpy(),
+                "qty": t["l_quantity"].to_numpy(),
+            }
+        )
+        return df.groupby(["l_partkey", "l_suppkey"], as_index=False)["qty"].sum()
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+    pair_qty = bucketed_aggregate(
+        li, ["l_partkey", "l_suppkey"], {"qty": ("qty", "sum")}, num_buckets=32
+    ).map_batches(
+        lambda df: df[df["qty"] > qty_threshold].astype({"l_partkey": "int64", "l_suppkey": "int64"}),
+        batch_format="pandas",
+    )
+    small_parts = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).map_batches(
+        lambda t: t.filter(pc.less_equal(t["p_size"], max_size)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    surviving = bucketed_semi_anti_join(
+        pair_qty, "l_partkey", ["l_partkey", "l_suppkey"], small_parts, "p_partkey",
+        num_buckets=16,
+    )
+    supp_keys = bucketed_aggregate(
+        surviving.map_batches(
+            lambda df: pd.DataFrame({"l_suppkey": df["l_suppkey"].astype("int64")}),
+            batch_format="pandas",
+        ),
+        "l_suppkey",
+        {"n": ("l_suppkey", "size")},
+        num_buckets=8,
+    ).map_batches(
+        lambda df: df.assign(l_suppkey=df["l_suppkey"].astype("int64")), batch_format="pandas"
+    )
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    named = broadcast_lookup(
+        supp_keys, "l_suppkey", sup.assign(s_name_v=sup["s_name"]), "s_suppkey", ["s_name_v"]
+    ).to_pandas()
+    out = pd.DataFrame({"s_name": sorted(named["s_name_v"])})
+    return out.reset_index(drop=True)
+
+
+Q20_SURPLUS_SUPPLIERS_SQL = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s_name
+FROM pq
+JOIN part ON l_partkey = p_partkey AND p_size <= 10
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty > 50
+ORDER BY s_name
+"""

@@ -982,3 +982,100 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
     return pd.DataFrame(out_rows, columns=["rank", "left", "right", "n"]).astype(
         {"rank": "int64", "n": "int64"}
     )
+
+
+def source_term_divergence(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
+    """Per-source KL divergence of the source's term distribution vs
+    the whole corpus — the domain-shift / contamination diagnostic of
+    a training-data mix. ONE shuffle:
+
+        KL_s = (1/tot_s) * sum_t n_st * ln(n_st / cn_t)
+               - ln(tot_s) + ln(C)
+
+    so once (source, term) partial counts co-locate by TERM hash
+    bucket, the corpus term count cn_t is local to the bucket and each
+    bucket emits per-source (sum n*ln(n/cn), sum n) partials — the
+    driver reduces buckets x sources rows and applies the closed form.
+    Neither the vocabulary nor the corpus ever reaches the driver."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        src_all: list[str] = []
+        tok_all: list[str] = []
+        for src, s in zip(df["source"], df["text"]):
+            toks = TOKEN_RE.findall(s.lower())
+            tok_all.extend(toks)
+            src_all.extend([src] * len(toks))
+        if not tok_all:
+            return pd.DataFrame(
+                {"source": pd.Series(dtype="object"), "term": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        out = (
+            pd.DataFrame({"source": src_all, "term": tok_all})
+            .groupby(["source", "term"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def add_term_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_array(df["term"].to_numpy(dtype=object)) % num_buckets
+        ).astype("int64")
+        return df
+
+    def _bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # co-located by term hash: every (source, term) partial for a
+        # term is HERE, so cn_t is exact within the group
+        sc = g.groupby(["source", "term"], sort=False)["n"].sum().reset_index()
+        cn = sc.groupby("term", sort=False)["n"].sum().rename("cn")
+        sc = sc.join(cn, on="term")
+        nv = sc["n"].to_numpy(dtype=np.float64)
+        contrib = nv * np.log(nv / sc["cn"].to_numpy(dtype=np.float64))
+        sc = sc.assign(part=contrib)
+        out = sc.groupby("source", sort=False).agg(
+            part=("part", "sum"), tot=("n", "sum")
+        ).reset_index()
+        out["tot"] = out["tot"].astype("int64")
+        return out[["source", "part", "tot"]]
+
+    parts = (
+        ds.map_batches(count_batch, batch_format="pandas")
+        .map_batches(add_term_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_bucket_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("source").agg(part=("part", "sum"), tot=("tot", "sum")).reset_index()
+    C = float(agg["tot"].sum())
+    tot = agg["tot"].to_numpy(dtype=np.float64)
+    kl = agg["part"].to_numpy() / tot - np.log(tot) + np.log(C)
+    out = pd.DataFrame(
+        {"source": agg["source"], "n_terms": agg["tot"].astype("int64"), "kl": np.round(kl, 4)}
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SOURCE_TERM_DIVERGENCE_SQL = """
+WITH tok AS (
+  SELECT source, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+sc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY source, term),
+stot AS (SELECT source, sum(n) AS tot FROM sc GROUP BY source),
+ct AS (SELECT term, sum(n) AS cn FROM sc GROUP BY term),
+ctot AS (SELECT sum(n) AS c FROM sc)
+SELECT sc.source, CAST(stot.tot AS BIGINT) AS n_terms,
+       round(sum((sc.n / stot.tot) * ln((sc.n / stot.tot) / (ct.cn / ctot.c))), 4) AS kl
+FROM sc
+JOIN stot ON sc.source = stot.source
+JOIN ct ON sc.term = ct.term
+CROSS JOIN ctot
+GROUP BY sc.source, stot.tot
+ORDER BY sc.source
+"""

@@ -61,6 +61,9 @@ SUBSET = [
     "media_frame_sample",
     "profile_lineitem",
     "session_concurrency",
+    "event_transitions",
+    "median_extendedprice",
+    "source_term_divergence",
 ]
 
 
