@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "order_rank_in_segment": relational.order_rank_in_segment,
+        "price_quantity_regression": relational.price_quantity_regression,
+        "order_price_cube": relational.order_price_cube,
+        "price_skew_kurtosis": relational.price_skew_kurtosis,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
@@ -160,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": text.curate_corpus,
         "repetition_stats": text.repetition_stats,
         "segment_dedup": text.segment_dedup,
+        "doc_perplexity": text.doc_perplexity,
         "heavy_hitter_terms": text.heavy_hitter_terms,
         "stratified_sample": text.stratified_sample,
         "bpe_learn_merges": text.bpe_learn_merges,
@@ -232,6 +236,9 @@ def oracle_sql() -> dict[str, str]:
         "session_concurrency": events.SESSION_CONCURRENCY_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
+        "price_quantity_regression": relational.PRICE_QUANTITY_REGRESSION_SQL,
+        "order_price_cube": relational.ORDER_PRICE_CUBE_SQL,
+        "price_skew_kurtosis": relational.PRICE_SKEW_KURTOSIS_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         # bloom prefilter + exact verify == exact semi join
@@ -267,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": text.QUALITY_SCORES_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
+        "doc_perplexity": text.DOC_PERPLEXITY_SQL,
         "heavy_hitter_terms": text.HEAVY_HITTER_TERMS_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,

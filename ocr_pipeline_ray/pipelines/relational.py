@@ -3355,3 +3355,179 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE qty > 50
 ORDER BY s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed statistics: OLS regression, CUBE, higher moments
+# ---------------------------------------------------------------------------
+
+def price_quantity_regression(sf_dir: str) -> pd.DataFrame:
+    """Grouped ordinary-least-squares fit of l_extendedprice on
+    l_quantity per l_returnflag, from ONE streaming pass: each batch
+    emits the six sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) per
+    group — the same mergeable-partial discipline as the co-moment
+    aggregates — and slope/intercept/R² come out closed-form on the
+    tiny (groups × batches)-row reduce. At 100 TB nothing but six
+    scalars per (batch, group) ever leaves a worker."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64)
+        y = df["l_extendedprice"].to_numpy(np.float64)
+        d = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": 1.0, "sx": x, "sy": y, "sx2": x * x, "sy2": y * y, "sxy": x * y,
+        })
+        return d.groupby("l_returnflag", as_index=False).sum()
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("l_returnflag", as_index=False).sum()
+    n = g["n"]
+    sxx = g["sx2"] - g["sx"] ** 2 / n
+    syy = g["sy2"] - g["sy"] ** 2 / n
+    sxy = g["sxy"] - g["sx"] * g["sy"] / n
+    slope = sxy / sxx
+    intercept = g["sy"] / n - slope * g["sx"] / n
+    r2 = sxy**2 / (sxx * syy)
+    out = pd.DataFrame({
+        "l_returnflag": g["l_returnflag"],
+        "n": n.astype("int64"),
+        "slope": np.round(slope, 4),
+        "intercept": np.round(intercept, 4),
+        "r2": np.round(r2, 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+PRICE_QUANTITY_REGRESSION_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def order_price_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority) over order totals
+    in ONE distributed pass: the fact table streams once producing
+    finest-grain partials (the 3×5 pair domain — tiny), and all four
+    grouping sets (pair, each single dim, grand total) are derived
+    from that 15-row aggregate on the driver. Subtotals sum the
+    UNROUNDED fine sums, so every level is consistent. NULL dimension
+    values mark rolled-up levels, SQL CUBE semantics."""
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).agg(
+            total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+        .sum()
+    )
+    levels = [fine]
+    for dims in (["o_orderstatus"], ["o_orderpriority"], []):
+        dropped = [c for c in ("o_orderstatus", "o_orderpriority") if c not in dims]
+        lv = (
+            fine.groupby(dims, as_index=False)[["total_price", "n_orders"]].sum()
+            if dims
+            else fine[["total_price", "n_orders"]].sum().to_frame().T
+        )
+        for c in dropped:
+            lv[c] = None
+        levels.append(lv)
+    out = pd.concat(levels, ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "total_price", "n_orders"]
+    ]
+    out["total_price"] = np.round(out["total_price"].astype(np.float64), 4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["o_orderstatus"] = out["o_orderstatus"].astype(object).where(out["o_orderstatus"].notna(), None)
+    out["o_orderpriority"] = out["o_orderpriority"].astype(object).where(out["o_orderpriority"].notna(), None)
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"], na_position="last"
+    ).reset_index(drop=True)
+
+
+ORDER_PRICE_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 4) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
+def _merge_central_moments(acc: tuple, b: tuple) -> tuple:
+    """Pairwise merge of (n, mean, M2, M3, M4) central-moment partials
+    (Pébay 2008 / Chan et al.) — numerically stable against the
+    cancellation that raw power sums suffer when mean ≫ spread."""
+    na, ma, M2a, M3a, M4a = acc
+    nb, mb, M2b, M3b, M4b = b
+    n = na + nb
+    if n == 0:
+        return acc
+    d = mb - ma
+    m = ma + d * nb / n
+    M2 = M2a + M2b + d * d * na * nb / n
+    M3 = (
+        M3a + M3b
+        + d**3 * na * nb * (na - nb) / n**2
+        + 3.0 * d * (na * M2b - nb * M2a) / n
+    )
+    M4 = (
+        M4a + M4b
+        + d**4 * na * nb * (na * na - na * nb + nb * nb) / n**3
+        + 6.0 * d * d * (na * na * M2b + nb * nb * M2a) / n**2
+        + 4.0 * d * (na * M3b - nb * M3a) / n
+    )
+    return (n, m, M2, M3, M4)
+
+
+def price_skew_kurtosis(sf_dir: str) -> pd.DataFrame:
+    """Sample skewness and excess kurtosis of l_extendedprice per
+    l_returnflag via mergeable CENTRAL moments: each batch computes
+    per-group (n, mean, M2, M3, M4) about its own mean (stable), and
+    the driver pairwise-merges the tiny partials with the parallel
+    moment-combination formulas. Matches DuckDB's sample-adjusted
+    skewness()/kurtosis() closed-form."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, sub in df.groupby("l_returnflag", sort=False):
+            x = sub["l_extendedprice"].to_numpy(np.float64)
+            m = x.mean()
+            c = x - m
+            rows.append((flag, len(x), m, (c**2).sum(), (c**3).sum(), (c**4).sum()))
+        return pd.DataFrame(rows, columns=["l_returnflag", "n", "mean", "M2", "M3", "M4"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for flag, sub in parts.groupby("l_returnflag", sort=True):
+        acc = (0.0, 0.0, 0.0, 0.0, 0.0)
+        for t in sub[["n", "mean", "M2", "M3", "M4"]].itertuples(index=False):
+            acc = _merge_central_moments(acc, tuple(t))
+        n, m, M2, M3, M4 = acc
+        m2, m3, m4 = M2 / n, M3 / n, M4 / n
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3.0
+        G1 = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+        G2 = ((n + 1.0) * g2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+        out_rows.append((flag, int(n), round(m, 4), round(G1, 6), round(G2, 6)))
+    return pd.DataFrame(
+        out_rows, columns=["l_returnflag", "n", "avg_price", "skew", "kurt"]
+    ).reset_index(drop=True)
+
+
+PRICE_SKEW_KURTOSIS_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(skewness(l_extendedprice), 6) AS skew,
+       round(kurtosis(l_extendedprice), 6) AS kurt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -1079,3 +1079,129 @@ CROSS JOIN ctot
 GROUP BY sc.source, stot.tot
 ORDER BY sc.source
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram-LM perplexity quality scoring
+# ---------------------------------------------------------------------------
+
+def doc_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style (Wenzek et al. 2020) language-model quality scoring:
+    train an add-one-smoothed bigram LM on the corpus, then score every
+    document by its average negative log-likelihood (low = fluent /
+    in-distribution, high = boilerplate-ish or noisy — the CCNet
+    head/middle/tail split keys off exactly this number).
+
+    Two streaming passes, both scale-shaped:
+
+    1. TRAIN — per-batch unigram and bigram count partials over the
+       tokenized text ride :func:`bucketed_aggregate` on the token key
+       domain (the vocabulary, NOT the corpus, bounds the shuffle).
+    2. SCORE — the count tables broadcast once (``ray.put``; in CCNet
+       the LM is trained on a fixed reference corpus, so the model is
+       small relative to the 100 TB being scored — top-K bigram pruning
+       is the knob if vocabulary ever outgrows a worker heap) and each
+       batch scores its docs vectorized: token→count lookups via
+       pandas ``Series.map`` over the whole batch's token stream, one
+       log over the stacked array.
+
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V); avg_nll = -mean log P
+    over the doc's bigram positions; docs with < 2 tokens drop (no
+    bigram support), matching the SQL oracle's join semantics."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _uni_partial(t: pa.Table) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s))
+        d = pd.DataFrame({"tok": toks, "c": 1})
+        return d.groupby("tok", as_index=False).sum()
+
+    def _bi_partial(t: pa.Table) -> pd.DataFrame:
+        w1: list[str] = []
+        w2: list[str] = []
+        for s in t["text"].to_pylist():
+            ts = TOKEN_RE.findall(s)
+            w1.extend(ts[:-1])
+            w2.extend(ts[1:])
+        d = pd.DataFrame({"w1": w1, "w2": w2, "c": 1})
+        return d.groupby(["w1", "w2"], as_index=False).sum()
+
+    uni = bucketed_aggregate(
+        docs.map_batches(_uni_partial, batch_format="pyarrow"),
+        "tok", {"c": ("c", "sum")}, num_buckets=16,
+    ).to_pandas()
+    bi = bucketed_aggregate(
+        docs.map_batches(_bi_partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"c": ("c", "sum")}, num_buckets=16,
+    ).to_pandas()
+    vocab_size = len(uni)
+    uni_map = dict(zip(uni["tok"], uni["c"].astype(np.float64)))
+    bi_map = dict(
+        zip(bi["w1"].str.cat(bi["w2"], sep="\x00"), bi["c"].astype(np.float64))
+    )
+    uni_ref = ray.put(uni_map)
+    bi_ref = ray.put(bi_map)
+
+    def _score(t: pa.Table) -> pd.DataFrame:
+        u = ray.get(uni_ref)
+        b = ray.get(bi_ref)
+        ids, firsts, seconds, pos_doc = [], [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = TOKEN_RE.findall(s)
+            if len(ts) < 2:
+                continue
+            ids.append(doc_id)
+            firsts.extend(ts[:-1])
+            seconds.extend(ts[1:])
+            pos_doc.extend([len(ids) - 1] * (len(ts) - 1))
+        if not ids:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_bigrams": pd.Series(dtype="int64"),
+                "avg_nll": pd.Series(dtype="float64"),
+            })
+        w1 = pd.Series(firsts)
+        key = w1.str.cat(pd.Series(seconds), sep="\x00")
+        cb = key.map(b).fillna(0.0).to_numpy(np.float64)
+        cu = w1.map(u).to_numpy(np.float64)  # w1 always in vocab (trained on same corpus)
+        logp = np.log((cb + 1.0) / (cu + vocab_size))
+        grp = np.asarray(pos_doc)
+        sums = np.bincount(grp, weights=-logp, minlength=len(ids))
+        cnts = np.bincount(grp, minlength=len(ids))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_bigrams": cnts.astype("int64"),
+            "avg_nll": np.round(sums / cnts, 4),
+        })
+
+    out = docs.map_batches(_score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr FROM documents)
+),
+big AS (
+  SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, tok AS w2
+  FROM toks
+  QUALIFY w1 IS NOT NULL
+),
+uni AS (SELECT tok AS w, count(*) AS cu FROM toks GROUP BY 1),
+bi AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+v AS (SELECT count(*) AS vs FROM uni)
+SELECT big.doc_id, count(*) AS n_bigrams,
+       round(-avg(ln((bi.cb + 1.0) / (uni.cu + v.vs))), 4) AS avg_nll
+FROM big
+JOIN bi USING (w1, w2)
+JOIN uni ON big.w1 = uni.w
+CROSS JOIN v
+GROUP BY big.doc_id
+ORDER BY big.doc_id
+"""
