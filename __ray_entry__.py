@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "segment_dedup": text.segment_dedup,
         "doc_perplexity": text.doc_perplexity,
+        "benchmark_contamination": text.benchmark_contamination,
+        "duplicate_ngram_spans": text.duplicate_ngram_spans,
         "heavy_hitter_terms": text.heavy_hitter_terms,
         "stratified_sample": text.stratified_sample,
         "bpe_learn_merges": text.bpe_learn_merges,
@@ -275,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": text.REPETITION_STATS_SQL,
         "segment_dedup": text.SEGMENT_DEDUP_SQL,
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
+        "benchmark_contamination": text.BENCHMARK_CONTAMINATION_SQL,
+        "duplicate_ngram_spans": text.DUPLICATE_NGRAM_SPANS_SQL,
         "heavy_hitter_terms": text.HEAVY_HITTER_TERMS_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,

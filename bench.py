@@ -109,6 +109,7 @@ def run_operator_benches(out: dict) -> None:
         "q7_volume_shipping": relational.q7_volume_shipping,
         "part_triangle_counts": relational.part_triangle_counts,
         "pivot_user_event_values": events.pivot_user_event_values,
+        "doc_perplexity": text.doc_perplexity,
     }
     for name, fn in benches.items():
         best = None

@@ -1205,3 +1205,213 @@ CROSS JOIN v
 GROUP BY big.doc_id
 ORDER BY big.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination + substring-level duplication (Lee et al. 2021 shapes)
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 8
+
+
+def _doc_ngrams(tokens: list[str], n: int = _NGRAM_N) -> list[str]:
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def benchmark_contamination(sf_dir: str) -> pd.DataFrame:
+    """GPT-3/PaLM-style benchmark decontamination: flag training
+    documents that share an 8-token n-gram with a held-out benchmark
+    set (here: the deterministic ``doc_id % 50 == 0`` slice stands in
+    for e.g. MMLU — the benchmark is SMALL by construction, which is
+    the whole point of the broadcast topology).
+
+    Pass 1 streams only the benchmark slice and collects its distinct
+    n-grams; that set ships once (``ray.put``) and every training batch
+    probes it vectorized (``Series.isin`` — a hash probe per gram, no
+    shuffle anywhere). Output: per contaminated doc, total grams, hit
+    count and hit fraction. At 100 TB the training side streams once
+    against a fixed ~MB-scale benchmark set."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _bench_grams(t: pa.Table) -> pd.DataFrame:
+        grams: set[str] = set()
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if doc_id % 50 == 0:
+                grams.update(_doc_ngrams(TOKEN_RE.findall(s)))
+        return pd.DataFrame({"g": sorted(grams)})
+
+    bench = set(
+        docs.map_batches(_bench_grams, batch_format="pyarrow").to_pandas()["g"]
+    )
+    bench_ref = ray.put(bench)
+
+    def _probe(t: pa.Table) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        ids, gs, owner = [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if doc_id % 50 == 0:
+                continue
+            ng = _doc_ngrams(TOKEN_RE.findall(s))
+            ids.append((doc_id, len(ng)))
+            gs.extend(ng)
+            owner.extend([len(ids) - 1] * len(ng))
+        if not ids:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_grams": pd.Series(dtype="int64"),
+                "n_hits": pd.Series(dtype="int64"),
+            })
+        hit = pd.Series(gs).isin(bset).to_numpy()
+        import numpy as np
+
+        hits = np.bincount(
+            np.asarray(owner), weights=hit.astype(np.float64), minlength=len(ids)
+        ).astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": [d for d, _ in ids],
+                "n_grams": [n for _, n in ids],
+                "n_hits": hits,
+            }
+        )
+        return out[out["n_hits"] > 0]
+
+    out = docs.map_batches(_probe, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_grams": pd.Series(dtype="int64"),
+             "n_hits": pd.Series(dtype="int64"), "hit_frac": pd.Series(dtype="float64")}
+        )
+    out["hit_frac"] = (out["n_hits"] / out["n_grams"]).round(4)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_grams"] = out["n_grams"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_GRAM_WINDOW_SQL = r"""
+grams AS (
+  SELECT doc_id,
+         concat_ws(' ', lag(tok, 7) OVER w, lag(tok, 6) OVER w, lag(tok, 5) OVER w,
+                        lag(tok, 4) OVER w, lag(tok, 3) OVER w, lag(tok, 2) OVER w,
+                        lag(tok, 1) OVER w, tok) AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lag(tok, 7) OVER w IS NOT NULL
+)
+"""
+
+BENCHMARK_CONTAMINATION_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr FROM documents)
+),
+"""
+    + _GRAM_WINDOW_SQL
+    + r""",
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM train t JOIN bench b USING (g) GROUP BY t.doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id)
+SELECT totals.doc_id, totals.n_grams, hits.n_hits,
+       round(hits.n_hits / CAST(totals.n_grams AS DOUBLE), 4) AS hit_frac
+FROM hits JOIN totals USING (doc_id)
+ORDER BY totals.doc_id
+"""
+)
+
+
+def duplicate_ngram_spans(sf_dir: str) -> pd.DataFrame:
+    """Substring-level duplication profile (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its 8-token n-gram positions whose
+    n-gram occurs MORE THAN ONCE across the whole corpus.
+
+    Both sides are corpus-scale, so unlike the decontamination query
+    nothing broadcasts: gram occurrences ride ONE hash shuffle on the
+    gram key — per batch, (gram, doc_id) partial counts; per gram
+    bucket, total counts resolve and only positions whose gram total
+    > 1 emit (doc_id, dup_count) partials; a tiny bucketed aggregate
+    per doc finishes. The shuffle is bounded by the distinct-gram
+    domain, never by document payload bytes."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _gram_rows(t: pa.Table) -> pd.DataFrame:
+        ids, gs = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ng = _doc_ngrams(TOKEN_RE.findall(s))
+            gs.extend(ng)
+            ids.extend([doc_id] * len(ng))
+        d = pd.DataFrame({"doc_id": ids, "g": gs})
+        # partial: occurrences of gram g in doc d within this batch
+        return d.groupby(["doc_id", "g"], as_index=False).size().rename(columns={"size": "c"})
+
+    gram_rows = docs.map_batches(_gram_rows, batch_format="pyarrow")
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["g"], index=False)
+        df = df.copy()
+        df["__bucket"] = (h.to_numpy() % 64).astype("int64")
+        return df
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        per_gram = g.groupby("g")["c"].transform("sum")
+        dup = g[per_gram > 1]
+        out = dup.groupby("doc_id", as_index=False)["c"].sum()
+        return out.rename(columns={"c": "n_dup"})
+
+    dup_partials = (
+        gram_rows.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_resolve, batch_format="pandas")
+    )
+    per_doc_dup = bucketed_aggregate(
+        dup_partials, "doc_id", {"n_dup": ("n_dup", "sum")}, num_buckets=16
+    ).to_pandas()
+
+    def _totals(t: pa.Table) -> pd.DataFrame:
+        ids, ns = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ids.append(doc_id)
+            ns.append(max(len(TOKEN_RE.findall(s)) - _NGRAM_N + 1, 0))
+        return pd.DataFrame({"doc_id": ids, "n_grams": ns})
+
+    totals = docs.map_batches(_totals, batch_format="pyarrow").to_pandas()
+    out = totals[totals["n_grams"] > 0].merge(per_doc_dup, on="doc_id", how="left")
+    out["n_dup"] = out["n_dup"].fillna(0).astype("int64")
+    out["dup_frac"] = np.round(out["n_dup"] / out["n_grams"], 4)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_grams"] = out["n_grams"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DUPLICATE_NGRAM_SPANS_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr FROM documents)
+),
+"""
+    + _GRAM_WINDOW_SQL
+    + r""",
+gram_totals AS (SELECT g, count(*) AS n FROM grams GROUP BY g),
+per_doc AS (
+  SELECT grams.doc_id,
+         count(*) AS n_grams,
+         count(*) FILTER (gram_totals.n > 1) AS n_dup
+  FROM grams JOIN gram_totals USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, n_grams, n_dup,
+       round(n_dup / CAST(n_grams AS DOUBLE), 4) AS dup_frac
+FROM per_doc
+ORDER BY doc_id
+"""
+)

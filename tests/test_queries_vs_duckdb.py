@@ -64,6 +64,13 @@ SUBSET = [
     "event_transitions",
     "median_extendedprice",
     "source_term_divergence",
+    # round-3c additions
+    "price_quantity_regression",
+    "order_price_cube",
+    "price_skew_kurtosis",
+    "doc_perplexity",
+    "benchmark_contamination",
+    "duplicate_ngram_spans",
 ]
 
 
