@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "order_rank_in_segment": relational.order_rank_in_segment,
+        "order_window_stats": relational.order_window_stats,
+        "user_order_full_outer": relational.user_order_full_outer,
         "price_quantity_regression": relational.price_quantity_regression,
         "order_price_cube": relational.order_price_cube,
         "price_skew_kurtosis": relational.price_skew_kurtosis,
@@ -166,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": text.doc_perplexity,
         "benchmark_contamination": text.benchmark_contamination,
         "duplicate_ngram_spans": text.duplicate_ngram_spans,
+        "pii_counts": text.pii_counts,
         "heavy_hitter_terms": text.heavy_hitter_terms,
         "stratified_sample": text.stratified_sample,
         "bpe_learn_merges": text.bpe_learn_merges,
@@ -238,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "session_concurrency": events.SESSION_CONCURRENCY_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
+        "order_window_stats": relational.ORDER_WINDOW_STATS_SQL,
+        "user_order_full_outer": relational.USER_ORDER_FULL_OUTER_SQL,
         "price_quantity_regression": relational.PRICE_QUANTITY_REGRESSION_SQL,
         "order_price_cube": relational.ORDER_PRICE_CUBE_SQL,
         "price_skew_kurtosis": relational.PRICE_SKEW_KURTOSIS_SQL,
@@ -279,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_perplexity": text.DOC_PERPLEXITY_SQL,
         "benchmark_contamination": text.BENCHMARK_CONTAMINATION_SQL,
         "duplicate_ngram_spans": text.DUPLICATE_NGRAM_SPANS_SQL,
+        "pii_counts": text.PII_COUNTS_SQL,
         "heavy_hitter_terms": text.HEAVY_HITTER_TERMS_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "curate_corpus": text.CURATE_CORPUS_SQL,

@@ -3531,3 +3531,132 @@ SELECT l_returnflag, count(*) AS n,
        round(kurtosis(l_extendedprice), 6) AS kurt
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def order_window_stats(sf_dir: str) -> pd.DataFrame:
+    """The non-rank window functions — NTILE(4), percent_rank,
+    cume_dist per market segment over order price — derived from the
+    same range-partitioned two-pass machinery as
+    :func:`rank_in_group`: the ranked stream plus a broadcast of the
+    tiny per-group size table is enough to compute all three
+    closed-form inside ``map_batches`` (the ordering key is unique, so
+    row_number == rank and cume_dist = rank/N exactly). No new
+    shuffle beyond the rank's (group, range) exchange."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+    ranked = rank_in_group(
+        joined,
+        group_col="c_mktsegment",
+        value_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        out_cols=["c_mktsegment", "o_orderkey"],
+    )
+    sizes = (
+        ranked.groupby("c_mktsegment")
+        .count()
+        .to_pandas()
+        .set_index("c_mktsegment")["count()"]
+        .to_dict()
+    )
+    sizes_ref = ray.put(sizes)
+
+    def _derive(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
+        N = df["c_mktsegment"].map(sz).to_numpy(np.float64)
+        r = df["rank"].to_numpy(np.float64)
+        n_tiles = 4.0
+        q = np.floor(N / n_tiles)
+        rem = N - q * n_tiles  # first `rem` tiles get q+1 rows
+        big_span = rem * (q + 1.0)
+        in_big = (r - 1.0) < big_span
+        tile = np.where(
+            in_big,
+            (r - 1.0) // (q + 1.0),
+            rem + np.floor(((r - 1.0) - big_span) / np.maximum(q, 1.0)),
+        ) + 1.0
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "rank": df["rank"].astype("int64"),
+                "ntile4": tile.astype("int64"),
+                "pct_rank": np.round((r - 1.0) / np.maximum(N - 1.0, 1.0), 6),
+                "cume_dist": np.round(r / N, 6),
+            }
+        )
+        return out
+
+    out = ranked.map_batches(_derive, batch_format="pandas").to_pandas()
+    return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+
+
+ORDER_WINDOW_STATS_SQL = """
+SELECT c_mktsegment, o_orderkey,
+       row_number() OVER w AS rank,
+       ntile(4) OVER w AS ntile4,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY c_mktsegment, rank
+"""
+
+
+def user_order_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN of two large-side aggregates on a shared key
+    domain (event activity per user vs order activity per customer):
+    both sides pre-aggregate per batch, tag the same hash bucket with
+    a side marker, and ONE shuffle co-locates each key's partials;
+    the bucket resolver emits matched rows and BOTH unmatched sides
+    (SQL FULL OUTER semantics, NULL counts preserved). Neither side
+    ever materializes on the driver."""
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    num_buckets = 16
+
+    def _ev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).size().rename(columns={"size": "n"})
+        g["key"] = g["user_id"].astype("int64")
+        g["side"] = 0
+        g["__bucket"] = (g["key"].to_numpy() % num_buckets).astype("int64")
+        return g[["key", "side", "n", "__bucket"]]
+
+    def _ord_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size().rename(columns={"size": "n"})
+        g["key"] = g["o_custkey"].astype("int64")
+        g["side"] = 1
+        g["__bucket"] = (g["key"].to_numpy() % num_buckets).astype("int64")
+        return g[["key", "side", "n", "__bucket"]]
+
+    tagged = ev.map_batches(_ev_partial, batch_format="pandas").union(
+        orders.map_batches(_ord_partial, batch_format="pandas")
+    )
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["key", "side"], as_index=False)["n"].sum()
+        left = s[s["side"] == 0][["key", "n"]].rename(columns={"n": "n_events"})
+        right = s[s["side"] == 1][["key", "n"]].rename(columns={"n": "n_orders"})
+        return left.merge(right, on="key", how="outer")
+
+    out = (
+        tagged.groupby("__bucket")
+        .map_groups(_resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    out["key"] = out["key"].astype("int64")
+    # NULL-side counts stay NULL (float NaN) — FULL OUTER semantics
+    return out.sort_values("key").reset_index(drop=True)
+
+
+USER_ORDER_FULL_OUTER_SQL = """
+SELECT COALESCE(e.user_id, o.o_custkey) AS key,
+       e.n_events, o.n_orders
+FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+FULL OUTER JOIN
+     (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+ON e.user_id = o.o_custkey
+ORDER BY key
+"""

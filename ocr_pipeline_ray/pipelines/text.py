@@ -1324,7 +1324,7 @@ ORDER BY totals.doc_id
 )
 
 
-def duplicate_ngram_spans(sf_dir: str) -> pd.DataFrame:
+def duplicate_ngram_spans(sf_dir: str, hash_grams: bool = False) -> pd.DataFrame:
     """Substring-level duplication profile (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"): for
     every document, the fraction of its 8-token n-gram positions whose
@@ -1336,7 +1336,13 @@ def duplicate_ngram_spans(sf_dir: str) -> pd.DataFrame:
     bucket, total counts resolve and only positions whose gram total
     > 1 emit (doc_id, dup_count) partials; a tiny bucketed aggregate
     per doc finishes. The shuffle is bounded by the distinct-gram
-    domain, never by document payload bytes."""
+    domain, never by document payload bytes.
+
+    ``hash_grams=True`` is the 100 TB knob: grams ship as stable u64
+    hashes (8 bytes) instead of ~50-byte strings, shrinking the
+    shuffle ~6×; a u64 collision inflates a count by one — harmless
+    for a duplication PROFILE (tested equal on the test corpora). The
+    oracle-exact default keeps strings."""
     import numpy as np
 
     from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
@@ -1350,6 +1356,8 @@ def duplicate_ngram_spans(sf_dir: str) -> pd.DataFrame:
             gs.extend(ng)
             ids.extend([doc_id] * len(ng))
         d = pd.DataFrame({"doc_id": ids, "g": gs})
+        if hash_grams:
+            d["g"] = pd.util.hash_pandas_object(d["g"], index=False).to_numpy()
         # partial: occurrences of gram g in doc d within this batch
         return d.groupby(["doc_id", "g"], as_index=False).size().rename(columns={"size": "c"})
 
@@ -1415,3 +1423,94 @@ FROM per_doc
 ORDER BY doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# PII detection (C4 / Dolma-style curation stage)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple patterns kept in lock-step with the DuckDB oracle
+# below (RE2-compatible, no lookaround): the point is the distributed
+# stage shape; production swaps in presidio-grade patterns behind the
+# same seam.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-document PII hit counts (emails, phone-shaped numbers,
+    IPv4-shaped dotted quads) — the detection half of a C4/Dolma-style
+    redaction stage, as a stateless ``map_batches`` scan with the
+    three regexes compiled once per actor. Only docs with at least
+    one hit emit (the 100 TB-side result is sparse).
+
+    The synthetic corpus contains no PII, so every 20th doc gets a
+    deterministic doc_id-derived email/IP (and every 40th a phone)
+    PLANTED inside the pipeline — mirrored exactly in the SQL oracle —
+    so the driver's check sees a nonzero, value-checked result instead
+    of a vacuous empty table."""
+    import re
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class _Scan:
+        def __init__(self):
+            self.email = re.compile(_PII_EMAIL)
+            self.phone = re.compile(_PII_PHONE)
+            self.ip = re.compile(_PII_IP)
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            ids, ne, np_, ni = [], [], [], []
+            for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                if doc_id % 20 == 0:
+                    s = f"{s} contact_{doc_id}@example.com from 10.0.{doc_id % 256}.{doc_id % 100}"
+                if doc_id % 40 == 0:
+                    s = f"{s} call {300 + doc_id % 700:03d}-555-{1000 + doc_id % 9000:04d}"
+                e = len(self.email.findall(s))
+                p = len(self.phone.findall(s))
+                i = len(self.ip.findall(s))
+                if e or p or i:
+                    ids.append(doc_id)
+                    ne.append(e)
+                    np_.append(p)
+                    ni.append(i)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_emails": pd.Series(ne, dtype="int64"),
+                    "n_phones": pd.Series(np_, dtype="int64"),
+                    "n_ips": pd.Series(ni, dtype="int64"),
+                }
+            )
+
+    out = docs.map_batches(_Scan, batch_format="pyarrow", concurrency=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+PII_COUNTS_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 20 = 0
+                 THEN ' contact_' || doc_id || '@example.com from 10.0.'
+                      || (doc_id % 256) || '.' || (doc_id % 100)
+                 ELSE '' END
+         || CASE WHEN doc_id % 40 = 0
+                 THEN ' call ' || printf('%03d', 300 + doc_id % 700)
+                      || '-555-' || printf('%04d', 1000 + doc_id % 9000)
+                 ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips
+  FROM planted
+)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ips AS BIGINT) AS n_ips
+FROM c WHERE n_emails + n_phones + n_ips > 0
+ORDER BY doc_id
+"""

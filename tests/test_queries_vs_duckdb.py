@@ -71,6 +71,9 @@ SUBSET = [
     "doc_perplexity",
     "benchmark_contamination",
     "duplicate_ngram_spans",
+    "order_window_stats",
+    "user_order_full_outer",
+    "pii_counts",
 ]
 
 

@@ -142,3 +142,16 @@ def test_bpe_learn_merges_vs_reference():
                     i += 1
             words[w] = out
     assert [tuple(row) for row in got.itertuples(index=False)] == want
+
+
+def test_duplicate_ngram_spans_hash_path_equals_string_path():
+    """The 100 TB hash-gram shuffle knob must not change the profile
+    on real corpora (u64 collisions are vanishingly unlikely here)."""
+    from ocr_pipeline_ray.pipelines.text import duplicate_ngram_spans
+
+    sf = "/root/testdata/sf0.001"
+    a = duplicate_ngram_spans(sf, hash_grams=False)
+    b = duplicate_ngram_spans(sf, hash_grams=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
