@@ -3660,3 +3660,78 @@ FULL OUTER JOIN
 ON e.user_id = o.o_custkey
 ORDER BY key
 """
+
+
+def auto_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 128 << 20,
+    num_buckets: int = 32,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    salt_hot_keys: bool = True,
+    explain: bool = False,
+):
+    """Cost-based join-strategy selection — the planner seam between
+    :func:`broadcast_join` and :func:`shuffle_hash_join`.
+
+    Sizes come from Ray's parquet/block metadata (``size_bytes()``;
+    cheap for reads, may execute lazy chains — pass pre-known sizes by
+    pruning columns first, the way every ``queries()`` pipeline does):
+
+    * right side under the threshold -> materialize it once and
+      BROADCAST (``ray.put`` object-store build, the 100 TB-side
+      streams);
+    * left side under the threshold and ``how='inner'`` -> swap,
+      broadcast left, restore column order;
+    * both large -> ONE-shuffle bucketed hash join, with sampled
+      hot-key detection feeding the salt list (``detect_hot_keys``)
+      so a skewed key domain cannot sink a single bucket.
+
+    ``explain=True`` returns ``(dataset, decision_dict)`` so callers
+    and tests can assert the routing without executing the join."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    try:
+        sz_l = left.size_bytes() or 0
+        sz_r = right.size_bytes() or 0
+    except Exception:
+        sz_l = sz_r = None
+    decision: dict = {"how": how, "size_left": sz_l, "size_right": sz_r}
+
+    if sz_r is not None and sz_r <= broadcast_threshold_bytes:
+        decision["strategy"] = "broadcast_right"
+        out = broadcast_join(left, right.to_pandas(), on=on, how=how)
+    elif (
+        sz_l is not None
+        and sz_l <= broadcast_threshold_bytes
+        and how == "inner"
+    ):
+        decision["strategy"] = "broadcast_left_swapped"
+        lcols = left_cols if left_cols is not None else left.columns()
+        small = left.to_pandas()
+        joined = broadcast_join(right, small, on=on, how="inner")
+
+        def _reorder(df: pd.DataFrame) -> pd.DataFrame:
+            rest = [c for c in df.columns if c not in lcols]
+            return df[lcols + rest]
+
+        out = joined.map_batches(_reorder, batch_format="pandas")
+    else:
+        hot = None
+        if salt_hot_keys and len(on_cols) == 1 and how in ("inner", "left"):
+            hot = detect_hot_keys(left, on_cols[0]) or None
+        decision["strategy"] = "shuffle_hash"
+        decision["hot_keys"] = hot
+        out = shuffle_hash_join(
+            left,
+            right,
+            on,
+            how=how,
+            num_buckets=num_buckets,
+            left_cols=left_cols,
+            right_cols=right_cols,
+            hot_keys=hot,
+        )
+    return (out, decision) if explain else out

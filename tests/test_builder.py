@@ -43,3 +43,48 @@ def test_custom_stage_registration(small_corpus):
 
     cfg = {"source": {"table": docs}, "stages": [{"stage": "head1000"}]}
     assert build_from_config(cfg).count() == 50
+
+
+def test_auto_join_routes_and_matches_pandas():
+    """auto_join picks broadcast for a dimension side, shuffle for two
+    fact sides, and both strategies produce the pandas-merge result."""
+    import pandas as pd
+
+    from ocr_pipeline_ray.pipelines.relational import _read, auto_join
+
+    sf = "/root/testdata/sf0.001"
+    cust = _read(sf, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf, "orders", columns=["o_custkey", "o_orderkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+
+    # dimension right side -> broadcast
+    ds, dec = auto_join(orders, cust, on="c_custkey", explain=True)
+    assert dec["strategy"] == "broadcast_right"
+    mine = ds.to_pandas().sort_values(["o_orderkey"]).reset_index(drop=True)
+
+    o = _read(sf, "orders").to_pandas().rename(columns={"o_custkey": "c_custkey"})
+    c = _read(sf, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    gold = (
+        o[["c_custkey", "o_orderkey"]]
+        .merge(c, on="c_custkey")
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mine[gold.columns.tolist()], gold)
+
+    # force both-large -> shuffle (threshold 1 byte), same result
+    ds2, dec2 = auto_join(
+        orders,
+        cust,
+        on="c_custkey",
+        broadcast_threshold_bytes=1,
+        left_cols=["c_custkey", "o_orderkey"],
+        right_cols=["c_custkey", "c_mktsegment"],
+        explain=True,
+    )
+    assert dec2["strategy"] == "shuffle_hash"
+    mine2 = ds2.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    # the shuffle join's union-schema concat widens ints to float on
+    # empty buckets (documented in shuffle_hash_join) — values only
+    pd.testing.assert_frame_equal(mine2[gold.columns.tolist()], gold, check_dtype=False)
