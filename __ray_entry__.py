@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantity_regression": relational.price_quantity_regression,
         "order_price_cube": relational.order_price_cube,
         "price_skew_kurtosis": relational.price_skew_kurtosis,
+        "winsorized_quantity_mean": relational.winsorized_quantity_mean,
+        "order_part_list": relational.order_part_list,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
         "parts_with_lineitems_bloom": relational.parts_with_lineitems_bloom,
@@ -121,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": events.cohort_retention,
         "session_concurrency": events.session_concurrency,
         "event_transitions": events.event_transitions,
+        "latest_event_state": events.latest_event_state,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,
@@ -240,12 +243,15 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": events.COHORT_RETENTION_SQL,
         "session_concurrency": events.SESSION_CONCURRENCY_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
+        "latest_event_state": events.LATEST_EVENT_STATE_SQL,
         "order_rank_in_segment": relational.ORDER_RANK_IN_SEGMENT_SQL,
         "order_window_stats": relational.ORDER_WINDOW_STATS_SQL,
         "user_order_full_outer": relational.USER_ORDER_FULL_OUTER_SQL,
         "price_quantity_regression": relational.PRICE_QUANTITY_REGRESSION_SQL,
         "order_price_cube": relational.ORDER_PRICE_CUBE_SQL,
         "price_skew_kurtosis": relational.PRICE_SKEW_KURTOSIS_SQL,
+        "winsorized_quantity_mean": relational.WINSORIZED_QUANTITY_MEAN_SQL,
+        "order_part_list": relational.ORDER_PART_LIST_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
         # bloom prefilter + exact verify == exact semi join

@@ -1265,3 +1265,52 @@ SELECT prev_type, event_type AS next_type, count(*) AS n
 FROM seq WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type ORDER BY prev_type, next_type
 """
+
+
+def latest_event_state(sf_dir: str) -> pd.DataFrame:
+    """CDC/upsert compaction — last-writer-wins: for every
+    (user_id, event_type) key, the value of the LATEST event
+    (tie-broken by event_id). The changelog-to-snapshot primitive
+    behind mutable-table maintenance at scale: each batch keeps one
+    candidate row per key (vectorized sort + drop_duplicates), ONE
+    hash shuffle co-locates candidates, each bucket resolves the same
+    way — the winner never travels with more than |keys| rows."""
+    num_buckets = 16
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id", "value"])
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"],
+            ascending=[True, True, False, False],
+        ).drop_duplicates(["user_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = _best(df).copy()
+        h = pd.util.hash_pandas_object(
+            b[["user_id", "event_type"]], index=False
+        )
+        b["__bucket"] = (h.to_numpy() % num_buckets).astype("int64")
+        return b
+
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _best(g).drop(columns="__bucket"), batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["event_id"] = out["event_id"].astype("int64")
+    out["value"] = out["value"].round(4)
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+LATEST_EVENT_STATE_SQL = """
+SELECT user_id, event_type, ts, event_id, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""

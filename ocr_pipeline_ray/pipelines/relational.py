@@ -3735,3 +3735,126 @@ def auto_join(
             hot_keys=hot,
         )
     return (out, decision) if explain else out
+
+
+def winsorized_quantity_mean(
+    sf_dir: str, lo: float = 0.05, hi: float = 0.95
+) -> pd.DataFrame:
+    """Robust grouped statistics: the winsorized mean of l_quantity
+    per l_returnflag — values clipped at the group's exact [p05, p95]
+    before averaging. Two streaming passes, no sort: pass 1 builds the
+    per-(flag, value) count table (the quantity domain is ~50 values,
+    so the shuffle is tiny at any corpus size) and derives the exact
+    percentile_disc cut points per group; pass 2 re-streams the fact
+    table, clips vectorized against the broadcast cut table, and emits
+    per-batch (sum, n) partials. The general continuous-domain version
+    swaps pass 1 for the KLL sketch already in the repo."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df.assign(n=1)[["l_returnflag", "l_quantity", "n"]],
+                batch_format="pandas",
+            ),
+            ["l_returnflag", "l_quantity"],
+            {"n": ("n", "size")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_quantity"])
+    )
+    cuts: dict[str, tuple[float, float]] = {}
+    for flag, sub in counts.groupby("l_returnflag"):
+        tot = sub["n"].sum()
+        cum = sub["n"].cumsum().to_numpy()
+        vals = sub["l_quantity"].to_numpy()
+        def _q(p):
+            rank = int(np.ceil(p * tot))  # percentile_disc
+            return float(vals[np.searchsorted(cum, rank)])
+        cuts[flag] = (_q(lo), _q(hi))
+    cuts_ref = ray.put(cuts)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        lo_v = df["l_returnflag"].map({k: v[0] for k, v in c.items()}).to_numpy()
+        hi_v = df["l_returnflag"].map({k: v[1] for k, v in c.items()}).to_numpy()
+        clipped = np.clip(df["l_quantity"].to_numpy(np.float64), lo_v, hi_v)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"], "s": clipped, "n": 1.0})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("l_returnflag", as_index=False).sum()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "p_lo": [cuts[f][0] for f in g["l_returnflag"]],
+            "p_hi": [cuts[f][1] for f in g["l_returnflag"]],
+            "winsorized_mean": np.round(g["s"] / g["n"], 4),
+            "n": g["n"].astype("int64"),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+WINSORIZED_QUANTITY_MEAN_SQL = """
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_disc(l_quantity, 0.05) AS p_lo,
+         quantile_disc(l_quantity, 0.95) AS p_hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, c.p_lo, c.p_hi,
+       round(avg(least(greatest(l.l_quantity, c.p_lo), c.p_hi)), 4) AS winsorized_mean,
+       count(*) AS n
+FROM lineitem l JOIN cuts c USING (l_returnflag)
+GROUP BY l.l_returnflag, c.p_lo, c.p_hi
+ORDER BY l.l_returnflag
+"""
+
+
+def order_part_list(sf_dir: str, max_orderkey: int = 2000) -> pd.DataFrame:
+    """Grouped ordered collect: per order, the comma-joined sorted
+    list of its part keys (SQL ``string_agg(... ORDER BY ...)`` /
+    Spark ``collect_list`` + ``array_sort``). Order locality comes
+    from ONE hash shuffle on the orderkey; each bucket concatenates
+    vectorized (sort once, one groupby-join per bucket). Bounded here
+    to the first ``max_orderkey`` orders only to keep the driver
+    result small — the operator itself streams the full table."""
+    num_buckets = 16
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_orderkey"] <= max_orderkey].copy()
+        df["__bucket"] = (df["l_orderkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_partkey"])
+        out = (
+            g.groupby("l_orderkey")["l_partkey"]
+            .agg(lambda s: ",".join(s.astype(str)))
+            .reset_index(name="part_list")
+        )
+        out["n_parts"] = g.groupby("l_orderkey").size().to_numpy()
+        return out
+
+    out = (
+        ds.map_batches(_prep, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_concat, batch_format="pandas")
+        .to_pandas()
+    )
+    out["l_orderkey"] = out["l_orderkey"].astype("int64")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+ORDER_PART_LIST_SQL = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS part_list,
+       count(*) AS n_parts
+FROM lineitem
+WHERE l_orderkey <= 2000
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""

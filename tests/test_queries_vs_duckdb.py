@@ -74,6 +74,9 @@ SUBSET = [
     "order_window_stats",
     "user_order_full_outer",
     "pii_counts",
+    "winsorized_quantity_mean",
+    "order_part_list",
+    "latest_event_state",
 ]
 
 
