@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_cube": relational.order_price_cube,
         "price_skew_kurtosis": relational.price_skew_kurtosis,
         "winsorized_quantity_mean": relational.winsorized_quantity_mean,
+        "quantity_mad": relational.quantity_mad,
+        "nation_balance_share": relational.nation_balance_share,
         "order_part_list": relational.order_part_list,
         "customers_without_orders": relational.customers_without_orders,
         "parts_with_lineitems": relational.parts_with_lineitems,
@@ -172,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": text.benchmark_contamination,
         "duplicate_ngram_spans": text.duplicate_ngram_spans,
         "pii_counts": text.pii_counts,
+        "compression_ratio": text.compression_ratio,
         "heavy_hitter_terms": text.heavy_hitter_terms,
         "stratified_sample": text.stratified_sample,
         "bpe_learn_merges": text.bpe_learn_merges,
@@ -251,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "order_price_cube": relational.ORDER_PRICE_CUBE_SQL,
         "price_skew_kurtosis": relational.PRICE_SKEW_KURTOSIS_SQL,
         "winsorized_quantity_mean": relational.WINSORIZED_QUANTITY_MEAN_SQL,
+        "quantity_mad": relational.QUANTITY_MAD_SQL,
+        "nation_balance_share": relational.NATION_BALANCE_SHARE_SQL,
         "order_part_list": relational.ORDER_PART_LIST_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "parts_with_lineitems": relational.PARTS_WITH_LINEITEMS_SQL,
@@ -310,9 +315,11 @@ def oracle_sql() -> dict[str, str]:
         "media_lit_stats": media.MEDIA_LIT_STATS_SQL,
         "label_centroid_norms": similarity.LABEL_CENTROID_NORMS_SQL,
         "media_word_boxes": media.MEDIA_WORD_BOXES_SQL,
-        # no oracle (sketch / ANN / non-SQL hash, approximate by
-        # design): minhash_lsh_dedup, ngram_jaccard_pairs, simhash_neardup,
-        # knn_lsh, knn_ivf, distinct_users_hll, order_price_quantiles_sketch,
-        # media_channel_stats, embedding_neardup_lsh
+        # no oracle (sketch / ANN / non-SQL hash / codec, approximate
+        # or non-SQL-expressible by design): minhash_lsh_dedup,
+        # ngram_jaccard_pairs, simhash_neardup, knn_lsh, knn_ivf,
+        # distinct_users_hll, order_price_quantiles_sketch,
+        # price_quantiles_by_flag_sketch, media_channel_stats,
+        # embedding_pca_top, bpe_learn_merges, compression_ratio
         # -> driver rows-only check + pytest property tests
     }

@@ -51,13 +51,28 @@ SPAN_COLS = ["doc_id", "offset", "kind", "text", "media_ref", "error", "size_hin
 
 def read_docs(path: str) -> "ray.data.Dataset":
     """Read the docs table: Lance dataset when the path is one and the
-    package is installed (the north rule's preferred format), else
-    parquet with the identical Arrow schema."""
+    package is installed (the north rule's preferred format), JSONL
+    when the path is .jsonl/.json files (the standard web-corpus dump
+    format — spans arrive as lists of dicts and normalize to the same
+    Arrow struct schema), else parquet."""
     if os.path.isdir(path) and os.path.exists(os.path.join(path, "_versions")):
         try:
             return ray.data.read_lance(path)
         except (ImportError, AttributeError):
             pass
+    is_jsonl = path.endswith((".jsonl", ".json")) or (
+        os.path.isdir(path)
+        and any(f.endswith((".jsonl", ".json")) for f in os.listdir(path))
+    )
+    if is_jsonl:
+        from ocr_pipeline_ray.schema import DOCS_SCHEMA
+
+        def _canon(t: pa.Table) -> pa.Table:
+            # JSON inference widens ints (offset -> int64) and may
+            # order struct fields differently; pin the wire schema
+            return t.select(DOCS_SCHEMA.names).cast(DOCS_SCHEMA)
+
+        return ray.data.read_json(path).map_batches(_canon, batch_format="pyarrow")
     return ray.data.read_parquet(path)
 
 

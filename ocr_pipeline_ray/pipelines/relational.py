@@ -3858,3 +3858,113 @@ WHERE l_orderkey <= 2000
 GROUP BY l_orderkey
 ORDER BY l_orderkey
 """
+
+
+def _cont_median_from_counts(vals: np.ndarray, cnts: np.ndarray) -> float:
+    """Exact continuous (interpolated) median from a (value, count)
+    table — the grouped-domain analog of np.median."""
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    if n % 2 == 1:
+        return float(vals[np.searchsorted(cum, (n + 1) // 2)])
+    lo = float(vals[np.searchsorted(cum, n // 2)])
+    hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def quantity_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation of l_quantity per l_returnflag —
+    the robust-dispersion companion to the winsorized mean, computed
+    EXACTLY in one streaming pass: the distributed value-count build
+    (the quantity domain is ~50 values, so the shuffle is bounded by
+    |domain|, not rows) and then per-group continuous medians — of
+    the values, then of the |value − median| deviation counts — on
+    the tiny driver-side table. Matches DuckDB's interpolating
+    median()/mad() closed-form."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df.assign(n=1)[["l_returnflag", "l_quantity", "n"]],
+                batch_format="pandas",
+            ),
+            ["l_returnflag", "l_quantity"],
+            {"n": ("n", "size")},
+            num_buckets=8,
+        )
+        .to_pandas()
+    )
+    rows = []
+    for flag, sub in counts.groupby("l_returnflag", sort=True):
+        vals = sub["l_quantity"].to_numpy(np.float64)
+        cnts = sub["n"].to_numpy(np.int64)
+        med = _cont_median_from_counts(vals, cnts)
+        devs = np.abs(vals - med)
+        mad = _cont_median_from_counts(devs, cnts)
+        rows.append((flag, round(med, 4), round(mad, 4), int(cnts.sum())))
+    return pd.DataFrame(rows, columns=["l_returnflag", "median_qty", "mad_qty", "n"])
+
+
+QUANTITY_MAD_SQL = """
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS median_qty,
+       round(mad(l_quantity), 4) AS mad_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def nation_balance_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's total
+    supplier balance — the ``sum(x) OVER (PARTITION BY region)``
+    window-aggregate shape. The fact table streams once into
+    nation-keyed partials (25-row domain); region totals and shares
+    derive from that tiny aggregate with the dimensions broadcast —
+    no second pass, no window shuffle."""
+    import pyarrow.parquet as pq
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_nationkey", as_index=False).agg(total=("s_acctbal", "sum"))
+
+    fine = (
+        sup.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("s_nationkey", as_index=False)
+        .sum()
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]).to_pandas()
+    fine = fine.merge(nat, left_on="s_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    fine["region_total"] = fine.groupby("r_name")["total"].transform("sum")
+    out = pd.DataFrame(
+        {
+            "r_name": fine["r_name"],
+            "n_name": fine["n_name"],
+            "total_bal": np.round(fine["total"], 4),
+            "share": np.round(fine["total"] / fine["region_total"], 6),
+        }
+    )
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+NATION_BALANCE_SHARE_SQL = """
+WITH t AS (
+  SELECT r_name, n_name, sum(s_acctbal) AS total
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, round(total, 4) AS total_bal,
+       round(total / sum(total) OVER (PARTITION BY r_name), 6) AS share
+FROM t
+ORDER BY r_name, n_name
+"""

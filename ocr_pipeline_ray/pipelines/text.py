@@ -1514,3 +1514,38 @@ SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
 FROM c WHERE n_emails + n_phones + n_ips > 0
 ORDER BY doc_id
 """
+
+
+def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
+    """Per-document zlib compression ratio — the Dolma/RedPajama-style
+    redundancy signal (highly repetitive or templated text compresses
+    far below natural prose; a common pre-training quality filter
+    alongside the Gopher repetition rules). Stateless ``map_batches``
+    scan; DEFLATE is not SQL-expressible, so correctness rides the
+    pytest property tests (known-answer monotonicity: repeated text
+    compresses strictly better than unique text) and the driver's
+    rows-only check."""
+    import zlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _scan(t: pa.Table) -> pd.DataFrame:
+        ids, ratios, sizes = [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            raw = s.encode("utf-8")
+            if not raw:
+                continue
+            comp = zlib.compress(raw, level)
+            ids.append(doc_id)
+            sizes.append(len(raw))
+            ratios.append(round(len(comp) / len(raw), 4))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "zlib_ratio": pd.Series(ratios, dtype="float64"),
+            }
+        )
+
+    out = docs.map_batches(_scan, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

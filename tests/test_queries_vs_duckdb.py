@@ -77,6 +77,8 @@ SUBSET = [
     "winsorized_quantity_mean",
     "order_part_list",
     "latest_event_state",
+    "quantity_mad",
+    "nation_balance_share",
 ]
 
 

@@ -70,3 +70,36 @@ def test_real_lance_roundtrip(tmp_path):
     lance.write_dataset(t, d)
     out = read_docs(d)
     assert sorted(r["doc_id"] for r in out.take_all()) == ["doc-0", "doc-1"]
+
+
+def test_jsonl_docs_extraction_matches_golden(tmp_path):
+    """JSONL ingestion (the web-corpus dump wire format): the same
+    docs serialized as JSON lines must run the extraction pipeline to
+    the identical golden span sequence as the parquet path."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.extract import build_extraction_pipeline
+    from ocr_pipeline_ray.sources.gen import write_corpus
+
+    d = str(tmp_path)
+    p = write_corpus(d, 120, seed=7)
+    docs = pq.read_table(p["docs"]).to_pylist()
+    jdir = os.path.join(d, "docs_jsonl")
+    os.makedirs(jdir)
+    with open(os.path.join(jdir, "part-0.jsonl"), "w") as f:
+        for r in docs:
+            f.write(json.dumps(r) + "\n")
+    media = pq.read_table(p["media"])
+    out = build_extraction_pipeline(read_docs(jdir), media)
+    res = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in out.take_all()
+    }
+    gold = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in pq.read_table(p["golden"]).to_pylist()
+    }
+    assert res == gold

@@ -155,3 +155,19 @@ def test_duplicate_ngram_spans_hash_path_equals_string_path():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_compression_ratio_known_answers():
+    """Repetitive text compresses harder than high-entropy text, every
+    doc emits one row, ratios are in (0, ~1.1]."""
+    from ocr_pipeline_ray.pipelines.text import compression_ratio
+
+    out = compression_ratio("/root/testdata/sf0.001")
+    assert len(out) == 500
+    # header overhead can push tiny docs above 1.0; cap generously
+    assert (out["zlib_ratio"] > 0).all() and (out["zlib_ratio"] <= 4.0).all()
+    import zlib
+
+    rep = ("spam " * 400).encode()
+    uniq = bytes(range(256)) * 8
+    assert len(zlib.compress(rep)) / len(rep) < len(zlib.compress(uniq)) / len(uniq)
