@@ -1549,3 +1549,225 @@ def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
 
     out = docs.map_batches(_scan, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (LLM training prep): concatenate the token stream in
+# doc_id order and chop it into fixed-size context windows.
+# ---------------------------------------------------------------------------
+
+_PACK_BUCKETS = 64
+
+
+def pack_sequences(sf_dir: str, ctx: int = 512) -> pd.DataFrame:
+    """Assign every document its span of fixed-``ctx`` training
+    sequences: docs are concatenated into one token stream in doc_id
+    order and chopped every ``ctx`` tokens (the standard
+    concat-and-chunk packing used to build LLM pre-training batches).
+
+    Output: (doc_id, n_tokens, stream_offset, seq_first, seq_last)
+    where stream_offset is the doc's global token offset and
+    seq_first/seq_last the first/last context window it lands in.
+
+    Distributed as a textbook two-pass SCAN (prefix sum) — the shape
+    that survives 100 TB:
+      pass 1: per-batch token counts -> per-range-bucket partial sums
+              (only ``_PACK_BUCKETS`` tiny rows reach the driver);
+      driver: exclusive prefix over the bucket sums (O(buckets));
+      pass 2: one bucketed shuffle of (doc_id, n_tokens) pairs (tiny
+              rows, never the text), per-bucket local cumsum + the
+              broadcast bucket offset.
+    No global sort, no full-table driver materialization."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _counts(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ns = [len(TOKEN_RE.findall(s)) for s in t["text"].to_pylist()]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    # token counts are consumed twice (bucket sums + the packed scan):
+    # materialize the tiny (doc_id, n_tokens) dataset once so the text
+    # is read and tokenized exactly once.
+    counts = ds.map_batches(_counts, batch_format="pyarrow").materialize()
+
+    import numpy as np
+
+    lo, hi = counts.min("doc_id"), counts.max("doc_id")
+    width = max(1, (int(hi) - int(lo) + _PACK_BUCKETS) // _PACK_BUCKETS)
+
+    def _bucket_of(ids: "np.ndarray") -> "np.ndarray":
+        return ((ids - int(lo)) // width).astype("int64")
+
+    # pass 1: per-bucket token sums, combined on the driver (tiny).
+    def _partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket_of(df["doc_id"].to_numpy())
+        out = df.assign(__bucket=b).groupby("__bucket", as_index=False)["n_tokens"].sum()
+        return out
+
+    parts = counts.map_batches(_partial_sums, batch_format="pandas").to_pandas()
+    sums = parts.groupby("__bucket")["n_tokens"].sum()
+    bucket_sums = np.zeros(_PACK_BUCKETS + 1, dtype="int64")
+    bucket_sums[sums.index.to_numpy()] = sums.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(bucket_sums)[:-1]])  # exclusive prefix
+
+    # pass 2: bucketed shuffle + local scan.
+    def _add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__bucket=_bucket_of(df["doc_id"].to_numpy()))
+
+    def _scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        base = int(offsets[int(g["__bucket"].iloc[0])])
+        prev = base + np.concatenate([[0], np.cumsum(n)[:-1]])
+        first = prev // ctx
+        last = np.where(n > 0, (prev + np.maximum(n, 1) - 1) // ctx, first)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "stream_offset": prev,
+                "seq_first": first.astype("int64"),
+                "seq_last": last.astype("int64"),
+            }
+        )
+
+    return (
+        counts.map_batches(_add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_scan_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS stream_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, stream_offset,
+       CAST(stream_offset // 512 AS BIGINT) AS seq_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (stream_offset + n_tokens - 1) // 512
+            ELSE stream_offset // 512 END AS BIGINT) AS seq_last
+FROM c ORDER BY doc_id
+"""
+
+
+def chunk_documents(sf_dir: str, size: int = 500, overlap: int = 100) -> pd.DataFrame:
+    """RAG-style chunking: each doc split into windows of ``size``
+    chars advancing by ``size - overlap`` (so consecutive chunks share
+    ``overlap`` chars); every window start < n_chars is emitted. Rows
+    are (doc_id, chunk_id, start, chunk_len, chunk_md5) — the md5
+    keeps the result small while pinning the exact chunk bytes.
+
+    One stateless flat-explode ``map_batches``; no shuffle. At 100 TB
+    the output is written partitioned, never collected — collected
+    here only because the driver compares full results."""
+    import hashlib
+
+    step = size - overlap
+    assert step > 0
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pd.DataFrame:
+        ids, cids, starts, lens, md5s = [], [], [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(s)
+            for i, start in enumerate(range(0, max(n, 1), step)):
+                if start >= n and n > 0:
+                    break
+                chunk = s[start : start + size]
+                ids.append(doc_id)
+                cids.append(i)
+                starts.append(start)
+                lens.append(len(chunk))
+                md5s.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                if n == 0:
+                    break
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_id": pd.Series(cids, dtype="int64"),
+                "start": pd.Series(starts, dtype="int64"),
+                "chunk_len": pd.Series(lens, dtype="int64"),
+                "chunk_md5": pd.Series(md5s, dtype="object"),
+            }
+        )
+
+    return (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+CHUNK_DOCUMENTS_SQL = r"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+s AS (
+  SELECT doc_id, text, n, UNNEST(generate_series(0, GREATEST(n - 1, 0), 400)) AS start
+  FROM d
+)
+SELECT doc_id,
+       start // 400 AS chunk_id,
+       start,
+       length(substring(text, start + 1, 500)) AS chunk_len,
+       md5(substring(text, start + 1, 500)) AS chunk_md5
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+def char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy (bits) of the character
+    distribution — a classic low-quality-text signal (binary junk and
+    boilerplate sit far from prose's ~4.1 bits/char). Stateless
+    vectorized scan: one numpy unique-count per doc, no shuffle."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _scan(t: pa.Table) -> pd.DataFrame:
+        ids, ents = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if not s:
+                continue
+            _, cnt = np.unique(np.frombuffer(s.encode("utf-32-le"), dtype="uint32"), return_counts=True)
+            p = cnt / cnt.sum()
+            ids.append(doc_id)
+            ents.append(round(float(-(p * np.log2(p)).sum()), 6))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "entropy_bits": pd.Series(ents, dtype="float64"),
+            }
+        )
+
+    return ds.map_batches(_scan, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '[\s\S]')) AS ch
+  FROM documents WHERE length(text) > 0
+), freq AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       round(-SUM((f.c / t.n) * log2(f.c / t.n)), 6) AS entropy_bits
+FROM freq f JOIN tot t USING (doc_id)
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""

@@ -79,6 +79,10 @@ SUBSET = [
     "latest_event_state",
     "quantity_mad",
     "nation_balance_share",
+    # round-3d additions
+    "pack_sequences",
+    "chunk_documents",
+    "char_entropy",
 ]
 
 
