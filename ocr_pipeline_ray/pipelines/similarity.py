@@ -847,3 +847,91 @@ def embedding_pca_top(sf_dir: str, iters: int = 50, seed: int = 11) -> pd.DataFr
             "explained_ratio": [round(top / float(np.trace(cov)), ROUND_DECIMALS)],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (full-corpus Lloyd iterations) — the embedding
+# clustering primitive for corpus curation / topic bucketing.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_clusters(sf_dir: str, k: int = 4, iters: int = 3) -> pd.DataFrame:
+    """Euclidean k-means over the WHOLE embeddings table with ``iters``
+    Lloyd rounds, deterministic init (the ``k`` lowest vec_ids), empty
+    clusters keep their previous centroid. Output: (vec_id, cluster).
+
+    The 100 TB shape: the corpus never leaves the cluster. Each round
+    is ONE ``map_batches`` pass emitting k x (dim + 1) partial rows
+    per batch (per-cluster vector sums + counts); the driver reduces
+    the tiny partials and broadcasts the next centroid matrix. The
+    final assignment pass streams again. Iterative and therefore not
+    SQL-expressible — correctness is pinned by an exact-equality
+    pytest against an independent single-machine numpy reference
+    (tests/test_similarity.py)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    init_df = ds.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
+    _, cents = _to_matrix(init_df)
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over clusters
+        d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + (c * c).sum(axis=1)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def _partials(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+            c = ray.get(_c)
+            _, m = _to_matrix(df)
+            a = _assign(m, c)
+            rows = []
+            for ci in range(len(c)):
+                mask = a == ci
+                if mask.any():
+                    rows.append(
+                        {"cluster": ci, "n": int(mask.sum()), "vsum": m[mask].sum(axis=0)}
+                    )
+            return pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"cluster": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64"), "vsum": pd.Series(dtype="object")}
+            )
+
+        parts = ds.map_batches(_partials, batch_format="pandas").to_pandas()
+        nxt = cents.copy()
+        for ci, g in parts.groupby("cluster"):
+            n = g["n"].sum()
+            if n > 0:
+                nxt[int(ci)] = np.stack(g["vsum"].to_numpy()).sum(axis=0) / n
+        cents = nxt
+
+    cref = ray.put(cents)
+
+    def _final(df: pd.DataFrame, _c=cref) -> pd.DataFrame:
+        c = ray.get(_c)
+        ids, m = _to_matrix(df)
+        return pd.DataFrame(
+            {"vec_id": pd.Series(ids, dtype="int64"), "cluster": pd.Series(_assign(m, c), dtype="int64")}
+        )
+
+    return (
+        ds.map_batches(_final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+def kmeans_reference(vec_ids: np.ndarray, m: np.ndarray, k: int = 4, iters: int = 3) -> pd.DataFrame:
+    """Single-machine reference for :func:`kmeans_clusters` (same init,
+    same update rule, one process, no partials) — the pytest oracle."""
+    order = np.argsort(vec_ids)
+    vec_ids, m = vec_ids[order], m[order].astype(np.float64)
+    cents = m[vec_ids < k].copy()
+    for _ in range(iters):
+        d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+        a = d.argmin(axis=1)
+        for ci in range(k):
+            if (a == ci).any():
+                cents[ci] = m[a == ci].mean(axis=0)
+    d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
+    return pd.DataFrame({"vec_id": vec_ids, "cluster": d.argmin(axis=1).astype("int64")})

@@ -1771,3 +1771,184 @@ SELECT f.doc_id,
 FROM freq f JOIN tot t USING (doc_id)
 GROUP BY f.doc_id ORDER BY f.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text relevance — the inverted-index search primitive.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_scores(sf_dir: str, terms: tuple[str, ...] = _BM25_TERMS) -> pd.DataFrame:
+    """Okapi BM25 relevance of every matching document for a fixed
+    multi-term query (Lucene idf variant). The distributed shape is
+    the inverted-index search pattern without materializing the index:
+
+      pass 1 (one tokenize scan): per-doc features (dl, tf per query
+              term) — a tiny fixed-width dataset, materialized once;
+      stats:  N, total dl and per-term df via dataset aggregates over
+              the tiny features (exact integer partials -> the
+              idf/avgdl floats are bitwise identical to the oracle's);
+      pass 2: vectorized score over the features, matching docs only.
+
+    Corpus text is read exactly once; nothing document-shaped reaches
+    the driver. Output (doc_id, score) for docs with score > 0, the
+    full posting union — top-k ordering is pinned separately in
+    pytest (ties broken by doc_id)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _features(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dls, tfs = [], []
+        for s in t["text"].to_pylist():
+            toks = TOKEN_RE.findall(s)
+            dls.append(len(toks))
+            tfs.append([toks.count(q) for q in terms])
+        out = {"doc_id": pd.Series(ids, dtype="int64"), "dl": pd.Series(dls, dtype="int64")}
+        arr = np.asarray(tfs, dtype="int64").reshape(len(dls), len(terms))
+        for j, q in enumerate(terms):
+            out[f"tf_{q}"] = arr[:, j]
+        return pd.DataFrame(out)
+
+    feats = ds.map_batches(_features, batch_format="pyarrow").materialize()
+
+    # exact integer corpus stats -> tiny driver reduce
+    n_docs = feats.count()
+    agg = feats.sum(["dl"] + [f"tf_{q}" for q in terms])
+    total_dl = int(agg["sum(dl)"])
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        row = {f"df_{q}": [int((df[f"tf_{q}"] > 0).sum())] for q in terms}
+        return pd.DataFrame(row)
+
+    df_parts = feats.map_batches(_df_partial, batch_format="pandas").to_pandas()
+    dfs = {q: int(df_parts[f"df_{q}"].sum()) for q in terms}
+
+    avgdl = total_dl / n_docs
+    idf = {q: float(np.log((n_docs - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1.0)) for q in terms}
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(dtype="float64")
+        score = np.zeros(len(df))
+        for q in terms:
+            tf = df[f"tf_{q}"].to_numpy(dtype="float64")
+            score = score + idf[q] * (
+                tf * (_BM25_K1 + 1) / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl))
+            )
+        out = pd.DataFrame({"doc_id": df["doc_id"], "score": np.round(score, 6)})
+        return out[out["score"] > 0]
+
+    return (
+        feats.map_batches(_score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+BM25_SCORES_SQL = r"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS dl,
+         CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+         CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'), x -> x = 'window')) AS BIGINT) AS tf_window,
+         CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'), x -> x = 'hash')) AS BIGINT) AS tf_hash
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+         CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+         CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash
+  FROM feat
+)
+SELECT doc_id,
+       round(
+           ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+             * (tf_spark * 2.2) / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0)
+             * (tf_window * 2.2) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         + ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+             * (tf_hash * 2.2) / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+       6) AS score
+FROM feat, stats
+WHERE tf_spark + tf_window + tf_hash > 0
+ORDER BY doc_id
+"""
+
+
+def mixture_sample(sf_dir: str, budget_tokens: int = 600) -> pd.DataFrame:
+    """Training-mixture curation: give every source the same token
+    budget and fill it greedily in deterministic md5(doc_id) order
+    (the reproducible-shuffle trick — no RNG state to coordinate
+    across cluster sizes). A doc is taken while the tokens already
+    taken from its source are under budget (the last doc may
+    overshoot, standard greedy fill). Output (doc_id, source,
+    n_tokens).
+
+    Distributed shape: one tokenize scan emits tiny (doc_id, source,
+    n_tokens, h) rows; ONE coarse-bucket shuffle on hash(source)
+    co-locates each source, and the per-bucket pandas grouped cumsum
+    reproduces the window frame exactly (same pattern as
+    cumulative_user_value). Text never moves; only the fixed-width
+    rows shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    n_buckets = 32
+
+    def _feat(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        ns = [len(TOKEN_RE.findall(s)) for s in t["text"].to_pylist()]
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        bks = [int(hashlib.md5(s.encode()).hexdigest(), 16) % n_buckets for s in srcs]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "source": pd.Series(srcs, dtype="object"),
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                "h": pd.Series(hs, dtype="object"),
+                "__bucket": pd.Series(bks, dtype="int64"),
+            }
+        )
+
+    def _fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h"])
+        cum = g.groupby("source", sort=False)["n_tokens"].cumsum().to_numpy()
+        prev = cum - g["n_tokens"].to_numpy()
+        keep = prev < budget_tokens
+        out = g.loc[keep, ["doc_id", "source", "n_tokens"]]
+        return out
+
+    return (
+        ds.map_batches(_feat, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_fill, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+MIXTURE_SAMPLE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE prev < 600 ORDER BY doc_id
+"""

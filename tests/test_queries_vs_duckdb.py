@@ -83,6 +83,8 @@ SUBSET = [
     "pack_sequences",
     "chunk_documents",
     "char_entropy",
+    "bm25_scores",
+    "mixture_sample",
 ]
 
 

@@ -215,3 +215,21 @@ def test_embedding_pca_top_matches_numpy():
     evals = np.linalg.eigvalsh(cov)
     assert abs(got["top_eigenvalue"][0] - evals[-1]) < 1e-3
     assert abs(got["explained_ratio"][0] - evals[-1] / np.trace(cov)) < 1e-3
+
+
+def test_kmeans_clusters_match_single_machine_reference():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.similarity import kmeans_clusters, kmeans_reference
+
+    sf = "/root/testdata/sf0.001"
+    got = kmeans_clusters(sf, k=4, iters=3)
+    df = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    ref = kmeans_reference(
+        df["vec_id"].to_numpy(), np.stack(df["embedding"].to_numpy()), k=4, iters=3
+    )
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert got["cluster"].tolist() == ref["cluster"].tolist()
+    # sanity: every cluster non-empty at this k on this data
+    assert got["cluster"].nunique() == 4
