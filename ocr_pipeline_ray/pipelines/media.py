@@ -51,6 +51,12 @@ def _media_payload_ds(sf_dir: str, fmt: str = "ppm") -> "ray.data.Dataset":
 
                 # lossy wire format — geometry survives exactly
                 payloads.append(encode_jpeg(parse_ppm(ppm), quality=90))
+            elif fmt == "bmp":
+                from ocr_pipeline_ray.functions.bmp import encode_bmp
+                from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
+
+                # padded bottom-up BGR rows — the DIB layout
+                payloads.append(encode_bmp(parse_ppm(ppm)))
             else:
                 payloads.append(ppm)
         return pa.Table.from_pydict(
@@ -94,6 +100,26 @@ def media_dimensions_png(sf_dir: str) -> pd.DataFrame:
     bad = out[out["error"] != ""]
     if len(bad):
         raise ValueError(f"png decode errors: {bad['error'].iloc[0]}")
+    out["doc_id"] = out["media_ref"].astype("int64")
+    return (
+        out[["doc_id", "width", "height"]]
+        .astype({"width": "int64", "height": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def media_dimensions_bmp(sf_dir: str) -> pd.DataFrame:
+    """Same geometry oracle, payloads are REAL BMPs (24-bit DIB,
+    bottom-up padded BGR rows) — the Ray side must parse the
+    little-endian headers and un-pad the rows. Shares
+    MEDIA_DIMENSIONS_SQL."""
+    out = decode_images(
+        _media_payload_ds(sf_dir, fmt="bmp"), target_size=None, concurrency=(1, 4)
+    ).to_pandas()
+    bad = out[out["error"] != ""]
+    if len(bad):
+        raise ValueError(f"bmp decode errors: {bad['error'].iloc[0]}")
     out["doc_id"] = out["media_ref"].astype("int64")
     return (
         out[["doc_id", "width", "height"]]
@@ -298,3 +324,50 @@ SELECT CAST(doc_id AS VARCHAR) AS media_ref,
 FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
 ORDER BY media_ref, frame_idx
 """
+
+
+def media_dhash_dupes(sf_dir: str) -> pd.DataFrame:
+    """Perceptual (dHash) image duplicate groups over the rendered
+    doc rasters: decode -> grayscale -> 9x8 downsample -> 64 gradient
+    bits, all inside the actor pool (the raster never leaves the
+    worker), then ONE coarse-bucket shuffle on the hash co-locates
+    collisions and each bucket emits its duplicate groups. Docs whose
+    first-5-token prefix renders the same raster are guaranteed
+    same-hash; visually-near rasters collide too (that is the point
+    of a perceptual hash), so the exact group membership is pinned by
+    pytest (planted byte-identical payloads + prefix-sharing docs),
+    not a SQL oracle. Output: (dhash, n_docs, min_doc, max_doc) for
+    groups of >= 2."""
+    from ocr_pipeline_ray.stages.multimodal import dhash_images
+
+    hashed = dhash_images(_media_payload_ds(sf_dir), concurrency=(1, 4))
+
+    n_buckets = 32
+
+    def _bucket(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        df = df[df["dhash"] != ""]
+        df["__bucket"] = df["dhash"].map(lambda h: int(h, 16) % n_buckets).astype("int64")
+        return df[["media_ref", "dhash", "__bucket"]]
+
+    def _groups(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["media_ref"].astype("int64")
+        agg = g.assign(doc_id=ids).groupby("dhash")["doc_id"].agg(["count", "min", "max"]).reset_index()
+        agg = agg[agg["count"] >= 2]
+        return pd.DataFrame(
+            {
+                "dhash": agg["dhash"].astype("object"),
+                "n_docs": agg["count"].astype("int64"),
+                "min_doc": agg["min"].astype("int64"),
+                "max_doc": agg["max"].astype("int64"),
+            }
+        )
+
+    return (
+        hashed.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_groups, batch_format="pandas")
+        .to_pandas()
+        .sort_values("dhash")
+        .reset_index(drop=True)
+    )

@@ -3968,3 +3968,124 @@ SELECT r_name, n_name, round(total, 4) AS total_bal,
 FROM t
 ORDER BY r_name, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed global rank + Spearman rank correlation.
+# ---------------------------------------------------------------------------
+
+_RANK_BUCKETS = 64
+
+
+def _global_rank(ds: "ray.data.Dataset", col: str, key_cols: list[str]) -> "ray.data.Dataset":
+    """Dense global ROW_NUMBER() over (col, *key_cols) without a global
+    sort: range-bucket on ``col`` (monotone fixed-width buckets from
+    the dataset min/max), per-bucket counts -> driver exclusive prefix
+    (O(buckets) rows), then one bucketed shuffle where each bucket
+    sorts locally and adds its offset. Equal values land in the same
+    bucket, so the (col, *key) tie-break is decided locally and the
+    result equals the single-machine window. Only (key, value) pairs
+    move; the scan machinery is the same distributed prefix sum as
+    ``pack_sequences``."""
+    lo = float(ds.min(col))
+    hi = float(ds.max(col))
+    width = (hi - lo) / _RANK_BUCKETS or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        b = np.floor((v - lo) / width).astype("int64")
+        return np.clip(b, 0, _RANK_BUCKETS - 1)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket(df[col].to_numpy(np.float64))
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"__bucket": u, "n": c})
+
+    parts = ds.map_batches(_counts, batch_format="pandas").to_pandas()
+    sums = parts.groupby("__bucket")["n"].sum()
+    bucket_n = np.zeros(_RANK_BUCKETS, dtype="int64")
+    bucket_n[sums.index.to_numpy()] = sums.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(bucket_n)[:-1]])
+
+    def _add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__bucket=_bucket(df[col].to_numpy(np.float64)))
+
+    def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([col] + key_cols)
+        base = int(offsets[int(g["__bucket"].iloc[0])])
+        out = g[key_cols].copy()
+        out["rank"] = base + np.arange(1, len(g) + 1, dtype="int64")
+        return out
+
+    return (
+        ds.map_batches(_add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_rank_bucket, batch_format="pandas")
+    )
+
+
+def spearman_price_discount(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between l_extendedprice and
+    l_discount over lineitem, ties broken by (l_orderkey,
+    l_linenumber) so both rank vectors are permutations and the
+    closed form 1 - 6*SUM(d^2) / (n*(n^2-1)) is EXACT in integers
+    until the single final division.
+
+    Shape: two :func:`_global_rank` passes over the projected
+    (key, value) rows, one hash-bucket shuffle pairing the two rank
+    permutations by row key, integer SUM((rx-ry)^2) partials, scalar
+    driver combine. No global sort, no driver materialization."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    ).materialize()
+    keys = ["l_orderkey", "l_linenumber"]
+    rx = _global_rank(ds.select_columns(keys + ["l_extendedprice"]), "l_extendedprice", keys)
+    ry = _global_rank(ds.select_columns(keys + ["l_discount"]), "l_discount", keys)
+
+    n_pair_buckets = 32
+
+    def _tag(which: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = which
+            df["__pb"] = (df["l_orderkey"].to_numpy() % n_pair_buckets).astype("int64")
+            return df
+
+        return f
+
+    both = rx.map_batches(_tag("x"), batch_format="pandas").union(
+        ry.map_batches(_tag("y"), batch_format="pandas")
+    )
+
+    def _pair(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[g["__side"] == "x"][["l_orderkey", "l_linenumber", "rank"]]
+        y = g[g["__side"] == "y"][["l_orderkey", "l_linenumber", "rank"]]
+        m = x.merge(y, on=["l_orderkey", "l_linenumber"], suffixes=("_x", "_y"))
+        d = m["rank_x"].to_numpy() - m["rank_y"].to_numpy()
+        return pd.DataFrame({"n": [len(m)], "d2": [int((d * d).sum())]})
+
+    parts = both.groupby("__pb").map_groups(_pair, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    d2 = int(parts["d2"].sum())
+    rho = 1 - 6.0 * d2 / (n * (n * n - 1.0))
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"), "spearman": [round(rho, 6)]})
+
+
+SPEARMAN_PRICE_DISCOUNT_SQL = """
+WITH rx AS (
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS r
+  FROM lineitem
+), ry AS (
+  SELECT l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (ORDER BY l_discount, l_orderkey, l_linenumber) AS r
+  FROM lineitem
+), d AS (
+  SELECT CAST(rx.r AS BIGINT) - CAST(ry.r AS BIGINT) AS dd
+  FROM rx JOIN ry USING (l_orderkey, l_linenumber)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(1 - 6.0 * SUM(dd * dd) / (count(*) * (count(*) * count(*) - 1.0)), 6) AS spearman
+FROM d
+"""

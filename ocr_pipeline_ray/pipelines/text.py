@@ -1952,3 +1952,51 @@ WITH t AS (
 )
 SELECT doc_id, source, n_tokens FROM c WHERE prev < 600 ORDER BY doc_id
 """
+
+
+def bpe_apply_tokenize(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale: learn the merge
+    table with :func:`bpe_learn_merges` (distributed rounds over the
+    word-type vocabulary), broadcast the tiny merge list once via
+    ``ray.put``, then ONE stateless ``map_batches`` pass re-segments
+    every document and emits (doc_id, n_subwords, n_words). The merge
+    table is actor-held state resolved once per task, not re-shipped
+    per batch; the corpus streams once. Iterative-trained tokenizer
+    -> no SQL oracle; pytest pins equality against the single-process
+    :func:`_apply_merges` reference on the same merges."""
+    learned = bpe_learn_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(learned["left"], learned["right"]))
+    merges_ref = ray.put(merges)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tokenize(t: pa.Table, _m=merges_ref) -> pd.DataFrame:
+        ms = ray.get(_m)
+        cache: dict[str, int] = {}
+        ids, n_sub, n_words = [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = [w.lower() for w in TOKEN_RE.findall(s)]
+            total = 0
+            for w in words:
+                k = cache.get(w)
+                if k is None:
+                    k = len(_apply_merges(list(w), ms))
+                    cache[w] = k
+                total += k
+            ids.append(doc_id)
+            n_sub.append(total)
+            n_words.append(len(words))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_subwords": pd.Series(n_sub, dtype="int64"),
+                "n_words": pd.Series(n_words, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(_tokenize, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -79,6 +79,7 @@ class ImageDecodeActor:
         return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.bmp import BMP_MAGIC, parse_bmp
         from ocr_pipeline_ray.functions.jpeg import JPEG_MAGIC, decode_jpeg
         from ocr_pipeline_ray.functions.png import PNG_MAGIC, parse_png
         from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
@@ -100,6 +101,11 @@ class ImageDecodeActor:
                 elif payload.startswith(JPEG_MAGIC):
                     # real wire format: baseline T.81 Huffman+IDCT
                     arr = decode_jpeg(payload)
+                    if self.target is not None:
+                        arr = resize_bilinear(arr, self.target, self.target)
+                elif payload.startswith(BMP_MAGIC):
+                    # real wire format: 24-bit DIB, padded BGR rows
+                    arr = parse_bmp(payload)
                     if self.target is not None:
                         arr = resize_bilinear(arr, self.target, self.target)
                 elif self.pil is not None:
@@ -176,6 +182,69 @@ def sample_frames(ds, *, n_frames: int = 4, batch_size: int = 64, concurrency=2)
     return ds.map_batches(
         FrameSampleActor,
         fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ImageDHashActor:
+    """Perceptual difference-hash (dHash) stage: decode the payload
+    (same codec dispatch as ImageDecodeActor), grayscale, bilinear
+    downsample to 9x8, emit the 64 horizontal-gradient bits as a hex
+    string. The raster never leaves the worker — at 100 TB only
+    (media_ref, 16-byte hash) rows flow downstream, which is what
+    makes corpus-wide image near-dup feasible."""
+
+    def __init__(self):
+        self.pil = _try_import_pil()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_pipeline_ray.functions.bmp import BMP_MAGIC, parse_bmp
+        from ocr_pipeline_ray.functions.jpeg import JPEG_MAGIC, decode_jpeg
+        from ocr_pipeline_ray.functions.png import PNG_MAGIC, parse_png
+        from ocr_pipeline_ray.functions.ppm_ocr import parse_ppm
+        from ocr_pipeline_ray.functions.raster import resize_bilinear, to_grayscale
+
+        hashes, errs = [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                if payload[:2] == b"P6":
+                    arr = parse_ppm(payload)
+                elif payload.startswith(PNG_MAGIC):
+                    arr = parse_png(payload)
+                elif payload.startswith(JPEG_MAGIC):
+                    arr = decode_jpeg(payload)
+                elif payload.startswith(BMP_MAGIC):
+                    arr = parse_bmp(payload)
+                elif self.pil is not None:
+                    import io
+
+                    arr = np.asarray(
+                        self.pil.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8
+                    )
+                else:
+                    raise ValueError("no decoder for payload")
+                g = to_grayscale(resize_bilinear(arr, 8, 9)).astype(np.int16)
+                bits = (g[:, 1:] > g[:, :-1]).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                hashes.append(f"{h:016x}")
+                errs.append("")
+            except Exception as e:
+                hashes.append("")
+                errs.append(f"decode failed: {e}")
+        return pa.Table.from_arrays(
+            [batch.column("media_ref"), pa.array(hashes, pa.string()), pa.array(errs, pa.string())],
+            names=["media_ref", "dhash", "error"],
+        )
+
+
+def dhash_images(ds, *, batch_size: int = 32, concurrency=4):
+    """Actor-pool perceptual hashing: small batches for binary rows."""
+    return ds.map_batches(
+        ImageDHashActor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -91,3 +91,38 @@ def test_frame_sampling_layout():
     assert len(out) == 8
     v0 = out[out["media_ref"] == "mem://v/0"].sort_values("frame_idx")
     assert v0["ts_ms"].tolist() == [1000, 3000, 5000, 7000]  # evenly spaced midpoints
+
+
+def test_dhash_identical_payloads_collide_distinct_rasters_dont():
+    from ocr_pipeline_ray.functions.ppm_ocr import render_text_ppm
+    from ocr_pipeline_ray.stages.multimodal import dhash_images
+
+    p_a = render_text_ppm("spark join merge")
+    p_b = render_text_ppm("zzzzz qqqqq wwwww")
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "media_ref": ["0", "1", "2"],
+                "modality": ["image"] * 3,
+                "payload": [p_a, p_a, p_b],
+                "width": [0] * 3,
+                "height": [0] * 3,
+                "duration_ms": [0] * 3,
+            }
+        )
+    )
+    out = dhash_images(ds, concurrency=1).to_pandas().sort_values("media_ref")
+    assert (out["error"] == "").all()
+    h = out["dhash"].tolist()
+    assert h[0] == h[1]            # byte-identical payloads -> same hash
+    assert len(h[0]) == 16 and int(h[0], 16) >= 0
+    assert h[0] != h[2]            # different raster -> different hash
+
+
+def test_media_dhash_dupes_groups_prefix_sharing_docs():
+    from ocr_pipeline_ray.pipelines.media import media_dhash_dupes
+
+    out = media_dhash_dupes("/root/testdata/sf0.001")
+    assert (out["n_docs"] >= 2).all()
+    assert (out["min_doc"] < out["max_doc"]).all()
+    assert len(out) > 0

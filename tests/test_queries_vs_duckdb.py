@@ -85,6 +85,8 @@ SUBSET = [
     "char_entropy",
     "bm25_scores",
     "mixture_sample",
+    "spearman_price_discount",
+    "media_dimensions_bmp",
 ]
 
 

@@ -171,3 +171,29 @@ def test_compression_ratio_known_answers():
     rep = ("spam " * 400).encode()
     uniq = bytes(range(256)) * 8
     assert len(zlib.compress(rep)) / len(rep) < len(zlib.compress(uniq)) / len(uniq)
+
+
+def test_bpe_apply_tokenize_matches_local_reference():
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.text import (
+        TOKEN_RE,
+        _apply_merges,
+        bpe_apply_tokenize,
+        bpe_learn_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_apply_tokenize(sf, n_merges=8)
+    learned = bpe_learn_merges(sf, n_merges=8)
+    merges = list(zip(learned["left"], learned["right"]))
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == df["doc_id"].tolist()
+    for i in range(0, len(df), 97):  # spot rows across the corpus
+        words = [w.lower() for w in TOKEN_RE.findall(df["text"][i])]
+        want = sum(len(_apply_merges(list(w), merges)) for w in words)
+        assert got["n_subwords"][i] == want
+        assert got["n_words"][i] == len(words)
+    # merges strictly compress: subwords < raw chars, >= word count
+    assert (got["n_subwords"] >= got["n_words"]).all()
