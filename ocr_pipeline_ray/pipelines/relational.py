@@ -4012,7 +4012,7 @@ def _global_rank(ds: "ray.data.Dataset", col: str, key_cols: list[str]) -> "ray.
     def _rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([col] + key_cols)
         base = int(offsets[int(g["__bucket"].iloc[0])])
-        out = g[key_cols].copy()
+        out = g[key_cols + [col]].copy()
         out["rank"] = base + np.arange(1, len(g) + 1, dtype="int64")
         return out
 
@@ -4088,4 +4088,106 @@ WITH rx AS (
 SELECT CAST(count(*) AS BIGINT) AS n,
        round(1 - 6.0 * SUM(dd * dd) / (count(*) * (count(*) * count(*) - 1.0)), 6) AS spearman
 FROM d
+"""
+
+
+def intersect_all_keys(sf_dir: str) -> pd.DataFrame:
+    """Bag-semantics INTERSECT ALL between the orders.o_custkey and
+    lineitem.l_suppkey multisets, reported as (key, n) with
+    n = min(multiplicity_left, multiplicity_right) — the classic
+    multiset intersection. One pass per side emits per-batch
+    (key, count) partials tagged by side; ONE coarse-bucket shuffle
+    on the key co-locates both sides; each bucket sums and takes the
+    min. Only (key, int) pairs move."""
+    n_buckets = 32
+
+    def _side(table: str, col: str, tag: str):
+        ds = _read(sf_dir, table, columns=[col])
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.groupby(col).size().reset_index(name=tag)
+            c = c.rename(columns={col: "key"})
+            other = "n_r" if tag == "n_l" else "n_l"
+            c[other] = 0
+            c["__bucket"] = (c["key"].to_numpy() % n_buckets).astype("int64")
+            return c[["key", "n_l", "n_r", "__bucket"]]
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    both = _side("orders", "o_custkey", "n_l").union(_side("lineitem", "l_suppkey", "n_r"))
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", as_index=False)[["n_l", "n_r"]].sum()
+        s = s[(s["n_l"] > 0) & (s["n_r"] > 0)]
+        return pd.DataFrame(
+            {
+                "key": s["key"].astype("int64"),
+                "n": np.minimum(s["n_l"], s["n_r"]).astype("int64"),
+            }
+        )
+
+    return (
+        both.groupby("__bucket")
+        .map_groups(_combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+
+INTERSECT_ALL_KEYS_SQL = """
+SELECT key, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey AS key FROM orders
+  INTERSECT ALL
+  SELECT l_suppkey FROM lineitem
+) GROUP BY key ORDER BY key
+"""
+
+
+def price_deciles(sf_dir: str) -> pd.DataFrame:
+    """Global NTILE(10) over lineitem by l_extendedprice via the
+    distributed :func:`_global_rank` primitive (range buckets +
+    prefix offsets — no global sort): decile = (rank-1)*10 // n.
+    Per-decile row counts and exact min/max prices (selection, not
+    accumulation, so floats compare exactly)."""
+    keys = ["l_orderkey", "l_linenumber"]
+    ds = _read(sf_dir, "lineitem", columns=keys + ["l_extendedprice"])
+    n = ds.count()
+    ranked = _global_rank(ds, "l_extendedprice", keys)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = ((df["rank"].to_numpy() - 1) * 10) // n
+        p = df["l_extendedprice"].to_numpy()
+        out = pd.DataFrame({"decile": dec, "p": p}).groupby("decile").agg(
+            n_rows=("p", "size"), min_price=("p", "min"), max_price=("p", "max")
+        )
+        return out.reset_index()
+
+    parts = (
+        ranked.map_batches(_partial, batch_format="pandas").to_pandas().groupby("decile")
+    )
+    out = parts.agg(
+        n_rows=("n_rows", "sum"), min_price=("min_price", "min"), max_price=("max_price", "max")
+    ).reset_index()
+    return pd.DataFrame(
+        {
+            "decile": out["decile"].astype("int64"),
+            "n_rows": out["n_rows"].astype("int64"),
+            "min_price": out["min_price"].astype("float64"),
+            "max_price": out["max_price"].astype("float64"),
+        }
+    ).sort_values("decile").reset_index(drop=True)
+
+
+PRICE_DECILES_SQL = """
+WITH r AS (
+  SELECT l_extendedprice AS p,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk,
+         count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(p) AS min_price, max(p) AS max_price
+FROM r GROUP BY decile ORDER BY decile
 """

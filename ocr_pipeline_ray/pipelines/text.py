@@ -2000,3 +2000,108 @@ def bpe_apply_tokenize(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def pmi_collocations(sf_dir: str, min_count: int = 30, k: int = 15) -> pd.DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the phrase-mining primitive (word2vec-style phrase
+    detection). One tokenize pass emits per-batch bigram AND unigram
+    count partials; the bigram domain is aggregated under ONE
+    coarse-bucket shuffle (gram-domain, same as duplicate_ngram_spans)
+    while the aggregated unigram vocabulary — orders of magnitude
+    smaller than the corpus — is broadcast once via ``ray.put`` (the
+    documented small-side pattern; at web scale a ~10M-row vocab is
+    ~100 MB, still broadcastable). PMI is computed from exact integer
+    counts inside the buckets, filtered at ``min_count``, and only
+    (pair, pmi) survivors reach the driver for the final top-k.
+    Ties: (-pmi, w1, w2)."""
+    import math
+    from collections import Counter
+
+    n_buckets = 32
+    ds = _read(sf_dir, "documents", columns=["text"]).materialize()
+
+    def _uni(t: pa.Table) -> pd.DataFrame:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(w.lower() for w in TOKEN_RE.findall(s))
+        return pd.DataFrame({"w": list(c.keys()), "n": list(c.values())})
+
+    uni_parts = ds.map_batches(_uni, batch_format="pyarrow").to_pandas()
+    uni = uni_parts.groupby("w")["n"].sum()
+    uni_ref = ray.put(uni.to_dict())
+    total_uni = int(uni.sum())
+
+    def _bi(t: pa.Table) -> pd.DataFrame:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            toks = [w.lower() for w in TOKEN_RE.findall(s)]
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            return pd.DataFrame({"w1": [], "w2": [], "n": [], "__bucket": []})
+        w1, w2 = zip(*c.keys())
+        df = pd.DataFrame({"w1": w1, "w2": w2, "n": list(c.values())})
+        import zlib
+
+        # deterministic cross-process hash (Python's str hash is
+        # seed-randomized per worker and would split the key domain)
+        df["__bucket"] = df["w1"].map(lambda x: zlib.crc32(x.encode())) % n_buckets
+        return df
+
+    bi = ds.map_batches(_bi, batch_format="pyarrow")
+    total_pairs_parts = bi.map_batches(
+        lambda df: pd.DataFrame({"n": [int(df["n"].sum())]}), batch_format="pandas"
+    ).to_pandas()
+    total_pairs = int(total_pairs_parts["n"].sum())
+
+    def _pmi_bucket(g: pd.DataFrame, _u=uni_ref) -> pd.DataFrame:
+        u = ray.get(_u)
+        s = g.groupby(["w1", "w2"], as_index=False)["n"].sum()
+        s = s[s["n"] >= min_count].reset_index(drop=True)
+        if not len(s):
+            return pd.DataFrame({"w1": [], "w2": [], "n_pair": [], "pmi": []})
+        pmi = [
+            math.log((cp / total_pairs) / ((u[a] / total_uni) * (u[b] / total_uni)))
+            for a, b, cp in zip(s["w1"], s["w2"], s["n"])
+        ]
+        return pd.DataFrame(
+            {
+                "w1": s["w1"].astype("object"),
+                "w2": s["w2"].astype("object"),
+                "n_pair": s["n"].astype("int64"),
+                "pmi": pd.Series(pmi, dtype="float64"),
+            }
+        )
+
+    all_rows = (
+        bi.groupby("__bucket").map_groups(_pmi_bucket, batch_format="pandas").to_pandas()
+    )
+    all_rows = all_rows.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True]).head(k)
+    all_rows["pmi"] = all_rows["pmi"].round(6)
+    return all_rows.reset_index(drop=True)
+
+
+PMI_COLLOCATIONS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(ts) AS w, generate_subscripts(ts, 1) AS ord
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents)
+), pairs AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS w2 FROM toks
+), bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS tu, (SELECT sum(n_pair) FROM bi) AS tp
+)
+SELECT w1, w2, n_pair,
+       round(ln((n_pair / tp) / ((u1.c / tu) * (u2.c / tu))), 6) AS pmi
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN tot
+WHERE n_pair >= 30
+ORDER BY ln((n_pair / tp) / ((u1.c / tu) * (u2.c / tu))) DESC, w1, w2
+LIMIT 15
+"""

@@ -87,6 +87,9 @@ SUBSET = [
     "mixture_sample",
     "spearman_price_discount",
     "media_dimensions_bmp",
+    "intersect_all_keys",
+    "price_deciles",
+    "pmi_collocations",
 ]
 
 
