@@ -110,6 +110,8 @@ def run_operator_benches(out: dict) -> None:
         "part_triangle_counts": relational.part_triangle_counts,
         "pivot_user_event_values": events.pivot_user_event_values,
         "doc_perplexity": text.doc_perplexity,
+        "pack_sequences": text.pack_sequences,
+        "bm25_scores": text.bm25_scores,
     }
     for name, fn in benches.items():
         best = None

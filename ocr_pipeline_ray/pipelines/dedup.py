@@ -650,3 +650,58 @@ JOIN sizes sb ON sb.doc_id = inter.b
 WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.5
 ORDER BY a, b
 """
+
+
+def dedup_keep_longest(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup with a KEEP POLICY (the curation form: survivors
+    are chosen by quality, not arrival order): groups share the
+    whitespace-normalized lowercase fingerprint; the survivor is the
+    longest doc (ties: lowest doc_id). One fingerprint scan emits
+    (fp, doc_id, n_chars); ONE coarse-bucket shuffle on the
+    fingerprint co-locates each group; per-bucket vectorized
+    sort + drop_duplicates picks survivors. Only fixed-width rows
+    move."""
+    from ocr_pipeline_ray.functions.textstats import fingerprint_md5
+
+    n_buckets = 32
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fp(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        fps = [fingerprint_md5(s) for s in texts]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "fp": pd.Series(fps, dtype="object"),
+                "n_chars": pd.Series([len(s) for s in texts], dtype="int64"),
+                "__bucket": pd.Series([int(f[:8], 16) % n_buckets for f in fps], dtype="int64"),
+            }
+        )
+
+    def _keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "n_chars", "doc_id"], ascending=[True, False, True])
+        k = g.drop_duplicates("fp", keep="first")
+        return k[["doc_id", "fp", "n_chars"]]
+
+    return (
+        ds.map_batches(_fp, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_keep, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DEDUP_KEEP_LONGEST_SQL = r"""
+WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+  FROM documents
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, fp, n_chars FROM r WHERE rn = 1 ORDER BY doc_id
+"""

@@ -2105,3 +2105,87 @@ WHERE n_pair >= 30
 ORDER BY ln((n_pair / tp) / ((u1.c / tu) * (u2.c / tu))) DESC, w1, w2
 LIMIT 15
 """
+
+
+def inverted_index_sample(sf_dir: str, k_terms: int = 5, k_docs: int = 10) -> pd.DataFrame:
+    """Materialized inverted-index build for the ``k_terms`` most
+    frequent terms: (term, df, posting) where posting is the first
+    ``k_docs`` doc_ids comma-joined — the index-construction shape
+    (BM25 above is the index-FREE scan; this is the persisted layout
+    a search deployment writes). Stage 1 reuses the bucketed
+    vocabulary aggregate for global term counts (tiny top-k to the
+    driver); stage 2 broadcasts the k terms and streams the corpus
+    once, emitting (term, doc_id) postings only for those terms; ONE
+    bucket shuffle groups per-term and truncates posting lists
+    locally. At 100 TB the full-vocabulary version writes
+    term-partitioned parquet instead of collecting."""
+    from collections import Counter
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+
+    def _uni(t: pa.Table) -> pd.DataFrame:
+        c = Counter()
+        for s in t["text"].to_pylist():
+            c.update(w.lower() for w in TOKEN_RE.findall(s))
+        return pd.DataFrame({"w": list(c.keys()), "n": list(c.values())})
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(_uni, batch_format="pyarrow"), "w", {"n": ("n", "sum")}
+    ).to_pandas()
+    top = vocab.sort_values(["n", "w"], ascending=[False, True]).head(k_terms)
+    terms = set(top["w"])
+
+    def _post(t: pa.Table) -> pd.DataFrame:
+        rows_t, rows_d = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            present = {w.lower() for w in TOKEN_RE.findall(s)} & terms
+            for w in present:
+                rows_t.append(w)
+                rows_d.append(doc_id)
+        return pd.DataFrame(
+            {"term": pd.Series(rows_t, dtype="object"), "doc_id": pd.Series(rows_d, dtype="int64")}
+        )
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "df": pd.Series([len(ids)], dtype="int64"),
+                "posting": [",".join(str(i) for i in ids[:k_docs])],
+            }
+        )
+
+    return (
+        ds.map_batches(_post, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(_agg, batch_format="pandas")
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+
+
+INVERTED_INDEX_SAMPLE_SQL = r"""
+WITH uni AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w FROM documents
+), top5 AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM uni GROUP BY w)
+  ORDER BY c DESC, w LIMIT 5
+), posts AS (
+  SELECT t.w, d.doc_id
+  FROM documents d
+  JOIN top5 t ON list_contains(regexp_extract_all(lower(d.text), '[a-z0-9_]+'), t.w)
+), ranked AS (
+  SELECT w, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY w) AS df
+  FROM posts
+)
+SELECT w AS term, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS posting
+FROM ranked GROUP BY w ORDER BY term
+"""

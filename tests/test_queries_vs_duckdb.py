@@ -90,6 +90,8 @@ SUBSET = [
     "intersect_all_keys",
     "price_deciles",
     "pmi_collocations",
+    "inverted_index_sample",
+    "dedup_keep_longest",
 ]
 
 
