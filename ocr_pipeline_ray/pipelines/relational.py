@@ -4191,3 +4191,124 @@ SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
        min(p) AS min_price, max(p) AS max_price
 FROM r GROUP BY decile ORDER BY decile
 """
+
+
+def lineitem_unpivot_stats(sf_dir: str) -> pd.DataFrame:
+    """Wide -> long reshape (UNPIVOT): the three lineitem measures
+    melt into (measure, value) rows and aggregate per measure — the
+    schema-normalization shape feeding generic per-metric monitors.
+    Implemented as per-batch partial (count, sum, min, max) per
+    measure — the melt never materializes, each batch reduces its own
+    long form to 4 scalars x 3 measures before anything moves."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+    measures = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m in measures:
+            v = df[m].to_numpy(np.float64)
+            rows.append(
+                {"measure": m, "n": len(v), "s": v.sum(), "mn": v.min(), "mx": v.max()}
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("measure").agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    g = g.reset_index()
+    return pd.DataFrame(
+        {
+            "measure": g["measure"].astype("object"),
+            "n": g["n"].astype("int64"),
+            "sum_value": np.round(g["s"], 4),
+            "min_value": g["mn"].astype("float64"),
+            "max_value": g["mx"].astype("float64"),
+        }
+    ).sort_values("measure").reset_index(drop=True)
+
+
+LINEITEM_UNPIVOT_STATS_SQL = """
+SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM (
+  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME measure VALUE value
+)
+GROUP BY measure ORDER BY measure
+"""
+
+
+def multivar_ols_price(sf_dir: str) -> pd.DataFrame:
+    """Two-regressor OLS (l_extendedprice on l_quantity + l_discount)
+    solved in closed form from distributed sufficient statistics: each
+    batch emits the 9 Gram/moment scalars (n, Σx1, Σx2, Σy, Σx1²,
+    Σx2², Σx1x2, Σx1y, Σx2y); the driver reduces one tiny row and
+    applies Cramer's rule to the centered 2x2 normal equations — the
+    multivariate extension of price_quantity_regression and the
+    closed-form core of a distributed linear-model trainer. Nothing
+    but 9 scalars per batch leaves a worker."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x1 = df["l_quantity"].to_numpy(np.float64)
+        x2 = df["l_discount"].to_numpy(np.float64)
+        y = df["l_extendedprice"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [float(len(y))],
+                "sx1": [x1.sum()], "sx2": [x2.sum()], "sy": [y.sum()],
+                "sx1x1": [(x1 * x1).sum()], "sx2x2": [(x2 * x2).sum()],
+                "sx1x2": [(x1 * x2).sum()], "sx1y": [(x1 * y).sum()], "sx2y": [(x2 * y).sum()],
+            }
+        )
+
+    g = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n = g["n"]
+    # centered second moments
+    a11 = g["sx1x1"] - g["sx1"] ** 2 / n
+    a22 = g["sx2x2"] - g["sx2"] ** 2 / n
+    a12 = g["sx1x2"] - g["sx1"] * g["sx2"] / n
+    b1 = g["sx1y"] - g["sx1"] * g["sy"] / n
+    b2 = g["sx2y"] - g["sx2"] * g["sy"] / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    intercept = g["sy"] / n - beta1 * g["sx1"] / n - beta2 * g["sx2"] / n
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "beta_quantity": [round(float(beta1), 4)],
+            "beta_discount": [round(float(beta2), 4)],
+            "intercept": [round(float(intercept), 4)],
+        }
+    )
+
+
+MULTIVAR_OLS_PRICE_SQL = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(l_quantity) AS sx1, sum(l_discount) AS sx2, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sx1x1,
+         sum(l_discount * l_discount) AS sx2x2,
+         sum(l_quantity * l_discount) AS sx1x2,
+         sum(l_quantity * l_extendedprice) AS sx1y,
+         sum(l_discount * l_extendedprice) AS sx2y
+  FROM lineitem
+), c AS (
+  SELECT n,
+         sx1x1 - sx1 * sx1 / n AS a11,
+         sx2x2 - sx2 * sx2 / n AS a22,
+         sx1x2 - sx1 * sx2 / n AS a12,
+         sx1y - sx1 * sy / n AS b1,
+         sx2y - sx2 * sy / n AS b2,
+         sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 4) AS beta_quantity,
+       round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 4) AS beta_discount,
+       round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * mx1
+                - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * mx2, 4) AS intercept
+FROM c
+"""

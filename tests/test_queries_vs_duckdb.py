@@ -92,6 +92,8 @@ SUBSET = [
     "pmi_collocations",
     "inverted_index_sample",
     "dedup_keep_longest",
+    "lineitem_unpivot_stats",
+    "multivar_ols_price",
 ]
 
 
