@@ -1314,3 +1314,68 @@ FROM (
 WHERE rn = 1
 ORDER BY user_id, event_type
 """
+
+
+def rolling_distinct_types(sf_dir: str) -> pd.DataFrame:
+    """Per event: how many DISTINCT event types this user produced in
+    the trailing hour (inclusive window [ts - 1h, ts]) — the windowed
+    count-distinct no SQL window frame supports (DuckDB has no
+    COUNT(DISTINCT) OVER; the oracle is a correlated subquery). Shape:
+    user-bucket shuffle (fixed-width rows only), per-bucket
+    chronological sort, and a two-pointer sliding window per user with
+    a type-multiset — O(n) per user, state never bigger than the
+    window. At 100 TB each user's history is small and bucket-local;
+    nothing crosses buckets."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        out_ids, out_n = [], []
+        for _, u in g.groupby("user_id", sort=False):
+            ts = u["ts"].to_numpy()
+            types = u["event_type"].to_numpy()
+            ids = u["event_id"].to_numpy()
+            window: Counter = Counter()
+            lo = hi = 0
+            n_rows = len(u)
+            horizon = np.timedelta64(1, "h")
+            for i in range(n_rows):
+                # include EVERY event at ts <= ts[i] (same-timestamp
+                # peers count regardless of event_id order — matches
+                # the oracle's e2.ts <= e1.ts frame)
+                while hi < n_rows and ts[hi] <= ts[i]:
+                    window[types[hi]] += 1
+                    hi += 1
+                while ts[lo] < ts[i] - horizon:
+                    window[types[lo]] -= 1
+                    if window[types[lo]] == 0:
+                        del window[types[lo]]
+                    lo += 1
+                out_ids.append(ids[i])
+                out_n.append(len(window))
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "n_types_1h": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_scan, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+ROLLING_DISTINCT_TYPES_SQL = """
+SELECT e1.event_id,
+       (SELECT CAST(count(DISTINCT e2.event_type) AS BIGINT) FROM events e2
+        WHERE e2.user_id = e1.user_id
+          AND e2.ts >= e1.ts - INTERVAL 1 HOUR AND e2.ts <= e1.ts) AS n_types_1h
+FROM events e1 ORDER BY e1.event_id
+"""

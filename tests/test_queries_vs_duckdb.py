@@ -94,6 +94,7 @@ SUBSET = [
     "dedup_keep_longest",
     "lineitem_unpivot_stats",
     "multivar_ols_price",
+    "rolling_distinct_types",
 ]
 
 
