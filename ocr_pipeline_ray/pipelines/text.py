@@ -2189,3 +2189,45 @@ SELECT w AS term, CAST(max(df) AS BIGINT) AS df,
        string_agg(CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS posting
 FROM ranked GROUP BY w ORDER BY term
 """
+
+
+_CHECKSUM_MOD = 2305843009213693951  # 2^61 - 1
+
+
+def table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent content checksum of the documents table —
+    the anti-entropy / replica-verification primitive (two clusters
+    compare (n_rows, checksum) without moving data). Per-row value is
+    the low 64 bits of md5(text) (little-endian — DuckDB's
+    md5_number_lower), summed mod 2^61-1; addition commutes, so the
+    result is independent of partitioning, batch size and visit
+    order. Per-batch partials are single int64 rows; the driver adds
+    a handful of them."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        s = 0
+        n = 0
+        for txt in t["text"].to_pylist():
+            v = int.from_bytes(hashlib.md5(txt.encode("utf-8")).digest()[8:16], "little")
+            s = (s + v) % _CHECKSUM_MOD
+            n += 1
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64"), "s": pd.Series([s], dtype="int64")})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+            "checksum": pd.Series([int(parts["s"].sum()) % _CHECKSUM_MOD], dtype="int64"),
+        }
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(md5_number_lower(text) % 2305843009213693951)
+            % 2305843009213693951 AS BIGINT) AS checksum
+FROM documents
+"""

@@ -95,6 +95,7 @@ SUBSET = [
     "lineitem_unpivot_stats",
     "multivar_ols_price",
     "rolling_distinct_types",
+    "table_checksum",
 ]
 
 
