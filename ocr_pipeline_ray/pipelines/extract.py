@@ -73,6 +73,23 @@ def read_docs(path: str) -> "ray.data.Dataset":
             return t.select(DOCS_SCHEMA.names).cast(DOCS_SCHEMA)
 
         return ray.data.read_json(path).map_batches(_canon, batch_format="pyarrow")
+    is_csv = path.endswith(".csv") or (
+        os.path.isdir(path) and any(f.endswith(".csv") for f in os.listdir(path))
+    )
+    if is_csv:
+        # flat dump format: nested spans ship as a JSON string column
+        # (the common CSV-with-JSON-payload shape); parse + pin schema
+        import json as _json
+
+        from ocr_pipeline_ray.schema import DOCS_SCHEMA
+
+        def _parse(t: pa.Table) -> pa.Table:
+            spans = [_json.loads(s) for s in t["spans"].to_pylist()]
+            cols = {n: t[n] for n in DOCS_SCHEMA.names if n != "spans"}
+            cols["spans"] = pa.array(spans, DOCS_SCHEMA.field("spans").type)
+            return pa.Table.from_pydict(cols).select(DOCS_SCHEMA.names).cast(DOCS_SCHEMA)
+
+        return ray.data.read_csv(path).map_batches(_parse, batch_format="pyarrow")
     return ray.data.read_parquet(path)
 
 

@@ -1484,7 +1484,10 @@ def pii_counts(sf_dir: str) -> pd.DataFrame:
                 }
             )
 
-    out = docs.map_batches(_Scan, batch_format="pyarrow", concurrency=4).to_pandas()
+    # autoscale from 1: a FIXED pool of 4 can eat every CPU of a
+    # small session and starve the upstream read (observed deadlock
+    # under the 4-CPU pytest session)
+    out = docs.map_batches(_Scan, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -167,7 +167,7 @@ class FrameSampleActor:
         )
 
 
-def decode_images(ds, *, batch_size: int = 32, concurrency=4, target_size: int | None = 32):
+def decode_images(ds, *, batch_size: int = 32, concurrency=(1, 4), target_size: int | None = 32):
     """Actor-pool image decode: small batches for large binary rows."""
     return ds.map_batches(
         ImageDecodeActor,
@@ -178,7 +178,7 @@ def decode_images(ds, *, batch_size: int = 32, concurrency=4, target_size: int |
     )
 
 
-def sample_frames(ds, *, n_frames: int = 4, batch_size: int = 64, concurrency=2):
+def sample_frames(ds, *, n_frames: int = 4, batch_size: int = 64, concurrency=(1, 2)):
     return ds.map_batches(
         FrameSampleActor,
         fn_constructor_kwargs={"n_frames": n_frames},
@@ -241,7 +241,7 @@ class ImageDHashActor:
         )
 
 
-def dhash_images(ds, *, batch_size: int = 32, concurrency=4):
+def dhash_images(ds, *, batch_size: int = 32, concurrency=(1, 4)):
     """Actor-pool perceptual hashing: small batches for binary rows."""
     return ds.map_batches(
         ImageDHashActor,

@@ -103,3 +103,38 @@ def test_jsonl_docs_extraction_matches_golden(tmp_path):
         for r in pq.read_table(p["golden"]).to_pylist()
     }
     assert res == gold
+
+
+def test_csv_docs_round_trip_golden(tmp_path):
+    """CSV dump with a JSON-encoded spans column routes through the
+    CSV branch and extracts golden-equal."""
+    import csv
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.extract import build_extraction_pipeline
+    from ocr_pipeline_ray.sources.gen import write_corpus
+
+    d = str(tmp_path)
+    p = write_corpus(d, 120, seed=7)
+    docs = pq.read_table(p["docs"]).to_pylist()
+    cdir = os.path.join(d, "docs_csv")
+    os.makedirs(cdir)
+    with open(os.path.join(cdir, "part-0.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["doc_id", "spans"])
+        for r in docs:
+            w.writerow([r["doc_id"], json.dumps(r["spans"])])
+    media = pq.read_table(p["media"])
+    out = build_extraction_pipeline(read_docs(cdir), media)
+    res = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in out.take_all()
+    }
+    gold = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in pq.read_table(p["golden"]).to_pylist()
+    }
+    assert res == gold
