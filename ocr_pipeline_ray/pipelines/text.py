@@ -2220,10 +2220,13 @@ def table_checksum(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"n": pd.Series([n], dtype="int64"), "s": pd.Series([s], dtype="int64")})
 
     parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    # accumulate partials in PYTHON ints: a pandas int64 sum of values
+    # each < 2^61 overflows past four partials
+    csum = sum(int(x) for x in parts["s"]) % _CHECKSUM_MOD
     return pd.DataFrame(
         {
             "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
-            "checksum": pd.Series([int(parts["s"].sum()) % _CHECKSUM_MOD], dtype="int64"),
+            "checksum": pd.Series([csum], dtype="int64"),
         }
     )
 
