@@ -1379,3 +1379,74 @@ SELECT e1.event_id,
           AND e2.ts >= e1.ts - INTERVAL 1 HOUR AND e2.ts <= e1.ts) AS n_types_1h
 FROM events e1 ORDER BY e1.event_id
 """
+
+
+def scd2_state_dwell(sf_dir: str) -> pd.DataFrame:
+    """SCD Type-2 interval construction + dwell-time rollup: each
+    user's event stream is a changelog of their current state
+    (event_type); consecutive events define validity intervals
+    [ts, next_ts). Reports, per state, how many CLOSED intervals were
+    built and the total dwell time in microseconds — the
+    slowly-changing-dimension primitive behind temporal snapshots.
+    ONE user-bucket shuffle; within a bucket the lead() is a single
+    vectorized sort + shift over all users' rows (user-boundary rows
+    masked out); only (event_type, count, sum) partials return."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _dwell_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = g["user_id"].to_numpy()
+        next_ts = np.roll(ts_us, -1)
+        closed = np.empty(len(g), dtype=bool)
+        if len(g):
+            closed[:-1] = uid[:-1] == uid[1:]
+            closed[-1] = False
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy()[closed],
+                "dwell_us": (next_ts - ts_us)[closed],
+            }
+        )
+        p = out.groupby("event_type", as_index=False).agg(
+            n_intervals=("dwell_us", "size"), dwell_us=("dwell_us", "sum")
+        )
+        return p
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _dwell_bucket(g.drop(columns="__bucket")), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    # Python-int accumulate: microsecond sums can approach int64 scale
+    # at high SF (same overflow discipline as table_checksum).
+    rows = []
+    for et, grp in parts.groupby("event_type"):
+        rows.append(
+            {
+                "event_type": et,
+                "n_intervals": int(sum(int(x) for x in grp["n_intervals"])),
+                "dwell_us": int(sum(int(x) for x in grp["dwell_us"])),
+            }
+        )
+    out = pd.DataFrame(rows, columns=["event_type", "n_intervals", "dwell_us"])
+    out["n_intervals"] = out["n_intervals"].astype("int64")
+    out["dwell_us"] = out["dwell_us"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SCD2_STATE_DWELL_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS dwell_us
+FROM (
+  SELECT event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+)
+WHERE next_ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

@@ -4312,3 +4312,144 @@ SELECT CAST(n AS BIGINT) AS n,
                 - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * mx2, 4) AS intercept
 FROM c
 """
+
+
+def except_all_keys(sf_dir: str) -> pd.DataFrame:
+    """Bag-semantics EXCEPT ALL between the orders.o_custkey and
+    lineitem.l_suppkey multisets: (key, n) with
+    n = multiplicity_left - multiplicity_right where positive.
+    Same wire shape as :func:`intersect_all_keys` — per-batch
+    (key, count) partials per side, ONE coarse-bucket shuffle,
+    per-bucket sum-and-subtract. Only (key, int) pairs move."""
+    n_buckets = 32
+
+    def _side(table: str, col: str, tag: str):
+        ds = _read(sf_dir, table, columns=[col])
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.groupby(col).size().reset_index(name=tag)
+            c = c.rename(columns={col: "key"})
+            other = "n_r" if tag == "n_l" else "n_l"
+            c[other] = 0
+            c["__bucket"] = (c["key"].to_numpy() % n_buckets).astype("int64")
+            return c[["key", "n_l", "n_r", "__bucket"]]
+
+        return ds.map_batches(f, batch_format="pandas")
+
+    both = _side("orders", "o_custkey", "n_l").union(_side("lineitem", "l_suppkey", "n_r"))
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", as_index=False)[["n_l", "n_r"]].sum()
+        s = s[s["n_l"] > s["n_r"]]
+        return pd.DataFrame(
+            {
+                "key": s["key"].astype("int64"),
+                "n": (s["n_l"] - s["n_r"]).astype("int64"),
+            }
+        )
+
+    return (
+        both.groupby("__bucket")
+        .map_groups(_combine, batch_format="pandas")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+
+EXCEPT_ALL_KEYS_SQL = """
+SELECT key, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey AS key FROM orders
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem
+) GROUP BY key ORDER BY key
+"""
+
+
+def table_diff(sf_dir: str) -> pd.DataFrame:
+    """Row-level diff between two versions of a replicated table —
+    the drill-down companion to ``table_checksum`` (anti-entropy:
+    checksum says WHETHER replicas diverged, diff says WHERE).
+    Version B is derived deterministically from lineitem (rows with
+    l_orderkey % 101 == 0 deleted; l_quantity + 1 where
+    l_orderkey % 97 == 0) and read as a SEPARATE dataset pass, so the
+    operator exercises the real two-table topology: both sides stream,
+    tag, and meet in ONE hash shuffle on the primary key
+    (l_orderkey, l_linenumber); each bucket classifies rows as
+    same / modified / added / removed with a vectorized outer merge
+    and emits COUNTS only — no row content returns to the driver."""
+    n_buckets = 32
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+
+    def _tag(side: int, transform: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if transform:
+                ok = df["l_orderkey"].to_numpy()
+                df = df[ok % 101 != 0].copy()
+                ok = df["l_orderkey"].to_numpy()
+                q = df["l_quantity"].to_numpy().copy()
+                q[ok % 97 == 0] += 1.0
+                df["l_quantity"] = q
+            df["__side"] = np.int8(side)
+            df["__bucket"] = (df["l_orderkey"].to_numpy() % n_buckets).astype("int64")
+            return df
+
+        return f
+
+    a = _read(sf_dir, "lineitem", columns=cols).map_batches(
+        _tag(0, False), batch_format="pandas"
+    )
+    b = _read(sf_dir, "lineitem", columns=cols).map_batches(
+        _tag(1, True), batch_format="pandas"
+    )
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0]
+        right = g[g["__side"] == 1]
+        m = left.merge(
+            right,
+            on=["l_orderkey", "l_linenumber"],
+            how="outer",
+            suffixes=("_a", "_b"),
+            indicator=True,
+        )
+        kind = np.where(
+            m["_merge"] == "left_only",
+            "removed",
+            np.where(
+                m["_merge"] == "right_only",
+                "added",
+                np.where(m["l_quantity_a"] != m["l_quantity_b"], "modified", "same"),
+            ),
+        )
+        out = pd.DataFrame({"change_type": kind})
+        return out.groupby("change_type", as_index=False).size().rename(columns={"size": "n_rows"})
+
+    parts = (
+        a.union(b)
+        .groupby("__bucket")
+        .map_groups(_classify, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("change_type", as_index=False)["n_rows"].sum()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("change_type").reset_index(drop=True)
+
+
+TABLE_DIFF_SQL = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 97 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity
+  FROM lineitem WHERE l_orderkey % 101 <> 0
+),
+a AS (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows FROM (
+  SELECT CASE WHEN b.l_orderkey IS NULL THEN 'removed'
+              WHEN a.l_orderkey IS NULL THEN 'added'
+              WHEN a.l_quantity <> b.l_quantity THEN 'modified'
+              ELSE 'same' END AS change_type
+  FROM a FULL OUTER JOIN b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+) GROUP BY change_type ORDER BY change_type
+"""

@@ -96,6 +96,10 @@ SUBSET = [
     "multivar_ols_price",
     "rolling_distinct_types",
     "table_checksum",
+    # round-3e additions
+    "except_all_keys",
+    "table_diff",
+    "scd2_state_dwell",
 ]
 
 
