@@ -4453,3 +4453,67 @@ SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows FROM (
     ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
 ) GROUP BY change_type ORDER BY change_type
 """
+
+
+def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures
+    (l_quantity, l_extendedprice, l_discount) via mergeable
+    CO-moment partials: each batch emits (n, per-column means,
+    centered cross-product sums C_xy about its own means) and the
+    driver pairwise-merges with the Pébay/Chan covariance-combination
+    rule C = Ca + Cb + dx*dy*na*nb/n — numerically stable where raw
+    power sums cancel, and only O(k²) floats per batch move."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i, len(cols))]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[cols].to_numpy(np.float64)
+        n = len(x)
+        m = x.mean(axis=0)
+        c = x - m
+        row = {"n": n}
+        for k, mk in enumerate(m):
+            row[f"m{k}"] = mk
+        for i, j in pairs:
+            row[f"C{i}{j}"] = float((c[:, i] * c[:, j]).sum())
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+
+    acc_n = 0.0
+    acc_m = np.zeros(len(cols))
+    acc_C = {p: 0.0 for p in pairs}
+    for t in parts.itertuples(index=False):
+        nb = t.n
+        mb = np.array([getattr(t, f"m{k}") for k in range(len(cols))])
+        n = acc_n + nb
+        d = mb - acc_m
+        for (i, j) in pairs:
+            acc_C[(i, j)] += getattr(t, f"C{i}{j}") + d[i] * d[j] * acc_n * nb / n
+        acc_m = acc_m + d * nb / n
+        acc_n = n
+
+    rows = []
+    for i, j in pairs:
+        if i == j:
+            continue
+        corr = acc_C[(i, j)] / np.sqrt(acc_C[(i, i)] * acc_C[(j, j)])
+        rows.append((cols[i], cols[j], round(corr, 6)))
+    return pd.DataFrame(rows, columns=["col_x", "col_y", "corr"]).sort_values(
+        ["col_x", "col_y"]
+    ).reset_index(drop=True)
+
+
+LINEITEM_CORR_MATRIX_SQL = """
+SELECT col_x, col_y, corr FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         round(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+) ORDER BY col_x, col_y
+"""

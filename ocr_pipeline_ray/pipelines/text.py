@@ -2237,3 +2237,58 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
             % 2305843009213693951 AS BIGINT) AS checksum
 FROM documents
 """
+
+
+def sentence_stats(sf_dir: str) -> pd.DataFrame:
+    """Sentence segmentation rollup per source: documents split on
+    ``[.!?]+`` boundaries, segments trimmed of ASCII whitespace, empty
+    segments dropped. Reports docs, sentences, and mean sentence
+    length — the segmentation primitive under chunkers and
+    quality filters. Per-batch partials are exact integer
+    (count, sum-of-lengths) tuples; one tiny combine."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df.groupby("source", as_index=False).size().rename(columns={"size": "n_docs"})
+        seg = df[["source", "text"]].copy()
+        seg["text"] = seg["text"].str.split(r"[.!?]+", regex=True)
+        seg = seg.explode("text")
+        s = seg["text"].str.strip(" \t\n\r")
+        seg = seg[s != ""]
+        seg["len"] = s[s != ""].str.len()
+        sent = seg.groupby("source", as_index=False).agg(
+            n_sentences=("len", "size"), sum_chars=("len", "sum")
+        )
+        out = docs.merge(sent, on="source", how="left")
+        out[["n_sentences", "sum_chars"]] = (
+            out[["n_sentences", "sum_chars"]].fillna(0).astype("int64")
+        )
+        return out
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False)[["n_docs", "n_sentences", "sum_chars"]].sum()
+    out["avg_sentence_chars"] = (out["sum_chars"] / out["n_sentences"]).round(4)
+    out = out.drop(columns="sum_chars")
+    for c in ("n_docs", "n_sentences"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SENTENCE_STATS_SQL = """
+WITH segs AS (
+  SELECT source, trim(seg, ' ' || chr(9) || chr(10) || chr(13)) AS s
+  FROM (SELECT source, unnest(regexp_split_to_array(text, '[.!?]+')) AS seg
+        FROM documents)
+),
+sent AS (
+  SELECT source, count(*) AS n_sentences, sum(length(s)) AS sum_chars
+  FROM segs WHERE s <> '' GROUP BY source
+),
+docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT d.source,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(sent.n_sentences, 0) AS BIGINT) AS n_sentences,
+       round(sent.sum_chars * 1.0 / sent.n_sentences, 4) AS avg_sentence_chars
+FROM docs d LEFT JOIN sent ON d.source = sent.source
+ORDER BY d.source
+"""

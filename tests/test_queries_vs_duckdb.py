@@ -100,6 +100,8 @@ SUBSET = [
     "except_all_keys",
     "table_diff",
     "scd2_state_dwell",
+    "lineitem_corr_matrix",
+    "sentence_stats",
 ]
 
 
