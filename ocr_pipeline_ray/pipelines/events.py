@@ -1450,3 +1450,41 @@ FROM (
 WHERE next_ts IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def events_dow_profile(sf_dir: str) -> pd.DataFrame:
+    """Calendar profile: event count and value sum by (ISO day of
+    week, hour of day) — the date-part aggregate family. Exact
+    integer/sum partials per batch, one tiny bucketed combine; the
+    168-cell output never exceeds a broadcastable size at any SF."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "isodow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "hour": df["ts"].dt.hour.astype("int64"),
+                "value": df["value"],
+            }
+        )
+        return d.groupby(["isodow", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["isodow", "hour"], as_index=False)[["n_events", "sum_value"]].sum()
+    # value literals carry 4 decimals, so sums are exact at round(4);
+    # a mean would divide onto .5 boundaries where pandas (half-even)
+    # and DuckDB (half-away) disagree
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["isodow", "hour"]).reset_index(drop=True)
+
+
+EVENTS_DOW_PROFILE_SQL = """
+SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -4517,3 +4517,121 @@ SELECT col_x, col_y, corr FROM (
          round(corr(l_extendedprice, l_discount), 6) FROM lineitem
 ) ORDER BY col_x, col_y
 """
+
+
+def copurchase_bfs_hops(sf_dir: str, min_count: int = 2, max_hops: int = 3) -> pd.DataFrame:
+    """Single-source shortest-path / reachability over the symmetrized
+    co-purchase graph: BFS from the smallest node id, ``max_hops``
+    frontier expansions. The remaining iterative-graph shape after
+    PageRank (value propagation) and connected components (label
+    convergence): per round, ONE bucketed shuffle join attaches the
+    frontier to its out-edges and ONE bucketed anti-join subtracts
+    already-visited nodes — node state lives in datasets end-to-end.
+    Reports per hop: node count and min/max node id (selection values,
+    exact under the driver's hash compare)."""
+    import numpy as np
+
+    edges = _copurchase_edges_ds(sf_dir, min_count).map_batches(
+        lambda df: df[["part_a", "part_b"]], batch_format="pandas"
+    )
+
+    def _sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["part_a"].to_numpy()
+        b = df["part_b"].to_numpy()
+        return pd.DataFrame({"u": np.concatenate([a, b]), "v": np.concatenate([b, a])})
+
+    sym = edges.map_batches(_sym, batch_format="pandas").materialize()
+    seed_parts = sym.map_batches(
+        lambda df: pd.DataFrame({"m": [df["u"].min()]}) if len(df) else pd.DataFrame({"m": []}),
+        batch_format="pandas",
+    ).to_pandas()
+    if seed_parts.empty:
+        return pd.DataFrame(
+            {"hop": pd.Series(dtype="int64"), "n_parts": pd.Series(dtype="int64"),
+             "min_part": pd.Series(dtype="int64"), "max_part": pd.Series(dtype="int64")}
+        )
+    seed = int(seed_parts["m"].min())
+
+    dist = ray.data.from_pandas(
+        pd.DataFrame({"u": pd.Series([seed], dtype="int64"),
+                      "hop": pd.Series([0], dtype="int64")})
+    ).materialize()
+    frontier = dist
+
+    for k in range(1, max_hops + 1):
+        neighbors = shuffle_hash_join(
+            sym,
+            frontier.map_batches(lambda df: df[["u"]], batch_format="pandas"),
+            on="u",
+            num_buckets=16,
+            left_cols=["u", "v"],
+            right_cols=["u"],
+        ).map_batches(
+            lambda df: df[["v"]].drop_duplicates().rename(columns={"v": "u"}).astype("int64"),
+            batch_format="pandas",
+        )
+        # bucketed anti-join: neighbors minus visited, dedup across batches
+        def _tag(side: int):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                df = df[["u"]].copy()
+                df["u"] = df["u"].astype("int64")
+                df["__side"] = np.int8(side)
+                df["__bucket"] = (df["u"].to_numpy() % 16).astype("int64")
+                return df
+            return f
+
+        tagged = neighbors.map_batches(_tag(1), batch_format="pandas").union(
+            dist.map_batches(_tag(0), batch_format="pandas")
+        )
+
+        def _new_nodes(g: pd.DataFrame, hop=k) -> pd.DataFrame:
+            visited = set(g.loc[g["__side"] == 0, "u"].tolist())
+            cand = g.loc[g["__side"] == 1, "u"].drop_duplicates()
+            fresh = cand[~cand.isin(visited)]
+            return pd.DataFrame({"u": fresh.astype("int64"),
+                                 "hop": np.full(len(fresh), hop, dtype="int64")})
+
+        frontier = (
+            tagged.groupby("__bucket").map_groups(_new_nodes, batch_format="pandas").materialize()
+        )
+        if frontier.count() == 0:
+            break
+        dist = dist.union(frontier).materialize()
+
+    def _hop_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("hop", as_index=False).agg(
+            n_parts=("u", "size"), min_part=("u", "min"), max_part=("u", "max")
+        )
+
+    parts = dist.map_batches(_hop_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("hop", as_index=False).agg(
+        n_parts=("n_parts", "sum"), min_part=("min_part", "min"), max_part=("max_part", "max")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("hop").reset_index(drop=True)
+
+
+COPURCHASE_BFS_HOPS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT part_a AS u, part_b AS v FROM p UNION ALL SELECT part_b, part_a FROM p),
+d0 AS (SELECT min(u) AS u, 0 AS hop FROM e),
+f1 AS (SELECT DISTINCT e.v AS u FROM e JOIN d0 ON e.u = d0.u),
+d1 AS (SELECT u, 1 AS hop FROM f1 WHERE u NOT IN (SELECT u FROM d0)),
+f2 AS (SELECT DISTINCT e.v AS u FROM e JOIN d1 ON e.u = d1.u),
+d2 AS (SELECT u, 2 AS hop FROM f2
+       WHERE u NOT IN (SELECT u FROM d0 UNION SELECT u FROM d1)),
+f3 AS (SELECT DISTINCT e.v AS u FROM e JOIN d2 ON e.u = d2.u),
+d3 AS (SELECT u, 3 AS hop FROM f3
+       WHERE u NOT IN (SELECT u FROM d0 UNION SELECT u FROM d1 UNION SELECT u FROM d2)),
+allv AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+         UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+SELECT CAST(hop AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(u) AS BIGINT) AS min_part, CAST(max(u) AS BIGINT) AS max_part
+FROM allv GROUP BY hop ORDER BY hop
+"""

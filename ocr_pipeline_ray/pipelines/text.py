@@ -2292,3 +2292,35 @@ SELECT d.source,
 FROM docs d LEFT JOIN sent ON d.source = sent.source
 ORDER BY d.source
 """
+
+
+def extract_numbers(sf_dir: str) -> pd.DataFrame:
+    """Regex flat-map extraction: every integer literal (runs of up to
+    9 digits — greedy left-to-right, so longer runs split identically
+    in RE2 and Python) pulled out of each document. Reports per doc
+    the match count and their sum — the structured-field-extraction
+    primitive (IDs, prices, years) behind wrangling pipelines. Pure
+    vectorized pandas ``str.findall`` + explode inside map_batches."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        hits = df["text"].str.findall(r"[0-9]{1,9}")
+        n = hits.str.len().astype("int64")
+        sums = hits.apply(lambda xs: sum(int(x) for x in xs))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"), "n_numbers": n,
+             "sum_numbers": sums.astype("int64")}
+        )
+
+    out = ds.map_batches(_f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+EXTRACT_NUMBERS_SQL = """
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_numbers,
+       CAST(COALESCE(list_sum(list_transform(hits, x -> CAST(x AS BIGINT))), 0) AS BIGINT)
+         AS sum_numbers
+FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]{1,9}') AS hits FROM documents)
+ORDER BY doc_id
+"""

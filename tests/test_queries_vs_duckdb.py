@@ -102,6 +102,9 @@ SUBSET = [
     "scd2_state_dwell",
     "lineitem_corr_matrix",
     "sentence_stats",
+    "extract_numbers",
+    "events_dow_profile",
+    "copurchase_bfs_hops",
 ]
 
 
