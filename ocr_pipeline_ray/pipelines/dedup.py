@@ -705,3 +705,47 @@ WITH d AS (
 )
 SELECT doc_id, fp, n_chars FROM r WHERE rn = 1 ORDER BY doc_id
 """
+
+
+def dedup_normalized(sf_dir: str) -> pd.DataFrame:
+    """Canonicalize-then-dedup: texts lowercased, whitespace runs
+    collapsed to single spaces, trimmed — the normalization layer that
+    catches near-identical web pages differing only in case or
+    formatting (a standard curation pass ahead of exact dedup).
+    Surviving doc_id = min(doc_id) per normalized form; same
+    hash-partitioned min-reduction wire shape as :func:`dedup_exact`,
+    with the canonical text never leaving the batch (only its md5
+    shuffles)."""
+    import re as _re
+
+    ws = _re.compile(r"\s+")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(ws.sub(" ", s.lower()).strip(" ").encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [t["doc_id"], pa.array(hashes, pa.string())], names=["doc_id", "h"]
+        )
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(add_hash, batch_format="pyarrow"),
+            "h", {"doc_id": ("doc_id", "min")},
+        )
+        .select_columns(["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+DEDUP_NORMALIZED_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+ORDER BY doc_id
+"""

@@ -1488,3 +1488,65 @@ SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def state_as_of(sf_dir: str, lag_days: int = 7) -> pd.DataFrame:
+    """Point-in-time (AS OF) snapshot — the query side of SCD2: each
+    user's state (their latest event_type) at cut = max(ts) - lag_days,
+    rolled up to users-per-state. Two stages: a tiny extrema pass
+    derives the cut; then the filtered stream resolves
+    latest-event-per-USER exactly like :func:`latest_event_state`
+    (per-batch best, ONE key shuffle, per-bucket re-best) and only the
+    per-type counts return."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    mx = ds.map_batches(
+        lambda df: pd.DataFrame({"m": [df["ts"].max()]}) if len(df) else pd.DataFrame({"m": []}),
+        batch_format="pandas",
+    ).to_pandas()
+    cut = mx["m"].max() - pd.Timedelta(days=lag_days)
+    num_buckets = 16
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["user_id", "ts", "event_id"], ascending=[True, False, False]
+        ).drop_duplicates(["user_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"] <= cut]
+        if df.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"), "event_type": pd.Series(dtype="object"),
+                 "ts": pd.Series(dtype="datetime64[us]"), "event_id": pd.Series(dtype="int64"),
+                 "__bucket": pd.Series(dtype="int64")}
+            )
+        b = _best(df).copy()
+        b["__bucket"] = (b["user_id"].to_numpy() % num_buckets).astype("int64")
+        return b
+
+    resolved = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _best(g), batch_format="pandas")
+    )
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).size().rename(columns={"size": "n_users"})
+
+    parts = resolved.map_batches(_count, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+STATE_AS_OF_SQL = """
+WITH t AS (SELECT max(ts) - INTERVAL 7 DAY AS cut FROM events),
+r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events, t WHERE ts <= t.cut
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+"""

@@ -4635,3 +4635,86 @@ SELECT CAST(hop AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_parts,
        CAST(min(u) AS BIGINT) AS min_part, CAST(max(u) AS BIGINT) AS max_part
 FROM allv GROUP BY hop ORDER BY hop
 """
+
+
+def weighted_median_price(sf_dir: str, n_bins: int = 4096) -> pd.DataFrame:
+    """EXACT weighted median: the smallest l_extendedprice p whose
+    cumulative l_quantity weight reaches half the total — the
+    quantity-weighted center of the price distribution. Same
+    three-pass histogram-refinement scheme as
+    :func:`median_extendedprice`, with integer WEIGHTS in the
+    histogram (np.bincount(weights=...) sums exactly in int64), so the
+    driver holds n_bins ints plus the ~n/n_bins survivor rows."""
+    pcol, wcol = "l_extendedprice", "l_quantity"
+    ds = _read(sf_dir, "lineitem", columns=[pcol, wcol])
+
+    def _extrema(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[pcol].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"w": [], "lo": [], "hi": []})
+        return pd.DataFrame(
+            {"w": [int(df[wcol].to_numpy(np.int64).sum())],
+             "lo": [float(v.min())], "hi": [float(v.max())]}
+        )
+
+    parts = ds.map_batches(_extrema, batch_format="pandas").to_pandas()
+    W = int(sum(int(x) for x in parts["w"]))
+    if W == 0:
+        return pd.DataFrame({"wmedian_price": [float("nan")]})
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    width = (hi - lo) or 1.0
+
+    def _bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bin_of(df[pcol].to_numpy())
+        w = df[wcol].to_numpy(np.int64)
+        cnt = np.bincount(b, weights=w, minlength=n_bins).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype("int64"), "cnt": cnt[nz]})
+
+    hist = (
+        bucketed_aggregate(
+            ds.map_batches(_hist, batch_format="pandas"),
+            "bin",
+            {"cnt": ("cnt", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    # smallest p with 2*cum_w(p) >= W  (lower weighted median)
+    half = (W + 1) // 2
+    idx = int(np.searchsorted(cum, half))
+    target = int(hist["bin"].to_numpy()[idx])
+    below = int(cum[idx - 1]) if idx > 0 else 0
+
+    def _survivors(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[pcol].to_numpy()
+        keep = _bin_of(v) == target
+        return pd.DataFrame({pcol: v[keep], wcol: df[wcol].to_numpy(np.int64)[keep]})
+
+    surv = (
+        ds.map_batches(_survivors, batch_format="pandas")
+        .to_pandas()
+        .sort_values(pcol)
+        .reset_index(drop=True)
+    )
+    cw = below + surv[wcol].cumsum().to_numpy()
+    med = float(surv[pcol].to_numpy()[np.searchsorted(2 * cw, W)])
+    return pd.DataFrame({"wmedian_price": [round(med, ROUND_DECIMALS)]})
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+SELECT round(min(p), 4) AS wmedian_price FROM (
+  SELECT l_extendedprice AS p,
+         sum(CAST(l_quantity AS BIGINT)) OVER
+           (ORDER BY l_extendedprice
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(l_quantity AS BIGINT)) OVER () AS tot
+  FROM lineitem
+) WHERE cum * 2 >= tot
+"""

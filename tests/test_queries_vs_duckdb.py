@@ -105,6 +105,9 @@ SUBSET = [
     "extract_numbers",
     "events_dow_profile",
     "copurchase_bfs_hops",
+    "weighted_median_price",
+    "state_as_of",
+    "dedup_normalized",
 ]
 
 
