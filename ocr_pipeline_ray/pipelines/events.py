@@ -1550,3 +1550,73 @@ r AS (
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
 FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type
 """
+
+
+def interval_union_coverage(sf_dir: str) -> pd.DataFrame:
+    """Interval UNION (island detection): each event opens a validity
+    window [ts, ts + (event_id % 30 + 1) minutes); overlapping windows
+    of one user merge into maximal islands. Reports per user the
+    island count and total covered microseconds — the
+    coverage/uptime-rollup primitive. ONE user-bucket shuffle; within
+    a bucket the merge is a vectorized per-user running-max sweep
+    (pandas groupby().cummax(), no Python loop)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def _islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        dur = ((g["event_id"].to_numpy() % 30) + 1) * 60_000_000
+        g["s"] = s
+        g["e"] = s + dur
+        g = g.sort_values(["user_id", "s", "e"], kind="mergesort")
+        # running max of interval end within user, EXCLUSIVE of the
+        # current row: a new island starts when s > that max
+        prev_max = g.groupby("user_id")["e"].cummax().groupby(g["user_id"]).shift(1)
+        island = ((g["s"] > prev_max) | prev_max.isna()).cumsum()
+        isl = (
+            g.assign(__island=island)
+            .groupby(["user_id", "__island"], as_index=False)
+            .agg(s0=("s", "min"), e1=("e", "max"))
+        )
+        isl["cov"] = isl["e1"] - isl["s0"]
+        return isl.groupby("user_id", as_index=False).agg(
+            n_islands=("cov", "size"), covered_us=("cov", "sum")
+        )
+
+    out = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _islands(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("user_id", "n_islands", "covered_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+INTERVAL_UNION_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS s,
+         ts + (event_id % 30 + 1) * INTERVAL 1 MINUTE AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+isl AS (
+  SELECT user_id, island, min(s) AS s0, max(e) AS e1 FROM g GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(epoch_us(e1) - epoch_us(s0)) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id ORDER BY user_id
+"""

@@ -2324,3 +2324,166 @@ SELECT doc_id,
 FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]{1,9}') AS hits FROM documents)
 ORDER BY doc_id
 """
+
+
+def top_terms_per_source(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Grouped top-k: the k most frequent tokens per source (count
+    desc, term asc tie-break) — the per-domain vocabulary profile.
+    Same machinery as :func:`vocab_top_terms` with (source, term) as
+    the aggregate key and the group-aware partial top-k reduce, so
+    the driver sees at most k rows per source per batch."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        toks: list[str] = []
+        for src, s in zip(df["source"], df["text"]):
+            ts = TOKEN_RE.findall(s.lower())
+            toks.extend(ts)
+            srcs.extend([src] * len(ts))
+        if not toks:
+            return pd.DataFrame({"source": [], "term": [], "n": []})
+        out = pd.DataFrame({"source": srcs, "term": toks})
+        return out.groupby(["source", "term"], as_index=False).size().rename(columns={"size": "n"})
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        ["source", "term"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+    out = partial_topk(totals, by=["n", "term"], ascending=[False, True], k=k, group="source")
+    out["n"] = out["n"].astype("int64")
+    out["rk"] = out.groupby("source").cumcount().astype("int64") + 1
+    return (
+        out[["source", "term", "n", "rk"]]
+        .sort_values(["source", "rk"])
+        .reset_index(drop=True)
+    )
+
+
+def top_terms_per_source_sql(k: int = 5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rk FROM c)
+SELECT source, term, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {k} ORDER BY source, rk
+"""
+
+
+TOP_TERMS_PER_SOURCE_SQL = top_terms_per_source_sql()
+
+
+def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Aggregate-level set similarity: pairwise Jaccard between the
+    SOURCES' vocabularies (distinct-token sets). The (source, term)
+    distinct pairs build in one bucketed pass over the TERM domain;
+    within each term bucket the co-occurring source pairs emit
+    intersection partials (terms never leave their bucket), and the
+    tiny |sources|² driver reduce finishes |A∩B| / (|A|+|B|-|A∩B|)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        toks: list[str] = []
+        for src, s in zip(df["source"], df["text"]):
+            for t in set(TOKEN_RE.findall(s.lower())):
+                srcs.append(src)
+                toks.append(t)
+        out = pd.DataFrame({"source": srcs, "term": toks}).drop_duplicates()
+        out["one"] = 1
+        return out
+
+    # distinct (source, term) via bucketed min-reduction on the pair key
+    st = bucketed_aggregate(
+        ds.map_batches(distinct_pairs, batch_format="pandas"),
+        ["term", "source"],
+        {"one": ("one", "min")},
+        num_buckets=16,
+    )
+
+    def _term_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["term"], index=False)
+        df["__tbucket"] = (h.to_numpy() % 16).astype("int64")
+        return df[["term", "source", "__tbucket"]]
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("source").size().rename("sz").reset_index()
+        m = g.merge(g, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"], as_index=False).size().rename(
+            columns={"size": "n_inter"}
+        )
+        sizes = sizes.rename(columns={"source": "src", "sz": "n_terms"})
+        sizes["source_x"] = sizes["src"]
+        return pd.concat(
+            [
+                inter.assign(kind="i")[["kind", "source_x", "source_y", "n_inter"]],
+                pd.DataFrame(
+                    {
+                        "kind": "s",
+                        "source_x": sizes["src"],
+                        "source_y": "",
+                        "n_inter": sizes["n_terms"],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    parts = (
+        st.map_batches(_term_bucket, batch_format="pandas")
+        .groupby("__tbucket")
+        .map_groups(lambda g: _pairs(g.drop(columns="__tbucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    sizes = (
+        parts[parts["kind"] == "s"].groupby("source_x")["n_inter"].sum().to_dict()
+    )
+    inter = (
+        parts[parts["kind"] == "i"]
+        .groupby(["source_x", "source_y"], as_index=False)["n_inter"]
+        .sum()
+    )
+    inter["jaccard"] = (
+        inter["n_inter"]
+        / (
+            inter["source_x"].map(sizes)
+            + inter["source_y"].map(sizes)
+            - inter["n_inter"]
+        )
+    ).round(6)
+    out = inter.rename(columns={"source_x": "source_a", "source_y": "source_b"})
+    out["n_inter"] = out["n_inter"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_VOCAB_JACCARD_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+FROM i JOIN sz sa ON sa.source = i.source_a JOIN sz sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""

@@ -108,6 +108,9 @@ SUBSET = [
     "weighted_median_price",
     "state_as_of",
     "dedup_normalized",
+    "interval_union_coverage",
+    "top_terms_per_source",
+    "source_vocab_jaccard",
 ]
 
 
