@@ -4718,3 +4718,235 @@ SELECT round(min(p), 4) AS wmedian_price FROM (
   FROM lineitem
 ) WHERE cum * 2 >= tot
 """
+
+
+# ---------------------------------------------------------------------------
+# data-quality / audit operator family
+# ---------------------------------------------------------------------------
+
+_CHECKSUM_MOD = 2305843009213693951  # 2^61 - 1 (same as text.table_checksum)
+
+
+def _skyline2d(df: pd.DataFrame) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier) of (p_retailprice min, p_size max):
+    keep rows not strictly dominated. Vectorized: per price level the
+    only survivors carry the level max size, and the level survives
+    iff that max strictly exceeds the best size among all cheaper
+    levels (a cheaper-or-equal point with >= size and one strict edge
+    dominates). Price-ties with equal max size all survive."""
+    gmax = df.groupby("p_retailprice")["p_size"].max()
+    gmax = gmax.sort_index()
+    best_prev = gmax.cummax().shift(1, fill_value=-1)
+    alive_levels = gmax[gmax > best_prev]
+    m = df.merge(
+        alive_levels.rename("smax").reset_index(), on="p_retailprice", how="inner"
+    )
+    return m[m["p_size"] == m["smax"]][["p_partkey", "p_retailprice", "p_size"]]
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Distributed skyline query: the Pareto frontier of parts under
+    (cheaper p_retailprice, larger p_size). Skylines are
+    union-shrinking — skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B) — so
+    each batch emits its LOCAL frontier (vectorized level sweep) and
+    the driver re-sweeps the tiny union; no shuffle, no O(n²)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+    locals_ = ds.map_batches(_skyline2d, batch_format="pandas").to_pandas()
+    out = _skyline2d(locals_)
+    out = out.astype({"p_partkey": "int64", "p_size": "int64"})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+PART_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+def _distinct_count(ds: "ray.data.Dataset", cols: list[str]) -> int:
+    """Exact distinct count of a (composite) key: per-batch local
+    dedup, ONE bucketed min-reduction over the key domain, count the
+    survivors — never a driver-side key set."""
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].drop_duplicates().copy()
+        out["one"] = 1
+        return out
+
+    return int(
+        bucketed_aggregate(
+            ds.map_batches(_local, batch_format="pandas"),
+            cols,
+            {"one": ("one", "min")},
+            num_buckets=16,
+        ).count()
+    )
+
+
+def uniqueness_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-quality audit: candidate-key uniqueness over the two fact
+    tables — (n_rows, n_distinct, n_dup_rows) per declared key. The
+    constraint-validation primitive behind CDC ingestion and dedup
+    policy choice; each key costs one pruned scan + one distinct
+    reduction."""
+    candidates = [
+        ("orders.o_orderkey", "orders", ["o_orderkey"]),
+        ("lineitem.(l_orderkey,l_linenumber)", "lineitem", ["l_orderkey", "l_linenumber"]),
+        ("lineitem.(l_orderkey,l_partkey)", "lineitem", ["l_orderkey", "l_partkey"]),
+        ("lineitem.l_partkey", "lineitem", ["l_partkey"]),
+    ]
+    rows = []
+    for name, table, cols in candidates:
+        ds = _read(sf_dir, table, columns=cols)
+        n = int(ds.count())
+        d = _distinct_count(ds, cols)
+        rows.append((name, n, d, n - d))
+    out = pd.DataFrame(rows, columns=["key_name", "n_rows", "n_distinct", "n_dup_rows"])
+    for c in ("n_rows", "n_distinct", "n_dup_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("key_name").reset_index(drop=True)
+
+
+UNIQUENESS_PROFILE_SQL = """
+SELECT key_name, n_rows, n_distinct, n_rows - n_distinct AS n_dup_rows FROM (
+  SELECT 'orders.o_orderkey' AS key_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_partkey)', CAST(count(*) AS BIGINT),
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+) ORDER BY key_name
+"""
+
+
+def referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """Data-quality audit: orphan foreign keys per declared FK edge —
+    rows (and distinct keys) on the fact side whose key has no match
+    in the dimension. Per-batch (key, count) partials tag each side;
+    ONE coarse key-bucket shuffle co-locates them; each bucket sums
+    fact counts for keys the dimension never emitted. Only
+    (key, int) pairs move — the anti-join never ships rows."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    n_buckets = 32
+    rows = []
+    for name, ftab, fcol, dtab, dcol in edges:
+        def _fact(df: pd.DataFrame, c=fcol) -> pd.DataFrame:
+            out = df.groupby(c, as_index=False).size().rename(columns={c: "key", "size": "n_f"})
+            out["n_d"] = 0
+            out["__bucket"] = (out["key"].to_numpy() % n_buckets).astype("int64")
+            return out
+
+        def _dim(df: pd.DataFrame, c=dcol) -> pd.DataFrame:
+            out = df[[c]].drop_duplicates().rename(columns={c: "key"})
+            out["n_f"] = 0
+            out["n_d"] = 1
+            out["__bucket"] = (out["key"].to_numpy() % n_buckets).astype("int64")
+            return out
+
+        both = _read(sf_dir, ftab, columns=[fcol]).map_batches(
+            _fact, batch_format="pandas"
+        ).union(
+            _read(sf_dir, dtab, columns=[dcol]).map_batches(_dim, batch_format="pandas")
+        )
+
+        def _orphans(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("key", as_index=False)[["n_f", "n_d"]].sum()
+            o = s[(s["n_d"] == 0) & (s["n_f"] > 0)]
+            return pd.DataFrame(
+                {"rows": [int(o["n_f"].sum())], "keys": [int(len(o))]}
+            )
+
+        parts = (
+            both.groupby("__bucket").map_groups(_orphans, batch_format="pandas").to_pandas()
+        )
+        rows.append((name, int(parts["rows"].sum()), int(parts["keys"].sum())))
+    out = pd.DataFrame(rows, columns=["fk_name", "n_orphan_rows", "n_orphan_keys"])
+    for c in ("n_orphan_rows", "n_orphan_keys"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("fk_name").reset_index(drop=True)
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT fk_name, n_orphan_rows, n_orphan_keys FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS fk_name,
+         CAST(count(*) AS BIGINT) AS n_orphan_rows,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT l_partkey) AS BIGINT)
+  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+) ORDER BY fk_name
+"""
+
+
+def star_join_checksum(sf_dir: str) -> pd.DataFrame:
+    """ETL-materialization audit: order-independent content checksum
+    of the DENORMALIZED fact slice lineitem ⋈ orders (per joined row,
+    md5-lower64 of 'l_orderkey|l_linenumber|o_orderpriority', summed
+    mod 2^61-1) — certifies a star-join materialization byte-for-byte
+    against the warehouse copy without moving either. Both fact
+    tables stream through the bucketed hash join; checksum partials
+    are single ints per batch, Python-int accumulated."""
+    import hashlib
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}), batch_format="pandas"
+    )
+    joined = shuffle_hash_join(
+        li, o, on="l_orderkey", num_buckets=32,
+        left_cols=["l_orderkey", "l_linenumber"],
+        right_cols=["l_orderkey", "o_orderpriority"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = 0
+        n = 0
+        for ok, ln, pr in zip(
+            df["l_orderkey"].astype("int64"), df["l_linenumber"].astype("int64"),
+            df["o_orderpriority"],
+        ):
+            v = int.from_bytes(
+                hashlib.md5(f"{ok}|{ln}|{pr}".encode()).digest()[8:16], "little"
+            )
+            s = (s + v) % _CHECKSUM_MOD
+            n += 1
+        return pd.DataFrame({"n": pd.Series([n], dtype="int64"), "s": pd.Series([s], dtype="int64")})
+
+    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    csum = sum(int(x) for x in parts["s"]) % _CHECKSUM_MOD
+    return pd.DataFrame(
+        {"n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+         "checksum": pd.Series([csum], dtype="int64")}
+    )
+
+
+STAR_JOIN_CHECKSUM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(md5_number_lower(concat(l_orderkey, '|', l_linenumber, '|', o_orderpriority))
+                % 2305843009213693951) % 2305843009213693951 AS BIGINT) AS checksum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""

@@ -111,6 +111,10 @@ SUBSET = [
     "interval_union_coverage",
     "top_terms_per_source",
     "source_vocab_jaccard",
+    "part_skyline",
+    "uniqueness_profile",
+    "referential_integrity",
+    "star_join_checksum",
 ]
 
 
