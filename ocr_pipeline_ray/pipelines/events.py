@@ -1620,3 +1620,49 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(epoch_us(e1) - epoch_us(s0)) AS BIGINT) AS covered_us
 FROM isl GROUP BY user_id ORDER BY user_id
 """
+
+
+def events_time_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-granularity time rollup in ONE scan: hour, day and week
+    tumbling counts emitted as partials from the same pass (the
+    GROUPING SETS analog over event time — one fact read feeds every
+    grain instead of three scans). Week = ISO Monday truncation,
+    matching date_trunc('week')."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _grains(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for grain, trunc in (
+            ("hour", df["ts"].dt.floor("h")),
+            ("day", df["ts"].dt.floor("D")),
+            ("week", (df["ts"] - pd.to_timedelta(df["ts"].dt.dayofweek, unit="D")).dt.floor("D")),
+        ):
+            g = trunc.value_counts().rename_axis("period_start").reset_index(name="n_events")
+            g["grain"] = grain
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)[["grain", "period_start", "n_events"]]
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_grains, batch_format="pandas"),
+            ["grain", "period_start"],
+            {"n_events": ("n_events", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["grain", "period_start"])
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+EVENTS_TIME_ROLLUP_SQL = """
+SELECT grain, period_start, CAST(count(*) AS BIGINT) AS n_events FROM (
+  SELECT 'hour' AS grain, date_trunc('hour', ts) AS period_start FROM events
+  UNION ALL SELECT 'day', date_trunc('day', ts) FROM events
+  UNION ALL SELECT 'week', date_trunc('week', ts) FROM events
+) GROUP BY grain, period_start ORDER BY grain, period_start
+"""

@@ -935,3 +935,41 @@ def kmeans_reference(vec_ids: np.ndarray, m: np.ndarray, k: int = 4, iters: int 
                 cents[ci] = m[a == ci].mean(axis=0)
     d = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)
     return pd.DataFrame({"vec_id": vec_ids, "cluster": d.argmin(axis=1).astype("int64")})
+
+
+def embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label L2-norm profile of the embedding vectors — an
+    ORACLE-checkable vector operator (DuckDB list_transform/list_sum
+    reproduce the same math): per label, vector count and mean norm.
+    Per-batch partials are (label, n, sum_norm) triples from one
+    vectorized numpy reduction over the stacked batch matrix."""
+    import numpy as np
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        out = pd.DataFrame({"label": df["label"].to_numpy(), "norm": norms})
+        return out.groupby("label", as_index=False).agg(
+            n_vecs=("norm", "size"), sum_norm=("norm", "sum")
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("label", as_index=False).agg(
+        n_vecs=("n_vecs", "sum"), sum_norm=("sum_norm", "sum")
+    )
+    out["mean_norm"] = (out["sum_norm"] / out["n_vecs"]).round(4)
+    out = out.drop(columns="sum_norm")
+    out["label"] = out["label"].astype("int64")
+    out["n_vecs"] = out["n_vecs"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+EMBEDDING_NORM_STATS_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS mean_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""

@@ -115,6 +115,8 @@ SUBSET = [
     "uniqueness_profile",
     "referential_integrity",
     "star_join_checksum",
+    "events_time_rollup",
+    "embedding_norm_stats",
 ]
 
 
