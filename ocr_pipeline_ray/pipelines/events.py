@@ -1666,3 +1666,61 @@ SELECT grain, period_start, CAST(count(*) AS BIGINT) AS n_events FROM (
   UNION ALL SELECT 'week', date_trunc('week', ts) FROM events
 ) GROUP BY grain, period_start ORDER BY grain, period_start
 """
+
+
+def chi2_type_dow(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence test between event_type and ISO
+    day-of-week — the statistical-monitoring primitive behind "did the
+    traffic mix shift?" alerts. The contingency counts reduce through
+    one bucketed aggregate (|types| x 7 cells); the tiny densified
+    table computes chi2 = sum((o-e)^2 / e) on the driver with all
+    zero cells contributing their expectation."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": df["event_type"], "dow": (df["ts"].dt.dayofweek + 1).astype("int64")}
+        )
+        return d.groupby(["event_type", "dow"], as_index=False).size().rename(columns={"size": "o"})
+
+    cells = bucketed_aggregate(
+        ds.map_batches(_cells, batch_format="pandas"),
+        ["event_type", "dow"],
+        {"o": ("o", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    pivot = cells.pivot_table(index="event_type", columns="dow", values="o", fill_value=0)
+    # densify onto the full 1..7 dow range (a dow absent EVERYWHERE has
+    # zero column total and contributes nothing — drop it like the SQL
+    # does by building the domain from observed distinct values)
+    o = pivot.to_numpy(dtype=np.float64)
+    n = o.sum()
+    e = o.sum(axis=1, keepdims=True) @ o.sum(axis=0, keepdims=True) / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame(
+        {"chi2": [round(chi2, 4)], "dof": pd.Series([dof], dtype="int64")}
+    )
+
+
+CHI2_TYPE_DOW_SQL = """
+WITH c AS (
+  SELECT event_type, isodow(ts) AS dow, count(*) AS o FROM events GROUP BY 1, 2
+),
+t AS (SELECT DISTINCT event_type FROM c),
+d AS (SELECT DISTINCT dow FROM c),
+f AS (
+  SELECT t.event_type, d.dow, COALESCE(c.o, 0) AS o
+  FROM t CROSS JOIN d LEFT JOIN c ON c.event_type = t.event_type AND c.dow = d.dow
+),
+r AS (SELECT event_type, sum(o) AS rt FROM f GROUP BY 1),
+k AS (SELECT dow, sum(o) AS ct FROM f GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM f)
+SELECT round(sum((f.o - r.rt * k.ct / n.n) * (f.o - r.rt * k.ct / n.n)
+                 / (r.rt * k.ct / n.n)), 4) AS chi2,
+       (SELECT CAST((count(*) - 1) AS BIGINT) FROM t)
+         * (SELECT CAST((count(*) - 1) AS BIGINT) FROM d) AS dof
+FROM f JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN n
+"""

@@ -4950,3 +4950,95 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 % 2305843009213693951) % 2305843009213693951 AS BIGINT) AS checksum
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
+
+
+def median_price_by_flag(sf_dir: str, n_bins: int = 4096) -> pd.DataFrame:
+    """GROUPED exact continuous median — median(l_extendedprice) per
+    l_returnflag — the holistic aggregate that cannot pre-aggregate.
+    Same three-pass histogram refinement as
+    :func:`median_extendedprice`, run for all groups in ONE set of
+    passes: pass 2 bins per (group, bin) cell, pass 3 streams every
+    group's survivor rows together. Driver state: |groups| × n_bins
+    ints plus ~n/n_bins survivor rows."""
+    gcol, col = "l_returnflag", "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", columns=[gcol, col])
+
+    def _extrema(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(gcol, as_index=False)[col].agg(["count", "min", "max"]).rename(
+            columns={"count": "n", "min": "lo", "max": "hi"}
+        )
+
+    ext = ds.map_batches(_extrema, batch_format="pandas").to_pandas()
+    ext = ext.groupby(gcol).agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+    params = {
+        g: (int(r["n"]), float(r["lo"]), float(r["hi"] - r["lo"]) or 1.0)
+        for g, r in ext.iterrows()
+    }
+
+    def _bin_of(g: str, v: np.ndarray) -> np.ndarray:
+        n, lo, width = params[g]
+        return np.clip(((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in df.groupby(gcol, sort=False):
+            cnt = np.bincount(_bin_of(g, sub[col].to_numpy()), minlength=n_bins)
+            nz = np.flatnonzero(cnt)
+            outs.append(pd.DataFrame({gcol: g, "bin": nz.astype("int64"), "cnt": cnt[nz].astype("int64")}))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {gcol: pd.Series(dtype="object"), "bin": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+        )
+
+    hist = (
+        bucketed_aggregate(
+            ds.map_batches(_hist, batch_format="pandas"),
+            [gcol, "bin"],
+            {"cnt": ("cnt", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values([gcol, "bin"])
+    )
+    targets: dict[str, set] = {}
+    below: dict[str, int] = {}
+    ks: dict[str, tuple] = {}
+    for g, sub in hist.groupby(gcol):
+        n = params[g][0]
+        cum = sub["cnt"].cumsum().to_numpy()
+        k1, k2 = (n - 1) // 2, n // 2
+        bins_np = sub["bin"].to_numpy()
+        b1 = int(bins_np[np.searchsorted(cum, k1 + 1)])
+        b2 = int(bins_np[np.searchsorted(cum, k2 + 1)])
+        targets[g] = {b1, b2}
+        i1 = int(np.searchsorted(bins_np, b1))
+        below[g] = int(cum[i1 - 1]) if i1 > 0 else 0
+        ks[g] = (k1, k2)
+
+    def _survivors(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in df.groupby(gcol, sort=False):
+            v = sub[col].to_numpy()
+            keep = np.isin(_bin_of(g, v), list(targets[g]))
+            outs.append(pd.DataFrame({gcol: g, col: v[keep]}))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {gcol: pd.Series(dtype="object"), col: pd.Series(dtype="float64")}
+        )
+
+    surv = ds.map_batches(_survivors, batch_format="pandas").to_pandas()
+    rows = []
+    for g, sub in surv.groupby(gcol):
+        vs = np.sort(sub[col].to_numpy())
+        k1, k2 = ks[g]
+        b = below[g]
+        rows.append((g, round(float((vs[k1 - b] + vs[k2 - b]) / 2.0), ROUND_DECIMALS)))
+    return (
+        pd.DataFrame(rows, columns=[gcol, "median_price"])
+        .sort_values(gcol)
+        .reset_index(drop=True)
+    )
+
+
+MEDIAN_PRICE_BY_FLAG_SQL = """
+SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -2487,3 +2487,73 @@ SELECT i.source_a, i.source_b, CAST(i.n_inter AS BIGINT) AS n_inter,
 FROM i JOIN sz sa ON sa.source = i.source_a JOIN sz sb ON sb.source = i.source_b
 ORDER BY source_a, source_b
 """
+
+
+def length_psi_by_source(sf_dir: str, bucket_chars: int = 200, n_psi_bins: int = 10) -> pd.DataFrame:
+    """Population Stability Index of each source's doc-length
+    distribution against the whole corpus — the drift-monitoring
+    primitive behind "did this crawl slice change shape?" checks.
+    Lengths bin into capped equal-width buckets; per-(source, bin)
+    counts reduce through one bucketed aggregate; the tiny densified
+    grid computes PSI = sum((p - q) * ln(p / q)) with +0.5 smoothing
+    so empty cells stay finite (mirrored exactly in the oracle)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(df["text"].str.len() // bucket_chars, n_psi_bins - 1).astype("int64")
+        d = pd.DataFrame({"source": df["source"], "bin": b})
+        return d.groupby(["source", "bin"], as_index=False).size().rename(columns={"size": "o"})
+
+    cells = bucketed_aggregate(
+        ds.map_batches(_cells, batch_format="pandas"),
+        ["source", "bin"],
+        {"o": ("o", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    pivot = (
+        cells.pivot_table(index="source", columns="bin", values="o", fill_value=0)
+        .reindex(columns=range(n_psi_bins), fill_value=0)
+    )
+    o = pivot.to_numpy(dtype=np.float64)
+    row_n = o.sum(axis=1, keepdims=True)
+    glob = o.sum(axis=0)
+    p = (o + 0.5) / (row_n + 0.5 * n_psi_bins)
+    q = (glob + 0.5) / (glob.sum() + 0.5 * n_psi_bins)
+    psi = ((p - q) * np.log(p / q)).sum(axis=1)
+    return (
+        pd.DataFrame({"source": pivot.index, "psi": np.round(psi, 6)})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+LENGTH_PSI_BY_SOURCE_SQL = """
+WITH b AS (
+  SELECT source,
+         least(CAST(floor(length(text) / 200.0) AS BIGINT), 9) AS bin
+  FROM documents
+),
+c AS (SELECT source, bin, count(*) AS o FROM b GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM documents),
+bins AS (SELECT range AS bin FROM range(10)),
+f AS (
+  SELECT s.source, bb.bin, COALESCE(c.o, 0) AS o
+  FROM srcs s CROSS JOIN bins bb
+  LEFT JOIN c ON c.source = s.source AND c.bin = bb.bin
+),
+tot AS (SELECT source, sum(o) AS n FROM f GROUP BY 1),
+g AS (SELECT bin, sum(o) AS og FROM f GROUP BY 1),
+gn AS (SELECT sum(og) AS n FROM g),
+p AS (
+  SELECT f.source,
+         (f.o + 0.5) / (tot.n + 5.0) AS ps,
+         (g.og + 0.5) / (gn.n + 5.0) AS q
+  FROM f JOIN tot USING (source) JOIN g USING (bin) CROSS JOIN gn
+)
+SELECT source, round(sum((ps - q) * ln(ps / q)), 6) AS psi
+FROM p GROUP BY source ORDER BY source
+"""

@@ -117,6 +117,9 @@ SUBSET = [
     "star_join_checksum",
     "events_time_rollup",
     "embedding_norm_stats",
+    "median_price_by_flag",
+    "chi2_type_dow",
+    "length_psi_by_source",
 ]
 
 
