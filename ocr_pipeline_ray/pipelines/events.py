@@ -1724,3 +1724,99 @@ SELECT round(sum((f.o - r.rt * k.ct / n.n) * (f.o - r.rt * k.ct / n.n)
          * (SELECT CAST((count(*) - 1) AS BIGINT) FROM d) AS dof
 FROM f JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN n
 """
+
+
+def decayed_user_value(sf_dir: str, half_life_hours: float = 24.0) -> pd.DataFrame:
+    """Exponential time-decay aggregate: per user, sum of
+    value * 2^(-(t_ref - ts)/half_life) with t_ref = max(ts) over the
+    stream — the recency-weighted feature behind engagement scores.
+    Pass 1 is a tiny extrema reduce for t_ref; pass 2 emits per-batch
+    per-user partial decayed sums (the decay factors multiply into the
+    batch BEFORE the shuffle, so partials stay additive). Only
+    (user, float) pairs move."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    mx = ds.map_batches(
+        lambda df: pd.DataFrame({"m": [df["ts"].max()]}) if len(df) else pd.DataFrame({"m": []}),
+        batch_format="pandas",
+    ).to_pandas()
+    t_ref = mx["m"].max()
+    ref_us = np.int64(pd.Timestamp(t_ref).value // 1000)
+    hl_us = half_life_hours * 3_600_000_000.0
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        age = ref_us - df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        w = np.exp2(-age / hl_us)
+        out = pd.DataFrame({"user_id": df["user_id"], "dv": df["value"].to_numpy() * w})
+        return out.groupby("user_id", as_index=False)["dv"].sum()
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_partial, batch_format="pandas"),
+            "user_id",
+            {"dv": ("dv", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["decayed_value"] = out["dv"].round(6)
+    return out[["user_id", "decayed_value"]]
+
+
+DECAYED_USER_VALUE_SQL = """
+WITH t AS (SELECT max(ts) AS t_ref FROM events)
+SELECT user_id,
+       round(sum(value * pow(2.0,
+             -(epoch_us(t.t_ref) - epoch_us(ts)) / 86400000000.0)), 6)
+         AS decayed_value
+FROM events, t GROUP BY user_id ORDER BY user_id
+"""
+
+
+def rolling_median_value(sf_dir: str, window: int = 5) -> pd.DataFrame:
+    """Order-statistic window: per event, the median of the user's
+    trailing ``window`` values (fewer at the stream head) — the
+    robust-smoothing counterpart of the rolling mean. ONE user-bucket
+    shuffle; inside a bucket pandas ``rolling(window).median()`` runs
+    per user group in C (the frame never crosses users because the
+    roll is applied per group)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        med = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(window, min_periods=1)
+            .median()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "rolling_median": med.to_numpy().round(4),
+            }
+        )
+
+    out = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _roll(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROLLING_MEDIAN_VALUE_SQL = """
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+FROM events ORDER BY event_id
+"""

@@ -5042,3 +5042,83 @@ MEDIAN_PRICE_BY_FLAG_SQL = """
 SELECT l_returnflag, round(median(l_extendedprice), 4) AS median_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def order_gap_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Order inter-arrival analysis: per customer, the day gaps
+    between consecutive orders (lag over the per-customer order
+    stream), rolled up per market segment — the repeat-purchase-cadence
+    profile that combines a windowed lag, a dimension join and an
+    aggregate in one topology. The lag runs inside coarse CUSTOMER
+    buckets (one shuffle); the per-customer gap partials then join the
+    segment via ONE more bucketed hash join and reduce to
+    |segments| rows."""
+    import numpy as np
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    n_buckets = 16
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["o_custkey"].to_numpy() % n_buckets).astype("int64")
+        return df
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        gap = d[1:] - d[:-1]
+        same = ck[1:] == ck[:-1]
+        out = pd.DataFrame({"o_custkey": ck[1:][same], "gap_days": gap[same]})
+        return out.groupby("o_custkey", as_index=False).agg(
+            n_gaps=("gap_days", "size"), sum_gap=("gap_days", "sum"), max_gap=("gap_days", "max")
+        )
+
+    gaps = (
+        orders.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _gaps(g.drop(columns="__bucket")), batch_format="pandas")
+    )
+    cust_k = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
+    )
+    joined = shuffle_hash_join(
+        gaps, cust_k, on="o_custkey", num_buckets=n_buckets,
+        left_cols=["o_custkey", "n_gaps", "sum_gap", "max_gap"],
+        right_cols=["o_custkey", "c_mktsegment"],
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"), sum_gap=("sum_gap", "sum"), max_gap=("max_gap", "max")
+        )
+
+    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"), sum_gap=("sum_gap", "sum"), max_gap=("max_gap", "max")
+    )
+    out["avg_gap_days"] = (out["sum_gap"] / out["n_gaps"]).round(4)
+    out = out.drop(columns="sum_gap")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["max_gap"] = out["max_gap"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+ORDER_GAP_BY_SEGMENT_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(max(gap_days) AS BIGINT) AS max_gap,
+       round(avg(gap_days), 4) AS avg_gap_days
+FROM g JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -120,6 +120,9 @@ SUBSET = [
     "median_price_by_flag",
     "chi2_type_dow",
     "length_psi_by_source",
+    "decayed_user_value",
+    "rolling_median_value",
+    "order_gap_by_segment",
 ]
 
 
