@@ -1820,3 +1820,106 @@ SELECT event_id, user_id,
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_median
 FROM events ORDER BY event_id
 """
+
+
+def type_cooccurrence_matrix(sf_dir: str) -> pd.DataFrame:
+    """Co-engagement matrix: for every pair of event types, how many
+    users produced BOTH — the exact set-intersection counts behind
+    audience-overlap analysis. Distinct (user, type) pairs reduce
+    through one bucketed pass; within a USER bucket every user
+    contributes its type-pair combinations (types are a tiny enum, so
+    the per-user explosion is bounded); tiny per-pair partial sums
+    return."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().copy()
+        out["one"] = 1
+        return out
+
+    ut = bucketed_aggregate(
+        ds.map_batches(_distinct, batch_format="pandas"),
+        ["user_id", "event_type"],
+        {"one": ("one", "min")},
+        num_buckets=16,
+    )
+
+    def _ubucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "event_type"]].copy()
+        df["__ubucket"] = (df["user_id"].to_numpy() % 16).astype("int64")
+        return df
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return m.groupby(["event_type_x", "event_type_y"], as_index=False).size().rename(
+            columns={"size": "n_users"}
+        )
+
+    parts = (
+        ut.map_batches(_ubucket, batch_format="pandas")
+        .groupby("__ubucket")
+        .map_groups(lambda g: _pairs(g.drop(columns="__ubucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["event_type_x", "event_type_y"], as_index=False)["n_users"].sum()
+    out = out.rename(columns={"event_type_x": "type_a", "event_type_y": "type_b"})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+TYPE_COOCCURRENCE_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def hourly_value_bands(sf_dir: str) -> pd.DataFrame:
+    """Grouped continuous quantiles over time buckets: p50 / p95 of
+    event value per hour (linear interpolation, quantile_cont
+    semantics) — the percentile-band timeseries behind latency/SLO
+    dashboards. Hours are the shuffle key: each hour's values
+    co-locate in one bucket group and the exact interpolated
+    quantiles compute vectorized per hour; only (hour, p50, p95)
+    rows return."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def _hour(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"hour": df["ts"].dt.floor("h"), "value": df["value"]})
+        out["__bucket"] = (
+            out["hour"].astype("int64") // 3_600_000_000_000 % 16
+        ).astype("int64")
+        return out
+
+    def _bands(g: pd.DataFrame) -> pd.DataFrame:
+        q = g.groupby("hour")["value"].quantile([0.5, 0.95]).unstack()
+        return pd.DataFrame(
+            {
+                "hour": q.index,
+                "p50": q[0.5].to_numpy().round(4),
+                "p95": q[0.95].to_numpy().round(4),
+            }
+        )
+
+    out = (
+        ds.map_batches(_hour, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _bands(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+HOURLY_VALUE_BANDS_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -123,6 +123,8 @@ SUBSET = [
     "decayed_user_value",
     "rolling_median_value",
     "order_gap_by_segment",
+    "type_cooccurrence_matrix",
+    "hourly_value_bands",
 ]
 
 
