@@ -1923,3 +1923,47 @@ SELECT date_trunc('hour', ts) AS hour,
        round(quantile_cont(value, 0.95), 4) AS p95
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+def dedup_events_window(sf_dir: str, tol_seconds: int = 60) -> pd.DataFrame:
+    """Streaming retry suppression: within each (user, event_type)
+    stream, an event arriving less than ``tol_seconds`` after its
+    predecessor is treated as an at-least-once duplicate and dropped
+    (gap-based, lag semantics). Reports survivors per type. ONE
+    user-bucket shuffle; the gap test is a single vectorized
+    shift-compare over the bucket with key-boundary masking."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (t[1:] != t[:-1])))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        keep = first | (gap >= tol_seconds * 1_000_000)
+        out = pd.DataFrame({"event_type": t[keep]})
+        return out.groupby("event_type", as_index=False).size().rename(columns={"size": "n_kept"})
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _scan(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", as_index=False)["n_kept"].sum()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+DEDUP_EVENTS_WINDOW_SQL = """
+WITH l AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+FROM l WHERE gap IS NULL OR gap >= 60000000
+GROUP BY event_type ORDER BY event_type
+"""

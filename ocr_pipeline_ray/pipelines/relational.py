@@ -5122,3 +5122,36 @@ FROM g JOIN customer ON o_custkey = c_custkey
 WHERE gap_days IS NOT NULL
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def geo_mean_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Geometric mean of l_extendedprice per l_returnflag —
+    exp(mean(ln x)): the multiplicative-scale aggregate (growth rates,
+    skewed prices). Log-sums are additive, so per-batch (n, sum_ln)
+    partials reduce through the standard tiny combine."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "ln": np.log(df["l_extendedprice"].to_numpy(np.float64))}
+        )
+        return d.groupby("l_returnflag", as_index=False).agg(
+            n=("ln", "size"), sum_ln=("ln", "sum")
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sum_ln=("sum_ln", "sum")
+    )
+    out["geo_mean_price"] = np.exp(out["sum_ln"] / out["n"]).round(4)
+    out = out.drop(columns="sum_ln")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+GEO_MEAN_PRICE_BY_FLAG_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""

@@ -125,6 +125,8 @@ SUBSET = [
     "order_gap_by_segment",
     "type_cooccurrence_matrix",
     "hourly_value_bands",
+    "dedup_events_window",
+    "geo_mean_price_by_flag",
 ]
 
 
