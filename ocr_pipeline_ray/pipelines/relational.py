@@ -5155,3 +5155,36 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def order_value_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of order values — the inequality measure
+    behind workload-skew and revenue-concentration monitoring —
+    computed from the distributed :func:`_global_rank` primitive:
+    with ranks assigned, Gini = sum((2*rk - n - 1) * x) / (n * sum x)
+    is one more pass of additive per-batch partials (the rank makes a
+    holistic statistic pre-aggregable)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = int(ds.count())
+    ranked = _global_rank(ds, "o_totalprice", ["o_orderkey"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(np.float64)
+        rk = df["rank"].to_numpy(np.float64)
+        return pd.DataFrame({"num": [((2.0 * rk - n - 1) * x).sum()], "s": [x.sum()]})
+
+    parts = ranked.map_batches(_partial, batch_format="pandas").to_pandas()
+    gini = float(parts["num"].sum()) / (n * float(parts["s"].sum()))
+    return pd.DataFrame({"gini": [round(gini, 6)]})
+
+
+ORDER_VALUE_GINI_SQL = """
+WITH t AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER () AS n,
+         sum(o_totalprice) OVER () AS s
+  FROM orders
+)
+SELECT round(sum((2.0 * rk - n - 1) * x) / (max(n) * max(s)), 6) AS gini FROM t
+"""

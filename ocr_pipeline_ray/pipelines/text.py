@@ -2557,3 +2557,45 @@ p AS (
 SELECT source, round(sum((ps - q) * ln(ps / q)), 6) AS psi
 FROM p GROUP BY source ORDER BY source
 """
+
+
+def boolean_and_search(sf_dir: str) -> pd.DataFrame:
+    """Boolean retrieval over the corpus: doc_ids containing BOTH of
+    the corpus's two most frequent tokens — the aggregate → broadcast
+    → filter composition (the query terms are themselves derived
+    distributed, then the filter streams with the tiny term set in
+    every batch; the inverted-index lookup path without building the
+    index)."""
+    top2 = set(vocab_top_terms(sf_dir, k=2)["term"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            top2 <= set(TOKEN_RE.findall(s.lower()))
+            for s in df["text"]
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[np.asarray(keep, bool)]})
+
+    import numpy as np  # noqa: F811 — local alias for the closure above
+
+    out = ds.map_batches(_match, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+BOOLEAN_AND_SEARCH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+top2 AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM tok GROUP BY term
+    ORDER BY n DESC, term LIMIT 2
+  )
+)
+SELECT doc_id FROM tok
+WHERE term IN (SELECT term FROM top2)
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+ORDER BY doc_id
+"""

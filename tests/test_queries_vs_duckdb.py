@@ -127,6 +127,8 @@ SUBSET = [
     "hourly_value_bands",
     "dedup_events_window",
     "geo_mean_price_by_flag",
+    "order_value_gini",
+    "boolean_and_search",
 ]
 
 
