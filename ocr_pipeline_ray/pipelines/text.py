@@ -2599,3 +2599,47 @@ WHERE term IN (SELECT term FROM top2)
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
 ORDER BY doc_id
 """
+
+
+def partitioned_write_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Sink surface under the correctness gate: documents stream to a
+    PARTITIONED parquet layout (one directory per source — the
+    resumable-output convention every pipeline here writes), read
+    back per partition, and reconciled as (source, n_docs, n_chars) —
+    the write-audit primitive that certifies a sink against its
+    input. Output goes under /tmp and is re-created per call
+    (deterministic layout, no uuids)."""
+    import os as _os
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    out_dir = "/tmp/ocr_ray_roundtrip"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    ds.write_parquet(out_dir, partition_cols=["source"])
+
+    back = ray.data.read_parquet(out_dir)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_chars=("n_chars", "sum")
+        )
+
+    parts = back.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", as_index=False)[["n_docs", "n_chars"]].sum()
+    out["source"] = out["source"].astype(str)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+PARTITIONED_WRITE_ROUNDTRIP_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY source ORDER BY source
+"""

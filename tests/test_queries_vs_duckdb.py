@@ -129,6 +129,7 @@ SUBSET = [
     "geo_mean_price_by_flag",
     "order_value_gini",
     "boolean_and_search",
+    "partitioned_write_roundtrip",
 ]
 
 
