@@ -5188,3 +5188,40 @@ WITH t AS (
 )
 SELECT round(sum((2.0 * rk - n - 1) * x) / (max(n) * max(s)), 6) AS gini FROM t
 """
+
+
+def top_orders_with_ties(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k WITH TIES (RANK() <= k semantics): every order whose
+    o_totalprice ties the k-th largest is included — the tie-safe
+    variant of sort+limit. Two tiny passes: a per-batch partial top-k
+    reduce finds the k-th value; a streamed filter then keeps ALL
+    rows >= that threshold (so the operator is exact under duplicate
+    prices where plain LIMIT k would drop arbitrary ties)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    kth = partial_topk(ds, by=["o_totalprice"], ascending=[False], k=k)
+    thresh = float(kth["o_totalprice"].iloc[-1])
+
+    out = (
+        ds.map_batches(
+            lambda df: df[df["o_totalprice"] >= thresh], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out
+
+
+def top_orders_with_ties_sql(k: int = 20) -> str:
+    return f"""
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         rank() OVER (ORDER BY o_totalprice DESC) AS rk
+  FROM orders
+) WHERE rk <= {k}
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+TOP_ORDERS_WITH_TIES_SQL = top_orders_with_ties_sql()

@@ -2643,3 +2643,50 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def bucketed_checksums(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """Merkle-style anti-entropy: per key-range bucket
+    (doc_id % n_buckets), row count and order-independent content
+    checksum — the unit two replicas actually exchange to LOCATE a
+    divergent range before `table_diff` drills in (completing the
+    checksum → locate → diff chain). One streamed pass; per-batch
+    per-bucket partials; Python-int accumulate at the combine."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        acc: dict[int, list] = {}
+        for i, txt in zip(ids, t["text"].to_pylist()):
+            b = i % 16
+            v = int.from_bytes(hashlib.md5(txt.encode("utf-8")).digest()[8:16], "little")
+            cur = acc.setdefault(b, [0, 0])
+            cur[0] += 1
+            cur[1] = (cur[1] + v) % _CHECKSUM_MOD
+        return pd.DataFrame(
+            {"bucket": list(acc), "n": [a[0] for a in acc.values()],
+             "s": [a[1] for a in acc.values()]}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for b, grp in parts.groupby("bucket"):
+        rows.append(
+            {"bucket": int(b), "n_rows": int(sum(int(x) for x in grp["n"])),
+             "checksum": int(sum(int(x) for x in grp["s"]) % _CHECKSUM_MOD)}
+        )
+    out = pd.DataFrame(rows, columns=["bucket", "n_rows", "checksum"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+BUCKETED_CHECKSUMS_SQL = """
+SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(md5_number_lower(text) % 2305843009213693951)
+            % 2305843009213693951 AS BIGINT) AS checksum
+FROM documents GROUP BY 1 ORDER BY 1
+"""

@@ -130,6 +130,8 @@ SUBSET = [
     "order_value_gini",
     "boolean_and_search",
     "partitioned_write_roundtrip",
+    "top_orders_with_ties",
+    "bucketed_checksums",
 ]
 
 
