@@ -2660,7 +2660,7 @@ def bucketed_checksums(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
         ids = t["doc_id"].to_pylist()
         acc: dict[int, list] = {}
         for i, txt in zip(ids, t["text"].to_pylist()):
-            b = i % 16
+            b = i % n_buckets
             v = int.from_bytes(hashlib.md5(txt.encode("utf-8")).digest()[8:16], "little")
             cur = acc.setdefault(b, [0, 0])
             cur[0] += 1
