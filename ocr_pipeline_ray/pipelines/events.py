@@ -1967,3 +1967,55 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
 FROM l WHERE gap IS NULL OR gap >= 60000000
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def time_weighted_avg_value(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average (step/ZOH integration): per user, each
+    event's value holds until the next event, so
+    TWA = sum(value_i * (t_{i+1} - t_i)) / (t_last - t_first) — the
+    sensor/metric-rollup semantic where arithmetic means over-weight
+    bursts. ONE user-bucket shuffle; the integration is the same
+    masked shift used by :func:`scd2_state_dwell`; users with a
+    single event are skipped (zero span)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def _twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy(np.float64)
+        nxt = np.roll(ts, -1)
+        closed = np.empty(len(g), dtype=bool)
+        if len(g):
+            closed[:-1] = u[:-1] == u[1:]
+            closed[-1] = False
+        d = pd.DataFrame(
+            {"user_id": u[closed], "num": v[closed] * (nxt - ts)[closed],
+             "den": (nxt - ts)[closed].astype("float64")}
+        )
+        return d.groupby("user_id", as_index=False)[["num", "den"]].sum()
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _twa(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("user_id", as_index=False)[["num", "den"]].sum()
+    out = out[out["den"] > 0]
+    out["twa_value"] = (out["num"] / out["den"]).round(6)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out[["user_id", "twa_value"]].sort_values("user_id").reset_index(drop=True)
+
+
+TIME_WEIGHTED_AVG_VALUE_SQL = """
+WITH s AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa_value
+FROM s WHERE dt IS NOT NULL
+GROUP BY user_id HAVING sum(dt) > 0 ORDER BY user_id
+"""

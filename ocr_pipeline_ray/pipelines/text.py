@@ -2690,3 +2690,67 @@ SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
             % 2305843009213693951 AS BIGINT) AS checksum
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def ks_length_sources(sf_dir: str, src_a: str = "src0", src_b: str = "src1") -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two sources'
+    doc-length distributions — the distribution-equality test behind
+    crawl-slice regression checks. Lengths are integers, so the exact
+    CDFs walk the merged distinct-value domain: per-batch
+    (length, n_a, n_b) partials, ONE bucketed aggregate over the
+    value domain, and the tiny sorted walk takes
+    D = max |F_a - F_b| on the driver."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["source"].isin([src_a, src_b])]
+        d = pd.DataFrame(
+            {"length": df["text"].str.len().astype("int64"), "source": df["source"]}
+        )
+        c = d.groupby(["length", "source"]).size().unstack(fill_value=0)
+        for s in (src_a, src_b):
+            if s not in c.columns:
+                c[s] = 0
+        return pd.DataFrame(
+            {"length": c.index.astype("int64"), "n_a": c[src_a].to_numpy(),
+             "n_b": c[src_b].to_numpy()}
+        )
+
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(_partial, batch_format="pandas"),
+            "length",
+            {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("length")
+    )
+    ta, tb = counts["n_a"].sum(), counts["n_b"].sum()
+    d = float(
+        np.abs(counts["n_a"].cumsum() / ta - counts["n_b"].cumsum() / tb).max()
+    )
+    return pd.DataFrame({"ks_stat": [round(d, 6)]})
+
+
+KS_LENGTH_SOURCES_SQL = """
+WITH d AS (
+  SELECT length(text) AS len, source FROM documents WHERE source IN ('src0', 'src1')
+),
+c AS (
+  SELECT len,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n_b
+  FROM d GROUP BY len
+),
+w AS (
+  SELECT sum(n_a) OVER (ORDER BY len) * 1.0 / (SELECT sum(n_a) FROM c) AS fa,
+         sum(n_b) OVER (ORDER BY len) * 1.0 / (SELECT sum(n_b) FROM c) AS fb
+  FROM c
+)
+SELECT round(max(abs(fa - fb)), 6) AS ks_stat FROM w
+"""

@@ -132,6 +132,8 @@ SUBSET = [
     "partitioned_write_roundtrip",
     "top_orders_with_ties",
     "bucketed_checksums",
+    "time_weighted_avg_value",
+    "ks_length_sources",
 ]
 
 
