@@ -2019,3 +2019,56 @@ SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa_value
 FROM s WHERE dt IS NOT NULL
 GROUP BY user_id HAVING sum(dt) > 0 ORDER BY user_id
 """
+
+
+def cumulative_unique_users(sf_dir: str) -> pd.DataFrame:
+    """Audience growth curve: per day, the cumulative count of
+    DISTINCT users seen so far — the running-distinct semantic that a
+    naive window cannot pre-aggregate but FIRST-SEEN reduction can:
+    min(first day) per user shuffles once (tiny pairs), the per-day
+    new-user counts walk cumulatively on the driver, densified onto
+    the observed day grid."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": df["user_id"], "day": df["ts"].dt.floor("D")})
+        return d.groupby("user_id", as_index=False)["day"].min()
+
+    firsts = bucketed_aggregate(
+        ds.map_batches(_first, batch_format="pandas"),
+        "user_id",
+        {"day": ("day", "min")},
+        num_buckets=16,
+    ).to_pandas()
+
+    days = (
+        ds.map_batches(
+            lambda df: pd.DataFrame({"day": df["ts"].dt.floor("D").unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["day"]
+        .drop_duplicates()
+        .sort_values()
+    )
+    new_per_day = firsts.groupby("day").size()
+    out = pd.DataFrame({"day": days.to_numpy()})
+    out["cum_users"] = (
+        out["day"].map(new_per_day).fillna(0).cumsum().astype("int64")
+    )
+    return out.reset_index(drop=True)
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+),
+nu AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1),
+days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+SELECT days.day,
+       CAST(sum(COALESCE(nu.n_new, 0)) OVER (ORDER BY days.day) AS BIGINT)
+         AS cum_users
+FROM days LEFT JOIN nu ON nu.day = days.day
+ORDER BY days.day
+"""

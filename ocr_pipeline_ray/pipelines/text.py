@@ -2754,3 +2754,41 @@ w AS (
 )
 SELECT round(max(abs(fa - fb)), 6) AS ks_stat FROM w
 """
+
+
+def zipf_slope(sf_dir: str, k: int = 1000) -> pd.DataFrame:
+    """Zipf power-law fit of the vocabulary: OLS slope of ln(count)
+    against ln(rank) over the top-k terms — the corpus-health
+    diagnostic (natural corpora fit ≈ -1; generated or templated text
+    drifts). The term counts come from the same distributed
+    vocabulary reduction as :func:`vocab_top_terms`; the fit runs on
+    the tiny k-row result with the deterministic (count desc, term)
+    rank order mirrored in the oracle's row_number()."""
+    import numpy as np
+
+    top = vocab_top_terms(sf_dir, k=k)
+    n = len(top)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = ((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum()
+    return pd.DataFrame(
+        {"n_terms": pd.Series([n], dtype="int64"), "slope": [round(float(slope), 6)]}
+    )
+
+
+def zipf_slope_sql(k: int = 1000) -> str:
+    return f"""
+WITH c AS (
+  SELECT t.term, count(*) AS n
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term ORDER BY n DESC, term LIMIT {k}
+),
+r AS (SELECT ln(row_number() OVER (ORDER BY n DESC, term)) AS x, ln(n) AS y FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(y, x), 6) AS slope
+FROM r
+"""
+
+
+ZIPF_SLOPE_SQL = zipf_slope_sql()

@@ -134,6 +134,8 @@ SUBSET = [
     "bucketed_checksums",
     "time_weighted_avg_value",
     "ks_length_sources",
+    "cumulative_unique_users",
+    "zipf_slope",
 ]
 
 
