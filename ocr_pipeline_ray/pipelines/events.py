@@ -2072,3 +2072,40 @@ SELECT days.day,
 FROM days LEFT JOIN nu ON nu.day = days.day
 ORDER BY days.day
 """
+
+
+def transition_entropy(sf_dir: str) -> pd.DataFrame:
+    """Conditional entropy H(next | prev) of the user event-type
+    Markov chain, in nats — the predictability diagnostic over the
+    same distributed transition counts as :func:`event_transitions`
+    (the count table is |types|² and tiny; the information-theoretic
+    reduction runs on the driver with the oracle's exact formula
+    H = -sum p(a,b) * ln(c(a,b) / c(a,·)))."""
+    counts = event_transitions(sf_dir)
+    n_total = counts["n"].sum()
+    row_tot = counts.groupby("prev_type")["n"].transform("sum")
+    p_ab = counts["n"] / n_total
+    h = float(-(p_ab * np.log(counts["n"] / row_tot)).sum())
+    return pd.DataFrame(
+        {"n_transitions": pd.Series([int(n_total)], dtype="int64"),
+         "cond_entropy": [round(h, 6)]}
+    )
+
+
+TRANSITION_ENTROPY_SQL = """
+WITH p AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+r AS (SELECT prev_type, sum(n) AS rt FROM c GROUP BY 1),
+t AS (SELECT sum(n) AS nt FROM c)
+SELECT CAST(t.nt AS BIGINT) AS n_transitions,
+       round(-sum((c.n * 1.0 / t.nt) * ln(c.n * 1.0 / r.rt)), 6) AS cond_entropy
+FROM c JOIN r USING (prev_type) CROSS JOIN t
+GROUP BY t.nt
+"""

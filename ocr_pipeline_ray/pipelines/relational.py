@@ -5225,3 +5225,75 @@ ORDER BY o_totalprice DESC, o_orderkey
 
 
 TOP_ORDERS_WITH_TIES_SQL = top_orders_with_ties_sql()
+
+
+def copurchase_lift(sf_dir: str, min_count: int = 3, k: int = 20) -> pd.DataFrame:
+    """Association-rule LIFT over the co-purchase pairs:
+    lift(a,b) = P(a,b) / (P(a) P(b)) with basket = order — the step
+    from co-occurrence counts to rule strength. Pair counts reuse
+    :func:`_copurchase_edges_ds`; singleton basket counts are one
+    bucketed aggregate; both land as TINY tables (HAVING-filtered
+    pairs, |parts| singletons) so the lift join is a driver-side
+    merge over results, not a data shuffle. Top-k by lift
+    (desc, pair asc tie-break)."""
+    import numpy as np
+
+    pairs = _copurchase_edges_ds(sf_dir, min_count).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"part_a": pd.Series(dtype="int64"), "part_b": pd.Series(dtype="int64"),
+             "n_ab": pd.Series(dtype="int64"), "lift": pd.Series(dtype="float64")}
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().copy()
+        out["one"] = 1
+        return out
+
+    op = bucketed_aggregate(
+        li.map_batches(_distinct, batch_format="pandas"),
+        ["l_orderkey", "l_partkey"],
+        {"one": ("one", "min")},
+        num_buckets=16,
+    )
+    singles = (
+        bucketed_aggregate(op, "l_partkey", {"n": ("one", "sum")}, num_buckets=16)
+        .to_pandas()
+        .set_index("l_partkey")["n"]
+    )
+    n_orders = int(_read(sf_dir, "orders", columns=["o_orderkey"]).count())
+
+    na = pairs["part_a"].map(singles).to_numpy(np.float64)
+    nb = pairs["part_b"].map(singles).to_numpy(np.float64)
+    pairs = pairs.copy()
+    pairs["lift"] = (pairs["n"].to_numpy(np.float64) * n_orders / (na * nb)).round(6)
+    out = pairs.rename(columns={"n": "n_ab"}).sort_values(
+        ["lift", "part_a", "part_b"], ascending=[False, True, True]
+    ).head(k)
+    out["part_a"] = out["part_a"].astype("int64")
+    out["part_b"] = out["part_b"].astype("int64")
+    out["n_ab"] = out["n_ab"].astype("int64")
+    return out[["part_a", "part_b", "n_ab", "lift"]].reset_index(drop=True)
+
+
+def copurchase_lift_sql(min_count: int = 3, k: int = 20) -> str:
+    return f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_count}
+),
+s AS (SELECT l_partkey, count(*) AS n FROM d GROUP BY 1),
+no AS (SELECT count(*) AS n FROM orders)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab * 1.0 * no.n / (sa.n * sb.n), 6) AS lift
+FROM p JOIN s sa ON sa.l_partkey = part_a
+       JOIN s sb ON sb.l_partkey = part_b CROSS JOIN no
+ORDER BY lift DESC, part_a, part_b LIMIT {k}
+"""
+
+
+COPURCHASE_LIFT_SQL = copurchase_lift_sql()

@@ -136,6 +136,8 @@ SUBSET = [
     "ks_length_sources",
     "cumulative_unique_users",
     "zipf_slope",
+    "transition_entropy",
+    "copurchase_lift",
 ]
 
 
