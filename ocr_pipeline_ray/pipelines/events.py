@@ -2109,3 +2109,66 @@ SELECT CAST(t.nt AS BIGINT) AS n_transitions,
 FROM c JOIN r USING (prev_type) CROSS JOIN t
 GROUP BY t.nt
 """
+
+
+def bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Bounce rate: the fraction of sessions containing exactly one
+    event (30-min gap sessionization) — the engagement-quality KPI
+    composed from the same vectorized boundary scan as
+    :func:`sessionize`, reduced to per-bucket (n_sessions, n_bounces)
+    partials instead of materializing session rows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        if len(u) == 0:
+            return pd.DataFrame({"n_sessions": [0], "n_bounces": [0]})
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(
+            ([False], (ts[1:] - ts[:-1]) > np.timedelta64(SESSION_GAP_MIN * 60, "s"))
+        )
+        new_sess = new_user | gap
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], len(u))
+        sizes = ends - starts
+        return pd.DataFrame(
+            {"n_sessions": [int(len(starts))], "n_bounces": [int((sizes == 1).sum())]}
+        )
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _count_bucket(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    ns, nb = int(parts["n_sessions"].sum()), int(parts["n_bounces"].sum())
+    return pd.DataFrame(
+        {"n_sessions": pd.Series([ns], dtype="int64"),
+         "n_bounces": pd.Series([nb], dtype="int64"),
+         "bounce_rate": [round(nb / ns, 6) if ns else float("nan")]}
+    )
+
+
+BOUNCE_RATE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sizes AS (SELECT user_id, sid, count(*) AS sz FROM sess GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS bounce_rate
+FROM sizes
+"""

@@ -5297,3 +5297,45 @@ ORDER BY lift DESC, part_a, part_b LIMIT {k}
 
 
 COPURCHASE_LIFT_SQL = copurchase_lift_sql()
+
+
+def top1pct_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration: the share of total order value carried
+    by the top 1% most expensive orders — the heavy-tail diagnostic
+    that pairs with :func:`order_value_gini`. The 99th-percentile
+    threshold comes from the distributed rank primitive's bucket walk
+    (here: exact via :func:`_global_rank` count arithmetic); the
+    conditional sums are one more additive pass."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = int(ds.count())
+    ranked = _global_rank(ds, "o_totalprice", ["o_orderkey"])
+    cutoff_rank = n - max(n // 100, 1)  # top 1% = rank > cutoff
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(np.float64)
+        top = df["rank"].to_numpy() > cutoff_rank
+        return pd.DataFrame(
+            {"top_sum": [x[top].sum()], "all_sum": [x.sum()], "n_top": [int(top.sum())]}
+        )
+
+    parts = ranked.map_batches(_partial, batch_format="pandas").to_pandas()
+    share = float(parts["top_sum"].sum()) / float(parts["all_sum"].sum())
+    return pd.DataFrame(
+        {"n_top": pd.Series([int(parts["n_top"].sum())], dtype="int64"),
+         "share": [round(share, 6)]}
+    )
+
+
+TOP1PCT_REVENUE_SHARE_SQL = """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM orders
+)
+SELECT CAST(sum(CASE WHEN rk > n - greatest(n // 100, 1) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top,
+       round(sum(CASE WHEN rk > n - greatest(n // 100, 1) THEN o_totalprice ELSE 0 END)
+             / sum(o_totalprice), 6) AS share
+FROM r
+"""

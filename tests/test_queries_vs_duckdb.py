@@ -138,6 +138,8 @@ SUBSET = [
     "zipf_slope",
     "transition_entropy",
     "copurchase_lift",
+    "top1pct_revenue_share",
+    "bounce_rate",
 ]
 
 
