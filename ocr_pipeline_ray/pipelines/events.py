@@ -2172,3 +2172,129 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
          AS bounce_rate
 FROM sizes
 """
+
+
+def asof_next_order(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join: for each event, the EARLIEST order of that
+    customer with o_orderdate >= ts (ties -> min o_orderkey) — the
+    "what did this touchpoint convert into" direction that completes
+    the as-of family. Identical two-sided bucket topology to
+    :func:`asof_latest_order`; only the merge_asof direction and the
+    tie-side sort flip."""
+    def _tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("float64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "o_orderkey": np.nan,
+                "o_orderdate": pd.NaT,
+            }
+        )
+        out["o_orderdate"] = out["o_orderdate"].astype(df["ts"].dtype)
+        out["__bucket"] = (out["user_id"].to_numpy() % N_USER_BUCKETS).astype("int64")
+        out["__side"] = "e"
+        return out
+
+    def _tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": np.nan,
+                "user_id": df["o_custkey"].astype("int64"),
+                "ts": pd.NaT,
+                "o_orderkey": df["o_orderkey"].astype("float64"),
+                "o_orderdate": df["o_orderdate"],
+            }
+        )
+        out["ts"] = out["ts"].astype(df["o_orderdate"].dtype)
+        out["__bucket"] = (out["user_id"].to_numpy() % N_USER_BUCKETS).astype("int64")
+        out["__side"] = "o"
+        return out
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        _tag_events, batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _tag_orders, batch_format="pandas"
+    )
+
+    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["__side"] == "e"][["event_id", "user_id", "ts"]].sort_values("ts")
+        # forward + ascending (date, orderkey) -> first match = min key
+        od = g[g["__side"] == "o"][["user_id", "o_orderkey", "o_orderdate"]].sort_values(
+            ["o_orderdate", "o_orderkey"]
+        )
+        out = pd.merge_asof(
+            ev, od, left_on="ts", right_on="o_orderdate", by="user_id",
+            direction="forward",
+        )
+        return out[["event_id", "user_id", "o_orderkey"]]
+
+    out = (
+        events.union(orders)
+        .groupby("__bucket")
+        .map_groups(_asof_bucket, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("float64")
+    return out[["event_id", "user_id", "o_orderkey"]]
+
+
+ASOF_NEXT_ORDER_SQL = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+)
+SELECT event_id, user_id, CAST(o_orderkey AS DOUBLE) AS o_orderkey
+FROM j WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def centered_moving_avg(sf_dir: str, half: int = 2) -> pd.DataFrame:
+    """Centered smoothing window: per event, the mean of the user's
+    values over ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING (partial at
+    the stream edges) — the symmetric-frame variant the trailing
+    windows don't cover. ONE user-bucket shuffle; pandas
+    rolling(center=True) runs per user group in C."""
+    window = 2 * half + 1
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        sm = (
+            g.groupby("user_id", sort=False)["value"]
+            .rolling(window, center=True, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "smoothed": sm.to_numpy().round(6),
+            }
+        )
+
+    out = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _roll(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+CENTERED_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smoothed
+FROM events ORDER BY event_id
+"""

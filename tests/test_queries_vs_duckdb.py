@@ -140,6 +140,8 @@ SUBSET = [
     "copurchase_lift",
     "top1pct_revenue_share",
     "bounce_rate",
+    "asof_next_order",
+    "centered_moving_avg",
 ]
 
 
