@@ -5258,8 +5258,15 @@ def copurchase_lift(sf_dir: str, min_count: int = 3, k: int = 20) -> pd.DataFram
         {"one": ("one", "min")},
         num_buckets=16,
     )
+    # only parts that appear in a surviving pair need counts — filter
+    # the singleton aggregate distributed (broadcast the small pair-id
+    # set) instead of materializing |parts| rows on the driver
+    pair_ids = set(pairs["part_a"]) | set(pairs["part_b"])
     singles = (
         bucketed_aggregate(op, "l_partkey", {"n": ("one", "sum")}, num_buckets=16)
+        .map_batches(
+            lambda df: df[df["l_partkey"].isin(pair_ids)], batch_format="pandas"
+        )
         .to_pandas()
         .set_index("l_partkey")["n"]
     )
