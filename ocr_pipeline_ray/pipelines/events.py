@@ -2298,3 +2298,66 @@ SELECT event_id, user_id,
              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smoothed
 FROM events ORDER BY event_id
 """
+
+
+def user_type_bitmask(sf_dir: str) -> pd.DataFrame:
+    """Bitmask aggregate: per user, an int64 whose bit i is set iff
+    the user produced the i-th event type (types indexed in sorted
+    order) — the compact engagement-profile encoding behind audience
+    segmentation joins. The tiny type dimension derives distributed,
+    broadcasts as an index map, and the per-user single-bit masks
+    dedup-and-sum through ONE bucket shuffle (equal to the bitwise OR
+    — associative, commutative, mergeable like sums)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = sorted(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"t": df["event_type"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["t"]
+        .unique()
+    )
+    idx = {t: i for i, t in enumerate(types)}
+
+    def _or_reduce(d: pd.DataFrame) -> pd.DataFrame:
+        # bitwise OR is not in bucketed_aggregate's named-fn set, but
+        # for a one-bit-per-row encoding OR(group) == max over the
+        # per-(user, bit) dedup — simpler: groupby + np.bitwise_or
+        # via the sum of DISTINCT single-bit masks
+        dd = d.drop_duplicates(["user_id", "mask"])
+        return dd.groupby("user_id", as_index=False)["mask"].sum()
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": df["user_id"],
+             "mask": np.left_shift(np.int64(1), df["event_type"].map(idx).to_numpy("int64"))}
+        )
+        # keep single-bit masks through the shuffle: the combine
+        # dedups (user, bit) and sums — equal to the bitwise OR
+        d = d.drop_duplicates()
+        d["__bucket"] = (d["user_id"].to_numpy() % 16).astype("int64")
+        return d
+
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _or_reduce(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out = out.rename(columns={"mask": "type_mask"})
+    out["type_mask"] = out["type_mask"].astype("int64")
+    return out
+
+
+USER_TYPE_BITMASK_SQL = """
+WITH t AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT user_id, CAST(bit_or(1 << t.idx) AS BIGINT) AS type_mask
+FROM events e JOIN t USING (event_type)
+GROUP BY user_id ORDER BY user_id
+"""

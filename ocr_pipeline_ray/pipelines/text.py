@@ -2792,3 +2792,42 @@ FROM r
 
 
 ZIPF_SLOPE_SQL = zipf_slope_sql()
+
+
+def doc_length_percentile(sf_dir: str) -> pd.DataFrame:
+    """Quantile-transform feature: each document's length mapped to
+    its corpus percent_rank ((rank-1)/(n-1)) — the normalization that
+    makes length filters SF-invariant. Reuses the distributed
+    global-rank primitive over the documents table (ranks by
+    (length, doc_id) — the deterministic tie-break mirrored in the
+    oracle's ORDER BY)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import _global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "length": df["text"].str.len().astype("float64")}
+        ),
+        batch_format="pandas",
+    )
+    n = int(ds.count())
+    ranked = _global_rank(ds, "length", ["doc_id"])
+
+    def _pct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype("int64"),
+             "length_pct": ((df["rank"].to_numpy(np.float64) - 1) / (n - 1)).round(6)}
+        )
+
+    out = ranked.map_batches(_pct, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_LENGTH_PERCENTILE_SQL = """
+SELECT doc_id,
+       round((row_number() OVER (ORDER BY length(text), doc_id) - 1) * 1.0
+             / (count(*) OVER () - 1), 6) AS length_pct
+FROM documents ORDER BY doc_id
+"""

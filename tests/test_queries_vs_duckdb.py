@@ -142,6 +142,8 @@ SUBSET = [
     "bounce_rate",
     "asof_next_order",
     "centered_moving_avg",
+    "doc_length_percentile",
+    "user_type_bitmask",
 ]
 
 
