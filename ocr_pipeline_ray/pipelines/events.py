@@ -2361,3 +2361,80 @@ SELECT user_id, CAST(bit_or(1 << t.idx) AS BIGINT) AS type_mask
 FROM events e JOIN t USING (event_type)
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def top_session_paths(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Path mining: the k most common 3-step event-type paths taken
+    WITHIN a session (30-min gap sessionization) — transitions tell
+    you edges, paths tell you flows. The trigram extraction is two
+    vectorized shifts over the session-bounded stream inside each
+    user bucket; (path, count) partials reduce through the bucketed
+    aggregate and a partial top-k. Tie-break: count desc, path asc."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(u) < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [], "n": []})
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(
+            ([False], (ts[1:] - ts[:-1]) > np.timedelta64(SESSION_GAP_MIN * 60, "s"))
+        )
+        new_sess = new_user | gap
+        sess = np.cumsum(new_sess)  # session ordinal in bucket
+        same3 = (sess[:-2] == sess[1:-1]) & (sess[1:-1] == sess[2:])
+        d = pd.DataFrame(
+            {"t1": et[:-2][same3], "t2": et[1:-1][same3], "t3": et[2:][same3]}
+        )
+        out = d.groupby(["t1", "t2", "t3"], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    totals = bucketed_aggregate(
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _trigrams(g.drop(columns="__bucket")), batch_format="pandas"),
+        ["t1", "t2", "t3"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    )
+    out = partial_topk(totals, by=["n", "t1", "t2", "t3"], ascending=[False, True, True, True], k=k)
+    out["n"] = out["n"].astype("int64")
+    return out[["t1", "t2", "t3", "n"]].reset_index(drop=True)
+
+
+def top_session_paths_sql(k: int = 10) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+tri AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w2 AS t2,
+         lead(event_type, 2) OVER w2 AS t3,
+         sid,
+         lead(sid, 2) OVER w2 AS sid3
+  FROM sess WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE sid3 = sid
+GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT {k}
+"""
+
+
+TOP_SESSION_PATHS_SQL = top_session_paths_sql()

@@ -5346,3 +5346,92 @@ SELECT CAST(sum(CASE WHEN rk > n - greatest(n // 100, 1) THEN 1 ELSE 0 END) AS B
              / sum(o_totalprice), 6) AS share
 FROM r
 """
+
+
+def price_percentiles_exact(sf_dir: str, ps=(0.9, 0.99), n_bins: int = 4096) -> pd.DataFrame:
+    """EXACT interpolated (quantile_cont) percentiles of
+    l_extendedprice at arbitrary p — the generalization of
+    :func:`median_extendedprice` to any order statistic: for each p
+    the target indices are h = (n-1)p -> floor/ceil order statistics,
+    located by the same three-pass histogram refinement; interpolation
+    x_lo + (h - floor(h)) * (x_hi - x_lo) happens on the driver with
+    the exact survivor values."""
+    col = "l_extendedprice"
+    ds = _read(sf_dir, "lineitem", columns=[col])
+
+    def _extrema(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        if len(v) == 0:
+            return pd.DataFrame({"n": [], "lo": [], "hi": []})
+        return pd.DataFrame({"n": [len(v)], "lo": [float(v.min())], "hi": [float(v.max())]})
+
+    parts = ds.map_batches(_extrema, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    width = (hi - lo) or 1.0
+
+    def _bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bin_of(df[col].to_numpy())
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"bin": nz.astype("int64"), "cnt": cnt[nz].astype("int64")})
+
+    hist = (
+        bucketed_aggregate(
+            ds.map_batches(_hist, batch_format="pandas"),
+            "bin",
+            {"cnt": ("cnt", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    bins_np = hist["bin"].to_numpy()
+
+    # order statistics needed (0-based): floor(h), ceil(h) per p
+    ks = sorted({int(np.floor((n - 1) * p)) for p in ps}
+                | {int(np.ceil((n - 1) * p)) for p in ps})
+    targets = set()
+    below_of = {}
+    for k in ks:
+        i = int(np.searchsorted(cum, k + 1))
+        b = int(bins_np[i])
+        targets.add(b)
+        below_of[k] = int(cum[i - 1]) if i > 0 else 0
+
+    def _survivors(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        b = _bin_of(v)
+        keep = np.isin(b, list(targets))
+        return pd.DataFrame({col: v[keep], "bin": b[keep]})
+
+    surv = ds.map_batches(_survivors, batch_format="pandas").to_pandas()
+    val_of = {}
+    for k in ks:
+        i = int(np.searchsorted(cum, k + 1))
+        b = int(bins_np[i])
+        vs = np.sort(surv.loc[surv["bin"] == b, col].to_numpy())
+        val_of[k] = float(vs[k - below_of[k]])
+
+    rows = []
+    for p in ps:
+        h = (n - 1) * p
+        k_lo, k_hi = int(np.floor(h)), int(np.ceil(h))
+        v = val_of[k_lo] + (h - k_lo) * (val_of[k_hi] - val_of[k_lo])
+        rows.append((p, round(v, ROUND_DECIMALS)))
+    return pd.DataFrame(rows, columns=["p", "price"]).reset_index(drop=True)
+
+
+PRICE_PERCENTILES_EXACT_SQL = """
+SELECT p, price FROM (
+  SELECT 0.9 AS p, round(quantile_cont(l_extendedprice, 0.9), 4) AS price
+  FROM lineitem
+  UNION ALL
+  SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem
+) ORDER BY p
+"""

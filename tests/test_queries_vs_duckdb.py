@@ -144,6 +144,8 @@ SUBSET = [
     "centered_moving_avg",
     "doc_length_percentile",
     "user_type_bitmask",
+    "price_percentiles_exact",
+    "top_session_paths",
 ]
 
 
