@@ -5435,3 +5435,38 @@ SELECT p, price FROM (
   SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 4) FROM lineitem
 ) ORDER BY p
 """
+
+
+def systematic_sample_orders(sf_dir: str, step: int = 500) -> pd.DataFrame:
+    """Systematic (every k-th) sampling over the VALUE-sorted stream:
+    orders at ranks 1, 1+step, 1+2*step ... of o_totalprice — the
+    stratified-by-construction design whose sample spans the full
+    distribution (hash sampling can't guarantee that). One pass of
+    the distributed rank primitive, then a stateless filter."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked = _global_rank(ds, "o_totalprice", ["o_orderkey"])
+
+    out = (
+        ranked.map_batches(
+            lambda df: df[(df["rank"] - 1) % step == 0], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out[["rank", "o_orderkey", "o_totalprice"]]
+
+
+def systematic_sample_orders_sql(step: int = 500) -> str:
+    return f"""
+SELECT rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+  FROM orders
+) WHERE (rank - 1) % {step} = 0 ORDER BY rank
+"""
+
+
+SYSTEMATIC_SAMPLE_ORDERS_SQL = systematic_sample_orders_sql()

@@ -2831,3 +2831,54 @@ SELECT doc_id,
              / (count(*) OVER () - 1), 6) AS length_pct
 FROM documents ORDER BY doc_id
 """
+
+
+def partition_skew_report(sf_dir: str, bucket_chars: int = 400) -> pd.DataFrame:
+    """Partition-planning diagnostic: if the corpus were partitioned
+    by (source, length-band), how balanced would the partitions be?
+    Reports partition count, max/mean partition sizes and the skew
+    factor max/mean — the pre-flight check before choosing a
+    partitioning key at scale (a skew factor of k means the slowest
+    worker does k× the average work). One bucketed count, tiny driver
+    arithmetic."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"source": df["source"],
+             "band": (df["text"].str.len() // bucket_chars).astype("int64")}
+        )
+        return d.groupby(["source", "band"], as_index=False).size().rename(columns={"size": "n"})
+
+    cells = bucketed_aggregate(
+        ds.map_batches(_cells, batch_format="pandas"),
+        ["source", "band"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    sizes = cells["n"].to_numpy(np.float64)
+    return pd.DataFrame(
+        {
+            "n_partitions": pd.Series([len(sizes)], dtype="int64"),
+            "max_rows": pd.Series([int(sizes.max())], dtype="int64"),
+            "mean_rows": [round(float(sizes.mean()), 4)],
+            "skew_factor": [round(float(sizes.max() / sizes.mean()), 4)],
+        }
+    )
+
+
+PARTITION_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT source, length(text) // 400 AS band, count(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       round(avg(n), 4) AS mean_rows,
+       round(max(n) / avg(n), 4) AS skew_factor
+FROM c
+"""

@@ -146,6 +146,8 @@ SUBSET = [
     "user_type_bitmask",
     "price_percentiles_exact",
     "top_session_paths",
+    "systematic_sample_orders",
+    "partition_skew_report",
 ]
 
 
