@@ -2438,3 +2438,127 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT {k}
 
 
 TOP_SESSION_PATHS_SQL = top_session_paths_sql()
+
+
+def event_pair_window_counts(sf_dir: str, window_min: int = 5) -> pd.DataFrame:
+    """Banded (interval) SELF-JOIN: ordered pairs of events by the
+    same user where the second strictly follows the first (by
+    ``(ts, event_id)``) within ``window_min`` minutes, counted per
+    ``(t_from, t_to)`` type pair — the co-occurrence join behind
+    attribution and next-action models. A theta join Ray Data has no
+    operator for; expressed as ONE user-bucket shuffle + a fully
+    vectorized two-pointer pair expansion per bucket:
+
+    - within a bucket, rows sort by ``(user_id, ts, event_id)`` and
+      each user's timestamps are remapped onto a per-user offset line
+      (``user_ordinal * BIG + (ts - lo)`` with ``BIG > range + W``),
+      making the key array GLOBALLY monotone while guaranteeing no
+      window ever crosses a user boundary;
+    - ``np.searchsorted(key, key - W)`` then yields every pair's left
+      boundary in one call, and the (i, j) index expansion is
+      ``np.repeat``/``cumsum`` arithmetic — no per-user loop, no
+      per-row Python. Pair volume is bounded by the window width
+      (events/user/window), not by n², so the expansion stays linear
+      at stream scale.
+
+    Per-bucket partial (t_from, t_to, n) counts are tiny (<= buckets
+    x types^2 rows) and combine on the driver.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    w_us = np.int64(window_min * 60 * 1_000_000)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"t_from": [], "t_to": [], "n": []})
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        et = g["event_type"].to_numpy()
+        # per-user monotone offset line: windows can't cross users
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        user_ord = np.cumsum(new_user) - 1
+        lo = ts.min()
+        big = np.int64(ts.max() - lo) + w_us + 1
+        key = user_ord * big + (ts - lo)
+        left = np.searchsorted(key, key - w_us, side="left")
+        cnt = np.arange(n, dtype="int64") - left
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({"t_from": [], "t_to": [], "n": []})
+        j_idx = np.repeat(np.arange(n, dtype="int64"), cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        i_idx = np.arange(total, dtype="int64") - np.repeat(starts, cnt) + np.repeat(left, cnt)
+        d = pd.DataFrame({"t_from": et[i_idx], "t_to": et[j_idx]})
+        out = d.groupby(["t_from", "t_to"], as_index=False).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _pairs(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["t_from", "t_to"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["t_from", "t_to"]).reset_index(drop=True)
+
+
+def event_pair_window_sql(window_min: int = 5) -> str:
+    return f"""
+SELECT e1.event_type AS t_from, e2.event_type AS t_to,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND (e2.ts > e1.ts OR (e2.ts = e1.ts AND e2.event_id > e1.event_id))
+ AND e2.ts <= e1.ts + INTERVAL {window_min} MINUTE
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EVENT_PAIR_WINDOW_SQL = event_pair_window_sql()
+
+
+def mode_event_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE: each user's most frequent event type (ties ->
+    lexicographically smallest type), with its count. The exact mode
+    is not sum-decomposable, but (user, type) COUNTs are: one
+    :func:`bucketed_aggregate` over the high-cardinality composite
+    key, then a user-bucket shuffle where the per-user argmax is a
+    single vectorized sort + ``drop_duplicates`` over the whole
+    bucket (no per-user Python). Only (user, type, n) count rows —
+    already reduced — move through the second shuffle."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = bucketed_aggregate(
+        ds, ["user_id", "event_type"], {"n": ("event_type", "size")}
+    ).map_batches(lambda df: df.drop(columns="__bucket", errors="ignore"), batch_format="pandas")
+
+    def _argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+        out = g.drop_duplicates("user_id")[["user_id", "event_type", "n"]]
+        return out.rename(columns={"event_type": "mode_type"})
+
+    out = (
+        counts.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _argmax(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+MODE_EVENT_TYPE_SQL = """
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1 ORDER BY user_id
+"""
