@@ -2882,3 +2882,53 @@ SELECT CAST(count(*) AS BIGINT) AS n_partitions,
        round(max(n) / avg(n), 4) AS skew_factor
 FROM c
 """
+
+
+def tar_shard_roundtrip(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """WebDataset-style tar sink under the correctness gate: documents
+    stream into ``n_shards`` byte-reproducible tar shards (one task
+    per shard, stdlib tarfile — the training-corpus wire format), are
+    read BACK one-task-per-shard, and reconcile as per-shard
+    (n_docs, n_chars) against a direct scan of the source table. The
+    same write-audit primitive as :func:`partitioned_write_roundtrip`
+    over a non-parquet, sample-per-member format. Deterministic layout
+    under /tmp, re-created per call."""
+    import shutil as _shutil
+
+    from ocr_pipeline_ray.sources.tarshard import read_tar_shards, write_tar_shards
+
+    out_dir = "/tmp/ocr_ray_tar_shards"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    write_tar_shards(ds, out_dir, n_shards=n_shards)
+
+    back = read_tar_shards(out_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"shard": (df["doc_id"].to_numpy() % n_shards).astype("int64"),
+             "n_chars": df["text"].str.len().to_numpy("int64")}
+        )
+        return d.groupby("shard", as_index=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum")
+        )
+
+    parts = back.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("shard", as_index=False)[["n_docs", "n_chars"]].sum()
+    out["shard"] = out["shard"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+def tar_shard_roundtrip_sql(n_shards: int = 8) -> str:
+    return f"""
+SELECT CAST(doc_id % {n_shards} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+TAR_SHARD_ROUNDTRIP_SQL = tar_shard_roundtrip_sql()

@@ -42,3 +42,26 @@ def test_visual_ppm_sink(small_corpus, tmp_path):
         assert img.shape[0] == 7 + 2 + 8 * len(gold[doc_id])
     written = sorted(os.listdir(tmp_path / "viz"))
     assert len(written) == 12
+
+
+def test_tar_shard_roundtrip_bytes(tmp_path):
+    """Tar shards are byte-reproducible (zeroed mtimes, sorted member
+    order) and the reader inverts the writer exactly."""
+    import pandas as pd
+
+    from ocr_pipeline_ray.sources.tarshard import read_tar_shards, write_tar_shards
+
+    df = pd.DataFrame(
+        {"doc_id": list(range(20)), "text": [f"doc {i} bodyé" for i in range(20)]}
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = write_tar_shards(ray.data.from_pandas(df), d1, n_shards=4)
+    m2 = write_tar_shards(ray.data.from_pandas(df.sample(frac=1, random_state=0)), d2, n_shards=4)
+    assert m1["n_members"].sum() == 20
+    for i in range(4):
+        b1 = (tmp_path / "a" / f"shard-{i:05d}.tar").read_bytes()
+        b2 = (tmp_path / "b" / f"shard-{i:05d}.tar").read_bytes()
+        assert b1 == b2  # input order must not leak into shard bytes
+
+    back = read_tar_shards(d1).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back.equals(df.astype({"doc_id": "int64"}))
