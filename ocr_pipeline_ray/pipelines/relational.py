@@ -5470,3 +5470,224 @@ SELECT rank, o_orderkey, o_totalprice FROM (
 
 
 SYSTEMATIC_SAMPLE_ORDERS_SQL = systematic_sample_orders_sql()
+
+
+def rfm_segment_cells(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the
+    marketing-analytics standard: per-customer order aggregates score
+    into quartiles on each of the three axes and customers roll up
+    into (r_q, f_q, m_q) segment cells with count + cell revenue.
+
+    Shape: ONE bucketed aggregate reduces the orders fact to
+    customer-cardinality RFM rows; THREE :func:`_global_rank` passes
+    (range buckets + prefix offsets — no global sort) score the axes;
+    the three rank streams union with a side tag, co-locate by ONE
+    custkey-bucket shuffle, pivot to (custkey, r_q, f_q, m_q)
+    vectorized per bucket, and reduce to <=64 cells per bucket before
+    the tiny driver combine. Quartile = (rank-1)*4 // n on both sides
+    (same formula as :func:`price_deciles`)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    max_date = pd.Timestamp(ds.max("o_orderdate"))
+    per_cust = bucketed_aggregate(
+        ds,
+        "o_custkey",
+        {
+            "last_order": ("o_orderdate", "max"),
+            "frequency": ("o_orderdate", "size"),
+            "monetary": ("o_totalprice", "sum"),
+        },
+    )
+
+    def _add_recency(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bucket", errors="ignore").copy()
+        df["recency_days"] = (
+            (max_date - df["last_order"]).dt.days.astype("int64")
+        )
+        return df.drop(columns="last_order")
+
+    rfm = per_cust.map_batches(_add_recency, batch_format="pandas").materialize()
+    n = rfm.count()
+
+    def _quartiles(col: str, side: str):
+        ranked = _global_rank(rfm.select_columns(["o_custkey", col]), col, ["o_custkey"])
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            q = ((df["rank"].to_numpy() - 1) * 4) // n
+            return pd.DataFrame(
+                {"o_custkey": df["o_custkey"].to_numpy("int64"),
+                 # float64 so the union with the monetary side is
+                 # schema-stable; quartile ints are exact in float64
+                 "q": q.astype("float64"), "side": side}
+            )
+
+        return ranked.map_batches(f, batch_format="pandas")
+
+    tagged = (
+        _quartiles("recency_days", "r")
+        .union(_quartiles("frequency", "f"))
+        .union(_quartiles("monetary", "m"))
+    )
+    money = rfm.select_columns(["o_custkey", "monetary"])
+
+    n_pair_buckets = 32
+
+    def _pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb"] = (df["o_custkey"].to_numpy() % n_pair_buckets).astype("int64")
+        return df
+
+    def _money_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": df["o_custkey"].to_numpy("int64"),
+             "q": df["monetary"].to_numpy("float64"), "side": "$"}
+        )
+
+    both = tagged.union(money.map_batches(_money_side, batch_format="pandas"))
+
+    def _cells(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index="o_custkey", columns="side", values="q",
+                             aggfunc="first")
+        out = (
+            pd.DataFrame(
+                {"r_q": wide["r"].astype("int64"), "f_q": wide["f"].astype("int64"),
+                 "m_q": wide["m"].astype("int64"), "monetary": wide["$"]}
+            )
+            .groupby(["r_q", "f_q", "m_q"], as_index=False)
+            .agg(n_customers=("monetary", "size"), cell_revenue=("monetary", "sum"))
+        )
+        return out
+
+    parts = (
+        both.map_batches(_pb, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(lambda g: _cells(g.drop(columns="__pb")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["r_q", "f_q", "m_q"], as_index=False).agg(
+        n_customers=("n_customers", "sum"), cell_revenue=("cell_revenue", "sum")
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["cell_revenue"] = out["cell_revenue"].round(2)
+    return out.sort_values(["r_q", "f_q", "m_q"]).reset_index(drop=True)
+
+
+RFM_SEGMENT_CELLS_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS frequency,
+         sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT monetary,
+    (ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) - 1) * 4
+        // (count(*) OVER ()) AS r_q,
+    (ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1) * 4
+        // (count(*) OVER ()) AS f_q,
+    (ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) - 1) * 4
+        // (count(*) OVER ()) AS m_q
+  FROM base
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(monetary), 2) AS cell_revenue
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def frequent_part_triples(
+    sf_dir: str, min_count: int = 2, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Frequent 3-itemsets over order baskets (the Apriori step past
+    :func:`part_copurchase_pairs`' pairs): part triples bought
+    together in >= ``min_count`` orders.
+
+    Scale shape — the O(k^3)-per-basket expansion is the hazard, so a
+    LEVEL-1 APRIORI PRUNE runs first, exactly and distributed: one
+    order-bucket shuffle dedups (order, part) and counts orders per
+    part; parts below ``min_count`` support cannot appear in a
+    frequent triple (anti-monotonicity) and are filtered out of the
+    stream BEFORE expansion via a broadcast `ray.put` frequent-item
+    set (`pc.is_in` per batch — the small side ships once per node,
+    not per batch). The surviving baskets then expand to ordered
+    triples (p1<p2<p3) with two vectorized pandas self-merges inside
+    each order bucket — no per-order Python — and triple counts reduce
+    through the bucketed high-cardinality aggregate with a HAVING
+    filter. Only (triple, count) survivors reach the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+
+    def _obucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["l_orderkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    # pass 1: exact per-part order support (dedup inside the order
+    # bucket — an order's rows co-locate, so drop_duplicates is exact)
+    support = bucketed_aggregate(
+        ds.map_batches(_obucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: g.drop(columns="__bucket").drop_duplicates(),
+            batch_format="pandas",
+        ),
+        "l_partkey",
+        {"n_orders": ("l_orderkey", "size")},
+    )
+    freq = support.map_batches(
+        lambda df: df.loc[df["n_orders"] >= min_count, ["l_partkey"]],
+        batch_format="pandas",
+    ).to_pandas()
+    freq_ref = ray.put(np.sort(freq["l_partkey"].to_numpy("int64")))
+
+    def _prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_partkey"], value_set=pa.array(ray.get(freq_ref)))
+        return t.filter(keep)
+
+    def _triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").drop_duplicates()
+        g = g.rename(columns={"l_partkey": "p"})
+        m = g.merge(g, on="l_orderkey", suffixes=("1", "2"))
+        m = m[m["p1"] < m["p2"]]
+        t = m.merge(g, on="l_orderkey")
+        t = t[t["p2"] < t["p"]].rename(columns={"p": "p3"})
+        out = t.groupby(["p1", "p2", "p3"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return out
+
+    totals = bucketed_aggregate(
+        ds.map_batches(_prune, batch_format="pyarrow")
+        .map_batches(_obucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_triples, batch_format="pandas"),
+        ["p1", "p2", "p3"],
+        {"n": ("n", "sum")},
+    )
+    out = totals.map_batches(
+        lambda df: df.loc[df["n"] >= min_count, ["p1", "p2", "p3", "n"]],
+        batch_format="pandas",
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["p1", "p2", "p3"]).reset_index(drop=True)
+
+
+def frequent_part_triples_sql(min_count: int = 2) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       CAST(count(*) AS BIGINT) AS n
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN li c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3 HAVING count(*) >= {min_count}
+ORDER BY 1, 2, 3
+"""
+
+
+FREQUENT_PART_TRIPLES_SQL = frequent_part_triples_sql()
