@@ -2932,3 +2932,103 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 TAR_SHARD_ROUNDTRIP_SQL = tar_shard_roundtrip_sql()
+
+
+def readability_scores(sf_dir: str) -> pd.DataFrame:
+    """Flesch-style reading-ease per document — the readability axis
+    of corpus quality filtering (alongside the C4/Gopher signals in
+    :func:`quality_scores`). Deterministic proxies keep it exactly
+    SQL-checkable: words = ``[A-Za-z]+`` runs, sentences = ``[.!?]+``
+    runs, syllables = vowel-group (``[aeiouy]+``) runs over the
+    lowercased text (the classic dictionary-free estimate). Stateless
+    vectorized map — one pass, no shuffle; the compiled regexes are
+    module-level, not per-batch."""
+    import re as _re
+
+    import numpy as np
+
+    word_re = _re.compile(r"[A-Za-z]+")
+    sent_re = _re.compile(r"[.!?]+")
+    syll_re = _re.compile(r"[aeiouy]+")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        n_words = df["text"].str.count(word_re).to_numpy("int64")
+        n_sents = df["text"].str.count(sent_re).to_numpy("int64")
+        n_syll = df["text"].str.lower().str.count(syll_re).to_numpy("int64")
+        flesch = (
+            206.835
+            - 1.015 * (n_words / np.maximum(n_sents, 1))
+            - 84.6 * (n_syll / np.maximum(n_words, 1))
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy("int64"), "n_words": n_words,
+             "n_sents": n_sents, "n_syll": n_syll,
+             "flesch": np.round(flesch, 4)}
+        )
+
+    out = ds.map_batches(_score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+READABILITY_SCORES_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll,
+       round(206.835
+             - 1.015 * (n_words / greatest(n_sents, 1))
+             - 84.6 * (n_syll / greatest(n_words, 1)), 4) AS flesch
+FROM documents ORDER BY doc_id
+"""
+
+
+def char_class_profile(sf_dir: str) -> pd.DataFrame:
+    """Character-class composition per source: alpha / digit /
+    whitespace / other counts and the alpha fraction — the cheapest
+    corpus-mix drift monitor (a source whose alpha fraction moves is
+    emitting markup, tables, or garbage). Per-batch per-source partial
+    sums (sources are a tiny dimension) combine on the driver — the
+    one-pass, shuffle-free monitor shape."""
+    import re as _re
+
+    alpha_re = _re.compile(r"[A-Za-z]")
+    digit_re = _re.compile(r"[0-9]")
+    space_re = _re.compile(r"\s")
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"source": df["source"],
+             "n_alpha": df["text"].str.count(alpha_re).to_numpy("int64"),
+             "n_digit": df["text"].str.count(digit_re).to_numpy("int64"),
+             "n_space": df["text"].str.count(space_re).to_numpy("int64"),
+             "n_total": df["text"].str.len().to_numpy("int64")}
+        )
+        return d.groupby("source", as_index=False).sum()
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False).sum()
+    out["n_other"] = out["n_total"] - out["n_alpha"] - out["n_digit"] - out["n_space"]
+    out["alpha_frac"] = (out["n_alpha"] / out["n_total"]).round(6)
+    out = out[["source", "n_alpha", "n_digit", "n_space", "n_other", "alpha_frac"]]
+    for c in ("n_alpha", "n_digit", "n_space", "n_other"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+CHAR_CLASS_PROFILE_SQL = """
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS n_digit,
+       CAST(sum(len(regexp_extract_all(text, '\\s'))) AS BIGINT) AS n_space,
+       CAST(sum(length(text))
+            - sum(len(regexp_extract_all(text, '[A-Za-z]')))
+            - sum(len(regexp_extract_all(text, '[0-9]')))
+            - sum(len(regexp_extract_all(text, '\\s'))) AS BIGINT) AS n_other,
+       round(sum(len(regexp_extract_all(text, '[A-Za-z]')))
+             / sum(length(text)), 6) AS alpha_frac
+FROM documents GROUP BY source ORDER BY source
+"""
