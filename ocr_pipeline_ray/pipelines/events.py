@@ -2562,3 +2562,119 @@ SELECT user_id, event_type AS mode_type, n FROM (
   FROM events GROUP BY user_id, event_type
 ) WHERE rn = 1 ORDER BY user_id
 """
+
+
+def session_busy_overlap(sf_dir: str) -> pd.DataFrame:
+    """INTERVAL OVERLAP JOIN: per user, total time their sessions
+    (30-min-gap sessionization) spent inside globally 'busy' hours
+    (hours with above-average event volume) — the
+    contention/attribution join between a per-key interval set and a
+    small global window set, the genomics/observability range-join
+    shape Ray Data has no operator for.
+
+    Scale shape: busy hours derive distributed (hour counts are
+    bounded by the stream's time extent) and broadcast as a sorted
+    int64 array; the join itself never materializes pairs — because
+    the windows are DISJOINT and equal width, the overlap of a
+    session [s, e] with their union is F(e) - F(s) where
+    F(x) = i*W + clamp(x - a_i, 0, W) (i = searchsorted), evaluated
+    over all sessions in a bucket in two vectorized calls. One
+    user-bucket shuffle total, zero pair expansion."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    hourly = (
+        ds.map_batches(
+            lambda df: df.assign(h=df["ts"].dt.floor("h"))
+            .groupby("h", as_index=False)
+            .size(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("h", as_index=False)["size"].sum()
+    )
+    avg = float(hourly["size"].sum()) / len(hourly)
+    busy = np.sort(
+        hourly.loc[hourly["size"] > avg, "h"].to_numpy("datetime64[us]").astype("int64")
+    )
+    w_us = np.int64(3_600_000_000)
+
+    def _measure_below(x: np.ndarray) -> np.ndarray:
+        """Total busy measure below each x (us)."""
+        i = np.searchsorted(busy, x, side="right") - 1
+        base = np.maximum(i, 0).astype("int64") * w_us
+        part = np.clip(x - busy[np.maximum(i, 0)], 0, w_us)
+        return np.where(i >= 0, base + part, 0)
+
+    def _overlap(g: pd.DataFrame) -> pd.DataFrame:
+        if len(busy) == 0 or g.empty:
+            return pd.DataFrame({"user_id": [], "overlap_us": []})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(
+            ([False], (ts[1:] - ts[:-1]) > np.int64(SESSION_GAP_MIN * 60) * 1_000_000)
+        )
+        sess = np.cumsum(new_user | gap)
+        d = pd.DataFrame({"user_id": u, "sess": sess, "ts": ts})
+        spans = d.groupby("sess", as_index=False).agg(
+            user_id=("user_id", "first"), s=("ts", "min"), e=("ts", "max")
+        )
+        ov = _measure_below(spans["e"].to_numpy()) - _measure_below(spans["s"].to_numpy())
+        spans["overlap_us"] = ov
+        out = spans.groupby("user_id", as_index=False)["overlap_us"].sum()
+        return out[out["overlap_us"] > 0]
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _overlap(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"),
+             "overlap_us": pd.Series(dtype="int64")}
+        )
+    out = parts.groupby("user_id", as_index=False)["overlap_us"].sum()
+    out = out[out["overlap_us"] > 0]
+    out["user_id"] = out["user_id"].astype("int64")
+    out["overlap_us"] = out["overlap_us"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SESSION_BUSY_OVERLAP_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess_rows AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+  FROM sess_rows GROUP BY user_id, sid
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+),
+busy AS (
+  SELECT h FROM hourly
+  WHERE n > (SELECT CAST(count(*) AS DOUBLE)
+                    / count(DISTINCT date_trunc('hour', ts)) FROM events)
+)
+SELECT user_id,
+       CAST(sum(greatest(0, date_diff('microsecond',
+                 greatest(s, h), least(e, h + INTERVAL 1 HOUR)))) AS BIGINT)
+           AS overlap_us
+FROM sess JOIN busy ON s < h + INTERVAL 1 HOUR AND e > h
+GROUP BY user_id HAVING sum(greatest(0, date_diff('microsecond',
+         greatest(s, h), least(e, h + INTERVAL 1 HOUR)))) > 0
+ORDER BY user_id
+"""
