@@ -5691,3 +5691,141 @@ ORDER BY 1, 2, 3
 
 
 FREQUENT_PART_TRIPLES_SQL = frequent_part_triples_sql()
+
+
+def pareto_coverage_by_segment(
+    sf_dir: str, frac: float = 0.8, n_bins: int = 4096
+) -> pd.DataFrame:
+    """Pareto concentration ("how many whales?"): per market segment,
+    the MINIMUM number of top customers whose combined order revenue
+    reaches ``frac`` of the segment total — the 80/20 capacity-
+    planning number next to :func:`order_value_gini`'s inequality
+    index.
+
+    No global sort: per-customer revenue reduces out of the orders
+    fact (bucketed aggregate), pairs with the customer dimension's
+    segment through ONE custkey-bucket union shuffle, then a
+    (segment, bin) revenue histogram — the same histogram-refinement
+    scheme as :func:`weighted_median_price`, walked DOWNWARD from the
+    top bin — locates each segment's boundary bin; only that bin's
+    ~n/n_bins survivor rows reach the driver, where the exact crossing
+    index resolves with the same (rev DESC, custkey) tie order as the
+    SQL window."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = bucketed_aggregate(
+        orders, "o_custkey", {"rev": ("o_totalprice", "sum")}
+    ).map_batches(
+        lambda df: df.drop(columns="__bucket", errors="ignore"), batch_format="pandas"
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    n_jb = 32
+
+    def _tag_rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["o_custkey"].to_numpy("int64"),
+             "rev": df["rev"].to_numpy("float64"), "seg": None,
+             "__jb": (df["o_custkey"].to_numpy() % n_jb).astype("int64")}
+        )
+
+    def _tag_seg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": df["c_custkey"].to_numpy("int64"),
+             "rev": np.nan, "seg": df["c_mktsegment"].astype(str),
+             "__jb": (df["c_custkey"].to_numpy() % n_jb).astype("int64")}
+        )
+
+    def _pair(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["seg"].isna()][["k", "rev"]]
+        s = g[g["seg"].notna()][["k", "seg"]]
+        m = r.merge(s, on="k")
+        return m[["k", "seg", "rev"]]
+
+    seg_rev = (
+        per_cust.map_batches(_tag_rev, batch_format="pandas")
+        .union(cust.map_batches(_tag_seg, batch_format="pandas"))
+        .groupby("__jb")
+        .map_groups(lambda g: _pair(g.drop(columns="__jb")), batch_format="pandas")
+        .materialize()
+    )
+
+    lo = float(seg_rev.min("rev"))
+    hi = float(seg_rev.max("rev"))
+    width = (hi - lo) or 1.0
+
+    def _bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1)
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"seg": df["seg"], "bin": _bin_of(df["rev"].to_numpy("float64")),
+             "rev": df["rev"].to_numpy("float64")}
+        )
+        return d.groupby(["seg", "bin"], as_index=False).agg(
+            cnt=("rev", "size"), wsum=("rev", "sum")
+        )
+
+    hist = (
+        bucketed_aggregate(
+            seg_rev.map_batches(_hist, batch_format="pandas"),
+            ["seg", "bin"],
+            {"cnt": ("cnt", "sum"), "wsum": ("wsum", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["seg", "bin"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+
+    # walk each segment's histogram from the TOP bin down to the
+    # boundary bin where cumulative revenue crosses frac * total
+    boundary: dict[str, tuple[int, float, int]] = {}
+    for seg, g in hist.groupby("seg", sort=True):
+        tot = float(g["wsum"].sum())
+        cum = g["wsum"].cumsum().to_numpy()
+        idx = min(int(np.searchsorted(cum, frac * tot)), len(cum) - 1)
+        b = int(g["bin"].to_numpy()[idx])
+        above_rev = float(cum[idx - 1]) if idx > 0 else 0.0
+        above_cnt = int(g["cnt"].to_numpy()[:idx].sum())
+        boundary[seg] = (b, frac * tot - above_rev, above_cnt)
+
+    def _survivors(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bin_of(df["rev"].to_numpy("float64"))
+        tgt = df["seg"].map({s: v[0] for s, v in boundary.items()}).to_numpy()
+        keep = b == tgt
+        return df.loc[keep, ["seg", "k", "rev"]]
+
+    surv = seg_rev.map_batches(_survivors, batch_format="pandas").to_pandas()
+    rows = []
+    for seg, (b, need, above_cnt) in sorted(boundary.items()):
+        g = surv[surv["seg"] == seg].sort_values(
+            ["rev", "k"], ascending=[False, True]
+        )
+        cw = g["rev"].cumsum().to_numpy()
+        k = above_cnt + min(int(np.searchsorted(cw, need)), len(cw) - 1) + 1
+        rows.append({"seg": seg, "k": k})
+    out = pd.DataFrame(rows)
+    out["k"] = out["k"].astype("int64")
+    return out.sort_values("seg").reset_index(drop=True)
+
+
+def pareto_coverage_sql(frac: float = 0.8) -> str:
+    return f"""
+WITH pc AS (
+  SELECT c_mktsegment AS seg, o_custkey, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT seg, rev,
+         sum(rev) OVER (PARTITION BY seg ORDER BY rev DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER (PARTITION BY seg) AS tot
+  FROM pc
+)
+SELECT seg, CAST(count(*) FILTER (WHERE cum < {frac} * tot) + 1 AS BIGINT) AS k
+FROM r GROUP BY seg ORDER BY seg
+"""
+
+
+PARETO_COVERAGE_BY_SEGMENT_SQL = pareto_coverage_sql()
