@@ -5829,3 +5829,114 @@ FROM r GROUP BY seg ORDER BY seg
 
 
 PARETO_COVERAGE_BY_SEGMENT_SQL = pareto_coverage_sql()
+
+
+def _copurchase_degrees(sf_dir: str, min_count: int = 2) -> "ray.data.Dataset":
+    """Per-part degree over the co-purchase edge set: each edge
+    explodes to its two endpoints, counts reduce through the bucketed
+    high-cardinality aggregate. Returns a (part, deg) dataset."""
+    edges = _copurchase_edges_ds(sf_dir, min_count)
+
+    def _endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"part": np.concatenate(
+                [df["part_a"].to_numpy("int64"), df["part_b"].to_numpy("int64")]
+            )}
+        )
+
+    return bucketed_aggregate(
+        edges.map_batches(_endpoints, batch_format="pandas"),
+        "part",
+        {"deg": ("part", "size")},
+    ).map_batches(
+        lambda df: df.drop(columns="__bucket", errors="ignore"), batch_format="pandas"
+    )
+
+
+def copurchase_degree_hist(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Degree DISTRIBUTION of the co-purchase graph — the first thing
+    you plot about any graph (is it power-law? how dense?). Degrees
+    reduce distributed; the histogram is per-batch partial counts over
+    the tiny degree domain, combined on the driver."""
+    deg = _copurchase_degrees(sf_dir, min_count)
+    parts = deg.map_batches(
+        lambda df: df.groupby("deg", as_index=False).size().rename(columns={"size": "n_parts"}),
+        batch_format="pandas",
+    ).to_pandas()
+    out = parts.groupby("deg", as_index=False)["n_parts"].sum()
+    out["deg"] = out["deg"].astype("int64")
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("deg").reset_index(drop=True)
+
+
+COPURCHASE_DEGREE_HIST_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT part, count(*) AS deg FROM (
+    SELECT part_a AS part FROM e UNION ALL SELECT part_b FROM e
+  ) GROUP BY part
+)
+SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_parts
+FROM deg GROUP BY deg ORDER BY deg
+"""
+
+
+def part_clustering_coefficient(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Local CLUSTERING COEFFICIENT per part:
+    cc = 2 * triangles / (deg * (deg - 1)) over the co-purchase graph
+    — how tightly each product's neighborhood buys together, the
+    community-density number on top of :func:`part_triangle_counts`.
+    Degrees and triangle counts both derive distributed (same edge
+    set); the final join runs on the two RESULT tables (per-part rows
+    — the query's own output cardinality, not an intermediate)."""
+    deg = _copurchase_degrees(sf_dir, min_count).to_pandas()
+    tri = part_triangle_counts(sf_dir, min_count)
+    out = deg.merge(tri, on="part", how="left")
+    out["n_triangles"] = out["n_triangles"].fillna(0).astype("int64")
+    out = out[out["deg"] >= 2].copy()
+    out["deg"] = out["deg"].astype("int64")
+    out["cc"] = (
+        2.0 * out["n_triangles"] / (out["deg"] * (out["deg"] - 1))
+    ).round(6)
+    out["part"] = out["part"].astype("int64")
+    return (
+        out[["part", "deg", "n_triangles", "cc"]]
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+
+
+PART_CLUSTERING_COEFFICIENT_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT part, count(*) AS deg FROM (
+    SELECT part_a AS part FROM e UNION ALL SELECT part_b FROM e
+  ) GROUP BY part
+),
+t AS (
+  SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.part_a = e1.part_a AND e2.part_b > e1.part_b
+  JOIN e e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b
+),
+tri AS (
+  SELECT part, count(*) AS n_triangles FROM (
+    SELECT a AS part FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+  ) GROUP BY part
+)
+SELECT deg.part, CAST(deg AS BIGINT) AS deg,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * coalesce(n_triangles, 0) / (deg * (deg - 1)), 6) AS cc
+FROM deg LEFT JOIN tri USING (part)
+WHERE deg >= 2 ORDER BY deg.part
+"""
