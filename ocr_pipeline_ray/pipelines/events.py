@@ -2678,3 +2678,57 @@ GROUP BY user_id HAVING sum(greatest(0, date_diff('microsecond',
          greatest(s, h), least(e, h + INTERVAL 1 HOUR)))) > 0
 ORDER BY user_id
 """
+
+
+def mutual_info_type_dow(sf_dir: str) -> pd.DataFrame:
+    """MUTUAL INFORMATION between event type and ISO day-of-week —
+    the information-theoretic complement to :func:`chi2_type_dow`
+    (chi2 says "dependent?", MI says "how many bits?"). The joint
+    (type, isodow) contingency table is a bounded-cardinality
+    aggregate (types x 7), reduced from per-batch partials; the MI
+    sum over the table is driver math in nats, rounded to 6."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "isodow": df["ts"].dt.isocalendar().day.astype("int64")}
+        )
+        return d.groupby(["event_type", "isodow"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    joint = parts.groupby(["event_type", "isodow"], as_index=False)["n"].sum()
+    total = joint["n"].sum()
+    px = joint.groupby("event_type")["n"].sum() / total
+    py = joint.groupby("isodow")["n"].sum() / total
+    pxy = joint["n"] / total
+    mi = float(
+        np.sum(
+            pxy
+            * np.log(
+                pxy
+                / (joint["event_type"].map(px).to_numpy() * joint["isodow"].map(py).to_numpy())
+            )
+        )
+    )
+    return pd.DataFrame({"mi_nats": [round(mi, 6)]})
+
+
+MUTUAL_INFO_TYPE_DOW_SQL = """
+WITH j AS (
+  SELECT event_type, isodow(ts) AS isodow, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS t FROM j),
+px AS (SELECT event_type, sum(n) AS nx FROM j GROUP BY 1),
+py AS (SELECT isodow, sum(n) AS ny FROM j GROUP BY 1)
+SELECT round(sum(
+  (j.n / tot.t) * ln((j.n / tot.t) / ((px.nx / tot.t) * (py.ny / tot.t)))
+), 6) AS mi_nats
+FROM j
+CROSS JOIN tot
+JOIN px ON j.event_type = px.event_type
+JOIN py ON j.isodow = py.isodow
+"""

@@ -973,3 +973,55 @@ SELECT CAST(label AS BIGINT) AS label,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS mean_norm
 FROM embeddings GROUP BY label ORDER BY label
 """
+
+
+def label_centroid_cosine(sf_dir: str) -> pd.DataFrame:
+    """Pairwise COSINE SIMILARITY between label centroids — the
+    inter-class separation matrix (how confusable are two labels?)
+    on top of the distributed centroid build. Partial vector sums
+    reduce per batch exactly as :func:`label_centroid_norms`; the
+    k x k cosine matrix is driver math over k centroids (k = label
+    cardinality, tiny by construction). Oracled end-to-end through
+    DuckDB's list_cosine_similarity over per-dimension AVG centroids
+    re-assembled in dimension order."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append((int(label), m.sum(axis=0), len(g)))
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "n"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    cents = {}
+    for label, g in parts.groupby("label"):
+        n = int(g["n"].sum())
+        cents[int(label)] = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0) / n
+    labels = sorted(cents)
+    rows = []
+    for i, a in enumerate(labels):
+        va = cents[a]
+        na = float(np.linalg.norm(va))
+        for b in labels[i + 1:]:
+            vb = cents[b]
+            cos = float(va @ vb) / (na * float(np.linalg.norm(vb)))
+            rows.append((a, b, round(cos, 4)))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])
+
+
+LABEL_CENTROID_COSINE_SQL = """
+WITH dims AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT label, list(xm ORDER BY d) AS c FROM (
+    SELECT label, d, avg(x) AS xm FROM dims GROUP BY label, d
+  ) GROUP BY label
+)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+       round(list_cosine_similarity(a.c, b.c), 4) AS cosine
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b
+"""
