@@ -2732,3 +2732,132 @@ CROSS JOIN tot
 JOIN px ON j.event_type = px.event_type
 JOIN py ON j.isodow = py.isodow
 """
+
+
+def events_hourly_interpolated(sf_dir: str) -> pd.DataFrame:
+    """Gap fill with LINEAR INTERPOLATION: the per-type hourly mean
+    value over the full hour spine, missing hours interpolated
+    between their nearest present neighbors (edges extend) — the
+    time-series regularization :func:`events_hourly_filled` (zero
+    fill) can't do, feeding anything that needs an equally-spaced
+    series. (type, hour) sums/counts reduce through the bucketed
+    aggregate; the spine bounds are two scalar aggregates; the
+    interpolation is searchsorted arithmetic per type inside ONE
+    type-bucket shuffle (types are a tiny dimension — the per-type
+    loop inside a bucket is over that dimension, not over rows).
+    The pv + (nv - pv) * ratio association mirrors the SQL window
+    formula bit-for-bit."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    lo = pd.Timestamp(ds.min("ts")).floor("h")
+    hi = pd.Timestamp(ds.max("ts")).floor("h")
+    spine = pd.date_range(lo, hi, freq="h").to_numpy("datetime64[us]")
+    spine_i = spine.astype("int64")
+
+    def _add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": df["event_type"],
+             "hour": df["ts"].dt.floor("h"), "value": df["value"]}
+        )
+
+    hourly = bucketed_aggregate(
+        ds.map_batches(_add_hour, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"s": ("value", "sum"), "c": ("value", "size")},
+        num_buckets=8,
+    )
+
+    def _tb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bucket", errors="ignore").copy()
+        df["__tb"] = (
+            pd.util.hash_pandas_object(df["event_type"], index=False).to_numpy() % 8
+        ).astype("int64")
+        return df
+
+    def _interp(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, t in g.groupby("event_type", sort=False):
+            t = t.sort_values("hour")
+            hp = t["hour"].to_numpy("datetime64[us]").astype("int64")
+            vp = (t["s"].to_numpy("float64") / t["c"].to_numpy("float64"))
+            prev = np.searchsorted(hp, spine_i, side="right") - 1
+            nxt = np.searchsorted(hp, spine_i, side="left")
+            has_prev = prev >= 0
+            has_next = nxt < len(hp)
+            pv = vp[np.maximum(prev, 0)]
+            ph = hp[np.maximum(prev, 0)]
+            nv = vp[np.minimum(nxt, len(hp) - 1)]
+            nh = hp[np.minimum(nxt, len(hp) - 1)]
+            present = has_prev & (ph == spine_i)
+            ratio = np.divide(
+                (spine_i - ph).astype("float64"),
+                (nh - ph).astype("float64"),
+                out=np.zeros(len(spine_i)),
+                where=(nh != ph),
+            )
+            interp = pv + (nv - pv) * ratio
+            v = np.where(
+                present, pv,
+                np.where(~has_prev, nv, np.where(~has_next, pv, interp)),
+            )
+            outs.append(pd.DataFrame(
+                {"event_type": et, "hour": spine, "v_filled": np.round(v, 6)}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    out = (
+        hourly.map_batches(_tb, batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(lambda g: _interp(g.drop(columns="__tb")), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+EVENTS_HOURLY_INTERPOLATED_SQL = """
+WITH spine AS (
+  SELECT t.event_type, h.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(
+      (SELECT date_trunc('hour', min(ts)) FROM events),
+      (SELECT date_trunc('hour', max(ts)) FROM events),
+      INTERVAL 1 HOUR)) AS h
+  ) h
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.event_type, s.h, v FROM spine s
+  LEFT JOIN hourly USING (event_type, h)
+),
+f AS (
+  SELECT event_type, h, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j
+)
+SELECT event_type, h AS hour,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (date_diff('second', ph, h)
+                                    / date_diff('second', ph, nh))
+        END, 6) AS v_filled
+FROM f ORDER BY event_type, hour
+"""
