@@ -3032,3 +3032,168 @@ SELECT source,
              / sum(length(text)), 6) AS alpha_frac
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def tfidf_cosine_pairs(
+    sf_dir: str,
+    threshold: float = 0.25,
+    df_cap: int = 50,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """ALL-PAIRS SIMILARITY SEARCH (APSS): document pairs whose
+    TF-IDF cosine similarity reaches ``threshold`` — the
+    content-based near-duplicate join (Bayardo et al.'s problem)
+    complementing the lexical MinHash/SimHash family with an EXACT,
+    SQL-checkable score.
+
+    Scale shape — the classic inverted-index decomposition:
+    cosine(a, b) = sum over shared terms of w_a[t] * w_b[t], so the
+    pair join distributes by TERM, never by document:
+
+    1. df per term via the bucketed vocabulary aggregate; terms with
+       df == 1 (no pair) or df > ``df_cap`` (stop-word-like, the
+       standard APSS high-frequency prune — each term's pair fan-out
+       is bounded by df_cap^2) define the scoring vocabulary, whose
+       (term -> idf) map broadcasts once via ``ray.put``;
+    2. one streaming pass emits L2-NORMALIZED posting rows
+       (term, doc, w) per batch (a doc's text is one row, so tf and
+       the norm are exact per batch);
+    3. postings bucket by hash(term); inside each bucket one
+       vectorized self-merge per term emits ordered-pair partial
+       products, pre-summed per (doc_a, doc_b) before the shuffle;
+    4. pair partials reduce through the bucketed aggregate; the
+       HAVING-style threshold filter runs distributed, so only
+       qualifying pairs reach the driver.
+    """
+    import numpy as np
+
+    import ray
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_terms(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for s in t["text"].to_pylist():
+            terms.extend(set(TOKEN_RE.findall(s.lower())))
+        uniq, counts = (
+            np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            if terms
+            else (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "df": pa.array(counts, pa.int64())}
+        )
+
+    df_tab = (
+        bucketed_aggregate(
+            ds.map_batches(_doc_terms, batch_format="pyarrow"),
+            "term",
+            {"df": ("df", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+    )
+    n_docs = int(ds.count())
+    kept = df_tab[(df_tab["df"] > 1) & (df_tab["df"] <= df_cap)]
+    idf_map = dict(zip(kept["term"], np.log(n_docs / kept["df"].to_numpy("float64"))))
+    idf_ref = ray.put(idf_map)
+
+    def _postings(df: pd.DataFrame) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        t_all: list[str] = []
+        d_all: list[np.ndarray] = []
+        w_all: list[np.ndarray] = []
+        for doc_id, s in zip(df["doc_id"].to_numpy("int64"), df["text"]):
+            toks = TOKEN_RE.findall(s.lower())
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            ws = np.array(
+                [counts[i] * idf[t] if t in idf else 0.0 for i, t in enumerate(uniq)]
+            )
+            keep = ws > 0
+            if not keep.any():
+                continue
+            ws = ws[keep]
+            nrm = float(np.sqrt((ws * ws).sum()))
+            t_all.extend(uniq[keep])
+            d_all.append(np.full(int(keep.sum()), doc_id, dtype="int64"))
+            w_all.append(ws / nrm)
+        if not d_all:
+            return pd.DataFrame({"term": [], "doc": [], "w": []})
+        return pd.DataFrame(
+            {"term": np.asarray(t_all, dtype=object),
+             "doc": np.concatenate(d_all), "w": np.concatenate(w_all)}
+        )
+
+    def _tbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_pandas_object(df["term"], index=False).to_numpy() % num_buckets
+        ).astype("int64")
+        return df
+
+    def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        m = g.merge(g, on="term", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        if m.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "s": []})
+        m["s"] = m["w_a"] * m["w_b"]
+        return m.groupby(["doc_a", "doc_b"], as_index=False)["s"].sum()
+
+    pair_sums = bucketed_aggregate(
+        ds.map_batches(_postings, batch_format="pandas")
+        .map_batches(_tbucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_pair_partials, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        {"s": ("s", "sum")},
+        num_buckets=16,
+    )
+    out = pair_sums.map_batches(
+        lambda df: df.loc[df["s"] >= threshold, ["doc_a", "doc_b", "s"]],
+        batch_format="pandas",
+    ).to_pandas()
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    out["cos"] = out["s"].round(4)
+    return (
+        out[["doc_a", "doc_b", "cos"]]
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def tfidf_cosine_pairs_sql(threshold: float = 0.25, df_cap: int = 50) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln((SELECT n FROM n) / df.df) AS w
+  FROM tf JOIN df USING (term)
+  WHERE df.df <= {df_cap} AND df.df > 1
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nr FROM w GROUP BY 1),
+wn AS (
+  SELECT w.doc_id, term, w / nr AS w FROM w JOIN nrm USING (doc_id)
+  WHERE nr > 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS cos
+  FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(cos, 4) AS cos
+FROM pairs WHERE cos >= {threshold} ORDER BY doc_a, doc_b
+"""
+
+
+TFIDF_COSINE_PAIRS_SQL = tfidf_cosine_pairs_sql()
