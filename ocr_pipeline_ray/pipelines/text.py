@@ -3197,3 +3197,69 @@ FROM pairs WHERE cos >= {threshold} ORDER BY doc_a, doc_b
 
 
 TFIDF_COSINE_PAIRS_SQL = tfidf_cosine_pairs_sql()
+
+
+def schema_evolution_union(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution read under the correctness gate: the corpus
+    splits into a v1 shard (doc_id, text, n_chars — yesterday's
+    schema) and a v2 shard (+ lang — today's), written as real
+    parquet files with DIFFERENT schemas; the union-by-name reader
+    (:func:`ocr_pipeline_ray.sources.evolve.read_parquet_union_by_name`)
+    aligns blocks to the union schema with typed nulls and the
+    pipeline aggregates per lang ('unknown' for the pre-evolution
+    rows). Deterministic layout under /tmp, re-created per call."""
+    import shutil as _shutil
+
+    import pyarrow.parquet as _pq
+
+    from ocr_pipeline_ray.sources.evolve import read_parquet_union_by_name
+
+    out_dir = "/tmp/ocr_ray_schema_evo"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    import os as _os
+
+    _os.makedirs(out_dir)
+
+    src = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars", "lang"])
+
+    def _v1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["doc_id"] % 2 == 1, ["doc_id", "text", "n_chars"]]
+
+    def _v2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["doc_id"] % 2 == 0, ["doc_id", "text", "n_chars", "lang"]]
+
+    # both generations write DISTRIBUTED (write_parquet shard dirs),
+    # each internally uniform, jointly schema-divergent
+    src.map_batches(_v1, batch_format="pandas").write_parquet(
+        _os.path.join(out_dir, "v1")
+    )
+    src.map_batches(_v2, batch_format="pandas").write_parquet(
+        _os.path.join(out_dir, "v2")
+    )
+
+    back = read_parquet_union_by_name(
+        [_os.path.join(out_dir, "v1"), _os.path.join(out_dir, "v2")]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"lang": df["lang"].fillna("unknown"),
+             "n_chars": df["n_chars"].to_numpy("int64")}
+        )
+        return d.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    parts = back.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SCHEMA_EVOLUTION_UNION_SQL = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'unknown' END AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1 ORDER BY 1
+"""
