@@ -2861,3 +2861,53 @@ SELECT event_type, h AS hour,
         END, 6) AS v_filled
 FROM f ORDER BY event_type, hour
 """
+
+
+def user_max_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Running-extreme window: per user, the MAX DRAWDOWN of their
+    cumulative value series (peak-to-trough drop of the running sum
+    ordered by (ts, event_id)) — the risk/health metric shape that
+    needs two nested windows (running sum, then running max of it).
+    One user-bucket shuffle; inside a bucket the cumulative sum and
+    running max are segment-aware vectorized ops over ALL users' rows
+    (pandas groupby cumsum/cummax — C loops, not per-user Python)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def _dd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cum = g.groupby("user_id", sort=False)["value"].cumsum()
+        g = g.assign(cum=cum)
+        peak = g.groupby("user_id", sort=False)["cum"].cummax()
+        g = g.assign(dd=peak - cum)
+        out = g.groupby("user_id", as_index=False)["dd"].max()
+        return out.rename(columns={"dd": "max_drawdown"})
+
+    out = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _dd(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["max_drawdown"] = out["max_drawdown"].round(6)
+    return out
+
+
+USER_MAX_DRAWDOWN_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum AS dd
+  FROM s
+)
+SELECT user_id, round(max(dd), 6) AS max_drawdown
+FROM d GROUP BY user_id ORDER BY user_id
+"""

@@ -5940,3 +5940,48 @@ SELECT deg.part, CAST(deg AS BIGINT) AS deg,
 FROM deg LEFT JOIN tri USING (part)
 WHERE deg >= 2 ORDER BY deg.part
 """
+
+
+def benford_price_digits(sf_dir: str) -> pd.DataFrame:
+    """BENFORD'S-LAW audit of order totals: the first-significant-
+    digit distribution of o_totalprice vs the log10(1 + 1/d)
+    expectation — the classic fabricated-data / fat-finger detector
+    in the data-quality family. First digits extract through the
+    exact integer path (floor -> string head, no float log10 whose
+    libm rounding could disagree across engines); per-batch partial
+    digit counts reduce on the driver (9 rows)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        digits = (
+            np.floor(df["o_totalprice"].to_numpy("float64"))
+            .astype("int64")
+            .astype(str)
+            .astype("U1")
+            .astype("int64")
+        )
+        u, c = np.unique(digits, return_counts=True)
+        return pd.DataFrame({"digit": u, "n": c})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("digit", as_index=False)["n"].sum()
+    total = out["n"].sum()
+    out["digit"] = out["digit"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["observed_p"] = (out["n"] / total).round(6)
+    out["benford_p"] = np.round(np.log10(1.0 + 1.0 / out["digit"].to_numpy("float64")), 6)
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+BENFORD_PRICE_DIGITS_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM orders), 6)
+           AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM d GROUP BY digit ORDER BY digit
+"""
