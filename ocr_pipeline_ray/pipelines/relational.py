@@ -5985,3 +5985,80 @@ SELECT digit, CAST(count(*) AS BIGINT) AS n,
        round(log10(1.0 + 1.0 / digit), 6) AS benford_p
 FROM d GROUP BY digit ORDER BY digit
 """
+
+
+def incremental_join_mv(sf_dir: str, cutoff: str = "1997-01-01") -> pd.DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over a join: the materialized
+    view ``orders JOIN customer JOIN nation`` is built from the BASE
+    partition (orders before ``cutoff``), persisted as partitioned
+    parquet under /tmp, then maintained by joining only the DELTA
+    (orders on/after cutoff) and appending it as a new partition —
+    the Δ-processing contract (R ⋈ S maintained under insertions to
+    R) that a nightly-refresh warehouse runs instead of full
+    recompute. The read-back aggregates per nation and must equal the
+    one-shot full join, which IS the oracle.
+
+    Scale notes: customer->nation collapses to a broadcast custkey ->
+    nation map derived distributed (customer is the dimension side;
+    the orders fact streams both passes); the MV layout is one
+    directory per generation (base/, delta-0001/), the resumable-sink
+    convention — a failed refresh re-appends only its generation."""
+    import os as _os
+    import shutil as _shutil
+
+    mv_dir = "/tmp/ocr_ray_join_mv"
+    _shutil.rmtree(mv_dir, ignore_errors=True)
+    cut = pd.Timestamp(cutoff)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_numpy("int64"), cust["n_name"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cust_ref)
+        return pd.DataFrame(
+            {"n_name": df["o_custkey"].map(m),
+             "o_totalprice": df["o_totalprice"].to_numpy("float64")}
+        )
+
+    # generation 0: base partition of the view
+    orders.map_batches(
+        lambda df: df[df["o_orderdate"] < cut], batch_format="pandas"
+    ).map_batches(_join, batch_format="pandas").write_parquet(
+        _os.path.join(mv_dir, "base")
+    )
+    # generation 1: the delta — ONLY new rows are joined and appended
+    orders.map_batches(
+        lambda df: df[df["o_orderdate"] >= cut], batch_format="pandas"
+    ).map_batches(_join, batch_format="pandas").write_parquet(
+        _os.path.join(mv_dir, "delta-0001")
+    )
+
+    back = ray.data.read_parquet(mv_dir)
+    parts = back.map_batches(
+        lambda df: df.groupby("n_name", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), revenue=("o_totalprice", "sum")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    out = parts.groupby("n_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+INCREMENTAL_JOIN_MV_SQL = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
