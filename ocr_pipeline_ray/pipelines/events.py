@@ -2911,3 +2911,78 @@ d AS (
 SELECT user_id, round(max(dd), 6) AS max_drawdown
 FROM d GROUP BY user_id ORDER BY user_id
 """
+
+
+def time_to_convert_stats(sf_dir: str) -> pd.DataFrame:
+    """Conversion LATENCY: per user, the gap from their FIRST signup
+    to the first purchase at-or-after it; reported as corpus-level
+    (n_converted, avg/min/max gap) — the time-to-value metric behind
+    every activation dashboard, a two-event temporal pattern match
+    (:func:`funnel_signup_purchase` counts WHO converts; this measures
+    HOW FAST). One user-bucket shuffle; first-signup and
+    first-qualifying-purchase resolve vectorized per bucket (groupby
+    min + searchsorted-free merge filter); only per-bucket scalar
+    partials (exact integer sums in microseconds) reach the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "s"})
+        )
+        p = g[g["event_type"] == "purchase"][["user_id", "ts"]].merge(s, on="user_id")
+        p = p[p["ts"] >= p["s"]]
+        if p.empty:
+            return pd.DataFrame({"n": [], "sum_us": [], "min_us": [], "max_us": []})
+        first_p = p.groupby("user_id", as_index=False)["ts"].min().merge(s, on="user_id")
+        gap = (
+            first_p["ts"].to_numpy("datetime64[us]").astype("int64")
+            - first_p["s"].to_numpy("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {"n": [len(gap)], "sum_us": [int(gap.sum())],
+             "min_us": [int(gap.min())], "max_us": [int(gap.max())]}
+        )
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _gaps(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    if n == 0:
+        return pd.DataFrame(
+            {"n_converted": [0], "avg_gap_s": [float("nan")],
+             "min_gap_us": [0], "max_gap_us": [0]}
+        )
+    return pd.DataFrame(
+        {"n_converted": [n],
+         "avg_gap_s": [round(float(parts["sum_us"].sum()) / n / 1_000_000.0, 6)],
+         "min_gap_us": [int(parts["min_us"].min())],
+         "max_gap_us": [int(parts["max_us"].max())]}
+    )
+
+
+TIME_TO_CONVERT_STATS_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.s
+  GROUP BY e.user_id
+),
+g AS (
+  SELECT date_diff('microsecond', s.s, p.p) AS gap_us
+  FROM s JOIN p ON s.user_id = p.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(sum(gap_us) / count(*) / 1000000.0, 6) AS avg_gap_s,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g
+"""

@@ -3263,3 +3263,113 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN lang ELSE 'unknown' END AS lang,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def trigram_next_token(sf_dir: str, min_total: int = 20) -> pd.DataFrame:
+    """N-GRAM LANGUAGE MODEL head: for every bigram prefix seen >=
+    ``min_total`` times, the argmax next token and its count — the
+    estimation step of a corpus trigram LM (the table a perplexity
+    scorer like :func:`doc_perplexity` reads). Trigrams extract
+    vectorized per batch (one concatenated token array per batch with
+    a doc-boundary mask — no per-doc Python); counts reduce through
+    the bucketed aggregate keyed on the trigram; ONE further shuffle
+    keyed on the PREFIX co-locates each (t1, t2)'s continuations so
+    the total-filter and argmax (tie -> lexicographic) are a single
+    vectorized sort + drop_duplicates per bucket."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _trigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        docs: list[np.ndarray] = []
+        for i, s in enumerate(df["text"]):
+            t = TOKEN_RE.findall(s.lower())
+            toks.extend(t)
+            docs.append(np.full(len(t), i, dtype="int64"))
+        if len(toks) < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [], "n": []})
+        tok = np.asarray(toks, dtype=object)
+        doc = np.concatenate(docs)
+        same = (doc[:-2] == doc[1:-1]) & (doc[1:-1] == doc[2:])
+        d = pd.DataFrame(
+            {"t1": tok[:-2][same], "t2": tok[1:-1][same], "t3": tok[2:][same]}
+        )
+        out = d.groupby(["t1", "t2", "t3"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = bucketed_aggregate(
+        ds.map_batches(_trigrams, batch_format="pandas"),
+        ["t1", "t2", "t3"],
+        {"n": ("n", "sum")},
+    )
+
+    def _pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bucket", errors="ignore").copy()
+        df["__pb"] = (
+            pd.util.hash_pandas_object(df[["t1", "t2"]], index=False).to_numpy() % 16
+        ).astype("int64")
+        return df
+
+    def _head(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["t1", "t2"], as_index=False)["n"].sum().rename(
+            columns={"n": "tot"}
+        )
+        tot = tot[tot["tot"] >= min_total]
+        if tot.empty:
+            return pd.DataFrame({"t1": [], "t2": [], "tot": [], "next_tok": [], "n_next": []})
+        g = g.merge(tot, on=["t1", "t2"])
+        g = g.sort_values(["t1", "t2", "n", "t3"], ascending=[True, True, False, True])
+        best = g.drop_duplicates(["t1", "t2"])
+        return pd.DataFrame(
+            {"t1": best["t1"], "t2": best["t2"], "tot": best["tot"],
+             "next_tok": best["t3"], "n_next": best["n"]}
+        )
+
+    out = (
+        counts.map_batches(_pbucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(lambda g: _head(g.drop(columns="__pb")), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["t1", "t2"])
+        .reset_index(drop=True)
+    )
+    out["tot"] = out["tot"].astype("int64")
+    out["n_next"] = out["n_next"].astype("int64")
+    return out
+
+
+def trigram_next_token_sql(min_total: int = 20) -> str:
+    return f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS a FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS ord FROM arr
+),
+tri AS (
+  SELECT term AS t1, lead(term, 1) OVER w AS t2, lead(term, 2) OVER w AS t3
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+cnt AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+  FROM tri WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT t1, t2, t3, n,
+         CAST(sum(n) OVER (PARTITION BY t1, t2) AS BIGINT) AS tot,
+         row_number() OVER (PARTITION BY t1, t2 ORDER BY n DESC, t3) AS rn
+  FROM cnt
+)
+SELECT t1, t2, tot, t3 AS next_tok, n AS n_next
+FROM ranked WHERE rn = 1 AND tot >= {min_total}
+ORDER BY t1, t2
+"""
+
+
+TRIGRAM_NEXT_TOKEN_SQL = trigram_next_token_sql()
