@@ -2986,3 +2986,75 @@ SELECT CAST(count(*) AS BIGINT) AS n_converted,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us
 FROM g
 """
+
+
+def abandoned_views(sf_dir: str, window_min: int = 60) -> pd.DataFrame:
+    """Windowed ANTI-JOIN: per user, how many of their 'view' events
+    had NO 'purchase' within the following ``window_min`` minutes —
+    the abandonment metric, a NOT EXISTS over a time band (the
+    negative-space counterpart of :func:`event_pair_window_counts`).
+    One user-bucket shuffle; inside a bucket, each user's purchase
+    timestamps project onto a per-user monotone offset line (same
+    trick as the banded self-join) and ONE ``searchsorted`` per side
+    decides every view's window emptiness vectorized."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    w_us = np.int64(window_min * 60 * 1_000_000)
+
+    def _abandoned(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["event_type"] == "view"]
+        p = g[g["event_type"] == "purchase"]
+        if v.empty:
+            return pd.DataFrame({"user_id": [], "n_views": [], "n_abandoned": []})
+        users = np.sort(pd.unique(g["user_id"]))
+        uidx = {u: i for i, u in enumerate(users)}
+        all_ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        lo_i = np.int64(all_ts.min())
+        big = np.int64(all_ts.max() - lo_i) + w_us + 1
+
+        def key(df: pd.DataFrame) -> np.ndarray:
+            ts = df["ts"].to_numpy("datetime64[us]").astype("int64")
+            return df["user_id"].map(uidx).to_numpy("int64") * big + (ts - lo_i)
+
+        vk = key(v)
+        pk = np.sort(key(p))
+        # purchase strictly after the view, within the window:
+        # (vk, vk + w] on the same user's offset line
+        n_in = np.searchsorted(pk, vk + w_us, side="right") - np.searchsorted(
+            pk, vk, side="right"
+        )
+        d = pd.DataFrame(
+            {"user_id": v["user_id"].to_numpy("int64"),
+             "abandoned": (n_in == 0).astype("int64")}
+        )
+        out = d.groupby("user_id", as_index=False).agg(
+            n_views=("abandoned", "size"), n_abandoned=("abandoned", "sum")
+        )
+        return out
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _abandoned(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("user_id", as_index=False)[["n_views", "n_abandoned"]].sum()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_views"] = out["n_views"].astype("int64")
+    out["n_abandoned"] = out["n_abandoned"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def abandoned_views_sql(window_min: int = 60) -> str:
+    return f"""
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_views,
+       CAST(count(*) FILTER (WHERE NOT EXISTS (
+         SELECT 1 FROM events p
+         WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+           AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL {window_min} MINUTE
+       )) AS BIGINT) AS n_abandoned
+FROM events v WHERE v.event_type = 'view'
+GROUP BY v.user_id ORDER BY v.user_id
+"""
+
+
+ABANDONED_VIEWS_SQL = abandoned_views_sql()

@@ -3373,3 +3373,53 @@ ORDER BY t1, t2
 
 
 TRIGRAM_NEXT_TOKEN_SQL = trigram_next_token_sql()
+
+
+def dedup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source DUPLICATION-RATE report: docs, exact-hash distinct
+    texts, and the dup fraction — the corpus-health summary a curation
+    run prints before/after dedup (the monitoring face of
+    :func:`ocr_pipeline_ray.pipelines.dedup.dedup_exact`). Per-batch
+    md5 partials dedup inside ONE (source, hash)-bucketed shuffle;
+    only per-source scalar counts reach the driver."""
+    import hashlib
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in df["text"]]
+        d = pd.DataFrame({"source": df["source"], "h": h})
+        d["n"] = 1
+        # pre-dedup within the batch; exact dedup happens per bucket
+        return d.groupby(["source", "h"], as_index=False)["n"].sum()
+
+    per_hash = bucketed_aggregate(
+        ds.map_batches(_hashes, batch_format="pandas"),
+        ["source", "h"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _per_source(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bucket", errors="ignore")
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_distinct=("n", "size")
+        )
+
+    parts = per_hash.map_batches(_per_source, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False)[["n_docs", "n_distinct"]].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["dup_frac"] = (1.0 - out["n_distinct"] / out["n_docs"]).round(6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(text))
+                   / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM documents GROUP BY source ORDER BY source
+"""
