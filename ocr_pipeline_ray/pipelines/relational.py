@@ -6062,3 +6062,68 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+def suppliers_covering_top_parts(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """RELATIONAL DIVISION (the "for all" join): suppliers who have
+    shipped EVERY one of the ``k`` most-ordered parts — the
+    algebra's rarest operator (candidates ÷ divisor set), the shape
+    behind "suppliers qualified for the whole program".
+
+    The divisor derives distributed (part order counts through the
+    bucketed aggregate, partial top-k — fixed k, scale-free) and
+    broadcasts; the division itself is ONE streamed pass emitting
+    per-batch-deduped (supplier, part-in-set) pairs and ONE
+    supplier-bucket reduce where coverage == k decides membership.
+    No distinct-count shuffle wider than k rows per supplier."""
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    counts = bucketed_aggregate(
+        ds, "l_partkey", {"n": ("l_partkey", "size")}
+    ).map_batches(
+        lambda df: df.drop(columns="__bucket", errors="ignore"), batch_format="pandas"
+    )
+    top = partial_topk(counts, by=["n", "l_partkey"], ascending=[False, True], k=k)
+    pset = set(top["l_partkey"].astype("int64"))
+    pset_ref = ray.put(np.sort(np.fromiter(pset, dtype="int64")))
+
+    def _pairs(t: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(t["l_partkey"], value_set=pa.array(ray.get(pset_ref)))
+        df = t.filter(keep).to_pandas()
+        return df.drop_duplicates()
+
+    def _sb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["l_suppkey"].to_numpy() % 16).astype("int64")
+        return df
+
+    def _covers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        cov = g.groupby("l_suppkey", as_index=False)["l_partkey"].nunique()
+        return cov.loc[cov["l_partkey"] == k, ["l_suppkey"]]
+
+    out = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .map_batches(_sb, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _covers(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out["l_suppkey"] = out["l_suppkey"].astype("int64")
+    return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
+def suppliers_covering_top_parts_sql(k: int = 3) -> str:
+    return f"""
+WITH pset AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY 1 ORDER BY count(*) DESC, l_partkey LIMIT {k}
+)
+SELECT l_suppkey FROM lineitem JOIN pset USING (l_partkey)
+GROUP BY l_suppkey
+HAVING count(DISTINCT l_partkey) = {k}
+ORDER BY l_suppkey
+"""
+
+
+SUPPLIERS_COVERING_TOP_PARTS_SQL = suppliers_covering_top_parts_sql()
