@@ -3058,3 +3058,91 @@ GROUP BY v.user_id ORDER BY v.user_id
 
 
 ABANDONED_VIEWS_SQL = abandoned_views_sql()
+
+
+def hourly_autocorr_by_type(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 AUTOCORRELATION of the hourly count series per event
+    type — the seasonality/burstiness fingerprint (white noise -> 0,
+    trending/bursty -> 1) and the first diagnostic before fitting any
+    forecast. Hourly counts reduce through the bucketed aggregate over
+    the FULL hour spine (missing hours count 0 — zero-fill changes
+    the statistic and the spine makes both sides agree); the lag
+    pairing and Pearson correlation are vectorized per type inside one
+    type-bucket shuffle (types are a tiny dimension)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    lo = pd.Timestamp(ds.min("ts")).floor("h")
+    hi = pd.Timestamp(ds.max("ts")).floor("h")
+    spine = pd.date_range(lo, hi, freq="h").to_numpy("datetime64[us]").astype("int64")
+
+    hourly = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"event_type": df["event_type"], "hour": df["ts"].dt.floor("h")}
+            ),
+            batch_format="pandas",
+        ),
+        ["event_type", "hour"],
+        {"n": ("hour", "size")},
+        num_buckets=8,
+    )
+
+    def _tb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__bucket", errors="ignore").copy()
+        df["__tb"] = (
+            pd.util.hash_pandas_object(df["event_type"], index=False).to_numpy() % 8
+        ).astype("int64")
+        return df
+
+    def _acf(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, t in g.groupby("event_type", sort=False):
+            hp = t["hour"].to_numpy("datetime64[us]").astype("int64")
+            full = np.zeros(len(spine), dtype="float64")
+            full[np.searchsorted(spine, hp)] = t["n"].to_numpy("float64")
+            x, y = full[:-1], full[1:]
+            sx, sy = x.std(), y.std()
+            r = float(np.corrcoef(x, y)[0, 1]) if sx > 0 and sy > 0 else float("nan")
+            rows.append((et, round(r, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "acf1"])
+
+    out = (
+        hourly.map_batches(_tb, batch_format="pandas")
+        .groupby("__tb")
+        .map_groups(lambda g: _acf(g.drop(columns="__tb")), batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+HOURLY_AUTOCORR_BY_TYPE_SQL = """
+WITH spine AS (
+  SELECT t.event_type, h.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(
+      (SELECT date_trunc('hour', min(ts)) FROM events),
+      (SELECT date_trunc('hour', max(ts)) FROM events),
+      INTERVAL 1 HOUR)) AS h
+  ) h
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT s.event_type, s.h, CAST(coalesce(n, 0) AS DOUBLE) AS n
+  FROM spine s LEFT JOIN hourly USING (event_type, h)
+),
+lagged AS (
+  SELECT event_type, n AS x,
+         lead(n) OVER (PARTITION BY event_type ORDER BY h) AS y
+  FROM series
+)
+SELECT event_type, round(corr(x, y), 6) AS acf1
+FROM lagged WHERE y IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

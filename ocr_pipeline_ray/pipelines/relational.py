@@ -6127,3 +6127,95 @@ ORDER BY l_suppkey
 
 
 SUPPLIERS_COVERING_TOP_PARTS_SQL = suppliers_covering_top_parts_sql()
+
+
+def new_vs_returning_monthly(sf_dir: str) -> pd.DataFrame:
+    """NEW vs RETURNING split per month: is each order its customer's
+    FIRST (by (o_orderdate, o_orderkey)) or a repeat? — the growth
+    accounting every subscription/commerce dashboard leads with. The
+    first-order flag derives inside ONE custkey-bucket shuffle (a
+    customer's orders co-locate; the per-customer argmin is a single
+    vectorized sort + duplicated() over the bucket), then monthly
+    new/returning counts reduce from per-bucket partials (months are
+    a tiny time dimension)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def _cb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["o_custkey"].to_numpy() % 32).astype("int64")
+        return df
+
+    def _mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        first = ~g["o_custkey"].duplicated()
+        d = pd.DataFrame(
+            {"month": g["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+             "new": first.astype("int64")}
+        )
+        out = d.groupby("month", as_index=False).agg(
+            n_new=("new", "sum"), n_total=("new", "size")
+        )
+        return out
+
+    parts = (
+        ds.map_batches(_cb, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _mark(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("month", as_index=False)[["n_new", "n_total"]].sum()
+    out["n_returning"] = (out["n_total"] - out["n_new"]).astype("int64")
+    out["n_new"] = out["n_new"].astype("int64")
+    return (
+        out[["month", "n_new", "n_returning"]]
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+
+
+NEW_VS_RETURNING_MONTHLY_SQL = """
+WITH r AS (
+  SELECT o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT date_trunc('month', o_orderdate) AS month,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_new,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_returning
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def harmonic_mean_quantity(sf_dir: str) -> pd.DataFrame:
+    """Grouped HARMONIC MEAN of l_quantity per return flag — the
+    correct average for rates (completes the Pythagorean-means set
+    next to :func:`geo_mean_price_by_flag`). Per-batch (n, sum 1/x)
+    partials; exact at the driver combine."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"l_returnflag": df["l_returnflag"],
+             "inv": 1.0 / df["l_quantity"].to_numpy("float64")}
+        )
+        return d.groupby("l_returnflag", as_index=False).agg(
+            n=("inv", "size"), s=("inv", "sum")
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False)[["n", "s"]].sum()
+    out["hmean_qty"] = (out["n"] / out["s"]).round(6)
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["l_returnflag", "n", "hmean_qty"]]
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+HARMONIC_MEAN_QUANTITY_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / sum(1.0 / l_quantity), 6) AS hmean_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
