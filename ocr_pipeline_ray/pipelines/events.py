@@ -3146,3 +3146,148 @@ SELECT event_type, round(corr(x, y), 6) AS acf1
 FROM lagged WHERE y IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def user_activity_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands per user: count of distinct active days and
+    the LONGEST run of consecutive active days (the classic streak
+    query; the reference has no window engine at all — SURVEY §2.5).
+
+    Scale plan: (user_id, day) pairs are deduped per batch (bounded
+    partial), then ONE shuffle on the coarse user bucket; inside a
+    bucket the island detection is fully vectorized across all its
+    users (sort by (user, day), run starts where the user changes or
+    the day step != 1, run lengths by cumsum-of-starts bincount) — no
+    per-user Python loop, no global sort.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _days(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].to_numpy("datetime64[us]").astype("datetime64[D]").astype("int64")
+        )
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy("int64"), "day": day})
+        out = out.drop_duplicates()
+        out["__bucket"] = (out["user_id"] % N_USER_BUCKETS).astype("int64")
+        return out
+
+    def _streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        u = g["user_id"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        start = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            start[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)
+        run_id = np.cumsum(start) - 1
+        run_len = np.bincount(run_id)
+        run_user = u[start]
+        per_run = pd.DataFrame({"user_id": run_user, "len": run_len})
+        out = per_run.groupby("user_id", as_index=False).agg(
+            longest_streak=("len", "max"), n_active_days=("len", "sum")
+        )
+        return out[["user_id", "n_active_days", "longest_streak"]]
+
+    out = (
+        ds.map_batches(_days, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _streaks(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_active_days"] = out["n_active_days"].astype("int64")
+    out["longest_streak"] = out["longest_streak"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+USER_ACTIVITY_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         datediff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+runs AS (
+  SELECT user_id, grp, count(*) AS len FROM r GROUP BY user_id, grp
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+"""
+
+
+def interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival gap statistics of the per-type event stream
+    (consecutive events ordered by ts): gap count, mean and max in
+    seconds — the burstiness profile / Poisson-rate MLE input.
+
+    Scale plan exploits the telescoping identity: the SUM of
+    consecutive gaps is max(ts) - min(ts), so the mean needs only the
+    per-type (n, min, max) — one tiny aggregate, NO ordering at all.
+    Only max_gap needs sequence locality: rows hash into (type, day)
+    blocks, each block computes its internal max gap vectorized
+    (sorted diffs), and the driver stitches the O(types x days)
+    block summaries with cross-block boundary gaps. No global sort,
+    driver work is summary-sized.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    # ONE shuffle on (type, day): block count = types x days (small),
+    # each map_groups group is one block, diffed vectorized inside.
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "day": t // (86_400 * 1_000_000), "t": t}
+        )
+
+    def _block(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["t"].to_numpy("int64"))
+        max_gap = int(np.diff(t).max()) if len(t) > 1 else -1
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "day": [int(g["day"].iloc[0])],
+                "n": [len(t)],
+                "lo": [int(t[0])],
+                "hi": [int(t[-1])],
+                "max_gap": [max_gap],
+            }
+        )
+
+    blocks = (
+        ds.map_batches(_key, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .map_groups(_block, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for et, b in blocks.groupby("event_type"):
+        b = b.sort_values("day")
+        n = int(b["n"].sum())
+        if n < 2:
+            continue
+        boundary = (b["lo"].to_numpy("int64")[1:] - b["hi"].to_numpy("int64")[:-1])
+        max_gap = max(
+            int(b["max_gap"].max()),
+            int(boundary.max()) if len(boundary) else -1,
+        )
+        mean_gap = (int(b["hi"].max()) - int(b["lo"].min())) / (n - 1) / 1e6
+        rows.append((et, n - 1, round(mean_gap, 6), round(max_gap / 1e6, 6)))
+    out = pd.DataFrame(rows, columns=["event_type", "n_gaps", "mean_gap_s", "max_gap_s"])
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+INTERARRIVAL_STATS_SQL = """
+WITH d AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(avg(gap), 6) AS mean_gap_s, round(max(gap), 6) AS max_gap_s
+FROM d WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

@@ -6219,3 +6219,117 @@ SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
        round(count(*) / sum(1.0 / l_quantity), 6) AS hmean_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+def orderkey_gaps(sf_dir: str) -> pd.DataFrame:
+    """Missing-range detection over a key domain: every maximal run
+    [gap_start, gap_end] of o_orderkey values absent from the
+    finished ('F') order subset, between that subset's min and max
+    (data-quality / sequence-audit primitive; the base key column is
+    dense in the synthetic data, so the filtered subset is the
+    realistic sparse sequence).
+
+    Scale plan: keys hash-range into fixed-width buckets
+    (key // WIDTH); each bucket finds its INTERNAL gaps vectorized
+    (sort + diff) and emits one (min, max) summary row. The driver
+    stitches only the O(#buckets) summaries — cross-bucket gaps (and
+    whole missing buckets) fall out of consecutive summary pairs —
+    so driver work is summary-sized, never key-sized, and there is no
+    global sort.
+    """
+    WIDTH = 1 << 12
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.loc[df["o_orderstatus"] == "F", "o_orderkey"].to_numpy("int64")
+        return pd.DataFrame({"k": k, "__bucket": k // WIDTH})
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(g["k"].to_numpy("int64"))
+        d = np.diff(k)
+        i = np.nonzero(d > 1)[0]
+        out = pd.DataFrame(
+            {"gap_start": k[i] + 1, "gap_end": k[i + 1] - 1, "is_summary": False}
+        )
+        summ = pd.DataFrame(
+            {"gap_start": [int(k[0])], "gap_end": [int(k[-1])], "is_summary": True}
+        )
+        return pd.concat([out, summ], ignore_index=True)
+
+    parts = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _gaps(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    gaps = parts[~parts["is_summary"]][["gap_start", "gap_end"]]
+    summ = parts[parts["is_summary"]].sort_values("gap_start")
+    lo = summ["gap_start"].to_numpy("int64")  # per-bucket min key
+    hi = summ["gap_end"].to_numpy("int64")  # per-bucket max key
+    cross = pd.DataFrame({"gap_start": hi[:-1] + 1, "gap_end": lo[1:] - 1})
+    cross = cross[cross["gap_end"] >= cross["gap_start"]]
+    out = pd.concat([gaps, cross], ignore_index=True)
+    out["gap_start"] = out["gap_start"].astype("int64")
+    out["gap_end"] = out["gap_end"].astype("int64")
+    return out.sort_values("gap_start").reset_index(drop=True)
+
+
+ORDERKEY_GAPS_SQL = """
+WITH k AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+l AS (
+  SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key FROM k
+)
+SELECT prev_key + 1 AS gap_start, o_orderkey - 1 AS gap_end
+FROM l WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1
+ORDER BY gap_start
+"""
+
+
+def orders_wow_change(sf_dir: str) -> pd.DataFrame:
+    """Weekly order count + revenue with week-over-week percent
+    change (lag over the observed weekly series, not a calendar
+    spine). The heavy part — collapsing the fact table to one row per
+    week — reduces through the bucketed aggregate; the lag/pct pass
+    runs on the result-sized weekly table only.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _week(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "week": df["o_orderdate"].dt.to_period("W-SUN").dt.start_time,
+                "o_totalprice": df["o_totalprice"],
+            }
+        )
+
+    weekly = (
+        bucketed_aggregate(
+            ds.map_batches(_week, batch_format="pandas"),
+            ["week"],
+            {"n_orders": ("o_totalprice", "size"), "revenue": ("o_totalprice", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    prev = weekly["revenue"].shift(1)
+    weekly["pct_change"] = ((weekly["revenue"] - prev) / prev * 100.0).round(
+        ROUND_DECIMALS
+    )
+    weekly["revenue"] = weekly["revenue"].round(ROUND_DECIMALS)
+    weekly["n_orders"] = weekly["n_orders"].astype("int64")
+    return weekly[["week", "n_orders", "revenue", "pct_change"]]
+
+
+ORDERS_WOW_CHANGE_SQL = """
+WITH w AS (
+  SELECT date_trunc('week', o_orderdate) AS week,
+         CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT week, n_orders, round(revenue, 4) AS revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY week))
+             / lag(revenue) OVER (ORDER BY week) * 100.0, 4) AS pct_change
+FROM w ORDER BY week
+"""
