@@ -3291,3 +3291,194 @@ SELECT event_type, CAST(count(gap) AS BIGINT) AS n_gaps,
 FROM d WHERE gap IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+def welch_ttest_value(sf_dir: str) -> pd.DataFrame:
+    """Welch two-sample t-test of ``value`` between purchase and view
+    events: t statistic + Welch-Satterthwaite dof. The entire fact
+    scan reduces to six numbers (n, sum, sumsq per group) via
+    per-batch partials — a one-pass, shuffle-free moment aggregate;
+    the test statistic is arithmetic on the driver.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"].isin(["purchase", "view"])]
+        g = sub.groupby("event_type")["value"]
+        return pd.DataFrame(
+            {
+                "event_type": g.sum().index,
+                "n": g.count().to_numpy("int64"),
+                "s": g.sum().to_numpy("float64"),
+                "ss": g.apply(lambda v: float((v.to_numpy() ** 2).sum())).to_numpy(
+                    "float64"
+                ),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("event_type").sum()
+    stats = {}
+    for et in ("purchase", "view"):
+        n = float(m.loc[et, "n"])
+        s = float(m.loc[et, "s"])
+        ss = float(m.loc[et, "ss"])
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1.0)
+        stats[et] = (n, mean, var)
+    n1, m1, v1 = stats["purchase"]
+    n2, m2, v2 = stats["view"]
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / np.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1.0) + (v2 / n2) ** 2 / (n2 - 1.0))
+    return pd.DataFrame(
+        {"t_stat": [round(float(t), 6)], "dof": [round(float(dof), 6)]}
+    )
+
+
+WELCH_TTEST_VALUE_SQL = """
+WITH g AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+),
+p AS (SELECT n, m, v FROM g WHERE event_type = 'purchase'),
+w AS (SELECT n, m, v FROM g WHERE event_type = 'view')
+SELECT
+  round((p.m - w.m) / sqrt(p.v / p.n + w.v / w.n), 6) AS t_stat,
+  round(pow(p.v / p.n + w.v / w.n, 2)
+        / (pow(p.v / p.n, 2) / (p.n - 1) + pow(w.v / w.n, 2) / (w.n - 1)),
+        6) AS dof
+FROM p, w
+"""
+
+
+def rolling_corr_daily(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """7-day rolling Pearson correlation between the daily view count
+    and daily purchase count (co-movement of two derived series — the
+    windowed two-series statistic Ray Data has no primitive for).
+    The fact table collapses to one row per (type, day) through the
+    bucketed aggregate; the zero-filled pivot + rolling corr run on
+    the result-sized daily series. Only full windows are emitted
+    (partial leading windows are alignment-ambiguous across engines).
+    """
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"].isin(["purchase", "view"])]
+        return pd.DataFrame(
+            {"event_type": sub["event_type"], "day": sub["ts"].dt.floor("D")}
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_day, batch_format="pandas"),
+            ["event_type", "day"],
+            {"n": ("day", "size")},
+            num_buckets=16,
+        )
+        .to_pandas()
+    )
+    lo, hi = daily["day"].min(), daily["day"].max()
+    spine = pd.date_range(lo, hi, freq="D")
+    piv = (
+        daily.pivot_table(index="day", columns="event_type", values="n", fill_value=0)
+        .reindex(spine, fill_value=0)
+        .astype("float64")
+    )
+    x = piv.get("view", pd.Series(0.0, index=spine))
+    y = piv.get("purchase", pd.Series(0.0, index=spine))
+    r = x.rolling(window).corr(y)
+    out = pd.DataFrame({"day": spine, "corr7": r.round(6)})
+    out = out.iloc[window - 1 :].reset_index(drop=True)
+    return out
+
+
+ROLLING_CORR_DAILY_SQL = """
+WITH spine AS (
+  SELECT unnest(generate_series(
+    (SELECT date_trunc('day', min(ts)) FROM events
+      WHERE event_type IN ('purchase','view')),
+    (SELECT date_trunc('day', max(ts)) FROM events
+      WHERE event_type IN ('purchase','view')),
+    INTERVAL 1 DAY)) AS day
+),
+daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS nv,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS np
+  FROM events WHERE event_type IN ('purchase','view') GROUP BY 1
+),
+series AS (
+  SELECT s.day, coalesce(nv, 0) AS nv, coalesce(np, 0) AS np,
+         row_number() OVER (ORDER BY s.day) AS rn
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+r AS (
+  SELECT day, rn,
+         corr(nv, np) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS corr7
+  FROM series
+)
+SELECT day, round(corr7, 6) AS corr7 FROM r WHERE rn >= 7 ORDER BY day
+"""
+
+
+def time_to_nth_purchase(sf_dir: str, nth: int = 3) -> pd.DataFrame:
+    """Per-user time (seconds) from the FIRST purchase to the Nth
+    purchase (n=3), for users with >= n purchases — the
+    order-statistic window (ROW_NUMBER + pivot on rank) behind
+    activation/LTV latency metrics. Purchases are filtered at the
+    read, bucketed by coarse user hash, and the rank selection is
+    ONE vectorized pass per bucket (sort + cumcount), never a
+    per-user loop. Tie-robust: the statistic is a difference of order
+    statistics of the sorted ts multiset.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _purchases(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["event_type"] == "purchase"]
+        out = pd.DataFrame(
+            {
+                "user_id": sub["user_id"].to_numpy("int64"),
+                "t": sub["ts"].to_numpy("datetime64[us]").astype("int64"),
+            }
+        )
+        out["__bucket"] = (out["user_id"] % N_USER_BUCKETS).astype("int64")
+        return out
+
+    def _nth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t"])
+        rank = g.groupby("user_id").cumcount()
+        first = g[rank == 0].set_index("user_id")["t"]
+        nthv = g[rank == nth - 1].set_index("user_id")["t"]
+        joined = pd.concat([first, nthv], axis=1, keys=["t1", "tn"]).dropna()
+        return pd.DataFrame(
+            {
+                "user_id": joined.index.to_numpy("int64"),
+                "secs_to_nth": ((joined["tn"] - joined["t1"]) / 1e6).round(6),
+            }
+        )
+
+    out = (
+        ds.map_batches(_purchases, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _nth(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TIME_TO_NTH_PURCHASE_SQL = """
+WITH p AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id,
+       round(epoch(b.ts) - epoch(a.ts), 6) AS secs_to_nth
+FROM p a JOIN p b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 3
+ORDER BY a.user_id
+"""

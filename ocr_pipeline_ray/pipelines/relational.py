@@ -6333,3 +6333,82 @@ SELECT week, n_orders, round(revenue, 4) AS revenue,
              / lag(revenue) OVER (ORDER BY week) * 100.0, 4) AS pct_change
 FROM w ORDER BY week
 """
+
+
+def revenue_increase_runs(sf_dir: str, min_len: int = 3) -> pd.DataFrame:
+    """Monotonic gaps-and-islands over a DERIVED series: every maximal
+    run of >= 3 consecutive days with strictly increasing daily order
+    revenue (momentum detection). The fact table collapses to one row
+    per day through the bucketed aggregate; the run detection is a
+    vectorized diff/cumsum pass over the result-sized daily series.
+    Days are consecutive calendar days (a missing day breaks the run).
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": df["o_orderdate"].dt.floor("D"), "o_totalprice": df["o_totalprice"]}
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_day, batch_format="pandas"),
+            ["day"],
+            {"revenue": ("o_totalprice", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d = daily["day"].to_numpy("datetime64[D]").astype("int64")
+    r = daily["revenue"].to_numpy("float64")
+    inc = np.zeros(len(d), dtype=bool)
+    if len(d) > 1:
+        inc[1:] = (d[1:] - d[:-1] == 1) & (r[1:] > r[:-1])
+    # a run of k increasing STEPS spans k+1 days; run starts where inc flips on
+    start = inc & ~np.concatenate([[False], inc[:-1]])
+    run_id = np.cumsum(start) * inc
+    rows = []
+    for rid in np.unique(run_id[run_id > 0]):
+        idx = np.nonzero(run_id == rid)[0]
+        lo, hi = idx[0] - 1, idx[-1]
+        n_days = hi - lo + 1
+        if n_days >= min_len:
+            rows.append(
+                (daily["day"].iloc[lo], daily["day"].iloc[hi], int(n_days))
+            )
+    out = pd.DataFrame(rows, columns=["start_day", "end_day", "run_days"])
+    if len(out):
+        out["run_days"] = out["run_days"].astype("int64")
+    return out.sort_values("start_day").reset_index(drop=True)
+
+
+REVENUE_INCREASE_RUNS_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT day, revenue,
+         lag(day) OVER (ORDER BY day) AS pd,
+         lag(revenue) OVER (ORDER BY day) AS pr
+  FROM daily
+),
+f AS (
+  SELECT day,
+         CASE WHEN pd = day - INTERVAL 1 DAY AND revenue > pr THEN 0 ELSE 1 END
+           AS brk
+  FROM l
+),
+g AS (
+  SELECT day, sum(brk) OVER (ORDER BY day) AS grp FROM f
+),
+runs AS (
+  SELECT min(day) AS start_day, max(day) AS end_day,
+         CAST(count(*) AS BIGINT) AS run_days
+  FROM g GROUP BY grp
+)
+SELECT start_day, end_day, run_days FROM runs
+WHERE run_days >= 3 ORDER BY start_day
+"""
