@@ -3482,3 +3482,79 @@ SELECT a.user_id,
 FROM p a JOIN p b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 3
 ORDER BY a.user_id
 """
+
+
+def dau_mau_stickiness(sf_dir: str) -> pd.DataFrame:
+    """Product-analytics stickiness per calendar month: average DAU
+    (active user-day pairs / days in the month), MAU (distinct active
+    users), and the DAU/MAU ratio. One shuffle on the coarse user
+    bucket dedupes (user, day) pairs; because users are PARTITIONED
+    by the bucket, per-bucket distinct counts add exactly — each
+    bucket emits tiny per-month partials (pair count + distinct-user
+    count) and the driver sums O(months x buckets) rows. Partial
+    first/last months use the full calendar-month day count (both
+    engines compute the same convention).
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy("int64"),
+                "day": df["ts"].dt.floor("D"),
+            }
+        ).drop_duplicates()
+        out["__bucket"] = (out["user_id"] % N_USER_BUCKETS).astype("int64")
+        return out
+
+    def _month_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).copy()
+        g["month"] = g["day"].dt.to_period("M").dt.start_time
+        agg = g.groupby("month").agg(
+            pairs=("user_id", "size"), users=("user_id", "nunique")
+        )
+        return agg.reset_index()
+
+    parts = (
+        ds.map_batches(_pairs, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: _month_partials(g.drop(columns="__bucket")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    m = parts.groupby("month", as_index=False)[["pairs", "users"]].sum()
+    days = m["month"].dt.to_period("M").dt.days_in_month.astype("float64")
+    m["avg_dau"] = (m["pairs"] / days).round(6)
+    m["mau"] = m["users"].astype("int64")
+    m["stickiness"] = (m["pairs"] / days / m["mau"]).round(6)
+    return (
+        m[["month", "avg_dau", "mau", "stickiness"]]
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+
+
+DAU_MAU_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (
+  SELECT date_trunc('month', day) AS month, CAST(count(*) AS DOUBLE) AS pairs
+  FROM ud GROUP BY 1
+),
+mau AS (
+  SELECT date_trunc('month', day) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM ud GROUP BY 1
+)
+SELECT d.month,
+       round(pairs / date_diff('day', d.month, d.month + INTERVAL 1 MONTH), 6)
+         AS avg_dau,
+       m.mau,
+       round(pairs / date_diff('day', d.month, d.month + INTERVAL 1 MONTH) / m.mau,
+             6) AS stickiness
+FROM dau d JOIN mau m ON d.month = m.month
+ORDER BY d.month
+"""

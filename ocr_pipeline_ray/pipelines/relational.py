@@ -6412,3 +6412,169 @@ runs AS (
 SELECT start_day, end_day, run_days FROM runs
 WHERE run_days >= 3 ORDER BY start_day
 """
+
+
+def brand_target_encoding(sf_dir: str, m: float = 50.0) -> pd.DataFrame:
+    """Smoothed target encoding of p_brand against l_extendedprice
+    (the classic ML categorical-encoding prep: encoded = (sum + m *
+    global_mean) / (n + m)). Aggregate-before-join: lineitem first
+    collapses to per-partkey (sum, n) partials through the bucketed
+    aggregate — bounded by part cardinality, never fact-sized — then
+    streams through ONE partitioned hash join against part to pick up
+    the brand, and the 25-brand reduce + smoothing arithmetic is
+    result-sized. No fact-table broadcast, no driver materialization
+    of a SF-scaled dimension.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    per_part = bucketed_aggregate(
+        li,
+        ["l_partkey"],
+        {"s": ("l_extendedprice", "sum"), "n": ("l_extendedprice", "size")},
+    )
+    joined = shuffle_hash_join(
+        per_part.map_batches(
+            lambda df: df.rename(columns={"l_partkey": "p_partkey"}),
+            batch_format="pandas",
+        ),
+        part,
+        on="p_partkey",
+        left_cols=["p_partkey", "s", "n"],
+        right_cols=["p_partkey", "p_brand"],
+    )
+    brand = (
+        bucketed_aggregate(
+            joined, ["p_brand"], {"s": ("s", "sum"), "n": ("n", "sum")}, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("p_brand")
+        .reset_index(drop=True)
+    )
+    gmean = brand["s"].sum() / brand["n"].sum()
+    brand["encoded"] = ((brand["s"] + m * gmean) / (brand["n"] + m)).round(6)
+    brand["n"] = brand["n"].astype("int64")
+    return brand[["p_brand", "n", "encoded"]]
+
+
+BRAND_TARGET_ENCODING_SQL = """
+WITH g AS (SELECT avg(l_extendedprice) AS gm FROM lineitem),
+b AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n, sum(l_extendedprice) AS s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n, round((s + 50.0 * gm) / (n + 50.0), 6) AS encoded
+FROM b, g ORDER BY p_brand
+"""
+
+
+def changepoint_cusum(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint detection over daily order revenue: the day
+    k maximizing |sum_{i<=k}(x_i - mean)| — the standard single-
+    changepoint statistic. Two passes over the result-sized daily
+    series (mean, then cumulative deviation), but only ONE pass over
+    the fact table (the bucketed daily aggregate); everything after
+    is arithmetic on O(days) rows.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.floor("D"),
+                        "o_totalprice": df["o_totalprice"],
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"revenue": ("o_totalprice", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["revenue"].to_numpy("float64")
+    dev = np.cumsum(x - x.mean())
+    i = int(np.argmax(np.abs(dev)))
+    return pd.DataFrame(
+        {
+            "change_day": [daily["day"].iloc[i]],
+            "cusum_stat": [round(float(abs(dev[i])), 4)],
+        }
+    )
+
+
+CHANGEPOINT_CUSUM_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT day,
+         abs(sum(revenue - (SELECT avg(revenue) FROM daily))
+             OVER (ORDER BY day)) AS dev
+  FROM daily
+)
+SELECT day AS change_day, round(dev, 4) AS cusum_stat
+FROM c ORDER BY dev DESC, day LIMIT 1
+"""
+
+
+def hhi_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration index of customer revenue
+    within each market segment (sum of squared revenue shares — the
+    anti-trust / concentration metric). Per-customer revenue reduces
+    through the bucketed aggregate (customer-cardinality bounded);
+    the segment lookup is a true-dimension broadcast; the final sum
+    of squared shares is a 5-group reduce of per-batch partials.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+
+    per_cust = bucketed_aggregate(
+        orders, ["o_custkey"], {"rev": ("o_totalprice", "sum")}
+    )
+    joined = broadcast_lookup(
+        per_cust, "o_custkey", cust, "c_custkey", ["c_mktsegment"]
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment")["rev"]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": g.sum().index,
+                "s": g.sum().to_numpy("float64"),
+                "ss": g.apply(lambda v: float((v.to_numpy() ** 2).sum())).to_numpy(
+                    "float64"
+                ),
+            }
+        )
+
+    parts = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    seg = parts.groupby("c_mktsegment", as_index=False).sum()
+    seg["hhi"] = (seg["ss"] / (seg["s"] ** 2)).round(6)
+    return (
+        seg[["c_mktsegment", "hhi"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+HHI_REVENUE_BY_SEGMENT_SQL = """
+WITH pc AS (
+  SELECT c_mktsegment, o_custkey, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi
+FROM pc GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
