@@ -148,6 +148,19 @@ SUBSET = [
     "top_session_paths",
     "systematic_sample_orders",
     "partition_skew_report",
+    # round-3g additions
+    "user_activity_streaks",
+    "interarrival_stats",
+    "orderkey_gaps",
+    "orders_wow_change",
+    "welch_ttest_value",
+    "rolling_corr_daily",
+    "time_to_nth_purchase",
+    "revenue_increase_runs",
+    "brand_target_encoding",
+    "changepoint_cusum",
+    "hhi_revenue_by_segment",
+    "dau_mau_stickiness",
 ]
 
 
