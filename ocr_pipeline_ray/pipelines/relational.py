@@ -6578,3 +6578,194 @@ SELECT c_mktsegment,
        round(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi
 FROM pc GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def grouped_regression_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group simple OLS (l_extendedprice ~ l_quantity) for each
+    l_returnflag: slope + intercept from the five sufficient moments
+    (n, sx, sy, sxx, sxy) accumulated as per-batch partials — the
+    grouped-regression shape where the fact scan reduces to a handful
+    of numbers per group and NO shuffle of raw rows happens at all.
+    """
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy("float64")
+        y = df["l_extendedprice"].to_numpy("float64")
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    m = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+    )
+    slope = (m["sxy"] - m["sx"] * m["sy"] / m["n"]) / (
+        m["sxx"] - m["sx"] * m["sx"] / m["n"]
+    )
+    intercept = m["sy"] / m["n"] - slope * m["sx"] / m["n"]
+    out = pd.DataFrame(
+        {
+            "l_returnflag": m["l_returnflag"],
+            "slope": slope.round(6),
+            "intercept": intercept.round(6),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+GROUPED_REGRESSION_BY_FLAG_SQL = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def theil_sen_daily_slope(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend estimate of daily order revenue: the
+    MEDIAN of all pairwise slopes (rev_j - rev_i) / (day_j - day_i),
+    outlier-immune where OLS is not. The fact table collapses to one
+    row per day (bucketed aggregate); the O(days^2) pairwise slope
+    set is computed on the result-sized series only (days ~ 10^3 even
+    at 100 TB, so the pair count stays ~10^6 driver floats).
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.floor("D"),
+                        "o_totalprice": df["o_totalprice"],
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"revenue": ("o_totalprice", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d = daily["day"].to_numpy("datetime64[D]").astype("float64")
+    r = daily["revenue"].to_numpy("float64")
+    dd = d[None, :] - d[:, None]
+    rr = r[None, :] - r[:, None]
+    iu = np.triu_indices(len(d), k=1)
+    slopes = rr[iu] / dd[iu]
+    return pd.DataFrame({"theil_sen_slope": [round(float(np.median(slopes)), 6)]})
+
+
+THEIL_SEN_DAILY_SLOPE_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT round(median((b.revenue - a.revenue)
+              / date_diff('day', a.day, b.day)), 6) AS theil_sen_slope
+FROM daily a JOIN daily b ON b.day > a.day
+"""
+
+
+def neyman_allocation(sf_dir: str, n_total: int = 1000) -> pd.DataFrame:
+    """Neyman optimal sample-allocation plan: given a target sample
+    of 1000 orders, allocate per market segment proportionally to
+    N_h * S_h (stratum size x stddev of o_totalprice) — the survey-
+    sampling design step before any stratified draw. Per-stratum
+    moments come from one pass of per-batch partials joined against
+    the broadcast customer dimension; the allocation arithmetic runs
+    on 5 rows.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+
+    joined = broadcast_lookup(orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy("float64")
+        g = pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"], "n": 1.0, "s": v, "ss": v * v}
+        )
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    m = (
+        joined.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .sum()
+    )
+    sd = np.sqrt((m["ss"] - m["s"] * m["s"] / m["n"]) / (m["n"] - 1.0))
+    w = m["n"] * sd
+    m["n_alloc"] = np.floor(n_total * w / w.sum()).astype("int64")
+    m["stratum_sd"] = sd.round(4)
+    m["n"] = m["n"].astype("int64")
+    out = m[["c_mktsegment", "n", "stratum_sd", "n_alloc"]]
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+NEYMAN_ALLOCATION_SQL = """
+WITH s AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         stddev_samp(o_totalprice) AS sd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT c_mktsegment, n, round(sd, 4) AS stratum_sd,
+       CAST(floor(1000 * (n * sd) / sum(n * sd) OVER ()) AS BIGINT) AS n_alloc
+FROM s ORDER BY c_mktsegment
+"""
+
+
+def suspect_duplicate_orders(sf_dir: str) -> pd.DataFrame:
+    """Data-quality audit: groups of distinct orders that share the
+    SAME (customer, order date) — the near-miss duplicate signature a
+    double-submit / replayed-ingest bug leaves behind.
+    (o_custkey, day) is a high-cardinality composite key, so the
+    count reduces through the bucketed aggregate; only groups with
+    >= 2 orders survive to the driver.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": df["o_custkey"], "day": df["o_orderdate"].dt.floor("D")}
+        )
+
+    g = (
+        bucketed_aggregate(
+            ds.map_batches(_key, batch_format="pandas"),
+            ["o_custkey", "day"],
+            {"n_orders": ("day", "size")},
+        )
+        .to_pandas()
+    )
+    out = g[g["n_orders"] >= 2].copy()
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["o_custkey", "day", "n_orders"]]
+        .sort_values(["o_custkey", "day"])
+        .reset_index(drop=True)
+    )
+
+
+SUSPECT_DUPLICATE_ORDERS_SQL = """
+SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2
+HAVING count(*) >= 2 ORDER BY o_custkey, day
+"""

@@ -161,6 +161,10 @@ SUBSET = [
     "changepoint_cusum",
     "hhi_revenue_by_segment",
     "dau_mau_stickiness",
+    "grouped_regression_by_flag",
+    "theil_sen_daily_slope",
+    "neyman_allocation",
+    "suspect_duplicate_orders",
 ]
 
 
