@@ -1025,3 +1025,64 @@ SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
 FROM cent a JOIN cent b ON a.label < b.label
 ORDER BY label_a, label_b
 """
+
+
+def embedding_quantization_error(sf_dir: str) -> pd.DataFrame:
+    """Int8 symmetric quantization error audit over the embedding
+    column: quantize each vector by its own max-abs scale
+    (q = floor(x/scale*127 + 0.5), dequantize, mean-squared error),
+    report corpus mean and max MSE in ppm (x 1e6 — raw MSE is ~1e-7
+    and would vanish under 6-decimal rounding). The whole table
+    reduces through per-batch vectorized numpy partials (n, sum_mse,
+    max_mse) — one pass, no shuffle. floor(x+0.5) is used on BOTH
+    engines (numpy round() is banker's; SQL round() is half-away) so
+    the quantizer is bit-identical.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import _read
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(df["embedding"].to_numpy()).astype("float64")
+        scale = np.abs(mat).max(axis=1)
+        keep = scale > 0
+        mat, scale = mat[keep], scale[keep]
+        q = np.floor(mat / scale[:, None] * 127.0 + 0.5)
+        dq = q * scale[:, None] / 127.0
+        mse = ((mat - dq) ** 2).mean(axis=1) * 1e6
+        return pd.DataFrame(
+            {"n": [len(mse)], "s": [float(mse.sum())], "mx": [float(mse.max())]}
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_vecs": [n],
+            "mean_mse_ppm": [round(float(parts["s"].sum()) / n, 6)],
+            "max_mse_ppm": [round(float(parts["mx"].max()), 6)],
+        }
+    )
+
+
+EMBEDDING_QUANTIZATION_ERROR_SQL = """
+WITH v AS (
+  SELECT embedding,
+         list_aggregate(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT 1e6 * list_sum(list_transform(embedding,
+           x -> pow(CAST(x AS DOUBLE)
+                - floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+                  * scale / 127.0, 2))) / len(embedding) AS mse
+  FROM v WHERE scale > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(mse), 6) AS mean_mse_ppm,
+       round(max(mse), 6) AS max_mse_ppm
+FROM e
+"""

@@ -3423,3 +3423,190 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def ttr_by_source(sf_dir: str) -> pd.DataFrame:
+    """Type-token ratio per source (distinct terms / total tokens —
+    the lexical-diversity signal quality filters threshold on).
+    Per-batch (source, term) counting is one pandas groupby over the
+    batch's tagged token stream; totals combine through the bucketed
+    aggregate over the (source, term) key domain, and the per-source
+    reduce (distinct = surviving rows, tokens = summed counts) is a
+    second tiny bucketed aggregate — the vocabulary never reaches the
+    driver.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        toks: list[str] = []
+        for src, s in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            tt = TOKEN_RE.findall(s.lower())
+            toks.extend(tt)
+            srcs.extend([src] * len(tt))
+        df = pd.DataFrame({"source": srcs, "term": toks})
+        out = df.groupby(["source", "term"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    per_term = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        ["source", "term"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _src_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source")
+        return pd.DataFrame(
+            {
+                "source": g.size().index,
+                "n_distinct": g.size().to_numpy("int64"),
+                "n_tokens": g["n"].sum().to_numpy("int64"),
+            }
+        )
+
+    parts = per_term.map_batches(_src_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("source", as_index=False)[["n_distinct", "n_tokens"]].sum()
+    out["ttr"] = (out["n_distinct"] / out["n_tokens"]).round(6)
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+TTR_BY_SOURCE_SQL = """
+WITH t AS (
+  SELECT source, tt.term
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+)
+SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+def hapax_stats(sf_dir: str) -> pd.DataFrame:
+    """Hapax legomena profile of the corpus vocabulary: vocabulary
+    size, number of terms occurring exactly once, and the hapax ratio
+    (Zipf-tail health check for tokenizer/vocab decisions). Term
+    totals reduce through the bucketed aggregate over the vocabulary
+    key domain; the hapax count is a per-batch partial over the
+    totals — the vocabulary itself never reaches the driver.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vocab": [len(df)],
+                "hapax": [int((df["n"].to_numpy() == 1).sum())],
+            }
+        )
+
+    parts = totals.map_batches(_partial, batch_format="pandas").to_pandas()
+    vocab = int(parts["vocab"].sum())
+    hapax = int(parts["hapax"].sum())
+    return pd.DataFrame(
+        {
+            "vocab_size": [vocab],
+            "n_hapax": [hapax],
+            "hapax_ratio": [round(hapax / vocab, 6)],
+        }
+    )
+
+
+HAPAX_STATS_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       round(count(*) FILTER (WHERE n = 1) / CAST(count(*) AS DOUBLE), 6)
+         AS hapax_ratio
+FROM t
+"""
+
+
+def dup_cluster_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Histogram of boilerplate-prefix cluster sizes: docs sharing
+    the same 32-char text prefix (template detection — near-identical
+    headers cluster even when bodies differ) counted into (cluster
+    size -> n_clusters). Two bucketed reductions — (prefix hash ->
+    count), then (count -> clusters) — both over bounded key domains;
+    raw text never shuffles, only (hash, 1) partials do.
+    """
+    import hashlib
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(s[:32].encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.Table.from_pydict({"h": pa.array(hs, pa.string())})
+
+    per_hash = bucketed_aggregate(
+        ds.map_batches(hash_batch, batch_format="pyarrow"),
+        "h",
+        {"k": ("h", "size")},
+        num_buckets=16,
+    )
+    hist = (
+        bucketed_aggregate(
+            per_hash, "k", {"n_clusters": ("k", "size")}, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    hist["cluster_size"] = hist["k"].astype("int64")
+    hist["n_clusters"] = hist["n_clusters"].astype("int64")
+    return hist[["cluster_size", "n_clusters"]]
+
+
+DUP_CLUSTER_SIZE_HIST_SQL = """
+WITH c AS (
+  SELECT md5(substr(text, 1, 32)) AS h, count(*) AS k FROM documents GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY k ORDER BY cluster_size
+"""

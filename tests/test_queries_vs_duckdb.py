@@ -165,6 +165,10 @@ SUBSET = [
     "theil_sen_daily_slope",
     "neyman_allocation",
     "suspect_duplicate_orders",
+    "ttr_by_source",
+    "hapax_stats",
+    "dup_cluster_size_hist",
+    "embedding_quantization_error",
 ]
 
 
