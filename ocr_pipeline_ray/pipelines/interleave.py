@@ -362,3 +362,48 @@ SELECT doc_id,
             ELSE '' END AS pdf_extracted
 FROM base ORDER BY doc_id
 """
+
+
+def extract_error_audit(sf_dir: str) -> pd.DataFrame:
+    """End-to-end audit of the M9 error channel (reference keeps
+    failed regions in-band, std-ocr/serving_server.py error path):
+    image media payloads for every doc_id divisible by 17 are DROPPED
+    before the join, the full extraction pipeline runs, and the
+    output must show exactly one in-band error span for the planted
+    docs (n_spans stays 3 — dropping rows would break span-sequence
+    equality) and zero everywhere else. Oracle-checkable because the
+    plant is deterministic in doc_id.
+    """
+    docs, media = interleaved_datasets(sf_dir, "synthetic")
+
+    def _drop_planted(t: pa.Table) -> pa.Table:
+        keep = []
+        for ref, kind in zip(t["media_ref"].to_pylist(), t["kind"].to_pylist()):
+            n = int(ref.split("/")[2][4:])
+            keep.append(not (kind == "image" and n % 17 == 0))
+        return t.filter(pa.array(keep))
+
+    media = media.map_batches(_drop_planted, batch_format="pyarrow")
+    out = build_extraction_pipeline(docs, media, media_mode="join")
+
+    def _summarize(t: pa.Table) -> pa.Table:
+        ids = [int(d[4:]) for d in t["doc_id"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_spans": t["n_spans"],
+                "n_errors": t["n_errors"],
+            }
+        )
+
+    df = out.map_batches(_summarize, batch_format="pyarrow").to_pandas()
+    df["n_spans"] = df["n_spans"].astype("int64")
+    df["n_errors"] = df["n_errors"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+EXTRACT_ERROR_AUDIT_SQL = """
+SELECT doc_id, CAST(3 AS BIGINT) AS n_spans,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors
+FROM documents ORDER BY doc_id
+"""

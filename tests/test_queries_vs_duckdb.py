@@ -169,6 +169,7 @@ SUBSET = [
     "hapax_stats",
     "dup_cluster_size_hist",
     "embedding_quantization_error",
+    "extract_error_audit",
 ]
 
 
