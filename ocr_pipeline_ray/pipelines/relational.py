@@ -6769,3 +6769,190 @@ SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
 FROM orders GROUP BY 1, 2
 HAVING count(*) >= 2 ORDER BY o_custkey, day
 """
+
+
+def priority_transition_counts(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts over each customer's order sequence:
+    how often priority p is followed by priority q in consecutive
+    orders (deterministic order: (o_orderdate, o_orderkey)). One
+    shuffle on the coarse customer bucket; pairing is one vectorized
+    shift per bucket (sort by (cust, date, key), pair where the
+    customer repeats) and the 5x5 count matrix reduces from per-bucket
+    partials.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"])
+    NB = 64
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["o_custkey"].to_numpy("int64") % NB).astype("int64")
+        return df
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        c = g["o_custkey"].to_numpy("int64")
+        p = g["o_orderpriority"].to_numpy()
+        same = c[1:] == c[:-1]
+        d = pd.DataFrame({"prev_priority": p[:-1][same], "next_priority": p[1:][same]})
+        return d.groupby(["prev_priority", "next_priority"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _pairs(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["prev_priority", "next_priority"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_priority", "next_priority"]).reset_index(drop=True)
+
+
+PRIORITY_TRANSITION_COUNTS_SQL = """
+WITH s AS (
+  SELECT o_custkey, o_orderpriority,
+         lead(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS nxt
+  FROM orders
+)
+SELECT o_orderpriority AS prev_priority, nxt AS next_priority,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY prev_priority, next_priority
+"""
+
+
+def anova_price_by_segment(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA effect size (eta-squared = between-group SS /
+    total SS) of order totals across market segments — "how much of
+    the price variance does the segment explain". The whole two-table
+    scan reduces to (n, sum, sumsq) per segment via one pass of
+    per-batch partials over the broadcast-dimension join; the F
+    statistic and eta^2 are arithmetic on 5 rows.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = broadcast_lookup(orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy("float64")
+        g = pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"], "n": 1.0, "s": v, "ss": v * v}
+        )
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    m = (
+        joined.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .sum()
+    )
+    N = m["n"].sum()
+    grand = m["s"].sum() / N
+    ss_total = m["ss"].sum() - N * grand * grand
+    ss_between = float((m["n"] * (m["s"] / m["n"] - grand) ** 2).sum())
+    k = len(m)
+    ss_within = ss_total - ss_between
+    f_stat = (ss_between / (k - 1)) / (ss_within / (N - k))
+    return pd.DataFrame(
+        {
+            "eta_squared": [round(ss_between / ss_total, 6)],
+            "f_stat": [round(float(f_stat), 6)],
+        }
+    )
+
+
+ANOVA_PRICE_BY_SEGMENT_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_totalprice AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (SELECT seg, count(*) AS n, avg(v) AS m FROM j GROUP BY seg),
+tot AS (
+  SELECT count(*) AS n, avg(v) AS gm,
+         sum(v * v) - count(*) * avg(v) * avg(v) AS ss_total
+  FROM j
+),
+b AS (
+  SELECT sum(g.n * (g.m - tot.gm) * (g.m - tot.gm)) AS ss_between,
+         count(*) AS k
+  FROM g, tot GROUP BY ALL
+)
+SELECT round(ss_between / ss_total, 6) AS eta_squared,
+       round((ss_between / (k - 1))
+             / ((ss_total - ss_between) / (tot.n - k)), 6) AS f_stat
+FROM b, tot
+"""
+
+
+def customer_interpurchase_cv(sf_dir: str) -> pd.DataFrame:
+    """Purchase-regularity metric per customer: the coefficient of
+    variation (stddev/mean) of inter-order gaps in days, for
+    customers with >= 3 orders (CV < 1 = regular, > 1 = bursty — the
+    subscription-detection feature). One shuffle on the coarse
+    customer bucket; gaps come from one vectorized shift over the
+    (cust, date)-sorted bucket. Tie-robust: the gap multiset of a
+    date-sorted sequence is invariant to tie order.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    NB = 64
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy("int64"),
+                "day": df["o_orderdate"]
+                .to_numpy("datetime64[us]")
+                .astype("datetime64[D]")
+                .astype("int64"),
+                "__bucket": (df["o_custkey"].to_numpy("int64") % NB),
+            }
+        )
+
+    def _cv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "day"])
+        c = g["o_custkey"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        same = c[1:] == c[:-1]
+        pairs = pd.DataFrame(
+            {"o_custkey": c[1:][same], "gap": (d[1:] - d[:-1])[same].astype("float64")}
+        )
+        agg = pairs.groupby("o_custkey")["gap"].agg(["count", "mean", "std"])
+        agg = agg[(agg["count"] >= 2) & (agg["mean"] > 0)]  # >= 3 orders -> >= 2 gaps
+        return pd.DataFrame(
+            {
+                "o_custkey": agg.index.to_numpy("int64"),
+                "n_gaps": agg["count"].to_numpy("int64"),
+                "cv": (agg["std"] / agg["mean"]).round(6).to_numpy(),
+            }
+        )
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _cv(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+CUSTOMER_INTERPURCHASE_CV_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         datediff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+           o_orderdate) AS gap
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, CAST(count(gap) AS BIGINT) AS n_gaps,
+         stddev_samp(gap) AS sd, avg(gap) AS m
+  FROM s WHERE gap IS NOT NULL GROUP BY o_custkey
+)
+SELECT o_custkey, n_gaps, round(sd / m, 6) AS cv
+FROM g WHERE n_gaps >= 2 AND m > 0 ORDER BY o_custkey
+"""

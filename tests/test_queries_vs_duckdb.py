@@ -170,6 +170,9 @@ SUBSET = [
     "dup_cluster_size_hist",
     "embedding_quantization_error",
     "extract_error_audit",
+    "priority_transition_counts",
+    "anova_price_by_segment",
+    "customer_interpurchase_cv",
 ]
 
 
