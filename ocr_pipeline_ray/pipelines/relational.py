@@ -6956,3 +6956,197 @@ g AS (
 SELECT o_custkey, n_gaps, round(sd / m, 6) AS cv
 FROM g WHERE n_gaps >= 2 AND m > 0 ORDER BY o_custkey
 """
+
+
+def compact_small_files(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    long-running lake needs (streaming jobs leave 10^5 tiny files;
+    readers want few large ones). lineitem is first written as 64
+    deliberately-tiny files, compacted by a streamed
+    read -> repartition(4) -> write pass, and the compacted layout is
+    re-read and reconciled: file count must hit the target and the
+    (rows, sum) checksum must survive byte-exact. Deterministic
+    layout under /tmp, re-created per call.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    small_dir = "/tmp/ocr_ray_compact_small"
+    big_dir = "/tmp/ocr_ray_compact_big"
+    for d in (small_dir, big_dir):
+        _shutil.rmtree(d, ignore_errors=True)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    ds.repartition(64).write_parquet(small_dir)
+
+    ray.data.read_parquet(small_dir).repartition(4).write_parquet(big_dir)
+
+    n_files = len([f for f in _os.listdir(big_dir) if f.endswith(".parquet")])
+    back = ray.data.read_parquet(big_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [len(df)], "s": [float(df["l_quantity"].sum())]}
+        )
+
+    parts = back.map_batches(_partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_files_after": [int(n_files)],
+            "n_rows": [int(parts["n"].sum())],
+            "sum_qty": [round(float(parts["s"].sum()), 4)],
+        }
+    )
+
+
+COMPACT_SMALL_FILES_SQL = """
+SELECT CAST(4 AS BIGINT) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+"""
+
+
+def zonemap_pruned_lookup(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """Zone-map pruning — write orders range-partitioned by orderkey
+    into bucket directories, build a per-bucket (min, max) manifest
+    DISTRIBUTED (bucketed aggregate, summary-sized driver state), and
+    serve a point lookup by consulting the manifest and reading ONLY
+    the one matching bucket (files_scanned must be 1 — the oracle
+    asserts the prune happened, not just the answer). This is the
+    min/max row-group statistic every columnar lake (and
+    `read_parquet` row-group pruning) relies on, made explicit.
+    """
+    import shutil as _shutil
+
+    out_dir = "/tmp/ocr_ray_zonemap"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    # derive bucket width from the key domain (two tiny aggregates)
+    lo, hi = ds.min("o_orderkey"), ds.max("o_orderkey")
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+
+    def _zb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__zb"] = ((df["o_orderkey"] - lo) // width).astype("int64")
+        return df
+
+    keyed = ds.map_batches(_zb, batch_format="pandas")
+    keyed.write_parquet(out_dir, partition_cols=["__zb"])
+
+    manifest = (
+        bucketed_aggregate(
+            keyed,
+            ["__zb"],
+            {"kmin": ("o_orderkey", "min"), "kmax": ("o_orderkey", "max")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("__zb")
+    )
+
+    key = int(hi)  # the point lookup target
+    hit = manifest[(manifest["kmin"] <= key) & (manifest["kmax"] >= key)]
+    scanned = ray.data.read_parquet(
+        [f"{out_dir}/__zb={int(z)}" for z in hit["__zb"]]
+    )
+    row = scanned.filter(lambda r: r["o_orderkey"] == key).to_pandas()
+    return pd.DataFrame(
+        {
+            "files_scanned": [int(len(hit))],
+            "o_orderkey": [int(row["o_orderkey"].iloc[0])],
+            "o_totalprice": [round(float(row["o_totalprice"].iloc[0]), 4)],
+        }
+    )
+
+
+ZONEMAP_PRUNED_LOOKUP_SQL = """
+SELECT CAST(1 AS BIGINT) AS files_scanned,
+       o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+"""
+
+
+def cdc_merge_apply(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE (upsert + delete) applied distributed: a change feed
+    derived deterministically from the orders table (every key
+    divisible by 3 arrives as an UPDATE with price * 1.1; every key
+    divisible by 13 arrives as a DELETE) merges into the base
+    snapshot with change-over-base precedence inside ONE key-bucket
+    shuffle — base and changes are tagged, concatenated, and each
+    bucket resolves precedence vectorized (sort by (key, is_change),
+    keep last, drop deletes). The post-merge state is certified as
+    per-status (rows, sum) against the oracle's declarative MERGE.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    NB = 32
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy("int64")
+        base = pd.DataFrame(
+            {
+                "o_orderkey": k,
+                "o_orderstatus": df["o_orderstatus"],
+                "p": df["o_totalprice"].to_numpy("float64"),
+                "is_change": 0,
+                "is_delete": 0,
+            }
+        )
+        upd = df[k % 3 == 0]
+        ku = upd["o_orderkey"].to_numpy("int64")
+        changes = pd.DataFrame(
+            {
+                "o_orderkey": ku,
+                "o_orderstatus": upd["o_orderstatus"],
+                "p": upd["o_totalprice"].to_numpy("float64") * 1.1,
+                "is_change": 1,
+                "is_delete": (ku % 13 == 0).astype("int64"),
+            }
+        )
+        dels = df[(k % 13 == 0) & (k % 3 != 0)]
+        deletes = pd.DataFrame(
+            {
+                "o_orderkey": dels["o_orderkey"].to_numpy("int64"),
+                "o_orderstatus": dels["o_orderstatus"],
+                "p": 0.0,
+                "is_change": 1,
+                "is_delete": 1,
+            }
+        )
+        out = pd.concat([base, changes, deletes], ignore_index=True)
+        out["__bucket"] = (out["o_orderkey"] % NB).astype("int64")
+        return out
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderkey", "is_change"])
+        last = g.drop_duplicates("o_orderkey", keep="last")
+        live = last[last["is_delete"] == 0]
+        agg = live.groupby("o_orderstatus", as_index=False).agg(
+            n_rows=("p", "size"), sum_price=("p", "sum")
+        )
+        return agg
+
+    parts = (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _merge(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("o_orderstatus", as_index=False)[["n_rows", "sum_price"]].sum()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(4)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+CDC_MERGE_APPLY_SQL = """
+WITH merged AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 4) AS sum_price
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""

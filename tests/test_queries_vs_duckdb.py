@@ -173,6 +173,9 @@ SUBSET = [
     "priority_transition_counts",
     "anova_price_by_segment",
     "customer_interpurchase_cv",
+    "compact_small_files",
+    "zonemap_pruned_lookup",
+    "cdc_merge_apply",
 ]
 
 
