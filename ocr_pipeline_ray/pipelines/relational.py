@@ -7150,3 +7150,175 @@ SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
        round(sum(p), 4) AS sum_price
 FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def zorder_box_query(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton) clustering for MULTI-dimensional pruning: the
+    lineitem fact is laid out by the bit-interleaved z-value of
+    (l_partkey, l_suppkey) buckets, each z-range file keeps a 2-D
+    (min, max) manifest, and a 2-D box query scans only manifest-
+    intersecting files. Unlike single-key range layout, the Morton
+    curve keeps BOTH dims locally clustered, so a selective box
+    touches a small fraction of the files (asserted: the prune must
+    drop at least half of them — the layout's reason to exist). The
+    certified output is the box aggregate, vs the oracle's plain
+    predicate scan.
+    """
+    import shutil as _shutil
+
+    out_dir = "/tmp/ocr_ray_zorder"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    BITS = 5  # 32 buckets per dim -> 10-bit z-value
+    N_FILES = 16
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+    pmax = ds.max("l_partkey")
+    smax = ds.max("l_suppkey")
+
+    def _interleave(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        z = np.zeros(len(a), dtype="int64")
+        for i in range(BITS):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    def _zkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        pb = (df["l_partkey"].to_numpy("int64") * (1 << BITS) // (pmax + 1)).astype("int64")
+        sb = (df["l_suppkey"].to_numpy("int64") * (1 << BITS) // (smax + 1)).astype("int64")
+        z = _interleave(pb, sb)
+        df["__zf"] = (z * N_FILES // (1 << (2 * BITS))).astype("int64")
+        return df
+
+    keyed = ds.map_batches(_zkey, batch_format="pandas")
+    keyed.write_parquet(out_dir, partition_cols=["__zf"])
+
+    manifest = (
+        bucketed_aggregate(
+            keyed,
+            ["__zf"],
+            {
+                "pmin": ("l_partkey", "min"),
+                "pmax_": ("l_partkey", "max"),
+                "smin": ("l_suppkey", "min"),
+                "smax_": ("l_suppkey", "max"),
+            },
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("__zf")
+    )
+
+    # the 2-D box: bottom-left octant of both key domains
+    p_hi, s_hi = pmax // 4, smax // 4
+    hit = manifest[(manifest["pmin"] <= p_hi) & (manifest["smin"] <= s_hi)]
+    n_total = len(manifest)
+    assert len(hit) * 2 <= n_total, (
+        f"z-order prune ineffective: {len(hit)}/{n_total} files scanned"
+    )
+    scanned = ray.data.read_parquet(
+        [f"{out_dir}/__zf={int(z)}" for z in hit["__zf"]]
+    )
+
+    def _box(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["l_partkey"] <= p_hi) & (df["l_suppkey"] <= s_hi)
+        return pd.DataFrame(
+            {"n": [int(m.sum())], "s": [float(df.loc[m, "l_quantity"].sum())]}
+        )
+
+    parts = scanned.map_batches(_box, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n"].sum())],
+            "sum_qty": [round(float(parts["s"].sum()), 4)],
+        }
+    )
+
+
+def _zorder_box_query_sql() -> str:
+    return """
+WITH lim AS (
+  SELECT max(l_partkey) // 4 AS p_hi, max(l_suppkey) // 4 AS s_hi FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem, lim WHERE l_partkey <= p_hi AND l_suppkey <= s_hi
+"""
+
+
+ZORDER_BOX_QUERY_SQL = _zorder_box_query_sql()
+
+
+def snapshot_time_travel(sf_dir: str) -> pd.DataFrame:
+    """Snapshot-isolated TIME TRAVEL over an append-only table log:
+    v1 writes the historical half of orders (orderdate below the
+    domain midpoint), v2 appends the rest as a NEW snapshot directory
+    plus a manifest listing each snapshot's files — readers pin a
+    snapshot id and see an immutable view regardless of later
+    appends. Both `AS OF` reads run distributed and are certified as
+    (snapshot, rows, revenue) against the oracle's date-predicate
+    reconstruction.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    root = "/tmp/ocr_ray_timetravel"
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(root)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    lo = pd.Timestamp(ds.min("o_orderdate"))
+    hi = pd.Timestamp(ds.max("o_orderdate"))
+    cutoff = lo + (hi - lo) / 2
+
+    def _split(keep_old: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["o_orderdate"] < cutoff
+            return df[m] if keep_old else df[~m]
+
+        return _f
+
+    ds.map_batches(_split(True), batch_format="pandas").write_parquet(f"{root}/snap-1")
+    ds.map_batches(_split(False), batch_format="pandas").write_parquet(f"{root}/snap-2")
+    # append-only manifest: snapshot N sees directories 1..N
+    with open(f"{root}/manifest.json", "w") as f:
+        _json.dump({"1": ["snap-1"], "2": ["snap-1", "snap-2"]}, f)
+
+    with open(f"{root}/manifest.json") as f:
+        manifest = _json.load(f)
+
+    rows = []
+    for snap in sorted(manifest):
+        files = [
+            f"{root}/{d}/{f}"
+            for d in manifest[snap]
+            for f in sorted(_os.listdir(f"{root}/{d}"))
+            if f.endswith(".parquet")
+        ]
+        view = ray.data.read_parquet(files)
+
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n": [len(df)], "s": [float(df["o_totalprice"].sum())]}
+            )
+
+        parts = view.map_batches(_partial, batch_format="pandas").to_pandas()
+        rows.append(
+            (int(snap), int(parts["n"].sum()), round(float(parts["s"].sum()), 4))
+        )
+    return pd.DataFrame(rows, columns=["snapshot", "n_rows", "revenue"])
+
+
+SNAPSHOT_TIME_TRAVEL_SQL = """
+WITH lim AS (
+  SELECT min(o_orderdate)
+         + (max(o_orderdate) - min(o_orderdate)) / 2 AS cutoff
+  FROM orders
+)
+SELECT 1 AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders, lim WHERE o_orderdate < cutoff
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 4) FROM orders
+ORDER BY snapshot
+"""

@@ -176,6 +176,8 @@ SUBSET = [
     "compact_small_files",
     "zonemap_pruned_lookup",
     "cdc_merge_apply",
+    "zorder_box_query",
+    "snapshot_time_travel",
 ]
 
 
