@@ -7322,3 +7322,139 @@ UNION ALL
 SELECT 2, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 4) FROM orders
 ORDER BY snapshot
 """
+
+
+def k_anonymity_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Privacy k-anonymity audit over the quasi-identifier tuple
+    (c_mktsegment, c_nationkey): the smallest equivalence class, the
+    number of classes below k, and the fraction of ROWS at risk
+    (re-identifiable because their QI combination is shared by < k
+    people). The QI histogram reduces through the bucketed aggregate;
+    the audit arithmetic runs on the class-count table (bounded by
+    the QI domain, never row count).
+    """
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
+    classes = bucketed_aggregate(
+        ds,
+        ["c_mktsegment", "c_nationkey"],
+        {"n": ("c_nationkey", "size")},
+        num_buckets=8,
+    ).to_pandas()
+    total = int(classes["n"].sum())
+    risky = classes[classes["n"] < k]
+    return pd.DataFrame(
+        {
+            "n_classes": [len(classes)],
+            "min_class_size": [int(classes["n"].min())],
+            "classes_below_k": [len(risky)],
+            "rows_at_risk_frac": [round(float(risky["n"].sum()) / total, 6)],
+        }
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = """
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS classes_below_k,
+       round(coalesce(sum(n) FILTER (WHERE n < 5), 0)
+             / CAST(sum(n) AS DOUBLE), 6) AS rows_at_risk_frac
+FROM c
+"""
+
+
+def pseudonymize_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Deterministic keyed pseudonymization that PRESERVES
+    join-ability: o_custkey is replaced by a salted sha256 token
+    inside map_batches (the PII column never leaves the workers
+    unmasked), and the invariant certified is that the
+    orders-per-entity DISTRIBUTION is untouched — group by pseudonym
+    must equal group by raw key, class for class. Output: histogram
+    of (orders per entity -> n_entities) computed over PSEUDONYMS;
+    oracle computes it over raw keys.
+    """
+    import hashlib
+
+    SALT = b"graft-fixed-salt"
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def _mask(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [
+            hashlib.sha256(SALT + int(x).to_bytes(8, "little")).hexdigest()[:16]
+            for x in df["o_custkey"].to_numpy("int64")
+        ]
+        return pd.DataFrame({"token": toks})
+
+    per_entity = bucketed_aggregate(
+        ds.map_batches(_mask, batch_format="pandas"),
+        ["token"],
+        {"n_orders": ("token", "size")},
+    )
+    hist = (
+        bucketed_aggregate(
+            per_entity, ["n_orders"], {"n_entities": ("n_orders", "size")}, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("n_orders")
+        .reset_index(drop=True)
+    )
+    hist["n_orders"] = hist["n_orders"].astype("int64")
+    hist["n_entities"] = hist["n_entities"].astype("int64")
+    return hist[["n_orders", "n_entities"]]
+
+
+PSEUDONYMIZE_ROUNDTRIP_SQL = """
+WITH pe AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM pe GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def histogram2d_price_quantity(sf_dir: str) -> pd.DataFrame:
+    """2-D binned heatmap of the (extendedprice, quantity) joint
+    distribution: counts per (price bin x quantity bin) grid cell —
+    the joint-profile diagnostic behind correlation/outlier plots.
+    Bin ids are computed vectorized per batch (fixed 1000-wide price
+    bins, 5-wide quantity bins); the grid reduces through the
+    bucketed aggregate (grid cardinality is bounded by the bin
+    design, never by rows).
+    """
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def _bin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "price_bin": (df["l_extendedprice"].to_numpy("float64") // 1000).astype(
+                    "int64"
+                ),
+                "qty_bin": (df["l_quantity"].to_numpy("float64") // 5).astype("int64"),
+            }
+        )
+
+    out = (
+        bucketed_aggregate(
+            ds.map_batches(_bin, batch_format="pandas"),
+            ["price_bin", "qty_bin"],
+            {"n": ("qty_bin", "size")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["price_bin", "qty_bin"])
+        .reset_index(drop=True)
+    )
+    out["price_bin"] = out["price_bin"].astype("int64")
+    out["qty_bin"] = out["qty_bin"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+HISTOGRAM2D_PRICE_QUANTITY_SQL = """
+SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bin,
+       CAST(floor(l_quantity / 5) AS BIGINT) AS qty_bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY price_bin, qty_bin
+"""

@@ -178,6 +178,9 @@ SUBSET = [
     "cdc_merge_apply",
     "zorder_box_query",
     "snapshot_time_travel",
+    "k_anonymity_audit",
+    "pseudonymize_roundtrip",
+    "histogram2d_price_quantity",
 ]
 
 
