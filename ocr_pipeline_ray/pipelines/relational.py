@@ -7458,3 +7458,69 @@ SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_bin,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem GROUP BY 1, 2 ORDER BY price_bin, qty_bin
 """
+
+
+def sorted_export_verify(sf_dir: str) -> pd.DataFrame:
+    """Globally-sorted export under the correctness gate: orders is
+    range-sorted DISTRIBUTED on (o_orderdate, o_orderkey) — Ray's
+    sample-based range shuffle, the one true all-to-all this suite
+    otherwise avoids — written out, read back, and certified: every
+    partition must be internally sorted AND partition boundaries must
+    be non-overlapping (asserted), with the (first, last, count)
+    summary checked against the oracle. This is the sorted-run
+    contract downstream merge consumers rely on.
+    """
+    import shutil as _shutil
+
+    out_dir = "/tmp/ocr_ray_sorted_export"
+    _shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderkey"])
+    ds.sort(["o_orderdate", "o_orderkey"]).write_parquet(out_dir)
+
+    back = ray.data.read_parquet(out_dir)
+
+    def _check(df: pd.DataFrame) -> pd.DataFrame:
+        k = list(zip(df["o_orderdate"], df["o_orderkey"]))
+        assert k == sorted(k), "partition not internally sorted"
+        return pd.DataFrame(
+            {
+                "n": [len(df)],
+                "first_key": [int(df["o_orderkey"].iloc[0])],
+                "last_key": [int(df["o_orderkey"].iloc[-1])],
+                "first_date": [df["o_orderdate"].iloc[0]],
+                "last_date": [df["o_orderdate"].iloc[-1]],
+            }
+        )
+
+    parts = back.map_batches(_check, batch_format="pandas", batch_size=None).to_pandas()
+    ordered = parts.sort_values(["first_date", "first_key"]).reset_index(drop=True)
+    for i in range(len(ordered) - 1):
+        assert (
+            ordered["last_date"].iloc[i],
+            ordered["last_key"].iloc[i],
+        ) <= (
+            ordered["first_date"].iloc[i + 1],
+            ordered["first_key"].iloc[i + 1],
+        ), "sorted-run partitions overlap"
+    total = int(parts["n"].sum())
+    lo = parts.sort_values(["first_date", "first_key"]).iloc[0]
+    hi = parts.sort_values(["last_date", "last_key"]).iloc[-1]
+    return pd.DataFrame(
+        {
+            "n_rows": [total],
+            "first_orderkey": [int(lo["first_key"])],
+            "last_orderkey": [int(hi["last_key"])],
+        }
+    )
+
+
+SORTED_EXPORT_VERIFY_SQL = """
+WITH s AS (SELECT o_orderkey, o_orderdate FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       (SELECT o_orderkey FROM s ORDER BY o_orderdate, o_orderkey LIMIT 1)
+         AS first_orderkey,
+       (SELECT o_orderkey FROM s ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+         AS last_orderkey
+FROM s
+"""

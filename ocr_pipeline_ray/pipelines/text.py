@@ -3610,3 +3610,120 @@ SELECT CAST(k AS BIGINT) AS cluster_size,
        CAST(count(*) AS BIGINT) AS n_clusters
 FROM c GROUP BY k ORDER BY cluster_size
 """
+
+
+def cramers_v_lang_source(sf_dir: str) -> pd.DataFrame:
+    """Effect size of the (lang x source) association: chi-square
+    over the contingency table plus Cramér's V (chi2 alone grows with
+    n; V is the [0,1]-normalized strength — the number you compare
+    across corpora). The contingency reduces through the bucketed
+    aggregate over the bounded (lang, source) domain; expected
+    counts, chi2, dof and V are arithmetic on that table.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    ct = bucketed_aggregate(
+        ds, ["lang", "source"], {"n": ("lang", "size")}, num_buckets=8
+    ).to_pandas()
+    piv = ct.pivot_table(
+        index="lang", columns="source", values="n", fill_value=0
+    ).astype("float64")
+    o = piv.to_numpy()
+    n = o.sum()
+    e = o.sum(axis=1, keepdims=True) * o.sum(axis=0, keepdims=True) / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    r, c = o.shape
+    dof = (r - 1) * (c - 1)
+    v = float(np.sqrt(chi2 / (n * (min(r, c) - 1))))
+    return pd.DataFrame(
+        {
+            "chi2": [round(chi2, 6)],
+            "dof": [int(dof)],
+            "cramers_v": [round(v, 6)],
+        }
+    )
+
+
+CRAMERS_V_LANG_SOURCE_SQL = """
+WITH ct AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS n FROM ct),
+rt AS (SELECT lang, sum(n) AS rn FROM ct GROUP BY lang),
+st AS (SELECT source, sum(n) AS cn FROM ct GROUP BY source),
+full_grid AS (
+  SELECT rt.lang, st.source, coalesce(ct.n, 0) AS o,
+         rt.rn * st.cn / tot.n AS e
+  FROM rt CROSS JOIN st CROSS JOIN tot
+  LEFT JOIN ct ON ct.lang = rt.lang AND ct.source = st.source
+),
+x AS (
+  SELECT sum((o - e) * (o - e) / e) AS chi2,
+         (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+         least(count(DISTINCT lang), count(DISTINCT source)) - 1 AS mind
+  FROM full_grid
+)
+SELECT round(chi2, 6) AS chi2, CAST(dof AS BIGINT) AS dof,
+       round(sqrt(chi2 / ((SELECT n FROM tot) * mind)), 6) AS cramers_v
+FROM x
+"""
+
+
+def mixed_format_union(sf_dir: str) -> pd.DataFrame:
+    """Format federation under the correctness gate: half the corpus
+    is exported as JSONL, half as parquet (split on doc_id parity),
+    then BOTH formats are read back by their native distributed
+    readers, unioned, and reconciled per source — the
+    heterogeneous-lake read path (the engine's read_docs supports
+    parquet/CSV/JSONL/Lance; this certifies the union seam
+    end-to-end). Deterministic layout under /tmp.
+    """
+    import shutil as _shutil
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    root = "/tmp/ocr_ray_mixed_union"
+    _shutil.rmtree(root, ignore_errors=True)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def _half(even: bool):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["doc_id"].to_numpy("int64") % 2 == 0) == even
+            return df[m]
+
+        return _f
+
+    ds.map_batches(_half(True), batch_format="pandas").write_json(f"{root}/jsonl")
+    ds.map_batches(_half(False), batch_format="pandas").write_parquet(f"{root}/parquet")
+
+    back = ray.data.read_json(f"{root}/jsonl").union(
+        ray.data.read_parquet(f"{root}/parquet")
+    )
+    out = (
+        bucketed_aggregate(
+            back.map_batches(
+                lambda df: df[["source", "n_chars"]], batch_format="pandas"
+            ),
+            ["source"],
+            {"n_docs": ("n_chars", "size"), "n_chars": ("n_chars", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["source", "n_docs", "n_chars"]]
+
+
+MIXED_FORMAT_UNION_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY source ORDER BY source
+"""

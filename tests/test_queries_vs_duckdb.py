@@ -181,6 +181,9 @@ SUBSET = [
     "k_anonymity_audit",
     "pseudonymize_roundtrip",
     "histogram2d_price_quantity",
+    "sorted_export_verify",
+    "cramers_v_lang_source",
+    "mixed_format_union",
 ]
 
 
