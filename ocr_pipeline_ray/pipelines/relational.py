@@ -7524,3 +7524,88 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
          AS last_orderkey
 FROM s
 """
+
+
+def supplier_part_breadth_hist(sf_dir: str) -> pd.DataFrame:
+    """Assortment-breadth histogram: how many suppliers ship exactly
+    d distinct parts (the bipartite degree distribution on the
+    supplier side). Exact distinct counting via two bucketed
+    reductions — (supplier, part) dedup, then per-supplier counts,
+    then the count histogram — each over a bounded key domain, no
+    driver materialization of the pair set.
+    """
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    pairs = bucketed_aggregate(
+        ds, ["l_suppkey", "l_partkey"], {"x": ("l_partkey", "size")}
+    )
+    per_supp = bucketed_aggregate(
+        pairs, ["l_suppkey"], {"breadth": ("x", "size")}, num_buckets=16
+    )
+    hist = (
+        bucketed_aggregate(
+            per_supp, ["breadth"], {"n_suppliers": ("breadth", "size")}, num_buckets=4
+        )
+        .to_pandas()
+        .sort_values("breadth")
+        .reset_index(drop=True)
+    )
+    hist["breadth"] = hist["breadth"].astype("int64")
+    hist["n_suppliers"] = hist["n_suppliers"].astype("int64")
+    return hist[["breadth", "n_suppliers"]]
+
+
+SUPPLIER_PART_BREADTH_HIST_SQL = """
+WITH b AS (
+  SELECT l_suppkey, count(DISTINCT l_partkey) AS breadth
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(breadth AS BIGINT) AS breadth,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM b GROUP BY breadth ORDER BY breadth
+"""
+
+
+def seasonal_index_monthly(sf_dir: str) -> pd.DataFrame:
+    """Classical monthly seasonal index of order revenue: each
+    calendar month's average across years, divided by the grand
+    monthly mean (index 1.0 = typical month — the
+    seasonality-adjustment factor demand planning divides by). One
+    bucketed (year, month) aggregate over the facts; the index
+    arithmetic runs on the result-sized month table.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _ym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "m": df["o_orderdate"].dt.month.astype("int64"),
+                "p": df["o_totalprice"],
+            }
+        )
+
+    ym = bucketed_aggregate(
+        ds.map_batches(_ym, batch_format="pandas"),
+        ["y", "m"],
+        {"rev": ("p", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    per_month = ym.groupby("m", as_index=False)["rev"].mean()
+    grand = per_month["rev"].mean()
+    per_month["seasonal_index"] = (per_month["rev"] / grand).round(6)
+    out = per_month.rename(columns={"m": "month"})[["month", "seasonal_index"]]
+    out["month"] = out["month"].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)
+
+
+SEASONAL_INDEX_MONTHLY_SQL = """
+WITH ym AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+),
+pm AS (SELECT m, avg(rev) AS mrev FROM ym GROUP BY m)
+SELECT CAST(m AS BIGINT) AS month,
+       round(mrev / (SELECT avg(mrev) FROM pm), 6) AS seasonal_index
+FROM pm ORDER BY month
+"""

@@ -1086,3 +1086,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_vecs,
        round(max(mse), 6) AS max_mse_ppm
 FROM e
 """
+
+
+def mmr_diverse_selection(sf_dir: str, k: int = 10, lam: float = 0.5) -> pd.DataFrame:
+    """Maximal Marginal Relevance selection — the diversity-aware
+    curation operator (pick k items that are relevant to a query AND
+    mutually dissimilar; the standard greedy for dedup-aware sample
+    selection). Query = the mean of the first 10 vectors (derived
+    deterministically in-pipeline). Scale shape: the corpus streams
+    ONCE per greedy round through an actor pool that scores
+    `lam * rel - (1 - lam) * max_sim_to_selected` per batch and emits
+    only its batch argmax — k rounds x O(n/P) work, selected set
+    broadcast each round (k and the selected matrix are tiny). Greedy
+    is inherently sequential in k; each round is fully parallel.
+    No SQL oracle (iterative greedy); pytest pins it to a sequential
+    reference implementation.
+    """
+    from ocr_pipeline_ray.pipelines.relational import _read
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 10").to_pandas()
+    _, qm = _to_matrix(qdf)
+    q = _normalize(qm).mean(axis=0)
+    q /= np.linalg.norm(q)
+
+    selected_ids: list[int] = []
+    selected_vecs: list[np.ndarray] = []
+    for _ in range(k):
+        ref = ray.put(
+            (q, np.array(selected_ids, dtype="int64"),
+             np.vstack(selected_vecs) if selected_vecs else None)
+        )
+
+        def _round(batch: pd.DataFrame) -> pd.DataFrame:
+            qv, sel_ids, sel = ray.get(ref)
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            rel = mn @ qv
+            if sel is not None:
+                pen = (mn @ sel.T).max(axis=1)
+            else:
+                pen = np.zeros(len(ids))
+            score = lam * rel - (1.0 - lam) * pen
+            mask = ~np.isin(ids, sel_ids)
+            if not mask.any():
+                return pd.DataFrame({"vec_id": [], "score": []})
+            ids, score = ids[mask], score[mask]
+            j = np.lexsort((ids, -score))[0]
+            return pd.DataFrame({"vec_id": [int(ids[j])], "score": [float(score[j])]})
+
+        cand = ds.map_batches(_round, batch_format="pandas", batch_size=2048).to_pandas()
+        cand = cand.sort_values(["score", "vec_id"], ascending=[False, True])
+        win = int(cand["vec_id"].iloc[0])
+        selected_ids.append(win)
+        wdf = ds.filter(expr=f"vec_id == {win}").to_pandas()
+        _, wv = _to_matrix(wdf)
+        selected_vecs.append(_normalize(wv)[0])
+
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, k + 1, dtype="int64"),
+            "vec_id": np.array(selected_ids, dtype="int64"),
+        }
+    )

@@ -184,6 +184,8 @@ SUBSET = [
     "sorted_export_verify",
     "cramers_v_lang_source",
     "mixed_format_union",
+    "supplier_part_breadth_hist",
+    "seasonal_index_monthly",
 ]
 
 

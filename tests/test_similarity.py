@@ -233,3 +233,37 @@ def test_kmeans_clusters_match_single_machine_reference():
     assert got["cluster"].tolist() == ref["cluster"].tolist()
     # sanity: every cluster non-empty at this k on this data
     assert got["cluster"].nunique() == 4
+
+
+def test_mmr_diverse_selection_matches_sequential_reference():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.similarity import mmr_diverse_selection
+
+    sf = "/root/testdata/sf0.001"
+    k, lam = 6, 0.5
+    got = mmr_diverse_selection(sf, k=k, lam=lam)
+
+    df = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    ids = df["vec_id"].to_numpy("int64")
+    m = np.stack(df["embedding"].to_numpy()).astype("float64")
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = mn[ids < 10].mean(axis=0)
+    q /= np.linalg.norm(q)
+
+    sel: list[int] = []
+    for _ in range(k):
+        rel = mn @ q
+        pen = (mn @ mn[np.isin(ids, sel)].T).max(axis=1) if sel else np.zeros(len(ids))
+        score = lam * rel - (1 - lam) * pen
+        mask = ~np.isin(ids, sel)
+        cand_ids, cand_s = ids[mask], score[mask]
+        j = np.lexsort((cand_ids, -cand_s))[0]
+        sel.append(int(cand_ids[j]))
+
+    assert got["vec_id"].tolist() == sel
+    assert got["rank"].tolist() == list(range(1, k + 1))
+    # diversity sanity: the selected set is not just the top-k by relevance
+    topk_rel = ids[np.lexsort((ids, -(mn @ q)))][:k].tolist()
+    assert set(sel) != set(topk_rel) or k <= 1
