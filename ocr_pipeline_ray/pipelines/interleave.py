@@ -407,3 +407,28 @@ SELECT doc_id, CAST(3 AS BIGINT) AS n_spans,
        CAST(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_errors
 FROM documents ORDER BY doc_id
 """
+
+
+def extract_split_kinds(sf_dir: str) -> pd.DataFrame:
+    """The SKEW-ROUTED extraction topology under the oracle gate:
+    ``split_kinds=True`` stages exploded span rows to disk partitioned
+    by kind, routes light HTML rows through stateless tasks and
+    image/pdf rows through dedicated actor pools (pdf with the small
+    batch cap — the north rule's heavy-row requirement), then
+    reassembles through the bucketized doc_id shuffle. The output
+    must be IDENTICAL to the fused single-pass topology — same oracle
+    as `extract_interleaved`, so topology choice provably never
+    changes results.
+    """
+    import shutil as _shutil
+
+    stage = "/tmp/ocr_ray_split_stage"
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    docs, media = interleaved_datasets(sf_dir, "synthetic")
+    out = build_extraction_pipeline(
+        docs, media, media_mode="join", split_kinds=True, stage_dir=stage
+    )
+
+    df = out.map_batches(_unwrap_batch, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)

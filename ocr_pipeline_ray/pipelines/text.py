@@ -3727,3 +3727,102 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def heaps_law_fit(sf_dir: str) -> pd.DataFrame:
+    """Heaps' law exponent of vocabulary growth: fit
+    V(n) ~ K * n^beta over 10 corpus-prefix checkpoints (prefix =
+    doc_id order; beta ~0.4-0.6 for natural text — the
+    tokenizer-budget planning number next to the Zipf slope). Fully
+    distributed: each term's FIRST-SEEN doc reduces through a
+    bucketed min aggregate (the vocabulary never reaches the driver);
+    cumulative token and vocab counts at each checkpoint come from
+    per-batch partial sums (10 numbers per batch); the log-log OLS
+    runs on 10 points.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lo = ds.min("doc_id")
+    hi = ds.max("doc_id")
+    bounds = [lo + (hi - lo + 1) * i // 10 - 1 for i in range(1, 11)]
+    barr = np.array(bounds, dtype="int64")
+
+    def _term_first(t: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for tok in set(TOKEN_RE.findall(s.lower())):
+                ids.append(did)
+                terms.append(tok)
+        return pa.Table.from_pydict(
+            {"term": pa.array(terms, pa.string()), "doc_id": pa.array(ids, pa.int64())}
+        )
+
+    first_seen = bucketed_aggregate(
+        ds.map_batches(_term_first, batch_format="pyarrow"),
+        "term",
+        {"fd": ("doc_id", "min")},
+        num_buckets=16,
+    )
+
+    def _vocab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fd = df["fd"].to_numpy("int64")
+        return pd.DataFrame(
+            {"i": np.arange(1, 11), "v": [(fd <= b).sum() for b in barr]}
+        )
+
+    def _tok_partial(t: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype="int64")
+        ntok = np.asarray(
+            [len(TOKEN_RE.findall(s.lower())) for s in t["text"].to_pylist()],
+            dtype="int64",
+        )
+        return pd.DataFrame(
+            {"i": np.arange(1, 11), "t": [ntok[ids <= b].sum() for b in barr]}
+        )
+
+    v = (
+        first_seen.map_batches(_vocab_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("i")["v"]
+        .sum()
+    )
+    t = (
+        ds.map_batches(_tok_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("i")["t"]
+        .sum()
+    )
+    pts = pd.DataFrame({"t": t, "v": v}).query("t > 0 and v > 0")
+    x = np.log(pts["t"].to_numpy("float64"))
+    y = np.log(pts["v"].to_numpy("float64"))
+    n = len(x)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    return pd.DataFrame({"heaps_beta": [round(float(slope), 6)]})
+
+
+HEAPS_LAW_FIT_SQL = """
+WITH tok AS (
+  SELECT doc_id, tt.term
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+),
+dom AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+cps AS (
+  SELECT i.i, dom.lo + (dom.hi - dom.lo + 1) * i.i // 10 - 1 AS bound
+  FROM dom, (SELECT unnest(generate_series(1, 10)) AS i) i
+),
+fs AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term),
+pts AS (
+  SELECT i,
+         (SELECT count(*) FROM tok WHERE doc_id <= bound) AS t,
+         (SELECT count(*) FROM fs WHERE fd <= bound) AS v
+  FROM cps
+)
+SELECT round(regr_slope(ln(v), ln(t)), 6) AS heaps_beta
+FROM pts WHERE t > 0 AND v > 0
+"""

@@ -186,6 +186,8 @@ SUBSET = [
     "mixed_format_union",
     "supplier_part_breadth_hist",
     "seasonal_index_monthly",
+    "extract_split_kinds",
+    "heaps_law_fit",
 ]
 
 
