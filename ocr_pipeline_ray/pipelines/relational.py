@@ -7609,3 +7609,84 @@ SELECT CAST(m AS BIGINT) AS month,
        round(mrev / (SELECT avg(mrev) FROM pm), 6) AS seasonal_index
 FROM pm ORDER BY month
 """
+
+
+def constraint_check_report(sf_dir: str) -> pd.DataFrame:
+    """Deequ-style declarative data-quality verification: a rule set
+    (positivity, domain membership, date range, key uniqueness,
+    not-null) evaluated in ONE streamed pass of per-batch violation
+    partials — plus a bucketed aggregate for the uniqueness rule (the
+    only one needing key state) — emitting the (rule, n_violations)
+    report a CI gate would assert on.
+    """
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+    lo, hi = pd.Timestamp("1990-01-01"), pd.Timestamp("2030-01-01")
+
+    def _scalar_rules(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rule": [
+                    "totalprice_positive",
+                    "orderdate_in_range",
+                    "status_in_domain",
+                    "custkey_not_null",
+                ],
+                "n_violations": [
+                    int((~(df["o_totalprice"] > 0)).sum()),
+                    int((~df["o_orderdate"].between(lo, hi)).sum()),
+                    int((~df["o_orderstatus"].isin(["F", "O", "P"])).sum()),
+                    int(df["o_custkey"].isna().sum()),
+                ],
+            }
+        )
+
+    scalar = (
+        ds.map_batches(_scalar_rules, batch_format="pandas")
+        .to_pandas()
+        .groupby("rule", as_index=False)["n_violations"]
+        .sum()
+    )
+    per_key = bucketed_aggregate(
+        ds, ["o_orderkey"], {"n": ("o_orderkey", "size")}, num_buckets=16
+    )
+    dup = (
+        per_key.map_batches(
+            lambda df: pd.DataFrame({"v": [int((df["n"] - 1).clip(lower=0).sum())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["v"]
+        .sum()
+    )
+    out = pd.concat(
+        [scalar, pd.DataFrame({"rule": ["orderkey_unique"], "n_violations": [int(dup)]})],
+        ignore_index=True,
+    )
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)
+
+
+CONSTRAINT_CHECK_REPORT_SQL = """
+SELECT 'custkey_not_null' AS rule,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+              OR o_orderdate > TIMESTAMP '2030-01-01') AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT) FROM orders
+ORDER BY rule
+"""

@@ -3826,3 +3826,142 @@ pts AS (
 SELECT round(regr_slope(ln(v), ln(t)), 6) AS heaps_beta
 FROM pts WHERE t > 0 AND v > 0
 """
+
+
+def train_test_split_audit(sf_dir: str) -> pd.DataFrame:
+    """Train/test split audit — the ML-ops gate before any model
+    run: a deterministic hash split (doc_id % 10 < 8 -> train), with
+    (a) split sizes, and (b) EXACT-DUPLICATE LEAKAGE: distinct
+    md5(text) values present on BOTH sides (a leak inflates eval).
+    The per-hash side-membership reduces through the bucketed
+    aggregate as a 2-bit mask (OR of sides); only mask==3 counts —
+    text never reaches the driver.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mask(t: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype="int64")
+        side = np.where(ids % 10 < 8, 1, 2)
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t["text"].to_pylist()]
+        return pd.DataFrame({"h": hs, "side": side, "n_train": (side == 1).astype("int64")})
+
+    masked = ds.map_batches(_mask, batch_format="pyarrow")
+    per_hash = bucketed_aggregate(
+        masked,
+        ["h"],
+        {"mask_min": ("side", "min"), "mask_max": ("side", "max"),
+         "n_train": ("n_train", "sum"), "n_rows": ("side", "size")},
+        num_buckets=16,
+    )
+
+    def _summ(df: pd.DataFrame) -> pd.DataFrame:
+        leaks = int(((df["mask_min"] == 1) & (df["mask_max"] == 2)).sum())
+        return pd.DataFrame(
+            {
+                "n_train": [int(df["n_train"].sum())],
+                "n_rows": [int(df["n_rows"].sum())],
+                "leaks": [leaks],
+            }
+        )
+
+    parts = per_hash.map_batches(_summ, batch_format="pandas").to_pandas()
+    n_train = int(parts["n_train"].sum())
+    n_rows = int(parts["n_rows"].sum())
+    return pd.DataFrame(
+        {
+            "n_train": [n_train],
+            "n_test": [n_rows - n_train],
+            "n_dup_leaks": [int(parts["leaks"].sum())],
+        }
+    )
+
+
+TRAIN_TEST_SPLIT_AUDIT_SQL = """
+WITH m AS (
+  SELECT md5(text) AS h,
+         CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 2 END AS side
+  FROM documents
+)
+SELECT CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (WHERE side = 2) AS BIGINT) AS n_test,
+       CAST((SELECT count(*) FROM (
+          SELECT h FROM m GROUP BY h HAVING min(side) = 1 AND max(side) = 2
+       )) AS BIGINT) AS n_dup_leaks
+FROM m
+"""
+
+
+def vocab_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-budget coverage curve: the fraction of all token
+    OCCURRENCES covered by the top-V vocabulary, for V in
+    (10, 100, 1000) — the planning number behind every vocab-size
+    decision. Term totals reduce through the bucketed aggregate; the
+    top-1000 survives via the partial top-k reduce (driver sees 1000
+    rows) and the grand total via a per-batch scalar partial.
+    Deterministic ties: count desc, term asc.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()),
+             "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+    top = partial_topk(totals, by=["n", "term"], ascending=[False, True], k=1000)
+    grand = int(
+        totals.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["n"].sum())]}), batch_format="pandas"
+        )
+        .to_pandas()["s"]
+        .sum()
+    )
+    cum = top["n"].to_numpy("int64").cumsum()
+    rows = []
+    for v in (10, 100, 1000):
+        covered = int(cum[min(v, len(cum)) - 1]) if len(cum) else 0
+        rows.append((v, round(covered / grand, 6)))
+    return pd.DataFrame(rows, columns=["top_v", "coverage"]).astype(
+        {"top_v": "int64"}
+    )
+
+
+VOCAB_COVERAGE_CURVE_SQL = """
+WITH t AS (
+  SELECT tt.term, CAST(count(*) AS BIGINT) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+tot AS (SELECT sum(n) AS total FROM t),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk FROM t)
+SELECT v.v AS top_v,
+       round((SELECT sum(n) FROM r WHERE rk <= v.v) / CAST(total AS DOUBLE), 6)
+         AS coverage
+FROM (VALUES (10), (100), (1000)) v(v), tot
+ORDER BY top_v
+"""

@@ -188,6 +188,9 @@ SUBSET = [
     "seasonal_index_monthly",
     "extract_split_kinds",
     "heaps_law_fit",
+    "constraint_check_report",
+    "train_test_split_audit",
+    "vocab_coverage_curve",
 ]
 
 
