@@ -3558,3 +3558,94 @@ SELECT d.month,
 FROM dau d JOIN mau m ON d.month = m.month
 ORDER BY d.month
 """
+
+
+def trailing_7d_active_users(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    """SLIDING-window distinct count: users active in the trailing 7
+    days, per day — the WAU curve (harder than cumulative distinct:
+    users leave the window again). Scale shape: (user, day) pairs
+    dedup inside ONE user-bucket shuffle; each user's active days
+    become +1/-1 COVERAGE DELTAS of their merged [day, day+6]
+    intervals (a user counts on day d iff active in [d-6, d]), so a
+    bucket emits O(intervals) delta rows, and the final curve is a
+    prefix sum over the tiny (day, delta) table on the driver —
+    distinct-ness is resolved where the data lives, never globally.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy("int64"),
+                "day": df["ts"]
+                .to_numpy("datetime64[us]")
+                .astype("datetime64[D]")
+                .astype("int64"),
+            }
+        ).drop_duplicates()
+        out["__bucket"] = (out["user_id"] % N_USER_BUCKETS).astype("int64")
+        return out
+
+    def _deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        u = g["user_id"].to_numpy("int64")
+        d = g["day"].to_numpy("int64")
+        # merge each user's cover-intervals [d, d+window-1]: a new
+        # interval starts where the user changes or the gap > window-1
+        start = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            start[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] >= window)
+        run_id = np.cumsum(start) - 1
+        lo = pd.Series(d).groupby(run_id).min().to_numpy()
+        hi = pd.Series(d).groupby(run_id).max().to_numpy() + window  # exclusive
+        return pd.DataFrame(
+            {
+                "day": np.concatenate([lo, hi]),
+                "delta": np.concatenate(
+                    [np.ones(len(lo), "int64"), -np.ones(len(hi), "int64")]
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(_pairs, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda g: _deltas(g.drop(columns="__bucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    curve = parts.groupby("day", as_index=False)["delta"].sum().sort_values("day")
+    curve["wau"] = curve["delta"].cumsum()
+    # restrict to days within the observed data span
+    days = parts["day"]
+    lo_day = int(days.min())
+    hi_day = int(days.max()) - window  # last ACTIVE day (hi deltas are +window)
+    spine = np.arange(lo_day, hi_day + 1, dtype="int64")
+    filled = (
+        curve.set_index("day")["wau"].reindex(
+            np.arange(curve["day"].min(), hi_day + 1)
+        ).ffill()
+    )
+    out = pd.DataFrame(
+        {
+            "day": pd.to_datetime(spine, unit="D"),
+            "wau": filled.loc[spine].to_numpy("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+TRAILING_7D_ACTIVE_USERS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(
+    (SELECT min(day) FROM ud), (SELECT max(day) FROM ud),
+    INTERVAL 1 DAY))::DATE AS day
+)
+SELECT CAST(s.day AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+FROM spine s JOIN ud
+  ON ud.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+GROUP BY s.day ORDER BY s.day
+"""

@@ -7690,3 +7690,109 @@ SELECT 'totalprice_positive',
        CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS BIGINT) FROM orders
 ORDER BY rule
 """
+
+
+def single_source_parts(sf_dir: str) -> pd.DataFrame:
+    """Supply-chain risk audit: parts shipped by exactly ONE distinct
+    supplier (single-source risk), as a count plus share of all
+    shipped parts. Two bucketed reductions over bounded key domains
+    — (part, supplier) dedup, then per-part supplier counts — and a
+    scalar partial for the report; the pair set never reaches the
+    driver.
+    """
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = bucketed_aggregate(
+        ds, ["l_partkey", "l_suppkey"], {"x": ("l_suppkey", "size")}
+    )
+    per_part = bucketed_aggregate(
+        pairs, ["l_partkey"], {"n_supp": ("x", "size")}, num_buckets=16
+    )
+
+    def _summ(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_parts": [len(df)],
+                "n_single": [int((df["n_supp"].to_numpy() == 1).sum())],
+            }
+        )
+
+    parts = per_part.map_batches(_summ, batch_format="pandas").to_pandas()
+    n_parts = int(parts["n_parts"].sum())
+    n_single = int(parts["n_single"].sum())
+    return pd.DataFrame(
+        {
+            "n_parts": [n_parts],
+            "n_single_source": [n_single],
+            "single_source_frac": [round(n_single / n_parts, 6)],
+        }
+    )
+
+
+SINGLE_SOURCE_PARTS_SQL = """
+WITH ps AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(*) FILTER (WHERE n_supp = 1) AS BIGINT) AS n_single_source,
+       round(count(*) FILTER (WHERE n_supp = 1) / CAST(count(*) AS DOUBLE), 6)
+         AS single_source_frac
+FROM ps
+"""
+
+
+def seasonal_naive_backtest(sf_dir: str) -> pd.DataFrame:
+    """Forecast backtest without a model: the seasonal-naive baseline
+    (predict this month's revenue = same month LAST year) scored as
+    MAPE per forecast year — the sanity floor every real forecaster
+    must beat, and the eval harness shape (point forecasts joined to
+    actuals, error aggregated per fold). The (year, month) table
+    reduces through the bucketed aggregate; the lag join and error
+    math run on the result-sized grid.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    ym = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "y": df["o_orderdate"].dt.year.astype("int64"),
+                        "m": df["o_orderdate"].dt.month.astype("int64"),
+                        "p": df["o_totalprice"],
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["y", "m"],
+            {"rev": ("p", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+    )
+    prev = ym.rename(columns={"y": "py", "rev": "pred"})
+    prev["y"] = prev["py"] + 1
+    j = ym.merge(prev[["y", "m", "pred"]], on=["y", "m"], how="inner")
+    j["ape"] = (j["rev"] - j["pred"]).abs() / j["rev"]
+    out = (
+        j.groupby("y", as_index=False)
+        .agg(n_months=("m", "size"), mape=("ape", "mean"))
+        .rename(columns={"y": "year"})
+    )
+    out["year"] = out["year"].astype("int64")
+    out["n_months"] = out["n_months"].astype("int64")
+    out["mape"] = out["mape"].round(6)
+    return out.sort_values("year").reset_index(drop=True)
+
+
+SEASONAL_NAIVE_BACKTEST_SQL = """
+WITH ym AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(a.y AS BIGINT) AS year, CAST(count(*) AS BIGINT) AS n_months,
+       round(avg(abs(a.rev - b.rev) / a.rev), 6) AS mape
+FROM ym a JOIN ym b ON a.y = b.y + 1 AND a.m = b.m
+GROUP BY a.y ORDER BY year
+"""

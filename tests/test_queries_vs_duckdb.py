@@ -191,6 +191,9 @@ SUBSET = [
     "constraint_check_report",
     "train_test_split_audit",
     "vocab_coverage_curve",
+    "trailing_7d_active_users",
+    "single_source_parts",
+    "seasonal_naive_backtest",
 ]
 
 
