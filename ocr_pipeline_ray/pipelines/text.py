@@ -3965,3 +3965,107 @@ SELECT v.v AS top_v,
 FROM (VALUES (10), (100), (1000)) v(v), tot
 ORDER BY top_v
 """
+
+
+def pii_redact_audit(sf_dir: str) -> pd.DataFrame:
+    """The REDACTION half of the PII stage (pii_counts is the
+    detection half): plant the same deterministic emails/phones/IPs,
+    replace every match with '[PII]' (email -> phone -> ip, fixed
+    order, non-overlapping left-to-right on both engines), and
+    certify per source: docs touched, total chars after redaction,
+    and the residual hit count — which the oracle also computes on
+    ITS redacted text, so a lazy no-op redactor cannot pass.
+    Stateless map_batches; regexes compiled once per actor.
+    """
+    import re
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    class _Redact:
+        def __init__(self):
+            self.pats = [
+                re.compile(_PII_EMAIL),
+                re.compile(_PII_PHONE),
+                re.compile(_PII_IP),
+            ]
+
+        def __call__(self, t: pa.Table) -> pd.DataFrame:
+            srcs, touched, chars, resid = [], [], [], []
+            for doc_id, src, s in zip(
+                t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+            ):
+                if doc_id % 20 == 0:
+                    s = f"{s} contact_{doc_id}@example.com from 10.0.{doc_id % 256}.{doc_id % 100}"
+                if doc_id % 40 == 0:
+                    s = f"{s} call {300 + doc_id % 700:03d}-555-{1000 + doc_id % 9000:04d}"
+                red = s
+                for p in self.pats:
+                    red = p.sub("[PII]", red)
+                srcs.append(src)
+                touched.append(int(red != s))
+                chars.append(len(red))
+                resid.append(sum(len(p.findall(red)) for p in self.pats))
+            return pd.DataFrame(
+                {
+                    "source": srcs,
+                    "n_redacted_docs": pd.Series(touched, dtype="int64"),
+                    "n_chars": pd.Series(chars, dtype="int64"),
+                    "n_residual_hits": pd.Series(resid, dtype="int64"),
+                }
+            )
+
+    out = (
+        bucketed_aggregate(
+            docs.map_batches(_Redact, batch_format="pyarrow", concurrency=(1, 4)),
+            ["source"],
+            {
+                "n_redacted_docs": ("n_redacted_docs", "sum"),
+                "n_chars": ("n_chars", "sum"),
+                "n_residual_hits": ("n_residual_hits", "sum"),
+            },
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_redacted_docs", "n_chars", "n_residual_hits"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_redacted_docs", "n_chars", "n_residual_hits"]]
+
+
+PII_REDACT_AUDIT_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 20 = 0
+                 THEN ' contact_' || doc_id || '@example.com from 10.0.'
+                      || (doc_id % 256) || '.' || (doc_id % 100)
+                 ELSE '' END
+         || CASE WHEN doc_id % 40 = 0
+                 THEN ' call ' || printf('%03d', 300 + doc_id % 700)
+                      || '-555-' || printf('%04d', 1000 + doc_id % 9000)
+                 ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT source, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '[PII]', 'g'),
+             '{_PII_PHONE}', '[PII]', 'g'),
+           '{_PII_IP}', '[PII]', 'g') AS redacted
+  FROM planted
+)
+SELECT source,
+       CAST(count(*) FILTER (WHERE redacted <> text) AS BIGINT)
+         AS n_redacted_docs,
+       CAST(sum(length(redacted)) AS BIGINT) AS n_chars,
+       CAST(sum(len(regexp_extract_all(redacted, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(redacted, '{_PII_PHONE}'))
+              + len(regexp_extract_all(redacted, '{_PII_IP}'))) AS BIGINT)
+         AS n_residual_hits
+FROM red GROUP BY source ORDER BY source
+"""

@@ -194,6 +194,7 @@ SUBSET = [
     "trailing_7d_active_users",
     "single_source_parts",
     "seasonal_naive_backtest",
+    "pii_redact_audit",
 ]
 
 
