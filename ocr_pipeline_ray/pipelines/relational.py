@@ -7796,3 +7796,146 @@ SELECT CAST(a.y AS BIGINT) AS year, CAST(count(*) AS BIGINT) AS n_months,
 FROM ym a JOIN ym b ON a.y = b.y + 1 AND a.m = b.m
 GROUP BY a.y ORDER BY year
 """
+
+
+def range_partition_plan(sf_dir: str, n_ranges: int = 8) -> pd.DataFrame:
+    """Range-partitioning PLAN: exact octile split values of
+    o_totalprice (quantile_disc semantics — the order statistic at
+    ceil(p*n), 1-based) plus the verified per-range row counts — the
+    balanced-split advisor a range shuffle consults before moving any
+    data. Splits come from the distributed ROW_NUMBER primitive
+    (`_global_rank`: range buckets + prefix offsets, no global sort);
+    the plan (7 values) broadcasts back and counts reduce per batch.
+    Ties on the split value go to the LOWER range on both engines.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    n = ds.count()
+    targets = {
+        int(np.ceil(i / n_ranges * n)): i for i in range(1, n_ranges)
+    }  # rank -> split index
+    ranked = _global_rank(ds, "o_totalprice", ["o_orderkey"])
+
+    def _pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["rank"].isin(list(targets))]
+        return m[["rank", "o_totalprice"]]
+
+    picks = ranked.map_batches(_pick, batch_format="pandas").to_pandas()
+    picks["i"] = picks["rank"].map(targets)
+    splits = picks.sort_values("i")["o_totalprice"].to_numpy("float64")
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy("float64")
+        rid = np.searchsorted(splits, v, side="left")  # ties -> lower range
+        u, c = np.unique(rid, return_counts=True)
+        return pd.DataFrame({"range_id": u, "n_rows": c})
+
+    counts = (
+        ds.map_batches(_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("range_id", as_index=False)["n_rows"]
+        .sum()
+    )
+    out = counts.sort_values("range_id").reset_index(drop=True)
+    out["range_id"] = out["range_id"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["split_hi"] = [
+        round(float(splits[i]), 4) if i < len(splits) else None
+        for i in out["range_id"]
+    ]
+    return out[["range_id", "split_hi", "n_rows"]]
+
+
+RANGE_PARTITION_PLAN_SQL = """
+WITH s AS (
+  SELECT unnest(quantile_disc(o_totalprice,
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS sv
+  FROM orders
+),
+ranked_splits AS (
+  SELECT sv, row_number() OVER (ORDER BY sv) - 1 AS i FROM s
+),
+assigned AS (
+  SELECT (SELECT count(*) FROM ranked_splits WHERE sv < o.o_totalprice)
+           AS range_id
+  FROM orders o
+)
+SELECT range_id,
+       (SELECT round(sv, 4) FROM ranked_splits WHERE i = range_id) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM assigned GROUP BY range_id ORDER BY range_id
+"""
+
+
+def kcore_copurchase(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """k-core decomposition of the co-purchase graph: iteratively
+    peel parts with degree < k until a fixpoint — the dense-subgraph
+    extractor (community seeds, spam rings) and the FOURTH iterative
+    graph shape here (after PageRank, connected components, BFS).
+    Each round is one distributed degree count over the surviving
+    edge set (bucketed aggregate) + a broadcast of the shrinking
+    peel set; edges live in a Dataset across rounds, never on the
+    driver. Output: core size and edge count, plus the smallest
+    vec-like part ids for determinism. No SQL oracle (iterative
+    fixpoint); pytest pins it to a sequential reference peel.
+    """
+    pairs = part_copurchase_pairs(sf_dir)  # (part_a, part_b, n_orders) DataFrame
+    edges = pairs[["part_a", "part_b"]].to_numpy("int64")
+
+    # distributed rounds over an edge Dataset
+    eds = ray.data.from_pandas(pd.DataFrame({"a": edges[:, 0], "b": edges[:, 1]}))
+    removed: set[int] = set()
+    while True:
+        rref = ray.put(np.array(sorted(removed), dtype="int64"))
+
+        def _deg(df: pd.DataFrame) -> pd.DataFrame:
+            rem = ray.get(rref)
+            m = ~(
+                np.isin(df["a"].to_numpy("int64"), rem)
+                | np.isin(df["b"].to_numpy("int64"), rem)
+            )
+            live = df[m]
+            d = pd.concat([live["a"], live["b"]])
+            g = d.value_counts()
+            return pd.DataFrame({"node": g.index.to_numpy("int64"), "deg": g.to_numpy("int64")})
+
+        deg = (
+            eds.map_batches(_deg, batch_format="pandas")
+            .to_pandas()
+            .groupby("node", as_index=False)["deg"]
+            .sum()
+        )
+        peel = set(deg.loc[deg["deg"] < k, "node"].astype(int)) - removed
+        if not peel:
+            core_nodes = set(deg["node"].astype(int)) - removed
+            n_edges = int(
+                eds.map_batches(
+                    lambda df: pd.DataFrame(
+                        {
+                            "n": [
+                                int(
+                                    (
+                                        ~(
+                                            np.isin(df["a"].to_numpy("int64"), ray.get(rref))
+                                            | np.isin(df["b"].to_numpy("int64"), ray.get(rref))
+                                        )
+                                    ).sum()
+                                )
+                            ]
+                        }
+                    ),
+                    batch_format="pandas",
+                )
+                .to_pandas()["n"]
+                .sum()
+            )
+            break
+        removed |= peel
+
+    return pd.DataFrame(
+        {
+            "core_k": [k],
+            "n_core_nodes": [len(core_nodes)],
+            "n_core_edges": [n_edges],
+            "min_core_node": [int(min(core_nodes)) if core_nodes else -1],
+        }
+    )

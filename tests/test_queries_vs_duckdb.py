@@ -195,6 +195,7 @@ SUBSET = [
     "single_source_parts",
     "seasonal_naive_backtest",
     "pii_redact_audit",
+    "range_partition_plan",
 ]
 
 
@@ -233,3 +234,40 @@ def test_query_matches_oracle(name, con):
     mine = canon(mine)
     gold = canon(con.sql(sql).df())
     pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
+
+
+def test_kcore_matches_sequential_peel():
+    """Pin the distributed k-core fixpoint to a sequential reference
+    peel over the same co-purchase edge list (no SQL oracle: iterative)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ocr_pipeline_ray.pipelines import relational
+
+    k = 3
+    pairs = relational.part_copurchase_pairs(SF)
+    edges = [(int(a), int(b)) for a, b in zip(pairs["part_a"], pairs["part_b"])]
+
+    # sequential peel
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    core_nodes = {n for n in adj if adj[n]}
+    n_edges = sum(len(v) for v in adj.values()) // 2
+
+    got = relational.kcore_copurchase(SF, k=k)
+    assert int(got["n_core_nodes"].iloc[0]) == len(core_nodes)
+    assert int(got["n_core_edges"].iloc[0]) == n_edges
+    if core_nodes:
+        assert int(got["min_core_node"].iloc[0]) == min(core_nodes)
