@@ -7896,14 +7896,18 @@ def kcore_copurchase(sf_dir: str, k: int = 3) -> pd.DataFrame:
             live = df[m]
             d = pd.concat([live["a"], live["b"]])
             g = d.value_counts()
-            return pd.DataFrame({"node": g.index.to_numpy("int64"), "deg": g.to_numpy("int64")})
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(g.index.to_numpy(), dtype="int64"),
+                    "deg": pd.Series(g.to_numpy(), dtype="int64"),
+                }
+            )
 
-        deg = (
-            eds.map_batches(_deg, batch_format="pandas")
-            .to_pandas()
-            .groupby("node", as_index=False)["deg"]
-            .sum()
-        )
+        deg = eds.map_batches(_deg, batch_format="pandas").to_pandas()
+        if deg.empty:  # every edge peeled -> empty k-core
+            core_nodes, n_edges = set(), 0
+            break
+        deg = deg.groupby("node", as_index=False)["deg"].sum()
         peel = set(deg.loc[deg["deg"] < k, "node"].astype(int)) - removed
         if not peel:
             core_nodes = set(deg["node"].astype(int)) - removed

@@ -1149,3 +1149,165 @@ def mmr_diverse_selection(sf_dir: str, k: int = 10, lam: float = 0.5) -> pd.Data
             "vec_id": np.array(selected_ids, dtype="int64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means + within-cluster cosine
+# (Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_prune(
+    ids: np.ndarray, mn: np.ndarray, cent_sim: np.ndarray, eps: float
+) -> np.ndarray:
+    """Greedy within-cluster prune, the SemDeDup keep rule: scan
+    points farthest-from-centroid FIRST (centroid_sim asc, vec_id asc
+    tie-break); keep a point iff its max cosine to every already-KEPT
+    point is <= eps. Keeping the low-centroid-similarity member of
+    each duplicate group is the paper's representative choice.
+    Returns a boolean kept mask aligned with ``ids``."""
+    order = np.lexsort((ids, cent_sim))  # centroid_sim asc, then vec_id asc
+    kept_rows: list[int] = []
+    kept = np.zeros(len(ids), dtype=bool)
+    for r in order:
+        if kept_rows:
+            sims = mn[kept_rows] @ mn[r]
+            if sims.max() > eps:
+                continue
+        kept_rows.append(r)
+        kept[r] = True
+    return kept
+
+
+def semdedup(
+    sf_dir: str,
+    n_clusters: int = 8,
+    eps: float = 0.95,
+    plant_every: int | None = 20,
+    train_cap: int = 4096,
+) -> pd.DataFrame:
+    """SemDeDup over the embeddings table: spherical k-means partitions
+    the corpus; each cluster is pruned independently by the greedy
+    cosine rule (:func:`_semdedup_prune`). Duplicates are PLANTED
+    deterministically (scaled copies, the
+    :func:`embedding_neardup_lsh_planted` machinery) so the prune has
+    guaranteed work at ``eps=0.95`` — the base corpus' max off-diag
+    cosine (~0.51 in the test data) never trips it.
+
+    The 100 TB shape (and the paper's own design): the quadratic
+    within-cluster compare is bounded by cluster size — train the
+    quantizer on a BOUNDED sample (``limit()`` streams only the blocks
+    it needs), broadcast the tiny centroid matrix, ONE streaming
+    assignment pass, then ``groupby(cluster).map_groups`` runs each
+    cluster's prune where its rows already live. Nothing but centroids
+    and the k x dim sample ever reaches the driver; output rows are
+    (vec_id, cluster, kept).
+
+    Iterative + greedy -> no SQL oracle; pytest pins the distributed
+    result to :func:`semdedup_reference` (exact equality).
+    """
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    train = ds.limit(train_cap).to_pandas().sort_values("vec_id")
+    _, tm = _to_matrix(train)
+    cents = _kmeans_spherical(tm, n_clusters)
+
+    if plant_every is not None:
+
+        def _plant(batch: pd.DataFrame) -> pd.DataFrame:
+            mask = (batch["vec_id"] % plant_every) == 0
+            dup = batch[mask].copy()
+            dup["vec_id"] = dup["vec_id"] + PLANT_OFFSET
+            dup["embedding"] = dup["embedding"].map(lambda v: np.asarray(v) * 2)
+            return pd.concat([batch, dup], ignore_index=True)
+
+        ds = ds.map_batches(_plant, batch_format="pandas")
+
+    cref = ray.put(cents)
+
+    class _Assign:
+        def __init__(self):
+            self.cents = ray.get(cref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            mn = _normalize(m)
+            sims = mn @ self.cents.T
+            cl = sims.argmax(axis=1)
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "embedding": batch["embedding"].to_numpy(),
+                    "cluster": pd.Series(cl, dtype="int64"),
+                    "cent_sim": sims[np.arange(len(cl)), cl],
+                }
+            )
+
+    def _prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids, m = _to_matrix(g)
+        mn = _normalize(m)
+        kept = _semdedup_prune(ids, mn, g["cent_sim"].to_numpy(), eps)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(ids, dtype="int64"),
+                "cluster": g["cluster"].to_numpy(),
+                "kept": kept,
+            }
+        )
+
+    out = (
+        ds.map_batches(_Assign, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        .groupby("cluster")
+        .map_groups(_prune, batch_format="pandas")
+        .to_pandas()
+    )
+    out["kept"] = out["kept"].astype(bool)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semdedup_reference(
+    sf_dir: str,
+    n_clusters: int = 8,
+    eps: float = 0.95,
+    plant_every: int | None = 20,
+    train_cap: int = 4096,
+) -> pd.DataFrame:
+    """Single-process numpy reference for :func:`semdedup` (same
+    quantizer spec, same prune rule, no Ray) — the pytest oracle."""
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    _, tm = _to_matrix(t.head(train_cap))
+    cents = _kmeans_spherical(tm, n_clusters)
+
+    if plant_every is not None:
+        dup = t[t["vec_id"] % plant_every == 0].copy()
+        dup["vec_id"] = dup["vec_id"] + PLANT_OFFSET
+        dup["embedding"] = dup["embedding"].map(lambda v: np.asarray(v) * 2)
+        t = pd.concat([t, dup], ignore_index=True)
+
+    ids, m = _to_matrix(t)
+    mn = _normalize(m)
+    sims = mn @ cents.T
+    cl = sims.argmax(axis=1)
+    cent_sim = sims[np.arange(len(cl)), cl]
+    kept = np.zeros(len(ids), dtype=bool)
+    for c in np.unique(cl):
+        mask = cl == c
+        kept[mask] = _semdedup_prune(ids[mask], mn[mask], cent_sim[mask], eps)
+    return (
+        pd.DataFrame(
+            {
+                "vec_id": pd.Series(ids, dtype="int64"),
+                "cluster": pd.Series(cl, dtype="int64"),
+                "kept": kept,
+            }
+        )
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )

@@ -4069,3 +4069,308 @@ SELECT source,
          AS n_residual_hits
 FROM red GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score raw docs by hashed/unigram importance
+# log-ratio against a target distribution, select the top-k
+# ---------------------------------------------------------------------------
+
+
+def dsir_selection(sf_dir: str, target_lang: str = "en", k: int = 100) -> pd.DataFrame:
+    """DSIR data selection: pick the ``k`` non-target docs whose
+    unigram distribution is most target-like. Target = docs with
+    ``lang == target_lang``; raw = the whole corpus. Per doc the
+    importance weight is the sum over token OCCURRENCES of
+    ``ln(p_target(w) / p_raw(w))`` with add-1 smoothing over the joint
+    vocabulary.
+
+    Distributed shape (mirrors :func:`tfidf_top_term`'s df map):
+
+    1. ONE pass emits per-batch partial (term, c_raw, c_tgt) counts;
+       the vocabulary key domain rides the high-cardinality-safe
+       bucketed aggregate — corpus bytes never shuffle.
+    2. The vocab table (vocabulary << corpus, the same broadcast
+       assumption every df/idf operator here documents) reduces to a
+       sorted term array + one log-ratio vector and broadcasts once.
+    3. ONE streaming scoring pass over non-target docs; each batch
+       emits only its local top-k, the driver reduces k rows/batch.
+
+    Ranking uses unrounded weights (matches the SQL ORDER BY); the
+    reported weight rounds to 4 decimals for hash comparison.
+    """
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        tgt: list[bool] = []
+        for s, lg in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+            toks = TOKEN_RE.findall(s.lower())
+            terms.extend(toks)
+            tgt.extend([lg == target_lang] * len(toks))
+        if not terms:
+            return pa.Table.from_pydict(
+                {
+                    "term": pa.array([], pa.string()),
+                    "c_raw": pa.array([], pa.int64()),
+                    "c_tgt": pa.array([], pa.int64()),
+                }
+            )
+        arr = np.asarray(terms, dtype=object)
+        is_t = np.asarray(tgt, dtype=np.int64)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        c_raw = np.bincount(inv, minlength=len(uniq))
+        c_tgt = np.bincount(inv, weights=is_t, minlength=len(uniq)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(list(uniq), pa.string()),
+                "c_raw": pa.array(c_raw, pa.int64()),
+                "c_tgt": pa.array(c_tgt, pa.int64()),
+            }
+        )
+
+    vocab = (
+        bucketed_aggregate(
+            ds.map_batches(_counts, batch_format="pyarrow"),
+            "term",
+            {"c_raw": ("c_raw", "sum"), "c_tgt": ("c_tgt", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    v = len(vocab)
+    n_raw = float(vocab["c_raw"].sum())
+    n_tgt = float(vocab["c_tgt"].sum())
+    log_ratio = np.log((vocab["c_tgt"].to_numpy() + 1.0) / (n_tgt + v)) - np.log(
+        (vocab["c_raw"].to_numpy() + 1.0) / (n_raw + v)
+    )
+    ref = ray.put((vocab["term"].to_numpy(), log_ratio))
+
+    class _Score:
+        def __init__(self):
+            self.terms, self.lr = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids, ws = [], []
+            for did, s, lg in zip(
+                t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+            ):
+                if lg == target_lang:
+                    continue
+                toks = TOKEN_RE.findall(s.lower())
+                if not toks:
+                    continue
+                uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                idx = np.searchsorted(self.terms, uniq)
+                ids.append(did)
+                ws.append(float((tf * self.lr[idx]).sum()))
+            if not ids:
+                return pa.Table.from_pydict(
+                    {"doc_id": pa.array([], pa.int64()), "w": pa.array([], pa.float64())}
+                )
+            # local top-k partial: only k rows per batch reach the driver
+            ids_a, ws_a = np.asarray(ids, dtype=np.int64), np.asarray(ws)
+            top = np.lexsort((ids_a, -ws_a))[:k]
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array(ids_a[top], pa.int64()), "w": pa.array(ws_a[top], pa.float64())}
+            )
+
+    parts = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    parts = parts.sort_values(["w", "doc_id"], ascending=[False, True]).head(k)
+    out = parts.reset_index(drop=True)
+    out["dsir_weight"] = out["w"].round(4)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["doc_id", "dsir_weight"]]
+
+
+def dsir_selection_sql(target_lang: str = "en", k: int = 100) -> str:
+    return f"""
+WITH tokens AS (
+  SELECT d.doc_id, d.lang, t.term
+  FROM documents d,
+       unnest(regexp_extract_all(lower(d.text), '[a-z0-9_]+')) AS t(term)
+),
+vocab AS (
+  SELECT term,
+         count(*) AS c_raw,
+         count(*) FILTER (WHERE lang = '{target_lang}') AS c_tgt
+  FROM tokens GROUP BY term
+),
+tot AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+         CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM vocab
+),
+scored AS (
+  SELECT tok.doc_id,
+         sum(ln((vb.c_tgt + 1.0) / (tot.n_tgt + tot.v))
+             - ln((vb.c_raw + 1.0) / (tot.n_raw + tot.v))) AS w
+  FROM tokens tok JOIN vocab vb USING (term) CROSS JOIN tot
+  WHERE tok.lang <> '{target_lang}'
+  GROUP BY tok.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(w, 4) AS dsir_weight
+FROM scored ORDER BY w DESC, doc_id LIMIT {k}
+"""
+
+
+DSIR_SELECTION_SQL = dsir_selection_sql()
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression — the fastText/CCNet-style quality/
+# language classifier trained IN the pipeline (full-batch GD, one
+# map_batches pass per iteration emitting tiny gradient partials)
+# ---------------------------------------------------------------------------
+
+_QC_FEATURES = ["bias", "log_n_chars", "mean_word_len", "stopword_ratio", "alpha_ratio"]
+
+
+def _qc_feature_matrix(texts: list[str]) -> "np.ndarray":
+    """(n, 5) float64 feature matrix shared by the distributed trainer
+    and the sequential reference — cheap per-doc stats in the
+    C4/Gopher feature tradition (bias, log length, mean word length,
+    English-stopword ratio, alpha ratio)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.functions.textstats import STOPWORDS
+
+    en_stop = STOPWORDS["en"]
+    rows = np.zeros((len(texts), 5), dtype=np.float64)
+    for i, s in enumerate(texts):
+        toks = TOKEN_RE.findall(s)
+        n_tokens = len(toks)
+        n_chars = len(s)
+        rows[i, 0] = 1.0
+        rows[i, 1] = float(np.log1p(n_chars))
+        rows[i, 2] = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0
+        rows[i, 3] = (
+            (sum(1 for t in toks if t.lower() in en_stop) / n_tokens) if n_tokens else 0.0
+        )
+        rows[i, 4] = (sum(1 for ch in s if ch.isalpha()) / n_chars) if n_chars else 0.0
+    return rows
+
+
+def quality_classifier(
+    sf_dir: str, target_lang: str = "en", iters: int = 30, lr: float = 1.0
+) -> pd.DataFrame:
+    """Train a logistic-regression doc classifier (label: ``lang ==
+    target_lang``) INSIDE the pipeline — the quality/language-filter
+    model of CCNet/fastText pipelines, here with hand features and
+    full-batch gradient descent so the run is deterministic.
+
+    The 100 TB shape: three streaming passes, all reducing to tiny
+    driver-side vectors. (1) feature moments (n, sum, sumsq) per batch
+    -> global standardization params; (2) ``iters`` rounds, each ONE
+    ``map_batches`` pass emitting a (d+1)-float gradient partial per
+    batch, driver sums and steps — weights broadcast per round via
+    ``ray.put``; (3) a scoring pass counting correct predictions.
+    The corpus never materializes; every partial is O(d).
+
+    Iterative -> no SQL oracle; pytest pins the distributed result to
+    :func:`quality_classifier_reference` (same math, one process).
+    Output: one row per feature weight + a train_accuracy row.
+    """
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        x = _qc_feature_matrix(t["text"].to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()]),
+                "s2": pa.array([(x * x).sum(axis=0).tolist()]),
+            }
+        )
+
+    mom = ds.map_batches(_moments, batch_format="pyarrow").to_pandas()
+    n = float(mom["n"].sum())
+    s = np.stack(mom["s"].to_numpy()).sum(axis=0)
+    s2 = np.stack(mom["s2"].to_numpy()).sum(axis=0)
+    mean = s / n
+    std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+    mean[0], std[0] = 0.0, 1.0  # bias column untouched
+    std[std == 0] = 1.0
+
+    w = np.zeros(5, dtype=np.float64)
+    for _ in range(iters):
+        ref = ray.put((w, mean, std))
+
+        def _grad(t: pa.Table, _r=ref) -> pa.Table:
+            wt, mu, sd = ray.get(_r)
+            x = (_qc_feature_matrix(t["text"].to_pylist()) - mu) / sd
+            y = np.asarray(
+                [1.0 if lg == target_lang else 0.0 for lg in t["lang"].to_pylist()]
+            )
+            p = 1.0 / (1.0 + np.exp(-(x @ wt)))
+            g = x.T @ (p - y)
+            return pa.Table.from_pydict(
+                {"n": pa.array([len(y)], pa.int64()), "g": pa.array([g.tolist()])}
+            )
+
+        parts = ds.map_batches(_grad, batch_format="pyarrow").to_pandas()
+        g = np.stack(parts["g"].to_numpy()).sum(axis=0)
+        w = w - lr * g / float(parts["n"].sum())
+
+    ref = ray.put((w, mean, std))
+
+    def _score(t: pa.Table, _r=ref) -> pa.Table:
+        wt, mu, sd = ray.get(_r)
+        x = (_qc_feature_matrix(t["text"].to_pylist()) - mu) / sd
+        y = np.asarray([1.0 if lg == target_lang else 0.0 for lg in t["lang"].to_pylist()])
+        pred = (x @ wt) > 0
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(y)], pa.int64()),
+                "correct": pa.array([int((pred == (y > 0.5)).sum())], pa.int64()),
+            }
+        )
+
+    sc = ds.map_batches(_score, batch_format="pyarrow").to_pandas()
+    acc = float(sc["correct"].sum()) / float(sc["n"].sum())
+    return pd.DataFrame(
+        {
+            "name": _QC_FEATURES + ["train_accuracy"],
+            "value": [round(float(x), 4) for x in w] + [round(acc, 4)],
+        }
+    )
+
+
+def quality_classifier_reference(
+    sf_dir: str, target_lang: str = "en", iters: int = 30, lr: float = 1.0
+) -> pd.DataFrame:
+    """Single-process numpy reference for :func:`quality_classifier`
+    (same features, standardization, update rule) — the pytest oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    x = _qc_feature_matrix(t["text"].to_pylist())
+    y = np.asarray([1.0 if lg == target_lang else 0.0 for lg in t["lang"].to_pylist()])
+    mean, std = x.mean(axis=0), x.std(axis=0)
+    mean[0], std[0] = 0.0, 1.0
+    std[std == 0] = 1.0
+    xs = (x - mean) / std
+    w = np.zeros(5, dtype=np.float64)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(xs @ w)))
+        w = w - lr * (xs.T @ (p - y)) / len(y)
+    acc = float((((xs @ w) > 0) == (y > 0.5)).mean())
+    return pd.DataFrame(
+        {
+            "name": _QC_FEATURES + ["train_accuracy"],
+            "value": [round(float(v), 4) for v in w] + [round(acc, 4)],
+        }
+    )

@@ -196,6 +196,7 @@ SUBSET = [
     "seasonal_naive_backtest",
     "pii_redact_audit",
     "range_partition_plan",
+    "dsir_selection",
 ]
 
 

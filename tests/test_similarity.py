@@ -267,3 +267,30 @@ def test_mmr_diverse_selection_matches_sequential_reference():
     # diversity sanity: the selected set is not just the top-k by relevance
     topk_rel = ids[np.lexsort((ids, -(mn @ q)))][:k].tolist()
     assert set(sel) != set(topk_rel) or k <= 1
+
+
+def test_semdedup_matches_sequential_reference():
+    """Pin the distributed SemDeDup (k-means partition + greedy
+    within-cluster cosine prune) to the single-process reference:
+    same quantizer sample, same prune order, exact equality."""
+    from ocr_pipeline_ray.pipelines.similarity import (
+        PLANT_OFFSET,
+        semdedup,
+        semdedup_reference,
+    )
+
+    got = semdedup(SF, n_clusters=4, eps=0.95)
+    ref = semdedup_reference(SF, n_clusters=4, eps=0.95)
+    assert got["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert got["cluster"].tolist() == ref["cluster"].tolist()
+    assert got["kept"].tolist() == ref["kept"].tolist()
+    # every planted (original, scaled-copy) pair collapses: exactly one
+    # of the two survives the prune
+    planted = got[got["vec_id"] >= PLANT_OFFSET]
+    assert len(planted) > 0
+    orig = got.set_index("vec_id")["kept"]
+    for vid in planted["vec_id"]:
+        assert int(orig[vid]) + int(orig[vid - PLANT_OFFSET]) == 1
+    # non-planted corpus is untouched at eps=0.95 (max off-diag ~0.5)
+    base = got[(got["vec_id"] < PLANT_OFFSET) & (got["vec_id"] % 20 != 0)]
+    assert base["kept"].all()

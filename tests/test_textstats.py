@@ -197,3 +197,22 @@ def test_bpe_apply_tokenize_matches_local_reference():
         assert got["n_words"][i] == len(words)
     # merges strictly compress: subwords < raw chars, >= word count
     assert (got["n_subwords"] >= got["n_words"]).all()
+
+
+def test_quality_classifier_matches_sequential_reference():
+    """Pin the distributed full-batch-GD logistic trainer to the
+    single-process numpy reference: identical weights (the gradient is
+    a sum over docs, so batch partials must add exactly) and a
+    better-than-chance train accuracy."""
+    from ocr_pipeline_ray.pipelines.text import (
+        quality_classifier,
+        quality_classifier_reference,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = quality_classifier(sf, iters=10)
+    ref = quality_classifier_reference(sf, iters=10)
+    assert got["name"].tolist() == ref["name"].tolist()
+    assert got["value"].tolist() == ref["value"].tolist()
+    acc = float(got.loc[got["name"] == "train_accuracy", "value"].iloc[0])
+    assert acc >= 0.6
