@@ -7943,3 +7943,294 @@ def kcore_copurchase(sf_dir: str, k: int = 3) -> pd.DataFrame:
             "min_core_node": [int(min(core_nodes)) if core_nodes else -1],
         }
     )
+
+
+def kaplan_meier_repurchase(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival curve of time-to-repurchase: for each
+    customer, the days from their FIRST order to their SECOND order
+    (event) or to the corpus max order date (right-censored — the
+    customer never reordered). The product-limit estimator
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i) is evaluated at every
+    observed event time.
+
+    Distributed: each batch keeps its local two-smallest order dates
+    per customer (two rows with multiplicity — same-day repeat orders
+    count), ONE bucketed shuffle on custkey co-locates a customer's
+    candidates, and the per-bucket combine reduces straight to the
+    (duration, is_event) -> count histogram, so only day-granularity
+    histogram partials reach the driver; the risk-set suffix sums and
+    the cumulative product run on that result-sized table."""
+    num_buckets = 32
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        out = pd.DataFrame({"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64")})
+        return out.groupby(["t", "ev"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev"], as_index=False)["cnt"]
+        .sum()
+    )
+    all_t = hist.groupby("t")["cnt"].sum().sort_index()
+    total = int(all_t.sum())
+    risk = total - all_t.cumsum().shift(fill_value=0)  # at-risk(t) = #{t' >= t}
+    evt = hist[hist["ev"] == 1].groupby("t")["cnt"].sum().sort_index()
+    n = risk.reindex(evt.index).to_numpy("float64")
+    d = evt.to_numpy("float64")
+    surv = np.cumprod(1.0 - d / n)
+    return pd.DataFrame(
+        {
+            "t_days": evt.index.to_numpy("int64"),
+            "n_risk": n.astype("int64"),
+            "n_events": d.astype("int64"),
+            "survival": np.round(surv, 6),
+        }
+    )
+
+
+KAPLAN_MEIER_REPURCHASE_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY o_custkey
+),
+dur AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, (SELECT md FROM mx)) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+evt AS (SELECT t, count(*) AS d FROM dur WHERE ev = 1 GROUP BY t),
+risk AS (
+  SELECT e.t, e.d,
+         (SELECT count(*) FROM dur WHERE dur.t >= e.t) AS n
+  FROM evt e
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(product(1.0 - CAST(d AS DOUBLE) / n) OVER (ORDER BY t), 6) AS survival
+FROM risk ORDER BY t_days
+"""
+
+
+def ewma_daily_revenue(sf_dir: str, alpha: float = 0.25) -> pd.DataFrame:
+    """Exponentially-weighted moving average of daily order revenue,
+    seeded with the first day's value: y_1 = x_1,
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}. alpha = 0.25 so both alpha
+    and 1-alpha are exactly representable doubles and the Ray-side
+    numpy recursion is bit-compatible with the SQL recursive CTE.
+
+    Distributed: the heavy part is the per-day revenue aggregate over
+    the fact table (bucketed partial-aggregate, one coarse shuffle);
+    the recursion is inherently sequential and runs on the
+    result-sized daily series (~#days rows) on the driver — the same
+    shape every production EWMA/Holt smoother has."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("float64")
+    y = np.empty_like(x)
+    y[0] = x[0]
+    for i in range(1, len(x)):
+        y[i] = alpha * x[i] + (1.0 - alpha) * y[i - 1]
+    out = pd.DataFrame(
+        {
+            "day": daily["day"],
+            "rev": np.round(x, 2),
+            "ewma": np.round(y, 6),
+        }
+    )
+    return out
+
+
+EWMA_DAILY_REVENUE_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev,
+         row_number() OVER (ORDER BY date_trunc('day', o_orderdate)) AS rn
+  FROM orders GROUP BY 1
+),
+ew AS (
+  SELECT rn, day, rev, rev AS ewma FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.rev, 0.25 * d.rev + 0.75 * ew.ewma
+  FROM ew JOIN daily d ON d.rn = ew.rn + 1
+)
+SELECT day, round(rev, 2) AS rev, round(ewma, 6) AS ewma
+FROM ew ORDER BY day
+"""
+
+
+def item_item_cosine(sf_dir: str, min_co: int = 6, k: int = 20) -> pd.DataFrame:
+    """Item-item collaborative-filtering similarity: top-k part pairs
+    by cosine over the binary customer-purchase matrix,
+    cos(i,j) = |U_i ∩ U_j| / sqrt(|U_i| * |U_j|) with a min
+    co-occurrence support filter — the normalized complement of
+    copurchase_lift (which scores order-basket pairs by probability
+    ratio, relational.py:5230).
+
+    Distributed: lineitem projections join orders through the bucketed
+    shuffle join to attach custkeys; ONE custkey-bucket shuffle
+    co-locates each customer's distinct parts, so both the pair
+    partials and the per-part user-count partials come out of the same
+    pass (customers are disjoint across buckets). Pair counts reduce
+    through the coarse bucketed aggregate; only the HAVING-filtered
+    survivors' part keys broadcast back to pick their user counts, so
+    the driver never holds a part-scale table."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cp = shuffle_hash_join(
+        li.map_batches(
+            lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+        ),
+        orders,
+        on="o_orderkey",
+        left_cols=["o_orderkey", "l_partkey"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+
+    def _cust_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["o_custkey", "l_partkey"]].drop_duplicates()
+        df["__cbucket"] = (df["o_custkey"].to_numpy() % 64).astype("int64")
+        return df
+
+    def _pairs_and_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["o_custkey", "l_partkey"]].drop_duplicates()
+        c = g["o_custkey"].to_numpy()
+        p = g["l_partkey"].to_numpy()
+        order = np.lexsort((p, c))
+        c, p = c[order], p[order]
+        runs = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1, [len(c)]))
+        out_a, out_b = [], []
+        for s, e in zip(runs[:-1], runs[1:]):
+            if e - s < 2:
+                continue
+            ids = p[s:e]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        pair_df = (
+            pd.DataFrame({"pa": np.concatenate(out_a), "pb": np.concatenate(out_b)})
+            .groupby(["pa", "pb"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            if out_a
+            else pd.DataFrame(
+                {"pa": pd.Series(dtype="int64"), "pb": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        )
+        # per-part user counts are EXACT within a custkey bucket
+        ucnt = pd.DataFrame({"pa": p}).groupby("pa", as_index=False).size().rename(columns={"size": "n"})
+        ucnt["pb"] = -1  # sentinel: user-count row, not a pair row
+        return pd.concat([pair_df, ucnt[["pa", "pb", "n"]]], ignore_index=True)
+
+    merged = bucketed_aggregate(
+        cp.map_batches(_cust_bucket, batch_format="pandas")
+        .groupby("__cbucket")
+        .map_groups(_pairs_and_counts, batch_format="pandas"),
+        ["pa", "pb"],
+        {"n": ("n", "sum")},
+    )
+    pairs = merged.map_batches(
+        lambda df: df[(df["pb"] >= 0) & (df["n"] >= min_co)], batch_format="pandas"
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "part_a": pd.Series(dtype="int64"),
+                "part_b": pd.Series(dtype="int64"),
+                "n_co": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    need = np.unique(np.concatenate([pairs["pa"].to_numpy(), pairs["pb"].to_numpy()]))
+    need_ref = ray.put(need)
+    u = (
+        merged.map_batches(
+            lambda df: df[(df["pb"] == -1) & (np.isin(df["pa"].to_numpy(), ray.get(need_ref)))],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .set_index("pa")["n"]
+    )
+    ua = u.reindex(pairs["pa"]).to_numpy("float64")
+    ub = u.reindex(pairs["pb"]).to_numpy("float64")
+    pairs["cosine"] = pairs["n"].to_numpy("float64") / np.sqrt(ua * ub)
+    pairs = pairs.sort_values(["cosine", "pa", "pb"], ascending=[False, True, True]).head(k)
+    out = pd.DataFrame(
+        {
+            "part_a": pairs["pa"].to_numpy("int64"),
+            "part_b": pairs["pb"].to_numpy("int64"),
+            "n_co": pairs["n"].to_numpy("int64"),
+            "cosine": np.round(pairs["cosine"].to_numpy("float64"), 6),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def item_item_cosine_sql(min_co: int = 6, k: int = 20) -> str:
+    return f"""
+WITH cp AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+u AS (SELECT p, count(*) AS nu FROM cp GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS co
+  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {min_co}
+)
+SELECT pa AS part_a, pb AS part_b, CAST(co AS BIGINT) AS n_co,
+       round(co / sqrt(ua.nu * ub.nu), 6) AS cosine
+FROM pairs JOIN u ua ON ua.p = pa JOIN u ub ON ub.p = pb
+ORDER BY co / sqrt(ua.nu * ub.nu) DESC, pa, pb LIMIT {k}
+"""
+
+
+ITEM_ITEM_COSINE_SQL = item_item_cosine_sql()

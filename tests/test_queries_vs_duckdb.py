@@ -197,6 +197,10 @@ SUBSET = [
     "pii_redact_audit",
     "range_partition_plan",
     "dsir_selection",
+    # round-3h additions
+    "kaplan_meier_repurchase",
+    "ewma_daily_revenue",
+    "item_item_cosine",
 ]
 
 
