@@ -749,3 +749,110 @@ SELECT min(doc_id) AS doc_id FROM documents
 GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
 ORDER BY doc_id
 """
+
+
+def sorted_neighborhood_dedup(
+    sf_dir: str, window: int = 5, max_dist: int = 3, block: int = 256
+) -> pd.DataFrame:
+    """Sorted-neighborhood near-duplicate detection (Hernandez-Stolfo
+    merge/purge): sort all documents by a cheap blocking key
+    (n_chars, doc_id), slide a width-``window`` comparison window down
+    the sorted order, and keep pairs whose 32-char normalized prefixes
+    are within Levenshtein distance ``max_dist`` — the classic
+    record-linkage complement of the LSH dedups above (O(n*w) exact
+    comparisons instead of probabilistic buckets).
+
+    Distributed: the global sort position comes from the distributed
+    ROW_NUMBER primitive (range buckets + prefix offsets — no global
+    sort shuffle, relational.py _global_rank); rows land in rank
+    blocks of ``block`` and the last ``window-1`` rows of each block
+    REPLICATE into the next block, so every in-window pair is present
+    in exactly one block (the one owning the later row). Each block's
+    candidate pairs (<= block*window) verify locally."""
+    from ocr_pipeline_ray.pipelines.relational import _levenshtein, _read
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "pre": df["text"].str.slice(0, 32),
+                "n_chars": df["n_chars"].astype("float64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    from ocr_pipeline_ray.pipelines.relational import _global_rank
+
+    ranked = _global_rank(ds, "n_chars", ["doc_id", "pre"])
+
+    w1 = window - 1
+
+    def _assign_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rank"].to_numpy("int64")
+        primary = df.assign(__block=(rn - 1) // block)
+        repl_mask = (rn - 1 + w1) // block != (rn - 1) // block
+        repl = df[repl_mask].assign(__block=(df["rank"].to_numpy("int64")[repl_mask] - 1) // block + 1)
+        return pd.concat([primary, repl], ignore_index=True)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank").reset_index(drop=True)
+        blk = int(g["__block"].iloc[0])
+        rn = g["rank"].to_numpy("int64")
+        ids = g["doc_id"].to_numpy("int64")
+        pre = g["pre"].to_numpy(object)
+        out = {"doc_a": [], "doc_b": [], "dist": []}
+        pos = {int(r): i for i, r in enumerate(rn)}
+        for j_idx in range(len(g)):
+            rj = int(rn[j_idx])
+            if (rj - 1) // block != blk:
+                continue  # replicated row: its pairs belong to its own block
+            for d in range(1, window):
+                i_idx = pos.get(rj - d)
+                if i_idx is None:
+                    continue
+                dist = _levenshtein(pre[i_idx], pre[j_idx])
+                if dist <= max_dist:
+                    out["doc_a"].append(ids[i_idx])
+                    out["doc_b"].append(ids[j_idx])
+                    out["dist"].append(dist)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out["doc_a"], dtype="int64"),
+                "doc_b": pd.Series(out["doc_b"], dtype="int64"),
+                "dist": pd.Series(out["dist"], dtype="int64"),
+            }
+        )
+
+    pairs = (
+        ranked.map_batches(_assign_blocks, batch_format="pandas")
+        .groupby("__block")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def sorted_neighborhood_dedup_sql(window: int = 5, max_dist: int = 3) -> str:
+    return f"""
+WITH r AS (
+  SELECT doc_id, substr(text, 1, 32) AS pre,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + {window - 1}
+WHERE levenshtein(a.pre, b.pre) <= {max_dist}
+ORDER BY doc_a, doc_b
+"""
+
+
+SORTED_NEIGHBORHOOD_DEDUP_SQL = sorted_neighborhood_dedup_sql()

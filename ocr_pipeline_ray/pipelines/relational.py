@@ -8234,3 +8234,85 @@ ORDER BY co / sqrt(ua.nu * ub.nu) DESC, pa, pb LIMIT {k}
 
 
 ITEM_ITEM_COSINE_SQL = item_item_cosine_sql()
+
+
+def bootstrap_mean_ci(sf_dir: str, reps: int = 200) -> pd.DataFrame:
+    """Distributed multiplier bootstrap of mean(o_totalprice): instead
+    of resampling rows (impossible to coordinate across a cluster),
+    each row gets a DETERMINISTIC per-replicate integer weight
+    w in {0,1,2} with P = {1/4, 1/2, 1/4} (Binomial(2, 1/2) — mean 1,
+    the classic multiplier-bootstrap weight) derived from a two-step
+    LCG seeded by (o_orderkey mod 1000003, rep), so both engines draw
+    the SAME resamples with no RNG state. Each batch emits 2*reps
+    partial sums (sum w, sum w*x per replicate); the driver reduces
+    reps rows and reads the 95% CI off the replicate-mean order
+    statistics (ranks ceil(0.025 R) and ceil(0.975 R), 1-based).
+
+    Scale: the weight matrix is batch-local, partials are O(reps) per
+    batch, nothing row-scale ever reaches the driver — the standard
+    Poisson/multiplier-bootstrap layout for cluster data."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    rep_idx = np.arange(reps, dtype="int64")
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy("int64") % 1000003
+        x = df["o_totalprice"].to_numpy("float64")
+        s0 = k[:, None] * reps + rep_idx[None, :]
+        s1 = (1103515245 * s0 + 12345) % 2147483648
+        s2 = (1103515245 * s1 + 12345) % 2147483648
+        b = (s2 // 65536) % 4
+        w = np.where(b == 0, 0, np.where(b == 1, 2, 1)).astype("float64")
+        return pd.DataFrame(
+            {
+                "rep": rep_idx,
+                "sw": w.sum(axis=0),
+                "swx": (w * x[:, None]).sum(axis=0),
+                "n": np.int64(len(df)),
+                "sx": x.sum(),
+            }
+        )
+
+    p = (
+        ds.map_batches(_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("rep", as_index=False)
+        .sum()
+    )
+    means = np.sort((p["swx"] / p["sw"]).to_numpy("float64"))
+    # after the per-rep reduce every rep row carries the same full-table
+    # n and sum(x) (each batch stamped them on all of its rep rows)
+    n = int(p["n"].iloc[0])
+    point = float(p["sx"].iloc[0]) / n
+    lo = means[int(np.ceil(0.025 * reps)) - 1]
+    hi = means[int(np.ceil(0.975 * reps)) - 1]
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "point_mean": [round(point, 6)],
+            "ci_lo": [round(float(lo), 6)],
+            "ci_hi": [round(float(hi), 6)],
+        }
+    )
+
+
+BOOTSTRAP_MEAN_CI_SQL = """
+WITH reps AS (SELECT unnest(range(200)) AS r),
+w AS (
+  SELECT r,
+         ((((1103515245 * (((1103515245 * ((o_orderkey % 1000003) * 200 + r) + 12345)
+            % 2147483648)) + 12345) % 2147483648) // 65536) % 4) AS b,
+         o_totalprice AS x
+  FROM orders CROSS JOIN reps
+),
+m AS (
+  SELECT r,
+         sum((CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 2 ELSE 1 END) * x)
+           / sum(CASE WHEN b = 0 THEN 0 WHEN b = 1 THEN 2 ELSE 1 END) AS mean_r
+  FROM w GROUP BY r
+),
+sel AS (SELECT mean_r, row_number() OVER (ORDER BY mean_r) AS rk FROM m)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
+       (SELECT round(sum(o_totalprice) / count(*), 6) FROM orders) AS point_mean,
+       (SELECT round(mean_r, 6) FROM sel WHERE rk = 5) AS ci_lo,
+       (SELECT round(mean_r, 6) FROM sel WHERE rk = 195) AS ci_hi
+"""

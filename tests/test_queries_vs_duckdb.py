@@ -201,6 +201,9 @@ SUBSET = [
     "kaplan_meier_repurchase",
     "ewma_daily_revenue",
     "item_item_cosine",
+    "bootstrap_mean_ci",
+    "cuped_value_adjustment",
+    "sorted_neighborhood_dedup",
 ]
 
 
