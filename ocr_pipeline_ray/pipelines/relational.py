@@ -8316,3 +8316,244 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
        (SELECT round(mean_r, 6) FROM sel WHERE rk = 5) AS ci_lo,
        (SELECT round(mean_r, 6) FROM sel WHERE rk = 195) AS ci_hi
 """
+
+
+def permutation_test_price_by_segment(
+    sf_dir: str, seg_a: str = "BUILDING", seg_b: str = "MACHINERY", reps: int = 200
+) -> pd.DataFrame:
+    """Approximate-randomization permutation test for the difference in
+    mean order price between two customer segments. Labels are
+    re-drawn per replicate with the same deterministic two-step LCG
+    stream as bootstrap_mean_ci (offset +77 so the streams differ),
+    so both engines relabel identically with no RNG state;
+    p = (1 + #{|diff_r| >= |diff_obs|}) / (reps + 1) with the
+    add-one correction.
+
+    Distributed: the segment map is a dimension broadcast
+    (ray.put once, read per batch); each batch emits 4*reps partial
+    sums (sum/count per relabeled group per replicate) plus the
+    observed-group partials — nothing row-scale leaves the workers."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = cust.set_index("c_custkey")["c_mktsegment"]
+    seg_ref = ray.put(seg_map[seg_map.isin([seg_a, seg_b])])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    rep_idx = np.arange(reps, dtype="int64")
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        seg = sm.reindex(df["o_custkey"]).to_numpy(object)
+        keep = pd.notna(seg)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "rep": rep_idx,
+                    "sa": 0.0, "na": np.int64(0), "sb": 0.0, "nb": np.int64(0),
+                    "osa": 0.0, "ona": np.int64(0), "osb": 0.0, "onb": np.int64(0),
+                }
+            )
+        x = df["o_totalprice"].to_numpy("float64")[keep]
+        k = df["o_orderkey"].to_numpy("int64")[keep] % 1000003
+        is_a_obs = np.asarray(seg[keep] == seg_a)
+        s0 = k[:, None] * reps + rep_idx[None, :] + 77
+        s1 = (1103515245 * s0 + 12345) % 2147483648
+        s2 = (1103515245 * s1 + 12345) % 2147483648
+        is_a = ((s2 // 65536) % 2) == 0
+        return pd.DataFrame(
+            {
+                "rep": rep_idx,
+                "sa": (x[:, None] * is_a).sum(axis=0),
+                "na": is_a.sum(axis=0).astype("int64"),
+                "sb": (x[:, None] * ~is_a).sum(axis=0),
+                "nb": (~is_a).sum(axis=0).astype("int64"),
+                "osa": x[is_a_obs].sum(),
+                "ona": np.int64(is_a_obs.sum()),
+                "osb": x[~is_a_obs].sum(),
+                "onb": np.int64((~is_a_obs).sum()),
+            }
+        )
+
+    p = (
+        ds.map_batches(_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("rep", as_index=False)
+        .sum()
+    )
+    # observed-group columns were stamped per rep row, so any rep's
+    # post-reduce row carries the full-table totals
+    obs = float(p["osa"].iloc[0]) / int(p["ona"].iloc[0]) - float(p["osb"].iloc[0]) / int(
+        p["onb"].iloc[0]
+    )
+    diff = (p["sa"] / p["na"] - p["sb"] / p["nb"]).to_numpy("float64")
+    n_ge = int((np.abs(diff) >= abs(obs)).sum())
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(p["ona"].iloc[0])],
+            "n_b": [np.int64(p["onb"].iloc[0])],
+            "obs_diff": [round(obs, 6)],
+            "n_ge": [np.int64(n_ge)],
+            "p_value": [round((1 + n_ge) / (reps + 1), 6)],
+        }
+    )
+
+
+PERMUTATION_TEST_PRICE_BY_SEGMENT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+obs AS (
+  SELECT sum(CASE WHEN seg = 'BUILDING' THEN o_totalprice END)
+           / count(CASE WHEN seg = 'BUILDING' THEN 1 END)
+         - sum(CASE WHEN seg = 'MACHINERY' THEN o_totalprice END)
+           / count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS d,
+         count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS na,
+         count(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS nb
+  FROM base
+),
+reps AS (SELECT unnest(range(200)) AS r),
+lab AS (
+  SELECT r, o_totalprice,
+         ((((1103515245 * (((1103515245 * ((o_orderkey % 1000003) * 200 + r + 77) + 12345)
+            % 2147483648)) + 12345) % 2147483648) // 65536) % 2) = 0 AS is_a
+  FROM base CROSS JOIN reps
+),
+m AS (
+  SELECT r,
+         sum(CASE WHEN is_a THEN o_totalprice END) / count(CASE WHEN is_a THEN 1 END)
+         - sum(CASE WHEN NOT is_a THEN o_totalprice END) / count(CASE WHEN NOT is_a THEN 1 END)
+           AS diff_r
+  FROM lab GROUP BY r
+)
+SELECT CAST((SELECT na FROM obs) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM obs) AS BIGINT) AS n_b,
+       round((SELECT d FROM obs), 6) AS obs_diff,
+       CAST(count(CASE WHEN abs(diff_r) >= abs((SELECT d FROM obs)) THEN 1 END) AS BIGINT) AS n_ge,
+       round((1 + count(CASE WHEN abs(diff_r) >= abs((SELECT d FROM obs)) THEN 1 END)) / 201.0, 6) AS p_value
+FROM m
+"""
+
+
+def jackknife_mean_se(sf_dir: str, n_blocks: int = 32) -> pd.DataFrame:
+    """Delete-a-group jackknife standard error of mean(o_totalprice):
+    rows hash into ``n_blocks`` pseudo-blocks (o_orderkey mod 32), the
+    leave-one-block-out means m_{-b} = (S - s_b)/(N - n_b) come from
+    per-block (count, sum) partials, and
+    se^2 = (B-1)/B * sum_b (m_{-b} - mean_b m_{-b})^2 — the
+    delete-a-group estimator survey statisticians run on clustered
+    samples. Only B partial rows reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "b": df["o_orderkey"].to_numpy("int64") % n_blocks,
+                "x": df["o_totalprice"].to_numpy("float64"),
+            }
+        ).groupby("b", as_index=False).agg(n=("x", "size"), s=("x", "sum"))
+        return g
+
+    p = (
+        ds.map_batches(_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+    )
+    N = int(p["n"].sum())
+    S = float(p["s"].sum())
+    m_loo = (S - p["s"].to_numpy("float64")) / (N - p["n"].to_numpy("int64"))
+    mbar = m_loo.mean()
+    B = len(p)
+    var = (B - 1) / B * ((m_loo - mbar) ** 2).sum()
+    return pd.DataFrame(
+        {
+            "n": [np.int64(N)],
+            "n_blocks": [np.int64(B)],
+            "mean": [round(S / N, 6)],
+            "jk_se": [round(float(np.sqrt(var)), 6)],
+        }
+    )
+
+
+JACKKNIFE_MEAN_SE_SQL = """
+WITH blk AS (
+  SELECT o_orderkey % 32 AS b, count(*) AS n, sum(o_totalprice) AS s
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n) AS N, sum(s) AS S, count(*) AS B FROM blk),
+loo AS (
+  SELECT ((SELECT S FROM tot) - s) / ((SELECT N FROM tot) - n) AS m
+  FROM blk
+)
+SELECT CAST((SELECT N FROM tot) AS BIGINT) AS n,
+       CAST((SELECT B FROM tot) AS BIGINT) AS n_blocks,
+       round((SELECT S FROM tot) / (SELECT N FROM tot), 6) AS mean,
+       round(sqrt(((SELECT B FROM tot) - 1.0) / (SELECT B FROM tot)
+                  * sum((m - (SELECT avg(m) FROM loo)) * (m - (SELECT avg(m) FROM loo)))), 6) AS jk_se
+FROM loo
+"""
+
+
+def dow_adjusted_revenue_anomalies(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Seasonal-residual anomaly scan: daily order revenue minus that
+    day-of-week's mean revenue, standardized by the residual's global
+    std — the top-k |z| days are the calendar anomalies a naive
+    threshold on raw revenue would miss (weekends score against
+    weekends). The fact table reduces through the bucketed per-day
+    aggregate; the DOW profile, residuals and ranking run on the
+    result-sized daily series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # DuckDB dayofweek: Sunday=0 .. Saturday=6; pandas dayofweek: Monday=0
+    dow = (daily["day"].dt.dayofweek + 1) % 7
+    daily["dow"] = dow.astype("int64")
+    prof = daily.groupby("dow")["rev"].transform("mean")
+    resid = daily["rev"] - prof
+    sd = float(np.sqrt((resid.to_numpy("float64") ** 2).mean()))
+    daily["z"] = resid / sd
+    out = daily.reindex(np.abs(daily["z"]).sort_values(ascending=False).index).head(k)
+    out = out.sort_values("day")
+    return pd.DataFrame(
+        {
+            "day": out["day"].to_numpy(),
+            "rev": np.round(out["rev"].to_numpy("float64"), 2),
+            "dow": out["dow"].to_numpy("int64"),
+            "z": np.round(out["z"].to_numpy("float64"), 6),
+        }
+    )
+
+
+DOW_ADJUSTED_REVENUE_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+d2 AS (
+  SELECT day, rev, dayofweek(day) AS dow,
+         rev - avg(rev) OVER (PARTITION BY dayofweek(day)) AS resid
+  FROM daily
+),
+sd AS (SELECT sqrt(avg(resid * resid)) AS s FROM d2),
+top AS (
+  SELECT day, rev, dow, resid / (SELECT s FROM sd) AS z
+  FROM d2 ORDER BY abs(resid / (SELECT s FROM sd)) DESC LIMIT 10
+)
+SELECT day, round(rev, 2) AS rev, CAST(dow AS BIGINT) AS dow, round(z, 6) AS z
+FROM top ORDER BY day
+"""

@@ -204,6 +204,9 @@ SUBSET = [
     "bootstrap_mean_ci",
     "cuped_value_adjustment",
     "sorted_neighborhood_dedup",
+    "permutation_test_price_by_segment",
+    "jackknife_mean_se",
+    "dow_adjusted_revenue_anomalies",
 ]
 
 
