@@ -8557,3 +8557,190 @@ top AS (
 SELECT day, round(rev, 2) AS rev, CAST(dow AS BIGINT) AS dow, round(z, 6) AS z
 FROM top ORDER BY day
 """
+
+
+def mann_whitney_price(
+    sf_dir: str, seg_a: str = "BUILDING", seg_b: str = "MACHINERY"
+) -> pd.DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two segments'
+    order prices, with exact midranks and the tie-corrected normal
+    approximation — the nonparametric sibling of welch_ttest_value.
+
+    Distributed ranks without a global sort: each batch emits a
+    per-distinct-value (x, count, count_A) histogram partial tagged
+    with a monotone fixed-width range bucket; per-bucket totals give
+    the driver an O(buckets) exclusive prefix (exactly the
+    _global_rank offset trick), and each bucket then combines its
+    values, forms midranks with its offset, and emits ONE scalar
+    partial row (rank-sum, tie term, counts). The value histogram is
+    consumed twice (offsets, then midranks) as a lazy re-execution —
+    nothing row-scale is ever materialized on the driver."""
+    n_range_buckets = 64
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = cust.set_index("c_custkey")["c_mktsegment"]
+    seg_ref = ray.put(seg_map[seg_map.isin([seg_a, seg_b])])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    lo = float(ds.min("o_totalprice"))
+    hi = float(ds.max("o_totalprice"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        seg = sm.reindex(df["o_custkey"]).to_numpy(object)
+        keep = pd.notna(seg)
+        if not keep.any():
+            return pd.DataFrame(
+                {"x": pd.Series(dtype="float64"), "c": pd.Series(dtype="int64"),
+                 "ca": pd.Series(dtype="int64"), "__bucket": pd.Series(dtype="int64")}
+            )
+        x = df["o_totalprice"].to_numpy("float64")[keep]
+        a = np.asarray(seg[keep] == seg_a, dtype="int64")
+        g = pd.DataFrame({"x": x, "c": 1, "ca": a}).groupby("x", as_index=False).sum()
+        b = np.clip(np.floor((g["x"].to_numpy() - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+        g["__bucket"] = b
+        return g
+
+    hist = ds.map_batches(_hist, batch_format="pandas")
+    btot = (
+        hist.map_batches(
+            lambda df: df.groupby("__bucket", as_index=False)["c"].sum(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("__bucket")["c"]
+        .sum()
+    )
+    counts = np.zeros(n_range_buckets, dtype="int64")
+    counts[btot.index.to_numpy()] = btot.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        g = g.groupby("x", as_index=False).agg(c=("c", "sum"), ca=("ca", "sum")).sort_values("x")
+        before = int(ray.get(off_ref)[bucket])
+        c = g["c"].to_numpy("int64")
+        ca = g["ca"].to_numpy("int64")
+        cum_before = before + np.cumsum(c) - c
+        midrank = cum_before + (c + 1) / 2.0
+        return pd.DataFrame(
+            {
+                "ra": [(ca * midrank).sum()],
+                "ties": [np.int64((c.astype("int64") ** 3 - c).sum())],
+                "na": [np.int64(ca.sum())],
+                "n": [np.int64(c.sum())],
+            }
+        )
+
+    s = (
+        hist.groupby("__bucket")
+        .map_groups(_bucket_stats, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, na = int(s["n"]), int(s["na"])
+    nb = n - na
+    ra = float(s["ra"])
+    ties = float(s["ties"])
+    u_a = ra - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    var = (na * nb / 12.0) * ((n + 1) - ties / (n * (n - 1)))
+    z = (u_a - mu) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "u_a": [round(u_a, 4)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+MANN_WHITNEY_PRICE_SQL = """
+WITH base AS (
+  SELECT o_totalprice AS x, c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+v AS (
+  SELECT x, count(*) AS c,
+         count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS ca
+  FROM base GROUP BY x
+),
+r AS (SELECT x, c, ca, sum(c) OVER (ORDER BY x) - c AS before FROM v),
+agg AS (
+  SELECT sum(ca * (before + (c + 1) / 2.0)) AS ra,
+         sum(c * c * c - c) AS ties,
+         sum(ca) AS na, sum(c) AS n
+  FROM r
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+       round(ra - na * (na + 1) / 2.0, 4) AS u_a,
+       round((ra - na * (na + 1) / 2.0 - na * (n - na) / 2.0)
+             / sqrt((na * (n - na) / 12.0) * ((n + 1) - ties / (n * (n - 1.0)))), 6) AS z
+FROM agg
+"""
+
+
+def holt_linear_daily(sf_dir: str, alpha: float = 0.25, gamma: float = 0.25) -> pd.DataFrame:
+    """Holt double-exponential smoothing (level + trend) of daily order
+    revenue: l_t = a*x_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}, seeded l_1 = x_1,
+    b_1 = x_2 - x_1. Coefficients 0.25/0.75 are exactly-representable
+    doubles and the numpy recursion mirrors the SQL recursive CTE
+    term-for-term, so the engines agree bit-for-bit at round(6).
+    The fact table reduces through the bucketed per-day aggregate; the
+    inherently-sequential smoother runs on the result-sized series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("float64")
+    lvl = np.empty_like(x)
+    trd = np.empty_like(x)
+    lvl[0] = x[0]
+    trd[0] = x[1] - x[0]
+    for i in range(1, len(x)):
+        ln = alpha * x[i] + (1.0 - alpha) * (lvl[i - 1] + trd[i - 1])
+        trd[i] = gamma * (ln - lvl[i - 1]) + (1.0 - gamma) * trd[i - 1]
+        lvl[i] = ln
+    return pd.DataFrame(
+        {
+            "day": daily["day"],
+            "rev": np.round(x, 2),
+            "lvl": np.round(lvl, 6),
+            "trd": np.round(trd, 6),
+        }
+    )
+
+
+HOLT_LINEAR_DAILY_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev,
+         row_number() OVER (ORDER BY date_trunc('day', o_orderdate)) AS rn
+  FROM orders GROUP BY 1
+),
+h AS (
+  SELECT d1.rn, d1.day, d1.rev, d1.rev AS lvl, d2.rev - d1.rev AS trd
+  FROM daily d1, daily d2 WHERE d1.rn = 1 AND d2.rn = 2
+  UNION ALL
+  SELECT d.rn, d.day, d.rev,
+         0.25 * d.rev + 0.75 * (h.lvl + h.trd),
+         0.25 * ((0.25 * d.rev + 0.75 * (h.lvl + h.trd)) - h.lvl) + 0.75 * h.trd
+  FROM h JOIN daily d ON d.rn = h.rn + 1
+)
+SELECT day, round(rev, 2) AS rev, round(lvl, 6) AS lvl, round(trd, 6) AS trd
+FROM h ORDER BY day
+"""

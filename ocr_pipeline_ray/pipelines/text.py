@@ -8,6 +8,7 @@ reference std-detection/api.py:40-60, for lightweight state).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -4374,3 +4375,78 @@ def quality_classifier_reference(
             "value": [round(float(v), 4) for v in w] + [round(acc, 4)],
         }
     )
+
+
+def mixture_rebalance_plan(sf_dir: str) -> pd.DataFrame:
+    """Corpus mixture-rebalance plan: per (lang, source) cell, the
+    token mass, its share of the corpus, and the downsampling rate
+    that would equalize every cell to the uniform target T/G — the
+    planning table a data-mixing stage (DoReMi-style reweighting,
+    dedup-then-rebalance curation) consults before it samples.
+    rate = min(1, target/tokens): over-represented cells downsample,
+    under-represented cells keep everything (upsampling is a repeat
+    factor decided elsewhere).
+
+    Distributed: per-batch token counts (same [A-Za-z0-9_]+ tokenizer
+    as token_counts) partial-aggregate per cell inside the batch, one
+    coarse bucketed shuffle combines the ~G cell rows; the plan math
+    runs on the G-row result."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def _toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "source": df["source"],
+                "one": np.int64(1),
+                "toks": [len(TOKEN_RE.findall(s)) for s in df["text"]],
+            }
+        )
+
+    cells = (
+        bucketed_aggregate(
+            ds.map_batches(_toks, batch_format="pandas"),
+            ["lang", "source"],
+            {"n_docs": ("one", "sum"), "n_tokens": ("toks", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    total = float(cells["n_tokens"].sum())
+    g = len(cells)
+    target = total / g
+    toks = cells["n_tokens"].to_numpy("float64")
+    rate = np.minimum(1.0, target / toks)
+    return pd.DataFrame(
+        {
+            "lang": cells["lang"],
+            "source": cells["source"],
+            "n_docs": cells["n_docs"].astype("int64"),
+            "n_tokens": cells["n_tokens"].astype("int64"),
+            "token_share": np.round(toks / total, 6),
+            "target_tokens": round(target, 2),
+            "sample_rate": np.round(rate, 6),
+            "expected_tokens": np.round(toks * rate, 2),
+        }
+    )
+
+
+MIXTURE_REBALANCE_PLAN_SQL = r"""
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS t, count(*) AS g FROM cells)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / (SELECT t FROM tot), 6) AS token_share,
+       round((SELECT t / g FROM tot), 2) AS target_tokens,
+       round(least(1.0, (SELECT t / g FROM tot) / n_tokens), 6) AS sample_rate,
+       round(n_tokens * least(1.0, (SELECT t / g FROM tot) / n_tokens), 2) AS expected_tokens
+FROM cells ORDER BY lang, source
+"""

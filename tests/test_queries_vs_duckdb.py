@@ -207,6 +207,9 @@ SUBSET = [
     "permutation_test_price_by_segment",
     "jackknife_mean_se",
     "dow_adjusted_revenue_anomalies",
+    "mann_whitney_price",
+    "holt_linear_daily",
+    "mixture_rebalance_plan",
 ]
 
 
