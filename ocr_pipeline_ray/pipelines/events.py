@@ -3744,3 +3744,184 @@ SELECT CAST(n AS BIGINT) AS n_users,
              / (sbb/n - (sb/n)*(sb/n)), 6) AS var_reduction
 FROM m
 """
+
+
+def wilcoxon_signed_rank_prepost(sf_dir: str, n_range_buckets: int = 64) -> pd.DataFrame:
+    """Wilcoxon signed-rank test on the paired per-user (pre, post)
+    period values (same split as cuped_value_adjustment): rank the
+    nonzero |post - pre| differences with exact midranks, sum the
+    ranks of the positive differences (W+), and report the
+    tie-corrected normal approximation
+    z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - ties/48).
+
+    Distributed: per-user pairs come from the bucketed aggregate; the
+    midrank reduction is the shared range-bucket histogram machinery
+    (relational._rank_sum_stats) over x = |d| with group A = {d > 0},
+    so W+ is exactly the rank-sum the estimator needs."""
+    from ocr_pipeline_ray.pipelines.relational import _rank_sum_stats, bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        pre_mask = df["ts"] < CUPED_SPLIT
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "pre": df["value"].where(pre_mask, 0.0),
+                "post": df["value"].where(~pre_mask, 0.0),
+            }
+        )
+
+    per_user = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"pre": ("pre", "sum"), "post": ("post", "sum")},
+        num_buckets=32,
+    )
+    lo = 0.0
+    hi = float(
+        per_user.map_batches(
+            lambda df: pd.DataFrame({"m": [np.abs(df["post"] - df["pre"]).max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["post"] - df["pre"]).to_numpy("float64")
+        d = d[d != 0.0]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"x": pd.Series(dtype="float64"), "c": pd.Series(dtype="int64"),
+                 "ca": pd.Series(dtype="int64"), "__bucket": pd.Series(dtype="int64")}
+            )
+        g = (
+            pd.DataFrame({"x": np.abs(d), "c": np.int64(1), "ca": (d > 0).astype("int64")})
+            .groupby("x", as_index=False)
+            .sum()
+        )
+        g["__bucket"] = np.clip(
+            np.floor((g["x"].to_numpy() - lo) / width).astype("int64"), 0, n_range_buckets - 1
+        )
+        return g
+
+    s = _rank_sum_stats(per_user.map_batches(_hist, batch_format="pandas"), n_range_buckets)
+    n = s["n"]
+    w_plus = s["ra"]
+    mu = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - s["ties"] / 48.0
+    z = (w_plus - mu) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_pairs": [np.int64(n)],
+            "w_plus": [round(w_plus, 4)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+WILCOXON_SIGNED_RANK_PREPOST_SQL = """
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS pre,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS post
+  FROM events GROUP BY user_id
+),
+d AS (SELECT post - pre AS d FROM per WHERE post - pre <> 0),
+v AS (
+  SELECT abs(d) AS x, count(*) AS c,
+         count(CASE WHEN d > 0 THEN 1 END) AS ca
+  FROM d GROUP BY 1
+),
+r AS (SELECT x, c, ca, sum(c) OVER (ORDER BY x) - c AS before FROM v),
+agg AS (
+  SELECT sum(ca * (before + (c + 1) / 2.0)) AS wplus,
+         sum(c * c * c - c) AS ties, sum(c) AS n
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, round(wplus, 4) AS w_plus,
+       round((wplus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0), 6) AS z
+FROM agg
+"""
+
+
+def two_proportion_conversion(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test on purchase conversion between the two
+    deterministic assignment buckets real A/B systems use (user_id
+    parity — the hash-bucket arm assignment): a user converts if they
+    ever fire a 'purchase' event; z uses the pooled proportion — the
+    A/B-readout primitive.
+
+    Distributed: one bucketed per-user aggregate (max purchase flag);
+    the four arm counters reduce from per-batch partials."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "pur": (df["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    per_user = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"pur": ("pur", "max")},
+        num_buckets=32,
+    )
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["user_id"].to_numpy("int64") % 2 == 0)
+        pur = df["pur"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "na": [np.int64(a.sum())],
+                "xa": [np.int64(pur[a].sum())],
+                "nb": [np.int64((~a).sum())],
+                "xb": [np.int64(pur[~a].sum())],
+            }
+        )
+
+    s = per_user.map_batches(_counts, batch_format="pandas").to_pandas().sum()
+    na, xa, nb, xb = int(s["na"]), int(s["xa"]), int(s["nb"]), int(s["xb"])
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    z = (pa - pb) / np.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "conv_a": [round(pa, 6)],
+            "n_b": [np.int64(nb)],
+            "conv_b": [round(pb, 6)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+TWO_PROPORTION_CONVERSION_SQL = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS na,
+         sum(CASE WHEN user_id % 2 = 0 THEN pur ELSE 0 END) AS xa,
+         count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS nb,
+         sum(CASE WHEN user_id % 2 = 1 THEN pur ELSE 0 END) AS xb
+  FROM per
+)
+SELECT CAST(na AS BIGINT) AS n_a, round(xa / CAST(na AS DOUBLE), 6) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b, round(xb / CAST(nb AS DOUBLE), 6) AS conv_b,
+       round((xa / CAST(na AS DOUBLE) - xb / CAST(nb AS DOUBLE))
+             / sqrt(((xa + xb) / CAST(na + nb AS DOUBLE))
+                    * (1 - (xa + xb) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z
+FROM c
+"""

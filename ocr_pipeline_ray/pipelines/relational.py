@@ -8559,6 +8559,56 @@ FROM top ORDER BY day
 """
 
 
+def _rank_sum_stats(hist: "ray.data.Dataset", n_range_buckets: int) -> dict:
+    """Shared exact-midrank reduction for the rank statistics family
+    (Mann-Whitney, Wilcoxon signed-rank, AUC): ``hist`` is a dataset of
+    per-batch value-histogram partials (x, c, ca, __bucket) where
+    ``__bucket`` is a MONOTONE fixed-width range bucket of x. Bucket
+    totals give an O(buckets) exclusive prefix on the driver; each
+    bucket then combines its values, forms midranks with its offset,
+    and emits one scalar partial (rank-sum of group A, tie term,
+    counts). The histogram is consumed twice as a lazy re-execution —
+    nothing row-scale reaches the driver. Returns
+    {ra, ties, na, n}."""
+    btot = (
+        hist.map_batches(
+            lambda df: df.groupby("__bucket", as_index=False)["c"].sum(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("__bucket")["c"]
+        .sum()
+    )
+    counts = np.zeros(n_range_buckets, dtype="int64")
+    counts[btot.index.to_numpy()] = btot.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        g = g.groupby("x", as_index=False).agg(c=("c", "sum"), ca=("ca", "sum")).sort_values("x")
+        before = int(ray.get(off_ref)[bucket])
+        c = g["c"].to_numpy("int64")
+        ca = g["ca"].to_numpy("int64")
+        cum_before = before + np.cumsum(c) - c
+        midrank = cum_before + (c + 1) / 2.0
+        return pd.DataFrame(
+            {
+                "ra": [(ca * midrank).sum()],
+                "ties": [np.int64((c.astype("int64") ** 3 - c).sum())],
+                "na": [np.int64(ca.sum())],
+                "n": [np.int64(c.sum())],
+            }
+        )
+
+    s = (
+        hist.groupby("__bucket")
+        .map_groups(_bucket_stats, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    return {"ra": float(s["ra"]), "ties": float(s["ties"]), "na": int(s["na"]), "n": int(s["n"])}
+
+
 def mann_whitney_price(
     sf_dir: str, seg_a: str = "BUILDING", seg_b: str = "MACHINERY"
 ) -> pd.DataFrame:
@@ -8601,46 +8651,11 @@ def mann_whitney_price(
         return g
 
     hist = ds.map_batches(_hist, batch_format="pandas")
-    btot = (
-        hist.map_batches(
-            lambda df: df.groupby("__bucket", as_index=False)["c"].sum(), batch_format="pandas"
-        )
-        .to_pandas()
-        .groupby("__bucket")["c"]
-        .sum()
-    )
-    counts = np.zeros(n_range_buckets, dtype="int64")
-    counts[btot.index.to_numpy()] = btot.to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    off_ref = ray.put(offsets)
-
-    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["__bucket"].iloc[0])
-        g = g.groupby("x", as_index=False).agg(c=("c", "sum"), ca=("ca", "sum")).sort_values("x")
-        before = int(ray.get(off_ref)[bucket])
-        c = g["c"].to_numpy("int64")
-        ca = g["ca"].to_numpy("int64")
-        cum_before = before + np.cumsum(c) - c
-        midrank = cum_before + (c + 1) / 2.0
-        return pd.DataFrame(
-            {
-                "ra": [(ca * midrank).sum()],
-                "ties": [np.int64((c.astype("int64") ** 3 - c).sum())],
-                "na": [np.int64(ca.sum())],
-                "n": [np.int64(c.sum())],
-            }
-        )
-
-    s = (
-        hist.groupby("__bucket")
-        .map_groups(_bucket_stats, batch_format="pandas")
-        .to_pandas()
-        .sum()
-    )
-    n, na = int(s["n"]), int(s["na"])
+    s = _rank_sum_stats(hist, n_range_buckets)
+    n, na = s["n"], s["na"]
     nb = n - na
-    ra = float(s["ra"])
-    ties = float(s["ties"])
+    ra = s["ra"]
+    ties = s["ties"]
     u_a = ra - na * (na + 1) / 2.0
     mu = na * nb / 2.0
     var = (na * nb / 12.0) * ((n + 1) - ties / (n * (n - 1)))

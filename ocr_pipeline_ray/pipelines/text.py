@@ -4450,3 +4450,67 @@ SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
        round(n_tokens * least(1.0, (SELECT t / g FROM tot) / n_tokens), 2) AS expected_tokens
 FROM cells ORDER BY lang, source
 """
+
+
+def auc_length_english(sf_dir: str, n_range_buckets: int = 64) -> pd.DataFrame:
+    """Ranker-evaluation AUC: how well does raw document length
+    (n_chars) separate English from non-English documents? AUC is the
+    Mann-Whitney statistic rescaled — (rank-sum of positives minus
+    n_pos(n_pos+1)/2) / (n_pos*n_neg) with exact midranks — computed
+    through the shared distributed midrank reduction
+    (relational._rank_sum_stats: range-bucket histogram partials +
+    O(buckets) prefix offsets). The model-eval primitive every
+    quality-classifier gate needs, with a trivial scorer."""
+    from ocr_pipeline_ray.pipelines.relational import _rank_sum_stats
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+    lo = float(ds.min("n_chars"))
+    hi = float(ds.max("n_chars"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "x": df["n_chars"].to_numpy("float64"),
+                    "c": np.int64(1),
+                    "ca": (df["lang"] == "en").to_numpy().astype("int64"),
+                }
+            )
+            .groupby("x", as_index=False)
+            .sum()
+        )
+        g["__bucket"] = np.clip(
+            np.floor((g["x"].to_numpy() - lo) / width).astype("int64"), 0, n_range_buckets - 1
+        )
+        return g
+
+    s = _rank_sum_stats(ds.map_batches(_hist, batch_format="pandas"), n_range_buckets)
+    na, n = s["na"], s["n"]
+    nb = n - na
+    auc = (s["ra"] - na * (na + 1) / 2.0) / (na * nb)
+    return pd.DataFrame(
+        {
+            "n_pos": [np.int64(na)],
+            "n_neg": [np.int64(nb)],
+            "auc": [round(float(auc), 6)],
+        }
+    )
+
+
+AUC_LENGTH_ENGLISH_SQL = """
+WITH v AS (
+  SELECT n_chars AS x, count(*) AS c,
+         count(CASE WHEN lang = 'en' THEN 1 END) AS ca
+  FROM documents GROUP BY x
+),
+r AS (SELECT x, c, ca, sum(c) OVER (ORDER BY x) - c AS before FROM v),
+agg AS (
+  SELECT sum(ca * (before + (c + 1) / 2.0)) AS ra,
+         sum(ca) AS na, sum(c) AS n
+  FROM r
+)
+SELECT CAST(na AS BIGINT) AS n_pos, CAST(n - na AS BIGINT) AS n_neg,
+       round((ra - na * (na + 1) / 2.0) / (na * (n - na)), 6) AS auc
+FROM agg
+"""

@@ -210,6 +210,9 @@ SUBSET = [
     "mann_whitney_price",
     "holt_linear_daily",
     "mixture_rebalance_plan",
+    "auc_length_english",
+    "wilcoxon_signed_rank_prepost",
+    "two_proportion_conversion",
 ]
 
 
