@@ -8759,3 +8759,106 @@ h AS (
 SELECT day, round(rev, 2) AS rev, round(lvl, 6) AS lvl, round(trd, 6) AS trd
 FROM h ORDER BY day
 """
+
+
+def price_percentile_cont_by_flag(
+    sf_dir: str, ps=(0.25, 0.5, 0.75, 0.9), n_range_buckets: int = 128
+) -> pd.DataFrame:
+    """EXACT linear-interpolation percentiles (PERCENTILE_CONT /
+    type-7) of l_extendedprice per l_returnflag — not a sketch: the
+    classic two-pass distributed selection. Pass 1 reduces a
+    (flag, range-bucket) count grid (O(flags*buckets) on the driver);
+    the target order statistics floor(h)+1 and floor(h)+2 with
+    h = (n-1)p locate their buckets on that grid; pass 2 pulls ONLY
+    the located buckets' values through a broadcast membership filter
+    (~n/buckets rows per flag, re-histogram recursively at larger
+    scales) and reads the two order stats off the in-bucket sort with
+    the grid's exclusive prefix."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    lo = float(ds.min("l_extendedprice"))
+    hi = float(ds.max("l_extendedprice"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"f": df["l_returnflag"], "b": _bucket(df["l_extendedprice"].to_numpy("float64"))}
+        )
+        return g.groupby(["f", "b"], as_index=False).size().rename(columns={"size": "c"})
+
+    grid = (
+        ds.map_batches(_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["f", "b"], as_index=False)["c"]
+        .sum()
+    )
+    needed: dict[str, set[int]] = {}
+    targets: list[tuple[str, float, int, int, float]] = []  # flag, p, k_lo, k_hi, frac
+    for f, g in grid.groupby("f"):
+        g = g.sort_values("b")
+        cum = g["c"].cumsum().to_numpy("int64")
+        n_f = int(cum[-1])
+        bs = g["b"].to_numpy("int64")
+        before = cum - g["c"].to_numpy("int64")
+        for p in ps:
+            h = (n_f - 1) * p
+            k_lo = int(np.floor(h)) + 1
+            k_hi = min(k_lo + 1, n_f)
+            frac = h - np.floor(h)
+            for k in (k_lo, k_hi):
+                j = int(np.searchsorted(cum, k))
+                needed.setdefault(f, set()).add(int(bs[j]))
+            targets.append((f, float(p), k_lo, k_hi, float(frac)))
+    need_ref = ray.put({f: np.array(sorted(v)) for f, v in needed.items()})
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        b = _bucket(df["l_extendedprice"].to_numpy("float64"))
+        keep = np.zeros(len(df), dtype=bool)
+        fvals = df["l_returnflag"].to_numpy(object)
+        for f, bset in nd.items():
+            keep |= (fvals == f) & np.isin(b, bset)
+        out = df[keep]
+        return pd.DataFrame(
+            {"f": out["l_returnflag"], "x": out["l_extendedprice"], "b": b[keep]}
+        )
+
+    pulled = ds.map_batches(_pull, batch_format="pandas").to_pandas()
+    # exclusive prefix per (flag, bucket) from the grid
+    grid_idx = grid.sort_values(["f", "b"]).reset_index(drop=True)
+    grid_idx["before"] = grid_idx.groupby("f")["c"].cumsum() - grid_idx["c"]
+    before_map = grid_idx.set_index(["f", "b"])["before"]
+    rows = []
+    for f, p, k_lo, k_hi, frac in targets:
+        sub = pulled[pulled["f"] == f]
+        vals = {}
+        for k in {k_lo, k_hi}:
+            # bucket owning rank k
+            g = grid[grid["f"] == f].sort_values("b")
+            cum = g["c"].cumsum().to_numpy("int64")
+            j = int(np.searchsorted(cum, k))
+            bj = int(g["b"].to_numpy("int64")[j])
+            off = int(before_map.loc[(f, bj)])
+            bucket_vals = np.sort(sub[sub["b"] == bj]["x"].to_numpy("float64"))
+            vals[k] = float(bucket_vals[k - off - 1])
+        v = vals[k_lo] + frac * (vals[k_hi] - vals[k_lo])
+        rows.append({"l_returnflag": f, "p": p, "value": round(v, 4)})
+    out = pd.DataFrame(rows).sort_values(["l_returnflag", "p"]).reset_index(drop=True)
+    return out
+
+
+PRICE_PERCENTILE_CONT_BY_FLAG_SQL = """
+SELECT l_returnflag, p, round(v, 4) AS value
+FROM (
+  SELECT l_returnflag, 0.25 AS p, quantile_cont(l_extendedprice, 0.25) AS v
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY l_returnflag
+) ORDER BY l_returnflag, p
+"""

@@ -1311,3 +1311,108 @@ def semdedup_reference(
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def hard_negative_mining(sf_dir: str, query_mod: int = 25) -> pd.DataFrame:
+    """Contrastive-pair mining: for each query vector (vec_id % 25 == 0)
+    find its hardest POSITIVE (most-similar same-label vector) and
+    hardest NEGATIVE (most-similar different-label vector) and the
+    margin between them — the triplet-mining pass a metric-learning
+    data pipeline runs before training. Ties broken by vec_id
+    ascending on both engines; cosines rounded to 4 like the other
+    cosine oracles.
+
+    Distributed: the query matrix broadcasts once (ray.put), each
+    batch emits one (query, best-pos, best-neg) partial row per query,
+    and the driver reduces Q-row partials — the corpus streams
+    exactly once, nothing row-scale is collected."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    qdf = ds.map_batches(
+        lambda df: df[df["vec_id"] % query_mod == 0], batch_format="pandas"
+    ).to_pandas()
+    q_ids, q = _to_matrix(qdf)
+    q_labels = qdf["label"].to_numpy("int64")
+    ref = ray.put((q_ids, _normalize(q), q_labels))
+
+    class _Mine:
+        def __init__(self):
+            self.q_ids, self.qn, self.q_labels = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            labels = batch["label"].to_numpy("int64")
+            sims = _normalize(m) @ self.qn.T  # (batch, n_q)
+            rows = []
+            for qi, qid in enumerate(self.q_ids):
+                s = sims[:, qi]
+                not_self = ids != qid
+                same = not_self & (labels == self.q_labels[qi])
+                diff = not_self & (labels != self.q_labels[qi])
+                row = {"query_id": qid}
+                for key, mask in (("pos", same), ("neg", diff)):
+                    if mask.any():
+                        cid, cs = ids[mask], s[mask]
+                        j = np.lexsort((cid, -cs))[0]
+                        row[f"{key}_id"], row[f"{key}_cos"] = int(cid[j]), float(cs[j])
+                    else:
+                        row[f"{key}_id"], row[f"{key}_cos"] = -1, -2.0
+                rows.append(row)
+            return pd.DataFrame(rows)
+
+    parts = ds.map_batches(_Mine, batch_format="pandas", batch_size=2048, concurrency=(1, 8)).to_pandas()
+    out_rows = []
+    for qid, g in parts.groupby("query_id"):
+        row = {"query_id": int(qid)}
+        for key in ("pos", "neg"):
+            g2 = g.sort_values([f"{key}_cos", f"{key}_id"], ascending=[False, True])
+            row[f"{key}_id"] = int(g2[f"{key}_id"].iloc[0])
+            row[key + "_cos_raw"] = float(g2[f"{key}_cos"].iloc[0])
+        row["pos_cos"] = round(row.pop("pos_cos_raw"), 4)
+        # keep raw values to form the margin before rounding
+        neg_raw = row.pop("neg_cos_raw")
+        row["neg_cos"] = round(neg_raw, 4)
+        out_rows.append(row)
+    out = pd.DataFrame(out_rows).sort_values("query_id").reset_index(drop=True)
+    # margin from raw partials: recompute from the unrounded reduce
+    raw = (
+        parts.sort_values(["pos_cos", "pos_id"], ascending=[False, True])
+        .groupby("query_id")["pos_cos"]
+        .max()
+    )
+    raw_neg = parts.groupby("query_id")["neg_cos"].max()
+    out["margin"] = np.round(
+        raw.reindex(out["query_id"]).to_numpy() - raw_neg.reindex(out["query_id"]).to_numpy(), 4
+    )
+    out["query_id"] = out["query_id"].astype("int64")
+    out["pos_id"] = out["pos_id"].astype("int64")
+    out["neg_id"] = out["neg_id"].astype("int64")
+    return out[["query_id", "pos_id", "pos_cos", "neg_id", "neg_cos", "margin"]]
+
+
+def hard_negative_mining_sql(query_mod: int = 25) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+sims AS (
+  SELECT q.qid, q.ql, e.vec_id AS vid, e.label AS lbl,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+pos AS (
+  SELECT qid, vid AS pos_id, sim AS pos_sim FROM sims WHERE lbl = ql
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) = 1
+),
+neg AS (
+  SELECT qid, vid AS neg_id, sim AS neg_sim FROM sims WHERE lbl <> ql
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) = 1
+)
+SELECT p.qid AS query_id, pos_id, round(pos_sim, 4) AS pos_cos,
+       neg_id, round(neg_sim, 4) AS neg_cos,
+       round(pos_sim - neg_sim, 4) AS margin
+FROM pos p JOIN neg n ON p.qid = n.qid ORDER BY query_id
+"""
+
+
+HARD_NEGATIVE_MINING_SQL = hard_negative_mining_sql()

@@ -4514,3 +4514,85 @@ SELECT CAST(na AS BIGINT) AS n_pos, CAST(n - na AS BIGINT) AS n_neg,
        round((ra - na * (na + 1) / 2.0) / (na * (n - na)), 6) AS auc
 FROM agg
 """
+
+
+def reciprocal_rank_fusion(sf_dir: str, k_rrf: int = 60, topk: int = 20) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two rankers over the BM25 posting
+    union (docs matching any query term): ranker 1 = BM25 relevance,
+    ranker 2 = document length prior (longer first). Each candidate's
+    RRF score is 1/(60+r1) + 1/(60+r2) — integer ranks only, so the
+    fusion is FP-exact across engines; ranks break ties by doc_id.
+
+    Distributed: the candidate set is the BM25 pipeline's result-sized
+    posting union; their n_chars come back through a broadcast
+    membership filter (pc.is_in inside map_batches), never a
+    driver-side scan of the corpus."""
+    import pyarrow.compute as pc
+
+    scores = bm25_scores(sf_dir)  # result-sized (posting union)
+    need = ray.put(scores["doc_id"].to_numpy("int64"))
+    lens = (
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], pa.array(ray.get(need)))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cand = scores.merge(lens, on="doc_id")
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    cand["r_bm25"] = np.arange(1, len(cand) + 1, dtype="int64")
+    cand = cand.sort_values(["n_chars", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    cand["r_len"] = np.arange(1, len(cand) + 1, dtype="int64")
+    cand["rrf"] = np.round(
+        1.0 / (k_rrf + cand["r_bm25"].to_numpy("float64"))
+        + 1.0 / (k_rrf + cand["r_len"].to_numpy("float64")),
+        6,
+    )
+    out = (
+        cand.sort_values(["rrf", "doc_id"], ascending=[False, True])
+        .head(topk)
+        .reset_index(drop=True)
+    )
+    return out[["doc_id", "r_bm25", "r_len", "rrf"]].astype(
+        {"doc_id": "int64", "r_bm25": "int64", "r_len": "int64"}
+    )
+
+
+RECIPROCAL_RANK_FUSION_SQL = r"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS dl,
+         CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'), x -> x = 'spark')) AS BIGINT) AS tf_spark,
+         CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'), x -> x = 'window')) AS BIGINT) AS tf_window,
+         CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'), x -> x = 'hash')) AS BIGINT) AS tf_hash
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+         CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+         CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash
+  FROM feat
+), cand AS (
+  SELECT doc_id, n_chars,
+         round(
+             ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+               * (tf_spark * 2.2) / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0)
+               * (tf_window * 2.2) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           + ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+               * (tf_hash * 2.2) / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+         6) AS score
+  FROM feat, stats
+  WHERE tf_spark + tf_window + tf_hash > 0
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_len
+  FROM cand
+)
+SELECT doc_id, r_bm25, r_len,
+       round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_len), 6) AS rrf
+FROM ranked ORDER BY rrf DESC, doc_id LIMIT 20
+"""

@@ -213,6 +213,9 @@ SUBSET = [
     "auc_length_english",
     "wilcoxon_signed_rank_prepost",
     "two_proportion_conversion",
+    "hard_negative_mining",
+    "reciprocal_rank_fusion",
+    "price_percentile_cont_by_flag",
 ]
 
 
