@@ -3925,3 +3925,70 @@ SELECT CAST(na AS BIGINT) AS n_a, round(xa / CAST(na AS DOUBLE), 6) AS conv_a,
                     * (1.0 / na + 1.0 / nb)), 6) AS z
 FROM c
 """
+
+
+def view_then_purchase_days(sf_dir: str) -> pd.DataFrame:
+    """Eventual-follow sequential pattern on user-days: of the
+    (user, day) cells containing a 'view', how many also contain a
+    LATER 'purchase' the same day? "Eventually followed" reduces
+    exactly to min_ts(view) < max_ts(purchase) — two conditional
+    extremes per cell, so ONE bucketed per-(user, day) aggregate
+    answers a pattern query that naively needs a within-group
+    self-join."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        view = df["event_type"] == "view"
+        pur = df["event_type"] == "purchase"
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "day": df["ts"].dt.normalize(),
+                "tsv": df["ts"].where(view),
+                "tsp": df["ts"].where(pur),
+            }
+        )
+
+    cells = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id", "day"],
+        {"mina": ("tsv", "min"), "maxb": ("tsp", "max")},
+        num_buckets=32,
+    )
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        has_a = df["mina"].notna().to_numpy()
+        both = has_a & df["maxb"].notna().to_numpy() & (df["mina"] < df["maxb"]).to_numpy()
+        return pd.DataFrame(
+            {"n_days_view": [np.int64(has_a.sum())], "n_days_converted": [np.int64(both.sum())]}
+        )
+
+    s = cells.map_batches(_counts, batch_format="pandas").to_pandas().sum()
+    nv, nc = int(s["n_days_view"]), int(s["n_days_converted"])
+    return pd.DataFrame(
+        {
+            "n_days_view": [np.int64(nv)],
+            "n_days_converted": [np.int64(nc)],
+            "conversion": [round(nc / nv, 6)],
+        }
+    )
+
+
+VIEW_THEN_PURCHASE_DAYS_SQL = """
+WITH ud AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS mina,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS maxb
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT count(CASE WHEN mina IS NOT NULL THEN 1 END) AS nv,
+         count(CASE WHEN mina IS NOT NULL AND maxb IS NOT NULL AND mina < maxb THEN 1 END) AS nc
+  FROM ud
+)
+SELECT CAST(nv AS BIGINT) AS n_days_view, CAST(nc AS BIGINT) AS n_days_converted,
+       round(nc / CAST(nv AS DOUBLE), 6) AS conversion
+FROM c
+"""

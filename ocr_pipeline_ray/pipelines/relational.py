@@ -8862,3 +8862,138 @@ FROM (
   SELECT l_returnflag, 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY l_returnflag
 ) ORDER BY l_returnflag, p
 """
+
+
+def part_name_clusters(sf_dir: str, max_dist: int = 2) -> pd.DataFrame:
+    """Entity-resolution end-to-end: fuzzy-match part names
+    (Levenshtein <= 2 via the SymSpell deletion-neighborhood blocking
+    of fuzzy_name_pairs), then merge matches transitively with the
+    distributed min-label connected-components engine (dedup.py) —
+    the dedupe-merge step of every record-linkage pipeline. Node ids
+    are min(p_partkey) per distinct name so both engines agree on
+    cluster ids without any hashing; the oracle reproduces the
+    fixpoint with a recursive-CTE transitive closure.
+
+    Scale: the name DOMAIN (not row count) bounds the pair stage; the
+    nid lookup ships only the verified pairs' names through a
+    broadcast membership filter."""
+    from ocr_pipeline_ray.pipelines.dedup import connected_components
+
+    pairs = fuzzy_name_pairs(sf_dir, max_dist=max_dist)
+    if pairs.empty:
+        return pd.DataFrame(
+            {"cluster_id": pd.Series(dtype="int64"), "n_names": pd.Series(dtype="int64")}
+        )
+    need = set(pairs["name_a"]) | set(pairs["name_b"])
+    need_ref = ray.put(need)
+    nid = (
+        bucketed_aggregate(
+            _read(sf_dir, "part", columns=["p_name", "p_partkey"]),
+            "p_name",
+            {"nid": ("p_partkey", "min")},
+            num_buckets=32,
+        )
+        .map_batches(
+            lambda df: df[df["p_name"].isin(ray.get(need_ref))], batch_format="pandas"
+        )
+        .to_pandas()
+        .set_index("p_name")["nid"]
+    )
+    edges_df = pd.DataFrame(
+        {
+            "a": nid.reindex(pairs["name_a"]).to_numpy("int64"),
+            "b": nid.reindex(pairs["name_b"]).to_numpy("int64"),
+        }
+    )
+    comp = connected_components(ray.data.from_pandas(edges_df))
+    out = (
+        comp.groupby("cluster_id", as_index=False)
+        .size()
+        .rename(columns={"size": "n_names"})
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["n_names"] = out["n_names"].astype("int64")
+    return out
+
+
+def part_name_clusters_sql(max_dist: int = 2) -> str:
+    return f"""
+WITH RECURSIVE ids AS (
+  SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.nid AS ia, b.nid AS ib
+  FROM ids a JOIN ids b ON a.p_name < b.p_name
+  WHERE abs(len(a.p_name) - len(b.p_name)) <= {max_dist}
+    AND levenshtein(a.p_name, b.p_name) <= {max_dist}
+),
+edges AS (SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS nid, least(u, min(v)) AS comp FROM reach GROUP BY u)
+SELECT comp AS cluster_id, CAST(count(*) AS BIGINT) AS n_names
+FROM comp GROUP BY comp ORDER BY cluster_id
+"""
+
+
+PART_NAME_CLUSTERS_SQL = part_name_clusters_sql()
+
+
+def segment_influence(sf_dir: str) -> pd.DataFrame:
+    """Ablation table: for each customer segment, how much does
+    REMOVING its orders move the global mean order price?
+    influence = mean(rest) - mean(all) — the delete-a-group influence
+    function on a business partition (the jackknife's interpretable
+    cousin). Segment is a dimension broadcast; per-segment (n, sum)
+    partials reduce from each batch."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object)
+        return (
+            pd.DataFrame({"seg": seg, "x": df["o_totalprice"].to_numpy("float64")})
+            .groupby("seg", as_index=False)
+            .agg(n=("x", "size"), s=("x", "sum"))
+        )
+    p = (
+        ds.map_batches(_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("seg", as_index=False)
+        .sum()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    N = int(p["n"].sum())
+    S = float(p["s"].sum())
+    mean_all = S / N
+    out = pd.DataFrame(
+        {
+            "c_mktsegment": p["seg"],
+            "n_orders": p["n"].astype("int64"),
+            "mean_without": np.round((S - p["s"].to_numpy()) / (N - p["n"].to_numpy()), 6),
+            "influence": np.round((S - p["s"].to_numpy()) / (N - p["n"].to_numpy()) - mean_all, 6),
+        }
+    )
+    return out
+
+
+SEGMENT_INFLUENCE_SQL = """
+WITH o AS (
+  SELECT c_mktsegment AS seg, o_totalprice AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (SELECT seg, count(*) AS n, sum(x) AS s FROM o GROUP BY seg),
+tot AS (SELECT sum(n) AS N, sum(s) AS S FROM g)
+SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_orders,
+       round(((SELECT S FROM tot) - s) / ((SELECT N FROM tot) - n), 6) AS mean_without,
+       round(((SELECT S FROM tot) - s) / ((SELECT N FROM tot) - n)
+             - (SELECT S FROM tot) / (SELECT N FROM tot), 6) AS influence
+FROM g ORDER BY c_mktsegment
+"""

@@ -216,6 +216,9 @@ SUBSET = [
     "hard_negative_mining",
     "reciprocal_rank_fusion",
     "price_percentile_cont_by_flag",
+    "part_name_clusters",
+    "segment_influence",
+    "view_then_purchase_days",
 ]
 
 
