@@ -3992,3 +3992,103 @@ SELECT CAST(nv AS BIGINT) AS n_days_view, CAST(nc AS BIGINT) AS n_days_converted
        round(nc / CAST(nv AS DOUBLE), 6) AS conversion
 FROM c
 """
+
+
+def score_decile_lift(sf_dir: str) -> pd.DataFrame:
+    """Decile lift table — the standard propensity-model readout —
+    for the cheapest scorer there is: rank users by view count, split
+    into exact row-number deciles (ties broken by user_id so both
+    engines cut identically), and report purchase rate and lift per
+    decile.
+
+    Distributed: per-user (views, purchased) from ONE bucketed
+    aggregate; the global decile position comes from the distributed
+    ROW_NUMBER primitive (relational._global_rank — range buckets +
+    prefix offsets, no global sort); decile confusion partials reduce
+    per batch."""
+    from ocr_pipeline_ray.pipelines.relational import _global_rank, bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "v": (df["event_type"] == "view").astype("int64"),
+                "p": (df["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    per_user = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["user_id"],
+            {"v": ("v", "sum"), "p": ("p", "max")},
+            num_buckets=32,
+        )
+        .map_batches(
+            # rank ascending by negated score = descending by views
+            lambda df: df.assign(negv=-df["v"].to_numpy("float64")),
+            batch_format="pandas",
+        )
+        # _global_rank consumes its input four times (min, max, counts,
+        # rank); pin the user-scale aggregate in the object store so
+        # those passes don't re-run the events shuffle each time
+        .materialize()
+    )
+    n = per_user.count()
+    ranked = _global_rank(per_user, "negv", ["user_id", "p"])
+
+    def _dec(df: pd.DataFrame) -> pd.DataFrame:
+        d = ((df["rank"].to_numpy("int64") - 1) * 10) // n
+        return (
+            pd.DataFrame({"decile": d, "one": 1, "pos": df["p"].to_numpy("int64")})
+            .groupby("decile", as_index=False)
+            .sum()
+        )
+
+    g = (
+        ranked.map_batches(_dec, batch_format="pandas")
+        .to_pandas()
+        .groupby("decile", as_index=False)
+        .sum()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    overall = g["pos"].sum() / g["one"].sum()
+    return pd.DataFrame(
+        {
+            "decile": g["decile"].astype("int64"),
+            "n_users": g["one"].astype("int64"),
+            "n_pos": g["pos"].astype("int64"),
+            "rate": np.round(g["pos"].to_numpy("float64") / g["one"].to_numpy("float64"), 6),
+            "lift": np.round(
+                (g["pos"].to_numpy("float64") / g["one"].to_numpy("float64")) / overall, 6
+            ),
+        }
+    )
+
+
+SCORE_DECILE_LIFT_SQL = """
+WITH per AS (
+  SELECT user_id,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS v,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT p, row_number() OVER (ORDER BY v DESC, user_id) AS rn,
+         (SELECT count(*) FROM per) AS n
+  FROM per
+),
+g AS (
+  SELECT ((rn - 1) * 10) // n AS decile, count(*) AS nu, sum(p) AS np
+  FROM r GROUP BY 1
+),
+tot AS (SELECT sum(np) / CAST(sum(nu) AS DOUBLE) AS overall FROM g)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(nu AS BIGINT) AS n_users,
+       CAST(np AS BIGINT) AS n_pos,
+       round(np / CAST(nu AS DOUBLE), 6) AS rate,
+       round((np / CAST(nu AS DOUBLE)) / (SELECT overall FROM tot), 6) AS lift
+FROM g ORDER BY decile
+"""

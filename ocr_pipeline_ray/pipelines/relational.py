@@ -8997,3 +8997,69 @@ SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_orders,
              - (SELECT S FROM tot) / (SELECT N FROM tot), 6) AS influence
 FROM g ORDER BY c_mktsegment
 """
+
+
+def ljung_box_daily(sf_dir: str, max_lag: int = 10) -> pd.DataFrame:
+    """Ljung-Box autocorrelation test on the daily-revenue series:
+    rho_k for lags 1..10 and the cumulative Q statistic
+    Q_k = n(n+2) * sum_{j<=k} rho_j^2/(n-j) — the whiteness check a
+    forecasting stage (ewma/holt/seasonal-naive above) runs on its
+    residual stream. The fact table reduces through the bucketed
+    per-day aggregate; the lag products run on the result-sized
+    series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("float64")
+    n = len(x)
+    e = x - x.mean()
+    den = float((e * e).sum())
+    rows = []
+    q = 0.0
+    for k in range(1, max_lag + 1):
+        rho = float((e[k:] * e[:-k]).sum()) / den
+        q += rho * rho / (n - k)
+        rows.append(
+            {
+                "lag": np.int64(k),
+                "rho": round(rho, 6),
+                "q_cum": round(n * (n + 2.0) * q, 4),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+LJUNG_BOX_DAILY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev,
+         row_number() OVER (ORDER BY date_trunc('day', o_orderdate)) AS rn
+  FROM orders GROUP BY 1
+),
+st AS (SELECT avg(rev) AS mu, count(*) AS n FROM daily),
+dev AS (SELECT rn, rev - (SELECT mu FROM st) AS e FROM daily),
+den AS (SELECT sum(e * e) AS d FROM dev),
+lags AS (SELECT unnest(range(1, 11)) AS k),
+rho AS (
+  SELECT k, sum(a.e * b.e) / (SELECT d FROM den) AS r
+  FROM lags JOIN dev a ON true JOIN dev b ON b.rn = a.rn - k
+  GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS lag, round(r, 6) AS rho,
+       round((SELECT n FROM st) * ((SELECT n FROM st) + 2.0)
+             * sum(r * r / ((SELECT n FROM st) - k)) OVER (ORDER BY k), 4) AS q_cum
+FROM rho ORDER BY lag
+"""

@@ -4596,3 +4596,62 @@ SELECT doc_id, r_bm25, r_len,
        round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_len), 6) AS rrf
 FROM ranked ORDER BY rrf DESC, doc_id LIMIT 20
 """
+
+
+def cohens_kappa_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two cheap
+    deterministic labelers every curation stack compares: labeler 1 =
+    "is English" (lang tag), labeler 2 = "is long" (n_chars > 800).
+    kappa = (po - pe) / (1 - pe) from the 2x2 confusion counts — the
+    agreement primitive for judging weak labelers before ensembling.
+    One pass of per-batch confusion partials; four scalars reach the
+    driver."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _conf(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["lang"] == "en").to_numpy()
+        b = (df["n_chars"] > len_cut).to_numpy()
+        return pd.DataFrame(
+            {
+                "n11": [np.int64((a & b).sum())],
+                "n10": [np.int64((a & ~b).sum())],
+                "n01": [np.int64((~a & b).sum())],
+                "n00": [np.int64((~a & ~b).sum())],
+            }
+        )
+
+    s = ds.map_batches(_conf, batch_format="pandas").to_pandas().sum()
+    n11, n10, n01, n00 = (int(s[k]) for k in ("n11", "n10", "n01", "n00"))
+    n = n11 + n10 + n01 + n00
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * ((n10 + n00) / n)
+    kappa = (po - pe) / (1 - pe)
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "po": [round(po, 6)],
+            "pe": [round(pe, 6)],
+            "kappa": [round(kappa, 6)],
+        }
+    )
+
+
+COHENS_KAPPA_LABELERS_SQL = """
+WITH c AS (
+  SELECT count(CASE WHEN lang = 'en' AND n_chars > 800 THEN 1 END) AS n11,
+         count(CASE WHEN lang = 'en' AND n_chars <= 800 THEN 1 END) AS n10,
+         count(CASE WHEN lang <> 'en' AND n_chars > 800 THEN 1 END) AS n01,
+         count(CASE WHEN lang <> 'en' AND n_chars <= 800 THEN 1 END) AS n00,
+         count(*) AS n
+  FROM documents
+),
+m AS (
+  SELECT n, (n11 + n00) / CAST(n AS DOUBLE) AS po,
+         ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+         + ((n01 + n00) / CAST(n AS DOUBLE)) * ((n10 + n00) / CAST(n AS DOUBLE)) AS pe
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n, round(po, 6) AS po, round(pe, 6) AS pe,
+       round((po - pe) / (1 - pe), 6) AS kappa
+FROM m
+"""

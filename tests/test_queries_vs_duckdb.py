@@ -219,6 +219,9 @@ SUBSET = [
     "part_name_clusters",
     "segment_influence",
     "view_then_purchase_days",
+    "cohens_kappa_labelers",
+    "score_decile_lift",
+    "ljung_box_daily",
 ]
 
 
