@@ -4092,3 +4092,72 @@ SELECT CAST(decile AS BIGINT) AS decile, CAST(nu AS BIGINT) AS n_users,
        round((np / CAST(nu AS DOUBLE)) / (SELECT overall FROM tot), 6) AS lift
 FROM g ORDER BY decile
 """
+
+
+def fano_factor_hourly_by_type(sf_dir: str) -> pd.DataFrame:
+    """Burstiness screen: the Fano factor (var/mean of hourly counts,
+    zero-filled over the global hour spine) per event type — ~1 means
+    Poisson-like arrivals, >1 means bursts a rate-limiter or anomaly
+    monitor should know about. The heavy reduce is the bucketed
+    (type, hour) count; the spine fill and moments run on the
+    result-sized grid."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    lo = pd.Timestamp(ds.min("ts")).floor("h")
+    hi = pd.Timestamp(ds.max("ts")).floor("h")
+    cnt = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"event_type": df["event_type"], "h": df["ts"].dt.floor("h"), "one": np.int64(1)}
+                ),
+                batch_format="pandas",
+            ),
+            ["event_type", "h"],
+            {"c": ("one", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+    )
+    spine = pd.date_range(lo, hi, freq="h")
+    rows = []
+    for t, g in cnt.groupby("event_type"):
+        filled = g.set_index("h")["c"].reindex(spine, fill_value=0).to_numpy("float64")
+        mean = filled.mean()
+        var = filled.var()  # population variance
+        rows.append(
+            {
+                "event_type": t,
+                "n_hours": np.int64(len(filled)),
+                "mean_c": round(float(mean), 6),
+                "var_c": round(float(var), 6),
+                "fano": round(float(var / mean), 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+FANO_FACTOR_HOURLY_BY_TYPE_SQL = """
+WITH hours AS (
+  SELECT unnest(generate_series(
+           date_trunc('hour', (SELECT min(ts) FROM events)),
+           date_trunc('hour', (SELECT max(ts) FROM events)),
+           INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+filled AS (
+  SELECT t.event_type, hh.h, coalesce(c, 0) AS c
+  FROM types t CROSS JOIN hours hh
+  LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.h = hh.h
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(c), 6) AS mean_c,
+       round(var_pop(c), 6) AS var_c,
+       round(var_pop(c) / avg(c), 6) AS fano
+FROM filled GROUP BY event_type ORDER BY event_type
+"""

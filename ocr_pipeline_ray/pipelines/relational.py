@@ -9063,3 +9063,136 @@ SELECT CAST(k AS BIGINT) AS lag, round(r, 6) AS rho,
              * sum(r * r / ((SELECT n FROM st) - k)) OVER (ORDER BY k), 4) AS q_cum
 FROM rho ORDER BY lag
 """
+
+
+def selfjoin_size_stats(sf_dir: str) -> pd.DataFrame:
+    """Join-planner statistics for the l_partkey self-join: the exact
+    join cardinality sum_k c(k)^2, the hottest key's count, and the
+    skew ratio (hottest key's pair contribution over the average per
+    key) — the numbers a shuffle planner reads before deciding to salt
+    (shuffle_hash_join's hot_keys input). Per-batch per-key count
+    partials reduce through ONE bucketed aggregate; the sum-of-squares
+    and max reduce per batch after it, so the driver sees O(batches)
+    scalar rows."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).size().rename(columns={"size": "c"})
+        return g
+
+    per_key = bucketed_aggregate(
+        ds.map_batches(_cnt, batch_format="pandas"), ["l_partkey"], {"c": ("c", "sum")}
+    )
+
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "n_keys": [np.int64(len(c))],
+                "n_rows": [np.int64(c.sum())],
+                "join_size": [np.int64((c * c).sum())],
+                "max_c": [np.int64(c.max())],
+            }
+        )
+
+    s = per_key.map_batches(_stats, batch_format="pandas").to_pandas()
+    n_keys = int(s["n_keys"].sum())
+    join_size = int(s["join_size"].sum())
+    max_c = int(s["max_c"].max())
+    return pd.DataFrame(
+        {
+            "n_keys": [np.int64(n_keys)],
+            "n_rows": [np.int64(s["n_rows"].sum())],
+            "join_size": [np.int64(join_size)],
+            "max_key_count": [np.int64(max_c)],
+            "skew_ratio": [round(max_c * max_c / (join_size / n_keys), 6)],
+        }
+    )
+
+
+SELFJOIN_SIZE_STATS_SQL = """
+WITH k AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+a AS (
+  SELECT count(*) AS n_keys, sum(c) AS n_rows, sum(c * c) AS join_size,
+         max(c) AS max_c
+  FROM k
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(join_size AS BIGINT) AS join_size, CAST(max_c AS BIGINT) AS max_key_count,
+       round(max_c * max_c / (join_size / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
+FROM a
+"""
+
+
+def binned_mutual_information(sf_dir: str, n_bins: int = 16) -> pd.DataFrame:
+    """Mutual information (nats) between l_extendedprice and
+    l_quantity on a fixed 16x16 grid — the dependence screen feature
+    stores run between continuous columns where Pearson misses
+    nonlinearity. Per-batch 2-D cell-count partials reduce through one
+    tiny aggregate (<= 256 cells); the plog terms run on the grid."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+    elo, ehi = float(ds.min("l_extendedprice")), float(ds.max("l_extendedprice"))
+    qlo, qhi = float(ds.min("l_quantity")), float(ds.max("l_quantity"))
+    ew = (ehi - elo) / n_bins or 1.0
+    qw = (qhi - qlo) / n_bins or 1.0
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        bx = np.minimum(
+            n_bins - 1, np.floor((df["l_extendedprice"].to_numpy("float64") - elo) / ew)
+        ).astype("int64")
+        by = np.minimum(
+            n_bins - 1, np.floor((df["l_quantity"].to_numpy("float64") - qlo) / qw)
+        ).astype("int64")
+        return (
+            pd.DataFrame({"bx": bx, "by": by})
+            .groupby(["bx", "by"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    grid = (
+        ds.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["bx", "by"], as_index=False)["c"]
+        .sum()
+    )
+    n = float(grid["c"].sum())
+    px = grid.groupby("bx")["c"].sum()
+    py = grid.groupby("by")["c"].sum()
+    p = grid["c"].to_numpy("float64") / n
+    pxv = px.reindex(grid["bx"]).to_numpy("float64") / n
+    pyv = py.reindex(grid["by"]).to_numpy("float64") / n
+    mi = float((p * np.log(p / (pxv * pyv))).sum())
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "n_cells": [np.int64(len(grid))],
+            "mi_nats": [round(mi, 6)],
+        }
+    )
+
+
+BINNED_MUTUAL_INFORMATION_SQL = """
+WITH st AS (
+  SELECT min(l_extendedprice) AS elo, max(l_extendedprice) AS ehi,
+         min(l_quantity) AS qlo, max(l_quantity) AS qhi, count(*) AS n
+  FROM lineitem
+),
+b AS (
+  SELECT least(15, CAST(floor((l_extendedprice - (SELECT elo FROM st))
+           / (((SELECT ehi FROM st) - (SELECT elo FROM st)) / 16.0)) AS BIGINT)) AS bx,
+         least(15, CAST(floor((l_quantity - (SELECT qlo FROM st))
+           / (((SELECT qhi FROM st) - (SELECT qlo FROM st)) / 16.0)) AS BIGINT)) AS by
+  FROM lineitem
+),
+cell AS (SELECT bx, by, count(*) AS c FROM b GROUP BY 1, 2),
+mx AS (SELECT bx, sum(c) AS cx FROM cell GROUP BY 1),
+my AS (SELECT by, sum(c) AS cy FROM cell GROUP BY 1)
+SELECT CAST((SELECT n FROM st) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((c / CAST((SELECT n FROM st) AS DOUBLE))
+             * ln((c / CAST((SELECT n FROM st) AS DOUBLE))
+                  / ((cx / CAST((SELECT n FROM st) AS DOUBLE))
+                     * (cy / CAST((SELECT n FROM st) AS DOUBLE))))), 6) AS mi_nats
+FROM cell JOIN mx USING (bx) JOIN my USING (by)
+"""

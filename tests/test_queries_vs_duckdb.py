@@ -222,6 +222,9 @@ SUBSET = [
     "cohens_kappa_labelers",
     "score_decile_lift",
     "ljung_box_daily",
+    "selfjoin_size_stats",
+    "binned_mutual_information",
+    "fano_factor_hourly_by_type",
 ]
 
 
