@@ -9196,3 +9196,196 @@ SELECT CAST((SELECT n FROM st) AS BIGINT) AS n,
                      * (cy / CAST((SELECT n FROM st) AS DOUBLE))))), 6) AS mi_nats
 FROM cell JOIN mx USING (bx) JOIN my USING (by)
 """
+
+
+def conformal_price_interval(
+    sf_dir: str, level: float = 0.9, n_range_buckets: int = 128
+) -> pd.DataFrame:
+    """Split-conformal prediction interval, fully distributed: fit
+    l_extendedprice ~ b0 + b1*l_quantity on the EVEN-orderkey half
+    (one pass of moment partials), take the conformal quantile q =
+    k-th smallest |residual| on that half with k = ceil((n+1)*level)
+    (exact order statistic via the two-pass range-bucket selection,
+    not a sketch), then report empirical coverage of pred +/- q on the
+    held-out ODD half — the distribution-free uncertainty wrapper for
+    any batch scorer."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_quantity"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["l_orderkey"] % 2 == 0]
+        x = tr["l_quantity"].to_numpy("float64")
+        y = tr["l_extendedprice"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(tr))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    m = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n_tr = int(m["n"])
+    mx, my = m["sx"] / n_tr, m["sy"] / n_tr
+    b1 = (m["sxy"] / n_tr - mx * my) / (m["sxx"] / n_tr - mx * mx)
+    b0 = my - b1 * mx
+
+    def _resid(df: pd.DataFrame) -> np.ndarray:
+        x = df["l_quantity"].to_numpy("float64")
+        y = df["l_extendedprice"].to_numpy("float64")
+        return np.abs(y - (b0 + b1 * x))
+
+    # exact k-th smallest train |resid| via range-bucket selection
+    k = int(np.ceil((n_tr + 1) * level))
+    k = min(k, n_tr)
+    # residuals are >= 0; the upper bound comes from a cheap max pass
+    rmax = float(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"m": [float(_resid(df[df["l_orderkey"] % 2 == 0]).max()) if (df["l_orderkey"] % 2 == 0).any() else 0.0]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+    width = rmax / n_range_buckets or 1.0
+
+    def _bcounts(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["l_orderkey"] % 2 == 0]
+        if tr.empty:
+            return pd.DataFrame({"b": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")})
+        b = np.clip((_resid(tr) / width).astype("int64"), 0, n_range_buckets - 1)
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"b": u, "c": c})
+
+    bc = (
+        ds.map_batches(_bcounts, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)["c"]
+        .sum()
+        .sort_values("b")
+    )
+    cum = bc["c"].cumsum().to_numpy("int64")
+    j = int(np.searchsorted(cum, k))
+    bj = int(bc["b"].to_numpy("int64")[j])
+    before = int(cum[j] - bc["c"].to_numpy("int64")[j])
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["l_orderkey"] % 2 == 0]
+        if tr.empty:
+            return pd.DataFrame({"r": pd.Series(dtype="float64")})
+        r = _resid(tr)
+        b = np.clip((r / width).astype("int64"), 0, n_range_buckets - 1)
+        return pd.DataFrame({"r": r[b == bj]})
+
+    vals = np.sort(ds.map_batches(_pull, batch_format="pandas").to_pandas()["r"].to_numpy("float64"))
+    q = float(vals[k - before - 1])
+
+    def _cover(df: pd.DataFrame) -> pd.DataFrame:
+        te = df[df["l_orderkey"] % 2 == 1]
+        r = _resid(te)
+        return pd.DataFrame({"n": [np.int64(len(te))], "cov": [np.int64((r <= q).sum())]})
+
+    c = ds.map_batches(_cover, batch_format="pandas").to_pandas().sum()
+    n_te, n_cov = int(c["n"]), int(c["cov"])
+    return pd.DataFrame(
+        {
+            "n_train": [np.int64(n_tr)],
+            "n_test": [np.int64(n_te)],
+            "b0": [round(float(b0), 6)],
+            "b1": [round(float(b1), 6)],
+            "q_conformal": [round(q, 4)],
+            "coverage": [round(n_cov / n_te, 6)],
+        }
+    )
+
+
+CONFORMAL_PRICE_INTERVAL_SQL = """
+WITH tr AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem WHERE l_orderkey % 2 = 0
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM tr
+),
+coef AS (
+  SELECT n,
+         (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS b1,
+         sy / n - (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) * (sx / n) AS b0
+  FROM m
+),
+res AS (
+  SELECT abs(y - ((SELECT b0 FROM coef) + (SELECT b1 FROM coef) * x)) AS r,
+         row_number() OVER (ORDER BY abs(y - ((SELECT b0 FROM coef) + (SELECT b1 FROM coef) * x))) AS rk
+  FROM tr
+),
+qv AS (
+  SELECT r AS q FROM res
+  WHERE rk = least(CAST(ceil(((SELECT n FROM coef) + 1) * 0.9) AS BIGINT), (SELECT n FROM coef))
+),
+te AS (
+  SELECT abs(l_extendedprice - ((SELECT b0 FROM coef) + (SELECT b1 FROM coef) * l_quantity)) AS r
+  FROM lineitem WHERE l_orderkey % 2 = 1
+)
+SELECT CAST((SELECT n FROM coef) AS BIGINT) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round((SELECT b0 FROM coef), 6) AS b0,
+       round((SELECT b1 FROM coef), 6) AS b1,
+       round((SELECT q FROM qv), 4) AS q_conformal,
+       round(count(CASE WHEN r <= (SELECT q FROM qv) THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM te
+"""
+
+
+def fold_balance_audit(sf_dir: str, n_folds: int = 5) -> pd.DataFrame:
+    """Cross-validation fold audit: hash-assign orders to 5 folds
+    (o_orderkey mod 5) and certify the folds are exchangeable — per
+    fold, the size and mean price plus its relative deviation from the
+    global mean. Per-(fold) count/sum partials per batch; 5 rows
+    reduce on the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "fold": df["o_orderkey"].to_numpy("int64") % n_folds,
+                    "x": df["o_totalprice"].to_numpy("float64"),
+                }
+            )
+            .groupby("fold", as_index=False)
+            .agg(n=("x", "size"), s=("x", "sum"))
+        )
+
+    p = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby("fold", as_index=False)
+        .sum()
+        .sort_values("fold")
+        .reset_index(drop=True)
+    )
+    overall = float(p["s"].sum()) / int(p["n"].sum())
+    mean = p["s"].to_numpy("float64") / p["n"].to_numpy("float64")
+    return pd.DataFrame(
+        {
+            "fold": p["fold"].astype("int64"),
+            "n": p["n"].astype("int64"),
+            "mean_price": np.round(mean, 6),
+            "rel_dev": np.round(mean / overall - 1.0, 6),
+        }
+    )
+
+
+FOLD_BALANCE_AUDIT_SQL = """
+WITH g AS (
+  SELECT o_orderkey % 5 AS fold, count(*) AS n, sum(o_totalprice) AS s
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(s) / sum(n) AS overall FROM g)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(n AS BIGINT) AS n,
+       round(s / n, 6) AS mean_price,
+       round((s / n) / (SELECT overall FROM tot) - 1.0, 6) AS rel_dev
+FROM g ORDER BY fold
+"""

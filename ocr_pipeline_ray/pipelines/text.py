@@ -4655,3 +4655,90 @@ SELECT CAST(n AS BIGINT) AS n, round(po, 6) AS po, round(pe, 6) AS pe,
        round((po - pe) / (1 - pe), 6) AS kappa
 FROM m
 """
+
+
+def wasserstein_length_sources(sf_dir: str, src_a: str = "src0", src_b: str = "src1") -> pd.DataFrame:
+    """Earth-mover (Wasserstein-1) distance between two sources'
+    document-length distributions — the drift metric that, unlike KS
+    (ks_length_sources), weighs HOW FAR the mass moved, not just the
+    max CDF gap. For discrete empirical distributions
+    W1 = sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i) over the merged
+    sorted support.
+
+    Distributed: per-batch (n_chars, count) histogram partials per
+    source reduce through one bucketed aggregate (the value DOMAIN,
+    not the row count, bounds the result); the CDF walk runs on that
+    result-sized support."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"]).map_batches(
+        lambda df: df[df["source"].isin([src_a, src_b])], batch_format="pandas"
+    )
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {
+                    "x": df["n_chars"].to_numpy("int64"),
+                    "ca": (df["source"] == src_a).to_numpy().astype("int64"),
+                    "cb": (df["source"] == src_b).to_numpy().astype("int64"),
+                }
+            )
+            .groupby("x", as_index=False)
+            .sum()
+        )
+        return g
+
+    h = (
+        bucketed_aggregate(
+            ds.map_batches(_hist, batch_format="pandas"),
+            ["x"],
+            {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    na = float(h["ca"].sum())
+    nb = float(h["cb"].sum())
+    fa = h["ca"].cumsum().to_numpy("float64") / na
+    fb = h["cb"].cumsum().to_numpy("float64") / nb
+    x = h["x"].to_numpy("float64")
+    gaps = np.diff(x)
+    w1 = float((np.abs(fa - fb)[:-1] * gaps).sum())
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "support": [np.int64(len(h))],
+            "w1": [round(w1, 6)],
+        }
+    )
+
+
+def wasserstein_length_sources_sql(src_a: str = "src0", src_b: str = "src1") -> str:
+    return f"""
+WITH h AS (
+  SELECT n_chars AS x,
+         count(CASE WHEN source = '{src_a}' THEN 1 END) AS ca,
+         count(CASE WHEN source = '{src_b}' THEN 1 END) AS cb
+  FROM documents WHERE source IN ('{src_a}', '{src_b}')
+  GROUP BY n_chars
+),
+c AS (
+  SELECT x,
+         sum(ca) OVER (ORDER BY x) / (SELECT CAST(sum(ca) AS DOUBLE) FROM h) AS fa,
+         sum(cb) OVER (ORDER BY x) / (SELECT CAST(sum(cb) AS DOUBLE) FROM h) AS fb,
+         lead(x) OVER (ORDER BY x) AS nx
+  FROM h
+)
+SELECT (SELECT CAST(sum(ca) AS BIGINT) FROM h) AS n_a,
+       (SELECT CAST(sum(cb) AS BIGINT) FROM h) AS n_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM h) AS support,
+       round(sum(abs(fa - fb) * (nx - x)), 6) AS w1
+FROM c WHERE nx IS NOT NULL
+"""
+
+
+WASSERSTEIN_LENGTH_SOURCES_SQL = wasserstein_length_sources_sql()

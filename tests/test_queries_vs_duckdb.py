@@ -225,6 +225,9 @@ SUBSET = [
     "selfjoin_size_stats",
     "binned_mutual_information",
     "fano_factor_hourly_by_type",
+    "wasserstein_length_sources",
+    "conformal_price_interval",
+    "fold_balance_audit",
 ]
 
 
