@@ -4161,3 +4161,179 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
        round(var_pop(c) / avg(c), 6) AS fano
 FROM filled GROUP BY event_type ORDER BY event_type
 """
+
+
+def latency_sla_by_type(
+    sf_dir: str, ps=(0.5, 0.95, 0.99), n_range_buckets: int = 128
+) -> pd.DataFrame:
+    """SLA table: EXACT p50/p95/p99 (quantile_disc order-statistic
+    semantics, rank ceil(p*n)) of per-type inter-event latency in
+    seconds — the latency report an event pipeline publishes per
+    stream. Interarrivals are formed per type inside coarse user-free
+    type groups (types are few; each type's stream sorts once within
+    its group), then the exact order statistics come from the same
+    two-pass (type, range-bucket) grid selection as
+    price_percentile_cont_by_flag."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id"])
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        d = g["ts"].diff().dt.total_seconds().to_numpy("float64")[1:]
+        return pd.DataFrame({"t": g["event_type"].iloc[0], "x": d})
+
+    gaps = (
+        ds.groupby("event_type")
+        .map_groups(_gaps, batch_format="pandas")
+        .materialize()
+    )
+    lo = float(gaps.min("x"))
+    hi = float(gaps.max("x"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame({"t": df["t"], "b": _bucket(df["x"].to_numpy("float64"))})
+            .groupby(["t", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    grid = (
+        gaps.map_batches(_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "b"], as_index=False)["c"]
+        .sum()
+    )
+    needed: dict[str, set[int]] = {}
+    targets = []
+    for t, g in grid.groupby("t"):
+        g = g.sort_values("b")
+        cum = g["c"].cumsum().to_numpy("int64")
+        n_t = int(cum[-1])
+        bs = g["b"].to_numpy("int64")
+        for p in ps:
+            k = int(np.ceil(p * n_t))
+            j = int(np.searchsorted(cum, k))
+            needed.setdefault(t, set()).add(int(bs[j]))
+            targets.append((t, float(p), k, int(bs[j]), int(cum[j] - g["c"].to_numpy("int64")[j])))
+    need_ref = ray.put({t: np.array(sorted(v)) for t, v in needed.items()})
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        b = _bucket(df["x"].to_numpy("float64"))
+        keep = np.zeros(len(df), dtype=bool)
+        tv = df["t"].to_numpy(object)
+        for t, bset in nd.items():
+            keep |= (tv == t) & np.isin(b, bset)
+        return pd.DataFrame({"t": tv[keep], "x": df["x"].to_numpy("float64")[keep], "b": b[keep]})
+
+    pulled = gaps.map_batches(_pull, batch_format="pandas").to_pandas()
+    rows = []
+    for t, p, k, bj, before in targets:
+        vals = np.sort(pulled[(pulled["t"] == t) & (pulled["b"] == bj)]["x"].to_numpy("float64"))
+        rows.append(
+            {"event_type": t, "p": p, "latency_s": round(float(vals[k - before - 1]), 4)}
+        )
+    return pd.DataFrame(rows).sort_values(["event_type", "p"]).reset_index(drop=True)
+
+
+LATENCY_SLA_BY_TYPE_SQL = """
+WITH gaps AS (
+  SELECT event_type AS t,
+         epoch(ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS x
+  FROM events
+  QUALIFY x IS NOT NULL
+)
+SELECT t AS event_type, p, round(v, 4) AS latency_s
+FROM (
+  SELECT t, 0.5 AS p, quantile_disc(x, 0.5) AS v FROM gaps GROUP BY t
+  UNION ALL
+  SELECT t, 0.95, quantile_disc(x, 0.95) FROM gaps GROUP BY t
+  UNION ALL
+  SELECT t, 0.99, quantile_disc(x, 0.99) FROM gaps GROUP BY t
+) ORDER BY event_type, p
+"""
+
+
+def view_purchase_lag_xcorr(sf_dir: str, max_lag: int = 24) -> pd.DataFrame:
+    """Cross-correlation lag finder: at which hourly lag does the
+    'view' series best predict the 'purchase' series? Pearson r
+    between view counts at hour h and purchase counts at hour h+lag
+    for lag 0..24 over the zero-filled hour spine — the
+    cause-precedes-effect screen for event streams. The bucketed
+    (type, hour) count is the only heavy reduce; the 25 lagged
+    correlations run on the result-sized spine."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"]).map_batches(
+        lambda df: df[df["event_type"].isin(["view", "purchase"])], batch_format="pandas"
+    )
+    lo = pd.Timestamp(ds.min("ts")).floor("h")
+    hi = pd.Timestamp(ds.max("ts")).floor("h")
+    cnt = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"t": df["event_type"], "h": df["ts"].dt.floor("h"), "one": np.int64(1)}
+                ),
+                batch_format="pandas",
+            ),
+            ["t", "h"],
+            {"c": ("one", "sum")},
+            num_buckets=16,
+        ).to_pandas()
+    )
+    spine = pd.date_range(lo, hi, freq="h")
+    v = cnt[cnt["t"] == "view"].set_index("h")["c"].reindex(spine, fill_value=0).to_numpy("float64")
+    p = cnt[cnt["t"] == "purchase"].set_index("h")["c"].reindex(spine, fill_value=0).to_numpy("float64")
+    rows = []
+    for lag in range(max_lag + 1):
+        a = v[: len(v) - lag]
+        b = p[lag:]
+        n = len(a)
+        sa, sb = a.sum(), b.sum()
+        sab = (a * b).sum()
+        saa = (a * a).sum()
+        sbb = (b * b).sum()
+        r = (sab / n - (sa / n) * (sb / n)) / np.sqrt(
+            (saa / n - (sa / n) ** 2) * (sbb / n - (sb / n) ** 2)
+        )
+        rows.append({"lag": np.int64(lag), "n": np.int64(n), "r": round(float(r), 6)})
+    return pd.DataFrame(rows)
+
+
+VIEW_PURCHASE_LAG_XCORR_SQL = """
+WITH hours AS (
+  SELECT unnest(generate_series(
+           date_trunc('hour', (SELECT min(ts) FROM events WHERE event_type IN ('view','purchase'))),
+           date_trunc('hour', (SELECT max(ts) FROM events WHERE event_type IN ('view','purchase'))),
+           INTERVAL 1 HOUR)) AS h
+),
+cnt AS (
+  SELECT event_type AS t, date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+),
+filled AS (
+  SELECT hh.h,
+         row_number() OVER (ORDER BY hh.h) AS rn,
+         coalesce(v.c, 0) AS v, coalesce(p.c, 0) AS p
+  FROM hours hh
+  LEFT JOIN cnt v ON v.t = 'view' AND v.h = hh.h
+  LEFT JOIN cnt p ON p.t = 'purchase' AND p.h = hh.h
+),
+lags AS (SELECT unnest(range(0, 25)) AS lag),
+m AS (
+  SELECT lag, count(*) AS n, sum(a.v) AS sa, sum(b.p) AS sb,
+         sum(a.v * b.p) AS sab, sum(a.v * a.v) AS saa, sum(b.p * b.p) AS sbb
+  FROM lags JOIN filled a ON true JOIN filled b ON b.rn = a.rn + lag
+  GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       round((sab / n - (sa / CAST(n AS DOUBLE)) * (sb / n))
+             / sqrt((saa / n - (sa / CAST(n AS DOUBLE)) * (sa / n))
+                    * (sbb / n - (sb / CAST(n AS DOUBLE)) * (sb / n))), 6) AS r
+FROM m ORDER BY lag
+"""

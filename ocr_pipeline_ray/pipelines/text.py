@@ -4742,3 +4742,56 @@ FROM c WHERE nx IS NOT NULL
 
 
 WASSERSTEIN_LENGTH_SOURCES_SQL = wasserstein_length_sources_sql()
+
+
+_BLOCKLIST = ("casino", "viagra", "lottery", "xxx")
+
+
+def blocklist_filter_report(sf_dir: str, terms: tuple[str, ...] = _BLOCKLIST) -> pd.DataFrame:
+    """Blocklist-filter preflight: per source, how many documents
+    would a token blocklist remove and what fraction of the corpus is
+    that — the curation gate every web-scale corpus runs before
+    training. Matching is whole-token (the [A-Za-z0-9_]+ tokenizer,
+    lowercased) so 'class' never trips a 'ass' entry. One tokenize
+    pass emits per-batch (source, hit) partials."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    tset = set(terms)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        hits = [
+            any(tok.lower() in tset for tok in TOKEN_RE.findall(s))
+            for s in df["text"]
+        ]
+        return (
+            pd.DataFrame({"source": df["source"], "hit": np.asarray(hits, dtype="int64"), "one": np.int64(1)})
+            .groupby("source", as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_scan, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_docs": g["one"].astype("int64"),
+            "n_blocked": g["hit"].astype("int64"),
+            "block_rate": np.round(g["hit"].to_numpy("float64") / g["one"].to_numpy("float64"), 6),
+        }
+    )
+
+
+BLOCKLIST_FILTER_REPORT_SQL = r"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+              x -> lower(x) IN ('casino', 'viagra', 'lottery', 'xxx'))) > 0 THEN 1 END) AS BIGINT) AS n_blocked,
+       round(count(CASE WHEN len(list_filter(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+              x -> lower(x) IN ('casino', 'viagra', 'lottery', 'xxx'))) > 0 THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS block_rate
+FROM documents GROUP BY source ORDER BY source
+"""

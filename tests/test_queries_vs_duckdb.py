@@ -228,6 +228,9 @@ SUBSET = [
     "wasserstein_length_sources",
     "conformal_price_interval",
     "fold_balance_audit",
+    "latency_sla_by_type",
+    "view_purchase_lag_xcorr",
+    "blocklist_filter_report",
 ]
 
 
