@@ -4337,3 +4337,62 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
                     * (sbb / n - (sb / CAST(n AS DOUBLE)) * (sb / n))), 6) AS r
 FROM m ORDER BY lag
 """
+
+
+def diff_in_diff_value(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences readout: arms = the deterministic
+    user_id-parity assignment (as two_proportion_conversion), periods
+    = the CUPED pre/post split; DiD = (A_post - A_pre) -
+    (B_post - B_pre) over per-event mean values — the quasi-experiment
+    estimator. One pass of (arm, period) partials; four cell means
+    reduce on the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        arm = np.where(df["user_id"].to_numpy("int64") % 2 == 0, "A", "B")
+        period = np.where(df["ts"] < CUPED_SPLIT, "pre", "post")
+        return (
+            pd.DataFrame({"arm": arm, "period": period, "n": np.int64(1), "s": df["value"].to_numpy("float64")})
+            .groupby(["arm", "period"], as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby(["arm", "period"], as_index=False)
+        .sum()
+    )
+    cell = {(r["arm"], r["period"]): (int(r["n"]), float(r["s"])) for _, r in g.iterrows()}
+    mean = {k: s / n for k, (n, s) in cell.items()}
+    did = (mean[("A", "post")] - mean[("A", "pre")]) - (mean[("B", "post")] - mean[("B", "pre")])
+    return pd.DataFrame(
+        {
+            "a_pre": [round(mean[("A", "pre")], 6)],
+            "a_post": [round(mean[("A", "post")], 6)],
+            "b_pre": [round(mean[("B", "pre")], 6)],
+            "b_post": [round(mean[("B", "post")], 6)],
+            "did": [round(did, 6)],
+        }
+    )
+
+
+DIFF_IN_DIFF_VALUE_SQL = """
+WITH cells AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END AS period,
+         count(*) AS n, sum(value) AS s
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT max(CASE WHEN arm = 'A' AND period = 'pre' THEN s / n END) AS a_pre,
+         max(CASE WHEN arm = 'A' AND period = 'post' THEN s / n END) AS a_post,
+         max(CASE WHEN arm = 'B' AND period = 'pre' THEN s / n END) AS b_pre,
+         max(CASE WHEN arm = 'B' AND period = 'post' THEN s / n END) AS b_post
+  FROM cells
+)
+SELECT round(a_pre, 6) AS a_pre, round(a_post, 6) AS a_post,
+       round(b_pre, 6) AS b_pre, round(b_post, 6) AS b_post,
+       round((a_post - a_pre) - (b_post - b_pre), 6) AS did
+FROM m
+"""

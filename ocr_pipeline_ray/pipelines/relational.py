@@ -9389,3 +9389,177 @@ SELECT CAST(fold AS BIGINT) AS fold, CAST(n AS BIGINT) AS n,
        round((s / n) / (SELECT overall FROM tot) - 1.0, 6) AS rel_dev
 FROM g ORDER BY fold
 """
+
+
+def laspeyres_price_index(sf_dir: str) -> pd.DataFrame:
+    """Laspeyres price index per month: holding the FIRST month's
+    per-part quantity basket fixed, how does the basket's cost move?
+    index_m = sum_p(avg_price_{p,m} * qty_{p,base}) /
+              sum_p(avg_price_{p,base} * qty_{p,base}), over parts
+    present in both months — the inflation-tracking primitive.
+
+    Distributed: ONE bucketed (part, month) aggregate builds the
+    price/qty grid; the base month's rows re-join the grid through the
+    same part-keyed bucket shuffle (no driver part table); only the
+    O(months) index rows reach the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64"),
+                "m": df["l_shipdate"].dt.to_period("M").dt.to_timestamp(),
+                "sp": df["l_extendedprice"].to_numpy("float64"),
+                "sq": df["l_quantity"].to_numpy("float64"),
+                "one": np.int64(1),
+            }
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["p", "m"],
+        {"sp": ("sp", "sum"), "sq": ("sq", "sum"), "n": ("one", "sum")},
+    ).materialize()
+    base_m = grid.min("m")
+
+    def _base(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[df["m"] == base_m]
+        return pd.DataFrame(
+            {
+                "p": b["p"].to_numpy("int64"),
+                "price0": b["sp"].to_numpy("float64") / b["n"].to_numpy("float64"),
+                "qty0": b["sq"].to_numpy("float64"),
+            }
+        )
+
+    base = grid.map_batches(_base, batch_format="pandas")
+    joined = shuffle_hash_join(
+        grid, base, on="p",
+        left_cols=["p", "m", "sp", "sq", "n"],
+        right_cols=["p", "price0", "qty0"],
+    )
+
+    def _parts(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["sp"].to_numpy("float64") / df["n"].to_numpy("float64")
+        return (
+            pd.DataFrame(
+                {
+                    "m": df["m"],
+                    "num": price * df["qty0"].to_numpy("float64"),
+                    "den": df["price0"].to_numpy("float64") * df["qty0"].to_numpy("float64"),
+                    "one": np.int64(1),
+                }
+            )
+            .groupby("m", as_index=False)
+            .sum()
+        )
+
+    g = (
+        joined.map_batches(_parts, batch_format="pandas")
+        .to_pandas()
+        .groupby("m", as_index=False)
+        .sum()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "month": g["m"],
+            "n_parts": g["one"].astype("int64"),
+            "index": np.round(g["num"].to_numpy("float64") / g["den"].to_numpy("float64"), 6),
+        }
+    )
+
+
+LASPEYRES_PRICE_INDEX_SQL = """
+WITH grid AS (
+  SELECT l_partkey AS p, date_trunc('month', l_shipdate) AS m,
+         sum(l_extendedprice) AS sp, sum(l_quantity) AS sq, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+base AS (
+  SELECT p, sp / n AS price0, sq AS qty0
+  FROM grid WHERE m = (SELECT min(m) FROM grid)
+)
+SELECT g.m AS month, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum((g.sp / g.n) * b.qty0) / sum(b.price0 * b.qty0), 6) AS index
+FROM grid g JOIN base b ON g.p = b.p
+GROUP BY g.m ORDER BY month
+"""
+
+
+def simpsons_paradox_check(sf_dir: str) -> pd.DataFrame:
+    """Simpson's-paradox screen: the OLS slope of
+    o_totalprice ~ order's line count, overall versus within each
+    customer segment — when the pooled sign disagrees with every
+    stratum's sign, the pooled regression is confounded. One pass of
+    per-(segment) moment partials (the segment map broadcasts); the
+    pooled row is the partial sum of the same moments."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _licnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "c"})
+
+    line_counts = bucketed_aggregate(
+        li.map_batches(_licnt, batch_format="pandas"), ["l_orderkey"], {"c": ("c", "sum")}
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}), batch_format="pandas"
+    )
+    j = shuffle_hash_join(
+        line_counts, orders, on="l_orderkey",
+        left_cols=["l_orderkey", "c"],
+        right_cols=["l_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object)
+        x = df["c"].to_numpy("float64")
+        y = df["o_totalprice"].to_numpy("float64")
+        out = pd.DataFrame({"seg": seg, "n": np.int64(1), "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+        return out.groupby("seg", as_index=False).sum()
+
+    m = (
+        j.map_batches(_moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("seg", as_index=False)
+        .sum()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    pooled = m.drop(columns=["seg"]).sum()
+    rows = []
+    for label, r in [("__pooled__", pooled)] + [(s, m[m["seg"] == s].iloc[0]) for s in m["seg"]]:
+        n = float(r["n"])
+        slope = (r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)) / (
+            r["sxx"] / n - (r["sx"] / n) * (r["sx"] / n)
+        )
+        rows.append({"stratum": label, "n": np.int64(n), "slope": round(float(slope), 6)})
+    return pd.DataFrame(rows).sort_values("stratum").reset_index(drop=True)
+
+
+SIMPSONS_PARADOX_CHECK_SQL = """
+WITH lc AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+j AS (
+  SELECT c_mktsegment AS seg, lc.c AS x, o_totalprice AS y
+  FROM lc JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+),
+per AS (
+  SELECT seg, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM j GROUP BY seg
+),
+allr AS (
+  SELECT '__pooled__' AS seg, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+         sum(sxx) AS sxx, sum(sxy) AS sxy
+  FROM per
+),
+u AS (SELECT * FROM per UNION ALL SELECT * FROM allr)
+SELECT seg AS stratum, CAST(n AS BIGINT) AS n,
+       round((sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / n))
+             / (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / n)), 6) AS slope
+FROM u ORDER BY stratum
+"""

@@ -231,6 +231,9 @@ SUBSET = [
     "latency_sla_by_type",
     "view_purchase_lag_xcorr",
     "blocklist_filter_report",
+    "laspeyres_price_index",
+    "simpsons_paradox_check",
+    "diff_in_diff_value",
 ]
 
 
