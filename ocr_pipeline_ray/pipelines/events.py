@@ -4396,3 +4396,76 @@ SELECT round(a_pre, 6) AS a_pre, round(a_post, 6) AS a_post,
        round((a_post - a_pre) - (b_post - b_pre), 6) AS did
 FROM m
 """
+
+
+def ab_power_mde(sf_dir: str) -> pd.DataFrame:
+    """A/B preflight power calculation: with the current arm sizes and
+    pooled conversion (user-parity arms, purchase conversion), the
+    minimum detectable effect at alpha=0.05 / power=0.80 is
+    (z_a + z_b) * se with the fixed normal constants 1.96 and 0.84 —
+    the go/no-go number an experimenter reads before launching. Same
+    one-pass per-user reduce as two_proportion_conversion."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "pur": (df["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    per_user = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"pur": ("pur", "max")},
+        num_buckets=32,
+    )
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["user_id"].to_numpy("int64") % 2 == 0
+        pur = df["pur"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "na": [np.int64(a.sum())],
+                "nb": [np.int64((~a).sum())],
+                "x": [np.int64(pur.sum())],
+            }
+        )
+
+    s = per_user.map_batches(_counts, batch_format="pandas").to_pandas().sum()
+    na, nb, x = int(s["na"]), int(s["nb"]), int(s["x"])
+    p = x / (na + nb)
+    se = np.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "p_pool": [round(p, 6)],
+            "se": [round(float(se), 6)],
+            "mde": [round(float((1.96 + 0.84) * se), 6)],
+        }
+    )
+
+
+AB_POWER_MDE_SQL = """
+WITH per AS (
+  SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS na,
+         count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS nb,
+         sum(pur) AS x
+  FROM per
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(x / CAST(na + nb AS DOUBLE), 6) AS p_pool,
+       round(sqrt((x / CAST(na + nb AS DOUBLE)) * (1 - x / CAST(na + nb AS DOUBLE))
+                  * (1.0 / na + 1.0 / nb)), 6) AS se,
+       round((1.96 + 0.84) * sqrt((x / CAST(na + nb AS DOUBLE)) * (1 - x / CAST(na + nb AS DOUBLE))
+                  * (1.0 / na + 1.0 / nb)), 6) AS mde
+FROM c
+"""

@@ -9563,3 +9563,119 @@ SELECT seg AS stratum, CAST(n AS BIGINT) AS n,
              / (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / n)), 6) AS slope
 FROM u ORDER BY stratum
 """
+
+
+def mahalanobis_outliers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Multivariate outlier detection, fully distributed: Mahalanobis
+    distance of every lineitem in (quantity, extendedprice, discount)
+    space against the population covariance — the 3x3 precision matrix
+    comes from ONE pass of moment partials and a closed-form cofactor
+    inverse (the identical expression runs on both engines), then each
+    batch keeps its local top-k distances and the driver reduces
+    k-row partials. Catches jointly-odd rows that per-column z-scores
+    miss."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["l_quantity"].to_numpy("float64")
+        b = df["l_extendedprice"].to_numpy("float64")
+        c = df["l_discount"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sa": [a.sum()], "sb": [b.sum()], "sc": [c.sum()],
+                "saa": [(a * a).sum()], "sbb": [(b * b).sum()], "scc": [(c * c).sum()],
+                "sab": [(a * b).sum()], "sac": [(a * c).sum()], "sbc": [(b * c).sum()],
+            }
+        )
+
+    m = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    ma, mb, mc = m["sa"] / n, m["sb"] / n, m["sc"] / n
+    caa = m["saa"] / n - ma * ma
+    cbb = m["sbb"] / n - mb * mb
+    ccc = m["scc"] / n - mc * mc
+    cab = m["sab"] / n - ma * mb
+    cac = m["sac"] / n - ma * mc
+    cbc = m["sbc"] / n - mb * mc
+    det = caa * (cbb * ccc - cbc * cbc) - cab * (cab * ccc - cbc * cac) + cac * (cab * cbc - cbb * cac)
+    p11 = (cbb * ccc - cbc * cbc) / det
+    p22 = (caa * ccc - cac * cac) / det
+    p33 = (caa * cbb - cab * cab) / det
+    p12 = (cac * cbc - cab * ccc) / det
+    p13 = (cab * cbc - cac * cbb) / det
+    p23 = (cab * cac - caa * cbc) / det
+
+    def _d2(df: pd.DataFrame) -> np.ndarray:
+        a = df["l_quantity"].to_numpy("float64") - ma
+        b = df["l_extendedprice"].to_numpy("float64") - mb
+        c = df["l_discount"].to_numpy("float64") - mc
+        return (
+            p11 * a * a + p22 * b * b + p33 * c * c
+            + 2 * p12 * a * b + 2 * p13 * a * c + 2 * p23 * b * c
+        )
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy("int64"),
+                "l_linenumber": df["l_linenumber"].to_numpy("int64"),
+                "d2": _d2(df),
+            }
+        )
+        return out.sort_values(["d2", "l_orderkey", "l_linenumber"], ascending=[False, True, True]).head(k)
+
+    parts = ds.map_batches(_topk, batch_format="pandas").to_pandas()
+    top = (
+        parts.sort_values(["d2", "l_orderkey", "l_linenumber"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["d2"] = np.round(top["d2"], 4)
+    return top
+
+
+MAHALANOBIS_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT count(*) AS n, sum(l_quantity) AS sa, sum(l_extendedprice) AS sb,
+         sum(l_discount) AS sc,
+         sum(l_quantity * l_quantity) AS saa,
+         sum(l_extendedprice * l_extendedprice) AS sbb,
+         sum(l_discount * l_discount) AS scc,
+         sum(l_quantity * l_extendedprice) AS sab,
+         sum(l_quantity * l_discount) AS sac,
+         sum(l_extendedprice * l_discount) AS sbc
+  FROM lineitem
+),
+c AS (
+  SELECT sa / n AS ma, sb / n AS mb, sc / n AS mc,
+         saa / n - (sa / n) * (sa / n) AS caa,
+         sbb / n - (sb / n) * (sb / n) AS cbb,
+         scc / n - (sc / n) * (sc / n) AS ccc,
+         sab / n - (sa / n) * (sb / n) AS cab,
+         sac / n - (sa / n) * (sc / n) AS cac,
+         sbc / n - (sb / n) * (sc / n) AS cbc
+  FROM m
+),
+p AS (
+  SELECT ma, mb, mc,
+         caa * (cbb * ccc - cbc * cbc) - cab * (cab * ccc - cbc * cac)
+           + cac * (cab * cbc - cbb * cac) AS det,
+         cbb * ccc - cbc * cbc AS a11, caa * ccc - cac * cac AS a22,
+         caa * cbb - cab * cab AS a33, cac * cbc - cab * ccc AS a12,
+         cab * cbc - cac * cbb AS a13, cab * cac - caa * cbc AS a23
+  FROM c
+),
+d AS (
+  SELECT l_orderkey, l_linenumber,
+         (p.a11 / p.det) * (l_quantity - p.ma) * (l_quantity - p.ma)
+         + (p.a22 / p.det) * (l_extendedprice - p.mb) * (l_extendedprice - p.mb)
+         + (p.a33 / p.det) * (l_discount - p.mc) * (l_discount - p.mc)
+         + 2 * (p.a12 / p.det) * (l_quantity - p.ma) * (l_extendedprice - p.mb)
+         + 2 * (p.a13 / p.det) * (l_quantity - p.ma) * (l_discount - p.mc)
+         + 2 * (p.a23 / p.det) * (l_extendedprice - p.mb) * (l_discount - p.mc) AS d2
+  FROM lineitem, p
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, round(d2, 4) AS d2
+FROM d ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 10
+"""

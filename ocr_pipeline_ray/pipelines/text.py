@@ -4795,3 +4795,87 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              / CAST(count(*) AS DOUBLE), 6) AS block_rate
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def dedup_token_savings(sf_dir: str) -> pd.DataFrame:
+    """Token-budget savings report for exact dedup: per source, the
+    token mass before and after keeping min(doc_id) per identical
+    text (md5 groups) — the number a curation owner reads to decide
+    whether dedup is worth the shuffle at this corpus' duplication
+    rate. ONE md5-bucket shuffle resolves winners AND sums survivor
+    tokens in place; per-source totals ride along as per-batch
+    partials."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy("int64"),
+                "source": df["source"],
+                "h": [hashlib.md5(s.encode("utf-8")).hexdigest() for s in df["text"]],
+                "toks": [len(TOKEN_RE.findall(s)) for s in df["text"]],
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas").materialize()
+    totals = (
+        prepped.map_batches(
+            lambda df: df.groupby("source", as_index=False).agg(
+                n_docs=("doc_id", "size"), total_tokens=("toks", "sum")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+    )
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hb = pd.util.hash_pandas_object(df["h"], index=False).to_numpy() % 64
+        return df.assign(__hbucket=hb.astype("int64"))
+
+    def _kept(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("h")["doc_id"].transform("min") == g["doc_id"]
+        k = g[keep]
+        return k.groupby("source", as_index=False).agg(kept_tokens=("toks", "sum"))
+
+    kept = (
+        prepped.map_batches(_bucket, batch_format="pandas")
+        .groupby("__hbucket")
+        .map_groups(_kept, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+    )
+    out = totals.merge(kept, on="source", how="left").fillna({"kept_tokens": 0})
+    out = out.sort_values("source").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "total_tokens": out["total_tokens"].astype("int64"),
+            "kept_tokens": out["kept_tokens"].astype("int64"),
+            "savings_rate": np.round(
+                1.0 - out["kept_tokens"].to_numpy("float64") / out["total_tokens"].to_numpy("float64"), 6
+            ),
+        }
+    )
+
+
+DEDUP_TOKEN_SAVINGS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS toks
+  FROM documents
+),
+w AS (SELECT h, min(doc_id) AS keep FROM d GROUP BY h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN doc_id = keep THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens,
+       round(1.0 - sum(CASE WHEN doc_id = keep THEN toks ELSE 0 END)
+             / CAST(sum(toks) AS DOUBLE), 6) AS savings_rate
+FROM d JOIN w USING (h) GROUP BY source ORDER BY source
+"""

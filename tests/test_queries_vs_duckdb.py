@@ -234,6 +234,9 @@ SUBSET = [
     "laspeyres_price_index",
     "simpsons_paradox_check",
     "diff_in_diff_value",
+    "dedup_token_savings",
+    "mahalanobis_outliers",
+    "ab_power_mde",
 ]
 
 
