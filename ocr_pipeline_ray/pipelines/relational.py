@@ -9679,3 +9679,93 @@ d AS (
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, round(d2, 4) AS d2
 FROM d ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 10
 """
+
+
+def copurchase_assortativity(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson r
+    between the endpoint degrees over all edges (each undirected edge
+    contributes both orientations, the standard Newman convention) —
+    positive means hubs buddy with hubs. Degrees come from the shared
+    edge builder's bucketed aggregate; the edge<->degree attachment is
+    one bucketed shuffle join per endpoint and the correlation reduces
+    from per-batch moment partials."""
+    edges = _copurchase_edges_ds(sf_dir, min_count).materialize()
+
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [df[["part_a"]].rename(columns={"part_a": "p"}), df[["part_b"]].rename(columns={"part_b": "p"})],
+            ignore_index=True,
+        )
+        return both.groupby("p", as_index=False).size().rename(columns={"size": "d"})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(_deg_partial, batch_format="pandas"), ["p"], {"d": ("d", "sum")}
+    ).map_batches(lambda df: df.astype({"p": "int64"}), batch_format="pandas")
+
+    ea = edges.map_batches(
+        lambda df: df[["part_a", "part_b"]].rename(columns={"part_a": "p"}).astype({"p": "int64", "part_b": "int64"}),
+        batch_format="pandas",
+    )
+    j1 = shuffle_hash_join(
+        ea, deg, on="p", left_cols=["p", "part_b"], right_cols=["p", "d"]
+    ).map_batches(
+        lambda df: df.rename(columns={"p": "part_a", "d": "da", "part_b": "p"}).astype({"p": "int64"}),
+        batch_format="pandas",
+    )
+    j2 = shuffle_hash_join(
+        j1, deg, on="p", left_cols=["part_a", "p", "da"], right_cols=["p", "d"]
+    )
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["da"].to_numpy("float64")
+        y = df["d"].to_numpy("float64")
+        # both orientations: (x,y) and (y,x)
+        sx = x.sum() + y.sum()
+        sxx = (x * x).sum() + (y * y).sum()
+        sxy = 2.0 * (x * y).sum()
+        return pd.DataFrame(
+            {"n": [np.int64(2 * len(df))], "sx": [sx], "sxx": [sxx], "sxy": [sxy]}
+        )
+
+    m = j2.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    mean = m["sx"] / n
+    var = m["sxx"] / n - mean * mean
+    cov = m["sxy"] / n - mean * mean
+    return pd.DataFrame(
+        {
+            "n_edges": [np.int64(n / 2)],
+            "assortativity": [round(float(cov / var), 6)],
+        }
+    )
+
+
+def copurchase_assortativity_sql(min_count: int = 2) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= {min_count}),
+deg AS (
+  SELECT p, count(*) AS d FROM (
+    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY p
+),
+o AS (
+  SELECT da.d AS x, db.d AS y FROM edges
+    JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb
+  UNION ALL
+  SELECT db.d, da.d FROM edges
+    JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb
+),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx, sum(x * y) AS sxy FROM o)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round((sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / n))
+             / (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / n)), 6) AS assortativity
+FROM m
+"""
+
+
+COPURCHASE_ASSORTATIVITY_SQL = copurchase_assortativity_sql()

@@ -1416,3 +1416,75 @@ FROM pos p JOIN neg n ON p.qid = n.qid ORDER BY query_id
 
 
 HARD_NEGATIVE_MINING_SQL = hard_negative_mining_sql()
+
+
+def intrinsic_dimension_twonn(sf_dir: str) -> pd.DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al.): per point, the ratio mu = d2/d1 of its two nearest
+    EUCLIDEAN neighbor distances; ID = n / sum(ln mu). Tells you
+    whether a 64-dim embedding column really spans 64 dimensions
+    before you size an index or a projection. Points with d1 = 0
+    (exact duplicate vectors) are excluded by the same rule on both
+    engines.
+
+    Distributed: the corpus matrix broadcasts once (the documented
+    embedding_neardup ceiling — the exact-oracle variant); each batch
+    computes its rows' two smallest distances against it and emits one
+    (sum ln mu, n) partial."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    corpus = ds.to_pandas()
+    c_ids, cm = _to_matrix(corpus)
+    ref = ray.put((c_ids, cm))
+
+    class _TwoNN:
+        def __init__(self):
+            self.c_ids, self.cm = ray.get(ref)
+            self.c_sq = (self.cm * self.cm).sum(axis=1)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(batch)
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ self.cm.T)
+                + self.c_sq[None, :]
+            )
+            np.maximum(d2, 0.0, out=d2)
+            # mask self by id
+            for i, vid in enumerate(ids):
+                d2[i, self.c_ids == vid] = np.inf
+            part = np.partition(d2, 1, axis=1)[:, :2]
+            d1 = np.sqrt(np.min(part, axis=1))
+            dd2 = np.sqrt(np.max(part, axis=1))
+            keep = d1 > 0
+            mu = dd2[keep] / d1[keep]
+            return pd.DataFrame({"slog": [float(np.log(mu).sum())], "n": [np.int64(keep.sum())]})
+
+    p = ds.map_batches(_TwoNN, batch_format="pandas", batch_size=1024, concurrency=(1, 8)).to_pandas().sum()
+    n = int(p["n"])
+    return pd.DataFrame(
+        {
+            "n_points": [np.int64(n)],
+            "intrinsic_dim": [round(n / float(p["slog"]), 4)],
+        }
+    )
+
+
+INTRINSIC_DIMENSION_TWONN_SQL = """
+WITH d AS (
+  SELECT a.vec_id AS i,
+         list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS dist,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+two AS (
+  SELECT i,
+         max(CASE WHEN rk = 1 THEN dist END) AS d1,
+         max(CASE WHEN rk = 2 THEN dist END) AS d2
+  FROM d WHERE rk <= 2 GROUP BY i
+),
+v AS (SELECT ln(d2 / d1) AS lmu FROM two WHERE d1 > 0)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round(count(*) / sum(lmu), 4) AS intrinsic_dim
+FROM v
+"""

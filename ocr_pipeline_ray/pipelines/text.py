@@ -4879,3 +4879,81 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              / CAST(sum(toks) AS DOUBLE), 6) AS savings_rate
 FROM d JOIN w USING (h) GROUP BY source ORDER BY source
 """
+
+
+def yules_k_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Yule's K lexical-richness characteristic per language:
+    K = 10^4 * (sum_m m^2*V(m) - N) / N^2 over the
+    frequency-of-frequencies table V(m) (#types occurring m times) —
+    the repetitiveness constant stylometry and corpus-quality work
+    report because, unlike TTR, it is length-invariant.
+
+    Distributed: per-batch (lang, token) count partials reduce through
+    the vocabulary-keyed bucketed aggregate; inside the SAME combine
+    each bucket collapses straight to (lang, sum m^2, sum m, n_types)
+    partials, so the freq-of-freq table never materializes anywhere."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"lang": [], "term": [], "m": []}
+        for lang, g in df.groupby("lang"):
+            toks: list[str] = []
+            for s in g["text"]:
+                toks.extend(TOKEN_RE.findall(s.lower()))
+            if not toks:
+                continue
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            rows["lang"].extend([lang] * len(uniq))
+            rows["term"].extend(list(uniq))
+            rows["m"].extend(counts.tolist())
+        return pd.DataFrame(rows)
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(_counts, batch_format="pandas"),
+        ["lang", "term"],
+        {"m": ("m", "sum")},
+    )
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy("int64")
+        return (
+            pd.DataFrame({"lang": df["lang"], "smm": m * m, "sm": m, "types": np.int64(1)})
+            .groupby("lang", as_index=False)
+            .sum()
+        )
+
+    g = (
+        vocab.map_batches(_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    N = g["sm"].to_numpy("float64")
+    return pd.DataFrame(
+        {
+            "lang": g["lang"],
+            "n_tokens": g["sm"].astype("int64"),
+            "n_types": g["types"].astype("int64"),
+            "yules_k": np.round(1e4 * (g["smm"].to_numpy("float64") - N) / (N * N), 6),
+        }
+    )
+
+
+YULES_K_BY_LANG_SQL = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+v AS (SELECT lang, term, count(*) AS m FROM toks GROUP BY 1, 2),
+g AS (
+  SELECT lang, sum(m * m) AS smm, sum(m) AS sm, count(*) AS types
+  FROM v GROUP BY lang
+)
+SELECT lang, CAST(sm AS BIGINT) AS n_tokens, CAST(types AS BIGINT) AS n_types,
+       round(10000.0 * (smm - CAST(sm AS DOUBLE)) / (CAST(sm AS DOUBLE) * sm), 6) AS yules_k
+FROM g ORDER BY lang
+"""

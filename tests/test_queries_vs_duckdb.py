@@ -237,6 +237,9 @@ SUBSET = [
     "dedup_token_savings",
     "mahalanobis_outliers",
     "ab_power_mde",
+    "yules_k_by_lang",
+    "copurchase_assortativity",
+    "intrinsic_dimension_twonn",
 ]
 
 
