@@ -4469,3 +4469,50 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                   * (1.0 / na + 1.0 / nb)), 6) AS mde
 FROM c
 """
+
+
+def peak_user_rate(sf_dir: str, window_s: int = 3600, k: int = 10) -> pd.DataFrame:
+    """Rate-limiter audit: each user's PEAK event count inside any
+    sliding window of one hour ending at an event (the
+    RANGE-window max a throttling rule would have seen), top-k
+    users by peak. Per user-bucket the window count is one vectorized
+    searchsorted over the user's sorted timestamps — no per-event
+    Python; top-k reduces from per-bucket partials."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _peaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        out_u, out_p = [], []
+        for uid, gu in g.groupby("user_id", sort=False):
+            t = gu["ts"].to_numpy("datetime64[us]").astype("int64")
+            lo = np.searchsorted(t, t - window_s * 1_000_000, side="left")
+            peak = int((np.arange(1, len(t) + 1) - lo).max())
+            out_u.append(uid)
+            out_p.append(peak)
+        df = pd.DataFrame({"user_id": pd.Series(out_u, dtype="int64"), "peak": pd.Series(out_p, dtype="int64")})
+        return df.sort_values(["peak", "user_id"], ascending=[False, True]).head(k)
+
+    parts = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_peaks, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["peak", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+PEAK_USER_RATE_SQL = """
+WITH w AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) AS c
+  FROM events
+),
+p AS (SELECT user_id, max(c) AS peak FROM w GROUP BY user_id)
+SELECT user_id, CAST(peak AS BIGINT) AS peak
+FROM p ORDER BY peak DESC, user_id LIMIT 10
+"""

@@ -9769,3 +9769,65 @@ FROM m
 
 
 COPURCHASE_ASSORTATIVITY_SQL = copurchase_assortativity_sql()
+
+
+def poisson_gof_linecount(sf_dir: str) -> pd.DataFrame:
+    """Goodness-of-fit of order line counts against Poisson(lambda-hat):
+    observed vs expected per k and the cumulative chi-square over the
+    observed support (no tail pooling — both engines use the identical
+    cells). A shape check for synthetic-data realism and for queue
+    models of basket size. One bucketed per-order count, then a tiny
+    k-histogram reduce."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "c"})
+
+    per_order = bucketed_aggregate(
+        li.map_batches(_cnt, batch_format="pandas"), ["l_orderkey"], {"c": ("c", "sum")}
+    )
+    hist = (
+        per_order.map_batches(
+            lambda df: df.groupby("c", as_index=False).size().rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("c", as_index=False)["n"]
+        .sum()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    n = float(hist["n"].sum())
+    lam = float((hist["c"] * hist["n"]).sum()) / n
+    k = hist["c"].to_numpy("int64")
+    import math
+
+    fact = np.array([float(math.factorial(int(x))) for x in k])
+    e = n * np.exp(-lam) * lam**k.astype("float64") / fact
+    o = hist["n"].to_numpy("float64")
+    chi = np.cumsum((o - e) ** 2 / e)
+    return pd.DataFrame(
+        {
+            "k": k,
+            "observed": o.astype("int64"),
+            "expected": np.round(e, 4),
+            "chi2_cum": np.round(chi, 4),
+        }
+    )
+
+
+POISSON_GOF_LINECOUNT_SQL = """
+WITH per AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1),
+h AS (SELECT c AS k, count(*) AS n FROM per GROUP BY c),
+st AS (SELECT sum(k * n) / CAST(sum(n) AS DOUBLE) AS lam, sum(n) AS nn FROM h),
+e AS (
+  SELECT k, n,
+         (SELECT nn FROM st) * exp(-(SELECT lam FROM st))
+           * pow((SELECT lam FROM st), k) / factorial(CAST(k AS INT)) AS ek
+  FROM h
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS observed,
+       round(ek, 4) AS expected,
+       round(sum((n - ek) * (n - ek) / ek) OVER (ORDER BY k), 4) AS chi2_cum
+FROM e ORDER BY k
+"""

@@ -4957,3 +4957,58 @@ SELECT lang, CAST(sm AS BIGINT) AS n_tokens, CAST(types AS BIGINT) AS n_types,
        round(10000.0 * (smm - CAST(sm AS DOUBLE)) / (CAST(sm AS DOUBLE) * sm), 6) AS yules_k
 FROM g ORDER BY lang
 """
+
+
+def contingency_residuals(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Cell-level drill-down of the lang x source association
+    (cramers_v_lang_source gives one number; this names the cells):
+    standardized residuals (observed - expected)/sqrt(expected), top-k
+    by |residual| — which (lang, source) combinations are over- or
+    under-represented. One pass of per-batch cell-count partials; the
+    margins and residuals run on the G-cell grid."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    g = (
+        ds.map_batches(
+            lambda df: df.groupby(["lang", "source"], as_index=False).size().rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["lang", "source"], as_index=False)["c"]
+        .sum()
+    )
+    n = float(g["c"].sum())
+    row = g.groupby("lang")["c"].sum()
+    col = g.groupby("source")["c"].sum()
+    e = row.reindex(g["lang"]).to_numpy("float64") * col.reindex(g["source"]).to_numpy("float64") / n
+    r = (g["c"].to_numpy("float64") - e) / np.sqrt(e)
+    out = pd.DataFrame(
+        {
+            "lang": g["lang"],
+            "source": g["source"],
+            "observed": g["c"].astype("int64"),
+            "expected": np.round(e, 4),
+            "std_resid": np.round(r, 6),
+        }
+    )
+    out = out.reindex(np.abs(out["std_resid"]).sort_values(ascending=False).index).head(k)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+CONTINGENCY_RESIDUALS_SQL = """
+WITH cell AS (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cell),
+r AS (SELECT lang, sum(c) AS rc FROM cell GROUP BY lang),
+cc AS (SELECT source, sum(c) AS sc FROM cell GROUP BY source),
+x AS (
+  SELECT cell.lang, cell.source, c,
+         rc * sc / (SELECT n FROM tot) AS e
+  FROM cell JOIN r USING (lang) JOIN cc USING (source)
+),
+top AS (
+  SELECT lang, source, c, e, (c - e) / sqrt(e) AS sr
+  FROM x ORDER BY abs((c - e) / sqrt(e)) DESC LIMIT 10
+)
+SELECT lang, source, CAST(c AS BIGINT) AS observed, round(e, 4) AS expected,
+       round(sr, 6) AS std_resid
+FROM top ORDER BY lang, source
+"""

@@ -240,6 +240,9 @@ SUBSET = [
     "yules_k_by_lang",
     "copurchase_assortativity",
     "intrinsic_dimension_twonn",
+    "peak_user_rate",
+    "poisson_gof_linecount",
+    "contingency_residuals",
 ]
 
 
