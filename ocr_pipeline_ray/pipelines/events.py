@@ -4516,3 +4516,72 @@ p AS (SELECT user_id, max(c) AS peak FROM w GROUP BY user_id)
 SELECT user_id, CAST(peak AS BIGINT) AS peak
 FROM p ORDER BY peak DESC, user_id LIMIT 10
 """
+
+
+def routine_users_entropy(sf_dir: str, k: int = 10, min_events: int = 20) -> pd.DataFrame:
+    """Routine detection: Shannon entropy (nats) of each user's
+    hour-of-day activity histogram — low entropy = the user acts at
+    the same hours every day (a bot/cron smell, or a power routine).
+    Top-k LOWEST entropy among users with >= 20 events, ties by
+    user_id. Per-(user, hour) counts reduce through ONE bucketed
+    aggregate; the per-user entropy is a vectorized groupby over the
+    (user, 24) grid inside each user bucket."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    cnt = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"user_id": df["user_id"], "hod": df["ts"].dt.hour.astype("int64"), "one": np.int64(1)}
+            ),
+            batch_format="pandas",
+        ),
+        ["user_id", "hod"],
+        {"c": ("one", "sum")},
+        num_buckets=32,
+    )
+
+    def _entropy(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("user_id")["c"].transform("sum")
+        p = df["c"].to_numpy("float64") / tot.to_numpy("float64")
+        ent = pd.DataFrame({"user_id": df["user_id"], "e": -p * np.log(p), "n": df["c"]})
+        g = ent.groupby("user_id", as_index=False).agg(entropy=("e", "sum"), n_events=("n", "sum"))
+        g = g[g["n_events"] >= min_events]
+        return g.sort_values(["entropy", "user_id"]).head(k)
+
+    def _ubucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__b=(df["user_id"].to_numpy("int64") % 32))
+
+    parts = (
+        cnt.map_batches(_ubucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(_entropy, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.sort_values(["entropy", "user_id"]).head(k).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "n_events": out["n_events"].astype("int64"),
+            "entropy": np.round(out["entropy"].to_numpy("float64"), 6),
+        }
+    )
+
+
+ROUTINE_USERS_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, hour(ts) AS hod, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(c) AS tot FROM c GROUP BY 1),
+e AS (
+  SELECT c.user_id,
+         sum(-(c / CAST(tot AS DOUBLE)) * ln(c / CAST(tot AS DOUBLE))) AS entropy,
+         max(tot) AS n_events
+  FROM c JOIN t USING (user_id) GROUP BY c.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,
+       round(entropy, 6) AS entropy
+FROM e WHERE n_events >= 20 ORDER BY entropy, user_id LIMIT 10
+"""

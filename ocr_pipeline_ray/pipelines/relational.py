@@ -9831,3 +9831,148 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS observed,
        round(sum((n - ek) * (n - ek) / ek) OVER (ORDER BY k), 4) AS chi2_cum
 FROM e ORDER BY k
 """
+
+
+def revenue_decomposition_mom(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue bridge: decompose each month's revenue
+    delta into a VOLUME effect ((n_m - n_prev) * avg_price_prev) and a
+    PRICE effect (n_m * (avg_price_m - avg_price_prev)) — the additive
+    two-factor bridge every revenue review opens with (the terms sum
+    exactly to the delta). One bucketed per-month aggregate; the lag
+    join runs on the result-sized month table."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    m = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "m": df["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+                        "one": np.int64(1),
+                        "p": df["o_totalprice"],
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["m"],
+            {"n": ("one", "sum"), "s": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    n = m["n"].to_numpy("float64")
+    s = m["s"].to_numpy("float64")
+    ap = s / n
+    out = pd.DataFrame(
+        {
+            "month": m["m"].to_numpy()[1:],
+            "delta_rev": np.round(s[1:] - s[:-1], 2),
+            "volume_effect": np.round((n[1:] - n[:-1]) * ap[:-1], 2),
+            "price_effect": np.round(n[1:] * (ap[1:] - ap[:-1]), 2),
+        }
+    )
+    return out
+
+
+REVENUE_DECOMPOSITION_MOM_SQL = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+         sum(o_totalprice) AS s
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT m, n, s, s / n AS ap,
+         lag(n) OVER (ORDER BY m) AS pn,
+         lag(s) OVER (ORDER BY m) AS ps,
+         lag(s / n) OVER (ORDER BY m) AS pap
+  FROM m
+)
+SELECT m AS month, round(s - ps, 2) AS delta_rev,
+       round((n - pn) * pap, 2) AS volume_effect,
+       round(n * (ap - pap), 2) AS price_effect
+FROM l WHERE pn IS NOT NULL ORDER BY month
+"""
+
+
+def customer_value_migration(sf_dir: str, y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """Customer value-tercile migration matrix between two years: rank
+    customers by spend within each year (row_number terciles, ties by
+    custkey so both engines cut identically), then count the 3x3
+    transitions for customers active in BOTH years — the
+    retention-economics mobility table.
+
+    Distributed: ONE bucketed (customer, year) spend aggregate; each
+    year's tercile comes from the distributed ROW_NUMBER primitive;
+    the two labelings re-join per customer through the bucket shuffle
+    and the 9 transition cells reduce from partials."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year.astype("int64")
+        sel = df[(y == y0) | (y == y1)]
+        return pd.DataFrame(
+            {
+                "c": sel["o_custkey"].to_numpy("int64"),
+                "y": y[(y == y0) | (y == y1)].to_numpy(),
+                "s": sel["o_totalprice"].to_numpy("float64"),
+            }
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"), ["c", "y"], {"s": ("s", "sum")}
+    ).materialize()
+
+    def _terciles(year: int) -> pd.DataFrame:
+        sub = per.map_batches(
+            lambda df: df[df["y"] == year][["c", "s"]].astype({"c": "int64"}), batch_format="pandas"
+        ).materialize()
+        n = sub.count()
+        ranked = _global_rank(sub, "s", ["c"])
+        t = ranked.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "c": df["c"].to_numpy("int64"),
+                    "terc": ((df["rank"].to_numpy("int64") - 1) * 3) // n,
+                }
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        return t
+
+    t0 = _terciles(y0).rename(columns={"terc": "t0"})
+    t1 = _terciles(y1).rename(columns={"terc": "t1"})
+    j = t0.merge(t1, on="c")  # result-scale: customers active in both years
+    out = (
+        j.groupby(["t0", "t1"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_customers"})
+        .sort_values(["t0", "t1"])
+        .reset_index(drop=True)
+    )
+    out["t0"] = out["t0"].astype("int64")
+    out["t1"] = out["t1"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def customer_value_migration_sql(y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
+WITH per AS (
+  SELECT o_custkey AS c, year(o_orderdate) AS y, sum(o_totalprice) AS s
+  FROM orders WHERE year(o_orderdate) IN ({y0}, {y1})
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT c, y,
+         ((row_number() OVER (PARTITION BY y ORDER BY s, c) - 1) * 3)
+           // (count(*) OVER (PARTITION BY y)) AS terc
+  FROM per
+)
+SELECT a.terc AS t0, b.terc AS t1, CAST(count(*) AS BIGINT) AS n_customers
+FROM r a JOIN r b ON a.c = b.c AND a.y = {y0} AND b.y = {y1}
+GROUP BY 1, 2 ORDER BY t0, t1
+"""
+
+
+CUSTOMER_VALUE_MIGRATION_SQL = customer_value_migration_sql()

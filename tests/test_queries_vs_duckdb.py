@@ -243,6 +243,9 @@ SUBSET = [
     "peak_user_rate",
     "poisson_gof_linecount",
     "contingency_residuals",
+    "routine_users_entropy",
+    "revenue_decomposition_mom",
+    "customer_value_migration",
 ]
 
 
