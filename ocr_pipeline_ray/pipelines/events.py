@@ -4585,3 +4585,54 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n_events AS BIGINT) AS n_events,
        round(entropy, 6) AS entropy
 FROM e WHERE n_events >= 20 ORDER BY entropy, user_id LIMIT 10
 """
+
+
+def erasure_audit(sf_dir: str) -> pd.DataFrame:
+    """GDPR right-to-erasure audit: delete every event of the target
+    users (user_id % 97 == 0 — the deletion-request roster), then
+    CERTIFY the erasure: zero residual target rows, exact surviving
+    row count, and content checksums (sum of surviving event_ids, sum
+    of surviving values) proving non-target rows are untouched — the
+    compliance evidence a deletion job must emit. One filtered pass
+    of per-batch partials."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def _audit(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = df["user_id"].to_numpy("int64") % 97 == 0
+        kept = df[~tgt]
+        return pd.DataFrame(
+            {
+                "n_before": [np.int64(len(df))],
+                "n_deleted": [np.int64(tgt.sum())],
+                "n_after": [np.int64(len(kept))],
+                "residual_target_rows": [
+                    np.int64((kept["user_id"].to_numpy("int64") % 97 == 0).sum())
+                ],
+                "checksum_id": [np.int64(kept["event_id"].to_numpy("int64").sum())],
+                "checksum_val": [float(kept["value"].to_numpy("float64").sum())],
+            }
+        )
+
+    s = ds.map_batches(_audit, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_before": [np.int64(s["n_before"])],
+            "n_deleted": [np.int64(s["n_deleted"])],
+            "n_after": [np.int64(s["n_after"])],
+            "residual_target_rows": [np.int64(s["residual_target_rows"])],
+            "checksum_id": [np.int64(s["checksum_id"])],
+            "checksum_val": [round(float(s["checksum_val"]), 2)],
+        }
+    )
+
+
+ERASURE_AUDIT_SQL = """
+WITH kept AS (SELECT * FROM events WHERE user_id % 97 <> 0)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_before,
+       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE user_id % 97 = 0) AS n_deleted,
+       CAST(count(*) AS BIGINT) AS n_after,
+       CAST(count(CASE WHEN user_id % 97 = 0 THEN 1 END) AS BIGINT) AS residual_target_rows,
+       CAST(sum(event_id) AS BIGINT) AS checksum_id,
+       round(sum(value), 2) AS checksum_val
+FROM kept
+"""

@@ -9976,3 +9976,176 @@ GROUP BY 1, 2 ORDER BY t0, t1
 
 
 CUSTOMER_VALUE_MIGRATION_SQL = customer_value_migration_sql()
+
+
+def negative_samples_cf(sf_dir: str, n_users: int = 5, m: int = 5) -> pd.DataFrame:
+    """Negative-sampling table for recommender training: for each of
+    the first 5 customers, the 5 parts they did NOT purchase with the
+    smallest deterministic (user, part) LCG priority — the implicit-
+    feedback negatives an item-CF or BPR trainer pairs with the
+    positives. The user baskets broadcast (tiny); the PART TABLE
+    streams once, each batch emitting per-user top-m-smallest
+    partials.
+
+    Priority: s0 = (p % 1000003) * 1009 + (u % 1009), two LCG steps —
+    the same RNG-free cross-engine stream as bootstrap_mean_ci."""
+    users = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()["o_custkey"]
+        .drop_duplicates()
+        .nsmallest(n_users)
+        .to_numpy("int64")
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: df[df["o_custkey"].isin(users)], batch_format="pandas"
+    ).to_pandas()
+    okeys = set(orders["o_orderkey"].tolist())
+    okeys_ref = ray.put(okeys)
+    li = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        .map_batches(lambda df: df[df["l_orderkey"].isin(ray.get(okeys_ref))], batch_format="pandas")
+        .to_pandas()
+    )
+    li = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    baskets = {int(u): set(li[li["o_custkey"] == u]["l_partkey"].astype("int64")) for u in users}
+    b_ref = ray.put((users, baskets))
+
+    def _cands(df: pd.DataFrame) -> pd.DataFrame:
+        us, bk = ray.get(b_ref)
+        p = df["p_partkey"].to_numpy("int64")
+        rows = []
+        for u in us:
+            s0 = (p % 1000003) * 1009 + (int(u) % 1009)
+            s1 = (1103515245 * s0 + 12345) % 2147483648
+            s2 = (1103515245 * s1 + 12345) % 2147483648
+            mask = ~np.isin(p, np.fromiter(bk[int(u)], dtype="int64", count=len(bk[int(u)])))
+            cand = pd.DataFrame({"c_custkey": int(u), "p_partkey": p[mask], "prio": s2[mask]})
+            rows.append(cand.sort_values(["prio", "p_partkey"]).head(m))
+        return pd.concat(rows, ignore_index=True)
+
+    parts = (
+        _read(sf_dir, "part", columns=["p_partkey"])
+        .map_batches(_cands, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.sort_values(["c_custkey", "prio", "p_partkey"])
+        .groupby("c_custkey", sort=False)
+        .head(m)
+        .sort_values(["c_custkey", "prio", "p_partkey"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"c_custkey": "int64", "p_partkey": "int64", "prio": "int64"})
+
+
+def negative_samples_cf_sql(n_users: int = 5, m: int = 5) -> str:
+    return f"""
+WITH users AS (
+  SELECT DISTINCT o_custkey AS u FROM orders ORDER BY 1 LIMIT {n_users}
+),
+pos AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IN (SELECT u FROM users)
+),
+cand AS (
+  SELECT u, p_partkey AS p,
+         (1103515245 * ((1103515245 * ((p_partkey % 1000003) * 1009 + (u % 1009))
+            + 12345) % 2147483648) + 12345) % 2147483648 AS prio
+  FROM users CROSS JOIN part
+  WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.u = users.u AND pos.p = part.p_partkey)
+)
+SELECT u AS c_custkey, p AS p_partkey, CAST(prio AS BIGINT) AS prio
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY u ORDER BY prio, p) <= {m}
+ORDER BY c_custkey, prio, p_partkey
+"""
+
+
+NEGATIVE_SAMPLES_CF_SQL = negative_samples_cf_sql()
+
+
+def price_stickiness_monthly(sf_dir: str, tol: float = 0.01) -> pd.DataFrame:
+    """Price-stickiness index per month: the fraction of parts whose
+    average sale price moved by less than 1% month-over-month — the
+    microeconomic rigidity measure (and a drift detector for pricing
+    bugs). Reuses the (part, month) grid shape of the Laspeyres index:
+    one bucketed aggregate; the MoM comparison re-joins the grid to
+    itself shifted one month via the same part-keyed bucket shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64"),
+                "m": df["l_shipdate"].dt.to_period("M").dt.to_timestamp(),
+                "sp": df["l_extendedprice"].to_numpy("float64"),
+                "one": np.int64(1),
+            }
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["p", "m"],
+        {"sp": ("sp", "sum"), "n": ("one", "sum")},
+    ).materialize()
+    nxt = grid.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "p": df["p"].to_numpy("int64"),
+                "m": (df["m"] + pd.DateOffset(months=1)),
+                "prev_price": df["sp"].to_numpy("float64") / df["n"].to_numpy("float64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = shuffle_hash_join(
+        grid, nxt, on=["p", "m"],
+        left_cols=["p", "m", "sp", "n"],
+        right_cols=["p", "m", "prev_price"],
+    )
+
+    def _sticky(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["sp"].to_numpy("float64") / df["n"].to_numpy("float64")
+        rel = np.abs(price / df["prev_price"].to_numpy("float64") - 1.0)
+        return (
+            pd.DataFrame({"m": df["m"], "one": np.int64(1), "sticky": (rel < tol).astype("int64")})
+            .groupby("m", as_index=False)
+            .sum()
+        )
+
+    g = (
+        j.map_batches(_sticky, batch_format="pandas")
+        .to_pandas()
+        .groupby("m", as_index=False)
+        .sum()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "month": g["m"],
+            "n_parts": g["one"].astype("int64"),
+            "n_sticky": g["sticky"].astype("int64"),
+            "sticky_frac": np.round(g["sticky"].to_numpy("float64") / g["one"].to_numpy("float64"), 6),
+        }
+    )
+
+
+PRICE_STICKINESS_MONTHLY_SQL = """
+WITH grid AS (
+  SELECT l_partkey AS p, date_trunc('month', l_shipdate) AS m,
+         sum(l_extendedprice) AS sp, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT a.m, a.sp / a.n AS price, b.sp / b.n AS prev_price
+  FROM grid a JOIN grid b ON a.p = b.p AND b.m + INTERVAL 1 MONTH = a.m
+)
+SELECT m AS month, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(count(CASE WHEN abs(price / prev_price - 1.0) < 0.01 THEN 1 END) AS BIGINT) AS n_sticky,
+       round(count(CASE WHEN abs(price / prev_price - 1.0) < 0.01 THEN 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS sticky_frac
+FROM j GROUP BY m ORDER BY month
+"""

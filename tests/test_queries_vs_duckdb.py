@@ -246,6 +246,9 @@ SUBSET = [
     "routine_users_entropy",
     "revenue_decomposition_mom",
     "customer_value_migration",
+    "negative_samples_cf",
+    "price_stickiness_monthly",
+    "erasure_audit",
 ]
 
 
