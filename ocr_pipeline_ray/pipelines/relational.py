@@ -10149,3 +10149,168 @@ SELECT m AS month, CAST(count(*) AS BIGINT) AS n_parts,
              / CAST(count(*) AS DOUBLE), 6) AS sticky_frac
 FROM j GROUP BY m ORDER BY month
 """
+
+
+def copurchase_rich_club(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Rich-club coefficient of the co-purchase graph: for each degree
+    threshold k (octiles of the degree distribution), the edge density
+    among nodes of degree > k — rising phi(k) means hub parts
+    preferentially co-occur with other hubs. Degrees and the
+    edge<->degree attachment reuse the assortativity machinery; the
+    per-threshold counts reduce from partials."""
+    edges = _copurchase_edges_ds(sf_dir, min_count).materialize()
+
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [df[["part_a"]].rename(columns={"part_a": "p"}), df[["part_b"]].rename(columns={"part_b": "p"})],
+            ignore_index=True,
+        )
+        return both.groupby("p", as_index=False).size().rename(columns={"size": "d"})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(_deg_partial, batch_format="pandas"), ["p"], {"d": ("d", "sum")}
+    ).map_batches(lambda df: df.astype({"p": "int64"}), batch_format="pandas").materialize()
+
+    ks = [1, 2, 3, 4, 6, 8]
+    # node counts above each threshold: one pass of partials
+    def _ncount(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy("int64")
+        return pd.DataFrame({"k": ks, "n_nodes": [np.int64((d > k).sum()) for k in ks]})
+
+    nodes = (
+        deg.map_batches(_ncount, batch_format="pandas").to_pandas().groupby("k", as_index=False).sum()
+    )
+    ea = edges.map_batches(
+        lambda df: df[["part_a", "part_b"]].rename(columns={"part_a": "p"}).astype({"p": "int64", "part_b": "int64"}),
+        batch_format="pandas",
+    )
+    j1 = shuffle_hash_join(
+        ea, deg, on="p", left_cols=["p", "part_b"], right_cols=["p", "d"]
+    ).map_batches(
+        lambda df: df.rename(columns={"p": "part_a", "d": "da", "part_b": "p"}).astype({"p": "int64"}),
+        batch_format="pandas",
+    )
+    j2 = shuffle_hash_join(
+        j1, deg, on="p", left_cols=["part_a", "p", "da"], right_cols=["p", "d"]
+    )
+
+    def _ecount(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["da"].to_numpy("int64")
+        db = df["d"].to_numpy("int64")
+        return pd.DataFrame({"k": ks, "n_edges": [np.int64(((da > k) & (db > k)).sum()) for k in ks]})
+
+    ec = (
+        j2.map_batches(_ecount, batch_format="pandas").to_pandas().groupby("k", as_index=False).sum()
+    )
+    out = nodes.merge(ec, on="k").sort_values("k").reset_index(drop=True)
+    n = out["n_nodes"].to_numpy("float64")
+    e = out["n_edges"].to_numpy("float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.where(n >= 2, 2.0 * e / (n * (n - 1.0)), np.nan)
+    return pd.DataFrame(
+        {
+            "k": pd.Series(ks, dtype="int64"),
+            "n_nodes": out["n_nodes"].astype("int64"),
+            "n_edges": out["n_edges"].astype("int64"),
+            "phi": np.round(phi, 6),
+        }
+    )
+
+
+def copurchase_rich_club_sql(min_count: int = 2) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= {min_count}),
+deg AS (
+  SELECT p, count(*) AS d FROM (
+    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY p
+),
+ks AS (SELECT unnest([1, 2, 3, 4, 6, 8]) AS k),
+nn AS (SELECT k, count(*) AS n_nodes FROM ks JOIN deg ON d > k GROUP BY k),
+ee AS (
+  SELECT k, count(*) AS n_edges
+  FROM ks JOIN edges ON true
+    JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb
+  WHERE da.d > k AND db.d > k
+  GROUP BY k
+)
+SELECT ks.k AS k, CAST(coalesce(n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN coalesce(n_nodes, 0) >= 2
+            THEN round(2.0 * coalesce(n_edges, 0) / (n_nodes * (n_nodes - 1.0)), 6)
+       END AS phi
+FROM ks LEFT JOIN nn USING (k) LEFT JOIN ee USING (k) ORDER BY k
+"""
+
+
+COPURCHASE_RICH_CLUB_SQL = copurchase_rich_club_sql()
+
+
+def return_rate_wilson_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Return-rate per part brand with the Wilson 95% score interval —
+    the small-sample-safe CI a reliability dashboard should use
+    instead of the normal approximation. Brand is a dimension
+    broadcast; per-brand (n, returns) partials reduce per batch; the
+    closed-form interval runs on the brand-count rows."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(brand_ref).reindex(df["l_partkey"]).to_numpy(object)
+        return (
+            pd.DataFrame(
+                {"brand": b, "n": np.int64(1), "r": (df["l_returnflag"] == "R").to_numpy().astype("int64")}
+            )
+            .groupby("brand", as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby("brand", as_index=False)
+        .sum()
+        .sort_values("brand")
+        .reset_index(drop=True)
+    )
+    z = 1.96
+    n = g["n"].to_numpy("float64")
+    p = g["r"].to_numpy("float64") / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (z * np.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))) / denom
+    return pd.DataFrame(
+        {
+            "p_brand": g["brand"],
+            "n": g["n"].astype("int64"),
+            "n_returned": g["r"].astype("int64"),
+            "rate": np.round(p, 6),
+            "wilson_lo": np.round(center - half, 6),
+            "wilson_hi": np.round(center + half, 6),
+        }
+    )
+
+
+RETURN_RATE_WILSON_BY_BRAND_SQL = """
+WITH g AS (
+  SELECT p_brand, count(*) AS n,
+         count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_returned,
+       round(r / CAST(n AS DOUBLE), 6) AS rate,
+       round(((r / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+             - (1.96 * sqrt((r / CAST(n AS DOUBLE)) * (1.0 - r / CAST(n AS DOUBLE)) / n
+                            + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+       round(((r / CAST(n AS DOUBLE)) + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n)
+             + (1.96 * sqrt((r / CAST(n AS DOUBLE)) * (1.0 - r / CAST(n AS DOUBLE)) / n
+                            + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+FROM g ORDER BY p_brand
+"""

@@ -1488,3 +1488,89 @@ SELECT CAST(count(*) AS BIGINT) AS n_points,
        round(count(*) / sum(lmu), 4) AS intrinsic_dim
 FROM v
 """
+
+
+def fisher_ratio_labels(sf_dir: str) -> pd.DataFrame:
+    """Class-separability audit of the embedding space: per label, the
+    Fisher-style ratio of between-class to within-class scatter,
+    inter/intra with intra = E||x||^2 - ||mu_l||^2 (the one-pass
+    closed form) and inter = ||mu_l - mu||^2 — the go/no-go check
+    before trusting nearest-centroid routing or a linear probe.
+
+    Distributed: per-batch per-label partials (n, per-dim vector sum,
+    sum of squared norms) — the label_centroid machinery plus one
+    scalar — reduce to L rows; all centroid dot products run on that
+    result-sized table. The DuckDB oracle rebuilds the same per-dim
+    means via unnest + generate_subscripts."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        rows = []
+        for l in np.unique(lab):
+            sub = m[lab == l]
+            rows.append(
+                {
+                    "label": int(l),
+                    "n": np.int64(len(sub)),
+                    "sq": float((sub * sub).sum()),
+                    "vec": sub.sum(axis=0),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    agg = []
+    for l, g in parts.groupby("label"):
+        vec = np.sum(np.stack(g["vec"].to_numpy()), axis=0)
+        agg.append({"label": int(l), "n": int(g["n"].sum()), "sq": float(g["sq"].sum()), "vec": vec})
+    total_n = sum(a["n"] for a in agg)
+    total_vec = np.sum(np.stack([a["vec"] for a in agg]), axis=0)
+    mu = total_vec / total_n
+    rows = []
+    for a in sorted(agg, key=lambda r: r["label"]):
+        mu_l = a["vec"] / a["n"]
+        intra = a["sq"] / a["n"] - float(mu_l @ mu_l)
+        diff = mu_l - mu
+        inter = float(diff @ diff)
+        rows.append(
+            {
+                "label": np.int64(a["label"]),
+                "n_vecs": np.int64(a["n"]),
+                "intra": round(intra, 6),
+                "inter": round(inter, 6),
+                "fisher_ratio": round(inter / intra, 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+FISHER_RATIO_LABELS_SQL = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+         list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq
+  FROM embeddings
+),
+dims AS (
+  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS d, sq
+  FROM e
+),
+percell AS (SELECT label, d, sum(x) AS sx FROM dims GROUP BY label, d),
+perlab AS (SELECT label, count(*) AS n, sum(sq) AS ssq FROM e GROUP BY label),
+gsum AS (SELECT d, sum(sx) AS gx FROM percell GROUP BY d),
+gn AS (SELECT sum(n) AS total_n FROM perlab),
+dots AS (
+  SELECT p.label,
+         sum((p.sx / pl.n) * (p.sx / pl.n)) AS mul_dot,
+         sum((p.sx / pl.n - g.gx / (SELECT total_n FROM gn))
+             * (p.sx / pl.n - g.gx / (SELECT total_n FROM gn))) AS inter
+  FROM percell p JOIN perlab pl USING (label) JOIN gsum g USING (d)
+  GROUP BY p.label
+)
+SELECT CAST(pl.label AS BIGINT) AS label, CAST(pl.n AS BIGINT) AS n_vecs,
+       round(pl.ssq / pl.n - d.mul_dot, 6) AS intra,
+       round(d.inter, 6) AS inter,
+       round(d.inter / (pl.ssq / pl.n - d.mul_dot), 6) AS fisher_ratio
+FROM perlab pl JOIN dots d USING (label) ORDER BY label
+"""

@@ -249,6 +249,9 @@ SUBSET = [
     "negative_samples_cf",
     "price_stickiness_monthly",
     "erasure_audit",
+    "fisher_ratio_labels",
+    "copurchase_rich_club",
+    "return_rate_wilson_by_brand",
 ]
 
 
