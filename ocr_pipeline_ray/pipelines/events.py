@@ -4636,3 +4636,73 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_before,
        round(sum(value), 2) AS checksum_val
 FROM kept
 """
+
+
+def markov_order_test(sf_dir: str) -> pd.DataFrame:
+    """Likelihood-ratio test of Markov order 1 vs 2 on per-user event
+    streams: G2 = 2 * sum_abc n_abc * ln(n_abc * n_b / (n_ab * n_bc))
+    over trigram counts and their marginals — does the next event
+    depend on TWO steps of history? (transition_entropy assumes order
+    1; this tests it.) Trigram extraction is two vectorized shifts per
+    user bucket; the state space is tiny so the G2 reduce is
+    result-sized."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy(object)
+        same2 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not same2.any():
+            return pd.DataFrame({"a": [], "b": [], "c": [], "n": []})
+        df = pd.DataFrame(
+            {"a": t[:-2][same2], "b": t[1:-1][same2], "c": t[2:][same2], "n": np.int64(1)}
+        )
+        return df.groupby(["a", "b", "c"], as_index=False).sum()
+
+    tri = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_trigrams, batch_format="pandas")
+        .to_pandas()
+        .groupby(["a", "b", "c"], as_index=False)["n"]
+        .sum()
+    )
+    n_ab = tri.groupby(["a", "b"])["n"].sum()
+    n_bc = tri.groupby(["b", "c"])["n"].sum()
+    n_b = tri.groupby("b")["n"].sum()
+    nabc = tri["n"].to_numpy("float64")
+    vab = n_ab.reindex(pd.MultiIndex.from_frame(tri[["a", "b"]])).to_numpy("float64")
+    vbc = n_bc.reindex(pd.MultiIndex.from_frame(tri[["b", "c"]])).to_numpy("float64")
+    vb = n_b.reindex(tri["b"]).to_numpy("float64")
+    g2 = float(2.0 * (nabc * np.log(nabc * vb / (vab * vbc))).sum())
+    m = tri[["a"]].drop_duplicates().size
+    return pd.DataFrame(
+        {
+            "n_trigrams": [np.int64(nabc.sum())],
+            "n_cells": [np.int64(len(tri))],
+            "n_states": [np.int64(m)],
+            "g2": [round(g2, 6)],
+        }
+    )
+
+
+MARKOV_ORDER_TEST_SQL = """
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+  FROM events
+),
+tri AS (
+  SELECT a, b, c, count(*) AS n FROM seq WHERE c IS NOT NULL GROUP BY 1, 2, 3
+),
+ab AS (SELECT a, b, sum(n) AS nab FROM tri GROUP BY 1, 2),
+bc AS (SELECT b, c, sum(n) AS nbc FROM tri GROUP BY 1, 2),
+bb AS (SELECT b, sum(n) AS nb FROM tri GROUP BY 1)
+SELECT CAST((SELECT sum(n) FROM tri) AS BIGINT) AS n_trigrams,
+       CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_cells,
+       CAST((SELECT count(DISTINCT a) FROM tri) AS BIGINT) AS n_states,
+       round(2.0 * sum(n * ln(n * nb / (CAST(nab AS DOUBLE) * nbc))), 6) AS g2
+FROM tri JOIN ab USING (a, b) JOIN bc USING (b, c) JOIN bb USING (b)
+"""

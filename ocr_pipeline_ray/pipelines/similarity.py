@@ -1574,3 +1574,99 @@ SELECT CAST(pl.label AS BIGINT) AS label, CAST(pl.n AS BIGINT) AS n_vecs,
        round(d.inter / (pl.ssq / pl.n - d.mul_dot), 6) AS fisher_ratio
 FROM perlab pl JOIN dots d USING (label) ORDER BY label
 """
+
+
+def embedding_clip_calibration(sf_dir: str, n_dims: int = 8, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Per-dimension p1/p99 clip calibration for the first 8 embedding
+    dimensions — the table an int8/fp8 quantizer or outlier-clipping
+    stage loads (exact quantile_disc order statistics, not a sketch).
+    Per-batch (dim, range-bucket) count partials over a per-dim
+    min/max frame; the two order statistics per dim come from the
+    same two-pass grid selection as the other exact-percentile ops."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _mat(df: pd.DataFrame) -> np.ndarray:
+        return np.stack(df["embedding"].to_numpy()).astype(np.float64)[:, :n_dims]
+
+    mm = (
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "d": np.arange(n_dims, dtype="int64"),
+                    "lo": _mat(df).min(axis=0),
+                    "hi": _mat(df).max(axis=0),
+                    "n": np.int64(len(df)),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("d")
+        .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+    )
+    lo = mm["lo"].to_numpy()
+    hi = mm["hi"].to_numpy()
+    width = np.where(hi > lo, (hi - lo) / n_range_buckets, 1.0)
+    n = int(mm["n"].iloc[0])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = _mat(df)
+        b = np.clip(np.floor((m - lo[None, :]) / width[None, :]).astype("int64"), 0, n_range_buckets - 1)
+        rows = []
+        for d in range(n_dims):
+            u, c = np.unique(b[:, d], return_counts=True)
+            rows.append(pd.DataFrame({"d": d, "b": u, "c": c}))
+        return pd.concat(rows, ignore_index=True)
+
+    grid = (
+        ds.map_batches(_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["d", "b"], as_index=False)["c"]
+        .sum()
+    )
+    targets = {}
+    needed: dict[int, set[int]] = {}
+    for d, g in grid.groupby("d"):
+        g = g.sort_values("b")
+        cum = g["c"].cumsum().to_numpy("int64")
+        bs = g["b"].to_numpy("int64")
+        for p in (0.01, 0.99):
+            kk = int(np.ceil(p * n))
+            j = int(np.searchsorted(cum, kk))
+            needed.setdefault(int(d), set()).add(int(bs[j]))
+            targets[(int(d), p)] = (kk, int(bs[j]), int(cum[j] - g["c"].to_numpy("int64")[j]))
+    need_ref = ray.put({d: np.array(sorted(v)) for d, v in needed.items()})
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        m = _mat(df)
+        b = np.clip(np.floor((m - lo[None, :]) / width[None, :]).astype("int64"), 0, n_range_buckets - 1)
+        rows = []
+        for d, bset in nd.items():
+            keep = np.isin(b[:, d], bset)
+            rows.append(pd.DataFrame({"d": d, "b": b[keep, d], "x": m[keep, d]}))
+        return pd.concat(rows, ignore_index=True)
+
+    pulled = ds.map_batches(_pull, batch_format="pandas").to_pandas()
+    rows = []
+    for d in range(n_dims):
+        rec = {"dim": np.int64(d)}
+        for p, name in ((0.01, "p01"), (0.99, "p99")):
+            kk, bj, before = targets[(d, p)]
+            vals = np.sort(pulled[(pulled["d"] == d) & (pulled["b"] == bj)]["x"].to_numpy("float64"))
+            rec[name] = round(float(vals[kk - before - 1]), 6)
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+EMBEDDING_CLIP_CALIBRATION_SQL = """
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       round(quantile_disc(x, 0.01), 6) AS p01,
+       round(quantile_disc(x, 0.99), 6) AS p99
+FROM dims WHERE dim < 8 GROUP BY dim ORDER BY dim
+"""

@@ -5012,3 +5012,108 @@ SELECT lang, source, CAST(c AS BIGINT) AS observed, round(e, 4) AS expected,
        round(sr, 6) AS std_resid
 FROM top ORDER BY lang, source
 """
+
+
+def term_dispersion_top(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Corpus dispersion (Gries' DP) for the top-k terms: how unevenly
+    is each frequent term spread across sources, DP = 0.5 * sum_s
+    |share_of_term_in_s - share_of_all_tokens_in_s|? DP near 0 =
+    evenly dispersed function word, near 1 = clumped topical term —
+    the vocabulary-quality signal dedup and mixture planning read.
+
+    Distributed: pass 1 finds the top-k terms (vocab-bucketed
+    aggregate + partial top-k, same as vocab_top_terms); the winners
+    broadcast and pass 2 reduces (term, source) counts for them plus
+    per-source token totals in the same scan."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"term": [], "n": []}
+        for s in df["text"]:
+            rows["term"].extend(TOKEN_RE.findall(s.lower()))
+        u, c = np.unique(np.asarray(rows["term"], dtype=object), return_counts=True)
+        return pd.DataFrame({"term": list(u), "n": c})
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(_counts, batch_format="pandas"), ["term"], {"n": ("n", "sum")}
+    )
+    top = partial_topk(vocab, ["n", "term"], [False, True], k)["term"].tolist()
+    top_ref = ray.put(set(top))
+
+    def _per_source(df: pd.DataFrame) -> pd.DataFrame:
+        tset = ray.get(top_ref)
+        rows = {"source": [], "term": [], "n": []}
+        tot = {"source": [], "n": []}
+        for src, g in df.groupby("source"):
+            toks = []
+            for s in g["text"]:
+                toks.extend(TOKEN_RE.findall(s.lower()))
+            tot["source"].append(src)
+            tot["n"].append(len(toks))
+            arr = np.asarray(toks, dtype=object)
+            hit = np.isin(arr, list(tset))
+            u, c = np.unique(arr[hit], return_counts=True)
+            rows["source"].extend([src] * len(u))
+            rows["term"].extend(list(u))
+            rows["n"].extend(c.tolist())
+        a = pd.DataFrame(rows)
+        b = pd.DataFrame(tot)
+        b["term"] = "\x00__total__"
+        return pd.concat([a, b[["source", "term", "n"]]], ignore_index=True)
+
+    g = (
+        ds.map_batches(_per_source, batch_format="pandas")
+        .to_pandas()
+        .groupby(["source", "term"], as_index=False)["n"]
+        .sum()
+    )
+    totals = g[g["term"] == "\x00__total__"].set_index("source")["n"]
+    tk = g[g["term"] != "\x00__total__"]
+    grand = float(totals.sum())
+    src_share = (totals / grand).astype("float64")
+    rows = []
+    for term, gg in tk.groupby("term"):
+        tshare = gg.set_index("source")["n"].reindex(src_share.index, fill_value=0).astype("float64")
+        tshare = tshare / float(tshare.sum())
+        dp = 0.5 * float(np.abs(tshare.to_numpy() - src_share.to_numpy()).sum())
+        rows.append({"term": term, "n": np.int64(gg["n"].sum()), "dp": round(dp, 6)})
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["n", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def term_dispersion_top_sql(k: int = 10) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+top AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+  ORDER BY n DESC, term LIMIT {k}
+),
+stot AS (SELECT source, count(*) AS st FROM toks GROUP BY source),
+grand AS (SELECT sum(st) AS g FROM stot),
+tcell AS (
+  SELECT t.term, s.source, count(*) AS c
+  FROM toks s JOIN top t USING (term) GROUP BY 1, 2
+),
+ttot AS (SELECT term, sum(c) AS tt FROM tcell GROUP BY term),
+full_grid AS (
+  SELECT top.term, stot.source, stot.st, coalesce(tcell.c, 0) AS c
+  FROM top CROSS JOIN stot
+  LEFT JOIN tcell ON tcell.term = top.term AND tcell.source = stot.source
+)
+SELECT f.term, CAST(t.tt AS BIGINT) AS n,
+       round(0.5 * sum(abs(f.c / CAST(t.tt AS DOUBLE)
+                           - f.st / (SELECT CAST(g AS DOUBLE) FROM grand))), 6) AS dp
+FROM full_grid f JOIN ttot t USING (term)
+GROUP BY f.term, t.tt ORDER BY n DESC, term
+"""
+
+
+TERM_DISPERSION_TOP_SQL = term_dispersion_top_sql()

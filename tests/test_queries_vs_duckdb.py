@@ -252,6 +252,9 @@ SUBSET = [
     "fisher_ratio_labels",
     "copurchase_rich_club",
     "return_rate_wilson_by_brand",
+    "markov_order_test",
+    "term_dispersion_top",
+    "embedding_clip_calibration",
 ]
 
 
