@@ -4706,3 +4706,56 @@ SELECT CAST((SELECT sum(n) FROM tri) AS BIGINT) AS n_trigrams,
        round(2.0 * sum(n * ln(n * nb / (CAST(nab AS DOUBLE) * nbc))), 6) AS g2
 FROM tri JOIN ab USING (a, b) JOIN bc USING (b, c) JOIN bb USING (b)
 """
+
+
+def purchase_attribution(sf_dir: str) -> pd.DataFrame:
+    """Marketing attribution table: for every purchase event, the
+    LAST-touch channel (the user's immediately-preceding event type)
+    and the FIRST-touch channel (the user's first-ever event type),
+    counted as (last_touch, first_touch) cells — the two attribution
+    models every growth team compares. Per-user-bucket vectorized
+    shift; cells reduce from partials."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _attr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy(object)
+        prev = np.empty(len(g), dtype=object)
+        prev[1:] = t[:-1]
+        prev[0] = None
+        same = np.empty(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        same[0] = False
+        first = pd.Series(t).groupby(pd.Series(u)).transform("first").to_numpy(object)
+        is_pur = t == "purchase"
+        keep = is_pur & same  # purchases with a preceding same-user event
+        df = pd.DataFrame({"last_touch": prev[keep], "first_touch": first[keep], "n": np.int64(1)})
+        return df.groupby(["last_touch", "first_touch"], as_index=False).sum()
+
+    out = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_attr, batch_format="pandas")
+        .to_pandas()
+        .groupby(["last_touch", "first_touch"], as_index=False)["n"]
+        .sum()
+        .sort_values(["last_touch", "first_touch"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch,
+         first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch
+  FROM events
+)
+SELECT last_touch, first_touch, CAST(count(*) AS BIGINT) AS n
+FROM seq
+WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+GROUP BY 1, 2 ORDER BY last_touch, first_touch
+"""

@@ -10314,3 +10314,62 @@ SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_returned,
                             + 1.96 * 1.96 / (4.0 * n * n))) / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
 FROM g ORDER BY p_brand
 """
+
+
+def reorder_gap_by_index(sf_dir: str, max_k: int = 5) -> pd.DataFrame:
+    """Reorder-acceleration curve: the average days between a
+    customer's k-th and (k+1)-th order, by k — does the gap shrink as
+    customers mature? Per customer-bucket the order index and gap are
+    two vectorized shifts; (k, sum, count) partials reduce to max_k
+    rows."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        t = g["o_orderdate"].to_numpy("datetime64[us]").astype("int64")
+        idx = pd.Series(u).groupby(pd.Series(u)).cumcount().to_numpy() + 1
+        same = np.empty(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        same[0] = False
+        gap_days = np.empty(len(g), dtype="float64")
+        gap_days[1:] = (t[1:] - t[:-1]) / 86_400_000_000.0
+        keep = same & (idx <= max_k + 1) & (idx >= 2)
+        df = pd.DataFrame({"k": idx[keep] - 1, "s": gap_days[keep], "n": np.int64(1)})
+        return df.groupby("k", as_index=False).sum()
+
+    def _cbucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32))
+
+    g = (
+        ds.map_batches(_cbucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(_gaps, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "k": g["k"].astype("int64"),
+            "n_pairs": g["n"].astype("int64"),
+            "avg_gap_days": np.round(g["s"].to_numpy("float64") / g["n"].to_numpy("float64"), 6),
+        }
+    )
+
+
+REORDER_GAP_BY_INDEX_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS idx,
+         epoch(o_orderdate - lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+           / 86400.0 AS gap_days
+  FROM orders
+)
+SELECT CAST(idx - 1 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(gap_days) / count(*), 6) AS avg_gap_days
+FROM seq WHERE gap_days IS NOT NULL AND idx BETWEEN 2 AND 6
+GROUP BY 1 ORDER BY k
+"""

@@ -1670,3 +1670,98 @@ SELECT CAST(dim AS BIGINT) AS dim,
        round(quantile_disc(x, 0.99), 6) AS p99
 FROM dims WHERE dim < 8 GROUP BY dim ORDER BY dim
 """
+
+
+def label_silhouette_centroid(sf_dir: str) -> pd.DataFrame:
+    """Centroid-silhouette per label: for each vector, a = distance to
+    its own label centroid, b = distance to the nearest OTHER
+    centroid, s = (b - a)/max(a, b); the per-label mean — the cluster
+    quality readout (simplified silhouette: centroids, not all-pairs,
+    so it stays one broadcast + one pass at any scale).
+
+    Distributed: per-label vector-sum partials build the L x D
+    centroid matrix (tiny), it broadcasts, and each batch emits
+    (label, sum s, n) partials."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        rows = []
+        for l in np.unique(lab):
+            sub = m[lab == l]
+            rows.append({"label": int(l), "n": np.int64(len(sub)), "vec": sub.sum(axis=0)})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    labels = sorted(parts["label"].unique())
+    cents = []
+    for l in labels:
+        g = parts[parts["label"] == l]
+        cents.append(np.sum(np.stack(g["vec"].to_numpy()), axis=0) / int(g["n"].sum()))
+    cent_m = np.stack(cents)  # (L, D)
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    ref = ray.put((labels, lab_idx, cent_m))
+
+    class _Sil:
+        def __init__(self):
+            self.labels, self.lab_idx, self.cm = ray.get(ref)
+            self.c_sq = (self.cm * self.cm).sum(axis=1)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            lab = df["label"].to_numpy()
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ self.cm.T) + self.c_sq[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            d = np.sqrt(d2)
+            own_col = np.array([self.lab_idx[int(l)] for l in lab])
+            a = d[np.arange(len(d)), own_col]
+            d_other = d.copy()
+            d_other[np.arange(len(d)), own_col] = np.inf
+            b = d_other.min(axis=1)
+            s = (b - a) / np.maximum(a, b)
+            return (
+                pd.DataFrame({"label": lab, "s": s, "n": np.int64(1)})
+                .groupby("label", as_index=False)
+                .sum()
+            )
+
+    g = (
+        ds.map_batches(_Sil, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
+        .to_pandas()
+        .groupby("label", as_index=False)
+        .sum()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "silhouette": np.round(g["s"].to_numpy("float64") / g["n"].to_numpy("float64"), 6),
+        }
+    )
+
+
+LABEL_SILHOUETTE_CENTROID_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e
+),
+cent AS (SELECT label AS cl, d, sum(x) / count(*) AS mu FROM dims GROUP BY 1, 2),
+dist AS (
+  SELECT dims.vec_id, dims.label, cent.cl,
+         sum((x - mu) * (x - mu)) AS d2
+  FROM dims JOIN cent ON cent.d = dims.d
+  GROUP BY 1, 2, 3
+),
+ab AS (
+  SELECT vec_id, label,
+         max(CASE WHEN cl = label THEN sqrt(d2) END) AS a,
+         min(CASE WHEN cl <> label THEN sqrt(d2) END) AS b
+  FROM dist GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       round(sum((b - a) / greatest(a, b)) / count(*), 6) AS silhouette
+FROM ab GROUP BY label ORDER BY label
+"""

@@ -255,6 +255,9 @@ SUBSET = [
     "markov_order_test",
     "term_dispersion_top",
     "embedding_clip_calibration",
+    "purchase_attribution",
+    "reorder_gap_by_index",
+    "label_silhouette_centroid",
 ]
 
 
