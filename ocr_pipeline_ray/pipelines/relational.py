@@ -10373,3 +10373,277 @@ SELECT CAST(idx - 1 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM seq WHERE gap_days IS NOT NULL AND idx BETWEEN 2 AND 6
 GROUP BY 1 ORDER BY k
 """
+
+
+_ANALYZE_COLS = {
+    "orders": ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    "customer": ["c_custkey", "c_mktsegment", "c_nationkey"],
+    "part": ["p_partkey", "p_brand"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+}
+
+
+def analyze_all_tables(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE: optimizer statistics for a representative column set
+    across four tables — row count, EXACT distinct count (per-batch
+    dedup + one bucketed min-reduction over the key domain, never a
+    driver key set), and null rate — the stats table every planner
+    (and this repo's own zonemap/skew advisors) consumes."""
+    rows = []
+    for table, cols in _ANALYZE_COLS.items():
+        ds = _read(sf_dir, table, columns=cols)
+
+        # ONE pass for all columns: stack per-batch-deduped
+        # (col, value-as-string) rows; ONE bucketed min-reduce over the
+        # union domain; survivor counts per col are the exact NDVs.
+        def _stack(df: pd.DataFrame, cs=tuple(cols)) -> pd.DataFrame:
+            frames = []
+            for c in cs:
+                u = df[c].drop_duplicates()
+                frames.append(pd.DataFrame({"col": c, "val": u.astype(str), "one": np.int64(1)}))
+            return pd.concat(frames, ignore_index=True)
+
+        ndv = (
+            bucketed_aggregate(
+                ds.map_batches(_stack, batch_format="pandas"),
+                ["col", "val"],
+                {"one": ("one", "min")},
+                num_buckets=16,
+            )
+            .map_batches(
+                lambda df: df.groupby("col", as_index=False).size().rename(columns={"size": "ndv"}),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .groupby("col", as_index=False)
+            .sum()
+            .set_index("col")["ndv"]
+        )
+
+        def _nulls(df: pd.DataFrame, cs=tuple(cols)) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"col": list(cs), "nulls": [np.int64(df[c].isna().sum()) for c in cs], "n": np.int64(len(df))}
+            )
+
+        nn = (
+            ds.map_batches(_nulls, batch_format="pandas")
+            .to_pandas()
+            .groupby("col", as_index=False)
+            .sum()
+        )
+        cnt = int(nn["n"].iloc[0])
+        nn = nn.set_index("col")["nulls"]
+        for col in cols:
+            rows.append(
+                {
+                    "table_name": table,
+                    "column_name": col,
+                    "n_rows": np.int64(cnt),
+                    "ndv": np.int64(ndv.loc[col]),
+                    "null_rate": round(int(nn.loc[col]) / cnt, 6),
+                }
+            )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["table_name", "column_name"])
+        .reset_index(drop=True)
+    )
+
+
+ANALYZE_ALL_TABLES_SQL = """
+SELECT table_name, column_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ndv AS BIGINT) AS ndv, round(null_rate, 6) AS null_rate
+FROM (
+  SELECT 'orders' AS table_name, 'o_custkey' AS column_name, count(*) AS n_rows,
+         count(DISTINCT o_custkey) AS ndv,
+         count(CASE WHEN o_custkey IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) AS null_rate
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderstatus', count(*), count(DISTINCT o_orderstatus),
+         count(CASE WHEN o_orderstatus IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderpriority', count(*), count(DISTINCT o_orderpriority),
+         count(CASE WHEN o_orderpriority IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT 'customer', 'c_custkey', count(*), count(DISTINCT c_custkey),
+         count(CASE WHEN c_custkey IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM customer
+  UNION ALL
+  SELECT 'customer', 'c_mktsegment', count(*), count(DISTINCT c_mktsegment),
+         count(CASE WHEN c_mktsegment IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM customer
+  UNION ALL
+  SELECT 'customer', 'c_nationkey', count(*), count(DISTINCT c_nationkey),
+         count(CASE WHEN c_nationkey IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM customer
+  UNION ALL
+  SELECT 'part', 'p_partkey', count(*), count(DISTINCT p_partkey),
+         count(CASE WHEN p_partkey IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM part
+  UNION ALL
+  SELECT 'part', 'p_brand', count(*), count(DISTINCT p_brand),
+         count(CASE WHEN p_brand IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM part
+  UNION ALL
+  SELECT 'supplier', 's_suppkey', count(*), count(DISTINCT s_suppkey),
+         count(CASE WHEN s_suppkey IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM supplier
+  UNION ALL
+  SELECT 'supplier', 's_nationkey', count(*), count(DISTINCT s_nationkey),
+         count(CASE WHEN s_nationkey IS NULL THEN 1 END) / CAST(count(*) AS DOUBLE) FROM supplier
+)
+ORDER BY table_name, column_name
+"""
+
+
+def seasonality_strength(sf_dir: str) -> pd.DataFrame:
+    """Variance-decomposition seasonality strength of daily revenue:
+    for each calendar factor (day-of-week, month), the R^2 explained
+    by that factor's group means — which seasonal axis a forecaster
+    should model first. The fact table reduces once to the daily
+    series; both decompositions run on it."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    rev = daily["rev"].to_numpy("float64")
+    sst = float(((rev - rev.mean()) ** 2).sum())
+    rows = []
+    for name, key in (
+        ("dow", ((daily["day"].dt.dayofweek + 1) % 7).astype("int64")),
+        ("month", daily["day"].dt.month.astype("int64")),
+    ):
+        grp_mean = daily.groupby(key.to_numpy())["rev"].transform("mean").to_numpy("float64")
+        sse = float(((rev - grp_mean) ** 2).sum())
+        rows.append(
+            {
+                "factor": name,
+                "n_days": np.int64(len(daily)),
+                "r2": round(1.0 - sse / sst, 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("factor").reset_index(drop=True)
+
+
+SEASONALITY_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+base AS (
+  SELECT rev,
+         rev - avg(rev) OVER () AS dev,
+         rev - avg(rev) OVER (PARTITION BY dayofweek(day)) AS dev_dow,
+         rev - avg(rev) OVER (PARTITION BY month(day)) AS dev_month
+  FROM daily
+)
+SELECT factor, CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days, round(r2, 6) AS r2
+FROM (
+  SELECT 'dow' AS factor, 1.0 - sum(dev_dow * dev_dow) / sum(dev * dev) AS r2 FROM base
+  UNION ALL
+  SELECT 'month', 1.0 - sum(dev_month * dev_month) / sum(dev * dev) FROM base
+) ORDER BY factor
+"""
+
+
+def cohort_ltv_curve(sf_dir: str, max_m: int = 11) -> pd.DataFrame:
+    """Cohort LTV curve: customers cohorted by the YEAR of their first
+    order; for months-since-first-order 0..11, the average CUMULATIVE
+    spend per cohort member — the payback-period table. One bucketed
+    per-customer min-date aggregate, one custkey-bucket shuffle join
+    attaches the cohort to every order, (cohort, m) partials reduce,
+    and the cumulative walk runs on the result-sized curve."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    firsts = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df[["o_custkey", "o_orderdate"]], batch_format="pandas"
+        ),
+        ["o_custkey"],
+        {"first_d": ("o_orderdate", "min")},
+        num_buckets=32,
+    ).materialize()
+    sizes = (
+        firsts.map_batches(
+            lambda df: pd.DataFrame({"cohort": df["first_d"].dt.year.astype("int64"), "n": np.int64(1)})
+            .groupby("cohort", as_index=False)
+            .sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("cohort", as_index=False)
+        .sum()
+    )
+    j = shuffle_hash_join(
+        ds, firsts, on="o_custkey",
+        left_cols=["o_custkey", "o_orderdate", "o_totalprice"],
+        right_cols=["o_custkey", "first_d"],
+    )
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"].dt.year * 12 + df["o_orderdate"].dt.month) - (
+            df["first_d"].dt.year * 12 + df["first_d"].dt.month
+        )
+        out = pd.DataFrame(
+            {
+                "cohort": df["first_d"].dt.year.astype("int64"),
+                "m": m.astype("int64"),
+                "s": df["o_totalprice"].to_numpy("float64"),
+            }
+        )
+        out = out[out["m"] <= max_m]
+        return out.groupby(["cohort", "m"], as_index=False).sum()
+
+    cells = (
+        j.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["cohort", "m"], as_index=False)
+        .sum()
+        .sort_values(["cohort", "m"])
+        .reset_index(drop=True)
+    )
+    size_map = sizes.set_index("cohort")["n"]
+    cells["cum"] = cells.groupby("cohort")["s"].cumsum()
+    return pd.DataFrame(
+        {
+            "cohort": cells["cohort"].astype("int64"),
+            "m": cells["m"].astype("int64"),
+            "n_customers": size_map.reindex(cells["cohort"]).to_numpy("int64"),
+            "ltv": np.round(
+                cells["cum"].to_numpy("float64")
+                / size_map.reindex(cells["cohort"]).to_numpy("float64"),
+                4,
+            ),
+        }
+    )
+
+
+COHORT_LTV_CURVE_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS first_d FROM orders GROUP BY 1
+),
+sizes AS (SELECT year(first_d) AS cohort, count(*) AS n FROM firsts GROUP BY 1),
+cells AS (
+  SELECT year(f.first_d) AS cohort,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.first_d) * 12 + month(f.first_d)) AS m,
+         sum(o.o_totalprice) AS s
+  FROM orders o JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2 HAVING m <= 11
+),
+cum AS (
+  SELECT cohort, m, sum(s) OVER (PARTITION BY cohort ORDER BY m) AS cum
+  FROM cells
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(m AS BIGINT) AS m,
+       CAST(n AS BIGINT) AS n_customers,
+       round(cum / n, 4) AS ltv
+FROM cum JOIN sizes USING (cohort)
+ORDER BY cohort, m
+"""

@@ -258,6 +258,9 @@ SUBSET = [
     "purchase_attribution",
     "reorder_gap_by_index",
     "label_silhouette_centroid",
+    "analyze_all_tables",
+    "seasonality_strength",
+    "cohort_ltv_curve",
 ]
 
 
