@@ -10647,3 +10647,242 @@ SELECT CAST(cohort AS BIGINT) AS cohort, CAST(m AS BIGINT) AS m,
 FROM cum JOIN sizes USING (cohort)
 ORDER BY cohort, m
 """
+
+
+def customer_trend_slopes(sf_dir: str, min_orders: int = 3) -> pd.DataFrame:
+    """Per-customer spend-trend screen: the OLS slope of order price
+    over the customer's order INDEX (1, 2, 3, ...), summarized as the
+    population mean slope and the share of customers trending up —
+    are customers growing or shrinking? Slopes come from per-customer
+    moment sums computed vectorized inside customer buckets; only the
+    scalar summary partials reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+
+    def _slopes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        y = g["o_totalprice"].to_numpy("float64")
+        x = (pd.Series(u).groupby(pd.Series(u)).cumcount() + 1).to_numpy("float64")
+        d = pd.DataFrame({"u": u, "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+        m = d.groupby("u", as_index=False).sum()
+        m = m[m["n"] >= min_orders]
+        n = m["n"].to_numpy("float64")
+        slope = (m["sxy"].to_numpy() / n - (m["sx"].to_numpy() / n) * (m["sy"].to_numpy() / n)) / (
+            m["sxx"].to_numpy() / n - (m["sx"].to_numpy() / n) ** 2
+        )
+        return pd.DataFrame(
+            {
+                "nc": [np.int64(len(m))],
+                "ssum": [float(slope.sum())],
+                "pos": [np.int64((slope > 0).sum())],
+            }
+        )
+
+    def _cbucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32))
+
+    s = (
+        ds.map_batches(_cbucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(_slopes, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    nc = int(s["nc"])
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(nc)],
+            "mean_slope": [round(float(s["ssum"]) / nc, 6)],
+            "frac_positive": [round(int(s["pos"]) / nc, 6)],
+        }
+    )
+
+
+CUSTOMER_TREND_SLOPES_SQL = """
+WITH seq AS (
+  SELECT o_custkey AS u, o_totalprice AS y,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS x
+  FROM orders
+),
+m AS (
+  SELECT u, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM seq GROUP BY u HAVING count(*) >= 3
+),
+sl AS (
+  SELECT (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS slope
+  FROM m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(slope) / count(*), 6) AS mean_slope,
+       round(count(CASE WHEN slope > 0 THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS frac_positive
+FROM sl
+"""
+
+
+def brand_attach_rates(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Brand complementarity: attach rate P(brand B in order | brand A
+    in order) for the top-k ordered brand pairs by co-occurrence —
+    the assortment-planning number, one level above the part-level
+    copurchase_lift. Brands are a dimension broadcast; per-order brand
+    sets dedupe inside order buckets; pair and marginal counts reduce
+    through the coarse aggregate."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _ob(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(brand_ref).reindex(df["l_partkey"]).to_numpy(object)
+        out = pd.DataFrame({"o": df["l_orderkey"].to_numpy("int64"), "b": b}).drop_duplicates()
+        out["__ob"] = (out["o"] % 64).astype("int64")
+        return out
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "b"]).sort_values(["o", "b"])
+        o = g["o"].to_numpy()
+        b = g["b"].to_numpy(object)
+        runs = np.concatenate(([0], np.flatnonzero(o[1:] != o[:-1]) + 1, [len(o)]))
+        rows_a, rows_b = [], []
+        singles = pd.DataFrame({"b": b}).groupby("b", as_index=False).size().rename(columns={"size": "n"})
+        for s_, e_ in zip(runs[:-1], runs[1:]):
+            if e_ - s_ < 2:
+                continue
+            ids = b[s_:e_]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            # ordered pairs both directions (attach is asymmetric)
+            rows_a.extend(ids[ii]); rows_b.extend(ids[jj])
+            rows_a.extend(ids[jj]); rows_b.extend(ids[ii])
+        pair_df = (
+            pd.DataFrame({"ba": rows_a, "bb": rows_b}).groupby(["ba", "bb"], as_index=False).size().rename(columns={"size": "n"})
+            if rows_a
+            else pd.DataFrame({"ba": pd.Series(dtype=object), "bb": pd.Series(dtype=object), "n": pd.Series(dtype="int64")})
+        )
+        singles["bb"] = "\x00__single__"
+        singles = singles.rename(columns={"b": "ba"})
+        return pd.concat([pair_df, singles[["ba", "bb", "n"]]], ignore_index=True)
+
+    merged = (
+        ds.map_batches(_ob, batch_format="pandas")
+        .groupby("__ob")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+        .groupby(["ba", "bb"], as_index=False)["n"]
+        .sum()
+    )
+    singles = merged[merged["bb"] == "\x00__single__"].set_index("ba")["n"]
+    pairs = merged[merged["bb"] != "\x00__single__"].copy()
+    pairs["attach_rate"] = pairs["n"].to_numpy("float64") / singles.reindex(pairs["ba"]).to_numpy("float64")
+    top = pairs.sort_values(["n", "ba", "bb"], ascending=[False, True, True]).head(k)
+    return pd.DataFrame(
+        {
+            "brand_a": top["ba"].to_numpy(object),
+            "brand_b": top["bb"].to_numpy(object),
+            "n_co": top["n"].to_numpy("int64"),
+            "attach_rate": np.round(top["attach_rate"].to_numpy("float64"), 6),
+        }
+    ).reset_index(drop=True)
+
+
+def brand_attach_rates_sql(k: int = 10) -> str:
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+singles AS (SELECT b, count(*) AS n FROM ob GROUP BY b),
+pairs AS (
+  SELECT a.b AS ba, c.b AS bb, count(*) AS n
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b <> c.b
+  GROUP BY 1, 2
+)
+SELECT ba AS brand_a, bb AS brand_b, CAST(pairs.n AS BIGINT) AS n_co,
+       round(pairs.n / CAST(s.n AS DOUBLE), 6) AS attach_rate
+FROM pairs JOIN singles s ON s.b = ba
+ORDER BY pairs.n DESC, ba, bb LIMIT {k}
+"""
+
+
+BRAND_ATTACH_RATES_SQL = brand_attach_rates_sql()
+
+
+def two_way_anova_price(sf_dir: str) -> pd.DataFrame:
+    """Two-factor ANOVA with interaction on l_extendedprice over
+    (l_returnflag x l_linestatus): sums of squares for factor A,
+    factor B, the interaction, and residual, each with its eta^2 —
+    does the price structure interact across the two codes? All four
+    decompositions come from the SAME per-cell (n, sum, sumsq)
+    partials; nothing but the cell grid reaches the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy("float64")
+        return (
+            pd.DataFrame(
+                {"a": df["l_returnflag"], "b": df["l_linestatus"], "n": np.int64(1), "s": x, "ss": x * x}
+            )
+            .groupby(["a", "b"], as_index=False)
+            .sum()
+        )
+
+    cell = (
+        ds.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)
+        .sum()
+    )
+    N = float(cell["n"].sum())
+    S = float(cell["s"].sum())
+    SS = float(cell["ss"].sum())
+    mu = S / N
+    sst = SS - N * mu * mu
+    ga = cell.groupby("a").agg(n=("n", "sum"), s=("s", "sum"))
+    gb = cell.groupby("b").agg(n=("n", "sum"), s=("s", "sum"))
+    ss_a = float((ga["s"] ** 2 / ga["n"]).sum()) - N * mu * mu
+    ss_b = float((gb["s"] ** 2 / gb["n"]).sum()) - N * mu * mu
+    ss_cells = float((cell["s"] ** 2 / cell["n"]).sum()) - N * mu * mu
+    ss_ab = ss_cells - ss_a - ss_b
+    ss_resid = sst - ss_cells
+    rows = [
+        ("returnflag", ss_a),
+        ("linestatus", ss_b),
+        ("interaction", ss_ab),
+        ("residual", ss_resid),
+    ]
+    out = pd.DataFrame(
+        {
+            "term": [r[0] for r in rows],
+            # raw SS magnitudes (~1e14) put FP noise above any fixed
+            # decimal; only the scale-free eta^2 ratios are emitted
+            "eta2": [round(r[1] / sst, 6) for r in rows],
+        }
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+TWO_WAY_ANOVA_PRICE_SQL = """
+WITH cell AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n,
+         sum(l_extendedprice) AS s, sum(l_extendedprice * l_extendedprice) AS ss
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(n) AS N, sum(s) AS S, sum(ss) AS SS FROM cell),
+mu AS (SELECT S / N AS m FROM tot),
+parts AS (
+  SELECT
+    (SELECT sum(sa * sa / na) FROM (SELECT a, sum(n) AS na, sum(s) AS sa FROM cell GROUP BY a))
+      - (SELECT N FROM tot) * (SELECT m FROM mu) * (SELECT m FROM mu) AS ss_a,
+    (SELECT sum(sb * sb / nb) FROM (SELECT b, sum(n) AS nb, sum(s) AS sb FROM cell GROUP BY b))
+      - (SELECT N FROM tot) * (SELECT m FROM mu) * (SELECT m FROM mu) AS ss_b,
+    (SELECT sum(s * s / n) FROM cell)
+      - (SELECT N FROM tot) * (SELECT m FROM mu) * (SELECT m FROM mu) AS ss_cells,
+    (SELECT SS FROM tot)
+      - (SELECT N FROM tot) * (SELECT m FROM mu) * (SELECT m FROM mu) AS sst
+)
+SELECT term, round(ss / sst, 6) AS eta2
+FROM (
+  SELECT 'returnflag' AS term, ss_a AS ss, sst FROM parts
+  UNION ALL SELECT 'linestatus', ss_b, sst FROM parts
+  UNION ALL SELECT 'interaction', ss_cells - ss_a - ss_b, sst FROM parts
+  UNION ALL SELECT 'residual', sst - ss_cells, sst FROM parts
+) ORDER BY term
+"""

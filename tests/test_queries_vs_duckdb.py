@@ -261,6 +261,9 @@ SUBSET = [
     "analyze_all_tables",
     "seasonality_strength",
     "cohort_ltv_curve",
+    "customer_trend_slopes",
+    "brand_attach_rates",
+    "two_way_anova_price",
 ]
 
 
