@@ -112,6 +112,13 @@ def run_operator_benches(out: dict) -> None:
         "doc_perplexity": text.doc_perplexity,
         "pack_sequences": text.pack_sequences,
         "bm25_scores": text.bm25_scores,
+        # round-3h additions: rank stats, resampling, retrieval fusion
+        "mann_whitney_price": relational.mann_whitney_price,
+        "bootstrap_mean_ci": relational.bootstrap_mean_ci,
+        "kaplan_meier_repurchase": relational.kaplan_meier_repurchase,
+        "item_item_cosine": relational.item_item_cosine,
+        "sorted_neighborhood_dedup": dedup.sorted_neighborhood_dedup,
+        "price_percentile_cont_by_flag": relational.price_percentile_cont_by_flag,
     }
     for name, fn in benches.items():
         best = None

@@ -4759,3 +4759,119 @@ FROM seq
 WHERE event_type = 'purchase' AND last_touch IS NOT NULL
 GROUP BY 1, 2 ORDER BY last_touch, first_touch
 """
+
+
+def quantile_treatment_effect(sf_dir: str, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Quantile treatment effects: at each decile p = 0.1..0.9, the
+    difference between the two arms' per-user total-value quantiles
+    (user-parity arms, quantile_disc order statistics) — where in the
+    outcome distribution the treatment moves mass, which a mean-only
+    readout (diff_in_diff_value) cannot see. Exact per-arm order
+    statistics via the shared two-pass (arm, range-bucket) grid
+    selection."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    per_user = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"user_id": df["user_id"], "v": df["value"]}),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        {"v": ("v", "sum")},
+        num_buckets=32,
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "arm": np.where(df["user_id"].to_numpy("int64") % 2 == 0, "A", "B"),
+                "x": df["v"].to_numpy("float64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    lo = float(per_user.min("x"))
+    hi = float(per_user.max("x"))
+    width = (hi - lo) / n_range_buckets or 1.0
+    ps = [round(0.1 * i, 1) for i in range(1, 10)]
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        per_user.map_batches(
+            lambda df: pd.DataFrame({"arm": df["arm"], "b": _bucket(df["x"].to_numpy("float64"))})
+            .groupby(["arm", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["arm", "b"], as_index=False)["c"]
+        .sum()
+    )
+    targets = {}
+    needed: dict[str, set[int]] = {}
+    for arm, g in grid.groupby("arm"):
+        g = g.sort_values("b")
+        cum = g["c"].cumsum().to_numpy("int64")
+        n_arm = int(cum[-1])
+        bs = g["b"].to_numpy("int64")
+        for p in ps:
+            k = int(np.ceil(p * n_arm))
+            j = int(np.searchsorted(cum, k))
+            needed.setdefault(arm, set()).add(int(bs[j]))
+            targets[(arm, p)] = (k, int(bs[j]), int(cum[j] - g["c"].to_numpy("int64")[j]))
+    need_ref = ray.put({a: np.array(sorted(v)) for a, v in needed.items()})
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        b = _bucket(df["x"].to_numpy("float64"))
+        keep = np.zeros(len(df), dtype=bool)
+        av = df["arm"].to_numpy(object)
+        for a, bset in nd.items():
+            keep |= (av == a) & np.isin(b, bset)
+        return pd.DataFrame({"arm": av[keep], "x": df["x"].to_numpy("float64")[keep], "b": b[keep]})
+
+    pulled = per_user.map_batches(_pull, batch_format="pandas").to_pandas()
+    rows = []
+    for p in ps:
+        q = {}
+        for arm in ("A", "B"):
+            k, bj, before = targets[(arm, p)]
+            vals = np.sort(pulled[(pulled["arm"] == arm) & (pulled["b"] == bj)]["x"].to_numpy("float64"))
+            q[arm] = float(vals[k - before - 1])
+        rows.append(
+            {
+                "p": p,
+                "q_a": round(q["A"], 4),
+                "q_b": round(q["B"], 4),
+                "qte": round(q["A"] - q["B"], 4),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+QUANTILE_TREATMENT_EFFECT_SQL = """
+WITH per AS (
+  SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         sum(value) AS x
+  FROM events GROUP BY 1, 2
+),
+ps AS (SELECT round(0.1 * unnest(range(1, 10)), 1) AS p),
+r AS (
+  SELECT arm, x,
+         row_number() OVER (PARTITION BY arm ORDER BY x) AS rk,
+         count(*) OVER (PARTITION BY arm) AS n
+  FROM per
+),
+q AS (
+  SELECT ps.p,
+         max(CASE WHEN arm = 'A' THEN x END) AS q_a,
+         max(CASE WHEN arm = 'B' THEN x END) AS q_b
+  FROM ps JOIN r ON r.rk = CAST(ceil(ps.p * r.n) AS BIGINT)
+  GROUP BY ps.p
+)
+SELECT p, round(q_a, 4) AS q_a, round(q_b, 4) AS q_b,
+       round(q_a - q_b, 4) AS qte
+FROM q ORDER BY p
+"""

@@ -5117,3 +5117,120 @@ GROUP BY f.term, t.tt ORDER BY n DESC, term
 
 
 TERM_DISPERSION_TOP_SQL = term_dispersion_top_sql()
+
+
+_OVERLAP_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def source_ngram_overlap(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Cross-source contamination matrix: for the first five sources,
+    the pairwise overlap of their DISTINCT 8-token n-gram sets
+    (intersection count + Jaccard) — which corpora share boilerplate
+    or copied passages. The gram domain rides ONE hash-bucket shuffle:
+    per gram, the source membership set resolves in-bucket and emits
+    pair partials plus per-source distinct-gram counts; nothing
+    gram-scale reaches the driver."""
+    srcs = list(_OVERLAP_SOURCES)
+    idx = {s: i for i, s in enumerate(srcs)}
+    ds = _read(sf_dir, "documents", columns=["source", "text"]).map_batches(
+        lambda df: df[df["source"].isin(srcs)], batch_format="pandas"
+    )
+
+    def _grams(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"g": [], "s": []}
+        for src, txt in zip(df["source"], df["text"]):
+            toks = TOKEN_RE.findall(txt)
+            si = idx[src]
+            for i in range(len(toks) - n + 1):
+                rows["g"].append(" ".join(toks[i : i + n]))
+                rows["s"].append(si)
+        out = pd.DataFrame(rows).drop_duplicates()
+        out["__gb"] = (
+            pd.util.hash_pandas_object(out["g"], index=False).to_numpy() % 64
+        ).astype("int64")
+        return out
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["g", "s"])
+        # membership bitmask per gram
+        mask = g.groupby("g")["s"].agg(lambda x: int(np.bitwise_or.reduce(1 << x.to_numpy())))
+        singles = pd.DataFrame(
+            {"sa": g.groupby("s").size().index.to_numpy(), "sb": -1,
+             "cnt": g.groupby("s").size().to_numpy()}
+        )
+        m = mask.to_numpy()
+        pair_rows = {"sa": [], "sb": [], "cnt": []}
+        for a in range(len(srcs)):
+            for b in range(a + 1, len(srcs)):
+                both = ((m >> a) & 1) & ((m >> b) & 1)
+                pair_rows["sa"].append(a)
+                pair_rows["sb"].append(b)
+                pair_rows["cnt"].append(int(both.sum()))
+        return pd.concat([pd.DataFrame(pair_rows), singles], ignore_index=True)
+
+    parts = (
+        ds.map_batches(_grams, batch_format="pandas")
+        .groupby("__gb")
+        .map_groups(_resolve, batch_format="pandas")
+        .to_pandas()
+        .groupby(["sa", "sb"], as_index=False)["cnt"]
+        .sum()
+    )
+    singles = parts[parts["sb"] == -1].set_index("sa")["cnt"]
+    pairs = parts[parts["sb"] >= 0]
+    rows = []
+    for _, r in pairs.iterrows():
+        na, nb = int(singles.loc[r["sa"]]), int(singles.loc[r["sb"]])
+        inter = int(r["cnt"])
+        rows.append(
+            {
+                "source_a": srcs[int(r["sa"])],
+                "source_b": srcs[int(r["sb"])],
+                "n_a": np.int64(na),
+                "n_b": np.int64(nb),
+                "n_common": np.int64(inter),
+                "jaccard": round(inter / (na + nb - inter), 6),
+            }
+        )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+
+
+SOURCE_NGRAM_OVERLAP_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, source, regexp_extract_all(text, '[A-Za-z0-9_]+') AS arr
+        FROM documents WHERE source IN ('src0','src1','src2','src3','src4'))
+),
+grams AS (
+  SELECT source,
+         concat_ws(' ', lag(tok, 7) OVER w, lag(tok, 6) OVER w, lag(tok, 5) OVER w,
+                        lag(tok, 4) OVER w, lag(tok, 3) OVER w, lag(tok, 2) OVER w,
+                        lag(tok, 1) OVER w, tok) AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lag(tok, 7) OVER w IS NOT NULL
+),
+sg AS (SELECT DISTINCT source, g FROM grams),
+singles AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT sa.source AS source_a, sb.source AS source_b, sa.n AS n_a, sb.n AS n_b,
+         coalesce(p.n_common, 0) AS n_common
+  FROM singles sa JOIN singles sb ON sa.source < sb.source
+  LEFT JOIN pairs p ON p.source_a = sa.source AND p.source_b = sb.source
+)
+SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM grid ORDER BY source_a, source_b
+"""
+)

@@ -264,6 +264,8 @@ SUBSET = [
     "customer_trend_slopes",
     "brand_attach_rates",
     "two_way_anova_price",
+    "source_ngram_overlap",
+    "quantile_treatment_effect",
 ]
 
 
