@@ -4875,3 +4875,102 @@ SELECT p, round(q_a, 4) AS q_a, round(q_b, 4) AS q_b,
        round(q_a - q_b, 4) AS qte
 FROM q ORDER BY p
 """
+
+
+def matched_att_value(sf_dir: str) -> pd.DataFrame:
+    """Matched-pair treatment effect (ATT): each arm-A user is matched
+    WITH REPLACEMENT to the arm-B user with the closest PRE-period
+    value (ties: smaller |gap| then smaller user_id), and the effect
+    is the mean post-period difference over matched pairs — the
+    covariate-matching estimator next to CUPED and DiD. Matching is a
+    vectorized searchsorted against the broadcast sorted B-arm
+    (user-scale broadcast — the documented small-side ceiling; range
+    co-partitioning is the beyond-broadcast path)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        pre_mask = df["ts"] < CUPED_SPLIT
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "pre": df["value"].where(pre_mask, 0.0),
+                "post": df["value"].where(~pre_mask, 0.0),
+            }
+        )
+
+    per_user = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"pre": ("pre", "sum"), "post": ("post", "sum")},
+        num_buckets=32,
+    ).materialize()
+    bdf = (
+        per_user.map_batches(
+            lambda df: df[df["user_id"].to_numpy("int64") % 2 == 1], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(["pre", "user_id"])
+        .reset_index(drop=True)
+    )
+    b_ref = ray.put(
+        (
+            bdf["pre"].to_numpy("float64"),
+            bdf["user_id"].to_numpy("int64"),
+            bdf["post"].to_numpy("float64"),
+        )
+    )
+
+    def _match(df: pd.DataFrame) -> pd.DataFrame:
+        bpre, bid, bpost = ray.get(b_ref)
+        a = df[df["user_id"].to_numpy("int64") % 2 == 0]
+        if a.empty:
+            return pd.DataFrame({"n": [np.int64(0)], "s": [0.0]})
+        apre = a["pre"].to_numpy("float64")
+        apost = a["post"].to_numpy("float64")
+        # vectorized nearest-match: the only candidates are the FIRST
+        # element (smallest id) of the equal-value run at/after apre
+        # and of the run just below it — (|gap|, id) ordering picks one
+        j = np.searchsorted(bpre, apre, side="left")
+        jr = np.clip(j, 0, len(bpre) - 1)
+        jl_last = np.clip(j - 1, 0, len(bpre) - 1)
+        jl = np.searchsorted(bpre, bpre[jl_last], side="left")
+        dr = np.abs(apre - bpre[jr])
+        dr[j == len(bpre)] = np.inf
+        dl = np.abs(apre - bpre[jl])
+        dl[j == 0] = np.inf
+        pick_left = (dl < dr) | ((dl == dr) & (bid[jl] < bid[jr]))
+        best = np.where(pick_left, jl, jr)
+        out_diff = apost - bpost[best]
+        return pd.DataFrame({"n": [np.int64(len(a))], "s": [float(out_diff.sum())]})
+
+    s = per_user.map_batches(_match, batch_format="pandas").to_pandas().sum()
+    n = int(s["n"])
+    return pd.DataFrame(
+        {
+            "n_matched": [np.int64(n)],
+            "att": [round(float(s["s"]) / n, 6)],
+        }
+    )
+
+
+MATCHED_ATT_VALUE_SQL = """
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS pre,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS post
+  FROM events GROUP BY user_id
+),
+a AS (SELECT * FROM per WHERE user_id % 2 = 0),
+b AS (SELECT * FROM per WHERE user_id % 2 = 1),
+m AS (
+  SELECT a.user_id, a.post - b.post AS diff
+  FROM a JOIN b ON true
+  QUALIFY row_number() OVER (PARTITION BY a.user_id
+            ORDER BY abs(a.pre - b.pre), b.user_id) = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       round(sum(diff) / count(*), 6) AS att
+FROM m
+"""

@@ -10886,3 +10886,92 @@ FROM (
   UNION ALL SELECT 'residual', sst - ss_cells, sst FROM parts
 ) ORDER BY term
 """
+
+
+def avg_neighbor_degree_curve(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """knn(k) curve of the co-purchase graph: the average neighbor
+    degree as a function of node degree — the fine-grained companion
+    to the single assortativity number (rising = hubs attach to hubs).
+    Same edge<->degree bucketed joins as copurchase_assortativity; the
+    (degree, sum neighbor degree) partials reduce to the degree
+    spectrum."""
+    edges = _copurchase_edges_ds(sf_dir, min_count).materialize()
+
+    def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [df[["part_a"]].rename(columns={"part_a": "p"}), df[["part_b"]].rename(columns={"part_b": "p"})],
+            ignore_index=True,
+        )
+        return both.groupby("p", as_index=False).size().rename(columns={"size": "d"})
+
+    deg = bucketed_aggregate(
+        edges.map_batches(_deg_partial, batch_format="pandas"), ["p"], {"d": ("d", "sum")}
+    ).map_batches(lambda df: df.astype({"p": "int64"}), batch_format="pandas")
+    ea = edges.map_batches(
+        lambda df: df[["part_a", "part_b"]].rename(columns={"part_a": "p"}).astype({"p": "int64", "part_b": "int64"}),
+        batch_format="pandas",
+    )
+    j1 = shuffle_hash_join(
+        ea, deg, on="p", left_cols=["p", "part_b"], right_cols=["p", "d"]
+    ).map_batches(
+        lambda df: df.rename(columns={"p": "part_a", "d": "da", "part_b": "p"}).astype({"p": "int64"}),
+        batch_format="pandas",
+    )
+    j2 = shuffle_hash_join(
+        j1, deg, on="p", left_cols=["part_a", "p", "da"], right_cols=["p", "d"]
+    )
+
+    def _curve(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["da"].to_numpy("int64")
+        db = df["d"].to_numpy("int64")
+        both = pd.DataFrame(
+            {"k": np.concatenate([da, db]), "nd": np.concatenate([db, da]), "n": np.int64(1)}
+        )
+        return both.groupby("k", as_index=False).sum()
+
+    g = (
+        j2.map_batches(_curve, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "degree": g["k"].astype("int64"),
+            "n_endpoints": g["n"].astype("int64"),
+            "avg_neighbor_degree": np.round(
+                g["nd"].to_numpy("float64") / g["n"].to_numpy("float64"), 6
+            ),
+        }
+    )
+
+
+def avg_neighbor_degree_curve_sql(min_count: int = 2) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= {min_count}),
+deg AS (
+  SELECT p, count(*) AS d FROM (
+    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges
+  ) GROUP BY p
+),
+o AS (
+  SELECT da.d AS k, db.d AS nd FROM edges
+    JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb
+  UNION ALL
+  SELECT db.d, da.d FROM edges
+    JOIN deg da ON da.p = pa JOIN deg db ON db.p = pb
+)
+SELECT CAST(k AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_endpoints,
+       round(sum(nd) / CAST(count(*) AS DOUBLE), 6) AS avg_neighbor_degree
+FROM o GROUP BY k ORDER BY degree
+"""
+
+
+AVG_NEIGHBOR_DEGREE_CURVE_SQL = avg_neighbor_degree_curve_sql()

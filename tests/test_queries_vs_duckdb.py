@@ -266,6 +266,8 @@ SUBSET = [
     "two_way_anova_price",
     "source_ngram_overlap",
     "quantile_treatment_effect",
+    "matched_att_value",
+    "avg_neighbor_degree_curve",
 ]
 
 
