@@ -4974,3 +4974,65 @@ SELECT CAST(count(*) AS BIGINT) AS n_matched,
        round(sum(diff) / count(*), 6) AS att
 FROM m
 """
+
+
+def burst_minutes(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Burst detection: the k busiest minutes with their Poisson
+    surprise -ln P(X = c) under the global per-minute rate — how
+    un-random is the spike (Kleinberg-style burst scoring, one
+    level). The minute histogram reduces through one bucketed
+    aggregate; the surprise math uses Stirling-free exact terms
+    (lgamma) on the k winners."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    lo = pd.Timestamp(ds.min("ts")).floor("min")
+    hi = pd.Timestamp(ds.max("ts")).floor("min")
+    n_minutes = int((hi - lo).total_seconds() // 60) + 1
+    cnt = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"m": df["ts"].dt.floor("min"), "one": np.int64(1)}),
+            batch_format="pandas",
+        ),
+        ["m"],
+        {"c": ("one", "sum")},
+        num_buckets=16,
+    ).materialize()
+    total = int(
+        cnt.map_batches(
+            lambda df: pd.DataFrame({"t": [np.int64(df["c"].sum())]}), batch_format="pandas"
+        )
+        .to_pandas()["t"]
+        .sum()
+    )
+    lam = total / n_minutes
+    top = partial_topk(cnt, ["c", "m"], [False, True], k)
+    c = top["c"].to_numpy("int64")
+    surprise = np.array(
+        [-(ci * math.log(lam) - lam - math.lgamma(ci + 1)) for ci in c]
+    )
+    return pd.DataFrame(
+        {
+            "minute": top["m"].to_numpy(),
+            "n_events": c,
+            "surprise": np.round(surprise, 6),
+        }
+    ).reset_index(drop=True)
+
+
+BURST_MINUTES_SQL = """
+WITH c AS (
+  SELECT date_trunc('minute', ts) AS m, count(*) AS c FROM events GROUP BY 1
+),
+st AS (
+  SELECT CAST(sum(c) AS DOUBLE)
+           / (datediff('minute',
+                date_trunc('minute', (SELECT min(ts) FROM events)),
+                date_trunc('minute', (SELECT max(ts) FROM events))) + 1) AS lam
+  FROM c
+)
+SELECT m AS minute, CAST(c AS BIGINT) AS n_events,
+       round(-(c * ln((SELECT lam FROM st)) - (SELECT lam FROM st) - lgamma(c + 1.0)), 6) AS surprise
+FROM c ORDER BY c DESC, m LIMIT 5
+"""

@@ -10975,3 +10975,124 @@ FROM o GROUP BY k ORDER BY degree
 
 
 AVG_NEIGHBOR_DEGREE_CURVE_SQL = avg_neighbor_degree_curve_sql()
+
+
+def rdd_discount_at_quantity(
+    sf_dir: str, cutoff: float = 25.0, bandwidth: float = 10.0
+) -> pd.DataFrame:
+    """Sharp regression-discontinuity estimate: does the average
+    discount JUMP when quantity crosses 25? Local linear fits on both
+    sides of the cutoff within a +/-10 bandwidth (intercepts AT the
+    cutoff), jump = right(25) - left(25) — the quasi-experimental
+    estimator for threshold-triggered policies. Two sets of moment
+    partials in one pass."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy("float64") - cutoff
+        y = df["l_discount"].to_numpy("float64")
+        rows = []
+        for side, mask in (("l", (x >= -bandwidth) & (x < 0)), ("r", (x >= 0) & (x <= bandwidth))):
+            xs, ys = x[mask], y[mask]
+            rows.append(
+                {
+                    "side": side,
+                    "n": np.int64(len(xs)),
+                    "sx": xs.sum(),
+                    "sy": ys.sum(),
+                    "sxx": (xs * xs).sum(),
+                    "sxy": (xs * ys).sum(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    m = (
+        ds.map_batches(_moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("side", as_index=False)
+        .sum()
+        .set_index("side")
+    )
+
+    def _intercept(r) -> float:
+        n = float(r["n"])
+        b1 = (r["sxy"] / n - (r["sx"] / n) * (r["sy"] / n)) / (
+            r["sxx"] / n - (r["sx"] / n) * (r["sx"] / n)
+        )
+        return float(r["sy"] / n - b1 * (r["sx"] / n))
+
+    left = _intercept(m.loc["l"])
+    right = _intercept(m.loc["r"])
+    return pd.DataFrame(
+        {
+            "n_left": [np.int64(m.loc["l", "n"])],
+            "n_right": [np.int64(m.loc["r", "n"])],
+            "left_at_cutoff": [round(left, 6)],
+            "right_at_cutoff": [round(right, 6)],
+            "jump": [round(right - left, 6)],
+        }
+    )
+
+
+RDD_DISCOUNT_AT_QUANTITY_SQL = """
+WITH b AS (
+  SELECT l_quantity - 25.0 AS x, l_discount AS y,
+         CASE WHEN l_quantity - 25.0 >= 0 THEN 'r' ELSE 'l' END AS side
+  FROM lineitem
+  WHERE l_quantity - 25.0 >= -10.0 AND l_quantity - 25.0 <= 10.0
+),
+m AS (
+  SELECT side, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM b GROUP BY side
+),
+ic AS (
+  SELECT side, n,
+         sy / n - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n) AS i0
+  FROM m
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM ic WHERE side = 'l') AS n_left,
+       (SELECT CAST(n AS BIGINT) FROM ic WHERE side = 'r') AS n_right,
+       round((SELECT i0 FROM ic WHERE side = 'l'), 6) AS left_at_cutoff,
+       round((SELECT i0 FROM ic WHERE side = 'r'), 6) AS right_at_cutoff,
+       round((SELECT i0 FROM ic WHERE side = 'r') - (SELECT i0 FROM ic WHERE side = 'l'), 6) AS jump
+"""
+
+
+def hill_tail_index(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Hill estimator of the Pareto tail index of order values:
+    alpha = 1 / mean(ln(x_(i) / x_(k+1))) over the top-k order
+    statistics — how heavy is the revenue tail (alpha < 2 means the
+    top whales dominate variance). Exact top-(k+1) from per-batch
+    partial top-k; the log math runs on k rows."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = partial_topk(ds, ["o_totalprice", "o_orderkey"], [False, True], k + 1)
+    x = top["o_totalprice"].to_numpy("float64")
+    xk = x[k]  # (k+1)-th largest
+    alpha = 1.0 / float(np.log(x[:k] / xk).mean())
+    return pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "x_k1": [round(float(xk), 2)],
+            "hill_alpha": [round(alpha, 6)],
+        }
+    )
+
+
+def hill_tail_index_sql(k: int = 100) -> str:
+    return f"""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+  QUALIFY rk <= {k + 1}
+),
+xk AS (SELECT x AS v FROM top WHERE rk = {k + 1})
+SELECT CAST({k} AS BIGINT) AS k,
+       round((SELECT v FROM xk), 2) AS x_k1,
+       round(1.0 / (sum(ln(x / (SELECT v FROM xk))) / {k}), 6) AS hill_alpha
+FROM top WHERE rk <= {k}
+"""
+
+
+HILL_TAIL_INDEX_SQL = hill_tail_index_sql()

@@ -268,6 +268,9 @@ SUBSET = [
     "quantile_treatment_effect",
     "matched_att_value",
     "avg_neighbor_degree_curve",
+    "rdd_discount_at_quantity",
+    "hill_tail_index",
+    "burst_minutes",
 ]
 
 
