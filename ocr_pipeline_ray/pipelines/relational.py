@@ -11096,3 +11096,152 @@ FROM top WHERE rk <= {k}
 
 
 HILL_TAIL_INDEX_SQL = hill_tail_index_sql()
+
+
+def eb_shrunk_return_rates(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates: the
+    method-of-moments prior strength k = mu*(1-mu)/var_between - 1
+    over the observed brand rates, then each brand's shrunk rate
+    (r + k*mu)/(n + k) — the small-brand-safe ranking next to the
+    Wilson interval (return_rate_wilson_by_brand). One pass of brand
+    partials; the prior fit runs on the 25-row brand table."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(brand_ref).reindex(df["l_partkey"]).to_numpy(object)
+        return (
+            pd.DataFrame(
+                {"brand": b, "n": np.int64(1), "r": (df["l_returnflag"] == "R").to_numpy().astype("int64")}
+            )
+            .groupby("brand", as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby("brand", as_index=False)
+        .sum()
+        .sort_values("brand")
+        .reset_index(drop=True)
+    )
+    rates = g["r"].to_numpy("float64") / g["n"].to_numpy("float64")
+    nb = float(len(g))
+    mu = rates.sum() / nb
+    var_b = ((rates - mu) ** 2).sum() / nb
+    k = mu * (1.0 - mu) / var_b - 1.0
+    shrunk = (g["r"].to_numpy("float64") + k * mu) / (g["n"].to_numpy("float64") + k)
+    return pd.DataFrame(
+        {
+            "p_brand": g["brand"],
+            "n": g["n"].astype("int64"),
+            "rate": np.round(rates, 6),
+            "prior_k": round(k, 4),
+            "shrunk_rate": np.round(shrunk, 6),
+        }
+    )
+
+
+EB_SHRUNK_RETURN_RATES_SQL = """
+WITH g AS (
+  SELECT p_brand, count(*) AS n,
+         count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+st AS (SELECT count(*) AS nb, sum(r / CAST(n AS DOUBLE)) / count(*) AS mu FROM g),
+v AS (
+  SELECT sum((r / CAST(n AS DOUBLE) - (SELECT mu FROM st))
+             * (r / CAST(n AS DOUBLE) - (SELECT mu FROM st))) / (SELECT nb FROM st) AS var_b
+  FROM g
+),
+kk AS (
+  SELECT (SELECT mu FROM st) * (1.0 - (SELECT mu FROM st)) / (SELECT var_b FROM v) - 1.0 AS k
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       round(r / CAST(n AS DOUBLE), 6) AS rate,
+       round((SELECT k FROM kk), 4) AS prior_k,
+       round((r + (SELECT k FROM kk) * (SELECT mu FROM st)) / (n + (SELECT k FROM kk)), 6) AS shrunk_rate
+FROM g ORDER BY p_brand
+"""
+
+
+def lorenz_curve_orders(sf_dir: str, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Lorenz curve of order values at deciles p = 0.1..0.9: the
+    cumulative revenue share held by the bottom p fraction of orders
+    (ranked by price, ties by orderkey) — the curve behind the single
+    Gini number (order_value_gini). A (range-bucket -> count, sum)
+    grid gives cumulative mass up to any rank; only the boundary
+    bucket's values are pulled to split it exactly at rank
+    floor(p*n)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    lo = float(ds.min("o_totalprice"))
+    hi = float(ds.max("o_totalprice"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"b": _bucket(df["o_totalprice"].to_numpy("float64")), "x": df["o_totalprice"]}
+            )
+            .groupby("b", as_index=False)
+            .agg(c=("x", "size"), s=("x", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    cum_c = grid["c"].cumsum().to_numpy("int64")
+    cum_s = grid["s"].cumsum().to_numpy("float64")
+    n = int(cum_c[-1])
+    total = float(cum_s[-1])
+    ps = [round(0.1 * i, 1) for i in range(1, 10)]
+    ks = {p: int(np.floor(p * n)) for p in ps}
+    need_buckets = set()
+    for p, k in ks.items():
+        j = int(np.searchsorted(cum_c, k))
+        need_buckets.add(int(grid["b"].iloc[j]))
+    need_ref = ray.put(np.array(sorted(need_buckets)))
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bucket(df["o_totalprice"].to_numpy("float64"))
+        keep = np.isin(b, ray.get(need_ref))
+        return pd.DataFrame({"b": b[keep], "x": df["o_totalprice"].to_numpy("float64")[keep]})
+
+    pulled = ds.map_batches(_pull, batch_format="pandas").to_pandas()
+    rows = []
+    for p in ps:
+        k = ks[p]
+        j = int(np.searchsorted(cum_c, k))
+        bj = int(grid["b"].iloc[j])
+        before_c = int(cum_c[j] - grid["c"].iloc[j])
+        before_s = float(cum_s[j] - grid["s"].iloc[j])
+        vals = np.sort(pulled[pulled["b"] == bj]["x"].to_numpy("float64"))
+        take = k - before_c
+        share = (before_s + float(vals[:take].sum())) / total
+        rows.append({"p": p, "k": np.int64(k), "rev_share": round(share, 6)})
+    return pd.DataFrame(rows)
+
+
+LORENZ_CURVE_ORDERS_SQL = """
+WITH r AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER () AS n,
+         sum(o_totalprice) OVER () AS total
+  FROM orders
+),
+ps AS (SELECT round(0.1 * unnest(range(1, 10)), 1) AS p)
+SELECT p, CAST(floor(p * (SELECT max(n) FROM r)) AS BIGINT) AS k,
+       round(sum(CASE WHEN rk <= floor(p * n) THEN x ELSE 0 END) / max(total), 6) AS rev_share
+FROM ps JOIN r ON true
+GROUP BY p ORDER BY p
+"""

@@ -5234,3 +5234,91 @@ SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_
 FROM grid ORDER BY source_a, source_b
 """
 )
+
+
+def term_keyness_g2(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-linguistics keyness: the top-k terms most characteristic
+    of English documents vs the rest by log-likelihood
+    G2 = 2 * (a*ln(a/Ea) + b*ln(b/Eb)) over the two term counts and
+    their expected values — the contrastive-vocabulary report
+    (what words mark this sub-corpus?). Per-batch (term, en?, count)
+    partials reduce through the vocabulary-keyed bucketed aggregate;
+    G2 needs only the term row plus two corpus totals."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for is_en, g in df.groupby(df["lang"] == "en"):
+            toks: list[str] = []
+            for s in g["text"]:
+                toks.extend(TOKEN_RE.findall(s.lower()))
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            frames.append(pd.DataFrame({"term": list(u), "a": c if is_en else 0, "b": 0 if is_en else c}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"term": pd.Series(dtype=object), "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(_counts, batch_format="pandas"),
+        ["term"],
+        {"a": ("a", "sum"), "b": ("b", "sum")},
+    ).materialize()
+    tot = (
+        vocab.map_batches(
+            lambda df: pd.DataFrame({"ta": [np.int64(df["a"].sum())], "tb": [np.int64(df["b"].sum())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sum()
+    )
+    ta, tb = float(tot["ta"]), float(tot["tb"])
+
+    def _g2(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy("float64")
+        b = df["b"].to_numpy("float64")
+        tot_t = a + b
+        ea = tot_t * ta / (ta + tb)
+        eb = tot_t * tb / (ta + tb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g2 = 2.0 * (
+                np.where(a > 0, a * np.log(a / ea), 0.0)
+                + np.where(b > 0, b * np.log(b / eb), 0.0)
+            )
+        out = pd.DataFrame({"term": df["term"], "n_en": a.astype("int64"), "n_other": b.astype("int64"), "g2": g2})
+        return out.sort_values(["g2", "term"], ascending=[False, True]).head(k)
+
+    parts = vocab.map_batches(_g2, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["g2", "term"], ascending=[False, True]).head(k).reset_index(drop=True)
+    top["g2"] = np.round(top["g2"].to_numpy("float64"), 6)
+    return top
+
+
+def term_keyness_g2_sql(k: int = 20) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT lang = 'en' AS is_en, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+v AS (
+  SELECT term,
+         count(CASE WHEN is_en THEN 1 END) AS a,
+         count(CASE WHEN NOT is_en THEN 1 END) AS b
+  FROM toks GROUP BY term
+),
+tot AS (SELECT CAST(sum(a) AS DOUBLE) AS ta, CAST(sum(b) AS DOUBLE) AS tb FROM v),
+g AS (
+  SELECT term, a, b,
+         2.0 * (CASE WHEN a > 0 THEN a * ln(a / ((a + b) * (SELECT ta FROM tot) / ((SELECT ta FROM tot) + (SELECT tb FROM tot)))) ELSE 0 END
+              + CASE WHEN b > 0 THEN b * ln(b / ((a + b) * (SELECT tb FROM tot) / ((SELECT ta FROM tot) + (SELECT tb FROM tot)))) ELSE 0 END) AS g2
+  FROM v
+)
+SELECT term, CAST(a AS BIGINT) AS n_en, CAST(b AS BIGINT) AS n_other, round(g2, 6) AS g2
+FROM g ORDER BY g2 DESC, term LIMIT {k}
+"""
+
+
+TERM_KEYNESS_G2_SQL = term_keyness_g2_sql()

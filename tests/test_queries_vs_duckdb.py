@@ -271,6 +271,9 @@ SUBSET = [
     "rdd_discount_at_quantity",
     "hill_tail_index",
     "burst_minutes",
+    "term_keyness_g2",
+    "eb_shrunk_return_rates",
+    "lorenz_curve_orders",
 ]
 
 
