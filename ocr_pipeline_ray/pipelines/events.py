@@ -5036,3 +5036,122 @@ SELECT m AS minute, CAST(c AS BIGINT) AS n_events,
        round(-(c * ln((SELECT lam FROM st)) - (SELECT lam FROM st) - lgamma(c + 1.0)), 6) AS surprise
 FROM c ORDER BY c DESC, m LIMIT 5
 """
+
+
+def msprt_crossing_day(sf_dir: str, tau2: float = 1.0) -> pd.DataFrame:
+    """Always-valid sequential A/B monitoring (mSPRT with a normal
+    mixture prior, tau^2 = 1): for each day of the experiment, the
+    cumulative log mixture-likelihood-ratio for the arm difference in
+    per-event value, and whether it has crossed the 1/alpha = 20
+    boundary — the peeking-safe dashboard readout.
+    ln(Lambda_t) = 0.5*ln(v_t/(v_t + n_t*tau2))
+                 + d_t^2 * n_t^2 * tau2 / (2*v_t*(v_t + n_t*tau2))
+    with n_t the harmonic pair size, d_t the cumulative mean
+    difference and v_t the pooled variance. Per-(day, arm) moment
+    partials reduce once; the cumulative walk runs on the 30-day
+    table."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].to_numpy("float64")
+        return (
+            pd.DataFrame(
+                {
+                    "day": df["ts"].dt.normalize(),
+                    "arm": np.where(df["user_id"].to_numpy("int64") % 2 == 0, "A", "B"),
+                    "n": np.int64(1),
+                    "s": x,
+                    "ss": x * x,
+                }
+            )
+            .groupby(["day", "arm"], as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby(["day", "arm"], as_index=False)
+        .sum()
+        .sort_values(["day", "arm"])
+    )
+    days = sorted(g["day"].unique())
+    cum = {a: {"n": 0.0, "s": 0.0, "ss": 0.0} for a in ("A", "B")}
+    rows = []
+    for d in days:
+        for _, r in g[g["day"] == d].iterrows():
+            c = cum[r["arm"]]
+            c["n"] += float(r["n"]); c["s"] += float(r["s"]); c["ss"] += float(r["ss"])
+        na, nb = cum["A"]["n"], cum["B"]["n"]
+        if na < 2 or nb < 2:
+            continue
+        ma, mb = cum["A"]["s"] / na, cum["B"]["s"] / nb
+        va = cum["A"]["ss"] / na - ma * ma
+        vb = cum["B"]["ss"] / nb - mb * mb
+        v = (na * va + nb * vb) / (na + nb)
+        n_eff = na * nb / (na + nb)
+        diff = ma - mb
+        ll = 0.5 * np.log(v / (v + n_eff * tau2)) + (
+            diff * diff * n_eff * n_eff * tau2 / (2.0 * v * (v + n_eff * tau2))
+        )
+        rows.append(
+            {
+                "day": d,
+                "n_a": np.int64(na),
+                "n_b": np.int64(nb),
+                "log_lambda": round(float(ll), 4),
+                "crossed": bool(ll > np.log(20.0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+MSPRT_CROSSING_DAY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, arm,
+         sum(n) OVER (PARTITION BY arm ORDER BY day) AS cn,
+         sum(s) OVER (PARTITION BY arm ORDER BY day) AS cs,
+         sum(ss) OVER (PARTITION BY arm ORDER BY day) AS css
+  FROM daily
+),
+wide AS (
+  SELECT day,
+         max(CASE WHEN arm = 'A' THEN cn END) AS na,
+         max(CASE WHEN arm = 'A' THEN cs END) AS sa,
+         max(CASE WHEN arm = 'A' THEN css END) AS ssa,
+         max(CASE WHEN arm = 'B' THEN cn END) AS nb,
+         max(CASE WHEN arm = 'B' THEN cs END) AS sb,
+         max(CASE WHEN arm = 'B' THEN css END) AS ssb
+  FROM cum GROUP BY day
+),
+filled AS (
+  SELECT day,
+         max(na) OVER (ORDER BY day) AS na, max(sa) OVER (ORDER BY day) AS sa,
+         max(ssa) OVER (ORDER BY day) AS ssa,
+         max(nb) OVER (ORDER BY day) AS nb, max(sb) OVER (ORDER BY day) AS sb,
+         max(ssb) OVER (ORDER BY day) AS ssb
+  FROM wide
+),
+m AS (
+  SELECT day, na, nb,
+         sa / na AS ma, sb / nb AS mb,
+         ((na * (ssa / na - (sa / na) * (sa / na)))
+          + (nb * (ssb / nb - (sb / nb) * (sb / nb)))) / (na + nb) AS v,
+         na * nb / CAST(na + nb AS DOUBLE) AS neff
+  FROM filled WHERE na >= 2 AND nb >= 2
+)
+SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(0.5 * ln(v / (v + neff * 1.0))
+             + (ma - mb) * (ma - mb) * neff * neff * 1.0
+               / (2.0 * v * (v + neff * 1.0)), 4) AS log_lambda,
+       (0.5 * ln(v / (v + neff * 1.0))
+             + (ma - mb) * (ma - mb) * neff * neff * 1.0
+               / (2.0 * v * (v + neff * 1.0))) > ln(20.0) AS crossed
+FROM m ORDER BY day
+"""

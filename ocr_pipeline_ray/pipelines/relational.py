@@ -11245,3 +11245,170 @@ SELECT p, CAST(floor(p * (SELECT max(n) FROM r)) AS BIGINT) AS k,
 FROM ps JOIN r ON true
 GROUP BY p ORDER BY p
 """
+
+
+def price_cents_histogram(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Pricing forensics: the top-k most common CENTS endings of order
+    totals (psychological-pricing / synthetic-data fingerprint, the
+    fractional-part sibling of the Benford first-digit audit).
+    cents = round(price * 100) mod 100, computed identically on both
+    engines. Per-batch 100-cell histogram partials."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _h(df: pd.DataFrame) -> pd.DataFrame:
+        c = (np.round(df["o_totalprice"].to_numpy("float64") * 100.0).astype("int64")) % 100
+        u, n = np.unique(c, return_counts=True)
+        return pd.DataFrame({"cents": u, "n": n})
+
+    g = (
+        ds.map_batches(_h, batch_format="pandas")
+        .to_pandas()
+        .groupby("cents", as_index=False)["n"]
+        .sum()
+    )
+    total = int(g["n"].sum())
+    top = g.sort_values(["n", "cents"], ascending=[False, True]).head(k).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "cents": top["cents"].astype("int64"),
+            "n": top["n"].astype("int64"),
+            "share": np.round(top["n"].to_numpy("float64") / total, 6),
+        }
+    )
+
+
+def price_cents_histogram_sql(k: int = 10) -> str:
+    return f"""
+WITH h AS (
+  SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) % 100 AS cents, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(cents AS BIGINT) AS cents, CAST(n AS BIGINT) AS n,
+       round(n / (SELECT CAST(sum(n) AS DOUBLE) FROM h), 6) AS share
+FROM h ORDER BY n DESC, cents LIMIT {k}
+"""
+
+
+PRICE_CENTS_HISTOGRAM_SQL = price_cents_histogram_sql()
+
+
+def iqr_outlier_fences_by_segment(sf_dir: str, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Tukey fences per customer segment: exact Q1/Q3 (quantile_disc)
+    of order totals via the two-pass (segment, bucket) grid selection,
+    fences at 1.5*IQR, and the count of orders outside them — the
+    boxplot-rule outlier report, grouped. Segment is a dimension
+    broadcast; the fence counts reduce from one more pass of
+    partials."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    lo = float(ds.min("o_totalprice"))
+    hi = float(ds.max("o_totalprice"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    def _seg(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object)
+        return pd.DataFrame({"seg": s, "x": df["o_totalprice"].to_numpy("float64")})
+
+    tagged = ds.map_batches(_seg, batch_format="pandas").materialize()
+    grid = (
+        tagged.map_batches(
+            lambda df: pd.DataFrame({"seg": df["seg"], "b": _bucket(df["x"].to_numpy("float64"))})
+            .groupby(["seg", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["seg", "b"], as_index=False)["c"]
+        .sum()
+    )
+    targets = {}
+    needed: dict[str, set[int]] = {}
+    for seg, g in grid.groupby("seg"):
+        g = g.sort_values("b")
+        cum = g["c"].cumsum().to_numpy("int64")
+        n_s = int(cum[-1])
+        bs = g["b"].to_numpy("int64")
+        for p in (0.25, 0.75):
+            kk = int(np.ceil(p * n_s))
+            j = int(np.searchsorted(cum, kk))
+            needed.setdefault(seg, set()).add(int(bs[j]))
+            targets[(seg, p)] = (kk, int(bs[j]), int(cum[j] - g["c"].to_numpy("int64")[j]))
+    need_ref = ray.put({s: np.array(sorted(v)) for s, v in needed.items()})
+
+    def _pull(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        b = _bucket(df["x"].to_numpy("float64"))
+        keep = np.zeros(len(df), dtype=bool)
+        sv = df["seg"].to_numpy(object)
+        for s, bset in nd.items():
+            keep |= (sv == s) & np.isin(b, bset)
+        return pd.DataFrame({"seg": sv[keep], "x": df["x"].to_numpy("float64")[keep], "b": b[keep]})
+
+    pulled = tagged.map_batches(_pull, batch_format="pandas").to_pandas()
+    fences = {}
+    for seg in needed:
+        q = {}
+        for p in (0.25, 0.75):
+            kk, bj, before = targets[(seg, p)]
+            vals = np.sort(pulled[(pulled["seg"] == seg) & (pulled["b"] == bj)]["x"].to_numpy("float64"))
+            q[p] = float(vals[kk - before - 1])
+        iqr = q[0.75] - q[0.25]
+        fences[seg] = (q[0.25], q[0.75], q[0.25] - 1.5 * iqr, q[0.75] + 1.5 * iqr)
+    f_ref = ray.put(fences)
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(f_ref)
+        sv = df["seg"].to_numpy(object)
+        x = df["x"].to_numpy("float64")
+        rows = []
+        for s, (q1, q3, flo, fhi) in fs.items():
+            m = sv == s
+            rows.append(
+                {"seg": s, "n": np.int64(m.sum()), "n_out": np.int64(((x < flo) | (x > fhi))[m].sum())}
+            )
+        return pd.DataFrame(rows)
+
+    cnt = (
+        tagged.map_batches(_count, batch_format="pandas")
+        .to_pandas()
+        .groupby("seg", as_index=False)
+        .sum()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    out_rows = []
+    for _, r in cnt.iterrows():
+        q1, q3, flo, fhi = fences[r["seg"]]
+        out_rows.append(
+            {
+                "c_mktsegment": r["seg"],
+                "n": np.int64(r["n"]),
+                "q1": round(q1, 2),
+                "q3": round(q3, 2),
+                "n_outliers": np.int64(r["n_out"]),
+            }
+        )
+    return pd.DataFrame(out_rows)
+
+
+IQR_OUTLIER_FENCES_BY_SEGMENT_SQL = """
+WITH o AS (
+  SELECT c_mktsegment AS seg, o_totalprice AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+q AS (
+  SELECT seg, quantile_disc(x, 0.25) AS q1, quantile_disc(x, 0.75) AS q3
+  FROM o GROUP BY seg
+)
+SELECT o.seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(max(q1), 2) AS q1, round(max(q3), 2) AS q3,
+       CAST(count(CASE WHEN x < q1 - 1.5 * (q3 - q1)
+                         OR x > q3 + 1.5 * (q3 - q1) THEN 1 END) AS BIGINT) AS n_outliers
+FROM o JOIN q USING (seg)
+GROUP BY o.seg ORDER BY c_mktsegment
+"""

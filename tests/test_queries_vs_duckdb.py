@@ -274,6 +274,9 @@ SUBSET = [
     "term_keyness_g2",
     "eb_shrunk_return_rates",
     "lorenz_curve_orders",
+    "msprt_crossing_day",
+    "price_cents_histogram",
+    "iqr_outlier_fences_by_segment",
 ]
 
 
