@@ -11412,3 +11412,226 @@ SELECT o.seg AS c_mktsegment, CAST(count(*) AS BIGINT) AS n,
 FROM o JOIN q USING (seg)
 GROUP BY o.seg ORDER BY c_mktsegment
 """
+
+
+def brand_modularity(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Newman modularity of the co-purchase graph under the BRAND
+    partition: Q = sum_c (e_cc/m - (a_c/2m)^2) — do parts of the same
+    brand co-occur more than chance? The community-quality primitive
+    evaluated on a given labeling (no iterative detection needed, so
+    it stays exactly oracle-checkable). Brand is a dimension
+    broadcast; per-edge community pairs reduce to the brand grid."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    edges = _copurchase_edges_ds(sf_dir, min_count)
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(brand_ref)
+        ba = bm.reindex(df["part_a"].astype("int64")).to_numpy(object)
+        bb = bm.reindex(df["part_b"].astype("int64")).to_numpy(object)
+        same = ba == bb
+        intra = pd.DataFrame({"brand": ba[same], "e": np.int64(1), "d": np.int64(0)})
+        # degree mass per brand: each edge endpoint adds 1 to its brand
+        degs = pd.DataFrame(
+            {"brand": np.concatenate([ba, bb]), "e": np.int64(0), "d": np.int64(1)}
+        )
+        both = pd.concat([intra, degs], ignore_index=True)
+        return both.groupby("brand", as_index=False).sum()
+
+    g = (
+        edges.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby("brand", as_index=False)
+        .sum()
+        .sort_values("brand")
+        .reset_index(drop=True)
+    )
+    m = float(g["d"].sum()) / 2.0  # total edges
+    q = float((g["e"].to_numpy("float64") / m - (g["d"].to_numpy("float64") / (2.0 * m)) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "n_edges": [np.int64(m)],
+            "n_brands": [np.int64(len(g))],
+            "modularity": [round(q, 6)],
+        }
+    )
+
+
+def brand_modularity_sql(min_count: int = 2) -> str:
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= {min_count}),
+be AS (
+  SELECT x.p_brand AS ba, y.p_brand AS bb
+  FROM edges JOIN part x ON x.p_partkey = pa JOIN part y ON y.p_partkey = pb
+),
+g AS (
+  SELECT brand, sum(e) AS e, sum(d) AS d FROM (
+    SELECT ba AS brand, 1 AS e, 0 AS d FROM be WHERE ba = bb
+    UNION ALL SELECT ba, 0, 1 FROM be
+    UNION ALL SELECT bb, 0, 1 FROM be
+  ) GROUP BY brand
+),
+m AS (SELECT sum(d) / 2.0 AS m FROM g)
+SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_brands,
+       round(sum(e / (SELECT m FROM m)
+                 - (d / (2.0 * (SELECT m FROM m))) * (d / (2.0 * (SELECT m FROM m)))), 6) AS modularity
+FROM g
+"""
+
+
+BRAND_MODULARITY_SQL = brand_modularity_sql()
+
+
+def trade_flow_matrix(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Bilateral trade-flow matrix: revenue by (supplier nation ->
+    customer nation), top-k cells — the full N x N generalization of
+    TPC-H Q7's two-nation volume. Both nation maps are dimension
+    broadcasts; lineitem pre-aggregates per (batch, suppkey,
+    orderkey), the orders join rides the bucketed shuffle, and the
+    25 x 25 cell grid reduces from partials."""
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nmap = nation.set_index("n_nationkey")["n_name"]
+    smap_ref = ray.put(supp.set_index("s_suppkey")["s_nationkey"].map(nmap))
+    cmap_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"].map(nmap))
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def _li(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy("float64") * (1.0 - df["l_discount"].to_numpy("float64"))
+        sn = ray.get(smap_ref).reindex(df["l_suppkey"]).to_numpy(object)
+        return (
+            pd.DataFrame({"o_orderkey": df["l_orderkey"].to_numpy("int64"), "sn": sn, "rev": rev})
+            .groupby(["o_orderkey", "sn"], as_index=False)
+            .sum()
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = shuffle_hash_join(
+        li.map_batches(_li, batch_format="pandas"),
+        orders,
+        on="o_orderkey",
+        left_cols=["o_orderkey", "sn", "rev"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cmap_ref).reindex(df["o_custkey"]).to_numpy(object)
+        return (
+            pd.DataFrame({"supp_nation": df["sn"], "cust_nation": cn, "rev": df["rev"]})
+            .groupby(["supp_nation", "cust_nation"], as_index=False)
+            .sum()
+        )
+
+    g = (
+        j.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["supp_nation", "cust_nation"], as_index=False)
+        .sum()
+    )
+    top = g.sort_values(["rev", "supp_nation", "cust_nation"], ascending=[False, True, True]).head(k)
+    return pd.DataFrame(
+        {
+            "supp_nation": top["supp_nation"].to_numpy(object),
+            "cust_nation": top["cust_nation"].to_numpy(object),
+            "revenue": np.round(top["rev"].to_numpy("float64"), 2),
+        }
+    ).reset_index(drop=True)
+
+
+def trade_flow_matrix_sql(k: int = 10) -> str:
+    return f"""
+WITH f AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT supp_nation, cust_nation, round(revenue, 2) AS revenue
+FROM f ORDER BY revenue DESC, supp_nation, cust_nation LIMIT {k}
+"""
+
+
+TRADE_FLOW_MATRIX_SQL = trade_flow_matrix_sql()
+
+
+def partial_corr_price_qty_given_discount(sf_dir: str) -> pd.DataFrame:
+    """First-order partial correlation of extendedprice and quantity
+    CONTROLLING for discount:
+    r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) — does
+    the raw dependence survive removing the shared driver? All three
+    pairwise correlations come from ONE pass of 9 moment partials."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity", "l_discount"])
+
+    def _m(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy("float64")
+        y = df["l_quantity"].to_numpy("float64")
+        z = df["l_discount"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sx": [x.sum()], "sy": [y.sum()], "sz": [z.sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()], "szz": [(z * z).sum()],
+                "sxy": [(x * y).sum()], "sxz": [(x * z).sum()], "syz": [(y * z).sum()],
+            }
+        )
+
+    m = ds.map_batches(_m, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+
+    def _corr(sab, sa, sb, saa, sbb):
+        cov = sab / n - (sa / n) * (sb / n)
+        va = saa / n - (sa / n) ** 2
+        vb = sbb / n - (sb / n) ** 2
+        return cov / np.sqrt(va * vb)
+
+    rxy = _corr(m["sxy"], m["sx"], m["sy"], m["sxx"], m["syy"])
+    rxz = _corr(m["sxz"], m["sx"], m["sz"], m["sxx"], m["szz"])
+    ryz = _corr(m["syz"], m["sy"], m["sz"], m["syy"], m["szz"])
+    pr = (rxy - rxz * ryz) / np.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "r_xy": [round(float(rxy), 6)],
+            "r_xz": [round(float(rxz), 6)],
+            "r_yz": [round(float(ryz), 6)],
+            "partial_r": [round(float(pr), 6)],
+        }
+    )
+
+
+PARTIAL_CORR_PRICE_QTY_GIVEN_DISCOUNT_SQL = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(l_extendedprice) AS sx, sum(l_quantity) AS sy, sum(l_discount) AS sz,
+         sum(l_extendedprice * l_extendedprice) AS sxx,
+         sum(l_quantity * l_quantity) AS syy,
+         sum(l_discount * l_discount) AS szz,
+         sum(l_extendedprice * l_quantity) AS sxy,
+         sum(l_extendedprice * l_discount) AS sxz,
+         sum(l_quantity * l_discount) AS syz
+  FROM lineitem
+),
+r AS (
+  SELECT n,
+    (sxy / n - (sx / n) * (sy / n)) / sqrt((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))) AS rxy,
+    (sxz / n - (sx / n) * (sz / n)) / sqrt((sxx / n - (sx / n) * (sx / n)) * (szz / n - (sz / n) * (sz / n))) AS rxz,
+    (syz / n - (sy / n) * (sz / n)) / sqrt((syy / n - (sy / n) * (sy / n)) * (szz / n - (sz / n) * (sz / n))) AS ryz
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS partial_r
+FROM r
+"""

@@ -277,6 +277,9 @@ SUBSET = [
     "msprt_crossing_day",
     "price_cents_histogram",
     "iqr_outlier_fences_by_segment",
+    "brand_modularity",
+    "trade_flow_matrix",
+    "partial_corr_price_qty_given_discount",
 ]
 
 
