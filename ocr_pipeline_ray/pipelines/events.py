@@ -5155,3 +5155,55 @@ SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                / (2.0 * v * (v + neff * 1.0))) > ln(20.0) AS crossed
 FROM m ORDER BY day
 """
+
+
+def lognormal_fit_user_value(sf_dir: str) -> pd.DataFrame:
+    """Lognormal fit of per-user total event value: MLE parameters
+    mu-hat and sigma-hat from the log moments, plus the implied median
+    exp(mu) and mean exp(mu + sigma^2/2) — the standard heavy-tail
+    parameterization for LTV planning. One bucketed per-user
+    aggregate, then scalar log-moment partials."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    per_user = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"user_id": df["user_id"], "v": df["value"]}),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        {"v": ("v", "sum")},
+        num_buckets=32,
+    )
+
+    def _m(df: pd.DataFrame) -> pd.DataFrame:
+        lv = np.log(df["v"].to_numpy("float64"))
+        return pd.DataFrame({"n": [np.int64(len(df))], "s": [lv.sum()], "ss": [(lv * lv).sum()]})
+
+    m = per_user.map_batches(_m, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    mu = m["s"] / n
+    sigma2 = m["ss"] / n - mu * mu
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n)],
+            "mu": [round(float(mu), 6)],
+            "sigma": [round(float(np.sqrt(sigma2)), 6)],
+            "median_value": [round(float(np.exp(mu)), 4)],
+            "mean_value": [round(float(np.exp(mu + sigma2 / 2.0)), 4)],
+        }
+    )
+
+
+LOGNORMAL_FIT_USER_VALUE_SQL = """
+WITH per AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id),
+m AS (
+  SELECT count(*) AS n, sum(ln(v)) AS s, sum(ln(v) * ln(v)) AS ss FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(s / n, 6) AS mu,
+       round(sqrt(ss / n - (s / n) * (s / n)), 6) AS sigma,
+       round(exp(s / n), 4) AS median_value,
+       round(exp(s / n + (ss / n - (s / n) * (s / n)) / 2.0), 4) AS mean_value
+FROM m
+"""

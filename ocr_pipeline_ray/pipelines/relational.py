@@ -11635,3 +11635,145 @@ SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
        round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS partial_r
 FROM r
 """
+
+
+def spectral_peaks_daily(sf_dir: str, max_freq: int = 30, k: int = 3) -> pd.DataFrame:
+    """Periodicity scan of daily revenue: the DFT power share at
+    frequencies 1..30 cycles over the series, top-k — finds the weekly
+    (and any synthetic) cycle without assuming it. Power_f =
+    ((sum x_t cos(2 pi f t/n))^2 + (sin ...)^2) normalized by total
+    AC power, a scale-free share so the cross-engine comparison is
+    FP-safe. The heavy reduce is the bucketed daily aggregate; the 30
+    projections run on the result-sized series (identical closed form
+    in SQL)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("float64")
+    n = len(x)
+    e = x - x.mean()
+    t = np.arange(n, dtype="float64")
+    total_power = float((e * e).sum())
+    rows = []
+    for f in range(1, max_freq + 1):
+        ang = 2.0 * np.pi * f * t / n
+        c = float((e * np.cos(ang)).sum())
+        s = float((e * np.sin(ang)).sum())
+        rows.append({"freq": np.int64(f), "power_share": (c * c + s * s) / (total_power * n / 2.0)})
+    df = pd.DataFrame(rows).sort_values(["power_share", "freq"], ascending=[False, True]).head(k)
+    df["power_share"] = np.round(df["power_share"].to_numpy("float64"), 6)
+    df["period_days"] = np.round(n / df["freq"].to_numpy("float64"), 2)
+    return df[["freq", "period_days", "power_share"]].reset_index(drop=True)
+
+
+def spectral_peaks_daily_sql(max_freq: int = 30, k: int = 3) -> str:
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev,
+         row_number() OVER (ORDER BY date_trunc('day', o_orderdate)) - 1 AS t
+  FROM orders GROUP BY 1
+),
+st AS (SELECT avg(rev) AS mu, count(*) AS n FROM daily),
+dev AS (SELECT t, rev - (SELECT mu FROM st) AS e FROM daily),
+tp AS (SELECT sum(e * e) AS total FROM dev),
+freqs AS (SELECT unnest(range(1, {max_freq + 1})) AS f),
+proj AS (
+  SELECT f,
+         sum(e * cos(2 * pi() * f * t / (SELECT n FROM st))) AS c,
+         sum(e * sin(2 * pi() * f * t / (SELECT n FROM st))) AS s
+  FROM freqs JOIN dev ON true GROUP BY f
+)
+SELECT CAST(f AS BIGINT) AS freq,
+       round((SELECT n FROM st) / CAST(f AS DOUBLE), 2) AS period_days,
+       round((c * c + s * s) / ((SELECT total FROM tp) * (SELECT n FROM st) / 2.0), 6) AS power_share
+FROM proj
+ORDER BY (c * c + s * s) / ((SELECT total FROM tp) * (SELECT n FROM st) / 2.0) DESC, f
+LIMIT {k}
+"""
+
+
+SPECTRAL_PEAKS_DAILY_SQL = spectral_peaks_daily_sql()
+
+
+def decision_stump_returnflag(sf_dir: str) -> pd.DataFrame:
+    """1R decision stump, learned exactly and distributed: the single
+    quantity threshold t (predict returnflag = 'R' when quantity >= t)
+    with the highest training accuracy, against the majority-class
+    baseline — the weak-learner primitive under every boosted tree.
+    The (value, pos, neg) histogram reduces through one bucketed
+    aggregate; the exact best split falls out of cumulative counts on
+    the result-sized value domain (quantity has a bounded domain; for
+    continuous features the range-bucket grid narrows first)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def _h(df: pd.DataFrame) -> pd.DataFrame:
+        pos = (df["l_returnflag"] == "R").to_numpy().astype("int64")
+        return (
+            pd.DataFrame({"x": df["l_quantity"].to_numpy("float64"), "pos": pos, "neg": 1 - pos})
+            .groupby("x", as_index=False)
+            .sum()
+        )
+
+    h = (
+        ds.map_batches(_h, batch_format="pandas")
+        .to_pandas()
+        .groupby("x", as_index=False)
+        .sum()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    n = int(h["pos"].sum() + h["neg"].sum())
+    n_pos = int(h["pos"].sum())
+    # predict R when x >= t, for t in distinct values: correct =
+    # pos at/above t + neg below t
+    pos_above = h["pos"][::-1].cumsum()[::-1].to_numpy("int64")
+    neg_below = np.concatenate([[0], h["neg"].cumsum().to_numpy("int64")[:-1]])
+    correct = pos_above + neg_below
+    best = int(np.argmax(correct))  # first (smallest t) argmax = tie-break
+    baseline = max(n_pos, n - n_pos)
+    return pd.DataFrame(
+        {
+            "threshold": [round(float(h["x"].iloc[best]), 2)],
+            "accuracy": [round(int(correct[best]) / n, 6)],
+            "baseline_acc": [round(baseline / n, 6)],
+        }
+    )
+
+
+DECISION_STUMP_RETURNFLAG_SQL = """
+WITH h AS (
+  SELECT l_quantity AS x,
+         count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS pos,
+         count(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS neg
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT x,
+         sum(pos) OVER (ORDER BY x DESC) AS pos_above,
+         coalesce(sum(neg) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM h
+),
+tot AS (SELECT sum(pos) AS np, sum(pos) + sum(neg) AS n FROM h),
+best AS (
+  SELECT x, pos_above + neg_below AS correct
+  FROM c ORDER BY correct DESC, x LIMIT 1
+)
+SELECT round((SELECT x FROM best), 2) AS threshold,
+       round((SELECT correct FROM best) / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS accuracy,
+       round(greatest((SELECT np FROM tot), (SELECT n FROM tot) - (SELECT np FROM tot))
+             / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS baseline_acc
+"""

@@ -280,6 +280,9 @@ SUBSET = [
     "brand_modularity",
     "trade_flow_matrix",
     "partial_corr_price_qty_given_discount",
+    "spectral_peaks_daily",
+    "decision_stump_returnflag",
+    "lognormal_fit_user_value",
 ]
 
 
