@@ -5322,3 +5322,136 @@ FROM g ORDER BY g2 DESC, term LIMIT {k}
 
 
 TERM_KEYNESS_G2_SQL = term_keyness_g2_sql()
+
+
+def naive_bayes_lang(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes language classifier — TRAINED and
+    evaluated distributed, with exact cross-engine parity (no RNG, no
+    iterations): per-(term, lang) counts with Laplace smoothing over
+    the global vocabulary, per-doc argmax of
+    ln P(lang) + sum_tokens ln P(token|lang), resubstitution recall
+    per language. The model is the classic fastText-style lang-id
+    baseline; the training reduce is ONE vocabulary-keyed bucketed
+    aggregate and inference broadcasts the V x L log-prob table
+    (model broadcast — the standard NB serving shape).
+    Ties in the argmax break toward the lexicographically smaller
+    language on both engines."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for lang, g in df.groupby("lang"):
+            toks: list[str] = []
+            for s in g["text"]:
+                toks.extend(TOKEN_RE.findall(s.lower()))
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            frames.append(pd.DataFrame({"term": list(u), "lang": lang, "c": c}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"term": pd.Series(dtype=object), "lang": pd.Series(dtype=object), "c": pd.Series(dtype="int64")}
+        )
+
+    tl = bucketed_aggregate(
+        ds.map_batches(_counts, batch_format="pandas"), ["term", "lang"], {"c": ("c", "sum")}
+    ).to_pandas()  # model-scale: V x L rows (the broadcastable model)
+    langs = sorted(tl["lang"].unique())
+    v_total = tl["term"].nunique()
+    tok_l = tl.groupby("lang")["c"].sum()
+    docs_l = (
+        ds.map_batches(
+            lambda df: df.groupby("lang", as_index=False).size().rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("lang")["n"]
+        .sum()
+    )
+    n_docs = int(docs_l.sum())
+    wide = tl.pivot(index="term", columns="lang", values="c")
+    model = pd.DataFrame(index=wide.index)
+    unseen = {}
+    prior = {}
+    for l in langs:
+        denom = float(tok_l.loc[l] + v_total)
+        col = wide[l] if l in wide.columns else pd.Series(np.nan, index=wide.index)
+        model[l] = np.log((col.fillna(0.0).to_numpy("float64") + 1.0) / denom)
+        unseen[l] = float(np.log(1.0 / denom))
+        prior[l] = float(np.log(docs_l.loc[l] / n_docs))
+    model_ref = ray.put((model, unseen, prior, langs))
+
+    class _Classify:
+        def __init__(self):
+            self.model, self.unseen, self.prior, self.langs = ray.get(model_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = {"lang": [], "pred": []}
+            for gold, txt in zip(df["lang"], df["text"]):
+                toks = TOKEN_RE.findall(txt.lower())
+                u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                sub = self.model.reindex(u)
+                best_l, best_s = None, None
+                for l in self.langs:
+                    lp = sub[l].fillna(self.unseen[l]).to_numpy("float64")
+                    s = self.prior[l] + float((lp * c).sum())
+                    if best_s is None or s > best_s:
+                        best_l, best_s = l, s
+                rows["lang"].append(gold)
+                rows["pred"].append(best_l)
+            out = pd.DataFrame(rows)
+            out["n"] = np.int64(1)
+            out["correct"] = (out["lang"] == out["pred"]).astype("int64")
+            return out.groupby("lang", as_index=False).agg(n=("n", "sum"), n_correct=("correct", "sum"))
+
+    g = (
+        ds.map_batches(_Classify, batch_format="pandas", batch_size=256, concurrency=(1, 8))
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "lang": g["lang"],
+            "n_docs": g["n"].astype("int64"),
+            "n_correct": g["n_correct"].astype("int64"),
+            "recall": np.round(g["n_correct"].to_numpy("float64") / g["n"].to_numpy("float64"), 6),
+        }
+    )
+
+
+NAIVE_BAYES_LANG_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+dt AS (SELECT doc_id, lang AS gold, term, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+tl AS (SELECT term, lang, count(*) AS c FROM toks GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tl),
+langs AS (SELECT lang, sum(c) AS tok_l FROM tl GROUP BY lang),
+docs AS (SELECT lang, count(*) AS d FROM documents GROUP BY lang),
+nd AS (SELECT sum(d) AS n FROM docs),
+scores AS (
+  SELECT dt.doc_id, dt.gold, langs.lang AS cand,
+         ln(docs.d / CAST((SELECT n FROM nd) AS DOUBLE))
+           + sum(dt.c * ln((coalesce(tl.c, 0) + 1.0)
+                           / (langs.tok_l + (SELECT v FROM vocab)))) AS score
+  FROM dt
+  CROSS JOIN langs
+  JOIN docs ON docs.lang = langs.lang
+  LEFT JOIN tl ON tl.term = dt.term AND tl.lang = langs.lang
+  GROUP BY dt.doc_id, dt.gold, langs.lang, docs.d, langs.tok_l
+),
+pred AS (
+  SELECT doc_id, gold, cand AS pred
+  FROM scores
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) = 1
+)
+SELECT gold AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN pred = gold THEN 1 END) AS BIGINT) AS n_correct,
+       round(count(CASE WHEN pred = gold THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM pred GROUP BY gold ORDER BY lang
+"""

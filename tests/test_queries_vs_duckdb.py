@@ -283,6 +283,7 @@ SUBSET = [
     "spectral_peaks_daily",
     "decision_stump_returnflag",
     "lognormal_fit_user_value",
+    "naive_bayes_lang",
 ]
 
 
