@@ -11777,3 +11777,51 @@ SELECT round((SELECT x FROM best), 2) AS threshold,
        round(greatest((SELECT np FROM tot), (SELECT n FROM tot) - (SELECT np FROM tot))
              / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS baseline_acc
 """
+
+
+def discount_waterfall(sf_dir: str) -> pd.DataFrame:
+    """Revenue waterfall by discount band: gross (list) revenue, the
+    discount give-back, and net revenue per percent-band — the pricing
+    bridge finance reads next to the MoM bridge
+    (revenue_decomposition_mom). One pass of banded partials."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_discount"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        gross = df["l_extendedprice"].to_numpy("float64")
+        disc = df["l_discount"].to_numpy("float64")
+        band = np.round(disc * 100.0).astype("int64")
+        return (
+            pd.DataFrame(
+                {"band": band, "n": np.int64(1), "gross": gross, "given": gross * disc}
+            )
+            .groupby("band", as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby("band", as_index=False)
+        .sum()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "discount_pct": g["band"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "gross": np.round(g["gross"].to_numpy("float64"), 2),
+            "discount_given": np.round(g["given"].to_numpy("float64"), 2),
+            "net": np.round(g["gross"].to_numpy("float64") - g["given"].to_numpy("float64"), 2),
+        }
+    )
+
+
+DISCOUNT_WATERFALL_SQL = """
+SELECT CAST(CAST(round(l_discount * 100.0) AS BIGINT) AS BIGINT) AS discount_pct,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS gross,
+       round(sum(l_extendedprice * l_discount), 2) AS discount_given,
+       round(sum(l_extendedprice) - sum(l_extendedprice * l_discount), 2) AS net
+FROM lineitem GROUP BY 1 ORDER BY discount_pct
+"""

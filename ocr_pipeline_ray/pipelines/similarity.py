@@ -1765,3 +1765,69 @@ SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
        round(sum((b - a) / greatest(a, b)) / count(*), 6) AS silhouette
 FROM ab GROUP BY label ORDER BY label
 """
+
+
+def knn1_label_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Leave-self-out 1-NN label accuracy over the embedding column
+    (euclidean, ties by vec_id): how label-consistent is the space —
+    the eval a retrieval or dedup stage runs before trusting
+    neighbors. Same broadcast-corpus blocked scan as the exact-oracle
+    neighbor ops; per-label (n, correct) partials reduce per batch."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    corpus = ds.to_pandas()
+    c_ids, cm = _to_matrix(corpus)
+    c_lab = corpus["label"].to_numpy("int64")
+    ref = ray.put((c_ids, cm, c_lab))
+
+    class _NN1:
+        def __init__(self):
+            self.c_ids, self.cm, self.c_lab = ray.get(ref)
+            self.c_sq = (self.cm * self.cm).sum(axis=1)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, m = _to_matrix(df)
+            lab = df["label"].to_numpy("int64")
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ self.cm.T) + self.c_sq[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            for i, vid in enumerate(ids):
+                d2[i, self.c_ids == vid] = np.inf
+            # argmin with vec_id tie-break: lexsort over (id, dist)
+            order = np.lexsort((np.broadcast_to(self.c_ids, d2.shape), d2), axis=1)
+            nn = order[:, 0]
+            pred = self.c_lab[nn]
+            return (
+                pd.DataFrame({"label": lab, "n": np.int64(1), "correct": (pred == lab).astype("int64")})
+                .groupby("label", as_index=False)
+                .sum()
+            )
+
+    g = (
+        ds.map_batches(_NN1, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
+        .to_pandas()
+        .groupby("label", as_index=False)
+        .sum()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "label": g["label"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "n_correct": g["correct"].astype("int64"),
+            "recall": np.round(g["correct"].to_numpy("float64") / g["n"].to_numpy("float64"), 6),
+        }
+    )
+
+
+KNN1_LABEL_ACCURACY_SQL = """
+WITH d AS (
+  SELECT a.vec_id AS i, a.label AS gold, b.label AS nn_label,
+         row_number() OVER (PARTITION BY a.vec_id
+           ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT CAST(gold AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(CASE WHEN nn_label = gold THEN 1 END) AS BIGINT) AS n_correct,
+       round(count(CASE WHEN nn_label = gold THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM d WHERE rk = 1 GROUP BY gold ORDER BY label
+"""

@@ -5455,3 +5455,83 @@ SELECT gold AS lang, CAST(count(*) AS BIGINT) AS n_docs,
        round(count(CASE WHEN pred = gold THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM pred GROUP BY gold ORDER BY lang
 """
+
+
+def char_trigram_entropy_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Character-level conditional entropy H(c | ab) per language from
+    the char-trigram/bigram count ratio:
+    H = -sum_abc p(abc) * ln(n_abc / n_ab) — the compressibility /
+    script-complexity profile a char-LM data stage reports (lower =
+    more predictable orthography). Per-batch (lang, trigram) count
+    partials reduce through the bucketed aggregate; bigram marginals
+    come from the same table by prefix."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def _tri(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"lang": [], "g": []}
+        for lang, s in zip(df["lang"], df["text"]):
+            n = len(s)
+            if n < 3:
+                continue
+            rows["lang"].extend([lang] * (n - 2))
+            rows["g"].extend(s[i : i + 3] for i in range(n - 2))
+        out = pd.DataFrame(rows)
+        return out.groupby(["lang", "g"], as_index=False).size().rename(columns={"size": "c"})
+
+    tri = bucketed_aggregate(
+        ds.map_batches(_tri, batch_format="pandas"), ["lang", "g"], {"c": ("c", "sum")}
+    ).materialize()
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ab=df["g"].str.slice(0, 2))
+        return df
+
+    # bigram-prefix totals per (lang, ab): trigram counts grouped by
+    # prefix are EXACT totals of bigrams at positions 1..n-2, the
+    # denominator the conditional entropy needs
+    pre = bucketed_aggregate(
+        tri.map_batches(_partials, batch_format="pandas"),
+        ["lang", "ab"],
+        {"nab": ("c", "sum")},
+    ).to_pandas()
+    tdf = tri.to_pandas()
+    tdf["ab"] = tdf["g"].str.slice(0, 2)
+    m = tdf.merge(pre, on=["lang", "ab"])
+    rows = []
+    for lang, g in m.groupby("lang"):
+        c = g["c"].to_numpy("float64")
+        nab = g["nab"].to_numpy("float64")
+        total = c.sum()
+        h = float(-((c / total) * np.log(c / nab)).sum())
+        rows.append(
+            {
+                "lang": lang,
+                "n_trigrams": np.int64(total),
+                "n_types": np.int64(len(g)),
+                "cond_entropy": round(h, 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
+CHAR_TRIGRAM_ENTROPY_BY_LANG_SQL = """
+WITH tri AS (
+  SELECT lang, substr(text, CAST(i AS INT), 3) AS g, count(*) AS c
+  FROM (SELECT lang, text, unnest(range(1, len(text) - 1)) AS i FROM documents)
+  WHERE len(text) >= 3
+  GROUP BY 1, 2
+),
+pre AS (SELECT lang, substr(g, 1, 2) AS ab, sum(c) AS nab FROM tri GROUP BY 1, 2),
+j AS (
+  SELECT tri.lang, c, nab FROM tri JOIN pre
+    ON pre.lang = tri.lang AND pre.ab = substr(tri.g, 1, 2)
+),
+tot AS (SELECT lang, sum(c) AS total FROM j GROUP BY lang)
+SELECT j.lang, CAST(max(total) AS BIGINT) AS n_trigrams,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(-sum((c / CAST(total AS DOUBLE)) * ln(c / CAST(nab AS DOUBLE))), 6) AS cond_entropy
+FROM j JOIN tot ON tot.lang = j.lang
+GROUP BY j.lang ORDER BY j.lang
+"""

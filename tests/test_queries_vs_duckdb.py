@@ -284,6 +284,9 @@ SUBSET = [
     "decision_stump_returnflag",
     "lognormal_fit_user_value",
     "naive_bayes_lang",
+    "knn1_label_accuracy",
+    "char_trigram_entropy_by_lang",
+    "discount_waterfall",
 ]
 
 
