@@ -5207,3 +5207,84 @@ SELECT CAST(n AS BIGINT) AS n_users,
        round(exp(s / n + (ss / n - (s / n) * (s / n)) / 2.0), 4) AS mean_value
 FROM m
 """
+
+
+def cvm_arm_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Cramér–von Mises two-sample statistic between the arms'
+    per-user EVENT-COUNT distributions: T = (na*nb/(na+nb)^2) *
+    sum over the pooled sample of (F_A(x) - F_B(x))^2 — the
+    integrated-CDF companion to KS (sensitive across the whole
+    distribution, not just the max gap). Counts are integers, so the
+    value-domain histogram is exact: one bucketed per-user count, a
+    tiny (count-value, arm) histogram, and the CDF walk on its rows."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    per_user = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"user_id": df["user_id"], "one": np.int64(1)}),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        {"c": ("one", "sum")},
+        num_buckets=32,
+    )
+    h = (
+        per_user.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "x": df["c"].to_numpy("int64"),
+                    "a": (df["user_id"].to_numpy("int64") % 2 == 0).astype("int64"),
+                    "b": (df["user_id"].to_numpy("int64") % 2 == 1).astype("int64"),
+                }
+            )
+            .groupby("x", as_index=False)
+            .sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("x", as_index=False)
+        .sum()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    na = float(h["a"].sum())
+    nb = float(h["b"].sum())
+    fa = h["a"].cumsum().to_numpy("float64") / na
+    fb = h["b"].cumsum().to_numpy("float64") / nb
+    w = (h["a"] + h["b"]).to_numpy("float64")  # pooled multiplicity at each value
+    t = (na * nb / (na + nb) ** 2) * float(((fa - fb) ** 2 * w).sum())
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "cvm_t": [round(t, 6)],
+        }
+    )
+
+
+CVM_ARM_EVENT_COUNTS_SQL = """
+WITH per AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+h AS (
+  SELECT c AS x,
+         count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS a,
+         count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS b
+  FROM per GROUP BY c
+),
+tot AS (SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb FROM h),
+cdf AS (
+  SELECT x, a, b,
+         sum(a) OVER (ORDER BY x) / (SELECT na FROM tot) AS fa,
+         sum(b) OVER (ORDER BY x) / (SELECT nb FROM tot) AS fb
+  FROM h
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+       round((SELECT na FROM tot) * (SELECT nb FROM tot)
+             / (((SELECT na FROM tot) + (SELECT nb FROM tot))
+                * ((SELECT na FROM tot) + (SELECT nb FROM tot)))
+             * sum((fa - fb) * (fa - fb) * (a + b)), 6) AS cvm_t
+FROM cdf
+"""

@@ -11825,3 +11825,118 @@ SELECT CAST(CAST(round(l_discount * 100.0) AS BIGINT) AS BIGINT) AS discount_pct
        round(sum(l_extendedprice) - sum(l_extendedprice * l_discount), 2) AS net
 FROM lineitem GROUP BY 1 ORDER BY discount_pct
 """
+
+
+def popularity_hitrate_at10(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Recommender offline eval, leakage-safe: per customer hold out
+    the LAST order (by date, orderkey tie-break), build the top-k
+    most-popular parts from the REMAINING training orders only, and
+    report hit-rate@k — did the trivial popularity policy place any
+    held-out part in its top-k? The floor every learned recommender
+    must beat. One custkey-bucket pass marks each customer's last
+    order; popularity reduces over the training side; the k winners
+    broadcast for the hit check."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _mark_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        is_last = np.empty(len(g), dtype=bool)
+        is_last[:-1] = u[:-1] != u[1:]
+        is_last[-1] = True
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy("int64"),
+                "o_custkey": u,
+                # int64, not bool: the bucketed join reindexes empty
+                # buckets and a bool column would silently float-ify
+                "is_last": is_last.astype("int64"),
+            }
+        )
+
+    marked = (
+        orders.map_batches(
+            lambda df: df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32)), batch_format="pandas"
+        )
+        .groupby("__b")
+        .map_groups(_mark_last, batch_format="pandas")
+        .materialize()
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+    )
+    j = shuffle_hash_join(
+        li, marked, on="o_orderkey",
+        left_cols=["o_orderkey", "l_partkey"],
+        right_cols=["o_orderkey", "o_custkey", "is_last"],
+    ).materialize()
+    pop = bucketed_aggregate(
+        j.map_batches(
+            lambda df: df[df["is_last"] == 0]
+            .groupby("l_partkey", as_index=False)
+            .size()
+            .rename(columns={"size": "n"}),
+            batch_format="pandas",
+        ),
+        ["l_partkey"],
+        {"n": ("n", "sum")},
+    )
+    top = partial_topk(pop, ["n", "l_partkey"], [False, True], k)
+    top_ref = ray.put(set(top["l_partkey"].astype("int64").tolist()))
+
+    def _hits(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["is_last"] == 1]
+        if t.empty:
+            return pd.DataFrame({"c": pd.Series(dtype="int64"), "hit": pd.Series(dtype="int64")})
+        hit = t["l_partkey"].astype("int64").isin(ray.get(top_ref)).astype("int64")
+        return (
+            pd.DataFrame({"c": t["o_custkey"].to_numpy("int64"), "hit": hit.to_numpy()})
+            .groupby("c", as_index=False)
+            .max()
+        )
+
+    per_cust = (
+        j.map_batches(_hits, batch_format="pandas")
+        .to_pandas()
+        .groupby("c", as_index=False)
+        .max()
+    )
+    n = len(per_cust)
+    hits = int(per_cust["hit"].sum())
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(n)],
+            "n_hits": [np.int64(hits)],
+            "hitrate": [round(hits / n, 6)],
+        }
+    )
+
+
+def popularity_hitrate_at10_sql(k: int = 10) -> str:
+    return f"""
+WITH marked AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
+  FROM orders
+),
+j AS (
+  SELECT l_partkey, o_custkey, is_last
+  FROM lineitem JOIN marked ON l_orderkey = o_orderkey
+),
+pop AS (
+  SELECT l_partkey, count(*) AS n FROM j WHERE NOT is_last GROUP BY 1
+  ORDER BY n DESC, l_partkey LIMIT {k}
+),
+per AS (
+  SELECT o_custkey,
+         max(CASE WHEN l_partkey IN (SELECT l_partkey FROM pop) THEN 1 ELSE 0 END) AS hit
+  FROM j WHERE is_last GROUP BY o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS hitrate
+FROM per
+"""
+
+
+POPULARITY_HITRATE_AT10_SQL = popularity_hitrate_at10_sql()

@@ -287,6 +287,8 @@ SUBSET = [
     "knn1_label_accuracy",
     "char_trigram_entropy_by_lang",
     "discount_waterfall",
+    "popularity_hitrate_at10",
+    "cvm_arm_event_counts",
 ]
 
 
