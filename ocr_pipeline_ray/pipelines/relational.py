@@ -11940,3 +11940,122 @@ FROM per
 
 
 POPULARITY_HITRATE_AT10_SQL = popularity_hitrate_at10_sql()
+
+
+def sort_key_advisor(sf_dir: str, n_parts: int = 32) -> pd.DataFrame:
+    """Physical-layout advisor: if lineitem were range-partitioned
+    into 32 equal-row partitions by column c, how many partitions
+    would the AVERAGE equality lookup touch? For each distinct value,
+    its rank interval [before, before+freq) spans
+    floor((hi-1)*P/n) - floor(before*P/n) + 1 partitions; the
+    frequency-weighted mean over lookups is the expected fan-out — 1.0
+    means perfectly prunable, higher means the key fragments. The
+    per-column value histograms reduce through ONE stacked bucketed
+    aggregate (the ANALYZE trick); the rank-interval walk runs per
+    column on its value domain."""
+    cols = ["l_partkey", "l_suppkey", "l_quantity"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def _stack(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            g = df.groupby(c, as_index=False).size().rename(columns={c: "val", "size": "f"})
+            g["col"] = c
+            frames.append(g[["col", "val", "f"]])
+        out = pd.concat(frames, ignore_index=True)
+        out["val"] = out["val"].astype("float64")
+        return out
+
+    h = (
+        bucketed_aggregate(
+            ds.map_batches(_stack, batch_format="pandas"), ["col", "val"], {"f": ("f", "sum")}
+        )
+        .to_pandas()
+        .sort_values(["col", "val"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for c, g in h.groupby("col"):
+        f = g["f"].to_numpy("int64")
+        n = int(f.sum())
+        cum = np.cumsum(f)
+        before = cum - f
+        span = (cum - 1) * n_parts // n - before * n_parts // n + 1
+        avg_touch = float((span * f).sum()) / n
+        rows.append(
+            {
+                "column_name": c,
+                "ndv": np.int64(len(g)),
+                "avg_partitions_touched": round(avg_touch, 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("column_name").reset_index(drop=True)
+
+
+SORT_KEY_ADVISOR_SQL = """
+WITH stacked AS (
+  SELECT 'l_partkey' AS col, CAST(l_partkey AS DOUBLE) AS val, count(*) AS f
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS DOUBLE), count(*) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'l_quantity', CAST(l_quantity AS DOUBLE), count(*) FROM lineitem GROUP BY 2
+),
+r AS (
+  SELECT col, val, f,
+         sum(f) OVER (PARTITION BY col ORDER BY val) AS cum,
+         sum(f) OVER (PARTITION BY col ORDER BY val) - f AS before,
+         sum(f) OVER (PARTITION BY col) AS n
+  FROM stacked
+)
+SELECT col AS column_name, CAST(count(*) AS BIGINT) AS ndv,
+       round(sum(((cum - 1) * 32 // n - before * 32 // n + 1) * f)
+             / CAST(max(n) AS DOUBLE), 6) AS avg_partitions_touched
+FROM r GROUP BY col ORDER BY column_name
+"""
+
+
+def part_active_months_hist(sf_dir: str) -> pd.DataFrame:
+    """Assortment-velocity histogram: for how many distinct SHIPPING
+    months is each part active, histogrammed — the slow-mover /
+    evergreen split inventory planning reads. Distinct (part, month)
+    resolves inside ONE part-keyed bucketed min-reduction (never a
+    driver key set); the per-part month counts and the final histogram
+    ride the same shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def _pm(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64"),
+                "m": df["l_shipdate"].dt.to_period("M").dt.to_timestamp(),
+            }
+        ).drop_duplicates()
+        out["__b"] = (out["p"] % 64).astype("int64")
+        return out
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p", "m"])
+        cnt = g.groupby("p").size()
+        u, c = np.unique(cnt.to_numpy("int64"), return_counts=True)
+        return pd.DataFrame({"n_months": u, "n_parts": c})
+
+    out = (
+        ds.map_batches(_pm, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_months", as_index=False)["n_parts"]
+        .sum()
+        .sort_values("n_months")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_months": "int64", "n_parts": "int64"})
+
+
+PART_ACTIVE_MONTHS_HIST_SQL = """
+WITH pm AS (SELECT DISTINCT l_partkey, date_trunc('month', l_shipdate) AS m FROM lineitem),
+per AS (SELECT l_partkey, count(*) AS n_months FROM pm GROUP BY 1)
+SELECT CAST(n_months AS BIGINT) AS n_months, CAST(count(*) AS BIGINT) AS n_parts
+FROM per GROUP BY 1 ORDER BY n_months
+"""

@@ -289,6 +289,8 @@ SUBSET = [
     "discount_waterfall",
     "popularity_hitrate_at10",
     "cvm_arm_event_counts",
+    "sort_key_advisor",
+    "part_active_months_hist",
 ]
 
 
