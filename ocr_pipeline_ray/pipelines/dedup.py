@@ -856,3 +856,91 @@ ORDER BY doc_a, doc_b
 
 
 SORTED_NEIGHBORHOOD_DEDUP_SQL = sorted_neighborhood_dedup_sql()
+
+
+def similar_docs_by_shingles(sf_dir: str, query_doc: int = 0, n: int = 3, k: int = 10) -> pd.DataFrame:
+    """Similar-document retrieval for ONE query document by EXACT
+    3-token-shingle Jaccard: the single-query complement of the
+    all-pairs LSH dedups — top-k docs sharing at least one shingle
+    with the query. The query's shingle set broadcasts (one doc);
+    every other doc computes |own|, |intersection| in its batch and
+    only (doc_id, inter, own) partial rows reach the reduce. Ties:
+    jaccard desc, doc_id asc."""
+    from ocr_pipeline_ray.functions.textstats import TOKEN_RE
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _shingles(txt: str) -> set:
+        toks = TOKEN_RE.findall(txt.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    qtxt = (
+        ds.map_batches(lambda df: df[df["doc_id"] == query_doc], batch_format="pandas")
+        .to_pandas()["text"]
+        .iloc[0]
+    )
+    qset = _shingles(qtxt)
+    q_ref = ray.put(qset)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(q_ref)
+        rows = []
+        for did, txt in zip(df["doc_id"], df["text"]):
+            if did == query_doc:
+                continue
+            s = _shingles(txt)
+            inter = len(s & qs)
+            if inter:
+                rows.append((int(did), inter, len(s)))
+        return pd.DataFrame(rows, columns=["doc_id", "inter", "own"]) if rows else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "inter": pd.Series(dtype="int64"), "own": pd.Series(dtype="int64")}
+        )
+
+    cand = ds.map_batches(_score, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "n_common": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    nq = len(qset)
+    cand["jaccard"] = cand["inter"] / (nq + cand["own"] - cand["inter"])
+    top = cand.sort_values(["jaccard", "doc_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "doc_id": top["doc_id"].to_numpy("int64"),
+            "n_common": top["inter"].to_numpy("int64"),
+            "jaccard": np.round(top["jaccard"].to_numpy("float64"), 6),
+        }
+    ).reset_index(drop=True)
+
+
+def similar_docs_by_shingles_sql(query_doc: int = 0, k: int = 10) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr FROM documents)
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', lag(tok, 2) OVER w, lag(tok, 1) OVER w, tok) AS g
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lag(tok, 2) OVER w IS NOT NULL
+),
+q AS (SELECT g FROM grams WHERE doc_id = {query_doc}),
+own AS (SELECT doc_id, count(*) AS own FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT doc_id, count(*) AS inter
+  FROM grams JOIN q USING (g)
+  WHERE doc_id <> {query_doc}
+  GROUP BY doc_id
+)
+SELECT inter.doc_id, CAST(inter AS BIGINT) AS n_common,
+       round(inter / CAST((SELECT count(*) FROM q) + own.own - inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN own ON own.doc_id = inter.doc_id
+ORDER BY inter / CAST((SELECT count(*) FROM q) + own.own - inter AS DOUBLE) DESC, inter.doc_id
+LIMIT {k}
+"""
+
+
+SIMILAR_DOCS_BY_SHINGLES_SQL = similar_docs_by_shingles_sql()

@@ -5288,3 +5288,69 @@ SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
              * sum((fa - fb) * (fa - fb) * (a + b)), 6) AS cvm_t
 FROM cdf
 """
+
+
+def user_sequence_edit_distance(sf_dir: str, n_users: int = 5) -> pd.DataFrame:
+    """Behavioral-sequence comparison: Levenshtein edit distance
+    between the event-type sequences (first letter per event, in
+    (ts, event_id) order) of the first five users, all 10 pairs — the
+    session-alignment primitive behind journey clustering. Sequences
+    assemble in one filtered pass (per-user vectorized concat);
+    the pairwise DP runs on the 10 result-sized pairs."""
+    from ocr_pipeline_ray.pipelines.relational import _levenshtein
+
+    users = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()["user_id"]
+        .drop_duplicates()
+        .nsmallest(n_users)
+        .to_numpy("int64")
+    )
+    u_ref = ray.put(set(users.tolist()))
+    rows = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(
+            lambda df: df[df["user_id"].isin(ray.get(u_ref))], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    seqs = {
+        int(u): "".join(t[0] for t in g["event_type"])
+        for u, g in rows.groupby("user_id")
+    }
+    out = []
+    us = sorted(seqs)
+    for i in range(len(us)):
+        for j in range(i + 1, len(us)):
+            out.append(
+                {
+                    "user_a": np.int64(us[i]),
+                    "user_b": np.int64(us[j]),
+                    "len_a": np.int64(len(seqs[us[i]])),
+                    "len_b": np.int64(len(seqs[us[j]])),
+                    "edit_dist": np.int64(_levenshtein(seqs[us[i]], seqs[us[j]])),
+                }
+            )
+    return pd.DataFrame(out)
+
+
+def user_sequence_edit_distance_sql(n_users: int = 5) -> str:
+    return f"""
+WITH users AS (SELECT DISTINCT user_id FROM events ORDER BY 1 LIMIT {n_users}),
+seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events WHERE user_id IN (SELECT user_id FROM users)
+  GROUP BY user_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(len(a.s) AS BIGINT) AS len_a, CAST(len(b.s) AS BIGINT) AS len_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist
+FROM seqs a JOIN seqs b ON a.user_id < b.user_id
+ORDER BY user_a, user_b
+"""
+
+
+USER_SEQUENCE_EDIT_DISTANCE_SQL = user_sequence_edit_distance_sql()

@@ -291,6 +291,8 @@ SUBSET = [
     "cvm_arm_event_counts",
     "sort_key_advisor",
     "part_active_months_hist",
+    "similar_docs_by_shingles",
+    "user_sequence_edit_distance",
 ]
 
 
