@@ -12059,3 +12059,143 @@ per AS (SELECT l_partkey, count(*) AS n_months FROM pm GROUP BY 1)
 SELECT CAST(n_months AS BIGINT) AS n_months, CAST(count(*) AS BIGINT) AS n_parts
 FROM per GROUP BY 1 ORDER BY n_months
 """
+
+
+def best_split_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Optimal single changepoint of daily revenue by binary
+    segmentation: the split day minimizing SSE(before) + SSE(after),
+    found EXACTLY from prefix sums of x and x^2 — the model-based
+    complement of the CUSUM heuristic (changepoint_cusum). The fact
+    table reduces to the daily series; the O(days) scan runs on it
+    with the identical closed form in SQL. Ties: earliest day."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("float64")
+    n = len(x)
+    cs = np.cumsum(x)
+    css = np.cumsum(x * x)
+    total_s, total_ss = cs[-1], css[-1]
+    k = np.arange(1, n)  # split after k days
+    sse_b = css[:-1] - cs[:-1] ** 2 / k
+    sse_a = (total_ss - css[:-1]) - (total_s - cs[:-1]) ** 2 / (n - k)
+    sse = sse_b + sse_a
+    sst = total_ss - total_s**2 / n
+    best = int(np.argmin(sse))  # first minimum = earliest day
+    return pd.DataFrame(
+        {
+            "split_day": [daily["day"].iloc[best]],
+            "n_before": [np.int64(best + 1)],
+            "n_after": [np.int64(n - best - 1)],
+            "sse_reduction_frac": [round(float(1.0 - sse[best] / sst), 6)],
+        }
+    )
+
+
+BEST_SPLIT_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+pre AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS k,
+         sum(rev) OVER (ORDER BY day) AS cs,
+         sum(rev * rev) OVER (ORDER BY day) AS css,
+         count(*) OVER () AS n,
+         sum(rev) OVER () AS ts,
+         sum(rev * rev) OVER () AS tss
+  FROM daily
+),
+sse AS (
+  SELECT day, k, n,
+         (css - cs * cs / k) + ((tss - css) - (ts - cs) * (ts - cs) / (n - k)) AS sse,
+         tss - ts * ts / n AS sst
+  FROM pre WHERE k < n
+),
+best AS (SELECT * FROM sse ORDER BY sse, day LIMIT 1)
+SELECT day AS split_day, CAST(k AS BIGINT) AS n_before,
+       CAST(n - k AS BIGINT) AS n_after,
+       round(1.0 - sse / sst, 6) AS sse_reduction_frac
+FROM best
+"""
+
+
+def top3_customer_share_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Revenue-concentration audit per nation: the share of each
+    nation's order revenue held by its top-3 customers — the key-risk
+    number per market, a grouped top-k stacked on the bucketed
+    per-customer aggregate (nation is a dimension broadcast; only
+    3 x 25 winner rows plus 25 totals reach the driver)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cmap_ref = ray.put(
+        cust.set_index("c_custkey")["c_nationkey"].map(nation.set_index("n_nationkey")["n_name"])
+    )
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(cmap_ref).reindex(df["o_custkey"]).to_numpy(object)
+        return (
+            pd.DataFrame({"nation": nm, "c": df["o_custkey"].to_numpy("int64"), "s": df["o_totalprice"].to_numpy("float64")})
+            .groupby(["nation", "c"], as_index=False)
+            .sum()
+        )
+
+    per_cust = bucketed_aggregate(
+        ds.map_batches(_p, batch_format="pandas"), ["nation", "c"], {"s": ("s", "sum")}
+    ).materialize()
+    totals = (
+        per_cust.map_batches(
+            lambda df: df.groupby("nation", as_index=False)["s"].sum(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("nation", as_index=False)
+        .sum()
+        .set_index("nation")["s"]
+    )
+    top = partial_topk(per_cust, ["s", "c"], [False, True], 3, group="nation")
+    g = top.groupby("nation", as_index=False).agg(top3=("s", "sum"), n_top=("c", "size"))
+    g = g.sort_values("nation").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "nation": g["nation"],
+            "n_top": g["n_top"].astype("int64"),
+            "top3_share": np.round(
+                g["top3"].to_numpy("float64") / totals.reindex(g["nation"]).to_numpy("float64"), 6
+            ),
+        }
+    )
+
+
+TOP3_CUSTOMER_SHARE_BY_NATION_SQL = """
+WITH per AS (
+  SELECT n_name AS nation, o_custkey AS c, sum(o_totalprice) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nation, sum(s) AS total FROM per GROUP BY nation),
+top AS (
+  SELECT nation, s FROM per
+  QUALIFY row_number() OVER (PARTITION BY nation ORDER BY s DESC, c) <= 3
+)
+SELECT top.nation, CAST(count(*) AS BIGINT) AS n_top,
+       round(sum(s) / max(total), 6) AS top3_share
+FROM top JOIN tot ON tot.nation = top.nation
+GROUP BY top.nation ORDER BY top.nation
+"""

@@ -293,6 +293,8 @@ SUBSET = [
     "part_active_months_hist",
     "similar_docs_by_shingles",
     "user_sequence_edit_distance",
+    "best_split_changepoint",
+    "top3_customer_share_by_nation",
 ]
 
 
