@@ -5354,3 +5354,107 @@ ORDER BY user_a, user_b
 
 
 USER_SEQUENCE_EDIT_DISTANCE_SQL = user_sequence_edit_distance_sql()
+
+
+def markov_heldout_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Held-out evaluation of the order-1 event-type Markov LM: train
+    transition counts on pre-Jan-16 consecutive pairs, score the
+    post-period pairs with Laplace smoothing over the T types,
+    perplexity = exp(-mean ln P(b|a)) — the train/eval split
+    discipline applied to the sequence model (transition_entropy is
+    resubstitution; this is the honest number). Both per-user pair
+    extractions are vectorized shifts; train counts are a tiny grid;
+    test log-prob partials reduce per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy(object)
+        ts = g["ts"].to_numpy()
+        same = u[1:] == u[:-1]
+        a, b = t[:-1][same], t[1:][same]
+        t0, t1 = ts[:-1][same], ts[1:][same]
+        split = np.datetime64(CUPED_SPLIT)
+        is_train = (t0 < split) & (t1 < split)
+        is_test = (t0 >= split) & (t1 >= split)
+        frames = []
+        for name, mask in (("train", is_train), ("test", is_test)):
+            if mask.any():
+                d = pd.DataFrame({"a": a[mask], "b": b[mask], "n": np.int64(1), "split": name})
+                frames.append(d.groupby(["split", "a", "b"], as_index=False).sum())
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"split": pd.Series(dtype=object), "a": pd.Series(dtype=object),
+             "b": pd.Series(dtype=object), "n": pd.Series(dtype="int64")}
+        )
+
+    grid = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+        .groupby(["split", "a", "b"], as_index=False)["n"]
+        .sum()
+    )
+    train = grid[grid["split"] == "train"]
+    test = grid[grid["split"] == "test"]
+    types = sorted(set(grid["a"]) | set(grid["b"]))
+    t_count = len(types)
+    c_ab = train.set_index(["a", "b"])["n"]
+    c_a = train.groupby("a")["n"].sum()
+    logp_sum = 0.0
+    n_test = 0
+    for _, r in test.iterrows():
+        cab = int(c_ab.get((r["a"], r["b"]), 0))
+        ca = int(c_a.get(r["a"], 0))
+        logp_sum += float(r["n"]) * np.log((cab + 1.0) / (ca + t_count))
+        n_test += int(r["n"])
+    ppl = float(np.exp(-logp_sum / n_test))
+    return pd.DataFrame(
+        {
+            "n_train_pairs": [np.int64(train["n"].sum())],
+            "n_test_pairs": [np.int64(n_test)],
+            "n_types": [np.int64(t_count)],
+            "perplexity": [round(ppl, 6)],
+        }
+    )
+
+
+MARKOV_HELDOUT_PERPLEXITY_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+  FROM events
+),
+pairs AS (
+  SELECT a, b,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' AND ts2 < TIMESTAMP '2024-01-16' THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-01-16' AND ts2 >= TIMESTAMP '2024-01-16' THEN 'test'
+         END AS split
+  FROM seq WHERE b IS NOT NULL
+),
+grid AS (
+  SELECT split, a, b, count(*) AS n FROM pairs WHERE split IS NOT NULL GROUP BY 1, 2, 3
+),
+types AS (
+  SELECT count(*) AS t FROM (
+    SELECT DISTINCT a AS x FROM grid UNION SELECT DISTINCT b FROM grid
+  )
+),
+ca AS (SELECT a, sum(n) AS ca FROM grid WHERE split = 'train' GROUP BY a),
+scored AS (
+  SELECT t.n,
+         ln((coalesce(tr.n, 0) + 1.0)
+            / (coalesce(ca.ca, 0) + (SELECT t FROM types))) AS lp
+  FROM grid t
+  LEFT JOIN grid tr ON tr.split = 'train' AND tr.a = t.a AND tr.b = t.b
+  LEFT JOIN ca ON ca.a = t.a
+  WHERE t.split = 'test'
+)
+SELECT (SELECT CAST(sum(n) AS BIGINT) FROM grid WHERE split = 'train') AS n_train_pairs,
+       CAST(sum(n) AS BIGINT) AS n_test_pairs,
+       (SELECT CAST(t AS BIGINT) FROM types) AS n_types,
+       round(exp(-sum(n * lp) / sum(n)), 6) AS perplexity
+FROM scored
+"""

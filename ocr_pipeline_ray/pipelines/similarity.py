@@ -1831,3 +1831,100 @@ SELECT CAST(gold AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
        round(count(CASE WHEN nn_label = gold THEN 1 END) / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM d WHERE rk = 1 GROUP BY gold ORDER BY label
 """
+
+
+def jl_projection_distortion(sf_dir: str, k_dims: int = 16, n_pairs: int = 10) -> pd.DataFrame:
+    """Johnson-Lindenstrauss sketch certificate: project every
+    embedding from D=64 to K=16 dims with a DETERMINISTIC sign matrix
+    (the bootstrap LCG stream over (dim, k), so both engines build the
+    identical matrix with no RNG), then report the distance-distortion
+    ratio ||Px - Py|| / ||x - y|| on 10 fixed probe pairs — the
+    certificate a dimensionality-reduction stage ships with its
+    output. The projection is a per-batch matmul over the streamed
+    corpus; only the probe rows reach the driver."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids20 = (
+        ds.map_batches(lambda df: df[["vec_id"]], batch_format="pandas")
+        .to_pandas()["vec_id"]
+        .nsmallest(2 * n_pairs)
+        .to_numpy("int64")
+    )
+    ids20 = np.sort(ids20)
+    dim = len(
+        ds.map_batches(lambda df: df.head(1), batch_format="pandas").to_pandas()["embedding"].iloc[0]
+    )
+    d_idx = np.arange(dim, dtype="int64")
+    k_idx = np.arange(k_dims, dtype="int64")
+    s0 = d_idx[:, None] * k_dims + k_idx[None, :]
+    s1 = (1103515245 * s0 + 12345) % 2147483648
+    s2 = (1103515245 * s1 + 12345) % 2147483648
+    signs = np.where((s2 // 65536) % 2 == 0, 1.0, -1.0)  # (D, K)
+    probe_ref = ray.put(set(ids20.tolist()))
+    signs_ref = ray.put(signs)
+
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["vec_id"].isin(ray.get(probe_ref))
+        sub = df[keep]
+        if sub.empty:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64")})
+        m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        p = (m @ ray.get(signs_ref)) / np.sqrt(float(k_dims))
+        out = pd.DataFrame({"vec_id": sub["vec_id"].to_numpy("int64")})
+        for j in range(k_dims):
+            out[f"p{j}"] = p[:, j]
+        for j in range(m.shape[1]):
+            out[f"x{j}"] = m[:, j]
+        return out
+
+    rows = ds.map_batches(_project, batch_format="pandas").to_pandas().set_index("vec_id")
+    out = []
+    for i in range(n_pairs):
+        a, b = int(ids20[2 * i]), int(ids20[2 * i + 1])
+        xa = rows.loc[a, [f"x{j}" for j in range(dim)]].to_numpy("float64")
+        xb = rows.loc[b, [f"x{j}" for j in range(dim)]].to_numpy("float64")
+        pa = rows.loc[a, [f"p{j}" for j in range(k_dims)]].to_numpy("float64")
+        pb = rows.loc[b, [f"p{j}" for j in range(k_dims)]].to_numpy("float64")
+        d0 = float(np.sqrt(((xa - xb) ** 2).sum()))
+        d1 = float(np.sqrt(((pa - pb) ** 2).sum()))
+        out.append(
+            {"id_a": np.int64(a), "id_b": np.int64(b), "ratio": round(d1 / d0, 4)}
+        )
+    return pd.DataFrame(out)
+
+
+def jl_projection_distortion_sql(k_dims: int = 16, n_pairs: int = 10) -> str:
+    return f"""
+WITH probes AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM embeddings ORDER BY vec_id LIMIT {2 * n_pairs}
+),
+dims AS (
+  SELECT vec_id, rn, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS d FROM probes
+),
+ks AS (SELECT unnest(range({k_dims})) AS k),
+proj AS (
+  SELECT vec_id, rn, k,
+         sum(x * (CASE WHEN (((1103515245 * ((1103515245 * (d * {k_dims} + k) + 12345)
+                  % 2147483648) + 12345) % 2147483648) // 65536) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END)) / sqrt({k_dims}.0) AS p
+  FROM dims CROSS JOIN ks GROUP BY 1, 2, 3
+),
+pairs AS (SELECT unnest(range({n_pairs})) AS i),
+orig AS (
+  SELECT i, sqrt(sum((a.x - b.x) * (a.x - b.x))) AS d0
+  FROM pairs JOIN dims a ON a.rn = 2 * i JOIN dims b ON b.rn = 2 * i + 1 AND b.d = a.d
+  GROUP BY i
+),
+pj AS (
+  SELECT i, sqrt(sum((a.p - b.p) * (a.p - b.p))) AS d1,
+         max(a.vec_id) AS id_a, max(b.vec_id) AS id_b
+  FROM pairs JOIN proj a ON a.rn = 2 * i JOIN proj b ON b.rn = 2 * i + 1 AND b.k = a.k
+  GROUP BY i
+)
+SELECT id_a, id_b, round(d1 / d0, 4) AS ratio
+FROM pj JOIN orig USING (i) ORDER BY id_a
+"""
+
+
+JL_PROJECTION_DISTORTION_SQL = jl_projection_distortion_sql()

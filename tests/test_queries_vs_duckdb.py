@@ -295,6 +295,8 @@ SUBSET = [
     "user_sequence_edit_distance",
     "best_split_changepoint",
     "top3_customer_share_by_nation",
+    "jl_projection_distortion",
+    "markov_heldout_perplexity",
 ]
 
 
