@@ -12199,3 +12199,143 @@ SELECT top.nation, CAST(count(*) AS BIGINT) AS n_top,
 FROM top JOIN tot ON tot.nation = top.nation
 GROUP BY top.nation ORDER BY top.nation
 """
+
+
+def fixed_effects_elasticity(sf_dir: str) -> pd.DataFrame:
+    """Panel within-estimator: the price elasticity of quantity with
+    PART fixed effects — the pooled slope of ln(qty) on ln(price)
+    after demeaning within each part, beta = (Sxy - sum_p n_p
+    xbar_p ybar_p) / (Sxx - sum_p n_p xbar_p^2) — the econometric
+    answer confounded cross-part comparisons (price_quantity_
+    regression) cannot give. Per-part moment partials reduce through
+    ONE bucketed aggregate; the FE correction terms come from the same
+    part-grid rows."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _m(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.log(df["l_extendedprice"].to_numpy("float64"))
+        y = np.log(df["l_quantity"].to_numpy("float64"))
+        return (
+            pd.DataFrame(
+                {"p": df["l_partkey"].to_numpy("int64"), "n": np.int64(1),
+                 "sx": x, "sy": y, "sxx": x * x, "sxy": x * y}
+            )
+            .groupby("p", as_index=False)
+            .sum()
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_m, batch_format="pandas"),
+        ["p"],
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxx": ("sxx", "sum"), "sxy": ("sxy", "sum")},
+    )
+
+    def _fe(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "sxy": [df["sxy"].to_numpy("float64").sum()],
+                "sxx": [df["sxx"].to_numpy("float64").sum()],
+                "fe_xy": [(df["sx"].to_numpy("float64") * df["sy"].to_numpy("float64") / n).sum()],
+                "fe_xx": [(df["sx"].to_numpy("float64") ** 2 / n).sum()],
+                "nobs": [np.int64(n.sum())],
+                "nparts": [np.int64(len(df))],
+            }
+        )
+
+    s = grid.map_batches(_fe, batch_format="pandas").to_pandas().sum()
+    beta = (s["sxy"] - s["fe_xy"]) / (s["sxx"] - s["fe_xx"])
+    return pd.DataFrame(
+        {
+            "n_obs": [np.int64(s["nobs"])],
+            "n_parts": [np.int64(s["nparts"])],
+            "fe_elasticity": [round(float(beta), 6)],
+        }
+    )
+
+
+FIXED_EFFECTS_ELASTICITY_SQL = """
+WITH grid AS (
+  SELECT l_partkey AS p, count(*) AS n,
+         sum(ln(l_extendedprice)) AS sx, sum(ln(l_quantity)) AS sy,
+         sum(ln(l_extendedprice) * ln(l_extendedprice)) AS sxx,
+         sum(ln(l_extendedprice) * ln(l_quantity)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_obs, CAST(count(*) AS BIGINT) AS n_parts,
+       round((sum(sxy) - sum(sx * sy / n)) / (sum(sxx) - sum(sx * sx / n)), 6) AS fe_elasticity
+FROM grid
+"""
+
+
+def triangle_excess_ratio(sf_dir: str, min_count: int = 2) -> pd.DataFrame:
+    """Structure-vs-chance audit: the co-purchase graph's ACTUAL
+    triangle count against the configuration-model expectation
+    (1/6) * ((S2 - S1)/S1)^3 from the degree moments S1 = sum d,
+    S2 = sum d^2 — a ratio >> 1 means the clustering is real, not a
+    degree artifact. Triangles reuse the distributed wedge-join
+    counter; the moments come from the same degree aggregate."""
+    tri = part_triangle_counts(sf_dir, min_count=min_count)
+    n_triangles = int(tri["n_triangles"].sum()) // 3 if "n_triangles" in tri else int(tri.iloc[:, 1].sum()) // 3
+    deg = bucketed_aggregate(
+        _copurchase_edges_ds(sf_dir, min_count).map_batches(
+            lambda df: pd.concat(
+                [df[["part_a"]].rename(columns={"part_a": "p"}),
+                 df[["part_b"]].rename(columns={"part_b": "p"})],
+                ignore_index=True,
+            ).groupby("p", as_index=False).size().rename(columns={"size": "d"}),
+            batch_format="pandas",
+        ),
+        ["p"],
+        {"d": ("d", "sum")},
+    )
+    s = (
+        deg.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "s1": [np.int64(df["d"].sum())],
+                    "s2": [np.int64((df["d"].to_numpy("int64") ** 2).sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sum()
+    )
+    s1, s2 = float(s["s1"]), float(s["s2"])
+    r = (s2 - s1) / s1
+    expected = r * r * r / 6.0  # explicit multiplies: bit-matches the SQL
+    return pd.DataFrame(
+        {
+            "n_triangles": [np.int64(n_triangles)],
+            "expected_cm": [round(expected, 4)],
+            "excess_ratio": [round(n_triangles / expected, 6)],
+        }
+    )
+
+
+TRIANGLE_EXCESS_RATIO_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+t AS (
+  SELECT count(*) AS tri
+  FROM e e1 JOIN e e2 ON e2.part_a = e1.part_a AND e2.part_b > e1.part_b
+  JOIN e e3 ON e3.part_a = e1.part_b AND e3.part_b = e2.part_b
+),
+deg AS (
+  SELECT p, count(*) AS dd FROM (
+    SELECT part_a AS p FROM e UNION ALL SELECT part_b FROM e
+  ) GROUP BY p
+),
+s AS (SELECT CAST(sum(dd) AS DOUBLE) AS s1, CAST(sum(dd * dd) AS DOUBLE) AS s2 FROM deg)
+SELECT CAST((SELECT tri FROM t) AS BIGINT) AS n_triangles,
+       round(((s2 - s1) / s1) * ((s2 - s1) / s1) * ((s2 - s1) / s1) / 6.0, 4) AS expected_cm,
+       round((SELECT tri FROM t)
+             / (((s2 - s1) / s1) * ((s2 - s1) / s1) * ((s2 - s1) / s1) / 6.0), 6) AS excess_ratio
+FROM s
+"""

@@ -297,6 +297,8 @@ SUBSET = [
     "top3_customer_share_by_nation",
     "jl_projection_distortion",
     "markov_heldout_perplexity",
+    "fixed_effects_elasticity",
+    "triangle_excess_ratio",
 ]
 
 
