@@ -5458,3 +5458,82 @@ SELECT (SELECT CAST(sum(n) AS BIGINT) FROM grid WHERE split = 'train') AS n_trai
        round(exp(-sum(n * lp) / sum(n)), 6) AS perplexity
 FROM scored
 """
+
+
+def user_day_surprise(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Per-user anomaly localization: the k most surprising user-days,
+    scored by -ln P(X = c) under each USER'S OWN daily Poisson rate
+    (their total events / global day span) — the personalized version
+    of burst_minutes that separates a heavy user's normal day from a
+    quiet user's explosion. One bucketed (user, day) count; rates from
+    the same rows; lgamma-exact scoring on the winners."""
+    import math
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    lo = pd.Timestamp(ds.min("ts")).normalize()
+    hi = pd.Timestamp(ds.max("ts")).normalize()
+    n_days = int((hi - lo).days) + 1
+    ud = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"user_id": df["user_id"], "day": df["ts"].dt.normalize(), "one": np.int64(1)}
+            ),
+            batch_format="pandas",
+        ),
+        ["user_id", "day"],
+        {"c": ("one", "sum")},
+        num_buckets=32,
+    ).materialize()
+    tot = (
+        ud.map_batches(
+            lambda df: df.groupby("user_id", as_index=False)["c"].sum(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("user_id", as_index=False)
+        .sum()
+        .set_index("user_id")["c"]
+    )
+    rate_ref = ray.put(tot / n_days)
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        lam = ray.get(rate_ref).reindex(df["user_id"]).to_numpy("float64")
+        c = df["c"].to_numpy("int64")
+        sur = np.array(
+            [-(ci * math.log(l) - l - math.lgamma(ci + 1)) for ci, l in zip(c, lam)]
+        )
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy("int64"), "day": df["day"], "n_events": c, "surprise": sur}
+        )
+        return out.sort_values(["surprise", "user_id", "day"], ascending=[False, True, True]).head(k)
+
+    parts = ud.map_batches(_score, batch_format="pandas").to_pandas()
+    top = (
+        parts.sort_values(["surprise", "user_id", "day"], ascending=[False, True, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["surprise"] = np.round(top["surprise"].to_numpy("float64"), 6)
+    return top
+
+
+USER_DAY_SURPRISE_SQL = """
+WITH ud AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT datediff('day', date_trunc('day', (SELECT min(ts) FROM events)),
+                  date_trunc('day', (SELECT max(ts) FROM events))) + 1 AS nd
+),
+rates AS (
+  SELECT user_id, sum(c) / CAST((SELECT nd FROM span) AS DOUBLE) AS lam
+  FROM ud GROUP BY user_id
+)
+SELECT ud.user_id, day, CAST(c AS BIGINT) AS n_events,
+       round(-(c * ln(lam) - lam - lgamma(c + 1.0)), 6) AS surprise
+FROM ud JOIN rates USING (user_id)
+ORDER BY -(c * ln(lam) - lam - lgamma(c + 1.0)) DESC, ud.user_id, day
+LIMIT 10
+"""

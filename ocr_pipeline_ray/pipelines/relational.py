@@ -12339,3 +12339,97 @@ SELECT CAST((SELECT tri FROM t) AS BIGINT) AS n_triangles,
              / (((s2 - s1) / s1) * ((s2 - s1) / s1) * ((s2 - s1) / s1) / 6.0), 6) AS excess_ratio
 FROM s
 """
+
+
+def huber_one_step_price(sf_dir: str, k_sigma: float = 1.345) -> pd.DataFrame:
+    """One-step Huber robust regression of extendedprice on quantity:
+    start from OLS, compute residual scale as the RMS residual, weight
+    each row w = min(1, k*s/|r|), and take ONE weighted-least-squares
+    step — the deterministic robust slope (full IRLS iterates this;
+    one step is already the classic outlier-resistant estimate and
+    stays exactly oracle-checkable). Two passes of moment partials."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def _m(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy("float64")
+        y = df["l_extendedprice"].to_numpy("float64")
+        return pd.DataFrame(
+            {"n": [np.int64(len(df))], "sx": [x.sum()], "sy": [y.sum()],
+             "sxx": [(x * x).sum()], "sxy": [(x * y).sum()], "syy": [(y * y).sum()]}
+        )
+
+    m = ds.map_batches(_m, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    b1 = (m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)) / (m["sxx"] / n - (m["sx"] / n) ** 2)
+    b0 = m["sy"] / n - b1 * (m["sx"] / n)
+    # RMS residual via the closed form (no second data pass needed for s)
+    sse = (
+        m["syy"] - 2 * b0 * m["sy"] - 2 * b1 * m["sxy"]
+        + n * b0 * b0 + 2 * b0 * b1 * m["sx"] + b1 * b1 * m["sxx"]
+    )
+    s_scale = np.sqrt(sse / n)
+    thresh = k_sigma * s_scale
+
+    def _wm(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy("float64")
+        y = df["l_extendedprice"].to_numpy("float64")
+        r = np.abs(y - (b0 + b1 * x))
+        w = np.minimum(1.0, thresh / r)
+        return pd.DataFrame(
+            {"sw": [w.sum()], "swx": [(w * x).sum()], "swy": [(w * y).sum()],
+             "swxx": [(w * x * x).sum()], "swxy": [(w * x * y).sum()]}
+        )
+
+    wm = ds.map_batches(_wm, batch_format="pandas").to_pandas().sum()
+    sw = wm["sw"]
+    hb1 = (wm["swxy"] / sw - (wm["swx"] / sw) * (wm["swy"] / sw)) / (
+        wm["swxx"] / sw - (wm["swx"] / sw) ** 2
+    )
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "ols_slope": [round(float(b1), 6)],
+            "huber_slope": [round(float(hb1), 6)],
+            "scale": [round(float(s_scale), 4)],
+        }
+    )
+
+
+HUBER_ONE_STEP_PRICE_SQL = """
+WITH m AS (
+  SELECT count(*) AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_quantity * l_extendedprice) AS sxy,
+         sum(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem
+),
+coef AS (
+  SELECT n,
+         (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS b1,
+         sy / n - (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) * (sx / n) AS b0,
+         sx, sy, sxx, sxy, syy
+  FROM m
+),
+sc AS (
+  SELECT n, b0, b1,
+         sqrt((syy - 2 * b0 * sy - 2 * b1 * sxy
+               + n * b0 * b0 + 2 * b0 * b1 * sx + b1 * b1 * sxx) / n) AS s
+  FROM coef
+),
+w AS (
+  SELECT l_quantity AS x, l_extendedprice AS y,
+         least(1.0, 1.345 * (SELECT s FROM sc)
+                    / abs(y - ((SELECT b0 FROM sc) + (SELECT b1 FROM sc) * l_quantity))) AS wt
+  FROM lineitem
+),
+wm AS (
+  SELECT sum(wt) AS sw, sum(wt * x) AS swx, sum(wt * y) AS swy,
+         sum(wt * x * x) AS swxx, sum(wt * x * y) AS swxy
+  FROM w
+)
+SELECT CAST((SELECT n FROM sc) AS BIGINT) AS n,
+       round((SELECT b1 FROM sc), 6) AS ols_slope,
+       round((swxy / sw - (swx / sw) * (swy / sw)) / (swxx / sw - (swx / sw) * (swx / sw)), 6) AS huber_slope,
+       round((SELECT s FROM sc), 4) AS scale
+FROM wm
+"""

@@ -299,6 +299,8 @@ SUBSET = [
     "markov_heldout_perplexity",
     "fixed_effects_elasticity",
     "triangle_excess_ratio",
+    "huber_one_step_price",
+    "user_day_surprise",
 ]
 
 
