@@ -5537,3 +5537,80 @@ FROM ud JOIN rates USING (user_id)
 ORDER BY -(c * ln(lam) - lam - lgamma(c + 1.0)) DESC, ud.user_id, day
 LIMIT 10
 """
+
+
+def capture_recapture_users(sf_dir: str) -> pd.DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the active-user
+    population from two independent "captures" — users seen in 'view'
+    events vs users seen in 'click' events: N-hat = nA * nB / overlap
+    (Chapman-corrected variant reported alongside) — the coverage
+    estimator data teams use when no registry exists. Per-user flags
+    reduce through one bucketed aggregate; four counters reach the
+    driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    per = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "a": (df["event_type"] == "view").astype("int64"),
+                    "b": (df["event_type"] == "click").astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["user_id"],
+        {"a": ("a", "max"), "b": ("b", "max")},
+        num_buckets=32,
+    )
+    s = (
+        per.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "na": [np.int64(df["a"].sum())],
+                    "nb": [np.int64(df["b"].sum())],
+                    "both": [np.int64(((df["a"] == 1) & (df["b"] == 1)).sum())],
+                    "n_true": [np.int64(len(df))],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sum()
+    )
+    na, nb, both, n_true = (int(s[k]) for k in ("na", "nb", "both", "n_true"))
+    lp = na * nb / both
+    chapman = (na + 1) * (nb + 1) / (both + 1) - 1
+    return pd.DataFrame(
+        {
+            "n_view_users": [np.int64(na)],
+            "n_click_users": [np.int64(nb)],
+            "n_both": [np.int64(both)],
+            "n_true_users": [np.int64(n_true)],
+            "lp_estimate": [round(lp, 4)],
+            "chapman_estimate": [round(chapman, 4)],
+        }
+    )
+
+
+CAPTURE_RECAPTURE_USERS_SQL = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT sum(a) AS na, sum(b) AS nb,
+         count(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS nboth,
+         count(*) AS nt
+  FROM per
+)
+SELECT CAST(na AS BIGINT) AS n_view_users, CAST(nb AS BIGINT) AS n_click_users,
+       CAST(nboth AS BIGINT) AS n_both, CAST(nt AS BIGINT) AS n_true_users,
+       round(na * nb / CAST(nboth AS DOUBLE), 4) AS lp_estimate,
+       round((na + 1) * (nb + 1) / CAST(nboth + 1 AS DOUBLE) - 1, 4) AS chapman_estimate
+FROM c
+"""

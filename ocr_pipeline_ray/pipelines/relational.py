@@ -12433,3 +12433,104 @@ SELECT CAST((SELECT n FROM sc) AS BIGINT) AS n,
        round((SELECT s FROM sc), 4) AS scale
 FROM wm
 """
+
+
+def retention_decay_fit(sf_dir: str, cohort_year: int = 1996, max_m: int = 11) -> pd.DataFrame:
+    """Retention-decay fit for the 1996 first-order cohort: the
+    fraction of cohort customers still ordering m months after their
+    first order, and the log-linear decay slope
+    (monthly churn ~ 1 - exp(slope)) fitted over m = 1..11 — the
+    one-number retention health check on top of the curve. Cohort
+    membership and activity flags ride the same custkey-bucket shuffle
+    as cohort_ltv_curve."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    firsts = bucketed_aggregate(
+        ds, ["o_custkey"], {"first_d": ("o_orderdate", "min")}, num_buckets=32
+    ).materialize()
+    size = int(
+        firsts.map_batches(
+            lambda df: pd.DataFrame({"n": [np.int64((df["first_d"].dt.year == cohort_year).sum())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
+    j = shuffle_hash_join(
+        ds, firsts, on="o_custkey",
+        left_cols=["o_custkey", "o_orderdate"],
+        right_cols=["o_custkey", "first_d"],
+    )
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["first_d"].dt.year == cohort_year]
+        if sel.empty:
+            return pd.DataFrame({"m": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64"),
+                                 "cust": pd.Series(dtype="int64")})
+        m = (sel["o_orderdate"].dt.year * 12 + sel["o_orderdate"].dt.month) - (
+            sel["first_d"].dt.year * 12 + sel["first_d"].dt.month
+        )
+        out = pd.DataFrame({"m": m.astype("int64"), "cust": sel["o_custkey"].to_numpy("int64")})
+        out = out[out["m"] <= max_m].drop_duplicates()
+        out["c"] = np.int64(1)
+        return out
+
+    active = (
+        j.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["m", "cust"])
+        .groupby("m", as_index=False)["c"]
+        .sum()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    active["retention"] = active["c"].to_numpy("float64") / size
+    fit = active[active["m"] >= 1]
+    x = fit["m"].to_numpy("float64")
+    y = np.log(fit["retention"].to_numpy("float64"))
+    nf = float(len(fit))
+    slope = ((x * y).sum() / nf - x.mean() * y.mean()) / ((x * x).sum() / nf - x.mean() ** 2)
+    out = pd.DataFrame(
+        {
+            "m": active["m"].astype("int64"),
+            "n_active": active["c"].astype("int64"),
+            "retention": np.round(active["retention"].to_numpy("float64"), 6),
+            "decay_slope": round(float(slope), 6),
+        }
+    )
+    return out
+
+
+def retention_decay_fit_sql(cohort_year: int = 1996, max_m: int = 11) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS first_d FROM orders GROUP BY 1
+),
+cohort AS (SELECT o_custkey, first_d FROM firsts WHERE year(first_d) = {cohort_year}),
+sz AS (SELECT count(*) AS n FROM cohort),
+act AS (
+  SELECT DISTINCT (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(c.first_d) * 12 + month(c.first_d)) AS m,
+         o.o_custkey
+  FROM orders o JOIN cohort c USING (o_custkey)
+),
+curve AS (
+  SELECT m, count(*) AS c, count(*) / CAST((SELECT n FROM sz) AS DOUBLE) AS retention
+  FROM act WHERE m <= {max_m} GROUP BY m
+),
+fit AS (
+  SELECT count(*) AS nf, sum(m) AS sx, sum(ln(retention)) AS sy,
+         sum(m * m) AS sxx, sum(m * ln(retention)) AS sxy
+  FROM curve WHERE m >= 1
+),
+sl AS (
+  SELECT (sxy / nf - (sx / nf) * (sy / nf)) / (sxx / nf - (sx / nf) * (sx / nf)) AS slope
+  FROM fit
+)
+SELECT CAST(m AS BIGINT) AS m, CAST(c AS BIGINT) AS n_active,
+       round(retention, 6) AS retention,
+       round((SELECT slope FROM sl), 6) AS decay_slope
+FROM curve ORDER BY m
+"""
+
+
+RETENTION_DECAY_FIT_SQL = retention_decay_fit_sql()

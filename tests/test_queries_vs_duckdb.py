@@ -301,6 +301,8 @@ SUBSET = [
     "triangle_excess_ratio",
     "huber_one_step_price",
     "user_day_surprise",
+    "capture_recapture_users",
+    "retention_decay_fit",
 ]
 
 
