@@ -12534,3 +12534,81 @@ FROM curve ORDER BY m
 
 
 RETENTION_DECAY_FIT_SQL = retention_decay_fit_sql()
+
+
+def shift_share_decomposition(sf_dir: str, y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """Shift-share decomposition of revenue growth 1996 -> 1997 by
+    customer segment: each segment's delta splits into the WITHIN
+    effect (its own growth at base share) and the MIX effect (its
+    share shift at the overall base rate) — the decomposition that
+    tells leadership whether growth came from better segments or a
+    better mix. Segment is a dimension broadcast; the (segment, year)
+    grid reduces from one pass of partials."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year.astype("int64")
+        sel = df[(y == y0) | (y == y1)]
+        if sel.empty:
+            return pd.DataFrame({"seg": pd.Series(dtype=object), "y": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64")})
+        seg = ray.get(seg_ref).reindex(sel["o_custkey"]).to_numpy(object)
+        return (
+            pd.DataFrame({"seg": seg, "y": y[(y == y0) | (y == y1)].to_numpy(),
+                          "s": sel["o_totalprice"].to_numpy("float64")})
+            .groupby(["seg", "y"], as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby(["seg", "y"], as_index=False)
+        .sum()
+    )
+    base = g[g["y"] == y0].set_index("seg")["s"]
+    cur = g[g["y"] == y1].set_index("seg")["s"]
+    segs = sorted(set(base.index) | set(cur.index))
+    b = base.reindex(segs, fill_value=0.0).to_numpy("float64")
+    c = cur.reindex(segs, fill_value=0.0).to_numpy("float64")
+    total_b, total_c = b.sum(), c.sum()
+    overall_rate = total_c / total_b - 1.0
+    growth = np.where(b > 0, c / b - 1.0, 0.0)
+    within = b * (growth - overall_rate)
+    return pd.DataFrame(
+        {
+            "c_mktsegment": segs,
+            "rev_base": np.round(b, 2),
+            "rev_cur": np.round(c, 2),
+            "growth_pct": np.round(growth, 6),
+            "excess_within": np.round(within, 2),
+        }
+    )
+
+
+def shift_share_decomposition_sql(y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
+WITH g AS (
+  SELECT c_mktsegment AS seg, year(o_orderdate) AS y, sum(o_totalprice) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN ({y0}, {y1})
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT seg,
+         sum(CASE WHEN y = {y0} THEN s ELSE 0 END) AS b,
+         sum(CASE WHEN y = {y1} THEN s ELSE 0 END) AS c
+  FROM g GROUP BY seg
+),
+tot AS (SELECT sum(b) AS tb, sum(c) AS tc FROM w)
+SELECT seg AS c_mktsegment, round(b, 2) AS rev_base, round(c, 2) AS rev_cur,
+       round(CASE WHEN b > 0 THEN c / b - 1.0 ELSE 0 END, 6) AS growth_pct,
+       round(b * ((CASE WHEN b > 0 THEN c / b - 1.0 ELSE 0 END)
+                  - ((SELECT tc FROM tot) / (SELECT tb FROM tot) - 1.0)), 2) AS excess_within
+FROM w ORDER BY c_mktsegment
+"""
+
+
+SHIFT_SHARE_DECOMPOSITION_SQL = shift_share_decomposition_sql()

@@ -303,6 +303,7 @@ SUBSET = [
     "user_day_surprise",
     "capture_recapture_users",
     "retention_decay_fit",
+    "shift_share_decomposition",
 ]
 
 
