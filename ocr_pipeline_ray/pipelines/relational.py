@@ -12612,3 +12612,249 @@ FROM w ORDER BY c_mktsegment
 
 
 SHIFT_SHARE_DECOMPOSITION_SQL = shift_share_decomposition_sql()
+
+
+def feature_info_gain(sf_dir: str, n_bins: int = 8) -> pd.DataFrame:
+    """Feature ranking by information gain for predicting
+    l_returnflag: IG = H(flag) - H(flag | binned feature) for each of
+    quantity, discount, extendedprice (8 equal-width bins) — the
+    split-criterion scan a tree trainer runs over candidate features,
+    one level up from the single decision stump. All three (feature,
+    bin, flag) grids reduce from ONE pass of stacked partials."""
+    feats = ["l_quantity", "l_discount", "l_extendedprice"]
+    ds = _read(sf_dir, "lineitem", columns=feats + ["l_returnflag"])
+    los = {f: float(ds.min(f)) for f in feats}
+    his = {f: float(ds.max(f)) for f in feats}
+
+    def _stack(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for f in feats:
+            w = (his[f] - los[f]) / n_bins or 1.0
+            b = np.minimum(
+                n_bins - 1, np.floor((df[f].to_numpy("float64") - los[f]) / w)
+            ).astype("int64")
+            frames.append(
+                pd.DataFrame({"feat": f, "b": b, "flag": df["l_returnflag"], "n": np.int64(1)})
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["feat", "b", "flag"], as_index=False)
+            .sum()
+        )
+
+    grid = (
+        ds.map_batches(_stack, batch_format="pandas")
+        .to_pandas()
+        .groupby(["feat", "b", "flag"], as_index=False)
+        .sum()
+    )
+    total = float(grid["n"].sum()) / len(feats)
+    flag_tot = grid[grid["feat"] == feats[0]].groupby("flag")["n"].sum()
+    p = flag_tot.to_numpy("float64") / total
+    h_flag = float(-(p * np.log(p)).sum())
+    rows = []
+    for f in feats:
+        g = grid[grid["feat"] == f]
+        bins = g.groupby("b")["n"].sum()
+        h_cond = 0.0
+        for b, gb in g.groupby("b"):
+            nb = float(bins.loc[b])
+            pb = gb["n"].to_numpy("float64") / nb
+            h_cond += (nb / total) * float(-(pb * np.log(pb)).sum())
+        rows.append(
+            {"feature": f, "h_cond": round(h_cond, 6), "info_gain": round(h_flag - h_cond, 6)}
+        )
+    out = pd.DataFrame(rows).sort_values("feature").reset_index(drop=True)
+    out.insert(1, "h_flag", round(h_flag, 6))
+    return out
+
+
+FEATURE_INFO_GAIN_SQL = """
+WITH st AS (
+  SELECT min(l_quantity) AS q_lo, max(l_quantity) AS q_hi,
+         min(l_discount) AS d_lo, max(l_discount) AS d_hi,
+         min(l_extendedprice) AS p_lo, max(l_extendedprice) AS p_hi,
+         count(*) AS n
+  FROM lineitem
+),
+stacked AS (
+  SELECT 'l_quantity' AS feat,
+         least(7, CAST(floor((l_quantity - (SELECT q_lo FROM st))
+           / (((SELECT q_hi FROM st) - (SELECT q_lo FROM st)) / 8.0)) AS BIGINT)) AS b,
+         l_returnflag AS flag, count(*) AS n
+  FROM lineitem GROUP BY 2, 3
+  UNION ALL
+  SELECT 'l_discount',
+         least(7, CAST(floor((l_discount - (SELECT d_lo FROM st))
+           / (((SELECT d_hi FROM st) - (SELECT d_lo FROM st)) / 8.0)) AS BIGINT)),
+         l_returnflag, count(*)
+  FROM lineitem GROUP BY 2, 3
+  UNION ALL
+  SELECT 'l_extendedprice',
+         least(7, CAST(floor((l_extendedprice - (SELECT p_lo FROM st))
+           / (((SELECT p_hi FROM st) - (SELECT p_lo FROM st)) / 8.0)) AS BIGINT)),
+         l_returnflag, count(*)
+  FROM lineitem GROUP BY 2, 3
+),
+hf AS (
+  SELECT -sum((n / CAST((SELECT n FROM st) AS DOUBLE))
+              * ln(n / CAST((SELECT n FROM st) AS DOUBLE))) AS h
+  FROM (SELECT flag, sum(n) AS n FROM stacked WHERE feat = 'l_quantity' GROUP BY flag)
+),
+bins AS (SELECT feat, b, sum(n) AS nb FROM stacked GROUP BY 1, 2),
+hc AS (
+  SELECT s.feat,
+         sum((nb / CAST((SELECT n FROM st) AS DOUBLE))
+             * (-(s.n / CAST(nb AS DOUBLE)) * ln(s.n / CAST(nb AS DOUBLE)))) AS h_cond
+  FROM stacked s JOIN bins USING (feat, b)
+  GROUP BY s.feat
+)
+SELECT feat AS feature, round((SELECT h FROM hf), 6) AS h_flag,
+       round(h_cond, 6) AS h_cond,
+       round((SELECT h FROM hf) - h_cond, 6) AS info_gain
+FROM hc ORDER BY feature
+"""
+
+
+def month_end_loading(sf_dir: str) -> pd.DataFrame:
+    """Month-end loading test: the share of each month's revenue booked
+    in its LAST 3 calendar days, pooled across months, with the
+    two-sided binomial z against the uniform-share null (3/days_in_
+    month pooled expectation) — the earnings-management / pipeline-
+    stuffing fingerprint auditors scan for. One pass of per-batch
+    partials classifying rows by day-of-month distance from EOM."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"]
+        dim = d.dt.days_in_month.to_numpy("int64")
+        dom = d.dt.day.to_numpy("int64")
+        last3 = dom > dim - 3
+        x = df["o_totalprice"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "n_last3": [np.int64(last3.sum())],
+                "rev": [x.sum()],
+                "rev_last3": [x[last3].sum()],
+                "exp_frac_sum": [(3.0 / dim).sum()],
+            }
+        )
+
+    s = ds.map_batches(_p, batch_format="pandas").to_pandas().sum()
+    n = float(s["n"])
+    p0 = float(s["exp_frac_sum"]) / n  # pooled expected last-3-day share
+    share_orders = float(s["n_last3"]) / n
+    share_rev = float(s["rev_last3"]) / float(s["rev"])
+    z = (share_orders - p0) / np.sqrt(p0 * (1 - p0) / n)
+    return pd.DataFrame(
+        {
+            "n_orders": [np.int64(n)],
+            "expected_share": [round(p0, 6)],
+            "order_share_last3": [round(share_orders, 6)],
+            "revenue_share_last3": [round(share_rev, 6)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+MONTH_END_LOADING_SQL = """
+WITH b AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN day(o_orderdate)
+                   > day(last_day(o_orderdate)) - 3 THEN 1 ELSE 0 END AS last3,
+         3.0 / day(last_day(o_orderdate)) AS exp_frac
+  FROM orders
+),
+m AS (
+  SELECT count(*) AS n, sum(last3) AS nl, sum(x) AS rev,
+         sum(CASE WHEN last3 = 1 THEN x ELSE 0 END) AS revl,
+         sum(exp_frac) AS ef
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(ef / n, 6) AS expected_share,
+       round(nl / CAST(n AS DOUBLE), 6) AS order_share_last3,
+       round(revl / rev, 6) AS revenue_share_last3,
+       round((nl / CAST(n AS DOUBLE) - ef / n)
+             / sqrt((ef / n) * (1 - ef / n) / n), 6) AS z
+FROM m
+"""
+
+
+def order_gap_lognormal_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Inter-order gap lognormal fit PER SEGMENT: mu/sigma of
+    ln(gap days) for each customer segment plus the implied median gap
+    — the reorder-cadence parameterization a replenishment model needs
+    per market. Gaps are vectorized shifts inside customer buckets
+    (segment rides along as a broadcast); log-moment partials reduce
+    per segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        t = g["o_orderdate"].to_numpy("datetime64[us]").astype("int64")
+        same = np.empty(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        same[0] = False
+        gap = np.empty(len(g), dtype="float64")
+        gap[1:] = (t[1:] - t[:-1]) / 86_400_000_000.0
+        keep = same & (gap > 0)
+        lg = np.log(gap[keep])
+        seg = ray.get(seg_ref).reindex(pd.Series(u[keep])).to_numpy(object)
+        return (
+            pd.DataFrame({"seg": seg, "n": np.int64(1), "s": lg, "ss": lg * lg})
+            .groupby("seg", as_index=False)
+            .sum()
+        )
+
+    g = (
+        ds.map_batches(
+            lambda df: df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32)), batch_format="pandas"
+        )
+        .groupby("__b")
+        .map_groups(_gaps, batch_format="pandas")
+        .to_pandas()
+        .groupby("seg", as_index=False)
+        .sum()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    n = g["n"].to_numpy("float64")
+    mu = g["s"].to_numpy("float64") / n
+    sigma2 = g["ss"].to_numpy("float64") / n - mu * mu
+    return pd.DataFrame(
+        {
+            "c_mktsegment": g["seg"],
+            "n_gaps": g["n"].astype("int64"),
+            "mu": np.round(mu, 6),
+            "sigma": np.round(np.sqrt(sigma2), 6),
+            "median_gap_days": np.round(np.exp(mu), 4),
+        }
+    )
+
+
+ORDER_GAP_LOGNORMAL_BY_SEGMENT_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         epoch(o_orderdate - lag(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) / 86400.0 AS gap
+  FROM orders
+),
+j AS (
+  SELECT c_mktsegment AS seg, ln(gap) AS lg
+  FROM seq JOIN customer ON o_custkey = c_custkey
+  WHERE gap IS NOT NULL AND gap > 0
+),
+m AS (
+  SELECT seg, count(*) AS n, sum(lg) AS s, sum(lg * lg) AS ss FROM j GROUP BY seg
+)
+SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_gaps,
+       round(s / n, 6) AS mu,
+       round(sqrt(ss / n - (s / n) * (s / n)), 6) AS sigma,
+       round(exp(s / n), 4) AS median_gap_days
+FROM m ORDER BY c_mktsegment
+"""

@@ -304,6 +304,9 @@ SUBSET = [
     "capture_recapture_users",
     "retention_decay_fit",
     "shift_share_decomposition",
+    "feature_info_gain",
+    "month_end_loading",
+    "order_gap_lognormal_by_segment",
 ]
 
 
