@@ -12858,3 +12858,146 @@ SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_gaps,
        round(exp(s / n), 4) AS median_gap_days
 FROM m ORDER BY c_mktsegment
 """
+
+
+def brand_repeat_rate(sf_dir: str) -> pd.DataFrame:
+    """Cross-order loyalty: the fraction of consecutive order pairs
+    (per customer, by date) that SHARE at least one part brand — do
+    customers rebuy the brand or churn within their own history? The
+    order sequence and the per-order brand sets co-locate in one
+    custkey-bucket shuffle (brands are a dimension broadcast onto
+    lineitem, attached through the orderkey join); pair overlap flags
+    reduce per bucket."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                "brand": ray.get(brand_ref).reindex(df["l_partkey"]).to_numpy(object),
+            }
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    j = shuffle_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["o_orderkey", "brand"],
+        right_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def _cb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__cb=(df["o_custkey"].to_numpy("int64") % 32))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o_orderkey", "brand"])
+        sets = g.groupby("o_orderkey")["brand"].agg(set)
+        meta = g[["o_orderkey", "o_custkey", "o_orderdate"]].drop_duplicates("o_orderkey")
+        meta = meta.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        u = meta["o_custkey"].to_numpy()
+        ks = meta["o_orderkey"].to_numpy("int64")
+        same = u[1:] == u[:-1]
+        n_pairs, n_hit = 0, 0
+        for i in np.flatnonzero(same):
+            n_pairs += 1
+            if sets[ks[i]] & sets[ks[i + 1]]:
+                n_hit += 1
+        return pd.DataFrame({"n_pairs": [np.int64(n_pairs)], "n_hit": [np.int64(n_hit)]})
+
+    s = (
+        j.map_batches(_cb, batch_format="pandas")
+        .groupby("__cb")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n_pairs, n_hit = int(s["n_pairs"]), int(s["n_hit"])
+    return pd.DataFrame(
+        {
+            "n_pairs": [np.int64(n_pairs)],
+            "n_shared_brand": [np.int64(n_hit)],
+            "repeat_rate": [round(n_hit / n_pairs, 6)],
+        }
+    )
+
+
+BRAND_REPEAT_RATE_SQL = """
+WITH seq AS (
+  SELECT o_orderkey, o_custkey,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+  FROM orders
+  -- consecutive WITH-LINES orders: empty orders carry no brand set
+  WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)
+),
+ob AS (
+  SELECT DISTINCT l_orderkey AS k, p_brand AS b
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (SELECT o_orderkey AS k1, next_key AS k2 FROM seq WHERE next_key IS NOT NULL),
+hit AS (
+  SELECT k1, k2,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM ob a JOIN ob c ON a.b = c.b
+           WHERE a.k = k1 AND c.k = k2
+         ) THEN 1 ELSE 0 END AS h
+  FROM pairs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(h) AS BIGINT) AS n_shared_brand,
+       round(sum(h) / CAST(count(*) AS DOUBLE), 6) AS repeat_rate
+FROM hit
+"""
+
+
+def order_brand_diversity(sf_dir: str) -> pd.DataFrame:
+    """Basket brand-diversity profile: the distribution of distinct
+    brands per order (histogram) plus the single-brand order share —
+    how mono-brand is purchasing behavior? Per-order distinct brands
+    resolve inside one orderkey-bucket reduce (brand is a dimension
+    broadcast)."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def _ob(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o": df["l_orderkey"].to_numpy("int64"),
+                "b": ray.get(brand_ref).reindex(df["l_partkey"]).to_numpy(object),
+            }
+        ).drop_duplicates()
+        out["__ob"] = (out["o"] % 64).astype("int64")
+        return out
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "b"])
+        cnt = g.groupby("o").size()
+        u, c = np.unique(cnt.to_numpy("int64"), return_counts=True)
+        return pd.DataFrame({"n_brands": u, "n_orders": c})
+
+    g = (
+        ds.map_batches(_ob, batch_format="pandas")
+        .groupby("__ob")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_brands", as_index=False)["n_orders"]
+        .sum()
+        .sort_values("n_brands")
+        .reset_index(drop=True)
+    )
+    total = int(g["n_orders"].sum())
+    g["share"] = np.round(g["n_orders"].to_numpy("float64") / total, 6)
+    return g.astype({"n_brands": "int64", "n_orders": "int64"})
+
+
+ORDER_BRAND_DIVERSITY_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+per AS (SELECT l_orderkey, count(*) AS n_brands FROM ob GROUP BY 1),
+h AS (SELECT n_brands, count(*) AS n_orders FROM per GROUP BY 1)
+SELECT CAST(n_brands AS BIGINT) AS n_brands, CAST(n_orders AS BIGINT) AS n_orders,
+       round(n_orders / (SELECT CAST(sum(n_orders) AS DOUBLE) FROM h), 6) AS share
+FROM h ORDER BY n_brands
+"""

@@ -307,6 +307,8 @@ SUBSET = [
     "feature_info_gain",
     "month_end_loading",
     "order_gap_lognormal_by_segment",
+    "brand_repeat_rate",
+    "order_brand_diversity",
 ]
 
 
