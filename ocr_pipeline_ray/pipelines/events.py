@@ -5614,3 +5614,74 @@ SELECT CAST(na AS BIGINT) AS n_view_users, CAST(nb AS BIGINT) AS n_click_users,
        round((na + 1) * (nb + 1) / CAST(nboth + 1 AS DOUBLE) - 1, 4) AS chapman_estimate
 FROM c
 """
+
+
+def post_error_intensity(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Self-excitation check: is a user's event intensity in the hour
+    AFTER an error elevated over their average rate? Counts events in
+    (t_err, t_err + 1h] per error (vectorized searchsorted per user
+    inside buckets), compares to the expected count under each user's
+    own uniform rate over the global span — ratio >> 1 means errors
+    cluster/cascade (retry storms). Partials: (n_errors, observed,
+    expected) per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    lo = pd.Timestamp(ds.min("ts"))
+    hi = pd.Timestamp(ds.max("ts"))
+    span_s = (hi - lo).total_seconds()
+
+    def _p(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        n_err, obs, exp = 0, 0, 0.0
+        for _, gu in g.groupby("user_id", sort=False):
+            t = gu["ts"].to_numpy("datetime64[us]").astype("int64")
+            err = t[(gu["event_type"] == "error").to_numpy()]
+            if len(err) == 0:
+                continue
+            hi_idx = np.searchsorted(t, err + window_s * 1_000_000, side="right")
+            lo_idx = np.searchsorted(t, err, side="right")
+            obs += int((hi_idx - lo_idx).sum())
+            n_err += len(err)
+            exp += len(err) * (len(t) - 1) * (window_s / span_s)
+        return pd.DataFrame({"n_err": [np.int64(n_err)], "obs": [np.int64(obs)], "exp": [exp]})
+
+    s = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_p, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "n_errors": [np.int64(s["n_err"])],
+            "observed": [np.int64(s["obs"])],
+            "expected": [round(float(s["exp"]), 4)],
+            "intensity_ratio": [round(float(s["obs"]) / float(s["exp"]), 6)],
+        }
+    )
+
+
+POST_ERROR_INTENSITY_SQL = """
+WITH span AS (
+  SELECT epoch((SELECT max(ts) FROM events) - (SELECT min(ts) FROM events)) AS s
+),
+rates AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+obs AS (
+  SELECT e.user_id, count(b.ts) AS c
+  FROM err e LEFT JOIN events b
+    ON b.user_id = e.user_id AND b.ts > e.ts
+       AND b.ts <= e.ts + INTERVAL 3600 SECONDS
+  GROUP BY e.user_id, e.ts
+),
+agg AS (
+  SELECT (SELECT count(*) FROM err) AS n_err,
+         (SELECT sum(c) FROM obs) AS o,
+         (SELECT sum(en.c * (r.n - 1) * (3600.0 / (SELECT s FROM span)))
+          FROM (SELECT user_id, count(*) AS c FROM err GROUP BY user_id) en
+          JOIN rates r USING (user_id)) AS e
+)
+SELECT CAST(n_err AS BIGINT) AS n_errors, CAST(o AS BIGINT) AS observed,
+       round(e, 4) AS expected, round(o / e, 6) AS intensity_ratio
+FROM agg
+"""

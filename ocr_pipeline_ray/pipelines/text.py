@@ -5535,3 +5535,53 @@ SELECT j.lang, CAST(max(total) AS BIGINT) AS n_trigrams,
 FROM j JOIN tot ON tot.lang = j.lang
 GROUP BY j.lang ORDER BY j.lang
 """
+
+
+def token_stutter_top(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Degenerate-repetition audit: the longest run of the SAME token
+    inside each document, top-k stutteriest docs — the "the the the"
+    smell that perplexity filters miss when the repeated token is
+    common. The run scan is one vectorized pass per batch; only
+    per-batch top-k partials reduce. Ties: run desc, doc_id asc."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _runs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, s in zip(df["doc_id"], df["text"]):
+            toks = TOKEN_RE.findall(s.lower())
+            if not toks:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            brk = np.flatnonzero(arr[1:] != arr[:-1])
+            bounds = np.concatenate(([0], brk + 1, [len(arr)]))
+            best = int(np.diff(bounds).max())
+            rows.append((int(did), best))
+        out = pd.DataFrame(rows, columns=["doc_id", "max_run"])
+        return out.sort_values(["max_run", "doc_id"], ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(_runs, batch_format="pandas").to_pandas()
+    return (
+        parts.sort_values(["max_run", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "max_run": "int64"})
+    )
+
+
+TOKEN_STUTTER_TOP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr FROM documents)
+),
+isl AS (
+  SELECT doc_id, tok,
+         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, tok, grp
+),
+best AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+SELECT doc_id, CAST(max_run AS BIGINT) AS max_run
+FROM best ORDER BY max_run DESC, doc_id LIMIT 10
+"""

@@ -309,6 +309,8 @@ SUBSET = [
     "order_gap_lognormal_by_segment",
     "brand_repeat_rate",
     "order_brand_diversity",
+    "post_error_intensity",
+    "token_stutter_top",
 ]
 
 
