@@ -13001,3 +13001,83 @@ SELECT CAST(n_brands AS BIGINT) AS n_brands, CAST(n_orders AS BIGINT) AS n_order
        round(n_orders / (SELECT CAST(sum(n_orders) AS DOUBLE) FROM h), 6) AS share
 FROM h ORDER BY n_brands
 """
+
+
+def forecast_leaderboard(sf_dir: str, eval_days: int = 60, alpha: float = 0.25) -> pd.DataFrame:
+    """Forecast model leaderboard on daily revenue: one-step-ahead MAE
+    over the final 60 days for the three no-training baselines every
+    forecasting bake-off must include — naive-1 (yesterday),
+    seasonal-naive-7 (same weekday last week), and EWMA(0.25) — the
+    model-selection harness, with each model's math identical on both
+    engines (the EWMA recursion is the bit-compatible one from
+    ewma_daily_revenue). The fact table reduces once to the daily
+    series; the leaderboard runs on it."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "p": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("p", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("float64")
+    n = len(x)
+    ew = np.empty_like(x)
+    ew[0] = x[0]
+    for i in range(1, n):
+        ew[i] = alpha * x[i] + (1.0 - alpha) * ew[i - 1]
+    lo = n - eval_days
+    idx = np.arange(lo, n)
+    mae_naive = float(np.abs(x[idx] - x[idx - 1]).mean())
+    mae_seas = float(np.abs(x[idx] - x[idx - 7]).mean())
+    mae_ewma = float(np.abs(x[idx] - ew[idx - 1]).mean())
+    return pd.DataFrame(
+        {
+            "model": ["ewma_025", "naive_1", "seasonal_naive_7"],
+            "n_eval_days": np.int64(eval_days),
+            "mae": [round(mae_ewma, 4), round(mae_naive, 4), round(mae_seas, 4)],
+        }
+    )
+
+
+FORECAST_LEADERBOARD_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev,
+         row_number() OVER (ORDER BY date_trunc('day', o_orderdate)) AS rn
+  FROM orders GROUP BY 1
+),
+ew AS (
+  SELECT rn, rev, rev AS ewma FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.rev, 0.25 * d.rev + 0.75 * ew.ewma
+  FROM ew JOIN daily d ON d.rn = ew.rn + 1
+),
+n AS (SELECT max(rn) AS n FROM daily),
+idx AS (SELECT rn FROM daily WHERE rn > (SELECT n FROM n) - 60),
+scored AS (
+  SELECT i.rn,
+         abs(cur.rev - prev.rev) AS e_naive,
+         abs(cur.rev - wk.rev) AS e_seas,
+         abs(cur.rev - ewp.ewma) AS e_ewma
+  FROM idx i
+  JOIN daily cur ON cur.rn = i.rn
+  JOIN daily prev ON prev.rn = i.rn - 1
+  JOIN daily wk ON wk.rn = i.rn - 7
+  JOIN ew ewp ON ewp.rn = i.rn - 1
+)
+SELECT model, CAST(60 AS BIGINT) AS n_eval_days, round(mae, 4) AS mae
+FROM (
+  SELECT 'ewma_025' AS model, sum(e_ewma) / count(*) AS mae FROM scored
+  UNION ALL SELECT 'naive_1', sum(e_naive) / count(*) FROM scored
+  UNION ALL SELECT 'seasonal_naive_7', sum(e_seas) / count(*) FROM scored
+) ORDER BY model
+"""

@@ -311,6 +311,7 @@ SUBSET = [
     "order_brand_diversity",
     "post_error_intensity",
     "token_stutter_top",
+    "forecast_leaderboard",
 ]
 
 
