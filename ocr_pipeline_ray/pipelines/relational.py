@@ -13081,3 +13081,162 @@ FROM (
   UNION ALL SELECT 'seasonal_naive_7', sum(e_seas) / count(*) FROM scored
 ) ORDER BY model
 """
+
+
+def gap_acceleration_sign_test(sf_dir: str) -> pd.DataFrame:
+    """Paired sign test for reorder acceleration: among customers with
+    >= 3 orders, is the LAST inter-order gap shorter than the FIRST
+    more often than chance? The distribution-free paired test
+    (n_shorter vs n_longer, ties dropped, binomial z with p = 1/2) —
+    no moments, no ranks, immune to the gap distribution's heavy tail.
+    First/last gaps are vectorized shifts inside customer buckets."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _p(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        t = g["o_orderdate"].to_numpy("datetime64[us]").astype("int64")
+        idx = pd.Series(u).groupby(pd.Series(u)).cumcount().to_numpy()
+        size = pd.Series(u).groupby(pd.Series(u)).transform("size").to_numpy()
+        gap = np.empty(len(g), dtype="int64")
+        gap[1:] = t[1:] - t[:-1]
+        first_gap = gap[(idx == 1) & (size >= 3)]
+        last_gap = gap[(idx == size - 1) & (size >= 3)]
+        shorter = int((last_gap < first_gap).sum())
+        longer = int((last_gap > first_gap).sum())
+        return pd.DataFrame({"shorter": [np.int64(shorter)], "longer": [np.int64(longer)]})
+
+    def _cb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32))
+
+    s = (
+        ds.map_batches(_cb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(_p, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    shorter, longer = int(s["shorter"]), int(s["longer"])
+    n = shorter + longer
+    z = (shorter - n / 2.0) / np.sqrt(n / 4.0)
+    return pd.DataFrame(
+        {
+            "n_pairs": [np.int64(n)],
+            "n_shorter": [np.int64(shorter)],
+            "n_longer": [np.int64(longer)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+GAP_ACCELERATION_SIGN_TEST_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS sz,
+         epoch(o_orderdate - lag(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS gap
+  FROM orders
+),
+fl AS (
+  SELECT o_custkey,
+         max(CASE WHEN rn = 2 THEN gap END) AS first_gap,
+         max(CASE WHEN rn = sz THEN gap END) AS last_gap
+  FROM seq WHERE sz >= 3 GROUP BY o_custkey
+),
+c AS (
+  SELECT count(CASE WHEN last_gap < first_gap THEN 1 END) AS shorter,
+         count(CASE WHEN last_gap > first_gap THEN 1 END) AS longer
+  FROM fl
+)
+SELECT CAST(shorter + longer AS BIGINT) AS n_pairs,
+       CAST(shorter AS BIGINT) AS n_shorter, CAST(longer AS BIGINT) AS n_longer,
+       round((shorter - (shorter + longer) / 2.0)
+             / sqrt((shorter + longer) / 4.0), 6) AS z
+FROM c
+"""
+
+
+def revenue_half_count(sf_dir: str, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Concentration half-count: the SMALLEST number of customers whose
+    combined revenue reaches 50% of the total (descending by spend,
+    ties by custkey) — the single most quoted concentration number.
+    A descending (bucket -> count, sum) grid over per-customer revenue
+    locates the crossing bucket; only its rows are pulled to place the
+    exact boundary customer."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per = bucketed_aggregate(
+        ds, ["o_custkey"], {"s": ("o_totalprice", "sum")}, num_buckets=32
+    ).materialize()
+    lo = float(per.min("s"))
+    hi = float(per.max("s"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        per.map_batches(
+            lambda df: pd.DataFrame({"b": _bucket(df["s"].to_numpy("float64")), "x": df["s"]})
+            .groupby("b", as_index=False)
+            .agg(c=("x", "size"), sv=("x", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b", ascending=False)  # descending by value bucket
+        .reset_index(drop=True)
+    )
+    total = float(grid["sv"].sum())
+    half = total / 2.0
+    cum_s = grid["sv"].cumsum().to_numpy("float64")
+    cum_c = grid["c"].cumsum().to_numpy("int64")
+    j = int(np.searchsorted(cum_s, half))  # first bucket index where cum >= half
+    bj = int(grid["b"].iloc[j])
+    before_s = float(cum_s[j] - grid["sv"].iloc[j])
+    before_c = int(cum_c[j] - grid["c"].iloc[j])
+    need_ref = ray.put(bj)
+    pulled = (
+        per.map_batches(
+            lambda df: df[_bucket(df["s"].to_numpy("float64")) == ray.get(need_ref)][["o_custkey", "s"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["s", "o_custkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    run = before_s
+    k = before_c
+    for v in pulled["s"].to_numpy("float64"):
+        run += v
+        k += 1
+        if run >= half:
+            break
+    n_cust = int(per.count())
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(n_cust)],
+            "half_count": [np.int64(k)],
+            "half_count_share": [round(k / n_cust, 6)],
+            "captured_share": [round(run / total, 6)],
+        }
+    )
+
+
+REVENUE_HALF_COUNT_SQL = """
+WITH per AS (SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1),
+r AS (
+  SELECT s,
+         row_number() OVER (ORDER BY s DESC, o_custkey) AS rk,
+         sum(s) OVER (ORDER BY s DESC, o_custkey) AS cum,
+         sum(s) OVER () AS total,
+         count(*) OVER () AS n
+  FROM per
+),
+best AS (SELECT * FROM r WHERE cum >= total / 2.0 ORDER BY rk LIMIT 1)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(rk AS BIGINT) AS half_count,
+       round(rk / CAST(n AS DOUBLE), 6) AS half_count_share,
+       round(cum / total, 6) AS captured_share
+FROM best
+"""

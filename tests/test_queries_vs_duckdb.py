@@ -312,6 +312,8 @@ SUBSET = [
     "post_error_intensity",
     "token_stutter_top",
     "forecast_leaderboard",
+    "gap_acceleration_sign_test",
+    "revenue_half_count",
 ]
 
 
