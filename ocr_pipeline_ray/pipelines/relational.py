@@ -13240,3 +13240,65 @@ SELECT CAST(n AS BIGINT) AS n_customers, CAST(rk AS BIGINT) AS half_count,
        round(cum / total, 6) AS captured_share
 FROM best
 """
+
+
+def topk_customer_stability(sf_dir: str, k: int = 100, y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """Leaderboard stability: the Jaccard overlap between the top-100
+    customers by spend in 1996 and in 1997 (ties by custkey) — how
+    sticky is the whale set a key-account program targets? Per-year
+    per-customer aggregates ride one bucketed reduce; each year's
+    winners come from the partial top-k; the overlap is a set op on
+    2k rows."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year.astype("int64")
+        sel = (y == y0) | (y == y1)
+        return pd.DataFrame(
+            {"c": df["o_custkey"].to_numpy("int64")[sel], "y": y[sel].to_numpy(),
+             "s": df["o_totalprice"].to_numpy("float64")[sel]}
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"), ["c", "y"], {"s": ("s", "sum")}
+    ).materialize()
+    tops = {}
+    for y in (y0, y1):
+        sub = per.map_batches(
+            lambda df, yy=y: df[df["y"] == yy][["c", "s"]].astype({"c": "int64"}),
+            batch_format="pandas",
+        )
+        tops[y] = set(
+            partial_topk(sub, ["s", "c"], [False, True], k)["c"].astype("int64").tolist()
+        )
+    inter = len(tops[y0] & tops[y1])
+    return pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "n_common": [np.int64(inter)],
+            "jaccard": [round(inter / (2 * k - inter), 6)],
+        }
+    )
+
+
+def topk_customer_stability_sql(k: int = 100, y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
+WITH per AS (
+  SELECT o_custkey AS c, year(o_orderdate) AS y, sum(o_totalprice) AS s
+  FROM orders WHERE year(o_orderdate) IN ({y0}, {y1}) GROUP BY 1, 2
+),
+t AS (
+  SELECT c, y FROM per
+  QUALIFY row_number() OVER (PARTITION BY y ORDER BY s DESC, c) <= {k}
+),
+i AS (
+  SELECT count(*) AS n_common
+  FROM t a JOIN t b ON a.c = b.c AND a.y = {y0} AND b.y = {y1}
+)
+SELECT CAST({k} AS BIGINT) AS k, CAST(n_common AS BIGINT) AS n_common,
+       round(n_common / CAST(2 * {k} - n_common AS DOUBLE), 6) AS jaccard
+FROM i
+"""
+
+
+TOPK_CUSTOMER_STABILITY_SQL = topk_customer_stability_sql()

@@ -5585,3 +5585,45 @@ best AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
 SELECT doc_id, CAST(max_run AS BIGINT) AS max_run
 FROM best ORDER BY max_run DESC, doc_id LIMIT 10
 """
+
+
+def mcnemar_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """McNemar's test between the two weak labelers of
+    cohens_kappa_labelers ("is English" vs "is long"): the DISCORDANT
+    cells b (en-only) and c (long-only) and chi2 = (b-c)^2/(b+c) —
+    kappa says how much they agree; McNemar says whether their
+    disagreement is biased one way (one labeler systematically fires
+    more). Same one-pass confusion partials."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _conf(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["lang"] == "en").to_numpy()
+        b = (df["n_chars"] > len_cut).to_numpy()
+        return pd.DataFrame(
+            {"b": [np.int64((a & ~b).sum())], "c": [np.int64((~a & b).sum())]}
+        )
+
+    s = ds.map_batches(_conf, batch_format="pandas").to_pandas().sum()
+    b, c = int(s["b"]), int(s["c"])
+    chi2 = (b - c) ** 2 / (b + c)
+    return pd.DataFrame(
+        {
+            "n_discordant": [np.int64(b + c)],
+            "b_en_only": [np.int64(b)],
+            "c_long_only": [np.int64(c)],
+            "chi2": [round(chi2, 6)],
+        }
+    )
+
+
+MCNEMAR_LABELERS_SQL = """
+WITH m AS (
+  SELECT count(CASE WHEN lang = 'en' AND n_chars <= 800 THEN 1 END) AS b,
+         count(CASE WHEN lang <> 'en' AND n_chars > 800 THEN 1 END) AS c
+  FROM documents
+)
+SELECT CAST(b + c AS BIGINT) AS n_discordant,
+       CAST(b AS BIGINT) AS b_en_only, CAST(c AS BIGINT) AS c_long_only,
+       round((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6) AS chi2
+FROM m
+"""

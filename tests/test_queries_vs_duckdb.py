@@ -314,6 +314,8 @@ SUBSET = [
     "forecast_leaderboard",
     "gap_acceleration_sign_test",
     "revenue_half_count",
+    "mcnemar_labelers",
+    "topk_customer_stability",
 ]
 
 
