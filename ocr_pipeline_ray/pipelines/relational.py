@@ -13302,3 +13302,163 @@ FROM i
 
 
 TOPK_CUSTOMER_STABILITY_SQL = topk_customer_stability_sql()
+
+
+def kruskal_wallis_quantity(sf_dir: str) -> pd.DataFrame:
+    """Kruskal-Wallis H test of l_quantity across the l_returnflag
+    groups — the k-sample generalization of :func:`mann_whitney_price`
+    (rank-based one-way ANOVA), with exact midranks and the standard
+    tie correction.
+
+    l_quantity's value domain is tiny (50 distinct values), so the
+    whole test reduces through ONE value-domain grid: per-batch
+    (x, flag) count partials -> :func:`bucketed_aggregate` -> a
+    <=150-cell grid on the driver. Midranks are half-integers and the
+    per-flag rank sums stay exactly representable in float64, so both
+    engines agree bit-for-bit regardless of summation order."""
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_quantity", "l_returnflag"], as_index=False)
+            .size()
+            .rename(columns={"l_quantity": "x", "l_returnflag": "flag", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["x", "flag"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["x", "flag"])
+        .reset_index(drop=True)
+    )
+    per_x = grid.groupby("x", as_index=False)["c"].sum().sort_values("x")
+    cx = per_x["c"].to_numpy("int64")
+    before = np.cumsum(cx) - cx
+    midrank = before + (cx + 1) / 2.0
+    mr = pd.Series(midrank, index=per_x["x"].to_numpy())
+    n = int(cx.sum())
+    grid["rsum"] = grid["c"].to_numpy("int64") * mr.reindex(grid["x"]).to_numpy()
+    rj = grid.groupby("flag", as_index=False).agg(rsum=("rsum", "sum"), nj=("c", "sum"))
+    k = len(rj)
+    h = 12.0 / (n * (n + 1.0)) * float((rj["rsum"] ** 2 / rj["nj"]).sum()) - 3.0 * (n + 1)
+    ties = int(((cx.astype("int64") ** 3) - cx).sum())
+    h_tie = h / (1.0 - ties / (float(n) ** 3 - n))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "h": [round(h, 6)],
+            "h_tie": [round(h_tie, 6)],
+        }
+    )
+
+
+KRUSKAL_WALLIS_QUANTITY_SQL = """
+WITH v AS (
+  SELECT l_quantity AS x, l_returnflag AS flag, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT x, sum(c) AS cx FROM v GROUP BY x),
+r AS (SELECT x, cx, sum(cx) OVER (ORDER BY x) - cx AS before FROM t),
+m AS (SELECT x, before + (cx + 1) / 2.0 AS midrank FROM r),
+rj AS (
+  SELECT flag, sum(c * m.midrank) AS rsum, sum(c) AS nj
+  FROM v JOIN m USING (x) GROUP BY flag
+),
+agg AS (
+  SELECT sum(nj) AS n, count(*) AS k, sum(rsum * rsum / nj) AS s
+  FROM rj
+),
+ties AS (SELECT sum(cx * cx * cx - cx) AS tt FROM t)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1), 6) AS h,
+       round((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1))
+             / (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_tie
+FROM agg, ties
+"""
+
+
+def kendall_tau_daily(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b between daily order revenue and daily order count
+    — the concordance-based sibling of :func:`spearman_price_discount`
+    for the time-series pair (is revenue monotone in traffic?).
+
+    Revenue is accumulated as integer CENTS (round(price*100) per row,
+    int64 sum) so both engines count concordant / discordant / tied
+    pairs over EXACT integers — no float-sum-order tie ambiguity. The
+    fact table reduces through the bucketed per-day aggregate; the
+    O(days^2) pair scan runs vectorized on the result-sized series
+    (~2.4k days regardless of SF)."""
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+                "one": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum"), "cnt": ("one", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev_c"].to_numpy("int64")
+    y = daily["cnt"].to_numpy("int64")
+    n = len(x)
+    ii, jj = np.triu_indices(n, k=1)
+    dx = np.sign(x[ii] - x[jj])
+    dy = np.sign(y[ii] - y[jj])
+    prod = dx * dy
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    tx = int((dx == 0).sum())
+    ty = int((dy == 0).sum())
+    n0 = n * (n - 1) // 2
+    tau = (conc - disc) / np.sqrt((n0 - tx) * 1.0 * (n0 - ty))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "conc": pd.Series([conc], dtype="int64"),
+            "disc": pd.Series([disc], dtype="int64"),
+            "tau_b": [round(float(tau), 6)],
+        }
+    )
+
+
+KENDALL_TAU_DAILY_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+         count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT
+    sum(CASE WHEN (a.rev_c - b.rev_c) * (a.cnt - b.cnt) > 0 THEN 1 ELSE 0 END) AS conc,
+    sum(CASE WHEN (a.rev_c - b.rev_c) * (a.cnt - b.cnt) < 0 THEN 1 ELSE 0 END) AS disc,
+    sum(CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END) AS tx,
+    sum(CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END) AS ty,
+    count(*) AS n0
+  FROM d a JOIN d b ON a.day < b.day
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+       round((conc - disc) / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6) AS tau_b
+FROM p
+"""
