@@ -13462,3 +13462,83 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
        round((conc - disc) / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6) AS tau_b
 FROM p
 """
+
+
+def friedman_segment_monthly(sf_dir: str) -> pd.DataFrame:
+    """Friedman rank test: do the five market segments keep the same
+    revenue ordering month after month? Blocks = order months,
+    treatments = segments, response = monthly segment revenue in
+    integer CENTS (exact on both engines), ranks within each month
+    tie-broken by segment name. Q = 12/(n*k*(k+1)) * SUM(R_j^2)
+    - 3*n*(k+1) over rank sums R_j — all integer until the final
+    division.
+
+    The fact table reduces through ONE bucketed (month, segment)
+    grid (customer segment map is dimension-sized, broadcast once);
+    ranking runs on the ~420-cell result."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "m": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "seg": sm.reindex(df["o_custkey"]).to_numpy(object),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["m", "seg"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["m", "rev_c", "seg"])
+        .reset_index(drop=True)
+    )
+    grid["rank"] = grid.groupby("m").cumcount() + 1
+    k = int(grid.groupby("m")["seg"].size().max())
+    full = grid.groupby("m").filter(lambda g: len(g) == k)
+    n = full["m"].nunique()
+    rj = full.groupby("seg")["rank"].sum()
+    q = 12.0 / (n * k * (k + 1.0)) * float((rj.astype("int64") ** 2).sum()) - 3.0 * n * (k + 1)
+    return pd.DataFrame(
+        {
+            "n_blocks": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "q": [round(q, 6)],
+        }
+    )
+
+
+FRIEDMAN_SEGMENT_MONTHLY_SQL = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT m, seg,
+         row_number() OVER (PARTITION BY m ORDER BY rev_c, seg) AS rk,
+         count(*) OVER (PARTITION BY m) AS kk
+  FROM g
+),
+kmax AS (SELECT max(kk) AS k FROM r),
+full_blocks AS (SELECT r.* FROM r, kmax WHERE r.kk = kmax.k),
+rj AS (SELECT seg, sum(rk) AS rsum FROM full_blocks GROUP BY seg),
+agg AS (
+  SELECT (SELECT count(DISTINCT m) FROM full_blocks) AS n,
+         (SELECT k FROM kmax) AS k,
+         sum(rsum * rsum) AS s
+  FROM rj
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+       round(12.0 / (n * k * (k + 1.0)) * s - 3.0 * n * (k + 1), 6) AS q
+FROM agg
+"""

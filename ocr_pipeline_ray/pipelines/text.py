@@ -5627,3 +5627,72 @@ SELECT CAST(b + c AS BIGINT) AS n_discordant,
        round((b - c) * (b - c) / CAST(b + c AS DOUBLE), 6) AS chi2
 FROM m
 """
+
+
+def cochran_q_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Cochran's Q test across THREE weak binary labelers — the
+    k-treatment generalization of :func:`mcnemar_labelers` (do the
+    labelers fire at the same rate, blocked by document?). Labelers:
+    L1 = (lang == 'en'), L2 = (n_chars > len_cut), L3 = (text contains
+    'data'). Q = (k-1) * (k * SUM(G_j^2) - (SUM G)^2)
+    / (k * SUM(L_i) - SUM(L_i^2)) with G_j the per-labeler positive
+    totals and L_i the per-document positive count.
+
+    One pass of scalar integer partials (per-batch G sums, SUM L,
+    SUM L^2); every term is an exact int64 on both engines, so the
+    single final division matches bit-for-bit."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["lang"] == "en").to_numpy("int64")
+        b = (df["n_chars"] > len_cut).to_numpy("int64")
+        c = df["text"].str.contains("data", regex=False).to_numpy("int64")
+        li = a + b + c
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "g1": [np.int64(a.sum())],
+                "g2": [np.int64(b.sum())],
+                "g3": [np.int64(c.sum())],
+                "sl": [np.int64(li.sum())],
+                "sl2": [np.int64((li * li).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    k = 3
+    g1, g2, g3 = int(s["g1"]), int(s["g2"]), int(s["g3"])
+    sl, sl2 = int(s["sl"]), int(s["sl2"])
+    num = (k - 1) * (k * (g1 * g1 + g2 * g2 + g3 * g3) - sl * sl)
+    den = k * sl - sl2
+    q = num / den
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(s["n"])], dtype="int64"),
+            "g_en": pd.Series([g1], dtype="int64"),
+            "g_long": pd.Series([g2], dtype="int64"),
+            "g_data": pd.Series([g3], dtype="int64"),
+            "q": [round(q, 6)],
+        }
+    )
+
+
+COCHRAN_Q_LABELERS_SQL = """
+WITH l AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars > 800 THEN 1 ELSE 0 END AS b,
+         CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n, sum(a) AS g1, sum(b) AS g2, sum(c) AS g3,
+         sum(a + b + c) AS sl, sum((a + b + c) * (a + b + c)) AS sl2
+  FROM l
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(g1 AS BIGINT) AS g_en, CAST(g2 AS BIGINT) AS g_long,
+       CAST(g3 AS BIGINT) AS g_data,
+       round(2.0 * (3 * (g1 * g1 + g2 * g2 + g3 * g3) - sl * sl)
+             / (3 * sl - sl2), 6) AS q
+FROM s
+"""
