@@ -13542,3 +13542,228 @@ SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
        round(12.0 / (n * k * (k + 1.0)) * s - 3.0 * n * (k + 1), 6) AS q
 FROM agg
 """
+
+
+def logrank_repurchase_by_segment(
+    sf_dir: str, seg_a: str = "BUILDING", seg_b: str = "MACHINERY"
+) -> pd.DataFrame:
+    """Log-rank test between two segments' time-to-repurchase curves —
+    the hypothesis-test companion of :func:`kaplan_meier_repurchase`
+    (same first-to-second-order durations with right-censoring at the
+    corpus max date): O1 = SUM d1(t), E1 = SUM d(t)*n1(t)/n(t),
+    V = SUM d*(n1/n)*(1-n1/n)*(n-d)/(n-1) over event times,
+    chi2 = (O1-E1)^2 / V.
+
+    Same distributed shape as the KM curve: per-batch two-smallest
+    dates per customer, ONE custkey-bucket shuffle, per-bucket reduce
+    to the (t, event, segment) histogram (segment map is
+    dimension-sized, broadcast once); suffix-sum risk sets run on the
+    day-granularity result."""
+    num_buckets = 32
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    sm = cust.set_index("c_custkey")["c_mktsegment"]
+    seg_ref = ray.put(sm[sm.isin([seg_a, seg_b])])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        keep = pd.notna(ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object))
+        df = df[keep]
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        is_a = ray.get(seg_ref).reindex(p.index).to_numpy(object) == seg_a
+        out = pd.DataFrame(
+            {"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64"), "a": is_a.astype("int64")}
+        )
+        return out.groupby(["t", "ev", "a"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev", "a"], as_index=False)["cnt"]
+        .sum()
+    )
+    h = hist.groupby("t").apply(
+        lambda g: pd.Series(
+            {
+                "c1": int(g.loc[g["a"] == 1, "cnt"].sum()),
+                "c": int(g["cnt"].sum()),
+                "d1": int(g.loc[(g["a"] == 1) & (g["ev"] == 1), "cnt"].sum()),
+                "d": int(g.loc[g["ev"] == 1, "cnt"].sum()),
+            }
+        ),
+        include_groups=False,
+    ).sort_index(ascending=False)
+    n1 = h["c1"].cumsum().to_numpy("float64")
+    n = h["c"].cumsum().to_numpy("float64")
+    d1 = h["d1"].to_numpy("float64")
+    d = h["d"].to_numpy("float64")
+    keep = (d > 0) & (n > 1)
+    n1, n, d1, d = n1[keep], n[keep], d1[keep], d[keep]
+    o1 = float(d1.sum())
+    e1 = float((d * n1 * 1.0 / n).sum())
+    v = float((d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1.0)).sum())
+    chi2 = (o1 - e1) ** 2 / v
+    return pd.DataFrame(
+        {
+            "o1": pd.Series([int(o1)], dtype="int64"),
+            "e1": [round(e1, 6)],
+            "chi2": [round(chi2, 6)],
+        }
+    )
+
+
+LOGRANK_REPURCHASE_BY_SEGMENT_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT r1.o_custkey,
+         CAST(datediff('day', r1.o_orderdate, coalesce(r2.o_orderdate, mx.md)) AS BIGINT) AS t,
+         CASE WHEN r2.o_orderdate IS NULL THEN 0 ELSE 1 END AS ev
+  FROM (SELECT * FROM r WHERE rn = 1) r1
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) r2 USING (o_custkey), mx
+),
+g AS (
+  SELECT per.*, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+  FROM per JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+h AS (
+  SELECT t, sum(a) AS c1, count(*) AS c,
+         sum(CASE WHEN a = 1 AND ev = 1 THEN 1 ELSE 0 END) AS d1,
+         sum(ev) AS d
+  FROM g GROUP BY t
+),
+s AS (
+  SELECT t, d1, d,
+         sum(c1) OVER (ORDER BY t DESC) AS n1,
+         sum(c) OVER (ORDER BY t DESC) AS n
+  FROM h
+),
+agg AS (
+  SELECT sum(d1) AS o1,
+         sum(d * n1 * 1.0 / n) AS e1,
+         sum(d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1.0)) AS v
+  FROM s WHERE d > 0 AND n > 1
+)
+SELECT CAST(o1 AS BIGINT) AS o1, round(e1, 6) AS e1,
+       round((o1 - e1) * (o1 - e1) / v, 6) AS chi2
+FROM agg
+"""
+
+
+def mantel_haenszel_urgent_status(sf_dir: str) -> pd.DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata: within each
+    market segment (stratum), the 2x2 of exposure = URGENT order
+    priority vs outcome = order finished (o_orderstatus = 'F').
+    OR_MH = SUM(a_i*d_i/n_i) / SUM(b_i*c_i/n_i) — the classic
+    confounder-adjusted association measure.
+
+    One (segment, urgent, finished) count grid (30 cells) via the
+    bucketed aggregate with the dimension-sized segment map broadcast;
+    every cell is an exact integer so both engines agree to the final
+    division."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "seg": ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object),
+                "u": (df["o_orderpriority"] == "1-URGENT").to_numpy("int64"),
+                "f": (df["o_orderstatus"] == "F").to_numpy("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas").map_batches(
+                lambda df: df.groupby(["seg", "u", "f"], as_index=False).size().rename(columns={"size": "cnt"}),
+                batch_format="pandas",
+            ),
+            ["seg", "u", "f"],
+            {"cnt": ("cnt", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["seg", "u", "f"])
+    )
+
+    def _cell(g: pd.DataFrame, u: int, f: int) -> int:
+        m = g[(g["u"] == u) & (g["f"] == f)]
+        return int(m["cnt"].sum())
+
+    num = den = 0.0
+    k = 0
+    for seg, g in grid.groupby("seg"):
+        a = _cell(g, 1, 1)
+        b = _cell(g, 1, 0)
+        c = _cell(g, 0, 1)
+        d = _cell(g, 0, 0)
+        nn = a + b + c + d
+        if nn == 0:
+            continue
+        num += a * d / nn
+        den += b * c / nn
+        k += 1
+    return pd.DataFrame(
+        {
+            "n_strata": pd.Series([k], dtype="int64"),
+            "sum_ad_n": [round(num, 6)],
+            "sum_bc_n": [round(den, 6)],
+            "or_mh": [round(num / den, 6)],
+        }
+    )
+
+
+MANTEL_HAENSZEL_URGENT_STATUS_SQL = """
+WITH g AS (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f,
+         count(*) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+),
+strata AS (
+  SELECT seg,
+         sum(CASE WHEN u = 1 AND f = 1 THEN cnt ELSE 0 END) AS a,
+         sum(CASE WHEN u = 1 AND f = 0 THEN cnt ELSE 0 END) AS b,
+         sum(CASE WHEN u = 0 AND f = 1 THEN cnt ELSE 0 END) AS c,
+         sum(CASE WHEN u = 0 AND f = 0 THEN cnt ELSE 0 END) AS d
+  FROM g GROUP BY seg
+),
+agg AS (
+  SELECT count(*) AS k,
+         sum(a * d * 1.0 / (a + b + c + d)) AS num,
+         sum(b * c * 1.0 / (a + b + c + d)) AS den
+  FROM strata WHERE a + b + c + d > 0
+)
+SELECT CAST(k AS BIGINT) AS n_strata, round(num, 6) AS sum_ad_n,
+       round(den, 6) AS sum_bc_n, round(num / den, 6) AS or_mh
+FROM agg
+"""
