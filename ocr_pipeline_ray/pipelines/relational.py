@@ -13767,3 +13767,150 @@ SELECT CAST(k AS BIGINT) AS n_strata, round(num, 6) AS sum_ad_n,
        round(den, 6) AS sum_bc_n, round(num / den, 6) AS or_mh
 FROM agg
 """
+
+
+def gumbel_daily_max_fit(sf_dir: str) -> pd.DataFrame:
+    """Method-of-moments Gumbel (extreme-value type I) fit of the
+    DAILY MAX order price: beta = sqrt(6*var)/pi,
+    mu = mean - gamma*beta (Euler-Mascheroni gamma hardcoded
+    identically in both engines) — the classic block-maxima EVT
+    estimate ("how big is a typical worst order of the day?").
+
+    Prices are reduced as integer CENTS so the per-day max and the
+    moment sums SUM(x), SUM(x^2) are exact int64 on both engines;
+    every float op after that is the same closed-form expression, so
+    the fit matches bit-for-bit. One bucketed per-day max, then one
+    scalar-partial pass."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "x": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    daily = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["day"],
+        {"mx": ("x", "max")},
+        num_buckets=16,
+    )
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["mx"].to_numpy("int64")
+        return pd.DataFrame(
+            {"n": [np.int64(len(x))], "sx": [np.int64(x.sum())], "sx2": [np.int64((x * x).sum())]}
+        )
+
+    s = daily.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n, sx, sx2 = int(s["n"]), int(s["sx"]), int(s["sx2"])
+    mean = sx * 1.0 / n
+    var = (sx2 - sx * 1.0 * sx / n) / (n - 1.0)
+    beta = np.sqrt(6.0 * var) / np.pi
+    mu = mean - 0.5772156649015329 * beta
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "mu_cents": [round(float(mu), 6)],
+            "beta_cents": [round(float(beta), 6)],
+        }
+    )
+
+
+GUMBEL_DAILY_MAX_FIT_SQL = """
+WITH d AS (
+  SELECT max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+  FROM orders GROUP BY o_orderdate
+),
+s AS (SELECT count(*) AS n, sum(mx) AS sx, sum(mx * mx) AS sx2 FROM d)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(sx * 1.0 / n
+             - 0.5772156649015329 * (sqrt(6.0 * ((sx2 - sx * 1.0 * sx / n) / (n - 1.0))) / pi()), 6) AS mu_cents,
+       round(sqrt(6.0 * ((sx2 - sx * 1.0 * sx / n) / (n - 1.0))) / pi(), 6) AS beta_cents
+FROM s
+"""
+
+
+def runs_test_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue around
+    its median: days are marked above/below the median (exact integer
+    cents; equal-to-median days dropped), runs counted along the
+    calendar, z = (R - mu_R)/sigma_R with the standard exact-integer
+    mean/variance. Too FEW runs = momentum/trending; too many =
+    oscillation.
+
+    The fact table reduces through the bucketed per-day aggregate;
+    the median, the sign sequence and the run count are computed on
+    the result-sized day series (identical integer math on both
+    engines)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    rev = daily["rev_c"].to_numpy("int64")
+    md = float(np.median(rev))
+    keep = rev.astype("float64") != md
+    sgn = (rev[keep] > md).astype("int64")
+    n = len(sgn)
+    n1 = int(sgn.sum())
+    n2 = n - n1
+    runs = int(1 + (sgn[1:] != sgn[:-1]).sum()) if n else 0
+    mu_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    z = (runs - mu_r) / np.sqrt(var_r)
+    return pd.DataFrame(
+        {
+            "n_above": pd.Series([n1], dtype="int64"),
+            "n_below": pd.Series([n2], dtype="int64"),
+            "runs": pd.Series([runs], dtype="int64"),
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+RUNS_TEST_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+m AS (SELECT median(rev) AS md FROM d),
+s AS (
+  SELECT day, CASE WHEN rev > md THEN 1 ELSE 0 END AS sgn
+  FROM d, m WHERE rev * 1.0 <> md
+),
+r AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM s),
+agg AS (
+  SELECT count(*) AS n, sum(sgn) AS n1,
+         sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS runs
+  FROM r
+)
+SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n - n1 AS BIGINT) AS n_below,
+       CAST(runs AS BIGINT) AS runs,
+       round((runs - (2.0 * n1 * (n - n1) / n + 1))
+             / sqrt(2.0 * n1 * (n - n1) * (2.0 * n1 * (n - n1) - n)
+                    / (n * 1.0 * n * (n - 1.0))), 6) AS z
+FROM agg
+"""
