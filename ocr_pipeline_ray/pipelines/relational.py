@@ -13914,3 +13914,155 @@ SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n - n1 AS BIGINT) AS n_below,
                     / (n * 1.0 * n * (n - 1.0))), 6) AS z
 FROM agg
 """
+
+
+def durbin_watson_daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Durbin-Watson autocorrelation diagnostic on the residuals of
+    the daily-revenue linear trend: OLS rev_c ~ day_index in closed
+    form from exact integer moment sums, then
+    DW = SUM((e_t - e_{t-1})^2) / SUM(e_t^2) along the calendar —
+    DW << 2 means the trend leaves positive serial correlation
+    (momentum) behind.
+
+    Revenue reduces to integer cents through the bucketed per-day
+    aggregate; the OLS moments, residuals and lag scan run on the
+    result-sized day series with the same closed-form expressions the
+    SQL oracle uses."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev_c"].to_numpy("int64")
+    n = len(y)
+    i = np.arange(n, dtype="int64")
+    si = int(i.sum())
+    si2 = int((i * i).sum())
+    sy = int(y.sum())
+    siy = int((i * y).sum())
+    b = (n * 1.0 * siy - si * 1.0 * sy) / (n * 1.0 * si2 - si * 1.0 * si)
+    a = (sy - b * si) / n
+    e = y - a - b * i
+    dw = float((np.diff(e) ** 2).sum()) / float((e * e).sum())
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "slope_cents_per_day": [round(float(b), 6)],
+            "dw": [round(dw, 6)],
+        }
+    )
+
+
+DURBIN_WATSON_DAILY_TREND_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i, day
+  FROM d
+),
+mo AS (
+  SELECT count(*) AS n, sum(i) AS si, sum(i * i) AS si2,
+         sum(y) AS sy, sum(i * y) AS siy
+  FROM idx
+),
+fit AS (
+  SELECT n,
+         (n * 1.0 * siy - si * 1.0 * sy) / (n * 1.0 * si2 - si * 1.0 * si) AS b,
+         sy AS sy, si AS si
+  FROM mo
+),
+res AS (
+  SELECT idx.y - ((fit.sy - fit.b * fit.si) / fit.n) - fit.b * idx.i AS e, idx.day
+  FROM idx, fit
+),
+lagd AS (SELECT e, lag(e) OVER (ORDER BY day) AS ep FROM res),
+agg AS (
+  SELECT sum(CASE WHEN ep IS NULL THEN 0 ELSE (e - ep) * (e - ep) END) AS num,
+         sum(e * e) AS den
+  FROM lagd
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM mo) AS n_days,
+       (SELECT round(b, 6) FROM fit) AS slope_cents_per_day,
+       round(num / den, 6) AS dw
+FROM agg
+"""
+
+
+def theil_index_customer_revenue(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index of per-customer total revenue —
+    T = SUM(x*ln(x)) / (n*mu) - ln(mu) — the entropy-based sibling of
+    the existing Gini / Lorenz / HHI concentration family (0 = equal,
+    ln(n) = one customer takes everything).
+
+    Per-customer revenue reduces to exact integer cents through ONE
+    bucketed custkey aggregate; the x*ln(x) partials are a second
+    vectorized scalar pass over that keyed result — only three
+    numbers reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": df["o_custkey"],
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    per_cust = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["c"],
+        {"x": ("rev_c", "sum")},
+        num_buckets=32,
+    )
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [np.int64(df["x"].to_numpy("int64").sum())],
+                "sxlx": [float((x * np.log(x)).sum())],
+            }
+        )
+
+    s = per_cust.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    n, sx, sxlx = int(s["n"]), int(s["sx"]), float(s["sxlx"])
+    mu = sx * 1.0 / n
+    t = sxlx / (n * mu) - np.log(mu)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "theil_t": [round(float(t), 6)],
+        }
+    )
+
+
+THEIL_INDEX_CUSTOMER_REVENUE_SQL = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * ln(x * 1.0)) AS sxlx FROM per)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(sxlx / (n * (sx * 1.0 / n)) - ln(sx * 1.0 / n), 6) AS theil_t
+FROM s
+"""
