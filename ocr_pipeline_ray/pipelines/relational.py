@@ -14066,3 +14066,83 @@ SELECT CAST(n AS BIGINT) AS n_customers,
        round(sxlx / (n * (sx * 1.0 / n)) - ln(sx * 1.0 / n), 6) AS theil_t
 FROM s
 """
+
+
+def hypergeom_enrichment_discount_returns(sf_dir: str) -> pd.DataFrame:
+    """Exact hypergeometric enrichment test: are HIGH-DISCOUNT
+    (l_discount >= 0.05) lineitems over-represented among RETURNED
+    ones? With N total rows, K returned, n high-discount and x in
+    both, the upper-tail p-value
+    P(X >= x) is the lgamma-exact sum over k = x..min(K, n) — the
+    gene-set-enrichment / contingency-tail primitive, sharper than a
+    chi-square when the observed cell is extreme.
+
+    One scalar-partial pass over the fact table collects the four
+    exact integer counts; the tail sum runs on the result-sized k
+    range with math.lgamma terms that match DuckDB's lgamma
+    bit-for-bit (same libm)."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_discount"])
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        r = (df["l_returnflag"] == "R").to_numpy()
+        a = df["l_discount"].to_numpy("float64") >= 0.05
+        return pd.DataFrame(
+            {
+                "nn": [np.int64(len(df))],
+                "kk": [np.int64(r.sum())],
+                "n1": [np.int64(a.sum())],
+                "x": [np.int64((r & a).sum())],
+            }
+        )
+
+    s = ds.map_batches(_counts, batch_format="pandas").to_pandas().sum()
+    nn, kk, n1, x = int(s["nn"]), int(s["kk"]), int(s["n1"]), int(s["x"])
+    const = math.lgamma(nn + 1.0) - math.lgamma(n1 + 1.0) - math.lgamma(nn - n1 + 1.0)
+    pv = 0.0
+    for k in range(x, min(kk, n1) + 1):
+        pv += math.exp(
+            math.lgamma(kk + 1.0) - math.lgamma(k + 1.0) - math.lgamma(kk - k + 1.0)
+            + math.lgamma(nn - kk + 1.0) - math.lgamma(n1 - k + 1.0)
+            - math.lgamma(nn - kk - n1 + k + 1.0)
+            - const
+        )
+    return pd.DataFrame(
+        {
+            "x": pd.Series([x], dtype="int64"),
+            "k_returned": pd.Series([kk], dtype="int64"),
+            "n_hidisc": pd.Series([n1], dtype="int64"),
+            "n_total": pd.Series([nn], dtype="int64"),
+            "p_enrich": [round(pv, 6)],
+        }
+    )
+
+
+HYPERGEOM_ENRICHMENT_DISCOUNT_RETURNS_SQL = """
+WITH c AS (
+  SELECT count(*) AS nn,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS kk,
+         sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN l_returnflag = 'R' AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS x
+  FROM lineitem
+),
+ks AS (
+  SELECT c.*, unnest(generate_series(CAST(x AS BIGINT), CAST(least(kk, n1) AS BIGINT))) AS k
+  FROM c
+),
+p AS (
+  SELECT sum(exp(
+    lgamma(kk + 1.0) - lgamma(k + 1.0) - lgamma(kk - k + 1.0)
+    + lgamma(nn - kk + 1.0) - lgamma(n1 - k + 1.0) - lgamma(nn - kk - n1 + k + 1.0)
+    - (lgamma(nn + 1.0) - lgamma(n1 + 1.0) - lgamma(nn - n1 + 1.0))
+  )) AS pv
+  FROM ks
+)
+SELECT (SELECT CAST(x AS BIGINT) FROM c) AS x,
+       (SELECT CAST(kk AS BIGINT) FROM c) AS k_returned,
+       (SELECT CAST(n1 AS BIGINT) FROM c) AS n_hidisc,
+       (SELECT CAST(nn AS BIGINT) FROM c) AS n_total,
+       round(pv, 6) AS p_enrich
+FROM p
+"""

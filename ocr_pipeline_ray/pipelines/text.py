@@ -5696,3 +5696,106 @@ SELECT CAST(n AS BIGINT) AS n,
              / (3 * sl - sl2), 6) AS q
 FROM s
 """
+
+
+def burrows_delta_sources(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Burrows' Delta stylometric distance between every pair of
+    sources: z-score each of the corpus top-k terms' relative
+    frequencies across sources, Delta(s1, s2) = mean |z1 - z2| — the
+    classic authorship-attribution measure ("which feeds write
+    alike?").
+
+    Distributed shape: ONE vocabulary-keyed (term, source) count grid
+    (the same bucketed reduce as vocab_top_terms), materialized once
+    (vocab-scale, << corpus); per-source token totals and the top-k
+    term selection are scalar/partial-topk passes over that grid, and
+    only the k x n_sources cell matrix reaches the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, s in zip(df["source"], df["text"]):
+            for tok in TOKEN_RE.findall(s.lower()):
+                rows.append((tok, src))
+        if not rows:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype=object), "source": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        out = pd.DataFrame(rows, columns=["term", "source"])
+        return out.groupby(["term", "source"], as_index=False).size().rename(columns={"size": "n"})
+
+    grid = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        ["term", "source"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    ).materialize()
+
+    src_tot = (
+        grid.map_batches(
+            lambda df: df.groupby("source", as_index=False)["n"].sum(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("source")["n"]
+        .sum()
+    )
+    term_tot = bucketed_aggregate(grid, "term", {"n": ("n", "sum")}, num_buckets=16)
+    top = partial_topk(term_tot, by=["n", "term"], ascending=[False, True], k=k)
+    top_ref = ray.put(set(top["term"]))
+    cells = (
+        grid.map_batches(
+            lambda df: df[df["term"].isin(ray.get(top_ref))], batch_format="pandas"
+        )
+        .to_pandas()
+        .pivot(index="term", columns="source", values="n")
+        .reindex(sorted(top["term"]))
+        .fillna(0)
+    )
+    f = cells.to_numpy("float64") / src_tot.reindex(cells.columns).to_numpy("float64")
+    mean = f.mean(axis=1, keepdims=True)
+    std = f.std(axis=1, ddof=1, keepdims=True)
+    z = (f - mean) / std
+    srcs = list(cells.columns)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            rows.append((srcs[i], srcs[j], round(float(np.abs(z[:, i] - z[:, j]).mean()), 6)))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "delta"]).sort_values(
+        ["src_a", "src_b"]
+    ).reset_index(drop=True)
+
+
+def burrows_delta_sources_sql(k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+topk AS (
+  SELECT term FROM toks GROUP BY term ORDER BY count(*) DESC, term LIMIT {k}
+),
+src_tot AS (SELECT source, count(*) AS tot FROM toks GROUP BY source),
+cnt AS (SELECT source, term, count(*) AS n FROM toks GROUP BY 1, 2),
+f AS (
+  SELECT s.source, tk.term, coalesce(c.n, 0) * 1.0 / s.tot AS f
+  FROM src_tot s CROSS JOIN topk tk
+  LEFT JOIN cnt c ON c.source = s.source AND c.term = tk.term
+),
+z AS (
+  SELECT source, term,
+         (f - avg(f) OVER (PARTITION BY term))
+         / stddev_samp(f) OVER (PARTITION BY term) AS z
+  FROM f
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       round(avg(abs(a.z - b.z)), 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+BURROWS_DELTA_SOURCES_SQL = burrows_delta_sources_sql()
