@@ -5685,3 +5685,72 @@ SELECT CAST(n_err AS BIGINT) AS n_errors, CAST(o AS BIGINT) AS observed,
        round(e, 4) AS expected, round(o / e, 6) AS intensity_ratio
 FROM agg
 """
+
+
+def first_before_first_support(sf_dir: str) -> pd.DataFrame:
+    """Sequential-pattern precedence support: for every ordered pair
+    of event types (a, b), the number of users whose FIRST a strictly
+    precedes their FIRST b — the 'a leads to b' support count behind
+    market-basket-style sequence mining (complements the consecutive
+    transition counts of event_transitions with an any-gap ordering).
+
+    Distributed: ONE bucketed (user, type) -> min(ts) aggregate (the
+    per-user first-occurrence grid), then the pair evaluation runs
+    vectorized inside each user-bucket group (per-bucket pivot +
+    pairwise comparison) emitting (type_a, type_b, count) partials —
+    only the tiny type x type matrix reaches the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    num_buckets = 32
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    firsts = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.rename(columns={"ts": "mn"}), batch_format="pandas"
+        ),
+        ["user_id", "event_type"],
+        {"mn": ("mn", "min")},
+        num_buckets=num_buckets,
+    )
+
+    def _rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__ub"] = (df["user_id"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot(index="user_id", columns="event_type", values="mn")
+        types = sorted(p.columns)
+        rows = []
+        for a in types:
+            for b in types:
+                if a == b:
+                    continue
+                rows.append((a, b, int((p[a] < p[b]).sum())))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n_users"])
+
+    out = (
+        firsts.map_batches(_rebucket, batch_format="pandas")
+        .groupby("__ub")
+        .map_groups(_pairs, batch_format="pandas")
+        .to_pandas()
+        .groupby(["type_a", "type_b"], as_index=False)["n_users"]
+        .sum()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+FIRST_BEFORE_FIRST_SUPPORT_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, min(ts) AS mn FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM f a JOIN f b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type AND a.mn < b.mn
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

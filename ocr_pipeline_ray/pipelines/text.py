@@ -5799,3 +5799,65 @@ ORDER BY 1, 2
 
 
 BURROWS_DELTA_SOURCES_SQL = burrows_delta_sources_sql()
+
+
+def fleiss_kappa_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Fleiss' kappa agreement among the THREE weak binary labelers of
+    :func:`cochran_q_labelers` (L1 = English, L2 = long, L3 = mentions
+    'data') — Cochran asks whether the labelers fire at the same RATE;
+    Fleiss asks how much they AGREE beyond chance. For k = 3 binary
+    raters the whole statistic reduces to the same integer sums
+    (N, SUM L_i, SUM L_i^2): P_bar = (SUM L^2 - 3 SUM L + 3N)/(3N),
+    p = SUM L / (3N), Pe = p^2 + (1-p)^2,
+    kappa = (P_bar - Pe)/(1 - Pe). One scalar-partial pass; exact to
+    the final divisions."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        li = (
+            (df["lang"] == "en").to_numpy("int64")
+            + (df["n_chars"] > len_cut).to_numpy("int64")
+            + df["text"].str.contains("data", regex=False).to_numpy("int64")
+        )
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sl": [np.int64(li.sum())],
+                "sl2": [np.int64((li * li).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n, sl, sl2 = int(s["n"]), int(s["sl"]), int(s["sl2"])
+    p_bar = (sl2 - 3.0 * sl + 3.0 * n) / (3.0 * n)
+    p = sl / (3.0 * n)
+    pe = p * p + (1 - p) * (1 - p)
+    kappa = (p_bar - pe) / (1 - pe)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "p_bar": [round(p_bar, 6)],
+            "kappa": [round(kappa, 6)],
+        }
+    )
+
+
+FLEISS_KAPPA_LABELERS_SQL = """
+WITH l AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > 800 THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS li
+  FROM documents
+),
+s AS (SELECT count(*) AS n, sum(li) AS sl, sum(li * li) AS sl2 FROM l),
+c AS (
+  SELECT n,
+         (sl2 - 3.0 * sl + 3.0 * n) / (3.0 * n) AS p_bar,
+         sl / (3.0 * n) AS p
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(p_bar, 6) AS p_bar,
+       round((p_bar - (p * p + (1 - p) * (1 - p)))
+             / (1 - (p * p + (1 - p) * (1 - p))), 6) AS kappa
+FROM c
+"""
