@@ -14146,3 +14146,77 @@ SELECT (SELECT CAST(x AS BIGINT) FROM c) AS x,
        round(pv, 6) AS p_enrich
 FROM p
 """
+
+
+def ordinal_assoc_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Goodman-Kruskal gamma and Somers' D between the two ordinal
+    lineitem columns l_quantity and l_discount: concordant /
+    discordant / tied pair counts computed EXACTLY from the joint
+    value-domain grid (50 x 11 cells) — the ordinal-association
+    family the Pearson/Spearman/Kendall queries don't cover.
+    gamma = (C - D)/(C + D); D_dq = (C - D)/(C + D + T_d) (ties on
+    discount only).
+
+    ONE bucketed (quantity, discount) count grid leaves the cluster;
+    the O(cells^2) pair arithmetic runs vectorized on the ~550-cell
+    result with exact int64 products."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_quantity", "l_discount"], as_index=False)
+            .size()
+            .rename(columns={"l_quantity": "q", "l_discount": "d", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["q", "d"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["q", "d"])
+        .reset_index(drop=True)
+    )
+    q = grid["q"].to_numpy("float64")
+    d = grid["d"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    qa, qb = q[:, None], q[None, :]
+    da, db = d[:, None], d[None, :]
+    w = c[:, None] * c[None, :]
+    conc = int(w[(qa < qb) & (da < db)].sum())
+    disc = int(w[(qa < qb) & (da > db)].sum())
+    t_d = int(w[(qa < qb) & (da == db)].sum())
+    gamma = (conc - disc) / (conc + disc)
+    somers = (conc - disc) / (conc + disc + t_d)
+    return pd.DataFrame(
+        {
+            "conc": pd.Series([conc], dtype="int64"),
+            "disc": pd.Series([disc], dtype="int64"),
+            "ties_d": pd.Series([t_d], dtype="int64"),
+            "gamma": [round(gamma, 6)],
+            "somers_d": [round(somers, 6)],
+        }
+    )
+
+
+ORDINAL_ASSOC_QUANTITY_DISCOUNT_SQL = """
+WITH g AS (
+  SELECT l_quantity AS q, l_discount AS d, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT
+    sum(CASE WHEN a.q < b.q AND a.d < b.d THEN a.c * b.c ELSE 0 END) AS conc,
+    sum(CASE WHEN a.q < b.q AND a.d > b.d THEN a.c * b.c ELSE 0 END) AS disc,
+    sum(CASE WHEN a.q < b.q AND a.d = b.d THEN a.c * b.c ELSE 0 END) AS t_d
+  FROM g a, g b
+)
+SELECT CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+       CAST(t_d AS BIGINT) AS ties_d,
+       round((conc - disc) * 1.0 / (conc + disc), 6) AS gamma,
+       round((conc - disc) * 1.0 / (conc + disc + t_d), 6) AS somers_d
+FROM p
+"""

@@ -5861,3 +5861,78 @@ SELECT CAST(n AS BIGINT) AS n, round(p_bar, 6) AS p_bar,
              / (1 - (p * p + (1 - p) * (1 - p))), 6) AS kappa
 FROM c
 """
+
+
+def cronbach_alpha_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Cronbach's alpha internal-consistency reliability of the
+    three weak binary labelers (English / long / mentions-'data'):
+    alpha = k/(k-1) * (1 - SUM(var_item) / var_total) with sample
+    variances — the psychometric companion of Fleiss' kappa (do the
+    items measure one underlying 'quality' trait?).
+
+    One scalar-partial pass collects the exact integer sums
+    (SUM a, SUM b, SUM c, SUM L, SUM L^2 with L = a+b+c); every
+    variance is the closed two-pass form from those sums, so both
+    engines agree to the final division."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["lang"] == "en").to_numpy("int64")
+        b = (df["n_chars"] > len_cut).to_numpy("int64")
+        c = df["text"].str.contains("data", regex=False).to_numpy("int64")
+        li = a + b + c
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sa": [np.int64(a.sum())],
+                "sb": [np.int64(b.sum())],
+                "sc": [np.int64(c.sum())],
+                "sl": [np.int64(li.sum())],
+                "sl2": [np.int64((li * li).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n = int(s["n"])
+    sa, sb, sc = int(s["sa"]), int(s["sb"]), int(s["sc"])
+    sl, sl2 = int(s["sl"]), int(s["sl2"])
+
+    def _var(sx: int) -> float:
+        return (sx - sx * 1.0 * sx / n) / (n - 1.0)
+
+    var_items = _var(sa) + _var(sb) + _var(sc)
+    var_total = (sl2 - sl * 1.0 * sl / n) / (n - 1.0)
+    alpha = 3.0 / 2.0 * (1 - var_items / var_total)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "var_total": [round(var_total, 6)],
+            "alpha": [round(alpha, 6)],
+        }
+    )
+
+
+CRONBACH_ALPHA_LABELERS_SQL = """
+WITH l AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars > 800 THEN 1 ELSE 0 END AS b,
+         CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+s AS (
+  SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+         sum(a + b + c) AS sl, sum((a + b + c) * (a + b + c)) AS sl2
+  FROM l
+),
+v AS (
+  SELECT n,
+         ((sa - sa * 1.0 * sa / n) / (n - 1.0)
+          + (sb - sb * 1.0 * sb / n) / (n - 1.0)
+          + (sc - sc * 1.0 * sc / n) / (n - 1.0)) AS var_items,
+         (sl2 - sl * 1.0 * sl / n) / (n - 1.0) AS var_total
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(var_total, 6) AS var_total,
+       round(3.0 / 2.0 * (1 - var_items / var_total), 6) AS alpha
+FROM v
+"""
