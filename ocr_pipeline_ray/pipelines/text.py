@@ -5936,3 +5936,153 @@ SELECT CAST(n AS BIGINT) AS n, round(var_total, 6) AS var_total,
        round(3.0 / 2.0 * (1 - var_items / var_total), 6) AS alpha
 FROM v
 """
+
+
+def average_precision_length_english(sf_dir: str) -> pd.DataFrame:
+    """Average precision (area under the precision-recall curve) of
+    ranking documents by length to find English ones — the PR-space
+    companion of the existing ROC AUC query (auc_length_english),
+    sharper when positives are rare. Ties are handled by threshold
+    groups: scanning distinct lengths descending,
+    AP = SUM_t (tp_t / P) * (cumTP_t / cumN_t).
+
+    Exact from ONE (n_chars -> n, n_pos) value-domain histogram via
+    the bucketed aggregate; the threshold scan runs on the
+    result-sized grid with integer cumulative sums."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(pos=(df["lang"] == "en").astype("int64")).groupby(
+            "n_chars", as_index=False
+        ).agg(n=("pos", "size"), n_pos=("pos", "sum"))
+        return out
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            "n_chars",
+            {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+        .reset_index(drop=True)
+    )
+    n = grid["n"].to_numpy("int64")
+    tp = grid["n_pos"].to_numpy("int64")
+    cum_n = np.cumsum(n)
+    cum_tp = np.cumsum(tp)
+    p_total = int(tp.sum())
+    ap = float(((tp * 1.0 / p_total) * (cum_tp * 1.0 / cum_n)).sum())
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([p_total], dtype="int64"),
+            "n_total": pd.Series([int(n.sum())], dtype="int64"),
+            "avg_precision": [round(ap, 6)],
+        }
+    )
+
+
+AVERAGE_PRECISION_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tp
+  FROM documents GROUP BY 1
+),
+c AS (
+  SELECT tp,
+         sum(n) OVER (ORDER BY n_chars DESC) AS cum_n,
+         sum(tp) OVER (ORDER BY n_chars DESC) AS cum_tp,
+         (SELECT sum(tp) FROM g) AS p_total
+  FROM g
+)
+SELECT (SELECT CAST(sum(tp) AS BIGINT) FROM g) AS n_pos,
+       (SELECT CAST(sum(n) AS BIGINT) FROM g) AS n_total,
+       round(sum((tp * 1.0 / p_total) * (cum_tp * 1.0 / cum_n)), 6) AS avg_precision
+FROM c
+"""
+
+
+def brier_calibration_length_english(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Leakage-safe Brier-score calibration eval: TRAIN (even doc_id)
+    learns per-length-bucket English rates; TEST (odd doc_id) scores
+    each doc with its bucket's trained rate (global train rate for
+    unseen buckets). Reports the Brier score and the skill score
+    vs always-predicting the global train rate — the proper-scoring
+    companion of the hit-rate / AUC eval queries, with the same
+    train/test split discipline as markov_heldout_perplexity.
+
+    ONE (bucket, split) grid of exact integer (n, n_en) counts leaves
+    the cluster; every probability is a ratio of those integers so the
+    engines agree to the final rounding."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(
+            b=(df["n_chars"] // bucket_chars).astype("int64"),
+            train=(df["doc_id"] % 2 == 0).astype("int64"),
+            en=(df["lang"] == "en").astype("int64"),
+        ).groupby(["b", "train"], as_index=False).agg(n=("en", "size"), n_en=("en", "sum"))
+        return out
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b", "train"],
+            {"n": ("n", "sum"), "n_en": ("n_en", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["b", "train"])
+    )
+    tr = grid[grid["train"] == 1].set_index("b")
+    te = grid[grid["train"] == 0].set_index("b")
+    g_rate = tr["n_en"].sum() * 1.0 / tr["n"].sum()
+    p_hat = (tr["n_en"] * 1.0 / tr["n"]).reindex(te.index)
+    p_hat = p_hat.fillna(g_rate).to_numpy("float64")
+    n_te = te["n"].to_numpy("int64")
+    en_te = te["n_en"].to_numpy("int64")
+    n_test = int(n_te.sum())
+    brier = float((n_te * p_hat * p_hat - 2.0 * p_hat * en_te + en_te).sum()) / n_test
+    brier_base = float((n_te * g_rate * g_rate - 2.0 * g_rate * en_te + en_te).sum()) / n_test
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([n_test], dtype="int64"),
+            "brier": [round(brier, 6)],
+            "skill": [round(1 - brier / brier_base, 6)],
+        }
+    )
+
+
+BRIER_CALIBRATION_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars // 200 AS b, doc_id % 2 = 0 AS train,
+         count(*) AS n, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY 1, 2
+),
+gr AS (
+  SELECT sum(CASE WHEN train THEN n_en ELSE 0 END) * 1.0
+         / sum(CASE WHEN train THEN n ELSE 0 END) AS g_rate
+  FROM g
+),
+te AS (
+  SELECT t.b, t.n, t.n_en,
+         coalesce(tr.n_en * 1.0 / tr.n, gr.g_rate) AS p_hat, gr.g_rate
+  FROM (SELECT * FROM g WHERE NOT train) t
+  LEFT JOIN (SELECT * FROM g WHERE train) tr ON tr.b = t.b, gr
+),
+agg AS (
+  SELECT sum(n) AS n_test,
+         sum(n * p_hat * p_hat - 2.0 * p_hat * n_en + n_en) AS num,
+         sum(n * g_rate * g_rate - 2.0 * g_rate * n_en + n_en) AS num_base
+  FROM te
+)
+SELECT CAST(n_test AS BIGINT) AS n_test,
+       round(num / n_test, 6) AS brier,
+       round(1 - (num / n_test) / (num_base / n_test), 6) AS skill
+FROM agg
+"""

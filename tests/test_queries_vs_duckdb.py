@@ -316,6 +316,23 @@ SUBSET = [
     "revenue_half_count",
     "mcnemar_labelers",
     "topk_customer_stability",
+    # round-3j additions
+    "kruskal_wallis_quantity",
+    "kendall_tau_daily",
+    "cochran_q_labelers",
+    "friedman_segment_monthly",
+    "logrank_repurchase_by_segment",
+    "mantel_haenszel_urgent_status",
+    "gumbel_daily_max_fit",
+    "runs_test_daily_revenue",
+    "durbin_watson_daily_trend",
+    "theil_index_customer_revenue",
+    "burrows_delta_sources",
+    "hypergeom_enrichment_discount_returns",
+    "fleiss_kappa_labelers",
+    "first_before_first_support",
+    "ordinal_assoc_quantity_discount",
+    "cronbach_alpha_labelers",
 ]
 
 
