@@ -14220,3 +14220,167 @@ SELECT CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
        round((conc - disc) * 1.0 / (conc + disc + t_d), 6) AS somers_d
 FROM p
 """
+
+
+def rbo_topk_customers(
+    sf_dir: str, k: int = 100, y0: int = 1996, y1: int = 1997, p: float = 0.9
+) -> pd.DataFrame:
+    """Rank-biased overlap (truncated, no extrapolation) between the
+    top-k customer spend leaderboards of two years:
+    RBO@k = SUM_d (1-p) * p^(d-1) * overlap(d)/d — the top-weighted
+    ranked-list similarity that the plain Jaccard of
+    topk_customer_stability ignores (agreement at rank 1 counts far
+    more than at rank 100).
+
+    Same distributed shape as the stability query: one bucketed
+    (customer, year) spend reduce, per-year partial top-k; a common
+    customer enters overlap(d) at d = max(rank_a, rank_b), so the
+    whole curve is a vectorized scan over the <= k matched ranks."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year.astype("int64")
+        sel = (y == y0) | (y == y1)
+        return pd.DataFrame(
+            {"c": df["o_custkey"].to_numpy("int64")[sel], "y": y[sel].to_numpy(),
+             "s": df["o_totalprice"].to_numpy("float64")[sel]}
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"), ["c", "y"], {"s": ("s", "sum")}
+    ).materialize()
+    ranks = {}
+    for y in (y0, y1):
+        sub = per.map_batches(
+            lambda df, yy=y: df[df["y"] == yy][["c", "s"]].astype({"c": "int64"}),
+            batch_format="pandas",
+        )
+        top = partial_topk(sub, ["s", "c"], [False, True], k)
+        ranks[y] = {int(c): i + 1 for i, c in enumerate(top["c"].astype("int64"))}
+    md = np.array(
+        sorted(
+            max(r0, ranks[y1][c])
+            for c, r0 in ranks[y0].items()
+            if c in ranks[y1]
+        ),
+        dtype="int64",
+    )
+    d = np.arange(1, k + 1, dtype="int64")
+    overlap = np.searchsorted(md, d, side="right").astype("float64")
+    rbo = float(((1 - p) * np.power(p, (d - 1).astype("float64")) * overlap / d).sum())
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "n_common": pd.Series([len(md)], dtype="int64"),
+            "rbo": [round(rbo, 6)],
+        }
+    )
+
+
+def rbo_topk_customers_sql(k: int = 100, y0: int = 1996, y1: int = 1997, p: float = 0.9) -> str:
+    return f"""
+WITH per AS (
+  SELECT o_custkey AS c, year(o_orderdate) AS y, sum(o_totalprice) AS s
+  FROM orders WHERE year(o_orderdate) IN ({y0}, {y1}) GROUP BY 1, 2
+),
+t AS (
+  SELECT c, y, row_number() OVER (PARTITION BY y ORDER BY s DESC, c) AS r
+  FROM per
+  QUALIFY row_number() OVER (PARTITION BY y ORDER BY s DESC, c) <= {k}
+),
+m AS (
+  SELECT greatest(a.r, b.r) AS md
+  FROM t a JOIN t b ON a.c = b.c AND a.y = {y0} AND b.y = {y1}
+),
+ds AS (SELECT unnest(generate_series(1, {k})) AS d),
+ov AS (
+  SELECT ds.d, (SELECT count(*) FROM m WHERE md <= ds.d) AS o FROM ds
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_common,
+       round(sum((1 - {p}) * power({p}, d - 1) * o * 1.0 / d), 6) AS rbo
+FROM ov
+"""
+
+
+RBO_TOPK_CUSTOMERS_SQL = rbo_topk_customers_sql()
+
+
+def oaxaca_price_gap_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Oaxaca-Blinder decomposition of the mean extended-price gap
+    between RETURNED (R) and non-returned (A) lineitems into the part
+    EXPLAINED by quantity composition and the UNEXPLAINED part:
+    with per-group OLS price~quantity (beta_g, alpha_g),
+    gap = (xbar_R - xbar_A)*beta_A  +  [xbar_R*(beta_R - beta_A)
+    + (alpha_R - alpha_A)] — the regression-based cousin of the
+    shift-share decomposition.
+
+    One scalar-partial pass per group collects exact integer moments
+    (prices as CENTS: n, SUM x, SUM y, SUM xy, SUM x^2), so both
+    engines evaluate identical closed forms."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["l_returnflag"].isin(["R", "A"])
+        g = (df["l_returnflag"][sel] == "R").to_numpy("int64")
+        x = df["l_quantity"].to_numpy("float64")[sel.to_numpy()].astype("int64")
+        yc = np.round(df["l_extendedprice"].to_numpy("float64")[sel.to_numpy()] * 100).astype("int64")
+        out = pd.DataFrame({"g": g, "n": 1, "sx": x, "sy": yc, "sxy": x * yc, "sx2": x * x})
+        return out.groupby("g", as_index=False).sum()
+
+    m = (
+        ds.map_batches(_moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("g", as_index=False)
+        .sum()
+        .set_index("g")
+    )
+
+    def _fit(row) -> tuple[float, float, float]:
+        n, sx, sy, sxy, sx2 = (int(row["n"]), int(row["sx"]), int(row["sy"]),
+                               int(row["sxy"]), int(row["sx2"]))
+        beta = (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sx2 - sx * 1.0 * sx)
+        xbar = sx * 1.0 / n
+        ybar = sy * 1.0 / n
+        return beta, xbar, ybar
+
+    beta_a, xbar_a, ybar_a = _fit(m.loc[0])
+    beta_r, xbar_r, ybar_r = _fit(m.loc[1])
+    gap = ybar_r - ybar_a
+    explained = (xbar_r - xbar_a) * beta_a
+    return pd.DataFrame(
+        {
+            "gap_cents": [round(gap, 6)],
+            "explained_cents": [round(explained, 6)],
+            "unexplained_cents": [round(gap - explained, 6)],
+        }
+    )
+
+
+OAXACA_PRICE_GAP_RETURNFLAG_SQL = """
+WITH m AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+  GROUP BY 1
+),
+f AS (
+  SELECT g,
+         (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sx2 - sx * 1.0 * sx) AS beta,
+         sx * 1.0 / n AS xbar, sy * 1.0 / n AS ybar
+  FROM m
+),
+w AS (
+  SELECT
+    (SELECT ybar FROM f WHERE g = 1) - (SELECT ybar FROM f WHERE g = 0) AS gap,
+    ((SELECT xbar FROM f WHERE g = 1) - (SELECT xbar FROM f WHERE g = 0))
+      * (SELECT beta FROM f WHERE g = 0) AS explained
+)
+SELECT round(gap, 6) AS gap_cents, round(explained, 6) AS explained_cents,
+       round(gap - explained, 6) AS unexplained_cents
+FROM w
+"""
