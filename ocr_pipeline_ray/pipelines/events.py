@@ -5754,3 +5754,154 @@ FROM f a JOIN f b
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def bowker_transition_symmetry(sf_dir: str) -> pd.DataFrame:
+    """Bowker's test of symmetry on the user event-type transition
+    matrix — the k x k generalization of McNemar: is P(a -> b) the
+    same as P(b -> a) for every unordered type pair?
+    chi2 = SUM_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji) over pairs with
+    any traffic; df = number of such pairs. A significant chi2 means
+    the event flow has a preferred direction (e.g. view -> purchase
+    happens, purchase -> view doesn't).
+
+    Reuses the event_transitions shape: per-user-bucket vectorized
+    adjacent pairs, ONE (prev, next) count grid (k^2 <= 25 cells) to
+    the driver, exact integers to the final division."""
+    counts = event_transitions(sf_dir)
+    pivot = counts.pivot(index="prev_type", columns="next_type", values="n").fillna(0)
+    types = sorted(set(pivot.index) | set(pivot.columns))
+    pivot = pivot.reindex(index=types, columns=types, fill_value=0).astype("int64")
+    m = pivot.to_numpy()
+    chi2 = 0.0
+    df = 0
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            tot = int(m[i, j] + m[j, i])
+            if tot == 0:
+                continue
+            d = int(m[i, j] - m[j, i])
+            chi2 += d * d / tot
+            df += 1
+    return pd.DataFrame(
+        {
+            "df": pd.Series([df], dtype="int64"),
+            "chi2": [round(chi2, 6)],
+        }
+    )
+
+
+BOWKER_TRANSITION_SYMMETRY_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.prev_type AS i, a.next_type AS j,
+         a.n AS nij, coalesce(b.n, 0) AS nji
+  FROM t a LEFT JOIN t b ON b.prev_type = a.next_type AND b.next_type = a.prev_type
+  WHERE a.prev_type < a.next_type
+),
+q AS (
+  SELECT i, j, nij + nji AS tot, nij - nji AS d FROM p
+  UNION ALL
+  SELECT b.next_type, b.prev_type, b.n, -CAST(b.n AS BIGINT)
+  FROM t b
+  LEFT JOIN t a ON a.prev_type = b.next_type AND a.next_type = b.prev_type
+  WHERE b.prev_type > b.next_type AND a.prev_type IS NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS df,
+       round(sum(d * d * 1.0 / tot), 6) AS chi2
+FROM q WHERE tot > 0
+"""
+
+
+def ks_exponential_interarrival(sf_dir: str) -> pd.DataFrame:
+    """One-sample Kolmogorov-Smirnov goodness-of-fit of per-user
+    event inter-arrival gaps (floor seconds) against an exponential
+    with the rate fitted from the sample mean: D = max over the gap
+    value domain of the two-sided step distance
+    |F_emp - (1 - exp(-lambda*t))| — "are arrivals Poisson?" asked
+    properly, complementing the count-based poisson_gof_linecount.
+
+    Distributed: per-user-bucket vectorized consecutive diffs (user
+    boundaries masked) reduce to ONE (gap_seconds -> count) histogram;
+    the exact integer sums give lambda and the cumulative scan + max
+    run on the result-sized value domain."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def _gaps_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        if len(u) < 2:
+            return pd.DataFrame({"gap": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")})
+        same = u[1:] == u[:-1]
+        gap = (t[1:] - t[:-1])[same] // 1_000_000
+        v, c = np.unique(gap, return_counts=True)
+        return pd.DataFrame({"gap": v.astype("int64"), "c": c.astype("int64")})
+
+    hist = (
+        bucketed_aggregate(
+            ds.map_batches(_add_user_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_gaps_bucket, batch_format="pandas"),
+            ["gap"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("gap")
+        .reset_index(drop=True)
+    )
+    gap = hist["gap"].to_numpy("int64")
+    c = hist["c"].to_numpy("int64")
+    n = int(c.sum())
+    sg = int((gap * c).sum())
+    lam = n * 1.0 / sg
+    cum = np.cumsum(c)
+    fexp = 1 - np.exp(-lam * gap.astype("float64"))
+    d = np.maximum(
+        np.abs(cum * 1.0 / n - fexp), np.abs((cum - c) * 1.0 / n - fexp)
+    )
+    return pd.DataFrame(
+        {
+            "n_gaps": pd.Series([n], dtype="int64"),
+            "mean_gap_s": [round(sg * 1.0 / n, 6)],
+            "ks_d": [round(float(d.max()), 6)],
+        }
+    )
+
+
+KS_EXPONENTIAL_INTERARRIVAL_SQL = """
+WITH s AS (
+  SELECT ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+g AS (
+  SELECT date_diff('microsecond', pts, ts) // 1000000 AS gap
+  FROM s WHERE pts IS NOT NULL
+),
+h AS (SELECT gap, count(*) AS c FROM g GROUP BY gap),
+st AS (SELECT sum(c) AS n, sum(gap * c) AS sg FROM h),
+k AS (SELECT gap, c, sum(c) OVER (ORDER BY gap) AS cum FROM h),
+d AS (
+  SELECT greatest(
+           abs(cum * 1.0 / st.n - (1 - exp(-(st.n * 1.0 / st.sg) * gap))),
+           abs((cum - c) * 1.0 / st.n - (1 - exp(-(st.n * 1.0 / st.sg) * gap)))
+         ) AS dd
+  FROM k, st
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_gaps,
+       (SELECT round(sg * 1.0 / n, 6) FROM st) AS mean_gap_s,
+       round(max(dd), 6) AS ks_d
+FROM d
+"""
