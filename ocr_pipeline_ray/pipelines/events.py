@@ -5905,3 +5905,128 @@ SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_gaps,
        round(max(dd), 6) AS ks_d
 FROM d
 """
+
+
+def granger_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 Granger causality test: do yesterday's VIEW counts help
+    predict today's PURCHASE counts beyond yesterday's purchases?
+    Restricted OLS p_t ~ p_{t-1} vs unrestricted p_t ~ p_{t-1} +
+    v_{t-1} over the zero-filled daily grid;
+    F = (SSE_r - SSE_u) / (SSE_u / (n - 3)) — the inferential upgrade
+    of the view->purchase lag cross-correlation query.
+
+    Distributed: ONE bucketed (day, type) count grid; the zero-filled
+    day series, the exact integer moment sums and the closed-form
+    1- and 2-regressor fits run on the result-sized series
+    identically on both engines."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(sel.sum(), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    p = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    v = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    y, p1, v1 = p[1:], p[:-1], v[:-1]
+    n2 = len(y)
+    sy, sp1, sv1 = int(y.sum()), int(p1.sum()), int(v1.sum())
+    syy = int((y * y).sum())
+    syp1 = int((y * p1).sum())
+    syv1 = int((y * v1).sum())
+    sp1p1 = int((p1 * p1).sum())
+    sv1v1 = int((v1 * v1).sum())
+    sp1v1 = int((p1 * v1).sum())
+    cyy = syy - sy * 1.0 * sy / n2
+    cyp = syp1 - sy * 1.0 * sp1 / n2
+    cyv = syv1 - sy * 1.0 * sv1 / n2
+    cpp = sp1p1 - sp1 * 1.0 * sp1 / n2
+    cvv = sv1v1 - sv1 * 1.0 * sv1 / n2
+    cpv = sp1v1 - sp1 * 1.0 * sv1 / n2
+    sse_r = cyy - cyp * cyp / cpp
+    det = cpp * cvv - cpv * cpv
+    b1 = (cyp * cvv - cyv * cpv) / det
+    b2 = (cyv * cpp - cyp * cpv) / det
+    sse_u = cyy - b1 * cyp - b2 * cyv
+    f = (sse_r - sse_u) / (sse_u / (n2 - 3.0))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n2], dtype="int64"),
+            "beta_view_lag": [round(b2, 6)],
+            "f_stat": [round(f, 6)],
+        }
+    )
+
+
+GRANGER_VIEWS_PURCHASES_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, event_type AS t, count(*) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2
+),
+days AS (
+  SELECT unnest(generate_series((SELECT min(day) FROM e), (SELECT max(day) FROM e),
+                INTERVAL 1 DAY))::DATE AS day
+),
+g AS (
+  SELECT d.day,
+         coalesce(max(CASE WHEN e.t = 'purchase' THEN e.c END), 0) AS p,
+         coalesce(max(CASE WHEN e.t = 'view' THEN e.c END), 0) AS v
+  FROM days d LEFT JOIN e ON e.day = d.day
+  GROUP BY d.day
+),
+l AS (
+  SELECT p AS y,
+         lag(p) OVER (ORDER BY day) AS p1,
+         lag(v) OVER (ORDER BY day) AS v1
+  FROM g
+),
+m AS (
+  SELECT count(*) AS n2, sum(y) AS sy, sum(p1) AS sp1, sum(v1) AS sv1,
+         sum(y * y) AS syy, sum(y * p1) AS syp1, sum(y * v1) AS syv1,
+         sum(p1 * p1) AS sp1p1, sum(v1 * v1) AS sv1v1, sum(p1 * v1) AS sp1v1
+  FROM l WHERE p1 IS NOT NULL
+),
+c AS (
+  SELECT n2,
+         syy - sy * 1.0 * sy / n2 AS cyy,
+         syp1 - sy * 1.0 * sp1 / n2 AS cyp,
+         syv1 - sy * 1.0 * sv1 / n2 AS cyv,
+         sp1p1 - sp1 * 1.0 * sp1 / n2 AS cpp,
+         sv1v1 - sv1 * 1.0 * sv1 / n2 AS cvv,
+         sp1v1 - sp1 * 1.0 * sv1 / n2 AS cpv
+  FROM m
+),
+f AS (
+  SELECT n2, cyy - cyp * cyp / cpp AS sse_r,
+         (cyp * cvv - cyv * cpv) / (cpp * cvv - cpv * cpv) AS b1,
+         (cyv * cpp - cyp * cpv) / (cpp * cvv - cpv * cpv) AS b2,
+         cyy, cyp, cyv
+  FROM c
+)
+SELECT CAST(n2 AS BIGINT) AS n,
+       round(b2, 6) AS beta_view_lag,
+       round((sse_r - (cyy - b1 * cyp - b2 * cyv))
+             / ((cyy - b1 * cyp - b2 * cyv) / (n2 - 3.0)), 6) AS f_stat
+FROM f
+"""

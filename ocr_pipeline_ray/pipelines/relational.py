@@ -14384,3 +14384,81 @@ SELECT round(gap, 6) AS gap_cents, round(explained, 6) AS explained_cents,
        round(gap - explained, 6) AS unexplained_cents
 FROM w
 """
+
+
+def pacf2_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1 and 2 via
+    the Durbin-Levinson closed form: pacf(1) = r1,
+    pacf(2) = (r2 - r1^2)/(1 - r1^2), with the standard biased ACF
+    r_k = SUM((x_t - xbar)(x_{t+k} - xbar)) / SUM((x_t - xbar)^2) —
+    the order-identification diagnostic that separates direct lag-2
+    memory from propagated lag-1 memory (complements the ACF and
+    Ljung-Box queries).
+
+    Revenue reduces to integer cents through the bucketed per-day
+    aggregate; the centered lag products run on the result-sized
+    calendar series with identical expressions on both engines."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = len(x)
+    xbar = float(x.sum()) / n
+    d = x - xbar
+    den = float((d * d).sum())
+    r1 = float((d[:-1] * d[1:]).sum()) / den
+    r2 = float((d[:-2] * d[2:]).sum()) / den
+    pacf2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "pacf1": [round(r1, 6)],
+            "pacf2": [round(pacf2, 6)],
+        }
+    )
+
+
+PACF2_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT rev - (SELECT sum(rev) * 1.0 / count(*) FROM d) AS e, day FROM d
+),
+l AS (
+  SELECT e, lag(e, 1) OVER (ORDER BY day) AS e1,
+         lag(e, 2) OVER (ORDER BY day) AS e2
+  FROM c
+),
+m AS (
+  SELECT (SELECT count(*) FROM d) AS n,
+         (SELECT sum(e * e) FROM c) AS den,
+         sum(e * e1) AS c1, sum(e * e2) AS c2
+  FROM l
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(c1 / den, 6) AS pacf1,
+       round((c2 / den - (c1 / den) * (c1 / den))
+             / (1 - (c1 / den) * (c1 / den)), 6) AS pacf2
+FROM m
+"""
