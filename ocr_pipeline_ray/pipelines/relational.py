@@ -14462,3 +14462,140 @@ SELECT CAST(n AS BIGINT) AS n_days,
              / (1 - (c1 / den) * (c1 / den)), 6) AS pacf2
 FROM m
 """
+
+
+def _daily_rev_cents(sf_dir: str) -> pd.DataFrame:
+    """Shared day series: exact integer-cent revenue per calendar day
+    via the bucketed per-day aggregate, sorted by day."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+
+def mann_kendall_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall trend test of daily revenue:
+    S = SUM_{i<j} sign(x_j - x_i), Var(S) = n(n-1)(2n+5)/18 (exact
+    integer series, ties effectively absent at cent granularity),
+    z with the standard +/-1 continuity correction — the
+    distribution-free companion of the Theil-Sen slope.
+
+    The fact table reduces through the bucketed per-day integer-cents
+    aggregate; the O(days^2) sign scan runs vectorized on the
+    result-sized series with exact integers on both engines."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64")
+    n = len(x)
+    ii, jj = np.triu_indices(n, k=1)
+    s = int(np.sign(x[jj] - x[ii]).sum())
+    var = n * (n - 1.0) * (2.0 * n + 5.0) / 18.0
+    if s > 0:
+        z = (s - 1) / np.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var)
+    else:
+        z = 0.0
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "s": pd.Series([s], dtype="int64"),
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+MANN_KENDALL_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT sum(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s
+  FROM d a JOIN d b ON a.day < b.day
+),
+m AS (SELECT count(*) AS n FROM d)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(n * (n - 1.0) * (2.0 * n + 5.0) / 18.0)
+                  WHEN s < 0 THEN (s + 1) / sqrt(n * (n - 1.0) * (2.0 * n + 5.0) / 18.0)
+                  ELSE 0.0 END, 6) AS z
+FROM p, m
+"""
+
+
+def pettitt_changepoint_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Pettitt nonparametric changepoint test on daily revenue:
+    U_t = SUM_{i<=t} SUM_{j>t} sign(x_j - x_i); the changepoint is the
+    day maximizing |U_t| (earliest day on ties) and
+    K = max |U_t| — the rank-based sibling of the SSE binary
+    segmentation changepoint query, robust to outlier days.
+
+    Same distributed shape as Mann-Kendall: one bucketed integer-cents
+    day aggregate, then an O(days^2) exact-integer scan on the
+    result-sized series (U_t accumulated via the recurrence from the
+    full sign matrix)."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64")
+    n = len(x)
+    # U_t = sum_{tau<=t} W_tau with W_tau = #(x_j > x_tau) - #(x_j < x_tau):
+    # O(n log n) via sorted-rank counts instead of the O(n^2) sign matrix.
+    xs = np.sort(x)
+    less = np.searchsorted(xs, x, side="left")
+    greater = n - np.searchsorted(xs, x, side="right")
+    w = (greater - less).astype("int64")
+    u = np.cumsum(w)[:-1]  # splits after day 1..n-1
+    k_idx = int(np.argmax(np.abs(u)))
+    k_stat = int(np.abs(u[k_idx]))
+    cp_day = daily["day"].iloc[k_idx]
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "k_stat": pd.Series([k_stat], dtype="int64"),
+            "cp_day": [pd.Timestamp(cp_day)],
+        }
+    )
+
+
+PETTITT_CHANGEPOINT_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT day, rev,
+         row_number() OVER (ORDER BY day) AS r,
+         rank() OVER (ORDER BY rev) AS rr,
+         count(*) OVER (PARTITION BY rev) AS eq,
+         count(*) OVER () AS n
+  FROM d
+),
+u AS (
+  SELECT day, r, n,
+         sum(n - 2 * (rr - 1) - eq) OVER (ORDER BY r) AS ut
+  FROM rk
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       CAST(abs(ut) AS BIGINT) AS k_stat,
+       CAST(day AS TIMESTAMP) AS cp_day
+FROM u WHERE r < n
+ORDER BY abs(ut) DESC, r
+LIMIT 1
+"""
