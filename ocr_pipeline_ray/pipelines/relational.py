@@ -14599,3 +14599,122 @@ FROM u WHERE r < n
 ORDER BY abs(ut) DESC, r
 LIMIT 1
 """
+
+
+def mood_scale_price(
+    sf_dir: str, seg_a: str = "BUILDING", seg_b: str = "MACHINERY"
+) -> pd.DataFrame:
+    """Mood's two-sample SCALE test between two segments' order
+    prices: T = SUM over group A of (midrank - (n+1)/2)^2 — ranks far
+    from the center signal higher dispersion, so the test compares
+    VARIABILITY where Mann-Whitney compares location.
+    z = (T - na(n^2-1)/12) / sqrt(na*nb*(n+1)*(n^2-4)/180).
+
+    Same distributed rank machinery as mann_whitney_price (per-batch
+    value histograms tagged with monotone range buckets, O(buckets)
+    exclusive prefix, per-bucket midranks), but with squared central
+    deviations — which are exact quarter-integers in float64, so the
+    scalar partials match DuckDB bit-for-bit."""
+    n_range_buckets = 64
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = cust.set_index("c_custkey")["c_mktsegment"]
+    seg_ref = ray.put(seg_map[seg_map.isin([seg_a, seg_b])])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    lo = float(ds.min("o_totalprice"))
+    hi = float(ds.max("o_totalprice"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        seg = sm.reindex(df["o_custkey"]).to_numpy(object)
+        keep = pd.notna(seg)
+        if not keep.any():
+            return pd.DataFrame(
+                {"x": pd.Series(dtype="float64"), "c": pd.Series(dtype="int64"),
+                 "ca": pd.Series(dtype="int64"), "__bucket": pd.Series(dtype="int64")}
+            )
+        x = df["o_totalprice"].to_numpy("float64")[keep]
+        a = np.asarray(seg[keep] == seg_a, dtype="int64")
+        g = pd.DataFrame({"x": x, "c": 1, "ca": a}).groupby("x", as_index=False).sum()
+        b = np.clip(np.floor((g["x"].to_numpy() - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+        g["__bucket"] = b
+        return g
+
+    hist = ds.map_batches(_hist, batch_format="pandas").materialize()
+    btot = (
+        hist.map_batches(
+            lambda df: df.groupby("__bucket", as_index=False)["c"].sum(), batch_format="pandas"
+        )
+        .to_pandas()
+        .groupby("__bucket")["c"]
+        .sum()
+    )
+    counts = np.zeros(n_range_buckets, dtype="int64")
+    counts[btot.index.to_numpy()] = btot.to_numpy()
+    n_total = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(offsets)
+    center = (n_total + 1) / 2.0
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0])
+        g = g.groupby("x", as_index=False).agg(c=("c", "sum"), ca=("ca", "sum")).sort_values("x")
+        before = int(ray.get(off_ref)[bucket])
+        c = g["c"].to_numpy("int64")
+        ca = g["ca"].to_numpy("int64")
+        midrank = before + np.cumsum(c) - c + (c + 1) / 2.0
+        score = (midrank - center) ** 2
+        return pd.DataFrame(
+            {
+                "t": [(ca * score).sum()],
+                "na": [np.int64(ca.sum())],
+            }
+        )
+
+    s = hist.groupby("__bucket").map_groups(_bucket_stats, batch_format="pandas").to_pandas().sum()
+    na = int(s["na"])
+    nb = n_total - na
+    t = float(s["t"])
+    n = n_total
+    mu = na * (n * n - 1.0) / 12.0
+    var = na * 1.0 * nb * (n + 1.0) * (n * n - 4.0) / 180.0
+    z = (t - mu) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([na], dtype="int64"),
+            "n_b": pd.Series([nb], dtype="int64"),
+            "t": [round(t, 4)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+MOOD_SCALE_PRICE_SQL = """
+WITH base AS (
+  SELECT o_totalprice AS x, c_mktsegment AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+v AS (
+  SELECT x, count(*) AS c,
+         count(CASE WHEN seg = 'BUILDING' THEN 1 END) AS ca
+  FROM base GROUP BY x
+),
+r AS (
+  SELECT x, c, ca,
+         sum(c) OVER (ORDER BY x) - c AS before,
+         sum(c) OVER () AS n
+  FROM v
+),
+agg AS (
+  SELECT sum(ca * (before + (c + 1) / 2.0 - (n + 1) / 2.0)
+             * (before + (c + 1) / 2.0 - (n + 1) / 2.0)) AS t,
+         sum(ca) AS na, max(n) AS n
+  FROM r
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+       round(t, 4) AS t,
+       round((t - na * (n * n - 1.0) / 12.0)
+             / sqrt(na * 1.0 * (n - na) * (n + 1.0) * (n * n - 4.0) / 180.0), 6) AS z
+FROM agg
+"""

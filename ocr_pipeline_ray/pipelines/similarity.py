@@ -1928,3 +1928,83 @@ FROM pj JOIN orig USING (i) ORDER BY id_a
 
 
 JL_PROJECTION_DISTORTION_SQL = jl_projection_distortion_sql()
+
+
+def adjusted_rand_label_signs(sf_dir: str) -> pd.DataFrame:
+    """Adjusted Rand index between the ground-truth embedding labels
+    and the deterministic 4-way sign clustering (sign of dims 0 and
+    1) — the chance-corrected partition agreement metric that
+    complements the silhouette quality score: ARI 0 = random
+    agreement, 1 = identical partitions.
+
+    ONE bucketed (label, sign-cluster) contingency grid of exact
+    integer counts leaves the cluster; the pair-counting closed form
+    (sums of C(n,2) terms) runs on the tiny grid identically on both
+    engines."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy())
+        s1 = (emb[:, 0] >= 0).astype("int64")
+        s2 = (emb[:, 1] >= 0).astype("int64")
+        out = pd.DataFrame(
+            {"label": df["label"].to_numpy("int64"), "sc": 2 * s1 + s2, "one": 1}
+        )
+        return out.groupby(["label", "sc"], as_index=False)["one"].sum().rename(
+            columns={"one": "c"}
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["label", "sc"],
+            {"c": ("c", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["label", "sc"])
+    )
+    c = grid["c"].to_numpy("int64")
+    n = int(c.sum())
+    sum_ij = int((c * (c - 1) // 2).sum())
+    a = grid.groupby("label")["c"].sum().to_numpy("int64")
+    b = grid.groupby("sc")["c"].sum().to_numpy("int64")
+    sum_a = int((a * (a - 1) // 2).sum())
+    sum_b = int((b * (b - 1) // 2).sum())
+    n2 = n * (n - 1) // 2
+    expected = sum_a * 1.0 * sum_b / n2
+    ari = (sum_ij - expected) / ((sum_a + sum_b) / 2.0 - expected)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "ari": [round(float(ari), 6)],
+        }
+    )
+
+
+ADJUSTED_RAND_LABEL_SIGNS_SQL = """
+WITH g AS (
+  SELECT label,
+         2 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS sc,
+         count(*) AS c
+  FROM embeddings GROUP BY 1, 2
+),
+s AS (
+  SELECT sum(c) AS n,
+         sum(c * (c - 1) / 2) AS sum_ij
+  FROM g
+),
+sa AS (SELECT sum(t * (t - 1) / 2) AS sum_a FROM (SELECT sum(c) AS t FROM g GROUP BY label)),
+sb AS (SELECT sum(t * (t - 1) / 2) AS sum_b FROM (SELECT sum(c) AS t FROM g GROUP BY sc)),
+f AS (
+  SELECT n, sum_ij, sum_a, sum_b,
+         sum_a * 1.0 * sum_b / (n * (n - 1) / 2) AS expected
+  FROM s, sa, sb
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sum_ij - expected) / ((sum_a + sum_b) / 2.0 - expected), 6) AS ari
+FROM f
+"""
