@@ -14718,3 +14718,69 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
              / sqrt(na * 1.0 * (n - na) * (n + 1.0) * (n * n - 4.0) / 180.0), 6) AS z
 FROM agg
 """
+
+
+def l_diversity_audit(sf_dir: str, l_req: int = 3) -> pd.DataFrame:
+    """l-diversity privacy audit — the companion of k_anonymity_audit:
+    within each quasi-identifier class (c_mktsegment, c_nationkey),
+    how many DISTINCT values of the sensitive attribute (account
+    balance banded negative / low / high at 0 and 5000) appear?
+    A class can be k-anonymous yet leak the sensitive value if
+    everyone in it shares one band. Reports the minimum class
+    diversity, classes below l, and the fraction of rows at risk.
+
+    ONE (QI, band) grid via the bucketed aggregate (domain-bounded);
+    the distinct-count audit runs on that grid — exact integers
+    end-to-end."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.where(
+            df["c_acctbal"].to_numpy("float64") < 0,
+            0,
+            np.where(df["c_acctbal"].to_numpy("float64") <= 5000, 1, 2),
+        ).astype("int64")
+        out = df[["c_mktsegment", "c_nationkey"]].copy()
+        out["band"] = b
+        return out.groupby(["c_mktsegment", "c_nationkey", "band"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_band, batch_format="pandas"),
+        ["c_mktsegment", "c_nationkey", "band"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    cls = grid.groupby(["c_mktsegment", "c_nationkey"], as_index=False).agg(
+        l=("band", "nunique"), rows=("n", "sum")
+    )
+    risky = cls[cls["l"] < l_req]
+    total = int(cls["rows"].sum())
+    return pd.DataFrame(
+        {
+            "n_classes": pd.Series([len(cls)], dtype="int64"),
+            "min_l": pd.Series([int(cls["l"].min())], dtype="int64"),
+            "classes_below_l": pd.Series([len(risky)], dtype="int64"),
+            "rows_at_risk_frac": [round(float(risky["rows"].sum()) / total, 6)],
+        }
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal <= 5000 THEN 1 ELSE 2 END AS band,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT c_mktsegment, c_nationkey, count(DISTINCT band) AS l, sum(n) AS rows_
+  FROM g GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(count(*) FILTER (WHERE l < 3) AS BIGINT) AS classes_below_l,
+       round(coalesce(sum(rows_) FILTER (WHERE l < 3), 0) * 1.0 / sum(rows_), 6) AS rows_at_risk_frac
+FROM cls
+"""

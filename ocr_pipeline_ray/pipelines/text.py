@@ -6086,3 +6086,100 @@ SELECT CAST(n_test AS BIGINT) AS n_test,
        round(1 - (num / n_test) / (num_base / n_test), 6) AS skill
 FROM agg
 """
+
+
+def logodds_keyness_english(sf_dir: str, k: int = 10, alpha0: float = 100.0) -> pd.DataFrame:
+    """Monroe-Colaresi-Quinn log-odds keyness with an informative
+    Dirichlet prior: which terms mark ENGLISH documents against the
+    rest of the corpus, shrunk toward the corpus-wide term
+    distribution so rare terms don't dominate (the Bayesian upgrade of
+    the G2 keyness query). z_w = delta_w / sqrt(1/(y1+a) + 1/(y2+a))
+    with a_w = alpha0 * corpus_freq_w; top-k by z desc.
+
+    Scale shape: ONE vocabulary-keyed (term, en/other) count grid;
+    corpus totals are scalar partials; z is computed vectorized
+    INSIDE map_batches over the grid (the prior needs only the row's
+    own counts plus broadcast totals) and only the partial top-k
+    reaches the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, s in zip(df["lang"], df["text"]):
+            en = 1 if lang == "en" else 0
+            for tok in TOKEN_RE.findall(s.lower()):
+                rows.append((tok, en))
+        if not rows:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype=object), "y1": pd.Series(dtype="int64"),
+                 "y2": pd.Series(dtype="int64")}
+            )
+        out = pd.DataFrame(rows, columns=["term", "en"])
+        g = out.groupby("term", as_index=False).agg(y1=("en", "sum"), y2=("en", "size"))
+        g["y2"] = g["y2"] - g["y1"]
+        return g
+
+    grid = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pandas"),
+        "term",
+        {"y1": ("y1", "sum"), "y2": ("y2", "sum")},
+        num_buckets=16,
+    ).materialize()
+    tot = (
+        grid.map_batches(
+            lambda df: pd.DataFrame(
+                {"n1": [np.int64(df["y1"].sum())], "n2": [np.int64(df["y2"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sum()
+    )
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    total = n1 + n2
+
+    def _z(df: pd.DataFrame) -> pd.DataFrame:
+        y1 = df["y1"].to_numpy("int64").astype("float64")
+        y2 = df["y2"].to_numpy("int64").astype("float64")
+        a = alpha0 * (y1 + y2) / total
+        d = (
+            np.log((y1 + a) / (n1 + alpha0 - y1 - a))
+            - np.log((y2 + a) / (n2 + alpha0 - y2 - a))
+        )
+        z = d / np.sqrt(1.0 / (y1 + a) + 1.0 / (y2 + a))
+        return pd.DataFrame({"term": df["term"], "z": np.round(z, 6)})
+
+    out = partial_topk(
+        grid.map_batches(_z, batch_format="pandas"), by=["z", "term"], ascending=[False, True], k=k
+    )
+    return out[["term", "z"]].reset_index(drop=True)
+
+
+def logodds_keyness_english_sql(k: int = 10, alpha0: float = 100.0) -> str:
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+g AS (
+  SELECT term, sum(en) AS y1, count(*) - sum(en) AS y2
+  FROM toks GROUP BY term
+),
+tot AS (SELECT sum(y1) AS n1, sum(y2) AS n2 FROM g),
+z AS (
+  SELECT term,
+         round((ln((y1 + {alpha0} * (y1 + y2) / (n1 + n2))
+                / (n1 + {alpha0} - y1 - {alpha0} * (y1 + y2) / (n1 + n2)))
+            - ln((y2 + {alpha0} * (y1 + y2) / (n1 + n2))
+                / (n2 + {alpha0} - y2 - {alpha0} * (y1 + y2) / (n1 + n2))))
+           / sqrt(1.0 / (y1 + {alpha0} * (y1 + y2) / (n1 + n2))
+                  + 1.0 / (y2 + {alpha0} * (y1 + y2) / (n1 + n2))), 6) AS z
+  FROM g, tot
+)
+SELECT term, z FROM z ORDER BY z DESC, term LIMIT {k}
+"""
+
+
+LOGODDS_KEYNESS_ENGLISH_SQL = logodds_keyness_english_sql()
