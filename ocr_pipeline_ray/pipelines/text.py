@@ -6183,3 +6183,88 @@ SELECT term, z FROM z ORDER BY z DESC, term LIMIT {k}
 
 
 LOGODDS_KEYNESS_ENGLISH_SQL = logodds_keyness_english_sql()
+
+
+def youden_threshold_length_english(sf_dir: str) -> pd.DataFrame:
+    """Youden-J optimal operating point for the length->English
+    classifier: scanning thresholds over the n_chars value domain
+    (predict English when n_chars >= t), J(t) = TPR - FPR is
+    maximized and the Matthews correlation coefficient at that
+    threshold is reported — the threshold-SELECTION companion of the
+    AUC / average-precision ranking metrics (lowest threshold wins
+    ties, exact integer confusion counts).
+
+    Same ONE value-domain histogram as the AUC query; the threshold
+    scan is a cumulative walk over the result-sized grid."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pos=(df["lang"] == "en").astype("int64")).groupby(
+            "n_chars", as_index=False
+        ).agg(n=("pos", "size"), n_pos=("pos", "sum"))
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            "n_chars",
+            {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("n_chars", ascending=False)
+        .reset_index(drop=True)
+    )
+    n = grid["n"].to_numpy("int64")
+    pos = grid["n_pos"].to_numpy("int64")
+    p_tot = int(pos.sum())
+    n_tot = int(n.sum())
+    neg_tot = n_tot - p_tot
+    tp = np.cumsum(pos)
+    fp = np.cumsum(n - pos)
+    j = tp * 1.0 / p_tot - fp * 1.0 / neg_tot
+    # ties -> LOWEST threshold = last index among maxima (descending scan)
+    best = len(j) - 1 - int(np.argmax(j[::-1]))
+    thr = int(grid["n_chars"].iloc[best])
+    tpb, fpb = int(tp[best]), int(fp[best])
+    fnb, tnb = p_tot - tpb, neg_tot - fpb
+    mcc_den = np.sqrt(
+        (tpb + fpb) * 1.0 * (tpb + fnb) * (tnb + fpb) * (tnb + fnb)
+    )
+    mcc = (tpb * 1.0 * tnb - fpb * 1.0 * fnb) / mcc_den
+    return pd.DataFrame(
+        {
+            "threshold": pd.Series([thr], dtype="int64"),
+            "j_stat": [round(float(j[best]), 6)],
+            "mcc": [round(float(mcc), 6)],
+        }
+    )
+
+
+YOUDEN_THRESHOLD_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(pos) AS p_tot, sum(n) - sum(pos) AS neg_tot FROM g),
+c AS (
+  SELECT n_chars,
+         sum(pos) OVER (ORDER BY n_chars DESC) AS tp,
+         sum(n - pos) OVER (ORDER BY n_chars DESC) AS fp,
+         p_tot, neg_tot
+  FROM g, tot
+),
+j AS (
+  SELECT n_chars, tp, fp, p_tot, neg_tot,
+         tp * 1.0 / p_tot - fp * 1.0 / neg_tot AS j
+  FROM c
+),
+best AS (SELECT * FROM j ORDER BY j DESC, n_chars ASC LIMIT 1)
+SELECT CAST(n_chars AS BIGINT) AS threshold,
+       round(j, 6) AS j_stat,
+       round((tp * 1.0 * (neg_tot - fp) - fp * 1.0 * (p_tot - tp))
+             / sqrt((tp + fp) * 1.0 * p_tot * (neg_tot - fp + p_tot - tp) * neg_tot), 6) AS mcc
+FROM best
+"""
