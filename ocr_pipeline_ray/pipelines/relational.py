@@ -14784,3 +14784,140 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
        round(coalesce(sum(rows_) FILTER (WHERE l < 3), 0) * 1.0 / sum(rows_), 6) AS rows_at_risk_frac
 FROM cls
 """
+
+
+def ndcg_popularity_at10(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """NDCG@k of the popularity recommender under the same
+    leakage-safe last-order holdout as popularity_hitrate_at10: the
+    top-k training-popular parts are ranked, each test customer's
+    held-out basket grades them (binary gains, 1/log2(rank+1)
+    discounts), normalized by the ideal DCG for that basket size —
+    the graded ranking metric the flat hit-rate floor ignores.
+
+    Same distributed shape: custkey-bucket last-order marking, one
+    orderkey hash join, training-side popularity reduce, ranked
+    winners broadcast; per-customer hit ranks come back as an int
+    BITMASK (order-insensitive combine across split batches), so the
+    driver reduce is exact."""
+    import math
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _mark_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        is_last = np.empty(len(g), dtype=bool)
+        is_last[:-1] = u[:-1] != u[1:]
+        is_last[-1] = True
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy("int64"),
+                "o_custkey": u,
+                "is_last": is_last.astype("int64"),
+            }
+        )
+
+    marked = (
+        orders.map_batches(
+            lambda df: df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32)), batch_format="pandas"
+        )
+        .groupby("__b")
+        .map_groups(_mark_last, batch_format="pandas")
+        .materialize()
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+    )
+    j = shuffle_hash_join(
+        li, marked, on="o_orderkey",
+        left_cols=["o_orderkey", "l_partkey"],
+        right_cols=["o_orderkey", "o_custkey", "is_last"],
+    ).materialize()
+    pop = bucketed_aggregate(
+        j.map_batches(
+            lambda df: df[df["is_last"] == 0]
+            .groupby("l_partkey", as_index=False)
+            .size()
+            .rename(columns={"size": "n"}),
+            batch_format="pandas",
+        ),
+        ["l_partkey"],
+        {"n": ("n", "sum")},
+    )
+    top = partial_topk(pop, ["n", "l_partkey"], [False, True], k)
+    rank_map = {int(p): r + 1 for r, p in enumerate(top["l_partkey"].astype("int64"))}
+    rank_ref = ray.put(rank_map)
+
+    def _test_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["is_last"] == 1]
+        if t.empty:
+            return pd.DataFrame({"c": pd.Series(dtype="int64"), "p": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"c": t["o_custkey"].to_numpy("int64"), "p": t["l_partkey"].to_numpy("int64")}
+        ).drop_duplicates()
+
+    pairs = (
+        j.map_batches(_test_pairs, batch_format="pandas").to_pandas().drop_duplicates()
+    )
+    rm = rank_map
+    pairs["mask"] = pairs["p"].map(lambda p: (1 << rm[p]) if p in rm else 0).astype("int64")
+    per = pairs.groupby("c").agg(mask=("mask", lambda s: int(np.bitwise_or.reduce(s.to_numpy()))),
+                                 m=("p", "nunique"))
+    disc = [0.0] + [1.0 / math.log2(r + 1.0) for r in range(1, k + 1)]
+    idcg_pre = np.cumsum(disc)
+
+    def _ndcg(row) -> float:
+        dcg = sum(disc[r] for r in range(1, k + 1) if row["mask"] >> r & 1)
+        return dcg / idcg_pre[min(int(row["m"]), k)]
+
+    ndcg = float(per.apply(_ndcg, axis=1).sum()) / len(per)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([len(per)], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "ndcg": [round(ndcg, 6)],
+        }
+    )
+
+
+def ndcg_popularity_at10_sql(k: int = 10) -> str:
+    return f"""
+WITH marked AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
+  FROM orders
+),
+j AS (
+  SELECT l_partkey, o_custkey, is_last
+  FROM lineitem JOIN marked ON l_orderkey = o_orderkey
+),
+pop AS (
+  SELECT l_partkey, count(*) AS n FROM j WHERE NOT is_last GROUP BY 1
+),
+winners AS (
+  SELECT l_partkey, row_number() OVER (ORDER BY n DESC, l_partkey) AS r
+  FROM pop ORDER BY n DESC, l_partkey LIMIT {k}
+),
+test AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p FROM j WHERE is_last
+),
+per AS (
+  SELECT c,
+         sum(CASE WHEN w.r IS NOT NULL THEN 1.0 / log2(w.r + 1.0) ELSE 0 END) AS dcg,
+         count(*) AS m
+  FROM test LEFT JOIN winners w ON w.l_partkey = test.p
+  GROUP BY c
+),
+idcg AS (
+  SELECT mm, sum(1.0 / log2(d + 1.0)) AS v
+  FROM (SELECT DISTINCT least(m, {k}) AS mm FROM per),
+       unnest(generate_series(1, {k})) AS t(d)
+  WHERE d <= mm GROUP BY mm
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers, CAST({k} AS BIGINT) AS k,
+       round(sum(per.dcg / idcg.v) / count(*), 6) AS ndcg
+FROM per JOIN idcg ON idcg.mm = least(per.m, {k})
+"""
+
+
+NDCG_POPULARITY_AT10_SQL = ndcg_popularity_at10_sql()

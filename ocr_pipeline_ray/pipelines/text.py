@@ -6268,3 +6268,74 @@ SELECT CAST(n_chars AS BIGINT) AS threshold,
              / sqrt((tp + fp) * 1.0 * p_tot * (neg_tot - fp + p_tot - tp) * neg_tot), 6) AS mcc
 FROM best
 """
+
+
+def ece_length_english(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Expected calibration error of the length-bucket English
+    predictor under the same even/odd doc split as
+    brier_calibration_length_english: ECE = SUM_b (n_b / N) *
+    |p_hat_b - o_b| over TEST buckets (trained rate vs observed rate;
+    global train rate for unseen buckets) — the binned calibration
+    summary that Brier mixes with refinement.
+
+    Same ONE (bucket, split) integer grid; all probabilities are
+    ratios of those integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b=(df["n_chars"] // bucket_chars).astype("int64"),
+            train=(df["doc_id"] % 2 == 0).astype("int64"),
+            en=(df["lang"] == "en").astype("int64"),
+        ).groupby(["b", "train"], as_index=False).agg(n=("en", "size"), n_en=("en", "sum"))
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b", "train"],
+            {"n": ("n", "sum"), "n_en": ("n_en", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["b", "train"])
+    )
+    tr = grid[grid["train"] == 1].set_index("b")
+    te = grid[grid["train"] == 0].set_index("b").sort_index()
+    g_rate = tr["n_en"].sum() * 1.0 / tr["n"].sum()
+    p_hat = (tr["n_en"] * 1.0 / tr["n"]).reindex(te.index).fillna(g_rate).to_numpy("float64")
+    n_te = te["n"].to_numpy("int64")
+    o = te["n_en"].to_numpy("int64") * 1.0 / n_te
+    n_test = int(n_te.sum())
+    ece = float((n_te * np.abs(p_hat - o)).sum()) / n_test
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([n_test], dtype="int64"),
+            "n_buckets": pd.Series([len(te)], dtype="int64"),
+            "ece": [round(ece, 6)],
+        }
+    )
+
+
+ECE_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars // 200 AS b, doc_id % 2 = 0 AS train,
+         count(*) AS n, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY 1, 2
+),
+gr AS (
+  SELECT sum(CASE WHEN train THEN n_en ELSE 0 END) * 1.0
+         / sum(CASE WHEN train THEN n ELSE 0 END) AS g_rate
+  FROM g
+),
+te AS (
+  SELECT t.n, t.n_en, coalesce(tr.n_en * 1.0 / tr.n, gr.g_rate) AS p_hat
+  FROM (SELECT * FROM g WHERE NOT train) t
+  LEFT JOIN (SELECT * FROM g WHERE train) tr ON tr.b = t.b, gr
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_test,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       round(sum(n * abs(p_hat - n_en * 1.0 / n)) / sum(n), 6) AS ece
+FROM te
+"""
