@@ -14921,3 +14921,137 @@ FROM per JOIN idcg ON idcg.mm = least(per.m, {k})
 
 
 NDCG_POPULARITY_AT10_SQL = ndcg_popularity_at10_sql()
+
+
+def _quantity_value_counts(sf_dir: str) -> pd.DataFrame:
+    """(value -> count) grid of l_quantity via the bucketed aggregate
+    (50-value domain), sorted ascending."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_quantity", as_index=False).size().rename(
+            columns={"l_quantity": "x", "size": "c"}
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["x"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+
+
+def _weighted_median_lower_upper(vals: np.ndarray, w: np.ndarray) -> float:
+    """Median of a weighted multiset: average of the order statistics
+    at (P-1)//2 and P//2 (0-indexed), exact for half-integer values."""
+    order = np.argsort(vals, kind="mergesort")
+    vals, w = vals[order], w[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    k1, k2 = (total - 1) // 2, total // 2
+    lo = float(vals[np.searchsorted(cum, k1 + 1, side="left")])
+    hi = float(vals[np.searchsorted(cum, k2 + 1, side="left")])
+    return (lo + hi) / 2.0
+
+
+def hodges_lehmann_quantity(sf_dir: str) -> pd.DataFrame:
+    """Hodges-Lehmann pseudo-median of l_quantity: the median of all
+    Walsh averages (x_i + x_j)/2 over unordered pairs i <= j — the
+    rank-based robust location estimator tied to the Wilcoxon test
+    (30% efficiency loss bound vs the mean, immune to outliers).
+
+    The 50-value quantity domain makes the O(n^2) pair set exactly
+    countable: ONE bucketed (value, count) grid, then the ~1275
+    distinct Walsh averages with integer pair-weights are
+    median-selected by cumulative count — exact on both engines."""
+    grid = _quantity_value_counts(sf_dir)
+    x = grid["x"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    k = len(x)
+    ii, jj = np.triu_indices(k, k=0)
+    v = (x[ii] + x[jj]) / 2.0
+    w = np.where(ii == jj, c[ii] * (c[ii] + 1) // 2, c[ii] * c[jj]).astype("int64")
+    hl = _weighted_median_lower_upper(v, w)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(c.sum())], dtype="int64"),
+            "hl_estimate": [round(hl, 6)],
+        }
+    )
+
+
+HODGES_LEHMANN_QUANTITY_SQL = """
+WITH g AS (SELECT l_quantity AS x, count(*) AS c FROM lineitem GROUP BY 1),
+pairs AS (
+  SELECT (a.x + b.x) / 2.0 AS v,
+         CASE WHEN a.x = b.x THEN a.c * (a.c + 1) / 2 ELSE a.c * b.c END AS w
+  FROM g a JOIN g b ON a.x <= b.x
+),
+cum AS (
+  SELECT v, sum(w) OVER (ORDER BY v) AS cw, sum(w) OVER () AS total
+  FROM (SELECT v, sum(w) AS w FROM pairs GROUP BY v)
+),
+sel AS (
+  SELECT
+    (SELECT min(v) FROM cum WHERE cw >= (total - 1) // 2 + 1) AS lo,
+    (SELECT min(v) FROM cum WHERE cw >= total // 2 + 1) AS hi
+  FROM cum LIMIT 1
+)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM g) AS n,
+       round((lo + hi) / 2.0, 6) AS hl_estimate
+FROM sel
+"""
+
+
+def shamos_scale_quantity(sf_dir: str) -> pd.DataFrame:
+    """Shamos robust scale estimator of l_quantity: the median of all
+    pairwise absolute differences |x_i - x_j| over unordered pairs
+    (within-value pairs contribute zeros) — the pairwise companion of
+    the MAD with higher Gaussian efficiency.
+
+    Same exact machinery as the Hodges-Lehmann query: one (value,
+    count) grid, weighted median selection by cumulative pair
+    counts."""
+    grid = _quantity_value_counts(sf_dir)
+    x = grid["x"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    k = len(x)
+    ii, jj = np.triu_indices(k, k=0)
+    v = np.abs(x[jj] - x[ii])
+    w = np.where(ii == jj, c[ii] * (c[ii] - 1) // 2, c[ii] * c[jj]).astype("int64")
+    keep = w > 0
+    sh = _weighted_median_lower_upper(v[keep], w[keep])
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(c.sum())], dtype="int64"),
+            "shamos_estimate": [round(sh, 6)],
+        }
+    )
+
+
+SHAMOS_SCALE_QUANTITY_SQL = """
+WITH g AS (SELECT l_quantity AS x, count(*) AS c FROM lineitem GROUP BY 1),
+pairs AS (
+  SELECT abs(b.x - a.x) AS v,
+         CASE WHEN a.x = b.x THEN a.c * (a.c - 1) / 2 ELSE a.c * b.c END AS w
+  FROM g a JOIN g b ON a.x <= b.x
+),
+cum AS (
+  SELECT v, sum(w) OVER (ORDER BY v) AS cw, sum(w) OVER () AS total
+  FROM (SELECT v, sum(w) AS w FROM pairs WHERE w > 0 GROUP BY v)
+),
+sel AS (
+  SELECT
+    (SELECT min(v) FROM cum WHERE cw >= (total - 1) // 2 + 1) AS lo,
+    (SELECT min(v) FROM cum WHERE cw >= total // 2 + 1) AS hi
+  FROM cum LIMIT 1
+)
+SELECT (SELECT CAST(sum(c) AS BIGINT) FROM g) AS n,
+       round((lo + hi) / 2.0, 6) AS shamos_estimate
+FROM sel
+"""
