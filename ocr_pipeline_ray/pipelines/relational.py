@@ -15055,3 +15055,170 @@ SELECT (SELECT CAST(sum(c) AS BIGINT) FROM g) AS n,
        round((lo + hi) / 2.0, 6) AS shamos_estimate
 FROM sel
 """
+
+
+def rmst_repurchase(sf_dir: str, tau: int = 365) -> pd.DataFrame:
+    """Restricted mean survival time of time-to-repurchase at
+    tau = 365 days: the area under the Kaplan-Meier step curve on
+    [0, tau] — "expected repurchase-free days in the first year",
+    the clinically-standard summary that avoids the KM tail
+    instability (companion estimand of kaplan_meier_repurchase).
+
+    Same distributed duration histogram as the KM query (custkey
+    bucket shuffle to day-granularity (t, event) counts); the
+    product-limit curve and the clipped segment integration run on the
+    result-sized table."""
+    num_buckets = 32
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        out = pd.DataFrame({"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64")})
+        return out.groupby(["t", "ev"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev"], as_index=False)["cnt"]
+        .sum()
+    )
+    all_t = hist.groupby("t")["cnt"].sum().sort_index()
+    total = int(all_t.sum())
+    risk = total - all_t.cumsum().shift(fill_value=0)
+    evt = hist[hist["ev"] == 1].groupby("t")["cnt"].sum().sort_index()
+    n = risk.reindex(evt.index).to_numpy("float64")
+    d = evt.to_numpy("float64")
+    t = evt.index.to_numpy("int64")
+    surv = np.cumprod(1.0 - d / n)
+    keep = t < tau
+    t_k = t[keep].astype("float64")
+    s_k = surv[keep]
+    t_next = np.append(t_k[1:], np.inf)
+    widths = np.minimum(t_next, tau) - t_k
+    rmst = float(min(float(t[0]) if len(t) else tau, tau)) + float((s_k * widths).sum())
+    return pd.DataFrame(
+        {
+            "tau_days": pd.Series([tau], dtype="int64"),
+            "n_customers": pd.Series([total], dtype="int64"),
+            "rmst_days": [round(rmst, 6)],
+        }
+    )
+
+
+RMST_REPURCHASE_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY o_custkey
+),
+dur AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, (SELECT md FROM mx)) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+evt AS (SELECT t, count(*) AS d FROM dur WHERE ev = 1 GROUP BY t),
+risk AS (
+  SELECT e.t, e.d,
+         (SELECT count(*) FROM dur WHERE dur.t >= e.t) AS n
+  FROM evt e
+),
+curve AS (
+  SELECT t, product(1.0 - CAST(d AS DOUBLE) / n) OVER (ORDER BY t) AS s
+  FROM risk
+),
+seg AS (
+  SELECT t * 1.0 AS t, s,
+         coalesce(lead(t) OVER (ORDER BY t), 1e18) * 1.0 AS t_next
+  FROM curve WHERE t < 365
+),
+parts AS (
+  SELECT sum(s * (least(t_next, 365) - t)) AS area FROM seg
+),
+first_t AS (SELECT least(min(t), 365) * 1.0 AS t1 FROM evt)
+SELECT CAST(365 AS BIGINT) AS tau_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM dur) AS n_customers,
+       round((SELECT t1 FROM first_t) + coalesce((SELECT area FROM parts), 0), 6) AS rmst_days
+"""
+
+
+def horvitz_thompson_revenue(sf_dir: str) -> pd.DataFrame:
+    """Horvitz-Thompson total-revenue estimator under deterministic
+    size-proportional (pi-pps) sampling: order i enters the sample
+    when its multiplicative-hash uniform u_i = (o_orderkey *
+    2654435761 mod 2^32) / 2^32 falls below pi_i = min(1,
+    o_totalprice / 500000); HT = SUM(y_i / pi_i) over the sample is
+    design-unbiased for the true total. Reports the sample size and
+    the scale-free HT/true ratio — the unequal-probability member of
+    the sampling family (hash / systematic / stratified / weighted
+    already covered).
+
+    One streaming pass: the hash, the inclusion test and both partial
+    sums are vectorized per batch; only scalars reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].to_numpy("int64")
+        y = df["o_totalprice"].to_numpy("float64")
+        u = (key * 2654435761 % 4294967296) / 4294967296.0
+        pi = np.minimum(1.0, y / 500000.0)
+        sel = u < pi
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "k": [np.int64(sel.sum())],
+                "ht": [float((y[sel] / pi[sel]).sum())],
+                "true_tot": [float(y.sum())],
+            }
+        )
+
+    s = ds.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([int(s["n"])], dtype="int64"),
+            "n_sample": pd.Series([int(s["k"])], dtype="int64"),
+            "ht_ratio": [round(float(s["ht"]) / float(s["true_tot"]), 6)],
+        }
+    )
+
+
+HORVITZ_THOMPSON_REVENUE_SQL = """
+WITH s AS (
+  SELECT o_totalprice AS y,
+         (o_orderkey * 2654435761 % 4294967296) / 4294967296.0 AS u,
+         least(1.0, o_totalprice / 500000.0) AS pi
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE u < pi) AS BIGINT) AS n_sample,
+       round(sum(CASE WHEN u < pi THEN y / pi ELSE 0 END) / sum(y), 6) AS ht_ratio
+FROM s
+"""
