@@ -15222,3 +15222,185 @@ SELECT CAST(count(*) AS BIGINT) AS n_orders,
        round(sum(CASE WHEN u < pi THEN y / pi ELSE 0 END) / sum(y), 6) AS ht_ratio
 FROM s
 """
+
+
+def fisher_price_index_yearly(sf_dir: str, y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """Paasche and Fisher ideal price indexes between two years —
+    completing the index-number family started by
+    laspeyres_price_index: L holds the BASE year's basket, Paasche
+    holds the CURRENT year's, Fisher = sqrt(L * P) (the superlative
+    index that treats both years symmetrically). Parts present in
+    both years only.
+
+    ONE bucketed (part, year) price/quantity grid; the two-year rows
+    co-locate in the same part bucket and each bucket emits four
+    scalar cross partials (p1q0, p0q0, p1q1, p0q1) — only those reach
+    the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["l_shipdate"].dt.year.astype("int64")
+        sel = (y == y0) | (y == y1)
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64")[sel],
+                "y": y[sel].to_numpy(),
+                "sp": df["l_extendedprice"].to_numpy("float64")[sel],
+                "sq": df["l_quantity"].to_numpy("float64")[sel],
+                "one": np.int64(1),
+            }
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["p", "y"],
+        {"sp": ("sp", "sum"), "sq": ("sq", "sum"), "n": ("one", "sum")},
+    )
+
+    def _rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb"] = (df["p"].to_numpy("int64") % 32).astype("int64")
+        return df
+
+    def _cross(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p", "y"], as_index=False).agg(
+            sp=("sp", "sum"), sq=("sq", "sum"), n=("n", "sum")
+        )
+        piv_p = g.pivot(index="p", columns="y", values="sp")
+        piv_n = g.pivot(index="p", columns="y", values="n")
+        piv_q = g.pivot(index="p", columns="y", values="sq")
+        if y0 not in piv_p.columns or y1 not in piv_p.columns:
+            return pd.DataFrame({"p1q0": [0.0], "p0q0": [0.0], "p1q1": [0.0], "p0q1": [0.0]})
+        both = piv_p[y0].notna() & piv_p[y1].notna()
+        p0 = (piv_p[y0][both] / piv_n[y0][both]).to_numpy("float64")
+        p1 = (piv_p[y1][both] / piv_n[y1][both]).to_numpy("float64")
+        q0 = piv_q[y0][both].to_numpy("float64")
+        q1 = piv_q[y1][both].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "p1q0": [float((p1 * q0).sum())],
+                "p0q0": [float((p0 * q0).sum())],
+                "p1q1": [float((p1 * q1).sum())],
+                "p0q1": [float((p0 * q1).sum())],
+            }
+        )
+
+    s = (
+        grid.map_batches(_rebucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(_cross, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    lasp = float(s["p1q0"]) / float(s["p0q0"])
+    paasche = float(s["p1q1"]) / float(s["p0q1"])
+    return pd.DataFrame(
+        {
+            "laspeyres": [round(lasp, 6)],
+            "paasche": [round(paasche, 6)],
+            "fisher": [round(float(np.sqrt(lasp * paasche)), 6)],
+        }
+    )
+
+
+def fisher_price_index_yearly_sql(y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
+WITH g AS (
+  SELECT l_partkey AS p, year(l_shipdate) AS y,
+         sum(l_extendedprice) / count(*) AS price, sum(l_quantity) AS q
+  FROM lineitem WHERE year(l_shipdate) IN ({y0}, {y1})
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT a.p, a.price AS p0, a.q AS q0, c.price AS p1, c.q AS q1
+  FROM (SELECT * FROM g WHERE y = {y0}) a
+  JOIN (SELECT * FROM g WHERE y = {y1}) c USING (p)
+),
+s AS (
+  SELECT sum(p1 * q0) AS p1q0, sum(p0 * q0) AS p0q0,
+         sum(p1 * q1) AS p1q1, sum(p0 * q1) AS p0q1
+  FROM b
+)
+SELECT round(p1q0 / p0q0, 6) AS laspeyres,
+       round(p1q1 / p0q1, 6) AS paasche,
+       round(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6) AS fisher
+FROM s
+"""
+
+
+FISHER_PRICE_INDEX_YEARLY_SQL = fisher_price_index_yearly_sql()
+
+
+def wald_iv_urgent_quantity(sf_dir: str) -> pd.DataFrame:
+    """Wald instrumental-variable estimate of the price-per-quantity
+    slope using URGENT order priority as a binary instrument:
+    wald = (ybar_z1 - ybar_z0) / (xbar_z1 - xbar_z0) with
+    y = extended price (integer cents) and x = quantity — the
+    two-group IV ratio that closes the causal-inference family (DiD /
+    RDD / matching / CUPED / QTE already covered).
+
+    One orderkey hash join attaches the instrument to lineitem; the
+    per-group moment sums are exact integers, so both engines compute
+    the identical ratio of mean differences."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "z": (df["o_orderpriority"] == "1-URGENT").to_numpy("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = shuffle_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["o_orderkey", "l_quantity", "l_extendedprice"],
+        right_cols=["o_orderkey", "z"],
+    )
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        z = df["z"].to_numpy("int64")
+        x = df["l_quantity"].to_numpy("float64").astype("int64")
+        y = np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64")
+        out = pd.DataFrame({"z": z, "n": 1, "sx": x, "sy": y})
+        return out.groupby("z", as_index=False).sum()
+
+    m = (
+        j.map_batches(_moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("z", as_index=False)
+        .sum()
+        .set_index("z")
+    )
+    y1 = int(m.loc[1, "sy"]) * 1.0 / int(m.loc[1, "n"])
+    y0 = int(m.loc[0, "sy"]) * 1.0 / int(m.loc[0, "n"])
+    x1 = int(m.loc[1, "sx"]) * 1.0 / int(m.loc[1, "n"])
+    x0 = int(m.loc[0, "sx"]) * 1.0 / int(m.loc[0, "n"])
+    return pd.DataFrame(
+        {
+            "dy_cents": [round(y1 - y0, 6)],
+            "dx_qty": [round(x1 - x0, 6)],
+            "wald_cents_per_qty": [round((y1 - y0) / (x1 - x0), 6)],
+        }
+    )
+
+
+WALD_IV_URGENT_QUANTITY_SQL = """
+WITH j AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS z,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+m AS (SELECT z, count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM j GROUP BY z),
+w AS (
+  SELECT
+    (SELECT sy * 1.0 / n FROM m WHERE z = 1) - (SELECT sy * 1.0 / n FROM m WHERE z = 0) AS dy,
+    (SELECT sx * 1.0 / n FROM m WHERE z = 1) - (SELECT sx * 1.0 / n FROM m WHERE z = 0) AS dx
+)
+SELECT round(dy, 6) AS dy_cents, round(dx, 6) AS dx_qty,
+       round(dy / dx, 6) AS wald_cents_per_qty
+FROM w
+"""
