@@ -6030,3 +6030,83 @@ SELECT CAST(n2 AS BIGINT) AS n,
              / ((cyy - b1 * cyp - b2 * cyv) / (n2 - 3.0)), 6) AS f_stat
 FROM f
 """
+
+
+def taylor_law_slope(sf_dir: str) -> pd.DataFrame:
+    """Taylor's law (fluctuation scaling) across event streams: for
+    each (event_type, hour-of-day) series unit, the mean and variance
+    of its DAILY counts (zero days included); the slope of
+    log(variance) vs log(mean) across the ~120 units is Taylor's
+    exponent — 1 for Poisson-like traffic, ~2 for strongly clustered
+    traffic.
+
+    ONE bucketed (type, hour, day) count grid; per-unit moments come
+    from exact integer sums with the global day count supplied as a
+    scalar (zero-day correction in closed form), and the log-log OLS
+    runs on the unit-level table."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t": df["event_type"].to_numpy(object),
+                "h": df["ts"].dt.hour.astype("int64"),
+                "day": df["ts"].dt.normalize(),
+                "one": np.ones(len(df), dtype="int64"),
+            }
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["t", "h", "day"],
+        {"c": ("one", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    n_days = int(grid["day"].nunique())
+    per = grid.groupby(["t", "h"], as_index=False).agg(
+        sc=("c", "sum"), sc2=("c", lambda s: int((s.astype("int64") ** 2).sum()))
+    )
+    m = per["sc"].to_numpy("int64") * 1.0 / n_days
+    v = (per["sc2"].to_numpy("int64") - per["sc"].to_numpy("int64") * m) / (n_days - 1.0)
+    keep = (m > 0) & (v > 0)
+    lx = np.log(m[keep])
+    ly = np.log(v[keep])
+    k = len(lx)
+    sx, sy = float(lx.sum()), float(ly.sum())
+    sxy = float((lx * ly).sum())
+    sx2 = float((lx * lx).sum())
+    slope = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    return pd.DataFrame(
+        {
+            "n_units": pd.Series([k], dtype="int64"),
+            "taylor_exponent": [round(float(slope), 6)],
+        }
+    )
+
+
+TAYLOR_LAW_SLOPE_SQL = """
+WITH g AS (
+  SELECT event_type AS t, hour(ts) AS h, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+nd AS (SELECT count(DISTINCT day) AS n_days FROM g),
+per AS (
+  SELECT t, h, sum(c) AS sc, sum(c * c) AS sc2 FROM g GROUP BY 1, 2
+),
+mv AS (
+  SELECT ln(sc * 1.0 / n_days) AS lx,
+         ln((sc2 - sc * (sc * 1.0 / n_days)) / (n_days - 1.0)) AS ly
+  FROM per, nd
+  WHERE sc > 0 AND (sc2 - sc * (sc * 1.0 / n_days)) / (n_days - 1.0) > 0
+),
+s AS (
+  SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * ly) AS sxy, sum(lx * lx) AS sx2
+  FROM mv
+)
+SELECT CAST(k AS BIGINT) AS n_units,
+       round((k * sxy - sx * sy) / (k * sx2 - sx * sx), 6) AS taylor_exponent
+FROM s
+"""

@@ -15404,3 +15404,60 @@ SELECT round(dy, 6) AS dy_cents, round(dx, 6) AS dx_qty,
        round(dy / dx, 6) AS wald_cents_per_qty
 FROM w
 """
+
+
+def gpd_pot_price_fit(sf_dir: str, threshold_cents: int = 40000000) -> pd.DataFrame:
+    """Peaks-over-threshold generalized-Pareto fit of extreme order
+    prices — the OTHER canonical EVT route next to the Gumbel
+    block-maxima fit: excesses e = price - u above u = 400k dollars
+    (cents), method-of-moments shape xi = (1 - m^2/v)/2 and scale
+    sigma = m*(m^2/v + 1)/2. xi < 0 means a finite price ceiling;
+    xi > 0 a heavy tail.
+
+    One streaming pass: per-batch exact integer excess moments
+    (count, sum, sum of squares in cents), closed forms on the
+    driver identical to the SQL."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        y = np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64")
+        e = y[y > threshold_cents] - threshold_cents
+        return pd.DataFrame(
+            {
+                "k": [np.int64(len(e))],
+                "se": [np.int64(e.sum())],
+                "se2": [np.int64((e * e).sum())],
+            }
+        )
+
+    s = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    k, se, se2 = int(s["k"]), int(s["se"]), int(s["se2"])
+    m = se * 1.0 / k
+    v = (se2 - se * 1.0 * se / k) / (k - 1.0)
+    xi = (1.0 - m * m / v) / 2.0
+    sigma = m * (m * m / v + 1.0) / 2.0
+    return pd.DataFrame(
+        {
+            "n_exceed": pd.Series([k], dtype="int64"),
+            "xi": [round(xi, 6)],
+            "sigma_cents": [round(sigma, 6)],
+        }
+    )
+
+
+GPD_POT_PRICE_FIT_SQL = """
+WITH e AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) - 40000000 AS x
+  FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 40000000
+),
+s AS (SELECT count(*) AS k, sum(x) AS se, sum(x * x) AS se2 FROM e),
+mv AS (
+  SELECT k, se * 1.0 / k AS m,
+         (se2 - se * 1.0 * se / k) / (k - 1.0) AS v
+  FROM s
+)
+SELECT CAST(k AS BIGINT) AS n_exceed,
+       round((1.0 - m * m / v) / 2.0, 6) AS xi,
+       round(m * (m * m / v + 1.0) / 2.0, 6) AS sigma_cents
+FROM mv
+"""
