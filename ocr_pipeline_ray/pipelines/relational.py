@@ -15461,3 +15461,141 @@ SELECT CAST(k AS BIGINT) AS n_exceed,
        round(m * (m * m / v + 1.0) / 2.0, 6) AS sigma_cents
 FROM mv
 """
+
+
+def jarque_bera_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Jarque-Bera normality test of daily revenue:
+    JB = n/6 * (S^2 + K^2/4) with skewness S = m3 / m2^(3/2) and
+    excess kurtosis K = m4/m2^2 - 3 from the centered moments of the
+    integer-cents day series — the omnibus normality check missing
+    from the skew/kurtosis descriptive query (which profiles rows,
+    not the aggregate series).
+
+    The per-day aggregate is exact integers, so the mean and every
+    deviation are identical on both engines; the centered power sums
+    use the same explicit expressions on both sides."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = len(x)
+    mean = float(x.sum()) / n
+    d = x - mean
+    m2 = float((d * d).sum()) / n
+    m3 = float((d * d * d).sum()) / n
+    m4 = float((d * d * d * d).sum()) / n
+    s = m3 / m2 ** 1.5
+    k = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (s * s + k * k / 4.0)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "skew": [round(s, 6)],
+            "ex_kurtosis": [round(k, 6)],
+            "jb": [round(jb, 6)],
+        }
+    )
+
+
+JARQUE_BERA_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_orderdate
+),
+mu AS (SELECT count(*) AS n, sum(rev) * 1.0 / count(*) AS m FROM d),
+c AS (SELECT rev - m AS e, n FROM d, mu),
+mo AS (
+  SELECT max(n) AS n,
+         sum(e * e) / max(n) AS m2,
+         sum(e * e * e) / max(n) AS m3,
+         sum(e * e * e * e) / max(n) AS m4
+  FROM c
+),
+sk AS (
+  SELECT n, m3 / pow(m2, 1.5) AS s, m4 / (m2 * m2) - 3.0 AS k FROM mo
+)
+SELECT CAST(n AS BIGINT) AS n_days, round(s, 6) AS skew,
+       round(k, 6) AS ex_kurtosis,
+       round(n / 6.0 * (s * s + k * k / 4.0), 6) AS jb
+FROM sk
+"""
+
+
+def leadtime_quartiles_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Shipping lead-time SLA profile: exact quartiles (type-1 /
+    lower order statistic) of the order-to-ship day gap per order
+    priority — the fulfilment-operations metric over the
+    orders-lineitem join (the relational analog of the event-side
+    latency_sla_by_type).
+
+    One orderkey hash join attaches the order date, gaps reduce to a
+    (priority, gap_days) integer grid (domain-bounded: gaps are ~0 to
+    ~121 days), and the per-priority quartile walk runs on the tiny
+    grid with exact cumulative counts."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = shuffle_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["o_orderkey", "l_shipdate"],
+        right_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        gap = (
+            (df["l_shipdate"].to_numpy("datetime64[us]") - df["o_orderdate"].to_numpy("datetime64[us]"))
+            / np.timedelta64(1, "D")
+        ).astype("int64")
+        out = pd.DataFrame({"prio": df["o_orderpriority"].to_numpy(object), "gap": gap, "one": 1})
+        return out.groupby(["prio", "gap"], as_index=False)["one"].sum().rename(columns={"one": "c"})
+
+    grid = (
+        bucketed_aggregate(
+            j.map_batches(_grid, batch_format="pandas"),
+            ["prio", "gap"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["prio", "gap"])
+    )
+
+    rows = []
+    for prio, g in grid.groupby("prio"):
+        c = g["c"].to_numpy("int64")
+        v = g["gap"].to_numpy("int64")
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        qs = []
+        for q in (0.25, 0.5, 0.75):
+            k = int(np.ceil(q * n))  # type-1 quantile: smallest v with cum >= ceil(q n)
+            qs.append(int(v[np.searchsorted(cum, k, side="left")]))
+        rows.append((prio, n, *qs))
+    out = pd.DataFrame(rows, columns=["prio", "n", "q25_days", "q50_days", "q75_days"]).sort_values(
+        "prio"
+    ).reset_index(drop=True)
+    for col in ("n", "q25_days", "q50_days", "q75_days"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+LEADTIME_QUARTILES_BY_PRIORITY_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS prio, datediff('day', o_orderdate, l_shipdate) AS gap,
+         count(*) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT prio, gap, c,
+         sum(c) OVER (PARTITION BY prio ORDER BY gap) AS cw,
+         sum(c) OVER (PARTITION BY prio) AS n
+  FROM g
+)
+SELECT prio, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cw >= ceil(0.25 * n) THEN gap END) AS BIGINT) AS q25_days,
+       CAST(min(CASE WHEN cw >= ceil(0.50 * n) THEN gap END) AS BIGINT) AS q50_days,
+       CAST(min(CASE WHEN cw >= ceil(0.75 * n) THEN gap END) AS BIGINT) AS q75_days
+FROM cum
+GROUP BY prio
+ORDER BY prio
+"""
