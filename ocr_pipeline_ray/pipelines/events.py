@@ -6110,3 +6110,57 @@ SELECT CAST(k AS BIGINT) AS n_units,
        round((k * sxy - sx * sy) / (k * sx2 - sx * sx), 6) AS taylor_exponent
 FROM s
 """
+
+
+def circular_time_of_day(sf_dir: str) -> pd.DataFrame:
+    """Circular statistics of event time-of-day: each event maps to
+    an angle theta = 2*pi*(microsecond of day)/86400e6; the resultant
+    length Rbar = |sum(e^i*theta)|/n measures how CONCENTRATED
+    activity is around one clock time, the mean direction gives the
+    peak hour, and the Rayleigh statistic z = n*Rbar^2 tests
+    uniformity — the von-Mises-family toolkit the linear hourly
+    profile can't express (23:00 and 01:00 are NEAR each other here).
+
+    One streaming pass of scalar (n, sum cos, sum sin) partials —
+    angles are exact-integer-derived so both engines evaluate
+    identical trig terms."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype("int64") % 86_400_000_000
+        theta = 2.0 * np.pi * us / 86_400_000_000.0
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(us))],
+                "sc": [float(np.cos(theta).sum())],
+                "ss": [float(np.sin(theta).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    n, sc, ss = int(s["n"]), float(s["sc"]), float(s["ss"])
+    rbar = np.sqrt(sc * sc + ss * ss) / n
+    ang = np.arctan2(ss, sc)
+    mean_hour = (ang % (2.0 * np.pi)) / (2.0 * np.pi) * 24.0
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "rbar": [round(float(rbar), 6)],
+            "mean_hour": [round(float(mean_hour), 6)],
+            "rayleigh_z": [round(float(n * rbar * rbar), 6)],
+        }
+    )
+
+
+CIRCULAR_TIME_OF_DAY_SQL = """
+WITH a AS (
+  SELECT 2.0 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0 AS theta
+  FROM events
+),
+s AS (SELECT count(*) AS n, sum(cos(theta)) AS sc, sum(sin(theta)) AS ss FROM a),
+r AS (SELECT n, sqrt(sc * sc + ss * ss) / n AS rbar, atan2(ss, sc) AS ang FROM s)
+SELECT CAST(n AS BIGINT) AS n, round(rbar, 6) AS rbar,
+       round(fmod(ang + 2.0 * pi(), 2.0 * pi()) / (2.0 * pi()) * 24.0, 6) AS mean_hour,
+       round(n * rbar * rbar, 6) AS rayleigh_z
+FROM r
+"""

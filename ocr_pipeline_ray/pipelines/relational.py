@@ -15599,3 +15599,68 @@ FROM cum
 GROUP BY prio
 ORDER BY prio
 """
+
+
+def haar_energy_daily_revenue(sf_dir: str, max_level: int = 4) -> pd.DataFrame:
+    """Decimated Haar wavelet energy decomposition of daily revenue:
+    at each level j the calendar is tiled into complete 2^j-day
+    blocks and the detail energy SUM((left-half mean - right-half
+    mean)^2) measures variability at that time scale — the
+    multiresolution companion of the DFT periodicity scan (which
+    scale carries the revenue variance: days, half-weeks, weeks?).
+    Reports each level's energy share of the total across levels.
+
+    The day series is the exact integer-cents aggregate; block means
+    are ratios of integer block sums, so both engines evaluate
+    identical terms per block."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64")
+    n = len(x)
+    energies = []
+    for j in range(1, max_level + 1):
+        size = 1 << j
+        half = size >> 1
+        nb = n // size
+        if nb == 0:
+            energies.append(0.0)
+            continue
+        blocks = x[: nb * size].reshape(nb, size)
+        left = blocks[:, :half].sum(axis=1).astype("float64") / half
+        right = blocks[:, half:].sum(axis=1).astype("float64") / half
+        energies.append(float(((left - right) ** 2).sum()))
+    total = sum(energies)
+    return pd.DataFrame(
+        {
+            "level": pd.Series(range(1, max_level + 1), dtype="int64"),
+            "block_days": pd.Series([1 << j for j in range(1, max_level + 1)], dtype="int64"),
+            "energy_share": [round(e / total, 6) for e in energies],
+        }
+    )
+
+
+HAAR_ENERGY_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev,
+         row_number() OVER (ORDER BY o_orderdate) - 1 AS i
+  FROM orders GROUP BY o_orderdate
+),
+lv AS (SELECT unnest([1, 2, 3, 4]) AS j),
+blocks AS (
+  SELECT j, i // (1 << j) AS blk,
+         sum(CASE WHEN i % (1 << j) < (1 << (j - 1)) THEN rev ELSE 0 END) AS suml,
+         sum(CASE WHEN i % (1 << j) >= (1 << (j - 1)) THEN rev ELSE 0 END) AS sumr,
+         count(*) AS cnt
+  FROM d, lv GROUP BY 1, 2
+),
+en AS (
+  SELECT j,
+         sum((suml * 1.0 / (1 << (j - 1)) - sumr * 1.0 / (1 << (j - 1)))
+             * (suml * 1.0 / (1 << (j - 1)) - sumr * 1.0 / (1 << (j - 1)))) AS e
+  FROM blocks WHERE cnt = (1 << j)
+  GROUP BY j
+),
+tot AS (SELECT sum(e) AS t FROM en)
+SELECT CAST(j AS BIGINT) AS level, CAST(1 << j AS BIGINT) AS block_days,
+       round(e / t, 6) AS energy_share
+FROM en, tot ORDER BY j
+"""
