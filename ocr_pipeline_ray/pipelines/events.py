@@ -6164,3 +6164,148 @@ SELECT CAST(n AS BIGINT) AS n, round(rbar, 6) AS rbar,
        round(n * rbar * rbar, 6) AS rayleigh_z
 FROM r
 """
+
+
+def transition_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Reciprocity of the directed event-type transition graph:
+    r = SUM_{i<>j} min(n_ij, n_ji) / SUM_{i<>j} n_ij — what fraction
+    of directed flow is matched by reverse flow (Bowker TESTS the
+    asymmetry; this MEASURES it, weighted). r = 1 means perfectly
+    bidirectional traffic, r -> 0 a one-way funnel.
+
+    Reuses the distributed transition-count grid; the min/sum
+    arithmetic runs on the k^2 <= 25 cells — exact integers."""
+    counts = event_transitions(sf_dir)
+    off = counts[counts["prev_type"] != counts["next_type"]].copy()
+    rev = off.rename(columns={"prev_type": "next_type", "next_type": "prev_type", "n": "n_rev"})
+    m = off.merge(rev, on=["prev_type", "next_type"], how="left").fillna({"n_rev": 0})
+    num = int(np.minimum(m["n"].to_numpy("int64"), m["n_rev"].to_numpy("int64")).sum())
+    den = int(m["n"].sum())
+    return pd.DataFrame(
+        {
+            "flow_total": pd.Series([den], dtype="int64"),
+            "flow_reciprocated": pd.Series([num], dtype="int64"),
+            "reciprocity": [round(num / den, 6)],
+        }
+    )
+
+
+TRANSITION_RECIPROCITY_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT a.n, coalesce(b.n, 0) AS n_rev
+  FROM t a LEFT JOIN t b ON b.prev_type = a.next_type AND b.next_type = a.prev_type
+)
+SELECT CAST(sum(n) AS BIGINT) AS flow_total,
+       CAST(sum(least(n, n_rev)) AS BIGINT) AS flow_reciprocated,
+       round(sum(least(n, n_rev)) * 1.0 / sum(n), 6) AS reciprocity
+FROM m
+"""
+
+
+def burstiness_memory_gaps(sf_dir: str) -> pd.DataFrame:
+    """Goh-Barabasi burstiness-memory coordinates of per-user
+    inter-event gaps (floor seconds): B = (sigma - mu)/(sigma + mu)
+    (-1 regular, 0 Poisson, +1 bursty) and the memory coefficient
+    M = corr(gap_t, gap_{t+1}) over CONSECUTIVE gap pairs within a
+    user — the two-number phase-space summary of temporal clustering
+    that the KS-vs-exponential test complements.
+
+    Per-user-bucket vectorized diffs emit exact integer moment
+    partials for gaps AND adjacent gap pairs (user boundaries
+    masked); only scalars reach the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def _partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        if len(u) < 2:
+            return pd.DataFrame(
+                {"n": [0], "s": [0], "s2": [0], "np_": [0], "sx": [0], "sy": [0],
+                 "sxy": [0], "sx2": [0], "sy2": [0]}
+            ).astype("int64")
+        same = u[1:] == u[:-1]
+        gap = (t[1:] - t[:-1]) // 1_000_000
+        gaps = gap[same]
+        both = same[1:] & same[:-1]
+        gx = gap[:-1][both]
+        gy = gap[1:][both]
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(gaps))],
+                "s": [np.int64(gaps.sum())],
+                "s2": [np.int64((gaps * gaps).sum())],
+                "np_": [np.int64(len(gx))],
+                "sx": [np.int64(gx.sum())],
+                "sy": [np.int64(gy.sum())],
+                "sxy": [np.int64((gx * gy).sum())],
+                "sx2": [np.int64((gx * gx).sum())],
+                "sy2": [np.int64((gy * gy).sum())],
+            }
+        )
+
+    s = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_partials, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, sg, sg2 = int(s["n"]), int(s["s"]), int(s["s2"])
+    mu = sg * 1.0 / n
+    sigma = np.sqrt((sg2 - sg * 1.0 * sg / n) / n)
+    b = (sigma - mu) / (sigma + mu)
+    k = int(s["np_"])
+    sx, sy, sxy, sx2, sy2 = int(s["sx"]), int(s["sy"]), int(s["sxy"]), int(s["sx2"]), int(s["sy2"])
+    m = (k * 1.0 * sxy - sx * 1.0 * sy) / np.sqrt(
+        (k * 1.0 * sx2 - sx * 1.0 * sx) * (k * 1.0 * sy2 - sy * 1.0 * sy)
+    )
+    return pd.DataFrame(
+        {
+            "n_gaps": pd.Series([n], dtype="int64"),
+            "burstiness": [round(float(b), 6)],
+            "memory": [round(float(m), 6)],
+        }
+    )
+
+
+BURSTINESS_MEMORY_GAPS_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+         lag(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+  FROM events
+),
+g AS (
+  SELECT date_diff('microsecond', p1, ts) // 1000000 AS gap,
+         CASE WHEN p2 IS NOT NULL
+              THEN date_diff('microsecond', p2, p1) // 1000000 END AS prev_gap
+  FROM s WHERE p1 IS NOT NULL
+),
+m1 AS (SELECT count(*) AS n, sum(gap) AS sg, sum(gap * gap) AS sg2 FROM g),
+m2 AS (
+  SELECT count(*) AS k, sum(prev_gap) AS sx, sum(gap) AS sy,
+         sum(prev_gap * gap) AS sxy, sum(prev_gap * prev_gap) AS sx2,
+         sum(gap * gap) AS sy2
+  FROM g WHERE prev_gap IS NOT NULL
+),
+c AS (
+  SELECT n, sg * 1.0 / n AS mu, sqrt((sg2 - sg * 1.0 * sg / n) / n) AS sigma FROM m1
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       round((sigma - mu) / (sigma + mu), 6) AS burstiness,
+       (SELECT round((k * 1.0 * sxy - sx * 1.0 * sy)
+               / sqrt((k * 1.0 * sx2 - sx * 1.0 * sx) * (k * 1.0 * sy2 - sy * 1.0 * sy)), 6)
+        FROM m2) AS memory
+FROM c
+"""
