@@ -15664,3 +15664,130 @@ SELECT CAST(j AS BIGINT) AS level, CAST(1 << j AS BIGINT) AS block_days,
        round(e / t, 6) AS energy_share
 FROM en, tot ORDER BY j
 """
+
+def atkinson_index_customer_revenue(sf_dir: str) -> pd.DataFrame:
+    """Atkinson inequality index (epsilon = 0.5) of per-customer total
+    revenue: A = 1 - ((1/n) SUM sqrt(x))^2 / mu — the welfare-based
+    member of the inequality family (Gini / Lorenz / Theil / HHI
+    already implemented). A = 0 means perfect equality; A -> 1 means
+    society would give up almost all revenue mass to equalize.
+
+    Per-customer revenue reduces to exact integer cents through ONE
+    bucketed custkey aggregate; the sqrt partials are a second
+    vectorized scalar pass over that keyed result — three numbers
+    reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": df["o_custkey"],
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    per_cust = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["c"],
+        {"x": ("rev_c", "sum")},
+        num_buckets=32,
+    )
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [np.int64(df["x"].to_numpy("int64").sum())],
+                "ss": [float(np.sqrt(x).sum())],
+            }
+        )
+
+    s = per_cust.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    n, sx, ss = int(s["n"]), int(s["sx"]), float(s["ss"])
+    a = 1.0 - (ss / n) * (ss / n) / (sx * 1.0 / n)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "atkinson_05": [round(float(a), 6)],
+        }
+    )
+
+
+ATKINSON_INDEX_CUSTOMER_REVENUE_SQL = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(sqrt(x * 1.0)) AS ss FROM per)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(1 - (ss / n) * (ss / n) / (sx * 1.0 / n), 6) AS atkinson_05
+FROM s
+"""
+
+
+def hoover_index_customer_revenue(sf_dir: str) -> pd.DataFrame:
+    """Hoover (Robin Hood) index of per-customer total revenue:
+    H = SUM |x_i - mu| / (2 SUM x) — the fraction of total revenue
+    that would have to be redistributed to reach perfect equality.
+    Completes the inequality family with its most interpretable
+    member.
+
+    Two passes over the SAME small keyed aggregate (n_customers rows,
+    not the fact table): pass 1 yields exact integer (n, sx); pass 2
+    broadcasts those two scalars and computes |n*x - sx| per customer
+    — each term exact in int64 (H = SUM|n*x - sx| / (2*n*sx)), summed
+    in float64 identically on both engines."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": df["o_custkey"],
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    per_cust = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["c"],
+        {"x": ("rev_c", "sum")},
+        num_buckets=32,
+    ).materialize()
+
+    def _pass1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sx": [np.int64(df["x"].to_numpy("int64").sum())],
+            }
+        )
+
+    s1 = per_cust.map_batches(_pass1, batch_format="pandas").to_pandas().sum()
+    n, sx = int(s1["n"]), int(s1["sx"])
+
+    def _pass2(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy("int64")
+        return pd.DataFrame({"sad": [float(np.abs(n * x - sx).astype("float64").sum())]})
+
+    sad = float(per_cust.map_batches(_pass2, batch_format="pandas").to_pandas()["sad"].sum())
+    h = sad / (n * 2.0 * sx)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "hoover": [round(float(h), 6)],
+        }
+    )
+
+
+HOOVER_INDEX_CUSTOMER_REVENUE_SQL = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+m AS (SELECT count(*) AS n, sum(x) AS sx FROM per),
+s AS (SELECT sum(abs(n * x - sx) * 1.0) AS sad FROM per, m)
+SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_customers,
+       round(sad / ((SELECT n FROM m) * 2.0 * (SELECT sx FROM m)), 6) AS hoover
+FROM s
+"""
