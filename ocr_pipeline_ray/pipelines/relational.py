@@ -15791,3 +15791,150 @@ SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_customers,
        round(sad / ((SELECT n FROM m) * 2.0 * (SELECT sx FROM m)), 6) AS hoover
 FROM s
 """
+
+def jonckheere_quantity_by_discount(sf_dir: str) -> pd.DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test of
+    l_quantity across the 11 ordered discount levels: J = SUM over
+    ordered group pairs (i<j) of #(x_i < x_j) + 0.5 #(ties), with the
+    standard-normal z against the null mean (N^2 - SUM n_i^2)/4 and
+    the no-tie variance (N^2(2N+3) - SUM n_i^2(2n_i+3))/72 — the
+    ordered-groups counterpart of Kruskal-Wallis (which ignores the
+    group ordering).
+
+    ONE bucketed (discount, quantity) count grid (~550 cells) leaves
+    the cluster; the pairwise counting runs vectorized on the grid
+    with exact int64 products, so J is exact to the final 0.5."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_discount", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_discount": "d", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["d", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["d", "q"])
+        .reset_index(drop=True)
+    )
+    d = grid["d"].to_numpy("float64")
+    q = grid["q"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    w = c[:, None] * c[None, :]
+    ordered = d[:, None] < d[None, :]
+    gt = int(w[ordered & (q[:, None] < q[None, :])].sum())
+    tie = int(w[ordered & (q[:, None] == q[None, :])].sum())
+    j = gt + 0.5 * tie
+    ni = pd.Series(c).groupby(pd.Series(d)).sum().to_numpy("int64")
+    nn = int(ni.sum())
+    s2 = int((ni.astype(object) ** 2).sum())
+    s3 = int((ni.astype(object) ** 2 * (2 * ni.astype(object) + 3)).sum())
+    mean = (nn * nn - s2) / 4.0
+    var = (nn * nn * (2 * nn + 3) - s3) / 72.0
+    z = (j - mean) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_total": pd.Series([nn], dtype="int64"),
+            "j_stat": [round(float(j), 6)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+JONCKHEERE_QUANTITY_BY_DISCOUNT_SQL = """
+WITH g AS (
+  SELECT l_discount AS d, CAST(l_quantity AS INT) AS q, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT sum(a.n * b.n
+             * (CASE WHEN b.q > a.q THEN 1.0 WHEN b.q = a.q THEN 0.5 ELSE 0.0 END)) AS jstat
+  FROM g a JOIN g b ON a.d < b.d
+),
+gs AS (SELECT d, sum(n) AS ni FROM g GROUP BY 1),
+m AS (SELECT sum(ni) AS nn, sum(ni * ni) AS s2, sum(ni * ni * (2 * ni + 3)) AS s3 FROM gs)
+SELECT CAST(nn AS BIGINT) AS n_total,
+       round(jstat, 6) AS j_stat,
+       round((jstat - (nn * nn - s2) / 4.0)
+             / sqrt((nn * nn * (2 * nn + 3) - s3) / 72.0), 6) AS z
+FROM j, m
+"""
+
+
+def cliffs_delta_returned_quantity(sf_dir: str) -> pd.DataFrame:
+    """Cliff's delta ordinal effect size between returned (R) and
+    non-returned (N) lineitem quantities: delta = P(x_R > x_N) -
+    P(x_R < x_N) — the distribution-free dominance statistic that
+    complements the Mann-Whitney test (which gives a p-value but no
+    magnitude). |delta| < 0.147 is conventionally negligible.
+
+    ONE bucketed (flag, quantity) count grid (<= 100 cells) leaves
+    the cluster; greater/less pair mass is exact int64 grid
+    arithmetic."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+    r = grid[grid["f"] == "R"]
+    n = grid[grid["f"] == "N"]
+    rq = r["q"].to_numpy("float64")
+    rc = r["c"].to_numpy("int64")
+    nq = n["q"].to_numpy("float64")
+    nc = n["c"].to_numpy("int64")
+    w = rc[:, None] * nc[None, :]
+    gt = int(w[rq[:, None] > nq[None, :]].sum())
+    lt = int(w[rq[:, None] < nq[None, :]].sum())
+    n_r, n_n = int(rc.sum()), int(nc.sum())
+    delta = (gt - lt) / (n_r * 1.0 * n_n)
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([n_r], dtype="int64"),
+            "n_kept": pd.Series([n_n], dtype="int64"),
+            "cliffs_delta": [round(float(delta), 6)],
+        }
+    )
+
+
+CLIFFS_DELTA_RETURNED_QUANTITY_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS INT) AS q, count(*) AS n
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1, 2
+),
+p AS (
+  SELECT sum(a.n * b.n * (CASE WHEN a.q > b.q THEN 1 ELSE 0 END)) AS gt,
+         sum(a.n * b.n * (CASE WHEN a.q < b.q THEN 1 ELSE 0 END)) AS lt
+  FROM g a JOIN g b ON a.f = 'R' AND b.f = 'N'
+),
+m AS (
+  SELECT sum(CASE WHEN f = 'R' THEN n ELSE 0 END) AS nr,
+         sum(CASE WHEN f = 'N' THEN n ELSE 0 END) AS nk
+  FROM g
+)
+SELECT CAST(nr AS BIGINT) AS n_returned, CAST(nk AS BIGINT) AS n_kept,
+       round((gt - lt) / (nr * 1.0 * nk), 6) AS cliffs_delta
+FROM p, m
+"""
