@@ -15938,3 +15938,209 @@ SELECT CAST(nr AS BIGINT) AS n_returned, CAST(nk AS BIGINT) AS n_kept,
        round((gt - lt) / (nr * 1.0 * nk), 6) AS cliffs_delta
 FROM p, m
 """
+
+def nelson_aalen_repurchase(sf_dir: str) -> pd.DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-repurchase:
+    H(t) = SUM_{t_i <= t} d_i / n_i over the same (first order ->
+    second order | censored at corpus max date) durations as
+    kaplan_meier_repurchase — the estimator of cumulative risk that
+    is additive where KM is multiplicative, and the standard input to
+    proportional-hazards diagnostics.
+
+    Same distributed shape as KM: per-batch two-smallest order dates
+    per customer, ONE bucketed custkey shuffle, per-bucket reduce to
+    the (duration, event) histogram; the hazard cumsum runs on the
+    result-sized series."""
+    num_buckets = 32
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        out = pd.DataFrame({"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64")})
+        return out.groupby(["t", "ev"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev"], as_index=False)["cnt"]
+        .sum()
+    )
+    all_t = hist.groupby("t")["cnt"].sum().sort_index()
+    total = int(all_t.sum())
+    risk = total - all_t.cumsum().shift(fill_value=0)
+    evt = hist[hist["ev"] == 1].groupby("t")["cnt"].sum().sort_index()
+    n = risk.reindex(evt.index).to_numpy("float64")
+    d = evt.to_numpy("float64")
+    haz = np.cumsum(d / n)
+    return pd.DataFrame(
+        {
+            "t_days": evt.index.to_numpy("int64"),
+            "n_risk": n.astype("int64"),
+            "n_events": d.astype("int64"),
+            "cum_hazard": np.round(haz, 6),
+        }
+    )
+
+
+NELSON_AALEN_REPURCHASE_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY o_custkey
+),
+dur AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, (SELECT md FROM mx)) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+evt AS (SELECT t, count(*) AS d FROM dur WHERE ev = 1 GROUP BY t),
+risk AS (
+  SELECT e.t, e.d,
+         (SELECT count(*) FROM dur WHERE dur.t >= e.t) AS n
+  FROM evt e
+)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(sum(CAST(d AS DOUBLE) / n) OVER (ORDER BY t), 6) AS cum_hazard
+FROM risk ORDER BY t_days
+"""
+
+
+def tornqvist_price_index_yearly(sf_dir: str, y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """Tornqvist price index between two years — the second
+    superlative member of the index-number family (Laspeyres /
+    Paasche / Fisher already implemented): ln P_T = SUM_i
+    0.5*(w0_i + w1_i)*ln(p1_i/p0_i) with w_t_i the part's expenditure
+    share in year t, over parts traded in BOTH years (shares
+    normalized over the matched set). Exactly log-linear, so the
+    weighted sum decomposes: ln P_T = 0.5*A/V0 + 0.5*B/V1 with
+    A = SUM v0_i*ln(p1/p0), B = SUM v1_i*ln(p1/p0), V_t = SUM v_t_i.
+
+    Same ONE bucketed (part, year) grid as Fisher; each part bucket
+    emits five scalar partials, so only 5*buckets numbers reach the
+    driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["l_shipdate"].dt.year.astype("int64")
+        sel = (y == y0) | (y == y1)
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64")[sel],
+                "y": y[sel].to_numpy(),
+                "sp": df["l_extendedprice"].to_numpy("float64")[sel],
+                "sq": df["l_quantity"].to_numpy("float64")[sel],
+                "one": np.int64(1),
+            }
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["p", "y"],
+        {"sp": ("sp", "sum"), "sq": ("sq", "sum"), "n": ("one", "sum")},
+    )
+
+    def _rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb"] = (df["p"].to_numpy("int64") % 32).astype("int64")
+        return df
+
+    def _cross(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p", "y"], as_index=False).agg(
+            sp=("sp", "sum"), sq=("sq", "sum"), n=("n", "sum")
+        )
+        piv_p = g.pivot(index="p", columns="y", values="sp")
+        piv_n = g.pivot(index="p", columns="y", values="n")
+        piv_q = g.pivot(index="p", columns="y", values="sq")
+        if y0 not in piv_p.columns or y1 not in piv_p.columns:
+            return pd.DataFrame(
+                {"v0": [0.0], "v1": [0.0], "a": [0.0], "b": [0.0], "k": [np.int64(0)]}
+            )
+        both = piv_p[y0].notna() & piv_p[y1].notna()
+        p0 = (piv_p[y0][both] / piv_n[y0][both]).to_numpy("float64")
+        p1 = (piv_p[y1][both] / piv_n[y1][both]).to_numpy("float64")
+        q0 = piv_q[y0][both].to_numpy("float64")
+        q1 = piv_q[y1][both].to_numpy("float64")
+        lr = np.log(p1 / p0)
+        v0 = p0 * q0
+        v1 = p1 * q1
+        return pd.DataFrame(
+            {
+                "v0": [float(v0.sum())],
+                "v1": [float(v1.sum())],
+                "a": [float((v0 * lr).sum())],
+                "b": [float((v1 * lr).sum())],
+                "k": [np.int64(both.sum())],
+            }
+        )
+
+    s = (
+        grid.map_batches(_rebucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(_cross, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    lnp = 0.5 * float(s["a"]) / float(s["v0"]) + 0.5 * float(s["b"]) / float(s["v1"])
+    return pd.DataFrame(
+        {
+            "n_parts": pd.Series([int(s["k"])], dtype="int64"),
+            "tornqvist": [round(float(np.exp(lnp)), 6)],
+        }
+    )
+
+
+def tornqvist_price_index_yearly_sql(y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
+WITH g AS (
+  SELECT l_partkey AS p, year(l_shipdate) AS y,
+         sum(l_extendedprice) / count(*) AS price, sum(l_quantity) AS q
+  FROM lineitem WHERE year(l_shipdate) IN ({y0}, {y1})
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT a.p, a.price AS p0, a.q AS q0, c.price AS p1, c.q AS q1
+  FROM (SELECT * FROM g WHERE y = {y0}) a
+  JOIN (SELECT * FROM g WHERE y = {y1}) c USING (p)
+),
+s AS (
+  SELECT count(*) AS k, sum(p0 * q0) AS v0, sum(p1 * q1) AS v1,
+         sum(p0 * q0 * ln(p1 / p0)) AS a, sum(p1 * q1 * ln(p1 / p0)) AS b
+  FROM b
+)
+SELECT CAST(k AS BIGINT) AS n_parts,
+       round(exp(0.5 * a / v0 + 0.5 * b / v1), 6) AS tornqvist
+FROM s
+"""
+
+
+TORNQVIST_PRICE_INDEX_YEARLY_SQL = tornqvist_price_index_yearly_sql()
