@@ -16144,3 +16144,167 @@ FROM s
 
 
 TORNQVIST_PRICE_INDEX_YEARLY_SQL = tornqvist_price_index_yearly_sql()
+
+def permutation_entropy_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Bandt-Pompe permutation entropy (order 3) of the daily revenue
+    series: each consecutive triple of the day-ordered series maps to
+    an ordinal pattern encoded by the three strict comparisons
+    (x2<x1, x3<x1, x3<x2); H = -SUM f ln f over pattern frequencies,
+    normalized by ln(6). Near 1 = the series' local ordinal structure
+    is indistinguishable from noise; low = deterministic motifs. Ties
+    resolve to the 'not less' branch on both engines because the day
+    aggregate is exact integer cents.
+
+    The fact-table work is ONE bucketed per-day aggregate; the triple
+    encoding runs vectorized on the result-sized (~n_days) series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("int64")
+    x1, x2, x3 = x[:-2], x[1:-1], x[2:]
+    pat = (x2 < x1).astype("int64") * 4 + (x3 < x1).astype("int64") * 2 + (x3 < x2).astype("int64")
+    cnt = np.bincount(pat, minlength=8).astype("float64")
+    n = float(cnt.sum())
+    f = cnt[cnt > 0] / n
+    h = float(-(f * np.log(f)).sum())
+    return pd.DataFrame(
+        {
+            "n_triples": pd.Series([int(n)], dtype="int64"),
+            "h_perm": [round(h, 6)],
+            "h_norm": [round(h / float(np.log(6.0)), 6)],
+        }
+    )
+
+
+PERMUTATION_ENTROPY_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT rev AS x1,
+         lead(rev, 1) OVER (ORDER BY day) AS x2,
+         lead(rev, 2) OVER (ORDER BY day) AS x3
+  FROM d
+),
+p AS (
+  SELECT (CASE WHEN x2 < x1 THEN 4 ELSE 0 END)
+       + (CASE WHEN x3 < x1 THEN 2 ELSE 0 END)
+       + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END) AS pat
+  FROM t WHERE x3 IS NOT NULL
+),
+c AS (SELECT pat, count(*) AS cnt FROM p GROUP BY 1),
+s AS (
+  SELECT sum(cnt) AS n,
+         -sum((cnt * 1.0 / (SELECT sum(cnt) FROM c))
+              * ln(cnt * 1.0 / (SELECT sum(cnt) FROM c))) AS h
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_triples, round(h, 6) AS h_perm,
+       round(h / ln(6.0), 6) AS h_norm
+FROM s
+"""
+
+
+def hurst_exponent_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Hurst exponent of the daily revenue series by the
+    aggregated-variance method on block SUMS: for block sizes
+    m in {2,4,8,16,32}, Var(block sum) ~ m^(2H), so H is half the
+    log-log OLS slope of the complete-block-sum population variance
+    against m. H = 0.5 is memoryless; H > 0.5 long-range persistent.
+    Block sums stay exact int64 (integer cents), so the only float
+    work is the variance and the 5-point regression.
+
+    Fact-table work is ONE bucketed per-day aggregate; blocking and
+    OLS run on the result-sized series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["rev"].to_numpy("int64")
+    n_days = len(x)
+    xs, ys = [], []
+    for m in (2, 4, 8, 16, 32):
+        k = n_days // m
+        s = x[: k * m].reshape(k, m).sum(axis=1)
+        ss = int(s.sum())
+        ss2 = float((s.astype("float64") * s.astype("float64")).sum())
+        vp = (ss2 - ss * 1.0 * ss / k) / k
+        xs.append(np.log(m * 1.0))
+        ys.append(np.log(vp))
+    xa = np.array(xs)
+    ya = np.array(ys)
+    kk = len(xa)
+    sx, sy = float(xa.sum()), float(ya.sum())
+    sxy, sx2 = float((xa * ya).sum()), float((xa * xa).sum())
+    slope = (kk * sxy - sx * sy) / (kk * sx2 - sx * sx)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n_days], dtype="int64"),
+            "hurst": [round(float(slope / 2.0), 6)],
+        }
+    )
+
+
+HURST_EXPONENT_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (SELECT rev, row_number() OVER (ORDER BY day) - 1 AS rn FROM d),
+ms AS (SELECT unnest([2, 4, 8, 16, 32]) AS m),
+b AS (
+  SELECT ms.m AS m, rn // ms.m AS blk, sum(rev) AS s, count(*) AS c
+  FROM r, ms GROUP BY 1, 2
+),
+v AS (
+  SELECT m, count(*) AS k, sum(s) AS ss, sum(s * 1.0 * s) AS ss2
+  FROM b WHERE c = m GROUP BY m
+),
+pts AS (SELECT ln(m * 1.0) AS x, ln((ss2 - ss * 1.0 * ss / k) / k) AS y FROM v),
+ols AS (
+  SELECT count(*) AS kk, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sx2
+  FROM pts
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       round((kk * sxy - sx * sy) / (kk * sx2 - sx * sx) / 2.0, 6) AS hurst
+FROM ols
+"""
