@@ -16308,3 +16308,93 @@ SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
        round((kk * sxy - sx * sy) / (kk * sx2 - sx * sx) / 2.0, 6) AS hurst
 FROM ols
 """
+
+def t_closeness_audit(sf_dir: str, t_req: float = 0.2) -> pd.DataFrame:
+    """t-closeness privacy audit — the third rung of the
+    k-anonymity / l-diversity ladder: within each quasi-identifier
+    class (c_mktsegment, c_nationkey), the earth-mover's distance
+    between the class's distribution over the ORDERED sensitive bands
+    (acctbal negative / low / high) and the global distribution,
+    EMD = SUM_i |cumsum_i(p - q)| / (m - 1). A class can be l-diverse
+    yet still skew heavily toward one band; t-closeness bounds that
+    skew. Reports the worst class and the row mass above t.
+
+    Same ONE domain-bounded (QI, band) grid as l_diversity_audit; the
+    cumulative-difference arithmetic runs on ~375 cells."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.where(
+            df["c_acctbal"].to_numpy("float64") < 0,
+            0,
+            np.where(df["c_acctbal"].to_numpy("float64") <= 5000, 1, 2),
+        ).astype("int64")
+        out = df[["c_mktsegment", "c_nationkey"]].copy()
+        out["band"] = b
+        return out.groupby(["c_mktsegment", "c_nationkey", "band"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_band, batch_format="pandas"),
+        ["c_mktsegment", "c_nationkey", "band"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    piv = (
+        grid.pivot_table(
+            index=["c_mktsegment", "c_nationkey"], columns="band", values="n", fill_value=0
+        )
+        .reindex(columns=[0, 1, 2], fill_value=0)
+        .astype("int64")
+    )
+    rows = piv.sum(axis=1).to_numpy("int64")
+    nb = piv.to_numpy("int64").sum(axis=0)
+    total = int(nb.sum())
+    q = nb * 1.0 / total
+    p = piv.to_numpy("int64") * 1.0 / rows[:, None]
+    cd = np.cumsum(p - q[None, :], axis=1)
+    t = np.abs(cd).sum(axis=1) / 2.0
+    above = t > t_req
+    return pd.DataFrame(
+        {
+            "n_classes": pd.Series([len(piv)], dtype="int64"),
+            "t_max": [round(float(t.max()), 6)],
+            "rows_above_t_frac": [round(float(rows[above].sum()) / total, 6)],
+        }
+    )
+
+
+T_CLOSENESS_AUDIT_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal <= 5000 THEN 1 ELSE 2 END AS band,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+tot AS (SELECT band, sum(n) AS nb FROM g GROUP BY 1),
+gt AS (SELECT sum(n) AS nn FROM g),
+cls AS (SELECT c_mktsegment, c_nationkey, sum(n) AS rows_ FROM g GROUP BY 1, 2),
+fl AS (
+  SELECT c.c_mktsegment, c.c_nationkey, b.band, coalesce(g.n, 0) AS n, c.rows_
+  FROM cls c CROSS JOIN (SELECT unnest([0, 1, 2]) AS band) b
+  LEFT JOIN g ON g.c_mktsegment = c.c_mktsegment
+             AND g.c_nationkey = c.c_nationkey AND g.band = b.band
+),
+cum AS (
+  SELECT c_mktsegment, c_nationkey, rows_,
+         sum(n * 1.0 / rows_
+             - (SELECT nb FROM tot WHERE tot.band = fl.band) * 1.0 / (SELECT nn FROM gt))
+           OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY band) AS cd
+  FROM fl
+),
+emd AS (
+  SELECT c_mktsegment, c_nationkey, any_value(rows_) AS rows_, sum(abs(cd)) / 2.0 AS t
+  FROM cum GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       round(max(t), 6) AS t_max,
+       round(coalesce(sum(rows_) FILTER (WHERE t > 0.2), 0) * 1.0 / sum(rows_), 6)
+         AS rows_above_t_frac
+FROM emd
+"""

@@ -6339,3 +6339,85 @@ SELECT CAST(sum(n) AS BIGINT) AS n_test,
        round(sum(n * abs(p_hat - n_en * 1.0 / n)) / sum(n), 6) AS ece
 FROM te
 """
+
+def logloss_length_english(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Cross-entropy (log-loss) eval of the length-bucket English
+    predictor under the same leakage-safe even/odd doc split as the
+    Brier and ECE evals, with add-one Laplace smoothing
+    p_b = (n_en + 1)/(n + 2) so log terms are always finite (unseen
+    test buckets fall back to the smoothed global train rate).
+    Reports the model's log-loss, the constant-rate baseline's, and
+    the log-loss skill score 1 - LL/LL_base — the proper-scoring
+    triple (Brier / ECE / log-loss) complete.
+
+    Same ONE (bucket, split) integer grid; every probability is a
+    ratio of exact integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b=(df["n_chars"] // bucket_chars).astype("int64"),
+            train=(df["doc_id"] % 2 == 0).astype("int64"),
+            en=(df["lang"] == "en").astype("int64"),
+        ).groupby(["b", "train"], as_index=False).agg(n=("en", "size"), n_en=("en", "sum"))
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b", "train"],
+            {"n": ("n", "sum"), "n_en": ("n_en", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["b", "train"])
+    )
+    tr = grid[grid["train"] == 1].set_index("b")
+    te = grid[grid["train"] == 0].set_index("b").sort_index()
+    g_rate = (tr["n_en"].sum() + 1.0) / (tr["n"].sum() + 2.0)
+    p_hat = (
+        ((tr["n_en"] + 1.0) / (tr["n"] + 2.0)).reindex(te.index).fillna(g_rate).to_numpy("float64")
+    )
+    n_te = te["n"].to_numpy("int64")
+    k_te = te["n_en"].to_numpy("int64")
+    n_test = int(n_te.sum())
+    ll = -float((k_te * np.log(p_hat) + (n_te - k_te) * np.log(1.0 - p_hat)).sum()) / n_test
+    llb = -float((k_te * np.log(g_rate) + (n_te - k_te) * np.log(1.0 - g_rate)).sum()) / n_test
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([n_test], dtype="int64"),
+            "log_loss": [round(ll, 6)],
+            "log_loss_base": [round(llb, 6)],
+            "skill": [round(1.0 - ll / llb, 6)],
+        }
+    )
+
+
+LOGLOSS_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars // 200 AS b, doc_id % 2 = 0 AS train,
+         count(*) AS n, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY 1, 2
+),
+gr AS (
+  SELECT (sum(CASE WHEN train THEN n_en ELSE 0 END) + 1.0)
+         / (sum(CASE WHEN train THEN n ELSE 0 END) + 2.0) AS g_rate
+  FROM g
+),
+te AS (
+  SELECT t.n, t.n_en,
+         coalesce((tr.n_en + 1.0) / (tr.n + 2.0), gr.g_rate) AS p_hat, gr.g_rate
+  FROM (SELECT * FROM g WHERE NOT train) t
+  LEFT JOIN (SELECT * FROM g WHERE train) tr ON tr.b = t.b, gr
+),
+s AS (
+  SELECT sum(n) AS n_test,
+         -sum(n_en * ln(p_hat) + (n - n_en) * ln(1.0 - p_hat)) / sum(n) AS ll,
+         -sum(n_en * ln(g_rate) + (n - n_en) * ln(1.0 - g_rate)) / sum(n) AS llb
+  FROM te
+)
+SELECT CAST(n_test AS BIGINT) AS n_test, round(ll, 6) AS log_loss,
+       round(llb, 6) AS log_loss_base, round(1.0 - ll / llb, 6) AS skill
+FROM s
+"""
