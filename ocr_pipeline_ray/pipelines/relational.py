@@ -16398,3 +16398,157 @@ SELECT CAST(count(*) AS BIGINT) AS n_classes,
          AS rows_above_t_frac
 FROM emd
 """
+
+def bartlett_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Bartlett's test of variance homogeneity of l_quantity across
+    the three return flags: T = [(N-k) ln s_p^2 - SUM (n_i-1) ln
+    s_i^2] / C with the usual small-sample correction C — the
+    parametric companion that one-way ANOVA assumes true and the
+    Brown-Forsythe test checks robustly.
+
+    ONE bucketed (flag, quantity) count grid (<= 150 cells) leaves
+    the cluster; group variances come from exact integer moment sums
+    over the grid."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+    stats = []
+    for f, sub in grid.groupby("f"):
+        q = sub["q"].to_numpy("float64")
+        c = sub["c"].to_numpy("int64")
+        n = int(c.sum())
+        s1 = float((c * q).sum())
+        s2v = float((c * q * q).sum())
+        var = (s2v - s1 * s1 / n) / (n - 1)
+        stats.append((n, var))
+    k = len(stats)
+    nn = sum(n for n, _ in stats)
+    sp2 = sum((n - 1) * v for n, v in stats) / (nn - k)
+    t = (nn - k) * np.log(sp2) - sum((n - 1) * np.log(v) for n, v in stats)
+    c_corr = 1.0 + (sum(1.0 / (n - 1) for n, _ in stats) - 1.0 / (nn - k)) / (3.0 * (k - 1))
+    return pd.DataFrame(
+        {
+            "n_total": pd.Series([nn], dtype="int64"),
+            "k_groups": pd.Series([k], dtype="int64"),
+            "bartlett_t": [round(float(t / c_corr), 6)],
+        }
+    )
+
+
+BARTLETT_QUANTITY_BY_FLAG_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS f, count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS s1,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2
+  FROM lineitem GROUP BY 1
+),
+v AS (SELECT f, n, (s2 - s1 * 1.0 * s1 / n) / (n - 1) AS var FROM m),
+agg AS (
+  SELECT sum(n) AS nn, count(*) AS k,
+         sum((n - 1) * var) AS sw, sum((n - 1) * ln(var)) AS slv,
+         sum(1.0 / (n - 1)) AS sinv
+  FROM v
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+       round(((nn - k) * ln(sw / (nn - k)) - slv)
+             / (1.0 + (sinv - 1.0 / (nn - k)) / (3.0 * (k - 1))), 6) AS bartlett_t
+FROM agg
+"""
+
+
+def brown_forsythe_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Brown-Forsythe robust variance-homogeneity test of l_quantity
+    across return flags: one-way ANOVA F on the absolute deviations
+    z = |q - median_group| — the median-centered Levene variant that
+    stays valid under non-normality, complementing Bartlett's
+    parametric T.
+
+    The SAME ONE bucketed (flag, quantity) grid yields both the exact
+    group medians (interpolated middle pair on even counts, matching
+    quantile_cont(0.5)) and every z-moment — no second fact-table
+    pass."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+    per = []
+    for f, sub in grid.groupby("f"):
+        q = sub["q"].to_numpy("float64")
+        c = sub["c"].to_numpy("int64")
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        k1, k2 = (n - 1) // 2, n // 2
+        med = (q[np.searchsorted(cum, k1 + 1)] + q[np.searchsorted(cum, k2 + 1)]) / 2.0
+        z = np.abs(q - med)
+        sz = float((c * z).sum())
+        sz2 = float((c * z * z).sum())
+        per.append((n, sz, sz2))
+    k = len(per)
+    nn = sum(n for n, _, _ in per)
+    sz_tot = sum(sz for _, sz, _ in per)
+    zbar = sz_tot / nn
+    ss_between = sum(n * (sz / n - zbar) ** 2 for n, sz, _ in per)
+    ss_within = sum(sz2 - sz * sz / n for n, sz, sz2 in per)
+    f_stat = (ss_between / (k - 1)) / (ss_within / (nn - k))
+    return pd.DataFrame(
+        {
+            "n_total": pd.Series([nn], dtype="int64"),
+            "k_groups": pd.Series([k], dtype="int64"),
+            "bf_f": [round(float(f_stat), 6)],
+        }
+    )
+
+
+BROWN_FORSYTHE_QUANTITY_BY_FLAG_SQL = """
+WITH med AS (
+  SELECT l_returnflag AS f, median(l_quantity) AS md FROM lineitem GROUP BY 1
+),
+z AS (
+  SELECT l.l_returnflag AS f, abs(l.l_quantity - med.md) AS z
+  FROM lineitem l JOIN med ON med.f = l.l_returnflag
+),
+m AS (SELECT f, count(*) AS n, sum(z) AS sz, sum(z * z) AS sz2 FROM z GROUP BY 1),
+agg AS (
+  SELECT sum(n) AS nn, count(*) AS k, sum(sz) AS szt,
+         sum(n * (sz / n - (SELECT sum(sz) FROM m) / (SELECT sum(n) FROM m))
+               * (sz / n - (SELECT sum(sz) FROM m) / (SELECT sum(n) FROM m))) AS ssb,
+         sum(sz2 - sz * sz / n) AS ssw
+  FROM m
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+       round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS bf_f
+FROM agg
+"""
