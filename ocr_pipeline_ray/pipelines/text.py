@@ -6421,3 +6421,156 @@ SELECT CAST(n_test AS BIGINT) AS n_test, round(ll, 6) AS log_loss,
        round(llb, 6) AS log_loss_base, round(1.0 - ll / llb, 6) AS skill
 FROM s
 """
+
+def chao1_vocab_richness(sf_dir: str) -> pd.DataFrame:
+    """Chao1 nonparametric species-richness estimate of the corpus
+    vocabulary: S_chao1 = S_obs + F1*(F1-1)/(2*(F2+1)) (bias-corrected
+    form) where F1/F2 are the singleton/doubleton term counts — "how
+    many distinct terms would an infinite corpus reveal", the
+    capture-recapture view of Heaps' law.
+
+    Term totals reduce through the bucketed aggregate over the
+    vocabulary key domain; the frequency-of-frequency counts are
+    per-batch partials over the totals — the vocabulary never reaches
+    the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "vocab": [np.int64(len(n))],
+                "f1": [np.int64((n == 1).sum())],
+                "f2": [np.int64((n == 2).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    vocab, f1, f2 = int(s["vocab"]), int(s["f1"]), int(s["f2"])
+    chao1 = vocab + f1 * (f1 - 1) / (2.0 * (f2 + 1))
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "f1": pd.Series([f1], dtype="int64"),
+            "f2": pd.Series([f2], dtype="int64"),
+            "chao1": [round(float(chao1), 6)],
+        }
+    )
+
+
+CHAO1_VOCAB_RICHNESS_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT count(*) AS vocab,
+         count(*) FILTER (WHERE n = 1) AS f1,
+         count(*) FILTER (WHERE n = 2) AS f2
+  FROM t
+)
+SELECT CAST(vocab AS BIGINT) AS vocab_size, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2,
+       round(vocab + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1
+FROM s
+"""
+
+
+def good_turing_unseen_mass(sf_dir: str) -> pd.DataFrame:
+    """Good-Turing estimate of the unseen-vocabulary probability mass
+    P0 = F1 / N (the fraction of the NEXT token expected to be a
+    never-seen term) plus the smoothed effective count of singletons
+    r* = 2*F2/F1 — the language-modeling companion of Chao1's
+    richness view, and the quantity every held-out-perplexity
+    smoother has to allocate.
+
+    Same bucketed term-total reduce; only four integers reach the
+    driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "ntok": [np.int64(n.sum())],
+                "f1": [np.int64((n == 1).sum())],
+                "f2": [np.int64((n == 2).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    ntok, f1, f2 = int(s["ntok"]), int(s["f1"]), int(s["f2"])
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([ntok], dtype="int64"),
+            "f1": pd.Series([f1], dtype="int64"),
+            "p_unseen": [round(f1 * 1.0 / ntok, 6)],
+            "singleton_rstar": [round(2.0 * f2 / f1, 6) if f1 else 0.0],
+        }
+    )
+
+
+GOOD_TURING_UNSEEN_MASS_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT sum(n) AS ntok,
+         count(*) FILTER (WHERE n = 1) AS f1,
+         count(*) FILTER (WHERE n = 2) AS f2
+  FROM t
+)
+SELECT CAST(ntok AS BIGINT) AS n_tokens, CAST(f1 AS BIGINT) AS f1,
+       round(f1 * 1.0 / ntok, 6) AS p_unseen,
+       round(coalesce(2.0 * f2 / nullif(f1, 0), 0.0), 6) AS singleton_rstar
+FROM s
+"""
