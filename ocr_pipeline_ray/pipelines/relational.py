@@ -16552,3 +16552,407 @@ SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
        round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS bf_f
 FROM agg
 """
+
+def newey_west_daily_trend(sf_dir: str, max_lag: int = 5) -> pd.DataFrame:
+    """Newey-West HAC-robust inference on the daily-revenue trend
+    slope: Bartlett-kernel long-run variance of the score series
+    u_t = (i - ibar) * e_t with L = 5 lags, reported as the HAC
+    t-statistic t = b * Sxx / sqrt(S) and the inflation factor
+    nw_se / ols_se — "how much does serial correlation (which
+    Durbin-Watson only detects) actually widen the trend's error
+    bars". Dimensionless ratio outputs keep the value-hash safe from
+    summation-order noise.
+
+    Same bucketed per-day integer-cents aggregate; the OLS fit,
+    score autocovariances and kernel sum run on the ~n_days
+    series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = len(y)
+    i = np.arange(n, dtype="float64")
+    si, si2, sy, siy = i.sum(), (i * i).sum(), y.sum(), (i * y).sum()
+    b = (n * siy - si * sy) / (n * si2 - si * si)
+    a = (sy - b * si) / n
+    e = y - a - b * i
+    xt = i - si / n
+    sxx = float((xt * xt).sum())
+    u = xt * e
+    s_long = float((u * u).sum())
+    for lag in range(1, max_lag + 1):
+        w = 1.0 - lag / (max_lag + 1.0)
+        s_long += 2.0 * w * float((u[lag:] * u[:-lag]).sum())
+    nw_se = np.sqrt(s_long) / sxx
+    sigma2 = float((e * e).sum()) / (n - 2)
+    ols_se = np.sqrt(sigma2 / sxx)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "t_hac": [round(float(b / nw_se), 6)],
+            "hac_inflation": [round(float(nw_se / ols_se), 6)],
+        }
+    )
+
+
+NEWEY_WEST_DAILY_TREND_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y * 1.0 AS y, CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS i, day
+  FROM d
+),
+mo AS (
+  SELECT count(*) AS n, sum(i) AS si, sum(i * i) AS si2,
+         sum(y) AS sy, sum(i * y) AS siy
+  FROM idx
+),
+fit AS (
+  SELECT n, si,
+         (n * siy - si * sy) / (n * si2 - si * si) AS b,
+         (sy - (n * siy - si * sy) / (n * si2 - si * si) * si) / n AS a
+  FROM mo
+),
+sc AS (
+  SELECT (idx.i - fit.si / fit.n) * (idx.y - fit.a - fit.b * idx.i) AS u,
+         idx.y - fit.a - fit.b * idx.i AS e,
+         idx.i - fit.si / fit.n AS xt, idx.day
+  FROM idx, fit
+),
+lagd AS (
+  SELECT u, e, xt,
+         lag(u, 1) OVER (ORDER BY day) AS u1,
+         lag(u, 2) OVER (ORDER BY day) AS u2,
+         lag(u, 3) OVER (ORDER BY day) AS u3,
+         lag(u, 4) OVER (ORDER BY day) AS u4,
+         lag(u, 5) OVER (ORDER BY day) AS u5
+  FROM sc
+),
+agg AS (
+  SELECT sum(u * u)
+         + 2 * (5.0 / 6.0) * sum(coalesce(u * u1, 0))
+         + 2 * (4.0 / 6.0) * sum(coalesce(u * u2, 0))
+         + 2 * (3.0 / 6.0) * sum(coalesce(u * u3, 0))
+         + 2 * (2.0 / 6.0) * sum(coalesce(u * u4, 0))
+         + 2 * (1.0 / 6.0) * sum(coalesce(u * u5, 0)) AS s_long,
+         sum(xt * xt) AS sxx, sum(e * e) AS see
+  FROM lagd
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM mo) AS n_days,
+       round((SELECT b FROM fit) * sxx / sqrt(s_long), 6) AS t_hac,
+       round((sqrt(s_long) / sxx) / sqrt((see / ((SELECT n FROM mo) - 2)) / sxx), 6)
+         AS hac_inflation
+FROM agg
+"""
+
+
+def cochrane_orcutt_daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Cochrane-Orcutt one-step AR(1) correction of the daily-revenue
+    trend: rho from the OLS residual lag regression
+    rho = SUM e_t e_{t-1} / SUM e_{t-1}^2, then re-estimate the slope
+    on the quasi-differenced series (y_t - rho y_{t-1}) ~
+    (i_t - rho i_{t-1}) — the classic GLS fix for the serial
+    correlation Durbin-Watson flags and Newey-West merely widens
+    errors for.
+
+    Same bucketed per-day aggregate; both regressions are closed-form
+    moment arithmetic on the day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["o_orderdate"].dt.normalize(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = len(y)
+    i = np.arange(n, dtype="float64")
+    si, si2, sy, siy = i.sum(), (i * i).sum(), y.sum(), (i * y).sum()
+    b = (n * siy - si * sy) / (n * si2 - si * si)
+    a = (sy - b * si) / n
+    e = y - a - b * i
+    rho = float((e[1:] * e[:-1]).sum()) / float((e[:-1] * e[:-1]).sum())
+    ys = y[1:] - rho * y[:-1]
+    xs = i[1:] - rho * i[:-1]
+    m = n - 1
+    sx_, sy_ = xs.sum(), ys.sum()
+    sxy_, sx2_ = (xs * ys).sum(), (xs * xs).sum()
+    b_co = (m * sxy_ - sx_ * sy_) / (m * sx2_ - sx_ * sx_)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "rho": [round(rho, 6)],
+            "slope_ols": [round(float(b), 6)],
+            "slope_co": [round(float(b_co), 6)],
+        }
+    )
+
+
+COCHRANE_ORCUTT_DAILY_TREND_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT y * 1.0 AS y, CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS i, day
+  FROM d
+),
+mo AS (
+  SELECT count(*) AS n, sum(i) AS si, sum(i * i) AS si2,
+         sum(y) AS sy, sum(i * y) AS siy
+  FROM idx
+),
+fit AS (
+  SELECT n,
+         (n * siy - si * sy) / (n * si2 - si * si) AS b,
+         (sy - (n * siy - si * sy) / (n * si2 - si * si) * si) / n AS a
+  FROM mo
+),
+res AS (
+  SELECT idx.y - fit.a - fit.b * idx.i AS e, idx.y AS y, idx.i AS i, idx.day
+  FROM idx, fit
+),
+lagd AS (
+  SELECT e, lag(e) OVER (ORDER BY day) AS ep,
+         y, lag(y) OVER (ORDER BY day) AS yp,
+         i, lag(i) OVER (ORDER BY day) AS ip
+  FROM res
+),
+rho AS (
+  SELECT sum(e * ep) / sum(ep * ep) AS r
+  FROM lagd WHERE ep IS NOT NULL
+),
+tr AS (
+  SELECT y - rho.r * yp AS ys, i - rho.r * ip AS xs
+  FROM lagd, rho WHERE yp IS NOT NULL
+),
+mo2 AS (
+  SELECT count(*) AS m, sum(xs) AS sx, sum(ys) AS sy,
+         sum(xs * ys) AS sxy, sum(xs * xs) AS sx2
+  FROM tr
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM mo) AS n_days,
+       round((SELECT r FROM rho), 6) AS rho,
+       round((SELECT b FROM fit), 6) AS slope_ols,
+       round((m * sxy - sx * sy) / (m * sx2 - sx * sx), 6) AS slope_co
+FROM mo2
+"""
+
+def mrr_popularity_at10(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Mean reciprocal rank @ k of the popularity recommender under
+    the same leakage-safe last-order holdout as the hit-rate and NDCG
+    evals: per test customer, 1/rank of the FIRST ranked winner their
+    held-out basket contains (0 if none) — the ranking metric that
+    only rewards the top hit, completing the recommender eval triple.
+
+    Same distributed shape as NDCG: custkey-bucket last-order
+    marking, one orderkey hash join, training-side popularity reduce,
+    ranked winners broadcast; per-customer hit ranks come back as an
+    order-insensitive int bitmask so the driver reduce is exact."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _mark_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        is_last = np.empty(len(g), dtype=bool)
+        is_last[:-1] = u[:-1] != u[1:]
+        is_last[-1] = True
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy("int64"),
+                "o_custkey": u,
+                "is_last": is_last.astype("int64"),
+            }
+        )
+
+    marked = (
+        orders.map_batches(
+            lambda df: df.assign(__b=(df["o_custkey"].to_numpy("int64") % 32)), batch_format="pandas"
+        )
+        .groupby("__b")
+        .map_groups(_mark_last, batch_format="pandas")
+        .materialize()
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+    )
+    j = shuffle_hash_join(li, marked, "o_orderkey", num_buckets=32)
+
+    def _train_pop(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["is_last"] == 0]
+        return t.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n"})
+
+    pop = bucketed_aggregate(
+        j.map_batches(_train_pop, batch_format="pandas"),
+        ["l_partkey"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+    top = (
+        pop.map_batches(
+            lambda df: df.sort_values(["n", "l_partkey"], ascending=[False, True]).head(k),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["n", "l_partkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    rank_map = {int(p): r + 1 for r, p in enumerate(top["l_partkey"].astype("int64"))}
+
+    def _test_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["is_last"] == 1]
+        if t.empty:
+            return pd.DataFrame({"c": pd.Series(dtype="int64"), "p": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            {"c": t["o_custkey"].to_numpy("int64"), "p": t["l_partkey"].to_numpy("int64")}
+        ).drop_duplicates()
+
+    pairs = j.map_batches(_test_pairs, batch_format="pandas").to_pandas().drop_duplicates()
+    rm = rank_map
+    pairs["mask"] = pairs["p"].map(lambda p: (1 << rm[p]) if p in rm else 0).astype("int64")
+    per = pairs.groupby("c")["mask"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+
+    def _rr(mask: int) -> float:
+        for r in range(1, k + 1):
+            if mask >> r & 1:
+                return 1.0 / r
+        return 0.0
+
+    mrr = float(per.map(_rr).sum()) / len(per)
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([len(per)], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "mrr": [round(mrr, 6)],
+        }
+    )
+
+
+def mrr_popularity_at10_sql(k: int = 10) -> str:
+    return f"""
+WITH marked AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1 AS is_last
+  FROM orders
+),
+j AS (
+  SELECT l_partkey, o_custkey, is_last
+  FROM lineitem JOIN marked ON l_orderkey = o_orderkey
+),
+pop AS (
+  SELECT l_partkey, count(*) AS n FROM j WHERE NOT is_last GROUP BY 1
+),
+winners AS (
+  SELECT l_partkey, row_number() OVER (ORDER BY n DESC, l_partkey) AS r
+  FROM pop ORDER BY n DESC, l_partkey LIMIT {k}
+),
+test AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p FROM j WHERE is_last
+),
+per AS (
+  SELECT c, min(w.r) AS best
+  FROM test LEFT JOIN winners w ON w.l_partkey = test.p
+  GROUP BY c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers, CAST({k} AS BIGINT) AS k,
+       round(sum(CASE WHEN best IS NULL THEN 0.0 ELSE 1.0 / best END) / count(*), 6) AS mrr
+FROM per
+"""
+
+
+MRR_POPULARITY_AT10_SQL = mrr_popularity_at10_sql()
+
+
+def simpson_diversity_parts(sf_dir: str) -> pd.DataFrame:
+    """Unbiased Simpson concentration / diversity of part demand:
+    lambda = SUM n_i (n_i - 1) / (N (N - 1)) over lineitem counts per
+    part — the probability two random lineitems hit the SAME part —
+    with diversity 1 - lambda and effective part count 1/lambda_hat
+    (biased form SUM p_i^2 for the inverse, as is conventional).
+    The part-level member of the concentration family (segment HHI /
+    Gini / Lorenz are revenue-side).
+
+    Per-part counts reduce through ONE bucketed aggregate over the
+    partkey domain; the pair counting is exact integer arithmetic on
+    per-batch partials — the part list never reaches the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n"})
+
+    totals = bucketed_aggregate(
+        ds.map_batches(_cnt, batch_format="pandas"),
+        ["l_partkey"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "k": [np.int64(len(n))],
+                "s1": [np.int64(n.sum())],
+                "s2": [np.int64((n * n).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    k, s1, s2 = int(s["k"]), int(s["s1"]), int(s["s2"])
+    lam_unb = (s2 - s1) * 1.0 / (s1 * 1.0 * (s1 - 1))
+    lam_b = s2 * 1.0 / (s1 * 1.0 * s1)
+    return pd.DataFrame(
+        {
+            "n_parts": pd.Series([k], dtype="int64"),
+            "n_lineitems": pd.Series([s1], dtype="int64"),
+            "simpson_lambda": [round(lam_unb, 6)],
+            "effective_parts": [round(1.0 / lam_b, 6)],
+        }
+    )
+
+
+SIMPSON_DIVERSITY_PARTS_SQL = """
+WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+s AS (SELECT count(*) AS k, sum(n) AS s1, sum(n * n) AS s2 FROM c)
+SELECT CAST(k AS BIGINT) AS n_parts, CAST(s1 AS BIGINT) AS n_lineitems,
+       round((s2 - s1) * 1.0 / (s1 * 1.0 * (s1 - 1)), 6) AS simpson_lambda,
+       round(1.0 / (s2 * 1.0 / (s1 * 1.0 * s1)), 6) AS effective_parts
+FROM s
+"""
