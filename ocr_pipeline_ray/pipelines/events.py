@@ -6309,3 +6309,509 @@ SELECT CAST(n AS BIGINT) AS n_gaps,
         FROM m2) AS memory
 FROM c
 """
+
+def deming_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Deming errors-in-variables regression (lambda = 1) of daily
+    purchase counts on daily view counts: both sides of the funnel
+    are noisy counts, so OLS attenuates the slope; Deming's
+    slope = (cyy - cxx + sqrt((cyy - cxx)^2 + 4*cxy^2)) / (2*cxy)
+    treats the error symmetrically — the measurement-error companion
+    of the existing view->purchase OLS and Granger queries.
+
+    ONE bucketed (day, type) count grid, zero-filled day series;
+    exact integer moment sums; closed-form slope on the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    x = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    y = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    cxx = sxx - sx * 1.0 * sx / n
+    cyy = syy - sy * 1.0 * sy / n
+    cxy = sxy - sx * 1.0 * sy / n
+    slope = (cyy - cxx + np.sqrt((cyy - cxx) ** 2 + 4.0 * cxy * cxy)) / (2.0 * cxy)
+    intercept = sy * 1.0 / n - slope * sx / n
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "deming_slope": [round(float(slope), 6)],
+            "deming_intercept": [round(float(intercept), 6)],
+        }
+    )
+
+
+DEMING_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT coalesce(c.v, 0) AS x, coalesce(c.p, 0) AS y
+  FROM days LEFT JOIN c ON c.day = CAST(days.day AS DATE)
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM g
+),
+cm AS (
+  SELECT n, sx, sy,
+         sxx - sx * 1.0 * sx / n AS cxx,
+         syy - sy * 1.0 * sy / n AS cyy,
+         sxy - sx * 1.0 * sy / n AS cxy
+  FROM m
+),
+fit AS (
+  SELECT n, sx, sy,
+         (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) + 4.0 * cxy * cxy)) / (2.0 * cxy) AS slope
+  FROM cm
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(slope, 6) AS deming_slope,
+       round(sy * 1.0 / n - slope * sx / n, 6) AS deming_intercept
+FROM fit
+"""
+
+
+def rma_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Reduced-major-axis (geometric-mean) regression of daily
+    purchase counts on daily view counts: slope = sign(cxy) *
+    sqrt(cyy / cxx) — the scale-symmetric line whose slope is the
+    geometric mean of the two OLS directions, completing the
+    errors-in-variables pair with Deming's lambda = 1 line.
+
+    Same ONE bucketed (day, type) grid, zero-filled series, exact
+    integer moments."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    x = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    y = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    cxx = sxx - sx * 1.0 * sx / n
+    cyy = syy - sy * 1.0 * sy / n
+    cxy = sxy - sx * 1.0 * sy / n
+    slope = float(np.sign(cxy) * np.sqrt(cyy / cxx))
+    intercept = sy * 1.0 / n - slope * sx / n
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "rma_slope": [round(slope, 6)],
+            "rma_intercept": [round(float(intercept), 6)],
+        }
+    )
+
+
+RMA_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT coalesce(c.v, 0) AS x, coalesce(c.p, 0) AS y
+  FROM days LEFT JOIN c ON c.day = CAST(days.day AS DATE)
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM g
+),
+cm AS (
+  SELECT n, sx, sy,
+         sxx - sx * 1.0 * sx / n AS cxx,
+         syy - sy * 1.0 * sy / n AS cyy,
+         sxy - sx * 1.0 * sy / n AS cxy
+  FROM m
+),
+fit AS (
+  SELECT n, sx, sy,
+         (CASE WHEN cxy < 0 THEN -1.0 ELSE 1.0 END) * sqrt(cyy / cxx) AS slope
+  FROM cm
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(slope, 6) AS rma_slope,
+       round(sy * 1.0 / n - slope * sx / n, 6) AS rma_intercept
+FROM fit
+"""
+
+def js_divergence_hourly_profiles(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the hour-of-day profiles of
+    VIEW and PURCHASE events: JSD = H(m) - (H(p) + H(q))/2 with
+    m = (p + q)/2 over the 24 hour bins — the symmetric, bounded
+    [0, ln 2] answer to "do purchases follow the same daily rhythm as
+    views", where the chi-square independence test only yields a
+    p-value.
+
+    ONE bucketed (hour, type) count grid (48 cells); the entropy
+    arithmetic runs on exact integer counts."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "h": d["ts"].dt.hour.astype("int64"),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["h", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="h", columns="t", values="c", fill_value=0)
+        .reindex(range(24), fill_value=0)
+    )
+    v = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64").astype("float64")
+    u = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64").astype("float64")
+    p = v / v.sum()
+    q = u / u.sum()
+    m = (p + q) / 2.0
+
+    def _h(d: np.ndarray) -> float:
+        nz = d[d > 0]
+        return float(-(nz * np.log(nz)).sum())
+
+    jsd = _h(m) - (_h(p) + _h(q)) / 2.0
+    return pd.DataFrame(
+        {
+            "n_views": pd.Series([int(v.sum())], dtype="int64"),
+            "n_purchases": pd.Series([int(u.sum())], dtype="int64"),
+            "jsd_nats": [round(jsd, 6)],
+        }
+    )
+
+
+JS_DIVERGENCE_HOURLY_PROFILES_SQL = """
+WITH g AS (
+  SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS u
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+),
+tot AS (SELECT sum(v) AS nv, sum(u) AS nu FROM g),
+d AS (
+  SELECT v * 1.0 / (SELECT nv FROM tot) AS p,
+         u * 1.0 / (SELECT nu FROM tot) AS q
+  FROM g
+),
+e AS (
+  SELECT
+    -sum(CASE WHEN (p + q) > 0 THEN ((p + q) / 2.0) * ln((p + q) / 2.0) ELSE 0 END) AS hm,
+    -sum(CASE WHEN p > 0 THEN p * ln(p) ELSE 0 END) AS hp,
+    -sum(CASE WHEN q > 0 THEN q * ln(q) ELSE 0 END) AS hq
+  FROM d
+)
+SELECT (SELECT CAST(nv AS BIGINT) FROM tot) AS n_views,
+       (SELECT CAST(nu AS BIGINT) FROM tot) AS n_purchases,
+       round(hm - (hp + hq) / 2.0, 6) AS jsd_nats
+FROM e
+"""
+
+
+def hellinger_hourly_profiles(sf_dir: str) -> pd.DataFrame:
+    """Hellinger distance between the hour-of-day profiles of VIEW
+    and PURCHASE events: H = sqrt(1 - SUM sqrt(p*q)) over the 24 hour
+    bins — the metric (triangle-inequality-respecting) companion of
+    the JS divergence on the same grid, bounded [0, 1].
+
+    Same ONE bucketed (hour, type) count grid."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "h": d["ts"].dt.hour.astype("int64"),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["h", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="h", columns="t", values="c", fill_value=0)
+        .reindex(range(24), fill_value=0)
+    )
+    v = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64").astype("float64")
+    u = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64").astype("float64")
+    p = v / v.sum()
+    q = u / u.sum()
+    bc = float(np.sqrt(p * q).sum())
+    h = float(np.sqrt(max(0.0, 1.0 - bc)))
+    return pd.DataFrame(
+        {
+            "n_views": pd.Series([int(v.sum())], dtype="int64"),
+            "n_purchases": pd.Series([int(u.sum())], dtype="int64"),
+            "bhattacharyya": [round(bc, 6)],
+            "hellinger": [round(h, 6)],
+        }
+    )
+
+
+HELLINGER_HOURLY_PROFILES_SQL = """
+WITH g AS (
+  SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS u
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+),
+tot AS (SELECT sum(v) AS nv, sum(u) AS nu FROM g),
+s AS (
+  SELECT sum(sqrt((v * 1.0 / (SELECT nv FROM tot)) * (u * 1.0 / (SELECT nu FROM tot)))) AS bc
+  FROM g
+)
+SELECT (SELECT CAST(nv AS BIGINT) FROM tot) AS n_views,
+       (SELECT CAST(nu AS BIGINT) FROM tot) AS n_purchases,
+       round(bc, 6) AS bhattacharyya,
+       round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+FROM s
+"""
+
+def lin_ccc_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Lin's concordance correlation coefficient between the daily
+    VIEW and PURCHASE count series: CCC = 2*cxy / (cxx + cyy +
+    (xbar - ybar)^2) — penalizes location and scale shifts that
+    Pearson's r forgives, i.e. "do the two funnel stages move
+    together AND on the same line of identity".
+
+    Same zero-filled (day, type) grid as the errors-in-variables
+    pair; population moments from exact integer sums."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    x = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    y = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy, sxy = int((x * x).sum()), int((y * y).sum()), int((x * y).sum())
+    cxx = sxx * 1.0 / n - (sx * 1.0 / n) ** 2
+    cyy = syy * 1.0 / n - (sy * 1.0 / n) ** 2
+    cxy = sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n)
+    ccc = 2.0 * cxy / (cxx + cyy + (sx * 1.0 / n - sy * 1.0 / n) ** 2)
+    r = cxy / np.sqrt(cxx * cyy)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "pearson_r": [round(float(r), 6)],
+            "lin_ccc": [round(float(ccc), 6)],
+        }
+    )
+
+
+LIN_CCC_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT coalesce(c.v, 0) AS x, coalesce(c.p, 0) AS y
+  FROM days LEFT JOIN c ON c.day = CAST(days.day AS DATE)
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM g
+),
+cm AS (
+  SELECT n,
+         sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n) AS cxx,
+         syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n) AS cyy,
+         sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n) AS cxy,
+         sx * 1.0 / n - sy * 1.0 / n AS mdiff
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(cxy / sqrt(cxx * cyy), 6) AS pearson_r,
+       round(2.0 * cxy / (cxx + cyy + mdiff * mdiff), 6) AS lin_ccc
+FROM cm
+"""
+
+
+def bland_altman_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Bland-Altman agreement summary between the daily VIEW and
+    PURCHASE counts: mean difference (bias) and the 95% limits of
+    agreement bias ± 1.96*sd(diff) (sample sd) — the method-
+    comparison companion of Lin's CCC that reports the DISAGREEMENT
+    in the series' own units.
+
+    Same zero-filled (day, type) grid; diff moments are exact
+    integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    x = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    y = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    d = x - y
+    n = len(d)
+    sd1 = int(d.sum())
+    sd2 = int((d * d).sum())
+    bias = sd1 * 1.0 / n
+    sdd = np.sqrt((sd2 - sd1 * 1.0 * sd1 / n) / (n - 1))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "bias": [round(bias, 6)],
+            "loa_lo": [round(float(bias - 1.96 * sdd), 6)],
+            "loa_hi": [round(float(bias + 1.96 * sdd), 6)],
+        }
+    )
+
+
+BLAND_ALTMAN_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT coalesce(c.v, 0) - coalesce(c.p, 0) AS d
+  FROM days LEFT JOIN c ON c.day = CAST(days.day AS DATE)
+),
+m AS (SELECT count(*) AS n, sum(d) AS s1, sum(d * d) AS s2 FROM g),
+f AS (
+  SELECT n, s1 * 1.0 / n AS bias,
+         sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)) AS sdd
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_days, round(bias, 6) AS bias,
+       round(bias - 1.96 * sdd, 6) AS loa_lo,
+       round(bias + 1.96 * sdd, 6) AS loa_hi
+FROM f
+"""

@@ -16956,3 +16956,748 @@ SELECT CAST(k AS BIGINT) AS n_parts, CAST(s1 AS BIGINT) AS n_lineitems,
        round(1.0 / (s2 * 1.0 / (s1 * 1.0 * s1)), 6) AS effective_parts
 FROM s
 """
+
+def gamma_fit_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Method-of-moments Gamma fit of pooled customer inter-order
+    gaps (days): shape = mu^2/s^2, scale = s^2/mu with the sample
+    variance — the flexible-shape member of the parametric-fit family
+    (exponential-KS, lognormal, Gumbel, GPD already implemented);
+    shape < 1 means reorders cluster (bursty), shape > 1 means
+    refractory spacing.
+
+    Per-custkey-bucket vectorized diffs emit exact integer gap moment
+    partials (n, sum, sum of squares); only three scalars reach the
+    driver."""
+    n_buckets = 16
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["o_custkey"].to_numpy() % n_buckets).astype("int64")
+        return df
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        gap = d[1:] - d[:-1]
+        same = ck[1:] == ck[:-1]
+        gaps = gap[same]
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(gaps))],
+                "s": [np.int64(gaps.sum())],
+                "s2": [np.int64((gaps * gaps).sum())],
+            }
+        )
+
+    s = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_moments, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, sg, sg2 = int(s["n"]), int(s["s"]), int(s["s2"])
+    mu = sg * 1.0 / n
+    var = (sg2 - sg * 1.0 * sg / n) / (n - 1)
+    return pd.DataFrame(
+        {
+            "n_gaps": pd.Series([n], dtype="int64"),
+            "gamma_shape": [round(float(mu * mu / var), 6)],
+            "gamma_scale": [round(float(var / mu), 6)],
+        }
+    )
+
+
+GAMMA_FIT_ORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap
+  FROM orders
+),
+s AS (
+  SELECT count(*) AS n, sum(gap) AS sg, sum(gap * gap) AS sg2
+  FROM g WHERE gap IS NOT NULL
+),
+c AS (
+  SELECT n, sg * 1.0 / n AS mu, (sg2 - sg * 1.0 * sg / n) / (n - 1) AS var
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       round(mu * mu / var, 6) AS gamma_shape,
+       round(var / mu, 6) AS gamma_scale
+FROM c
+"""
+
+
+def negbin_fit_daily_orders(sf_dir: str) -> pd.DataFrame:
+    """Method-of-moments negative-binomial fit of the daily order
+    count (zero days between the corpus min and max date included
+    implicitly: D = calendar span, so mean = SUM c / D and
+    E[c^2] = SUM c^2 / D are exact without materializing the filled
+    grid): variance-to-mean ratio, r = mu^2/(var - mu) and
+    p = mu/var — the count-data companion of the Gamma gap fit and
+    the overdispersion summary the Fano factor gives per type.
+
+    ONE bucketed per-day count aggregate; the span and moments are
+    scalar arithmetic."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame({"day": df["o_orderdate"].dt.normalize(), "one": np.int64(1)}),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"c": ("one", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    c = daily["c"].to_numpy("int64")
+    dd = int((daily["day"].iloc[-1] - daily["day"].iloc[0]) / np.timedelta64(1, "D")) + 1
+    sc = int(c.sum())
+    sc2 = int((c * c).sum())
+    mu = sc * 1.0 / dd
+    var = sc2 * 1.0 / dd - mu * mu
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([dd], dtype="int64"),
+            "vmr": [round(float(var / mu), 6)],
+            "nb_r": [round(float(mu * mu / (var - mu)), 6)],
+            "nb_p": [round(float(mu / var), 6)],
+        }
+    )
+
+
+NEGBIN_FIT_DAILY_ORDERS_SQL = """
+WITH d AS (SELECT o_orderdate AS day, count(*) AS c FROM orders GROUP BY 1),
+s AS (
+  SELECT sum(c) AS sc, sum(c * c) AS sc2,
+         datediff('day', min(day), max(day)) + 1 AS dd
+  FROM d
+),
+m AS (SELECT dd, sc * 1.0 / dd AS mu, sc2 * 1.0 / dd - (sc * 1.0 / dd) * (sc * 1.0 / dd) AS var FROM s)
+SELECT CAST(dd AS BIGINT) AS n_days,
+       round(var / mu, 6) AS vmr,
+       round(mu * mu / (var - mu), 6) AS nb_r,
+       round(mu / var, 6) AS nb_p
+FROM m
+"""
+
+def yuen_trimmed_t_quantity(sf_dir: str, trim: float = 0.2) -> pd.DataFrame:
+    """Yuen's trimmed-mean t-test (20% trim) between returned (R) and
+    kept (N) lineitem quantities: t = (m1_t - m2_t) / sqrt(d1 + d2)
+    with d_i = (n_i - 1) * s2_win_i / (h_i * (h_i - 1)), h = n - 2k,
+    k = floor(trim * n) — the robust location comparison that ignores
+    the tails Welch's t is dragged by.
+
+    Trimmed means and winsorized variances are computed EXACTLY from
+    the (flag, quantity) count grid: per-value trimmed counts are
+    interval overlaps on the cumulative histogram, and the winsorized
+    boundary values absorb the k clipped observations each side —
+    integer arithmetic until the final divisions."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+    per = {}
+    for f, sub in grid.groupby("f"):
+        q = sub["q"].to_numpy("float64")
+        c = sub["c"].to_numpy("int64")
+        n = int(c.sum())
+        k = int(np.floor(trim * n))
+        h = n - 2 * k
+        cum = np.cumsum(c)
+        prev = cum - c
+        t_cnt = np.maximum(0, np.minimum(cum, n - k) - np.maximum(prev, k))
+        tm = float((q * t_cnt).sum()) / h
+        w_cnt = t_cnt.copy()
+        v_lo = int(np.searchsorted(cum, k + 1))
+        v_hi = int(np.searchsorted(cum, n - k))
+        w_cnt[v_lo] += k
+        w_cnt[v_hi] += k
+        sw = float((q * w_cnt).sum())
+        sw2 = float((q * q * w_cnt).sum())
+        s2w = (sw2 - sw * sw / n) / (n - 1)
+        per[f] = (n, h, tm, s2w)
+    (n1, h1, m1, v1), (n2, h2, m2, v2) = per["R"], per["N"]
+    d1 = (n1 - 1) * v1 / (h1 * (h1 - 1.0))
+    d2 = (n2 - 1) * v2 / (h2 * (h2 - 1.0))
+    t = (m1 - m2) / np.sqrt(d1 + d2)
+    df_yuen = (d1 + d2) ** 2 / (d1 * d1 / (h1 - 1.0) + d2 * d2 / (h2 - 1.0))
+    return pd.DataFrame(
+        {
+            "h_returned": pd.Series([h1], dtype="int64"),
+            "h_kept": pd.Series([h2], dtype="int64"),
+            "trimmed_mean_diff": [round(float(m1 - m2), 6)],
+            "yuen_t": [round(float(t), 6)],
+            "yuen_df": [round(float(df_yuen), 6)],
+        }
+    )
+
+
+YUEN_TRIMMED_T_QUANTITY_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS INT) AS q, count(*) AS c
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1, 2
+),
+tot AS (
+  SELECT f, sum(c) AS n, CAST(floor(0.2 * sum(c)) AS BIGINT) AS k
+  FROM g GROUP BY 1
+),
+cum AS (
+  SELECT g.f, g.q, g.c, tot.n, tot.k, tot.n - 2 * tot.k AS h,
+         sum(g.c) OVER (PARTITION BY g.f ORDER BY g.q) AS cm
+  FROM g JOIN tot USING (f)
+),
+tc AS (
+  SELECT f, q, c, n, k, h, cm,
+         greatest(0, least(cm, n - k) - greatest(cm - c, k)) AS t_cnt
+  FROM cum
+),
+bounds AS (
+  SELECT f,
+         min(CASE WHEN cm >= k + 1 THEN q END) AS v_lo,
+         min(CASE WHEN cm >= n - k THEN q END) AS v_hi
+  FROM tc GROUP BY f
+),
+wc AS (
+  SELECT tc.f, tc.q, tc.n, tc.h, tc.k,
+         tc.t_cnt
+         + CASE WHEN tc.q = b.v_lo THEN tc.k ELSE 0 END
+         + CASE WHEN tc.q = b.v_hi THEN tc.k ELSE 0 END AS w_cnt,
+         tc.t_cnt
+  FROM tc JOIN bounds b USING (f)
+),
+m AS (
+  SELECT f, any_value(n) AS n, any_value(h) AS h,
+         sum(q * t_cnt) * 1.0 / any_value(h) AS tm,
+         (sum(q * 1.0 * q * w_cnt) - sum(q * 1.0 * w_cnt) * sum(q * 1.0 * w_cnt) / any_value(n))
+           / (any_value(n) - 1) AS s2w
+  FROM wc GROUP BY f
+),
+p AS (
+  SELECT
+    (SELECT h FROM m WHERE f = 'R') AS h1, (SELECT h FROM m WHERE f = 'N') AS h2,
+    (SELECT tm FROM m WHERE f = 'R') AS m1, (SELECT tm FROM m WHERE f = 'N') AS m2,
+    (SELECT (n - 1) * s2w / (h * (h - 1.0)) FROM m WHERE f = 'R') AS d1,
+    (SELECT (n - 1) * s2w / (h * (h - 1.0)) FROM m WHERE f = 'N') AS d2
+)
+SELECT CAST(h1 AS BIGINT) AS h_returned, CAST(h2 AS BIGINT) AS h_kept,
+       round(m1 - m2, 6) AS trimmed_mean_diff,
+       round((m1 - m2) / sqrt(d1 + d2), 6) AS yuen_t,
+       round((d1 + d2) * (d1 + d2) / (d1 * d1 / (h1 - 1.0) + d2 * d2 / (h2 - 1.0)), 6) AS yuen_df
+FROM p
+"""
+
+
+def cvm_two_sample_quantity(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Cramér-von Mises statistic between returned (R) and
+    kept (N) quantity distributions:
+    T = (n1*n2 / N^2) * SUM_pooled (F1(z) - F2(z))^2 over all N pooled
+    observations — the integrated-squared-CDF-gap companion of the KS
+    statistic (which only sees the max gap).
+
+    Exact from the (flag, quantity) grid: empirical CDFs are
+    cumulative-count ratios and the pooled sum weights each value by
+    its total count."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+    piv = (
+        grid.pivot_table(index="q", columns="f", values="c", fill_value=0)
+        .reindex(columns=["R", "N"], fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+    c1 = piv["R"].to_numpy("int64")
+    c2 = piv["N"].to_numpy("int64")
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    nn = n1 + n2
+    f1 = np.cumsum(c1) * 1.0 / n1
+    f2 = np.cumsum(c2) * 1.0 / n2
+    w = c1 + c2
+    t = n1 * 1.0 * n2 / (nn * 1.0 * nn) * float((w * (f1 - f2) * (f1 - f2)).sum())
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([n1], dtype="int64"),
+            "n_kept": pd.Series([n2], dtype="int64"),
+            "cvm_t": [round(float(t), 6)],
+        }
+    )
+
+
+CVM_TWO_SAMPLE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS INT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY q) * 1.0 / (SELECT n1 FROM tot) AS f1,
+         sum(c2) OVER (ORDER BY q) * 1.0 / (SELECT n2 FROM tot) AS f2,
+         c1 + c2 AS w
+  FROM g
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round((SELECT n1 * 1.0 * n2 FROM tot) / ((SELECT (n1 + n2) * 1.0 FROM tot) * (SELECT (n1 + n2) * 1.0 FROM tot))
+             * sum(w * (f1 - f2) * (f1 - f2)), 6) AS cvm_t
+FROM cum
+"""
+
+def spectral_entropy_daily_revenue(sf_dir: str, max_freq: int = 30) -> pd.DataFrame:
+    """Spectral entropy and spectral flatness of the daily revenue
+    series over the first 30 Fourier frequencies (the same
+    mean-removed DFT band as spectral_peaks_daily): entropy
+    H = -SUM p ln p / ln(F) of the normalized in-band power
+    distribution (1 = white within the band, 0 = one pure tone) and
+    Wiener flatness = geometric / arithmetic mean of the powers — the
+    two scalar summaries of 'how periodic is revenue' that the peak
+    list doesn't give.
+
+    ONE bucketed per-day aggregate; the 30 cos/sin projections run
+    vectorized on the ~n_days series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"day": df["o_orderdate"].dt.normalize(), "rev": df["o_totalprice"]}
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("float64")
+    n = len(y)
+    e = y - y.sum() / n
+    t = np.arange(n, dtype="float64")
+    f = np.arange(1, max_freq + 1, dtype="float64")
+    ang = 2.0 * np.pi * f[:, None] * t[None, :] / n
+    c = (e[None, :] * np.cos(ang)).sum(axis=1)
+    s = (e[None, :] * np.sin(ang)).sum(axis=1)
+    pw = c * c + s * s
+    p = pw / pw.sum()
+    h = float(-(p * np.log(p)).sum() / np.log(max_freq * 1.0))
+    flat = float(np.exp(np.log(pw).sum() / max_freq) / (pw.sum() / max_freq))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "spectral_entropy": [round(h, 6)],
+            "spectral_flatness": [round(flat, 6)],
+        }
+    )
+
+
+SPECTRAL_ENTROPY_DAILY_REVENUE_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS rev,
+         row_number() OVER (ORDER BY date_trunc('day', o_orderdate)) - 1 AS t
+  FROM orders GROUP BY 1
+),
+st AS (SELECT avg(rev) AS mu, count(*) AS n FROM daily),
+dev AS (SELECT t, rev - (SELECT mu FROM st) AS e FROM daily),
+freqs AS (SELECT unnest(range(1, 31)) AS f),
+proj AS (
+  SELECT f,
+         sum(e * cos(2 * pi() * f * t / (SELECT n FROM st))) AS c,
+         sum(e * sin(2 * pi() * f * t / (SELECT n FROM st))) AS s
+  FROM freqs JOIN dev ON true GROUP BY f
+),
+pw AS (SELECT f, c * c + s * s AS p FROM proj),
+tot AS (SELECT sum(p) AS sp, count(*) AS nf, sum(ln(p)) AS slp FROM pw)
+SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+       round(-sum((p / (SELECT sp FROM tot)) * ln(p / (SELECT sp FROM tot)))
+             / ln((SELECT nf * 1.0 FROM tot)), 6) AS spectral_entropy,
+       round((SELECT exp(slp / nf) / (sp / nf) FROM tot), 6) AS spectral_flatness
+FROM pw
+"""
+
+
+def kendall_w_segment_monthly(sf_dir: str) -> pd.DataFrame:
+    """Kendall's coefficient of concordance W for the monthly
+    market-segment revenue rankings (blocks = months, judges'
+    ratings = in-month segment ranks, tie-broken by segment name as
+    in the Friedman test): W = (12*SUM R_j^2 - 3*n^2*k*(k+1)^2) /
+    (n^2*k*(k^2-1)) — the [0,1] effect size the Friedman chi-square
+    only tests.
+
+    Same ONE bucketed (month, segment) integer-cents grid; ranking
+    runs on the ~420-cell result."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "m": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "seg": sm.reindex(df["o_custkey"]).to_numpy(object),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["m", "seg"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["m", "rev_c", "seg"])
+        .reset_index(drop=True)
+    )
+    grid["rank"] = grid.groupby("m").cumcount() + 1
+    k = int(grid.groupby("m")["seg"].size().max())
+    full = grid.groupby("m").filter(lambda g: len(g) == k)
+    n = full["m"].nunique()
+    rj = full.groupby("seg")["rank"].sum().astype("int64")
+    s2 = int((rj**2).sum())
+    w = (12.0 * s2 - 3.0 * n * n * k * (k + 1.0) * (k + 1.0)) / (n * 1.0 * n * k * (k * k - 1.0))
+    return pd.DataFrame(
+        {
+            "n_blocks": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "kendall_w": [round(float(w), 6)],
+        }
+    )
+
+
+KENDALL_W_SEGMENT_MONTHLY_SQL = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT m, seg,
+         row_number() OVER (PARTITION BY m ORDER BY rev_c, seg) AS rk,
+         count(*) OVER (PARTITION BY m) AS kk
+  FROM g
+),
+kmax AS (SELECT max(kk) AS k FROM r),
+full_blocks AS (SELECT r.* FROM r, kmax WHERE r.kk = kmax.k),
+rj AS (SELECT seg, sum(rk) AS rsum FROM full_blocks GROUP BY seg),
+agg AS (
+  SELECT (SELECT count(DISTINCT m) FROM full_blocks) AS n,
+         (SELECT k FROM kmax) AS k,
+         sum(rsum * rsum) AS s2
+  FROM rj
+)
+SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+       round((12.0 * s2 - 3.0 * n * n * k * (k + 1.0) * (k + 1.0))
+             / (n * 1.0 * n * k * (k * k - 1.0)), 6) AS kendall_w
+FROM agg
+"""
+
+def pielou_evenness_parts(sf_dir: str) -> pd.DataFrame:
+    """Pielou evenness J = H / ln(k) of part demand (H = Shannon
+    entropy of the per-part lineitem share distribution, k = distinct
+    parts) — the normalized-entropy member of the diversity family
+    whose concentration side Simpson's lambda covers. J = 1 means
+    demand spreads uniformly over the catalog.
+
+    Per-part counts reduce through ONE bucketed aggregate; the
+    n*ln(n) partials are a second vectorized pass over that keyed
+    result, so only three numbers reach the driver
+    (H = ln(N) - SUM n ln n / N)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n"})
+
+    totals = bucketed_aggregate(
+        ds.map_batches(_cnt, batch_format="pandas"),
+        ["l_partkey"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "k": [np.int64(len(n))],
+                "s1": [np.int64(df["n"].to_numpy("int64").sum())],
+                "snln": [float((n * np.log(n)).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    k, s1, snln = int(s["k"]), int(s["s1"]), float(s["snln"])
+    h = np.log(s1 * 1.0) - snln / s1
+    return pd.DataFrame(
+        {
+            "n_parts": pd.Series([k], dtype="int64"),
+            "shannon_h": [round(float(h), 6)],
+            "pielou_j": [round(float(h / np.log(k * 1.0)), 6)],
+        }
+    )
+
+
+PIELOU_EVENNESS_PARTS_SQL = """
+WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+s AS (SELECT count(*) AS k, sum(n) AS s1, sum(n * ln(n * 1.0)) AS snln FROM c),
+h AS (SELECT k, ln(s1 * 1.0) - snln / s1 AS hh FROM s)
+SELECT CAST(k AS BIGINT) AS n_parts, round(hh, 6) AS shannon_h,
+       round(hh / ln(k * 1.0), 6) AS pielou_j
+FROM h
+"""
+
+
+def berger_parker_parts(sf_dir: str) -> pd.DataFrame:
+    """Berger-Parker dominance of part demand: d = max_i n_i / N —
+    the share of the single most-demanded part — plus that part's key
+    and count; the bluntest diversity index and the one a hot-key /
+    skew monitor actually alerts on.
+
+    Per-part counts reduce through ONE bucketed aggregate; each
+    totals batch emits its local argmax and total, so the driver sees
+    one row per batch (ties broken toward the smallest partkey)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n"})
+
+    totals = bucketed_aggregate(
+        ds.map_batches(_cnt, batch_format="pandas"),
+        ["l_partkey"],
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "l_partkey"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "p": [np.int64(df["l_partkey"].iloc[0])],
+                "nmax": [np.int64(df["n"].iloc[0])],
+                "tot": [np.int64(df["n"].sum())],
+            }
+        )
+
+    parts = totals.map_batches(_argmax, batch_format="pandas").to_pandas()
+    tot = int(parts["tot"].sum())
+    parts = parts.sort_values(["nmax", "p"], ascending=[False, True]).reset_index(drop=True)
+    p, nmax = int(parts["p"].iloc[0]), int(parts["nmax"].iloc[0])
+    return pd.DataFrame(
+        {
+            "top_partkey": pd.Series([p], dtype="int64"),
+            "top_count": pd.Series([nmax], dtype="int64"),
+            "berger_parker_d": [round(nmax * 1.0 / tot, 6)],
+        }
+    )
+
+
+BERGER_PARKER_PARTS_SQL = """
+WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c),
+w AS (SELECT l_partkey, n FROM c ORDER BY n DESC, l_partkey LIMIT 1)
+SELECT CAST(l_partkey AS BIGINT) AS top_partkey, CAST(n AS BIGINT) AS top_count,
+       round(n * 1.0 / (SELECT tot FROM t), 6) AS berger_parker_d
+FROM w
+"""
+
+
+def diffsign_runs_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Difference-sign runs test of the daily revenue series: the
+    number of runs of consecutive same-sign day-over-day CHANGES,
+    z-scored against the i.i.d. null (E[R] = (2n-1)/3,
+    Var[R] = (16n-29)/90 with n = number of nonzero changes + 1) —
+    the trend/momentum randomness check that complements the existing
+    above/below-median runs test. Zero changes are dropped (exact
+    integer cents make sign determination identical on both
+    engines).
+
+    ONE bucketed per-day integer-cents aggregate; the sign-change
+    scan runs on the day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64")
+    d = np.diff(y)
+    sgn = np.sign(d)
+    sgn = sgn[sgn != 0]
+    m = len(sgn)
+    runs = 1 + int((sgn[1:] != sgn[:-1]).sum())
+    n = m + 1
+    mean = (2.0 * n - 1.0) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    z = (runs - mean) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_changes": pd.Series([m], dtype="int64"),
+            "n_runs": pd.Series([runs], dtype="int64"),
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+DIFFSIGN_RUNS_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+df AS (
+  SELECT rev - lag(rev) OVER (ORDER BY day) AS chg, day
+  FROM d
+),
+sg AS (
+  SELECT CASE WHEN chg > 0 THEN 1 ELSE -1 END AS s, day
+  FROM df WHERE chg IS NOT NULL AND chg <> 0
+),
+rr AS (
+  SELECT s, lag(s) OVER (ORDER BY day) AS sp FROM sg
+),
+agg AS (
+  SELECT count(*) AS m,
+         1 + sum(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END) AS runs
+  FROM rr
+)
+SELECT CAST(m AS BIGINT) AS n_changes, CAST(runs AS BIGINT) AS n_runs,
+       round((runs - (2.0 * (m + 1) - 1.0) / 3.0)
+             / sqrt((16.0 * (m + 1) - 29.0) / 90.0), 6) AS z
+FROM agg
+"""
+
+
+def turning_points_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Turning-point test of the daily revenue series: the count of
+    local extrema (y_{t-1} < y_t > y_{t+1} or y_{t-1} > y_t <
+    y_{t+1}), z-scored against the i.i.d. null E[T] = 2(n-2)/3,
+    Var[T] = (16n-29)/90 — the second classical randomness check on
+    the same series as the difference-sign runs test, sensitive to
+    smoothness rather than momentum.
+
+    Same ONE bucketed per-day aggregate; the triple scan is
+    vectorized on the day series (exact integer cents, strict
+    inequalities identical on both engines)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64")
+    n = len(y)
+    a, b, c = y[:-2], y[1:-1], y[2:]
+    tp = int((((a < b) & (b > c)) | ((a > b) & (b < c))).sum())
+    mean = 2.0 * (n - 2.0) / 3.0
+    var = (16.0 * n - 29.0) / 90.0
+    z = (tp - mean) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "n_turning_points": pd.Series([tp], dtype="int64"),
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+TURNING_POINTS_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT lag(rev) OVER (ORDER BY day) AS a, rev AS b,
+         lead(rev) OVER (ORDER BY day) AS c
+  FROM d
+),
+agg AS (
+  SELECT count(*) + 2 AS n,
+         sum(CASE WHEN (a < b AND b > c) OR (a > b AND b < c) THEN 1 ELSE 0 END) AS tp
+  FROM t WHERE a IS NOT NULL AND c IS NOT NULL
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(tp AS BIGINT) AS n_turning_points,
+       round((tp - 2.0 * (n - 2.0) / 3.0) / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z
+FROM agg
+"""

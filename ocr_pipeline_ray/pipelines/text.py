@@ -6574,3 +6574,237 @@ SELECT CAST(ntok AS BIGINT) AS n_tokens, CAST(f1 AS BIGINT) AS f1,
        round(coalesce(2.0 * f2 / nullif(f1, 0), 0.0), 6) AS singleton_rstar
 FROM s
 """
+
+def krippendorff_alpha_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Krippendorff's alpha reliability of the three weak binary
+    labelers (English / long / mentions-'data'): for nominal binary
+    data with m = 3 raters and no missing values the whole statistic
+    reduces to the same integer sums as Fleiss' kappa —
+    Do = (3*SL - SL2)/(3n), De = 2*SL*(3n - SL)/(3n*(3n - 1)),
+    alpha = 1 - Do/De — but with the finite-sample pooled-pair chance
+    term that makes alpha the field default for annotation QC.
+
+    One scalar-partial pass; exact integers to the final division."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        li = (
+            (df["lang"] == "en").to_numpy("int64")
+            + (df["n_chars"] > len_cut).to_numpy("int64")
+            + df["text"].str.contains("data", regex=False).to_numpy("int64")
+        )
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sl": [np.int64(li.sum())],
+                "sl2": [np.int64((li * li).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n, sl, sl2 = int(s["n"]), int(s["sl"]), int(s["sl2"])
+    do = (3.0 * sl - sl2) / (3.0 * n)
+    de = 2.0 * sl * (3.0 * n - sl) / (3.0 * n * (3.0 * n - 1.0))
+    alpha = 1.0 - do / de
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "d_obs": [round(do, 6)],
+            "alpha": [round(alpha, 6)],
+        }
+    )
+
+
+KRIPPENDORFF_ALPHA_LABELERS_SQL = """
+WITH l AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > 800 THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS li
+  FROM documents
+),
+s AS (SELECT count(*) AS n, sum(li) AS sl, sum(li * li) AS sl2 FROM l)
+SELECT CAST(n AS BIGINT) AS n,
+       round((3.0 * sl - sl2) / (3.0 * n), 6) AS d_obs,
+       round(1.0 - ((3.0 * sl - sl2) / (3.0 * n))
+             / (2.0 * sl * (3.0 * n - sl) / (3.0 * n * (3.0 * n - 1.0))), 6) AS alpha
+FROM s
+"""
+
+
+def gwet_ac1_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Gwet's AC1 agreement coefficient for the same three weak
+    binary labelers: AC1 = (Pa - Pe)/(1 - Pe) with the SAME observed
+    agreement Pa as Fleiss but the paradox-resistant chance term
+    Pe = 2*pi*(1 - pi) — AC1 stays high when prevalence is extreme,
+    where kappa collapses (the kappa paradox). Reporting both lets a
+    labeling QC dashboard see whether low kappa is disagreement or
+    just skew.
+
+    Same one scalar-partial pass over (n, SUM L, SUM L^2)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        li = (
+            (df["lang"] == "en").to_numpy("int64")
+            + (df["n_chars"] > len_cut).to_numpy("int64")
+            + df["text"].str.contains("data", regex=False).to_numpy("int64")
+        )
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sl": [np.int64(li.sum())],
+                "sl2": [np.int64((li * li).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n, sl, sl2 = int(s["n"]), int(s["sl"]), int(s["sl2"])
+    p_bar = (sl2 - 3.0 * sl + 3.0 * n) / (3.0 * n)
+    p = sl / (3.0 * n)
+    pe = 2.0 * p * (1.0 - p)
+    ac1 = (p_bar - pe) / (1.0 - pe)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "p_bar": [round(p_bar, 6)],
+            "ac1": [round(ac1, 6)],
+        }
+    )
+
+
+GWET_AC1_LABELERS_SQL = """
+WITH l AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > 800 THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS li
+  FROM documents
+),
+s AS (SELECT count(*) AS n, sum(li) AS sl, sum(li * li) AS sl2 FROM l),
+c AS (
+  SELECT n, (sl2 - 3.0 * sl + 3.0 * n) / (3.0 * n) AS p_bar,
+         2.0 * (sl / (3.0 * n)) * (1.0 - sl / (3.0 * n)) AS pe
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(p_bar, 6) AS p_bar,
+       round((p_bar - pe) / (1.0 - pe), 6) AS ac1
+FROM c
+"""
+
+def icc_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) of the
+    three weak binary labelers: from the one-way ANOVA decomposition
+    of the n x 3 rating matrix, ICC = (MSB - MSW)/(MSB + 2*MSW) —
+    the variance-components view of reliability that Fleiss/
+    Krippendorff give in agreement terms. For binary ratings every
+    sum of squares reduces to the same exact integer sums
+    (SSW = SL - SL2/3, SSB = SL2/3 - SL^2/(3n)).
+
+    One scalar-partial pass; exact to the final division."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        li = (
+            (df["lang"] == "en").to_numpy("int64")
+            + (df["n_chars"] > len_cut).to_numpy("int64")
+            + df["text"].str.contains("data", regex=False).to_numpy("int64")
+        )
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sl": [np.int64(li.sum())],
+                "sl2": [np.int64((li * li).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n, sl, sl2 = int(s["n"]), int(s["sl"]), int(s["sl2"])
+    ssw = sl - sl2 / 3.0
+    ssb = sl2 / 3.0 - sl * 1.0 * sl / (3.0 * n)
+    msb = ssb / (n - 1.0)
+    msw = ssw / (2.0 * n)
+    icc = (msb - msw) / (msb + 2.0 * msw)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "msb": [round(msb, 6)],
+            "msw": [round(msw, 6)],
+            "icc1": [round(icc, 6)],
+        }
+    )
+
+
+ICC_LABELERS_SQL = """
+WITH l AS (
+  SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+          + CASE WHEN n_chars > 800 THEN 1 ELSE 0 END
+          + CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END) AS li
+  FROM documents
+),
+s AS (SELECT count(*) AS n, sum(li) AS sl, sum(li * li) AS sl2 FROM l),
+c AS (
+  SELECT n,
+         (sl2 / 3.0 - sl * 1.0 * sl / (3.0 * n)) / (n - 1.0) AS msb,
+         (sl - sl2 / 3.0) / (2.0 * n) AS msw
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(msb, 6) AS msb, round(msw, 6) AS msw,
+       round((msb - msw) / (msb + 2.0 * msw), 6) AS icc1
+FROM c
+"""
+
+
+def scott_pi_labelers(sf_dir: str, len_cut: int = 800) -> pd.DataFrame:
+    """Scott's pi between the first two weak labelers (English vs
+    long-document): pi = (Po - Pe)/(1 - Pe) with the POOLED marginal
+    chance term Pe = pbar^2 + (1-pbar)^2, pbar = (p1 + p2)/2 — the
+    two-rater reduction of Fleiss' kappa, differing from Cohen's
+    kappa exactly in how chance is estimated (pooled vs per-rater
+    marginals).
+
+    One scalar-partial pass over the four confusion-cell integers."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["lang"] == "en").to_numpy("int64")
+        b = (df["n_chars"] > len_cut).to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sa": [np.int64(a.sum())],
+                "sb": [np.int64(b.sum())],
+                "sab": [np.int64((a & b).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n, sa, sb, sab = int(s["n"]), int(s["sa"]), int(s["sb"]), int(s["sab"])
+    po = (n - sa - sb + 2 * sab) * 1.0 / n
+    pbar = (sa + sb) / (2.0 * n)
+    pe = pbar * pbar + (1.0 - pbar) * (1.0 - pbar)
+    pi = (po - pe) / (1.0 - pe)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "p_obs": [round(po, 6)],
+            "scott_pi": [round(pi, 6)],
+        }
+    )
+
+
+SCOTT_PI_LABELERS_SQL = """
+WITH l AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars > 800 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+s AS (SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab FROM l),
+c AS (
+  SELECT n, (n - sa - sb + 2 * sab) * 1.0 / n AS po,
+         (sa + sb) / (2.0 * n) AS pbar
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n, round(po, 6) AS p_obs,
+       round((po - (pbar * pbar + (1 - pbar) * (1 - pbar)))
+             / (1 - (pbar * pbar + (1 - pbar) * (1 - pbar))), 6) AS scott_pi
+FROM c
+"""

@@ -333,6 +333,45 @@ SUBSET = [
     "first_before_first_support",
     "ordinal_assoc_quantity_discount",
     "cronbach_alpha_labelers",
+    # round-3k additions
+    "atkinson_index_customer_revenue",
+    "hoover_index_customer_revenue",
+    "jonckheere_quantity_by_discount",
+    "cliffs_delta_returned_quantity",
+    "nelson_aalen_repurchase",
+    "tornqvist_price_index_yearly",
+    "permutation_entropy_daily_revenue",
+    "hurst_exponent_daily_revenue",
+    "t_closeness_audit",
+    "logloss_length_english",
+    "bartlett_quantity_by_flag",
+    "brown_forsythe_quantity_by_flag",
+    "chao1_vocab_richness",
+    "good_turing_unseen_mass",
+    "newey_west_daily_trend",
+    "cochrane_orcutt_daily_trend",
+    "mrr_popularity_at10",
+    "simpson_diversity_parts",
+    "krippendorff_alpha_labelers",
+    "gwet_ac1_labelers",
+    "gamma_fit_order_gaps",
+    "negbin_fit_daily_orders",
+    "yuen_trimmed_t_quantity",
+    "cvm_two_sample_quantity",
+    "spectral_entropy_daily_revenue",
+    "kendall_w_segment_monthly",
+    "deming_views_purchases",
+    "rma_views_purchases",
+    "pielou_evenness_parts",
+    "berger_parker_parts",
+    "diffsign_runs_daily_revenue",
+    "turning_points_daily_revenue",
+    "icc_labelers",
+    "scott_pi_labelers",
+    "js_divergence_hourly_profiles",
+    "hellinger_hourly_profiles",
+    "lin_ccc_views_purchases",
+    "bland_altman_views_purchases",
 ]
 
 
