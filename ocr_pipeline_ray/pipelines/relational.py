@@ -17701,3 +17701,164 @@ SELECT CAST(n AS BIGINT) AS n_days, CAST(tp AS BIGINT) AS n_turning_points,
        round((tp - 2.0 * (n - 2.0) / 3.0) / sqrt((16.0 * n - 29.0) / 90.0), 6) AS z
 FROM agg
 """
+
+def kpss_daily_revenue(sf_dir: str, max_lag: int = 5) -> pd.DataFrame:
+    """KPSS level-stationarity test of the daily revenue series:
+    eta = SUM_t S_t^2 / (n^2 * lrv) with S_t the partial sums of the
+    demeaned series and lrv the Bartlett-kernel (L = 5) long-run
+    variance — the null-of-STATIONARITY complement to trend tests
+    (Mann-Kendall rejects no-trend; KPSS rejects stationarity).
+
+    ONE bucketed per-day integer-cents aggregate; partial sums,
+    autocovariances and the kernel sum run on the ~n_days series
+    with the identical closed form in SQL."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    n = len(y)
+    e = y - y.sum() / n
+    s_t = np.cumsum(e)
+    lrv = float((e * e).sum()) / n
+    for lag in range(1, max_lag + 1):
+        w = 1.0 - lag / (max_lag + 1.0)
+        lrv += 2.0 * w * float((e[lag:] * e[:-lag]).sum()) / n
+    eta = float((s_t * s_t).sum()) / (n * 1.0 * n * lrv)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "kpss_eta": [round(eta, 6)],
+        }
+    )
+
+
+KPSS_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+st AS (SELECT count(*) AS n, avg(rev * 1.0) AS mu FROM d),
+e AS (
+  SELECT rev * 1.0 - (SELECT mu FROM st) AS e, day,
+         sum(rev * 1.0 - (SELECT mu FROM st)) OVER (ORDER BY day) AS s_t
+  FROM d
+),
+lagd AS (
+  SELECT e, s_t,
+         lag(e, 1) OVER (ORDER BY day) AS e1,
+         lag(e, 2) OVER (ORDER BY day) AS e2,
+         lag(e, 3) OVER (ORDER BY day) AS e3,
+         lag(e, 4) OVER (ORDER BY day) AS e4,
+         lag(e, 5) OVER (ORDER BY day) AS e5
+  FROM e
+),
+agg AS (
+  SELECT (sum(e * e)
+          + 2 * (5.0 / 6.0) * sum(coalesce(e * e1, 0))
+          + 2 * (4.0 / 6.0) * sum(coalesce(e * e2, 0))
+          + 2 * (3.0 / 6.0) * sum(coalesce(e * e3, 0))
+          + 2 * (2.0 / 6.0) * sum(coalesce(e * e4, 0))
+          + 2 * (1.0 / 6.0) * sum(coalesce(e * e5, 0))) / (SELECT n FROM st) AS lrv,
+         sum(s_t * s_t) AS ss
+  FROM lagd
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+       round(ss / ((SELECT n * 1.0 FROM st) * (SELECT n * 1.0 FROM st) * lrv), 6) AS kpss_eta
+FROM agg
+"""
+
+
+def variance_ratio_daily_revenue(sf_dir: str, q: int = 5) -> pd.DataFrame:
+    """Lo-MacKinlay variance-ratio test (q = 5, overlapping) of the
+    daily revenue series treated as a level process: VR = sigma_q^2 /
+    sigma_1^2 with sigma_1^2 the sample variance of one-day
+    increments and sigma_q^2 = SUM (y_t - y_{t-q} - q*mu)^2 /
+    (q * (m - q + 1)) over overlapping q-day increments — VR near 1
+    is a random walk, VR < 1 mean reversion, VR > 1 momentum; the
+    random-walk companion of the KPSS stationarity test.
+
+    Same ONE bucketed per-day aggregate; increment moments on the
+    day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    x = np.diff(y)
+    m = len(x)
+    mu = x.sum() / m
+    s1 = float(((x - mu) ** 2).sum()) / (m - 1)
+    dq = y[q:] - y[:-q]
+    sq = float(((dq - q * mu) ** 2).sum()) / (q * (m - q + 1.0))
+    return pd.DataFrame(
+        {
+            "n_increments": pd.Series([m], dtype="int64"),
+            "q": pd.Series([q], dtype="int64"),
+            "variance_ratio": [round(sq / s1, 6)],
+        }
+    )
+
+
+VARIANCE_RATIO_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT rev * 1.0 AS y,
+         lag(rev, 1) OVER (ORDER BY day) * 1.0 AS y1,
+         lag(rev, 5) OVER (ORDER BY day) * 1.0 AS y5
+  FROM d
+),
+m1 AS (
+  SELECT count(*) AS m, avg(y - y1) AS mu,
+         sum((y - y1) * (y - y1)) AS sxx, sum(y - y1) AS sx
+  FROM l WHERE y1 IS NOT NULL
+),
+s1 AS (SELECT m, mu, (sxx - sx * sx / m) / (m - 1) AS v1 FROM m1),
+sq AS (
+  SELECT sum((y - y5 - 5 * (SELECT mu FROM s1)) * (y - y5 - 5 * (SELECT mu FROM s1)))
+         / (5.0 * ((SELECT m FROM s1) - 5 + 1)) AS vq
+  FROM l WHERE y5 IS NOT NULL
+)
+SELECT (SELECT CAST(m AS BIGINT) FROM s1) AS n_increments,
+       CAST(5 AS BIGINT) AS q,
+       round((SELECT vq FROM sq) / (SELECT v1 FROM s1), 6) AS variance_ratio
+"""
