@@ -17862,3 +17862,226 @@ SELECT (SELECT CAST(m AS BIGINT) FROM s1) AS n_increments,
        CAST(5 AS BIGINT) AS q,
        round((SELECT vq FROM sq) / (SELECT v1 FROM s1), 6) AS variance_ratio
 """
+
+def cohens_d_price_returned(sf_dir: str) -> pd.DataFrame:
+    """Standardized-mean-difference effect sizes for extended price,
+    returned (R) vs kept (N): Cohen's d (pooled sd), Hedges' g
+    (small-sample corrected, J = 1 - 3/(4*df - 1)) and Glass's delta
+    (control-group sd = kept) — the magnitude companions of the
+    Welch/Mann-Whitney tests that only yield significance.
+
+    One pass of per-group exact integer-cent moment partials; every
+    statistic is closed-form arithmetic on six numbers."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        c = np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64")
+        out = pd.DataFrame({"f": df["l_returnflag"].to_numpy(object), "x": c})
+        g = out.groupby("f")["x"]
+        return pd.DataFrame(
+            {
+                "f": g.count().index.to_numpy(object),
+                "n": g.count().to_numpy("int64"),
+                "s1": g.sum().to_numpy("int64"),
+                "s2": g.apply(lambda v: int((v.to_numpy("int64") ** 2).sum())).to_numpy("int64"),
+            }
+        )
+
+    m = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("f", as_index=False)
+        .sum()
+        .set_index("f")
+    )
+    n1, s11, s21 = int(m.loc["R", "n"]), int(m.loc["R", "s1"]), int(m.loc["R", "s2"])
+    n2, s12, s22 = int(m.loc["N", "n"]), int(m.loc["N", "s1"]), int(m.loc["N", "s2"])
+    m1, m2 = s11 * 1.0 / n1, s12 * 1.0 / n2
+    v1 = (s21 - s11 * 1.0 * s11 / n1) / (n1 - 1)
+    v2 = (s22 - s12 * 1.0 * s12 / n2) / (n2 - 1)
+    sp = np.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2.0))
+    d = (m1 - m2) / sp
+    j = 1.0 - 3.0 / (4.0 * (n1 + n2 - 2.0) - 1.0)
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([n1], dtype="int64"),
+            "n_kept": pd.Series([n2], dtype="int64"),
+            "cohens_d": [round(float(d), 6)],
+            "hedges_g": [round(float(j * d), 6)],
+            "glass_delta": [round(float((m1 - m2) / np.sqrt(v2)), 6)],
+        }
+    )
+
+
+COHENS_D_PRICE_RETURNED_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS f, count(*) AS n,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+p AS (
+  SELECT
+    (SELECT n FROM m WHERE f = 'R') AS n1, (SELECT n FROM m WHERE f = 'N') AS n2,
+    (SELECT s1 * 1.0 / n FROM m WHERE f = 'R') AS m1,
+    (SELECT s1 * 1.0 / n FROM m WHERE f = 'N') AS m2,
+    (SELECT (s2 - s1 * 1.0 * s1 / n) / (n - 1) FROM m WHERE f = 'R') AS v1,
+    (SELECT (s2 - s1 * 1.0 * s1 / n) / (n - 1) FROM m WHERE f = 'N') AS v2
+),
+c AS (
+  SELECT n1, n2, m1, m2, v1, v2,
+         (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2.0)) AS d
+  FROM p
+)
+SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_kept,
+       round(d, 6) AS cohens_d,
+       round((1.0 - 3.0 / (4.0 * (n1 + n2 - 2.0) - 1.0)) * d, 6) AS hedges_g,
+       round((m1 - m2) / sqrt(v2), 6) AS glass_delta
+FROM c
+"""
+
+
+def f_test_price_returned(sf_dir: str) -> pd.DataFrame:
+    """Two-sample variance-ratio F-test for extended price, returned
+    (R) vs kept (N): F = s_R^2 / s_N^2 with sample variances from
+    exact integer-cent moments, plus the log-variance-ratio — the
+    two-group scale comparison that Bartlett/Brown-Forsythe cover for
+    k groups of quantity.
+
+    Same one-pass per-group moment partials."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        c = np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64")
+        out = pd.DataFrame({"f": df["l_returnflag"].to_numpy(object), "x": c})
+        g = out.groupby("f")["x"]
+        return pd.DataFrame(
+            {
+                "f": g.count().index.to_numpy(object),
+                "n": g.count().to_numpy("int64"),
+                "s1": g.sum().to_numpy("int64"),
+                "s2": g.apply(lambda v: int((v.to_numpy("int64") ** 2).sum())).to_numpy("int64"),
+            }
+        )
+
+    m = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("f", as_index=False)
+        .sum()
+        .set_index("f")
+    )
+    n1, s11, s21 = int(m.loc["R", "n"]), int(m.loc["R", "s1"]), int(m.loc["R", "s2"])
+    n2, s12, s22 = int(m.loc["N", "n"]), int(m.loc["N", "s1"]), int(m.loc["N", "s2"])
+    v1 = (s21 - s11 * 1.0 * s11 / n1) / (n1 - 1)
+    v2 = (s22 - s12 * 1.0 * s12 / n2) / (n2 - 1)
+    return pd.DataFrame(
+        {
+            "df1": pd.Series([n1 - 1], dtype="int64"),
+            "df2": pd.Series([n2 - 1], dtype="int64"),
+            "f_ratio": [round(float(v1 / v2), 6)],
+            "log_var_ratio": [round(float(np.log(v1 / v2)), 6)],
+        }
+    )
+
+
+F_TEST_PRICE_RETURNED_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS f, count(*) AS n,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS s2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+v AS (
+  SELECT
+    (SELECT n - 1 FROM m WHERE f = 'R') AS df1,
+    (SELECT n - 1 FROM m WHERE f = 'N') AS df2,
+    (SELECT (s2 - s1 * 1.0 * s1 / n) / (n - 1) FROM m WHERE f = 'R') AS v1,
+    (SELECT (s2 - s1 * 1.0 * s1 / n) / (n - 1) FROM m WHERE f = 'N') AS v2
+)
+SELECT CAST(df1 AS BIGINT) AS df1, CAST(df2 AS BIGINT) AS df2,
+       round(v1 / v2, 6) AS f_ratio, round(ln(v1 / v2), 6) AS log_var_ratio
+FROM v
+"""
+
+
+def weibull_fit_order_gaps(sf_dir: str) -> pd.DataFrame:
+    """Menon's log-moment Weibull fit of positive customer
+    inter-order gaps: ln(X) of a Weibull(k, lambda) has variance
+    pi^2/(6 k^2) and mean ln(lambda) - gamma_E/k, so
+    k = pi / (s_lnX * sqrt(6)) and lambda = exp(mean_lnX +
+    0.5772156649/k) — closed-form, no iteration, completing the gap
+    parametric family (exponential-KS / lognormal / Gamma-MoM).
+    Same-day repeat orders (gap = 0) are excluded (documented: ln 0).
+
+    Per-custkey-bucket vectorized diffs emit exact integer gap counts
+    plus float ln-moment partials; three scalars reach the driver."""
+    n_buckets = 16
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (df["o_custkey"].to_numpy() % n_buckets).astype("int64")
+        return df
+
+    def _moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+        gap = d[1:] - d[:-1]
+        same = ck[1:] == ck[:-1]
+        gaps = gap[same]
+        gaps = gaps[gaps > 0].astype("float64")
+        lg = np.log(gaps)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(gaps))],
+                "sl": [float(lg.sum())],
+                "sl2": [float((lg * lg).sum())],
+            }
+        )
+
+    s = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_moments, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, sl, sl2 = int(s["n"]), float(s["sl"]), float(s["sl2"])
+    mu = sl / n
+    sd = np.sqrt((sl2 - sl * sl / n) / (n - 1))
+    k = np.pi / (sd * np.sqrt(6.0))
+    lam = np.exp(mu + 0.5772156649015329 / k)
+    return pd.DataFrame(
+        {
+            "n_gaps": pd.Series([n], dtype="int64"),
+            "weibull_shape": [round(float(k), 6)],
+            "weibull_scale": [round(float(lam), 6)],
+        }
+    )
+
+
+WEIBULL_FIT_ORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap
+  FROM orders
+),
+l AS (SELECT ln(gap * 1.0) AS lg FROM g WHERE gap IS NOT NULL AND gap > 0),
+s AS (SELECT count(*) AS n, sum(lg) AS sl, sum(lg * lg) AS sl2 FROM l),
+c AS (
+  SELECT n, sl / n AS mu,
+         pi() / (sqrt((sl2 - sl * sl / n) / (n - 1)) * sqrt(6.0)) AS k
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+       round(k, 6) AS weibull_shape,
+       round(exp(mu + 0.5772156649015329 / k), 6) AS weibull_scale
+FROM c
+"""

@@ -6808,3 +6808,103 @@ SELECT CAST(n AS BIGINT) AS n, round(po, 6) AS p_obs,
              / (1 - (pbar * pbar + (1 - pbar) * (1 - pbar))), 6) AS scott_pi
 FROM c
 """
+
+def source_vocab_dice_overlap(sf_dir: str) -> pd.DataFrame:
+    """Sorensen-Dice and Szymkiewicz-Simpson overlap coefficients
+    between the sources' vocabularies — the two set-similarity
+    normalizations Jaccard doesn't give: Dice = 2|A∩B|/(|A|+|B|)
+    (F1 of set membership) and overlap = |A∩B|/min(|A|,|B|) (is the
+    smaller vocabulary a subset?).
+
+    Same distributed shape as source_vocab_jaccard: distinct
+    (source, term) pairs via a bucketed min-reduction over the term
+    domain, in-bucket co-occurrence partials, |sources|^2 driver
+    reduce."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        srcs: list[str] = []
+        toks: list[str] = []
+        for src, s in zip(df["source"], df["text"]):
+            for t in set(TOKEN_RE.findall(s.lower())):
+                srcs.append(src)
+                toks.append(t)
+        out = pd.DataFrame({"source": srcs, "term": toks}).drop_duplicates()
+        out["one"] = 1
+        return out
+
+    st = bucketed_aggregate(
+        ds.map_batches(distinct_pairs, batch_format="pandas"),
+        ["term", "source"],
+        {"one": ("one", "min")},
+        num_buckets=16,
+    )
+
+    def _term_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df["term"], index=False)
+        df["__tbucket"] = (h.to_numpy() % 16).astype("int64")
+        return df[["term", "source", "__tbucket"]]
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("source").size().rename("sz").reset_index()
+        m = g.merge(g, on="term")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"], as_index=False).size().rename(
+            columns={"size": "n_inter"}
+        )
+        return pd.concat(
+            [
+                inter.assign(kind="i")[["kind", "source_x", "source_y", "n_inter"]],
+                pd.DataFrame(
+                    {
+                        "kind": "s",
+                        "source_x": sizes["source"],
+                        "source_y": "",
+                        "n_inter": sizes["sz"],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    parts = (
+        st.map_batches(_term_bucket, batch_format="pandas")
+        .groupby("__tbucket")
+        .map_groups(lambda g: _pairs(g.drop(columns="__tbucket")), batch_format="pandas")
+        .to_pandas()
+    )
+    sizes = parts[parts["kind"] == "s"].groupby("source_x")["n_inter"].sum().to_dict()
+    inter = (
+        parts[parts["kind"] == "i"]
+        .groupby(["source_x", "source_y"], as_index=False)["n_inter"]
+        .sum()
+    )
+    na = inter["source_x"].map(sizes)
+    nb = inter["source_y"].map(sizes)
+    inter["dice"] = (2.0 * inter["n_inter"] / (na + nb)).round(6)
+    inter["overlap"] = (inter["n_inter"] / np.minimum(na, nb)).round(6)
+    out = inter.rename(columns={"source_x": "source_a", "source_y": "source_b"})
+    out["n_inter"] = out["n_inter"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_VOCAB_DICE_OVERLAP_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       round(2.0 * i.n_inter / (sa.n + sb.n), 6) AS dice,
+       round(i.n_inter * 1.0 / least(sa.n, sb.n), 6) AS overlap
+FROM i JOIN sz sa ON sa.source = i.source_a JOIN sz sb ON sb.source = i.source_b
+ORDER BY source_a, source_b
+"""
