@@ -2086,3 +2086,149 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
        round(mi.mi / sqrt(ha.h * hb.h), 6) AS nmi
 FROM mi, ha, hb
 """
+
+def participation_ratio_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Participation ratio of the embedding covariance spectrum —
+    PR = (tr C)^2 / tr(C^2) = (SUM lambda)^2 / SUM lambda^2 — the
+    effective number of dimensions the embedding cloud actually
+    occupies, WITHOUT an eigendecomposition (tr(C^2) is the squared
+    Frobenius norm, so the whole statistic comes from the same one
+    streaming d x d Gram pass as embedding_pca_top). The spectral
+    sibling of the TwoNN intrinsic-dimension estimate.
+
+    Each batch emits a constant-size 64x64 Gram partial; the corpus
+    streams once."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _gram(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame(
+            {
+                "n": np.int64(m.shape[0]),
+                "row": np.arange(g.shape[0], dtype=np.int64),
+                "sx_first": m.sum(axis=0),
+                **{f"g{j}": g[:, j] for j in range(g.shape[1])},
+            }
+        )
+
+    parts = ds.map_batches(_gram, batch_format="pandas").to_pandas()
+    dim = int(parts["row"].max() + 1)
+    n = float(parts.loc[parts["row"] == 0, "n"].sum())
+    gram = np.zeros((dim, dim))
+    for j in range(dim):
+        gram[:, j] = parts.groupby("row")[f"g{j}"].sum().to_numpy()
+    colsum = parts.groupby("row")["sx_first"].sum().to_numpy()
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
+    tr = float(np.trace(cov))
+    fro2 = float((cov * cov).sum())
+    return pd.DataFrame(
+        {
+            "dim": pd.Series([dim], dtype="int64"),
+            "trace_cov": [round(tr, 6)],
+            "participation_ratio": [round(tr * tr / fro2, 6)],
+        }
+    )
+
+
+PARTICIPATION_RATIO_EMBEDDINGS_SQL = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+cm AS (
+  SELECT a.d AS i, b.d AS j,
+         sum(a.x * b.x) / (SELECT n FROM n)
+         - (sum(a.x) / (SELECT n FROM n)) * (sum(b.x) / (SELECT n FROM n)) AS c
+  FROM u a JOIN u b USING (vec_id)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT sum(CASE WHEN i = j THEN c ELSE 0 END) AS tr,
+         sum(c * c) AS fro2,
+         max(i) AS dim
+  FROM cm
+)
+SELECT CAST(dim AS BIGINT) AS dim, round(tr, 6) AS trace_cov,
+       round(tr * tr / fro2, 6) AS participation_ratio
+FROM s
+"""
+
+
+def embedding_isotropy_offdiag(sf_dir: str) -> pd.DataFrame:
+    """Isotropy audit of the embedding space: the mean absolute
+    off-diagonal CORRELATION of the covariance matrix (0 = perfectly
+    decorrelated axes) and the share of total variance on the
+    diagonal's top coordinate — the cheap anisotropy red-flags that
+    precede a whitening decision, from the SAME one-pass Gram
+    machinery (no eigendecomposition).
+
+    Each batch emits a constant-size 64x64 Gram partial."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _gram(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame(
+            {
+                "n": np.int64(m.shape[0]),
+                "row": np.arange(g.shape[0], dtype=np.int64),
+                "sx_first": m.sum(axis=0),
+                **{f"g{j}": g[:, j] for j in range(g.shape[1])},
+            }
+        )
+
+    parts = ds.map_batches(_gram, batch_format="pandas").to_pandas()
+    dim = int(parts["row"].max() + 1)
+    n = float(parts.loc[parts["row"] == 0, "n"].sum())
+    gram = np.zeros((dim, dim))
+    for j in range(dim):
+        gram[:, j] = parts.groupby("row")[f"g{j}"].sum().to_numpy()
+    colsum = parts.groupby("row")["sx_first"].sum().to_numpy()
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
+    sd = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sd, sd)
+    off = np.abs(corr[~np.eye(dim, dtype=bool)])
+    top_var_share = float(np.diag(cov).max() / np.trace(cov))
+    return pd.DataFrame(
+        {
+            "dim": pd.Series([dim], dtype="int64"),
+            "mean_abs_offdiag_corr": [round(float(off.mean()), 6)],
+            "top_var_share": [round(top_var_share, 6)],
+        }
+    )
+
+
+EMBEDDING_ISOTROPY_OFFDIAG_SQL = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+cm AS (
+  SELECT a.d AS i, b.d AS j,
+         sum(a.x * b.x) / (SELECT n FROM n)
+         - (sum(a.x) / (SELECT n FROM n)) * (sum(b.x) / (SELECT n FROM n)) AS c
+  FROM u a JOIN u b USING (vec_id)
+  GROUP BY 1, 2
+),
+dg AS (SELECT i, c AS v FROM cm WHERE i = j),
+co AS (
+  SELECT cm.c / sqrt(da.v * db.v) AS r
+  FROM cm JOIN dg da ON da.i = cm.i JOIN dg db ON db.i = cm.j
+  WHERE cm.i <> cm.j
+),
+s AS (
+  SELECT (SELECT avg(abs(r)) FROM co) AS moc,
+         (SELECT max(v) / sum(v) FROM dg) AS tvs,
+         (SELECT max(i) FROM dg) AS dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, round(moc, 6) AS mean_abs_offdiag_corr,
+       round(tvs, 6) AS top_var_share
+FROM s
+"""
