@@ -18085,3 +18085,129 @@ SELECT CAST(n AS BIGINT) AS n_gaps,
        round(exp(mu + 0.5772156649015329 / k), 6) AS weibull_scale
 FROM c
 """
+
+def goodman_kruskal_lambda_priority_status(sf_dir: str) -> pd.DataFrame:
+    """Goodman-Kruskal lambda — proportional reduction in error when
+    predicting order STATUS from order PRIORITY:
+    lambda = (SUM_b max_a n_ab - max_a n_a.) / (N - max_a n_a.) —
+    the PRE member of the categorical-association family (chi-square
+    and Cramér's V measure departure from independence; lambda
+    measures predictive usefulness).
+
+    ONE bucketed (priority, status) count grid (15 cells); exact
+    integer arithmetic on the grid."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False)
+            .size()
+            .rename(columns={"o_orderpriority": "p", "o_orderstatus": "s", "size": "n"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["p", "s"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["p", "s"])
+        .reset_index(drop=True)
+    )
+    nn = int(grid["n"].sum())
+    within = int(grid.groupby("p")["n"].max().sum())
+    marg = int(grid.groupby("s")["n"].sum().max())
+    lam = (within - marg) * 1.0 / (nn - marg)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([nn], dtype="int64"),
+            "gk_lambda": [round(lam, 6)],
+        }
+    )
+
+
+GOODMAN_KRUSKAL_LAMBDA_PRIORITY_STATUS_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+w AS (SELECT sum(mx) AS within FROM (SELECT p, max(n) AS mx FROM g GROUP BY p)),
+m AS (SELECT max(tot) AS marg FROM (SELECT s, sum(n) AS tot FROM g GROUP BY s)),
+t AS (SELECT sum(n) AS nn FROM g)
+SELECT (SELECT CAST(nn AS BIGINT) FROM t) AS n_orders,
+       round(((SELECT within FROM w) - (SELECT marg FROM m)) * 1.0
+             / ((SELECT nn FROM t) - (SELECT marg FROM m)), 6) AS gk_lambda
+"""
+
+
+def theil_u_priority_status(sf_dir: str) -> pd.DataFrame:
+    """Theil's uncertainty coefficient U(status | priority) =
+    I(priority; status) / H(status) — the asymmetric, [0,1]-normalized
+    mutual information ("what fraction of status entropy does knowing
+    the priority remove"), complementing the symmetric chi-square /
+    Cramér's V / lambda views of the same contingency structure.
+
+    Same ONE bucketed (priority, status) grid; entropy arithmetic on
+    exact integer counts."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False)
+            .size()
+            .rename(columns={"o_orderpriority": "p", "o_orderstatus": "s", "size": "n"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["p", "s"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["p", "s"])
+        .reset_index(drop=True)
+    )
+    nn = int(grid["n"].sum())
+    pj = grid.groupby("s")["n"].sum().to_numpy("int64") / nn
+    hy = float(-(pj * np.log(pj)).sum())
+    pi_ = grid.groupby("p")["n"].sum().to_numpy("int64") / nn
+    hx = float(-(pi_ * np.log(pi_)).sum())
+    pij = grid["n"].to_numpy("int64") / nn
+    hxy = float(-(pij * np.log(pij)).sum())
+    mi = hx + hy - hxy
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([nn], dtype="int64"),
+            "mi_nats": [round(mi, 6)],
+            "theil_u": [round(mi / hy, 6)],
+        }
+    )
+
+
+THEIL_U_PRIORITY_STATUS_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+t AS (SELECT sum(n) AS nn FROM g),
+hy AS (
+  SELECT -sum((tot * 1.0 / (SELECT nn FROM t)) * ln(tot * 1.0 / (SELECT nn FROM t))) AS h
+  FROM (SELECT s, sum(n) AS tot FROM g GROUP BY s)
+),
+hx AS (
+  SELECT -sum((tot * 1.0 / (SELECT nn FROM t)) * ln(tot * 1.0 / (SELECT nn FROM t))) AS h
+  FROM (SELECT p, sum(n) AS tot FROM g GROUP BY p)
+),
+hxy AS (
+  SELECT -sum((n * 1.0 / (SELECT nn FROM t)) * ln(n * 1.0 / (SELECT nn FROM t))) AS h
+  FROM g
+),
+mi AS (SELECT (SELECT h FROM hx) + (SELECT h FROM hy) - (SELECT h FROM hxy) AS m)
+SELECT (SELECT CAST(nn AS BIGINT) FROM t) AS n_orders,
+       round((SELECT m FROM mi), 6) AS mi_nats,
+       round((SELECT m FROM mi) / (SELECT h FROM hy), 6) AS theil_u
+"""
