@@ -18211,3 +18211,158 @@ SELECT (SELECT CAST(nn AS BIGINT) FROM t) AS n_orders,
        round((SELECT m FROM mi), 6) AS mi_nats,
        round((SELECT m FROM mi) / (SELECT h FROM hy), 6) AS theil_u
 """
+
+def monetary_unit_sample_orders(sf_dir: str, n_picks: int = 100) -> pd.DataFrame:
+    """Monetary-unit (dollar-unit) sampling of orders — the audit
+    selection where each CENT is the sampling unit, so big orders are
+    proportionally more likely to be examined: fixed interval
+    J = total_cents // n_picks, selection points at J, 2J, ... over
+    the orderkey-ordered cumulative value. Returns each selected
+    order and how many sampling points it absorbed (top-stratum
+    orders can take several).
+
+    Distributed prefix-sum: pass A reduces per-orderkey-range bucket
+    subtotals (ONE small aggregate), the driver cumulates the ~64
+    bucket offsets, pass B re-scans each bucket with its offset and
+    emits only the hit rows — the fact table streams twice, nothing
+    else reaches the driver."""
+    num_buckets = 64
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    max_key = int(ds.max("o_orderkey"))
+    span = max_key // num_buckets + 1
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "b": k // span,
+                "k": k,
+                "c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pandas").materialize()
+    subtot = (
+        bucketed_aggregate(prepped, ["b"], {"t": ("c", "sum")}, num_buckets=8)
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    total = int(subtot["t"].sum())
+    j = total // n_picks
+    offs = dict(
+        zip(
+            subtot["b"].astype("int64"),
+            np.concatenate([[0], subtot["t"].cumsum().to_numpy("int64")[:-1]]),
+        )
+    )
+
+    def _hits(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k").reset_index(drop=True)
+        off = offs[int(g["b"].iloc[0])]
+        cum = g["c"].cumsum().to_numpy("int64") + off
+        prev = cum - g["c"].to_numpy("int64")
+        h = cum // j - prev // j
+        sel = h > 0
+        return pd.DataFrame(
+            {"o_orderkey": g["k"].to_numpy("int64")[sel], "hits": h[sel].astype("int64")}
+        )
+
+    out = (
+        prepped.groupby("b")
+        .map_groups(_hits, batch_format="pandas")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+MONETARY_UNIT_SAMPLE_ORDERS_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+t AS (SELECT sum(c) // 100 AS j FROM o),
+cum AS (
+  SELECT o_orderkey, c,
+         sum(c) OVER (ORDER BY o_orderkey) AS cm
+  FROM o
+)
+SELECT o_orderkey, CAST(cm // (SELECT j FROM t) - (cm - c) // (SELECT j FROM t) AS BIGINT) AS hits
+FROM cum
+WHERE cm // (SELECT j FROM t) > (cm - c) // (SELECT j FROM t)
+ORDER BY o_orderkey
+"""
+
+
+def benford_second_digit_prices(sf_dir: str) -> pd.DataFrame:
+    """Benford SECOND-digit audit of order totals: the second
+    significant digit (0-9) of floor(o_totalprice) against the
+    generalized-Benford expectation P(d) = SUM_k log10(1 + 1/(10k+d))
+    — the harder-to-fake cousin of the first-digit test (fabricators
+    who know Benford-1 rarely match Benford-2). Digits extract
+    through the exact integer/string path; reports the chi-square and
+    the max absolute deviation in percentage points.
+
+    Per-batch partial digit counts reduce on the driver (10 rows)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            np.floor(df["o_totalprice"].to_numpy("float64"))
+            .astype("int64")
+            .astype("U")
+        )
+        d2 = np.array([int(x[1]) for x in s], dtype="int64")
+        cnt = np.bincount(d2, minlength=10)
+        return pd.DataFrame({"d": np.arange(10, dtype="int64"), "n": cnt.astype("int64")})
+
+    cnt = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("d", as_index=False)["n"]
+        .sum()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    n = int(cnt["n"].sum())
+    d = np.arange(10, dtype="float64")
+    k = np.arange(1, 10, dtype="float64")
+    exp_p = np.log10(1.0 + 1.0 / (10.0 * k[:, None] + d[None, :])).sum(axis=0)
+    o = cnt["n"].to_numpy("int64").astype("float64")
+    e = n * exp_p
+    chi2 = float(((o - e) ** 2 / e).sum())
+    mad = float(np.abs(o / n - exp_p).max())
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([n], dtype="int64"),
+            "chi2": [round(chi2, 6)],
+            "max_abs_dev": [round(mad, 6)],
+        }
+    )
+
+
+BENFORD_SECOND_DIGIT_PRICES_SQL = """
+WITH d2 AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 2, 1) AS BIGINT) AS d
+  FROM orders
+),
+cnt AS (SELECT d, count(*) AS n FROM d2 GROUP BY d),
+digits AS (SELECT unnest(range(0, 10)) AS d),
+ex AS (
+  SELECT digits.d,
+         (SELECT sum(log10(1.0 + 1.0 / (10 * k + digits.d)))
+          FROM (SELECT unnest(range(1, 10)) AS k)) AS p
+  FROM digits
+),
+tot AS (SELECT sum(n) AS nn FROM cnt),
+j AS (
+  SELECT ex.d, coalesce(cnt.n, 0) AS o, (SELECT nn FROM tot) * ex.p AS e, ex.p
+  FROM ex LEFT JOIN cnt ON cnt.d = ex.d
+)
+SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n_orders,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       round(max(abs(o * 1.0 / (SELECT nn FROM tot) - p)), 6) AS max_abs_dev
+FROM j
+"""
