@@ -18366,3 +18366,214 @@ SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n_orders,
        round(max(abs(o * 1.0 / (SELECT nn FROM tot) - p)), 6) AS max_abs_dev
 FROM j
 """
+
+def abc_analysis_parts(sf_dir: str, n_range_buckets: int = 128) -> pd.DataFrame:
+    """ABC inventory classification of parts by revenue: class A =
+    the smallest set of top-revenue parts reaching 80% of total
+    revenue, A+B the smallest reaching 95%, C the rest (descending by
+    revenue, ties by partkey). Thresholds compare in EXACT integer
+    cents via cross-multiplication (cum*5 >= total*4, cum*20 >=
+    total*19), so the class boundaries are bit-identical on both
+    engines.
+
+    Distributed: per-part integer-cent revenue reduces through ONE
+    bucketed aggregate; a descending value-range grid locates each
+    threshold's crossing bucket and ONLY those buckets' rows are
+    pulled for exact boundary placement — the part list never reaches
+    the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64"),
+                "c": np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"), ["p"], {"s": ("c", "sum")}, num_buckets=32
+    ).materialize()
+    lo = float(per.min("s"))
+    hi = float(per.max("s"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        per.map_batches(
+            lambda df: pd.DataFrame({"b": _bucket(df["s"].to_numpy("float64")), "x": df["s"]})
+            .groupby("b", as_index=False)
+            .agg(c=("x", "size"), sv=("x", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b", ascending=False)
+        .reset_index(drop=True)
+    )
+    total = int(grid["sv"].sum())
+    n_parts = int(grid["c"].sum())
+    cum_s = grid["sv"].cumsum().to_numpy("int64")
+    cum_c = grid["c"].cumsum().to_numpy("int64")
+
+    def _crossing(num: int, den: int) -> tuple[int, int]:
+        # first descending position where cum*den >= total*num
+        j = int(np.searchsorted(cum_s * den, total * num))
+        bj = int(grid["b"].iloc[j])
+        before_s = int(cum_s[j] - grid["sv"].iloc[j])
+        before_c = int(cum_c[j] - grid["c"].iloc[j])
+        need = ray.put(bj)
+        pulled = (
+            per.map_batches(
+                lambda df: df[_bucket(df["s"].to_numpy("float64")) == ray.get(need)][["p", "s"]],
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .sort_values(["s", "p"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        w = before_s + pulled["s"].cumsum().to_numpy("int64")
+        pos = int(np.searchsorted(w * den, total * num))
+        return before_c + pos + 1, int(w[pos])
+
+    n_a, rev_a = _crossing(4, 5)
+    n_ab, rev_ab = _crossing(19, 20)
+    rows = pd.DataFrame(
+        {
+            "abc_class": ["A", "B", "C"],
+            "n_parts": pd.Series([n_a, n_ab - n_a, n_parts - n_ab], dtype="int64"),
+            "rev_share": [
+                round(rev_a / total, 6),
+                round((rev_ab - rev_a) / total, 6),
+                round((total - rev_ab) / total, 6),
+            ],
+        }
+    )
+    return rows
+
+
+ABC_ANALYSIS_PARTS_SQL = """
+WITH per AS (
+  SELECT l_partkey AS p, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT sum(s) AS total, count(*) AS np FROM per),
+cum AS (
+  SELECT p, s, sum(s) OVER (ORDER BY s DESC, p) AS cm,
+         row_number() OVER (ORDER BY s DESC, p) AS rn
+  FROM per
+),
+cls AS (
+  SELECT rn, s,
+         CASE WHEN (cm - s) * 5 < (SELECT total FROM t) * 4 THEN 'A'
+              WHEN (cm - s) * 20 < (SELECT total FROM t) * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(s) * 1.0 / (SELECT total FROM t), 6) AS rev_share
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+def xyz_analysis_parts(sf_dir: str) -> pd.DataFrame:
+    """XYZ demand-variability classification of parts: population CV
+    of each part's monthly quantity demand over the FULL calendar
+    month span (zero months implicit: mean = SUM q / D and
+    E[q^2] = SUM q^2 / D need only the observed months), classed
+    X (CV < 1), Y (CV < 2), Z (CV >= 2) — the demand-stability
+    companion of the ABC revenue classes.
+
+    ONE bucketed (part, month) quantity grid bucketed BY PART so each
+    part's months co-locate; per-bucket class-count partials reduce
+    to six numbers on the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_quantity"])
+    lo = pd.Timestamp(ds.min("l_shipdate"))
+    hi = pd.Timestamp(ds.max("l_shipdate"))
+    d_months = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64"),
+                "m": df["l_shipdate"].dt.strftime("%Y-%m"),
+                "q": df["l_quantity"].to_numpy("float64").astype("int64"),
+            }
+        )
+
+    grid = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["p", "m"],
+        {"q": ("q", "sum")},
+        num_buckets=32,
+    )
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p")["q"].agg(sq="sum", sq2=lambda v: int((v.to_numpy("int64") ** 2).sum()))
+        mu = g["sq"].to_numpy("int64") * 1.0 / d_months
+        ex2 = g["sq2"].to_numpy("int64") * 1.0 / d_months
+        cv = np.sqrt(ex2 - mu * mu) / mu
+        return pd.DataFrame(
+            {
+                "x": [np.int64((cv < 1.0).sum())],
+                "y": [np.int64(((cv >= 1.0) & (cv < 2.0)).sum())],
+                "z": [np.int64((cv >= 2.0).sum())],
+            }
+        )
+
+    def _rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb"] = (df["p"].to_numpy("int64") % 32).astype("int64")
+        return df
+
+    s = (
+        grid.map_batches(_rebucket, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(lambda g: _classify(g.drop(columns="__pb")), batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    x, y, z = int(s["x"]), int(s["y"]), int(s["z"])
+    return pd.DataFrame(
+        {
+            "xyz_class": ["X", "Y", "Z"],
+            "n_parts": pd.Series([x, y, z], dtype="int64"),
+            "months_span": pd.Series([d_months] * 3, dtype="int64"),
+        }
+    )
+
+
+XYZ_ANALYSIS_PARTS_SQL = """
+WITH b AS (
+  SELECT (year(max(l_shipdate)) - year(min(l_shipdate))) * 12
+         + (month(max(l_shipdate)) - month(min(l_shipdate))) + 1 AS d
+  FROM lineitem
+),
+g AS (
+  SELECT l_partkey AS p, strftime(l_shipdate, '%Y-%m') AS m,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT p, sum(q) AS sq, sum(q * q) AS sq2 FROM g GROUP BY p
+),
+cv AS (
+  SELECT p,
+         sqrt(sq2 * 1.0 / (SELECT d FROM b) - (sq * 1.0 / (SELECT d FROM b)) * (sq * 1.0 / (SELECT d FROM b)))
+           / (sq * 1.0 / (SELECT d FROM b)) AS c
+  FROM per
+),
+cls AS (
+  SELECT CASE WHEN c < 1.0 THEN 'X' WHEN c < 2.0 THEN 'Y' ELSE 'Z' END AS xyz_class,
+         count(*) AS n_parts
+  FROM cv GROUP BY 1
+)
+SELECT k.xyz_class, CAST(coalesce(cls.n_parts, 0) AS BIGINT) AS n_parts,
+       (SELECT CAST(d AS BIGINT) FROM b) AS months_span
+FROM (SELECT unnest(['X', 'Y', 'Z']) AS xyz_class) k
+LEFT JOIN cls USING (xyz_class)
+ORDER BY k.xyz_class
+"""
