@@ -18577,3 +18577,138 @@ FROM (SELECT unnest(['X', 'Y', 'Z']) AS xyz_class) k
 LEFT JOIN cls USING (xyz_class)
 ORDER BY k.xyz_class
 """
+
+def xmr_control_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Shewhart XmR (individuals / moving-range) control chart of
+    daily revenue: MRbar = mean |day-over-day change|, natural
+    process limits xbar ± 2.66*MRbar, plus the estimated sigma
+    MRbar/1.128 and the count of out-of-limit days — the classic
+    process-behavior screen that CUSUM/changepoint queries assume has
+    already run.
+
+    ONE bucketed per-day integer-cents aggregate; limits and the
+    violation scan run on the day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64") / 100.0
+    n = len(y)
+    xbar = y.sum() / n
+    mr = np.abs(np.diff(y))
+    mrbar = mr.sum() / (n - 1)
+    ucl = xbar + 2.66 * mrbar
+    lcl = xbar - 2.66 * mrbar
+    viol = int(((y > ucl) | (y < lcl)).sum())
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "mrbar": [round(float(mrbar), 6)],
+            "sigma_hat": [round(float(mrbar / 1.128), 6)],
+            "n_violations": pd.Series([viol], dtype="int64"),
+        }
+    )
+
+
+XMR_CONTROL_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
+  FROM orders GROUP BY 1
+),
+mr AS (
+  SELECT rev, abs(rev - lag(rev) OVER (ORDER BY day)) AS m FROM d
+),
+st AS (
+  SELECT count(*) AS n, avg(rev) AS xbar,
+         sum(m) / (count(*) - 1) AS mrbar
+  FROM mr
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(mrbar, 6) AS mrbar,
+       round(mrbar / 1.128, 6) AS sigma_hat,
+       (SELECT CAST(count(*) AS BIGINT) FROM mr, st
+        WHERE rev > xbar + 2.66 * mrbar OR rev < xbar - 2.66 * mrbar) AS n_violations
+FROM st
+"""
+
+
+def p_chart_daily_returns(sf_dir: str) -> pd.DataFrame:
+    """p-chart of the daily returned-lineitem proportion (by ship
+    date): centerline pbar = total returns / total lineitems,
+    per-day 3-sigma limits pbar ± 3*sqrt(pbar*(1-pbar)/n_t) (limits
+    vary with the day's volume), and the out-of-control day count —
+    the attribute-data control chart beside the XmR individuals
+    chart.
+
+    ONE bucketed per-day (n, returns) aggregate; the violation scan
+    runs on the ~n_days grid with exact integer counts."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_returnflag"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["l_shipdate"].dt.normalize(),
+                "one": np.int64(1),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"n": ("one", "sum"), "r": ("r", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n_t = daily["n"].to_numpy("int64").astype("float64")
+    r_t = daily["r"].to_numpy("int64").astype("float64")
+    pbar = r_t.sum() / n_t.sum()
+    half = 3.0 * np.sqrt(pbar * (1.0 - pbar) / n_t)
+    p_t = r_t / n_t
+    viol = int(((p_t > pbar + half) | (p_t < pbar - half)).sum())
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(daily)], dtype="int64"),
+            "pbar": [round(float(pbar), 6)],
+            "n_violations": pd.Series([viol], dtype="int64"),
+        }
+    )
+
+
+P_CHART_DAILY_RETURNS_SQL = """
+WITH d AS (
+  SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem GROUP BY 1
+),
+pb AS (SELECT sum(r) * 1.0 / sum(n) AS pbar FROM d)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+       round((SELECT pbar FROM pb), 6) AS pbar,
+       (SELECT CAST(count(*) AS BIGINT) FROM d, pb
+        WHERE r * 1.0 / n > pbar + 3.0 * sqrt(pbar * (1 - pbar) / n)
+           OR r * 1.0 / n < pbar - 3.0 * sqrt(pbar * (1 - pbar) / n)) AS n_violations
+FROM pb
+"""
