@@ -6815,3 +6815,168 @@ SELECT CAST(n AS BIGINT) AS n_days, round(bias, 6) AS bias,
        round(bias + 1.96 * sdd, 6) AS loa_hi
 FROM f
 """
+
+def hourly_profile_stability(sf_dir: str) -> pd.DataFrame:
+    """Stability of the daily activity rhythm: the mean cosine
+    similarity between each day's 24-bin hourly event-count profile
+    and the profile 1 day later, and 7 days later — near-1 at lag 7
+    with a dip at lag 1 is the weekly-rhythm signature the
+    autocorrelation of raw counts can't localize to the SHAPE of the
+    day.
+
+    ONE bucketed (day, hour) count grid; the (days x 24) profile
+    matrix is result-sized and the lag cosines are vectorized on the
+    driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": df["ts"].dt.normalize(),
+                "h": df["ts"].dt.hour.astype("int64"),
+                "one": np.int64(1),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "h"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="day", columns="h", values="c", fill_value=0)
+        .reindex(columns=range(24), fill_value=0)
+        .sort_index()
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    m = grid.reindex(full_days).fillna(0).to_numpy("int64").astype("float64")
+    norms = np.sqrt((m * m).sum(axis=1))
+    rows = []
+    for lag in (1, 7):
+        a, b = m[:-lag], m[lag:]
+        na, nb = norms[:-lag], norms[lag:]
+        ok = (na > 0) & (nb > 0)
+        cos = ((a * b).sum(axis=1)[ok]) / (na[ok] * nb[ok])
+        rows.append((lag, int(ok.sum()), round(float(cos.sum() / ok.sum()), 6)))
+    return pd.DataFrame(
+        {
+            "day_lag": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_pairs": pd.Series([r[1] for r in rows], dtype="int64"),
+            "mean_cosine": [r[2] for r in rows],
+        }
+    )
+
+
+HOURLY_PROFILE_STABILITY_SQL = """
+WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS day),
+hrs AS (SELECT unnest(range(0, 24)) AS h),
+c AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(date_part('hour', ts) AS BIGINT) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(days.day AS DATE) AS day, hrs.h, coalesce(c.n, 0) AS n
+  FROM days CROSS JOIN hrs
+  LEFT JOIN c ON c.day = CAST(days.day AS DATE) AND c.h = hrs.h
+),
+lags AS (SELECT unnest([1, 7]) AS lag),
+pair AS (
+  SELECT lags.lag, a.day AS d,
+         sum(a.n * 1.0 * bb.n) AS dot,
+         sqrt(sum(a.n * 1.0 * a.n)) AS na,
+         sqrt(sum(bb.n * 1.0 * bb.n)) AS nb
+  FROM g a
+  JOIN lags ON true
+  JOIN g bb ON bb.day = a.day + CAST(lags.lag || ' day' AS INTERVAL) AND bb.h = a.h
+  GROUP BY 1, 2
+)
+SELECT CAST(lag AS BIGINT) AS day_lag,
+       CAST(count(*) FILTER (WHERE na > 0 AND nb > 0) AS BIGINT) AS n_pairs,
+       round(sum(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END)
+             / count(*) FILTER (WHERE na > 0 AND nb > 0), 6) AS mean_cosine
+FROM pair GROUP BY lag ORDER BY lag
+"""
+
+
+def weekday_weekend_hourly_js(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the WEEKDAY and WEEKEND
+    hour-of-day event profiles — "does the clock of activity change
+    on weekends", the calendar companion of the view-vs-purchase
+    profile divergence.
+
+    ONE bucketed (hour, is_weekend) count grid (48 cells); entropy
+    arithmetic on exact integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": df["ts"].dt.hour.astype("int64"),
+                "w": (df["ts"].dt.dayofweek >= 5).astype("int64"),
+                "one": np.int64(1),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["h", "w"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="h", columns="w", values="c", fill_value=0)
+        .reindex(index=range(24), columns=[0, 1], fill_value=0)
+    )
+    wd = grid[0].to_numpy("int64").astype("float64")
+    we = grid[1].to_numpy("int64").astype("float64")
+    p = wd / wd.sum()
+    q = we / we.sum()
+    m = (p + q) / 2.0
+
+    def _h(d: np.ndarray) -> float:
+        nz = d[d > 0]
+        return float(-(nz * np.log(nz)).sum())
+
+    jsd = _h(m) - (_h(p) + _h(q)) / 2.0
+    return pd.DataFrame(
+        {
+            "n_weekday": pd.Series([int(wd.sum())], dtype="int64"),
+            "n_weekend": pd.Series([int(we.sum())], dtype="int64"),
+            "jsd_nats": [round(jsd, 6)],
+        }
+    )
+
+
+WEEKDAY_WEEKEND_HOURLY_JS_SQL = """
+WITH g AS (
+  SELECT CAST(date_part('hour', ts) AS BIGINT) AS h,
+         count(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS we,
+         count(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS wd
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(wd) AS nwd, sum(we) AS nwe FROM g),
+d AS (
+  SELECT wd * 1.0 / (SELECT nwd FROM tot) AS p,
+         we * 1.0 / (SELECT nwe FROM tot) AS q
+  FROM g
+),
+e AS (
+  SELECT
+    -sum(CASE WHEN (p + q) > 0 THEN ((p + q) / 2.0) * ln((p + q) / 2.0) ELSE 0 END) AS hm,
+    -sum(CASE WHEN p > 0 THEN p * ln(p) ELSE 0 END) AS hp,
+    -sum(CASE WHEN q > 0 THEN q * ln(q) ELSE 0 END) AS hq
+  FROM d
+)
+SELECT (SELECT CAST(nwd AS BIGINT) FROM tot) AS n_weekday,
+       (SELECT CAST(nwe AS BIGINT) FROM tot) AS n_weekend,
+       round(hm - (hp + hq) / 2.0, 6) AS jsd_nats
+FROM e
+"""

@@ -18712,3 +18712,287 @@ SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
            OR r * 1.0 / n < pbar - 3.0 * sqrt(pbar * (1 - pbar) / n)) AS n_violations
 FROM pb
 """
+
+def seasonal_mann_kendall_monthly_revenue(sf_dir: str) -> pd.DataFrame:
+    """Seasonal Mann-Kendall trend test of monthly revenue: pairwise
+    sign sums computed WITHIN each calendar month across years
+    (January-vs-January, never January-vs-July), S = SUM_m S_m with
+    Var = SUM_m n_m(n_m-1)(2n_m+5)/18 and the usual continuity-
+    corrected z — the seasonality-immune upgrade of the plain
+    Mann-Kendall daily test.
+
+    ONE bucketed (year, month) integer-cents grid (~84 cells); the
+    within-month pairwise scan is exact integer arithmetic."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "m": df["o_orderdate"].dt.month.astype("int64"),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["y", "m"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["m", "y"])
+        .reset_index(drop=True)
+    )
+    s_tot = 0
+    var = 0.0
+    for m, sub in grid.groupby("m"):
+        x = sub.sort_values("y")["rev"].to_numpy("int64")
+        nm = len(x)
+        s_tot += int(np.sign(x[None, :] - x[:, None])[np.triu_indices(nm, 1)].sum())
+        var += nm * (nm - 1.0) * (2.0 * nm + 5.0) / 18.0
+    if s_tot > 0:
+        z = (s_tot - 1) / np.sqrt(var)
+    elif s_tot < 0:
+        z = (s_tot + 1) / np.sqrt(var)
+    else:
+        z = 0.0
+    return pd.DataFrame(
+        {
+            "n_cells": pd.Series([len(grid)], dtype="int64"),
+            "s": pd.Series([s_tot], dtype="int64"),
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+SEASONAL_MANN_KENDALL_MONTHLY_REVENUE_SQL = """
+WITH g AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+p AS (
+  SELECT sum(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s
+  FROM g a JOIN g b ON a.m = b.m AND a.y < b.y
+),
+v AS (
+  SELECT sum(nm * (nm - 1.0) * (2.0 * nm + 5.0) / 18.0) AS var
+  FROM (SELECT m, count(*) AS nm FROM g GROUP BY m)
+),
+c AS (SELECT count(*) AS nc FROM g)
+SELECT CAST(nc AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var)
+                  ELSE 0.0 END, 6) AS z
+FROM p, v, c
+"""
+
+
+def cox_stuart_trend_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Cox-Stuart sign test for trend in daily revenue: pair day i
+    with day i + n/2 (first half vs second half, middle day dropped
+    when n is odd), count positive and negative changes, and z-score
+    the positive count against Binomial(m, 1/2) with continuity
+    correction — the distribution-free quick check beside
+    Mann-Kendall's full pairwise scan.
+
+    ONE bucketed per-day integer-cents aggregate; the paired
+    comparison is a vectorized shift on the day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64")
+    n = len(y)
+    h = n // 2
+    a = y[:h]
+    b = y[n - h :]
+    d = b - a
+    pos = int((d > 0).sum())
+    neg = int((d < 0).sum())
+    m = pos + neg
+    z = (pos - 0.5 * m - (0.5 if pos > m / 2.0 else -0.5 if pos < m / 2.0 else 0.0)) / np.sqrt(
+        m / 4.0
+    )
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([m], dtype="int64"),
+            "n_pos": pd.Series([pos], dtype="int64"),
+            "n_neg": pd.Series([neg], dtype="int64"),
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+COX_STUART_TREND_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT rev, row_number() OVER (ORDER BY day) - 1 AS i,
+         count(*) OVER () AS n
+  FROM d
+),
+p AS (
+  SELECT a.rev AS x, b.rev AS y
+  FROM r a JOIN r b ON b.i = a.i + (a.n - a.n // 2)
+  WHERE a.i < a.n // 2
+),
+agg AS (
+  SELECT sum(CASE WHEN y > x THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN y < x THEN 1 ELSE 0 END) AS neg
+  FROM p
+),
+c AS (SELECT pos, neg, pos + neg AS m FROM agg)
+SELECT CAST(m AS BIGINT) AS n_pairs, CAST(pos AS BIGINT) AS n_pos,
+       CAST(neg AS BIGINT) AS n_neg,
+       round((pos - 0.5 * m - (CASE WHEN pos > m / 2.0 THEN 0.5
+                                    WHEN pos < m / 2.0 THEN -0.5 ELSE 0.0 END))
+             / sqrt(m / 4.0), 6) AS z
+FROM c
+"""
+
+def grubbs_max_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Grubbs' test statistic for the largest daily-revenue outlier:
+    G = (max - mean) / sd (sample sd) — "how many standard deviations
+    does the best day stick out", the parametric member of the
+    outlier-screen family beside the IQR fences.
+
+    ONE bucketed per-day integer-cents aggregate; mean/sd/max are
+    scalar arithmetic on exact integer moments."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+    )
+    y = daily["rev"].to_numpy("int64")
+    n = len(y)
+    s1 = int(y.sum())
+    s2 = int((y.astype("float64") * y.astype("float64")).sum())
+    mu = s1 * 1.0 / n
+    sd = np.sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1))
+    g = (int(y.max()) - mu) / sd
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "grubbs_g": [round(float(g), 6)],
+        }
+    )
+
+
+GRUBBS_MAX_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS n, sum(rev) AS s1, sum(rev * 1.0 * rev) AS s2, max(rev) AS mx
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((mx - s1 * 1.0 / n) / sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)), 6) AS grubbs_g
+FROM s
+"""
+
+
+def dixon_q_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Dixon's Q (r10) for the top daily-revenue value: Q =
+    (max - second_max) / (max - min) — the gap-based outlier screen
+    that needs only three order statistics, each reachable by
+    per-batch partial top-2/min combines (the day series never has
+    to be sorted globally).
+
+    Per-batch partials over the bucketed day aggregate; three
+    integers reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "day": df["o_orderdate"].dt.normalize(),
+                    "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["day"],
+        {"rev": ("rev_c", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["rev"].to_numpy("int64"))
+        return pd.DataFrame(
+            {
+                "mx1": [np.int64(v[-1])],
+                "mx2": [np.int64(v[-2] if len(v) > 1 else v[-1])],
+                "mn": [np.int64(v[0])],
+            }
+        )
+
+    parts = daily.map_batches(_partial, batch_format="pandas").to_pandas()
+    tops = np.sort(np.concatenate([parts["mx1"].to_numpy("int64"), parts["mx2"].to_numpy("int64")]))
+    mx1, mx2 = int(tops[-1]), int(tops[-2])
+    mn = int(parts["mn"].min())
+    q = (mx1 - mx2) * 1.0 / (mx1 - mn)
+    return pd.DataFrame(
+        {
+            "max_rev_cents": pd.Series([mx1], dtype="int64"),
+            "gap_cents": pd.Series([mx1 - mx2], dtype="int64"),
+            "dixon_q": [round(q, 6)],
+        }
+    )
+
+
+DIXON_Q_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+o AS (SELECT rev FROM d ORDER BY rev DESC LIMIT 2),
+s AS (
+  SELECT (SELECT max(rev) FROM o) AS mx1,
+         (SELECT min(rev) FROM o) AS mx2,
+         (SELECT min(rev) FROM d) AS mn
+)
+SELECT CAST(mx1 AS BIGINT) AS max_rev_cents,
+       CAST(mx1 - mx2 AS BIGINT) AS gap_cents,
+       round((mx1 - mx2) * 1.0 / (mx1 - mn), 6) AS dixon_q
+FROM s
+"""

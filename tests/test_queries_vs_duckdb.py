@@ -372,6 +372,28 @@ SUBSET = [
     "hellinger_hourly_profiles",
     "lin_ccc_views_purchases",
     "bland_altman_views_purchases",
+    "seasonal_mann_kendall_monthly_revenue",
+    "cox_stuart_trend_daily_revenue",
+    "grubbs_max_daily_revenue",
+    "dixon_q_daily_revenue",
+    "hourly_profile_stability",
+    "weekday_weekend_hourly_js",
+    "kpss_daily_revenue",
+    "variance_ratio_daily_revenue",
+    "cohens_d_price_returned",
+    "f_test_price_returned",
+    "weibull_fit_order_gaps",
+    "source_vocab_dice_overlap",
+    "participation_ratio_embeddings",
+    "embedding_isotropy_offdiag",
+    "goodman_kruskal_lambda_priority_status",
+    "theil_u_priority_status",
+    "monetary_unit_sample_orders",
+    "benford_second_digit_prices",
+    "abc_analysis_parts",
+    "xyz_analysis_parts",
+    "xmr_control_daily_revenue",
+    "p_chart_daily_returns",
 ]
 
 
