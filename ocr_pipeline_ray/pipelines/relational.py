@@ -18996,3 +18996,204 @@ SELECT CAST(mx1 AS BIGINT) AS max_rev_cents,
        round((mx1 - mx2) * 1.0 / (mx1 - mn), 6) AS dixon_q
 FROM s
 """
+
+def median_time_to_repurchase(sf_dir: str) -> pd.DataFrame:
+    """Median survival time of the time-to-repurchase process: the
+    earliest event time where the Kaplan-Meier curve falls to 0.5 or
+    below (right-censored at the corpus max date like the KM/NA
+    queries) — the single most-quoted survival summary, plus the
+    curve value just before and at the crossing for context.
+
+    Same distributed shape as kaplan_meier_repurchase: per-batch
+    two-smallest order dates per customer, ONE custkey-bucket
+    shuffle, histogram reduce; the crossing scan runs on the
+    result-sized curve."""
+    num_buckets = 32
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        out = pd.DataFrame({"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64")})
+        return out.groupby(["t", "ev"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev"], as_index=False)["cnt"]
+        .sum()
+    )
+    all_t = hist.groupby("t")["cnt"].sum().sort_index()
+    total = int(all_t.sum())
+    risk = total - all_t.cumsum().shift(fill_value=0)
+    evt = hist[hist["ev"] == 1].groupby("t")["cnt"].sum().sort_index()
+    n = risk.reindex(evt.index).to_numpy("float64")
+    d = evt.to_numpy("float64")
+    surv = np.cumprod(1.0 - d / n)
+    sr = np.round(surv, 6)
+    idx = int(np.argmax(sr <= 0.5)) if (sr <= 0.5).any() else -1
+    t_med = int(evt.index[idx]) if idx >= 0 else -1
+    s_at = float(sr[idx]) if idx >= 0 else float(sr[-1])
+    return pd.DataFrame(
+        {
+            "median_t_days": pd.Series([t_med], dtype="int64"),
+            "s_at_median": [round(s_at, 6)],
+        }
+    )
+
+
+MEDIAN_TIME_TO_REPURCHASE_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY o_custkey
+),
+dur AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, (SELECT md FROM mx)) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+evt AS (SELECT t, count(*) AS d FROM dur WHERE ev = 1 GROUP BY t),
+risk AS (
+  SELECT e.t, e.d,
+         (SELECT count(*) FROM dur WHERE dur.t >= e.t) AS n
+  FROM evt e
+),
+km AS (
+  SELECT t, round(product(1.0 - CAST(d AS DOUBLE) / n) OVER (ORDER BY t), 6) AS s
+  FROM risk
+),
+cr AS (SELECT t, s FROM km WHERE s <= 0.5 ORDER BY t LIMIT 1)
+SELECT coalesce((SELECT CAST(t AS BIGINT) FROM cr), -1) AS median_t_days,
+       coalesce((SELECT s FROM cr), (SELECT s FROM km ORDER BY t DESC LIMIT 1)) AS s_at_median
+"""
+
+
+def repurchase_incidence_horizons(sf_dir: str) -> pd.DataFrame:
+    """Cumulative incidence of repurchase at fixed horizons (30 / 90 /
+    365 days): 1 - S(h) with S the Kaplan-Meier step curve evaluated
+    at each horizon (last event time <= h) — the 'what fraction
+    reordered within a month / quarter / year' summary a retention
+    dashboard actually displays.
+
+    Same KM histogram machinery; the step-function lookup runs on the
+    result-sized curve."""
+    num_buckets = 32
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        out = pd.DataFrame({"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64")})
+        return out.groupby(["t", "ev"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev"], as_index=False)["cnt"]
+        .sum()
+    )
+    all_t = hist.groupby("t")["cnt"].sum().sort_index()
+    total = int(all_t.sum())
+    risk = total - all_t.cumsum().shift(fill_value=0)
+    evt = hist[hist["ev"] == 1].groupby("t")["cnt"].sum().sort_index()
+    n = risk.reindex(evt.index).to_numpy("float64")
+    d = evt.to_numpy("float64")
+    surv = np.round(np.cumprod(1.0 - d / n), 6)
+    times = evt.index.to_numpy("int64")
+    rows = []
+    for h in (30, 90, 365):
+        j = int(np.searchsorted(times, h, side="right")) - 1
+        s = float(surv[j]) if j >= 0 else 1.0
+        rows.append((h, round(1.0 - s, 6)))
+    return pd.DataFrame(
+        {
+            "horizon_days": pd.Series([r[0] for r in rows], dtype="int64"),
+            "incidence": [r[1] for r in rows],
+        }
+    )
+
+
+REPURCHASE_INCIDENCE_HORIZONS_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT o_custkey,
+         min(CASE WHEN rn = 1 THEN o_orderdate END) AS d1,
+         min(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY o_custkey
+),
+dur AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, (SELECT md FROM mx)) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+),
+evt AS (SELECT t, count(*) AS d FROM dur WHERE ev = 1 GROUP BY t),
+risk AS (
+  SELECT e.t, e.d,
+         (SELECT count(*) FROM dur WHERE dur.t >= e.t) AS n
+  FROM evt e
+),
+km AS (
+  SELECT t, round(product(1.0 - CAST(d AS DOUBLE) / n) OVER (ORDER BY t), 6) AS s
+  FROM risk
+),
+hz AS (SELECT unnest([30, 90, 365]) AS h)
+SELECT CAST(h AS BIGINT) AS horizon_days,
+       round(1.0 - coalesce((SELECT s FROM km WHERE t <= h ORDER BY t DESC LIMIT 1), 1.0), 6)
+         AS incidence
+FROM hz ORDER BY h
+"""

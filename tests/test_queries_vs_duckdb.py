@@ -394,6 +394,8 @@ SUBSET = [
     "xyz_analysis_parts",
     "xmr_control_daily_revenue",
     "p_chart_daily_returns",
+    "median_time_to_repurchase",
+    "repurchase_incidence_horizons",
 ]
 
 
