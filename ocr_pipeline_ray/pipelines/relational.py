@@ -19197,3 +19197,169 @@ SELECT CAST(h AS BIGINT) AS horizon_days,
          AS incidence
 FROM hz ORDER BY h
 """
+
+def blomqvist_beta_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Blomqvist's beta (medial correlation) between l_quantity and
+    l_discount: split at the two medians and compare concordant vs
+    discordant quadrant mass, beta = (n_cc + n_dd - n_cd - n_dc) / m
+    over the points strictly off both medians (median ties dropped,
+    documented) — the quadrant-sign member of the ordinal-association
+    family (gamma / Somers / Kendall already implemented).
+
+    The SAME ONE bucketed (quantity, discount) grid yields the exact
+    medians (interpolated middle pair) and every quadrant count."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_quantity", "l_discount"], as_index=False)
+            .size()
+            .rename(columns={"l_quantity": "q", "l_discount": "d", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["q", "d"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["q", "d"])
+        .reset_index(drop=True)
+    )
+
+    def _median(vals: np.ndarray, cnts: np.ndarray) -> float:
+        order = np.argsort(vals)
+        v = vals[order]
+        c = cnts[order]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        k1, k2 = (n - 1) // 2, n // 2
+        return (v[np.searchsorted(cum, k1 + 1)] + v[np.searchsorted(cum, k2 + 1)]) / 2.0
+
+    q = grid["q"].to_numpy("float64")
+    d = grid["d"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    mq = _median(grid.groupby("q")["c"].sum().index.to_numpy("float64"),
+                 grid.groupby("q")["c"].sum().to_numpy("int64"))
+    md = _median(grid.groupby("d")["c"].sum().index.to_numpy("float64"),
+                 grid.groupby("d")["c"].sum().to_numpy("int64"))
+    off = (q != mq) & (d != md)
+    conc = int(c[off & (((q > mq) & (d > md)) | ((q < mq) & (d < md)))].sum())
+    disc = int(c[off & (((q > mq) & (d < md)) | ((q < mq) & (d > md)))].sum())
+    m = conc + disc
+    return pd.DataFrame(
+        {
+            "n_offmedian": pd.Series([m], dtype="int64"),
+            "blomqvist_beta": [round((conc - disc) * 1.0 / m, 6)],
+        }
+    )
+
+
+BLOMQVIST_BETA_QUANTITY_DISCOUNT_SQL = """
+WITH mq AS (SELECT median(l_quantity) AS m FROM lineitem),
+md AS (SELECT median(l_discount) AS m FROM lineitem),
+s AS (
+  SELECT
+    sum(CASE WHEN (l_quantity > (SELECT m FROM mq) AND l_discount > (SELECT m FROM md))
+              OR (l_quantity < (SELECT m FROM mq) AND l_discount < (SELECT m FROM md))
+             THEN 1 ELSE 0 END) AS conc,
+    sum(CASE WHEN (l_quantity > (SELECT m FROM mq) AND l_discount < (SELECT m FROM md))
+              OR (l_quantity < (SELECT m FROM mq) AND l_discount > (SELECT m FROM md))
+             THEN 1 ELSE 0 END) AS disc
+  FROM lineitem
+)
+SELECT CAST(conc + disc AS BIGINT) AS n_offmedian,
+       round((conc - disc) * 1.0 / (conc + disc), 6) AS blomqvist_beta
+FROM s
+"""
+
+
+def footrule_nation_revenue_yoy(sf_dir: str, y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """Spearman footrule distance between the nation revenue rankings
+    of two consecutive years: F = SUM |rank_1996 - rank_1997| over
+    nations present in both years (ranks by descending revenue, ties
+    by nation key), normalized by the maximum floor(k^2/2) — the
+    L1 rank-stability companion of the top-k Jaccard / RBO
+    leaderboard queries.
+
+    Customer->nation is a broadcast dimension join; ONE bucketed
+    (nation, year) integer-cents grid; ranking on the ~50-cell
+    result."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nat_ref)
+        y = df["o_orderdate"].dt.year.astype("int64")
+        sel = (y == y0) | (y == y1)
+        return pd.DataFrame(
+            {
+                "n": nm.reindex(df["o_custkey"]).to_numpy("int64")[sel],
+                "y": y[sel].to_numpy(),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64")[sel],
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["n", "y"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="n", columns="y", values="rev")
+        .dropna()
+        .astype("int64")
+    )
+    k = len(grid)
+
+    def _ranks(col):
+        order = grid[col].reset_index().sort_values([col, "n"], ascending=[False, True])
+        rk = pd.Series(np.arange(1, k + 1, dtype="int64"), index=order["n"].to_numpy())
+        return rk
+
+    rk0 = _ranks(y0)
+    rk1 = _ranks(y1)
+    f = int(np.abs(rk0.sort_index().to_numpy() - rk1.sort_index().to_numpy()).sum())
+    fmax = (k * k) // 2
+    return pd.DataFrame(
+        {
+            "n_nations": pd.Series([k], dtype="int64"),
+            "footrule": pd.Series([f], dtype="int64"),
+            "footrule_norm": [round(f * 1.0 / fmax, 6)],
+        }
+    )
+
+
+def footrule_nation_revenue_yoy_sql(y0: int = 1996, y1: int = 1997) -> str:
+    return f"""
+WITH g AS (
+  SELECT c_nationkey AS n, year(o_orderdate) AS y,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN ({y0}, {y1})
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT a.n, a.rev AS r0, c.rev AS r1
+  FROM (SELECT * FROM g WHERE y = {y0}) a
+  JOIN (SELECT * FROM g WHERE y = {y1}) c USING (n)
+),
+rk AS (
+  SELECT n,
+         row_number() OVER (ORDER BY r0 DESC, n) AS k0,
+         row_number() OVER (ORDER BY r1 DESC, n) AS k1
+  FROM b
+),
+s AS (SELECT count(*) AS k, sum(abs(k0 - k1)) AS f FROM rk)
+SELECT CAST(k AS BIGINT) AS n_nations, CAST(f AS BIGINT) AS footrule,
+       round(f * 1.0 / ((k * k) // 2), 6) AS footrule_norm
+FROM s
+"""
+
+
+FOOTRULE_NATION_REVENUE_YOY_SQL = footrule_nation_revenue_yoy_sql()
