@@ -6980,3 +6980,147 @@ SELECT (SELECT CAST(nwd AS BIGINT) FROM tot) AS n_weekday,
        round(hm - (hp + hq) / 2.0, 6) AS jsd_nats
 FROM e
 """
+
+def allan_variance_event_rate(sf_dir: str) -> pd.DataFrame:
+    """Allan variance of the hourly event rate at window sizes
+    m in {1, 2, 4, 8, 16} hours: AVAR(m) = mean of
+    (ybar_{k+1} - ybar_k)^2 / 2 over adjacent NON-overlapping
+    m-hour window means — the clock-stability view of rate noise
+    (white noise falls as 1/m; drifting rates flatten out), the
+    engineering cousin of the variance-time curve.
+
+    ONE bucketed per-hour count grid (zero hours implicit via the
+    full hour index); the windowing is vectorized on the ~n_hours
+    series."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hr": df["ts"].dt.floor("h"), "one": np.int64(1)})
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["hr"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .set_index("hr")["c"]
+    )
+    full = pd.date_range(grid.index.min(), grid.index.max(), freq="h")
+    y = grid.reindex(full).fillna(0).to_numpy("int64")
+    rows = []
+    for m in (1, 2, 4, 8, 16):
+        k = len(y) // m
+        s = y[: k * m].reshape(k, m).sum(axis=1).astype("float64") / m
+        d = np.diff(s)
+        av = float((d * d).sum()) / (2.0 * (k - 1))
+        rows.append((m, k, round(av, 6)))
+    return pd.DataFrame(
+        {
+            "window_hours": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_windows": pd.Series([r[1] for r in rows], dtype="int64"),
+            "allan_var": [r[2] for r in rows],
+        }
+    )
+
+
+ALLAN_VARIANCE_EVENT_RATE_SQL = """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hr
+),
+c AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1),
+g AS (
+  SELECT row_number() OVER (ORDER BY hrs.hr) - 1 AS i, coalesce(c.n, 0) AS n
+  FROM hrs LEFT JOIN c ON c.hr = hrs.hr
+),
+ms AS (SELECT unnest([1, 2, 4, 8, 16]) AS m),
+w AS (
+  SELECT ms.m AS m, g.i // ms.m AS k, sum(g.n) * 1.0 / ms.m AS ybar, count(*) AS cnt
+  FROM g, ms GROUP BY 1, 2
+),
+f AS (SELECT m, k, ybar FROM w WHERE cnt = m),
+d AS (
+  SELECT m, ybar - lag(ybar) OVER (PARTITION BY m ORDER BY k) AS dd
+  FROM f
+)
+SELECT CAST(m AS BIGINT) AS window_hours,
+       CAST(count(*) + 1 AS BIGINT) AS n_windows,
+       round(sum(dd * dd) / (2.0 * count(*)), 6) AS allan_var
+FROM d WHERE dd IS NOT NULL GROUP BY m ORDER BY m
+"""
+
+
+def variance_time_curve_events(sf_dir: str) -> pd.DataFrame:
+    """Variance-time curve of hourly event counts: the index of
+    dispersion (variance / mean of NON-overlapping m-hour block
+    SUMS) at m in {1, 2, 4, 8, 16} — flat near 1 for Poisson
+    traffic, growing with m under long-range dependence (the
+    Leland-style self-similarity check that complements the Hurst
+    and Taylor's-law estimates).
+
+    Same ONE per-hour grid; block sums stay exact integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hr": df["ts"].dt.floor("h"), "one": np.int64(1)})
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["hr"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .set_index("hr")["c"]
+    )
+    full = pd.date_range(grid.index.min(), grid.index.max(), freq="h")
+    y = grid.reindex(full).fillna(0).to_numpy("int64")
+    rows = []
+    for m in (1, 2, 4, 8, 16):
+        k = len(y) // m
+        s = y[: k * m].reshape(k, m).sum(axis=1)
+        s1 = int(s.sum())
+        s2 = float((s.astype("float64") * s.astype("float64")).sum())
+        mu = s1 * 1.0 / k
+        var = s2 / k - mu * mu
+        rows.append((m, k, round(var / mu, 6)))
+    return pd.DataFrame(
+        {
+            "window_hours": pd.Series([r[0] for r in rows], dtype="int64"),
+            "n_windows": pd.Series([r[1] for r in rows], dtype="int64"),
+            "dispersion_index": [r[2] for r in rows],
+        }
+    )
+
+
+VARIANCE_TIME_CURVE_EVENTS_SQL = """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hr
+),
+c AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1),
+g AS (
+  SELECT row_number() OVER (ORDER BY hrs.hr) - 1 AS i, coalesce(c.n, 0) AS n
+  FROM hrs LEFT JOIN c ON c.hr = hrs.hr
+),
+ms AS (SELECT unnest([1, 2, 4, 8, 16]) AS m),
+w AS (
+  SELECT ms.m AS m, g.i // ms.m AS k, sum(g.n) AS s, count(*) AS cnt
+  FROM g, ms GROUP BY 1, 2
+),
+f AS (SELECT m, s FROM w WHERE cnt = m),
+agg AS (
+  SELECT m, count(*) AS k, sum(s) AS s1, sum(s * 1.0 * s) AS s2
+  FROM f GROUP BY m
+)
+SELECT CAST(m AS BIGINT) AS window_hours, CAST(k AS BIGINT) AS n_windows,
+       round((s2 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k)) / (s1 * 1.0 / k), 6) AS dispersion_index
+FROM agg ORDER BY m
+"""

@@ -19363,3 +19363,157 @@ FROM s
 
 
 FOOTRULE_NATION_REVENUE_YOY_SQL = footrule_nation_revenue_yoy_sql()
+
+def risk_measures_urgent_return(sf_dir: str) -> pd.DataFrame:
+    """Epidemiology-style 2x2 effect measures for 'does URGENT order
+    priority raise the return rate': risk ratio, odds ratio, risk
+    difference and number-needed-to-treat (1/|RD|) from the exact
+    (urgent, returned) contingency counts — the plain-2x2 companion
+    of the stratified Mantel-Haenszel query.
+
+    One orderkey hash join attaches the exposure to lineitem; four
+    integer cells reach the driver."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "z": (df["o_orderpriority"] == "1-URGENT").to_numpy("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = shuffle_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["o_orderkey", "r"], right_cols=["o_orderkey", "z"],
+    )
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"z": df["z"], "n": 1, "r": df["r"]})
+        return out.groupby("z", as_index=False).sum()
+
+    m = (
+        j.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby("z", as_index=False)
+        .sum()
+        .set_index("z")
+    )
+    n1, r1 = int(m.loc[1, "n"]), int(m.loc[1, "r"])
+    n0, r0 = int(m.loc[0, "n"]), int(m.loc[0, "r"])
+    p1, p0 = r1 * 1.0 / n1, r0 * 1.0 / n0
+    rr = p1 / p0
+    orr = (r1 * 1.0 * (n0 - r0)) / (r0 * 1.0 * (n1 - r1))
+    rd = p1 - p0
+    return pd.DataFrame(
+        {
+            "n_exposed": pd.Series([n1], dtype="int64"),
+            "n_control": pd.Series([n0], dtype="int64"),
+            "risk_ratio": [round(rr, 6)],
+            "odds_ratio": [round(orr, 6)],
+            "risk_diff": [round(rd, 6)],
+            "nnt": [round(1.0 / abs(rd), 6)],
+        }
+    )
+
+
+RISK_MEASURES_URGENT_RETURN_SQL = """
+WITH j AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS z,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+m AS (
+  SELECT sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN z = 1 THEN r ELSE 0 END) AS r1,
+         sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN z = 0 THEN r ELSE 0 END) AS r0
+  FROM j
+)
+SELECT CAST(n1 AS BIGINT) AS n_exposed, CAST(n0 AS BIGINT) AS n_control,
+       round((r1 * 1.0 / n1) / (r0 * 1.0 / n0), 6) AS risk_ratio,
+       round((r1 * 1.0 * (n0 - r0)) / (r0 * 1.0 * (n1 - r1)), 6) AS odds_ratio,
+       round(r1 * 1.0 / n1 - r0 * 1.0 / n0, 6) AS risk_diff,
+       round(1.0 / abs(r1 * 1.0 / n1 - r0 * 1.0 / n0), 6) AS nnt
+FROM m
+"""
+
+
+def cohens_h_urgent_return(sf_dir: str) -> pd.DataFrame:
+    """Cohen's h effect size for the urgent-vs-rest return-rate gap:
+    h = 2*asin(sqrt(p1)) - 2*asin(sqrt(p0)) — the variance-
+    stabilized proportion difference used for power analysis, the
+    magnitude companion of the 2x2 risk measures.
+
+    Same one orderkey hash join; two proportions reach the driver."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].to_numpy("int64"),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy("int64"),
+                "z": (df["o_orderpriority"] == "1-URGENT").to_numpy("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    j = shuffle_hash_join(
+        li, orders, on="o_orderkey",
+        left_cols=["o_orderkey", "r"], right_cols=["o_orderkey", "z"],
+    )
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"z": df["z"], "n": 1, "r": df["r"]})
+        return out.groupby("z", as_index=False).sum()
+
+    m = (
+        j.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby("z", as_index=False)
+        .sum()
+        .set_index("z")
+    )
+    p1 = int(m.loc[1, "r"]) * 1.0 / int(m.loc[1, "n"])
+    p0 = int(m.loc[0, "r"]) * 1.0 / int(m.loc[0, "n"])
+    h = 2.0 * np.arcsin(np.sqrt(p1)) - 2.0 * np.arcsin(np.sqrt(p0))
+    return pd.DataFrame(
+        {
+            "p_exposed": [round(p1, 6)],
+            "p_control": [round(p0, 6)],
+            "cohens_h": [round(float(h), 6)],
+        }
+    )
+
+
+COHENS_H_URGENT_RETURN_SQL = """
+WITH j AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS z,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+m AS (
+  SELECT sum(CASE WHEN z = 1 THEN r ELSE 0 END) * 1.0
+           / sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS p1,
+         sum(CASE WHEN z = 0 THEN r ELSE 0 END) * 1.0
+           / sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS p0
+  FROM j
+)
+SELECT round(p1, 6) AS p_exposed, round(p0, 6) AS p_control,
+       round(2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p0)), 6) AS cohens_h
+FROM m
+"""
