@@ -19517,3 +19517,146 @@ SELECT round(p1, 6) AS p_exposed, round(p0, 6) AS p_control,
        round(2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p0)), 6) AS cohens_h
 FROM m
 """
+
+def ks_balance_customer_supplier(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the CUSTOMER
+    and SUPPLIER account-balance distributions: D = max |F_c - F_s|
+    over the pooled value domain (exact integer cents), with the
+    scaled statistic sqrt(n1*n2/(n1+n2)) * D — do the two ledgers
+    draw from the same balance process?
+
+    Each side reduces to a value-domain histogram through ONE
+    bucketed aggregate; the CDF merge runs on the result-sized
+    domain."""
+    cust = _read(sf_dir, "customer", columns=["c_acctbal"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"v": np.round(df["c_acctbal"].to_numpy("float64") * 100).astype("int64"),
+             "side": "c", "one": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_acctbal"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"v": np.round(df["s_acctbal"].to_numpy("float64") * 100).astype("int64"),
+             "side": "s", "one": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+    grid = (
+        bucketed_aggregate(
+            cust.union(supp), ["v", "side"], {"c": ("one", "sum")}, num_buckets=16
+        )
+        .to_pandas()
+        .pivot_table(index="v", columns="side", values="c", fill_value=0)
+        .reindex(columns=["c", "s"], fill_value=0)
+        .sort_index()
+    )
+    n1 = int(grid["c"].sum())
+    n2 = int(grid["s"].sum())
+    f1 = grid["c"].cumsum().to_numpy("int64") * 1.0 / n1
+    f2 = grid["s"].cumsum().to_numpy("int64") * 1.0 / n2
+    d = float(np.abs(f1 - f2).max())
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n1], dtype="int64"),
+            "n_suppliers": pd.Series([n2], dtype="int64"),
+            "ks_d": [round(d, 6)],
+            "ks_scaled": [round(d * np.sqrt(n1 * 1.0 * n2 / (n1 + n2)), 6)],
+        }
+    )
+
+
+KS_BALANCE_CUSTOMER_SUPPLIER_SQL = """
+WITH u AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v, 1 AS c, 0 AS s FROM customer
+  UNION ALL
+  SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS v, 0 AS c, 1 AS s FROM supplier
+),
+g AS (SELECT v, sum(c) AS c, sum(s) AS s FROM u GROUP BY v),
+tot AS (SELECT sum(c) AS n1, sum(s) AS n2 FROM g),
+cum AS (
+  SELECT sum(c) OVER (ORDER BY v) * 1.0 / (SELECT n1 FROM tot) AS f1,
+         sum(s) OVER (ORDER BY v) * 1.0 / (SELECT n2 FROM tot) AS f2
+  FROM g
+),
+d AS (SELECT max(abs(f1 - f2)) AS d FROM cum)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_customers,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_suppliers,
+       round((SELECT d FROM d), 6) AS ks_d,
+       round((SELECT d FROM d)
+             * sqrt((SELECT n1 * 1.0 * n2 / (n1 + n2) FROM tot)), 6) AS ks_scaled
+"""
+
+
+def cochran_armitage_urgent_trend(sf_dir: str) -> pd.DataFrame:
+    """Cochran-Armitage test for a linear trend in the URGENT-priority
+    share across order years: with year-index scores w_i,
+    z = SUM r_i*(w_i - wbar_n) / sqrt(pbar*(1-pbar)*SUM n_i*(w_i -
+    wbar_n)^2) (wbar_n the count-weighted mean score) — "is the share
+    of urgent orders drifting monotonically over time", sharper than
+    the chi-square heterogeneity it decomposes.
+
+    ONE bucketed (year, urgent) count grid (~14 cells); exact integer
+    arithmetic to the final division."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "one": np.int64(1),
+                "r": (df["o_orderpriority"] == "1-URGENT").to_numpy("int64"),
+            }
+        ).groupby("y", as_index=False).sum()
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["y"],
+            {"n": ("one", "sum"), "r": ("r", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("y")
+        .reset_index(drop=True)
+    )
+    w = (grid["y"] - grid["y"].min()).to_numpy("int64").astype("float64")
+    n_i = grid["n"].to_numpy("int64").astype("float64")
+    r_i = grid["r"].to_numpy("int64").astype("float64")
+    nn = n_i.sum()
+    pbar = r_i.sum() / nn
+    wbar = (n_i * w).sum() / nn
+    num = (r_i * (w - wbar)).sum()
+    den = np.sqrt(pbar * (1.0 - pbar) * (n_i * (w - wbar) * (w - wbar)).sum())
+    return pd.DataFrame(
+        {
+            "n_years": pd.Series([len(grid)], dtype="int64"),
+            "urgent_share": [round(float(pbar), 6)],
+            "ca_z": [round(float(num / den), 6)],
+        }
+    )
+
+
+COCHRAN_ARMITAGE_URGENT_TREND_SQL = """
+WITH g AS (
+  SELECT year(o_orderdate) AS y, count(*) AS n,
+         sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS r
+  FROM orders GROUP BY 1
+),
+w AS (SELECT y, n, r, y - (SELECT min(y) FROM g) AS w FROM g),
+m AS (
+  SELECT sum(n) AS nn, sum(r) AS rr,
+         sum(n * w) * 1.0 / sum(n) AS wbar
+  FROM w
+),
+s AS (
+  SELECT sum(r * (w - (SELECT wbar FROM m))) AS num,
+         sum(n * (w - (SELECT wbar FROM m)) * (w - (SELECT wbar FROM m))) AS sw2
+  FROM w
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_years,
+       round((SELECT rr * 1.0 / nn FROM m), 6) AS urgent_share,
+       round((SELECT num FROM s)
+             / sqrt((SELECT rr * 1.0 / nn FROM m) * (1.0 - (SELECT rr * 1.0 / nn FROM m))
+                    * (SELECT sw2 FROM s)), 6) AS ca_z
+"""
