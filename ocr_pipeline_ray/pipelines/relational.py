@@ -19660,3 +19660,136 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_years,
              / sqrt((SELECT rr * 1.0 / nn FROM m) * (1.0 - (SELECT rr * 1.0 / nn FROM m))
                     * (SELECT sw2 FROM s)), 6) AS ca_z
 """
+
+def lorenz_asymmetry_customer_revenue(sf_dir: str) -> pd.DataFrame:
+    """Lorenz asymmetry coefficient of per-customer revenue:
+    S = F(mu) + L(mu), the population share below the mean plus the
+    revenue share they hold — S < 1 means inequality is driven by a
+    few very LARGE customers, S > 1 by many very small ones; the
+    directional diagnosis the Gini coefficient can't give.
+
+    Two passes over the SAME small keyed per-customer aggregate:
+    pass 1 yields exact integer (n, total), pass 2 broadcasts the
+    integer mean comparison n*x vs total (exact cross-multiplication,
+    no float mean) and emits below-mean count and revenue partials."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": df["o_custkey"],
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["c"],
+        {"x": ("rev_c", "sum")},
+        num_buckets=32,
+    ).materialize()
+
+    def _pass1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [np.int64(len(df))], "sx": [np.int64(df["x"].to_numpy("int64").sum())]}
+        )
+
+    s1 = per.map_batches(_pass1, batch_format="pandas").to_pandas().sum()
+    n, sx = int(s1["n"]), int(s1["sx"])
+
+    def _pass2(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy("int64")
+        below = x * n < sx
+        return pd.DataFrame(
+            {
+                "nb": [np.int64(below.sum())],
+                "sb": [np.int64(x[below].sum())],
+            }
+        )
+
+    s2 = per.map_batches(_pass2, batch_format="pandas").to_pandas().sum()
+    nb, sb = int(s2["nb"]), int(s2["sb"])
+    s = nb * 1.0 / n + sb * 1.0 / sx
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "f_below_mean": [round(nb * 1.0 / n, 6)],
+            "lorenz_asymmetry": [round(s, 6)],
+        }
+    )
+
+
+LORENZ_ASYMMETRY_CUSTOMER_REVENUE_SQL = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+m AS (SELECT count(*) AS n, sum(x) AS sx FROM per),
+b AS (
+  SELECT count(*) AS nb, sum(x) AS sb
+  FROM per, m WHERE x * n < sx
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_customers,
+       round((SELECT nb FROM b) * 1.0 / (SELECT n FROM m), 6) AS f_below_mean,
+       round((SELECT nb FROM b) * 1.0 / (SELECT n FROM m)
+             + (SELECT sb FROM b) * 1.0 / (SELECT sx FROM m), 6) AS lorenz_asymmetry
+"""
+
+
+def mld_customer_revenue(sf_dir: str) -> pd.DataFrame:
+    """Mean log deviation (Theil L / generalized entropy GE(0)) of
+    per-customer revenue: MLD = ln(mu) - mean(ln x) — the
+    bottom-sensitive member of the inequality family (Theil T is
+    top-sensitive; Atkinson(0.5) sits between): subgroup-decomposable
+    and zero iff perfectly equal.
+
+    One bucketed per-customer aggregate; the ln-partials are a second
+    vectorized pass, three scalars reach the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": df["o_custkey"],
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["c"],
+        {"x": ("rev_c", "sum")},
+        num_buckets=32,
+    )
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [np.int64(df["x"].to_numpy("int64").sum())],
+                "slx": [float(np.log(x).sum())],
+            }
+        )
+
+    s = per.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    n, sx, slx = int(s["n"]), int(s["sx"]), float(s["slx"])
+    mld = np.log(sx * 1.0 / n) - slx / n
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([n], dtype="int64"),
+            "mld": [round(float(mld), 6)],
+        }
+    )
+
+
+MLD_CUSTOMER_REVENUE_SQL = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(ln(x * 1.0)) AS slx FROM per)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(ln(sx * 1.0 / n) - slx / n, 6) AS mld
+FROM s
+"""
