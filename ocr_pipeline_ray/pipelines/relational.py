@@ -19793,3 +19793,122 @@ SELECT CAST(n AS BIGINT) AS n_customers,
        round(ln(sx * 1.0 / n) - slx / n, 6) AS mld
 FROM s
 """
+
+def _quantile_cont_from_grid(vals: np.ndarray, cnts: np.ndarray, p: float) -> float:
+    """quantile_cont(p) over grouped data: the linear interpolation at
+    position h = (n-1)*p of the sorted expansion, computed exactly
+    from a (value -> count) grid — matches DuckDB's quantile_cont."""
+    order = np.argsort(vals)
+    v = vals[order]
+    c = cnts[order]
+    n = int(c.sum())
+    h = (n - 1) * p
+    lo = int(np.floor(h))
+    cum = np.cumsum(c)
+    v_lo = float(v[np.searchsorted(cum, lo + 1)])
+    v_hi = float(v[np.searchsorted(cum, min(lo + 1, n - 1) + 1)])
+    return v_lo + (h - lo) * (v_hi - v_lo)
+
+
+def bowley_skewness_quantity(sf_dir: str) -> pd.DataFrame:
+    """Bowley (quartile) skewness of l_quantity:
+    B = (Q3 + Q1 - 2*Q2) / (Q3 - Q1) with quantile_cont quartiles
+    computed exactly from the bounded value-domain grid — the
+    outlier-immune skewness beside the moment-based skew/kurtosis
+    query.
+
+    ONE bucketed (quantity -> count) grid (<= 50 cells); the quantile
+    interpolation is exact arithmetic on cumulative counts."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_quantity", as_index=False).size().rename(
+            columns={"l_quantity": "q", "size": "c"}
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"), ["q"], {"c": ("c", "sum")}, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    v = grid["q"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    q1 = _quantile_cont_from_grid(v, c, 0.25)
+    q2 = _quantile_cont_from_grid(v, c, 0.5)
+    q3 = _quantile_cont_from_grid(v, c, 0.75)
+    return pd.DataFrame(
+        {
+            "q1": [round(q1, 6)],
+            "q2": [round(q2, 6)],
+            "q3": [round(q3, 6)],
+            "bowley_skew": [round((q3 + q1 - 2.0 * q2) / (q3 - q1), 6)],
+        }
+    )
+
+
+BOWLEY_SKEWNESS_QUANTITY_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_quantity, 0.25) AS q1,
+         quantile_cont(l_quantity, 0.5) AS q2,
+         quantile_cont(l_quantity, 0.75) AS q3
+  FROM lineitem
+)
+SELECT round(q1, 6) AS q1, round(q2, 6) AS q2, round(q3, 6) AS q3,
+       round((q3 + q1 - 2.0 * q2) / (q3 - q1), 6) AS bowley_skew
+FROM q
+"""
+
+
+def moors_kurtosis_quantity(sf_dir: str) -> pd.DataFrame:
+    """Moors octile kurtosis of l_quantity:
+    M = ((E7 - E5) + (E3 - E1)) / (E6 - E2) over the octiles
+    E_i = quantile_cont(i/8) — the robust tail-weight measure whose
+    normal reference value is 1.233, computed exactly from the same
+    bounded value-domain grid as the Bowley skewness.
+
+    ONE bucketed grid; exact interpolation arithmetic."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_quantity", as_index=False).size().rename(
+            columns={"l_quantity": "q", "size": "c"}
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"), ["q"], {"c": ("c", "sum")}, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    v = grid["q"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    e = {i: _quantile_cont_from_grid(v, c, i / 8.0) for i in (1, 2, 3, 5, 6, 7)}
+    m = ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])
+    return pd.DataFrame(
+        {
+            "e1": [round(e[1], 6)],
+            "e7": [round(e[7], 6)],
+            "moors_kurtosis": [round(m, 6)],
+        }
+    )
+
+
+MOORS_KURTOSIS_QUANTITY_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_quantity, 0.125) AS e1,
+         quantile_cont(l_quantity, 0.25) AS e2,
+         quantile_cont(l_quantity, 0.375) AS e3,
+         quantile_cont(l_quantity, 0.625) AS e5,
+         quantile_cont(l_quantity, 0.75) AS e6,
+         quantile_cont(l_quantity, 0.875) AS e7
+  FROM lineitem
+)
+SELECT round(e1, 6) AS e1, round(e7, 6) AS e7,
+       round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) AS moors_kurtosis
+FROM q
+"""
