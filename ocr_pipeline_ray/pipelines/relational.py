@@ -19912,3 +19912,159 @@ SELECT round(e1, 6) AS e1, round(e7, 6) AS e7,
        round(((e7 - e5) + (e3 - e1)) / (e6 - e2), 6) AS moors_kurtosis
 FROM q
 """
+
+def _purchase_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct (customer, part) purchase edges: one orderkey hash
+    join, per-batch dedup, bucketed min-reduction for global
+    distinctness."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"].to_numpy("int64"),
+             "p": df["l_partkey"].to_numpy("int64")}
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"].to_numpy("int64"),
+             "c": df["o_custkey"].to_numpy("int64")}
+        ),
+        batch_format="pandas",
+    )
+    j = shuffle_hash_join(
+        li, orders, on="o_orderkey", left_cols=["o_orderkey", "p"], right_cols=["o_orderkey", "c"]
+    )
+    return bucketed_aggregate(
+        j.map_batches(
+            lambda df: df[["c", "p"]].drop_duplicates().assign(one=np.int64(1)),
+            batch_format="pandas",
+        ),
+        ["c", "p"],
+        {"one": ("one", "min")},
+        num_buckets=32,
+    )
+
+
+def hits_copurchase(sf_dir: str, iters: int = 10, k: int = 10) -> pd.DataFrame:
+    """HITS hubs-and-authorities on the bipartite customer->part
+    purchase graph: customers are hubs, parts are authorities;
+    a = A^T h and h = A a with L2 normalization each half-step,
+    ``iters`` full iterations from h = 1. Returns the top-k authority
+    parts — 'the parts bought by the customers who buy the important
+    parts', PageRank's bipartite sibling.
+
+    Distributed per iteration: the edge list (built by one orderkey
+    hash join + bucketed dedup) streams through ONE map_batches pass
+    per half-step emitting per-batch partial score sums; only the
+    dimension-sized score vectors live on the driver (same contract
+    as the broadcast customer/part dimensions elsewhere). Iterative,
+    so no SQL oracle — pinned by an exact pytest against a sequential
+    numpy reference (tests/test_queries_vs_duckdb.py)."""
+    edges = _purchase_edges(sf_dir).materialize()
+    h = None
+
+    def _pass(score_ref, key_in: str, key_out: str):
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            sc = ray.get(score_ref)
+            w = sc.reindex(df[key_in]).to_numpy("float64")
+            out = pd.DataFrame({key_out: df[key_out].to_numpy("int64"), "s": w})
+            return out.groupby(key_out, as_index=False)["s"].sum()
+
+        agg = (
+            edges.map_batches(_partial, batch_format="pandas")
+            .to_pandas()
+            .groupby(key_out)["s"]
+            .sum()
+        )
+        return agg / np.sqrt(float((agg * agg).sum()))
+
+    cust_ids = (
+        edges.map_batches(
+            lambda df: pd.DataFrame({"c": df["c"].unique()}), batch_format="pandas"
+        )
+        .to_pandas()["c"]
+        .unique()
+    )
+    h = pd.Series(1.0, index=np.sort(cust_ids))
+    a = None
+    for _ in range(iters):
+        a = _pass(ray.put(h), "c", "p")
+        h = _pass(ray.put(a), "p", "c")
+    top = a.sort_values(ascending=False)
+    top = top.reset_index().rename(columns={"p": "l_partkey", "s": "authority"})
+    top = top.sort_values(["authority", "l_partkey"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "l_partkey": top["l_partkey"].to_numpy("int64"),
+            "authority": np.round(top["authority"].to_numpy("float64"), 6),
+        }
+    ).reset_index(drop=True)
+
+
+def hits_two_hop_authority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The unnormalized SECOND HITS iterate as exact integers — the
+    SQL-checkable anchor for the iterative hits_copurchase machinery:
+    a1(p) = #distinct buyers, h1(c) = SUM_{p~c} a1(p),
+    a2(p) = SUM_{c~p} h1(c); top-k parts by a2 (ties by partkey).
+    Every step is integer arithmetic over the same distinct edge
+    list, so the oracle match is exact.
+
+    Part-degree and hub vectors are dimension-sized broadcasts; the
+    edge list streams once per half-step."""
+    edges = _purchase_edges(sf_dir).materialize()
+    deg_p = (
+        edges.map_batches(
+            lambda df: df.groupby("p", as_index=False).size().rename(columns={"size": "d"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("p")["d"]
+        .sum()
+    )
+    dref = ray.put(deg_p)
+
+    def _h1(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dref)
+        out = pd.DataFrame(
+            {"c": df["c"].to_numpy("int64"), "s": d.reindex(df["p"]).to_numpy("int64")}
+        )
+        return out.groupby("c", as_index=False)["s"].sum()
+
+    h1 = edges.map_batches(_h1, batch_format="pandas").to_pandas().groupby("c")["s"].sum()
+    href = ray.put(h1)
+
+    def _a2(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(href)
+        out = pd.DataFrame(
+            {"p": df["p"].to_numpy("int64"), "s": h.reindex(df["c"]).to_numpy("int64")}
+        )
+        return out.groupby("p", as_index=False)["s"].sum()
+
+    a2 = edges.map_batches(_a2, batch_format="pandas").to_pandas().groupby("p")["s"].sum()
+    top = a2.reset_index().rename(columns={"p": "l_partkey", "s": "a2"})
+    top = top.sort_values(["a2", "l_partkey"], ascending=[False, True]).head(k)
+    return pd.DataFrame(
+        {
+            "l_partkey": top["l_partkey"].to_numpy("int64"),
+            "a2": top["a2"].to_numpy("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+HITS_TWO_HOP_AUTHORITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a1 AS (SELECT p, count(*) AS d FROM e GROUP BY p),
+h1 AS (
+  SELECT e.c, sum(a1.d) AS s
+  FROM e JOIN a1 USING (p) GROUP BY e.c
+),
+a2 AS (
+  SELECT e.p, sum(h1.s) AS s
+  FROM e JOIN h1 USING (c) GROUP BY e.p
+)
+SELECT CAST(p AS BIGINT) AS l_partkey, CAST(s AS BIGINT) AS a2
+FROM a2 ORDER BY s DESC, p LIMIT 10
+"""

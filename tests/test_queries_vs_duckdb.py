@@ -396,6 +396,19 @@ SUBSET = [
     "p_chart_daily_returns",
     "median_time_to_repurchase",
     "repurchase_incidence_horizons",
+    "blomqvist_beta_quantity_discount",
+    "footrule_nation_revenue_yoy",
+    "risk_measures_urgent_return",
+    "cohens_h_urgent_return",
+    "allan_variance_event_rate",
+    "variance_time_curve_events",
+    "ks_balance_customer_supplier",
+    "cochran_armitage_urgent_trend",
+    "lorenz_asymmetry_customer_revenue",
+    "mld_customer_revenue",
+    "bowley_skewness_quantity",
+    "moors_kurtosis_quantity",
+    "hits_two_hop_authority",
 ]
 
 
@@ -471,3 +484,46 @@ def test_kcore_matches_sequential_peel():
     assert int(got["n_core_edges"].iloc[0]) == n_edges
     if core_nodes:
         assert int(got["min_core_node"].iloc[0]) == min(core_nodes)
+
+
+def test_hits_matches_sequential_power_iteration():
+    """Pin the distributed HITS fixpoint to a sequential numpy power
+    iteration over the same distinct purchase edge list (no SQL
+    oracle: iterative). The oracled hits_two_hop_authority query
+    anchors the shared edge/broadcast machinery exactly."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    from ocr_pipeline_ray.pipelines.relational import hits_copurchase
+
+    got = hits_copurchase(SF, iters=10, k=10)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')")
+    e = con.sql(
+        "SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).df()
+    cs = np.sort(e["c"].unique())
+    ps = np.sort(e["p"].unique())
+    ci = {v: i for i, v in enumerate(cs)}
+    pi = {v: i for i, v in enumerate(ps)}
+    a_mat = np.zeros((len(cs), len(ps)))
+    for c, p in zip(e["c"], e["p"]):
+        a_mat[ci[c], pi[p]] = 1.0
+    h = np.ones(len(cs))
+    for _ in range(10):
+        a = a_mat.T @ h
+        a = a / np.sqrt((a * a).sum())
+        h = a_mat @ a
+        h = h / np.sqrt((h * h).sum())
+    order = np.lexsort((ps, -np.round(a, 12)))[:10]
+    exp = pd.DataFrame(
+        {"l_partkey": ps[order].astype("int64"), "authority": np.round(a[order], 6)}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
