@@ -20068,3 +20068,142 @@ a2 AS (
 SELECT CAST(p AS BIGINT) AS l_partkey, CAST(s AS BIGINT) AS a2
 FROM a2 ORDER BY s DESC, p LIMIT 10
 """
+
+def seasonal_theil_sen_monthly_revenue(sf_dir: str) -> pd.DataFrame:
+    """Seasonal Theil-Sen trend slope of monthly revenue: the median
+    of all WITHIN-calendar-month pairwise slopes
+    (x_{m,y2} - x_{m,y1}) / (y2 - y1) — the robust slope companion of
+    the seasonal Mann-Kendall test, immune to both outlier months and
+    the annual cycle. Reported in dollars per year.
+
+    ONE bucketed (year, month) integer-cents grid (~84 cells); the
+    O(cells^2) within-month slope enumeration and the median run on
+    the result."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "m": df["o_orderdate"].dt.month.astype("int64"),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["y", "m"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["m", "y"])
+        .reset_index(drop=True)
+    )
+    slopes = []
+    for m, sub in grid.groupby("m"):
+        ys = sub["y"].to_numpy("int64")
+        x = sub["rev"].to_numpy("int64").astype("float64") / 100.0
+        for i in range(len(ys)):
+            for j in range(i + 1, len(ys)):
+                slopes.append((x[j] - x[i]) / (ys[j] - ys[i]))
+    s = np.sort(np.array(slopes))
+    n = len(s)
+    med = (s[(n - 1) // 2] + s[n // 2]) / 2.0
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([n], dtype="int64"),
+            "sen_slope_per_year": [round(float(med), 6)],
+        }
+    )
+
+
+SEASONAL_THEIL_SEN_MONTHLY_REVENUE_SQL = """
+WITH g AS (
+  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS rev
+  FROM orders GROUP BY 1, 2
+),
+p AS (
+  SELECT (b.rev - a.rev) / (b.y - a.y) AS slope
+  FROM g a JOIN g b ON a.m = b.m AND a.y < b.y
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS sen_slope_per_year
+FROM p
+"""
+
+
+def buishand_range_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Buishand range test for a change in the mean of daily revenue:
+    partial sums S_t of the demeaned series, rescaled range
+    R/sqrt(n) = (max S - min S) / (sd * sqrt(n)) and the day index of
+    max |S_t| — the parametric cumulative-deviation changepoint
+    screen beside the rank-based Pettitt test (population sd, as is
+    conventional).
+
+    ONE bucketed per-day integer-cents aggregate; partial sums on the
+    day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    n = len(y)
+    e = y - y.sum() / n
+    s_t = np.cumsum(e)
+    sd = np.sqrt(float((e * e).sum()) / n)
+    r = (s_t.max() - s_t.min()) / (sd * np.sqrt(n))
+    k = int(np.argmax(np.abs(s_t)))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "r_sqrt_n": [round(float(r), 6)],
+            "argmax_day_index": pd.Series([k], dtype="int64"),
+        }
+    )
+
+
+BUISHAND_RANGE_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+st AS (SELECT count(*) AS n, avg(rev * 1.0) AS mu FROM d),
+s AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+         sum(rev * 1.0 - (SELECT mu FROM st)) OVER (ORDER BY day) AS s_t,
+         rev * 1.0 - (SELECT mu FROM st) AS e
+  FROM d
+),
+agg AS (
+  SELECT max(s_t) AS mx, min(s_t) AS mn, sum(e * e) AS see FROM s
+),
+am AS (
+  SELECT i FROM s ORDER BY abs(s_t) DESC, i LIMIT 1
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+       round((mx - mn) / (sqrt(see / (SELECT n FROM st)) * sqrt((SELECT n FROM st))), 6)
+         AS r_sqrt_n,
+       (SELECT CAST(i AS BIGINT) FROM am) AS argmax_day_index
+FROM agg
+"""
