@@ -20207,3 +20207,192 @@ SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
        (SELECT CAST(i AS BIGINT) FROM am) AS argmax_day_index
 FROM agg
 """
+
+def kpss_trend_daily_revenue(sf_dir: str, max_lag: int = 5) -> pd.DataFrame:
+    """KPSS TREND-stationarity test of daily revenue: the same
+    partial-sum statistic as kpss_daily_revenue but on the residuals
+    of the linear time trend (null = trend-stationary), with the
+    Bartlett L = 5 long-run variance — together the level/trend pair
+    brackets the unit-root diagnosis the Dickey-Fuller test attacks
+    from the other side.
+
+    ONE bucketed per-day integer-cents aggregate; closed-form OLS,
+    partial sums and kernel sums on the day series."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    n = len(y)
+    i = np.arange(n, dtype="float64")
+    si, si2, sy, siy = i.sum(), (i * i).sum(), y.sum(), (i * y).sum()
+    b = (n * siy - si * sy) / (n * si2 - si * si)
+    a = (sy - b * si) / n
+    e = y - a - b * i
+    s_t = np.cumsum(e)
+    lrv = float((e * e).sum()) / n
+    for lag in range(1, max_lag + 1):
+        w = 1.0 - lag / (max_lag + 1.0)
+        lrv += 2.0 * w * float((e[lag:] * e[:-lag]).sum()) / n
+    eta = float((s_t * s_t).sum()) / (n * 1.0 * n * lrv)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "kpss_trend_eta": [round(eta, 6)],
+        }
+    )
+
+
+KPSS_TREND_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT rev * 1.0 AS y, CAST(row_number() OVER (ORDER BY day) - 1 AS DOUBLE) AS i, day
+  FROM d
+),
+mo AS (
+  SELECT count(*) AS n, sum(i) AS si, sum(i * i) AS si2,
+         sum(y) AS sy, sum(i * y) AS siy
+  FROM idx
+),
+fit AS (
+  SELECT n,
+         (n * siy - si * sy) / (n * si2 - si * si) AS b,
+         (sy - (n * siy - si * sy) / (n * si2 - si * si) * si) / n AS a
+  FROM mo
+),
+res AS (
+  SELECT idx.y - fit.a - fit.b * idx.i AS e, idx.day,
+         sum(idx.y - fit.a - fit.b * idx.i) OVER (ORDER BY idx.day) AS s_t
+  FROM idx, fit
+),
+lagd AS (
+  SELECT e, s_t,
+         lag(e, 1) OVER (ORDER BY day) AS e1,
+         lag(e, 2) OVER (ORDER BY day) AS e2,
+         lag(e, 3) OVER (ORDER BY day) AS e3,
+         lag(e, 4) OVER (ORDER BY day) AS e4,
+         lag(e, 5) OVER (ORDER BY day) AS e5
+  FROM res
+),
+agg AS (
+  SELECT (sum(e * e)
+          + 2 * (5.0 / 6.0) * sum(coalesce(e * e1, 0))
+          + 2 * (4.0 / 6.0) * sum(coalesce(e * e2, 0))
+          + 2 * (3.0 / 6.0) * sum(coalesce(e * e3, 0))
+          + 2 * (2.0 / 6.0) * sum(coalesce(e * e4, 0))
+          + 2 * (1.0 / 6.0) * sum(coalesce(e * e5, 0))) / (SELECT n FROM mo) AS lrv,
+         sum(s_t * s_t) AS ss
+  FROM lagd
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM mo) AS n_days,
+       round(ss / ((SELECT n * 1.0 FROM mo) * (SELECT n * 1.0 FROM mo) * lrv), 6)
+         AS kpss_trend_eta
+FROM agg
+"""
+
+
+def dickey_fuller_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Dickey-Fuller unit-root test (constant, no augmentation) of
+    daily revenue: OLS of the day-over-day change on the lagged
+    level, delta_y_t = alpha + beta*y_{t-1}; beta near 0 (t above the
+    DF critical values) means a random walk, strongly negative beta
+    means mean reversion — the other jaw of the KPSS bracket.
+
+    Same ONE per-day aggregate; exact integer moment sums feed the
+    closed-form slope and its t-statistic."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    x = y[:-1]
+    dy = np.diff(y)
+    m = len(dy)
+    sx, sdy = x.sum(), dy.sum()
+    sxx, sxdy = (x * x).sum(), (x * dy).sum()
+    beta = (m * sxdy - sx * sdy) / (m * sxx - sx * sx)
+    alpha = (sdy - beta * sx) / m
+    e = dy - alpha - beta * x
+    sigma2 = float((e * e).sum()) / (m - 2)
+    se = np.sqrt(sigma2 / (sxx - sx * sx / m))
+    return pd.DataFrame(
+        {
+            "n_obs": pd.Series([m], dtype="int64"),
+            "df_beta": [round(float(beta), 6)],
+            "df_t": [round(float(beta / se), 6)],
+        }
+    )
+
+
+DICKEY_FULLER_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT rev * 1.0 AS y, lag(rev) OVER (ORDER BY day) * 1.0 AS yl
+  FROM d
+),
+p AS (SELECT yl AS x, y - yl AS dy FROM l WHERE yl IS NOT NULL),
+mo AS (
+  SELECT count(*) AS m, sum(x) AS sx, sum(dy) AS sdy,
+         sum(x * x) AS sxx, sum(x * dy) AS sxdy
+  FROM p
+),
+fit AS (
+  SELECT m, sx, sxx,
+         (m * sxdy - sx * sdy) / (m * sxx - sx * sx) AS beta,
+         (sdy - (m * sxdy - sx * sdy) / (m * sxx - sx * sx) * sx) / m AS alpha
+  FROM mo
+),
+res AS (
+  SELECT sum((p.dy - fit.alpha - fit.beta * p.x) * (p.dy - fit.alpha - fit.beta * p.x)) AS sse
+  FROM p, fit
+)
+SELECT (SELECT CAST(m AS BIGINT) FROM mo) AS n_obs,
+       round((SELECT beta FROM fit), 6) AS df_beta,
+       round((SELECT beta FROM fit)
+             / sqrt(((SELECT sse FROM res) / ((SELECT m FROM mo) - 2))
+                    / ((SELECT sxx FROM fit) - (SELECT sx FROM fit) * (SELECT sx FROM fit)
+                       / (SELECT m FROM mo))), 6) AS df_t
+FROM mo
+"""
