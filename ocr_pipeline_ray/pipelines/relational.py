@@ -20396,3 +20396,149 @@ SELECT (SELECT CAST(m AS BIGINT) FROM mo) AS n_obs,
                        / (SELECT m FROM mo))), 6) AS df_t
 FROM mo
 """
+
+def arch_lm_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Engle's ARCH LM test (1 lag) for volatility clustering in
+    day-over-day revenue changes: demean the changes, regress e_t^2
+    on e_{t-1}^2, LM = m * R^2 — large LM means turbulent days
+    cluster (conditional heteroskedasticity), the precondition for
+    any GARCH-style modeling of the series.
+
+    ONE bucketed per-day integer-cents aggregate; squared-residual
+    moments on the day series feed the closed-form one-regressor
+    fit."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    d = np.diff(y)
+    e = d - d.sum() / len(d)
+    u = e * e
+    x = u[:-1]
+    z = u[1:]
+    m = len(z)
+    sx, sz = x.sum(), z.sum()
+    sxx, sxz, szz = (x * x).sum(), (x * z).sum(), (z * z).sum()
+    beta = (m * sxz - sx * sz) / (m * sxx - sx * sx)
+    r2 = (m * sxz - sx * sz) ** 2 / ((m * sxx - sx * sx) * (m * szz - sz * sz))
+    return pd.DataFrame(
+        {
+            "n_obs": pd.Series([m], dtype="int64"),
+            "arch_beta": [round(float(beta), 6)],
+            "arch_lm": [round(float(m * r2), 6)],
+        }
+    )
+
+
+ARCH_LM_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+ch AS (
+  SELECT rev * 1.0 - lag(rev) OVER (ORDER BY day) * 1.0 AS c, day
+  FROM d
+),
+cm AS (SELECT avg(c) AS mu FROM ch WHERE c IS NOT NULL),
+u AS (
+  SELECT (c - (SELECT mu FROM cm)) * (c - (SELECT mu FROM cm)) AS u, day
+  FROM ch WHERE c IS NOT NULL
+),
+p AS (
+  SELECT lag(u) OVER (ORDER BY day) AS x, u AS z FROM u
+),
+mo AS (
+  SELECT count(*) AS m, sum(x) AS sx, sum(z) AS sz,
+         sum(x * x) AS sxx, sum(x * z) AS sxz, sum(z * z) AS szz
+  FROM p WHERE x IS NOT NULL
+)
+SELECT CAST(m AS BIGINT) AS n_obs,
+       round((m * sxz - sx * sz) / (m * sxx - sx * sx), 6) AS arch_beta,
+       round(m * (m * sxz - sx * sz) * (m * sxz - sx * sz)
+             / ((m * sxx - sx * sx) * (m * szz - sz * sz)), 6) AS arch_lm
+FROM mo
+"""
+
+
+def ar1_half_life_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """AR(1) mean-reversion half-life of daily revenue: rho from the
+    lag-1 regression of the demeaned series, half-life =
+    ln(0.5)/ln(rho) days — "how long does a shock to revenue take to
+    decay halfway back", the practitioner summary of the whole
+    ACF/unit-root family.
+
+    Same ONE per-day aggregate; exact integer moments, closed-form
+    rho."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "day": df["o_orderdate"].dt.normalize(),
+                        "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype(
+                            "int64"
+                        ),
+                    }
+                ),
+                batch_format="pandas",
+            ),
+            ["day"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy("int64").astype("float64")
+    n = len(y)
+    e = y - y.sum() / n
+    x = e[:-1]
+    z = e[1:]
+    rho = float((x * z).sum() / (x * x).sum())
+    hl = np.log(0.5) / np.log(abs(rho))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "rho": [round(rho, 6)],
+            "half_life_days": [round(float(hl), 6)],
+        }
+    )
+
+
+AR1_HALF_LIFE_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+st AS (SELECT avg(rev * 1.0) AS mu, count(*) AS n FROM d),
+e AS (
+  SELECT rev * 1.0 - (SELECT mu FROM st) AS e,
+         lag(rev * 1.0 - (SELECT mu FROM st)) OVER (ORDER BY day) AS ep
+  FROM d
+),
+r AS (SELECT sum(ep * e) / sum(ep * ep) AS rho FROM e WHERE ep IS NOT NULL)
+SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
+       round((SELECT rho FROM r), 6) AS rho,
+       round(ln(0.5) / ln(abs((SELECT rho FROM r))), 6) AS half_life_days
+"""
