@@ -20542,3 +20542,158 @@ SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n_days,
        round((SELECT rho FROM r), 6) AS rho,
        round(ln(0.5) / ln(abs((SELECT rho FROM r))), 6) AS half_life_days
 """
+
+def expected_shortfall_order_price(sf_dir: str, alpha: float = 0.05, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Expected shortfall (conditional value-at-risk) of order totals
+    at the 95% level: the exact mean of the top ceil(alpha*n) order
+    values in integer cents — the coherent tail-risk measure beside
+    the plain percentile VaR the percentile queries give.
+
+    Distributed exact order statistics WITHOUT a global sort: a
+    descending value-range grid over integer cents locates the
+    boundary bucket; only that bucket's rows are pulled to split the
+    boundary exactly (equal values are interchangeable in the sum, so
+    no tie-break is needed)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    lo = float(ds.min("c"))
+    hi = float(ds.max("c"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        ds.map_batches(
+            lambda df: pd.DataFrame({"b": _bucket(df["c"].to_numpy("float64")), "x": df["c"]})
+            .groupby("b", as_index=False)
+            .agg(n=("x", "size"), s=("x", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b", ascending=False)
+        .reset_index(drop=True)
+    )
+    n = int(grid["n"].sum())
+    k = int(np.ceil(alpha * n))
+    cum_n = grid["n"].cumsum().to_numpy("int64")
+    cum_s = grid["s"].cumsum().to_numpy("int64")
+    j = int(np.searchsorted(cum_n, k))
+    before_n = int(cum_n[j] - grid["n"].iloc[j])
+    before_s = int(cum_s[j] - grid["s"].iloc[j])
+    bj = int(grid["b"].iloc[j])
+    need = ray.put(bj)
+    pulled = (
+        ds.map_batches(
+            lambda df: df[_bucket(df["c"].to_numpy("float64")) == ray.get(need)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("c", ascending=False)
+        .reset_index(drop=True)
+    )
+    take = k - before_n
+    top_sum = before_s + int(pulled["c"].iloc[:take].sum())
+    return pd.DataFrame(
+        {
+            "k_tail": pd.Series([k], dtype="int64"),
+            "es_95": [round(top_sum / 100.0 / k, 6)],
+        }
+    )
+
+
+EXPECTED_SHORTFALL_ORDER_PRICE_SQL = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+kk AS (SELECT CAST(ceil(0.05 * count(*)) AS BIGINT) AS k FROM o),
+t AS (SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM o)
+SELECT (SELECT CAST(k AS BIGINT) FROM kk) AS k_tail,
+       round(sum(c) / 100.0 / (SELECT k FROM kk), 6) AS es_95
+FROM t WHERE rn <= (SELECT k FROM kk)
+"""
+
+
+def trimmed_mean_order_price(sf_dir: str, trim: float = 0.1, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Exact 10%-trimmed mean of order totals: drop the lowest and
+    highest floor(trim*n) values, average the middle in integer cents
+    — the robust location summary for a heavy-tailed price column,
+    computed distributed with NO global sort.
+
+    Same descending/ascending value-range grid as the expected-
+    shortfall query: TWO boundary buckets (one per tail) are pulled
+    to split the cut exactly; equal values are interchangeable in the
+    trimmed sum."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    lo = float(ds.min("c"))
+    hi = float(ds.max("c"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        ds.map_batches(
+            lambda df: pd.DataFrame({"b": _bucket(df["c"].to_numpy("float64")), "x": df["c"]})
+            .groupby("b", as_index=False)
+            .agg(n=("x", "size"), s=("x", "sum")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    n = int(grid["n"].sum())
+    total = int(grid["s"].sum())
+    k = int(np.floor(trim * n))
+
+    def _tail_sum(asc: bool) -> int:
+        g = grid if asc else grid.iloc[::-1].reset_index(drop=True)
+        cum_n = g["n"].cumsum().to_numpy("int64")
+        cum_s = g["s"].cumsum().to_numpy("int64")
+        j = int(np.searchsorted(cum_n, k))
+        before_n = int(cum_n[j] - g["n"].iloc[j])
+        before_s = int(cum_s[j] - g["s"].iloc[j])
+        bj = int(g["b"].iloc[j])
+        need = ray.put(bj)
+        pulled = (
+            ds.map_batches(
+                lambda df: df[_bucket(df["c"].to_numpy("float64")) == ray.get(need)],
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .sort_values("c", ascending=asc)
+            .reset_index(drop=True)
+        )
+        take = k - before_n
+        return before_s + int(pulled["c"].iloc[:take].sum())
+
+    mid_sum = total - _tail_sum(True) - _tail_sum(False)
+    h = n - 2 * k
+    return pd.DataFrame(
+        {
+            "h_kept": pd.Series([h], dtype="int64"),
+            "trimmed_mean": [round(mid_sum / 100.0 / h, 6)],
+        }
+    )
+
+
+TRIMMED_MEAN_ORDER_PRICE_SQL = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+kk AS (SELECT CAST(floor(0.1 * count(*)) AS BIGINT) AS k, count(*) AS n FROM o),
+t AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM o)
+SELECT (SELECT CAST(n - 2 * k AS BIGINT) FROM kk) AS h_kept,
+       round(sum(c) / 100.0 / (SELECT n - 2 * k FROM kk), 6) AS trimmed_mean
+FROM t, kk WHERE rn > kk.k AND rn <= kk.n - kk.k
+"""
