@@ -7124,3 +7124,158 @@ SELECT CAST(m AS BIGINT) AS window_hours, CAST(k AS BIGINT) AS n_windows,
        round((s2 / k - (s1 * 1.0 / k) * (s1 * 1.0 / k)) / (s1 * 1.0 / k), 6) AS dispersion_index
 FROM agg ORDER BY m
 """
+
+def rate_ratio_weekend_events(sf_dir: str) -> pd.DataFrame:
+    """Poisson rate-ratio test of weekend vs weekday event intensity:
+    RR = (c_we / t_we) / (c_wd / t_wd) with exact event counts and
+    whole-day exposures, and the Wald z on ln RR with
+    se = sqrt(1/c_we + 1/c_wd) — 'is the platform busier per weekend
+    day', the two-sample rate inference the hourly profiles only
+    display.
+
+    ONE bucketed (day, count) aggregate; exposures come from the
+    calendar span split by day-of-week — all exact integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "w": (df["ts"].dt.dayofweek >= 5).astype("int64"),
+                "one": np.int64(1),
+            }
+        ).groupby("w", as_index=False).sum()
+
+    cnt = (
+        ds.map_batches(_prep, batch_format="pandas")
+        .to_pandas()
+        .groupby("w")["one"]
+        .sum()
+    )
+    lo = pd.Timestamp(ds.min("ts")).normalize()
+    hi = pd.Timestamp(ds.max("ts")).normalize()
+    days = pd.date_range(lo, hi, freq="D")
+    t_we = int((days.dayofweek >= 5).sum())
+    t_wd = len(days) - t_we
+    c_we = int(cnt.get(1, 0))
+    c_wd = int(cnt.get(0, 0))
+    rr = (c_we * 1.0 / t_we) / (c_wd * 1.0 / t_wd)
+    z = np.log(rr) / np.sqrt(1.0 / c_we + 1.0 / c_wd)
+    return pd.DataFrame(
+        {
+            "n_weekend": pd.Series([c_we], dtype="int64"),
+            "n_weekday": pd.Series([c_wd], dtype="int64"),
+            "rate_ratio": [round(float(rr), 6)],
+            "z": [round(float(z), 6)],
+        }
+    )
+
+
+RATE_RATIO_WEEKEND_EVENTS_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS c_we,
+         count(*) FILTER (WHERE dayofweek(ts) NOT IN (0, 6)) AS c_wd,
+         min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events
+),
+d AS (
+  SELECT count(*) FILTER (WHERE dayofweek(day) IN (0, 6)) AS t_we,
+         count(*) FILTER (WHERE dayofweek(day) NOT IN (0, 6)) AS t_wd
+  FROM (SELECT unnest(generate_series((SELECT lo FROM c), (SELECT hi FROM c),
+                                      INTERVAL 1 DAY)) AS day)
+),
+r AS (
+  SELECT c_we, c_wd,
+         (c_we * 1.0 / (SELECT t_we FROM d)) / (c_wd * 1.0 / (SELECT t_wd FROM d)) AS rr
+  FROM c
+)
+SELECT CAST(c_we AS BIGINT) AS n_weekend, CAST(c_wd AS BIGINT) AS n_weekday,
+       round(rr, 6) AS rate_ratio,
+       round(ln(rr) / sqrt(1.0 / c_we + 1.0 / c_wd), 6) AS z
+FROM r
+"""
+
+
+def _lgamma_vec(x: np.ndarray) -> np.ndarray:
+    from math import lgamma
+
+    return np.array([lgamma(float(v)) for v in x])
+
+
+def binomial_exact_weekend_purchases(sf_dir: str) -> pd.DataFrame:
+    """Exact binomial upper-tail test of the weekend PURCHASE share
+    against the calendar null p0 = weekend days / total days:
+    P(X >= x | n, p0) summed term-by-term with lgamma-exact binomial
+    coefficients — the small-count-exact companion of the Poisson
+    rate-ratio z (identical term enumeration on both engines, so the
+    oracle matches to 6 decimals).
+
+    One scalar-count pass; the tail sum is arithmetic on the
+    driver."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "w": (d["ts"].dt.dayofweek >= 5).astype("int64"),
+                "one": np.ones(len(d), dtype="int64"),
+            }
+        ).groupby("w", as_index=False).sum()
+
+    cnt = (
+        ds.map_batches(_prep, batch_format="pandas")
+        .to_pandas()
+        .groupby("w")["one"]
+        .sum()
+    )
+    lo = pd.Timestamp(ds.min("ts")).normalize()
+    hi = pd.Timestamp(ds.max("ts")).normalize()
+    days = pd.date_range(lo, hi, freq="D")
+    t_we = int((days.dayofweek >= 5).sum())
+    p0 = t_we * 1.0 / len(days)
+    x = int(cnt.get(1, 0))
+    n = x + int(cnt.get(0, 0))
+    k = np.arange(x, n + 1, dtype="float64")
+    logc = _lgamma_vec(np.full(len(k), n + 1.0)) - _lgamma_vec(k + 1.0) - _lgamma_vec(n - k + 1.0)
+    logp = logc + k * np.log(p0) + (n - k) * np.log(1.0 - p0)
+    tail = float(np.exp(logp).sum())
+    return pd.DataFrame(
+        {
+            "n_purchases": pd.Series([n], dtype="int64"),
+            "x_weekend": pd.Series([x], dtype="int64"),
+            "p0": [round(p0, 6)],
+            "p_upper": [round(tail, 6)],
+        }
+    )
+
+
+BINOMIAL_EXACT_WEEKEND_PURCHASES_SQL = """
+WITH c AS (
+  SELECT count(*) FILTER (WHERE dayofweek(ts) IN (0, 6)) AS x,
+         count(*) AS n,
+         min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+d AS (
+  SELECT count(*) FILTER (WHERE dayofweek(day) IN (0, 6)) * 1.0 / count(*) AS p0
+  FROM (SELECT unnest(generate_series((SELECT lo FROM c), (SELECT hi FROM c),
+                                      INTERVAL 1 DAY)) AS day)
+),
+ks AS (
+  SELECT unnest(range((SELECT x FROM c), (SELECT n FROM c) + 1)) AS k
+),
+t AS (
+  SELECT exp(lgamma((SELECT n FROM c) + 1.0) - lgamma(k + 1.0)
+             - lgamma((SELECT n FROM c) - k + 1.0)
+             + k * ln((SELECT p0 FROM d))
+             + ((SELECT n FROM c) - k) * ln(1.0 - (SELECT p0 FROM d))) AS p
+  FROM ks
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM c) AS n_purchases,
+       (SELECT CAST(x AS BIGINT) FROM c) AS x_weekend,
+       round((SELECT p0 FROM d), 6) AS p0,
+       round(sum(p), 6) AS p_upper
+FROM t
+"""

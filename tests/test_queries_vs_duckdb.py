@@ -409,6 +409,14 @@ SUBSET = [
     "bowley_skewness_quantity",
     "moors_kurtosis_quantity",
     "hits_two_hop_authority",
+    "seasonal_theil_sen_monthly_revenue",
+    "buishand_range_daily_revenue",
+    "kpss_trend_daily_revenue",
+    "dickey_fuller_daily_revenue",
+    "arch_lm_daily_revenue",
+    "ar1_half_life_daily_revenue",
+    "expected_shortfall_order_price",
+    "trimmed_mean_order_price",
 ]
 
 
