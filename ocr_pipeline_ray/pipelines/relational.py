@@ -20697,3 +20697,147 @@ SELECT (SELECT CAST(n - 2 * k AS BIGINT) FROM kk) AS h_kept,
        round(sum(c) / 100.0 / (SELECT n - 2 * k FROM kk), 6) AS trimmed_mean
 FROM t, kk WHERE rn > kk.k AND rn <= kk.n - kk.k
 """
+
+def anderson_darling_two_sample_quantity(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Anderson-Darling statistic between returned (R) and
+    kept (N) quantity distributions (right-continuous tie handling):
+    A2 = (1/(n1*n2)) * SUM_j l_j * (N*M_j - n1*I_j)^2 / (I_j*(N-I_j))
+    over distinct pooled values j (last value excluded), with l_j the
+    pooled count, I_j the pooled cumulative and M_j sample-1's
+    cumulative — the tail-weighted companion of KS (max gap) and CvM
+    (mean squared gap) on the same grid.
+
+    Exact integer arithmetic per term from the ONE bucketed
+    (flag, quantity) grid."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="q", columns="f", values="c", fill_value=0)
+        .reindex(columns=["R", "N"], fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+    c1 = grid["R"].to_numpy("int64")
+    c2 = grid["N"].to_numpy("int64")
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    nn = n1 + n2
+    l_j = c1 + c2
+    i_j = np.cumsum(l_j)
+    m_j = np.cumsum(c1)
+    keep = i_j < nn
+    num = (nn * m_j[keep] - n1 * i_j[keep]).astype("float64") ** 2
+    den = (i_j[keep] * (nn - i_j[keep])).astype("float64")
+    a2 = float((l_j[keep] * num / den).sum()) / (n1 * 1.0 * n2)
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([n1], dtype="int64"),
+            "n_kept": pd.Series([n2], dtype="int64"),
+            "ad_a2": [round(a2, 6)],
+        }
+    )
+
+
+ANDERSON_DARLING_TWO_SAMPLE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS INT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c1 + c2) AS nn FROM g),
+cum AS (
+  SELECT c1 + c2 AS l,
+         sum(c1 + c2) OVER (ORDER BY q) AS i,
+         sum(c1) OVER (ORDER BY q) AS m
+  FROM g
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round(sum(l * ((SELECT nn FROM tot) * m - (SELECT n1 FROM tot) * i)
+                   * ((SELECT nn FROM tot) * m - (SELECT n1 FROM tot) * i) * 1.0
+                 / (i * 1.0 * ((SELECT nn FROM tot) - i)))
+             / ((SELECT n1 FROM tot) * 1.0 * (SELECT n2 FROM tot)), 6) AS ad_a2
+FROM cum WHERE i < (SELECT nn FROM tot)
+"""
+
+
+def kuiper_two_sample_quantity(sf_dir: str) -> pd.DataFrame:
+    """Kuiper two-sample statistic between returned (R) and kept (N)
+    quantities: V = max(F1 - F2) + max(F2 - F1) — equally sensitive
+    across the whole support (KS over-weights the middle), the
+    rotation-invariant member of the CDF-gap family on the same
+    grid.
+
+    Exact cumulative-count ratios from the ONE bucketed grid."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="q", columns="f", values="c", fill_value=0)
+        .reindex(columns=["R", "N"], fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+    c1 = grid["R"].to_numpy("int64")
+    c2 = grid["N"].to_numpy("int64")
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    f1 = np.cumsum(c1) * 1.0 / n1
+    f2 = np.cumsum(c2) * 1.0 / n2
+    d_plus = float((f1 - f2).max())
+    d_minus = float((f2 - f1).max())
+    return pd.DataFrame(
+        {
+            "d_plus": [round(d_plus, 6)],
+            "d_minus": [round(d_minus, 6)],
+            "kuiper_v": [round(d_plus + d_minus, 6)],
+        }
+    )
+
+
+KUIPER_TWO_SAMPLE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS INT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+cum AS (
+  SELECT sum(c1) OVER (ORDER BY q) * 1.0 / (SELECT n1 FROM tot) AS f1,
+         sum(c2) OVER (ORDER BY q) * 1.0 / (SELECT n2 FROM tot) AS f2
+  FROM g
+)
+SELECT round(max(f1 - f2), 6) AS d_plus,
+       round(max(f2 - f1), 6) AS d_minus,
+       round(max(f1 - f2) + max(f2 - f1), 6) AS kuiper_v
+FROM cum
+"""
