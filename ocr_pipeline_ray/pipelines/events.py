@@ -7279,3 +7279,62 @@ SELECT (SELECT CAST(n AS BIGINT) FROM c) AS n_purchases,
        round(sum(p), 6) AS p_upper
 FROM t
 """
+
+def event_id_time_inversions(sf_dir: str) -> pd.DataFrame:
+    """Out-of-order ingestion audit: among each user's events, the
+    number of pairs whose event_id order DISAGREES with their
+    timestamp order (id_i < id_j but ts_i > ts_j, ties on either axis
+    excluded), plus the rate against all orderable pairs — the
+    Kendall-discordance view of 'did this stream arrive late /
+    shuffled', per-user and exact.
+
+    Per-user-bucket shuffle co-locates each user's events; the
+    in-bucket pair counting is vectorized per user (O(k^2) on the
+    per-user event counts; the merge-sort O(k log k) inversion count
+    is the documented upgrade path for power users). Only two
+    integers leave each bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        inv = 0
+        tot = 0
+        for _, sub in g.groupby("user_id", sort=False):
+            ids = sub.sort_values("event_id")["event_id"].to_numpy("int64")
+            ts = sub.sort_values("event_id")["ts"].to_numpy("datetime64[us]").astype("int64")
+            k = len(ids)
+            if k < 2:
+                continue
+            lt = ts[:, None] > ts[None, :]
+            iu = np.triu_indices(k, 1)
+            inv += int(lt[iu].sum())
+            tot += int((ts[:, None] != ts[None, :])[iu].sum())
+        return pd.DataFrame({"inv": [np.int64(inv)], "tot": [np.int64(tot)]})
+
+    s = (
+        ds.map_batches(_add_user_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_count, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    inv, tot = int(s["inv"]), int(s["tot"])
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([tot], dtype="int64"),
+            "n_inversions": pd.Series([inv], dtype="int64"),
+            "inversion_rate": [round(inv * 1.0 / tot, 6)],
+        }
+    )
+
+
+EVENT_ID_TIME_INVERSIONS_SQL = """
+WITH p AS (
+  SELECT sum(CASE WHEN a.ts > b.ts THEN 1 ELSE 0 END) AS inv,
+         sum(CASE WHEN a.ts <> b.ts THEN 1 ELSE 0 END) AS tot
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+)
+SELECT CAST(tot AS BIGINT) AS n_pairs, CAST(inv AS BIGINT) AS n_inversions,
+       round(inv * 1.0 / tot, 6) AS inversion_rate
+FROM p
+"""

@@ -20841,3 +20841,101 @@ SELECT round(max(f1 - f2), 6) AS d_plus,
        round(max(f1 - f2) + max(f2 - f1), 6) AS kuiper_v
 FROM cum
 """
+
+def tail_dependence_quantity_price(sf_dir: str, q: float = 0.95) -> pd.DataFrame:
+    """Empirical upper-tail dependence of (l_quantity,
+    l_extendedprice): lambda_U = P(price > y_q | quantity > x_q) with
+    x_q, y_q the 0.95 empirical quantiles (quantile_disc — the
+    smallest value with cumulative count >= ceil(q*n), exact
+    integers) — do big-quantity lines and big-price lines spike
+    TOGETHER, the copula question correlation can't answer.
+
+    Thresholds come from two bounded value-domain histograms (price
+    in integer cents); the joint exceedance count is one vectorized
+    filter pass."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "x": df["l_quantity"].to_numpy("float64").astype("int64"),
+                "y": np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def _thresh(col: str) -> int:
+        hist = (
+            bucketed_aggregate(
+                ds.map_batches(
+                    lambda df: df.groupby(col, as_index=False).size().rename(columns={"size": "c"}),
+                    batch_format="pandas",
+                ),
+                [col],
+                {"c": ("c", "sum")},
+                num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+        n = int(hist["c"].sum())
+        k = int(np.ceil(q * n))
+        cum = hist["c"].cumsum().to_numpy("int64")
+        return int(hist[col].iloc[int(np.searchsorted(cum, k))])
+
+    xq = _thresh("x")
+    yq = _thresh("y")
+
+    def _cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "ny": [np.int64((df["y"].to_numpy("int64") > yq).sum())],
+                "nxy": [
+                    np.int64(
+                        ((df["x"].to_numpy("int64") > xq) & (df["y"].to_numpy("int64") > yq)).sum()
+                    )
+                ],
+            }
+        )
+
+    s = ds.map_batches(_cnt, batch_format="pandas").to_pandas().sum()
+    n, ny, nxy = int(s["n"]), int(s["ny"]), int(s["nxy"])
+    return pd.DataFrame(
+        {
+            "x_thresh": pd.Series([xq], dtype="int64"),
+            "y_thresh_cents": pd.Series([yq], dtype="int64"),
+            "n_y_exceed": pd.Series([ny], dtype="int64"),
+            "lambda_u": [round(nxy * 1.0 / ny, 6)],
+        }
+    )
+
+
+TAIL_DEPENDENCE_QUANTITY_PRICE_SQL = """
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+n AS (SELECT count(*) AS n FROM b),
+xq AS (
+  SELECT min(x) AS t FROM (
+    SELECT x, sum(c) OVER (ORDER BY x) AS cum FROM (SELECT x, count(*) AS c FROM b GROUP BY x)
+  ) WHERE cum >= ceil(0.95 * (SELECT n FROM n))
+),
+yq AS (
+  SELECT min(y) AS t FROM (
+    SELECT y, sum(c) OVER (ORDER BY y) AS cum FROM (SELECT y, count(*) AS c FROM b GROUP BY y)
+  ) WHERE cum >= ceil(0.95 * (SELECT n FROM n))
+),
+s AS (
+  SELECT count(*) FILTER (WHERE y > (SELECT t FROM yq)) AS ny,
+         count(*) FILTER (WHERE x > (SELECT t FROM xq) AND y > (SELECT t FROM yq)) AS nxy
+  FROM b
+)
+SELECT (SELECT CAST(t AS BIGINT) FROM xq) AS x_thresh,
+       (SELECT CAST(t AS BIGINT) FROM yq) AS y_thresh_cents,
+       CAST(ny AS BIGINT) AS n_y_exceed,
+       round(nxy * 1.0 / ny, 6) AS lambda_u
+FROM s
+"""
