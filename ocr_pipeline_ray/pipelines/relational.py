@@ -20939,3 +20939,180 @@ SELECT (SELECT CAST(t AS BIGINT) FROM xq) AS x_thresh,
        round(nxy * 1.0 / ny, 6) AS lambda_u
 FROM s
 """
+
+def winsorized_corr_price_quantity(sf_dir: str, q: float = 0.05) -> pd.DataFrame:
+    """Winsorized Pearson correlation between l_extendedprice and
+    l_quantity: both columns clipped at their exact empirical 5%/95%
+    quantile_disc thresholds (smallest value with cumulative count >=
+    ceil(p*n) — integer arithmetic), then the ordinary closed-form
+    correlation — the outlier-tamed companion of the raw corr-matrix
+    query.
+
+    Two bounded value-domain histograms give the four thresholds; one
+    more streaming pass accumulates exact integer clipped moments."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "x": df["l_quantity"].to_numpy("float64").astype("int64"),
+                "y": np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def _thresholds(col: str) -> tuple[int, int]:
+        hist = (
+            bucketed_aggregate(
+                ds.map_batches(
+                    lambda df: df.groupby(col, as_index=False).size().rename(columns={"size": "c"}),
+                    batch_format="pandas",
+                ),
+                [col],
+                {"c": ("c", "sum")},
+                num_buckets=16,
+            )
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+        n = int(hist["c"].sum())
+        cum = hist["c"].cumsum().to_numpy("int64")
+        lo = int(hist[col].iloc[int(np.searchsorted(cum, int(np.ceil(q * n))))])
+        hi = int(hist[col].iloc[int(np.searchsorted(cum, int(np.ceil((1 - q) * n))))])
+        return lo, hi
+
+    xlo, xhi = _thresholds("x")
+    ylo, yhi = _thresholds("y")
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.clip(df["x"].to_numpy("int64"), xlo, xhi)
+        y = np.clip(df["y"].to_numpy("int64"), ylo, yhi)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [np.int64(x.sum())],
+                "sy": [np.int64(y.sum())],
+                "sxx": [float((x.astype("float64") * x).sum())],
+                "syy": [float((y.astype("float64") * y).sum())],
+                "sxy": [float((x.astype("float64") * y).sum())],
+            }
+        )
+
+    s = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n, sx, sy = int(s["n"]), int(s["sx"]), int(s["sy"])
+    sxx, syy, sxy = float(s["sxx"]), float(s["syy"]), float(s["sxy"])
+    r = (n * sxy - sx * 1.0 * sy) / np.sqrt(
+        (n * sxx - sx * 1.0 * sx) * (n * syy - sy * 1.0 * sy)
+    )
+    return pd.DataFrame(
+        {
+            "x_lo": pd.Series([xlo], dtype="int64"),
+            "x_hi": pd.Series([xhi], dtype="int64"),
+            "winsorized_r": [round(float(r), 6)],
+        }
+    )
+
+
+WINSORIZED_CORR_PRICE_QUANTITY_SQL = """
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+n AS (SELECT count(*) AS n FROM b),
+xt AS (
+  SELECT min(x) FILTER (WHERE cum >= ceil(0.05 * (SELECT n FROM n))) AS lo,
+         min(x) FILTER (WHERE cum >= ceil(0.95 * (SELECT n FROM n))) AS hi
+  FROM (SELECT x, sum(c) OVER (ORDER BY x) AS cum
+        FROM (SELECT x, count(*) AS c FROM b GROUP BY x))
+),
+yt AS (
+  SELECT min(y) FILTER (WHERE cum >= ceil(0.05 * (SELECT n FROM n))) AS lo,
+         min(y) FILTER (WHERE cum >= ceil(0.95 * (SELECT n FROM n))) AS hi
+  FROM (SELECT y, sum(c) OVER (ORDER BY y) AS cum
+        FROM (SELECT y, count(*) AS c FROM b GROUP BY y))
+),
+w AS (
+  SELECT greatest((SELECT lo FROM xt), least((SELECT hi FROM xt), x)) AS x,
+         greatest((SELECT lo FROM yt), least((SELECT hi FROM yt), y)) AS y
+  FROM b
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * 1.0 * x) AS sxx, sum(y * 1.0 * y) AS syy, sum(x * 1.0 * y) AS sxy
+  FROM w
+)
+SELECT (SELECT CAST(lo AS BIGINT) FROM xt) AS x_lo,
+       (SELECT CAST(hi AS BIGINT) FROM xt) AS x_hi,
+       round((n * sxy - sx * 1.0 * sy)
+             / sqrt((n * sxx - sx * 1.0 * sx) * (n * syy - sy * 1.0 * sy)), 6) AS winsorized_r
+FROM m
+"""
+
+
+def point_biserial_return_price(sf_dir: str) -> pd.DataFrame:
+    """Point-biserial correlation between the binary returned flag
+    (R vs everything else) and l_extendedprice:
+    r_pb = (m1 - m0) * sqrt(p*(1-p)) / sd — algebraically the Pearson
+    correlation of a 0/1 variable with a continuous one, the
+    binary-continuous member of the correlation family.
+
+    One pass of per-group exact integer-cent moments (population sd);
+    six numbers reach the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = (df["l_returnflag"] == "R").to_numpy("int64")
+        c = np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(c))],
+                "n1": [np.int64(r.sum())],
+                "s1": [np.int64(c[r == 1].sum())],
+                "s0": [np.int64(c[r == 0].sum())],
+                "ss": [float((c.astype("float64") * c).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n, n1, s1, s0, ss = int(s["n"]), int(s["n1"]), int(s["s1"]), int(s["s0"]), float(s["ss"])
+    n0 = n - n1
+    m1 = s1 * 1.0 / n1
+    m0 = s0 * 1.0 / n0
+    tot = s1 + s0
+    sd = np.sqrt(ss / n - (tot * 1.0 / n) ** 2)
+    p = n1 * 1.0 / n
+    r_pb = (m1 - m0) * np.sqrt(p * (1.0 - p)) / sd
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([n1], dtype="int64"),
+            "n_other": pd.Series([n0], dtype="int64"),
+            "point_biserial_r": [round(float(r_pb), 6)],
+        }
+    )
+
+
+POINT_BISERIAL_RETURN_PRICE_SQL = """
+WITH b AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+m AS (
+  SELECT count(*) AS n, sum(r) AS n1,
+         sum(CASE WHEN r = 1 THEN c ELSE 0 END) AS s1,
+         sum(CASE WHEN r = 0 THEN c ELSE 0 END) AS s0,
+         sum(c * 1.0 * c) AS ss
+  FROM b
+),
+c AS (
+  SELECT n, n1, n - n1 AS n0,
+         s1 * 1.0 / n1 AS m1, s0 * 1.0 / (n - n1) AS m0,
+         sqrt(ss / n - ((s1 + s0) * 1.0 / n) * ((s1 + s0) * 1.0 / n)) AS sd,
+         n1 * 1.0 / n AS p
+  FROM m
+)
+SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n0 AS BIGINT) AS n_other,
+       round((m1 - m0) * sqrt(p * (1.0 - p)) / sd, 6) AS point_biserial_r
+FROM c
+"""
