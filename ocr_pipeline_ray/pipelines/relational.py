@@ -21116,3 +21116,142 @@ SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n0 AS BIGINT) AS n_other,
        round((m1 - m0) * sqrt(p * (1.0 - p)) / sd, 6) AS point_biserial_r
 FROM c
 """
+
+def ridge_price_model(sf_dir: str, lam: float = 1000.0) -> pd.DataFrame:
+    """Closed-form ridge regression of extended price (cents) on
+    centered (quantity, discount): beta = (X'X + lambda*I)^-1 X'y
+    with the explicit 2x2 inverse — the L2-regularized companion of
+    the OLS multivariate query, shrinkage visible against its
+    coefficients.
+
+    One pass of exact integer moment sums (discount scaled to integer
+    basis points); the 2x2 solve is driver arithmetic both engines
+    share symbol-for-symbol."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x1 = df["l_quantity"].to_numpy("float64").astype("int64")
+        x2 = np.round(df["l_discount"].to_numpy("float64") * 100).astype("int64")
+        y = np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(y))],
+                "s1": [np.int64(x1.sum())],
+                "s2": [np.int64(x2.sum())],
+                "sy": [np.int64(y.sum())],
+                "s11": [np.int64((x1 * x1).sum())],
+                "s22": [np.int64((x2 * x2).sum())],
+                "s12": [np.int64((x1 * x2).sum())],
+                "s1y": [float((x1.astype("float64") * y).sum())],
+                "s2y": [float((x2.astype("float64") * y).sum())],
+            }
+        )
+
+    s = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n = int(s["n"])
+    c11 = float(s["s11"]) - float(s["s1"]) ** 2 / n
+    c22 = float(s["s22"]) - float(s["s2"]) ** 2 / n
+    c12 = float(s["s12"]) - float(s["s1"]) * float(s["s2"]) / n
+    c1y = float(s["s1y"]) - float(s["s1"]) * float(s["sy"]) / n
+    c2y = float(s["s2y"]) - float(s["s2"]) * float(s["sy"]) / n
+    a11, a22 = c11 + lam, c22 + lam
+    det = a11 * a22 - c12 * c12
+    b1 = (a22 * c1y - c12 * c2y) / det
+    b2 = (a11 * c2y - c12 * c1y) / det
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "ridge_beta_quantity": [round(b1, 6)],
+            "ridge_beta_discount": [round(b2, 6)],
+        }
+    )
+
+
+RIDGE_PRICE_MODEL_SQL = """
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+         sum(x1 * 1.0 * y) AS s1y, sum(x2 * 1.0 * y) AS s2y
+  FROM b
+),
+c AS (
+  SELECT n,
+         s11 - s1 * 1.0 * s1 / n + 1000.0 AS a11,
+         s22 - s2 * 1.0 * s2 / n + 1000.0 AS a22,
+         s12 - s1 * 1.0 * s2 / n AS c12,
+         s1y - s1 * 1.0 * sy / n AS c1y,
+         s2y - s2 * 1.0 * sy / n AS c2y
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((a22 * c1y - c12 * c2y) / (a11 * a22 - c12 * c12), 6) AS ridge_beta_quantity,
+       round((a11 * c2y - c12 * c1y) / (a11 * a22 - c12 * c12), 6) AS ridge_beta_discount
+FROM c
+"""
+
+
+def vif_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Variance inflation factor between the two regressors of the
+    price model: VIF = 1 / (1 - r^2) with r the Pearson correlation
+    of quantity and discount — the collinearity check every
+    multi-regressor fit (OLS / ridge / fixed-effects) should report.
+
+    One pass of exact integer moments; closed form."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x1 = df["l_quantity"].to_numpy("float64").astype("int64")
+        x2 = np.round(df["l_discount"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x1))],
+                "s1": [np.int64(x1.sum())],
+                "s2": [np.int64(x2.sum())],
+                "s11": [np.int64((x1 * x1).sum())],
+                "s22": [np.int64((x2 * x2).sum())],
+                "s12": [np.int64((x1 * x2).sum())],
+            }
+        )
+
+    s = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n = int(s["n"])
+    r = (n * float(s["s12"]) - float(s["s1"]) * float(s["s2"])) / np.sqrt(
+        (n * float(s["s11"]) - float(s["s1"]) ** 2)
+        * (n * float(s["s22"]) - float(s["s2"]) ** 2)
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "r_quantity_discount": [round(float(r), 6)],
+            "vif": [round(float(1.0 / (1.0 - r * r)), 6)],
+        }
+    )
+
+
+VIF_QUANTITY_DISCOUNT_SQL = """
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem
+),
+m AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12
+  FROM b
+),
+c AS (
+  SELECT n,
+         (n * s12 - s1 * 1.0 * s2)
+           / sqrt((n * s11 - s1 * 1.0 * s1) * (n * s22 - s2 * 1.0 * s2)) AS r
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n, round(r, 6) AS r_quantity_discount,
+       round(1.0 / (1.0 - r * r), 6) AS vif
+FROM c
+"""
