@@ -21255,3 +21255,141 @@ SELECT CAST(n AS BIGINT) AS n, round(r, 6) AS r_quantity_discount,
        round(1.0 / (1.0 - r * r), 6) AS vif
 FROM c
 """
+
+def isotonic_return_rate_by_quantity(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the return
+    rate on quantity via pool-adjacent-violators over the 50-cell
+    (quantity -> trials, returns) grid: the best monotone fit in
+    weighted least squares — the shape-constrained calibration
+    primitive under every monotone-score calibrator.
+
+    The fact table reduces to ONE bucketed grid; PAVA runs on the
+    50 pooled cells (sequential by nature, result-sized). No SQL
+    oracle (iterative pooling) — pinned by pytest against a
+    sequential reference implementation plus monotonicity /
+    mean-preservation properties; the Cochran-Armitage partner query
+    anchors the same grid with an exact oracle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "q": df["l_quantity"].to_numpy("float64").astype("int64"),
+                "one": np.int64(1),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        ).groupby("q", as_index=False).sum()
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["q"],
+            {"n": ("one", "sum"), "r": ("r", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    w = grid["n"].to_numpy("int64").astype("float64")
+    y = grid["r"].to_numpy("int64") / w
+    # pool-adjacent-violators, weighted
+    vals = list(y)
+    wts = list(w)
+    idx = [[i] for i in range(len(y))]
+    i = 0
+    while i < len(vals) - 1:
+        if vals[i] > vals[i + 1] + 1e-15:
+            tot = wts[i] + wts[i + 1]
+            vals[i] = (vals[i] * wts[i] + vals[i + 1] * wts[i + 1]) / tot
+            wts[i] = tot
+            idx[i] = idx[i] + idx[i + 1]
+            del vals[i + 1], wts[i + 1], idx[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    fitted = np.empty(len(y))
+    for v, members in zip(vals, idx):
+        for m in members:
+            fitted[m] = v
+    return pd.DataFrame(
+        {
+            "q": grid["q"].to_numpy("int64"),
+            "n": grid["n"].to_numpy("int64"),
+            "raw_rate": np.round(y, 6),
+            "isotonic_rate": np.round(fitted, 6),
+        }
+    )
+
+
+def cochran_armitage_return_by_quantity(sf_dir: str) -> pd.DataFrame:
+    """Cochran-Armitage linear trend test of the return rate across
+    quantity levels (scores = the quantity values themselves):
+    z = SUM r_i*(w_i - wbar) / sqrt(pbar*(1-pbar)*SUM n_i*(w_i -
+    wbar)^2) — the exact-oracle anchor for the isotonic fit's grid
+    (PAVA answers 'what is the best monotone fit'; CA answers 'is
+    there a monotone trend at all').
+
+    Same ONE bucketed (quantity -> trials, returns) grid; exact
+    integers to the final division."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "q": df["l_quantity"].to_numpy("float64").astype("int64"),
+                "one": np.int64(1),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        ).groupby("q", as_index=False).sum()
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["q"],
+            {"n": ("one", "sum"), "r": ("r", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+    w = grid["q"].to_numpy("int64").astype("float64")
+    n_i = grid["n"].to_numpy("int64").astype("float64")
+    r_i = grid["r"].to_numpy("int64").astype("float64")
+    nn = n_i.sum()
+    pbar = r_i.sum() / nn
+    wbar = (n_i * w).sum() / nn
+    num = (r_i * (w - wbar)).sum()
+    den = np.sqrt(pbar * (1.0 - pbar) * (n_i * (w - wbar) * (w - wbar)).sum())
+    return pd.DataFrame(
+        {
+            "n_levels": pd.Series([len(grid)], dtype="int64"),
+            "return_rate": [round(float(pbar), 6)],
+            "ca_z": [round(float(num / den), 6)],
+        }
+    )
+
+
+COCHRAN_ARMITAGE_RETURN_BY_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT sum(n) AS nn, sum(r) AS rr, sum(n * q) * 1.0 / sum(n) AS wbar
+  FROM g
+),
+s AS (
+  SELECT sum(r * (q - (SELECT wbar FROM m))) AS num,
+         sum(n * (q - (SELECT wbar FROM m)) * (q - (SELECT wbar FROM m))) AS sw2
+  FROM g
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_levels,
+       round((SELECT rr * 1.0 / nn FROM m), 6) AS return_rate,
+       round((SELECT num FROM s)
+             / sqrt((SELECT rr * 1.0 / nn FROM m) * (1.0 - (SELECT rr * 1.0 / nn FROM m))
+                    * (SELECT sw2 FROM s)), 6) AS ca_z
+"""

@@ -535,3 +535,39 @@ def test_hits_matches_sequential_power_iteration():
         {"l_partkey": ps[order].astype("int64"), "authority": np.round(a[order], 6)}
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_isotonic_matches_sequential_pava():
+    """Pin the distributed-grid isotonic fit to a sequential weighted
+    PAVA over the gathered grid, plus monotonicity and weighted-mean
+    preservation (no SQL oracle: iterative pooling)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from ocr_pipeline_ray.pipelines.relational import isotonic_return_rate_by_quantity
+
+    out = isotonic_return_rate_by_quantity(SF)
+    f = out["isotonic_rate"].to_numpy("float64")
+    n = out["n"].to_numpy("int64").astype("float64")
+    raw = out["raw_rate"].to_numpy("float64")
+    assert (np.diff(f) >= -1e-9).all(), "fit must be non-decreasing"
+    assert abs((f * n).sum() - (raw * n).sum()) < 1e-6 * (raw * n).sum() + 1e-9
+    # independent O(n^2) reference: fitted value at i is max over j<=i of
+    # min over k>=j of the weighted average raw[j..k] (minimax formula)
+    m = len(raw)
+    cumw = np.concatenate([[0.0], np.cumsum(n)])
+    cumwy = np.concatenate([[0.0], np.cumsum(n * raw)])
+
+    def avg(j, k):
+        return (cumwy[k + 1] - cumwy[j]) / (cumw[k + 1] - cumw[j])
+
+    ref = np.empty(m)
+    for i in range(m):
+        best = -np.inf
+        for j in range(i + 1):
+            mn = min(avg(j, k) for k in range(i, m))
+            best = max(best, mn)
+        ref[i] = best
+    assert np.allclose(f, np.round(ref, 6), atol=2e-6), (f[:5], ref[:5])
