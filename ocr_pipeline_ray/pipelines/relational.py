@@ -21393,3 +21393,124 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_levels,
              / sqrt((SELECT rr * 1.0 / nn FROM m) * (1.0 - (SELECT rr * 1.0 / nn FROM m))
                     * (SELECT sw2 FROM s)), 6) AS ca_z
 """
+
+def ztp_lines_per_order(sf_dir: str) -> pd.DataFrame:
+    """Zero-truncated Poisson fit of the lines-per-order distribution
+    (an order always has >= 1 lineitem, so the zero class is
+    unobservable): the closed-form ratio estimator
+    lambda_hat = 2 * f2 / f1 from P(2)/P(1) = lambda/2, plus the
+    implied unobserved-zero share e^(-lambda) — 'how many carts
+    would have been empty', the truncation-aware companion of the
+    Poisson GOF on line counts.
+
+    ONE bucketed per-order line-count aggregate reduces to the
+    count-of-counts histogram; two integers make the estimator."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    per = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "k"}),
+            batch_format="pandas",
+        ),
+        ["l_orderkey"],
+        {"k": ("k", "sum")},
+        num_buckets=32,
+    )
+
+    def _foff(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(k))],
+                "f1": [np.int64((k == 1).sum())],
+                "f2": [np.int64((k == 2).sum())],
+            }
+        )
+
+    s = per.map_batches(_foff, batch_format="pandas").to_pandas().sum()
+    n, f1, f2 = int(s["n"]), int(s["f1"]), int(s["f2"])
+    lam = 2.0 * f2 / f1
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([n], dtype="int64"),
+            "f1": pd.Series([f1], dtype="int64"),
+            "f2": pd.Series([f2], dtype="int64"),
+            "ztp_lambda": [round(lam, 6)],
+            "implied_zero_share": [round(float(np.exp(-lam)), 6)],
+        }
+    )
+
+
+ZTP_LINES_PER_ORDER_SQL = """
+WITH per AS (SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+s AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE k = 1) AS f1,
+         count(*) FILTER (WHERE k = 2) AS f2
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_orders, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2,
+       round(2.0 * f2 / f1, 6) AS ztp_lambda,
+       round(exp(-(2.0 * f2 / f1)), 6) AS implied_zero_share
+FROM s
+"""
+
+
+def basket_size_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (nats) of the lines-per-order (basket size)
+    distribution plus its normalized evenness H/ln(K) — how
+    predictable is the size of the next basket, the distributional
+    summary beside the ZTP parametric fit on the same histogram.
+
+    Same per-order reduce to the count-of-counts histogram; entropy
+    arithmetic on exact integers."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    per = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "k"}),
+            batch_format="pandas",
+        ),
+        ["l_orderkey"],
+        {"k": ("k", "sum")},
+        num_buckets=32,
+    )
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", as_index=False).size().rename(columns={"size": "c"})
+
+    hist = (
+        per.map_batches(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)["c"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    c = hist["c"].to_numpy("int64").astype("float64")
+    n = c.sum()
+    p = c / n
+    h = float(-(p * np.log(p)).sum())
+    kk = len(hist)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([int(n)], dtype="int64"),
+            "k_sizes": pd.Series([kk], dtype="int64"),
+            "entropy_nats": [round(h, 6)],
+            "evenness": [round(h / float(np.log(kk)), 6)],
+        }
+    )
+
+
+BASKET_SIZE_ENTROPY_SQL = """
+WITH per AS (SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1),
+h AS (SELECT k, count(*) AS c FROM per GROUP BY k),
+t AS (SELECT sum(c) AS n, count(*) AS kk FROM h),
+e AS (
+  SELECT -sum((c * 1.0 / (SELECT n FROM t)) * ln(c * 1.0 / (SELECT n FROM t))) AS h
+  FROM h
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_orders,
+       (SELECT CAST(kk AS BIGINT) FROM t) AS k_sizes,
+       round((SELECT h FROM e), 6) AS entropy_nats,
+       round((SELECT h FROM e) / ln((SELECT kk * 1.0 FROM t)), 6) AS evenness
+"""
