@@ -21514,3 +21514,155 @@ SELECT (SELECT CAST(n AS BIGINT) FROM t) AS n_orders,
        round((SELECT h FROM e), 6) AS entropy_nats,
        round((SELECT h FROM e) / ln((SELECT kk * 1.0 FROM t)), 6) AS evenness
 """
+
+def nation_hhi_trend(sf_dir: str) -> pd.DataFrame:
+    """Concentration trend across nations: the yearly Herfindahl
+    index of nation revenue shares and the OLS slope of HHI on the
+    year index — 'is revenue concentrating into fewer nations over
+    time', the dynamic view of the static HHI query.
+
+    Customer->nation is a broadcast dimension join; ONE bucketed
+    (nation, year) integer-cents grid (~175 cells); yearly HHI and
+    the 7-point regression run on the grid."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nat_ref)
+        return pd.DataFrame(
+            {
+                "n": nm.reindex(df["o_custkey"]).to_numpy("int64"),
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["n", "y"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+    )
+    hhi = (
+        grid.groupby("y")
+        .apply(lambda g: float(((g["rev"] / g["rev"].sum()) ** 2).sum()), include_groups=False)
+        .sort_index()
+    )
+    ys = (hhi.index - hhi.index.min()).to_numpy("int64").astype("float64")
+    h = hhi.to_numpy("float64")
+    k = len(h)
+    sx, sy = ys.sum(), h.sum()
+    sxy, sx2 = (ys * h).sum(), (ys * ys).sum()
+    slope = (k * sxy - sx * sy) / (k * sx2 - sx * sx)
+    return pd.DataFrame(
+        {
+            "n_years": pd.Series([k], dtype="int64"),
+            "hhi_latest": [round(float(h[-1]), 6)],
+            "hhi_slope_per_year": [round(float(slope), 6)],
+        }
+    )
+
+
+NATION_HHI_TREND_SQL = """
+WITH g AS (
+  SELECT c_nationkey AS n, year(o_orderdate) AS y,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+h AS (
+  SELECT y, sum((rev * 1.0 / (SELECT sum(rev) FROM g g2 WHERE g2.y = g.y))
+                * (rev * 1.0 / (SELECT sum(rev) FROM g g2 WHERE g2.y = g.y))) AS hhi
+  FROM g GROUP BY y
+),
+idx AS (SELECT y - (SELECT min(y) FROM h) AS x, hhi FROM h),
+mo AS (
+  SELECT count(*) AS k, sum(x) AS sx, sum(hhi) AS sy,
+         sum(x * hhi) AS sxy, sum(x * x) AS sx2
+  FROM idx
+)
+SELECT CAST(k AS BIGINT) AS n_years,
+       (SELECT round(hhi, 6) FROM h ORDER BY y DESC LIMIT 1) AS hhi_latest,
+       round((k * sxy - sx * sy) / (k * sx2 - sx * sx), 6) AS hhi_slope_per_year
+FROM mo
+"""
+
+
+def nation_share_turbulence(sf_dir: str) -> pd.DataFrame:
+    """Market-share turbulence across nations: for each consecutive
+    year pair, T_t = SUM_n |share_{n,t} - share_{n,t-1}| / 2 (the
+    total share mass that changed hands), reported as the mean over
+    year pairs plus the max — the mobility companion of the HHI
+    concentration trend on the same grid (nations absent in a year
+    hold share 0).
+
+    Same ONE bucketed (nation, year) grid; the turbulence scan is
+    vectorized on the densified ~25 x years matrix."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(nat_ref)
+        return pd.DataFrame(
+            {
+                "n": nm.reindex(df["o_custkey"]).to_numpy("int64"),
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["n", "y"],
+            {"rev": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .pivot_table(index="n", columns="y", values="rev", fill_value=0)
+        .sort_index()
+    )
+    shares = grid.to_numpy("int64").astype("float64")
+    shares = shares / shares.sum(axis=0, keepdims=True)
+    t = np.abs(np.diff(shares, axis=1)).sum(axis=0) / 2.0
+    return pd.DataFrame(
+        {
+            "n_year_pairs": pd.Series([len(t)], dtype="int64"),
+            "mean_turbulence": [round(float(t.mean()), 6)],
+            "max_turbulence": [round(float(t.max()), 6)],
+        }
+    )
+
+
+NATION_SHARE_TURBULENCE_SQL = """
+WITH g AS (
+  SELECT c_nationkey AS n, year(o_orderdate) AS y,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+yrs AS (SELECT DISTINCT y FROM g),
+nats AS (SELECT DISTINCT n FROM g),
+fl AS (
+  SELECT nats.n, yrs.y, coalesce(g.rev, 0) AS rev
+  FROM nats CROSS JOIN yrs LEFT JOIN g ON g.n = nats.n AND g.y = yrs.y
+),
+sh AS (
+  SELECT n, y, rev * 1.0 / sum(rev) OVER (PARTITION BY y) AS s
+  FROM fl
+),
+d AS (
+  SELECT a.y, sum(abs(a.s - b.s)) / 2.0 AS t
+  FROM sh a JOIN sh b ON b.n = a.n AND b.y = a.y - 1
+  GROUP BY a.y
+)
+SELECT CAST(count(*) AS BIGINT) AS n_year_pairs,
+       round(avg(t), 6) AS mean_turbulence,
+       round(max(t), 6) AS max_turbulence
+FROM d
+"""
