@@ -417,6 +417,21 @@ SUBSET = [
     "ar1_half_life_daily_revenue",
     "expected_shortfall_order_price",
     "trimmed_mean_order_price",
+    "rate_ratio_weekend_events",
+    "binomial_exact_weekend_purchases",
+    "anderson_darling_two_sample_quantity",
+    "kuiper_two_sample_quantity",
+    "tail_dependence_quantity_price",
+    "event_id_time_inversions",
+    "winsorized_corr_price_quantity",
+    "point_biserial_return_price",
+    "ridge_price_model",
+    "vif_quantity_discount",
+    "cochran_armitage_return_by_quantity",
+    "ztp_lines_per_order",
+    "basket_size_entropy",
+    "nation_hhi_trend",
+    "nation_share_turbulence",
 ]
 
 
