@@ -21666,3 +21666,490 @@ SELECT CAST(count(*) AS BIGINT) AS n_year_pairs,
        round(max(t), 6) AS max_turbulence
 FROM d
 """
+
+def tax_discount_interaction(sf_dir: str) -> pd.DataFrame:
+    """Association between the two bounded rate columns l_tax and
+    l_discount: Pearson correlation from the exact (tax, discount)
+    joint value-domain grid (both stored at 2 decimals -> integer
+    basis points), plus the mean tax at the lowest and highest
+    discount levels — 'are discounts taxed differently', covering the
+    one lineitem column no other query touches.
+
+    ONE bucketed (tax, discount) count grid (<= ~99 cells); all
+    moments are exact integers."""
+    ds = _read(sf_dir, "lineitem", columns=["l_tax", "l_discount"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t": np.round(df["l_tax"].to_numpy("float64") * 100).astype("int64"),
+                "d": np.round(df["l_discount"].to_numpy("float64") * 100).astype("int64"),
+                "one": np.int64(1),
+            }
+        ).groupby(["t", "d"], as_index=False).sum()
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["t", "d"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["t", "d"])
+        .reset_index(drop=True)
+    )
+    t = grid["t"].to_numpy("int64").astype("float64")
+    d = grid["d"].to_numpy("int64").astype("float64")
+    c = grid["c"].to_numpy("int64").astype("float64")
+    n = c.sum()
+    st, sd = (c * t).sum(), (c * d).sum()
+    stt, sdd, std = (c * t * t).sum(), (c * d * d).sum(), (c * t * d).sum()
+    r = (n * std - st * sd) / np.sqrt((n * stt - st * st) * (n * sdd - sd * sd))
+    dmin, dmax = d.min(), d.max()
+    mt_lo = (c[d == dmin] * t[d == dmin]).sum() / c[d == dmin].sum()
+    mt_hi = (c[d == dmax] * t[d == dmax]).sum() / c[d == dmax].sum()
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "r_tax_discount": [round(float(r), 6)],
+            "mean_tax_lowest_disc": [round(float(mt_lo), 6)],
+            "mean_tax_highest_disc": [round(float(mt_hi), 6)],
+        }
+    )
+
+
+TAX_DISCOUNT_INTERACTION_SQL = """
+WITH b AS (
+  SELECT CAST(round(l_tax * 100) AS BIGINT) AS t,
+         CAST(round(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT count(*) AS n, sum(t) AS st, sum(d) AS sd,
+         sum(t * t) AS stt, sum(d * d) AS sdd, sum(t * d) AS std
+  FROM b
+),
+ex AS (SELECT min(d) AS dmin, max(d) AS dmax FROM b),
+lo AS (SELECT avg(t * 1.0) AS mt FROM b WHERE d = (SELECT dmin FROM ex)),
+hi AS (SELECT avg(t * 1.0) AS mt FROM b WHERE d = (SELECT dmax FROM ex))
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * std - st * 1.0 * sd)
+             / sqrt((n * stt - st * 1.0 * st) * (n * sdd - sd * 1.0 * sd)), 6) AS r_tax_discount,
+       round((SELECT mt FROM lo), 6) AS mean_tax_lowest_disc,
+       round((SELECT mt FROM hi), 6) AS mean_tax_highest_disc
+FROM m
+"""
+
+
+def billed_amount_decomposition(sf_dir: str) -> pd.DataFrame:
+    """Exact decomposition of the total billed amount: gross =
+    SUM extendedprice, discount give-back = SUM price*discount,
+    net = SUM price*(1-discount), tax collected = SUM
+    price*(1-discount)*tax, billed = net + tax — the TPC-H pricing
+    identity as corpus-level shares, every term accumulated in exact
+    integer cents*basis-points before one final division.
+
+    One pass of per-batch integer partials; five numbers reach the
+    driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_discount", "l_tax"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        p = np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64")
+        d = np.round(df["l_discount"].to_numpy("float64") * 100).astype("int64")
+        t = np.round(df["l_tax"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "gross": [np.int64(p.sum())],
+                "disc": [np.int64((p * d).sum())],
+                "net": [np.int64((p * (100 - d)).sum())],
+                "tax": [float((p.astype("float64") * (100 - d) * t).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    gross = int(s["gross"])
+    disc = int(s["disc"])
+    net = int(s["net"])
+    tax = float(s["tax"])
+    # units: p cents, (100-d) and t in percent points ->
+    # net is cents*1e2, tax is cents*1e4
+    return pd.DataFrame(
+        {
+            "gross_dollars": [round(gross / 100.0, 2)],
+            "discount_share": [round(disc / 100.0 / gross, 6)],
+            "tax_share_of_net": [round(tax / net / 100.0, 6)],
+            "billed_dollars": [round(net / 1e4 + tax / 1e6, 2)],
+        }
+    )
+
+
+BILLED_AMOUNT_DECOMPOSITION_SQL = """
+WITH b AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(round(l_discount * 100) AS BIGINT) AS d,
+         CAST(round(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem
+),
+s AS (
+  SELECT sum(p) AS gross, sum(p * d) AS disc, sum(p * (100 - d)) AS net,
+         sum(p * 1.0 * (100 - d) * t) AS tax
+  FROM b
+)
+SELECT round(gross / 100.0, 2) AS gross_dollars,
+       round(disc / 100.0 / gross, 6) AS discount_share,
+       round(tax / net / 100.0, 6) AS tax_share_of_net,
+       round(net / 1e4 + tax / 1e6, 2) AS billed_dollars
+FROM s
+"""
+
+def size_demand_trend(sf_dir: str) -> pd.DataFrame:
+    """Does part SIZE move demand? OLS slope of lineitem quantity on
+    the part's p_size across all lineitems (exact integer moments
+    through a broadcast part-dimension join) plus the overall mean
+    quantity — covering the p_size column.
+
+    part is dimension-sized: broadcast once via ray.put; the fact
+    table streams through one moment pass."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).to_pandas()
+    size_ref = ray.put(part.set_index("p_partkey")["p_size"])
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(size_ref)
+        x = sm.reindex(df["l_partkey"]).to_numpy("int64")
+        y = df["l_quantity"].to_numpy("float64").astype("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [np.int64(x.sum())],
+                "sy": [np.int64(y.sum())],
+                "sxx": [np.int64((x * x).sum())],
+                "sxy": [np.int64((x * y).sum())],
+            }
+        )
+
+    s = ds.map_batches(_moments, batch_format="pandas").to_pandas().sum()
+    n, sx, sy = int(s["n"]), int(s["sx"]), int(s["sy"])
+    sxx, sxy = int(s["sxx"]), int(s["sxy"])
+    slope = (n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "qty_per_size_slope": [round(float(slope), 6)],
+            "mean_qty": [round(sy * 1.0 / n, 6)],
+        }
+    )
+
+
+SIZE_DEMAND_TREND_SQL = """
+WITH j AS (
+  SELECT CAST(p.p_size AS BIGINT) AS x, CAST(l.l_quantity AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * 1.0 * sxy - sx * 1.0 * sy) / (n * 1.0 * sxx - sx * 1.0 * sx), 6)
+         AS qty_per_size_slope,
+       round(sy * 1.0 / n, 6) AS mean_qty
+FROM m
+"""
+
+
+def retail_vs_transacted_price(sf_dir: str) -> pd.DataFrame:
+    """Gap between the catalog retail price and what parts actually
+    transact at: per part, the mean unit value (extendedprice /
+    quantity summed exactly as a ratio of integer-cent sums) vs
+    p_retailprice; reports the demand-weighted mean markup ratio and
+    the share of parts whose transacted unit value exceeds retail —
+    covering the p_retailprice column.
+
+    ONE bucketed per-part aggregate; the part dimension broadcasts
+    once for the comparison."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"]).to_pandas()
+    rp_ref = ray.put(
+        pd.Series(
+            np.round(part["p_retailprice"].to_numpy("float64") * 100).astype("int64"),
+            index=part["p_partkey"],
+        )
+    )
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].to_numpy("int64"),
+                "sp": np.round(df["l_extendedprice"].to_numpy("float64") * 100).astype("int64"),
+                "sq": df["l_quantity"].to_numpy("float64").astype("int64"),
+            }
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["p"],
+        {"sp": ("sp", "sum"), "sq": ("sq", "sum")},
+        num_buckets=32,
+    )
+
+    def _cmp(df: pd.DataFrame) -> pd.DataFrame:
+        rp = ray.get(rp_ref)
+        r = rp.reindex(df["p"]).to_numpy("int64")
+        sp = df["sp"].to_numpy("int64")
+        sq = df["sq"].to_numpy("int64")
+        # unit value > retail  <=>  sp > r * sq  (exact integers)
+        above = sp > r * sq
+        return pd.DataFrame(
+            {
+                "k": [np.int64(len(df))],
+                "above": [np.int64(above.sum())],
+                "num": [float(sp.astype("float64").sum())],
+                "den": [float((r * sq).astype("float64").sum())],
+            }
+        )
+
+    s = per.map_batches(_cmp, batch_format="pandas").to_pandas().sum()
+    k, above = int(s["k"]), int(s["above"])
+    ratio = float(s["num"]) / float(s["den"])
+    return pd.DataFrame(
+        {
+            "n_parts": pd.Series([k], dtype="int64"),
+            "share_above_retail": [round(above * 1.0 / k, 6)],
+            "weighted_markup_ratio": [round(ratio, 6)],
+        }
+    )
+
+
+RETAIL_VS_TRANSACTED_PRICE_SQL = """
+WITH per AS (
+  SELECT l_partkey AS p,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT per.sp, per.sq, CAST(round(p.p_retailprice * 100) AS BIGINT) AS r
+  FROM per JOIN part p ON p.p_partkey = per.p
+),
+s AS (
+  SELECT count(*) AS k,
+         sum(CASE WHEN sp > r * sq THEN 1 ELSE 0 END) AS above,
+         sum(sp * 1.0) AS num, sum(r * 1.0 * sq) AS den
+  FROM j
+)
+SELECT CAST(k AS BIGINT) AS n_parts,
+       round(above * 1.0 / k, 6) AS share_above_retail,
+       round(num / den, 6) AS weighted_markup_ratio
+FROM s
+"""
+
+def _hypergeom_upper_tail(nn: int, kk: int, n1: int, x: int) -> float:
+    """P(X >= x) for X ~ Hypergeom(N=nn, K=kk, n=n1), lgamma-exact
+    (same libm as DuckDB's lgamma)."""
+    import math
+
+    def lc(a: int, b: int) -> float:
+        return math.lgamma(a + 1) - math.lgamma(b + 1) - math.lgamma(a - b + 1)
+
+    hi = min(kk, n1)
+    tot = 0.0
+    for k in range(x, hi + 1):
+        tot += math.exp(lc(kk, k) + lc(nn - kk, n1 - k) - lc(nn, n1))
+    return tot
+
+
+def bh_brand_return_enrichment(sf_dir: str, q: float = 0.1) -> pd.DataFrame:
+    """Benjamini-Hochberg FDR control over the per-BRAND return-rate
+    enrichment family: each of the 25 brands gets an exact
+    hypergeometric upper-tail p-value (is this brand's share of
+    returns higher than chance), then BH at q = 0.1 marks the
+    discovery set (largest i with p_(i) <= q*i/m, all smaller ranks
+    included) — the multiple-testing layer every per-group screen
+    needs before anyone acts on 'brand X looks bad'.
+
+    A broadcast part-dimension join attaches brands; ONE bucketed
+    (brand, returned) integer grid feeds 25 exact tail sums; the BH
+    step runs on 25 rows."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    br_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(br_ref)
+        return pd.DataFrame(
+            {
+                "b": bm.reindex(df["l_partkey"]).to_numpy(object),
+                "one": np.int64(1),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        ).groupby("b", as_index=False).sum()
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b"],
+            {"n": ("one", "sum"), "r": ("r", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    nn = int(grid["n"].sum())
+    kk = int(grid["r"].sum())
+    grid["p_raw"] = [
+        round(_hypergeom_upper_tail(nn, kk, int(n1), int(x)), 6)
+        for n1, x in zip(grid["n"], grid["r"])
+    ]
+    m = len(grid)
+    order = grid.sort_values(["p_raw", "b"]).reset_index()
+    thresh = q * (np.arange(m) + 1) / m
+    ok = order["p_raw"].to_numpy("float64") <= thresh
+    cut = int(np.max(np.nonzero(ok)[0])) + 1 if ok.any() else 0
+    sig = set(order["b"].iloc[:cut])
+    grid["bh_sig"] = grid["b"].isin(sig).astype("int64")
+    return pd.DataFrame(
+        {
+            "brand": grid["b"].to_numpy(object),
+            "n_lines": grid["n"].astype("int64"),
+            "n_returns": grid["r"].astype("int64"),
+            "p_raw": grid["p_raw"],
+            "bh_sig": grid["bh_sig"],
+        }
+    )
+
+
+BH_BRAND_RETURN_ENRICHMENT_SQL = """
+WITH j AS (
+  SELECT p.p_brand AS b, CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (SELECT b, count(*) AS n, sum(r) AS rr FROM j GROUP BY b),
+tot AS (SELECT sum(n) AS nn, sum(rr) AS kk FROM g),
+pv AS (
+  SELECT g.b, g.n, g.rr,
+         round((SELECT sum(exp(
+                  (lgamma((SELECT kk FROM tot) + 1) - lgamma(k + 1)
+                   - lgamma((SELECT kk FROM tot) - k + 1))
+                + (lgamma((SELECT nn FROM tot) - (SELECT kk FROM tot) + 1)
+                   - lgamma(g.n - k + 1)
+                   - lgamma((SELECT nn FROM tot) - (SELECT kk FROM tot) - g.n + k + 1))
+                - (lgamma((SELECT nn FROM tot) + 1) - lgamma(g.n + 1)
+                   - lgamma((SELECT nn FROM tot) - g.n + 1))))
+          FROM unnest(range(CAST(g.rr AS BIGINT), CAST(least((SELECT kk FROM tot), g.n) + 1 AS BIGINT))) AS t(k)), 6) AS p_raw
+  FROM g
+),
+rk AS (
+  SELECT b, n, rr, p_raw,
+         row_number() OVER (ORDER BY p_raw, b) AS i,
+         count(*) OVER () AS m
+  FROM pv
+),
+cut AS (
+  SELECT coalesce(max(i), 0) AS c FROM rk WHERE p_raw <= 0.1 * i / m
+)
+SELECT b AS brand, CAST(n AS BIGINT) AS n_lines, CAST(rr AS BIGINT) AS n_returns,
+       p_raw,
+       CAST(CASE WHEN i <= (SELECT c FROM cut) THEN 1 ELSE 0 END AS BIGINT) AS bh_sig
+FROM rk ORDER BY brand
+"""
+
+
+def multiple_testing_summary_brands(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
+    """Family-wise and FDR summary over the same 25 per-brand
+    return-enrichment p-values: Bonferroni discoveries
+    (p <= alpha/m), Holm step-down discoveries (largest prefix with
+    p_(i) <= alpha/(m-i+1)), and Storey's pi0 estimate
+    #{p > 0.5}/(0.5*m) of the true-null share — the one-screen
+    comparison of the three classic corrections.
+
+    Same broadcast join + 25 exact tail sums; the corrections are
+    arithmetic on 25 rows."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    br_ref = ray.put(part.set_index("p_partkey")["p_brand"])
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(br_ref)
+        return pd.DataFrame(
+            {
+                "b": bm.reindex(df["l_partkey"]).to_numpy(object),
+                "one": np.int64(1),
+                "r": (df["l_returnflag"] == "R").to_numpy("int64"),
+            }
+        ).groupby("b", as_index=False).sum()
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b"],
+            {"n": ("one", "sum"), "r": ("r", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    nn = int(grid["n"].sum())
+    kk = int(grid["r"].sum())
+    p = np.array(
+        [
+            round(_hypergeom_upper_tail(nn, kk, int(n1), int(x)), 6)
+            for n1, x in zip(grid["n"], grid["r"])
+        ]
+    )
+    m = len(p)
+    bonf = int((p <= alpha / m).sum())
+    ps = np.sort(p)
+    holm_ok = ps <= alpha / (m - np.arange(m))
+    holm = int(np.argmin(holm_ok)) if not holm_ok.all() else m
+    if not holm_ok[0]:
+        holm = 0
+    pi0 = float((p > 0.5).sum()) / (0.5 * m)
+    return pd.DataFrame(
+        {
+            "m_tests": pd.Series([m], dtype="int64"),
+            "bonferroni_sig": pd.Series([bonf], dtype="int64"),
+            "holm_sig": pd.Series([holm], dtype="int64"),
+            "storey_pi0": [round(pi0, 6)],
+        }
+    )
+
+
+MULTIPLE_TESTING_SUMMARY_BRANDS_SQL = """
+WITH j AS (
+  SELECT p.p_brand AS b, CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+g AS (SELECT b, count(*) AS n, sum(r) AS rr FROM j GROUP BY b),
+tot AS (SELECT sum(n) AS nn, sum(rr) AS kk FROM g),
+pv AS (
+  SELECT g.b,
+         round((SELECT sum(exp(
+                  (lgamma((SELECT kk FROM tot) + 1) - lgamma(k + 1)
+                   - lgamma((SELECT kk FROM tot) - k + 1))
+                + (lgamma((SELECT nn FROM tot) - (SELECT kk FROM tot) + 1)
+                   - lgamma(g.n - k + 1)
+                   - lgamma((SELECT nn FROM tot) - (SELECT kk FROM tot) - g.n + k + 1))
+                - (lgamma((SELECT nn FROM tot) + 1) - lgamma(g.n + 1)
+                   - lgamma((SELECT nn FROM tot) - g.n + 1))))
+          FROM unnest(range(CAST(g.rr AS BIGINT), CAST(least((SELECT kk FROM tot), g.n) + 1 AS BIGINT))) AS t(k)), 6) AS p_raw
+  FROM g
+),
+rk AS (
+  SELECT p_raw, row_number() OVER (ORDER BY p_raw, b) AS i, count(*) OVER () AS m
+  FROM pv
+),
+holm AS (
+  SELECT coalesce(min(i) - 1, (SELECT max(m) FROM rk)) AS h
+  FROM rk WHERE p_raw > 0.1 / (m - i + 1)
+)
+SELECT (SELECT CAST(max(m) AS BIGINT) FROM rk) AS m_tests,
+       (SELECT CAST(count(*) AS BIGINT) FROM rk WHERE p_raw <= 0.1 / m) AS bonferroni_sig,
+       (SELECT CAST(h AS BIGINT) FROM holm) AS holm_sig,
+       round((SELECT count(*) FROM rk WHERE p_raw > 0.5) * 1.0
+             / (0.5 * (SELECT max(m) FROM rk)), 6) AS storey_pi0
+"""
