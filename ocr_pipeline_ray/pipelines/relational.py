@@ -22153,3 +22153,184 @@ SELECT (SELECT CAST(max(m) AS BIGINT) FROM rk) AS m_tests,
        round((SELECT count(*) FROM rk WHERE p_raw > 0.5) * 1.0
              / (0.5 * (SELECT max(m) FROM rk)), 6) AS storey_pi0
 """
+
+def _returned_kept_quantity_grid(sf_dir: str) -> pd.DataFrame:
+    """ONE bucketed (returnflag in {R,N}, quantity) histogram — the
+    shared distributed grid behind the two-sample family (KS, CvM, AD,
+    Kuiper, energy distance, Brunner-Munzel). <= 50 rows reach the
+    driver regardless of SF; columns R/N are int64 counts indexed by
+    integer quantity ascending."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"].isin(["R", "N"])]
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="q", columns="f", values="c", fill_value=0)
+        .reindex(columns=["R", "N"], fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+
+
+def energy_distance_quantity(sf_dir: str) -> pd.DataFrame:
+    """Two-sample energy distance between returned (R) and kept (N)
+    quantity distributions — the characteristic-function-complete
+    metric companion of the CDF-gap family (KS/CvM/AD/Kuiper) on the
+    same grid: E = 2*E|X-Y| - E|X-X'| - E|Y-Y'| (V-statistic, self
+    pairs included), plus the scaled test statistic
+    T = n1*n2/(n1+n2) * E (Szekely-Rizzo).
+
+    Every expectation is an exact integer cross sum over the <= 50
+    distinct quantity values: E|X-Y| = SUM_{u,v} c1(u)*c2(v)*|u-v|
+    / (n1*n2) — the grid cross join is O(50^2) on the driver while
+    the data-scale work is the one bucketed histogram pass."""
+    grid = _returned_kept_quantity_grid(sf_dir)
+    q = grid.index.to_numpy("float64")
+    c1 = grid["R"].to_numpy("int64").astype("float64")
+    c2 = grid["N"].to_numpy("int64").astype("float64")
+    n1, n2 = c1.sum(), c2.sum()
+    d = np.abs(q[:, None] - q[None, :])
+    exy = float(c1 @ d @ c2) / (n1 * n2)
+    exx = float(c1 @ d @ c1) / (n1 * n1)
+    eyy = float(c2 @ d @ c2) / (n2 * n2)
+    e = 2.0 * exy - exx - eyy
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([int(n1)], dtype="int64"),
+            "n_kept": pd.Series([int(n2)], dtype="int64"),
+            "e_between": [round(exy, 6)],
+            "energy_dist": [round(e, 6)],
+            "energy_stat": [round(n1 * n2 / (n1 + n2) * e, 6)],
+        }
+    )
+
+
+ENERGY_DISTANCE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+x AS (
+  SELECT sum(a.c1 * b.c2 * abs(a.q - b.q)) * 1.0
+           / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot)) AS exy,
+         sum(a.c1 * b.c1 * abs(a.q - b.q)) * 1.0
+           / ((SELECT n1 FROM tot) * (SELECT n1 FROM tot)) AS exx,
+         sum(a.c2 * b.c2 * abs(a.q - b.q)) * 1.0
+           / ((SELECT n2 FROM tot) * (SELECT n2 FROM tot)) AS eyy
+  FROM g a CROSS JOIN g b
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round(exy, 6) AS e_between,
+       round(2.0 * exy - exx - eyy, 6) AS energy_dist,
+       round((SELECT n1 * n2 * 1.0 / (n1 + n2) FROM tot)
+             * (2.0 * exy - exx - eyy), 6) AS energy_stat
+FROM x
+"""
+
+
+def brunner_munzel_quantity(sf_dir: str) -> pd.DataFrame:
+    """Brunner-Munzel nonparametric test (returned vs kept quantity):
+    the heteroskedasticity-robust replacement for Mann-Whitney that
+    does NOT assume equal variances of the rank distributions. Scipy
+    convention: W = n1*n2*(Rbar2 - Rbar1) / ((n1+n2) * sqrt(n1*S1 +
+    n2*S2)) with S_i the variance over group-i observations of
+    (pooled midrank - within-group midrank), plus the effect size
+    p_hat = P(X<Y) + 0.5*P(X=Y).
+
+    All midranks are exact closed forms over the <= 50-cell grid
+    (tied observations share one midrank), so the whole test is one
+    bucketed histogram pass + O(50) driver arithmetic."""
+    grid = _returned_kept_quantity_grid(sf_dir)
+    c1 = grid["R"].to_numpy("int64").astype("float64")
+    c2 = grid["N"].to_numpy("int64").astype("float64")
+    n1, n2 = c1.sum(), c2.sum()
+    nn = n1 + n2
+    l = c1 + c2
+    pooled_before = np.concatenate([[0.0], np.cumsum(l)[:-1]])
+    p_mid = pooled_before + (l + 1.0) / 2.0
+    w1_before = np.concatenate([[0.0], np.cumsum(c1)[:-1]])
+    w2_before = np.concatenate([[0.0], np.cumsum(c2)[:-1]])
+    w1 = w1_before + (c1 + 1.0) / 2.0
+    w2 = w2_before + (c2 + 1.0) / 2.0
+    rbar1 = float((c1 * p_mid).sum()) / n1
+    rbar2 = float((c2 * p_mid).sum()) / n2
+    d1 = p_mid - w1 - rbar1 + (n1 + 1.0) / 2.0
+    d2 = p_mid - w2 - rbar2 + (n2 + 1.0) / 2.0
+    s1 = float((c1 * d1 * d1).sum()) / (n1 - 1.0)
+    s2 = float((c2 * d2 * d2).sum()) / (n2 - 1.0)
+    w = n1 * n2 * (rbar2 - rbar1) / ((n1 + n2) * np.sqrt(n1 * s1 + n2 * s2))
+    p_hat = (rbar2 - (n2 + 1.0) / 2.0) / n1
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([int(n1)], dtype="int64"),
+            "n_kept": pd.Series([int(n2)], dtype="int64"),
+            "p_hat": [round(p_hat, 6)],
+            "bm_w": [round(float(w), 6)],
+        }
+    )
+
+
+BRUNNER_MUNZEL_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+r AS (
+  SELECT c1, c2,
+         coalesce(sum(c1 + c2) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c1 + c2 + 1.0) / 2.0 AS p_mid,
+         coalesce(sum(c1) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c1 + 1.0) / 2.0 AS w1,
+         coalesce(sum(c2) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c2 + 1.0) / 2.0 AS w2
+  FROM g
+),
+m AS (
+  SELECT sum(c1 * p_mid) / (SELECT n1 FROM tot) AS rbar1,
+         sum(c2 * p_mid) / (SELECT n2 FROM tot) AS rbar2
+  FROM r
+),
+s AS (
+  SELECT
+    sum(c1 * (p_mid - w1 - (SELECT rbar1 FROM m) + ((SELECT n1 FROM tot) + 1.0) / 2.0)
+           * (p_mid - w1 - (SELECT rbar1 FROM m) + ((SELECT n1 FROM tot) + 1.0) / 2.0))
+      / ((SELECT n1 FROM tot) - 1.0) AS s1,
+    sum(c2 * (p_mid - w2 - (SELECT rbar2 FROM m) + ((SELECT n2 FROM tot) + 1.0) / 2.0)
+           * (p_mid - w2 - (SELECT rbar2 FROM m) + ((SELECT n2 FROM tot) + 1.0) / 2.0))
+      / ((SELECT n2 FROM tot) - 1.0) AS s2
+  FROM r
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round(((SELECT rbar2 FROM m) - ((SELECT n2 FROM tot) + 1.0) / 2.0)
+             / (SELECT n1 FROM tot), 6) AS p_hat,
+       round((SELECT n1 FROM tot) * (SELECT n2 FROM tot)
+             * ((SELECT rbar2 FROM m) - (SELECT rbar1 FROM m))
+             / (((SELECT n1 FROM tot) + (SELECT n2 FROM tot))
+                * sqrt((SELECT n1 FROM tot) * (SELECT s1 FROM s)
+                       + (SELECT n2 FROM tot) * (SELECT s2 FROM s))), 6) AS bm_w
+FROM tot
+"""
