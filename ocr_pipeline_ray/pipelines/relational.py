@@ -22334,3 +22334,167 @@ SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
                        + (SELECT n2 FROM tot) * (SELECT s2 FROM s))), 6) AS bm_w
 FROM tot
 """
+
+def _ab_scores(l: np.ndarray) -> np.ndarray:
+    """Ansari-Bradley midrank scores per tied run, closed form. Given
+    pooled run lengths ``l`` (ascending value order), each pooled
+    position i in 1..N carries raw score min(i, N+1-i); tied
+    observations share the run mean. The within-run sum is two
+    arithmetic series split at t = floor((N+1)/2) — O(runs), never
+    O(N)."""
+    nn = int(l.sum())
+    t = (nn + 1) // 2
+    b = np.cumsum(l)
+    a = b - l + 1
+    u = np.minimum(b, t)
+    part1 = np.where(u >= a, (u * (u + 1) - (a - 1) * a) // 2, 0)
+    l2 = np.maximum(a, t + 1)
+    part2 = np.where(
+        b >= l2, (b - l2 + 1) * (nn + 1) - (b * (b + 1) - (l2 - 1) * l2) // 2, 0
+    )
+    return (part1 + part2).astype("float64") / l.astype("float64")
+
+
+def ansari_bradley_quantity(sf_dir: str) -> pd.DataFrame:
+    """Ansari-Bradley scale test between returned (R) and kept (N)
+    quantity distributions: folded ranks min(i, N+1-i) peak at the
+    pooled center, so a SMALL sample-1 score sum means sample 1 sits
+    in the tails (larger dispersion). Midrank tie handling via exact
+    per-run closed forms; z from the finite-population
+    without-replacement moments — one bucketed histogram pass, O(50)
+    driver arithmetic."""
+    grid = _returned_kept_quantity_grid(sf_dir)
+    c1 = grid["R"].to_numpy("int64")
+    c2 = grid["N"].to_numpy("int64")
+    l = c1 + c2
+    n1, n2 = float(c1.sum()), float(c2.sum())
+    nn = n1 + n2
+    abar = _ab_scores(l)
+    ab = float((c1 * abar).sum())
+    sbar = float((l * abar).sum()) / nn
+    e_ab = n1 * sbar
+    var = n1 * n2 / (nn * (nn - 1.0)) * float((l * (abar - sbar) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([int(n1)], dtype="int64"),
+            "n_kept": pd.Series([int(n2)], dtype="int64"),
+            "ab_stat": [round(ab, 4)],
+            "ab_z": [round((ab - e_ab) / np.sqrt(var), 6)],
+        }
+    )
+
+
+_AB_GRID_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c1 + c2) AS nn FROM g),
+runs AS (
+  SELECT c1, c2, c1 + c2 AS l,
+         sum(c1 + c2) OVER (ORDER BY q) - (c1 + c2) + 1 AS a,
+         sum(c1 + c2) OVER (ORDER BY q) AS b
+  FROM g
+),
+sc AS (
+  SELECT c1, c2, l,
+         ((CASE WHEN least(b, (SELECT (nn + 1) // 2 FROM tot)) >= a
+                THEN (least(b, (SELECT (nn + 1) // 2 FROM tot))
+                      * (least(b, (SELECT (nn + 1) // 2 FROM tot)) + 1)
+                      - (a - 1) * a) // 2 ELSE 0 END)
+          + (CASE WHEN b >= greatest(a, (SELECT (nn + 1) // 2 FROM tot) + 1)
+                THEN (b - greatest(a, (SELECT (nn + 1) // 2 FROM tot) + 1) + 1)
+                       * ((SELECT nn FROM tot) + 1)
+                     - (b * (b + 1)
+                        - (greatest(a, (SELECT (nn + 1) // 2 FROM tot) + 1) - 1)
+                          * greatest(a, (SELECT (nn + 1) // 2 FROM tot) + 1)) // 2
+                ELSE 0 END)) * 1.0 / l AS abar
+  FROM runs
+)
+"""
+
+ANSARI_BRADLEY_QUANTITY_SQL = (
+    _AB_GRID_SQL
+    + """,
+m AS (SELECT sum(l * abar) / (SELECT nn FROM tot) AS sbar FROM sc)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round(sum(c1 * abar), 4) AS ab_stat,
+       round((sum(c1 * abar) - (SELECT n1 FROM tot) * (SELECT sbar FROM m))
+             / sqrt((SELECT n1 * n2 / (nn * (nn - 1.0)) FROM tot)
+                    * (SELECT sum(l * (abar - (SELECT sbar FROM m))
+                                    * (abar - (SELECT sbar FROM m))) FROM sc)), 6) AS ab_z
+FROM sc
+"""
+)
+
+
+def lepage_quantity(sf_dir: str) -> pd.DataFrame:
+    """Lepage combined location-scale test: L = z_W^2 + z_AB^2, the
+    tie-corrected Wilcoxon rank-sum z (location) plus the
+    Ansari-Bradley z (scale) on the SAME returned-vs-kept quantity
+    grid — rejects when the two samples differ in center OR spread.
+    Both components are exact closed forms over the <= 50-cell
+    histogram; asymptotically chi-square(2) under H0."""
+    grid = _returned_kept_quantity_grid(sf_dir)
+    c1 = grid["R"].to_numpy("int64")
+    c2 = grid["N"].to_numpy("int64")
+    l = (c1 + c2).astype("int64")
+    n1, n2 = float(c1.sum()), float(c2.sum())
+    nn = n1 + n2
+    pooled_before = np.concatenate([[0], np.cumsum(l)[:-1]]).astype("float64")
+    p_mid = pooled_before + (l + 1.0) / 2.0
+    w = float((c1 * p_mid).sum())
+    e_w = n1 * (nn + 1.0) / 2.0
+    tie = float((l.astype("float64") ** 3 - l).sum())
+    var_w = n1 * n2 / 12.0 * ((nn + 1.0) - tie / (nn * (nn - 1.0)))
+    z_w = (w - e_w) / np.sqrt(var_w)
+    abar = _ab_scores(l)
+    ab = float((c1 * abar).sum())
+    sbar = float((l * abar).sum()) / nn
+    var_ab = n1 * n2 / (nn * (nn - 1.0)) * float((l * (abar - sbar) ** 2).sum())
+    z_ab = (ab - n1 * sbar) / np.sqrt(var_ab)
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([int(n1)], dtype="int64"),
+            "n_kept": pd.Series([int(n2)], dtype="int64"),
+            "z_location": [round(z_w, 6)],
+            "z_scale": [round(z_ab, 6)],
+            "lepage_l": [round(z_w * z_w + z_ab * z_ab, 6)],
+        }
+    )
+
+
+LEPAGE_QUANTITY_SQL = (
+    _AB_GRID_SQL
+    + """,
+rk AS (
+  SELECT c1, l,
+         sum(l) OVER (ORDER BY a) - l + (l + 1.0) / 2.0 AS p_mid
+  FROM runs
+),
+wz AS (
+  SELECT (sum(c1 * p_mid) - (SELECT n1 * (nn + 1.0) / 2.0 FROM tot))
+         / sqrt((SELECT n1 * n2 / 12.0 FROM tot)
+                * (((SELECT nn FROM tot) + 1.0)
+                   - sum(l * l * l - l) * 1.0
+                     / ((SELECT nn FROM tot) * ((SELECT nn FROM tot) - 1.0)))) AS z_w
+  FROM rk
+),
+m AS (SELECT sum(l * abar) / (SELECT nn FROM tot) AS sbar FROM sc),
+abz AS (
+  SELECT (sum(c1 * abar) - (SELECT n1 FROM tot) * (SELECT sbar FROM m))
+         / sqrt((SELECT n1 * n2 / (nn * (nn - 1.0)) FROM tot)
+                * (SELECT sum(l * (abar - (SELECT sbar FROM m))
+                                * (abar - (SELECT sbar FROM m))) FROM sc)) AS z_ab
+  FROM sc
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round((SELECT z_w FROM wz), 6) AS z_location,
+       round((SELECT z_ab FROM abz), 6) AS z_scale,
+       round((SELECT z_w * z_w FROM wz) + (SELECT z_ab * z_ab FROM abz), 6) AS lepage_l
+"""
+)
