@@ -22498,3 +22498,130 @@ SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
        round((SELECT z_w * z_w FROM wz) + (SELECT z_ab * z_ab FROM abz), 6) AS lepage_l
 """
 )
+
+def _segment_price_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-market-segment (n, sum, sumsq) of order totals via ONE
+    pass of per-batch partials over the broadcast-dimension join —
+    the shared reduction behind the ANOVA post-hoc family (Tukey
+    HSD, Games-Howell). 5 rows reach the driver."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = broadcast_lookup(orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy("float64")
+        g = pd.DataFrame(
+            {"seg": df["c_mktsegment"], "n": 1.0, "s": v, "ss": v * v}
+        )
+        return g.groupby("seg", as_index=False).sum()
+
+    return (
+        joined.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("seg", as_index=False)
+        .sum()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+
+
+def tukey_hsd_price_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Tukey-Kramer HSD pairwise comparisons of mean order price
+    across the 5 market segments (10 pairs): q = |m_i - m_j| /
+    sqrt(MSW/2 * (1/n_i + 1/n_j)) with MSW the pooled within-group
+    mean square — the studentized-range post-hoc that follows the
+    one-way ANOVA (anova_price_by_segment) on the same moments.
+    One distributed moments pass; all pair arithmetic on 5 driver
+    rows."""
+    m = _segment_price_moments(sf_dir)
+    n = m["n"].to_numpy("float64")
+    mean = (m["s"] / m["n"]).to_numpy("float64")
+    ss_g = (m["ss"] - m["s"] ** 2 / m["n"]).to_numpy("float64")
+    nn, k = n.sum(), len(m)
+    msw = ss_g.sum() / (nn - k)
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            diff = mean[j] - mean[i]
+            se = np.sqrt(msw / 2.0 * (1.0 / n[i] + 1.0 / n[j]))
+            rows.append(
+                {
+                    "seg_a": m["seg"][i],
+                    "seg_b": m["seg"][j],
+                    "mean_diff": round(diff, 4),
+                    "q_stat": round(abs(diff) / se, 6),
+                }
+            )
+    return pd.DataFrame(rows).sort_values(["seg_a", "seg_b"]).reset_index(drop=True)
+
+
+_SEG_MOMENTS_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_totalprice AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT seg, count(*) AS n, avg(v) AS m,
+         sum(v * v) - count(*) * avg(v) * avg(v) AS ssg
+  FROM j GROUP BY seg
+),
+tot AS (SELECT sum(n) AS nn, count(*) AS k, sum(ssg) AS ssw FROM g)
+"""
+
+TUKEY_HSD_PRICE_BY_SEGMENT_SQL = (
+    _SEG_MOMENTS_SQL
+    + """
+SELECT a.seg AS seg_a, b.seg AS seg_b,
+       round(b.m - a.m, 4) AS mean_diff,
+       round(abs(b.m - a.m)
+             / sqrt((SELECT ssw / (nn - k) FROM tot) / 2.0
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+FROM g a JOIN g b ON a.seg < b.seg
+ORDER BY 1, 2
+"""
+)
+
+
+def games_howell_price_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Games-Howell pairwise comparisons of mean order price across
+    market segments: the unequal-variance post-hoc — t = |m_i - m_j|
+    / sqrt(s_i^2/n_i + s_j^2/n_j) with Welch-Satterthwaite degrees of
+    freedom per pair — for when the ANOVA's homoskedasticity
+    assumption (checked by bartlett_quantity_by_flag) fails. Same
+    single moments pass as Tukey HSD."""
+    m = _segment_price_moments(sf_dir)
+    n = m["n"].to_numpy("float64")
+    mean = (m["s"] / m["n"]).to_numpy("float64")
+    var = ((m["ss"] - m["s"] ** 2 / m["n"]) / (m["n"] - 1.0)).to_numpy("float64")
+    rows = []
+    for i in range(len(m)):
+        for j in range(i + 1, len(m)):
+            vi, vj = var[i] / n[i], var[j] / n[j]
+            se = np.sqrt(vi + vj)
+            df = (vi + vj) ** 2 / (vi * vi / (n[i] - 1.0) + vj * vj / (n[j] - 1.0))
+            rows.append(
+                {
+                    "seg_a": m["seg"][i],
+                    "seg_b": m["seg"][j],
+                    "mean_diff": round(mean[j] - mean[i], 4),
+                    "t_stat": round(abs(mean[j] - mean[i]) / se, 6),
+                    "df_welch": round(df, 2),
+                }
+            )
+    return pd.DataFrame(rows).sort_values(["seg_a", "seg_b"]).reset_index(drop=True)
+
+
+GAMES_HOWELL_PRICE_BY_SEGMENT_SQL = (
+    _SEG_MOMENTS_SQL
+    + """
+SELECT a.seg AS seg_a, b.seg AS seg_b,
+       round(b.m - a.m, 4) AS mean_diff,
+       round(abs(b.m - a.m)
+             / sqrt(a.ssg / (a.n - 1.0) / a.n + b.ssg / (b.n - 1.0) / b.n), 6) AS t_stat,
+       round(pow(a.ssg / (a.n - 1.0) / a.n + b.ssg / (b.n - 1.0) / b.n, 2)
+             / (pow(a.ssg / (a.n - 1.0) / a.n, 2) / (a.n - 1.0)
+                + pow(b.ssg / (b.n - 1.0) / b.n, 2) / (b.n - 1.0)), 2) AS df_welch
+FROM g a JOIN g b ON a.seg < b.seg
+ORDER BY 1, 2
+"""
+)
