@@ -22625,3 +22625,169 @@ FROM g a JOIN g b ON a.seg < b.seg
 ORDER BY 1, 2
 """
 )
+
+def mood_median_test_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Mood's median test of quantity across the three return flags
+    (R/N/A): grand median = smallest quantity whose pooled cumulative
+    count reaches half of N (2*cum >= N, the lower median — stated
+    explicitly so both engines agree on even counts), then a k x 2
+    chi-square of (above median / at-or-below median) per flag.
+    ONE bucketed (flag, quantity) histogram; <= 150 driver cells."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="q", columns="f", values="c", fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+    pooled = grid.sum(axis=1).to_numpy("int64")
+    nn = int(pooled.sum())
+    cum = np.cumsum(pooled)
+    med = float(grid.index[np.argmax(2 * cum >= nn)])
+    above = grid.loc[grid.index > med].sum(axis=0)
+    total = grid.sum(axis=0)
+    p_above = float(above.sum()) / nn
+    chi2 = 0.0
+    for f in grid.columns:
+        e_a = total[f] * p_above
+        e_b = total[f] * (1.0 - p_above)
+        chi2 += (above[f] - e_a) ** 2 / e_a + ((total[f] - above[f]) - e_b) ** 2 / e_b
+    return pd.DataFrame(
+        {
+            "grand_median": [med],
+            "n_groups": pd.Series([grid.shape[1]], dtype="int64"),
+            "chi2": [round(float(chi2), 6)],
+        }
+    )
+
+
+MOOD_MEDIAN_TEST_QUANTITY_BY_FLAG_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+med AS (
+  SELECT min(q) AS m FROM (
+    SELECT q, sum(sum(c)) OVER (ORDER BY q) AS cum,
+           (SELECT sum(c) FROM g) AS nn
+    FROM g GROUP BY q
+  ) WHERE 2 * cum >= nn
+),
+cells AS (
+  SELECT f, sum(c) AS tot,
+         sum(CASE WHEN q > (SELECT m FROM med) THEN c ELSE 0 END) AS ab
+  FROM g GROUP BY f
+),
+tot AS (SELECT sum(tot) AS nn, sum(ab) * 1.0 / sum(tot) AS pa FROM cells)
+SELECT (SELECT CAST(m AS DOUBLE) FROM med) AS grand_median,
+       (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_groups,
+       round(sum((ab - tot * (SELECT pa FROM tot)) * (ab - tot * (SELECT pa FROM tot))
+                   / (tot * (SELECT pa FROM tot))
+                 + ((tot - ab) - tot * (1.0 - (SELECT pa FROM tot)))
+                   * ((tot - ab) - tot * (1.0 - (SELECT pa FROM tot)))
+                   / (tot * (1.0 - (SELECT pa FROM tot)))), 6) AS chi2
+FROM cells
+"""
+
+
+def cuzick_trend_quantity_by_linenumber(sf_dir: str) -> pd.DataFrame:
+    """Cuzick's nonparametric trend test across ordered groups: does
+    quantity trend with the line number (scores = l_linenumber
+    1..7)? T = SUM over observations of score * pooled midrank;
+    E[T] = (N+1)/2 * SUM n_g*s_g; Var[T] = (N+1)/12 * (N * SUM
+    n_g*s_g^2 - (SUM n_g*s_g)^2) * (1 - SUM(t^3-t)/(N^3-N)) (Cuzick
+    1985 moments with the Wilcoxon tie factor, stated explicitly).
+
+    ONE bucketed (linenumber, quantity) grid — 350 exact integer
+    cells; midranks are closed forms over the pooled histogram."""
+    ds = _read(sf_dir, "lineitem", columns=["l_linenumber", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_linenumber", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_linenumber": "g", "l_quantity": "q", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["g", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot_table(index="q", columns="g", values="c", fill_value=0)
+        .astype("int64")
+        .sort_index()
+    )
+    pooled = grid.sum(axis=1).to_numpy("int64")
+    nn = float(pooled.sum())
+    before = np.concatenate([[0], np.cumsum(pooled)[:-1]]).astype("float64")
+    mid = before + (pooled + 1.0) / 2.0
+    scores = grid.columns.to_numpy("int64").astype("float64")
+    n_g = grid.sum(axis=0).to_numpy("int64").astype("float64")
+    rank_g = mid @ grid.to_numpy("float64")
+    t_stat = float((scores * rank_g).sum())
+    sw = float((n_g * scores).sum())
+    sw2 = float((n_g * scores * scores).sum())
+    e_t = (nn + 1.0) / 2.0 * sw
+    tie = float(((pooled.astype("float64")) ** 3 - pooled).sum())
+    var_t = (nn + 1.0) / 12.0 * (nn * sw2 - sw * sw) * (
+        1.0 - tie / (nn ** 3 - nn)
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(nn)], dtype="int64"),
+            "t_stat": [round(t_stat, 2)],
+            "cuzick_z": [round((t_stat - e_t) / np.sqrt(var_t), 6)],
+        }
+    )
+
+
+CUZICK_TREND_QUANTITY_BY_LINENUMBER_SQL = """
+WITH g AS (
+  SELECT CAST(l_linenumber AS BIGINT) AS g, CAST(l_quantity AS BIGINT) AS q,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pooled AS (
+  SELECT q, sum(c) AS l,
+         sum(sum(c)) OVER (ORDER BY q) - sum(c) + (sum(c) + 1.0) / 2.0 AS mid
+  FROM g GROUP BY q
+),
+tot AS (
+  SELECT sum(c) AS nn,
+         sum(g * c) AS sw,
+         sum(g * g * c) AS sw2
+  FROM g
+),
+tie AS (SELECT sum(l * l * l - l) AS t3 FROM pooled),
+ts AS (
+  SELECT sum(g.g * g.c * p.mid) AS t_stat
+  FROM g JOIN pooled p USING (q)
+)
+SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
+       round((SELECT t_stat FROM ts), 2) AS t_stat,
+       round(((SELECT t_stat FROM ts)
+              - ((SELECT nn FROM tot) + 1.0) / 2.0 * (SELECT sw FROM tot))
+             / sqrt(((SELECT nn FROM tot) + 1.0) / 12.0
+                    * ((SELECT nn FROM tot) * (SELECT sw2 FROM tot)
+                       - (SELECT sw FROM tot) * (SELECT sw FROM tot))
+                    * (1.0 - (SELECT t3 FROM tie) * 1.0
+                         / (pow((SELECT nn FROM tot), 3) - (SELECT nn FROM tot)))), 6) AS cuzick_z
+"""
