@@ -22791,3 +22791,206 @@ SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
                     * (1.0 - (SELECT t3 FROM tie) * 1.0
                          / (pow((SELECT nn FROM tot), 3) - (SELECT nn FROM tot)))), 6) AS cuzick_z
 """
+
+def _quantity_discount_grid(sf_dir: str) -> pd.DataFrame:
+    """ONE bucketed (quantity, discount) joint count grid — ~550
+    exact int64 cells shared by the dependence family (ordinal
+    association, distance correlation, Hoeffding's D)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_quantity", "l_discount"], as_index=False)
+            .size()
+            .rename(columns={"l_quantity": "q", "l_discount": "d", "size": "c"})
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["q", "d"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["q", "d"])
+        .reset_index(drop=True)
+    )
+
+
+def distance_corr_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Distance correlation (Szekely-Rizzo V-statistic) between
+    quantity and discount — detects ANY dependence, not just
+    monotone: dCov^2 = mean over observation pairs of A_ij*B_ij with
+    A the double-centered |x_i - x_j| matrix (row/col/grand means
+    subtracted), dCor^2 = dCov^2 / sqrt(dVarX^2 * dVarY^2).
+
+    All pair sums collapse onto the ~550-cell joint grid (and the
+    50/11-value marginals for the centering terms), so the O(n^2)
+    definition costs O(cells^2) exact driver arithmetic after ONE
+    bucketed histogram pass."""
+    grid = _quantity_discount_grid(sf_dir)
+    q = grid["q"].to_numpy("float64")
+    d = grid["d"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64").astype("float64")
+    nn = c.sum()
+    xm = grid.groupby("q")["c"].sum()
+    ym = grid.groupby("d")["c"].sum()
+    xv, xw = xm.index.to_numpy("float64"), xm.to_numpy("float64")
+    yv, yw = ym.index.to_numpy("float64"), ym.to_numpy("float64")
+    ax = np.abs(xv[:, None] - xv[None, :])
+    ay = np.abs(yv[:, None] - yv[None, :])
+    axm = ax @ xw / nn
+    aym = ay @ yw / nn
+    axg = float(xw @ ax @ xw) / (nn * nn)
+    ayg = float(yw @ ay @ yw) / (nn * nn)
+    ax_c = ax - axm[:, None] - axm[None, :] + axg
+    ay_c = ay - aym[:, None] - aym[None, :] + ayg
+    dvarx = float(xw @ (ax_c * ax_c) @ xw) / (nn * nn)
+    dvary = float(yw @ (ay_c * ay_c) @ yw) / (nn * nn)
+    axm_cell = pd.Series(axm, index=xm.index).reindex(grid["q"]).to_numpy("float64")
+    aym_cell = pd.Series(aym, index=ym.index).reindex(grid["d"]).to_numpy("float64")
+    a_cells = (
+        np.abs(q[:, None] - q[None, :]) - axm_cell[:, None] - axm_cell[None, :] + axg
+    )
+    b_cells = (
+        np.abs(d[:, None] - d[None, :]) - aym_cell[:, None] - aym_cell[None, :] + ayg
+    )
+    dcov2 = float(c @ (a_cells * b_cells) @ c) / (nn * nn)
+    dcor2 = dcov2 / np.sqrt(dvarx * dvary)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(nn)], dtype="int64"),
+            "dcov2": [round(dcov2, 6)],
+            "dcor": [round(float(np.sqrt(max(dcor2, 0.0))), 6)],
+        }
+    )
+
+
+DISTANCE_CORR_QUANTITY_DISCOUNT_SQL = """
+WITH j AS (
+  SELECT l_quantity AS q, l_discount AS d, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(c) AS n FROM j),
+xm AS (SELECT q, sum(c) AS w FROM j GROUP BY q),
+ym AS (SELECT d, sum(c) AS w FROM j GROUP BY d),
+axm AS (
+  SELECT a.q, sum(b.w * abs(a.q - b.q)) / (SELECT n FROM tot) AS m
+  FROM xm a CROSS JOIN xm b GROUP BY a.q
+),
+aym AS (
+  SELECT a.d, sum(b.w * abs(a.d - b.d)) / (SELECT n FROM tot) AS m
+  FROM ym a CROSS JOIN ym b GROUP BY a.d
+),
+axg AS (
+  SELECT sum(a.w * b.w * abs(a.q - b.q)) / pow((SELECT n FROM tot), 2) AS g
+  FROM xm a CROSS JOIN xm b
+),
+ayg AS (
+  SELECT sum(a.w * b.w * abs(a.d - b.d)) / pow((SELECT n FROM tot), 2) AS g
+  FROM ym a CROSS JOIN ym b
+),
+dvx AS (
+  SELECT sum(a.w * b.w * pow(abs(a.q - b.q) - ma.m - mb.m + (SELECT g FROM axg), 2))
+           / pow((SELECT n FROM tot), 2) AS v
+  FROM xm a, xm b, axm ma, axm mb WHERE ma.q = a.q AND mb.q = b.q
+),
+dvy AS (
+  SELECT sum(a.w * b.w * pow(abs(a.d - b.d) - ma.m - mb.m + (SELECT g FROM ayg), 2))
+           / pow((SELECT n FROM tot), 2) AS v
+  FROM ym a, ym b, aym ma, aym mb WHERE ma.d = a.d AND mb.d = b.d
+),
+dcv AS (
+  SELECT sum(p1.c * p2.c
+             * (abs(p1.q - p2.q) - ma.m - mb.m + (SELECT g FROM axg))
+             * (abs(p1.d - p2.d) - na.m - nb.m + (SELECT g FROM ayg)))
+           / pow((SELECT n FROM tot), 2) AS v
+  FROM j p1, j p2, axm ma, axm mb, aym na, aym nb
+  WHERE ma.q = p1.q AND mb.q = p2.q AND na.d = p1.d AND nb.d = p2.d
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+       round((SELECT v FROM dcv), 6) AS dcov2,
+       round(sqrt(greatest((SELECT v FROM dcv)
+                           / sqrt((SELECT v FROM dvx) * (SELECT v FROM dvy)), 0.0)), 6) AS dcor
+"""
+
+
+def hoeffding_d_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Hoeffding's D independence statistic between quantity and
+    discount — rank-based, sensitive to non-monotone dependence.
+    Tie convention stated explicitly (both engines implement exactly
+    this): midranks R_i (x), S_i (y); bivariate Q_i = SUM over ALL
+    observations j (self included) of u(x_i-x_j)*u(y_i-y_j) with
+    u(0)=1/2, u(>0)=1, u(<0)=0; then D1 = SUM (Q_i-1)(Q_i-2),
+    D2 = SUM (R_i-1)(R_i-2)(S_i-1)(S_i-2), D3 = SUM (R_i-2)(S_i-2)
+    (Q_i-1), D = 30*((n-2)(n-3)D1 + D2 - 2(n-2)D3) / (n(n-1)(n-2)
+    (n-3)(n-4)).
+
+    Q per distinct value-pair is one O(cells^2) pass over the same
+    ~550-cell joint grid as the distance correlation."""
+    grid = _quantity_discount_grid(sf_dir)
+    q = grid["q"].to_numpy("float64")
+    d = grid["d"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64").astype("float64")
+    nn = c.sum()
+    xm = grid.groupby("q")["c"].sum()
+    ym = grid.groupby("d")["c"].sum()
+    r_map = (xm.cumsum() - xm + (xm + 1.0) / 2.0).astype("float64")
+    s_map = (ym.cumsum() - ym + (ym + 1.0) / 2.0).astype("float64")
+    r = r_map.reindex(grid["q"]).to_numpy("float64")
+    s = s_map.reindex(grid["d"]).to_numpy("float64")
+    ux = np.where(q[:, None] > q[None, :], 1.0, np.where(q[:, None] == q[None, :], 0.5, 0.0))
+    uy = np.where(d[:, None] > d[None, :], 1.0, np.where(d[:, None] == d[None, :], 0.5, 0.0))
+    qq = (ux * uy) @ c
+    d1 = float((c * (qq - 1.0) * (qq - 2.0)).sum())
+    d2 = float((c * (r - 1.0) * (r - 2.0) * (s - 1.0) * (s - 2.0)).sum())
+    d3 = float((c * (r - 2.0) * (s - 2.0) * (qq - 1.0)).sum())
+    dd = (
+        30.0
+        * ((nn - 2.0) * (nn - 3.0) * d1 + d2 - 2.0 * (nn - 2.0) * d3)
+        / (nn * (nn - 1.0) * (nn - 2.0) * (nn - 3.0) * (nn - 4.0))
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(nn)], dtype="int64"),
+            "hoeffding_d": [round(dd, 8)],
+        }
+    )
+
+
+HOEFFDING_D_QUANTITY_DISCOUNT_SQL = """
+WITH j AS (
+  SELECT l_quantity AS q, l_discount AS d, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT sum(c) AS n FROM j),
+xm AS (
+  SELECT q, sum(sum(c)) OVER (ORDER BY q) - sum(c) + (sum(c) + 1.0) / 2.0 AS r
+  FROM j GROUP BY q
+),
+ym AS (
+  SELECT d, sum(sum(c)) OVER (ORDER BY d) - sum(c) + (sum(c) + 1.0) / 2.0 AS s
+  FROM j GROUP BY d
+),
+qq AS (
+  SELECT p1.q, p1.d,
+         sum(p2.c * (CASE WHEN p1.q > p2.q THEN 1.0 WHEN p1.q = p2.q THEN 0.5 ELSE 0.0 END)
+                  * (CASE WHEN p1.d > p2.d THEN 1.0 WHEN p1.d = p2.d THEN 0.5 ELSE 0.0 END)) AS qv
+  FROM j p1 CROSS JOIN j p2 GROUP BY p1.q, p1.d
+),
+terms AS (
+  SELECT sum(j.c * (qq.qv - 1.0) * (qq.qv - 2.0)) AS d1,
+         sum(j.c * (xm.r - 1.0) * (xm.r - 2.0) * (ym.s - 1.0) * (ym.s - 2.0)) AS d2,
+         sum(j.c * (xm.r - 2.0) * (ym.s - 2.0) * (qq.qv - 1.0)) AS d3
+  FROM j, xm, ym, qq
+  WHERE xm.q = j.q AND ym.d = j.d AND qq.q = j.q AND qq.d = j.d
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+       round(30.0 * (((SELECT n FROM tot) - 2.0) * ((SELECT n FROM tot) - 3.0) * d1
+                     + d2 - 2.0 * ((SELECT n FROM tot) - 2.0) * d3)
+             / ((SELECT n FROM tot) * ((SELECT n FROM tot) - 1.0)
+                * ((SELECT n FROM tot) - 2.0) * ((SELECT n FROM tot) - 3.0)
+                * ((SELECT n FROM tot) - 4.0)), 8) AS hoeffding_d
+FROM terms
+"""
