@@ -22994,3 +22994,185 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
                 * ((SELECT n FROM tot) - 4.0)), 8) AS hoeffding_d
 FROM terms
 """
+
+def _segment_2x2_strata(sf_dir: str) -> list[tuple[str, int, int, int, int]]:
+    """Per-market-segment 2x2 strata (exposure = URGENT priority,
+    outcome = order finished): the shared 30-cell grid behind the
+    stratified-association family (MH pooled OR, CMH test,
+    Breslow-Day/Tarone homogeneity). Returns [(seg, a, b, c, d)]
+    with a=urgent&finished, b=urgent&open, c=other&finished,
+    d=other&open — all exact integers."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "seg": ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object),
+                "u": (df["o_orderpriority"] == "1-URGENT").to_numpy("int64"),
+                "f": (df["o_orderstatus"] == "F").to_numpy("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas").map_batches(
+                lambda df: df.groupby(["seg", "u", "f"], as_index=False)
+                .size()
+                .rename(columns={"size": "cnt"}),
+                batch_format="pandas",
+            ),
+            ["seg", "u", "f"],
+            {"cnt": ("cnt", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["seg", "u", "f"])
+    )
+    out = []
+    for seg, g in grid.groupby("seg"):
+        cell = lambda u, f: int(g.loc[(g["u"] == u) & (g["f"] == f), "cnt"].sum())
+        out.append((seg, cell(1, 1), cell(1, 0), cell(0, 1), cell(0, 0)))
+    return out
+
+
+def cmh_test_urgent_finished(sf_dir: str) -> pd.DataFrame:
+    """Cochran-Mantel-Haenszel chi-square (no continuity correction)
+    for the urgent-vs-finished association pooled across market
+    segment strata: chi2 = (SUM(a_i - m1_i*t1_i/n_i))^2 /
+    SUM(m1_i*m0_i*t1_i*t0_i / (n_i^2*(n_i-1))) — the significance
+    companion of mantel_haenszel_urgent_status's pooled OR on the
+    same 30-cell exact-integer grid."""
+    strata = _segment_2x2_strata(sf_dir)
+    num = var = 0.0
+    k = 0
+    for _, a, b, c, d in strata:
+        n = a + b + c + d
+        if n < 2:
+            continue
+        m1, m0, t1, t0 = a + b, c + d, a + c, b + d
+        num += a - m1 * t1 / n
+        var += m1 * m0 * t1 * t0 / (n * n * (n - 1.0))
+        k += 1
+    return pd.DataFrame(
+        {
+            "n_strata": pd.Series([k], dtype="int64"),
+            "cmh_chi2": [round(num * num / var, 6)],
+        }
+    )
+
+
+_SEG_2X2_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS seg,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+s AS (
+  SELECT seg,
+         sum(u * f) AS a, sum(u * (1 - f)) AS b,
+         sum((1 - u) * f) AS c, sum((1 - u) * (1 - f)) AS d,
+         count(*) AS n
+  FROM j GROUP BY seg
+)
+"""
+
+CMH_TEST_URGENT_FINISHED_SQL = (
+    _SEG_2X2_SQL
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       round(pow(sum(a - (a + b) * (a + c) * 1.0 / n), 2)
+             / sum((a + b) * (c + d) * (a + c) * 1.0 * (b + d)
+                   / (n * 1.0 * n * (n - 1.0))), 6) AS cmh_chi2
+FROM s WHERE n >= 2
+"""
+)
+
+
+def breslow_day_urgent_finished(sf_dir: str) -> pd.DataFrame:
+    """Breslow-Day homogeneity test (with Tarone correction) of the
+    urgent-vs-finished odds ratio across market segment strata — "is
+    the pooled MH odds ratio the same in every segment, or does the
+    association vary?". Per stratum, the expected a-cell under the
+    common OR R solves the quadratic (1-R)*x^2 + ((n-m1-t1) +
+    R*(m1+t1))*x - R*m1*t1 = 0 (root inside [max(0, m1+t1-n),
+    min(m1, t1)]); chi2_BD = SUM (a - x)^2 / V with V = 1/(1/x +
+    1/(m1-x) + 1/(t1-x) + 1/(n-m1-t1+x)); Tarone subtracts
+    (SUM(a-x))^2 / SUM V. df = strata - 1."""
+    strata = _segment_2x2_strata(sf_dir)
+    num_mh = den_mh = 0.0
+    for _, a, b, c, d in strata:
+        n = a + b + c + d
+        if n:
+            num_mh += a * d / n
+            den_mh += b * c / n
+    rr = num_mh / den_mh
+    chi2 = dev = vsum = 0.0
+    k = 0
+    for _, a, b, c, d in strata:
+        n = a + b + c + d
+        if n == 0:
+            continue
+        m1, t1 = a + b, a + c
+        qa = 1.0 - rr
+        qb = (n - m1 - t1) + rr * (m1 + t1)
+        qc = -rr * m1 * t1
+        disc = np.sqrt(qb * qb - 4.0 * qa * qc)
+        lo, hi = max(0.0, m1 + t1 - n), min(m1, t1)
+        r1 = (-qb + disc) / (2.0 * qa)
+        r2 = (-qb - disc) / (2.0 * qa)
+        x = r1 if (lo - 1e-9) <= r1 <= (hi + 1e-9) else r2
+        v = 1.0 / (1.0 / x + 1.0 / (m1 - x) + 1.0 / (t1 - x) + 1.0 / (n - m1 - t1 + x))
+        chi2 += (a - x) ** 2 / v
+        dev += a - x
+        vsum += v
+        k += 1
+    return pd.DataFrame(
+        {
+            "n_strata": pd.Series([k], dtype="int64"),
+            "or_mh": [round(rr, 6)],
+            "bd_chi2": [round(chi2, 6)],
+            "tarone_chi2": [round(chi2 - dev * dev / vsum, 6)],
+        }
+    )
+
+
+BRESLOW_DAY_URGENT_FINISHED_SQL = (
+    _SEG_2X2_SQL
+    + """,
+mh AS (
+  SELECT sum(a * d * 1.0 / n) / sum(b * c * 1.0 / n) AS rr FROM s WHERE n > 0
+),
+ex AS (
+  SELECT a, b, c, d, n, (a + b) AS m1, (a + c) AS t1,
+         1.0 - (SELECT rr FROM mh) AS qa,
+         (n - (a + b) - (a + c)) + (SELECT rr FROM mh) * ((a + b) + (a + c)) AS qb,
+         -(SELECT rr FROM mh) * (a + b) * (a + c) AS qc
+  FROM s WHERE n > 0
+),
+rt AS (
+  SELECT a, m1, t1, n,
+         CASE WHEN (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+                   BETWEEN greatest(0.0, m1 + t1 - n) - 1e-9 AND least(m1, t1) + 1e-9
+              THEN (-qb + sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa)
+              ELSE (-qb - sqrt(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) END AS x
+  FROM ex
+),
+bd AS (
+  SELECT count(*) AS k,
+         sum((a - x) * (a - x) * (1.0 / x + 1.0 / (m1 - x) + 1.0 / (t1 - x)
+                                  + 1.0 / (n - m1 - t1 + x))) AS chi2,
+         sum(a - x) AS dev,
+         sum(1.0 / (1.0 / x + 1.0 / (m1 - x) + 1.0 / (t1 - x)
+                    + 1.0 / (n - m1 - t1 + x))) AS vsum
+  FROM rt
+)
+SELECT CAST(k AS BIGINT) AS n_strata,
+       round((SELECT rr FROM mh), 6) AS or_mh,
+       round(chi2, 6) AS bd_chi2,
+       round(chi2 - dev * dev / vsum, 6) AS tarone_chi2
+FROM bd
+"""
+)
