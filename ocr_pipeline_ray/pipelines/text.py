@@ -6908,3 +6908,144 @@ SELECT i.source_a, i.source_b, CAST(i.n_inter AS BIGINT) AS n_inter,
 FROM i JOIN sz sa ON sa.source = i.source_a JOIN sz sb ON sb.source = i.source_b
 ORDER BY source_a, source_b
 """
+
+def _rater_3x3_cells(sf_dir: str) -> np.ndarray:
+    """3x3 paired-rating contingency between two weak 3-class
+    labelers over documents — rater A from char-length cuts
+    (<=224 / <=384 / longer), rater B from whitespace-count cuts
+    (<=40 / <=70 / more spaces): the shared exact-integer grid
+    behind the marginal-homogeneity family (Stuart-Maxwell,
+    Bhapkar). One vectorized pass; 9 cells reach the driver."""
+    ds = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        nc = df["n_chars"].to_numpy("int64")
+        a = np.where(nc <= 224, 0, np.where(nc <= 384, 1, 2))
+        sp = df["text"].str.count(" ").to_numpy("int64")
+        b = np.where(sp <= 40, 0, np.where(sp <= 70, 1, 2))
+        return (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    g = (
+        ds.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["a", "b"], as_index=False)
+        .sum()
+    )
+    cells = np.zeros((3, 3), dtype="int64")
+    for _, r in g.iterrows():
+        cells[int(r["a"]), int(r["b"])] = int(r["c"])
+    return cells
+
+
+def stuart_maxwell_raters(sf_dir: str) -> pd.DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test between the two
+    3-class weak labelers (length class vs whitespace class): do the
+    raters produce the same class DISTRIBUTION (as opposed to
+    agreeing per item — that's kappa)? d = (row_i - col_i) for the
+    first two categories, S_ii = row_i + col_i - 2*n_ii, S_01 =
+    -(n_01 + n_10), chi2 = d' S^-1 d via the explicit 2x2 inverse;
+    df = 2. All exact integers to the final division."""
+    n = _rater_3x3_cells(sf_dir)
+    row = n.sum(axis=1).astype("float64")
+    col = n.sum(axis=0).astype("float64")
+    d0, d1 = row[0] - col[0], row[1] - col[1]
+    s00 = row[0] + col[0] - 2.0 * n[0, 0]
+    s11 = row[1] + col[1] - 2.0 * n[1, 1]
+    s01 = -(float(n[0, 1]) + float(n[1, 0]))
+    det = s00 * s11 - s01 * s01
+    chi2 = (d1 * d1 * s00 - 2.0 * d0 * d1 * s01 + d0 * d0 * s11) / det
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n.sum())], dtype="int64"),
+            "d_short": [round(d0, 1)],
+            "d_mid": [round(d1, 1)],
+            "sm_chi2": [round(chi2, 6)],
+        }
+    )
+
+
+_RATER_3X3_SQL = """
+WITH r AS (
+  SELECT CASE WHEN n_chars <= 224 THEN 0 WHEN n_chars <= 384 THEN 1 ELSE 2 END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) <= 40 THEN 0
+              WHEN length(text) - length(replace(text, ' ', '')) <= 70 THEN 1
+              ELSE 2 END AS b
+  FROM documents
+),
+c AS (
+  SELECT count(*) AS nn,
+         count(CASE WHEN a = 0 THEN 1 END) AS r0,
+         count(CASE WHEN a = 1 THEN 1 END) AS r1,
+         count(CASE WHEN b = 0 THEN 1 END) AS c0,
+         count(CASE WHEN b = 1 THEN 1 END) AS c1,
+         count(CASE WHEN a = 0 AND b = 0 THEN 1 END) AS n00,
+         count(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS n11,
+         count(CASE WHEN a = 0 AND b = 1 THEN 1 END) AS n01,
+         count(CASE WHEN a = 1 AND b = 0 THEN 1 END) AS n10
+  FROM r
+)
+"""
+
+STUART_MAXWELL_RATERS_SQL = (
+    _RATER_3X3_SQL
+    + """
+SELECT CAST(nn AS BIGINT) AS n,
+       round((r0 - c0) * 1.0, 1) AS d_short,
+       round((r1 - c1) * 1.0, 1) AS d_mid,
+       round(((r1 - c1) * (r1 - c1) * (r0 + c0 - 2.0 * n00)
+              - 2.0 * (r0 - c0) * (r1 - c1) * (-(n01 + n10))
+              + (r0 - c0) * (r0 - c0) * (r1 + c1 - 2.0 * n11))
+             / ((r0 + c0 - 2.0 * n00) * (r1 + c1 - 2.0 * n11)
+                - (n01 + n10) * 1.0 * (n01 + n10)), 6) AS sm_chi2
+FROM c
+"""
+)
+
+
+def bhapkar_raters(sf_dir: str) -> pd.DataFrame:
+    """Bhapkar marginal-homogeneity test — the asymptotically more
+    powerful Wald version of Stuart-Maxwell on the same 3x3 rater
+    grid: W_ij = S_ij - d_i*d_j/n (covariance under the alternative),
+    chi2_B = d' W^-1 d, equivalently chi2_SM / (1 - chi2_SM/n).
+    Computed from its own explicit 2x2 inverse so both engines
+    evaluate the same closed form."""
+    n = _rater_3x3_cells(sf_dir)
+    nn = float(n.sum())
+    row = n.sum(axis=1).astype("float64")
+    col = n.sum(axis=0).astype("float64")
+    d0, d1 = row[0] - col[0], row[1] - col[1]
+    w00 = row[0] + col[0] - 2.0 * n[0, 0] - d0 * d0 / nn
+    w11 = row[1] + col[1] - 2.0 * n[1, 1] - d1 * d1 / nn
+    w01 = -(float(n[0, 1]) + float(n[1, 0])) - d0 * d1 / nn
+    det = w00 * w11 - w01 * w01
+    chi2 = (d1 * d1 * w00 - 2.0 * d0 * d1 * w01 + d0 * d0 * w11) / det
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(nn)], dtype="int64"),
+            "bhapkar_chi2": [round(chi2, 6)],
+        }
+    )
+
+
+BHAPKAR_RATERS_SQL = (
+    _RATER_3X3_SQL
+    + """,
+w AS (
+  SELECT nn,
+         (r0 - c0) * 1.0 AS d0, (r1 - c1) * 1.0 AS d1,
+         (r0 + c0 - 2.0 * n00) - (r0 - c0) * 1.0 * (r0 - c0) / nn AS w00,
+         (r1 + c1 - 2.0 * n11) - (r1 - c1) * 1.0 * (r1 - c1) / nn AS w11,
+         -(n01 + n10) - (r0 - c0) * 1.0 * (r1 - c1) / nn AS w01
+  FROM c
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       round((d1 * d1 * w00 - 2.0 * d0 * d1 * w01 + d0 * d0 * w11)
+             / (w00 * w11 - w01 * w01), 6) AS bhapkar_chi2
+FROM w
+"""
+)
