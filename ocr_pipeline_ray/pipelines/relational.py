@@ -23176,3 +23176,99 @@ SELECT CAST(k AS BIGINT) AS n_strata,
 FROM bd
 """
 )
+
+def pickands_tail_index(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Pickands estimator of the extreme-value index of order values:
+    gamma = ln((x_(k) - x_(2k)) / (x_(2k) - x_(4k))) / ln 2 over the
+    descending order statistics — valid for ALL tail regimes (heavy,
+    light, bounded), unlike Hill which assumes gamma > 0. Exact
+    top-4k via the same per-batch partial top-k as hill_tail_index
+    (price-then-orderkey tiebreak on both engines); driver math on
+    3 rows."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = partial_topk(ds, ["o_totalprice", "o_orderkey"], [False, True], 4 * k)
+    x = top["o_totalprice"].to_numpy("float64")
+    xk, x2k, x4k = x[k - 1], x[2 * k - 1], x[4 * k - 1]
+    gamma = float(np.log((xk - x2k) / (x2k - x4k)) / np.log(2.0))
+    return pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "x_k": [round(float(xk), 2)],
+            "x_2k": [round(float(x2k), 2)],
+            "x_4k": [round(float(x4k), 2)],
+            "pickands_gamma": [round(gamma, 6)],
+        }
+    )
+
+
+def pickands_tail_index_sql(k: int = 50) -> str:
+    return f"""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+  QUALIFY rk <= {4 * k}
+),
+o AS (
+  SELECT max(CASE WHEN rk = {k} THEN x END) AS xk,
+         max(CASE WHEN rk = {2 * k} THEN x END) AS x2k,
+         max(CASE WHEN rk = {4 * k} THEN x END) AS x4k
+  FROM top
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       round(xk, 2) AS x_k, round(x2k, 2) AS x_2k, round(x4k, 2) AS x_4k,
+       round(ln((xk - x2k) / (x2k - x4k)) / ln(2.0), 6) AS pickands_gamma
+FROM o
+"""
+
+
+PICKANDS_TAIL_INDEX_SQL = pickands_tail_index_sql()
+
+
+def moment_tail_index(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Dekkers-Einmahl-de Haan moment estimator of the extreme-value
+    index of order values: gamma = M1 + 1 - 0.5 / (1 - M1^2/M2) with
+    M_r = mean of ln^r(x_(i)/x_(k+1)) over the top-k order statistics
+    — the bias-robust all-regime refinement sitting between Hill
+    (M1 only, gamma > 0) and Pickands (3 quantiles). Same exact
+    partial top-(k+1) reduction."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = partial_topk(ds, ["o_totalprice", "o_orderkey"], [False, True], k + 1)
+    x = top["o_totalprice"].to_numpy("float64")
+    lr = np.log(x[:k] / x[k])
+    m1 = float(lr.mean())
+    m2 = float((lr * lr).mean())
+    gamma = m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2)
+    return pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "m1_hill": [round(m1, 6)],
+            "m2": [round(m2, 6)],
+            "moment_gamma": [round(gamma, 6)],
+        }
+    )
+
+
+def moment_tail_index_sql(k: int = 100) -> str:
+    return f"""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+  QUALIFY rk <= {k + 1}
+),
+xk AS (SELECT x AS v FROM top WHERE rk = {k + 1}),
+m AS (
+  SELECT sum(ln(x / (SELECT v FROM xk))) / {k} AS m1,
+         sum(ln(x / (SELECT v FROM xk)) * ln(x / (SELECT v FROM xk))) / {k} AS m2
+  FROM top WHERE rk <= {k}
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       round(m1, 6) AS m1_hill,
+       round(m2, 6) AS m2,
+       round(m1 + 1.0 - 0.5 / (1.0 - m1 * m1 / m2), 6) AS moment_gamma
+FROM m
+"""
+
+
+MOMENT_TAIL_INDEX_SQL = moment_tail_index_sql()
