@@ -23272,3 +23272,186 @@ FROM m
 
 
 MOMENT_TAIL_INDEX_SQL = moment_tail_index_sql()
+
+def quade_segment_monthly(sf_dir: str) -> pd.DataFrame:
+    """Quade test — the range-weighted sibling of the Friedman test
+    on the SAME (month, segment) integer-cent revenue grid: months
+    with a larger revenue spread between segments carry more weight.
+    Block weights Q_i = rank of the within-month range (tie-broken by
+    month), S_ij = Q_i*(r_ij - (k+1)/2), F = (n-1)*B/(A-B) with
+    A = SUM S_ij^2 and B = SUM_j S_j^2 / n. Rank tiebreaks by
+    segment name match FRIEDMAN_SEGMENT_MONTHLY_SQL exactly."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "m": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "seg": sm.reindex(df["o_custkey"]).to_numpy(object),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["m", "seg"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["m", "rev_c", "seg"])
+        .reset_index(drop=True)
+    )
+    grid["rank"] = grid.groupby("m").cumcount() + 1
+    k = int(grid.groupby("m")["seg"].size().max())
+    full = grid.groupby("m").filter(lambda g: len(g) == k).copy()
+    n = full["m"].nunique()
+    rng = full.groupby("m")["rev_c"].agg(lambda s: s.max() - s.min()).rename("range")
+    q_i = rng.reset_index().sort_values(["range", "m"]).reset_index(drop=True)
+    q_i["q"] = q_i.index + 1
+    full = full.merge(q_i[["m", "q"]], on="m")
+    full["s"] = full["q"] * (full["rank"] - (k + 1.0) / 2.0)
+    a = float((full["s"] ** 2).sum())
+    b = float((full.groupby("seg")["s"].sum() ** 2).sum()) / n
+    return pd.DataFrame(
+        {
+            "n_blocks": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "quade_f": [round((n - 1.0) * b / (a - b), 6)],
+        }
+    )
+
+
+QUADE_SEGMENT_MONTHLY_SQL = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT m, seg, rev_c,
+         row_number() OVER (PARTITION BY m ORDER BY rev_c, seg) AS rk,
+         count(*) OVER (PARTITION BY m) AS kk
+  FROM g
+),
+kmax AS (SELECT max(kk) AS k FROM r),
+full_b AS (SELECT * FROM r WHERE kk = (SELECT k FROM kmax)),
+nb AS (SELECT count(DISTINCT m) AS n FROM full_b),
+rng AS (
+  SELECT m, max(rev_c) - min(rev_c) AS range FROM full_b GROUP BY m
+),
+qi AS (
+  SELECT m, row_number() OVER (ORDER BY range, m) AS q FROM rng
+),
+s AS (
+  SELECT f.seg,
+         qi.q * (f.rk - ((SELECT k FROM kmax) + 1.0) / 2.0) AS s
+  FROM full_b f JOIN qi ON f.m = qi.m
+),
+ab AS (
+  SELECT sum(s * s) AS a,
+         (SELECT sum(sj * sj) FROM (SELECT sum(s) AS sj FROM s GROUP BY seg))
+           * 1.0 / (SELECT n FROM nb) AS b
+  FROM s
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM nb) AS n_blocks,
+       (SELECT CAST(k AS BIGINT) FROM kmax) AS k,
+       round(((SELECT n FROM nb) - 1.0) * b / (a - b), 6) AS quade_f
+FROM ab
+"""
+
+
+def page_trend_segment_yearly(sf_dir: str) -> pd.DataFrame:
+    """Page's trend test for ordered alternatives: does yearly
+    revenue rank MONOTONICALLY with calendar year inside every
+    segment block? Blocks = market segments, treatments = order
+    years in ascending order (scores 1..k), response = yearly
+    segment revenue in integer cents, within-block ranks tie-broken
+    by year. L = SUM_j j * R_j; z = (L - b*k*(k+1)^2/4) /
+    sqrt(b*k^2*(k+1)*(k^2-1)/144) — the directional sharpening of
+    the Friedman/Quade family on a (segment, year) grid."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "y": df["o_orderdate"].dt.year.astype("int64"),
+                "seg": sm.reindex(df["o_custkey"]).to_numpy(object),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["y", "seg"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["seg", "rev_c", "y"])
+        .reset_index(drop=True)
+    )
+    grid["rank"] = grid.groupby("seg").cumcount() + 1
+    k = int(grid.groupby("seg")["y"].size().max())
+    full = grid.groupby("seg").filter(lambda g: len(g) == k)
+    b = full["seg"].nunique()
+    years = np.sort(full["y"].unique())
+    score = {int(y): i + 1 for i, y in enumerate(years)}
+    full = full.assign(score=full["y"].map(score))
+    l_stat = float((full["score"] * full["rank"]).sum())
+    e_l = b * k * (k + 1.0) ** 2 / 4.0
+    var_l = b * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+    return pd.DataFrame(
+        {
+            "n_blocks": pd.Series([b], dtype="int64"),
+            "k_years": pd.Series([k], dtype="int64"),
+            "page_l": [round(l_stat, 1)],
+            "page_z": [round((l_stat - e_l) / np.sqrt(var_l), 6)],
+        }
+    )
+
+
+PAGE_TREND_SEGMENT_YEARLY_SQL = """
+WITH g AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y, c_mktsegment AS seg,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT seg, y,
+         row_number() OVER (PARTITION BY seg ORDER BY rev_c, y) AS rk,
+         count(*) OVER (PARTITION BY seg) AS kk
+  FROM g
+),
+kmax AS (SELECT max(kk) AS k FROM r),
+full_b AS (SELECT * FROM r WHERE kk = (SELECT k FROM kmax)),
+sc AS (
+  SELECT y, row_number() OVER (ORDER BY y) AS score
+  FROM (SELECT DISTINCT y FROM full_b)
+),
+nb AS (SELECT count(DISTINCT seg) AS b FROM full_b),
+l AS (
+  SELECT sum(sc.score * f.rk) * 1.0 AS l_stat
+  FROM full_b f JOIN sc ON f.y = sc.y
+)
+SELECT (SELECT CAST(b AS BIGINT) FROM nb) AS n_blocks,
+       (SELECT CAST(k AS BIGINT) FROM kmax) AS k_years,
+       round((SELECT l_stat FROM l), 1) AS page_l,
+       round(((SELECT l_stat FROM l)
+              - (SELECT b FROM nb) * (SELECT k FROM kmax)
+                * ((SELECT k FROM kmax) + 1.0) * ((SELECT k FROM kmax) + 1.0) / 4.0)
+             / sqrt((SELECT b FROM nb) * (SELECT k * k FROM kmax)
+                    * ((SELECT k FROM kmax) + 1.0)
+                    * ((SELECT k * k FROM kmax) - 1.0) / 144.0), 6) AS page_z
+FROM l
+"""
