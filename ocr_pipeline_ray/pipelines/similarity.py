@@ -2232,3 +2232,163 @@ SELECT CAST(dim AS BIGINT) AS dim, round(moc, 6) AS mean_abs_offdiag_corr,
        round(tvs, 6) AS top_var_share
 FROM s
 """
+
+def embedding_coordinate_kurtosis(sf_dir: str) -> pd.DataFrame:
+    """Per-coordinate excess kurtosis of the embedding cloud — the
+    negentropy proxy: a Gaussian-like isotropic embedding has excess
+    kurtosis ~0 in every coordinate; heavy-tailed or clustered
+    coordinates (ICA-style structure) show up as large |kurtosis|.
+    Reports the mean and max |excess kurtosis| across the 64 dims
+    and the worst dim (1-based, ties to the lowest index).
+
+    One streaming pass of per-dim raw-moment partials (n, sum x..x^4
+    — constant 64x4 size per batch); central moments on the
+    driver."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "d": np.arange(m.shape[1], dtype=np.int64),
+                "n": np.int64(m.shape[0]),
+                "s1": m.sum(axis=0),
+                "s2": (m ** 2).sum(axis=0),
+                "s3": (m ** 3).sum(axis=0),
+                "s4": (m ** 4).sum(axis=0),
+            }
+        )
+
+    g = (
+        ds.map_batches(_moments, batch_format="pandas")
+        .to_pandas()
+        .groupby("d", as_index=False)
+        .sum()
+        .sort_values("d")
+    )
+    n = g["n"].to_numpy("float64")
+    mu = g["s1"].to_numpy("float64") / n
+    var = g["s2"].to_numpy("float64") / n - mu * mu
+    m4 = (
+        g["s4"].to_numpy("float64") / n
+        - 4.0 * mu * g["s3"].to_numpy("float64") / n
+        + 6.0 * mu * mu * g["s2"].to_numpy("float64") / n
+        - 3.0 * mu ** 4
+    )
+    kurt = m4 / (var * var) - 3.0
+    worst = int(np.argmax(np.abs(np.round(kurt, 9))))
+    return pd.DataFrame(
+        {
+            "dim": pd.Series([len(g)], dtype="int64"),
+            "mean_abs_kurt": [round(float(np.abs(kurt).mean()), 6)],
+            "max_abs_kurt": [round(float(np.abs(kurt).max()), 6)],
+            "worst_dim": pd.Series([worst + 1], dtype="int64"),
+        }
+    )
+
+
+EMBEDDING_COORDINATE_KURTOSIS_SQL = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+m AS (
+  SELECT d, count(*) AS n, avg(x) AS mu,
+         sum(x * x) / count(*) AS r2,
+         sum(x * x * x) / count(*) AS r3,
+         sum(x * x * x * x) / count(*) AS r4
+  FROM u GROUP BY d
+),
+k AS (
+  SELECT d,
+         (r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu)
+           / pow(r2 - mu * mu, 2) - 3.0 AS kurt
+  FROM m
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS dim,
+       round(avg(abs(kurt)), 6) AS mean_abs_kurt,
+       round(max(abs(kurt)), 6) AS max_abs_kurt,
+       (SELECT CAST(d AS BIGINT) FROM k
+        ORDER BY round(abs(kurt), 9) DESC, d LIMIT 1) AS worst_dim
+FROM k
+"""
+
+
+def embedding_spectral_moments(sf_dir: str) -> pd.DataFrame:
+    """First three spectral moments of the embedding covariance —
+    m_r = tr(C^r)/d = mean of lambda^r — WITHOUT eigendecomposition:
+    tr(C^2) is the Frobenius norm, tr(C^3) the triple product
+    SUM c_ij c_jk c_ki. The eigenvalue dispersion (m2 - m1^2) and
+    skewness proxy complete the spectrum-shape picture that
+    participation_ratio (m1^2/m2) starts.
+
+    Same ONE constant-size Gram pass; the 64x64 matrix algebra runs
+    on the driver, the cubic trace in the oracle is a fixed 64^3
+    join."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _gram(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame(
+            {
+                "n": np.int64(m.shape[0]),
+                "row": np.arange(g.shape[0], dtype=np.int64),
+                "sx_first": m.sum(axis=0),
+                **{f"g{j}": g[:, j] for j in range(g.shape[1])},
+            }
+        )
+
+    parts = ds.map_batches(_gram, batch_format="pandas").to_pandas()
+    dim = int(parts["row"].max() + 1)
+    n = float(parts.loc[parts["row"] == 0, "n"].sum())
+    gram = np.zeros((dim, dim))
+    for j in range(dim):
+        gram[:, j] = parts.groupby("row")[f"g{j}"].sum().to_numpy()
+    colsum = parts.groupby("row")["sx_first"].sum().to_numpy()
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
+    m1 = float(np.trace(cov)) / dim
+    m2 = float(np.trace(cov @ cov)) / dim
+    m3 = float(np.trace(cov @ cov @ cov)) / dim
+    return pd.DataFrame(
+        {
+            "dim": pd.Series([dim], dtype="int64"),
+            "m1": [round(m1, 6)],
+            "m2": [round(m2, 6)],
+            "m3": [round(m3, 8)],
+            "lambda_var": [round(m2 - m1 * m1, 6)],
+        }
+    )
+
+
+EMBEDDING_SPECTRAL_MOMENTS_SQL = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+cm AS (
+  SELECT a.d AS i, b.d AS j,
+         sum(a.x * b.x) / (SELECT n FROM n)
+         - (sum(a.x) / (SELECT n FROM n)) * (sum(b.x) / (SELECT n FROM n)) AS c
+  FROM u a JOIN u b USING (vec_id)
+  GROUP BY 1, 2
+),
+dd AS (SELECT max(i) AS d FROM cm),
+t AS (
+  SELECT (SELECT sum(c) FROM cm WHERE i = j) AS tr1,
+         (SELECT sum(c * c) FROM cm) AS tr2,
+         (SELECT sum(a.c * b.c * e.c)
+          FROM cm a JOIN cm b ON a.j = b.i JOIN cm e ON b.j = e.i AND e.j = a.i) AS tr3
+)
+SELECT (SELECT CAST(d AS BIGINT) FROM dd) AS dim,
+       round(tr1 / (SELECT d FROM dd), 6) AS m1,
+       round(tr2 / (SELECT d FROM dd), 6) AS m2,
+       round(tr3 / (SELECT d FROM dd), 8) AS m3,
+       round(tr2 / (SELECT d FROM dd)
+             - pow(tr1 / (SELECT d FROM dd), 2), 6) AS lambda_var
+FROM t
+"""
