@@ -432,6 +432,27 @@ SUBSET = [
     "basket_size_entropy",
     "nation_hhi_trend",
     "nation_share_turbulence",
+    # round-3c additions
+    "energy_distance_quantity",
+    "brunner_munzel_quantity",
+    "ansari_bradley_quantity",
+    "lepage_quantity",
+    "tukey_hsd_price_by_segment",
+    "games_howell_price_by_segment",
+    "mood_median_test_quantity_by_flag",
+    "cuzick_trend_quantity_by_linenumber",
+    "distance_corr_quantity_discount",
+    "hoeffding_d_quantity_discount",
+    "cmh_test_urgent_finished",
+    "breslow_day_urgent_finished",
+    "stuart_maxwell_raters",
+    "bhapkar_raters",
+    "pickands_tail_index",
+    "moment_tail_index",
+    "quade_segment_monthly",
+    "page_trend_segment_yearly",
+    "embedding_coordinate_kurtosis",
+    "embedding_spectral_moments",
 ]
 
 
