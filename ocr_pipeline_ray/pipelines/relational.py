@@ -23455,3 +23455,167 @@ SELECT (SELECT CAST(b AS BIGINT) FROM nb) AS n_blocks,
                     * ((SELECT k * k FROM kmax) - 1.0) / 144.0), 6) AS page_z
 FROM l
 """
+
+def _flag_quantity_grid(sf_dir: str) -> pd.DataFrame:
+    """ONE bucketed (returnflag, quantity) histogram over ALL three
+    flags (R/N/A) — the k-sample sibling of
+    _returned_kept_quantity_grid, shared by the k-group rank family
+    (Mood median, Conover squared ranks, Dunn pairwise)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+
+
+def conover_squared_ranks_quantity(sf_dir: str) -> pd.DataFrame:
+    """Conover squared-ranks test for equality of SCALE across the
+    three return flags, on deviations from each group's lower median
+    (integer medians keep every step exact): pooled midranks r of
+    |q - med_g|, S_g = SUM r^2 in group g, T = (SUM S_g^2/n_g -
+    N*rbar2^2... precisely T = (SUM_g S_g^2/n_g - N*sbar^2) / D^2
+    with sbar = mean squared rank and D^2 = (SUM r^4 - N*sbar^2) /
+    (N-1). Everything — group medians, deviation cells, pooled
+    midranks — derives from the ONE (flag, quantity) grid with no
+    second data pass."""
+    grid = _flag_quantity_grid(sf_dir)
+    devs = []
+    for f, g in grid.groupby("f"):
+        g = g.sort_values("q")
+        c = g["c"].to_numpy("int64")
+        cum = np.cumsum(c)
+        med = g["q"].to_numpy("float64")[np.argmax(2 * cum >= cum[-1])]
+        d = np.abs(g["q"].to_numpy("float64") - med)
+        devs.append(pd.DataFrame({"f": f, "d": d, "c": c}))
+    dv = pd.concat(devs).groupby(["f", "d"], as_index=False)["c"].sum()
+    pooled = dv.groupby("d", as_index=False)["c"].sum().sort_values("d")
+    l = pooled["c"].to_numpy("int64")
+    mid = np.cumsum(l) - l + (l + 1.0) / 2.0
+    rmap = pd.Series(mid, index=pooled["d"])
+    dv["r"] = rmap.reindex(dv["d"]).to_numpy("float64")
+    nn = float(dv["c"].sum())
+    sbar = float((dv["c"] * dv["r"] ** 2).sum()) / nn
+    r4 = float((dv["c"] * dv["r"] ** 4).sum())
+    d2 = (r4 - nn * sbar * sbar) / (nn - 1.0)
+    sg = dv.assign(s=dv["c"] * dv["r"] ** 2).groupby("f").agg(
+        s=("s", "sum"), n=("c", "sum")
+    )
+    t_stat = (float((sg["s"] ** 2 / sg["n"]).sum()) - nn * sbar * sbar) / d2
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(nn)], dtype="int64"),
+            "k": pd.Series([len(sg)], dtype="int64"),
+            "conover_t": [round(t_stat, 6)],
+        }
+    )
+
+
+CONOVER_SQUARED_RANKS_QUANTITY_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+med AS (
+  SELECT f, min(q) AS m FROM (
+    SELECT f, q, sum(c) OVER (PARTITION BY f ORDER BY q) AS cum,
+           sum(c) OVER (PARTITION BY f) AS ng
+    FROM g
+  ) WHERE 2 * cum >= ng GROUP BY f
+),
+dv AS (
+  SELECT g.f, abs(g.q - med.m) AS d, sum(g.c) AS c
+  FROM g JOIN med ON g.f = med.f GROUP BY 1, 2
+),
+pooled AS (
+  SELECT d, sum(sum(c)) OVER (ORDER BY d) - sum(c) + (sum(c) + 1.0) / 2.0 AS r
+  FROM dv GROUP BY d
+),
+rv AS (SELECT dv.f, dv.c, pooled.r FROM dv JOIN pooled USING (d)),
+tot AS (
+  SELECT sum(c) AS nn, sum(c * r * r) / sum(c) AS sbar,
+         sum(c * r * r * r * r) AS r4
+  FROM rv
+),
+sg AS (SELECT f, sum(c * r * r) AS s, sum(c) AS n FROM rv GROUP BY f)
+SELECT (SELECT CAST(nn AS BIGINT) FROM tot) AS n,
+       (SELECT CAST(count(*) AS BIGINT) FROM sg) AS k,
+       round((sum(s * s / n) - (SELECT nn * sbar * sbar FROM tot))
+             / ((SELECT (r4 - nn * sbar * sbar) / (nn - 1.0) FROM tot)), 6) AS conover_t
+FROM sg
+"""
+
+
+def dunn_pairwise_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Dunn's pairwise post-hoc z tests following the Kruskal-Wallis
+    test (kruskal_wallis_quantity): which PAIRS of return flags
+    differ in quantity location? z_ij = (Rbar_i - Rbar_j) /
+    sqrt((N(N+1)/12 - T/(12(N-1))) * (1/n_i + 1/n_j)) with pooled
+    midranks and the tie term T = SUM(t^3 - t). Three pair rows from
+    the same ONE (flag, quantity) grid."""
+    grid = _flag_quantity_grid(sf_dir)
+    pooled = grid.groupby("q", as_index=False)["c"].sum().sort_values("q")
+    l = pooled["c"].to_numpy("int64")
+    mid = np.cumsum(l) - l + (l + 1.0) / 2.0
+    rmap = pd.Series(mid, index=pooled["q"])
+    grid = grid.assign(r=rmap.reindex(grid["q"]).to_numpy("float64"))
+    nn = float(grid["c"].sum())
+    tie = float(((l.astype("float64")) ** 3 - l).sum())
+    sig2 = nn * (nn + 1.0) / 12.0 - tie / (12.0 * (nn - 1.0))
+    gs = grid.assign(rc=grid["c"] * grid["r"]).groupby("f").agg(
+        rc=("rc", "sum"), n=("c", "sum")
+    )
+    rbar = gs["rc"] / gs["n"]
+    flags = sorted(gs.index)
+    rows = []
+    for i in range(len(flags)):
+        for j in range(i + 1, len(flags)):
+            a, b = flags[i], flags[j]
+            z = (rbar[a] - rbar[b]) / np.sqrt(
+                sig2 * (1.0 / gs["n"][a] + 1.0 / gs["n"][b])
+            )
+            rows.append(
+                {"flag_a": a, "flag_b": b, "dunn_z": round(float(z), 6)}
+            )
+    return pd.DataFrame(rows)
+
+
+DUNN_PAIRWISE_QUANTITY_BY_FLAG_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pooled AS (
+  SELECT q, sum(c) AS l,
+         sum(sum(c)) OVER (ORDER BY q) - sum(c) + (sum(c) + 1.0) / 2.0 AS r
+  FROM g GROUP BY q
+),
+tot AS (
+  SELECT sum(l) AS nn, sum(l * l * l - l) AS tie FROM pooled
+),
+gs AS (
+  SELECT g.f, sum(g.c * p.r) / sum(g.c) AS rbar, sum(g.c) AS n
+  FROM g JOIN pooled p USING (q) GROUP BY g.f
+)
+SELECT a.f AS flag_a, b.f AS flag_b,
+       round((a.rbar - b.rbar)
+             / sqrt(((SELECT nn * (nn + 1.0) / 12.0 FROM tot)
+                     - (SELECT tie / (12.0 * (nn - 1.0)) FROM tot))
+                    * (1.0 / a.n + 1.0 / b.n)), 6) AS dunn_z
+FROM gs a JOIN gs b ON a.f < b.f
+ORDER BY 1, 2
+"""
