@@ -7049,3 +7049,112 @@ SELECT CAST(nn AS BIGINT) AS n,
 FROM w
 """
 )
+
+def _vocab_distribution_sums(sf_dir: str) -> tuple[float, float, float, float]:
+    """(N, V, sum f*(f-1), sum f*ln f) over the corpus unigram
+    distribution — term counts stay distributed (bucketed aggregate
+    over the vocabulary key domain, then per-batch scalar partials);
+    only four numbers reach the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _sums(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["n"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "n": [f.sum()],
+                "v": [float(len(f))],
+                "f2": [(f * (f - 1.0)).sum()],
+                "flnf": [(f * np.log(f)).sum()],
+            }
+        )
+
+    s = totals.map_batches(_sums, batch_format="pandas").to_pandas().sum()
+    return float(s["n"]), float(s["v"]), float(s["f2"]), float(s["flnf"])
+
+
+def simpson_diversity_vocab(sf_dir: str) -> pd.DataFrame:
+    """Simpson concentration / diversity of the corpus unigram
+    distribution: lambda = SUM f(f-1) / (N(N-1)) (the probability two
+    random tokens are the SAME type, unbiased form), diversity
+    1 - lambda and effective vocabulary 1/lambda — the
+    repeated-token-mass diagnostic next to zipf_slope and
+    chao1_vocab_richness, over the same [a-z0-9_]+ tokenization."""
+    n, v, f2, _ = _vocab_distribution_sums(sf_dir)
+    lam = f2 / (n * (n - 1.0))
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([int(n)], dtype="int64"),
+            "vocab_size": pd.Series([int(v)], dtype="int64"),
+            "simpson_lambda": [round(lam, 8)],
+            "inv_simpson": [round(1.0 / lam, 4)],
+        }
+    )
+
+
+SIMPSON_DIVERSITY_VOCAB_SQL = """
+WITH tc AS (
+  SELECT t.term, count(*) AS f
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term
+),
+s AS (SELECT sum(f) AS n, count(*) AS v, sum(f * (f - 1.0)) AS f2 FROM tc)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(v AS BIGINT) AS vocab_size,
+       round(f2 / (n * (n - 1.0)), 8) AS simpson_lambda,
+       round(n * (n - 1.0) / f2, 4) AS inv_simpson
+FROM s
+"""
+
+
+def shannon_entropy_vocab(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the corpus unigram distribution,
+    H = ln N - (SUM f ln f)/N nats, with Pielou evenness H / ln V
+    and the perplexity exp(H) — the information-theoretic summary of
+    vocabulary concentration (a Zipfian corpus sits far below the
+    uniform ln V ceiling). Same distributed term-count reduction as
+    simpson_diversity_vocab."""
+    n, v, _, flnf = _vocab_distribution_sums(sf_dir)
+    h = np.log(n) - flnf / n
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([int(n)], dtype="int64"),
+            "vocab_size": pd.Series([int(v)], dtype="int64"),
+            "entropy_nats": [round(float(h), 6)],
+            "pielou_evenness": [round(float(h / np.log(v)), 6)],
+            "perplexity": [round(float(np.exp(h)), 4)],
+        }
+    )
+
+
+SHANNON_ENTROPY_VOCAB_SQL = """
+WITH tc AS (
+  SELECT t.term, count(*) AS f
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term
+),
+s AS (SELECT sum(f) AS n, count(*) AS v, sum(f * ln(f)) AS flnf FROM tc)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(v AS BIGINT) AS vocab_size,
+       round(ln(n) - flnf / n, 6) AS entropy_nats,
+       round((ln(n) - flnf / n) / ln(v), 6) AS pielou_evenness,
+       round(exp(ln(n) - flnf / n), 4) AS perplexity
+FROM s
+"""
