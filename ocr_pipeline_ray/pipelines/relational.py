@@ -23619,3 +23619,150 @@ SELECT a.f AS flag_a, b.f AS flag_b,
 FROM gs a JOIN gs b ON a.f < b.f
 ORDER BY 1, 2
 """
+
+def epps_pulley_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Epps-Pulley normality test of daily revenue — the
+    characteristic-function test (BHEP with beta=1): TEP = 1 +
+    n/sqrt(3) + (2/n) * SUM_{j<k} exp(-(x_j-x_k)^2 / (2*m2))
+    - sqrt(2) * SUM_j exp(-(x_j-xbar)^2 / (4*m2)) with m2 the biased
+    variance — sensitive to departures the moment tests (Jarque-Bera
+    on the same series) miss. Day pairs are an O(days^2) cross of
+    the bucketed per-day integer-cent aggregate."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = float(len(x))
+    xb = x.mean()
+    m2 = float(((x - xb) ** 2).mean())
+    diff2 = (x[:, None] - x[None, :]) ** 2
+    pair_sum = float(np.exp(-diff2 / (2.0 * m2))[np.triu_indices(len(x), 1)].sum())
+    single = float(np.exp(-((x - xb) ** 2) / (4.0 * m2)).sum())
+    tep = 1.0 + n / np.sqrt(3.0) + 2.0 / n * pair_sum - np.sqrt(2.0) * single
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "tep": [round(tep, 6)],
+        }
+    )
+
+
+EPPS_PULLEY_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n, avg(x) AS xb,
+         sum((x - (SELECT avg(x) FROM d)) * (x - (SELECT avg(x) FROM d)))
+           / count(*) AS m2
+  FROM d
+),
+p AS (
+  SELECT sum(exp(-(a.x - b.x) * (a.x - b.x) / (2.0 * (SELECT m2 FROM m)))) AS ps
+  FROM d a JOIN d b ON a.day < b.day
+),
+s AS (
+  SELECT sum(exp(-(x - (SELECT xb FROM m)) * (x - (SELECT xb FROM m))
+                 / (4.0 * (SELECT m2 FROM m)))) AS ss
+  FROM d
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_days,
+       round(1.0 + (SELECT n FROM m) / sqrt(3.0)
+             + 2.0 / (SELECT n FROM m) * (SELECT ps FROM p)
+             - sqrt(2.0) * (SELECT ss FROM s), 6) AS tep
+"""
+
+
+def dagostino_k2_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality test of daily
+    revenue: Z_skew via D'Agostino's (1970) Johnson-SU transform of
+    g1 = m3/m2^1.5, Z_kurt via the Anscombe-Glynn (1983) cube-root
+    transform of b2 = m4/m2^2, K^2 = Z_s^2 + Z_k^2 ~ chi2(2). Pure
+    sqrt/ln/cbrt arithmetic on four central moments of the bucketed
+    per-day series — the finite-n-calibrated refinement of
+    jarque_bera_daily_revenue."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = float(len(x))
+    xb = x.mean()
+    m2 = float(((x - xb) ** 2).mean())
+    m3 = float(((x - xb) ** 3).mean())
+    m4 = float(((x - xb) ** 4).mean())
+    g1 = m3 / m2 ** 1.5
+    b2 = m4 / (m2 * m2)
+    y = g1 * np.sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+    beta2 = (
+        3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+        / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0))
+    )
+    w2 = -1.0 + np.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / np.sqrt(np.log(np.sqrt(w2)))
+    alpha = np.sqrt(2.0 / (w2 - 1.0))
+    z_s = delta * np.log(y / alpha + np.sqrt((y / alpha) ** 2 + 1.0))
+    e_b2 = 3.0 * (n - 1.0) / (n + 1.0)
+    v_b2 = 24.0 * n * (n - 2.0) * (n - 3.0) / ((n + 1.0) ** 2 * (n + 3.0) * (n + 5.0))
+    xk = (b2 - e_b2) / np.sqrt(v_b2)
+    sb1 = (
+        6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+        * np.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    )
+    a = 6.0 + 8.0 / sb1 * (2.0 / sb1 + np.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    z_k = (
+        (1.0 - 2.0 / (9.0 * a))
+        - np.cbrt((1.0 - 2.0 / a) / (1.0 + xk * np.sqrt(2.0 / (a - 4.0))))
+    ) / np.sqrt(2.0 / (9.0 * a))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "z_skew": [round(float(z_s), 6)],
+            "z_kurt": [round(float(z_k), 6)],
+            "k2": [round(float(z_s * z_s + z_k * z_k), 6)],
+        }
+    )
+
+
+DAGOSTINO_K2_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT count(*) * 1.0 AS n,
+         sum(pow(x - (SELECT avg(x) FROM d), 2)) / count(*) AS m2,
+         sum(pow(x - (SELECT avg(x) FROM d), 3)) / count(*) AS m3,
+         sum(pow(x - (SELECT avg(x) FROM d), 4)) / count(*) AS m4
+  FROM d
+),
+t AS (
+  SELECT n, m3 / pow(m2, 1.5) AS g1, m4 / (m2 * m2) AS b2,
+         3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)
+           / ((n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)) AS beta2,
+         6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+           * sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0))) AS sb1
+  FROM m
+),
+z AS (
+  SELECT n,
+         (1.0 / sqrt(ln(sqrt(-1.0 + sqrt(2.0 * (beta2 - 1.0))))))
+           * ln(g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+                  / sqrt(2.0 / (-1.0 + sqrt(2.0 * (beta2 - 1.0)) - 1.0))
+                + sqrt(pow(g1 * sqrt((n + 1.0) * (n + 3.0) / (6.0 * (n - 2.0)))
+                             / sqrt(2.0 / (-1.0 + sqrt(2.0 * (beta2 - 1.0)) - 1.0)), 2)
+                       + 1.0)) AS z_s,
+         ((1.0 - 2.0 / (9.0 * (6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1))))))
+          - cbrt((1.0 - 2.0 / (6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))))
+                 / (1.0 + ((b2 - 3.0 * (n - 1.0) / (n + 1.0))
+                           / sqrt(24.0 * n * (n - 2.0) * (n - 3.0)
+                                  / (pow(n + 1.0, 2) * (n + 3.0) * (n + 5.0))))
+                          * sqrt(2.0 / ((6.0 + 8.0 / sb1 * (2.0 / sb1
+                                         + sqrt(1.0 + 4.0 / (sb1 * sb1)))) - 4.0)))))
+           / sqrt(2.0 / (9.0 * (6.0 + 8.0 / sb1 * (2.0 / sb1 + sqrt(1.0 + 4.0 / (sb1 * sb1)))))) AS z_k
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(z_s, 6) AS z_skew,
+       round(z_k, 6) AS z_kurt,
+       round(z_s * z_s + z_k * z_k, 6) AS k2
+FROM z
+"""
