@@ -23766,3 +23766,128 @@ SELECT CAST(n AS BIGINT) AS n_days,
        round(z_s * z_s + z_k * z_k, 6) AS k2
 FROM z
 """
+
+def bartels_rank_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Bartels' rank version of the von Neumann ratio — randomness of
+    daily revenue against serial correlation, on RANKS so outlier
+    days can't dominate (the rank sibling of durbin_watson /
+    runs_test): RVN = SUM(R_i - R_{i+1})^2 / SUM(R_i - (n+1)/2)^2,
+    z = (RVN - 2) / sqrt(4(n-2)(5n^2-2n-9) / (5n(n+1)(n-1)^2)).
+    Ranks are row_number by (revenue, day) — deterministic on both
+    engines; integer-cent revenue makes ties immaterial."""
+    daily = _daily_rev_cents(sf_dir)
+    order = daily.sort_values(["rev_c", "day"]).index.to_numpy()
+    ranks = np.empty(len(daily), dtype="float64")
+    ranks[order] = np.arange(1, len(daily) + 1, dtype="float64")
+    n = float(len(ranks))
+    num = float(((ranks[:-1] - ranks[1:]) ** 2).sum())
+    den = float(((ranks - (n + 1.0) / 2.0) ** 2).sum())
+    rvn = num / den
+    sig = np.sqrt(4.0 * (n - 2.0) * (5.0 * n * n - 2.0 * n - 9.0)
+                  / (5.0 * n * (n + 1.0) * (n - 1.0) ** 2))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "rvn": [round(rvn, 6)],
+            "bartels_z": [round((rvn - 2.0) / sig, 6)],
+        }
+    )
+
+
+BARTELS_RANK_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, row_number() OVER (ORDER BY x, day) AS rk FROM d
+),
+s AS (
+  SELECT rk, lead(rk) OVER (ORDER BY day) AS nxt,
+         count(*) OVER () AS n
+  FROM r
+),
+agg AS (
+  SELECT (SELECT max(n) FROM s) AS n,
+         sum(CASE WHEN nxt IS NOT NULL THEN (rk - nxt) * (rk - nxt) END) * 1.0 AS num,
+         sum((rk - ((SELECT max(n) FROM s) + 1.0) / 2.0)
+             * (rk - ((SELECT max(n) FROM s) + 1.0) / 2.0)) AS den
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(num / den, 6) AS rvn,
+       round((num / den - 2.0)
+             / sqrt(4.0 * (n - 2.0) * (5.0 * n * n - 2.0 * n - 9.0)
+                    / (5.0 * n * (n + 1.0) * (n - 1.0) * (n - 1.0))), 6) AS bartels_z
+FROM agg
+"""
+
+
+def cucconi_quantity(sf_dir: str) -> pd.DataFrame:
+    """Cucconi combined location-scale test between returned (R) and
+    kept (N) quantity — the 1968 one-shot alternative to Lepage,
+    built from squared ranks taken from BOTH ends: U = (6*SUM S_j^2
+    - n2(n+1)(2n+1)) / sqrt(n1*n2*(n+1)*(2n+1)*(8n+11)/5), V the
+    same on contrary ranks (n+1-S_j), rho = 2(n^2-4)/((2n+1)(8n+11))
+    - 1, C = (U^2 + V^2 - 2*rho*U*V) / (2(1-rho^2)). Midrank tie
+    convention (S_j = pooled midrank of the kept sample, stated) —
+    exact closed forms over the one 50-cell grid."""
+    grid = _returned_kept_quantity_grid(sf_dir)
+    c1 = grid["R"].to_numpy("int64").astype("float64")
+    c2 = grid["N"].to_numpy("int64").astype("float64")
+    l = c1 + c2
+    n1, n2 = c1.sum(), c2.sum()
+    nn = n1 + n2
+    mid = np.cumsum(l) - l + (l + 1.0) / 2.0
+    s2 = float((c2 * mid * mid).sum())
+    s2c = float((c2 * (nn + 1.0 - mid) ** 2).sum())
+    den = np.sqrt(n1 * n2 * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0)
+    u = (6.0 * s2 - n2 * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    v = (6.0 * s2c - n2 * (nn + 1.0) * (2.0 * nn + 1.0)) / den
+    rho = 2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0
+    c_stat = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([int(n1)], dtype="int64"),
+            "n_kept": pd.Series([int(n2)], dtype="int64"),
+            "u": [round(u, 6)],
+            "v": [round(v, 6)],
+            "cucconi_c": [round(c_stat, 6)],
+        }
+    )
+
+
+CUCCONI_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c1 + c2) AS nn FROM g),
+r AS (
+  SELECT c2,
+         sum(c1 + c2) OVER (ORDER BY q) - (c1 + c2) + (c1 + c2 + 1.0) / 2.0 AS mid
+  FROM g
+),
+s AS (
+  SELECT sum(c2 * mid * mid) AS s2,
+         sum(c2 * ((SELECT nn FROM tot) + 1.0 - mid)
+                * ((SELECT nn FROM tot) + 1.0 - mid)) AS s2c
+  FROM r
+),
+uv AS (
+  SELECT (6.0 * s2 - (SELECT n2 * (nn + 1.0) * (2.0 * nn + 1.0) FROM tot))
+           / sqrt((SELECT n1 * n2 * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0 FROM tot)) AS u,
+         (6.0 * s2c - (SELECT n2 * (nn + 1.0) * (2.0 * nn + 1.0) FROM tot))
+           / sqrt((SELECT n1 * n2 * (nn + 1.0) * (2.0 * nn + 1.0) * (8.0 * nn + 11.0) / 5.0 FROM tot)) AS v,
+         (SELECT 2.0 * (nn * nn - 4.0) / ((2.0 * nn + 1.0) * (8.0 * nn + 11.0)) - 1.0 FROM tot) AS rho
+  FROM s
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round(u, 6) AS u, round(v, 6) AS v,
+       round((u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c
+FROM uv
+"""
