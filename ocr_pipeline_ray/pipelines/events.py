@@ -7338,3 +7338,68 @@ SELECT CAST(tot AS BIGINT) AS n_pairs, CAST(inv AS BIGINT) AS n_inversions,
        round(inv * 1.0 / tot, 6) AS inversion_rate
 FROM p
 """
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_fit_daily_max_value(sf_dir: str) -> pd.DataFrame:
+    """Gumbel (EV type-I) method-of-moments fit of the DAILY MAXIMUM
+    event value — the block-maxima side of extreme-value theory
+    (hill/pickands do the tail-index side): beta = s*sqrt(6)/pi,
+    mu = mean - gamma_E*beta over the per-day maxima, plus the
+    100-day return level mu - beta*ln(-ln(1 - 1/100)). The fact
+    table reduces through ONE bucketed per-day max; moments run on
+    the day series."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": df["ts"].dt.normalize(), "v": df["value"].to_numpy("float64")}
+        )
+
+    daily = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day"],
+            {"v": ("v", "max")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("day")
+    )
+    x = daily["v"].to_numpy("float64")
+    n = float(len(x))
+    mean = float(x.mean())
+    s = float(np.sqrt(((x - mean) ** 2).sum() / (n - 1.0)))
+    beta = s * np.sqrt(6.0) / np.pi
+    mu = mean - _EULER_GAMMA * beta
+    rl100 = mu - beta * np.log(-np.log(1.0 - 1.0 / 100.0))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "gumbel_mu": [round(mu, 6)],
+            "gumbel_beta": [round(beta, 6)],
+            "return_level_100d": [round(rl100, 6)],
+        }
+    )
+
+
+GUMBEL_FIT_DAILY_MAX_VALUE_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, max(value) AS v FROM events GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n, avg(v) AS mean,
+         sqrt(sum((v - (SELECT avg(v) FROM d)) * (v - (SELECT avg(v) FROM d)))
+              / (count(*) - 1.0)) AS s
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(mean - 0.5772156649015329 * s * sqrt(6.0) / pi(), 6) AS gumbel_mu,
+       round(s * sqrt(6.0) / pi(), 6) AS gumbel_beta,
+       round(mean - 0.5772156649015329 * s * sqrt(6.0) / pi()
+             - s * sqrt(6.0) / pi() * ln(-ln(1.0 - 1.0 / 100.0)), 6) AS return_level_100d
+FROM m
+"""

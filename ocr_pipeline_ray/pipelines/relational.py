@@ -23891,3 +23891,98 @@ SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
        round((u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho)), 6) AS cucconi_c
 FROM uv
 """
+
+def gpd_pot_fit_order_price(sf_dir: str, q: float = 0.95, n_range_buckets: int = 128) -> pd.DataFrame:
+    """Generalized-Pareto peaks-over-threshold fit of order totals —
+    the EVT exceedance model beside the block-maxima Gumbel fit and
+    the Hill/Pickands indices: threshold u = the ceil(q*n)-th
+    smallest price (exact, via the value-range grid with a single
+    boundary-bucket pull — NO global sort), then method-of-moments
+    on the dollar excesses y = x - u for x > u: xi = (1 -
+    mean^2/var)/2, beta = mean*(mean^2/var + 1)/2 (sample variance
+    with n-1)."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    lo = float(ds.min("c"))
+    hi = float(ds.max("c"))
+    width = (hi - lo) / n_range_buckets or 1.0
+
+    def _bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor((v - lo) / width).astype("int64"), 0, n_range_buckets - 1)
+
+    grid = (
+        ds.map_batches(
+            lambda df: pd.DataFrame({"b": _bucket(df["c"].to_numpy("float64")), "x": df["c"]})
+            .groupby("b", as_index=False)
+            .agg(n=("x", "size")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    n = int(grid["n"].sum())
+    m = int(np.ceil(q * n))
+    cum = grid["n"].cumsum().to_numpy("int64")
+    j = int(np.searchsorted(cum, m))
+    before = int(cum[j] - grid["n"].iloc[j])
+    need = ray.put(int(grid["b"].iloc[j]))
+    pulled = (
+        ds.map_batches(
+            lambda df: df[_bucket(df["c"].to_numpy("float64")) == ray.get(need)],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    u = int(pulled["c"].iloc[m - before - 1])
+    u_ref = ray.put(u)
+
+    def _excess(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy("int64")
+        y = (c[c > ray.get(u_ref)] - ray.get(u_ref)).astype("float64") / 100.0
+        return pd.DataFrame({"k": [float(len(y))], "s": [y.sum()], "ss": [(y * y).sum()]})
+
+    s = ds.map_batches(_excess, batch_format="pandas").to_pandas().sum()
+    k, mean = float(s["k"]), float(s["s"]) / float(s["k"])
+    var = (float(s["ss"]) - k * mean * mean) / (k - 1.0)
+    xi = 0.5 * (1.0 - mean * mean / var)
+    beta = 0.5 * mean * (mean * mean / var + 1.0)
+    return pd.DataFrame(
+        {
+            "threshold": [round(u / 100.0, 2)],
+            "n_exceed": pd.Series([int(k)], dtype="int64"),
+            "gpd_xi": [round(xi, 6)],
+            "gpd_beta": [round(beta, 6)],
+        }
+    )
+
+
+GPD_POT_FIT_ORDER_PRICE_SQL = """
+WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+kk AS (SELECT CAST(ceil(0.95 * count(*)) AS BIGINT) AS m FROM o),
+u AS (
+  SELECT c FROM (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM o)
+  WHERE rn = (SELECT m FROM kk)
+),
+e AS (
+  SELECT (c - (SELECT c FROM u)) / 100.0 AS y FROM o WHERE c > (SELECT c FROM u)
+),
+m2 AS (
+  SELECT count(*) AS k, avg(y) AS mean,
+         (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1.0) AS var
+  FROM e
+)
+SELECT round((SELECT c FROM u) / 100.0, 2) AS threshold,
+       CAST(k AS BIGINT) AS n_exceed,
+       round(0.5 * (1.0 - mean * mean / var), 6) AS gpd_xi,
+       round(0.5 * mean * (mean * mean / var + 1.0), 6) AS gpd_beta
+FROM m2
+"""
