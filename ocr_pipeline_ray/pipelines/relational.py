@@ -23986,3 +23986,122 @@ SELECT round((SELECT c FROM u) / 100.0, 2) AS threshold,
        round(0.5 * mean * (mean * mean / var + 1.0), 6) AS gpd_beta
 FROM m2
 """
+
+def _nation_balance_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-nation (n, sum, sumsq) of customer account balances in
+    integer cents — the shared block-moment reduction behind the
+    block-adjacency spatial-autocorrelation pair (Moran's I,
+    Geary's C). 25 rows reach the driver."""
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["c_acctbal"].to_numpy("float64") * 100).astype("int64")
+        return pd.DataFrame(
+            {"nk": df["c_nationkey"].to_numpy("int64"), "n": np.int64(1), "s": c, "ss": c * c}
+        ).groupby("nk", as_index=False).sum()
+
+    return (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby("nk", as_index=False)
+        .sum()
+        .sort_values("nk")
+        .reset_index(drop=True)
+    )
+
+
+def morans_i_customer_balance(sf_dir: str) -> pd.DataFrame:
+    """Moran's I spatial autocorrelation of customer balances under
+    SAME-NATION block adjacency (w_ij = 1 iff i != j share a nation):
+    do suppliers in the same nation have correlated balances? The
+    O(n^2) double sum collapses exactly onto per-nation moments:
+    SUM_ij w_ij z_i z_j = SUM_r (S_r^2 - Q_r), S0 = SUM n_r(n_r-1),
+    I = (n/S0) * SUM_r(S_r^2 - Q_r) / SUM z^2 with z the deviation
+    from the global mean. Exact integer-cent moments; expectation
+    under independence E[I] = -1/(n-1) reported beside it."""
+    g = _nation_balance_moments(sf_dir)
+    n = float(g["n"].sum())
+    mu = float(g["s"].sum()) / n
+    # per-nation centered sums: S_r = sum z, Q_r = sum z^2
+    s_r = g["s"].to_numpy("float64") - g["n"].to_numpy("float64") * mu
+    q_r = (
+        g["ss"].to_numpy("float64")
+        - 2.0 * mu * g["s"].to_numpy("float64")
+        + g["n"].to_numpy("float64") * mu * mu
+    )
+    s0 = float((g["n"].to_numpy("float64") * (g["n"].to_numpy("float64") - 1.0)).sum())
+    num = float((s_r * s_r - q_r).sum())
+    den = float(q_r.sum())
+    i_stat = n / s0 * num / den
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([int(n)], dtype="int64"),
+            "morans_i": [round(i_stat, 6)],
+            "e_i_null": [round(-1.0 / (n - 1.0), 6)],
+        }
+    )
+
+
+_NATION_BAL_SQL = """
+WITH b AS (
+  SELECT c_nationkey AS nk, CAST(round(c_acctbal * 100) AS BIGINT) AS c
+  FROM customer
+),
+mu AS (SELECT avg(c) AS m, count(*) AS n FROM b),
+g AS (
+  SELECT nk, count(*) AS n,
+         sum(c - (SELECT m FROM mu)) AS sr,
+         sum((c - (SELECT m FROM mu)) * (c - (SELECT m FROM mu))) AS qr
+  FROM b GROUP BY nk
+)
+"""
+
+MORANS_I_CUSTOMER_BALANCE_SQL = (
+    _NATION_BAL_SQL
+    + """
+SELECT (SELECT CAST(n AS BIGINT) FROM mu) AS n_customers,
+       round((SELECT n FROM mu) * 1.0 / sum(n * (n - 1.0))
+             * sum(sr * sr - qr) / sum(qr), 6) AS morans_i,
+       round(-1.0 / ((SELECT n FROM mu) - 1.0), 6) AS e_i_null
+FROM g
+"""
+)
+
+
+def gearys_c_customer_balance(sf_dir: str) -> pd.DataFrame:
+    """Geary's C under the same same-nation block adjacency — the
+    pair-difference dual of Moran's I (C < 1 means neighbors are more
+    similar than strangers; sensitive to local rather than global
+    structure): SUM_ij w_ij (z_i - z_j)^2 = SUM_r 2*(n_r*Q_r - S_r^2),
+    C = (n-1) * SUM_r 2(n_r Q_r - S_r^2) / (2*S0*SUM z^2). Same
+    25-row block-moment reduction."""
+    g = _nation_balance_moments(sf_dir)
+    n = float(g["n"].sum())
+    mu = float(g["s"].sum()) / n
+    n_r = g["n"].to_numpy("float64")
+    s_r = g["s"].to_numpy("float64") - n_r * mu
+    q_r = (
+        g["ss"].to_numpy("float64")
+        - 2.0 * mu * g["s"].to_numpy("float64")
+        + n_r * mu * mu
+    )
+    s0 = float((n_r * (n_r - 1.0)).sum())
+    num = float((2.0 * (n_r * q_r - s_r * s_r)).sum())
+    c_stat = (n - 1.0) * num / (2.0 * s0 * float(q_r.sum()))
+    return pd.DataFrame(
+        {
+            "n_customers": pd.Series([int(n)], dtype="int64"),
+            "gearys_c": [round(c_stat, 6)],
+        }
+    )
+
+
+GEARYS_C_CUSTOMER_BALANCE_SQL = (
+    _NATION_BAL_SQL
+    + """
+SELECT (SELECT CAST(n AS BIGINT) FROM mu) AS n_customers,
+       round(((SELECT n FROM mu) - 1.0) * sum(2.0 * (n * qr - sr * sr))
+             / (2.0 * sum(n * (n - 1.0)) * sum(qr)), 6) AS gearys_c
+FROM g
+"""
+)
