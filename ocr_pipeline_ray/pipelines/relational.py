@@ -24105,3 +24105,95 @@ SELECT (SELECT CAST(n AS BIGINT) FROM mu) AS n_customers,
 FROM g
 """
 )
+
+def _lines_per_order_moments(sf_dir: str) -> tuple[float, float, float]:
+    """(n, mean, sample variance) of the lines-per-order counts via
+    the bucketed per-order aggregate and scalar moment partials."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    per = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df.groupby("l_orderkey", as_index=False).size().rename(columns={"size": "k"}),
+            batch_format="pandas",
+        ),
+        ["l_orderkey"],
+        {"k": ("k", "sum")},
+        num_buckets=32,
+    )
+
+    def _m(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy("int64").astype("float64")
+        return pd.DataFrame({"n": [float(len(k))], "s": [k.sum()], "ss": [(k * k).sum()]})
+
+    s = per.map_batches(_m, batch_format="pandas").to_pandas().sum()
+    n = float(s["n"])
+    mean = float(s["s"]) / n
+    var = (float(s["ss"]) - n * mean * mean) / (n - 1.0)
+    return n, mean, var
+
+
+def negbin_fit_lines_per_order(sf_dir: str) -> pd.DataFrame:
+    """Negative-binomial method-of-moments fit of lines-per-order —
+    the overdispersed alternative to the Poisson/ZTP fits on the
+    same count column: r = mean^2 / (var - mean), p = mean / var
+    (sample variance with n-1). A NEGATIVE r (variance below mean,
+    i.e. underdispersion) is itself the diagnostic — the NB family
+    can't reach it, pointing back at the binomial-thinning
+    generators."""
+    n, mean, var = _lines_per_order_moments(sf_dir)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([int(n)], dtype="int64"),
+            "mean_k": [round(mean, 6)],
+            "var_k": [round(var, 6)],
+            "nb_r": [round(mean * mean / (var - mean), 6)],
+            "nb_p": [round(mean / var, 6)],
+        }
+    )
+
+
+NEGBIN_FIT_LINES_PER_ORDER_SQL = """
+WITH per AS (SELECT count(*) AS k FROM lineitem GROUP BY l_orderkey),
+m AS (
+  SELECT count(*) AS n, avg(k) AS mean,
+         (sum(k * k) - count(*) * avg(k) * avg(k)) / (count(*) - 1.0) AS var
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(mean, 6) AS mean_k,
+       round(var, 6) AS var_k,
+       round(mean * mean / (var - mean), 6) AS nb_r,
+       round(mean / var, 6) AS nb_p
+FROM m
+"""
+
+
+def bohning_dispersion_lines_per_order(sf_dir: str) -> pd.DataFrame:
+    """Boehning's asymptotic overdispersion test for the Poisson
+    hypothesis on lines-per-order: z = sqrt((n-1)/2) * (s^2/mean - 1)
+    — N(0,1) under equidispersion, the significance companion of the
+    Fisher index of dispersion behind negbin_fit_lines_per_order
+    (large negative z = binomial-like underdispersion). Same one
+    bucketed per-order count reduction."""
+    n, mean, var = _lines_per_order_moments(sf_dir)
+    z = np.sqrt((n - 1.0) / 2.0) * (var / mean - 1.0)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([int(n)], dtype="int64"),
+            "dispersion_index": [round(var / mean, 6)],
+            "bohning_z": [round(float(z), 6)],
+        }
+    )
+
+
+BOHNING_DISPERSION_LINES_PER_ORDER_SQL = """
+WITH per AS (SELECT count(*) AS k FROM lineitem GROUP BY l_orderkey),
+m AS (
+  SELECT count(*) AS n, avg(k) AS mean,
+         (sum(k * k) - count(*) * avg(k) * avg(k)) / (count(*) - 1.0) AS var
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(var / mean, 6) AS dispersion_index,
+       round(sqrt((n - 1.0) / 2.0) * (var / mean - 1.0), 6) AS bohning_z
+FROM m
+"""
