@@ -2392,3 +2392,147 @@ SELECT (SELECT CAST(d AS BIGINT) FROM dd) AS dim,
              - pow(tr1 / (SELECT d FROM dd), 2), 6) AS lambda_var
 FROM t
 """
+
+def _second_moment_sums(sf_dir: str) -> tuple[float, int, np.ndarray, float]:
+    """(n, d, S = X'X/n, sum_i (x_i . x_i)^2) in ONE streaming pass —
+    the shared reduction behind the covariance-shrinkage pair
+    (Ledoit-Wolf needs the fourth-moment scalar, OAS only the Gram).
+    Uncentered second-moment convention (zero-mean embedding model),
+    stated on both engines."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        g = m.T @ m
+        sq = (m * m).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "n": np.int64(m.shape[0]),
+                "row": np.arange(g.shape[0], dtype=np.int64),
+                "q4": float((sq * sq).sum()),
+                **{f"g{j}": g[:, j] for j in range(g.shape[1])},
+            }
+        )
+
+    parts = ds.map_batches(_p, batch_format="pandas").to_pandas()
+    dim = int(parts["row"].max() + 1)
+    first = parts[parts["row"] == 0]
+    n = float(first["n"].sum())
+    q4 = float(first["q4"].sum())
+    gram = np.zeros((dim, dim))
+    for j in range(dim):
+        gram[:, j] = parts.groupby("row")[f"g{j}"].sum().to_numpy()
+    return n, dim, gram / n, q4
+
+
+def ledoit_wolf_shrinkage(sf_dir: str) -> pd.DataFrame:
+    """Ledoit-Wolf optimal shrinkage intensity of the embedding
+    second-moment matrix toward the identity target m*I (LW 2004,
+    normalized inner product <A,B> = tr(AB')/d): m = tr(S)/d,
+    d2 = tr((S - mI)^2)/d, b2 = min(d2, (SUM_i (x_i.x_i)^2 -
+    n*tr(S^2)) / (n^2 * d)), rho = b2/d2 — how much a downstream
+    whitening/Mahalanobis step should trust the sample covariance at
+    this n/d. The fourth-moment term collapses to ONE scalar partial
+    per batch (no second pass: SUM_i x_i'Sx_i = n*tr(S^2))."""
+    n, dim, s, q4 = _second_moment_sums(sf_dir)
+    m = float(np.trace(s)) / dim
+    d2 = float(((s - m * np.eye(dim)) ** 2).sum()) / dim
+    tr_s2 = float((s * s).sum())
+    b2 = min(d2, (q4 - n * tr_s2) / (n * n * dim))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "mu": [round(m, 6)],
+            "d2": [round(d2, 6)],
+            "b2": [round(b2, 6)],
+            "lw_shrinkage": [round(b2 / d2, 6)],
+        }
+    )
+
+
+LEDOIT_WOLF_SHRINKAGE_SQL = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+sm AS (
+  SELECT a.d AS i, b.d AS j, sum(a.x * b.x) / (SELECT n FROM n) AS s
+  FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2
+),
+dd AS (SELECT max(i) AS d FROM sm),
+t AS (
+  SELECT (SELECT sum(s) FROM sm WHERE i = j) AS trs,
+         (SELECT sum(s * s) FROM sm) AS trs2
+),
+q AS (
+  SELECT sum(pow(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 2)) AS q4
+  FROM embeddings
+),
+f AS (
+  SELECT (SELECT trs FROM t) / (SELECT d FROM dd) AS mu,
+         ((SELECT trs2 FROM t) - 2.0 * ((SELECT trs FROM t) / (SELECT d FROM dd)) * (SELECT trs FROM t)
+          + pow((SELECT trs FROM t) / (SELECT d FROM dd), 2) * (SELECT d FROM dd))
+           / (SELECT d FROM dd) AS d2,
+         ((SELECT q4 FROM q) - (SELECT n FROM n) * (SELECT trs2 FROM t))
+           / (pow((SELECT n FROM n), 2) * (SELECT d FROM dd)) AS b2raw
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+       round(mu, 6) AS mu,
+       round(d2, 6) AS d2,
+       round(least(d2, b2raw), 6) AS b2,
+       round(least(d2, b2raw) / d2, 6) AS lw_shrinkage
+FROM f
+"""
+
+
+def oas_shrinkage(sf_dir: str) -> pd.DataFrame:
+    """Oracle Approximating Shrinkage intensity (Chen-Wiesel-Eldar-
+    Hero 2010) of the embedding second-moment matrix toward mu*I:
+    rho = min(1, ((1 - 2/d)*tr(S^2) + tr(S)^2) / ((n + 1 - 2/d) *
+    (tr(S^2) - tr(S)^2/d))) — the Gaussian-optimized refinement of
+    Ledoit-Wolf that needs ONLY the Gram sums (no fourth moment).
+    Same one-pass reduction; same uncentered convention."""
+    n, dim, s, _ = _second_moment_sums(sf_dir)
+    trs = float(np.trace(s))
+    trs2 = float((s * s).sum())
+    rho = min(
+        1.0,
+        ((1.0 - 2.0 / dim) * trs2 + trs * trs)
+        / ((n + 1.0 - 2.0 / dim) * (trs2 - trs * trs / dim)),
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "tr_s": [round(trs, 6)],
+            "tr_s2": [round(trs2, 6)],
+            "oas_shrinkage": [round(rho, 8)],
+        }
+    )
+
+
+OAS_SHRINKAGE_SQL = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+sm AS (
+  SELECT a.d AS i, b.d AS j, sum(a.x * b.x) / (SELECT n FROM n) AS s
+  FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2
+),
+dd AS (SELECT max(i) AS d FROM sm),
+t AS (
+  SELECT (SELECT sum(s) FROM sm WHERE i = j) AS trs,
+         (SELECT sum(s * s) FROM sm) AS trs2
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
+       round(trs, 6) AS tr_s,
+       round(trs2, 6) AS tr_s2,
+       round(least(1.0, ((1.0 - 2.0 / (SELECT d FROM dd)) * trs2 + trs * trs)
+                        / (((SELECT n FROM n) + 1.0 - 2.0 / (SELECT d FROM dd))
+                           * (trs2 - trs * trs / (SELECT d FROM dd)))), 8) AS oas_shrinkage
+FROM t
+"""
