@@ -453,6 +453,23 @@ SUBSET = [
     "page_trend_segment_yearly",
     "embedding_coordinate_kurtosis",
     "embedding_spectral_moments",
+    # round-3d additions
+    "conover_squared_ranks_quantity",
+    "dunn_pairwise_quantity_by_flag",
+    "simpson_diversity_vocab",
+    "shannon_entropy_vocab",
+    "epps_pulley_daily_revenue",
+    "dagostino_k2_daily_revenue",
+    "bartels_rank_daily_revenue",
+    "cucconi_quantity",
+    "gumbel_fit_daily_max_value",
+    "gpd_pot_fit_order_price",
+    "morans_i_customer_balance",
+    "gearys_c_customer_balance",
+    "negbin_fit_lines_per_order",
+    "bohning_dispersion_lines_per_order",
+    "ledoit_wolf_shrinkage",
+    "oas_shrinkage",
 ]
 
 
