@@ -24197,3 +24197,91 @@ SELECT CAST(n AS BIGINT) AS n_orders,
        round(sqrt((n - 1.0) / 2.0) * (var / mean - 1.0), 6) AS bohning_z
 FROM m
 """
+
+def siegel_slope_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Siegel repeated-medians slope of daily revenue — the
+    50%-breakdown-point robust trend (Theil-Sen breaks at 29%):
+    slope = median_i( median_{j != i} (x_j - x_i)/(t_j - t_i) ),
+    intercept = median(x_i - slope*t_i), with t the 1-based day index
+    and revenue in dollars. Both medians use continuous (averaging)
+    interpolation on both engines. The data-scale work is the one
+    bucketed per-day aggregate; the O(days^2) slope grid runs on the
+    result."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    t = np.arange(1, len(x) + 1, dtype="float64")
+    dt = t[None, :] - t[:, None]
+    dx = x[None, :] - x[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slopes = dx / dt
+    m_i = np.array(
+        [np.median(np.delete(slopes[i], i)) for i in range(len(x))]
+    )
+    slope = float(np.median(m_i))
+    intercept = float(np.median(x - slope * t))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(x)], dtype="int64"),
+            "siegel_slope": [round(slope, 6)],
+            "siegel_intercept": [round(intercept, 4)],
+        }
+    )
+
+
+SIEGEL_SLOPE_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+  FROM orders GROUP BY 1
+),
+r AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+p AS (
+  SELECT a.t, median((b.x - a.x) / (b.t - a.t)) AS m
+  FROM r a JOIN r b ON a.t <> b.t GROUP BY a.t
+),
+s AS (SELECT median(m) AS slope FROM p)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_days,
+       round((SELECT slope FROM s), 6) AS siegel_slope,
+       round((SELECT median(x - (SELECT slope FROM s) * t) FROM r), 4) AS siegel_intercept
+"""
+
+
+def mad_outliers_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Median-absolute-deviation outlier screen of daily revenue
+    (Iglewicz-Hoaglin modified z): MAD = median(|x - median(x)|),
+    z_i = 0.6745*(x_i - med)/MAD, outlier iff |z_i| > 3.5 — the
+    robust alternative to the Grubbs/Dixon screens on the same day
+    series (those use mean/sd and break on the very outliers they
+    hunt). Continuous-interpolation medians on both engines."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    med = float(np.median(x))
+    mad = float(np.median(np.abs(x - med)))
+    z = 0.6745 * (x - med) / mad
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(x)], dtype="int64"),
+            "median_rev": [round(med, 2)],
+            "mad": [round(mad, 2)],
+            "n_outliers": pd.Series([int((np.abs(z) > 3.5).sum())], dtype="int64"),
+            "max_abs_z": [round(float(np.abs(z).max()), 6)],
+        }
+    )
+
+
+MAD_OUTLIERS_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+  FROM orders GROUP BY 1
+),
+m AS (SELECT median(x) AS med FROM d),
+a AS (SELECT median(abs(x - (SELECT med FROM m))) AS mad FROM d)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       round((SELECT med FROM m), 2) AS median_rev,
+       round((SELECT mad FROM a), 2) AS mad,
+       (SELECT CAST(count(*) AS BIGINT) FROM d
+        WHERE abs(0.6745 * (x - (SELECT med FROM m)) / (SELECT mad FROM a)) > 3.5) AS n_outliers,
+       (SELECT round(max(abs(0.6745 * (x - (SELECT med FROM m)) / (SELECT mad FROM a))), 6)
+        FROM d) AS max_abs_z
+"""
