@@ -24285,3 +24285,148 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
        (SELECT round(max(abs(0.6745 * (x - (SELECT med FROM m)) / (SELECT mad FROM a))), 6)
         FROM d) AS max_abs_z
 """
+
+def cochrane_orcutt_daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Cochrane-Orcutt AR(1)-corrected linear trend of daily revenue:
+    OLS slope on (t, x) -> residual lag-1 autocorrelation rho =
+    SUM e_t e_{t-1} / SUM e_{t-1}^2 -> re-estimated slope on the
+    quasi-differenced series (x_t - rho*x_{t-1} on t - rho*(t-1),
+    t >= 2, with intercept) — the serially-robust trend the
+    Durbin-Watson test (durbin_watson_daily_trend) says plain OLS
+    gets wrong. Dollars per day; exact sums over the bucketed day
+    grid."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    n = float(len(x))
+    t = np.arange(1, len(x) + 1, dtype="float64")
+    b = float(((t - t.mean()) * (x - x.mean())).sum() / ((t - t.mean()) ** 2).sum())
+    a = x.mean() - b * t.mean()
+    e = x - a - b * t
+    rho = float((e[1:] * e[:-1]).sum() / (e[:-1] ** 2).sum())
+    ys = x[1:] - rho * x[:-1]
+    ts = t[1:] - rho * t[:-1]
+    b_co = float(((ts - ts.mean()) * (ys - ys.mean())).sum() / ((ts - ts.mean()) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "ols_slope": [round(b, 6)],
+            "rho_ar1": [round(rho, 6)],
+            "co_slope": [round(b_co, 6)],
+        }
+    )
+
+
+COCHRANE_ORCUTT_DAILY_TREND_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+  FROM orders GROUP BY 1
+),
+r AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+ols AS (
+  SELECT (sum((t - (SELECT avg(t) FROM r)) * (x - (SELECT avg(x) FROM r))))
+           / sum((t - (SELECT avg(t) FROM r)) * (t - (SELECT avg(t) FROM r))) AS b,
+         avg(x) - (sum((t - (SELECT avg(t) FROM r)) * (x - (SELECT avg(x) FROM r)))
+                   / sum((t - (SELECT avg(t) FROM r)) * (t - (SELECT avg(t) FROM r))))
+                  * avg(t) AS a
+  FROM r
+),
+e AS (
+  SELECT t, x - (SELECT a FROM ols) - (SELECT b FROM ols) * t AS e FROM r
+),
+rho AS (
+  SELECT sum(e * prev) / sum(prev * prev) AS rho
+  FROM (SELECT e, lag(e) OVER (ORDER BY t) AS prev FROM e)
+  WHERE prev IS NOT NULL
+),
+q AS (
+  SELECT x - (SELECT rho FROM rho) * lag(x) OVER (ORDER BY t) AS ys,
+         t - (SELECT rho FROM rho) * (t - 1) AS ts
+  FROM r QUALIFY lag(x) OVER (ORDER BY t) IS NOT NULL
+),
+co AS (
+  SELECT sum((ts - (SELECT avg(ts) FROM q)) * (ys - (SELECT avg(ys) FROM q)))
+           / sum((ts - (SELECT avg(ts) FROM q)) * (ts - (SELECT avg(ts) FROM q))) AS b_co
+  FROM q
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_days,
+       round((SELECT b FROM ols), 6) AS ols_slope,
+       round((SELECT rho FROM rho), 6) AS rho_ar1,
+       round((SELECT b_co FROM co), 6) AS co_slope
+"""
+
+
+def newey_west_trend_se(sf_dir: str, max_lag: int = 5) -> pd.DataFrame:
+    """Newey-West HAC standard error of the OLS daily-revenue trend
+    slope (Bartlett kernel, L=5): scores u_t = (t - tbar)*e_t,
+    lrv = SUM u_t^2 + 2*SUM_{l=1..L} (1 - l/(L+1)) * SUM_t u_t u_{t+l},
+    Var(b) = lrv / (SUM (t-tbar)^2)^2 — the autocorrelation- and
+    heteroskedasticity-robust t statistic for the same slope the
+    Cochrane-Orcutt query re-estimates. Exact sums; both engines
+    implement this formula verbatim."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    t = np.arange(1, len(x) + 1, dtype="float64")
+    sxx = float(((t - t.mean()) ** 2).sum())
+    b = float(((t - t.mean()) * (x - x.mean())).sum() / sxx)
+    a = x.mean() - b * t.mean()
+    u = (t - t.mean()) * (x - a - b * t)
+    lrv = float((u * u).sum())
+    for l in range(1, max_lag + 1):
+        lrv += 2.0 * (1.0 - l / (max_lag + 1.0)) * float((u[:-l] * u[l:]).sum())
+    se = np.sqrt(lrv / (sxx * sxx))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(x)], dtype="int64"),
+            "ols_slope": [round(b, 6)],
+            "nw_se": [round(float(se), 6)],
+            "nw_t": [round(b / float(se), 6)],
+        }
+    )
+
+
+NEWEY_WEST_TREND_SE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+  FROM orders GROUP BY 1
+),
+r AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+ols AS (
+  SELECT sum((t - (SELECT avg(t) FROM r)) * (x - (SELECT avg(x) FROM r)))
+           / sum((t - (SELECT avg(t) FROM r)) * (t - (SELECT avg(t) FROM r))) AS b,
+         sum((t - (SELECT avg(t) FROM r)) * (t - (SELECT avg(t) FROM r))) AS sxx
+  FROM r
+),
+u AS (
+  SELECT t,
+         (t - (SELECT avg(t) FROM r))
+           * (x - ((SELECT avg(x) FROM r) - (SELECT b FROM ols) * (SELECT avg(t) FROM r))
+              - (SELECT b FROM ols) * t) AS u
+  FROM r
+),
+ul AS (
+  SELECT u,
+         lead(u, 1) OVER (ORDER BY t) AS u1,
+         lead(u, 2) OVER (ORDER BY t) AS u2,
+         lead(u, 3) OVER (ORDER BY t) AS u3,
+         lead(u, 4) OVER (ORDER BY t) AS u4,
+         lead(u, 5) OVER (ORDER BY t) AS u5
+  FROM u
+),
+lrv AS (
+  SELECT sum(u * u)
+         + 2.0 * (1.0 - 1.0 / 6.0) * sum(u * u1)
+         + 2.0 * (1.0 - 2.0 / 6.0) * sum(u * u2)
+         + 2.0 * (1.0 - 3.0 / 6.0) * sum(u * u3)
+         + 2.0 * (1.0 - 4.0 / 6.0) * sum(u * u4)
+         + 2.0 * (1.0 - 5.0 / 6.0) * sum(u * u5) AS v
+  FROM ul
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_days,
+       round((SELECT b FROM ols), 6) AS ols_slope,
+       round(sqrt((SELECT v FROM lrv) / ((SELECT sxx FROM ols) * (SELECT sxx FROM ols))), 6) AS nw_se,
+       round((SELECT b FROM ols)
+             / sqrt((SELECT v FROM lrv) / ((SELECT sxx FROM ols) * (SELECT sxx FROM ols))), 6) AS nw_t
+FROM r LIMIT 1
+"""
