@@ -7158,3 +7158,139 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
        round(exp(ln(n) - flnf / n), 4) AS perplexity
 FROM s
 """
+
+def gini_term_frequencies(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the corpus term-frequency distribution —
+    the inequality view of vocabulary concentration (Simpson/Shannon
+    give the diversity view): via the identity G = MeanAbsDiff /
+    (2*mean), computed EXACTLY on the count-of-counts histogram
+    (frequency f -> number of terms with that f), so no sort of the
+    vocabulary is ever needed: SUM_{f,g} m_f m_g |f-g| over the tiny
+    histogram cross join. Same [a-z0-9_]+ tokenization as the other
+    vocab queries."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _foff(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("n", as_index=False)
+            .size()
+            .rename(columns={"n": "f", "size": "m"})
+        )
+
+    hist = (
+        totals.map_batches(_foff, batch_format="pandas")
+        .to_pandas()
+        .groupby("f", as_index=False)
+        .sum()
+    )
+    f = hist["f"].to_numpy("int64").astype("float64")
+    m = hist["m"].to_numpy("int64").astype("float64")
+    v = m.sum()
+    mean = float((f * m).sum()) / v
+    mad = float(m @ np.abs(f[:, None] - f[None, :]) @ m) / (v * v)
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([int(v)], dtype="int64"),
+            "mean_freq": [round(mean, 6)],
+            "gini_freq": [round(mad / (2.0 * mean), 6)],
+        }
+    )
+
+
+GINI_TERM_FREQUENCIES_SQL = """
+WITH tc AS (
+  SELECT t.term, count(*) AS f
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term
+),
+h AS (SELECT f, count(*) AS m FROM tc GROUP BY f),
+tot AS (SELECT sum(m) AS v, sum(f * m) * 1.0 / sum(m) AS mean FROM h),
+mad AS (
+  SELECT sum(a.m * b.m * abs(a.f - b.f)) * 1.0
+           / ((SELECT v FROM tot) * (SELECT v FROM tot)) AS d
+  FROM h a CROSS JOIN h b
+)
+SELECT (SELECT CAST(v AS BIGINT) FROM tot) AS vocab_size,
+       round((SELECT mean FROM tot), 6) AS mean_freq,
+       round((SELECT d FROM mad) / (2.0 * (SELECT mean FROM tot)), 6) AS gini_freq
+"""
+
+
+def berger_parker_vocab(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Berger-Parker dominance (share of the single most frequent
+    term) and top-k coverage (share of the k most frequent terms) of
+    the corpus token stream — the head-side concentration numbers
+    next to the tail-side Gini/Simpson/Shannon. Term totals stay
+    distributed; only the partial top-k and three scalars reach the
+    driver. Tie-break: count desc, term asc (matches
+    vocab_top_terms)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, partial_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+    nn = int(totals.sum("n"))
+    top = partial_topk(totals, by=["n", "term"], ascending=[False, True], k=k)
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([nn], dtype="int64"),
+            "top_term": [top["term"].iloc[0]],
+            "berger_parker": [round(int(top["n"].iloc[0]) / nn, 6)],
+            "topk_coverage": [round(int(top["n"].sum()) / nn, 6)],
+        }
+    )
+
+
+def berger_parker_vocab_sql(k: int = 10) -> str:
+    return f"""
+WITH tc AS (
+  SELECT t.term, count(*) AS f
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term
+),
+tot AS (SELECT sum(f) AS n FROM tc),
+top AS (
+  SELECT term, f, row_number() OVER (ORDER BY f DESC, term) AS rk FROM tc
+  QUALIFY rk <= {k}
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_tokens,
+       (SELECT term FROM top WHERE rk = 1) AS top_term,
+       round((SELECT f FROM top WHERE rk = 1) * 1.0 / (SELECT n FROM tot), 6) AS berger_parker,
+       round(sum(f) * 1.0 / (SELECT n FROM tot), 6) AS topk_coverage
+FROM top
+"""
+
+
+BERGER_PARKER_VOCAB_SQL = berger_parker_vocab_sql()
