@@ -24430,3 +24430,170 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_days,
              / sqrt((SELECT v FROM lrv) / ((SELECT sxx FROM ols) * (SELECT sxx FROM ols))), 6) AS nw_t
 FROM r LIMIT 1
 """
+
+def _month_segment_cents(sf_dir: str) -> pd.DataFrame:
+    """Complete-block (month, segment) integer-cent revenue grid —
+    the shared two-way table behind the blocked-rank and
+    non-additivity family. Only months with all segments present
+    are kept (matches the Friedman/Quade convention)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(cust.set_index("c_custkey")["c_mktsegment"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "m": df["o_orderdate"].dt.strftime("%Y-%m"),
+                "seg": sm.reindex(df["o_custkey"]).to_numpy(object),
+                "rev_c": np.round(df["o_totalprice"].to_numpy("float64") * 100).astype("int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["m", "seg"],
+            {"rev_c": ("rev_c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["m", "seg"])
+        .reset_index(drop=True)
+    )
+    k = int(grid.groupby("m")["seg"].size().max())
+    return grid.groupby("m").filter(lambda g: len(g) == k).reset_index(drop=True)
+
+
+def friedman_aligned_ranks_segment_monthly(sf_dir: str) -> pd.DataFrame:
+    """Friedman ALIGNED-ranks test (Hodges-Lehmann alignment, Conover
+    form) on the (month, segment) revenue table: subtract each
+    month's mean, rank ALL n*k aligned values together (more powerful
+    than within-block Friedman ranks when block effects are large):
+    T = (k-1) * (SUM_j Rj^2 - k*n^2*(k*n+1)^2/4) / (SUM_ij R_ij^2 -
+    (1/k)*SUM_i Ri.^2). Alignment stays exact-integer by ranking
+    k*x_ij - blocksum_i (equal to k*(x - blockmean)); ties broken by
+    (month, segment) identically on both engines."""
+    grid = _month_segment_cents(sf_dir)
+    k = grid.groupby("m")["seg"].size().max()
+    bsum = grid.groupby("m")["rev_c"].transform("sum")
+    grid = grid.assign(al=k * grid["rev_c"] - bsum)
+    grid = grid.sort_values(["al", "m", "seg"]).reset_index(drop=True)
+    grid["r"] = np.arange(1, len(grid) + 1, dtype="float64")
+    n = grid["m"].nunique()
+    nk = float(len(grid))
+    rj = grid.groupby("seg")["r"].sum()
+    ri = grid.groupby("m")["r"].sum()
+    num = (k - 1.0) * (float((rj ** 2).sum()) - k * n * n * (nk + 1.0) ** 2 / 4.0)
+    den = float((grid["r"] ** 2).sum()) - float((ri ** 2).sum()) / k
+    return pd.DataFrame(
+        {
+            "n_blocks": pd.Series([int(n)], dtype="int64"),
+            "k": pd.Series([int(k)], dtype="int64"),
+            "aligned_t": [round(num / den, 6)],
+        }
+    )
+
+
+FRIEDMAN_ALIGNED_RANKS_SEGMENT_MONTHLY_SQL = """
+WITH g0 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+kk AS (SELECT max(cnt) AS k FROM (SELECT count(*) AS cnt FROM g0 GROUP BY m)),
+g AS (
+  SELECT * FROM g0
+  WHERE m IN (SELECT m FROM g0 GROUP BY m HAVING count(*) = (SELECT k FROM kk))
+),
+al AS (
+  SELECT m, seg,
+         (SELECT k FROM kk) * rev_c - sum(rev_c) OVER (PARTITION BY m) AS a
+  FROM g
+),
+r AS (
+  SELECT m, seg, row_number() OVER (ORDER BY a, m, seg) * 1.0 AS r FROM al
+),
+dims AS (
+  SELECT count(DISTINCT m) AS n, count(*) AS nk FROM r
+),
+rj AS (SELECT sum(r) AS rj FROM r GROUP BY seg),
+ri AS (SELECT sum(r) AS ri FROM r GROUP BY m)
+SELECT (SELECT CAST(n AS BIGINT) FROM dims) AS n_blocks,
+       (SELECT CAST(k AS BIGINT) FROM kk) AS k,
+       round(((SELECT k FROM kk) - 1.0)
+             * ((SELECT sum(rj * rj) FROM rj)
+                - (SELECT k FROM kk) * (SELECT n * n FROM dims)
+                  * ((SELECT nk FROM dims) + 1.0) * ((SELECT nk FROM dims) + 1.0) / 4.0)
+             / ((SELECT sum(r * r) FROM r)
+                - (SELECT sum(ri * ri) FROM ri) / (SELECT k FROM kk)), 6) AS aligned_t
+"""
+
+
+def tukey_nonadditivity_segment_monthly(sf_dir: str) -> pd.DataFrame:
+    """Tukey's one-degree-of-freedom test for non-additivity on the
+    (month, segment) revenue table (dollars): does the segment effect
+    MULTIPLY rather than ADD across months? With row effects a_i and
+    column effects b_j around the grand mean, SS_nonadd =
+    (SUM y_ij a_i b_j)^2 / (SUM a^2 * SUM b^2) on 1 df against the
+    remaining interaction SS on (n-1)(k-1)-1 df. Everything is exact
+    sums over the complete-block grid."""
+    grid = _month_segment_cents(sf_dir)
+    t = grid.assign(y=grid["rev_c"].astype("float64") / 100.0).pivot_table(
+        index="m", columns="seg", values="y"
+    )
+    y = t.to_numpy("float64")
+    n, k = y.shape
+    grand = y.mean()
+    a = y.mean(axis=1) - grand
+    b = y.mean(axis=0) - grand
+    resid = y - grand - a[:, None] - b[None, :]
+    num = float((y * np.outer(a, b)).sum()) ** 2
+    den = float((a * a).sum()) * float((b * b).sum())
+    ss_n = num / den
+    ss_int = float((resid * resid).sum())
+    df_err = (n - 1.0) * (k - 1.0) - 1.0
+    f = ss_n / ((ss_int - ss_n) / df_err)
+    return pd.DataFrame(
+        {
+            "n_blocks": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "ss_nonadd": [round(ss_n, 4)],
+            "tukey_f": [round(f, 6)],
+        }
+    )
+
+
+TUKEY_NONADDITIVITY_SEGMENT_MONTHLY_SQL = """
+WITH g0 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, c_mktsegment AS seg,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+kk AS (SELECT max(cnt) AS k FROM (SELECT count(*) AS cnt FROM g0 GROUP BY m)),
+g AS (
+  SELECT * FROM g0
+  WHERE m IN (SELECT m FROM g0 GROUP BY m HAVING count(*) = (SELECT k FROM kk))
+),
+gm AS (SELECT avg(y) AS grand, count(DISTINCT m) AS n FROM g),
+ra AS (SELECT m, avg(y) - (SELECT grand FROM gm) AS a FROM g GROUP BY m),
+cb AS (SELECT seg, avg(y) - (SELECT grand FROM gm) AS b FROM g GROUP BY seg),
+s AS (
+  SELECT sum(g.y * ra.a * cb.b) AS yab,
+         sum((g.y - (SELECT grand FROM gm) - ra.a - cb.b)
+             * (g.y - (SELECT grand FROM gm) - ra.a - cb.b)) AS ss_int
+  FROM g JOIN ra ON g.m = ra.m JOIN cb ON g.seg = cb.seg
+),
+ss AS (
+  SELECT (SELECT yab * yab FROM s)
+           / ((SELECT sum(a * a) FROM ra) * (SELECT sum(b * b) FROM cb)) AS ss_n
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM gm) AS n_blocks,
+       (SELECT CAST(k AS BIGINT) FROM kk) AS k,
+       round((SELECT ss_n FROM ss), 4) AS ss_nonadd,
+       round((SELECT ss_n FROM ss)
+             / (((SELECT ss_int FROM s) - (SELECT ss_n FROM ss))
+                / (((SELECT n FROM gm) - 1.0) * ((SELECT k FROM kk) - 1.0) - 1.0)), 6) AS tukey_f
+"""
