@@ -24597,3 +24597,148 @@ SELECT (SELECT CAST(n AS BIGINT) FROM gm) AS n_blocks,
              / (((SELECT ss_int FROM s) - (SELECT ss_n FROM ss))
                 / (((SELECT n FROM gm) - 1.0) * ((SELECT k FROM kk) - 1.0) - 1.0)), 6) AS tukey_f
 """
+
+def _nation_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-nation profile: average customer balance and average order
+    price (dollars), via per-batch partials over the broadcast
+    customer->nation map — the shared 25-row table behind the
+    matrix-association pair (Mantel, ANOSIM)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    nat_ref = ray.put(cust.set_index("c_custkey")["c_nationkey"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        nk = ray.get(nat_ref).reindex(df["o_custkey"]).to_numpy("int64")
+        return pd.DataFrame(
+            {"nk": nk, "n": np.int64(1), "s": df["o_totalprice"].to_numpy("float64")}
+        ).groupby("nk", as_index=False).sum()
+
+    op = (
+        ds.map_batches(_p, batch_format="pandas")
+        .to_pandas()
+        .groupby("nk", as_index=False)
+        .sum()
+    )
+    bal = (
+        cust.groupby("c_nationkey", as_index=False)
+        .agg(nb=("c_acctbal", "size"), sb=("c_acctbal", "sum"))
+        .rename(columns={"c_nationkey": "nk"})
+    )
+    prof = op.merge(bal, on="nk", how="inner").sort_values("nk").reset_index(drop=True)
+    prof["avg_price"] = prof["s"] / prof["n"]
+    prof["avg_bal"] = prof["sb"] / prof["nb"]
+    return prof[["nk", "avg_price", "avg_bal"]]
+
+
+def mantel_nations_balance_price(sf_dir: str) -> pd.DataFrame:
+    """Mantel matrix correlation between two nation-level distance
+    matrices — D1_ij = |avg_balance_i - avg_balance_j| and D2_ij =
+    |avg_price_i - avg_price_j|: do nations that differ in customer
+    wealth also differ in order size? Pearson r over the
+    n(n-1)/2 = 300 off-diagonal pairs; the permutation null is the
+    classical add-on, the statistic itself is this exact closed
+    form. Data-scale work = two broadcast-join aggregates."""
+    prof = _nation_profile(sf_dir)
+    b = prof["avg_bal"].to_numpy("float64")
+    p = prof["avg_price"].to_numpy("float64")
+    iu = np.triu_indices(len(prof), 1)
+    d1 = np.abs(b[:, None] - b[None, :])[iu]
+    d2 = np.abs(p[:, None] - p[None, :])[iu]
+    r = float(np.corrcoef(d1, d2)[0, 1])
+    return pd.DataFrame(
+        {
+            "n_nations": pd.Series([len(prof)], dtype="int64"),
+            "n_pairs": pd.Series([len(d1)], dtype="int64"),
+            "mantel_r": [round(r, 6)],
+        }
+    )
+
+
+_NATION_PROFILE_SQL = """
+WITH bal AS (
+  SELECT c_nationkey AS nk, avg(c_acctbal) AS avg_bal FROM customer GROUP BY 1
+),
+pr AS (
+  SELECT c_nationkey AS nk, avg(o_totalprice) AS avg_price
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+),
+prof AS (
+  SELECT bal.nk, avg_bal, avg_price FROM bal JOIN pr ON bal.nk = pr.nk
+)
+"""
+
+MANTEL_NATIONS_BALANCE_PRICE_SQL = (
+    _NATION_PROFILE_SQL
+    + """,
+pairs AS (
+  SELECT abs(a.avg_bal - b.avg_bal) AS d1, abs(a.avg_price - b.avg_price) AS d2
+  FROM prof a JOIN prof b ON a.nk < b.nk
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM prof) AS n_nations,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(d1, d2), 6) AS mantel_r
+FROM pairs
+"""
+)
+
+
+def anosim_region_balance(sf_dir: str) -> pd.DataFrame:
+    """ANOSIM (analysis of similarities) of nation wealth profiles
+    grouped by region: rank ALL nation-pair distances |avg_bal_i -
+    avg_bal_j| (midranks for ties, tie-broken deterministically),
+    then R = (rbar_between - rbar_within) / (M/2) with M = n(n-1)/2
+    — R near 0 means regions are arbitrary groupings of nations,
+    near 1 means within-region nations are far more alike. Exact
+    rank arithmetic on the 300-pair grid."""
+    prof = _nation_profile(sf_dir)
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = nation.set_index("n_nationkey")["n_regionkey"]
+    prof = prof.assign(rg=reg.reindex(prof["nk"]).to_numpy("int64"))
+    b = prof["avg_bal"].to_numpy("float64")
+    rg = prof["rg"].to_numpy("int64")
+    n = len(prof)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            rows.append((abs(b[i] - b[j]), int(rg[i] == rg[j])))
+    df = pd.DataFrame(rows, columns=["d", "within"]).sort_values("d").reset_index(drop=True)
+    # midranks over possibly-tied distances
+    df["r"] = df["d"].rank(method="average")
+    m = float(len(df))
+    rb = float(df.loc[df["within"] == 0, "r"].mean())
+    rw = float(df.loc[df["within"] == 1, "r"].mean())
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([int(m)], dtype="int64"),
+            "rbar_between": [round(rb, 6)],
+            "rbar_within": [round(rw, 6)],
+            "anosim_r": [round((rb - rw) / (m / 2.0), 6)],
+        }
+    )
+
+
+ANOSIM_REGION_BALANCE_SQL = (
+    _NATION_PROFILE_SQL
+    + """,
+pr2 AS (
+  SELECT prof.*, n_regionkey AS rg
+  FROM prof JOIN nation ON prof.nk = n_nationkey
+),
+pairs AS (
+  SELECT abs(a.avg_bal - b.avg_bal) AS d,
+         CASE WHEN a.rg = b.rg THEN 1 ELSE 0 END AS within
+  FROM pr2 a JOIN pr2 b ON a.nk < b.nk
+),
+rk AS (
+  SELECT within,
+         rank() OVER (ORDER BY d) + (count(*) OVER (PARTITION BY d) - 1) / 2.0 AS r
+  FROM pairs
+),
+m AS (SELECT count(*) * 1.0 AS m FROM rk)
+SELECT (SELECT CAST(m AS BIGINT) FROM m) AS n_pairs,
+       round((SELECT avg(r) FROM rk WHERE within = 0), 6) AS rbar_between,
+       round((SELECT avg(r) FROM rk WHERE within = 1), 6) AS rbar_within,
+       round(((SELECT avg(r) FROM rk WHERE within = 0)
+              - (SELECT avg(r) FROM rk WHERE within = 1)) / ((SELECT m FROM m) / 2.0), 6) AS anosim_r
+"""
+)
