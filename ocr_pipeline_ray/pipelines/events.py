@@ -7403,3 +7403,142 @@ SELECT CAST(n AS BIGINT) AS n_days,
              - s * sqrt(6.0) / pi() * ln(-ln(1.0 - 1.0 / 100.0)), 6) AS return_level_100d
 FROM m
 """
+
+def circular_linear_corr_time_value(sf_dir: str) -> pd.DataFrame:
+    """Mardia circular-linear correlation between event time-of-day
+    (angle theta = 2*pi*us/86400e6, exactly as circular_time_of_day)
+    and event value: R^2 = (r_cv^2 + r_sv^2 - 2*r_cv*r_sv*r_cs) /
+    (1 - r_cs^2) from the three Pearson correlations of (cos theta,
+    sin theta, value) — does the SIZE of an event depend on the
+    clock, even when the linear hourly mean hides it by wrapping?
+    ONE streaming pass of ten scalar cross-moment partials."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype("int64") % 86_400_000_000
+        th = 2.0 * np.pi * us / 86_400_000_000.0
+        c, s = np.cos(th), np.sin(th)
+        v = df["value"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "n": [float(len(v))],
+                "sc": [c.sum()], "ss": [s.sum()], "sv": [v.sum()],
+                "scv": [(c * v).sum()], "ssv": [(s * v).sum()],
+                "scs": [(c * s).sum()],
+                "sc2": [(c * c).sum()], "ss2": [(s * s).sum()], "sv2": [(v * v).sum()],
+            }
+        )
+
+    t = ds.map_batches(_p, batch_format="pandas").to_pandas().sum()
+    n = float(t["n"])
+
+    def corr(sxy, sx, sy, sx2, sy2):
+        return (sxy - sx * sy / n) / np.sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n))
+
+    r_cv = corr(t["scv"], t["sc"], t["sv"], t["sc2"], t["sv2"])
+    r_sv = corr(t["ssv"], t["ss"], t["sv"], t["ss2"], t["sv2"])
+    r_cs = corr(t["scs"], t["sc"], t["ss"], t["sc2"], t["ss2"])
+    r2 = (r_cv ** 2 + r_sv ** 2 - 2.0 * r_cv * r_sv * r_cs) / (1.0 - r_cs ** 2)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "r_cos_value": [round(float(r_cv), 6)],
+            "r_sin_value": [round(float(r_sv), 6)],
+            "circ_linear_r": [round(float(np.sqrt(max(r2, 0.0))), 6)],
+        }
+    )
+
+
+CIRCULAR_LINEAR_CORR_TIME_VALUE_SQL = """
+WITH b AS (
+  SELECT cos(2.0 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0) AS c,
+         sin(2.0 * pi() * (epoch_us(ts) % 86400000000) / 86400000000.0) AS s,
+         value AS v
+  FROM events
+),
+r AS (
+  SELECT corr(c, v) AS r_cv, corr(s, v) AS r_sv, corr(c, s) AS r_cs,
+         count(*) AS n
+  FROM b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(r_cv, 6) AS r_cos_value,
+       round(r_sv, 6) AS r_sin_value,
+       round(sqrt(greatest((r_cv * r_cv + r_sv * r_sv - 2.0 * r_cv * r_sv * r_cs)
+                           / (1.0 - r_cs * r_cs), 0.0)), 6) AS circ_linear_r
+FROM r
+"""
+
+
+def kuiper_dow_uniformity(sf_dir: str) -> pd.DataFrame:
+    """Kuiper one-sample test of event day-of-week against the
+    CALENDAR null (expected share of isodow k = number of such
+    calendar days inside [first event day, last event day]) — the
+    rotation-invariant GoF where a Monday-vs-Sunday cut cannot
+    change the answer: V = D+ + D- over the 7-step observed-vs-
+    expected CDF gap. Exact integer counts and exposures on both
+    engines."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "dow": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "day": df["ts"].dt.normalize(),
+            }
+        )
+        out = g.groupby("dow", as_index=False).agg(n=("dow", "size"))
+        out["min_day"] = g["day"].min()
+        out["max_day"] = g["day"].max()
+        return out
+
+    parts = ds.map_batches(_p, batch_format="pandas").to_pandas()
+    counts = parts.groupby("dow")["n"].sum().reindex(range(1, 8), fill_value=0)
+    lo, hi = parts["min_day"].min(), parts["max_day"].max()
+    days = pd.date_range(lo, hi, freq="D")
+    expo = pd.Series(days.dayofweek + 1).value_counts().reindex(range(1, 8), fill_value=0)
+    n = float(counts.sum())
+    e = float(expo.sum())
+    fo = np.cumsum(counts.to_numpy("int64")) / n
+    fe = np.cumsum(expo.to_numpy("int64")) / e
+    d_plus = float((fo - fe).max())
+    d_minus = float((fe - fo).max())
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(n)], dtype="int64"),
+            "n_days": pd.Series([int(e)], dtype="int64"),
+            "d_plus": [round(d_plus, 6)],
+            "d_minus": [round(d_minus, 6)],
+            "kuiper_v": [round(d_plus + d_minus, 6)],
+        }
+    )
+
+
+KUIPER_DOW_UNIFORMITY_SQL = """
+WITH span AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+),
+cal AS (
+  SELECT isodow(d) AS dow, count(*) AS e
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span), (SELECT hi FROM span),
+                                      INTERVAL 1 DAY)) AS d)
+  GROUP BY 1
+),
+obs AS (SELECT isodow(ts) AS dow, count(*) AS n FROM events GROUP BY 1),
+g AS (
+  SELECT cal.dow, COALESCE(obs.n, 0) AS n, cal.e
+  FROM cal LEFT JOIN obs ON cal.dow = obs.dow
+),
+tot AS (SELECT sum(n) * 1.0 AS n, sum(e) * 1.0 AS e FROM g),
+cdf AS (
+  SELECT sum(n) OVER (ORDER BY dow) / (SELECT n FROM tot) AS fo,
+         sum(e) OVER (ORDER BY dow) / (SELECT e FROM tot) AS fe
+  FROM g
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+       (SELECT CAST(e AS BIGINT) FROM tot) AS n_days,
+       round(max(fo - fe), 6) AS d_plus,
+       round(max(fe - fo), 6) AS d_minus,
+       round(max(fo - fe) + max(fe - fo), 6) AS kuiper_v
+FROM cdf
+"""
