@@ -24742,3 +24742,128 @@ SELECT (SELECT CAST(m AS BIGINT) FROM m) AS n_pairs,
               - (SELECT avg(r) FROM rk WHERE within = 1)) / ((SELECT m FROM m) / 2.0), 6) AS anosim_r
 """
 )
+
+def _priority_status_grid(sf_dir: str) -> pd.DataFrame:
+    """ONE bucketed (priority, status) contingency grid (15 exact
+    integer cells) — shared by the categorical-association family."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], as_index=False)
+            .size()
+            .rename(columns={"o_orderpriority": "p", "o_orderstatus": "s", "size": "n"})
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["p", "s"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["p", "s"])
+        .reset_index(drop=True)
+    )
+
+
+def _phi2_rc(grid: pd.DataFrame) -> tuple[float, int, int, int]:
+    nn = int(grid["n"].sum())
+    rp = grid.groupby("p")["n"].sum()
+    cs = grid.groupby("s")["n"].sum()
+    chi2 = 0.0
+    for _, row in grid.iterrows():
+        e = rp[row["p"]] * cs[row["s"]] / nn
+        chi2 += (row["n"] - e) ** 2 / e
+    # zero cells absent from the sparse grid still contribute e to chi2
+    present = set(zip(grid["p"], grid["s"]))
+    for p in rp.index:
+        for s in cs.index:
+            if (p, s) not in present:
+                chi2 += rp[p] * cs[s] / nn
+    return chi2 / nn, len(rp), len(cs), nn
+
+
+def cramers_v_corrected_priority_status(sf_dir: str) -> pd.DataFrame:
+    """Bias-corrected Cramér's V (Bergsma 2013) between order
+    priority and status: phi2_tilde = max(0, phi2 - (r-1)(c-1)/(n-1)),
+    r_tilde = r - (r-1)^2/(n-1), c_tilde likewise, V_tilde =
+    sqrt(phi2_tilde / min(r_tilde - 1, c_tilde - 1)) — the
+    small-sample-honest version of the raw V (cramers_v_lang_source
+    measures the raw form on documents). Same 15-cell grid; zero
+    cells contribute their expected counts exactly."""
+    grid = _priority_status_grid(sf_dir)
+    phi2, r, c, nn = _phi2_rc(grid)
+    phi2t = max(0.0, phi2 - (r - 1.0) * (c - 1.0) / (nn - 1.0))
+    rt = r - (r - 1.0) ** 2 / (nn - 1.0)
+    ct = c - (c - 1.0) ** 2 / (nn - 1.0)
+    v = np.sqrt(phi2t / min(rt - 1.0, ct - 1.0))
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([nn], dtype="int64"),
+            "phi2": [round(phi2, 8)],
+            "cramers_v_corrected": [round(float(v), 6)],
+        }
+    )
+
+
+_PRIORITY_STATUS_PHI2_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+rp AS (SELECT p, sum(n) AS rn FROM g GROUP BY p),
+cs AS (SELECT s, sum(n) AS cn FROM g GROUP BY s),
+tot AS (SELECT sum(n) AS nn FROM g),
+f AS (
+  SELECT rp.p, cs.s, COALESCE(g.n, 0) AS n,
+         rp.rn * cs.cn * 1.0 / (SELECT nn FROM tot) AS e
+  FROM rp CROSS JOIN cs LEFT JOIN g ON g.p = rp.p AND g.s = cs.s
+),
+chi AS (
+  SELECT sum((n - e) * (n - e) / e) / (SELECT nn FROM tot) AS phi2,
+         (SELECT count(*) FROM rp) AS r,
+         (SELECT count(*) FROM cs) AS c,
+         (SELECT nn FROM tot) AS nn
+  FROM f
+)
+"""
+
+CRAMERS_V_CORRECTED_PRIORITY_STATUS_SQL = (
+    _PRIORITY_STATUS_PHI2_SQL
+    + """
+SELECT CAST(nn AS BIGINT) AS n_orders,
+       round(phi2, 8) AS phi2,
+       round(sqrt(greatest(phi2 - (r - 1.0) * (c - 1.0) / (nn - 1.0), 0.0)
+                  / least(r - (r - 1.0) * (r - 1.0) / (nn - 1.0) - 1.0,
+                          c - (c - 1.0) * (c - 1.0) / (nn - 1.0) - 1.0)), 6) AS cramers_v_corrected
+FROM chi
+"""
+)
+
+
+def tschuprow_t_priority_status(sf_dir: str) -> pd.DataFrame:
+    """Tschuprow's T between order priority and status: T =
+    sqrt(phi2 / sqrt((r-1)(c-1))) — the geometric-mean-normalized
+    cousin of Cramér's V that only reaches 1 on square tables
+    (honest for this 5x3 grid). Same shared phi2 computation."""
+    grid = _priority_status_grid(sf_dir)
+    phi2, r, c, nn = _phi2_rc(grid)
+    t = np.sqrt(phi2 / np.sqrt((r - 1.0) * (c - 1.0)))
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([nn], dtype="int64"),
+            "tschuprow_t": [round(float(t), 6)],
+        }
+    )
+
+
+TSCHUPROW_T_PRIORITY_STATUS_SQL = (
+    _PRIORITY_STATUS_PHI2_SQL
+    + """
+SELECT CAST(nn AS BIGINT) AS n_orders,
+       round(sqrt(phi2 / sqrt((r - 1.0) * (c - 1.0))), 6) AS tschuprow_t
+FROM chi
+"""
+)
