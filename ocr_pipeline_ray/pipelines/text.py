@@ -7294,3 +7294,97 @@ FROM top
 
 
 BERGER_PARKER_VOCAB_SQL = berger_parker_vocab_sql()
+
+def weighted_kappa_raters(sf_dir: str) -> pd.DataFrame:
+    """Quadratic-weighted Cohen's kappa between the two ordinal
+    3-class labelers of stuart_maxwell_raters (length class vs
+    whitespace class): disagreement weight w_ij = (i-j)^2/(k-1)^2, so
+    short-vs-long costs 4x short-vs-mid — the ordinal-aware
+    agreement number the plain kappa flattens. kappa_w = 1 -
+    SUM w_ij n_ij / SUM w_ij e_ij with e_ij = row_i*col_j/n. Exact
+    integer cells from the same 9-cell paired grid."""
+    n = _rater_3x3_cells(sf_dir)
+    nn = float(n.sum())
+    row = n.sum(axis=1).astype("float64")
+    col = n.sum(axis=0).astype("float64")
+    i = np.arange(3, dtype="float64")
+    w = (i[:, None] - i[None, :]) ** 2 / 4.0
+    obs = float((w * n).sum())
+    exp = float((w * np.outer(row, col) / nn).sum())
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(nn)], dtype="int64"),
+            "weighted_disagreement": [round(obs / nn, 6)],
+            "weighted_kappa": [round(1.0 - obs / exp, 6)],
+        }
+    )
+
+
+WEIGHTED_KAPPA_RATERS_SQL = (
+    _RATER_3X3_SQL.replace("n00,", "n00,")
+    + """,
+cells AS (
+  SELECT a, b, count(*) AS n
+  FROM r GROUP BY 1, 2
+),
+marg AS (
+  SELECT (SELECT sum(n) FROM cells) AS nn
+),
+full_g AS (
+  SELECT ra.a, cb.b, COALESCE(cells.n, 0) AS n,
+         (SELECT sum(n) FROM cells c2 WHERE c2.a = ra.a) AS rn,
+         (SELECT sum(n) FROM cells c3 WHERE c3.b = cb.b) AS cn
+  FROM (SELECT DISTINCT a FROM cells) ra
+  CROSS JOIN (SELECT DISTINCT b FROM cells) cb
+  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+),
+s AS (
+  SELECT sum((a - b) * (a - b) / 4.0 * n) AS obs,
+         sum((a - b) * (a - b) / 4.0 * rn * cn / (SELECT nn FROM marg)) AS exp
+  FROM full_g
+)
+SELECT (SELECT CAST(nn AS BIGINT) FROM marg) AS n,
+       round(obs / (SELECT nn FROM marg), 6) AS weighted_disagreement,
+       round(1.0 - obs / exp, 6) AS weighted_kappa
+FROM s
+"""
+)
+
+
+def bangdiwala_b_raters(sf_dir: str) -> pd.DataFrame:
+    """Bangdiwala's B agreement statistic on the same 3x3 rater
+    grid: B = SUM n_ii^2 / SUM (row_i * col_i) — the area of the
+    observed agreement squares inside the marginal rectangles of the
+    agreement chart; 1 = perfect agreement, robust to prevalence in
+    a way kappa is not. Exact integers to the final division."""
+    n = _rater_3x3_cells(sf_dir)
+    row = n.sum(axis=1).astype("int64")
+    col = n.sum(axis=0).astype("int64")
+    num = int((np.diag(n).astype("int64") ** 2).sum())
+    den = int((row * col).sum())
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n.sum())], dtype="int64"),
+            "bangdiwala_b": [round(num / den, 6)],
+        }
+    )
+
+
+BANGDIWALA_B_RATERS_SQL = (
+    _RATER_3X3_SQL
+    + """,
+cells AS (SELECT a, b, count(*) AS n FROM r GROUP BY 1, 2),
+diag AS (SELECT sum(n * n) AS num FROM cells WHERE a = b),
+marg AS (
+  SELECT sum(rn * cn) AS den, sum(nn2) AS nn FROM (
+    SELECT (SELECT sum(n) FROM cells c2 WHERE c2.a = k.k) AS rn,
+           (SELECT sum(n) FROM cells c3 WHERE c3.b = k.k) AS cn,
+           (SELECT sum(n) FROM cells c4 WHERE c4.a = k.k) AS nn2
+    FROM (SELECT DISTINCT a AS k FROM cells) k
+  )
+)
+SELECT (SELECT CAST(nn AS BIGINT) FROM marg) AS n,
+       round((SELECT num FROM diag) * 1.0 / (SELECT den FROM marg), 6) AS bangdiwala_b
+FROM marg
+"""
+)
