@@ -470,6 +470,23 @@ SUBSET = [
     "bohning_dispersion_lines_per_order",
     "ledoit_wolf_shrinkage",
     "oas_shrinkage",
+    # round-3e additions
+    "siegel_slope_daily_revenue",
+    "mad_outliers_daily_revenue",
+    "cochrane_orcutt_daily_trend",
+    "newey_west_trend_se",
+    "gini_term_frequencies",
+    "berger_parker_vocab",
+    "friedman_aligned_ranks_segment_monthly",
+    "tukey_nonadditivity_segment_monthly",
+    "mantel_nations_balance_price",
+    "anosim_region_balance",
+    "circular_linear_corr_time_value",
+    "kuiper_dow_uniformity",
+    "cramers_v_corrected_priority_status",
+    "tschuprow_t_priority_status",
+    "weighted_kappa_raters",
+    "bangdiwala_b_raters",
 ]
 
 
