@@ -24867,3 +24867,110 @@ SELECT CAST(nn AS BIGINT) AS n_orders,
 FROM chi
 """
 )
+
+def cliff_delta_quantity(sf_dir: str) -> pd.DataFrame:
+    """Cliff's delta ordinal effect size between returned (R) and
+    kept (N) quantities: delta = P(X > Y) - P(X < Y) (identically
+    the rank-biserial correlation 2U/(n1*n2) - 1) with the three
+    dominance probabilities reported — the assumption-free companion
+    of Cohen's d (cohens_d exists on prices) for the tests on this
+    grid. Exact integer cross sums over the <= 50-cell histogram."""
+    grid = _returned_kept_quantity_grid(sf_dir)
+    q = grid.index.to_numpy("int64")
+    c1 = grid["R"].to_numpy("int64")
+    c2 = grid["N"].to_numpy("int64")
+    n1, n2 = float(c1.sum()), float(c2.sum())
+    w = c1[:, None].astype("float64") * c2[None, :].astype("float64")
+    gt = float(w[q[:, None] > q[None, :]].sum()) / (n1 * n2)
+    lt = float(w[q[:, None] < q[None, :]].sum()) / (n1 * n2)
+    return pd.DataFrame(
+        {
+            "n_returned": pd.Series([int(n1)], dtype="int64"),
+            "n_kept": pd.Series([int(n2)], dtype="int64"),
+            "p_gt": [round(gt, 6)],
+            "p_lt": [round(lt, 6)],
+            "cliff_delta": [round(gt - lt, 6)],
+        }
+    )
+
+
+CLIFF_DELTA_QUANTITY_SQL = """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         count(*) FILTER (WHERE l_returnflag = 'R') AS c1,
+         count(*) FILTER (WHERE l_returnflag = 'N') AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1
+),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+s AS (
+  SELECT sum(CASE WHEN a.q > b.q THEN a.c1 * b.c2 ELSE 0 END) * 1.0
+           / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot)) AS gt,
+         sum(CASE WHEN a.q < b.q THEN a.c1 * b.c2 ELSE 0 END) * 1.0
+           / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot)) AS lt
+  FROM g a CROSS JOIN g b
+)
+SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n_returned,
+       (SELECT CAST(n2 AS BIGINT) FROM tot) AS n_kept,
+       round(gt, 6) AS p_gt, round(lt, 6) AS p_lt,
+       round(gt - lt, 6) AS cliff_delta
+FROM s
+"""
+
+
+def spectral_entropy_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Normalized spectral entropy of daily revenue — how spread the
+    variance is across frequencies: H = -SUM p_k ln p_k / ln K over
+    the periodogram P_k = (SUM x_t cos(2 pi k t / n))^2 + (sin ...)^2
+    of the demeaned day series, k = 1..floor(n/2). H near 1 = white
+    noise, near 0 = one dominant cycle (the weekly peak the
+    spectral_peaks query locates). Exact same trig expressions on
+    both engines; O(n^2/2) terms on the result-sized series."""
+    daily = _daily_rev_cents(sf_dir)
+    x = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    n = float(len(x))
+    x = x - x.mean()
+    t = np.arange(1, len(x) + 1, dtype="float64")
+    kk = int(n // 2)
+    p = np.empty(kk)
+    for k in range(1, kk + 1):
+        ang = 2.0 * np.pi * k * t / n
+        p[k - 1] = float(x @ np.cos(ang)) ** 2 + float(x @ np.sin(ang)) ** 2
+    pk = p / p.sum()
+    h = -float((pk * np.log(pk)).sum()) / np.log(kk)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "n_freqs": pd.Series([kk], dtype="int64"),
+            "spectral_entropy": [round(h, 6)],
+        }
+    )
+
+
+SPECTRAL_ENTROPY_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT x - (SELECT avg(x) FROM d) AS x,
+         row_number() OVER (ORDER BY day) * 1.0 AS t,
+         count(*) OVER () * 1.0 AS n
+  FROM d
+),
+ks AS (
+  SELECT unnest(generate_series(1, CAST((SELECT max(n) FROM r) AS BIGINT) // 2)) AS k
+),
+per AS (
+  SELECT ks.k,
+         pow(sum(r.x * cos(2.0 * pi() * ks.k * r.t / r.n)), 2)
+         + pow(sum(r.x * sin(2.0 * pi() * ks.k * r.t / r.n)), 2) AS p
+  FROM ks CROSS JOIN r GROUP BY ks.k
+),
+tot AS (SELECT sum(p) AS sp, count(*) AS kk FROM per)
+SELECT (SELECT CAST(max(n) AS BIGINT) FROM r) AS n_days,
+       (SELECT CAST(kk AS BIGINT) FROM tot) AS n_freqs,
+       round(-sum((p / (SELECT sp FROM tot)) * ln(p / (SELECT sp FROM tot)))
+             / ln((SELECT kk FROM tot)), 6) AS spectral_entropy
+FROM per
+"""
