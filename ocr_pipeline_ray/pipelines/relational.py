@@ -24974,3 +24974,116 @@ SELECT (SELECT CAST(max(n) AS BIGINT) FROM r) AS n_days,
              / ln((SELECT kk FROM tot)), 6) AS spectral_entropy
 FROM per
 """
+
+
+def kendall_tau_b_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Kendall's tau-b between the ordinal lineitem columns
+    l_quantity and l_discount — the ties-corrected symmetric rank
+    correlation the gamma/Somers pair (ordinal_assoc) doesn't
+    report: tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with
+    n0 = n(n-1)/2 and n1/n2 the tied-pair counts on each margin.
+
+    Same ONE bucketed ~550-cell joint grid as the rest of the
+    dependence family; C/D from exact int64 cell-pair products,
+    n1/n2 from the two marginals — no second data pass."""
+    grid = _quantity_discount_grid(sf_dir)
+    q = grid["q"].to_numpy("float64")
+    d = grid["d"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    w = c[:, None] * c[None, :]
+    qa, qb = q[:, None], q[None, :]
+    da, db = d[:, None], d[None, :]
+    conc = int(w[(qa < qb) & (da < db)].sum())
+    disc = int(w[(qa < qb) & (da > db)].sum())
+    n = int(c.sum())
+    mq = grid.groupby("q")["c"].sum().to_numpy("int64")
+    md = grid.groupby("d")["c"].sum().to_numpy("int64")
+    n0 = n * (n - 1) // 2
+    n1 = int((mq * (mq - 1) // 2).sum())
+    n2 = int((md * (md - 1) // 2).sum())
+    tau_b = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pd.DataFrame(
+        {
+            "conc": pd.Series([conc], dtype="int64"),
+            "disc": pd.Series([disc], dtype="int64"),
+            "ties_q": pd.Series([n1], dtype="int64"),
+            "ties_d": pd.Series([n2], dtype="int64"),
+            "tau_b": [round(tau_b, 6)],
+        }
+    )
+
+
+KENDALL_TAU_B_QUANTITY_DISCOUNT_SQL = """
+WITH g AS (
+  SELECT l_quantity AS q, l_discount AS d, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT sum(CASE WHEN a.q < b.q AND a.d < b.d THEN a.c * b.c ELSE 0 END) AS conc,
+         sum(CASE WHEN a.q < b.q AND a.d > b.d THEN a.c * b.c ELSE 0 END) AS disc
+  FROM g a CROSS JOIN g b
+),
+tot AS (SELECT sum(c) AS n FROM g),
+t1 AS (SELECT sum(cq * (cq - 1) // 2) AS n1
+       FROM (SELECT q, sum(c) AS cq FROM g GROUP BY 1)),
+t2 AS (SELECT sum(cd * (cd - 1) // 2) AS n2
+       FROM (SELECT d, sum(c) AS cd FROM g GROUP BY 1))
+SELECT CAST(conc AS BIGINT) AS conc,
+       CAST(disc AS BIGINT) AS disc,
+       (SELECT CAST(n1 AS BIGINT) FROM t1) AS ties_q,
+       (SELECT CAST(n2 AS BIGINT) FROM t2) AS ties_d,
+       round((conc - disc)
+             / sqrt(((SELECT n * (n - 1) // 2 FROM tot) - (SELECT n1 FROM t1)) * 1.0
+                    * ((SELECT n * (n - 1) // 2 FROM tot) - (SELECT n2 FROM t2))), 6) AS tau_b
+FROM p
+"""
+
+
+def stuart_tau_c_quantity_discount(sf_dir: str) -> pd.DataFrame:
+    """Stuart's tau-c between l_quantity and l_discount — the
+    rectangular-table companion of tau-b that can reach +/-1 on a
+    non-square (50 x 11) grid: tau_c = 2m(C - D) / (n^2 (m - 1))
+    with m = min(#rows, #cols). Same shared joint grid, exact
+    integer C/D, closed form on the driver."""
+    grid = _quantity_discount_grid(sf_dir)
+    q = grid["q"].to_numpy("float64")
+    d = grid["d"].to_numpy("float64")
+    c = grid["c"].to_numpy("int64")
+    w = c[:, None] * c[None, :]
+    qa, qb = q[:, None], q[None, :]
+    da, db = d[:, None], d[None, :]
+    conc = int(w[(qa < qb) & (da < db)].sum())
+    disc = int(w[(qa < qb) & (da > db)].sum())
+    n = int(c.sum())
+    m = int(min(grid["q"].nunique(), grid["d"].nunique()))
+    tau_c = 2.0 * m * (conc - disc) / (float(n) * float(n) * (m - 1))
+    return pd.DataFrame(
+        {
+            "conc": pd.Series([conc], dtype="int64"),
+            "disc": pd.Series([disc], dtype="int64"),
+            "m_levels": pd.Series([m], dtype="int64"),
+            "tau_c": [round(tau_c, 6)],
+        }
+    )
+
+
+STUART_TAU_C_QUANTITY_DISCOUNT_SQL = """
+WITH g AS (
+  SELECT l_quantity AS q, l_discount AS d, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT sum(CASE WHEN a.q < b.q AND a.d < b.d THEN a.c * b.c ELSE 0 END) AS conc,
+         sum(CASE WHEN a.q < b.q AND a.d > b.d THEN a.c * b.c ELSE 0 END) AS disc
+  FROM g a CROSS JOIN g b
+),
+tot AS (SELECT sum(c) AS n FROM g),
+m AS (SELECT least(count(DISTINCT q), count(DISTINCT d)) AS m FROM g)
+SELECT CAST(conc AS BIGINT) AS conc,
+       CAST(disc AS BIGINT) AS disc,
+       (SELECT CAST(m AS BIGINT) FROM m) AS m_levels,
+       round(2.0 * (SELECT m FROM m) * (conc - disc)
+             / ((SELECT n FROM tot) * 1.0 * (SELECT n FROM tot)
+                * ((SELECT m FROM m) - 1)), 6) AS tau_c
+FROM p
+"""
