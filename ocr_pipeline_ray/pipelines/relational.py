@@ -25087,3 +25087,214 @@ SELECT CAST(conc AS BIGINT) AS conc,
                 * ((SELECT m FROM m) - 1)), 6) AS tau_c
 FROM p
 """
+
+
+def _quantity_price_moment_grid(sf_dir: str) -> pd.DataFrame:
+    """ONE bucketed per-quantity grid of l_extendedprice raw moments
+    (n, sum y, sum y^2, sum y^3, sum y^4) — 50 cells shared by the
+    heteroskedasticity diagnostics (Breusch-Pagan, White). Per-cell
+    sums are over disjoint row sets, so both engines agree to float64
+    precision regardless of batch order; all remaining algebra is a
+    deterministic <=50-term reduction."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qv, sub in df.groupby("l_quantity", sort=False):
+            y = sub["l_extendedprice"].to_numpy("float64")
+            rows.append(
+                (float(qv), len(y), y.sum(), (y**2).sum(), (y**3).sum(), (y**4).sum())
+            )
+        return pd.DataFrame(rows, columns=["q", "n", "s1", "s2", "s3", "s4"])
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["q"],
+            {
+                "n": ("n", "sum"),
+                "s1": ("s1", "sum"),
+                "s2": ("s2", "sum"),
+                "s3": ("s3", "sum"),
+                "s4": ("s4", "sum"),
+            },
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("q")
+        .reset_index(drop=True)
+    )
+
+
+def _bp_white_ingredients(grid: pd.DataFrame):
+    """Shared driver algebra: OLS price-on-quantity fit, then the
+    per-cell squared-residual moments Sz/Szz/Szx/Szxx every
+    heteroskedasticity LM statistic is built from."""
+    q = grid["q"].to_numpy("float64")
+    nq = grid["n"].to_numpy("int64").astype("float64")
+    s1 = grid["s1"].to_numpy("float64")
+    s2 = grid["s2"].to_numpy("float64")
+    s3 = grid["s3"].to_numpy("float64")
+    s4 = grid["s4"].to_numpy("float64")
+    n = nq.sum()
+    sx, sxx = (nq * q).sum(), (nq * q * q).sum()
+    sxxx, sxxxx = (nq * q**3).sum(), (nq * q**4).sum()
+    sy, sxy = s1.sum(), (q * s1).sum()
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    cq = a + b * q
+    z = s2 - 2.0 * cq * s1 + nq * cq**2
+    zz = s4 - 4.0 * cq * s3 + 6.0 * cq**2 * s2 - 4.0 * cq**3 * s1 + nq * cq**4
+    return dict(
+        n=n, sx=sx, sxx=sxx, sxxx=sxxx, sxxxx=sxxxx, b=b, q=q,
+        sz=z.sum(), szz=zz.sum(), szx=(q * z).sum(), szxx=(q * q * z).sum(),
+    )
+
+
+def breusch_pagan_price_quantity(sf_dir: str) -> pd.DataFrame:
+    """Breusch-Pagan (Koenker studentized) heteroskedasticity test of
+    the price-on-quantity OLS: LM = n R^2 of the auxiliary regression
+    of squared residuals on quantity, chi^2(1) under homoskedasticity
+    — huge here by construction (extendedprice ~ quantity x unit
+    price), which is exactly what the diagnostic should say.
+
+    All O(n) sums collapse onto the 50-cell per-quantity price-moment
+    grid; squared-residual moments come from the closed-form
+    expansion about each cell's fitted value."""
+    g = _bp_white_ingredients(_quantity_price_moment_grid(sf_dir))
+    n, sx, sxx = g["n"], g["sx"], g["sxx"]
+    sz, szz, szx = g["sz"], g["szz"], g["szx"]
+    r2 = (n * szx - sx * sz) ** 2 / ((n * sxx - sx * sx) * (n * szz - sz * sz))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "slope": [round(g["b"], 6)],
+            "r2_aux": [round(r2, 6)],
+            "lm_bp": [round(n * r2, 4)],
+        }
+    )
+
+
+BREUSCH_PAGAN_PRICE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT l_quantity AS q, count(*) * 1.0 AS n,
+         sum(l_extendedprice) AS s1,
+         sum(l_extendedprice * l_extendedprice) AS s2,
+         sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+         sum(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice) AS s4
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT sum(n) AS n, sum(n * q) AS sx, sum(n * q * q) AS sxx,
+         sum(s1) AS sy, sum(q * s1) AS sxy
+  FROM g
+),
+fit AS (
+  SELECT n, sx, sxx,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM m
+),
+zc AS (
+  SELECT g.q,
+         g.s2 - 2.0 * (fit.a + fit.b * g.q) * g.s1
+              + g.n * pow(fit.a + fit.b * g.q, 2) AS z,
+         g.s4 - 4.0 * (fit.a + fit.b * g.q) * g.s3
+              + 6.0 * pow(fit.a + fit.b * g.q, 2) * g.s2
+              - 4.0 * pow(fit.a + fit.b * g.q, 3) * g.s1
+              + g.n * pow(fit.a + fit.b * g.q, 4) AS zz
+  FROM g, fit
+),
+zs AS (SELECT sum(z) AS sz, sum(zz) AS szz, sum(q * z) AS szx FROM zc)
+SELECT CAST(fit.n AS BIGINT) AS n,
+       round(fit.b, 6) AS slope,
+       round(pow(fit.n * zs.szx - fit.sx * zs.sz, 2)
+             / ((fit.n * fit.sxx - fit.sx * fit.sx)
+                * (fit.n * zs.szz - zs.sz * zs.sz)), 6) AS r2_aux,
+       round(fit.n * pow(fit.n * zs.szx - fit.sx * zs.sz, 2)
+             / ((fit.n * fit.sxx - fit.sx * fit.sx)
+                * (fit.n * zs.szz - zs.sz * zs.sz)), 4) AS lm_bp
+FROM fit, zs
+"""
+
+
+def white_test_price_quantity(sf_dir: str) -> pd.DataFrame:
+    """White's heteroskedasticity test of the price-on-quantity OLS:
+    LM = n R^2 of squared residuals regressed on (quantity,
+    quantity^2), chi^2(2) — the specification-free companion of
+    Breusch-Pagan that also catches variance curvature. Explicit 2x2
+    normal-equation inverse on the centered cross-products; same
+    50-cell moment grid, one data pass."""
+    g = _bp_white_ingredients(_quantity_price_moment_grid(sf_dir))
+    n, sx, sxx, sxxx, sxxxx = g["n"], g["sx"], g["sxx"], g["sxxx"], g["sxxxx"]
+    sz, szz, szx, szxx = g["sz"], g["szz"], g["szx"], g["szxx"]
+    a11 = sxx - sx * sx / n
+    a12 = sxxx - sx * sxx / n
+    a22 = sxxxx - sxx * sxx / n
+    c1 = szx - sx * sz / n
+    c2 = szxx - sxx * sz / n
+    det = a11 * a22 - a12 * a12
+    b1 = (a22 * c1 - a12 * c2) / det
+    b2 = (a11 * c2 - a12 * c1) / det
+    ess = b1 * c1 + b2 * c2
+    tss = szz - sz * sz / n
+    r2 = ess / tss
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "r2_aux": [round(r2, 6)],
+            "lm_white": [round(n * r2, 4)],
+        }
+    )
+
+
+WHITE_TEST_PRICE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT l_quantity AS q, count(*) * 1.0 AS n,
+         sum(l_extendedprice) AS s1,
+         sum(l_extendedprice * l_extendedprice) AS s2,
+         sum(l_extendedprice * l_extendedprice * l_extendedprice) AS s3,
+         sum(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice) AS s4
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT sum(n) AS n, sum(n * q) AS sx, sum(n * q * q) AS sxx,
+         sum(n * q * q * q) AS sxxx, sum(n * q * q * q * q) AS sxxxx,
+         sum(s1) AS sy, sum(q * s1) AS sxy
+  FROM g
+),
+fit AS (
+  SELECT n, sx, sxx, sxxx, sxxxx,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM m
+),
+zc AS (
+  SELECT g.q, g.n,
+         g.s2 - 2.0 * (fit.a + fit.b * g.q) * g.s1
+              + g.n * pow(fit.a + fit.b * g.q, 2) AS z,
+         g.s4 - 4.0 * (fit.a + fit.b * g.q) * g.s3
+              + 6.0 * pow(fit.a + fit.b * g.q, 2) * g.s2
+              - 4.0 * pow(fit.a + fit.b * g.q, 3) * g.s1
+              + g.n * pow(fit.a + fit.b * g.q, 4) AS zz
+  FROM g, fit
+),
+zs AS (SELECT sum(z) AS sz, sum(zz) AS szz,
+              sum(q * z) AS szx, sum(q * q * z) AS szxx FROM zc),
+aux AS (
+  SELECT fit.n,
+         fit.sxx - fit.sx * fit.sx / fit.n AS a11,
+         fit.sxxx - fit.sx * fit.sxx / fit.n AS a12,
+         fit.sxxxx - fit.sxx * fit.sxx / fit.n AS a22,
+         zs.szx - fit.sx * zs.sz / fit.n AS c1,
+         zs.szxx - fit.sxx * zs.sz / fit.n AS c2,
+         zs.szz - zs.sz * zs.sz / fit.n AS tss
+  FROM fit, zs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(((a22 * c1 - a12 * c2) * c1 + (a11 * c2 - a12 * c1) * c2)
+             / (a11 * a22 - a12 * a12) / tss, 6) AS r2_aux,
+       round(n * ((a22 * c1 - a12 * c2) * c1 + (a11 * c2 - a12 * c1) * c2)
+             / (a11 * a22 - a12 * a12) / tss, 4) AS lm_white
+FROM aux
+"""
