@@ -7388,3 +7388,115 @@ SELECT (SELECT CAST(nn AS BIGINT) FROM marg) AS n,
 FROM marg
 """
 )
+
+
+def _vocab_richness_scalars(sf_dir: str) -> tuple[int, int, int]:
+    """Shared distributed reduction for the lexical-richness family:
+    (n_tokens, vocab_size, hapax_count) — term totals reduce through
+    the bucketed vocabulary aggregate, then per-batch partials over
+    the totals; the vocabulary never reaches the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "ntok": [np.int64(n.sum())],
+                "vocab": [np.int64(len(n))],
+                "f1": [np.int64((n == 1).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    return int(s["ntok"]), int(s["vocab"]), int(s["f1"])
+
+
+def brunet_w_vocab(sf_dir: str) -> pd.DataFrame:
+    """Brunet's W lexical-richness index of the corpus:
+    W = N^(V^-0.165) — the classic length-insensitive vocabulary
+    measure (lower = richer), completing the richness family beside
+    Yule's K, Chao1, Heaps and Honore's H. Two scalars from the
+    distributed vocabulary reduction; closed form on the driver."""
+    ntok, vocab, _ = _vocab_richness_scalars(sf_dir)
+    w = float(ntok) ** (float(vocab) ** -0.165)
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([ntok], dtype="int64"),
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "brunet_w": [round(w, 6)],
+        }
+    )
+
+
+BRUNET_W_VOCAB_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (SELECT sum(n) AS ntok, count(*) AS vocab FROM t)
+SELECT CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab_size,
+       round(pow(ntok, pow(vocab, -0.165)), 6) AS brunet_w
+FROM s
+"""
+
+
+def honore_h_vocab(sf_dir: str) -> pd.DataFrame:
+    """Honore's H lexical-richness statistic of the corpus:
+    H = 100 ln N / (1 - V1/V) — hapax-sensitive richness (higher =
+    richer), the singleton-weighted companion of Brunet's W on the
+    same three scalars from the one distributed vocabulary pass."""
+    ntok, vocab, f1 = _vocab_richness_scalars(sf_dir)
+    h = 100.0 * np.log(float(ntok)) / (1.0 - float(f1) / float(vocab))
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([ntok], dtype="int64"),
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "f1": pd.Series([f1], dtype="int64"),
+            "honore_h": [round(float(h), 6)],
+        }
+    )
+
+
+HONORE_H_VOCAB_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT sum(n) AS ntok, count(*) AS vocab,
+         count(*) FILTER (WHERE n = 1) AS f1
+  FROM t
+)
+SELECT CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab_size,
+       CAST(f1 AS BIGINT) AS f1,
+       round(100.0 * ln(ntok) / (1.0 - f1 * 1.0 / vocab), 6) AS honore_h
+FROM s
+"""
