@@ -25298,3 +25298,198 @@ SELECT CAST(n AS BIGINT) AS n,
              / (a11 * a22 - a12 * a12) / tss, 4) AS lm_white
 FROM aux
 """
+
+
+def _repurchase_risk_table(
+    sf_dir: str, seg_a: str = "BUILDING", seg_b: str = "MACHINERY"
+) -> pd.DataFrame:
+    """Shared distributed reduction for the weighted log-rank family:
+    the per-event-time risk table (n1, n, d1, d) between two
+    segments' time-to-repurchase curves — identical machinery to
+    :func:`logrank_repurchase_by_segment` (per-batch two-smallest
+    dates per customer, ONE custkey-bucket shuffle, broadcast
+    dimension-sized segment map, suffix-sum risk sets on the
+    day-granularity result), returned as a frame so Gehan-Breslow /
+    Tarone-Ware only differ in the driver's weight column."""
+    num_buckets = 32
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    sm = cust.set_index("c_custkey")["c_mktsegment"]
+    seg_ref = ray.put(sm[sm.isin([seg_a, seg_b])])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    md = pd.Timestamp(ds.max("o_orderdate"))
+
+    def _two_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        keep = pd.notna(ray.get(seg_ref).reindex(df["o_custkey"]).to_numpy(object))
+        df = df[keep]
+        df = (
+            df.sort_values("o_orderdate")
+            .groupby("o_custkey", sort=False)
+            .head(2)[["o_custkey", "o_orderdate"]]
+            .copy()
+        )
+        df["__bucket"] = (df["o_custkey"].to_numpy() % num_buckets).astype("int64")
+        return df
+
+    def _hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderdate").groupby("o_custkey", sort=False).head(2)
+        g = g.sort_values(["o_custkey", "o_orderdate"]).reset_index(drop=True)
+        g["rn"] = g.groupby("o_custkey").cumcount()
+        p = g.pivot(index="o_custkey", columns="rn", values="o_orderdate")
+        d1 = p[0]
+        d2 = p[1] if 1 in p.columns else pd.Series(pd.NaT, index=p.index)
+        ev = d2.notna()
+        end = d2.where(ev, md)
+        t = ((end - d1) / np.timedelta64(1, "D")).astype("int64")
+        is_a = ray.get(seg_ref).reindex(p.index).to_numpy(object) == seg_a
+        out = pd.DataFrame(
+            {"t": t.to_numpy(), "ev": ev.to_numpy().astype("int64"), "a": is_a.astype("int64")}
+        )
+        return out.groupby(["t", "ev", "a"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(_two_smallest, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["t", "ev", "a"], as_index=False)["cnt"]
+        .sum()
+    )
+    h = hist.groupby("t").apply(
+        lambda g: pd.Series(
+            {
+                "c1": int(g.loc[g["a"] == 1, "cnt"].sum()),
+                "c": int(g["cnt"].sum()),
+                "d1": int(g.loc[(g["a"] == 1) & (g["ev"] == 1), "cnt"].sum()),
+                "d": int(g.loc[g["ev"] == 1, "cnt"].sum()),
+            }
+        ),
+        include_groups=False,
+    ).sort_index(ascending=False)
+    out = pd.DataFrame(
+        {
+            "n1": h["c1"].cumsum().to_numpy("float64"),
+            "n": h["c"].cumsum().to_numpy("float64"),
+            "d1": h["d1"].to_numpy("float64"),
+            "d": h["d"].to_numpy("float64"),
+        }
+    )
+    return out[(out["d"] > 0) & (out["n"] > 1)].reset_index(drop=True)
+
+
+def _weighted_logrank_frame(tbl: pd.DataFrame, w: np.ndarray) -> pd.DataFrame:
+    n1, n, d1, d = (tbl[c].to_numpy("float64") for c in ("n1", "n", "d1", "d"))
+    z = float((w * (d1 - d * n1 / n)).sum())
+    v = float((w * w * d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1.0)).sum())
+    return pd.DataFrame(
+        {
+            "n_event_times": pd.Series([len(tbl)], dtype="int64"),
+            "z_num": [round(z, 6)],
+            "chi2": [round(z * z / v, 6)],
+        }
+    )
+
+
+def gehan_breslow_repurchase_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Gehan-Breslow(-Wilcoxon) weighted log-rank test between the
+    BUILDING and MACHINERY time-to-repurchase curves: weight = n(t)
+    (the risk-set size), emphasizing EARLY differences where the
+    plain log-rank (weight = 1) weights all event times equally.
+    chi2 = [SUM n(d1 - d n1/n)]^2 / SUM n^2 d (n1/n)(1-n1/n)(n-d)/(n-1)."""
+    tbl = _repurchase_risk_table(sf_dir)
+    return _weighted_logrank_frame(tbl, tbl["n"].to_numpy("float64"))
+
+
+GEHAN_BRESLOW_REPURCHASE_BY_SEGMENT_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT r1.o_custkey,
+         CAST(datediff('day', r1.o_orderdate, coalesce(r2.o_orderdate, mx.md)) AS BIGINT) AS t,
+         CASE WHEN r2.o_orderdate IS NULL THEN 0 ELSE 1 END AS ev
+  FROM (SELECT * FROM r WHERE rn = 1) r1
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) r2 USING (o_custkey), mx
+),
+g AS (
+  SELECT per.*, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+  FROM per JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+h AS (
+  SELECT t, sum(a) AS c1, count(*) AS c,
+         sum(CASE WHEN a = 1 AND ev = 1 THEN 1 ELSE 0 END) AS d1,
+         sum(ev) AS d
+  FROM g GROUP BY t
+),
+s AS (
+  SELECT t, d1, d,
+         sum(c1) OVER (ORDER BY t DESC) AS n1,
+         sum(c) OVER (ORDER BY t DESC) AS n
+  FROM h
+),
+agg AS (
+  SELECT count(*) AS k,
+         sum(n * (d1 - d * n1 * 1.0 / n)) AS z,
+         sum(n * n * d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1.0)) AS v
+  FROM s WHERE d > 0 AND n > 1
+)
+SELECT CAST(k AS BIGINT) AS n_event_times, round(z, 6) AS z_num,
+       round(z * z / v, 6) AS chi2
+FROM agg
+"""
+
+
+def tarone_ware_repurchase_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Tarone-Ware weighted log-rank test between the BUILDING and
+    MACHINERY time-to-repurchase curves: weight = sqrt(n(t)) — the
+    compromise between the plain log-rank (w=1, late-sensitive) and
+    Gehan-Breslow (w=n, early-sensitive) on the SAME per-event-time
+    risk table from the one custkey-bucket shuffle."""
+    tbl = _repurchase_risk_table(sf_dir)
+    return _weighted_logrank_frame(tbl, np.sqrt(tbl["n"].to_numpy("float64")))
+
+
+TARONE_WARE_REPURCHASE_BY_SEGMENT_SQL = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rn
+  FROM orders
+),
+per AS (
+  SELECT r1.o_custkey,
+         CAST(datediff('day', r1.o_orderdate, coalesce(r2.o_orderdate, mx.md)) AS BIGINT) AS t,
+         CASE WHEN r2.o_orderdate IS NULL THEN 0 ELSE 1 END AS ev
+  FROM (SELECT * FROM r WHERE rn = 1) r1
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) r2 USING (o_custkey), mx
+),
+g AS (
+  SELECT per.*, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+  FROM per JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+h AS (
+  SELECT t, sum(a) AS c1, count(*) AS c,
+         sum(CASE WHEN a = 1 AND ev = 1 THEN 1 ELSE 0 END) AS d1,
+         sum(ev) AS d
+  FROM g GROUP BY t
+),
+s AS (
+  SELECT t, d1, d,
+         sum(c1) OVER (ORDER BY t DESC) AS n1,
+         sum(c) OVER (ORDER BY t DESC) AS n
+  FROM h
+),
+agg AS (
+  SELECT count(*) AS k,
+         sum(sqrt(n) * (d1 - d * n1 * 1.0 / n)) AS z,
+         sum(n * d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) * (n - d) / (n - 1.0)) AS v
+  FROM s WHERE d > 0 AND n > 1
+)
+SELECT CAST(k AS BIGINT) AS n_event_times, round(z, 6) AS z_num,
+       round(z * z / v, 6) AS chi2
+FROM agg
+"""
