@@ -25493,3 +25493,156 @@ SELECT CAST(k AS BIGINT) AS n_event_times, round(z, 6) AS z_num,
        round(z * z / v, 6) AS chi2
 FROM agg
 """
+
+
+def anova_omega_epsilon_price_segment(sf_dir: str) -> pd.DataFrame:
+    """Omega-squared, epsilon-squared and Cohen's f effect sizes of
+    the one-way ANOVA of order totals across market segments — the
+    bias-corrected companions of :func:`anova_price_by_segment`'s
+    eta^2 (omega^2 = (SSb - (k-1) MSw) / (SSt + MSw) estimates the
+    POPULATION variance explained; epsilon^2 = (SSb - (k-1) MSw) /
+    SSt; f = sqrt(eta^2 / (1 - eta^2))). Same one-pass (n, sum,
+    sumsq) per-segment reduction over the broadcast-dimension join;
+    the corrections are arithmetic on 5 rows."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = broadcast_lookup(orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy("float64")
+        g = pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"], "n": 1.0, "s": v, "ss": v * v}
+        )
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    m = (
+        joined.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .sum()
+    )
+    n = m["n"].sum()
+    grand = m["s"].sum() / n
+    ss_total = m["ss"].sum() - n * grand * grand
+    ss_between = float((m["n"] * (m["s"] / m["n"] - grand) ** 2).sum())
+    k = len(m)
+    msw = (ss_total - ss_between) / (n - k)
+    eta2 = ss_between / ss_total
+    omega2 = (ss_between - (k - 1) * msw) / (ss_total + msw)
+    eps2 = (ss_between - (k - 1) * msw) / ss_total
+    f = np.sqrt(eta2 / (1.0 - eta2))
+    return pd.DataFrame(
+        {
+            "k": pd.Series([k], dtype="int64"),
+            "omega_squared": [round(float(omega2), 6)],
+            "epsilon_squared": [round(float(eps2), 6)],
+            "cohens_f": [round(float(f), 6)],
+        }
+    )
+
+
+ANOVA_OMEGA_EPSILON_PRICE_SEGMENT_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_totalprice AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (SELECT seg, count(*) * 1.0 AS n, sum(v) AS s FROM j GROUP BY seg),
+tot AS (
+  SELECT count(*) * 1.0 AS n, avg(v) AS gm,
+         sum(v * v) - count(*) * avg(v) * avg(v) AS ss_total
+  FROM j
+),
+b AS (
+  SELECT sum(g.n * pow(g.s / g.n - tot.gm, 2)) AS ss_between,
+         count(*) * 1.0 AS k
+  FROM g, tot GROUP BY ALL
+),
+f AS (
+  SELECT b.k, b.ss_between, tot.ss_total, tot.n,
+         (tot.ss_total - b.ss_between) / (tot.n - b.k) AS msw
+  FROM b, tot
+)
+SELECT CAST(k AS BIGINT) AS k,
+       round((ss_between - (k - 1) * msw) / (ss_total + msw), 6) AS omega_squared,
+       round((ss_between - (k - 1) * msw) / ss_total, 6) AS epsilon_squared,
+       round(sqrt((ss_between / ss_total) / (1.0 - ss_between / ss_total)), 6) AS cohens_f
+FROM f
+"""
+
+
+def kruskal_wallis_effect_sizes_quantity(sf_dir: str) -> pd.DataFrame:
+    """Rank effect sizes of the Kruskal-Wallis test of l_quantity
+    across the l_returnflag groups: eta^2_H = (H - k + 1)/(n - k)
+    (the bias-corrected share of rank variance the groups explain)
+    and epsilon^2_R = H/(n - 1) — the "is it LARGE" companions of
+    :func:`kruskal_wallis_quantity`'s H. Same ONE value-domain grid,
+    tie-corrected H, closed-form driver arithmetic."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_quantity", "l_returnflag"], as_index=False)
+            .size()
+            .rename(columns={"l_quantity": "x", "l_returnflag": "flag", "size": "c"})
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["x", "flag"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["x", "flag"])
+        .reset_index(drop=True)
+    )
+    per_x = grid.groupby("x", as_index=False)["c"].sum().sort_values("x")
+    cx = per_x["c"].to_numpy("int64")
+    before = np.cumsum(cx) - cx
+    mr = pd.Series(before + (cx + 1) / 2.0, index=per_x["x"].to_numpy())
+    n = int(cx.sum())
+    grid["rsum"] = grid["c"].to_numpy("int64") * mr.reindex(grid["x"]).to_numpy()
+    rj = grid.groupby("flag", as_index=False).agg(rsum=("rsum", "sum"), nj=("c", "sum"))
+    k = len(rj)
+    h = 12.0 / (n * (n + 1.0)) * float((rj["rsum"] ** 2 / rj["nj"]).sum()) - 3.0 * (n + 1)
+    ties = int(((cx.astype("int64") ** 3) - cx).sum())
+    h_tie = h / (1.0 - ties / (float(n) ** 3 - n))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "k": pd.Series([k], dtype="int64"),
+            "eta2_h": [round((h_tie - k + 1) / (n - k), 6)],
+            "epsilon2_r": [round(h_tie / (n - 1.0), 6)],
+        }
+    )
+
+
+KRUSKAL_WALLIS_EFFECT_SIZES_QUANTITY_SQL = """
+WITH v AS (
+  SELECT l_quantity AS x, l_returnflag AS flag, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (SELECT x, sum(c) AS cx FROM v GROUP BY x),
+r AS (SELECT x, cx, sum(cx) OVER (ORDER BY x) - cx AS before FROM t),
+m AS (SELECT x, before + (cx + 1) / 2.0 AS midrank FROM r),
+rj AS (
+  SELECT flag, sum(c * m.midrank) AS rsum, sum(c) AS nj
+  FROM v JOIN m USING (x) GROUP BY flag
+),
+agg AS (
+  SELECT sum(nj) AS n, count(*) AS k, sum(rsum * rsum / nj) AS s
+  FROM rj
+),
+ties AS (SELECT sum(cx * cx * cx - cx) AS tt FROM t),
+hh AS (
+  SELECT n, k,
+         (12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1))
+         / (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)) AS h_tie
+  FROM agg, ties
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round((h_tie - k + 1) / (n - k), 6) AS eta2_h,
+       round(h_tie / (n - 1.0), 6) AS epsilon2_r
+FROM hh
+"""
