@@ -25646,3 +25646,137 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
        round(h_tie / (n - 1.0), 6) AS epsilon2_r
 FROM hh
 """
+
+
+def chatterjee_xi_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Chatterjee's xi rank coefficient (2020) of daily revenue
+    against calendar time — a consistent estimator of HOW MUCH y is a
+    measurable function of x (0 = independent, 1 = y = f(x)), not
+    just monotone association like Kendall/Spearman. Day is the
+    (unique, already-sorted) x, so the tie-robust form applies
+    directly: xi = 1 - n SUM|r_{i+1} - r_i| / (2 SUM l_i (n - l_i))
+    with r_i = #{y_j <= y_i}, l_i = #{y_j >= y_i}.
+
+    The fact table reduces through the bucketed per-day integer-cents
+    aggregate; ranks are exact integers on the result-sized series,
+    so both engines agree bit-for-bit."""
+    daily = _daily_rev_cents(sf_dir)
+    y = daily["rev_c"].to_numpy("int64")
+    n = len(y)
+    order = np.argsort(y, kind="stable")
+    sorted_y = y[order]
+    r = np.searchsorted(sorted_y, y, side="right").astype("int64")
+    l = (n - np.searchsorted(sorted_y, y, side="left")).astype("int64")
+    sum_dr = int(np.abs(np.diff(r)).sum())
+    denom = int((l * (n - l)).sum())
+    xi = 1.0 - n * sum_dr / (2.0 * denom)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "sum_rank_jumps": pd.Series([sum_dr], dtype="int64"),
+            "xi": [round(xi, 6)],
+        }
+    )
+
+
+CHATTERJEE_XI_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, y,
+         count(*) OVER (ORDER BY y) AS r,
+         count(*) OVER (ORDER BY y DESC) AS l,
+         count(*) OVER () AS n
+  FROM d
+),
+w AS (
+  SELECT n, l, lead(r) OVER (ORDER BY day) - r AS dr
+  FROM r
+),
+s AS (
+  SELECT max(n) AS n,
+         sum(abs(dr)) AS sum_dr,
+         sum(l * (n - l)) AS denom
+  FROM w
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(sum_dr AS BIGINT) AS sum_rank_jumps,
+       round(1.0 - n * sum_dr / (2.0 * denom), 6) AS xi
+FROM s
+"""
+
+
+def reset_test_price_quantity(sf_dir: str) -> pd.DataFrame:
+    """Ramsey RESET(2) functional-form misspecification test of the
+    price-on-quantity OLS: does adding the squared fitted value
+    (equivalently quantity^2, by Frisch-Waugh-Lovell with b != 0)
+    significantly reduce the residual sum of squares?
+    F = dSSR / (SSR_full / (n - 3)) with dSSR = (z~'y)^2 / (z~'z~),
+    z~ the quantity^2 regressor residualized on (1, quantity).
+
+    Same 50-cell per-quantity price-moment grid as the
+    heteroskedasticity pair; every O(n) sum collapses onto it."""
+    grid = _quantity_price_moment_grid(sf_dir)
+    q = grid["q"].to_numpy("float64")
+    nq = grid["n"].to_numpy("int64").astype("float64")
+    s1 = grid["s1"].to_numpy("float64")
+    s2 = grid["s2"].to_numpy("float64")
+    n = nq.sum()
+    sx, sxx = (nq * q).sum(), (nq * q * q).sum()
+    sxxx, sxxxx = (nq * q**3).sum(), (nq * q**4).sum()
+    sy, sxy, sx2y = s1.sum(), (q * s1).sum(), (q * q * s1).sum()
+    syy = s2.sum()
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    ssr_r = syy - a * sy - b * sxy
+    c1 = (n * sxxx - sx * sxx) / (n * sxx - sx * sx)
+    c0 = (sxx - c1 * sx) / n
+    zty = sx2y - c0 * sy - c1 * sxy
+    ztz = sxxxx - c0 * sxx - c1 * sxxx
+    dssr = zty * zty / ztz
+    ssr_f = ssr_r - dssr
+    f = dssr / (ssr_f / (n - 3.0))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "ssr_reduced": [round(ssr_r, 2)],
+            "f_reset": [round(f, 4)],
+        }
+    )
+
+
+RESET_TEST_PRICE_QUANTITY_SQL = """
+WITH g AS (
+  SELECT l_quantity AS q, count(*) * 1.0 AS n,
+         sum(l_extendedprice) AS s1,
+         sum(l_extendedprice * l_extendedprice) AS s2
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT sum(n) AS n, sum(n * q) AS sx, sum(n * q * q) AS sxx,
+         sum(n * q * q * q) AS sxxx, sum(n * q * q * q * q) AS sxxxx,
+         sum(s1) AS sy, sum(q * s1) AS sxy, sum(q * q * s1) AS sx2y,
+         sum(s2) AS syy
+  FROM g
+),
+fit AS (
+  SELECT m.*,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (n * sxxx - sx * sxx) / (n * sxx - sx * sx) AS c1
+  FROM m
+),
+alg AS (
+  SELECT n,
+         syy - ((sy - b * sx) / n) * sy - b * sxy AS ssr_r,
+         sx2y - ((sxx - c1 * sx) / n) * sy - c1 * sxy AS zty,
+         sxxxx - ((sxx - c1 * sx) / n) * sxx - c1 * sxxx AS ztz
+  FROM fit
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(ssr_r, 2) AS ssr_reduced,
+       round((zty * zty / ztz) / ((ssr_r - zty * zty / ztz) / (n - 3.0)), 4) AS f_reset
+FROM alg
+"""
