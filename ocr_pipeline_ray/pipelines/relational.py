@@ -25780,3 +25780,175 @@ SELECT CAST(n AS BIGINT) AS n,
        round((zty * zty / ztz) / ((ssr_r - zty * zty / ztz) / (n - 3.0)), 4) AS f_reset
 FROM alg
 """
+
+
+def chow_break_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Chow structural-break test of the daily-revenue linear trend
+    at the midpoint day: F = ((SSR_pooled - SSR1 - SSR2)/2) /
+    ((SSR1 + SSR2)/(n - 4)) — did the trend's level/slope change
+    between the first and second half of the calendar.
+
+    The fact table reduces through the bucketed per-day integer-cents
+    aggregate; the three OLS fits are closed-form moment arithmetic
+    on the result-sized day series, identical on both engines."""
+    daily = _daily_rev_cents(sf_dir)
+    y = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    n = len(y)
+    t = np.arange(1, n + 1, dtype="float64")
+    k = n // 2
+
+    def _ssr(tt: np.ndarray, yy: np.ndarray) -> float:
+        m = float(len(tt))
+        st, sy = tt.sum(), yy.sum()
+        stt, sty, syy = (tt * tt).sum(), (tt * yy).sum(), (yy * yy).sum()
+        return float(syy - sy * sy / m - (sty - st * sy / m) ** 2 / (stt - st * st / m))
+
+    ssr_p = _ssr(t, y)
+    ssr1 = _ssr(t[:k], y[:k])
+    ssr2 = _ssr(t[k:], y[k:])
+    f = ((ssr_p - ssr1 - ssr2) / 2.0) / ((ssr1 + ssr2) / (n - 4.0))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "break_at": pd.Series([k], dtype="int64"),
+            "f_chow": [round(f, 6)],
+        }
+    )
+
+
+CHOW_BREAK_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS y
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT y, row_number() OVER (ORDER BY day) * 1.0 AS t,
+         count(*) OVER () AS n
+  FROM d
+),
+g AS (
+  SELECT CASE WHEN t <= (max(n) OVER ()) // 2 THEN 1 ELSE 2 END AS half,
+         t, y, n
+  FROM r
+),
+parts AS (
+  SELECT half, count(*) * 1.0 AS m, sum(t) AS st, sum(y) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty, sum(y * y) AS syy
+  FROM g GROUP BY half
+),
+ssr AS (
+  SELECT half,
+         syy - sy * sy / m - pow(sty - st * sy / m, 2) / (stt - st * st / m) AS s,
+         m
+  FROM parts
+),
+pooled AS (
+  SELECT count(*) * 1.0 AS m, sum(t) AS st, sum(y) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty, sum(y * y) AS syy
+  FROM r
+),
+pssr AS (
+  SELECT syy - sy * sy / m - pow(sty - st * sy / m, 2) / (stt - st * st / m) AS s,
+         m
+  FROM pooled
+)
+SELECT CAST((SELECT m FROM pssr) AS BIGINT) AS n_days,
+       CAST((SELECT m FROM pssr) AS BIGINT) // 2 AS break_at,
+       round((((SELECT s FROM pssr) - sum(s)) / 2.0)
+             / (sum(s) / ((SELECT m FROM pssr) - 4.0)), 6) AS f_chow
+FROM ssr
+"""
+
+
+def quandt_supf_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Quandt likelihood-ratio (sup-F) unknown-breakpoint scan of the
+    daily-revenue linear trend: the Chow F statistic at EVERY
+    candidate break in the central 70% of days, reporting the
+    supremum and where it lands — the test to run when
+    :func:`chow_break_daily_revenue`'s midpoint guess is wrong.
+
+    Prefix-sum moments make the full scan O(days) after the one
+    bucketed per-day reduction; ties on F break to the earliest
+    candidate on both engines."""
+    daily = _daily_rev_cents(sf_dir)
+    y = daily["rev_c"].to_numpy("int64").astype("float64") / 100.0
+    n = len(y)
+    t = np.arange(1, n + 1, dtype="float64")
+    lo, hi = int(np.floor(0.15 * n)), int(np.floor(0.85 * n))
+
+    cst, csy = np.cumsum(t), np.cumsum(y)
+    cstt, csty, csyy = np.cumsum(t * t), np.cumsum(t * y), np.cumsum(y * y)
+
+    def _ssr_from(m, st, sy, stt, sty, syy):
+        return syy - sy * sy / m - (sty - st * sy / m) ** 2 / (stt - st * st / m)
+
+    ssr_p = _ssr_from(float(n), cst[-1], csy[-1], cstt[-1], csty[-1], csyy[-1])
+    ks = np.arange(lo, hi + 1)
+    m1 = ks.astype("float64")
+    ssr1 = _ssr_from(m1, cst[ks - 1], csy[ks - 1], cstt[ks - 1], csty[ks - 1], csyy[ks - 1])
+    m2 = n - m1
+    ssr2 = _ssr_from(
+        m2, cst[-1] - cst[ks - 1], csy[-1] - csy[ks - 1],
+        cstt[-1] - cstt[ks - 1], csty[-1] - csty[ks - 1], csyy[-1] - csyy[ks - 1],
+    )
+    f = ((ssr_p - ssr1 - ssr2) / 2.0) / ((ssr1 + ssr2) / (n - 4.0))
+    best = int(np.argmax(f))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "break_at": pd.Series([int(ks[best])], dtype="int64"),
+            "sup_f": [round(float(f[best]), 6)],
+        }
+    )
+
+
+QUANDT_SUPF_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS y
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT y, row_number() OVER (ORDER BY day) * 1.0 AS t,
+         count(*) OVER () AS n
+  FROM d
+),
+pooled AS (
+  SELECT count(*) * 1.0 AS m, sum(t) AS st, sum(y) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty, sum(y * y) AS syy
+  FROM r
+),
+pssr AS (
+  SELECT m,
+         syy - sy * sy / m - pow(sty - st * sy / m, 2) / (stt - st * st / m) AS s
+  FROM pooled
+),
+ks AS (
+  SELECT unnest(generate_series(
+           CAST(floor(0.15 * (SELECT m FROM pssr)) AS BIGINT),
+           CAST(floor(0.85 * (SELECT m FROM pssr)) AS BIGINT))) AS k
+),
+parts AS (
+  SELECT ks.k, CASE WHEN r.t <= ks.k THEN 1 ELSE 2 END AS half,
+         count(*) * 1.0 AS m, sum(r.t) AS st, sum(r.y) AS sy,
+         sum(r.t * r.t) AS stt, sum(r.t * r.y) AS sty, sum(r.y * r.y) AS syy
+  FROM ks CROSS JOIN r GROUP BY 1, 2
+),
+ssr AS (
+  SELECT k,
+         sum(syy - sy * sy / m - pow(sty - st * sy / m, 2)
+             / (stt - st * st / m)) AS s12
+  FROM parts GROUP BY k
+),
+f AS (
+  SELECT k,
+         (((SELECT s FROM pssr) - s12) / 2.0)
+         / (s12 / ((SELECT m FROM pssr) - 4.0)) AS f
+  FROM ssr
+)
+SELECT (SELECT CAST(m AS BIGINT) FROM pssr) AS n_days,
+       CAST(k AS BIGINT) AS break_at,
+       round(f, 6) AS sup_f
+FROM f ORDER BY f DESC, k ASC LIMIT 1
+"""
