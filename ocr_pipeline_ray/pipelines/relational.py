@@ -25952,3 +25952,197 @@ SELECT (SELECT CAST(m AS BIGINT) FROM pssr) AS n_days,
        round(f, 6) AS sup_f
 FROM f ORDER BY f DESC, k ASC LIMIT 1
 """
+
+
+def phillips_perron_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Phillips-Perron unit-root test (constant, no trend) of daily
+    revenue: the Dickey-Fuller regression y_t = a + rho y_{t-1} + u_t
+    with the NONPARAMETRIC serial-correlation correction — Bartlett
+    (L=5) long-run variance lambda^2 of the residuals replaces the
+    AR augmentation: Z_rho = m(rho-1) - (lambda^2-gamma0)/2 *
+    m^2 se_rho^2 / s^2 and Z_tau = sqrt(gamma0/lambda^2) t_rho -
+    (lambda^2-gamma0) m se_rho / (2 lambda s) (Hamilton 17.6).
+
+    Same bucketed per-day integer-cents reduction as the
+    Dickey-Fuller / KPSS family; all corrections are closed-form
+    moment arithmetic on the result-sized series."""
+    daily = _daily_rev_cents(sf_dir)
+    y = daily["rev_c"].to_numpy("int64").astype("float64")
+    x, yy = y[:-1], y[1:]
+    m = float(len(x))
+    sx, sy = x.sum(), yy.sum()
+    sxx, sxy = (x * x).sum(), (x * yy).sum()
+    rho = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    a = (sy - rho * sx) / m
+    u = yy - a - rho * x
+    g = [float((u[j:] * u[: len(u) - j]).sum()) / m for j in range(6)]
+    lam2 = g[0] + 2.0 * sum((1.0 - j / 6.0) * g[j] for j in range(1, 6))
+    s2 = (u * u).sum() / (m - 2.0)
+    sxx_c = sxx - sx * sx / m
+    se_rho = np.sqrt(s2 / sxx_c)
+    t_rho = (rho - 1.0) / se_rho
+    lam = np.sqrt(lam2)
+    s = np.sqrt(s2)
+    z_rho = m * (rho - 1.0) - 0.5 * (lam2 - g[0]) * m * m * se_rho**2 / s2
+    z_tau = np.sqrt(g[0] / lam2) * t_rho - (lam2 - g[0]) * m * se_rho / (2.0 * lam * s)
+    return pd.DataFrame(
+        {
+            "n_obs": pd.Series([int(m)], dtype="int64"),
+            "rho": [round(float(rho), 6)],
+            "z_rho": [round(float(z_rho), 6)],
+            "z_tau": [round(float(z_tau), 6)],
+        }
+    )
+
+
+PHILLIPS_PERRON_DAILY_REVENUE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
+  FROM orders GROUP BY 1
+),
+lagd AS (
+  SELECT yc * 1.0 AS y, lag(yc * 1.0) OVER (ORDER BY day) AS x, day
+  FROM d
+),
+p AS (SELECT y, x, day FROM lagd WHERE x IS NOT NULL),
+mo AS (
+  SELECT count(*) * 1.0 AS m, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM p
+),
+fit AS (
+  SELECT m, sx, sxx,
+         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS rho,
+         (sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m AS a
+  FROM mo
+),
+res AS (
+  SELECT p.y - fit.a - fit.rho * p.x AS u, p.day
+  FROM p, fit
+),
+lags AS (
+  SELECT u,
+         lag(u, 1) OVER (ORDER BY day) AS u1,
+         lag(u, 2) OVER (ORDER BY day) AS u2,
+         lag(u, 3) OVER (ORDER BY day) AS u3,
+         lag(u, 4) OVER (ORDER BY day) AS u4,
+         lag(u, 5) OVER (ORDER BY day) AS u5
+  FROM res
+),
+gam AS (
+  SELECT sum(u * u) / (SELECT m FROM fit) AS g0,
+         sum(u * u1) / (SELECT m FROM fit) AS g1,
+         sum(u * u2) / (SELECT m FROM fit) AS g2,
+         sum(u * u3) / (SELECT m FROM fit) AS g3,
+         sum(u * u4) / (SELECT m FROM fit) AS g4,
+         sum(u * u5) / (SELECT m FROM fit) AS g5
+  FROM lags
+),
+alg AS (
+  SELECT fit.m, fit.rho,
+         gam.g0,
+         gam.g0 + 2.0 * ((1 - 1 / 6.0) * gam.g1 + (1 - 2 / 6.0) * gam.g2
+                       + (1 - 3 / 6.0) * gam.g3 + (1 - 4 / 6.0) * gam.g4
+                       + (1 - 5 / 6.0) * gam.g5) AS lam2,
+         gam.g0 * fit.m / (fit.m - 2.0) AS s2,
+         fit.sxx - fit.sx * fit.sx / fit.m AS sxxc
+  FROM fit, gam
+)
+SELECT CAST(m AS BIGINT) AS n_obs,
+       round(rho, 6) AS rho,
+       round(m * (rho - 1.0)
+             - 0.5 * (lam2 - g0) * m * m * (s2 / sxxc) / s2, 6) AS z_rho,
+       round(sqrt(g0 / lam2) * (rho - 1.0) / sqrt(s2 / sxxc)
+             - (lam2 - g0) * m * sqrt(s2 / sxxc)
+               / (2.0 * sqrt(lam2) * sqrt(s2)), 6) AS z_tau
+FROM alg
+"""
+
+
+def breusch_godfrey_daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Breusch-Godfrey LM(1) serial-correlation test of the
+    daily-revenue linear-trend residuals: auxiliary regression of e_t
+    on (1, t, e_{t-1}) with the zero-padded first lag (the
+    statsmodels convention), LM = T R^2 ~ chi^2(1) — the
+    regressor-robust generalization of Durbin-Watson. Because e is
+    exactly orthogonal to (1, t), R^2 collapses by Frisch-Waugh to
+    the lag term alone; both engines evaluate the identical full
+    expression."""
+    daily = _daily_rev_cents(sf_dir)
+    y = daily["rev_c"].to_numpy("int64").astype("float64")
+    n = float(len(y))
+    t = np.arange(1, len(y) + 1, dtype="float64")
+    st, sy = t.sum(), y.sum()
+    stt, sty = (t * t).sum(), (t * y).sum()
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    e = y - a - b * t
+    z = np.concatenate([[0.0], e[:-1]])
+    sz, stz, szz = z.sum(), (t * z).sum(), (z * z).sum()
+    c1 = (n * stz - st * sz) / (n * stt - st * st)
+    c0 = (sz - c1 * st) / n
+    zte = (z * e).sum() - c0 * e.sum() - c1 * (t * e).sum()
+    ztz = szz - c0 * sz - c1 * stz
+    r2 = zte * zte / (ztz * (e * e).sum())
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "r2_aux": [round(float(r2), 6)],
+            "lm_bg": [round(float(n * r2), 6)],
+        }
+    )
+
+
+BREUSCH_GODFREY_DAILY_TREND_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT yc * 1.0 AS y, row_number() OVER (ORDER BY day) * 1.0 AS t, day
+  FROM d
+),
+mo AS (
+  SELECT count(*) * 1.0 AS n, sum(t) AS st, sum(y) AS sy,
+         sum(t * t) AS stt, sum(t * y) AS sty
+  FROM idx
+),
+fit AS (
+  SELECT n, st, stt,
+         (n * sty - st * sy) / (n * stt - st * st) AS b,
+         (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n AS a
+  FROM mo
+),
+res AS (
+  SELECT idx.y - fit.a - fit.b * idx.t AS e, idx.t, idx.day
+  FROM idx, fit
+),
+lagd AS (
+  SELECT e, t, coalesce(lag(e) OVER (ORDER BY day), 0.0) AS z
+  FROM res
+),
+s AS (
+  SELECT sum(z) AS sz, sum(t * z) AS stz, sum(z * z) AS szz,
+         sum(z * e) AS sze, sum(e) AS se, sum(t * e) AS ste,
+         sum(e * e) AS see
+  FROM lagd
+),
+alg AS (
+  SELECT fit.n,
+         ((fit.n * s.stz - fit.st * s.sz) / (fit.n * fit.stt - fit.st * fit.st)) AS c1,
+         s.*
+  FROM fit, s
+),
+alg2 AS (
+  SELECT n, see,
+         sze - ((sz - c1 * (SELECT st FROM fit)) / n) * se - c1 * ste AS zte,
+         szz - ((sz - c1 * (SELECT st FROM fit)) / n) * sz - c1 * stz AS ztz
+  FROM alg
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(zte * zte / (ztz * see), 6) AS r2_aux,
+       round(n * zte * zte / (ztz * see), 6) AS lm_bg
+FROM alg2
+"""
