@@ -26146,3 +26146,143 @@ SELECT CAST(n AS BIGINT) AS n_days,
        round(n * zte * zte / (ztz * see), 6) AS lm_bg
 FROM alg2
 """
+
+
+def _flag_quantity_grid(sf_dir: str) -> pd.DataFrame:
+    """ONE bucketed (returnflag, quantity) joint count grid (<=150
+    exact int64 cells) shared by the scale-test family."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "l_quantity"], as_index=False)
+            .size()
+            .rename(columns={"l_returnflag": "f", "l_quantity": "q", "size": "c"})
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["f", "q"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["f", "q"])
+        .reset_index(drop=True)
+    )
+
+
+def _anova_f_on_transformed(per: list[tuple[int, float, float]]) -> float:
+    """One-way ANOVA F from per-group (n, sum z, sum z^2)."""
+    k = len(per)
+    nn = sum(n for n, _, _ in per)
+    zbar = sum(sz for _, sz, _ in per) / nn
+    ssb = sum(n * (sz / n - zbar) ** 2 for n, sz, _ in per)
+    ssw = sum(sz2 - sz * sz / n for n, sz, sz2 in per)
+    return (ssb / (k - 1)) / (ssw / (nn - k))
+
+
+def levene_mean_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Levene's original (mean-centered) variance-homogeneity test of
+    l_quantity across return flags: one-way ANOVA F on the absolute
+    deviations z = |q - mean_group| — the power-optimal-under-
+    normality member between Bartlett (parametric) and Brown-Forsythe
+    (median-centered) on the same <=150-cell (flag, quantity) grid;
+    the group means are exact cell arithmetic, no second pass."""
+    grid = _flag_quantity_grid(sf_dir)
+    per = []
+    for _, sub in grid.groupby("f"):
+        q = sub["q"].to_numpy("float64")
+        c = sub["c"].to_numpy("int64")
+        n = int(c.sum())
+        m = float((c * q).sum()) / n
+        z = np.abs(q - m)
+        per.append((n, float((c * z).sum()), float((c * z * z).sum())))
+    f_stat = _anova_f_on_transformed(per)
+    return pd.DataFrame(
+        {
+            "n_total": pd.Series([sum(p[0] for p in per)], dtype="int64"),
+            "k_groups": pd.Series([len(per)], dtype="int64"),
+            "levene_f": [round(float(f_stat), 6)],
+        }
+    )
+
+
+LEVENE_MEAN_QUANTITY_BY_FLAG_SQL = """
+WITH mn AS (
+  SELECT l_returnflag AS f, avg(l_quantity) AS m FROM lineitem GROUP BY 1
+),
+z AS (
+  SELECT l.l_returnflag AS f, abs(l.l_quantity - mn.m) AS z
+  FROM lineitem l JOIN mn ON mn.f = l.l_returnflag
+),
+m AS (SELECT f, count(*) AS n, sum(z) AS sz, sum(z * z) AS sz2 FROM z GROUP BY 1),
+agg AS (
+  SELECT sum(n) AS nn, count(*) AS k,
+         sum(n * (sz / n - (SELECT sum(sz) FROM m) / (SELECT sum(n) FROM m))
+               * (sz / n - (SELECT sum(sz) FROM m) / (SELECT sum(n) FROM m))) AS ssb,
+         sum(sz2 - sz * sz / n) AS ssw
+  FROM m
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+       round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS levene_f
+FROM agg
+"""
+
+
+def obrien_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """O'Brien's test of variance homogeneity of l_quantity across
+    return flags: one-way ANOVA F on the O'Brien scores
+    r = ((n-1.5) n (x-m)^2 - 0.5 s^2 (n-1)) / ((n-1)(n-2)) whose
+    group means equal the group sample variances — the
+    means-of-variances member of the scale family that, unlike
+    Levene/Brown-Forsythe, is unbiased for the variance itself.
+    Same one (flag, quantity) grid; s^2 is the exact sample variance
+    from cell moments."""
+    grid = _flag_quantity_grid(sf_dir)
+    per = []
+    for _, sub in grid.groupby("f"):
+        q = sub["q"].to_numpy("float64")
+        c = sub["c"].to_numpy("int64")
+        n = int(c.sum())
+        m = float((c * q).sum()) / n
+        ss = float((c * (q - m) ** 2).sum())
+        s2 = ss / (n - 1)
+        r = ((n - 1.5) * n * (q - m) ** 2 - 0.5 * s2 * (n - 1)) / ((n - 1.0) * (n - 2.0))
+        per.append((n, float((c * r).sum()), float((c * r * r).sum())))
+    f_stat = _anova_f_on_transformed(per)
+    return pd.DataFrame(
+        {
+            "n_total": pd.Series([sum(p[0] for p in per)], dtype="int64"),
+            "k_groups": pd.Series([len(per)], dtype="int64"),
+            "obrien_f": [round(float(f_stat), 6)],
+        }
+    )
+
+
+OBRIEN_QUANTITY_BY_FLAG_SQL = """
+WITH mn AS (
+  SELECT l_returnflag AS f, avg(l_quantity) AS m,
+         var_samp(l_quantity) AS s2, count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+z AS (
+  SELECT l.l_returnflag AS f,
+         ((mn.n - 1.5) * mn.n * pow(l.l_quantity - mn.m, 2)
+          - 0.5 * mn.s2 * (mn.n - 1))
+         / ((mn.n - 1.0) * (mn.n - 2.0)) AS z
+  FROM lineitem l JOIN mn ON mn.f = l.l_returnflag
+),
+m AS (SELECT f, count(*) AS n, sum(z) AS sz, sum(z * z) AS sz2 FROM z GROUP BY 1),
+agg AS (
+  SELECT sum(n) AS nn, count(*) AS k,
+         sum(n * (sz / n - (SELECT sum(sz) FROM m) / (SELECT sum(n) FROM m))
+               * (sz / n - (SELECT sum(sz) FROM m) / (SELECT sum(n) FROM m))) AS ssb,
+         sum(sz2 - sz * sz / n) AS ssw
+  FROM m
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+       round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS obrien_f
+FROM agg
+"""
