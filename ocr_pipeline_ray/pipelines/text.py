@@ -7500,3 +7500,146 @@ SELECT CAST(ntok AS BIGINT) AS n_tokens,
        round(100.0 * ln(ntok) / (1.0 - f1 * 1.0 / vocab), 6) AS honore_h
 FROM s
 """
+
+
+def _length_english_calibration_grid(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Shared leakage-safe calibration table for the probabilistic
+    length->English classifier evals: TRAIN (even doc_id) learns
+    per-length-bucket English rates, TEST (odd doc_id) rows carry
+    (n, n_en, p_hat) per bucket with the global train rate for unseen
+    buckets — same ONE (bucket, split) integer-count grid as the
+    Brier/ECE/log-loss family."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            b=(df["n_chars"] // bucket_chars).astype("int64"),
+            train=(df["doc_id"] % 2 == 0).astype("int64"),
+            en=(df["lang"] == "en").astype("int64"),
+        ).groupby(["b", "train"], as_index=False).agg(n=("en", "size"), n_en=("en", "sum"))
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b", "train"],
+            {"n": ("n", "sum"), "n_en": ("n_en", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["b", "train"])
+    )
+    tr = grid[grid["train"] == 1].set_index("b")
+    te = grid[grid["train"] == 0].set_index("b")
+    g_rate = tr["n_en"].sum() * 1.0 / tr["n"].sum()
+    p_hat = (tr["n_en"] * 1.0 / tr["n"]).reindex(te.index).fillna(g_rate)
+    return pd.DataFrame(
+        {
+            "n": te["n"].to_numpy("int64"),
+            "n_en": te["n_en"].to_numpy("int64"),
+            "p_hat": p_hat.to_numpy("float64"),
+        }
+    )
+
+
+def hosmer_lemeshow_length_english(sf_dir: str) -> pd.DataFrame:
+    """Hosmer-Lemeshow goodness-of-calibration chi-square of the
+    length->English classifier on the held-out half: groups are the
+    length buckets (each has a constant trained p_hat), chi2 =
+    SUM (O - n p)^2 / (n p (1-p)) over buckets with 0 < p_hat < 1 —
+    the grouped-calibration companion of the Brier/ECE point scores.
+    Same one integer-count grid; both engines apply the identical
+    degenerate-bucket exclusion."""
+    t = _length_english_calibration_grid(sf_dir)
+    keep = (t["p_hat"] > 0) & (t["p_hat"] < 1)
+    t = t[keep]
+    n = t["n"].to_numpy("int64").astype("float64")
+    o = t["n_en"].to_numpy("int64").astype("float64")
+    p = t["p_hat"].to_numpy("float64")
+    chi2 = float(((o - n * p) ** 2 / (n * p * (1 - p))).sum())
+    return pd.DataFrame(
+        {
+            "n_groups": pd.Series([len(t)], dtype="int64"),
+            "n_test": pd.Series([int(n.sum())], dtype="int64"),
+            "hl_chi2": [round(chi2, 6)],
+        }
+    )
+
+
+HOSMER_LEMESHOW_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars // 200 AS b, doc_id % 2 = 0 AS train,
+         count(*) AS n, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY 1, 2
+),
+gr AS (
+  SELECT sum(CASE WHEN train THEN n_en ELSE 0 END) * 1.0
+         / sum(CASE WHEN train THEN n ELSE 0 END) AS g_rate
+  FROM g
+),
+te AS (
+  SELECT t.b, t.n, t.n_en,
+         coalesce(tr.n_en * 1.0 / tr.n, gr.g_rate) AS p
+  FROM (SELECT * FROM g WHERE NOT train) t
+  LEFT JOIN (SELECT * FROM g WHERE train) tr ON tr.b = t.b, gr
+),
+k AS (SELECT * FROM te WHERE p > 0 AND p < 1)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS n_test,
+       round(sum(pow(n_en - n * p, 2) / (n * p * (1 - p))), 6) AS hl_chi2
+FROM k
+"""
+
+
+def spiegelhalter_z_length_english(sf_dir: str) -> pd.DataFrame:
+    """Spiegelhalter's Z test of calibration of the length->English
+    classifier on the held-out half: z = SUM (y - p)(1 - 2p) /
+    sqrt(SUM (1-2p)^2 p (1-p)) — the closed-form decomposition of the
+    Brier score into calibration-only evidence (no grouping choice,
+    unlike Hosmer-Lemeshow). Per-bucket constant p collapses both
+    sums onto the same integer-count grid."""
+    t = _length_english_calibration_grid(sf_dir)
+    n = t["n"].to_numpy("int64").astype("float64")
+    o = t["n_en"].to_numpy("int64").astype("float64")
+    p = t["p_hat"].to_numpy("float64")
+    num = float(((1 - 2 * p) * (o - n * p)).sum())
+    den = float(((1 - 2 * p) ** 2 * n * p * (1 - p)).sum())
+    z = num / np.sqrt(den)
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([int(n.sum())], dtype="int64"),
+            "z_num": [round(num, 6)],
+            "spiegelhalter_z": [round(float(z), 6)],
+        }
+    )
+
+
+SPIEGELHALTER_Z_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars // 200 AS b, doc_id % 2 = 0 AS train,
+         count(*) AS n, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY 1, 2
+),
+gr AS (
+  SELECT sum(CASE WHEN train THEN n_en ELSE 0 END) * 1.0
+         / sum(CASE WHEN train THEN n ELSE 0 END) AS g_rate
+  FROM g
+),
+te AS (
+  SELECT t.b, t.n, t.n_en,
+         coalesce(tr.n_en * 1.0 / tr.n, gr.g_rate) AS p
+  FROM (SELECT * FROM g WHERE NOT train) t
+  LEFT JOIN (SELECT * FROM g WHERE train) tr ON tr.b = t.b, gr
+),
+s AS (
+  SELECT sum(n) AS n_test,
+         sum((1 - 2 * p) * (n_en - n * p)) AS num,
+         sum(pow(1 - 2 * p, 2) * n * p * (1 - p)) AS den
+  FROM te
+)
+SELECT CAST(n_test AS BIGINT) AS n_test,
+       round(num, 6) AS z_num,
+       round(num / sqrt(den), 6) AS spiegelhalter_z
+FROM s
+"""
