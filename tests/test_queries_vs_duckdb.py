@@ -359,6 +359,37 @@ SUBSET = [
     "yuen_trimmed_t_quantity",
     "cvm_two_sample_quantity",
     "spectral_entropy_daily_revenue",
+    # round-3f additions
+    "kendall_tau_b_quantity_discount",
+    "stuart_tau_c_quantity_discount",
+    "breusch_pagan_price_quantity",
+    "white_test_price_quantity",
+    "brunet_w_vocab",
+    "honore_h_vocab",
+    "gehan_breslow_repurchase_by_segment",
+    "tarone_ware_repurchase_by_segment",
+    "anova_omega_epsilon_price_segment",
+    "kruskal_wallis_effect_sizes_quantity",
+    "chatterjee_xi_daily_revenue",
+    "reset_test_price_quantity",
+    "chow_break_daily_revenue",
+    "quandt_supf_daily_revenue",
+    "phillips_perron_daily_revenue",
+    "breusch_godfrey_daily_trend",
+    "levene_mean_quantity_by_flag",
+    "obrien_quantity_by_flag",
+    "theil_decomposition_by_nation",
+    "mld_decomposition_by_nation",
+    "hosmer_lemeshow_length_english",
+    "spiegelhalter_z_length_english",
+    "bhattacharyya_quantity",
+    "total_variation_quantity",
+    "mase_seasonal_naive_monthly",
+    "theil_u2_seasonal_naive_monthly",
+    "gk_tau_priority_status",
+    "pearson_contingency_priority_status",
+    "hartley_fmax_price_by_segment",
+    "cochran_c_price_by_segment",
     "kendall_w_segment_monthly",
     "deming_views_purchases",
     "rma_views_purchases",
