@@ -7542,3 +7542,111 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
        round(max(fo - fe) + max(fe - fo), 6) AS kuiper_v
 FROM cdf
 """
+
+
+def laplace_trend_events(sf_dir: str) -> pd.DataFrame:
+    """Laplace trend (centroid) test of the event arrival process:
+    U = (mean(t_i) - T/2) / (T sqrt(1/(12 n))) over arrival times
+    t_i measured from the first event, T = observation span — U ~
+    N(0,1) under a homogeneous Poisson process, positive when
+    arrivals intensify over time (the reliability-growth screen
+    beside the Allan-variance / variance-time stationarity views).
+
+    Pass 1 reduces (n, min ts, max ts); pass 2 sums the offsets in
+    EXACT integer microseconds (each <= span, so no int64 overflow
+    and bit-identical totals on both engines)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _bounds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lo": [df["ts"].min()], "hi": [df["ts"].max()], "n": [len(df)]}
+        )
+
+    b = ds.map_batches(_bounds, batch_format="pandas").to_pandas()
+    lo, hi, n = b["lo"].min(), b["hi"].max(), int(b["n"].sum())
+    lo64 = np.int64(pd.Timestamp(lo).value // 1000)
+
+    def _offsets(df: pd.DataFrame) -> pd.DataFrame:
+        tu = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64") - lo64
+        return pd.DataFrame({"st": [int(tu.sum())]})
+
+    st = int(ds.map_batches(_offsets, batch_format="pandas").to_pandas()["st"].sum())
+    tt = float(pd.Timestamp(hi).value // 1000 - lo64)
+    u = (st / n - tt / 2.0) / (tt * np.sqrt(1.0 / (12.0 * n)))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "laplace_u": [round(float(u), 6)],
+        }
+    )
+
+
+LAPLACE_TREND_EVENTS_SQL = """
+WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi, count(*) AS n FROM events),
+s AS (
+  SELECT sum(date_diff('microsecond', (SELECT lo FROM b), ts)) AS st
+  FROM events
+),
+tt AS (
+  SELECT date_diff('microsecond', lo, hi) * 1.0 AS t, n FROM b
+)
+SELECT CAST((SELECT n FROM b) AS BIGINT) AS n,
+       round(((SELECT st FROM s) * 1.0 / n - t / 2.0)
+             / (t * sqrt(1.0 / (12.0 * n))), 6) AS laplace_u
+FROM tt
+"""
+
+
+def crow_amsaa_events(sf_dir: str) -> pd.DataFrame:
+    """Crow-AMSAA (Duane) power-law NHPP fit of the event arrival
+    process, N(t) = lambda t^beta: failure-truncated MLE beta =
+    m / SUM ln(T / t_i) over arrivals with t_i > 0 (origin = first
+    event, T = last), lambda = m / T_days^beta in events/day^beta —
+    beta < 1 decelerating, > 1 intensifying; the parametric
+    companion of the nonparametric Laplace trend U on the same
+    exact-integer-microsecond offsets."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _bounds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [df["ts"].min()], "hi": [df["ts"].max()]})
+
+    b = ds.map_batches(_bounds, batch_format="pandas").to_pandas()
+    lo64 = np.int64(pd.Timestamp(b["lo"].min()).value // 1000)
+    tt = float(pd.Timestamp(b["hi"].max()).value // 1000 - lo64)
+
+    def _logs(df: pd.DataFrame) -> pd.DataFrame:
+        tu = (
+            df["ts"].to_numpy(dtype="datetime64[us]").astype("int64") - lo64
+        ).astype("float64")
+        tu = tu[tu > 0]
+        return pd.DataFrame({"m": [len(tu)], "sl": [float(np.log(tt / tu).sum())]})
+
+    p = ds.map_batches(_logs, batch_format="pandas").to_pandas()
+    m, sl = int(p["m"].sum()), float(p["sl"].sum())
+    beta = m / sl
+    lam = m / (tt / 86400e6) ** beta
+    return pd.DataFrame(
+        {
+            "m": pd.Series([m], dtype="int64"),
+            "beta": [round(beta, 6)],
+            "lambda_per_day": [round(lam, 6)],
+        }
+    )
+
+
+CROW_AMSAA_EVENTS_SQL = """
+WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+tt AS (SELECT date_diff('microsecond', lo, hi) * 1.0 AS t FROM b),
+o AS (
+  SELECT date_diff('microsecond', (SELECT lo FROM b), ts) * 1.0 AS tu
+  FROM events
+),
+s AS (
+  SELECT count(*) AS m, sum(ln((SELECT t FROM tt) / tu)) AS sl
+  FROM o WHERE tu > 0
+)
+SELECT CAST(m AS BIGINT) AS m,
+       round(m / sl, 6) AS beta,
+       round(m / pow((SELECT t FROM tt) / 86400e6, m / sl), 6) AS lambda_per_day
+FROM s
+"""
