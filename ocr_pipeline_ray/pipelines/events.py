@@ -7650,3 +7650,125 @@ SELECT CAST(m AS BIGINT) AS m,
        round(m / pow((SELECT t FROM tt) / 86400e6, m / sl), 6) AS lambda_per_day
 FROM s
 """
+
+
+def transfer_entropy_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Lag-1 binary transfer entropy TE(view -> purchase) over the
+    zero-filled daily count series: binarize each series at its own
+    mean (exact integer comparison n*x_t > sum_x on both engines),
+    then TE = SUM p(y, y', x') ln[ p(y|y',x') / p(y|y') ] over the 8
+    joint cells — the model-free directed-information companion of
+    the Granger F on the same ONE bucketed (day, type) count grid.
+    Also reports the reverse direction for the asymmetry check."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    p = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    v = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    n = len(p)
+    bp = (n * p > int(p.sum())).astype("int64")
+    bv = (n * v > int(v.sum())).astype("int64")
+
+    def _te(y: np.ndarray, x: np.ndarray) -> float:
+        yt, yp, xp = y[1:], y[:-1], x[:-1]
+        m = len(yt)
+        te = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                c_yp_xp = int(((yp == b) & (xp == a)).sum())
+                c_yp = int((yp == b).sum())
+                if not c_yp_xp:
+                    continue
+                for yy in (0, 1):
+                    c3 = int(((yt == yy) & (yp == b) & (xp == a)).sum())
+                    c2 = int(((yt == yy) & (yp == b)).sum())
+                    if c3:
+                        te += (c3 / m) * np.log(
+                            (c3 / c_yp_xp) / (c2 / c_yp)
+                        )
+        return te
+
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "te_v_to_p": [round(_te(bp, bv), 6)],
+            "te_p_to_v": [round(_te(bv, bp), 6)],
+        }
+    )
+
+
+TRANSFER_ENTROPY_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi FROM events),
+days AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 DAY)) AS day
+),
+c AS (
+  SELECT date_trunc('day', ts) AS day, event_type AS t, count(*) AS n
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+),
+g AS (
+  SELECT row_number() OVER (ORDER BY days.day) AS i,
+         coalesce(max(CASE WHEN c.t = 'purchase' THEN c.n END), 0) AS p,
+         coalesce(max(CASE WHEN c.t = 'view' THEN c.n END), 0) AS v
+  FROM days LEFT JOIN c ON c.day = days.day GROUP BY days.day
+),
+tot AS (SELECT count(*) AS n, sum(p) AS sp, sum(v) AS sv FROM g),
+z AS (
+  SELECT i,
+         CASE WHEN (SELECT n FROM tot) * p > (SELECT sp FROM tot) THEN 1 ELSE 0 END AS bp,
+         CASE WHEN (SELECT n FROM tot) * v > (SELECT sv FROM tot) THEN 1 ELSE 0 END AS bv
+  FROM g
+),
+tr AS (
+  SELECT bp AS y, lag(bp) OVER (ORDER BY i) AS yp, lag(bv) OVER (ORDER BY i) AS xp,
+         bv AS y2, lag(bv) OVER (ORDER BY i) AS yp2, lag(bp) OVER (ORDER BY i) AS xp2
+  FROM z
+),
+t1 AS (
+  SELECT y, yp, xp, count(*) AS c3,
+         sum(count(*)) OVER (PARTITION BY yp, xp) AS c_yp_xp,
+         sum(count(*)) OVER (PARTITION BY y, yp) AS c2,
+         sum(count(*)) OVER (PARTITION BY yp) AS c_yp,
+         sum(count(*)) OVER () AS m
+  FROM tr WHERE yp IS NOT NULL GROUP BY 1, 2, 3
+),
+t2 AS (
+  SELECT y2 AS y, yp2 AS yp, xp2 AS xp, count(*) AS c3,
+         sum(count(*)) OVER (PARTITION BY yp2, xp2) AS c_yp_xp,
+         sum(count(*)) OVER (PARTITION BY y2, yp2) AS c2,
+         sum(count(*)) OVER (PARTITION BY yp2) AS c_yp,
+         sum(count(*)) OVER () AS m
+  FROM tr WHERE yp2 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_days,
+       (SELECT round(sum((c3 * 1.0 / m)
+               * ln((c3 * 1.0 / c_yp_xp) / (c2 * 1.0 / c_yp))), 6) FROM t1)
+         AS te_v_to_p,
+       (SELECT round(sum((c3 * 1.0 / m)
+               * ln((c3 * 1.0 / c_yp_xp) / (c2 * 1.0 / c_yp))), 6) FROM t2)
+         AS te_p_to_v
+"""

@@ -2536,3 +2536,82 @@ SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n,
                            * (trs2 - trs * trs / (SELECT d FROM dd)))), 8) AS oas_shrinkage
 FROM t
 """
+
+
+def variation_of_information_label_signs(sf_dir: str) -> pd.DataFrame:
+    """Variation of information between the embedding labels and the
+    deterministic 4-way sign clustering: VI = H(A) + H(B) - 2 I(A;B)
+    — the metric (triangle-inequality) member of the partition-
+    agreement family, completing adjusted_rand_label_signs (pair
+    counting) and nmi_label_signs (normalized information) on the
+    SAME exact-integer contingency grid; also reported normalized by
+    its ln(n) ceiling."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy())
+        s1 = (emb[:, 0] >= 0).astype("int64")
+        s2 = (emb[:, 1] >= 0).astype("int64")
+        out = pd.DataFrame(
+            {"label": df["label"].to_numpy("int64"), "sc": 2 * s1 + s2, "one": 1}
+        )
+        return out.groupby(["label", "sc"], as_index=False)["one"].sum().rename(
+            columns={"one": "c"}
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["label", "sc"],
+            {"c": ("c", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["label", "sc"])
+        .reset_index(drop=True)
+    )
+    n = int(grid["c"].sum())
+    a = grid.groupby("label")["c"].sum()
+    b = grid.groupby("sc")["c"].sum()
+    pij = grid["c"].to_numpy("int64") * 1.0 / n
+    pa = a.reindex(grid["label"]).to_numpy("int64") * 1.0 / n
+    pb = b.reindex(grid["sc"]).to_numpy("int64") * 1.0 / n
+    mi = float((pij * np.log(pij / (pa * pb))).sum())
+    ha = -float(((a.to_numpy("int64") / n) * np.log(a.to_numpy("int64") / n)).sum())
+    hb = -float(((b.to_numpy("int64") / n) * np.log(b.to_numpy("int64") / n)).sum())
+    vi = ha + hb - 2.0 * mi
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "vi_nats": [round(vi, 6)],
+            "vi_norm": [round(vi / np.log(n), 6)],
+        }
+    )
+
+
+VARIATION_OF_INFORMATION_LABEL_SIGNS_SQL = """
+WITH g AS (
+  SELECT label,
+         2 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS sc,
+         count(*) AS c
+  FROM embeddings GROUP BY 1, 2
+),
+tot AS (SELECT sum(c) AS n FROM g),
+ma AS (SELECT label, sum(c) AS ca FROM g GROUP BY label),
+mb AS (SELECT sc, sum(c) AS cb FROM g GROUP BY sc),
+mi AS (
+  SELECT sum((g.c * 1.0 / n) * ln((g.c * 1.0 / n)
+             / ((ca * 1.0 / n) * (cb * 1.0 / n)))) AS mi
+  FROM g JOIN ma USING (label) JOIN mb USING (sc), tot
+),
+ha AS (SELECT -sum((ca * 1.0 / n) * ln(ca * 1.0 / n)) AS h FROM ma, tot),
+hb AS (SELECT -sum((cb * 1.0 / n) * ln(cb * 1.0 / n)) AS h FROM mb, tot)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+       round(ha.h + hb.h - 2.0 * mi.mi, 6) AS vi_nats,
+       round((ha.h + hb.h - 2.0 * mi.mi)
+             / ln((SELECT n FROM tot)), 6) AS vi_norm
+FROM mi, ha, hb
+"""
