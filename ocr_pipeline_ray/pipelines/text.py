@@ -7643,3 +7643,176 @@ SELECT CAST(n_test AS BIGINT) AS n_test,
        round(num / sqrt(den), 6) AS spiegelhalter_z
 FROM s
 """
+
+
+def ace_vocab_richness(sf_dir: str) -> pd.DataFrame:
+    """ACE (abundance-based coverage estimator) species-richness
+    estimate of the corpus vocabulary: rare terms are those with
+    count <= 10; C_ace = 1 - F1/N_rare is the rare-coverage estimate,
+    gamma^2 = max(S_rare/C_ace * SUM i(i-1)F_i / (N_rare(N_rare-1))
+    - 1, 0) the rare-class CV, and S_ace = S_abund + S_rare/C_ace +
+    F1/C_ace * gamma^2 — the coverage-based companion of Chao1 on
+    the SAME bucketed term-total reduction (the vocabulary never
+    reaches the driver; the F_1..F_10 spectrum does)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    totals = _term_totals(sf_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        rare = n[n <= 10]
+        return pd.DataFrame(
+            {
+                "s_abund": [np.int64((n > 10).sum())],
+                "s_rare": [np.int64(len(rare))],
+                "n_rare": [np.int64(rare.sum())],
+                "f1": [np.int64((n == 1).sum())],
+                "sii": [np.int64((rare * (rare - 1)).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    s_abund, s_rare = int(s["s_abund"]), int(s["s_rare"])
+    n_rare, f1, sii = int(s["n_rare"]), int(s["f1"]), int(s["sii"])
+    # degenerate-corpus guards, mirrored in the SQL: no rare terms ->
+    # coverage 1 (ACE = S_abund + S_rare); all rare terms singletons
+    # (coverage 0) -> divide by 1 instead (ACE undefined classically)
+    c_ace = 1.0 - f1 / max(n_rare, 1)
+    denom = c_ace if c_ace > 0.0 else 1.0
+    g2 = max(
+        (s_rare / denom) * sii / max(n_rare * (n_rare - 1.0), 1.0) - 1.0, 0.0
+    )
+    ace = s_abund + s_rare / denom + (f1 / denom) * g2
+    return pd.DataFrame(
+        {
+            "s_rare": pd.Series([s_rare], dtype="int64"),
+            "s_abund": pd.Series([s_abund], dtype="int64"),
+            "c_ace": [round(c_ace, 6)],
+            "ace": [round(float(ace), 6)],
+        }
+    )
+
+
+ACE_VOCAB_RICHNESS_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT count(*) FILTER (WHERE n > 10) AS s_abund,
+         count(*) FILTER (WHERE n <= 10) AS s_rare,
+         coalesce(sum(n) FILTER (WHERE n <= 10), 0) AS n_rare,
+         count(*) FILTER (WHERE n = 1) AS f1,
+         coalesce(sum(n * (n - 1)) FILTER (WHERE n <= 10), 0) AS sii
+  FROM t
+),
+c AS (
+  SELECT s_abund, s_rare, n_rare, f1, sii,
+         1.0 - f1 * 1.0 / greatest(n_rare, 1) AS c_ace,
+         CASE WHEN 1.0 - f1 * 1.0 / greatest(n_rare, 1) > 0.0
+              THEN 1.0 - f1 * 1.0 / greatest(n_rare, 1) ELSE 1.0 END AS denom
+  FROM s
+),
+g AS (
+  SELECT s_abund, s_rare, f1, c_ace, denom,
+         greatest((s_rare / denom) * sii
+                  / greatest(n_rare * (n_rare - 1.0), 1.0) - 1.0, 0.0) AS g2
+  FROM c
+)
+SELECT CAST(s_rare AS BIGINT) AS s_rare,
+       CAST(s_abund AS BIGINT) AS s_abund,
+       round(c_ace, 6) AS c_ace,
+       round(s_abund + s_rare / denom + (f1 / denom) * g2, 6) AS ace
+FROM g
+"""
+
+
+def jackknife_vocab_richness(sf_dir: str) -> pd.DataFrame:
+    """First- and second-order abundance-based jackknife richness
+    estimates of the corpus vocabulary: jack1 = S + F1*(n-1)/n,
+    jack2 = S + F1*(2n-3)/n - F2*(n-2)^2/(n*(n-1)) with n = total
+    token count — the resampling-theory members beside Chao1 and ACE
+    on the same bucketed term-total reduction."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    totals = _term_totals(sf_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "vocab": [np.int64(len(n))],
+                "ntok": [np.int64(n.sum())],
+                "f1": [np.int64((n == 1).sum())],
+                "f2": [np.int64((n == 2).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    vocab, ntok, f1, f2 = int(s["vocab"]), int(s["ntok"]), int(s["f1"]), int(s["f2"])
+    jack1 = vocab + f1 * (ntok - 1.0) / ntok
+    jack2 = vocab + f1 * (2.0 * ntok - 3.0) / ntok - f2 * (ntok - 2.0) ** 2 / (
+        ntok * (ntok - 1.0)
+    )
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "n_tokens": pd.Series([ntok], dtype="int64"),
+            "jack1": [round(float(jack1), 6)],
+            "jack2": [round(float(jack2), 6)],
+        }
+    )
+
+
+JACKKNIFE_VOCAB_RICHNESS_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT count(*) AS vocab, sum(n) AS ntok,
+         count(*) FILTER (WHERE n = 1) AS f1,
+         count(*) FILTER (WHERE n = 2) AS f2
+  FROM t
+)
+SELECT CAST(vocab AS BIGINT) AS vocab_size,
+       CAST(ntok AS BIGINT) AS n_tokens,
+       round(vocab + f1 * (ntok - 1.0) / ntok, 6) AS jack1,
+       round(vocab + f1 * (2.0 * ntok - 3.0) / ntok
+             - f2 * pow(ntok - 2.0, 2) / (ntok * (ntok - 1.0)), 6) AS jack2
+FROM s
+"""
+
+
+def _term_totals(sf_dir: str):
+    """Shared bucketed per-term total-count reduction (the chao1
+    machinery): tokenize per batch, unique-count locally, combine by
+    term through the bucketed aggregate over the vocabulary key
+    domain. Returns the totals dataset (term, n)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    return bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
