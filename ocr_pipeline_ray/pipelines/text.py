@@ -7816,3 +7816,147 @@ def _term_totals(sf_dir: str):
         {"n": ("n", "sum")},
         num_buckets=16,
     )
+
+
+def _length_english_confusion(sf_dir: str):
+    """Shared exact confusion counts for the length->English
+    classifier at the LOWER-MEDIAN length threshold (predict English
+    when n_chars >= t*, t* = smallest value whose cumulative count
+    reaches ceil(n/2) from below) — one bucketed value-domain
+    histogram, O(distinct lengths) driver walk. Returns
+    (threshold, tp, fp, fn, tn)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pos=(df["lang"] == "en").astype("int64")).groupby(
+            "n_chars", as_index=False
+        ).agg(n=("pos", "size"), n_pos=("pos", "sum"))
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            "n_chars",
+            {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    n = grid["n"].to_numpy("int64")
+    pos = grid["n_pos"].to_numpy("int64")
+    n_tot, p_tot = int(n.sum()), int(pos.sum())
+    cum = np.cumsum(n)
+    t_idx = int(np.argmax(cum >= (n_tot + 1) // 2))
+    thr = int(grid["n_chars"].iloc[t_idx])
+    sel = grid["n_chars"].to_numpy("int64") >= thr
+    tp = int(pos[sel].sum())
+    fp = int((n[sel] - pos[sel]).sum())
+    fn = p_tot - tp
+    tn = (n_tot - p_tot) - fp
+    return thr, tp, fp, fn, tn
+
+
+def confusion_metrics_length_english(sf_dir: str) -> pd.DataFrame:
+    """Point confusion-matrix metrics of the length->English
+    classifier at the lower-median length threshold: precision,
+    recall, F1, balanced accuracy and Matthews correlation — the
+    fixed-operating-point report card beside the threshold-free
+    AUC/AP ranking metrics and the Youden-selected point."""
+    thr, tp, fp, fn, tn = _length_english_confusion(sf_dir)
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    f1 = 2.0 * prec * rec / (prec + rec)
+    bacc = 0.5 * (rec + tn / (tn + fp))
+    mcc = (tp * 1.0 * tn - fp * 1.0 * fn) / np.sqrt(
+        (tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    return pd.DataFrame(
+        {
+            "threshold": pd.Series([thr], dtype="int64"),
+            "precision": [round(prec, 6)],
+            "recall": [round(rec, 6)],
+            "f1": [round(f1, 6)],
+            "balanced_acc": [round(bacc, 6)],
+            "mcc": [round(float(mcc), 6)],
+        }
+    )
+
+
+_LEN_EN_CONF_SQL = """
+WITH g AS (
+  SELECT n_chars, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n) AS n_tot, sum(pos) AS p_tot FROM g),
+cum AS (
+  SELECT n_chars, sum(n) OVER (ORDER BY n_chars) AS c FROM g
+),
+thr AS (
+  SELECT min(n_chars) AS t FROM cum
+  WHERE c >= ((SELECT n_tot FROM tot) + 1) // 2
+),
+cf AS (
+  SELECT (SELECT t FROM thr) AS t,
+         sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN pos ELSE 0 END) AS tp,
+         sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN n - pos ELSE 0 END) AS fp,
+         (SELECT p_tot FROM tot)
+           - sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN pos ELSE 0 END) AS fn,
+         (SELECT n_tot - p_tot FROM tot)
+           - sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN n - pos ELSE 0 END) AS tn
+  FROM g
+)
+"""
+
+CONFUSION_METRICS_LENGTH_ENGLISH_SQL = (
+    _LEN_EN_CONF_SQL
+    + """
+SELECT CAST(t AS BIGINT) AS threshold,
+       round(tp * 1.0 / (tp + fp), 6) AS precision,
+       round(tp * 1.0 / (tp + fn), 6) AS recall,
+       round(2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))
+             / (tp * 1.0 / (tp + fp) + tp * 1.0 / (tp + fn)), 6) AS f1,
+       round(0.5 * (tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp)), 6) AS balanced_acc,
+       round((tp * 1.0 * tn - fp * 1.0 * fn)
+             / sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc
+FROM cf
+"""
+)
+
+
+def fowlkes_mallows_length_english(sf_dir: str) -> pd.DataFrame:
+    """Fowlkes-Mallows index (geometric mean of precision and
+    recall), informedness (TPR + TNR - 1, the multi-threshold Youden
+    J) and markedness (PPV + NPV - 1) of the length->English
+    classifier at the same lower-median threshold — the
+    chance-aware operating-point triple whose product
+    informedness x markedness = MCC^2."""
+    thr, tp, fp, fn, tn = _length_english_confusion(sf_dir)
+    ppv = tp / (tp + fp)
+    tpr = tp / (tp + fn)
+    tnr = tn / (tn + fp)
+    npv = tn / (tn + fn)
+    return pd.DataFrame(
+        {
+            "threshold": pd.Series([thr], dtype="int64"),
+            "fowlkes_mallows": [round(float(np.sqrt(ppv * tpr)), 6)],
+            "informedness": [round(tpr + tnr - 1.0, 6)],
+            "markedness": [round(ppv + npv - 1.0, 6)],
+        }
+    )
+
+
+FOWLKES_MALLOWS_LENGTH_ENGLISH_SQL = (
+    _LEN_EN_CONF_SQL
+    + """
+SELECT CAST(t AS BIGINT) AS threshold,
+       round(sqrt((tp * 1.0 / (tp + fp)) * (tp * 1.0 / (tp + fn))), 6)
+         AS fowlkes_mallows,
+       round(tp * 1.0 / (tp + fn) + tn * 1.0 / (tn + fp) - 1.0, 6) AS informedness,
+       round(tp * 1.0 / (tp + fp) + tn * 1.0 / (tn + fn) - 1.0, 6) AS markedness
+FROM cf
+"""
+)
