@@ -7960,3 +7960,97 @@ SELECT CAST(t AS BIGINT) AS threshold,
 FROM cf
 """
 )
+
+
+def lexical_richness_indices(sf_dir: str) -> pd.DataFrame:
+    """Length-compensated lexical richness indices of the corpus:
+    Herdan's C = ln V / ln N, Guiraud's R = V / sqrt(N), and Maas
+    a^2 = (ln N - ln V) / ln^2 N (lower = richer; the most
+    length-stable of the family) — the type-token members beside
+    Brunet's W and Honore's H on the same bucketed term-total
+    reduction (only (V, N) scalars reach the driver)."""
+    totals = _term_totals(sf_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {"vocab": [np.int64(len(n))], "ntok": [np.int64(n.sum())]}
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    v, n = int(s["vocab"]), int(s["ntok"])
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([v], dtype="int64"),
+            "n_tokens": pd.Series([n], dtype="int64"),
+            "herdan_c": [round(np.log(v) / np.log(n), 6)],
+            "guiraud_r": [round(v / np.sqrt(n), 6)],
+            "maas_a2": [round((np.log(n) - np.log(v)) / np.log(n) ** 2, 6)],
+        }
+    )
+
+
+LEXICAL_RICHNESS_INDICES_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (SELECT count(*) AS v, sum(n) AS n FROM t)
+SELECT CAST(v AS BIGINT) AS vocab_size,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(ln(v) / ln(n), 6) AS herdan_c,
+       round(v / sqrt(n), 6) AS guiraud_r,
+       round((ln(n) - ln(v)) / (ln(n) * ln(n)), 6) AS maas_a2
+FROM s
+"""
+
+
+def sichel_s_vocab(sf_dir: str) -> pd.DataFrame:
+    """Sichel's S = F2 / V, the proportion of dis legomena
+    (twice-occurring terms) in the vocabulary — empirically constant
+    across text lengths and the F2-based member of the richness
+    family (Honore uses F1, Yule's K the full spectrum); reported
+    with the hapax proportion F1/V it is usually read against."""
+    totals = _term_totals(sf_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "vocab": [np.int64(len(n))],
+                "f1": [np.int64((n == 1).sum())],
+                "f2": [np.int64((n == 2).sum())],
+            }
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    v, f1, f2 = int(s["vocab"]), int(s["f1"]), int(s["f2"])
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([v], dtype="int64"),
+            "sichel_s": [round(f2 / v, 6)],
+            "hapax_prop": [round(f1 / v, 6)],
+        }
+    )
+
+
+SICHEL_S_VOCAB_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT count(*) AS v,
+         count(*) FILTER (WHERE n = 1) AS f1,
+         count(*) FILTER (WHERE n = 2) AS f2
+  FROM t
+)
+SELECT CAST(v AS BIGINT) AS vocab_size,
+       round(f2 * 1.0 / v, 6) AS sichel_s,
+       round(f1 * 1.0 / v, 6) AS hapax_prop
+FROM s
+"""
