@@ -390,6 +390,35 @@ SUBSET = [
     "pearson_contingency_priority_status",
     "hartley_fmax_price_by_segment",
     "cochran_c_price_by_segment",
+    # round-3g additions
+    "woolf_or_heterogeneity_urgent_finished",
+    "peto_or_urgent_finished",
+    "goldfeld_quandt_price_quantity",
+    "glejser_price_quantity",
+    "laplace_trend_events",
+    "crow_amsaa_events",
+    "rosenbluth_index_brand_revenue",
+    "concentration_ratios_brand_revenue",
+    "palma_ratio_customer_revenue",
+    "quintile_share_ratio_customer_revenue",
+    "transfer_entropy_views_purchases",
+    "variation_of_information_label_signs",
+    "western_electric_daily_revenue",
+    "nelson_trend_rules_daily_revenue",
+    "siegel_tukey_quantity",
+    "fligner_policello_quantity",
+    "dfa_daily_revenue",
+    "higuchi_fd_daily_revenue",
+    "l_moments_order_price",
+    "gev_pwm_yearly_max_revenue",
+    "confusion_metrics_length_english",
+    "fowlkes_mallows_length_english",
+    "getis_ord_g_customer_revenue",
+    "join_counts_balance_sign",
+    "ace_vocab_richness",
+    "jackknife_vocab_richness",
+    "lexical_richness_indices",
+    "sichel_s_vocab",
     "kendall_w_segment_monthly",
     "deming_views_purchases",
     "rma_views_purchases",
