@@ -7772,3 +7772,132 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_days,
                * ln((c3 * 1.0 / c_yp_xp) / (c2 * 1.0 / c_yp))), 6) FROM t2)
          AS te_p_to_v
 """
+
+
+def _hourly_count_series(sf_dir: str) -> np.ndarray:
+    """Zero-filled hourly event-count series (exact integers) —
+    shared by the point-process second-order statistics (binned
+    Ripley K, pair correlation); ONE bucketed per-hour grid."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hr": df["ts"].dt.floor("h"), "one": np.int64(1)})
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["hr"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .set_index("hr")["c"]
+    )
+    full = pd.date_range(grid.index.min(), grid.index.max(), freq="h")
+    return grid.reindex(full).fillna(0).to_numpy("int64")
+
+
+def ripley_k_events(sf_dir: str) -> pd.DataFrame:
+    """Binned 1-D Ripley's K of the event arrival process at lag
+    windows h in {1, 2, 4, 8, 24} hours: pair count P(h) =
+    SUM_a c_a * (SUM_{|b-a|<=h} c_b) - n (self-pairs removed),
+    K(h) = T P(h) / n^2, reported against the edge-naive CSR
+    expectation 2h+1 — K/CSR > 1 means arrivals CLUSTER at that
+    scale (the second-order view beside the Fano factor and Allan
+    variance). Windowed sums on the shared zero-filled hourly
+    grid."""
+    c = _hourly_count_series(sf_dir).astype("float64")
+    t = len(c)
+    n = float(c.sum())
+    cum = np.concatenate([[0.0], np.cumsum(c)])
+    rows = []
+    for h in (1, 2, 4, 8, 24):
+        idx = np.arange(t)
+        lo = np.maximum(idx - h, 0)
+        hi = np.minimum(idx + h, t - 1)
+        win = cum[hi + 1] - cum[lo]
+        p = float((c * win).sum()) - n
+        k = t * p / (n * n)
+        rows.append((h, round(k, 6), round(k / (2.0 * h + 1.0), 6)))
+    return pd.DataFrame(
+        {
+            "h_hours": pd.Series([r[0] for r in rows], dtype="int64"),
+            "k_hat": [r[1] for r in rows],
+            "k_over_csr": [r[2] for r in rows],
+        }
+    )
+
+
+RIPLEY_K_EVENTS_SQL = """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hr
+),
+cg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1),
+g AS (
+  SELECT row_number() OVER (ORDER BY hrs.hr) AS i, coalesce(cg.n, 0) AS c
+  FROM hrs LEFT JOIN cg ON cg.hr = hrs.hr
+),
+tot AS (SELECT count(*) * 1.0 AS t, sum(c) * 1.0 AS n FROM g),
+ks AS (SELECT unnest([1, 2, 4, 8, 24]) AS h),
+p AS (
+  SELECT ks.h AS h,
+         sum(a.c * b2.c) - (SELECT n FROM tot) AS pc
+  FROM ks JOIN g a ON TRUE
+  JOIN g b2 ON abs(a.i - b2.i) <= ks.h
+  GROUP BY ks.h
+)
+SELECT CAST(h AS BIGINT) AS h_hours,
+       round((SELECT t FROM tot) * pc / ((SELECT n FROM tot) * (SELECT n FROM tot)), 6)
+         AS k_hat,
+       round((SELECT t FROM tot) * pc / ((SELECT n FROM tot) * (SELECT n FROM tot))
+             / (2.0 * h + 1.0), 6) AS k_over_csr
+FROM p ORDER BY h
+"""
+
+
+def pair_correlation_events(sf_dir: str) -> pd.DataFrame:
+    """Pair correlation function of the event arrival process at
+    exact hour lags h in {1, 2, 3, 6, 12, 24}: g(h) = T SUM_a c_a
+    c_{a+h} / n^2 — 1 under a homogeneous Poisson process, > 1 when
+    events attract at that separation (the non-cumulative derivative
+    view of Ripley's K on the same zero-filled hourly grid)."""
+    c = _hourly_count_series(sf_dir).astype("float64")
+    t = len(c)
+    n = float(c.sum())
+    rows = []
+    for h in (1, 2, 3, 6, 12, 24):
+        s = float((c[h:] * c[:-h]).sum())
+        rows.append((h, round(t * s / (n * n), 6)))
+    return pd.DataFrame(
+        {
+            "h_hours": pd.Series([r[0] for r in rows], dtype="int64"),
+            "g_hat": [r[1] for r in rows],
+        }
+    )
+
+
+PAIR_CORRELATION_EVENTS_SQL = """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hr
+),
+cg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events GROUP BY 1),
+g AS (
+  SELECT row_number() OVER (ORDER BY hrs.hr) AS i, coalesce(cg.n, 0) AS c
+  FROM hrs LEFT JOIN cg ON cg.hr = hrs.hr
+),
+tot AS (SELECT count(*) * 1.0 AS t, sum(c) * 1.0 AS n FROM g),
+ks AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS h),
+p AS (
+  SELECT ks.h AS h, sum(a.c * b2.c) AS s
+  FROM ks JOIN g a ON TRUE JOIN g b2 ON b2.i = a.i + ks.h
+  GROUP BY ks.h
+)
+SELECT CAST(h AS BIGINT) AS h_hours,
+       round((SELECT t FROM tot) * s / ((SELECT n FROM tot) * (SELECT n FROM tot)), 6)
+         AS g_hat
+FROM p ORDER BY h
+"""
