@@ -8054,3 +8054,115 @@ SELECT CAST(v AS BIGINT) AS vocab_size,
        round(f1 * 1.0 / v, 6) AS hapax_prop
 FROM s
 """
+
+
+def hill_numbers_vocab(sf_dir: str) -> pd.DataFrame:
+    """Hill-number diversity profile of the corpus vocabulary — the
+    effective number of equally-common terms at orders q = 0 (richness
+    V), q = 1 (exp Shannon), q = 2 (inverse Simpson) and q = inf
+    (1/Berger-Parker): the unified scale that the separate
+    Shannon/Simpson/Berger-Parker queries are points on. All four
+    from one pass over the bucketed term totals (sum p ln p, sum p^2,
+    max p are distributed partials)."""
+    totals = _term_totals(sf_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "vocab": [np.int64(len(n))],
+                "ntok": [np.int64(n.sum())],
+                "snlogn": [float((n * np.log(n)).sum())],
+                "sn2": [float((n * n).sum())],
+                "nmax": [np.int64(n.max())],
+            }
+        )
+
+    p = totals.map_batches(_partial, batch_format="pandas").to_pandas()
+    vocab = int(p["vocab"].sum())
+    ntok = int(p["ntok"].sum())
+    h = np.log(ntok) - float(p["snlogn"].sum()) / ntok
+    d2 = ntok * ntok / float(p["sn2"].sum())
+    dinf = ntok / float(p["nmax"].max())
+    return pd.DataFrame(
+        {
+            "q0_richness": pd.Series([vocab], dtype="int64"),
+            "q1_exp_shannon": [round(float(np.exp(h)), 6)],
+            "q2_inv_simpson": [round(d2, 6)],
+            "qinf_inv_bp": [round(dinf, 6)],
+        }
+    )
+
+
+HILL_NUMBERS_VOCAB_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT count(*) AS v, sum(n) AS ntok, sum(n * ln(n)) AS snlogn,
+         sum(n * n) AS sn2, max(n) AS nmax
+  FROM t
+)
+SELECT CAST(v AS BIGINT) AS q0_richness,
+       round(exp(ln(ntok) - snlogn / ntok), 6) AS q1_exp_shannon,
+       round(ntok * ntok * 1.0 / sn2, 6) AS q2_inv_simpson,
+       round(ntok * 1.0 / nmax, 6) AS qinf_inv_bp
+FROM s
+"""
+
+
+def evenness_profile_vocab(sf_dir: str) -> pd.DataFrame:
+    """Evenness profile of the corpus vocabulary: Sheldon's E =
+    exp(H)/V, Heip's E = (exp(H)-1)/(V-1) and Simpson evenness
+    (1/D2)/V — the richness-normalized companions of the raw Hill
+    numbers (Pielou's J = H/ln V is the log-scale member already
+    covered). Same one-pass term-total partials."""
+    totals = _term_totals(sf_dir)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {
+                "vocab": [np.int64(len(n))],
+                "ntok": [np.int64(n.sum())],
+                "snlogn": [float((n * np.log(n)).sum())],
+                "sn2": [float((n * n).sum())],
+            }
+        )
+
+    p = totals.map_batches(_partial, batch_format="pandas").to_pandas()
+    vocab = int(p["vocab"].sum())
+    ntok = int(p["ntok"].sum())
+    h = np.log(ntok) - float(p["snlogn"].sum()) / ntok
+    d2 = ntok * ntok / float(p["sn2"].sum())
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "sheldon_e": [round(float(np.exp(h)) / vocab, 6)],
+            "heip_e": [round((float(np.exp(h)) - 1.0) / (vocab - 1.0), 6)],
+            "simpson_e": [round(d2 / vocab, 6)],
+        }
+    )
+
+
+EVENNESS_PROFILE_VOCAB_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (
+  SELECT count(*) AS v, sum(n) AS ntok, sum(n * ln(n)) AS snlogn,
+         sum(n * n) AS sn2
+  FROM t
+)
+SELECT CAST(v AS BIGINT) AS vocab_size,
+       round(exp(ln(ntok) - snlogn / ntok) / v, 6) AS sheldon_e,
+       round((exp(ln(ntok) - snlogn / ntok) - 1.0) / (v - 1.0), 6) AS heip_e,
+       round((ntok * ntok * 1.0 / sn2) / v, 6) AS simpson_e
+FROM s
+"""
