@@ -419,6 +419,34 @@ SUBSET = [
     "jackknife_vocab_richness",
     "lexical_richness_indices",
     "sichel_s_vocab",
+    "marshall_edgeworth_walsh_index",
+    "geometric_price_indexes",
+    "brown_mood_median_quantity_by_linenumber",
+    "ksample_ad_quantity_by_linenumber",
+    "peto_peto_repurchase_by_segment",
+    "fleming_harrington_repurchase_by_segment",
+    "leverage_diagnostics_price_quantity",
+    "cooks_distance_outliers_price_quantity",
+    "icss_variance_change_daily_revenue",
+    "variance_ratio_pre_post_break",
+    "mcleod_li_daily_revenue",
+    "engle_ng_sign_bias_daily_revenue",
+    "ripley_k_events",
+    "pair_correlation_events",
+    "process_capability_quantity",
+    "taguchi_cpm_quantity",
+    "biweight_price",
+    "hampel_m_price",
+    "hill_numbers_vocab",
+    "evenness_profile_vocab",
+    "fishers_g_daily_revenue",
+    "bartlett_cumulative_periodogram_daily_revenue",
+    "hotelling_t2_returned_kept",
+    "box_m_covariance_by_flag",
+    "canonical_correlation_lineitem",
+    "rv_coefficient_lineitem",
+    "lo_modified_rs_daily_revenue",
+    "gph_fractional_d_daily_revenue",
     "kendall_w_segment_monthly",
     "deming_views_purchases",
     "rma_views_purchases",
