@@ -7901,3 +7901,119 @@ SELECT CAST(h AS BIGINT) AS h_hours,
          AS g_hat
 FROM p ORDER BY h
 """
+
+
+def _circular_trig_moments(sf_dir: str):
+    """First and second trigonometric moments of the event
+    time-of-day angles — (n, C1, S1, C2, S2) scalar partials from one
+    streaming pass; shared by the directional-statistics family."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype("int64") % 86_400_000_000
+        theta = 2.0 * np.pi * us / 86_400_000_000.0
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(us))],
+                "c1": [float(np.cos(theta).sum())],
+                "s1": [float(np.sin(theta).sum())],
+                "c2": [float(np.cos(2.0 * theta).sum())],
+                "s2": [float(np.sin(2.0 * theta).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partials, batch_format="pandas").to_pandas().sum()
+    return int(s["n"]), float(s["c1"]), float(s["s1"]), float(s["c2"]), float(s["s2"])
+
+
+def v_test_noon_events(sf_dir: str) -> pd.DataFrame:
+    """The V-test (modified Rayleigh) of event time-of-day against
+    the SPECIFIED mean direction noon (mu0 = pi): V = Rbar
+    cos(thetabar - mu0), u = V sqrt(2n) ~ N(0,1) — more powerful
+    than the omnibus Rayleigh when the alternative direction is
+    known a priori; same one-pass trig moments."""
+    n, c1, s1, _, _ = _circular_trig_moments(sf_dir)
+    rbar = np.sqrt(c1 * c1 + s1 * s1) / n
+    theta = np.arctan2(s1, c1)
+    v = rbar * np.cos(theta - np.pi)
+    u = v * np.sqrt(2.0 * n)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "v_stat": [round(float(v), 6)],
+            "u_stat": [round(float(u), 6)],
+        }
+    )
+
+
+V_TEST_NOON_EVENTS_SQL = """
+WITH a AS (
+  SELECT 2.0 * pi()
+         * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0) AS th
+  FROM events
+),
+m AS (
+  SELECT count(*) * 1.0 AS n, sum(cos(th)) AS c1, sum(sin(th)) AS s1 FROM a
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(sqrt(c1 * c1 + s1 * s1) / n
+             * cos(atan2(s1, c1) - pi()), 6) AS v_stat,
+       round(sqrt(c1 * c1 + s1 * s1) / n
+             * cos(atan2(s1, c1) - pi()) * sqrt(2.0 * n), 6) AS u_stat
+FROM m
+"""
+
+
+def circular_moments_events(sf_dir: str) -> pd.DataFrame:
+    """Higher circular moments of event time-of-day: circular
+    variance 1 - Rbar, circular standard deviation sqrt(-2 ln Rbar),
+    and the Fisher circular skewness b = R2 sin(mu2 - 2 mu1) /
+    (1 - R1)^1.5 and kurtosis k = (R2 cos(mu2 - 2 mu1) - R1^4) /
+    (1 - R1)^2 from the second trigonometric moment — the shape
+    profile of the daily activity cycle beside its Rayleigh
+    concentration test."""
+    n, c1, s1, c2, s2 = _circular_trig_moments(sf_dir)
+    r1 = np.sqrt(c1 * c1 + s1 * s1) / n
+    r2 = np.sqrt(c2 * c2 + s2 * s2) / n
+    mu1 = np.arctan2(s1, c1)
+    mu2 = np.arctan2(s2, c2)
+    skew = r2 * np.sin(mu2 - 2.0 * mu1) / (1.0 - r1) ** 1.5
+    kurt = (r2 * np.cos(mu2 - 2.0 * mu1) - r1**4) / (1.0 - r1) ** 2
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "circ_var": [round(float(1.0 - r1), 6)],
+            "circ_sd": [round(float(np.sqrt(-2.0 * np.log(r1))), 6)],
+            "circ_skew": [round(float(skew), 6)],
+            "circ_kurt": [round(float(kurt), 6)],
+        }
+    )
+
+
+CIRCULAR_MOMENTS_EVENTS_SQL = """
+WITH a AS (
+  SELECT 2.0 * pi()
+         * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0) AS th
+  FROM events
+),
+m AS (
+  SELECT count(*) * 1.0 AS n,
+         sum(cos(th)) AS c1, sum(sin(th)) AS s1,
+         sum(cos(2.0 * th)) AS c2, sum(sin(2.0 * th)) AS s2
+  FROM a
+),
+r AS (
+  SELECT n,
+         sqrt(c1 * c1 + s1 * s1) / n AS r1,
+         sqrt(c2 * c2 + s2 * s2) / n AS r2,
+         atan2(s1, c1) AS mu1, atan2(s2, c2) AS mu2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(1.0 - r1, 6) AS circ_var,
+       round(sqrt(-2.0 * ln(r1)), 6) AS circ_sd,
+       round(r2 * sin(mu2 - 2.0 * mu1) / pow(1.0 - r1, 1.5), 6) AS circ_skew,
+       round((r2 * cos(mu2 - 2.0 * mu1) - pow(r1, 4)) / pow(1.0 - r1, 2), 6)
+         AS circ_kurt
+FROM r
+"""
