@@ -8017,3 +8017,122 @@ SELECT CAST(n AS BIGINT) AS n,
          AS circ_kurt
 FROM r
 """
+
+
+def _type_trig_sums(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type first trigonometric moment sums of the
+    time-of-day angles — shared by the circular-ANOVA family; one
+    bucketed aggregate over the type key."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype("int64") % 86_400_000_000
+        theta = 2.0 * np.pi * us / 86_400_000_000.0
+        g = pd.DataFrame(
+            {"t": df["event_type"], "n": np.int64(1),
+             "c": np.cos(theta), "s": np.sin(theta)}
+        )
+        return g.groupby("t", as_index=False).sum()
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_partials, batch_format="pandas"),
+            ["t"],
+            {"n": ("n", "sum"), "c": ("c", "sum"), "s": ("s", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+
+
+def watson_williams_event_types(sf_dir: str) -> pd.DataFrame:
+    """Watson-Williams circular ANOVA: do the event types share one
+    mean time-of-day direction? F = ((N-k)(SUM R_g - R)) /
+    ((k-1)(N - SUM R_g)) from the per-type and pooled resultant
+    lengths — the von-Mises k-sample location test completing the
+    directional family (Rayleigh/V-test are its one-sample
+    ancestors). One bucketed per-type trig reduction."""
+    g = _type_trig_sums(sf_dir)
+    rg = np.sqrt(g["c"].to_numpy("float64") ** 2 + g["s"].to_numpy("float64") ** 2)
+    n = float(g["n"].sum())
+    k = len(g)
+    r_pool = float(np.sqrt(g["c"].sum() ** 2 + g["s"].sum() ** 2))
+    sum_rg = float(rg.sum())
+    f = ((n - k) * (sum_rg - r_pool)) / ((k - 1.0) * (n - sum_rg))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([int(n)], dtype="int64"),
+            "k_types": pd.Series([k], dtype="int64"),
+            "ww_f": [round(f, 6)],
+        }
+    )
+
+
+WATSON_WILLIAMS_EVENT_TYPES_SQL = """
+WITH a AS (
+  SELECT event_type AS t,
+         2.0 * pi()
+         * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0) AS th
+  FROM events
+),
+g AS (
+  SELECT t, count(*) * 1.0 AS n, sum(cos(th)) AS c, sum(sin(th)) AS s
+  FROM a GROUP BY 1
+),
+agg AS (
+  SELECT sum(n) AS n, count(*) AS k,
+         sum(sqrt(c * c + s * s)) AS sum_rg,
+         sqrt(pow(sum(c), 2) + pow(sum(s), 2)) AS r_pool
+  FROM g
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_types,
+       round(((n - k) * (sum_rg - r_pool)) / ((k - 1.0) * (n - sum_rg)), 6) AS ww_f
+FROM agg
+"""
+
+
+def peak_hour_by_event_type(sf_dir: str) -> pd.DataFrame:
+    """Circular mean time-of-day per event type: the resultant
+    direction converted back to hours (atan2 wrapped to [0, 24)) with
+    the concentration Rbar — the per-group directional profile the
+    Watson-Williams F summarizes into one number."""
+    g = _type_trig_sums(sf_dir)
+    c = g["c"].to_numpy("float64")
+    s = g["s"].to_numpy("float64")
+    n = g["n"].to_numpy("int64").astype("float64")
+    theta = np.arctan2(s, c)
+    hours = (theta % (2.0 * np.pi)) * 24.0 / (2.0 * np.pi)
+    rbar = np.sqrt(c * c + s * s) / n
+    return pd.DataFrame(
+        {
+            "event_type": g["t"].to_numpy(object),
+            "n": pd.Series(n.astype("int64"), dtype="int64"),
+            "peak_hour": np.round(hours, 4),
+            "rbar": np.round(rbar, 6),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+PEAK_HOUR_BY_EVENT_TYPE_SQL = """
+WITH a AS (
+  SELECT event_type AS t,
+         2.0 * pi()
+         * (CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 86400000000.0) AS th
+  FROM events
+),
+g AS (
+  SELECT t, count(*) * 1.0 AS n, sum(cos(th)) AS c, sum(sin(th)) AS s
+  FROM a GROUP BY 1
+)
+SELECT t AS event_type,
+       CAST(n AS BIGINT) AS n,
+       round(((atan2(s, c) + 2.0 * pi()) - 2.0 * pi() * floor((atan2(s, c) + 2.0 * pi()) / (2.0 * pi())))
+             * 24.0 / (2.0 * pi()), 4) AS peak_hour,
+       round(sqrt(c * c + s * s) / n, 6) AS rbar
+FROM g ORDER BY t
+"""
