@@ -447,6 +447,20 @@ SUBSET = [
     "rv_coefficient_lineitem",
     "lo_modified_rs_daily_revenue",
     "gph_fractional_d_daily_revenue",
+    "kendall_partial_tau_quantity_discount_given_tax",
+    "partial_spearman_quantity_discount_given_tax",
+    "g2_priority_status_marginal",
+    "g2_priority_status_given_segment",
+    "welch_anova_price_segment",
+    "brown_forsythe_anova_price_segment",
+    "v_test_noon_events",
+    "circular_moments_events",
+    "watson_williams_event_types",
+    "peak_hour_by_event_type",
+    "ancova_parallelism_retail_size_brand",
+    "ancova_adjusted_means_retail_size_brand",
+    "scheirer_ray_hare_quantity",
+    "did_median_quantity_flag_status",
     "kendall_w_segment_monthly",
     "deming_views_purchases",
     "rma_views_purchases",
