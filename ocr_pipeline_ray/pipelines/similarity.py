@@ -2615,3 +2615,158 @@ SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
              / ln((SELECT n FROM tot)), 6) AS vi_norm
 FROM mi, ha, hb
 """
+
+
+def _label_cluster_moments(sf_dir: str):
+    """Per-label clustering moments from ONE streaming pass: n_g,
+    the 64-d vector sum S_g, and the scalar SUM ||x||^2 — everything
+    the centroid-based cluster-quality indices (Calinski-Harabasz,
+    Davies-Bouldin RMS) need. Constant-size partials per batch."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for label, g in df.groupby("label", sort=False):
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            rows.append(
+                (int(label), m.sum(axis=0).tolist(), float((m * m).sum()), len(g))
+            )
+        return pd.DataFrame(rows, columns=["label", "vec_sum", "ss", "n"])
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = []
+    for label, g in parts.groupby("label"):
+        s = np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+        out.append((int(label), s, float(g["ss"].sum()), int(g["n"].sum())))
+    return sorted(out, key=lambda r: r[0])
+
+
+def calinski_harabasz_labels(sf_dir: str) -> pd.DataFrame:
+    """Calinski-Harabasz (variance-ratio) index of the ground-truth
+    embedding label clustering: CH = (B/(k-1)) / (W/(N-k)) with
+    between dispersion B = SUM ||S_g||^2/n_g - ||S||^2/N and within
+    W = SUM ||x||^2 - SUM ||S_g||^2/n_g — the classical internal
+    cluster-quality score beside the centroid silhouette, entirely
+    from per-label vector sums (one streaming pass)."""
+    mom = _label_cluster_moments(sf_dir)
+    k = len(mom)
+    n = sum(r[3] for r in mom)
+    ss_tot = sum(r[2] for r in mom)
+    sg = sum(float((r[1] ** 2).sum()) / r[3] for r in mom)
+    s_all = np.sum(np.stack([r[1] for r in mom]), axis=0)
+    b = sg - float((s_all**2).sum()) / n
+    w = ss_tot - sg
+    ch = (b / (k - 1.0)) / (w / (n - k))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "k_labels": pd.Series([k], dtype="int64"),
+            "ch_index": [round(float(ch), 6)],
+        }
+    )
+
+
+CALINSKI_HARABASZ_LABELS_SQL = """
+WITH e AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+dims AS (
+  SELECT label, d, sum(x) AS sd FROM e GROUP BY 1, 2
+),
+per_label AS (
+  SELECT label, sum(sd * sd) AS s2 FROM dims GROUP BY label
+),
+counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+gsum AS (
+  SELECT sum(sd) AS gd, d FROM dims GROUP BY d
+),
+tot AS (
+  SELECT (SELECT sum(n) FROM counts) AS n,
+         (SELECT count(*) FROM counts) AS k,
+         (SELECT sum(x * x) FROM e) AS ss_tot,
+         (SELECT sum(per_label.s2 / counts.n)
+          FROM per_label JOIN counts USING (label)) AS sg,
+         (SELECT sum(gd * gd) FROM gsum) AS g2
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(k AS BIGINT) AS k_labels,
+       round(((sg - g2 / n) / (k - 1.0)) / ((ss_tot - sg) / (n - k)), 6) AS ch_index
+FROM tot
+"""
+
+
+def davies_bouldin_rms_labels(sf_dir: str) -> pd.DataFrame:
+    """Davies-Bouldin index (RMS-dispersion variant) of the embedding
+    label clustering: S_g = sqrt(mean ||x - c_g||^2) per label,
+    pairwise centroid distances M_gh, DB = mean_g max_h (S_g + S_h)
+    / M_gh — lower is better; the RMS dispersion keeps every term a
+    closed form of the same one-pass per-label moments (the classic
+    mean-|distance| variant needs per-row norms, documented here as
+    the deliberate deterministic deviation)."""
+    mom = _label_cluster_moments(sf_dir)
+    cents = [r[1] / r[3] for r in mom]
+    s = [
+        np.sqrt(max(r[2] / r[3] - float((c**2).sum()), 0.0))
+        for r, c in zip(mom, cents)
+    ]
+    k = len(mom)
+    db = 0.0
+    for i in range(k):
+        worst = 0.0
+        for j in range(k):
+            if i == j:
+                continue
+            mij = float(np.sqrt(((cents[i] - cents[j]) ** 2).sum()))
+            worst = max(worst, (s[i] + s[j]) / mij)
+        db += worst
+    return pd.DataFrame(
+        {
+            "k_labels": pd.Series([k], dtype="int64"),
+            "db_index_rms": [round(db / k, 6)],
+        }
+    )
+
+
+DAVIES_BOULDIN_RMS_LABELS_SQL = """
+WITH e AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+dims AS (
+  SELECT label, d, sum(x) AS sd FROM e GROUP BY 1, 2
+),
+counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+cent AS (
+  SELECT dims.label, d, sd / counts.n AS c
+  FROM dims JOIN counts USING (label)
+),
+ssl AS (
+  SELECT label, sum(x * x) AS ss FROM e GROUP BY label
+),
+disp AS (
+  SELECT counts.label,
+         sqrt(greatest(ssl.ss / counts.n
+              - (SELECT sum(c * c) FROM cent WHERE cent.label = counts.label),
+              0.0)) AS s
+  FROM counts JOIN ssl USING (label)
+),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum(pow(a.c - b.c, 2))) AS m
+  FROM cent a JOIN cent b ON a.d = b.d AND a.label <> b.label
+  GROUP BY 1, 2
+),
+ratio AS (
+  SELECT la, max((da.s + db2.s) / pairs.m) AS worst
+  FROM pairs
+  JOIN disp da ON da.label = pairs.la
+  JOIN disp db2 ON db2.label = pairs.lb
+  GROUP BY la
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS k_labels,
+       round(avg(worst), 6) AS db_index_rms
+FROM ratio
+"""
