@@ -2770,3 +2770,116 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS k_labels,
        round(avg(worst), 6) AS db_index_rms
 FROM ratio
 """
+
+
+def dunn_centroid_labels(sf_dir: str) -> pd.DataFrame:
+    """Dunn index (centroid variant) of the embedding label
+    clustering: min inter-centroid distance over max RMS
+    within-cluster dispersion — higher is better; the
+    separation/compactness ratio completing the internal-quality
+    trio with Calinski-Harabasz and Davies-Bouldin on the SAME
+    one-pass per-label moments."""
+    mom = _label_cluster_moments(sf_dir)
+    cents = [r[1] / r[3] for r in mom]
+    s = [
+        np.sqrt(max(r[2] / r[3] - float((c**2).sum()), 0.0))
+        for r, c in zip(mom, cents)
+    ]
+    k = len(mom)
+    min_sep = min(
+        float(np.sqrt(((cents[i] - cents[j]) ** 2).sum()))
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    return pd.DataFrame(
+        {
+            "k_labels": pd.Series([k], dtype="int64"),
+            "min_separation": [round(min_sep, 6)],
+            "max_dispersion": [round(max(s), 6)],
+            "dunn_centroid": [round(min_sep / max(s), 6)],
+        }
+    )
+
+
+_LABEL_CENT_SQL = """
+WITH e AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+dims AS (
+  SELECT label, d, sum(x) AS sd FROM e GROUP BY 1, 2
+),
+counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+cent AS (
+  SELECT dims.label, d, sd / counts.n AS c
+  FROM dims JOIN counts USING (label)
+),
+ssl AS (
+  SELECT label, sum(x * x) AS ss FROM e GROUP BY label
+),
+disp AS (
+  SELECT counts.label, counts.n,
+         sqrt(greatest(ssl.ss / counts.n
+              - (SELECT sum(c * c) FROM cent WHERE cent.label = counts.label),
+              0.0)) AS s
+  FROM counts JOIN ssl USING (label)
+),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum(pow(a.c - b.c, 2))) AS m
+  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+  GROUP BY 1, 2
+)
+"""
+
+DUNN_CENTROID_LABELS_SQL = (
+    _LABEL_CENT_SQL
+    + """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS k_labels,
+       round((SELECT min(m) FROM pairs), 6) AS min_separation,
+       round((SELECT max(s) FROM disp), 6) AS max_dispersion,
+       round((SELECT min(m) FROM pairs) / (SELECT max(s) FROM disp), 6)
+         AS dunn_centroid
+"""
+)
+
+
+def xie_beni_labels(sf_dir: str) -> pd.DataFrame:
+    """Xie-Beni index of the embedding label clustering: total
+    within-cluster squared deviation over n times the squared MINIMUM
+    centroid separation — the compactness-over-worst-separation score
+    (lower is better) from the same per-label moment pass as
+    CH/DB/Dunn."""
+    mom = _label_cluster_moments(sf_dir)
+    cents = [r[1] / r[3] for r in mom]
+    n = sum(r[3] for r in mom)
+    w = sum(r[2] - float((r[1] ** 2).sum()) / r[3] for r in mom)
+    k = len(mom)
+    min_sep2 = min(
+        float(((cents[i] - cents[j]) ** 2).sum())
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "xie_beni": [round(w / (n * min_sep2), 6)],
+        }
+    )
+
+
+XIE_BENI_LABELS_SQL = (
+    _LABEL_CENT_SQL
+    + """,
+w AS (
+  SELECT sum(ssl.ss - (SELECT sum(sd * sd) FROM dims WHERE dims.label = ssl.label)
+                       / counts.n) AS w
+  FROM ssl JOIN counts USING (label)
+)
+SELECT (SELECT CAST(sum(n) AS BIGINT) FROM counts) AS n,
+       round((SELECT w FROM w)
+             / ((SELECT sum(n) FROM counts)
+                * pow((SELECT min(m) FROM pairs), 2)), 6) AS xie_beni
+"""
+)
