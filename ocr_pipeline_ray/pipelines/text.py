@@ -8166,3 +8166,112 @@ SELECT CAST(v AS BIGINT) AS vocab_size,
        round((ntok * ntok * 1.0 / sn2) / v, 6) AS simpson_e
 FROM s
 """
+
+
+def coleman_liau_ari_scores(sf_dir: str) -> pd.DataFrame:
+    """Coleman-Liau index and Automated Readability Index per
+    document — the CHARACTER-based readability pair (no syllable
+    estimate needed, so they are exactly SQL-checkable): CLI =
+    0.0588 L - 0.296 S - 15.8 (L = letters per 100 words, S =
+    sentences per 100 words), ARI = 4.71 chars/word + 0.5
+    words/sentence - 21.43, with letters = [A-Za-z], words =
+    letter runs, sentences = [.!?]+ runs. Stateless vectorized
+    map, one pass."""
+    import re as _re
+
+    word_re = _re.compile(r"[A-Za-z]+")
+    sent_re = _re.compile(r"[.!?]+")
+    let_re = _re.compile(r"[A-Za-z]")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].str.count(word_re).to_numpy("int64")
+        s = np.maximum(df["text"].str.count(sent_re).to_numpy("int64"), 1)
+        l = df["text"].str.count(let_re).to_numpy("int64")
+        wc = np.maximum(w, 1)
+        cli = 0.0588 * (l * 100.0 / wc) - 0.296 * (s * 100.0 / wc) - 15.8
+        ari = 4.71 * (l * 1.0 / wc) + 0.5 * (wc * 1.0 / s) - 21.43
+        # explicit half-up rounding: the per-doc ratios hit exact
+        # decimal ties where numpy (half-even) and DuckDB (half-up)
+        # diverge — floor(x*1e4 + 0.5) is identical on both engines
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "cli": np.floor(cli * 10000.0 + 0.5) / 10000.0,
+                "ari": np.floor(ari * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    return (
+        ds.map_batches(_score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+COLEMAN_LIAU_ARI_SCORES_SQL = """
+SELECT doc_id,
+       floor((0.0588 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100.0
+                       / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1))
+             - 0.296 * (greatest(len(regexp_extract_all(text, '[.!?]+')), 1) * 100.0
+                        / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1))
+             - 15.8) * 10000.0 + 0.5) / 10000.0 AS cli,
+       floor((4.71 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                     / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1))
+             + 0.5 * (greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 1.0
+                      / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             - 21.43) * 10000.0 + 0.5) / 10000.0 AS ari
+FROM documents ORDER BY doc_id
+"""
+
+
+def lix_rix_scores(sf_dir: str) -> pd.DataFrame:
+    """LIX and RIX readability indices per document — the
+    long-word-based Scandinavian pair: LIX = words/sentences +
+    100 * longwords/words, RIX = longwords/sentences, with long
+    words = letter runs of 7+ characters. Exactly SQL-checkable
+    regex arithmetic; one stateless pass."""
+    import re as _re
+
+    word_re = _re.compile(r"[A-Za-z]+")
+    long_re = _re.compile(r"[A-Za-z]{7,}")
+    sent_re = _re.compile(r"[.!?]+")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(df["text"].str.count(word_re).to_numpy("int64"), 1)
+        lw = df["text"].str.count(long_re).to_numpy("int64")
+        s = np.maximum(df["text"].str.count(sent_re).to_numpy("int64"), 1)
+        lix = w * 1.0 / s + 100.0 * lw / w
+        rix = lw * 1.0 / s
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lix": np.floor(lix * 10000.0 + 0.5) / 10000.0,
+                "rix": np.floor(rix * 10000.0 + 0.5) / 10000.0,
+            }
+        )
+
+    return (
+        ds.map_batches(_score, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+LIX_RIX_SCORES_SQL = """
+SELECT doc_id,
+       floor((greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) * 1.0
+             / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             + 100.0 * len(regexp_extract_all(text, '[A-Za-z]{7,}'))
+               / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1)) * 10000.0 + 0.5)
+         / 10000.0 AS lix,
+       floor((len(regexp_extract_all(text, '[A-Za-z]{7,}')) * 1.0
+             / greatest(len(regexp_extract_all(text, '[.!?]+')), 1)) * 10000.0 + 0.5)
+         / 10000.0 AS rix
+FROM documents ORDER BY doc_id
+"""
