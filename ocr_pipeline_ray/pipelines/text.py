@@ -8275,3 +8275,39 @@ SELECT doc_id,
          / 10000.0 AS rix
 FROM documents ORDER BY doc_id
 """
+
+
+def likelihood_ratios_length_english(sf_dir: str) -> pd.DataFrame:
+    """Diagnostic likelihood ratios of the length->English classifier
+    at the lower-median threshold: LR+ = sensitivity/(1-specificity)
+    (how much a positive call raises the odds of English), LR- =
+    (1-sensitivity)/specificity, and the diagnostic odds ratio
+    DOR = LR+/LR- — the pre/post-test-odds report card beside the
+    precision/recall point metrics, from the SAME exact confusion
+    cells."""
+    thr, tp, fp, fn, tn = _length_english_confusion(sf_dir)
+    sens = tp * 1.0 / (tp + fn)
+    spec = tn * 1.0 / (tn + fp)
+    lr_pos = sens / (1.0 - spec)
+    lr_neg = (1.0 - sens) / spec
+    return pd.DataFrame(
+        {
+            "threshold": pd.Series([thr], dtype="int64"),
+            "lr_pos": [round(lr_pos, 6)],
+            "lr_neg": [round(lr_neg, 6)],
+            "dor": [round(lr_pos / lr_neg, 6)],
+        }
+    )
+
+
+LIKELIHOOD_RATIOS_LENGTH_ENGLISH_SQL = (
+    _LEN_EN_CONF_SQL
+    + """
+SELECT CAST(t AS BIGINT) AS threshold,
+       round((tp * 1.0 / (tp + fn)) / (1.0 - tn * 1.0 / (tn + fp)), 6) AS lr_pos,
+       round((1.0 - tp * 1.0 / (tp + fn)) / (tn * 1.0 / (tn + fp)), 6) AS lr_neg,
+       round(((tp * 1.0 / (tp + fn)) / (1.0 - tn * 1.0 / (tn + fp)))
+             / ((1.0 - tp * 1.0 / (tp + fn)) / (tn * 1.0 / (tn + fp))), 6) AS dor
+FROM cf
+"""
+)
