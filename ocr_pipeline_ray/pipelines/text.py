@@ -8311,3 +8311,68 @@ SELECT CAST(t AS BIGINT) AS threshold,
 FROM cf
 """
 )
+
+
+def margalef_menhinick_vocab(sf_dir: str) -> pd.DataFrame:
+    """Margalef richness D_mg = (S - 1)/ln N and Menhinick richness
+    D_mn = S/sqrt(N) of the corpus vocabulary (S = distinct terms,
+    N = total tokens) — the two classical size-normalized richness
+    indices beside Chao1/ACE/jackknife, answering 'is vocabulary
+    large FOR this corpus size'. Same bucketed term-total reduction;
+    the vocabulary never reaches the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy("int64")
+        return pd.DataFrame(
+            {"vocab": [np.int64(len(n))], "tokens": [np.int64(n.sum())]}
+        )
+
+    s = totals.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    vocab, tokens = int(s["vocab"]), int(s["tokens"])
+    return pd.DataFrame(
+        {
+            "vocab_size": pd.Series([vocab], dtype="int64"),
+            "n_tokens": pd.Series([tokens], dtype="int64"),
+            "margalef": [round((vocab - 1.0) / np.log(tokens), 6)],
+            "menhinick": [round(vocab / np.sqrt(tokens), 6)],
+        }
+    )
+
+
+MARGALEF_MENHINICK_VOCAB_SQL = """
+WITH t AS (
+  SELECT tt.term, count(*) AS n
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+  GROUP BY tt.term
+),
+s AS (SELECT count(*) AS vocab, sum(n) AS tokens FROM t)
+SELECT CAST(vocab AS BIGINT) AS vocab_size,
+       CAST(tokens AS BIGINT) AS n_tokens,
+       round((vocab - 1.0) / ln(tokens), 6) AS margalef,
+       round(vocab / sqrt(tokens), 6) AS menhinick
+FROM s
+"""
