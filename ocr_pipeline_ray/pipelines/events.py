@@ -8136,3 +8136,156 @@ SELECT t AS event_type,
        round(sqrt(c * c + s * s) / n, 6) AS rbar
 FROM g ORDER BY t
 """
+
+
+def _hourly_two_type_series(sf_dir: str, type_a: str, type_b: str):
+    """Zero-filled hourly count series for TWO event types on the
+    POOLED corpus hour range (so the series align) — the shared grid
+    behind the cross-type second-order statistics. One bucketed
+    (type, hour) aggregate."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"hr": df["ts"].dt.floor("h"), "et": df["event_type"], "one": np.int64(1)}
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["hr", "et"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+    )
+    full = pd.date_range(grid["hr"].min(), grid["hr"].max(), freq="h")
+    a = (
+        grid[grid["et"] == type_a].set_index("hr")["c"].reindex(full).fillna(0)
+        .to_numpy("int64")
+    )
+    b = (
+        grid[grid["et"] == type_b].set_index("hr")["c"].reindex(full).fillna(0)
+        .to_numpy("int64")
+    )
+    return a, b
+
+
+def cross_k_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Bivariate (cross-type) Ripley's K between view and purchase
+    arrivals at lag windows h in {1, 2, 4, 8, 24} hours: K12(h) =
+    T SUM_a v_a (SUM_{|b-a|<=h} p_b) / (n1 n2), against the
+    edge-naive CSR expectation 2h+1 — K12/CSR > 1 means purchases
+    CLUSTER around views at that scale (cross-type attraction, the
+    independence question the single-type K cannot ask). Windowed
+    sums on the shared pooled-range hourly grids."""
+    v, p = _hourly_two_type_series(sf_dir, "view", "purchase")
+    vf, pf = v.astype("float64"), p.astype("float64")
+    t = len(vf)
+    n1, n2 = float(vf.sum()), float(pf.sum())
+    cum = np.concatenate([[0.0], np.cumsum(pf)])
+    rows = []
+    for h in (1, 2, 4, 8, 24):
+        idx = np.arange(t)
+        lo = np.maximum(idx - h, 0)
+        hi = np.minimum(idx + h, t - 1)
+        win = cum[hi + 1] - cum[lo]
+        k = t * float((vf * win).sum()) / (n1 * n2)
+        rows.append((h, round(k, 6), round(k / (2.0 * h + 1.0), 6)))
+    return pd.DataFrame(
+        {
+            "h_hours": pd.Series([r[0] for r in rows], dtype="int64"),
+            "k12_hat": [r[1] for r in rows],
+            "k12_over_csr": [r[2] for r in rows],
+        }
+    )
+
+
+CROSS_K_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hr
+),
+vg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events WHERE event_type = 'view' GROUP BY 1),
+pg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY 1),
+g AS (
+  SELECT row_number() OVER (ORDER BY hrs.hr) AS i,
+         coalesce(vg.n, 0) AS v, coalesce(pg.n, 0) AS p
+  FROM hrs LEFT JOIN vg ON vg.hr = hrs.hr LEFT JOIN pg ON pg.hr = hrs.hr
+),
+tot AS (SELECT count(*) * 1.0 AS t, sum(v) * 1.0 AS n1, sum(p) * 1.0 AS n2 FROM g),
+ks AS (SELECT unnest([1, 2, 4, 8, 24]) AS h),
+pc AS (
+  SELECT ks.h AS h, sum(a.v * b2.p) AS s
+  FROM ks JOIN g a ON TRUE
+  JOIN g b2 ON abs(a.i - b2.i) <= ks.h
+  GROUP BY ks.h
+)
+SELECT CAST(h AS BIGINT) AS h_hours,
+       round((SELECT t FROM tot) * s / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot)), 6)
+         AS k12_hat,
+       round((SELECT t FROM tot) * s / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot))
+             / (2.0 * h + 1.0), 6) AS k12_over_csr
+FROM pc ORDER BY h
+"""
+
+
+def cross_pcf_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Cross-type pair correlation between views and purchases at
+    exact hour lags h in {0, 1, 2, 3, 6, 12, 24}: g12(h) =
+    T (SUM_a v_a p_{a+h} + SUM_a v_a p_{a-h}) / (2 n1 n2) for h > 0
+    (direction-averaged) and T SUM v_a p_a / (n1 n2) at h = 0 — 1
+    under independent homogeneous processes, the non-cumulative
+    derivative view of the cross-K on the same pooled-range grids."""
+    v, p = _hourly_two_type_series(sf_dir, "view", "purchase")
+    vf, pf = v.astype("float64"), p.astype("float64")
+    t = len(vf)
+    n1, n2 = float(vf.sum()), float(pf.sum())
+    rows = []
+    for h in (0, 1, 2, 3, 6, 12, 24):
+        if h == 0:
+            g = t * float((vf * pf).sum()) / (n1 * n2)
+        else:
+            fwd = float((vf[:-h] * pf[h:]).sum())
+            bwd = float((vf[h:] * pf[:-h]).sum())
+            g = t * (fwd + bwd) / (2.0 * n1 * n2)
+        rows.append((h, round(g, 6)))
+    return pd.DataFrame(
+        {
+            "h_hours": pd.Series([r[0] for r in rows], dtype="int64"),
+            "g12": [r[1] for r in rows],
+        }
+    )
+
+
+CROSS_PCF_VIEWS_PURCHASES_SQL = """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+hrs AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hr
+),
+vg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events WHERE event_type = 'view' GROUP BY 1),
+pg AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY 1),
+g AS (
+  SELECT row_number() OVER (ORDER BY hrs.hr) AS i,
+         coalesce(vg.n, 0) AS v, coalesce(pg.n, 0) AS p
+  FROM hrs LEFT JOIN vg ON vg.hr = hrs.hr LEFT JOIN pg ON pg.hr = hrs.hr
+),
+tot AS (SELECT count(*) * 1.0 AS t, sum(v) * 1.0 AS n1, sum(p) * 1.0 AS n2 FROM g),
+ks AS (SELECT unnest([0, 1, 2, 3, 6, 12, 24]) AS h),
+pc AS (
+  SELECT ks.h AS h,
+         CASE WHEN ks.h = 0
+              THEN (SELECT t FROM tot) * (SELECT sum(v * p) FROM g)
+                   / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot))
+              ELSE (SELECT t FROM tot)
+                   * ((SELECT coalesce(sum(a.v * b2.p), 0) FROM g a JOIN g b2 ON b2.i = a.i + ks.h)
+                      + (SELECT coalesce(sum(a.v * b2.p), 0) FROM g a JOIN g b2 ON b2.i = a.i - ks.h))
+                   / (2.0 * (SELECT n1 FROM tot) * (SELECT n2 FROM tot))
+         END AS g12
+  FROM ks
+)
+SELECT CAST(h AS BIGINT) AS h_hours, round(g12, 6) AS g12
+FROM pc ORDER BY h
+"""
