@@ -8376,3 +8376,192 @@ SELECT CAST(vocab AS BIGINT) AS vocab_size,
        round(vocab / sqrt(tokens), 6) AS menhinick
 FROM s
 """
+
+
+def _top_terms_doc_stats(sf_dir: str, k: int = 5):
+    """Shared two-pass reduction for the term-burstiness pair: pass 1
+    finds the top-k terms by collection frequency (bucketed vocab
+    aggregate + partial top-k, ties lexicographic); pass 2 counts,
+    per top term, N docs, df (docs containing), df2 (docs with tf >=
+    2) and cf — per-batch partials with the tiny term set in the
+    closure. Returns (n_docs, DataFrame[term, cf, df, df2])."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(TOKEN_RE.findall(s.lower()))
+        if not toks:
+            return pa.Table.from_pydict(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("n", "sum")},
+        num_buckets=16,
+    )
+    top = (
+        totals.map_batches(
+            lambda df: df.sort_values(["n", "term"], ascending=[False, True]).head(k),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    terms = list(top["term"])
+
+    def _doc_stats(t: pa.Table) -> pd.DataFrame:
+        rows = {w: [0, 0, 0, 0] for w in terms}  # n_docs_any unused per term
+        nd = 0
+        for s in t["text"].to_pylist():
+            nd += 1
+            toks = TOKEN_RE.findall(s.lower())
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            m = dict(zip(u.tolist(), c.tolist()))
+            for w in terms:
+                tf = m.get(w, 0)
+                if tf >= 1:
+                    rows[w][0] += 1
+                    rows[w][2] += int(tf)
+                if tf >= 2:
+                    rows[w][1] += 1
+        out = pd.DataFrame(
+            {
+                "term": terms,
+                "df": [rows[w][0] for w in terms],
+                "df2": [rows[w][1] for w in terms],
+                "cf": [rows[w][2] for w in terms],
+                "nd": nd,
+            }
+        )
+        return out
+
+    s = (
+        ds.map_batches(_doc_stats, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", as_index=False)
+        .sum()
+    )
+    n_docs = int(s["nd"].sum() / len(terms)) if len(terms) else 0
+    return n_docs, s[["term", "cf", "df", "df2"]].reset_index(drop=True)
+
+
+def katz_k_mixture_top_term(sf_dir: str) -> pd.DataFrame:
+    """Katz K-mixture fit (Katz 1996) of the within-document
+    frequency of the corpus's top collection-frequency term: beta =
+    (cf - df)/df (extra occurrences per containing document), alpha
+    = (cf/N)/beta — the burstiness model that fixed the Poisson's
+    failure on content words; reports the observed containing-doc
+    mean tf (= 1 + beta under the model, exactly, by construction of
+    the MoM fit) and the Poisson-expected df for contrast."""
+    n_docs, s = _top_terms_doc_stats(sf_dir, k=1)
+    term = s["term"].iloc[0]
+    cf, df = int(s["cf"].iloc[0]), int(s["df"].iloc[0])
+    lam = cf * 1.0 / n_docs
+    beta = (cf - df) * 1.0 / df
+    alpha = lam / beta
+    poisson_df = n_docs * (1.0 - np.exp(-lam))
+    return pd.DataFrame(
+        {
+            "term": [term],
+            "cf": pd.Series([cf], dtype="int64"),
+            "df": pd.Series([df], dtype="int64"),
+            "beta": [round(beta, 6)],
+            "alpha": [round(alpha, 6)],
+            "poisson_expected_df": [round(float(poisson_df), 4)],
+        }
+    )
+
+
+KATZ_K_MIXTURE_TOP_TERM_SQL = """
+WITH toks AS (
+  SELECT doc_id, tt.term
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+),
+cfs AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+top1 AS (SELECT term, cf FROM cfs ORDER BY cf DESC, term ASC LIMIT 1),
+nd AS (SELECT count(*) AS n FROM documents),
+dfs AS (
+  SELECT count(DISTINCT doc_id) AS df
+  FROM toks WHERE term = (SELECT term FROM top1)
+),
+p AS (
+  SELECT (SELECT term FROM top1) AS term,
+         (SELECT cf FROM top1) AS cf,
+         (SELECT df FROM dfs) AS df,
+         (SELECT n FROM nd) AS n
+)
+SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+       round((cf - df) * 1.0 / df, 6) AS beta,
+       round((cf * 1.0 / n) / ((cf - df) * 1.0 / df), 6) AS alpha,
+       round(n * (1.0 - exp(-(cf * 1.0 / n))), 4) AS poisson_expected_df
+FROM p
+"""
+
+
+def term_adaptation_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Church-Gale adaptation probabilities for the top-5
+    collection-frequency terms: P(tf >= 2 | tf >= 1) = df2/df1
+    against the Poisson expectation (1 - e^-m - m e^-m)/(1 - e^-m)
+    at m = cf/N — adaptation >> Poisson is the signature of topical
+    burstiness ('a word used once will be used again'), per-term
+    rows from the same two-pass reduction."""
+    n_docs, s = _top_terms_doc_stats(sf_dir, k=k)
+    s = s.sort_values(["cf", "term"], ascending=[False, True]).reset_index(drop=True)
+    m = s["cf"].to_numpy("int64") * 1.0 / n_docs
+    pois = (1.0 - np.exp(-m) - m * np.exp(-m)) / (1.0 - np.exp(-m))
+    return pd.DataFrame(
+        {
+            "term": s["term"],
+            "df1": s["df"].astype("int64"),
+            "df2": s["df2"].astype("int64"),
+            "adaptation": np.round(s["df2"].to_numpy() / s["df"].to_numpy("float64"), 6),
+            "poisson_adaptation": np.round(pois, 6),
+        }
+    )
+
+
+TERM_ADAPTATION_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, tt.term
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tt(term)
+),
+cfs AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),
+top5 AS (SELECT term, cf FROM cfs ORDER BY cf DESC, term ASC LIMIT 5),
+nd AS (SELECT count(*) AS n FROM documents),
+per AS (
+  SELECT t.term, t.doc_id, count(*) AS tf
+  FROM toks t WHERE t.term IN (SELECT term FROM top5)
+  GROUP BY t.term, t.doc_id
+),
+agg AS (
+  SELECT term, count(*) AS df1,
+         sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2
+  FROM per GROUP BY term
+)
+SELECT a.term,
+       CAST(a.df1 AS BIGINT) AS df1,
+       CAST(a.df2 AS BIGINT) AS df2,
+       round(a.df2 * 1.0 / a.df1, 6) AS adaptation,
+       round((1.0 - exp(-(t.cf * 1.0 / (SELECT n FROM nd)))
+              - (t.cf * 1.0 / (SELECT n FROM nd))
+                * exp(-(t.cf * 1.0 / (SELECT n FROM nd))))
+             / (1.0 - exp(-(t.cf * 1.0 / (SELECT n FROM nd)))), 6)
+         AS poisson_adaptation
+FROM agg a JOIN top5 t USING (term)
+ORDER BY t.cf DESC, a.term ASC
+"""
