@@ -2883,3 +2883,117 @@ SELECT (SELECT CAST(sum(n) AS BIGINT) FROM counts) AS n,
                 * pow((SELECT min(m) FROM pairs), 2)), 6) AS xie_beni
 """
 )
+
+
+def _unit_resultant_sums(sf_dir: str):
+    """One-pass resultant sums of UNIT-normalized embeddings: each
+    batch emits (n, per-dim sum of x/||x||) — a 64-float partial —
+    behind the directional-uniformity / anisotropy pair. Returns
+    (n, resultant vector as np.ndarray)."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        u = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+                "n": np.int64(m.shape[0]),
+                "su": u.sum(axis=0),
+            }
+        )
+
+    parts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("dim", as_index=False)
+        .agg(n=("n", "sum"), su=("su", "sum"))
+        .sort_values("dim")
+    )
+    n = int(parts["n"].iloc[0])
+    return n, parts["su"].to_numpy("float64")
+
+
+def embedding_resultant_uniformity(sf_dir: str) -> pd.DataFrame:
+    """High-dimensional Rayleigh test of directional uniformity for
+    the unit-normalized embeddings: mean resultant length Rbar =
+    ||SUM u_i||/n and the statistic n d Rbar^2, asymptotically
+    chi-square with d degrees of freedom under uniformity on S^(d-1)
+    — 'do the embeddings point everywhere or share a preferred
+    direction', the d-dimensional member of the circular-statistics
+    family. One streaming 64-float resultant pass."""
+    n, su = _unit_resultant_sums(sf_dir)
+    d = len(su)
+    rbar = float(np.sqrt((su * su).sum())) / n
+    stat = n * d * rbar * rbar
+    return pd.DataFrame(
+        {
+            "n_vecs": pd.Series([n], dtype="int64"),
+            "dim": pd.Series([d], dtype="int64"),
+            "rbar": [round(rbar, 6)],
+            "rayleigh_chi2": [round(stat, 4)],
+        }
+    )
+
+
+EMBEDDING_RESULTANT_UNIFORMITY_SQL = """
+WITH u AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      v -> v * v))) AS nrm
+  FROM embeddings
+),
+s AS (
+  SELECT d, sum(x / nrm) AS su FROM u GROUP BY d
+),
+tot AS (
+  SELECT (SELECT count(*) FROM embeddings) * 1.0 AS n,
+         (SELECT count(*) FROM s) * 1.0 AS dd,
+         sum(su * su) AS r2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       CAST(dd AS BIGINT) AS dim,
+       round(sqrt(r2) / n, 6) AS rbar,
+       round(n * dd * (sqrt(r2) / n) * (sqrt(r2) / n), 4) AS rayleigh_chi2
+FROM tot
+"""
+
+
+def embedding_mean_pairwise_cosine(sf_dir: str) -> pd.DataFrame:
+    """Exact mean pairwise cosine similarity over ALL ordered pairs
+    i != j of unit-normalized embeddings — the Ethayarajh-style
+    anisotropy score of the space — WITHOUT any pairwise work:
+    SUM_{i!=j} u_i . u_j = ||SUM u||^2 - n, so the O(n^2) average is
+    (||SUM u||^2 - n)/(n(n-1)) from the same one-pass resultant
+    sums. 0 means an isotropic space; near 1 a collapsed cone."""
+    n, su = _unit_resultant_sums(sf_dir)
+    r2 = float((su * su).sum())
+    mc = (r2 - n) / (n * (n - 1.0))
+    return pd.DataFrame(
+        {
+            "n_vecs": pd.Series([n], dtype="int64"),
+            "mean_cosine": [round(mc, 6)],
+        }
+    )
+
+
+EMBEDDING_MEAN_PAIRWISE_COSINE_SQL = """
+WITH u AS (
+  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      v -> v * v))) AS nrm
+  FROM embeddings
+),
+s AS (SELECT d, sum(x / nrm) AS su FROM u GROUP BY d),
+tot AS (
+  SELECT (SELECT count(*) FROM embeddings) * 1.0 AS n, sum(su * su) AS r2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_vecs,
+       round((r2 - n) / (n * (n - 1.0)), 6) AS mean_cosine
+FROM tot
+"""
