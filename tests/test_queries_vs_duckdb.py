@@ -589,6 +589,59 @@ SUBSET = [
     "tschuprow_t_priority_status",
     "weighted_kappa_raters",
     "bangdiwala_b_raters",
+    # round-3h additions (this session)
+    "mardia_skewness_quantity_discount",
+    "mardia_kurtosis_quantity_discount",
+    "sample_entropy_daily_revenue",
+    "approximate_entropy_daily_revenue",
+    "sato_vartia_index",
+    "montgomery_vartia_index",
+    "attributable_fractions_urgent_return",
+    "likelihood_ratios_length_english",
+    "c_chart_daily_orders",
+    "u_chart_lines_per_order_daily",
+    "snht_daily_revenue",
+    "von_neumann_ratio_daily_revenue",
+    "ratio_estimator_revenue",
+    "regression_estimator_revenue",
+    "life_table_repurchase",
+    "greenwood_km_ci",
+    "lisa_quadrants_customer_balance",
+    "local_gistar_nation_balance",
+    "dffits_outliers_price_quantity",
+    "dfbetas_slope_outliers_price_quantity",
+    "gumbel_return_levels_daily_max",
+    "inverse_gaussian_fit_order_gaps",
+    "margalef_menhinick_vocab",
+    "err_popularity_at10",
+    "croston_sba_part_demand",
+    "tsb_part_demand",
+    "records_test_daily_revenue",
+    "ulcer_index_daily_revenue",
+    "james_stein_segment_means",
+    "robbins_eb_order_counts",
+    "gini_correlation_quantity_price",
+    "gini_mean_difference_price",
+    "cross_k_views_purchases",
+    "cross_pcf_views_purchases",
+    "hl_shift_ci_quantity_returned",
+    "shift_function_deciles_quantity_returned",
+    "weibull_median_rank_regression_gaps",
+    "gini_exponentiality_gaps",
+    "fisher_quantity_index_yearly",
+    "factor_reversal_audit",
+    "lorenz_dominance_segments",
+    "generalized_lorenz_segments",
+    "katz_k_mixture_top_term",
+    "term_adaptation_top_terms",
+    "embedding_resultant_uniformity",
+    "embedding_mean_pairwise_cosine",
+    "copurchase_conviction_leverage",
+    "copurchase_null_invariant_measures",
+    "fsd_check_segments",
+    "ssd_check_segments",
+    "post_stratified_revenue_estimate",
+    "hajek_vs_ht_revenue",
 ]
 
 
