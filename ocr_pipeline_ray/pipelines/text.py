@@ -8565,3 +8565,149 @@ SELECT a.term,
 FROM agg a JOIN top5 t USING (term)
 ORDER BY t.cf DESC, a.term ASC
 """
+
+
+def _length_english_confusion_by_source(sf_dir: str) -> pd.DataFrame:
+    """Shared per-SOURCE confusion grid for the length->English
+    classifier at the GLOBAL lower-median threshold — the group-level
+    decomposition behind the fairness-audit pair. One bucketed
+    (source, n_chars) histogram; the driver derives the global
+    threshold by marginalizing sources, then cuts each source's
+    confusion at that same threshold. Returns per-source
+    (source, n, npred, tp, fp, p, neg) exact integers."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pos=(df["lang"] == "en").astype("int64")).groupby(
+            ["source", "n_chars"], as_index=False
+        ).agg(n=("pos", "size"), n_pos=("pos", "sum"))
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["source", "n_chars"],
+            {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["source", "n_chars"])
+        .reset_index(drop=True)
+    )
+    lens = grid.groupby("n_chars", as_index=False)["n"].sum().sort_values("n_chars")
+    n_tot = int(lens["n"].sum())
+    cum = np.cumsum(lens["n"].to_numpy("int64"))
+    thr = int(lens["n_chars"].iloc[int(np.argmax(cum >= (n_tot + 1) // 2))])
+    grid["pred"] = (grid["n_chars"] >= thr).astype("int64")
+    by = grid.groupby("source").apply(
+        lambda g: pd.Series(
+            {
+                "n": int(g["n"].sum()),
+                "npred": int(g.loc[g["pred"] == 1, "n"].sum()),
+                "tp": int(g.loc[g["pred"] == 1, "n_pos"].sum()),
+                "fp": int((g.loc[g["pred"] == 1, "n"] - g.loc[g["pred"] == 1, "n_pos"]).sum()),
+                "p": int(g["n_pos"].sum()),
+                "neg": int((g["n"] - g["n_pos"]).sum()),
+            }
+        ),
+        include_groups=False,
+    ).reset_index()
+    by["threshold"] = thr
+    return by
+
+
+def fairness_rates_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source fairness report card for the length->English
+    classifier at the global lower-median threshold: selection rate
+    (predicted-positive share — the demographic-parity coordinate),
+    TPR and FPR (the equalized-odds coordinates) and PPV (the
+    predictive-parity coordinate) for each source group — the
+    group-conditional rates every formal fairness criterion compares."""
+    by = _length_english_confusion_by_source(sf_dir)
+    return pd.DataFrame(
+        {
+            "source": by["source"].astype(object),
+            "n": by["n"].astype("int64"),
+            "sel_rate": np.round(by["npred"] / by["n"], 6),
+            "tpr": np.round(by["tp"] / by["p"], 6),
+            "fpr": np.round(by["fp"] / by["neg"], 6),
+            "ppv": np.round(by["tp"] / by["npred"], 6),
+        }
+    ).sort_values("source").reset_index(drop=True)
+
+
+_LEN_EN_BY_SOURCE_SQL = """
+WITH g AS (
+  SELECT source, n_chars, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1, 2
+),
+lens AS (SELECT n_chars, sum(n) AS n FROM g GROUP BY 1),
+tot AS (SELECT sum(n) AS n_tot FROM lens),
+cum AS (SELECT n_chars, sum(n) OVER (ORDER BY n_chars) AS c FROM lens),
+thr AS (
+  SELECT min(n_chars) AS t FROM cum
+  WHERE c >= ((SELECT n_tot FROM tot) + 1) // 2
+),
+bys AS (
+  SELECT source, sum(n) AS n,
+         sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN n ELSE 0 END) AS npred,
+         sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN pos ELSE 0 END) AS tp,
+         sum(CASE WHEN n_chars >= (SELECT t FROM thr) THEN n - pos ELSE 0 END) AS fp,
+         sum(pos) AS p, sum(n - pos) AS neg
+  FROM g GROUP BY source
+)
+"""
+
+FAIRNESS_RATES_BY_SOURCE_SQL = (
+    _LEN_EN_BY_SOURCE_SQL
+    + """
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(npred * 1.0 / n, 6) AS sel_rate,
+       round(tp * 1.0 / p, 6) AS tpr,
+       round(fp * 1.0 / neg, 6) AS fpr,
+       round(tp * 1.0 / npred, 6) AS ppv
+FROM bys ORDER BY source
+"""
+)
+
+
+def fairness_gaps_by_source(sf_dir: str) -> pd.DataFrame:
+    """Scalar fairness-criterion gaps of the length->English
+    classifier across source groups: demographic parity difference
+    (max - min selection rate), disparate impact ratio (min/max
+    selection rate — the EEOC four-fifths-rule statistic), the
+    equalized-odds gaps (largest between-group TPR and FPR
+    differences), and the predictive-parity gap (largest PPV
+    difference) — the audit scalars over the same per-source
+    confusion grid."""
+    by = _length_english_confusion_by_source(sf_dir)
+    sel = (by["npred"] / by["n"]).to_numpy("float64")
+    tpr = (by["tp"] / by["p"]).to_numpy("float64")
+    fpr = (by["fp"] / by["neg"]).to_numpy("float64")
+    ppv = (by["tp"] / by["npred"]).to_numpy("float64")
+    return pd.DataFrame(
+        {
+            "n_groups": pd.Series([len(by)], dtype="int64"),
+            "dp_diff": [round(float(sel.max() - sel.min()), 6)],
+            "di_ratio": [round(float(sel.min() / sel.max()), 6)],
+            "eo_tpr_gap": [round(float(tpr.max() - tpr.min()), 6)],
+            "eo_fpr_gap": [round(float(fpr.max() - fpr.min()), 6)],
+            "pp_gap": [round(float(ppv.max() - ppv.min()), 6)],
+        }
+    )
+
+
+FAIRNESS_GAPS_BY_SOURCE_SQL = (
+    _LEN_EN_BY_SOURCE_SQL
+    + """
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       round(max(npred * 1.0 / n) - min(npred * 1.0 / n), 6) AS dp_diff,
+       round(min(npred * 1.0 / n) / max(npred * 1.0 / n), 6) AS di_ratio,
+       round(max(tp * 1.0 / p) - min(tp * 1.0 / p), 6) AS eo_tpr_gap,
+       round(max(fp * 1.0 / neg) - min(fp * 1.0 / neg), 6) AS eo_fpr_gap,
+       round(max(tp * 1.0 / npred) - min(tp * 1.0 / npred), 6) AS pp_gap
+FROM bys
+"""
+)
