@@ -8289,3 +8289,175 @@ pc AS (
 SELECT CAST(h AS BIGINT) AS h_hours, round(g12, 6) AS g12
 FROM pc ORDER BY h
 """
+
+
+# ---------------------------------------------------------------------------
+# single-frequency cross-spectral analysis of the view/purchase day series
+# ---------------------------------------------------------------------------
+
+def _daily_view_purchase_series(sf_dir: str):
+    """Shared zero-filled daily count series for 'view' and 'purchase'
+    over the common day spine — the input of the cross-spectral pair.
+    ONE bucketed (type, day) count reduction; the spine is
+    day-dimension scale."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"]).map_batches(
+        lambda df: df[df["event_type"].isin(["view", "purchase"])], batch_format="pandas"
+    )
+    lo = pd.Timestamp(ds.min("ts")).floor("D")
+    hi = pd.Timestamp(ds.max("ts")).floor("D")
+    cnt = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"t": df["event_type"], "d": df["ts"].dt.floor("D"), "one": np.int64(1)}
+            ),
+            batch_format="pandas",
+        ),
+        ["t", "d"],
+        {"c": ("one", "sum")},
+        num_buckets=16,
+    ).to_pandas()
+    spine = pd.date_range(lo, hi, freq="D")
+    v = cnt[cnt["t"] == "view"].set_index("d")["c"].reindex(spine, fill_value=0).to_numpy("float64")
+    p = cnt[cnt["t"] == "purchase"].set_index("d")["c"].reindex(spine, fill_value=0).to_numpy("float64")
+    return v, p
+
+
+def weekly_cross_spectrum_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Cross-spectrum of the daily view and purchase count series AT
+    the weekly frequency (omega = 2 pi / 7): per-series amplitude of
+    the 7-day cycle (2|C|/n of the demeaned series), the cross-
+    spectral phase difference arg(C_v conj(C_p)), and the implied lead
+    of views over purchases in days (phase/omega in (-3.5, 3.5]) —
+    the frequency-domain companion of the time-domain lag
+    cross-correlation, pinned to the one cycle that matters.
+
+    Distributed: the shared bucketed (type, day) count; DFT sums on
+    the day-dimension spine."""
+    v, p = _daily_view_purchase_series(sf_dir)
+    n = len(v)
+    t = np.arange(n, dtype="float64")
+    w = 2.0 * np.pi / 7.0
+    cosw, sinw = np.cos(w * t), np.sin(w * t)
+    vv, pp = v - v.mean(), p - p.mean()
+    cv = complex(float((vv * cosw).sum()), -float((vv * sinw).sum()))
+    cp = complex(float((pp * cosw).sum()), -float((pp * sinw).sum()))
+    cross = cv * np.conj(cp)
+    phase = float(np.arctan2(cross.imag, cross.real))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "amp_views": [round(2.0 * abs(cv) / n, 6)],
+            "amp_purchases": [round(2.0 * abs(cp) / n, 6)],
+            "phase_diff": [round(phase, 6)],
+            "lead_days": [round(phase / w, 6)],
+        }
+    )
+
+
+_DAILY_VP_SQL = """
+WITH days AS (
+  SELECT unnest(generate_series(
+           date_trunc('day', (SELECT min(ts) FROM events WHERE event_type IN ('view','purchase'))),
+           date_trunc('day', (SELECT max(ts) FROM events WHERE event_type IN ('view','purchase'))),
+           INTERVAL 1 DAY)) AS d
+),
+cnt AS (
+  SELECT event_type AS t, date_trunc('day', ts) AS d, count(*) AS c
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+),
+filled AS (
+  SELECT row_number() OVER (ORDER BY days.d) - 1 AS t,
+         coalesce(v.c, 0) * 1.0 AS v, coalesce(p.c, 0) * 1.0 AS p
+  FROM days
+  LEFT JOIN cnt v ON v.d = days.d AND v.t = 'view'
+  LEFT JOIN cnt p ON p.d = days.d AND p.t = 'purchase'
+)
+"""
+
+WEEKLY_CROSS_SPECTRUM_VIEWS_PURCHASES_SQL = (
+    _DAILY_VP_SQL
+    + """,
+m AS (SELECT count(*) * 1.0 AS n, avg(v) AS mv, avg(p) AS mp FROM filled),
+dft AS (
+  SELECT (SELECT n FROM m) AS n,
+         sum((v - (SELECT mv FROM m)) * cos(2 * pi() / 7 * t)) AS cvr,
+         -sum((v - (SELECT mv FROM m)) * sin(2 * pi() / 7 * t)) AS cvi,
+         sum((p - (SELECT mp FROM m)) * cos(2 * pi() / 7 * t)) AS cpr,
+         -sum((p - (SELECT mp FROM m)) * sin(2 * pi() / 7 * t)) AS cpi
+  FROM filled
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(2.0 * sqrt(cvr * cvr + cvi * cvi) / n, 6) AS amp_views,
+       round(2.0 * sqrt(cpr * cpr + cpi * cpi) / n, 6) AS amp_purchases,
+       round(atan2(cvi * cpr - cvr * cpi, cvr * cpr + cvi * cpi), 6) AS phase_diff,
+       round(atan2(cvi * cpr - cvr * cpi, cvr * cpr + cvi * cpi) / (2 * pi() / 7), 6)
+         AS lead_days
+FROM dft
+"""
+)
+
+
+def weekly_band_coherence_views_purchases(sf_dir: str, half_band: int = 2) -> pd.DataFrame:
+    """Magnitude-squared coherence between daily views and purchases
+    in the WEEKLY band: cross- and auto-periodograms at the five
+    exact Fourier bins nearest 1/7 cycles/day (j0 = round(n/7) +/- 2),
+    Welch-averaged across the band — coh = |SUM Sxy|^2 /
+    (SUM Sxx * SUM Syy) in [0, 1] (a single bin is identically 1;
+    band-averaging is what makes coherence informative) — plus the
+    band-averaged cross phase. Exact Fourier bins need no demeaning
+    (the DC term is orthogonal). Same shared daily reduction."""
+    v, p = _daily_view_purchase_series(sf_dir)
+    n = len(v)
+    t = np.arange(n, dtype="float64")
+    j0 = int(round(n / 7.0))
+    sxy = 0j
+    sxx = syy = 0.0
+    for j in range(j0 - half_band, j0 + half_band + 1):
+        w = 2.0 * np.pi * j / n
+        cv = complex(float((v * np.cos(w * t)).sum()), -float((v * np.sin(w * t)).sum()))
+        cp = complex(float((p * np.cos(w * t)).sum()), -float((p * np.sin(w * t)).sum()))
+        sxy += cv * np.conj(cp)
+        sxx += abs(cv) ** 2
+        syy += abs(cp) ** 2
+    coh = abs(sxy) ** 2 / (sxx * syy)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "j_center": pd.Series([j0], dtype="int64"),
+            "coherence": [round(float(coh), 6)],
+            "band_phase": [round(float(np.arctan2(sxy.imag, sxy.real)), 6)],
+        }
+    )
+
+
+WEEKLY_BAND_COHERENCE_VIEWS_PURCHASES_SQL = (
+    _DAILY_VP_SQL
+    + """,
+m AS (SELECT count(*) * 1.0 AS n, CAST(round(count(*) / 7.0) AS BIGINT) AS j0 FROM filled),
+bins AS (
+  SELECT unnest(generate_series((SELECT j0 FROM m) - 2, (SELECT j0 FROM m) + 2)) AS j
+),
+dft AS (
+  SELECT j,
+         sum(v * cos(2 * pi() * j / (SELECT n FROM m) * t)) AS cvr,
+         -sum(v * sin(2 * pi() * j / (SELECT n FROM m) * t)) AS cvi,
+         sum(p * cos(2 * pi() * j / (SELECT n FROM m) * t)) AS cpr,
+         -sum(p * sin(2 * pi() * j / (SELECT n FROM m) * t)) AS cpi
+  FROM filled, bins GROUP BY j
+),
+band AS (
+  SELECT sum(cvr * cpr + cvi * cpi) AS sxy_re,
+         sum(cvi * cpr - cvr * cpi) AS sxy_im,
+         sum(cvr * cvr + cvi * cvi) AS sxx,
+         sum(cpr * cpr + cpi * cpi) AS syy
+  FROM dft
+)
+SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days,
+       CAST((SELECT j0 FROM m) AS BIGINT) AS j_center,
+       round((sxy_re * sxy_re + sxy_im * sxy_im) / (sxx * syy), 6) AS coherence,
+       round(atan2(sxy_im, sxy_re), 6) AS band_phase
+FROM band
+"""
+)
