@@ -8461,3 +8461,155 @@ SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days,
 FROM band
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# circular uniformity of event time-of-day: Watson U^2 and Rao spacings
+# ---------------------------------------------------------------------------
+
+def _second_of_day_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared second-of-day histogram of all events (u = sec/86400 on
+    the unit circle) — the grouped-order-statistics input of the
+    circular-uniformity pair. ONE bucketed aggregate, <=86400 cells."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"]
+        sec = (t.dt.hour * 3600 + t.dt.minute * 60 + t.dt.second).astype("int64")
+        return pd.DataFrame({"sec": sec, "one": np.int64(1)}).groupby(
+            "sec", as_index=False
+        ).agg(c=("one", "sum"))
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["sec"],
+            {"c": ("c", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("sec")
+        .reset_index(drop=True)
+    )
+
+
+def watson_u2_time_of_day(sf_dir: str) -> pd.DataFrame:
+    """Watson's U^2 one-sample test of time-of-day uniformity over
+    ALL events (origin-invariant — unlike Kuiper's V it needs no
+    choice of where the circle 'starts'): U^2 = SUM (u_(i) -
+    (2i-1)/(2n))^2 - n(ubar - 1/2)^2 + 1/(12n), with the order
+    statistics collapsed EXACTLY onto the second-of-day histogram via
+    the closed forms SUM(2k-1) = m^2 and SUM(2k-1)^2 =
+    m(2m-1)(2m+1)/3 over each tie run — no per-event work anywhere."""
+    g = _second_of_day_hist(sf_dir)
+    c = g["c"].to_numpy("int64").astype("float64")
+    u = g["sec"].to_numpy("int64").astype("float64") / 86400.0
+    n = float(c.sum())
+    s = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+
+    def _f(m):
+        return m * (2.0 * m - 1.0) * (2.0 * m + 1.0) / 3.0
+
+    sum_a = ((s + c) ** 2 - s ** 2) / (2.0 * n)
+    sum_a2 = (_f(s + c) - _f(s)) / (4.0 * n * n)
+    term = float((c * u * u - 2.0 * u * sum_a + sum_a2).sum())
+    ubar = float((c * u).sum()) / n
+    u2 = term - n * (ubar - 0.5) ** 2 + 1.0 / (12.0 * n)
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(n)], dtype="int64"),
+            "ubar": [round(ubar, 6)],
+            "watson_u2": [round(u2, 6)],
+        }
+    )
+
+
+_SEC_HIST_SQL = """
+WITH h AS (
+  SELECT date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+           + date_part('second', ts) AS sec,
+         count(*) AS c
+  FROM events GROUP BY 1
+),
+hh AS (
+  SELECT sec / 86400.0 AS u, c * 1.0 AS c,
+         (sum(c) OVER (ORDER BY sec) - c) * 1.0 AS s
+  FROM h
+),
+nn AS (SELECT sum(c) AS n FROM hh)
+"""
+
+WATSON_U2_TIME_OF_DAY_SQL = (
+    _SEC_HIST_SQL
+    + """,
+terms AS (
+  SELECT c * u * u
+         - 2.0 * u * (pow(s + c, 2) - pow(s, 2)) / (2.0 * (SELECT n FROM nn))
+         + ((s + c) * (2.0 * (s + c) - 1.0) * (2.0 * (s + c) + 1.0) / 3.0
+            - s * (2.0 * s - 1.0) * (2.0 * s + 1.0) / 3.0)
+           / (4.0 * (SELECT n FROM nn) * (SELECT n FROM nn)) AS t,
+         c * u AS cu
+  FROM hh
+)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
+       round(sum(cu) / (SELECT n FROM nn), 6) AS ubar,
+       round(sum(t)
+             - (SELECT n FROM nn) * pow(sum(cu) / (SELECT n FROM nn) - 0.5, 2)
+             + 1.0 / (12.0 * (SELECT n FROM nn)), 6) AS watson_u2
+FROM terms
+"""
+)
+
+
+def rao_spacing_time_of_day(sf_dir: str) -> pd.DataFrame:
+    """Rao's spacing test of time-of-day uniformity: T = (1/2)
+    SUM |D_i - 1/n| over the n arc gaps between successive events on
+    the unit circle (wrap-around included) — sensitive to multimodal
+    clumping that mean-direction tests miss entirely. Tie runs
+    collapse exactly: a cell with c events contributes (c-1) zero
+    gaps of |0 - 1/n| each plus one gap to the next distinct second.
+    Same shared histogram."""
+    g = _second_of_day_hist(sf_dir)
+    c = g["c"].to_numpy("int64").astype("float64")
+    u = g["sec"].to_numpy("int64").astype("float64") / 86400.0
+    n = float(c.sum())
+    lam = 1.0 / n
+    zero_part = float(((c - 1.0) * lam).sum())
+    gaps = np.diff(u)
+    wrap = 1.0 - u[-1] + u[0]
+    gap_part = float(np.abs(gaps - lam).sum()) + abs(wrap - lam)
+    t = 0.5 * (zero_part + gap_part)
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(n)], dtype="int64"),
+            "rao_t": [round(t, 6)],
+            "rao_t_degrees": [round(t * 360.0, 4)],
+        }
+    )
+
+
+RAO_SPACING_TIME_OF_DAY_SQL = (
+    _SEC_HIST_SQL
+    + """,
+gp AS (
+  SELECT u, c,
+         lead(u) OVER (ORDER BY u) AS nxt,
+         first_value(u) OVER (ORDER BY u
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS firstu
+  FROM hh
+),
+parts AS (
+  SELECT sum((c - 1.0) / (SELECT n FROM nn)) AS zero_part,
+         sum(CASE WHEN nxt IS NOT NULL
+                  THEN abs(nxt - u - 1.0 / (SELECT n FROM nn))
+                  ELSE abs(1.0 - u + firstu - 1.0 / (SELECT n FROM nn)) END) AS gap_part
+  FROM gp
+)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
+       round(0.5 * (zero_part + gap_part), 6) AS rao_t,
+       round(0.5 * (zero_part + gap_part) * 360.0, 4) AS rao_t_degrees
+FROM parts
+"""
+)
