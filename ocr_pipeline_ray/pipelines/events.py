@@ -8613,3 +8613,147 @@ SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
 FROM parts
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# multivariate information measures of (event_type, weekday, hour band)
+# ---------------------------------------------------------------------------
+
+def _tdb_cube(sf_dir: str) -> pd.DataFrame:
+    """Shared 3-way count cube over (event_type, ISO weekday,
+    6-hour band) — the joint distribution behind the multivariate-
+    information pair. ONE bucketed aggregate; ~|types| x 7 x 4
+    cells."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t": df["event_type"],
+                "d": (df["ts"].dt.dayofweek + 1).astype("int64"),
+                "b": (df["ts"].dt.hour // 6).astype("int64"),
+                "one": np.int64(1),
+            }
+        ).groupby(["t", "d", "b"], as_index=False).agg(c=("one", "sum"))
+
+    return bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["t", "d", "b"],
+        {"c": ("c", "sum")},
+        num_buckets=4,
+    ).to_pandas()
+
+
+def _cube_entropies(cube: pd.DataFrame) -> dict[str, float]:
+    """All seven marginal/joint Shannon entropies (bits) of the
+    (t, d, b) cube."""
+    n = float(cube["c"].sum())
+
+    def _h(keys) -> float:
+        p = cube.groupby(keys)["c"].sum().to_numpy("float64") / n
+        return float(-(p * np.log2(p)).sum())
+
+    return {
+        "x": _h(["t"]), "y": _h(["d"]), "z": _h(["b"]),
+        "xy": _h(["t", "d"]), "xz": _h(["t", "b"]), "yz": _h(["d", "b"]),
+        "xyz": _h(["t", "d", "b"]), "n": n,
+    }
+
+
+def interaction_information_events(sf_dir: str) -> pd.DataFrame:
+    """McGill interaction information of (event_type, weekday,
+    hour band): I(X;Y;Z) = H(X)+H(Y)+H(Z) - H(XY) - H(XZ) - H(YZ)
+    + H(XYZ) = I(X;Y) - I(X;Y|Z), in bits — positive = redundancy
+    (the weekday/type association is explained by hour band),
+    negative = synergy (conditioning REVEALS association) — the
+    three-way completion of the pairwise MI queries. Shared cube
+    reduction; entropy math on ~140 cells."""
+    h = _cube_entropies(_tdb_cube(sf_dir))
+    i_xy = h["x"] + h["y"] - h["xy"]
+    inter = h["x"] + h["y"] + h["z"] - h["xy"] - h["xz"] - h["yz"] + h["xyz"]
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(h["n"])], dtype="int64"),
+            "i_type_dow": [round(i_xy, 6)],
+            "i_type_dow_given_band": [round(i_xy - inter, 6)],
+            "interaction_info": [round(inter, 6)],
+        }
+    )
+
+
+_TDB_CUBE_SQL = """
+WITH cube_ AS (
+  SELECT event_type AS t, isodow(ts) AS d, date_part('hour', ts) // 6 AS b,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+),
+nn AS (SELECT sum(c) * 1.0 AS n FROM cube_),
+hx AS (SELECT -sum(p * log2(p)) AS h FROM (
+  SELECT sum(c) / (SELECT n FROM nn) AS p FROM cube_ GROUP BY t)),
+hy AS (SELECT -sum(p * log2(p)) AS h FROM (
+  SELECT sum(c) / (SELECT n FROM nn) AS p FROM cube_ GROUP BY d)),
+hz AS (SELECT -sum(p * log2(p)) AS h FROM (
+  SELECT sum(c) / (SELECT n FROM nn) AS p FROM cube_ GROUP BY b)),
+hxy AS (SELECT -sum(p * log2(p)) AS h FROM (
+  SELECT sum(c) / (SELECT n FROM nn) AS p FROM cube_ GROUP BY t, d)),
+hxz AS (SELECT -sum(p * log2(p)) AS h FROM (
+  SELECT sum(c) / (SELECT n FROM nn) AS p FROM cube_ GROUP BY t, b)),
+hyz AS (SELECT -sum(p * log2(p)) AS h FROM (
+  SELECT sum(c) / (SELECT n FROM nn) AS p FROM cube_ GROUP BY d, b)),
+hxyz AS (SELECT -sum(c / (SELECT n FROM nn) * log2(c / (SELECT n FROM nn))) AS h
+  FROM cube_)
+"""
+
+INTERACTION_INFORMATION_EVENTS_SQL = (
+    _TDB_CUBE_SQL
+    + """
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
+       round((SELECT h FROM hx) + (SELECT h FROM hy) - (SELECT h FROM hxy), 6)
+         AS i_type_dow,
+       round(((SELECT h FROM hx) + (SELECT h FROM hy) - (SELECT h FROM hxy))
+             - ((SELECT h FROM hx) + (SELECT h FROM hy) + (SELECT h FROM hz)
+                - (SELECT h FROM hxy) - (SELECT h FROM hxz) - (SELECT h FROM hyz)
+                + (SELECT h FROM hxyz)), 6) AS i_type_dow_given_band,
+       round((SELECT h FROM hx) + (SELECT h FROM hy) + (SELECT h FROM hz)
+             - (SELECT h FROM hxy) - (SELECT h FROM hxz) - (SELECT h FROM hyz)
+             + (SELECT h FROM hxyz), 6) AS interaction_info
+"""
+)
+
+
+def o_information_events(sf_dir: str) -> pd.DataFrame:
+    """Total correlation C = SUM H(marginals) - H(joint), dual total
+    correlation D = H(XY)+H(XZ)+H(YZ) - 2 H(XYZ), and the
+    O-information O = C - D (Rosas 2019) of the same triple — O > 0
+    means the system is redundancy-dominated, O < 0 synergy-
+    dominated; the modern scalar verdict on top of the McGill sign.
+    Same shared cube."""
+    h = _cube_entropies(_tdb_cube(sf_dir))
+    c = h["x"] + h["y"] + h["z"] - h["xyz"]
+    d = h["xy"] + h["xz"] + h["yz"] - 2.0 * h["xyz"]
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(h["n"])], dtype="int64"),
+            "total_correlation": [round(c, 6)],
+            "dual_total_correlation": [round(d, 6)],
+            "o_information": [round(c - d, 6)],
+        }
+    )
+
+
+O_INFORMATION_EVENTS_SQL = (
+    _TDB_CUBE_SQL
+    + """
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
+       round((SELECT h FROM hx) + (SELECT h FROM hy) + (SELECT h FROM hz)
+             - (SELECT h FROM hxyz), 6) AS total_correlation,
+       round((SELECT h FROM hxy) + (SELECT h FROM hxz) + (SELECT h FROM hyz)
+             - 2.0 * (SELECT h FROM hxyz), 6) AS dual_total_correlation,
+       round(((SELECT h FROM hx) + (SELECT h FROM hy) + (SELECT h FROM hz)
+              - (SELECT h FROM hxyz))
+             - ((SELECT h FROM hxy) + (SELECT h FROM hxz) + (SELECT h FROM hyz)
+                - 2.0 * (SELECT h FROM hxyz)), 6) AS o_information
+"""
+)
