@@ -8711,3 +8711,158 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
 FROM bys
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary rarefaction (hypergeometric expected-distinct curve)
+# ---------------------------------------------------------------------------
+
+def _freq_of_freq(sf_dir: str) -> pd.DataFrame:
+    """Frequency-of-frequencies vector phi_f (how many terms occur
+    exactly f times) from the shared bucketed term-total reduction —
+    terms with equal counts contribute identically to every
+    occupancy statistic, so the rarefaction math collapses from
+    |vocab| to |distinct f| terms. The vocabulary never reaches the
+    driver; only the (f, phi_f) rows do."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    totals = _term_totals(sf_dir)
+
+    def _fof(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("n", as_index=False)
+            .size()
+            .rename(columns={"n": "f", "size": "phi"})
+        )
+
+    return (
+        bucketed_aggregate(
+            totals.map_batches(_fof, batch_format="pandas"),
+            ["f"],
+            {"phi": ("phi", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("f")
+        .reset_index(drop=True)
+    )
+
+
+def vocab_rarefaction_curve(sf_dir: str) -> pd.DataFrame:
+    """Hypergeometric rarefaction of the corpus vocabulary: the EXACT
+    expected number of distinct terms in a uniform subsample of m
+    tokens, E[S_m] = SUM_f phi_f (1 - C(N-f, m)/C(N, m)), at m =
+    10%..90% of the corpus — the sampling-theory-correct version of
+    the accumulation curve (which depends on document order), and the
+    standard way to compare vocabulary richness at equal sample
+    sizes. lgamma closed forms over the (f, phi_f) vector; identical
+    in the oracle."""
+    from math import lgamma
+
+    fof = _freq_of_freq(sf_dir)
+    f = fof["f"].to_numpy("int64")
+    phi = fof["phi"].to_numpy("int64").astype("float64")
+    n = int((f * fof["phi"].to_numpy("int64")).sum())
+    rows = []
+    for i in range(1, 10):
+        m = (i * n) // 10
+        acc = 0.0
+        for ff, pp in zip(f, phi):
+            if n - ff - m < 0:
+                acc += pp
+            else:
+                acc += pp * (
+                    1.0
+                    - np.exp(
+                        lgamma(n - ff + 1) + lgamma(n - m + 1)
+                        - lgamma(n + 1) - lgamma(n - ff - m + 1)
+                    )
+                )
+        rows.append({"pct": np.int64(i * 10), "m_tokens": np.int64(m),
+                     "expected_distinct": round(acc, 6)})
+    out = pd.DataFrame(rows)
+    out["pct"] = out["pct"].astype("int64")
+    out["m_tokens"] = out["m_tokens"].astype("int64")
+    return out
+
+
+_FOF_SQL = """
+WITH tok AS (
+  SELECT t.term FROM documents,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+tt AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+fof AS (SELECT f, count(*) AS phi FROM tt GROUP BY 1),
+nn AS (SELECT sum(f * phi) AS n FROM fof)
+"""
+
+VOCAB_RAREFACTION_CURVE_SQL = (
+    _FOF_SQL
+    + """,
+ms AS (
+  SELECT i.i * 10 AS pct,
+         (i.i * (SELECT n FROM nn)) // 10 AS m
+  FROM (SELECT unnest(generate_series(1, 9)) AS i) i
+)
+SELECT CAST(ms.pct AS BIGINT) AS pct,
+       CAST(ms.m AS BIGINT) AS m_tokens,
+       round(sum(CASE WHEN (SELECT n FROM nn) - fof.f - ms.m < 0 THEN fof.phi
+                 ELSE fof.phi * (1.0 - exp(
+                   lgamma((SELECT n FROM nn) - fof.f + 1)
+                   + lgamma((SELECT n FROM nn) - ms.m + 1)
+                   - lgamma((SELECT n FROM nn) + 1)
+                   - lgamma((SELECT n FROM nn) - fof.f - ms.m + 1))) END), 6)
+         AS expected_distinct
+FROM ms, fof GROUP BY 1, 2 ORDER BY 1
+"""
+)
+
+
+def vocab_expected_singletons(sf_dir: str) -> pd.DataFrame:
+    """Expected number of SINGLETON terms (exactly one occurrence) in
+    a uniform m-token subsample: E[phi_1(m)] = SUM_f phi_f f m
+    C(N-f, m-1)/C(N, m) — the Good-Turing trajectory behind
+    unseen-mass estimates (its value at m = N is the observed hapax
+    count, an identity the query exhibits at pct = 100). Same
+    (f, phi_f) reduction and lgamma closed forms."""
+    from math import lgamma
+
+    fof = _freq_of_freq(sf_dir)
+    f = fof["f"].to_numpy("int64")
+    phi = fof["phi"].to_numpy("int64").astype("float64")
+    n = int((f * fof["phi"].to_numpy("int64")).sum())
+    rows = []
+    for pct in (25, 50, 75, 100):
+        m = (pct * n) // 100
+        acc = 0.0
+        for ff, pp in zip(f, phi):
+            if n - ff - m + 1 < 0:
+                continue
+            acc += pp * ff * m * np.exp(
+                lgamma(n - ff + 1) + lgamma(n - m + 1)
+                - lgamma(n + 1) - lgamma(n - ff - m + 2)
+            )
+        rows.append({"pct": np.int64(pct), "expected_singletons": round(acc, 6)})
+    out = pd.DataFrame(rows)
+    out["pct"] = out["pct"].astype("int64")
+    return out
+
+
+VOCAB_EXPECTED_SINGLETONS_SQL = (
+    _FOF_SQL
+    + """,
+ms AS (
+  SELECT i.i AS pct, (i.i * (SELECT n FROM nn)) // 100 AS m
+  FROM (SELECT unnest([25, 50, 75, 100]) AS i) i
+)
+SELECT CAST(ms.pct AS BIGINT) AS pct,
+       round(sum(CASE WHEN (SELECT n FROM nn) - fof.f - ms.m + 1 < 0 THEN 0.0
+                 ELSE fof.phi * fof.f * ms.m * exp(
+                   lgamma((SELECT n FROM nn) - fof.f + 1)
+                   + lgamma((SELECT n FROM nn) - ms.m + 1)
+                   - lgamma((SELECT n FROM nn) + 1)
+                   - lgamma((SELECT n FROM nn) - fof.f - ms.m + 2)) END), 6)
+         AS expected_singletons
+FROM ms, fof GROUP BY 1 ORDER BY 1
+"""
+)
