@@ -8866,3 +8866,162 @@ SELECT CAST(ms.pct AS BIGINT) AS pct,
 FROM ms, fof GROUP BY 1 ORDER BY 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# partial AUC and Somers' D of the length->English score
+# ---------------------------------------------------------------------------
+
+def _len_en_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared (n_chars -> n, n_pos) histogram for the threshold-free
+    ranking diagnostics — the same bucketed reduction as the
+    confusion family, returned as the full grid."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pos=(df["lang"] == "en").astype("int64")).groupby(
+            "n_chars", as_index=False
+        ).agg(n=("pos", "size"), n_pos=("pos", "sum"))
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            "n_chars",
+            {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+
+
+def partial_auc_length_english(sf_dir: str, fmax: float = 0.2) -> pd.DataFrame:
+    """Partial AUC of the length->English score restricted to the
+    low-false-positive region FPR <= 0.2 (the regime screening
+    pipelines actually operate in — two models with equal full AUC
+    can differ badly here): trapezoid over the descending-threshold
+    ROC with exact linear interpolation at the boundary, the
+    normalized pAUC/0.2, and the McClish transform 0.5 (1 + (pAUC -
+    min)/(max - min)) that maps chance to 0.5. Same histogram
+    reduction as the AUC query."""
+    g = _len_en_hist(sf_dir).sort_values("n_chars", ascending=False)
+    pos = g["n_pos"].to_numpy("int64").astype("float64")
+    neg = (g["n"] - g["n_pos"]).to_numpy("int64").astype("float64")
+    pt, nt = pos.sum(), neg.sum()
+    tpr = np.concatenate([[0.0], np.cumsum(pos) / pt])
+    fpr = np.concatenate([[0.0], np.cumsum(neg) / nt])
+    pauc = 0.0
+    for i in range(1, len(tpr)):
+        f0, f1, t0, t1 = fpr[i - 1], fpr[i], tpr[i - 1], tpr[i]
+        if f0 >= fmax:
+            break
+        if f1 <= fmax:
+            pauc += (f1 - f0) * (t0 + t1) / 2.0
+        else:
+            ts = t0 + (t1 - t0) * (fmax - f0) / (f1 - f0)
+            pauc += (fmax - f0) * (t0 + ts) / 2.0
+            break
+    pmin = fmax * fmax / 2.0
+    return pd.DataFrame(
+        {
+            "pauc": [round(pauc, 6)],
+            "pauc_normalized": [round(pauc / fmax, 6)],
+            "mcclish": [round(0.5 * (1.0 + (pauc - pmin) / (fmax - pmin)), 6)],
+        }
+    )
+
+
+_LEN_EN_ROC_SQL = """
+WITH g AS (
+  SELECT n_chars, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(pos) * 1.0 AS pt, sum(n - pos) * 1.0 AS nt FROM g),
+roc AS (
+  SELECT sum(pos) OVER (ORDER BY n_chars DESC) / (SELECT pt FROM tot) AS tpr,
+         sum(n - pos) OVER (ORDER BY n_chars DESC) / (SELECT nt FROM tot) AS fpr
+  FROM g
+),
+seg AS (
+  SELECT coalesce(lag(fpr) OVER (ORDER BY fpr), 0.0) AS f0, fpr AS f1,
+         coalesce(lag(tpr) OVER (ORDER BY fpr), 0.0) AS t0, tpr AS t1
+  FROM roc
+)
+"""
+
+PARTIAL_AUC_LENGTH_ENGLISH_SQL = (
+    _LEN_EN_ROC_SQL
+    + """,
+pa AS (
+  SELECT sum(CASE
+    WHEN f0 >= 0.2 THEN 0.0
+    WHEN f1 <= 0.2 THEN (f1 - f0) * (t0 + t1) / 2.0
+    ELSE (0.2 - f0) * (t0 + (t0 + (t1 - t0) * (0.2 - f0) / (f1 - f0))) / 2.0
+  END) AS pauc
+  FROM seg
+)
+SELECT round(pauc, 6) AS pauc,
+       round(pauc / 0.2, 6) AS pauc_normalized,
+       round(0.5 * (1.0 + (pauc - 0.02) / (0.2 - 0.02)), 6) AS mcclish
+FROM pa
+"""
+)
+
+
+def somers_d_length_english(sf_dir: str) -> pd.DataFrame:
+    """Somers' D of document length against the English label, BOTH
+    asymmetric directions: D_yx = (C - D)/(n_pos n_neg) (= 2 AUC - 1
+    with score ties counted half — the Gini of the ranking) and
+    D_xy = (C - D)/(pairs untied on length) — plus Kendall's tau-a.
+    Exact pair counts from the histogram's cumulative sums (C =
+    SUM pos_v x negs-below, D = SUM pos_v x negs-above); no pair
+    enumeration."""
+    g = _len_en_hist(sf_dir)
+    pos = g["n_pos"].to_numpy("int64")
+    neg = (g["n"] - g["n_pos"]).to_numpy("int64")
+    c_all = g["n"].to_numpy("int64")
+    pt, nt = int(pos.sum()), int(neg.sum())
+    n = pt + nt
+    cum_neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    cum_neg_above = nt - np.cumsum(neg)
+    c = int((pos * cum_neg_below).sum())
+    d = int((pos * cum_neg_above).sum())
+    pairs = n * (n - 1) // 2
+    tied_x = int((c_all * (c_all - 1) // 2).sum())
+    return pd.DataFrame(
+        {
+            "somers_d_yx": [round((c - d) / (pt * nt), 6)],
+            "somers_d_xy": [round((c - d) / (pairs - tied_x), 6)],
+            "kendall_tau_a": [round((c - d) / pairs, 6)],
+        }
+    )
+
+
+SOMERS_D_LENGTH_ENGLISH_SQL = """
+WITH g AS (
+  SELECT n_chars, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM documents GROUP BY 1
+),
+cm AS (
+  SELECT pos, n - pos AS neg, n,
+         sum(n - pos) OVER (ORDER BY n_chars) - (n - pos) AS neg_below,
+         (SELECT sum(n - pos) FROM g) - sum(n - pos) OVER (ORDER BY n_chars) AS neg_above
+  FROM g
+),
+s AS (
+  SELECT sum(pos * neg_below) AS c, sum(pos * neg_above) AS d,
+         (SELECT sum(pos) FROM g) AS pt, (SELECT sum(n - pos) FROM g) AS nt,
+         (SELECT sum(n) FROM g) AS nn,
+         sum(n * (n - 1) // 2) AS tied_x
+  FROM cm
+)
+SELECT round((c - d) * 1.0 / (pt * nt), 6) AS somers_d_yx,
+       round((c - d) * 1.0 / (nn * (nn - 1) // 2 - tied_x), 6) AS somers_d_xy,
+       round((c - d) * 1.0 / (nn * (nn - 1) // 2), 6) AS kendall_tau_a
+FROM s
+"""
