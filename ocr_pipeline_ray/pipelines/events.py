@@ -8757,3 +8757,171 @@ SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_events,
                 - 2.0 * (SELECT h FROM hxyz)), 6) AS o_information
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Erlang capacity planning from the peak-hour arrival rate
+# ---------------------------------------------------------------------------
+
+_ERLANG_SERVICE_S = 180.0  # assumed mean handle time (seconds), documented constant
+
+
+def _peak_hour_lambda(sf_dir: str):
+    """Shared peak-hour arrival rate: events per hour in the busiest
+    hour-of-day, averaged over the distinct days in the data (peak =
+    argmax average count, smallest hour on ties). ONE bucketed
+    (hour, day) -> hour count reduction."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": df["ts"].dt.hour.astype("int64"),
+                "d": df["ts"].dt.floor("D"),
+                "one": np.int64(1),
+            }
+        ).groupby(["h", "d"], as_index=False).agg(c=("one", "sum"))
+
+    g = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["h", "d"],
+        {"c": ("c", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    n_days = g["d"].nunique()
+    per_h = g.groupby("h")["c"].sum().sort_index()
+    lam = per_h / n_days
+    peak = int(lam.idxmax())  # pandas idxmax -> first (smallest h) on ties
+    return peak, float(lam.loc[peak])
+
+
+def _erlang_terms(a: float, n: int) -> float:
+    """SUM_{k=0..n} A^k/k! normalized by the n-th term (stable via
+    lgamma) — the shared kernel of both Erlang formulas."""
+    from math import lgamma, log
+
+    ref = n * log(a) - lgamma(n + 1)
+    return float(
+        sum(np.exp(k * log(a) - lgamma(k + 1) - ref) for k in range(0, n + 1))
+    )
+
+
+def erlang_c_staffing(sf_dir: str, target_pwait: float = 0.2) -> pd.DataFrame:
+    """Erlang-C staffing plan for the peak hour: with arrival rate
+    lambda = busiest hour-of-day average and a documented 180 s mean
+    handle time, offered load A = lambda s / 3600 erlangs; the
+    smallest agent count N > A with delay probability P_wait =
+    (A^N/N! N/(N-A)) / (SUM_{k<N} A^k/k! + A^N/N! N/(N-A)) <= 0.2,
+    plus that P_wait and the average speed of answer P_wait s/(N-A)
+    — the queueing-theory capacity answer computed identically (lgamma
+    -normalized sums) in both engines."""
+    peak, lam = _peak_hour_lambda(sf_dir)
+    a = lam * _ERLANG_SERVICE_S / 3600.0
+    n = int(np.floor(a)) + 1
+    while True:
+        s_all = _erlang_terms(a, n)  # sum_{k<=n} / term_n
+        # p_wait = term_n*(n/(n-a)) / (sum_{k<n} + term_n*n/(n-a)); normalize by term_n:
+        c_fac = n / (n - a)
+        p_wait = c_fac / ((s_all - 1.0) + c_fac)
+        if p_wait <= target_pwait or n > 500:
+            break
+        n += 1
+    asa = p_wait * _ERLANG_SERVICE_S / (n - a)
+    return pd.DataFrame(
+        {
+            "peak_hour": pd.Series([peak], dtype="int64"),
+            "lambda_per_hour": [round(lam, 6)],
+            "offered_erlangs": [round(a, 6)],
+            "n_agents": pd.Series([n], dtype="int64"),
+            "p_wait": [round(p_wait, 6)],
+            "asa_seconds": [round(asa, 6)],
+        }
+    )
+
+
+_PEAK_LAMBDA_SQL = """
+WITH g AS (
+  SELECT date_part('hour', ts) AS h, count(*) * 1.0 AS c FROM events GROUP BY 1
+),
+dd AS (SELECT count(DISTINCT date_trunc('day', ts)) * 1.0 AS nd FROM events),
+lamt AS (
+  SELECT h, c / (SELECT nd FROM dd) AS lam FROM g
+),
+pk AS (SELECT h, lam FROM lamt ORDER BY lam DESC, h LIMIT 1),
+aa AS (SELECT h, lam, lam * 180.0 / 3600.0 AS a FROM pk)
+"""
+
+ERLANG_C_STAFFING_SQL = (
+    _PEAK_LAMBDA_SQL
+    + """,
+cand AS (
+  SELECT nn.n, aa.h, aa.lam, aa.a,
+         (nn.n / (nn.n - aa.a))
+           / ((SELECT sum(exp(k.k * ln(aa.a) - lgamma(k.k + 1)
+                              - (nn.n * ln(aa.a) - lgamma(nn.n + 1))))
+               FROM (SELECT unnest(generate_series(0, CAST(nn.n AS BIGINT))) AS k) k)
+              - 1.0 + nn.n / (nn.n - aa.a)) AS p_wait
+  FROM aa, (SELECT unnest(generate_series(1, 500)) AS n) nn
+  WHERE nn.n > aa.a
+),
+best AS (
+  SELECT * FROM cand WHERE p_wait <= 0.2 ORDER BY n LIMIT 1
+)
+SELECT CAST(h AS BIGINT) AS peak_hour,
+       round(lam, 6) AS lambda_per_hour,
+       round(a, 6) AS offered_erlangs,
+       CAST(n AS BIGINT) AS n_agents,
+       round(p_wait, 6) AS p_wait,
+       round(p_wait * 180.0 / (n - a), 6) AS asa_seconds
+FROM best
+"""
+)
+
+
+def erlang_b_blocking(sf_dir: str, target_block: float = 0.01) -> pd.DataFrame:
+    """Erlang-B (loss-system) sizing for the same peak load: blocking
+    B(N, A) = (A^N/N!) / SUM_{k<=N} A^k/k! at N = ceil(A) trunks, and
+    the smallest N with blocking <= 1% — the no-queue companion of
+    the Erlang-C plan (calls that find all trunks busy are lost, not
+    queued). Same shared peak-lambda reduction and lgamma kernel."""
+    peak, lam = _peak_hour_lambda(sf_dir)
+    a = lam * _ERLANG_SERVICE_S / 3600.0
+    n0 = int(np.ceil(a))
+    b0 = 1.0 / _erlang_terms(a, n0)
+    n = n0
+    while True:
+        b = 1.0 / _erlang_terms(a, n)
+        if b <= target_block or n > 500:
+            break
+        n += 1
+    return pd.DataFrame(
+        {
+            "offered_erlangs": [round(a, 6)],
+            "block_at_ceil": [round(b0, 6)],
+            "n_trunks_1pct": pd.Series([n], dtype="int64"),
+            "block_at_n": [round(b, 6)],
+        }
+    )
+
+
+ERLANG_B_BLOCKING_SQL = (
+    _PEAK_LAMBDA_SQL
+    + """,
+cand AS (
+  SELECT nn.n, aa.a,
+         1.0 / (SELECT sum(exp(k.k * ln(aa.a) - lgamma(k.k + 1)
+                               - (nn.n * ln(aa.a) - lgamma(nn.n + 1))))
+                FROM (SELECT unnest(generate_series(0, CAST(nn.n AS BIGINT))) AS k) k)
+           AS b
+  FROM aa, (SELECT unnest(generate_series(1, 500)) AS n) nn
+),
+c0 AS (SELECT b FROM cand, aa WHERE cand.n = CAST(ceil(aa.a) AS BIGINT)),
+best AS (SELECT n, b FROM cand WHERE b <= 0.01 ORDER BY n LIMIT 1)
+SELECT round((SELECT a FROM aa), 6) AS offered_erlangs,
+       round((SELECT b FROM c0), 6) AS block_at_ceil,
+       CAST((SELECT n FROM best) AS BIGINT) AS n_trunks_1pct,
+       round((SELECT b FROM best), 6) AS block_at_n
+"""
+)
