@@ -8925,3 +8925,162 @@ SELECT round((SELECT a FROM aa), 6) AS offered_erlangs,
        round((SELECT b FROM best), 6) AS block_at_n
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration of daily views and purchases
+# ---------------------------------------------------------------------------
+
+def _eg_residuals(sf_dir: str):
+    """Stage 1 of Engle-Granger on the shared daily view/purchase
+    series: OLS purchases = alpha + beta views, returning the
+    residual vector (day-dimension scale) and the fit."""
+    v, p = _daily_view_purchase_series(sf_dir)
+    n = float(len(v))
+    sx, sy = float(v.sum()), float(p.sum())
+    sxx, sxy = float((v * v).sum()), float((v * p).sum())
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    alpha = (sy - beta * sx) / n
+    e = p - alpha - beta * v
+    return v, p, alpha, beta, e
+
+
+def engle_granger_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Engle-Granger two-step cointegration test between the daily
+    view and purchase count series: stage-1 OLS purchases on views,
+    then the no-lag Dickey-Fuller regression of delta e_t on e_(t-1)
+    over the residuals — a strongly negative DF t (fast mean
+    reversion of the residual) is the cointegration signature tying
+    the two series to a common trend. Reports alpha, beta, the DF
+    coefficient gamma, and its t statistic. Shared daily reduction;
+    all regressions are closed-form moment sums."""
+    v, p, alpha, beta, e = _eg_residuals(sf_dir)
+    x = e[:-1]
+    y = np.diff(e)
+    m = float(len(x))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    syy = float((y * y).sum())
+    g = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    a2 = (sy - g * sx) / m
+    sse = syy - a2 * sy - g * sxy
+    se_g = np.sqrt((sse / (m - 2.0)) / (sxx - sx * sx / m))
+    return pd.DataFrame(
+        {
+            "alpha": [round(alpha, 6)],
+            "beta": [round(beta, 6)],
+            "df_gamma": [round(g, 6)],
+            "df_t": [round(float(g / se_g), 6)],
+        }
+    )
+
+
+_EG_BASE_SQL = (
+    _DAILY_VP_SQL
+    + """,
+f1 AS (
+  SELECT count(*) * 1.0 AS n, sum(v) AS sx, sum(p) AS sy,
+         sum(v * v) AS sxx, sum(v * p) AS sxy
+  FROM filled
+),
+ab AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha
+  FROM f1
+),
+res AS (
+  SELECT t, p - (SELECT alpha FROM ab) - (SELECT beta FROM ab) * v AS e
+  FROM filled
+),
+lagd AS (
+  SELECT e - lag(e) OVER (ORDER BY t) AS dy, lag(e) OVER (ORDER BY t) AS x
+  FROM res
+),
+d AS (SELECT dy, x FROM lagd WHERE x IS NOT NULL)
+"""
+)
+
+ENGLE_GRANGER_VIEWS_PURCHASES_SQL = (
+    _EG_BASE_SQL
+    + """,
+f2 AS (
+  SELECT count(*) * 1.0 AS m, sum(x) AS sx, sum(dy) AS sy,
+         sum(x * x) AS sxx, sum(x * dy) AS sxy, sum(dy * dy) AS syy
+  FROM d
+),
+g2 AS (
+  SELECT m, sxx, sx,
+         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS g,
+         (sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m AS a2,
+         sy, sxy, syy
+  FROM f2
+)
+SELECT round((SELECT alpha FROM ab), 6) AS alpha,
+       round((SELECT beta FROM ab), 6) AS beta,
+       round(g, 6) AS df_gamma,
+       round(g / sqrt(((syy - a2 * sy - g * sxy) / (m - 2.0))
+                      / (sxx - sx * sx / m)), 6) AS df_t
+FROM g2
+"""
+)
+
+
+def error_correction_model_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Stage-2 error-correction model on the same pair: OLS of
+    delta purchases_t on delta views_t and the lagged equilibrium
+    error e_(t-1) — the short-run pass-through coefficient and the
+    error-correction speed (a negative lambda is the fraction of
+    yesterday's disequilibrium closed today; Granger's representation
+    theorem says cointegration forces lambda < 0). Closed-form 2-
+    regressor OLS on the shared residual series."""
+    v, p, alpha, beta, e = _eg_residuals(sf_dir)
+    dv = np.diff(v)
+    dp = np.diff(p)
+    ec = e[:-1]
+    m = float(len(dv))
+    x1, x2, y = dv, ec, dp
+    s1, s2, sy = float(x1.sum()), float(x2.sum()), float(y.sum())
+    s11 = float((x1 * x1).sum()) - s1 * s1 / m
+    s22 = float((x2 * x2).sum()) - s2 * s2 / m
+    s12 = float((x1 * x2).sum()) - s1 * s2 / m
+    s1y = float((x1 * y).sum()) - s1 * sy / m
+    s2y = float((x2 * y).sum()) - s2 * sy / m
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    return pd.DataFrame(
+        {
+            "short_run_beta": [round(b1, 6)],
+            "ec_lambda": [round(b2, 6)],
+        }
+    )
+
+
+ERROR_CORRECTION_MODEL_VIEWS_PURCHASES_SQL = (
+    _EG_BASE_SQL
+    + """,
+ecd AS (
+  SELECT f.t,
+         f.p - lag(f.p) OVER (ORDER BY f.t) AS dp,
+         f.v - lag(f.v) OVER (ORDER BY f.t) AS dv,
+         lag(r.e) OVER (ORDER BY f.t) AS ec
+  FROM filled f JOIN res r ON r.t = f.t
+),
+e2 AS (SELECT dp, dv, ec FROM ecd WHERE ec IS NOT NULL AND dv IS NOT NULL),
+mm AS (
+  SELECT count(*) * 1.0 AS m, sum(dv) AS s1, sum(ec) AS s2, sum(dp) AS sy,
+         sum(dv * dv) AS q11, sum(ec * ec) AS q22, sum(dv * ec) AS q12,
+         sum(dv * dp) AS q1y, sum(ec * dp) AS q2y
+  FROM e2
+),
+cc AS (
+  SELECT q11 - s1 * s1 / m AS s11, q22 - s2 * s2 / m AS s22,
+         q12 - s1 * s2 / m AS s12, q1y - s1 * sy / m AS s1y,
+         q2y - s2 * sy / m AS s2y
+  FROM mm
+)
+SELECT round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6) AS short_run_beta,
+       round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6) AS ec_lambda
+FROM cc
+"""
+)
