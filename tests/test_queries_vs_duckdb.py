@@ -642,6 +642,71 @@ SUBSET = [
     "ssd_check_segments",
     "post_stratified_revenue_estimate",
     "hajek_vs_ht_revenue",
+    # round-3i additions (this session)
+    "random_effects_meta_urgent_finished",
+    "funnel_asymmetry_urgent_finished",
+    "elementary_price_indexes",
+    "carli_jevons_formula_effect",
+    "fairness_rates_by_source",
+    "fairness_gaps_by_source",
+    "brand_return_prr_ror",
+    "brand_return_bcpnn_ic",
+    "weekly_cross_spectrum_views_purchases",
+    "weekly_band_coherence_views_purchases",
+    "kernel_return_rate_by_quantity",
+    "kernel_return_rate_derivative",
+    "revenue_retention_customers",
+    "nrr_decomposition_customers",
+    "lilliefors_daily_revenue",
+    "anderson_darling_daily_revenue",
+    "region_brand_braycurtis",
+    "region_brand_morisita_horn",
+    "fay_herriot_nation_balance",
+    "fay_herriot_shrinkage_summary",
+    "discount_progressivity_kakwani",
+    "discount_progressivity_suits",
+    "benford_first_two_digits",
+    "benford_summation_test",
+    "fisher_exact_urgent_finished",
+    "fisher_exact_by_segment",
+    "pnl_ratios_daily_revenue",
+    "downside_risk_daily_revenue",
+    "fd_g3_errors",
+    "fd_lattice_pruning",
+    "watson_u2_time_of_day",
+    "rao_spacing_time_of_day",
+    "ratio_metric_delta_ci",
+    "ratio_metric_fieller_ci",
+    "mean_excess_order_price",
+    "mean_excess_linearity",
+    "interaction_information_events",
+    "o_information_events",
+    "vocab_rarefaction_curve",
+    "vocab_expected_singletons",
+    "harmonic_seasonality_monthly_orders",
+    "hewitt_seasonality_monthly_orders",
+    "partial_auc_length_english",
+    "somers_d_length_english",
+    "kish_cluster_deff_orders",
+    "kish_weighting_deff_pps",
+    "rbg_variance_mh_or",
+    "gr_variance_mh_rd",
+    "wolfson_bipolarization_customers",
+    "esteban_ray_polarization_customers",
+    "drobisch_stuvel_indexes",
+    "bortkiewicz_decomposition",
+    "ttt_transform_gaps",
+    "gnedenko_f_gaps",
+    "last_two_digit_uniformity",
+    "round_number_bias_prices",
+    "erlang_c_staffing",
+    "erlang_b_blocking",
+    "engle_granger_views_purchases",
+    "error_correction_model_views_purchases",
+    "hhi_decomposition_region_brand",
+    "entropy_decomposition_region_brand",
+    "newsvendor_stock_level",
+    "stock_service_levels",
 ]
 
 
