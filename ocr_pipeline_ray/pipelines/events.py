@@ -9084,3 +9084,232 @@ SELECT round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6) AS short_run_
 FROM cc
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# competing risks: first purchase vs first error after a user's first event
+# ---------------------------------------------------------------------------
+
+def _competing_durations(sf_dir: str) -> pd.DataFrame:
+    """Shared competing-risks duration grid: per user, time in whole
+    days from the FIRST event to the first subsequent purchase
+    (cause 1) or error (cause 2), whichever comes first (purchase
+    wins exact ties); users with neither are censored (cause 0) at
+    the global last timestamp. ONE bucketed (user, type) min-ts
+    aggregate; returns the (dur, d1, d2, dc) day-grid counts."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    globmax = pd.Timestamp(ds.max("ts")).floor("D")
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False)["ts"].min().rename(
+            columns={"ts": "t"}
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id", "event_type"],
+        {"t": ("t", "min")},
+    ).to_pandas()
+    t0 = per.groupby("user_id")["t"].min()
+    piv = per.pivot(index="user_id", columns="event_type", values="t")
+    tp = piv["purchase"] if "purchase" in piv else pd.Series(pd.NaT, index=piv.index)
+    te = piv["error"] if "error" in piv else pd.Series(pd.NaT, index=piv.index)
+    tp = tp.where(tp > t0)
+    te = te.where(te > t0)
+    cause = np.where(
+        tp.notna() & (te.isna() | (tp <= te)), 1, np.where(te.notna(), 2, 0)
+    )
+    end = pd.Series(
+        np.where(cause == 1, tp.dt.floor("D"), np.where(cause == 2, te.dt.floor("D"), globmax)),
+        index=piv.index,
+    )
+    dur = (pd.to_datetime(end) - t0.dt.floor("D")).dt.days.astype("int64")
+    g = pd.DataFrame({"dur": dur, "cause": cause})
+    grid = (
+        g.groupby("dur")
+        .agg(
+            d1=("cause", lambda c: int((c == 1).sum())),
+            d2=("cause", lambda c: int((c == 2).sum())),
+            dc=("cause", lambda c: int((c == 0).sum())),
+        )
+        .reset_index()
+        .sort_values("dur")
+        .reset_index(drop=True)
+    )
+    return grid
+
+
+_CR_HORIZONS = (7, 30, 90, 180)
+
+
+def _cif_curves(grid: pd.DataFrame):
+    """Aalen-Johansen CIFs and the error-censored 1-KM curve for
+    cause 1 on the day grid (ln-guarded at a terminal event)."""
+    d1 = grid["d1"].to_numpy("int64").astype("float64")
+    d2 = grid["d2"].to_numpy("int64").astype("float64")
+    dc = grid["dc"].to_numpy("int64").astype("float64")
+    allc = d1 + d2 + dc
+    total = float(allc.sum())
+    n_at = total - np.concatenate([[0.0], np.cumsum(allc)[:-1]])
+    d = d1 + d2
+    ln_terms = np.where((d > 0) & (n_at > d), np.log(np.maximum(1.0 - d / n_at, 1e-300)), 0.0)
+    s_prev = np.exp(np.concatenate([[0.0], np.cumsum(ln_terms)[:-1]]))
+    cif1 = np.cumsum(s_prev * d1 / n_at)
+    cif2 = np.cumsum(s_prev * d2 / n_at)
+    ln_km = np.where((d1 > 0) & (n_at > d1), np.log(np.maximum(1.0 - d1 / n_at, 1e-300)), 0.0)
+    one_minus_km1 = 1.0 - np.exp(np.cumsum(ln_km))
+    return cif1, cif2, one_minus_km1
+
+
+def competing_risks_cif(sf_dir: str) -> pd.DataFrame:
+    """Aalen-Johansen cumulative incidence of the two COMPETING
+    outcomes after a user's first event — purchase (cause 1) vs error
+    (cause 2): CIF_k(t) = SUM_(s<=t) S(s-) d_k(s)/n(s) with the
+    overall-survival prefix product as exp of summed logs — at the
+    7/30/90/180-day horizons, with the all-cause survival. The
+    correct competing-risks estimand (CIFs sum with survival to 1;
+    per-cause KMs don't). Shared per-user duration reduction."""
+    grid = _competing_durations(sf_dir)
+    cif1, cif2, _ = _cif_curves(grid)
+    dur = grid["dur"].to_numpy("int64")
+    rows = []
+    for h in _CR_HORIZONS:
+        sel = dur <= h
+        c1 = float(cif1[sel][-1]) if sel.any() else 0.0
+        c2 = float(cif2[sel][-1]) if sel.any() else 0.0
+        rows.append(
+            {
+                "horizon_days": np.int64(h),
+                "cif_purchase": round(c1, 6),
+                "cif_error": round(c2, 6),
+                "surv_all": round(1.0 - c1 - c2, 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["horizon_days"] = out["horizon_days"].astype("int64")
+    return out
+
+
+_CR_GRID_SQL = """
+WITH per AS (
+  SELECT user_id, event_type, min(ts) AS t FROM events GROUP BY 1, 2
+),
+t0 AS (SELECT user_id, min(t) AS t0 FROM per GROUP BY 1),
+w AS (
+  SELECT t0.user_id, t0.t0,
+         (SELECT min(t) FROM per p WHERE p.user_id = t0.user_id
+          AND p.event_type = 'purchase' AND p.t > t0.t0) AS tp,
+         (SELECT min(t) FROM per p WHERE p.user_id = t0.user_id
+          AND p.event_type = 'error' AND p.t > t0.t0) AS te
+  FROM t0
+),
+cz AS (
+  SELECT user_id, t0,
+         CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+              WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause,
+         CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp
+              WHEN te IS NOT NULL THEN te
+              ELSE (SELECT max(ts) FROM events) END AS tend
+  FROM w
+),
+durs AS (
+  SELECT datediff('day', date_trunc('day', t0), date_trunc('day', tend)) AS dur,
+         cause
+  FROM cz
+),
+grid AS (
+  SELECT dur,
+         sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) * 1.0 AS d1,
+         sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) * 1.0 AS d2,
+         count(*) * 1.0 AS allc
+  FROM durs GROUP BY 1
+),
+tot AS (SELECT sum(allc) AS n FROM grid),
+g2 AS (
+  SELECT dur, d1, d2,
+         (SELECT n FROM tot) - (sum(allc) OVER (ORDER BY dur) - allc) AS n_at,
+         d1 + d2 AS d
+  FROM grid
+),
+g3 AS (
+  SELECT dur, d1, d2, n_at, d,
+         exp(coalesce(sum(CASE WHEN d > 0 AND n_at > d
+                          THEN ln(1.0 - d / n_at) ELSE 0 END)
+             OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0.0)) AS s_prev,
+         exp(sum(CASE WHEN d1 > 0 AND n_at > d1
+                 THEN ln(1.0 - d1 / n_at) ELSE 0 END)
+             OVER (ORDER BY dur)) AS km1
+  FROM g2
+),
+curves AS (
+  SELECT dur,
+         sum(s_prev * d1 / n_at) OVER (ORDER BY dur) AS cif1,
+         sum(s_prev * d2 / n_at) OVER (ORDER BY dur) AS cif2,
+         1.0 - km1 AS one_minus_km1
+  FROM g3
+)
+"""
+
+COMPETING_RISKS_CIF_SQL = (
+    _CR_GRID_SQL
+    + """
+SELECT CAST(h.h AS BIGINT) AS horizon_days,
+       round(coalesce((SELECT cif1 FROM curves WHERE dur <= h.h
+                       ORDER BY dur DESC LIMIT 1), 0.0), 6) AS cif_purchase,
+       round(coalesce((SELECT cif2 FROM curves WHERE dur <= h.h
+                       ORDER BY dur DESC LIMIT 1), 0.0), 6) AS cif_error,
+       round(1.0 - coalesce((SELECT cif1 FROM curves WHERE dur <= h.h
+                             ORDER BY dur DESC LIMIT 1), 0.0)
+                 - coalesce((SELECT cif2 FROM curves WHERE dur <= h.h
+                             ORDER BY dur DESC LIMIT 1), 0.0), 6) AS surv_all
+FROM (SELECT unnest([7, 30, 90, 180]) AS h) h ORDER BY 1
+"""
+)
+
+
+def km_vs_cif_fallacy(sf_dir: str) -> pd.DataFrame:
+    """The competing-risks fallacy, quantified: 1 - KM for purchase
+    with errors treated as mere censoring vs the proper Aalen-
+    Johansen CIF at the same horizons — 1-KM answers 'if errors were
+    abolished' under an independence assumption and ALWAYS
+    overestimates real-world incidence; the gap column is the size
+    of the mistake. Same shared duration grid."""
+    grid = _competing_durations(sf_dir)
+    cif1, _, omk = _cif_curves(grid)
+    dur = grid["dur"].to_numpy("int64")
+    rows = []
+    for h in _CR_HORIZONS:
+        sel = dur <= h
+        c1 = float(cif1[sel][-1]) if sel.any() else 0.0
+        k1 = float(omk[sel][-1]) if sel.any() else 0.0
+        rows.append(
+            {
+                "horizon_days": np.int64(h),
+                "one_minus_km": round(k1, 6),
+                "cif": round(c1, 6),
+                "overestimate": round(k1 - c1, 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["horizon_days"] = out["horizon_days"].astype("int64")
+    return out
+
+
+KM_VS_CIF_FALLACY_SQL = (
+    _CR_GRID_SQL
+    + """
+SELECT CAST(h.h AS BIGINT) AS horizon_days,
+       round(coalesce((SELECT one_minus_km1 FROM curves WHERE dur <= h.h
+                       ORDER BY dur DESC LIMIT 1), 0.0), 6) AS one_minus_km,
+       round(coalesce((SELECT cif1 FROM curves WHERE dur <= h.h
+                       ORDER BY dur DESC LIMIT 1), 0.0), 6) AS cif,
+       round(coalesce((SELECT one_minus_km1 FROM curves WHERE dur <= h.h
+                       ORDER BY dur DESC LIMIT 1), 0.0)
+             - coalesce((SELECT cif1 FROM curves WHERE dur <= h.h
+                         ORDER BY dur DESC LIMIT 1), 0.0), 6) AS overestimate
+FROM (SELECT unnest([7, 30, 90, 180]) AS h) h ORDER BY 1
+"""
+)
