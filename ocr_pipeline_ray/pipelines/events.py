@@ -9313,3 +9313,156 @@ SELECT CAST(h.h AS BIGINT) AS horizon_days,
 FROM (SELECT unnest([7, 30, 90, 180]) AS h) h ORDER BY 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# experimentation trust checks: SRM + A/A bucket homogeneity
+# ---------------------------------------------------------------------------
+
+def _user_bucket_grid(sf_dir: str) -> pd.DataFrame:
+    """Shared 10-cell reduction for the experimentation trust pair:
+    each DISTINCT user assigned to a deterministic hash bucket
+    (user_id % 10 — the arm-assignment primitive real experiment
+    systems hash into), with the bucket's user count and converted
+    count (ever fired a 'purchase'). One bucketed per-user aggregate,
+    then a 10-row grid on the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "pur": (df["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    per_user = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"pur": ("pur", "max")},
+        num_buckets=32,
+    )
+
+    def _cells(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["user_id"].to_numpy("int64") % 10
+        pur = df["pur"].to_numpy("int64")
+        out = pd.DataFrame({"b": b, "n": 1, "x": pur})
+        return out.groupby("b", as_index=False).sum()
+
+    g = (
+        per_user.map_batches(_cells, batch_format="pandas")
+        .to_pandas()
+        .groupby("b", as_index=False)
+        .sum()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    return g
+
+
+def srm_check_user_buckets(sf_dir: str) -> pd.DataFrame:
+    """Sample-ratio-mismatch check of the 10-way deterministic hash
+    split (user_id % 10): chi-square of the distinct-user bucket
+    counts against the uniform 1/10 design allocation, with the
+    largest absolute share deviation and its bucket — THE standard
+    trust gate run before reading any experiment metric (a bucket
+    count that fails SRM invalidates the readout regardless of the
+    effect size). Counts are exact integers from one shared per-user
+    reduction."""
+    g = _user_bucket_grid(sf_dir)
+    n = int(g["n"].sum())
+    e = n / 10.0
+    dev = g["n"].to_numpy("int64") - e
+    chi2 = float((dev * dev / e).sum())
+    shares = g["n"].to_numpy("int64") / n - 0.1
+    worst = int(np.argmax(np.abs(shares)))
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n], dtype="int64"),
+            "chi2_srm": [round(chi2, 6)],
+            "max_share_dev": [round(float(np.abs(shares).max()), 6)],
+            "worst_bucket": pd.Series([int(g["b"].iloc[worst])], dtype="int64"),
+        }
+    )
+
+
+_BUCKET_GRID_SQL = """
+WITH per AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT user_id % 10 AS b, count(*) AS n, sum(pur) AS x
+  FROM per GROUP BY 1
+),
+tot AS (SELECT sum(n) AS n, sum(x) AS x FROM g)
+"""
+
+SRM_CHECK_USER_BUCKETS_SQL = (
+    _BUCKET_GRID_SQL
+    + """
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_users,
+       round(sum((g.n - (SELECT n FROM tot) / 10.0)
+                 * (g.n - (SELECT n FROM tot) / 10.0)
+                 / ((SELECT n FROM tot) / 10.0)), 6) AS chi2_srm,
+       round(max(abs(g.n * 1.0 / (SELECT n FROM tot) - 0.1)), 6) AS max_share_dev,
+       CAST((SELECT b FROM g
+             ORDER BY abs(g.n * 1.0 / (SELECT n FROM tot) - 0.1) DESC, b
+             LIMIT 1) AS BIGINT) AS worst_bucket
+FROM g
+"""
+)
+
+
+def aa_bucket_conversion_homogeneity(sf_dir: str) -> pd.DataFrame:
+    """A/A calibration of the same 10 hash buckets on the purchase-
+    conversion metric: the 10x2 homogeneity chi-square
+    SUM (x_b - n_b pbar)^2 / (n_b pbar (1 - pbar)) on 9 df — under a
+    clean instrument every bucket is an A arm and the statistic sits
+    near its df; an inflated value means the 'randomization' unit
+    leaks signal and all downstream CIs are too narrow. Reports the
+    pooled rate and the min/max bucket conversion spread from the
+    shared 10-cell grid."""
+    g = _user_bucket_grid(sf_dir)
+    n = int(g["n"].sum())
+    x = int(g["x"].sum())
+    pbar = x / n
+    nb = g["n"].to_numpy("int64").astype("float64")
+    xb = g["x"].to_numpy("int64").astype("float64")
+    if x == 0 or x == n:
+        # degenerate metric (all or no users convert): nothing to test
+        chi2 = 0.0
+    else:
+        chi2 = float(((xb - nb * pbar) ** 2 / (nb * pbar * (1.0 - pbar))).sum())
+    rates = xb / nb
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n], dtype="int64"),
+            "pooled_conv": [round(pbar, 6)],
+            "chi2_homog": [round(chi2, 6)],
+            "min_bucket_conv": [round(float(rates.min()), 6)],
+            "max_bucket_conv": [round(float(rates.max()), 6)],
+        }
+    )
+
+
+AA_BUCKET_CONVERSION_HOMOGENEITY_SQL = (
+    _BUCKET_GRID_SQL
+    + """
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_users,
+       round((SELECT x * 1.0 / n FROM tot), 6) AS pooled_conv,
+       round(CASE WHEN (SELECT x FROM tot) = 0 OR (SELECT x FROM tot) = (SELECT n FROM tot)
+                  THEN 0.0
+                  ELSE sum((g.x - g.n * (SELECT x * 1.0 / n FROM tot))
+                           * (g.x - g.n * (SELECT x * 1.0 / n FROM tot))
+                           / (g.n * (SELECT x * 1.0 / n FROM tot)
+                              * (1.0 - (SELECT x * 1.0 / n FROM tot))))
+             END, 6) AS chi2_homog,
+       round(min(g.x * 1.0 / g.n), 6) AS min_bucket_conv,
+       round(max(g.x * 1.0 / g.n), 6) AS max_bucket_conv
+FROM g
+"""
+)
