@@ -9466,3 +9466,176 @@ SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_users,
 FROM g
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# recurrent events: Nelson's mean cumulative function for purchases
+# ---------------------------------------------------------------------------
+
+def _mcf_grid(sf_dir: str):
+    """Shared reduction for the recurrent-event pair: per-user entry
+    t0 = first event (any type), administrative censoring at the
+    global last day, recurrent purchases = every 'purchase' event
+    strictly after t0 at whole-day age a = day(ts) - day(t0). Returns
+    the (a, d) recurrence-count day grid, the per-user observation
+    limit tau day histogram (for the risk set r(a) = #{tau >= a}),
+    and n_users. One bucketed per-user min-ts pass + one broadcast-t0
+    streaming pass over purchase events; both grids are result-sized."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    globmax = pd.Timestamp(ds.max("ts")).floor("D")
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["ts"].min().rename(columns={"ts": "t0"})
+
+    t0 = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"t0": ("t0", "min")},
+    ).to_pandas()
+    n_users = len(t0)
+    tau = (globmax - t0["t0"].dt.floor("D")).dt.days.astype("int64")
+    tau_hist = tau.value_counts().sort_index()
+    t0_map = ray.put(dict(zip(t0["user_id"].to_numpy("int64"), t0["t0"].to_numpy())))
+
+    def _ages(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(t0_map)
+        df = df[df["event_type"] == "purchase"]
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "d": pd.Series([], dtype="int64")})
+        ent = df["user_id"].map(m)
+        keep = df["ts"].to_numpy() > ent.to_numpy()
+        a = (
+            (df["ts"][keep].dt.floor("D") - pd.to_datetime(ent[keep]).dt.floor("D"))
+            .dt.days.astype("int64")
+        )
+        out = pd.DataFrame({"a": a, "d": 1})
+        return out.groupby("a", as_index=False).sum()
+
+    d_grid = (
+        ds.map_batches(_ages, batch_format="pandas")
+        .to_pandas()
+        .groupby("a", as_index=False)
+        .sum()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    return d_grid, tau_hist, n_users
+
+
+_MCF_HORIZONS = (7, 30, 90, 180)
+
+
+def _mcf_at_horizons(sf_dir: str):
+    d_grid, tau_hist, n = _mcf_grid(sf_dir)
+    a = d_grid["a"].to_numpy("int64")
+    d = d_grid["d"].to_numpy("int64").astype("float64")
+    tau_vals = tau_hist.index.to_numpy()
+    tau_cnts = tau_hist.to_numpy()
+    # r(a) = #users with tau >= a
+    r = np.array([tau_cnts[tau_vals >= av].sum() for av in a], dtype="float64")
+    inc = d / r
+    rows = []
+    for h in _MCF_HORIZONS:
+        sel = a <= h
+        rows.append(
+            {
+                "h": h,
+                "mcf": float(inc[sel].sum()),
+                "naive": float(d[sel].sum()) / n,
+                "n_at_risk": int(tau_cnts[tau_vals >= h].sum()),
+            }
+        )
+    return rows, n
+
+
+def mcf_recurrent_purchases(sf_dir: str) -> pd.DataFrame:
+    """Nelson's mean cumulative function for RECURRENT purchases
+    after each user's first event: M(t) = SUM_(a<=t) d(a)/r(a), the
+    nonparametric expected number of purchases per user by age t
+    under staggered entry with administrative censoring at the
+    dataset's last day — the recurrent-event estimand the first-
+    event-only KM/Nelson-Aalen family cannot see (a user contributes
+    EVERY repurchase, not just the first). Evaluated at the
+    7/30/90/180-day horizons with the risk-set size still under
+    observation at each."""
+    rows, _ = _mcf_at_horizons(sf_dir)
+    return pd.DataFrame(
+        {
+            "horizon_days": pd.Series([r["h"] for r in rows], dtype="int64"),
+            "mcf": [round(r["mcf"], 6) for r in rows],
+            "n_at_risk": pd.Series([r["n_at_risk"] for r in rows], dtype="int64"),
+        }
+    )
+
+
+_MCF_BASE_SQL = """
+WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+gm AS (SELECT CAST(max(ts) AS DATE) AS gmax FROM events),
+tau AS (
+  SELECT user_id,
+         date_diff('day', CAST(t0 AS DATE), (SELECT gmax FROM gm)) AS tau
+  FROM t0
+),
+ev AS (
+  SELECT date_diff('day', CAST(t.t0 AS DATE), CAST(e.ts AS DATE)) AS a
+  FROM events e JOIN t0 t USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t.t0
+),
+d AS (SELECT a, count(*) AS d FROM ev GROUP BY 1),
+rg AS (
+  SELECT d.a, d.d,
+         (SELECT count(*) FROM tau WHERE tau.tau >= d.a) AS r
+  FROM d
+),
+h AS (SELECT unnest([7, 30, 90, 180]) AS h)
+"""
+
+MCF_RECURRENT_PURCHASES_SQL = (
+    _MCF_BASE_SQL
+    + """
+SELECT CAST(h.h AS BIGINT) AS horizon_days,
+       round(coalesce(sum(rg.d * 1.0 / rg.r), 0.0), 6) AS mcf,
+       CAST((SELECT count(*) FROM tau WHERE tau.tau >= h.h) AS BIGINT)
+         AS n_at_risk
+FROM h LEFT JOIN rg ON rg.a <= h.h
+GROUP BY h.h ORDER BY 1
+"""
+)
+
+
+def mcf_vs_naive_bias(sf_dir: str) -> pd.DataFrame:
+    """The staggered-entry fallacy quantified for recurrent events:
+    the naive per-user purchase curve N(t)/n divides ALL users into
+    the denominator at every age even though late entrants are only
+    observed for a short window, so it UNDERestimates the true
+    per-user recurrence — the proper MCF shrinks the denominator to
+    the still-observed risk set r(a). The gap column is the size of
+    the mistake at each horizon (grows with age as observation
+    windows run out). Same shared day grids."""
+    rows, n = _mcf_at_horizons(sf_dir)
+    return pd.DataFrame(
+        {
+            "horizon_days": pd.Series([r["h"] for r in rows], dtype="int64"),
+            "naive_per_user": [round(r["naive"], 6) for r in rows],
+            "mcf": [round(r["mcf"], 6) for r in rows],
+            "underestimate": [round(r["mcf"] - r["naive"], 6) for r in rows],
+        }
+    )
+
+
+MCF_VS_NAIVE_BIAS_SQL = (
+    _MCF_BASE_SQL
+    + """
+SELECT CAST(h.h AS BIGINT) AS horizon_days,
+       round(coalesce(sum(rg.d), 0) * 1.0 / (SELECT count(*) FROM t0), 6)
+         AS naive_per_user,
+       round(coalesce(sum(rg.d * 1.0 / rg.r), 0.0), 6) AS mcf,
+       round(coalesce(sum(rg.d * 1.0 / rg.r), 0.0)
+             - coalesce(sum(rg.d), 0) * 1.0 / (SELECT count(*) FROM t0), 6)
+         AS underestimate
+FROM h LEFT JOIN rg ON rg.a <= h.h
+GROUP BY h.h ORDER BY 1
+"""
+)
