@@ -707,6 +707,39 @@ SUBSET = [
     "entropy_decomposition_region_brand",
     "newsvendor_stock_level",
     "stock_service_levels",
+    # round-3j additions
+    "bayes_ab_urgent_finished",
+    "bayes_ab_expected_loss",
+    "lotka_law_customer_orders",
+    "gibrat_check_customer_spend",
+    "gini_source_decomposition_orders",
+    "gini_marginal_effects_orders",
+    "fisher_lda_returned",
+    "lda_accuracy_returned",
+    "bass_diffusion_fit",
+    "bass_model_implied",
+    "competing_risks_cif",
+    "km_vs_cif_fallacy",
+    "mediation_sobel_discount",
+    "mediation_proportion_discount",
+    "linear_spline_price_quantity",
+    "spline_vs_linear_ftest",
+    "fgt_poverty_customers",
+    "sen_poverty_customers",
+    "press_predicted_r2_price_quantity",
+    "information_criteria_price_quantity",
+    "srm_check_user_buckets",
+    "aa_bucket_conversion_homogeneity",
+    "mcf_recurrent_purchases",
+    "mcf_vs_naive_bias",
+    "copurchase_adamic_adar_topk",
+    "linkpred_precision_at_k",
+    "yule_tetrachoric_urgent_return",
+    "phi_max_urgent_return",
+    "lowe_price_index_3period",
+    "young_price_index_3period",
+    "cox_score_test_repurchase_value",
+    "weighted_trend_tests_repurchase_value",
 ]
 
 
