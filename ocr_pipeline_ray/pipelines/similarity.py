@@ -2997,3 +2997,184 @@ SELECT CAST(n AS BIGINT) AS n_vecs,
        round((r2 - n) / (n * (n - 1.0)), 6) AS mean_cosine
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# hubness of the kNN graph: k-occurrence skew + reverse-neighbor symmetry
+# ---------------------------------------------------------------------------
+
+def _knn_edges(sf_dir: str, modulus: int = 5, k: int = 10):
+    """Shared directed kNN edge set for the hubness pair: the
+    deterministic hash sample vec_id % modulus == 0 (same rows at any
+    cluster size), each sample point's k nearest sample neighbors by
+    cosine (self excluded, sims rounded to 9 decimals before ranking
+    with neighbor-id tie-break so both engines order identically).
+    The sample matrix broadcasts once (documented ceiling — the same
+    broadcast contract as the knn query matrix); edges stream out of
+    map_batches, k x n_sample rows total."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda df: df[df["vec_id"].to_numpy("int64") % modulus == 0],
+        batch_format="pandas",
+    )
+    sdf = ds.to_pandas()
+    ids, m = _to_matrix(sdf)
+    mn = _normalize(m)
+    ref = ray.put((ids, mn))
+
+    class _Edges:
+        def __init__(self):
+            self.ids, self.mn = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bids, bm = _to_matrix(batch)
+            sims = np.round(_normalize(bm) @ self.mn.T, 9)
+            out_q, out_n = [], []
+            for i, qid in enumerate(bids):
+                s = sims[i]
+                mask = self.ids != qid
+                cand_ids, cand_s = self.ids[mask], s[mask]
+                order = np.lexsort((cand_ids, -cand_s))[: min(k, cand_ids.size)]
+                out_q.append(np.full(len(order), qid, dtype="int64"))
+                out_n.append(cand_ids[order])
+            if not out_q:
+                return pd.DataFrame(
+                    {"qa": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
+                )
+            return pd.DataFrame(
+                {"qa": np.concatenate(out_q), "nb": np.concatenate(out_n)}
+            )
+
+    return ds.map_batches(_Edges, concurrency=4, batch_format="pandas"), ids
+
+
+def embedding_hubness(sf_dir: str, modulus: int = 5, k: int = 10) -> pd.DataFrame:
+    """Hubness of the embedding space (Radovanovic et al.): the
+    k-occurrence N_k(x) = how many sample points count x among their
+    k = 10 cosine neighbors, whose distribution skews right in high
+    dimensions — a few hub points appear in everyone's neighbor list
+    while antihubs (N_k = 0) vanish from retrieval entirely. Reports
+    the population skewness of N_k (THE hubness scalar), the largest
+    hub's occurrence count, and the antihub share. Occurrence counts
+    reduce through the bucketed aggregate; zeros enter via the
+    sample-minus-counted complement."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    edges, ids = _knn_edges(sf_dir, modulus, k)
+    occ = bucketed_aggregate(
+        edges.map_batches(
+            lambda df: pd.DataFrame({"nb": df["nb"], "c": 1}), batch_format="pandas"
+        ),
+        ["nb"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
+    n = len(ids)
+    c = np.zeros(n, dtype="float64")
+    c[: len(occ)] = occ["c"].to_numpy("float64")  # zeros for never-named points
+    mu = c.mean()
+    m2 = ((c - mu) ** 2).mean()
+    m3 = ((c - mu) ** 3).mean()
+    return pd.DataFrame(
+        {
+            "n_sample": pd.Series([n], dtype="int64"),
+            "skew_nk": [round(float(m3 / m2**1.5), 6)],
+            "max_occurrence": pd.Series([int(c.max())], dtype="int64"),
+            "antihub_share": [round(float((c == 0).sum() / n), 6)],
+        }
+    )
+
+
+def _knn_edges_sql(modulus: int = 5, k: int = 10) -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % {modulus} = 0
+),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS nb,
+         round(list_cosine_similarity(a.e, b.e), 9) AS sim
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+rk AS (
+  SELECT qa, nb,
+         row_number() OVER (PARTITION BY qa ORDER BY sim DESC, nb) AS r
+  FROM p
+),
+ed AS (SELECT qa, nb FROM rk WHERE r <= {k})
+"""
+
+
+EMBEDDING_HUBNESS_SQL = (
+    _knn_edges_sql()
+    + """,
+occ AS (
+  SELECT s.vec_id, count(ed.nb) * 1.0 AS c
+  FROM s LEFT JOIN ed ON s.vec_id = ed.nb GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n, avg(c) AS mu,
+         avg(c * c) - avg(c) * avg(c) AS m2,
+         avg(c * c * c) - 3 * avg(c) * avg(c * c) + 2 * pow(avg(c), 3) AS m3,
+         max(c) AS mx,
+         sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS antih
+  FROM occ
+)
+SELECT CAST(n AS BIGINT) AS n_sample,
+       round(m3 / pow(m2, 1.5), 6) AS skew_nk,
+       CAST(mx AS BIGINT) AS max_occurrence,
+       round(antih, 6) AS antihub_share
+FROM m
+"""
+)
+
+
+def knn_symmetry_ratio(sf_dir: str, modulus: int = 5, k: int = 10) -> pd.DataFrame:
+    """Reverse-neighbor symmetry of the same kNN graph: the share of
+    directed kNN edges whose reverse edge also exists ('I am your
+    neighbor AND you are mine') — symmetry decays exactly as hubness
+    grows, which is why mutual-kNN graphs are the standard clustering
+    repair. Canonical (min, max) pair keys reduce through the
+    bucketed aggregate; a pair counted twice is symmetric. Shared
+    edge machinery."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    edges, _ = _knn_edges(sf_dir, modulus, k)
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["qa"].to_numpy("int64")
+        b = df["nb"].to_numpy("int64")
+        return pd.DataFrame(
+            {"u": np.minimum(a, b), "v": np.maximum(a, b), "c": 1}
+        )
+
+    pc = bucketed_aggregate(
+        edges.map_batches(_canon, batch_format="pandas"),
+        ["u", "v"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
+    n_edges = int(pc["c"].sum())
+    n_sym = int((pc["c"] == 2).sum())
+    return pd.DataFrame(
+        {
+            "n_directed_edges": pd.Series([n_edges], dtype="int64"),
+            "n_symmetric_pairs": pd.Series([n_sym], dtype="int64"),
+            "symmetry_ratio": [round(2.0 * n_sym / n_edges, 6)],
+        }
+    )
+
+
+KNN_SYMMETRY_RATIO_SQL = (
+    _knn_edges_sql()
+    + """,
+cp AS (
+  SELECT least(qa, nb) AS u, greatest(qa, nb) AS v, count(*) AS c
+  FROM ed GROUP BY 1, 2
+),
+m AS (
+  SELECT sum(c) AS ne, sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS ns FROM cp
+)
+SELECT CAST(ne AS BIGINT) AS n_directed_edges,
+       CAST(ns AS BIGINT) AS n_symmetric_pairs,
+       round(2.0 * ns / ne, 6) AS symmetry_ratio
+FROM m
+"""
+)
