@@ -9025,3 +9025,179 @@ SELECT round((c - d) * 1.0 / (pt * nt), 6) AS somers_d_yx,
        round((c - d) * 1.0 / (nn * (nn - 1) // 2), 6) AS kendall_tau_a
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# incidence-based vocabulary richness: Chao2 + ICE over document frequencies
+# ---------------------------------------------------------------------------
+
+def _df_incidence_hist(sf_dir: str) -> tuple[pd.DataFrame, int]:
+    """Shared (df -> Q_df) incidence frequency-count histogram for the
+    Chao2/ICE pair: per-batch per-doc-deduped terms reduce through
+    the bucketed vocabulary aggregate (same machinery as tfidf's df
+    map), then each vocab bucket collapses to (df_value, n_terms)
+    partials — the vocabulary itself never reaches the driver, only
+    the result-sized count-of-counts table. Returns (hist, n_docs)."""
+    import numpy as np
+
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_terms(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for s in t["text"].to_pylist():
+            terms.extend(set(TOKEN_RE.findall(s.lower())))
+        uniq, counts = (
+            np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            if terms
+            else (np.array([], dtype=object), np.array([], dtype=np.int64))
+        )
+        return pa.Table.from_pydict(
+            {"term": pa.array(list(uniq), pa.string()), "df": pa.array(counts, pa.int64())}
+        )
+
+    per_term = bucketed_aggregate(
+        ds.map_batches(_doc_terms, batch_format="pyarrow"),
+        "term",
+        {"df": ("df", "sum")},
+        num_buckets=16,
+    )
+
+    def _foc(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["df"].to_numpy("int64"), return_counts=True)
+        return pd.DataFrame({"df": u, "q": c})
+
+    hist = (
+        per_term.map_batches(_foc, batch_format="pandas")
+        .to_pandas()
+        .groupby("df", as_index=False)["q"]
+        .sum()
+        .sort_values("df")
+        .reset_index(drop=True)
+    )
+    n_docs = int(_read(sf_dir, "documents", columns=["doc_id"]).count())
+    return hist, n_docs
+
+
+def chao2_vocab_richness(sf_dir: str) -> pd.DataFrame:
+    """Chao2 incidence-based richness estimate of the corpus
+    vocabulary: terms are species, DOCUMENTS are the sampling units,
+    Q_k = #terms appearing in exactly k docs. The bias-corrected
+    estimator S = S_obs + ((m-1)/m) Q1(Q1-1)/(2(Q2+1)) — defined even
+    when no doubletons exist — is the incidence twin of the
+    abundance-based Chao1 already in the suite (presence/absence
+    across docs instead of token counts, the right frame when a term
+    pasted 100x in one doc should count once). Vocabulary stays
+    distributed; the driver sees the count-of-counts table."""
+    hist, m = _df_incidence_hist(sf_dir)
+    s_obs = int(hist["q"].sum())
+    q1 = int(hist.loc[hist["df"] == 1, "q"].sum())
+    q2 = int(hist.loc[hist["df"] == 2, "q"].sum())
+    chao2 = s_obs + (m - 1.0) / m * q1 * (q1 - 1.0) / (2.0 * (q2 + 1.0))
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([m], dtype="int64"),
+            "s_obs": pd.Series([s_obs], dtype="int64"),
+            "q1": pd.Series([q1], dtype="int64"),
+            "q2": pd.Series([q2], dtype="int64"),
+            "chao2_bc": [round(chao2, 4)],
+        }
+    )
+
+
+_DF_HIST_SQL = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+hist AS (SELECT df, count(*) AS q FROM dfreq GROUP BY df),
+m AS (SELECT count(*) * 1.0 AS m FROM documents)
+"""
+
+CHAO2_VOCAB_RICHNESS_SQL = (
+    _DF_HIST_SQL
+    + """
+SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_docs,
+       CAST(sum(q) AS BIGINT) AS s_obs,
+       CAST(coalesce(sum(CASE WHEN df = 1 THEN q END), 0) AS BIGINT) AS q1,
+       CAST(coalesce(sum(CASE WHEN df = 2 THEN q END), 0) AS BIGINT) AS q2,
+       round(sum(q)
+             + ((SELECT m FROM m) - 1.0) / (SELECT m FROM m)
+               * coalesce(sum(CASE WHEN df = 1 THEN q END), 0)
+               * (coalesce(sum(CASE WHEN df = 1 THEN q END), 0) - 1.0)
+               / (2.0 * (coalesce(sum(CASE WHEN df = 2 THEN q END), 0) + 1.0)), 4)
+         AS chao2_bc
+FROM hist
+"""
+)
+
+
+def ice_vocab_richness(sf_dir: str, rare_cutoff: int = 10) -> pd.DataFrame:
+    """ICE (incidence-based coverage estimator) of the same
+    vocabulary: split terms at df <= 10 (infrequent) vs frequent,
+    estimate sample coverage C = 1 - Q1/n_inf from the infrequent
+    incidences, inflate S_inf/C, and add the CV correction
+    gamma^2 = max(0, (S_inf/C)(m/(m-1)) SUM k(k-1)Q_k / n_inf^2 - 1)
+    (m = total docs — the simple-ICE convention, applied identically
+    in both engines). The coverage-based companion Chao2's
+    rare-tail-only extrapolation lacks. Same shared histogram."""
+    hist, m = _df_incidence_hist(sf_dir)
+    k = hist["df"].to_numpy("int64")
+    q = hist["q"].to_numpy("int64")
+    inf = k <= rare_cutoff
+    s_inf = int(q[inf].sum())
+    s_freq = int(q[~inf].sum())
+    n_inf = int((k[inf] * q[inf]).sum())
+    q1 = int(q[k == 1].sum())
+    if n_inf == 0:
+        # no infrequent terms at all: coverage is complete by definition
+        c, gamma2, ice = 1.0, 0.0, float(s_freq)
+    else:
+        c = 1.0 - q1 / n_inf
+        skk = float((k[inf] * (k[inf] - 1.0) * q[inf]).sum())
+        gamma2 = max(
+            (s_inf / c) * (m / (m - 1.0)) * skk / (n_inf * 1.0 * n_inf) - 1.0, 0.0
+        )
+        ice = s_freq + s_inf / c + q1 / c * gamma2
+    return pd.DataFrame(
+        {
+            "s_freq": pd.Series([s_freq], dtype="int64"),
+            "s_infreq": pd.Series([s_inf], dtype="int64"),
+            "coverage_c": [round(c, 6)],
+            "gamma2": [round(gamma2, 6)],
+            "ice": [round(ice, 4)],
+        }
+    )
+
+
+ICE_VOCAB_RICHNESS_SQL = (
+    _DF_HIST_SQL
+    + """,
+agg AS (
+  SELECT sum(CASE WHEN df <= 10 THEN q ELSE 0 END) * 1.0 AS s_inf,
+         sum(CASE WHEN df > 10 THEN q ELSE 0 END) * 1.0 AS s_freq,
+         sum(CASE WHEN df <= 10 THEN df * q ELSE 0 END) * 1.0 AS n_inf,
+         sum(CASE WHEN df = 1 THEN q ELSE 0 END) * 1.0 AS q1,
+         sum(CASE WHEN df <= 10 THEN df * (df - 1.0) * q ELSE 0 END) AS skk
+  FROM hist
+),
+f AS (
+  SELECT s_inf, s_freq, n_inf, q1,
+         CASE WHEN n_inf = 0 THEN 1.0 ELSE 1.0 - q1 / n_inf END AS c,
+         CASE WHEN n_inf = 0 THEN 0.0
+              ELSE greatest((s_inf / (1.0 - q1 / n_inf))
+                            * ((SELECT m FROM m) / ((SELECT m FROM m) - 1.0))
+                            * skk / (n_inf * n_inf) - 1.0, 0.0) END AS gamma2
+  FROM agg
+)
+SELECT CAST(s_freq AS BIGINT) AS s_freq,
+       CAST(s_inf AS BIGINT) AS s_infreq,
+       round(c, 6) AS coverage_c,
+       round(gamma2, 6) AS gamma2,
+       round(CASE WHEN n_inf = 0 THEN s_freq
+                  ELSE s_freq + s_inf / c + q1 / c * gamma2 END, 4) AS ice
+FROM f
+"""
+)
