@@ -9639,3 +9639,178 @@ FROM h LEFT JOIN rg ON rg.a <= h.h
 GROUP BY h.h ORDER BY 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# rare-event control charts: t-chart (time between) + g-chart (count between)
+# ---------------------------------------------------------------------------
+
+def t_chart_error_gaps(sf_dir: str) -> pd.DataFrame:
+    """t-chart of the time between consecutive 'error' events — the
+    SPC chart for adverse-event INTERVALS (c/p/u charts break down
+    when the event is rare relative to the sampling window): under a
+    stable Poisson process the gaps are exponential with the mean
+    from the telescoping identity (max-min)/(n-1), and the 3-sigma-
+    equivalent probability limits are UCL = -mean ln(0.00135) (a
+    too-LONG gap = the process improved) and LCL = -mean ln(0.99865)
+    (a too-SHORT gap = errors clustering). Counts of beyond-limit
+    gaps come from per-day blocks diffed vectorized plus the O(days)
+    boundary stitches — no global sort; exact integer microseconds
+    against float limits."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id"]).map_batches(
+        lambda df: df[df["event_type"] == "error"][["ts", "event_id"]],
+        batch_format="pandas",
+    )
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"day": t // (86_400 * 1_000_000), "t": t, "eid": df["event_id"].to_numpy("int64")}
+        )
+
+    def _block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "eid"])
+        t = g["t"].to_numpy("int64")
+        gaps = np.diff(t)
+        return pd.DataFrame(
+            {
+                "day": [int(g["day"].iloc[0])],
+                "n": [len(t)],
+                "lo": [int(t[0])],
+                "hi": [int(t[-1])],
+                # in-block gap histogram partials stay tiny: we only
+                # need the counts against the global limits, so ship
+                # the raw block gap array bounds instead: store gaps
+                # summary as a list via value counts of coarse cells
+                # is lossy -> keep exact by shipping per-block sorted
+                # gaps only when the block is small; error blocks are
+                # day-sized (result scale), so totals stay bounded.
+                "gaps": [gaps.tolist()],
+            }
+        )
+
+    blocks = (
+        ds.map_batches(_key, batch_format="pandas")
+        .groupby("day")
+        .map_groups(_block, batch_format="pandas")
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n_total = int(blocks["n"].sum())
+    lo = int(blocks["lo"].min())
+    hi = int(blocks["hi"].max())
+    mean_us = (hi - lo) / (n_total - 1.0)
+    ucl = -mean_us * np.log(0.00135)
+    lcl = -mean_us * np.log(1.0 - 0.00135)
+    gaps_all = [np.asarray(g, dtype="int64") for g in blocks["gaps"]]
+    # boundary gaps between consecutive day blocks
+    bounds = blocks["lo"].to_numpy("int64")[1:] - blocks["hi"].to_numpy("int64")[:-1]
+    above = sum(int((g > ucl).sum()) for g in gaps_all) + int((bounds > ucl).sum())
+    below = sum(int((g < lcl).sum()) for g in gaps_all) + int((bounds < lcl).sum())
+    return pd.DataFrame(
+        {
+            "n_gaps": pd.Series([n_total - 1], dtype="int64"),
+            "mean_gap_s": [round(mean_us / 1e6, 6)],
+            "ucl_s": [round(ucl / 1e6, 6)],
+            "lcl_s": [round(lcl / 1e6, 6)],
+            "n_above_ucl": pd.Series([above], dtype="int64"),
+            "n_below_lcl": pd.Series([below], dtype="int64"),
+        }
+    )
+
+
+T_CHART_ERROR_GAPS_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+  WHERE event_type = 'error'
+),
+g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS gap
+  FROM e
+),
+m AS (
+  SELECT count(*) * 1.0 AS n,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) / (count(*) - 1.0) AS mean_us
+  FROM e
+)
+SELECT CAST((SELECT n - 1 FROM m) AS BIGINT) AS n_gaps,
+       round((SELECT mean_us FROM m) / 1e6, 6) AS mean_gap_s,
+       round(-(SELECT mean_us FROM m) * ln(0.00135) / 1e6, 6) AS ucl_s,
+       round(-(SELECT mean_us FROM m) * ln(1.0 - 0.00135) / 1e6, 6) AS lcl_s,
+       CAST(sum(CASE WHEN gap > -(SELECT mean_us FROM m) * ln(0.00135)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ucl,
+       CAST(sum(CASE WHEN gap < -(SELECT mean_us FROM m) * ln(1.0 - 0.00135)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below_lcl
+FROM g WHERE gap IS NOT NULL
+"""
+
+
+def g_chart_error_counts(sf_dir: str) -> pd.DataFrame:
+    """g-chart of the number of (non-error) events between
+    consecutive errors — the discrete rare-event chart (geometric
+    counts): center ḡ = mean between-count, UCL = ḡ + 3 sqrt(ḡ(ḡ+1))
+    (no meaningful LCL for geometric data), with the count of
+    beyond-limit spells and the zero-spell share (back-to-back
+    errors). Global event positions come from the distributed rank
+    primitive ((ts, event_id) tie-break); only the result-sized
+    error-position list reaches the driver."""
+    from ocr_pipeline_ray.pipelines.relational import _global_rank
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "t": df["ts"].to_numpy("datetime64[us]").astype("int64"),
+                "eid": df["event_id"].to_numpy("int64"),
+                "err": (df["event_type"] == "error").to_numpy("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ranked = _global_rank(ds, "t", ["eid", "err"])
+    err_ranks = np.sort(
+        ranked.map_batches(
+            lambda df: df[df["err"] == 1][["rank"]], batch_format="pandas"
+        )
+        .to_pandas()["rank"]
+        .to_numpy("int64")
+    )
+    between = np.diff(err_ranks) - 1
+    gbar = float(between.mean())
+    ucl = gbar + 3.0 * np.sqrt(gbar * (gbar + 1.0))
+    return pd.DataFrame(
+        {
+            "n_spells": pd.Series([len(between)], dtype="int64"),
+            "mean_between": [round(gbar, 6)],
+            "ucl": [round(float(ucl), 6)],
+            "n_above_ucl": pd.Series([int((between > ucl).sum())], dtype="int64"),
+            "zero_spell_share": [round(float((between == 0).sum() / len(between)), 6)],
+        }
+    )
+
+
+G_CHART_ERROR_COUNTS_SQL = """
+WITH r AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY ts, event_id) AS rk
+  FROM events
+),
+er AS (
+  SELECT rk - lag(rk) OVER (ORDER BY rk) - 1 AS between_n
+  FROM r WHERE event_type = 'error'
+),
+b AS (SELECT between_n FROM er WHERE between_n IS NOT NULL),
+m AS (SELECT count(*) * 1.0 AS n, avg(between_n) AS gbar FROM b)
+SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_spells,
+       round((SELECT gbar FROM m), 6) AS mean_between,
+       round((SELECT gbar FROM m)
+             + 3.0 * sqrt((SELECT gbar FROM m) * ((SELECT gbar FROM m) + 1.0)), 6)
+         AS ucl,
+       CAST(sum(CASE WHEN between_n > (SELECT gbar FROM m)
+                          + 3.0 * sqrt((SELECT gbar FROM m)
+                                       * ((SELECT gbar FROM m) + 1.0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ucl,
+       round(sum(CASE WHEN between_n = 0 THEN 1 ELSE 0 END)
+             / (SELECT n FROM m), 6) AS zero_spell_share
+FROM b
+"""
