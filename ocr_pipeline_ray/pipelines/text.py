@@ -9201,3 +9201,178 @@ SELECT CAST(s_freq AS BIGINT) AS s_freq,
 FROM f
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# AUC uncertainty: DeLong variance + Hanley-McNeil approximation
+# ---------------------------------------------------------------------------
+
+def _roc_value_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared exact (n_chars -> count, positives) value histogram for
+    the AUC-uncertainty pair — the same collapse the AUC/pAUC family
+    uses: the score domain is result-sized, so placements and their
+    variances are exact cumulative-sum algebra on the driver."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "x": df["n_chars"].to_numpy("int64"),
+                    "c": np.int64(1),
+                    "ca": (df["lang"] == "en").to_numpy().astype("int64"),
+                }
+            )
+            .groupby("x", as_index=False)
+            .sum()
+        )
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_hist, batch_format="pandas"),
+            ["x"],
+            {"c": ("c", "sum"), "ca": ("ca", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+
+
+def _delong_terms(sf_dir: str):
+    h = _roc_value_hist(sf_dir)
+    cpos = h["ca"].to_numpy("int64").astype("float64")
+    cneg = (h["c"] - h["ca"]).to_numpy("int64").astype("float64")
+    np_, nn = cpos.sum(), cneg.sum()
+    cum_neg_before = np.concatenate([[0.0], np.cumsum(cneg)[:-1]])
+    cum_pos_before = np.concatenate([[0.0], np.cumsum(cpos)[:-1]])
+    v10 = (cum_neg_before + 0.5 * cneg) / nn          # placement of each positive at x
+    v01 = 1.0 - (cum_pos_before + 0.5 * cpos) / np_   # placement of each negative at x
+    auc = float((cpos * v10).sum() / np_)
+    s10 = float((cpos * (v10 - auc) ** 2).sum() / (np_ - 1.0))
+    s01 = float((cneg * (v01 - auc) ** 2).sum() / (nn - 1.0))
+    var = s10 / np_ + s01 / nn
+    return np_, nn, auc, var
+
+
+def delong_auc_ci_length_english(sf_dir: str) -> pd.DataFrame:
+    """DeLong nonparametric variance of the length->English AUC: the
+    placement-value decomposition Var = S10/n_pos + S01/n_neg (each
+    positive's placement = fraction of negatives it outranks, tie =
+    1/2), collapsed exactly onto the score-value histogram since
+    placements are constant within a value cell — the distribution-
+    free CI every reported AUC should carry, with the Wald 95%
+    bounds. Shared histogram with the Hanley-McNeil companion."""
+    np_, nn, auc, var = _delong_terms(sf_dir)
+    se = float(np.sqrt(var))
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([int(np_)], dtype="int64"),
+            "n_neg": pd.Series([int(nn)], dtype="int64"),
+            "auc": [round(auc, 6)],
+            "se_delong": [round(se, 6)],
+            "ci_lo": [round(auc - 1.96 * se, 6)],
+            "ci_hi": [round(auc + 1.96 * se, 6)],
+        }
+    )
+
+
+_DELONG_BASE_SQL = """
+WITH v AS (
+  SELECT n_chars AS x, count(*) * 1.0 AS c,
+         count(CASE WHEN lang = 'en' THEN 1 END) * 1.0 AS ca
+  FROM documents GROUP BY x
+),
+r AS (
+  SELECT x, c, ca, c - ca AS cb,
+         sum(c - ca) OVER (ORDER BY x) - (c - ca) AS negb,
+         sum(ca) OVER (ORDER BY x) - ca AS posb
+  FROM v
+),
+t AS (SELECT sum(ca) AS np, sum(c - ca) AS nn FROM v),
+pl AS (
+  SELECT ca, cb,
+         (negb + 0.5 * cb) / (SELECT nn FROM t) AS v10,
+         1.0 - (posb + 0.5 * ca) / (SELECT np FROM t) AS v01
+  FROM r
+),
+a AS (SELECT sum(ca * v10) / (SELECT np FROM t) AS auc FROM pl),
+s AS (
+  SELECT sum(ca * (v10 - (SELECT auc FROM a)) * (v10 - (SELECT auc FROM a)))
+           / ((SELECT np FROM t) - 1.0) AS s10,
+         sum(cb * (v01 - (SELECT auc FROM a)) * (v01 - (SELECT auc FROM a)))
+           / ((SELECT nn FROM t) - 1.0) AS s01
+  FROM pl
+)
+"""
+
+DELONG_AUC_CI_LENGTH_ENGLISH_SQL = (
+    _DELONG_BASE_SQL
+    + """
+SELECT CAST((SELECT np FROM t) AS BIGINT) AS n_pos,
+       CAST((SELECT nn FROM t) AS BIGINT) AS n_neg,
+       round((SELECT auc FROM a), 6) AS auc,
+       round(sqrt(s10 / (SELECT np FROM t) + s01 / (SELECT nn FROM t)), 6)
+         AS se_delong,
+       round((SELECT auc FROM a)
+             - 1.96 * sqrt(s10 / (SELECT np FROM t) + s01 / (SELECT nn FROM t)), 6)
+         AS ci_lo,
+       round((SELECT auc FROM a)
+             + 1.96 * sqrt(s10 / (SELECT np FROM t) + s01 / (SELECT nn FROM t)), 6)
+         AS ci_hi
+FROM s
+"""
+)
+
+
+def hanley_mcneil_se_length_english(sf_dir: str) -> pd.DataFrame:
+    """Hanley-McNeil (1982) parametric SE of the same AUC — the
+    bi-exponential approximation Q1 = A/(2-A), Q2 = 2A^2/(1+A),
+    SE^2 = (A(1-A) + (np-1)(Q1-A^2) + (nn-1)(Q2-A^2))/(np nn) — beside
+    its exact DeLong replacement: the ratio tells you how much the
+    textbook shortcut mis-sizes this data's CI (it assumes a specific
+    score shape; DeLong assumes nothing). Shared placement terms."""
+    np_, nn, auc, var = _delong_terms(sf_dir)
+    q1 = auc / (2.0 - auc)
+    q2 = 2.0 * auc * auc / (1.0 + auc)
+    se_hm = float(
+        np.sqrt(
+            (auc * (1 - auc) + (np_ - 1) * (q1 - auc * auc) + (nn - 1) * (q2 - auc * auc))
+            / (np_ * nn)
+        )
+    )
+    return pd.DataFrame(
+        {
+            "auc": [round(auc, 6)],
+            "se_hanley_mcneil": [round(se_hm, 6)],
+            "se_ratio_hm_over_delong": [round(se_hm / float(np.sqrt(var)), 6)],
+        }
+    )
+
+
+HANLEY_MCNEIL_SE_LENGTH_ENGLISH_SQL = (
+    _DELONG_BASE_SQL
+    + """,
+hm AS (
+  SELECT (SELECT auc FROM a) AS auc,
+         sqrt(((SELECT auc FROM a) * (1 - (SELECT auc FROM a))
+               + ((SELECT np FROM t) - 1)
+                 * ((SELECT auc FROM a) / (2.0 - (SELECT auc FROM a))
+                    - (SELECT auc FROM a) * (SELECT auc FROM a))
+               + ((SELECT nn FROM t) - 1)
+                 * (2.0 * (SELECT auc FROM a) * (SELECT auc FROM a)
+                      / (1.0 + (SELECT auc FROM a))
+                    - (SELECT auc FROM a) * (SELECT auc FROM a)))
+              / ((SELECT np FROM t) * (SELECT nn FROM t))) AS se_hm,
+         sqrt(s10 / (SELECT np FROM t) + s01 / (SELECT nn FROM t)) AS se_dl
+  FROM s
+)
+SELECT round(auc, 6) AS auc,
+       round(se_hm, 6) AS se_hanley_mcneil,
+       round(se_hm / se_dl, 6) AS se_ratio_hm_over_delong
+FROM hm
+"""
+)
