@@ -9376,3 +9376,164 @@ SELECT round(auc, 6) AS auc,
 FROM hm
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# reliability bounds: Guttman lambda2 + Spearman-Brown prophecy
+# ---------------------------------------------------------------------------
+
+def _labeler_cov_terms(sf_dir: str, len_cut: int = 800):
+    """Shared exact integer moment pass for the reliability pair: the
+    three weak binary labelers (English / long / mentions-'data')
+    with ALL pairwise product sums, so the full 3x3 item covariance
+    matrix is closed-form on the driver. Same labeler definitions as
+    the kappa/alpha family."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["lang"] == "en").to_numpy("int64")
+        b = (df["n_chars"] > len_cut).to_numpy("int64")
+        c = df["text"].str.contains("data", regex=False).to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sa": [np.int64(a.sum())],
+                "sb": [np.int64(b.sum())],
+                "sc": [np.int64(c.sum())],
+                "sab": [np.int64((a * b).sum())],
+                "sac": [np.int64((a * c).sum())],
+                "sbc": [np.int64((b * c).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n = int(s["n"])
+
+    def var(sx):
+        return (sx - sx * 1.0 * sx / n) / (n - 1.0)
+
+    def cov(sxy, sx, sy):
+        return (sxy - sx * 1.0 * sy / n) / (n - 1.0)
+
+    sa, sb, sc = int(s["sa"]), int(s["sb"]), int(s["sc"])
+    v = [var(sa), var(sb), var(sc)]
+    c01 = cov(int(s["sab"]), sa, sb)
+    c02 = cov(int(s["sac"]), sa, sc)
+    c12 = cov(int(s["sbc"]), sb, sc)
+    return n, v, (c01, c02, c12)
+
+
+def guttman_lambda2_labelers(sf_dir: str) -> pd.DataFrame:
+    """Guttman's lower bounds to the reliability of the 3-labeler
+    scale: lambda1 = 1 - SUM var_i / V_t, lambda3 = Cronbach's alpha,
+    and lambda2 = lambda1 + sqrt(k/(k-1) SUM_(i!=j) c_ij^2)/V_t —
+    always >= alpha, strictly better when item covariances are
+    unequal (exactly this data: three heterogeneous weak labelers),
+    so reporting alpha alone understates reliability. Closed forms of
+    the shared 3x3 covariance pass."""
+    n, v, (c01, c02, c12) = _labeler_cov_terms(sf_dir)
+    sum_var = sum(v)
+    sum_cov2 = 2.0 * (c01 + c02 + c12)
+    vt = sum_var + sum_cov2
+    lam1 = 1.0 - sum_var / vt
+    ssq = 2.0 * (c01 * c01 + c02 * c02 + c12 * c12)
+    lam2 = lam1 + np.sqrt(1.5 * ssq) / vt
+    alpha = 1.5 * (1.0 - sum_var / vt)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "lambda1": [round(lam1, 6)],
+            "alpha_lambda3": [round(alpha, 6)],
+            "lambda2": [round(float(lam2), 6)],
+        }
+    )
+
+
+_LABELER_COV_SQL = """
+WITH l AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars > 800 THEN 1 ELSE 0 END AS b,
+         CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+s AS (
+  SELECT count(*) * 1.0 AS n, sum(a) * 1.0 AS sa, sum(b) * 1.0 AS sb,
+         sum(c) * 1.0 AS sc, sum(a * b) * 1.0 AS sab,
+         sum(a * c) * 1.0 AS sac, sum(b * c) * 1.0 AS sbc
+  FROM l
+),
+cv AS (
+  SELECT n,
+         (sa - sa * sa / n) / (n - 1.0) AS v0,
+         (sb - sb * sb / n) / (n - 1.0) AS v1,
+         (sc - sc * sc / n) / (n - 1.0) AS v2,
+         (sab - sa * sb / n) / (n - 1.0) AS c01,
+         (sac - sa * sc / n) / (n - 1.0) AS c02,
+         (sbc - sb * sc / n) / (n - 1.0) AS c12
+  FROM s
+)
+"""
+
+GUTTMAN_LAMBDA2_LABELERS_SQL = (
+    _LABELER_COV_SQL
+    + """
+SELECT CAST(n AS BIGINT) AS n,
+       round(1.0 - (v0 + v1 + v2) / (v0 + v1 + v2 + 2.0 * (c01 + c02 + c12)), 6)
+         AS lambda1,
+       round(1.5 * (1.0 - (v0 + v1 + v2)
+                    / (v0 + v1 + v2 + 2.0 * (c01 + c02 + c12))), 6)
+         AS alpha_lambda3,
+       round(1.0 - (v0 + v1 + v2) / (v0 + v1 + v2 + 2.0 * (c01 + c02 + c12))
+             + sqrt(1.5 * 2.0 * (c01 * c01 + c02 * c02 + c12 * c12))
+               / (v0 + v1 + v2 + 2.0 * (c01 + c02 + c12)), 6) AS lambda2
+FROM cv
+"""
+)
+
+
+def spearman_brown_labelers(sf_dir: str) -> pd.DataFrame:
+    """Spearman-Brown prophecy for the labeler panel: the average
+    inter-item correlation rbar, the standardized alpha
+    k rbar/(1+(k-1)rbar), the predicted reliability if the panel
+    DOUBLED to six labelers (2a/(1+a) applied to raw alpha), and the
+    implied panel size to reach 0.9 reliability n* = k x
+    0.9(1-a)/(a x 0.1) — the 'how many more annotators do we need'
+    planning readout every labeling budget meeting asks for. Shared
+    covariance pass."""
+    n, v, (c01, c02, c12) = _labeler_cov_terms(sf_dir)
+    r01 = c01 / np.sqrt(v[0] * v[1])
+    r02 = c02 / np.sqrt(v[0] * v[2])
+    r12 = c12 / np.sqrt(v[1] * v[2])
+    rbar = float((r01 + r02 + r12) / 3.0)
+    alpha_std = 3.0 * rbar / (1.0 + 2.0 * rbar)
+    vt = sum(v) + 2.0 * (c01 + c02 + c12)
+    alpha = 1.5 * (1.0 - sum(v) / vt)
+    dbl = 2.0 * alpha / (1.0 + alpha)
+    n_star = 3.0 * 0.9 * (1.0 - alpha) / (alpha * 0.1)
+    return pd.DataFrame(
+        {
+            "rbar": [round(rbar, 6)],
+            "alpha_standardized": [round(float(alpha_std), 6)],
+            "reliability_doubled": [round(float(dbl), 6)],
+            "n_items_for_090": [round(float(n_star), 4)],
+        }
+    )
+
+
+SPEARMAN_BROWN_LABELERS_SQL = (
+    _LABELER_COV_SQL
+    + """,
+r AS (
+  SELECT (c01 / sqrt(v0 * v1) + c02 / sqrt(v0 * v2) + c12 / sqrt(v1 * v2))
+           / 3.0 AS rbar,
+         1.5 * (1.0 - (v0 + v1 + v2)
+                / (v0 + v1 + v2 + 2.0 * (c01 + c02 + c12))) AS alpha
+  FROM cv
+)
+SELECT round(rbar, 6) AS rbar,
+       round(3.0 * rbar / (1.0 + 2.0 * rbar), 6) AS alpha_standardized,
+       round(2.0 * alpha / (1.0 + alpha), 6) AS reliability_doubled,
+       round(3.0 * 0.9 * (1.0 - alpha) / (alpha * 0.1), 4) AS n_items_for_090
+FROM r
+"""
+)
