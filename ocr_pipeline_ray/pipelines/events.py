@@ -9814,3 +9814,211 @@ SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_spells,
              / (SELECT n FROM m), 6) AS zero_spell_share
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov chain drift: stationarity G^2 + per-state transition drift
+# ---------------------------------------------------------------------------
+
+def _period_transition_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared (period, prev, next) -> count reduction for the
+    stationarity pair: per-user adjacent transitions in (ts,
+    event_id) order (the event_transitions contract), each assigned
+    to the first or second half of the GLOBAL time range by the ts
+    of the pair's FIRST event (midpoint = (min+max)/2 epoch-us). One
+    bucketed per-user shift pass; only (period, pair, count) rows
+    shuffle."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    lo = pd.Timestamp(ds.min("ts")).value // 1000
+    hi = pd.Timestamp(ds.max("ts")).value // 1000
+    mid = (lo + hi) // 2
+
+    def _pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        t = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        if len(u) < 2:
+            return pd.DataFrame(
+                {
+                    "period": pd.Series(dtype="int64"),
+                    "prev_type": pd.Series(dtype="object"),
+                    "next_type": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame(
+            {
+                "period": (t[:-1][same] > mid).astype("int64"),
+                "prev_type": et[:-1][same],
+                "next_type": et[1:][same],
+            }
+        )
+        out = df.groupby(["period", "prev_type", "next_type"], sort=False).size()
+        return out.reset_index(name="n")
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_add_user_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(_pairs_bucket, batch_format="pandas"),
+            ["period", "prev_type", "next_type"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["period", "prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+
+
+def markov_stationarity_g2(sf_dir: str) -> pd.DataFrame:
+    """Time-homogeneity test of the user-behavior Markov chain: do
+    the first and second halves of the observation window share the
+    same transition matrix? G^2 = 2 SUM n_pij ln(n_pij/e_pij) with
+    e_pij = rowtotal_pi x pooled P(j|i), df = SUM_i (J_i - 1) over
+    pooled-support cells — the likelihood-ratio homogeneity test per
+    prev-state row, summed. An inflated G^2 means every downstream
+    chain-based readout (entropy rate, order test, perplexity)
+    averages two different regimes. Shared period-split counts."""
+    c = _period_transition_counts(sf_dir)
+    piv = c.pivot_table(
+        index=["prev_type", "next_type"], columns="period", values="n", fill_value=0
+    )
+    n0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy("float64")
+    n1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy("float64")
+    pooled = n0 + n1
+    prev = piv.index.get_level_values(0).to_numpy()
+    g2 = 0.0
+    df_total = 0
+    for pv in np.unique(prev):
+        m = prev == pv
+        row_pool = pooled[m]
+        tot_pool = row_pool.sum()
+        for n_p in (n0[m], n1[m]):
+            tot_p = n_p.sum()
+            if tot_p == 0:
+                continue
+            e = tot_p * row_pool / tot_pool
+            nz = n_p > 0
+            g2 += 2.0 * float((n_p[nz] * np.log(n_p[nz] / e[nz])).sum())
+        df_total += int((row_pool > 0).sum()) - 1
+    return pd.DataFrame(
+        {
+            "n_transitions": pd.Series([int(pooled.sum())], dtype="int64"),
+            "g2": [round(g2, 6)],
+            "df": pd.Series([df_total], dtype="int64"),
+        }
+    )
+
+
+_PERIOD_TRANS_SQL = """
+WITH mx AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events
+),
+seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_t
+  FROM events
+),
+pc AS (
+  SELECT CASE WHEN prev_t > ((SELECT lo FROM mx) + (SELECT hi FROM mx)) // 2
+              THEN 1 ELSE 0 END AS period,
+         prev_type, event_type AS next_type, count(*) * 1.0 AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+"""
+
+MARKOV_STATIONARITY_G2_SQL = (
+    _PERIOD_TRANS_SQL
+    + """,
+cells AS (
+  SELECT prev_type, next_type,
+         sum(CASE WHEN period = 0 THEN n ELSE 0 END) AS n0,
+         sum(CASE WHEN period = 1 THEN n ELSE 0 END) AS n1
+  FROM pc GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT prev_type, sum(n0) AS r0, sum(n1) AS r1, sum(n0 + n1) AS rp
+  FROM cells GROUP BY 1
+),
+terms AS (
+  SELECT c.prev_type,
+         CASE WHEN c.n0 > 0
+              THEN 2.0 * c.n0 * ln(c.n0 / (r.r0 * (c.n0 + c.n1) / r.rp))
+              ELSE 0.0 END
+         + CASE WHEN c.n1 > 0
+                THEN 2.0 * c.n1 * ln(c.n1 / (r.r1 * (c.n0 + c.n1) / r.rp))
+                ELSE 0.0 END AS g,
+         CASE WHEN c.n0 + c.n1 > 0 THEN 1 ELSE 0 END AS support
+  FROM cells c JOIN rows_ r USING (prev_type)
+),
+dfc AS (
+  SELECT sum(support) - count(DISTINCT prev_type) AS df
+  FROM terms
+)
+SELECT CAST((SELECT sum(n) FROM pc) AS BIGINT) AS n_transitions,
+       round(sum(g), 6) AS g2,
+       CAST((SELECT df FROM dfc) AS BIGINT) AS df
+FROM terms
+"""
+)
+
+
+def transition_matrix_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-state drift of the same two-period chain: for each prev
+    state, the total-variation distance 0.5 SUM_j |P1(j|i)-P2(j|i)|
+    between the half-window conditional next-type distributions —
+    the interpretable companion of the G^2 scalar that LOCALIZES
+    which behavior changed — with each state's pooled row share.
+    Shared period-split counts."""
+    c = _period_transition_counts(sf_dir)
+    piv = c.pivot_table(
+        index=["prev_type", "next_type"], columns="period", values="n", fill_value=0
+    )
+    n0 = piv.get(0, pd.Series(0, index=piv.index)).to_numpy("float64")
+    n1 = piv.get(1, pd.Series(0, index=piv.index)).to_numpy("float64")
+    prev = piv.index.get_level_values(0).to_numpy()
+    total = float((n0 + n1).sum())
+    rows = []
+    for pv in np.unique(prev):
+        m = prev == pv
+        t0, t1 = n0[m].sum(), n1[m].sum()
+        tv = 0.5 * float(np.abs(n0[m] / t0 - n1[m] / t1).sum())
+        rows.append(
+            {
+                "prev_type": pv,
+                "tv_distance": round(tv, 6),
+                "row_share": round(float((n0[m] + n1[m]).sum()) / total, 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("prev_type").reset_index(drop=True)
+
+
+TRANSITION_MATRIX_DRIFT_SQL = (
+    _PERIOD_TRANS_SQL
+    + """,
+cells AS (
+  SELECT prev_type, next_type,
+         sum(CASE WHEN period = 0 THEN n ELSE 0 END) AS n0,
+         sum(CASE WHEN period = 1 THEN n ELSE 0 END) AS n1
+  FROM pc GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT prev_type, sum(n0) AS r0, sum(n1) AS r1 FROM cells GROUP BY 1
+),
+tot AS (SELECT sum(n0 + n1) AS t FROM cells)
+SELECT c.prev_type,
+       round(0.5 * sum(abs(c.n0 / r.r0 - c.n1 / r.r1)), 6) AS tv_distance,
+       round(sum(c.n0 + c.n1) / (SELECT t FROM tot), 6) AS row_share
+FROM cells c JOIN rows_ r USING (prev_type)
+GROUP BY c.prev_type ORDER BY c.prev_type
+"""
+)
