@@ -9537,3 +9537,183 @@ SELECT round(rbar, 6) AS rbar,
 FROM r
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# forecast verification: Murphy decomposition + linear calibration slope
+# ---------------------------------------------------------------------------
+
+def _calibration_grid(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Shared (length-bucket) grid for the forecast-verification
+    pair, same leakage discipline as the Brier query: TRAIN = even
+    doc_id learns per-bucket English rates (the forecast), TEST =
+    odd doc_id supplies outcomes. Exact integer (n, n_en) counts per
+    (bucket, split); buckets unseen in training fall back to the
+    global train rate."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "b": (df["n_chars"] // bucket_chars).astype("int64"),
+                "split": (df["doc_id"].to_numpy("int64") % 2),
+                "n": np.int64(1),
+                "en": (df["lang"] == "en").astype("int64"),
+            }
+        )
+        return out.groupby(["b", "split"], as_index=False).sum()
+
+    g = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b", "split"],
+            {"n": ("n", "sum"), "en": ("en", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .groupby(["b", "split"], as_index=False)
+        .sum()
+    )
+    tr = g[g["split"] == 0].set_index("b")
+    te = g[g["split"] == 1].set_index("b")
+    glob = float(tr["en"].sum()) / float(tr["n"].sum())
+    out = pd.DataFrame(
+        {
+            "b": te.index,
+            "n": te["n"].to_numpy("int64"),
+            "en": te["en"].to_numpy("int64"),
+        }
+    )
+    f = []
+    for b in out["b"]:
+        if b in tr.index and int(tr.loc[b, "n"]) > 0:
+            f.append(float(tr.loc[b, "en"]) / float(tr.loc[b, "n"]))
+        else:
+            f.append(glob)
+    out["f"] = f
+    return out.reset_index(drop=True)
+
+
+def murphy_brier_decomposition(sf_dir: str) -> pd.DataFrame:
+    """Murphy's three-part decomposition of the test-set Brier score
+    of the length-bucket English forecaster: BS = REL - RES + UNC
+    EXACTLY when forecasts are constant within bins (they are, by
+    construction) — reliability (calibration error to drive down),
+    resolution (discrimination to drive up), uncertainty (the
+    outcome's own variance, the no-skill floor). Identity residual
+    reported at 1e-10; one shared (bucket, split) integer grid."""
+    g = _calibration_grid(sf_dir)
+    n = g["n"].to_numpy("int64").astype("float64")
+    en = g["en"].to_numpy("int64").astype("float64")
+    f = g["f"].to_numpy("float64")
+    nn = n.sum()
+    obar_b = en / n
+    obar = en.sum() / nn
+    brier = float((n * f * f - 2.0 * f * en + en).sum()) / nn
+    rel = float((n * (f - obar_b) ** 2).sum()) / nn
+    res = float((n * (obar_b - obar) ** 2).sum()) / nn
+    unc = obar * (1.0 - obar)
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([int(nn)], dtype="int64"),
+            "brier": [round(brier, 6)],
+            "reliability": [round(rel, 6)],
+            "resolution": [round(res, 6)],
+            "uncertainty": [round(unc, 6)],
+            "identity_residual": [round(brier - (rel - res + unc), 10)],
+        }
+    )
+
+
+_CALIB_GRID_SQL = """
+WITH d AS (
+  SELECT n_chars // 200 AS b, doc_id % 2 AS split,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents
+),
+g AS (
+  SELECT b, split, count(*) * 1.0 AS n, sum(en) * 1.0 AS en
+  FROM d GROUP BY 1, 2
+),
+gl AS (
+  SELECT sum(en) / sum(n) AS p FROM g WHERE split = 0
+),
+te AS (
+  SELECT t.b, t.n, t.en,
+         coalesce(tr.en / nullif(tr.n, 0), (SELECT p FROM gl)) AS f
+  FROM (SELECT * FROM g WHERE split = 1) t
+  LEFT JOIN (SELECT * FROM g WHERE split = 0) tr USING (b)
+),
+tot AS (SELECT sum(n) AS nn, sum(en) / sum(n) AS obar FROM te)
+"""
+
+MURPHY_BRIER_DECOMPOSITION_SQL = (
+    _CALIB_GRID_SQL
+    + """,
+m AS (
+  SELECT sum(n * f * f - 2.0 * f * en + en) / (SELECT nn FROM tot) AS brier,
+         sum(n * (f - en / n) * (f - en / n)) / (SELECT nn FROM tot) AS rel,
+         sum(n * (en / n - (SELECT obar FROM tot))
+             * (en / n - (SELECT obar FROM tot))) / (SELECT nn FROM tot) AS res,
+         (SELECT obar * (1.0 - obar) FROM tot) AS unc
+  FROM te
+)
+SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_test,
+       round(brier, 6) AS brier,
+       round(rel, 6) AS reliability,
+       round(res, 6) AS resolution,
+       round(unc, 6) AS uncertainty,
+       round(brier - (rel - res + unc), 10) AS identity_residual
+FROM m
+"""
+)
+
+
+def calibration_slope_length_english(sf_dir: str) -> pd.DataFrame:
+    """Weak-calibration diagnostics of the same forecaster on the
+    same held-out split: calibration-in-the-large (mean outcome minus
+    mean forecast — systematic over/under-confidence), and the linear
+    calibration slope cov(o, f)/var(f) with its intercept — the
+    Cox-style recalibration line whose ideal is (0, 1): slope < 1
+    means forecasts are too extreme, > 1 too timid. Closed forms of
+    the shared grid (forecasts are constant within buckets)."""
+    g = _calibration_grid(sf_dir)
+    n = g["n"].to_numpy("int64").astype("float64")
+    en = g["en"].to_numpy("int64").astype("float64")
+    f = g["f"].to_numpy("float64")
+    nn = n.sum()
+    fbar = float((n * f).sum()) / nn
+    obar = en.sum() / nn
+    cov = float((f * en).sum()) / nn - fbar * obar
+    var_f = float((n * f * f).sum()) / nn - fbar * fbar
+    slope = cov / var_f
+    return pd.DataFrame(
+        {
+            "n_test": pd.Series([int(nn)], dtype="int64"),
+            "cal_in_large": [round(obar - fbar, 6)],
+            "cal_slope": [round(slope, 6)],
+            "cal_intercept": [round(obar - slope * fbar, 6)],
+        }
+    )
+
+
+CALIBRATION_SLOPE_LENGTH_ENGLISH_SQL = (
+    _CALIB_GRID_SQL
+    + """,
+s AS (
+  SELECT sum(n * f) / (SELECT nn FROM tot) AS fbar,
+         (SELECT obar FROM tot) AS obar,
+         sum(f * en) / (SELECT nn FROM tot) AS sfo,
+         sum(n * f * f) / (SELECT nn FROM tot) AS sff
+  FROM te
+)
+SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_test,
+       round(obar - fbar, 6) AS cal_in_large,
+       round((sfo - fbar * obar) / (sff - fbar * fbar), 6) AS cal_slope,
+       round(obar - (sfo - fbar * obar) / (sff - fbar * fbar) * fbar, 6)
+         AS cal_intercept
+FROM s
+"""
+)
