@@ -9717,3 +9717,156 @@ SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_test,
 FROM s
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# operating-point selection: cost-optimal thresholds + precision targeting
+# ---------------------------------------------------------------------------
+
+def _threshold_table(sf_dir: str):
+    """Shared per-threshold confusion table for the operating-point
+    pair: thresholds = every distinct n_chars value plus a
+    predict-nothing sentinel (max+1); predict English when
+    n_chars >= t, so TP/FP at t are suffix sums over the shared
+    value histogram and FN/TN are their complements. Exact
+    integers."""
+    h = _roc_value_hist(sf_dir)
+    x = h["x"].to_numpy("int64")
+    cpos = h["ca"].to_numpy("int64")
+    cneg = (h["c"] - h["ca"]).to_numpy("int64")
+    np_, nn = int(cpos.sum()), int(cneg.sum())
+    thr = np.concatenate([x, [x[-1] + 1]])
+    tp = np.concatenate([cpos[::-1].cumsum()[::-1], [0]])
+    fp = np.concatenate([cneg[::-1].cumsum()[::-1], [0]])
+    return thr, tp, fp, np_, nn
+
+
+def cost_optimal_thresholds_length_english(sf_dir: str) -> pd.DataFrame:
+    """Cost-sensitive operating points of the length->English rule:
+    for each misclassification cost ratio (c_fp, c_fn) in (1,10),
+    (1,2), (1,1), (2,1), (10,1), the threshold minimizing the
+    normalized expected cost (c_fp FP + c_fn FN)/n over ALL
+    candidate thresholds including predict-nothing — the sweep that
+    turns one ROC into five deployable rules (asymmetric costs move
+    the cut, which is the whole point of cost curves). Smallest
+    threshold among minima; exact integer confusion cells from the
+    shared suffix-sum table."""
+    thr, tp, fp, np_, nn = _threshold_table(sf_dir)
+    n = np_ + nn
+    rows = []
+    for cf, cn_ in ((1, 10), (1, 2), (1, 1), (2, 1), (10, 1)):
+        cost = (cf * fp + cn_ * (np_ - tp)) / n
+        i = int(np.argmin(cost))  # first minimum = smallest threshold
+        rows.append(
+            {
+                "cost_fp": np.int64(cf),
+                "cost_fn": np.int64(cn_),
+                "threshold": np.int64(thr[i]),
+                "norm_cost": round(float(cost[i]), 6),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("cost_fp", "cost_fn", "threshold"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_THRESH_TABLE_SQL = """
+WITH v AS (
+  SELECT n_chars AS x, count(*) AS c,
+         count(CASE WHEN lang = 'en' THEN 1 END) AS ca
+  FROM documents GROUP BY x
+),
+t AS (SELECT sum(ca) * 1.0 AS np, sum(c - ca) * 1.0 AS nn FROM v),
+thr AS (
+  SELECT x AS t FROM v
+  UNION ALL SELECT max(x) + 1 FROM v
+),
+conf AS (
+  SELECT thr.t,
+         coalesce((SELECT sum(ca) FROM v WHERE v.x >= thr.t), 0) * 1.0 AS tp,
+         coalesce((SELECT sum(c - ca) FROM v WHERE v.x >= thr.t), 0) * 1.0 AS fp
+  FROM thr
+)
+"""
+
+COST_OPTIMAL_THRESHOLDS_LENGTH_ENGLISH_SQL = (
+    _THRESH_TABLE_SQL
+    + """,
+costs AS (
+  SELECT * FROM (VALUES (1, 10), (1, 2), (1, 1), (2, 1), (10, 1))
+    AS c(cost_fp, cost_fn)
+),
+scored AS (
+  SELECT costs.cost_fp, costs.cost_fn, conf.t,
+         (costs.cost_fp * conf.fp
+          + costs.cost_fn * ((SELECT np FROM t) - conf.tp))
+           / ((SELECT np + nn FROM t)) AS nc,
+         row_number() OVER (PARTITION BY costs.cost_fp, costs.cost_fn
+                            ORDER BY (costs.cost_fp * conf.fp
+                                      + costs.cost_fn * ((SELECT np FROM t) - conf.tp)),
+                                     conf.t) AS rk
+  FROM costs CROSS JOIN conf
+)
+SELECT CAST(cost_fp AS BIGINT) AS cost_fp,
+       CAST(cost_fn AS BIGINT) AS cost_fn,
+       CAST(t AS BIGINT) AS threshold,
+       round(nc, 6) AS norm_cost
+FROM scored WHERE rk = 1 ORDER BY cost_fp, cost_fn
+"""
+)
+
+
+def precision_target_threshold_length_english(
+    sf_dir: str, target: float = 0.9
+) -> pd.DataFrame:
+    """Precision-targeted deployment threshold: the SMALLEST length
+    cut whose precision TP/(TP+FP) reaches 0.9 (maximizing recall
+    subject to the precision floor — the standard quality-gate
+    contract), with its achieved precision and recall; if no
+    threshold reaches the target, fall back to the highest-precision
+    point (ties -> smallest threshold) and report attained = 0.
+    Same shared suffix-sum table."""
+    thr, tp, fp, np_, _ = _threshold_table(sf_dir)
+    denom = tp + fp
+    valid = denom > 0
+    prec = np.where(valid, tp / np.maximum(denom, 1), -1.0)
+    ok = valid & (prec >= target)
+    if ok.any():
+        i = int(np.flatnonzero(ok)[0])
+        attained = 1
+    else:
+        i = int(np.argmax(prec))
+        attained = 0
+    return pd.DataFrame(
+        {
+            "threshold": pd.Series([int(thr[i])], dtype="int64"),
+            "precision": [round(float(prec[i]), 6)],
+            "recall": [round(float(tp[i] / np_), 6)],
+            "target_attained": pd.Series([attained], dtype="int64"),
+        }
+    )
+
+
+PRECISION_TARGET_THRESHOLD_LENGTH_ENGLISH_SQL = (
+    _THRESH_TABLE_SQL
+    + """,
+pr AS (
+  SELECT t, tp, fp, tp / (tp + fp) AS prec
+  FROM conf WHERE tp + fp > 0
+),
+hit AS (SELECT * FROM pr WHERE prec >= 0.9 ORDER BY t LIMIT 1),
+fallback AS (SELECT * FROM pr ORDER BY prec DESC, t LIMIT 1),
+pick AS (
+  SELECT *, 1 AS attained FROM hit
+  UNION ALL
+  SELECT *, 0 AS attained FROM fallback
+  WHERE NOT EXISTS (SELECT 1 FROM hit)
+)
+SELECT CAST(t AS BIGINT) AS threshold,
+       round(prec, 6) AS precision,
+       round(tp / (SELECT np FROM t), 6) AS recall,
+       CAST(attained AS BIGINT) AS target_attained
+FROM pick
+"""
+)
