@@ -3021,30 +3021,27 @@ def _knn_edges(sf_dir: str, modulus: int = 5, k: int = 10):
     mn = _normalize(m)
     ref = ray.put((ids, mn))
 
-    class _Edges:
-        def __init__(self):
-            self.ids, self.mn = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            bids, bm = _to_matrix(batch)
-            sims = np.round(_normalize(bm) @ self.mn.T, 9)
-            out_q, out_n = [], []
-            for i, qid in enumerate(bids):
-                s = sims[i]
-                mask = self.ids != qid
-                cand_ids, cand_s = self.ids[mask], s[mask]
-                order = np.lexsort((cand_ids, -cand_s))[: min(k, cand_ids.size)]
-                out_q.append(np.full(len(order), qid, dtype="int64"))
-                out_n.append(cand_ids[order])
-            if not out_q:
-                return pd.DataFrame(
-                    {"qa": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
-                )
+    def _edges(batch: pd.DataFrame) -> pd.DataFrame:
+        s_ids, s_mn = ray.get(ref)  # plasma-shared; zero-copy per task
+        bids, bm = _to_matrix(batch)
+        sims = np.round(_normalize(bm) @ s_mn.T, 9)
+        out_q, out_n = [], []
+        for i, qid in enumerate(bids):
+            s = sims[i]
+            mask = s_ids != qid
+            cand_ids, cand_s = s_ids[mask], s[mask]
+            order = np.lexsort((cand_ids, -cand_s))[: min(k, cand_ids.size)]
+            out_q.append(np.full(len(order), qid, dtype="int64"))
+            out_n.append(cand_ids[order])
+        if not out_q:
             return pd.DataFrame(
-                {"qa": np.concatenate(out_q), "nb": np.concatenate(out_n)}
+                {"qa": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")}
             )
+        return pd.DataFrame(
+            {"qa": np.concatenate(out_q), "nb": np.concatenate(out_n)}
+        )
 
-    return ds.map_batches(_Edges, concurrency=4, batch_format="pandas"), ids
+    return ds.map_batches(_edges, batch_format="pandas"), ids
 
 
 def embedding_hubness(sf_dir: str, modulus: int = 5, k: int = 10) -> pd.DataFrame:
