@@ -386,8 +386,8 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # step that follows pair generation in corpus curation.
 # ---------------------------------------------------------------------------
 
-def exact_jaccard_pairs_ds(
-    sf_dir: str, threshold: float = 0.5, shingle_k: int = 3
+def _shingle_pair_counts_ds(
+    sf_dir: str, shingle_k: int = 3, plant_every: int | None = None
 ) -> "ray.data.Dataset":
     """EXACT Jaccard>=threshold pairs via a distributed inverted
     shingle index — no LSH pruning, so (unlike
@@ -418,12 +418,25 @@ def exact_jaccard_pairs_ds(
             # STRICT k-grams: shingles() falls back to shorter grams
             # for sub-k-token docs (right for MinHash recall, wrong for
             # the EXACT operator — the SQL oracle emits no grams there)
-            if len(tokenize(s.lower())) < shingle_k:
+            toks = tokenize(s.lower())
+            if len(toks) < shingle_k:
                 continue
             sh = shingles(s, shingle_k).astype(np.int64)
             ids.append(np.full(sh.size, doc_id, dtype=np.int64))
             shs.append(sh)
             ns.append(np.full(sh.size, sh.size, dtype=np.int64))
+            if plant_every and doc_id % plant_every == 0:
+                # deterministic prefix crop: first ceil(2L/5) tokens
+                # (exact integer formula, identical in the oracle)
+                m = (2 * len(toks) + 4) // 5
+                if m >= shingle_k:
+                    crop = " ".join(toks[:m])
+                    shc = shingles(crop, shingle_k).astype(np.int64)
+                    ids.append(
+                        np.full(shc.size, doc_id + 1_000_000_000, dtype=np.int64)
+                    )
+                    shs.append(shc)
+                    ns.append(np.full(shc.size, shc.size, dtype=np.int64))
         if not ids:
             ids, shs, ns = [np.array([], dtype=np.int64)] * 3
         return pa.Table.from_pydict(
@@ -471,9 +484,17 @@ def exact_jaccard_pairs_ds(
         .groupby("cbucket")
         .map_groups(_pair_partials, batch_format="pandas")
     )
-    combined = bucketed_aggregate(
+    return bucketed_aggregate(
         partials, ["a", "b"], {"cnt": ("cnt", "sum"), "n_a": ("n_a", "min"), "n_b": ("n_b", "min")}
     )
+
+
+def exact_jaccard_pairs_ds(
+    sf_dir: str, threshold: float = 0.5, shingle_k: int = 3
+) -> "ray.data.Dataset":
+    """Jaccard >= threshold filter over the shared exact pair-count
+    builder (see :func:`_shingle_pair_counts_ds`)."""
+    combined = _shingle_pair_counts_ds(sf_dir, shingle_k)
 
     def _jacc_filter(df: pd.DataFrame) -> pd.DataFrame:
         jacc = df["cnt"] / (df["n_a"] + df["n_b"] - df["cnt"])
@@ -944,3 +965,178 @@ LIMIT {k}
 
 
 SIMILAR_DOCS_BY_SHINGLES_SQL = similar_docs_by_shingles_sql()
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment: near-subset duplication the Jaccard filter misses
+# ---------------------------------------------------------------------------
+
+def containment_pairs(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3) -> pd.DataFrame:
+    """Broder CONTAINMENT pairs over the same exact shingle index:
+    C(a in b) = |A n B|/|A| and its mirror, kept when either side
+    reaches 0.8 — the asymmetric measure that catches a short doc
+    embedded in a long one, which symmetric Jaccard dilutes below
+    any usable threshold. Reports both containments and the Jaccard
+    for contrast; only qualifying pairs reach the driver."""
+    combined = _shingle_pair_counts_ds(sf_dir, shingle_k)
+
+    def _filt(df: pd.DataFrame) -> pd.DataFrame:
+        c_ab = df["cnt"] / df["n_a"]
+        c_ba = df["cnt"] / df["n_b"]
+        jacc = df["cnt"] / (df["n_a"] + df["n_b"] - df["cnt"])
+        keep = np.maximum(c_ab, c_ba) >= threshold
+        return pd.DataFrame(
+            {
+                "a": df["a"][keep],
+                "b": df["b"][keep],
+                "contain_ab": np.round(c_ab[keep], 4),
+                "contain_ba": np.round(c_ba[keep], 4),
+                "jacc": np.round(jacc[keep], 4),
+            }
+        )
+
+    out = combined.map_batches(_filt, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                "contain_ab": pd.Series(dtype="float64"),
+                "contain_ba": pd.Series(dtype="float64"),
+                "jacc": pd.Series(dtype="float64"),
+            }
+        )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_SHINGLE_COUNT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM toks
+), grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+CONTAINMENT_PAIRS_SQL = (
+    _SHINGLE_COUNT_SQL
+    + """
+SELECT a, b,
+       round(inter.i * 1.0 / sa.n, 4) AS contain_ab,
+       round(inter.i * 1.0 / sb.n, 4) AS contain_ba,
+       round(inter.i * 1.0 / (sa.n + sb.n - inter.i), 4) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE greatest(inter.i * 1.0 / sa.n, inter.i * 1.0 / sb.n) >= 0.8
+ORDER BY a, b
+"""
+)
+
+
+def subset_duplicates(sf_dir: str, c_thresh: float = 0.9, j_thresh: float = 0.5, shingle_k: int = 3) -> pd.DataFrame:
+    """The pairs ONLY containment can see: one side's shingles are
+    >= 90% inside the other (near-subset duplication — quoted
+    articles, prefix crops, boilerplate wrappers) while the Jaccard
+    stays BELOW 0.5, so every symmetric dedup pass ships both copies.
+    Emits (contained doc, container doc, containment, jacc) with the
+    contained side normalized first — the actionable curation list.
+    The synthetic corpus's near-dups are all SYMMETRIC, so the
+    subset regime is planted deterministically (the
+    embedding_neardup_lsh_planted precedent): every 10th doc also
+    enters as a prefix crop of its first ceil(2L/5) tokens under
+    doc_id + 1e9 — containment of the crop in its source is 1.0 by
+    construction while the Jaccard sits near 0.4, exactly the blind
+    spot being demonstrated; the oracle plants identically.
+    Same shared pair-count index."""
+    combined = _shingle_pair_counts_ds(sf_dir, shingle_k, plant_every=10)
+
+    def _filt(df: pd.DataFrame) -> pd.DataFrame:
+        c_ab = (df["cnt"] / df["n_a"]).to_numpy()
+        c_ba = (df["cnt"] / df["n_b"]).to_numpy()
+        jacc = (df["cnt"] / (df["n_a"] + df["n_b"] - df["cnt"])).to_numpy()
+        best = np.maximum(c_ab, c_ba)
+        keep = (best >= c_thresh) & (jacc < j_thresh)
+        a = df["a"].to_numpy("int64")[keep]
+        b = df["b"].to_numpy("int64")[keep]
+        ab = c_ab[keep] >= c_ba[keep]
+        return pd.DataFrame(
+            {
+                "contained": np.where(ab, a, b),
+                "container": np.where(ab, b, a),
+                "containment": np.round(best[keep], 4),
+                "jacc": np.round(jacc[keep], 4),
+            }
+        )
+
+    out = combined.map_batches(_filt, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "contained": pd.Series(dtype="int64"),
+                "container": pd.Series(dtype="int64"),
+                "containment": pd.Series(dtype="float64"),
+                "jacc": pd.Series(dtype="float64"),
+            }
+        )
+    out["contained"] = out["contained"].astype("int64")
+    out["container"] = out["container"].astype("int64")
+    return out.sort_values(["contained", "container"]).reset_index(drop=True)
+
+
+_SHINGLE_COUNT_PLANTED_SQL = r"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk FROM documents
+), toks AS (
+  SELECT doc_id, tk FROM toks0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         tk[1:(2 * len(tk) + 4) // 5] AS tk
+  FROM toks0
+  WHERE doc_id % 10 = 0 AND (2 * len(tk) + 4) // 5 >= 3
+), pos AS (
+  SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i FROM toks
+), grams AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+SUBSET_DUPLICATES_SQL = (
+    _SHINGLE_COUNT_PLANTED_SQL
+    + """,
+sc AS (
+  SELECT a, b,
+         inter.i * 1.0 / sa.n AS c_ab,
+         inter.i * 1.0 / sb.n AS c_ba,
+         inter.i * 1.0 / (sa.n + sb.n - inter.i) AS jacc
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sb ON sb.doc_id = inter.b
+)
+SELECT CASE WHEN c_ab >= c_ba THEN a ELSE b END AS contained,
+       CASE WHEN c_ab >= c_ba THEN b ELSE a END AS container,
+       round(greatest(c_ab, c_ba), 4) AS containment,
+       round(jacc, 4) AS jacc
+FROM sc
+WHERE greatest(c_ab, c_ba) >= 0.9 AND jacc < 0.5
+ORDER BY contained, container
+"""
+)
