@@ -9501,9 +9501,14 @@ def spearman_brown_labelers(sf_dir: str) -> pd.DataFrame:
     planning readout every labeling budget meeting asks for. Shared
     covariance pass."""
     n, v, (c01, c02, c12) = _labeler_cov_terms(sf_dir)
-    r01 = c01 / np.sqrt(v[0] * v[1])
-    r02 = c02 / np.sqrt(v[0] * v[2])
-    r12 = c12 / np.sqrt(v[1] * v[2])
+
+    def _r(c, va, vb):
+        # a constant labeler carries no covariation information
+        return c / np.sqrt(va * vb) if va > 0 and vb > 0 else 0.0
+
+    r01 = _r(c01, v[0], v[1])
+    r02 = _r(c02, v[0], v[2])
+    r12 = _r(c12, v[1], v[2])
     rbar = float((r01 + r02 + r12) / 3.0)
     alpha_std = 3.0 * rbar / (1.0 + 2.0 * rbar)
     vt = sum(v) + 2.0 * (c01 + c02 + c12)
@@ -9524,7 +9529,9 @@ SPEARMAN_BROWN_LABELERS_SQL = (
     _LABELER_COV_SQL
     + """,
 r AS (
-  SELECT (c01 / sqrt(v0 * v1) + c02 / sqrt(v0 * v2) + c12 / sqrt(v1 * v2))
+  SELECT (CASE WHEN v0 * v1 > 0 THEN c01 / sqrt(v0 * v1) ELSE 0.0 END
+          + CASE WHEN v0 * v2 > 0 THEN c02 / sqrt(v0 * v2) ELSE 0.0 END
+          + CASE WHEN v1 * v2 > 0 THEN c12 / sqrt(v1 * v2) ELSE 0.0 END)
            / 3.0 AS rbar,
          1.5 * (1.0 - (v0 + v1 + v2)
                 / (v0 + v1 + v2 + 2.0 * (c01 + c02 + c12))) AS alpha
