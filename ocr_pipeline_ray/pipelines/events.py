@@ -10022,3 +10022,159 @@ FROM cells c JOIN rows_ r USING (prev_type)
 GROUP BY c.prev_type ORDER BY c.prev_type
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# repeat buying: purchase-depth ladder + Ehrenberg NBD fit
+# ---------------------------------------------------------------------------
+
+def _purchase_count_hist(sf_dir: str) -> pd.DataFrame:
+    """Shared per-user purchase-count histogram for the repeat-buying
+    pair: every user observed in the event stream (zero purchases
+    included), reduced to (k purchases -> n users) — one bucketed
+    per-user aggregate then a tiny count-of-counts table."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "k": (df["event_type"] == "purchase").astype("int64"),
+            }
+        )
+
+    per = bucketed_aggregate(
+        ds.map_batches(_prep, batch_format="pandas"),
+        ["user_id"],
+        {"k": ("k", "sum")},
+        num_buckets=32,
+    )
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["k"].to_numpy("int64"), return_counts=True)
+        return pd.DataFrame({"k": u, "n": c})
+
+    return (
+        per.map_batches(_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)["n"]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def purchase_depth_ladder(sf_dir: str, max_k: int = 8) -> pd.DataFrame:
+    """The buyer-progression ladder: for k = 1..8, how many users
+    reached at least k purchases and the conditional continuation
+    rate P(>= k+1 | >= k) — the 'leaky bucket' table behind every
+    repeat-purchase program (a FLAT continuation profile is
+    Ehrenberg's signature of stationary habit; rates rising with
+    depth mean loyalty compounds). Suffix sums over the shared
+    count histogram."""
+    h = _purchase_count_hist(sf_dir)
+    k = h["k"].to_numpy("int64")
+    n = h["n"].to_numpy("int64")
+    rows = []
+    for kk in range(1, max_k + 1):
+        ge_k = int(n[k >= kk].sum())
+        ge_k1 = int(n[k >= kk + 1].sum())
+        rows.append(
+            {
+                "depth_k": np.int64(kk),
+                "n_users_ge_k": np.int64(ge_k),
+                "continue_rate": round(ge_k1 / ge_k, 6) if ge_k else 0.0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    out["depth_k"] = out["depth_k"].astype("int64")
+    out["n_users_ge_k"] = out["n_users_ge_k"].astype("int64")
+    return out
+
+
+_PURCHASE_HIST_SQL = """
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY user_id
+),
+h AS (SELECT k, count(*) AS n FROM per GROUP BY k)
+"""
+
+PURCHASE_DEPTH_LADDER_SQL = (
+    _PURCHASE_HIST_SQL
+    + """,
+ks AS (SELECT unnest(generate_series(1, 8)) AS depth_k)
+SELECT CAST(depth_k AS BIGINT) AS depth_k,
+       CAST((SELECT coalesce(sum(n), 0) FROM h WHERE h.k >= ks.depth_k)
+            AS BIGINT) AS n_users_ge_k,
+       round((SELECT coalesce(sum(n), 0) FROM h WHERE h.k >= ks.depth_k + 1)
+             * 1.0
+             / (SELECT sum(n) FROM h WHERE h.k >= ks.depth_k), 6)
+         AS continue_rate
+FROM ks ORDER BY depth_k
+"""
+)
+
+
+def nbd_fit_purchase_counts(sf_dir: str) -> pd.DataFrame:
+    """Ehrenberg's NBD (negative binomial) fit of per-user purchase
+    counts by method of moments: shape r = m^2/(v - m), scale
+    alpha = m/(v - m), with the model-predicted zero share
+    (alpha/(1+alpha))^r against the observed never-bought share —
+    THE repeat-buying model of marketing science; a close zero-share
+    match is the classic evidence that buying is stationary gamma-
+    Poisson, a big miss says the population splits into structural
+    never-buyers plus buyers. Population moments from the shared
+    histogram; the v <= m (underdispersed) degenerate case reports
+    r = 0 identically in both engines."""
+    h = _purchase_count_hist(sf_dir)
+    k = h["k"].to_numpy("int64").astype("float64")
+    n = h["n"].to_numpy("int64").astype("float64")
+    nn = n.sum()
+    m = float((k * n).sum()) / nn
+    v = float((k * k * n).sum()) / nn - m * m
+    obs0 = float(n[k == 0].sum()) / nn
+    if v > m:
+        r = m * m / (v - m)
+        alpha = m / (v - m)
+        p0 = (alpha / (1.0 + alpha)) ** r
+    else:
+        r, alpha, p0 = 0.0, 0.0, 0.0
+    return pd.DataFrame(
+        {
+            "mean_purchases": [round(m, 6)],
+            "dispersion_index": [round(v / m, 6)],
+            "nbd_r": [round(r, 6)],
+            "nbd_alpha": [round(alpha, 6)],
+            "pred_zero_share": [round(p0, 6)],
+            "obs_zero_share": [round(obs0, 6)],
+        }
+    )
+
+
+NBD_FIT_PURCHASE_COUNTS_SQL = (
+    _PURCHASE_HIST_SQL
+    + """,
+m AS (
+  SELECT sum(n) * 1.0 AS nn,
+         sum(k * n) / sum(n) AS mu,
+         sum(k * k * n) * 1.0 / sum(n)
+           - (sum(k * n) / sum(n)) * (sum(k * n) / sum(n)) AS v,
+         coalesce(sum(CASE WHEN k = 0 THEN n END), 0) * 1.0 / sum(n) AS obs0
+  FROM h
+)
+SELECT round(mu, 6) AS mean_purchases,
+       round(v / mu, 6) AS dispersion_index,
+       round(CASE WHEN v > mu THEN mu * mu / (v - mu) ELSE 0.0 END, 6) AS nbd_r,
+       round(CASE WHEN v > mu THEN mu / (v - mu) ELSE 0.0 END, 6) AS nbd_alpha,
+       round(CASE WHEN v > mu
+                  THEN pow((mu / (v - mu)) / (1.0 + mu / (v - mu)),
+                           mu * mu / (v - mu))
+                  ELSE 0.0 END, 6) AS pred_zero_share,
+       round(obs0, 6) AS obs_zero_share
+FROM m
+"""
+)
