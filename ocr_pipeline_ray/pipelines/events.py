@@ -10178,3 +10178,198 @@ SELECT round(mu, 6) AS mean_purchases,
 FROM m
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# temporal scan statistic (Kulldorff) for error-event clusters
+# ---------------------------------------------------------------------------
+
+def _monthly_error_grid(sf_dir: str) -> pd.DataFrame:
+    """Shared monthly (events, errors) grid for the scan pair: one
+    bucketed month reduction; the scan itself is O(M^2) over the
+    result-sized month series."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _g(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ym": df["ts"].dt.year.astype("int64") * 100
+                + df["ts"].dt.month.astype("int64"),
+                "n": np.int64(1),
+                "e": (df["event_type"] == "error").astype("int64"),
+            }
+        ).groupby("ym", as_index=False).sum()
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_g, batch_format="pandas"),
+            ["ym"],
+            {"n": ("n", "sum"), "e": ("e", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .groupby("ym", as_index=False)
+        .sum()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+
+
+def _scan_windows(grid: pd.DataFrame):
+    """All contiguous month windows scored with Kulldorff's Poisson
+    LLR (exposure = total events, cases = errors): LLR = c ln(c/E) +
+    (C-c) ln((C-c)/(C-E)) when c > E else 0 — exact same expression
+    in the oracle. Returns (i, j, llr, rr) arrays sorted by month."""
+    n = grid["n"].to_numpy("int64").astype("float64")
+    e = grid["e"].to_numpy("int64").astype("float64")
+    cn = np.concatenate([[0.0], np.cumsum(n)])
+    ce = np.concatenate([[0.0], np.cumsum(e)])
+    big_c, big_n = ce[-1], cn[-1]
+    out = []
+    m = len(grid)
+    for i in range(m):
+        for j in range(i, m):
+            c = ce[j + 1] - ce[i]
+            exp_ = big_c * (cn[j + 1] - cn[i]) / big_n
+            if c > exp_ and c < big_c:
+                llr = c * np.log(c / exp_) + (big_c - c) * np.log(
+                    (big_c - c) / (big_c - exp_)
+                )
+                rr = (c / exp_) / ((big_c - c) / (big_c - exp_))
+            else:
+                llr, rr = 0.0, 1.0
+            out.append((i, j, llr, rr))
+    return out
+
+
+def temporal_scan_errors(sf_dir: str) -> pd.DataFrame:
+    """Kulldorff temporal scan for the most anomalous error cluster:
+    over ALL contiguous month windows, the Poisson LLR of the error
+    rate inside vs outside (exposure-adjusted by total event volume,
+    so a busy month is not mistaken for a bad one) — the disease-
+    surveillance machinery applied to reliability data; the window
+    with maximum LLR is THE alarm a monitoring system should have
+    raised. Ties break to the earliest shortest window. Shared
+    monthly grid."""
+    grid = _monthly_error_grid(sf_dir)
+    wins = _scan_windows(grid)
+    best = max(wins, key=lambda w: (round(w[2], 9), -w[0], -w[1]))
+    i, j, llr, rr = best
+    ym = grid["ym"].to_numpy("int64")
+    return pd.DataFrame(
+        {
+            "start_month": pd.Series([int(ym[i])], dtype="int64"),
+            "end_month": pd.Series([int(ym[j])], dtype="int64"),
+            "llr": [round(float(llr), 6)],
+            "relative_risk": [round(float(rr), 6)],
+        }
+    )
+
+
+_SCAN_BASE_SQL = """
+WITH g AS (
+  SELECT year(ts) * 100 + month(ts) AS ym, count(*) * 1.0 AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 AS e
+  FROM events GROUP BY 1
+),
+o AS (SELECT ym, n, e, row_number() OVER (ORDER BY ym) AS i FROM g),
+cum AS (
+  SELECT i, ym, sum(n) OVER (ORDER BY i) AS cn, sum(e) OVER (ORDER BY i) AS ce
+  FROM o
+),
+tot AS (SELECT max(cn) AS bn, max(ce) AS bc FROM cum),
+win AS (
+  SELECT a.i AS i, b.i AS j, a.ym AS sym, b.ym AS eym,
+         b.ce - coalesce(p.ce, 0) AS c,
+         (SELECT bc FROM tot) * (b.cn - coalesce(p.cn, 0))
+           / (SELECT bn FROM tot) AS ex
+  FROM cum a
+  JOIN cum b ON b.i >= a.i
+  LEFT JOIN cum p ON p.i = a.i - 1
+),
+scored AS (
+  SELECT i, j, sym, eym, c, ex,
+         CASE WHEN c > ex AND c < (SELECT bc FROM tot)
+              THEN c * ln(c / ex)
+                   + ((SELECT bc FROM tot) - c)
+                     * ln(((SELECT bc FROM tot) - c)
+                          / ((SELECT bc FROM tot) - ex))
+              ELSE 0.0 END AS llr,
+         CASE WHEN c > ex AND c < (SELECT bc FROM tot)
+              THEN (c / ex) / (((SELECT bc FROM tot) - c)
+                               / ((SELECT bc FROM tot) - ex))
+              ELSE 1.0 END AS rr
+  FROM win
+)
+"""
+
+TEMPORAL_SCAN_ERRORS_SQL = (
+    _SCAN_BASE_SQL
+    + """
+SELECT CAST(sym AS BIGINT) AS start_month,
+       CAST(eym AS BIGINT) AS end_month,
+       round(llr, 6) AS llr,
+       round(rr, 6) AS relative_risk
+FROM scored ORDER BY round(llr, 9) DESC, i, j LIMIT 1
+"""
+)
+
+
+def temporal_scan_secondary(sf_dir: str) -> pd.DataFrame:
+    """The secondary cluster: the highest-LLR window NOT overlapping
+    the primary one — surveillance convention for 'is there a second
+    episode or was it one burst?', with the LLR ratio secondary/
+    primary (near 1 = two comparable episodes, near 0 = a single
+    dominant burst). Shared windows."""
+    grid = _monthly_error_grid(sf_dir)
+    wins = _scan_windows(grid)
+    key = lambda w: (round(w[2], 9), -w[0], -w[1])
+    best = max(wins, key=key)
+    bi, bj = best[0], best[1]
+    rest = [w for w in wins if w[1] < bi or w[0] > bj]
+    ym = grid["ym"].to_numpy("int64")
+    if rest:
+        sec = max(rest, key=key)
+        i, j, llr, rr = sec
+        return pd.DataFrame(
+            {
+                "start_month": pd.Series([int(ym[i])], dtype="int64"),
+                "end_month": pd.Series([int(ym[j])], dtype="int64"),
+                "llr": [round(float(llr), 6)],
+                "llr_ratio_to_primary": [
+                    round(float(llr / best[2]) if best[2] > 0 else 0.0, 6)
+                ],
+            }
+        )
+    return pd.DataFrame(
+        {
+            "start_month": pd.Series([0], dtype="int64"),
+            "end_month": pd.Series([0], dtype="int64"),
+            "llr": [0.0],
+            "llr_ratio_to_primary": [0.0],
+        }
+    )
+
+
+TEMPORAL_SCAN_SECONDARY_SQL = (
+    _SCAN_BASE_SQL
+    + """,
+prim AS (
+  SELECT i, j, llr FROM scored ORDER BY round(llr, 9) DESC, i, j LIMIT 1
+),
+sec AS (
+  SELECT s.* FROM scored s, prim
+  WHERE s.j < prim.i OR s.i > prim.j
+  ORDER BY round(s.llr, 9) DESC, s.i, s.j LIMIT 1
+)
+SELECT CAST(coalesce((SELECT sym FROM sec), 0) AS BIGINT) AS start_month,
+       CAST(coalesce((SELECT eym FROM sec), 0) AS BIGINT) AS end_month,
+       round(coalesce((SELECT llr FROM sec), 0.0), 6) AS llr,
+       round(CASE WHEN (SELECT llr FROM prim) > 0
+                  THEN coalesce((SELECT llr FROM sec), 0.0)
+                       / (SELECT llr FROM prim)
+                  ELSE 0.0 END, 6) AS llr_ratio_to_primary
+"""
+)
