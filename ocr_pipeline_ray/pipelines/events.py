@@ -10373,3 +10373,206 @@ SELECT CAST(coalesce((SELECT sym FROM sec), 0) AS BIGINT) AS start_month,
                   ELSE 0.0 END, 6) AS llr_ratio_to_primary
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Passing-Bablok method comparison of the funnel's two daily counters
+# ---------------------------------------------------------------------------
+
+def _views_purchases_day_counts(sf_dir: str):
+    """Shared zero-filled daily (views, purchases) integer count
+    series — same bucketed (day, type) grid as the Deming/RMA
+    queries, returned as aligned arrays for the rank-based fits."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df["event_type"].isin(["view", "purchase"])
+        d = df[sel]
+        return pd.DataFrame(
+            {
+                "day": d["ts"].dt.normalize(),
+                "t": d["event_type"].to_numpy(object),
+                "one": np.ones(int(sel.sum()), dtype="int64"),
+            }
+        )
+
+    grid = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["day", "t"],
+            {"c": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .pivot(index="day", columns="t", values="c")
+    )
+    full_days = pd.date_range(grid.index.min(), grid.index.max(), freq="D")
+    grid = grid.reindex(full_days).fillna(0).astype("int64")
+    x = grid.get("view", pd.Series(0, index=grid.index)).to_numpy("int64")
+    y = grid.get("purchase", pd.Series(0, index=grid.index)).to_numpy("int64")
+    return x, y
+
+
+def _pb_fit(x: np.ndarray, y: np.ndarray):
+    """Passing-Bablok slope/intercept: all pairwise slopes excluding
+    vertical pairs (x_i = x_j) and slopes exactly -1, shifted median
+    with offset K = #(slopes < -1); intercept = median(y - b x)."""
+    i, j = np.triu_indices(len(x), k=1)
+    dx = x[j] - x[i]
+    dy = y[j] - y[i]
+    keep = dx != 0
+    s = dy[keep] / dx[keep]
+    s = s[s != -1.0]
+    s = np.sort(s)
+    nslopes = len(s)
+    k = int((s < -1.0).sum())
+    if nslopes % 2 == 1:
+        b = float(s[(nslopes + 1) // 2 + k - 1])
+    else:
+        b = 0.5 * (float(s[nslopes // 2 + k - 1]) + float(s[nslopes // 2 + k]))
+    a = float(np.median(y - b * x))
+    return nslopes, k, b, a
+
+
+def passing_bablok_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Passing-Bablok (1983) regression of daily purchases on daily
+    views — the clinical-chemistry method-comparison fit: the
+    shifted median of all pairwise slopes (offset K = #slopes < -1
+    restores scale-swap symmetry), no distributional or
+    error-variance assumption at all, outlier-resistant where both
+    Deming and RMA are moment-based. Completes the slope ladder
+    (OLS / Deming / RMA / PB) on the same shared zero-filled day
+    grid; integer pairwise slopes make every engine comparison
+    exact."""
+    x, y = _views_purchases_day_counts(sf_dir)
+    nslopes, k, b, a = _pb_fit(x, y)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(x)], dtype="int64"),
+            "n_slopes": pd.Series([nslopes], dtype="int64"),
+            "k_offset": pd.Series([k], dtype="int64"),
+            "pb_slope": [round(b, 6)],
+            "pb_intercept": [round(a, 6)],
+        }
+    )
+
+
+_PB_BASE_SQL = """
+WITH b0 AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b0), (SELECT hi FROM b0), INTERVAL 1 DAY)) AS day),
+c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT row_number() OVER (ORDER BY days.day) AS i,
+         coalesce(c.v, 0) AS x, coalesce(c.p, 0) AS y
+  FROM days LEFT JOIN c ON c.day = CAST(days.day AS DATE)
+),
+sl0 AS (
+  SELECT (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+  FROM g a JOIN g b ON a.i < b.i AND a.x <> b.x
+),
+sl AS (SELECT s FROM sl0 WHERE s <> -1.0),
+nk AS (
+  SELECT count(*) AS ns,
+         sum(CASE WHEN s < -1.0 THEN 1 ELSE 0 END) AS k
+  FROM sl
+),
+srt AS (SELECT s, row_number() OVER (ORDER BY s) AS r FROM sl),
+bb AS (
+  SELECT CASE WHEN (SELECT ns FROM nk) % 2 = 1
+              THEN (SELECT s FROM srt
+                    WHERE r = ((SELECT ns FROM nk) + 1) // 2 + (SELECT k FROM nk))
+              ELSE 0.5 * ((SELECT s FROM srt
+                           WHERE r = (SELECT ns FROM nk) // 2 + (SELECT k FROM nk))
+                          + (SELECT s FROM srt
+                             WHERE r = (SELECT ns FROM nk) // 2 + (SELECT k FROM nk) + 1))
+         END AS b,
+         (SELECT ns FROM nk) AS ns, (SELECT k FROM nk) AS k
+),
+aa AS (
+  SELECT (SELECT median(y - (SELECT b FROM bb) * x) FROM g) AS a
+)
+"""
+
+PASSING_BABLOK_VIEWS_PURCHASES_SQL = (
+    _PB_BASE_SQL
+    + """
+SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_days,
+       CAST(bb.ns AS BIGINT) AS n_slopes,
+       CAST(bb.k AS BIGINT) AS k_offset,
+       round(bb.b, 6) AS pb_slope,
+       round((SELECT a FROM aa), 6) AS pb_intercept
+FROM bb
+"""
+)
+
+
+def passing_bablok_cusum_linearity(sf_dir: str) -> pd.DataFrame:
+    """The companion linearity check from the same paper: residual
+    signs r_i = y_i - (a + b x_i) walked in ascending-x order as a
+    CUSUM (+sqrt(L/l) per positive, -sqrt(l/L) per negative, exact
+    zeros dropped) — a systematic bend shows up as a large excursion
+    even when signs balance globally. Reports max |CUSUM|, the
+    normalized statistic max/sqrt(l + L + 1) and the 1.36
+    Kolmogorov-style 95% flag — PB's own answer to 'was a straight
+    line even the right model?'."""
+    x, y = _views_purchases_day_counts(sf_dir)
+    _, _, b, a = _pb_fit(x, y)
+    r = y - (a + b * x)
+    keep = r != 0.0
+    order = np.lexsort((np.arange(len(x))[keep], x[keep]))
+    rs = r[keep][order]
+    l_pos = int((rs > 0).sum())
+    l_neg = int((rs < 0).sum())
+    step = np.where(
+        rs > 0, np.sqrt(l_neg / float(l_pos)), -np.sqrt(l_pos / float(l_neg))
+    )
+    cus = np.abs(np.cumsum(step))
+    stat = float(cus.max())
+    norm = stat / float(np.sqrt(l_pos + l_neg + 1.0))
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([l_pos], dtype="int64"),
+            "n_neg": pd.Series([l_neg], dtype="int64"),
+            "max_cusum": [round(stat, 6)],
+            "stat_norm": [round(norm, 6)],
+            "nonlinear_95": pd.Series([int(norm > 1.36)], dtype="int64"),
+        }
+    )
+
+
+PASSING_BABLOK_CUSUM_LINEARITY_SQL = (
+    _PB_BASE_SQL
+    + """,
+res AS (
+  SELECT i, x, y - ((SELECT a FROM aa) + (SELECT b FROM bb) * x) AS r
+  FROM g
+),
+rnz AS (SELECT i, x, r FROM res WHERE r <> 0.0),
+cnt AS (
+  SELECT sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS lp,
+         sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS ln
+  FROM rnz
+),
+walk AS (
+  SELECT sum(CASE WHEN r > 0 THEN sqrt((SELECT ln FROM cnt) * 1.0 / (SELECT lp FROM cnt))
+                  ELSE -sqrt((SELECT lp FROM cnt) * 1.0 / (SELECT ln FROM cnt)) END)
+             OVER (ORDER BY x, i ROWS UNBOUNDED PRECEDING) AS cus
+  FROM rnz
+),
+mx AS (SELECT max(abs(cus)) AS stat FROM walk)
+SELECT CAST((SELECT lp FROM cnt) AS BIGINT) AS n_pos,
+       CAST((SELECT ln FROM cnt) AS BIGINT) AS n_neg,
+       round(stat, 6) AS max_cusum,
+       round(stat / sqrt((SELECT lp + ln + 1.0 FROM cnt)), 6) AS stat_norm,
+       CAST(CASE WHEN stat / sqrt((SELECT lp + ln + 1.0 FROM cnt)) > 1.36
+                 THEN 1 ELSE 0 END AS BIGINT) AS nonlinear_95
+FROM mx
+"""
+)
