@@ -9877,3 +9877,149 @@ SELECT CAST(t AS BIGINT) AS threshold,
 FROM pick
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# classical item analysis + McDonald's omega for the labeler panel
+# ---------------------------------------------------------------------------
+
+def item_analysis_labelers(sf_dir: str) -> pd.DataFrame:
+    """Classical test-theory item analysis of the three weak
+    labelers: per item its variance, the CORRECTED item-rest
+    correlation r(x_i, sum of the others) — the standard 'does this
+    annotator track the same trait' screen (corrected because
+    item-TOTAL correlation counts the item against itself) — and
+    alpha-if-deleted (for k=3 the 2-item alpha of the remainder):
+    an item whose deletion RAISES alpha is actively hurting the
+    panel. Closed forms of the shared exact 3x3 covariance pass."""
+    n, v, (c01, c02, c12) = _labeler_cov_terms(sf_dir)
+    names = ["english", "long", "mentions_data"]
+    covs = {
+        0: (c01, c02, c12),  # cov(i,j), cov(i,k), cov(j,k) for rest {j,k}
+        1: (c01, c12, c02),
+        2: (c02, c12, c01),
+    }
+    rest = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+    rows = []
+    for i in range(3):
+        cij, cik, cjk = covs[i]
+        j, k = rest[i]
+        var_rest = v[j] + v[k] + 2.0 * cjk
+        # zero-variance convention (see adjusted_rand_label_signs note):
+        # a constant labeler carries no covariation information -> r = 0
+        if v[i] == 0.0 or var_rest == 0.0:
+            r_ir = 0.0
+        else:
+            r_ir = (cij + cik) / float(np.sqrt(v[i] * var_rest))
+        alpha_del = 0.0 if var_rest == 0.0 else 2.0 * (1.0 - (v[j] + v[k]) / var_rest)
+        rows.append(
+            {
+                "item": names[i],
+                "variance": round(v[i], 6),
+                "item_rest_corr": round(r_ir, 6),
+                "alpha_if_deleted": round(alpha_del, 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+ITEM_ANALYSIS_LABELERS_SQL = (
+    _LABELER_COV_SQL
+    + """
+SELECT t.item, round(t.variance, 6) AS variance,
+       round(t.item_rest_corr, 6) AS item_rest_corr,
+       round(t.alpha_if_deleted, 6) AS alpha_if_deleted
+FROM cv, LATERAL (
+  SELECT 'english' AS item, v0 AS variance,
+         CASE WHEN v0 = 0 OR v1 + v2 + 2.0 * c12 = 0 THEN 0.0
+              ELSE (c01 + c02) / sqrt(v0 * (v1 + v2 + 2.0 * c12)) END AS item_rest_corr,
+         CASE WHEN v1 + v2 + 2.0 * c12 = 0 THEN 0.0
+              ELSE 2.0 * (1.0 - (v1 + v2) / (v1 + v2 + 2.0 * c12)) END AS alpha_if_deleted
+  UNION ALL
+  SELECT 'long', v1,
+         CASE WHEN v1 = 0 OR v0 + v2 + 2.0 * c02 = 0 THEN 0.0
+              ELSE (c01 + c12) / sqrt(v1 * (v0 + v2 + 2.0 * c02)) END,
+         CASE WHEN v0 + v2 + 2.0 * c02 = 0 THEN 0.0
+              ELSE 2.0 * (1.0 - (v0 + v2) / (v0 + v2 + 2.0 * c02)) END
+  UNION ALL
+  SELECT 'mentions_data', v2,
+         CASE WHEN v2 = 0 OR v0 + v1 + 2.0 * c01 = 0 THEN 0.0
+              ELSE (c02 + c12) / sqrt(v2 * (v0 + v1 + 2.0 * c01)) END,
+         CASE WHEN v0 + v1 + 2.0 * c01 = 0 THEN 0.0
+              ELSE 2.0 * (1.0 - (v0 + v1) / (v0 + v1 + 2.0 * c01)) END
+) t
+ORDER BY t.item
+"""
+)
+
+
+def mcdonald_omega_labelers(sf_dir: str) -> pd.DataFrame:
+    """McDonald's omega via the Spearman triad solution: with exactly
+    three indicators the one-factor model is just-identified, so the
+    loadings are closed-form lambda_a = sqrt(c_ab c_ac / c_bc) (no
+    iteration — which is what makes an exact cross-engine oracle
+    possible where a fitted omega is not), omega = (SUM lambda)^2 /
+    ((SUM lambda)^2 + SUM(v_i - lambda_i^2)), reported beside alpha:
+    omega > alpha exactly when loadings are unequal, i.e. alpha's
+    tau-equivalence assumption fails — for three heterogeneous weak
+    labelers, the honest reliability number."""
+    n, v, (c01, c02, c12) = _labeler_cov_terms(sf_dir)
+
+    def _lam(cij, cik, cjk):
+        # triad loading; a zero cross covariance leaves the factor
+        # unidentified for that item -> loading 0 by convention
+        if cjk == 0.0:
+            return 0.0
+        return float(np.sqrt(max(cij * cik / cjk, 0.0)))
+
+    la = _lam(c01, c02, c12)
+    lb = _lam(c01, c12, c02)
+    lc = _lam(c02, c12, c01)
+    lam_sum = la + lb + lc
+    psi = (v[0] - la * la) + (v[1] - lb * lb) + (v[2] - lc * lc)
+    den = lam_sum**2 + psi
+    omega = 0.0 if den == 0.0 else lam_sum**2 / den
+    vt = sum(v) + 2.0 * (c01 + c02 + c12)
+    alpha = 1.5 * (1.0 - sum(v) / vt)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "loading_english": [round(la, 6)],
+            "loading_long": [round(lb, 6)],
+            "loading_mentions_data": [round(lc, 6)],
+            "omega": [round(omega, 6)],
+            "alpha": [round(alpha, 6)],
+        }
+    )
+
+
+MCDONALD_OMEGA_LABELERS_SQL = (
+    _LABELER_COV_SQL
+    + """,
+ld AS (
+  SELECT n, v0, v1, v2,
+         CASE WHEN c12 = 0 THEN 0.0
+              ELSE sqrt(greatest(c01 * c02 / c12, 0.0)) END AS la,
+         CASE WHEN c02 = 0 THEN 0.0
+              ELSE sqrt(greatest(c01 * c12 / c02, 0.0)) END AS lb,
+         CASE WHEN c01 = 0 THEN 0.0
+              ELSE sqrt(greatest(c02 * c12 / c01, 0.0)) END AS lc,
+         v0 + v1 + v2 + 2.0 * (c01 + c02 + c12) AS vt,
+         v0 + v1 + v2 AS sv
+  FROM cv
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(la, 6) AS loading_english,
+       round(lb, 6) AS loading_long,
+       round(lc, 6) AS loading_mentions_data,
+       round(CASE WHEN (la + lb + lc) * (la + lb + lc)
+                       + (v0 - la * la) + (v1 - lb * lb) + (v2 - lc * lc) = 0
+                  THEN 0.0
+                  ELSE (la + lb + lc) * (la + lb + lc)
+                       / ((la + lb + lc) * (la + lb + lc)
+                          + (v0 - la * la) + (v1 - lb * lb) + (v2 - lc * lc))
+             END, 6) AS omega,
+       round(1.5 * (1.0 - sv / vt), 6) AS alpha
+FROM ld
+"""
+)
