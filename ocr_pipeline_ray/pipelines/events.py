@@ -10576,3 +10576,174 @@ SELECT CAST((SELECT lp FROM cnt) AS BIGINT) AS n_pos,
 FROM mx
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# cosinor rhythmometry of the 24-cell hour-of-day activity profile
+# ---------------------------------------------------------------------------
+
+def _hour_profile_counts(sf_dir: str) -> np.ndarray:
+    """Shared 24-cell hour-of-day event count profile (bucketed
+    integer aggregate, zero-filled) — the aggregated series behind
+    the cosinor pair."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"h": df["ts"].dt.hour.astype("int64"), "one": np.int64(1)}
+        ).groupby("h", as_index=False).agg(c=("one", "sum"))
+
+    h = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["h"],
+            {"c": ("c", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("h")["c"]
+        .reindex(range(24))
+        .fillna(0)
+        .astype("int64")
+        .to_numpy()
+    )
+    return h
+
+
+def cosinor_hourly_profile(sf_dir: str) -> pd.DataFrame:
+    """Single-cosinor rhythmometry (Halberg) of the 24-cell
+    hour-of-day activity profile: fit y_h = M + A cos(2 pi h/24) +
+    B sin(2 pi h/24) — over the complete grid the harmonic basis is
+    orthogonal, so MESOR = mean, A = (2/24) SUM y cos, B = (2/24)
+    SUM y sin in closed form; reports amplitude sqrt(A^2+B^2), the
+    relative amplitude/MESOR swing, the ACROPHASE as a clock hour
+    (atan2(B, A) mapped to [0, 24)) and the percent rhythm R^2 =
+    12(A^2+B^2)/SS_tot — the chronobiology framing of the circular
+    resultant the Rayleigh query gives event-wise."""
+    y = _hour_profile_counts(sf_dir).astype("float64")
+    h = np.arange(24, dtype="float64")
+    w = 2.0 * np.pi / 24.0
+    m = float(y.mean())
+    a = float((y * np.cos(w * h)).sum()) / 12.0
+    b = float((y * np.sin(w * h)).sum()) / 12.0
+    amp = float(np.sqrt(a * a + b * b))
+    ph = float(np.arctan2(b, a)) / w
+    if ph < 0:
+        ph += 24.0
+    sstot = float(((y - m) ** 2).sum())
+    r2 = 12.0 * (a * a + b * b) / sstot
+    return pd.DataFrame(
+        {
+            "mesor": [round(m, 6)],
+            "amplitude": [round(amp, 6)],
+            "rel_amplitude": [round(amp / m, 6)],
+            "acrophase_hour": [round(ph, 6)],
+            "pct_rhythm": [round(r2, 6)],
+        }
+    )
+
+
+_HOUR_PROFILE_SQL = """
+WITH raw AS (
+  SELECT hour(ts) AS h, count(*) AS c FROM events GROUP BY 1
+),
+grid AS (
+  SELECT g.h, coalesce(raw.c, 0) AS c
+  FROM (SELECT unnest(generate_series(0, 23)) AS h) g
+  LEFT JOIN raw ON raw.h = g.h
+)
+"""
+
+COSINOR_HOURLY_PROFILE_SQL = (
+    _HOUR_PROFILE_SQL
+    + """,
+ft AS (
+  SELECT avg(c * 1.0) AS m,
+         sum(c * cos(2.0 * pi() * h / 24.0)) / 12.0 AS a,
+         sum(c * sin(2.0 * pi() * h / 24.0)) / 12.0 AS b,
+         sum(c * 1.0 * c) - 24.0 * avg(c * 1.0) * avg(c * 1.0) AS sstot
+  FROM grid
+)
+SELECT round(m, 6) AS mesor,
+       round(sqrt(a * a + b * b), 6) AS amplitude,
+       round(sqrt(a * a + b * b) / m, 6) AS rel_amplitude,
+       round(CASE WHEN atan2(b, a) / (2.0 * pi() / 24.0) < 0
+                  THEN atan2(b, a) / (2.0 * pi() / 24.0) + 24.0
+                  ELSE atan2(b, a) / (2.0 * pi() / 24.0) END, 6) AS acrophase_hour,
+       round(12.0 * (a * a + b * b) / sstot, 6) AS pct_rhythm
+FROM ft
+"""
+)
+
+
+def cosinor_two_harmonic_hourly(sf_dir: str) -> pd.DataFrame:
+    """The two-harmonic extension on the same grid (fundamental +
+    12-hour component): second-harmonic amplitude and its phase,
+    the combined R^2 = 12(A1^2+B1^2+A2^2+B2^2)/SS_tot, the
+    bimodality ratio amp2/amp1 (a commute-style double-peaked day
+    shows up here while the single cosinor averages it away), and
+    the fitted profile's integer argmax hour (smallest on ties) —
+    the model's own 'rush hour'."""
+    y = _hour_profile_counts(sf_dir).astype("float64")
+    h = np.arange(24, dtype="float64")
+    w = 2.0 * np.pi / 24.0
+    m = float(y.mean())
+    a1 = float((y * np.cos(w * h)).sum()) / 12.0
+    b1 = float((y * np.sin(w * h)).sum()) / 12.0
+    a2 = float((y * np.cos(2 * w * h)).sum()) / 12.0
+    b2 = float((y * np.sin(2 * w * h)).sum()) / 12.0
+    amp1 = float(np.sqrt(a1 * a1 + b1 * b1))
+    amp2 = float(np.sqrt(a2 * a2 + b2 * b2))
+    sstot = float(((y - m) ** 2).sum())
+    r2 = 12.0 * (a1 * a1 + b1 * b1 + a2 * a2 + b2 * b2) / sstot
+    fit = (
+        m
+        + a1 * np.cos(w * h) + b1 * np.sin(w * h)
+        + a2 * np.cos(2 * w * h) + b2 * np.sin(2 * w * h)
+    )
+    peak = int(np.argmax(fit))
+    return pd.DataFrame(
+        {
+            "amp_fundamental": [round(amp1, 6)],
+            "amp_second": [round(amp2, 6)],
+            "bimodality_ratio": [round(amp2 / amp1, 6)],
+            "r2_two_harmonic": [round(r2, 6)],
+            "fitted_peak_hour": pd.Series([peak], dtype="int64"),
+        }
+    )
+
+
+COSINOR_TWO_HARMONIC_HOURLY_SQL = (
+    _HOUR_PROFILE_SQL
+    + """,
+ft AS (
+  SELECT avg(c * 1.0) AS m,
+         sum(c * cos(2.0 * pi() * h / 24.0)) / 12.0 AS a1,
+         sum(c * sin(2.0 * pi() * h / 24.0)) / 12.0 AS b1,
+         sum(c * cos(4.0 * pi() * h / 24.0)) / 12.0 AS a2,
+         sum(c * sin(4.0 * pi() * h / 24.0)) / 12.0 AS b2,
+         sum(c * 1.0 * c) - 24.0 * avg(c * 1.0) * avg(c * 1.0) AS sstot
+  FROM grid
+),
+fitted AS (
+  SELECT g.h,
+         (SELECT m FROM ft)
+         + (SELECT a1 FROM ft) * cos(2.0 * pi() * g.h / 24.0)
+         + (SELECT b1 FROM ft) * sin(2.0 * pi() * g.h / 24.0)
+         + (SELECT a2 FROM ft) * cos(4.0 * pi() * g.h / 24.0)
+         + (SELECT b2 FROM ft) * sin(4.0 * pi() * g.h / 24.0) AS f
+  FROM grid g
+),
+pk AS (SELECT h FROM fitted ORDER BY f DESC, h LIMIT 1)
+SELECT round(sqrt(a1 * a1 + b1 * b1), 6) AS amp_fundamental,
+       round(sqrt(a2 * a2 + b2 * b2), 6) AS amp_second,
+       round(sqrt(a2 * a2 + b2 * b2) / sqrt(a1 * a1 + b1 * b1), 6)
+         AS bimodality_ratio,
+       round(12.0 * (a1 * a1 + b1 * b1 + a2 * a2 + b2 * b2) / sstot, 6)
+         AS r2_two_harmonic,
+       CAST((SELECT h FROM pk) AS BIGINT) AS fitted_peak_hour
+FROM ft
+"""
+)
