@@ -10023,3 +10023,253 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM ld
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# latent-class truth inference from the three labelers (no gold labels)
+# ---------------------------------------------------------------------------
+
+def _labeler_triple_terms(sf_dir: str):
+    """Shared exact integer moment pass INCLUDING the triple product
+    for the latent-class pair. The panel here differs from the
+    kappa/alpha labelers on purpose: the latent-class triad needs
+    POSITIVELY associated tests of one trait, so the three
+    'substantial document' indicators are chars > 300, words > 60
+    and mentions-'data' (all pairwise covariances positive at every
+    tested scale). Population moments (/n) used consistently in both
+    engines."""
+    ds = _read(sf_dir, "documents", columns=["n_chars", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["n_chars"] > 300).to_numpy("int64")
+        b = (df["text"].str.count(" ").to_numpy("int64") + 1 > 60).astype("int64")
+        c = df["text"].str.contains("data", regex=False).to_numpy("int64")
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(df))],
+                "sa": [np.int64(a.sum())],
+                "sb": [np.int64(b.sum())],
+                "sc": [np.int64(c.sum())],
+                "sab": [np.int64((a * b).sum())],
+                "sac": [np.int64((a * c).sum())],
+                "sbc": [np.int64((b * c).sum())],
+                "sabc": [np.int64((a * b * c).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n = float(int(s["n"]))
+    pa, pb, pc = int(s["sa"]) / n, int(s["sb"]) / n, int(s["sc"]) / n
+    eab, eac, ebc = int(s["sab"]) / n, int(s["sac"]) / n, int(s["sbc"]) / n
+    eabc = int(s["sabc"]) / n
+    cab = eab - pa * pb
+    cac = eac - pa * pc
+    cbc = ebc - pb * pc
+    m3 = eabc - pa * ebc - pb * eac - pc * eab + 2.0 * pa * pb * pc
+    return int(n), (pa, pb, pc), (cab, cac, cbc), m3
+
+
+def _latent_class_solution(sf_dir: str):
+    """Closed-form 2-class latent-class model for three conditionally
+    independent binary tests (just-identified: 7 parameters = 7 dof):
+    cov_ij = pi(1-pi) th_i th_j and the central triple moment
+    = pi(1-pi)(1-2pi) th1 th2 th3 give K = m3/sqrt(c12 c13 c23) =
+    (1-2pi)/sqrt(pi(1-pi)), a quadratic in pi; theta (Youden) per
+    test from covariance triads; sens/spec from the margins.
+    Degenerate triad (any pairwise cov <= 0, e.g. the constant
+    labeler at the smallest scale) returns None -> sentinel zeros,
+    identically in both engines."""
+    n, (pa, pb, pc), (cab, cac, cbc), m3 = _labeler_triple_terms(sf_dir)
+    if cab <= 0.0 or cac <= 0.0 or cbc <= 0.0:
+        return n, None
+    k = m3 / float(np.sqrt(cab * cac * cbc))
+    disc = float(np.sqrt(1.0 - 4.0 / (4.0 + k * k)))
+    pi = (1.0 - disc) / 2.0 if k >= 0 else (1.0 + disc) / 2.0
+    pq = pi * (1.0 - pi)
+    th = (
+        float(np.sqrt(cab * cac / cbc / pq)),
+        float(np.sqrt(cab * cbc / cac / pq)),
+        float(np.sqrt(cac * cbc / cab / pq)),
+    )
+    ps = (pa, pb, pc)
+    sens = tuple(p + (1.0 - pi) * t for p, t in zip(ps, th))
+    spec = tuple(1.0 - (p - pi * t) for p, t in zip(ps, th))
+    return n, (pi, th, sens, spec)
+
+
+def latent_class_labelers(sf_dir: str) -> pd.DataFrame:
+    """Truth inference WITHOUT gold labels: the three weak labelers
+    as conditionally independent tests of one latent binary 'quality'
+    trait — the 2-class latent-class model is just-identified for
+    k=3, so prevalence, per-labeler sensitivity and specificity are
+    CLOSED FORMS of the pairwise covariances and the central triple
+    moment (the Dawid-Skene idea in its exactly-solvable corner,
+    which is what makes a cross-engine oracle possible). Per-labeler
+    rows; the degenerate triad at the smallest scale emits the
+    sentinel zeros in both engines."""
+    n, sol = _latent_class_solution(sf_dir)
+    names = ["long_chars", "long_words", "mentions_data"]
+    if sol is None:
+        rows = [
+            {"item": nm, "sens": 0.0, "spec": 0.0, "youden": 0.0} for nm in names
+        ]
+        return pd.DataFrame(rows)
+    pi, th, sens, spec = sol
+    return pd.DataFrame(
+        {
+            "item": names,
+            "sens": [round(v, 6) for v in sens],
+            "spec": [round(v, 6) for v in spec],
+            "youden": [round(v, 6) for v in th],
+        }
+    )
+
+
+_LABELER_TRIPLE_SQL = """
+WITH l AS (
+  SELECT CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 > 60
+              THEN 1 ELSE 0 END AS b,
+         CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS c
+  FROM documents
+),
+s AS (
+  SELECT count(*) * 1.0 AS n, sum(a) * 1.0 AS sa, sum(b) * 1.0 AS sb,
+         sum(c) * 1.0 AS sc, sum(a * b) * 1.0 AS sab,
+         sum(a * c) * 1.0 AS sac, sum(b * c) * 1.0 AS sbc,
+         sum(a * b * c) * 1.0 AS sabc
+  FROM l
+),
+p AS (
+  SELECT n, sa / n AS pa, sb / n AS pb, sc / n AS pc,
+         sab / n AS eab, sac / n AS eac, sbc / n AS ebc,
+         sabc / n AS eabc
+  FROM s
+),
+cv AS (
+  SELECT n, pa, pb, pc,
+         eab - pa * pb AS cab,
+         eac - pa * pc AS cac,
+         ebc - pb * pc AS cbc,
+         eabc - pa * ebc - pb * eac - pc * eab + 2.0 * pa * pb * pc AS m3
+  FROM p
+),
+sol AS (
+  SELECT n, pa, pb, pc, cab, cac, cbc,
+         CASE WHEN cab <= 0 OR cac <= 0 OR cbc <= 0 THEN 0 ELSE 1 END AS ok,
+         CASE WHEN cab <= 0 OR cac <= 0 OR cbc <= 0 THEN 0.0
+              ELSE m3 / sqrt(cab * cac * cbc) END AS k
+  FROM cv
+),
+pi AS (
+  SELECT n, pa, pb, pc, cab, cac, cbc, ok,
+         CASE WHEN ok = 0 THEN 0.0
+              WHEN k >= 0 THEN (1.0 - sqrt(1.0 - 4.0 / (4.0 + k * k))) / 2.0
+              ELSE (1.0 + sqrt(1.0 - 4.0 / (4.0 + k * k))) / 2.0 END AS pi
+  FROM sol
+),
+th AS (
+  SELECT n, pa, pb, pc, ok, pi,
+         CASE WHEN ok = 0 THEN 0.0
+              ELSE sqrt(cab * cac / cbc / (pi * (1.0 - pi))) END AS ta,
+         CASE WHEN ok = 0 THEN 0.0
+              ELSE sqrt(cab * cbc / cac / (pi * (1.0 - pi))) END AS tb,
+         CASE WHEN ok = 0 THEN 0.0
+              ELSE sqrt(cac * cbc / cab / (pi * (1.0 - pi))) END AS tc
+  FROM pi
+)
+"""
+
+LATENT_CLASS_LABELERS_SQL = (
+    _LABELER_TRIPLE_SQL
+    + """
+SELECT t.item,
+       round(t.sens, 6) AS sens,
+       round(t.spec, 6) AS spec,
+       round(t.youden, 6) AS youden
+FROM th, LATERAL (
+  SELECT 'long_chars' AS item,
+         CASE WHEN ok = 0 THEN 0.0 ELSE pa + (1.0 - pi) * ta END AS sens,
+         CASE WHEN ok = 0 THEN 0.0 ELSE 1.0 - (pa - pi * ta) END AS spec,
+         ta AS youden
+  UNION ALL
+  SELECT 'long_words',
+         CASE WHEN ok = 0 THEN 0.0 ELSE pb + (1.0 - pi) * tb END,
+         CASE WHEN ok = 0 THEN 0.0 ELSE 1.0 - (pb - pi * tb) END,
+         tb
+  UNION ALL
+  SELECT 'mentions_data',
+         CASE WHEN ok = 0 THEN 0.0 ELSE pc + (1.0 - pi) * tc END,
+         CASE WHEN ok = 0 THEN 0.0 ELSE 1.0 - (pc - pi * tc) END,
+         tc
+) t
+ORDER BY t.item
+"""
+)
+
+
+def latent_class_majority_vote(sf_dir: str) -> pd.DataFrame:
+    """What the fitted latent-class model says a 2-of-3 MAJORITY
+    VOTE is worth: estimated prevalence of the latent trait, the
+    model-implied P(majority fires), and the majority vote's PPV /
+    NPV under within-class independence — the principled version of
+    'just take 2 of 3 annotators', with the same sentinel-zeros
+    degenerate convention."""
+    n, sol = _latent_class_solution(sf_dir)
+    if sol is None:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([n], dtype="int64"),
+                "prevalence": [0.0],
+                "p_majority": [0.0],
+                "ppv_majority": [0.0],
+                "npv_majority": [0.0],
+            }
+        )
+    pi, th, sens, spec = sol
+    s1, s2, s3 = sens
+    f1, f2, f3 = (1.0 - spec[0], 1.0 - spec[1], 1.0 - spec[2])
+    a = s1 * s2 + s1 * s3 + s2 * s3 - 2.0 * s1 * s2 * s3
+    b = f1 * f2 + f1 * f3 + f2 * f3 - 2.0 * f1 * f2 * f3
+    p2 = pi * a + (1.0 - pi) * b
+    ppv = pi * a / p2
+    npv = (1.0 - pi) * (1.0 - b) / (1.0 - p2)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "prevalence": [round(pi, 6)],
+            "p_majority": [round(p2, 6)],
+            "ppv_majority": [round(ppv, 6)],
+            "npv_majority": [round(npv, 6)],
+        }
+    )
+
+
+LATENT_CLASS_MAJORITY_VOTE_SQL = (
+    _LABELER_TRIPLE_SQL
+    + """,
+sens AS (
+  SELECT n, ok, pi,
+         pa + (1.0 - pi) * ta AS s1, pb + (1.0 - pi) * tb AS s2,
+         pc + (1.0 - pi) * tc AS s3,
+         pa - pi * ta AS f1, pb - pi * tb AS f2, pc - pi * tc AS f3
+  FROM th
+),
+ab AS (
+  SELECT n, ok, pi,
+         s1 * s2 + s1 * s3 + s2 * s3 - 2.0 * s1 * s2 * s3 AS a,
+         f1 * f2 + f1 * f3 + f2 * f3 - 2.0 * f1 * f2 * f3 AS b
+  FROM sens
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN ok = 0 THEN 0.0 ELSE pi END, 6) AS prevalence,
+       round(CASE WHEN ok = 0 THEN 0.0
+                  ELSE pi * a + (1.0 - pi) * b END, 6) AS p_majority,
+       round(CASE WHEN ok = 0 THEN 0.0
+                  ELSE pi * a / (pi * a + (1.0 - pi) * b) END, 6) AS ppv_majority,
+       round(CASE WHEN ok = 0 THEN 0.0
+                  ELSE (1.0 - pi) * (1.0 - b)
+                       / (1.0 - (pi * a + (1.0 - pi) * b)) END, 6) AS npv_majority
+FROM ab
+"""
+)
