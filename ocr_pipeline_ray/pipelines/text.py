@@ -10273,3 +10273,192 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM ab
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-Mandelbrot shift fit + rank-size break detection on the vocabulary
+# ---------------------------------------------------------------------------
+
+def _zipf_xy(sf_dir: str, k: int = 1000):
+    """Shared (ln rank-grid basis, ln count) working vectors over the
+    deterministic top-k vocabulary — same reduction as zipf_slope."""
+    top = vocab_top_terms(sf_dir, k=k)
+    r = np.arange(1, len(top) + 1, dtype="float64")
+    y = np.log(top["n"].to_numpy("float64"))
+    return r, y
+
+
+def _ols_sse(x: np.ndarray, y: np.ndarray):
+    """Closed-form OLS slope/intercept/SSE via raw sums (the exact
+    arithmetic mirrored in the oracle SQL)."""
+    k = float(len(x))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy, syy = float((x * x).sum()), float((x * y).sum()), float((y * y).sum())
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    sse = (syy - sy * sy / k) - slope * slope * (sxx - sx * sx / k)
+    return slope, sy / k - slope * sx / k, sse
+
+
+def zipf_mandelbrot_fit(sf_dir: str, k: int = 1000) -> pd.DataFrame:
+    """Zipf-Mandelbrot fit of the top-1000 vocabulary: ln(count) =
+    alpha - s ln(rank + q), with the shift q chosen by DETERMINISTIC
+    grid search over q = 0, 0.5, ..., 10 (argmin SSE, smallest-q
+    ties) — q bends the head flattening every real corpus shows into
+    the straight line plain Zipf forces through it; grid argmin
+    instead of continuous optimization is what keeps the fit exactly
+    oracle-able. Reports q*, the slope there, R^2, and the SSE ratio
+    vs plain Zipf (q = 0)."""
+    r, y = _zipf_xy(sf_dir, k)
+    best = None
+    _, _, sse0 = _ols_sse(np.log(r), y)
+    syy_c = float(((y - y.mean()) ** 2).sum())
+    for qi in range(21):
+        q = qi * 0.5
+        slope, _, sse = _ols_sse(np.log(r + q), y)
+        if best is None or sse < best[1]:
+            best = (q, sse, slope)
+    q, sse, slope = best
+    return pd.DataFrame(
+        {
+            "q_star": [round(q, 1)],
+            "slope": [round(slope, 6)],
+            "r2": [round(1.0 - sse / syy_c, 6)],
+            "sse_vs_plain_zipf": [round(sse / sse0, 6)],
+        }
+    )
+
+
+def zipf_mandelbrot_fit_sql(k: int = 1000) -> str:
+    return f"""
+WITH c AS (
+  SELECT t.term, count(*) AS n
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term ORDER BY n DESC, term LIMIT {k}
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY n DESC, term) * 1.0 AS rk, ln(n) AS y
+  FROM c
+),
+qs AS (SELECT unnest(generate_series(0, 20)) * 0.5 AS q),
+st AS (
+  SELECT q, count(*) * 1.0 AS k, sum(ln(rk + q)) AS sx, sum(y) AS sy,
+         sum(ln(rk + q) * ln(rk + q)) AS sxx,
+         sum(ln(rk + q) * y) AS sxy, sum(y * y) AS syy
+  FROM r CROSS JOIN qs GROUP BY q
+),
+fit AS (
+  SELECT q,
+         (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+         (syy - sy * sy / k)
+         - pow((k * sxy - sx * sy) / (k * sxx - sx * sx), 2)
+           * (sxx - sx * sx / k) AS sse,
+         syy - sy * sy / k AS syy_c
+  FROM st
+),
+best AS (SELECT * FROM fit ORDER BY sse, q LIMIT 1)
+SELECT round(best.q, 1) AS q_star,
+       round(best.slope, 6) AS slope,
+       round(1.0 - best.sse / best.syy_c, 6) AS r2,
+       round(best.sse / (SELECT sse FROM fit WHERE q = 0.0), 6)
+         AS sse_vs_plain_zipf
+FROM best
+"""
+
+
+ZIPF_MANDELBROT_FIT_SQL = zipf_mandelbrot_fit_sql()
+
+
+def zipf_break_detection(sf_dir: str, k: int = 1000) -> pd.DataFrame:
+    """Rank-size regime break in the same log-log vocabulary: fit
+    SEPARATE Zipf lines to ranks 1..b and b+1..end for every break
+    b on the grid {5, 8, 11, ..., 26} that leaves >= 3 points on
+    each side, taking the argmin of total SSE (smallest-b ties) —
+    the two-regime structure (function-word head vs content tail
+    with distinct exponents) one global slope averages away; the
+    head/tail slope gap and the SSE ratio vs the single line
+    quantify it. The grid is sized to the synthetic corpus's small
+    closed vocabulary."""
+    r, y = _zipf_xy(sf_dir, k)
+    x = np.log(r)
+    n = len(x)
+    _, _, sse1 = _ols_sse(x, y)
+    best = None
+    for b in (5, 8, 11, 14, 17, 20, 23, 26):
+        if b < 3 or n - b < 3:
+            continue
+        sh, _, sseh = _ols_sse(x[:b], y[:b])
+        st_, _, sset = _ols_sse(x[b:], y[b:])
+        tot = sseh + sset
+        if best is None or tot < best[1]:
+            best = (b, tot, sh, st_)
+    b, tot, sh, st_ = best
+    return pd.DataFrame(
+        {
+            "b_star": pd.Series([b], dtype="int64"),
+            "slope_head": [round(sh, 6)],
+            "slope_tail": [round(st_, 6)],
+            "sse_vs_single": [round(tot / sse1, 6)],
+        }
+    )
+
+
+def zipf_break_detection_sql(k: int = 1000) -> str:
+    return f"""
+WITH c AS (
+  SELECT t.term, count(*) AS n
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY t.term ORDER BY n DESC, term LIMIT {k}
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY n DESC, term) AS rk, ln(n) AS y
+  FROM c
+),
+single AS (
+  SELECT (syy - sy * sy / k)
+         - pow((k * sxy - sx * sy) / (k * sxx - sx * sx), 2)
+           * (sxx - sx * sx / k) AS sse
+  FROM (
+    SELECT count(*) * 1.0 AS k, sum(ln(rk * 1.0)) AS sx, sum(y) AS sy,
+           sum(ln(rk * 1.0) * ln(rk * 1.0)) AS sxx,
+           sum(ln(rk * 1.0) * y) AS sxy, sum(y * y) AS syy
+    FROM r
+  )
+),
+bs AS (
+  SELECT b FROM (SELECT unnest([5, 8, 11, 14, 17, 20, 23, 26]) AS b)
+  WHERE b >= 3 AND (SELECT count(*) FROM r) - b >= 3
+),
+seg AS (
+  SELECT bs.b, CASE WHEN rk <= bs.b THEN 0 ELSE 1 END AS part,
+         ln(rk * 1.0) AS x, y
+  FROM r CROSS JOIN bs
+),
+st AS (
+  SELECT b, part, count(*) * 1.0 AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM seg GROUP BY b, part
+),
+fit AS (
+  SELECT b, part,
+         (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope,
+         (syy - sy * sy / k)
+         - pow((k * sxy - sx * sy) / (k * sxx - sx * sx), 2)
+           * (sxx - sx * sx / k) AS sse
+  FROM st
+),
+tot AS (
+  SELECT b, sum(sse) AS sse,
+         max(CASE WHEN part = 0 THEN slope END) AS sh,
+         max(CASE WHEN part = 1 THEN slope END) AS st2
+  FROM fit GROUP BY b
+),
+best AS (SELECT * FROM tot ORDER BY sse, b LIMIT 1)
+SELECT CAST(b AS BIGINT) AS b_star,
+       round(sh, 6) AS slope_head,
+       round(st2, 6) AS slope_tail,
+       round(sse / (SELECT sse FROM single), 6) AS sse_vs_single
+FROM best
+"""
+
+
+ZIPF_BREAK_DETECTION_SQL = zipf_break_detection_sql()
