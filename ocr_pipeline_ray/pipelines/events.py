@@ -10747,3 +10747,166 @@ SELECT round(sqrt(a1 * a1 + b1 * b1), 6) AS amp_fundamental,
 FROM ft
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# ecological aggregation indexes of daily event counts by type
+# ---------------------------------------------------------------------------
+
+def _daily_type_count_moments(sf_dir: str) -> pd.DataFrame:
+    """Shared per-type daily-count moments over the zero-filled
+    calendar span: (type, n_days, sum, sum of squares, sum x(x-1))
+    — quadrat-count statistics with days as quadrats. One bucketed
+    (type, day) aggregate; zero days enter the moments exactly."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "t": df["event_type"].to_numpy(object),
+                "day": df["ts"].dt.normalize(),
+                "one": np.int64(1),
+            }
+        ).groupby(["t", "day"], as_index=False).agg(c=("one", "sum"))
+
+    g = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["t", "day"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+    )
+    lo, hi = g["day"].min(), g["day"].max()
+    n_days = int((hi - lo).days) + 1
+    rows = []
+    for t, sub in g.groupby("t"):
+        c = sub["c"].to_numpy("int64")
+        rows.append(
+            {
+                "t": t,
+                "n_days": np.int64(n_days),
+                "s1": np.int64(c.sum()),
+                "s2": np.int64((c * c).sum()),
+                "sp": np.int64((c * (c - 1)).sum()),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values("t").reset_index(drop=True)
+    for col in ("n_days", "s1", "s2", "sp"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+def lloyd_morisita_daily_by_type(sf_dir: str) -> pd.DataFrame:
+    """Ecological aggregation indexes per event type with DAYS as
+    quadrats: Lloyd's mean crowding m* = m + s^2/m - 1 (how many
+    same-type events the average event shares its day with — the
+    inspection paradox for counts), patchiness m*/m, and Morisita's
+    I_delta = n SUM x(x-1) / (N(N-1)) — both 1 for Poisson
+    scattering, > 1 for burst clustering, the quadrat-ecology
+    reading beside the Fano/Taylor family. Sample variance (n-1);
+    zero-filled days count."""
+    m = _daily_type_count_moments(sf_dir)
+    n = m["n_days"].to_numpy("int64").astype("float64")
+    s1 = m["s1"].to_numpy("int64").astype("float64")
+    s2 = m["s2"].to_numpy("int64").astype("float64")
+    sp = m["sp"].to_numpy("int64").astype("float64")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1.0)
+    crowd = mean + var / mean - 1.0
+    morisita = n * sp / (s1 * (s1 - 1.0))
+    return pd.DataFrame(
+        {
+            "event_type": m["t"].to_numpy(object),
+            "mean_daily": np.round(mean, 6),
+            "variance": np.round(var, 6),
+            "mean_crowding": np.round(crowd, 6),
+            "patchiness": np.round(crowd / mean, 6),
+            "morisita": np.round(morisita, 6),
+        }
+    )
+
+
+_DAILY_TYPE_MOM_SQL = """
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+),
+nd AS (SELECT date_diff('day', lo, hi) + 1 AS n_days FROM span),
+c AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT t, (SELECT n_days FROM nd) * 1.0 AS n,
+         sum(x) * 1.0 AS s1, sum(x * x) * 1.0 AS s2,
+         sum(x * (x - 1)) * 1.0 AS sp
+  FROM c GROUP BY t
+)
+"""
+
+LLOYD_MORISITA_DAILY_BY_TYPE_SQL = (
+    _DAILY_TYPE_MOM_SQL
+    + """
+SELECT t AS event_type,
+       round(s1 / n, 6) AS mean_daily,
+       round((s2 - s1 * s1 / n) / (n - 1.0), 6) AS variance,
+       round(s1 / n + ((s2 - s1 * s1 / n) / (n - 1.0)) / (s1 / n) - 1.0, 6)
+         AS mean_crowding,
+       round((s1 / n + ((s2 - s1 * s1 / n) / (n - 1.0)) / (s1 / n) - 1.0)
+             / (s1 / n), 6) AS patchiness,
+       round(n * sp / (s1 * (s1 - 1.0)), 6) AS morisita
+FROM m ORDER BY event_type
+"""
+)
+
+
+def negbin_k_aggregation_by_type(sf_dir: str) -> pd.DataFrame:
+    """The negative-binomial aggregation parameter per type off the
+    same quadrat moments: k = m^2/(s^2 - m) (small k = strong
+    clumping, k -> inf = Poisson), its inverse 1/k as the standard
+    overdispersion coordinate, and the three-way David-Moore verdict
+    per type (variance ratio against 1 at the exact-moment level:
+    'aggregated' / 'random' / 'uniform') — the distributional story
+    behind the index pair, with the k < 0 underdispersed case
+    reported as the 'uniform' sentinel -1 identically in both
+    engines."""
+    m = _daily_type_count_moments(sf_dir)
+    n = m["n_days"].to_numpy("int64").astype("float64")
+    s1 = m["s1"].to_numpy("int64").astype("float64")
+    s2 = m["s2"].to_numpy("int64").astype("float64")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1.0)
+    k = np.where(var > mean, mean * mean / (var - mean), -1.0)
+    inv_k = np.where(var > mean, (var - mean) / (mean * mean), 0.0)
+    verdict = np.where(var > mean, "aggregated", np.where(var < mean, "uniform", "random"))
+    return pd.DataFrame(
+        {
+            "event_type": m["t"].to_numpy(object),
+            "nb_k": np.round(k, 6),
+            "inv_k": np.round(inv_k, 6),
+            "pattern": verdict,
+        }
+    )
+
+
+NEGBIN_K_AGGREGATION_BY_TYPE_SQL = (
+    _DAILY_TYPE_MOM_SQL
+    + """,
+d AS (
+  SELECT t, s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1.0) AS var
+  FROM m
+)
+SELECT t AS event_type,
+       round(CASE WHEN var > mean THEN mean * mean / (var - mean)
+                  ELSE -1.0 END, 6) AS nb_k,
+       round(CASE WHEN var > mean THEN (var - mean) / (mean * mean)
+                  ELSE 0.0 END, 6) AS inv_k,
+       CASE WHEN var > mean THEN 'aggregated'
+            WHEN var < mean THEN 'uniform'
+            ELSE 'random' END AS pattern
+FROM d ORDER BY event_type
+"""
+)
