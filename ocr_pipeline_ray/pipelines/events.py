@@ -10910,3 +10910,139 @@ SELECT t AS event_type,
 FROM d ORDER BY event_type
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# the agreement ladder completed: Lin decomposition + TDI/coverage
+# ---------------------------------------------------------------------------
+
+def lin_agreement_decomposition(sf_dir: str) -> pd.DataFrame:
+    """Lin's concordance DECOMPOSED for the daily view/purchase
+    series: CCC = r x C_b, where precision r is Pearson and accuracy
+    C_b = 2/(v + 1/v + u^2) collapses the two ways a perfectly
+    correlated pair can still disagree — the scale ratio
+    v = sd_x/sd_y and the standardized location shift
+    u = (mean_x - mean_y)/sqrt(sd_x sd_y). The CCC query gives the
+    verdict; this one says WHOSE fault it is (miscalibration vs
+    noise). Exact integer moment sums off the shared zero-filled
+    grid."""
+    x, y = _views_purchases_day_counts(sf_dir)
+    n = float(len(x))
+    mx, my = x.sum() / n, y.sum() / n
+    cxx = float((x * x).sum()) / n - mx * mx
+    cyy = float((y * y).sum()) / n - my * my
+    cxy = float((x * y).sum()) / n - mx * my
+    r = cxy / float(np.sqrt(cxx * cyy))
+    v = float(np.sqrt(cxx / cyy))
+    u = (mx - my) / float((cxx * cyy) ** 0.25)
+    cb = 2.0 / (v + 1.0 / v + u * u)
+    return pd.DataFrame(
+        {
+            "pearson_r": [round(r, 6)],
+            "scale_ratio_v": [round(v, 6)],
+            "location_shift_u": [round(u, 6)],
+            "accuracy_cb": [round(cb, 6)],
+            "ccc": [round(r * cb, 6)],
+        }
+    )
+
+
+_VP_GRID_SQL = """
+WITH b0 AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+days AS (SELECT unnest(generate_series((SELECT lo FROM b0), (SELECT hi FROM b0), INTERVAL 1 DAY)) AS day),
+c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'view') AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT coalesce(c.v, 0) AS x, coalesce(c.p, 0) AS y
+  FROM days LEFT JOIN c ON c.day = CAST(days.day AS DATE)
+)
+"""
+
+LIN_AGREEMENT_DECOMPOSITION_SQL = (
+    _VP_GRID_SQL
+    + """,
+mm AS (
+  SELECT count(*) * 1.0 AS n, sum(x) * 1.0 AS sx, sum(y) * 1.0 AS sy,
+         sum(x * x) * 1.0 AS sxx, sum(y * y) * 1.0 AS syy,
+         sum(x * y) * 1.0 AS sxy
+  FROM g
+),
+cm AS (
+  SELECT sxx / n - (sx / n) * (sx / n) AS cxx,
+         syy / n - (sy / n) * (sy / n) AS cyy,
+         sxy / n - (sx / n) * (sy / n) AS cxy,
+         sx / n - sy / n AS du
+  FROM mm
+),
+dc AS (
+  SELECT cxy / sqrt(cxx * cyy) AS r,
+         sqrt(cxx / cyy) AS v,
+         du / pow(cxx * cyy, 0.25) AS u
+  FROM cm
+)
+SELECT round(r, 6) AS pearson_r,
+       round(v, 6) AS scale_ratio_v,
+       round(u, 6) AS location_shift_u,
+       round(2.0 / (v + 1.0 / v + u * u), 6) AS accuracy_cb,
+       round(r * 2.0 / (v + 1.0 / v + u * u), 6) AS ccc
+FROM dc
+"""
+)
+
+
+def tdi_coverage_views_purchases(sf_dir: str) -> pd.DataFrame:
+    """Total deviation index and coverage probability — the
+    agreement ladder's absolute-units rung: RMSD of the daily
+    view-purchase difference, the parametric TDI90 = 1.644854 RMSD
+    ('90% of days the two counters disagree by fewer than THIS many
+    events' under normality), the EMPIRICAL coverage at that bound
+    (its own reality check), and the exact p90 |difference| order
+    statistic beside the parametric claim."""
+    x, y = _views_purchases_day_counts(sf_dir)
+    d = np.abs(x - y).astype("int64")
+    n = len(d)
+    msd = float(((x - y).astype("float64") ** 2).mean())
+    rmsd = float(np.sqrt(msd))
+    tdi90 = 1.644854 * rmsd
+    cover = float((d <= tdi90).sum()) / n
+    ds_ = np.sort(d)
+    p90 = int(ds_[int(np.ceil(0.9 * n)) - 1])
+    return pd.DataFrame(
+        {
+            "rmsd": [round(rmsd, 6)],
+            "tdi90_parametric": [round(tdi90, 6)],
+            "coverage_at_tdi90": [round(cover, 6)],
+            "p90_abs_diff": pd.Series([p90], dtype="int64"),
+        }
+    )
+
+
+TDI_COVERAGE_VIEWS_PURCHASES_SQL = (
+    _VP_GRID_SQL
+    + """,
+mm AS (
+  SELECT count(*) * 1.0 AS n,
+         sqrt(avg(pow((x - y) * 1.0, 2))) AS rmsd
+  FROM g
+),
+cov AS (
+  SELECT sum(CASE WHEN abs(x - y) <= 1.644854 * (SELECT rmsd FROM mm)
+                  THEN 1 ELSE 0 END) * 1.0 / (SELECT n FROM mm) AS cover
+  FROM g
+),
+rk AS (
+  SELECT abs(x - y) AS d, row_number() OVER (ORDER BY abs(x - y)) AS i,
+         count(*) OVER () AS n
+  FROM g
+),
+p90 AS (SELECT d FROM rk WHERE i = CAST(ceil(0.9 * n) AS BIGINT))
+SELECT round((SELECT rmsd FROM mm), 6) AS rmsd,
+       round(1.644854 * (SELECT rmsd FROM mm), 6) AS tdi90_parametric,
+       round((SELECT cover FROM cov), 6) AS coverage_at_tdi90,
+       CAST((SELECT d FROM p90) AS BIGINT) AS p90_abs_diff
+"""
+)
