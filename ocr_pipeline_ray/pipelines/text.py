@@ -10462,3 +10462,195 @@ FROM best
 
 
 ZIPF_BREAK_DETECTION_SQL = zipf_break_detection_sql()
+
+
+# ---------------------------------------------------------------------------
+# Menzerath-Altmann law: longer documents -> shorter sentences?
+# ---------------------------------------------------------------------------
+
+def _menzerath_doc_word(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-document (token count x, token char sum sc) under the
+    shared [a-z0-9_]+ lowercase token convention of the vocabulary
+    family."""
+    toks = df.set_index("doc_id")["text"].str.lower().str.findall(r"[a-z0-9_]+")
+    ex = toks.explode().dropna()
+    lens = ex.str.len()
+    per = lens.groupby(level=0).agg(["size", "sum"])
+    per.columns = ["x", "sc"]
+    return per
+
+
+def _menzerath_terms(sf_dir: str):
+    """Shared moment pass for the Menzerath pair: per document the
+    construct size x (tokens, same [a-z0-9_]+ lowercase convention
+    as the vocabulary family) and constituent size y (mean token
+    length in chars), reduced to the ten raw sums of the
+    two-regressor fit ln y = ln a + b ln x + c/x."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        per = _menzerath_doc_word(df)
+        x = per["x"].to_numpy("int64").astype("float64")
+        y = per["sc"].to_numpy("int64").astype("float64") / x
+        u = np.log(x)
+        v = 1.0 / x
+        w = np.log(y)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "su": [float(u.sum())], "sv": [float(v.sum())],
+                "sw": [float(w.sum())],
+                "suu": [float((u * u).sum())], "svv": [float((v * v).sum())],
+                "suv": [float((u * v).sum())],
+                "suw": [float((u * w).sum())], "svw": [float((v * w).sum())],
+                "sww": [float((w * w).sum())],
+            }
+        )
+
+    s = ds.map_batches(_partial, batch_format="pandas").to_pandas().sum()
+    n = float(int(s["n"]))
+    cuu = float(s["suu"]) - float(s["su"]) ** 2 / n
+    cvv = float(s["svv"]) - float(s["sv"]) ** 2 / n
+    cuv = float(s["suv"]) - float(s["su"]) * float(s["sv"]) / n
+    cuw = float(s["suw"]) - float(s["su"]) * float(s["sw"]) / n
+    cvw = float(s["svw"]) - float(s["sv"]) * float(s["sw"]) / n
+    cww = float(s["sww"]) - float(s["sw"]) ** 2 / n
+    det = cuu * cvv - cuv * cuv
+    b = (cvv * cuw - cuv * cvw) / det
+    c = (cuu * cvw - cuv * cuw) / det
+    lna = (float(s["sw"]) - b * float(s["su"]) - c * float(s["sv"])) / n
+    r2 = (b * cuw + c * cvw) / cww
+    return int(n), lna, b, c, r2
+
+
+def menzerath_fit_documents(sf_dir: str) -> pd.DataFrame:
+    """Menzerath-Altmann law fit over documents: 'the longer the
+    construct, the shorter its constituents' — y = a x^b e^(c/x)
+    with x = tokens per document, y = mean token length in
+    chars, linearized to the closed-form two-regressor OLS
+    ln y = ln a + b ln x + c/x (the quantitative-linguistics
+    counterpart of the Heaps/Zipf corpus-health fits; b < 0 is the
+    law holding). Same segmentation convention as sentence_stats;
+    one streaming moment pass."""
+    n, lna, b, c, r2 = _menzerath_terms(sf_dir)
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "a": [round(float(np.exp(lna)), 6)],
+            "b": [round(b, 6)],
+            "c": [round(c, 6)],
+            "r2": [round(r2, 6)],
+        }
+    )
+
+
+_MENZERATH_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term AS s
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+),
+per AS (
+  SELECT doc_id, count(*) * 1.0 AS x, sum(length(s)) * 1.0 / count(*) AS y
+  FROM toks GROUP BY 1
+),
+m AS (
+  SELECT count(*) * 1.0 AS n,
+         sum(ln(x)) AS su, sum(1.0 / x) AS sv, sum(ln(y)) AS sw,
+         sum(ln(x) * ln(x)) AS suu, sum(1.0 / (x * x)) AS svv,
+         sum(ln(x) / x) AS suv, sum(ln(x) * ln(y)) AS suw,
+         sum(ln(y) / x) AS svw, sum(ln(y) * ln(y)) AS sww
+  FROM per
+),
+cm AS (
+  SELECT n, su, sv, sw,
+         suu - su * su / n AS cuu, svv - sv * sv / n AS cvv,
+         suv - su * sv / n AS cuv, suw - su * sw / n AS cuw,
+         svw - sv * sw / n AS cvw, sww - sw * sw / n AS cww
+  FROM m
+),
+fit AS (
+  SELECT n, su, sv, sw, cuw, cvw, cww,
+         (cvv * cuw - cuv * cvw) / (cuu * cvv - cuv * cuv) AS b,
+         (cuu * cvw - cuv * cuw) / (cuu * cvv - cuv * cuv) AS c
+  FROM cm
+),
+fin AS (
+  SELECT n, b, c, (sw - b * su - c * sv) / n AS lna,
+         (b * cuw + c * cvw) / cww AS r2
+  FROM fit
+)
+"""
+
+MENZERATH_FIT_DOCUMENTS_SQL = (
+    _MENZERATH_SQL
+    + """
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round(exp(lna), 6) AS a,
+       round(b, 6) AS b,
+       round(c, 6) AS c,
+       round(r2, 6) AS r2
+FROM fin
+"""
+)
+
+
+def menzerath_profile_documents(sf_dir: str) -> pd.DataFrame:
+    """The observed-vs-fitted Menzerath profile: documents bucketed
+    by token count (width-10 buckets, first 10), the exact mean
+    constituent size per bucket beside the law's fitted
+    a xbar^b e^(c/xbar) at the bucket-mean x — WHERE the law bends
+    away from the data (short-doc boundary effects are the classic
+    deviation). Same shared per-document reduction and fit."""
+    n, lna, b, c, r2 = _menzerath_terms(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        per = _menzerath_doc_word(df)
+        per = per.reset_index(drop=True)
+        per["bkt"] = (per["x"] // 10) * 10
+        per["y"] = per["sc"] / per["x"]
+        g = per.groupby("bkt").agg(nd=("y", "size"), sy=("y", "sum"),
+                                   sx=("x", "sum"))
+        return pd.DataFrame(
+            {"bkt": g.index.to_numpy("int64"), "nd": g["nd"].to_numpy("int64"),
+             "sy": g["sy"].to_numpy("float64"), "sx": g["sx"].to_numpy("int64")}
+        )
+
+    g = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("bkt", as_index=False)[["nd", "sy", "sx"]]
+        .sum()
+        .sort_values("bkt")
+        .head(10)
+    )
+    nd = g["nd"].to_numpy("int64").astype("float64")
+    mean_y = g["sy"].to_numpy("float64") / nd
+    xbar = g["sx"].to_numpy("int64") / nd
+    fitted = np.exp(lna) * np.power(xbar, b) * np.exp(c / xbar)
+    return pd.DataFrame(
+        {
+            "token_bucket": g["bkt"].to_numpy("int64"),
+            "n_docs": g["nd"].to_numpy("int64"),
+            "mean_word_chars": np.round(mean_y, 6),
+            "fitted": np.round(fitted, 6),
+        }
+    ).reset_index(drop=True)
+
+
+MENZERATH_PROFILE_DOCUMENTS_SQL = (
+    _MENZERATH_SQL
+    + """,
+prof AS (
+  SELECT CAST(x AS BIGINT) // 10 * 10 AS bkt, count(*) AS nd,
+         sum(y) / count(*) AS my, sum(x) / count(*) AS xbar
+  FROM per GROUP BY 1 ORDER BY 1 LIMIT 10
+)
+SELECT bkt AS token_bucket,
+       CAST(nd AS BIGINT) AS n_docs,
+       round(my, 6) AS mean_word_chars,
+       round((SELECT exp(lna) FROM fin) * pow(xbar, (SELECT b FROM fin))
+             * exp((SELECT c FROM fin) / xbar), 6) AS fitted
+FROM prof ORDER BY token_bucket
+"""
+)
