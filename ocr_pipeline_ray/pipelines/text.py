@@ -10654,3 +10654,140 @@ SELECT bkt AS token_bucket,
 FROM prof ORDER BY token_bucket
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# decision-curve analysis: is the length->English forecaster worth USING?
+# ---------------------------------------------------------------------------
+
+_DCA_GRID = (0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def _dca_rows(sf_dir: str):
+    """Shared decision-curve arithmetic off the leakage-safe
+    calibration grid: at each probability threshold pt, call a test
+    bucket positive when its TRAIN-learned rate f >= pt, and compute
+    net benefit (TP - FP pt/(1-pt))/N for the model beside the
+    treat-all benchmark."""
+    g = _calibration_grid(sf_dir)
+    n = g["n"].to_numpy("int64").astype("float64")
+    en = g["en"].to_numpy("int64").astype("float64")
+    f = g["f"].to_numpy("float64")
+    nn = n.sum()
+    en_tot = en.sum()
+    out = []
+    for pt in _DCA_GRID:
+        w = pt / (1.0 - pt)
+        called = f >= pt
+        tp = float(en[called].sum())
+        fp = float((n[called] - en[called]).sum())
+        nb_model = (tp - fp * w) / nn
+        nb_all = (en_tot - (nn - en_tot) * w) / nn
+        out.append((pt, nb_model, nb_all))
+    return out
+
+
+def decision_curve_length_english(sf_dir: str) -> pd.DataFrame:
+    """Decision-curve analysis (Vickers-Elkin) of the length-bucket
+    English forecaster on the held-out split: at each probability
+    threshold pt — the cost-benefit point where calling a doc
+    English is worth pt/(1-pt) false calls — the model's NET BENEFIT
+    (TP - FP pt/(1-pt))/N beside the treat-all and treat-none
+    defaults, with the per-threshold winner. The clinical-utility
+    rung above AUC/Brier: a well-calibrated, well-discriminating
+    model can still lose to 'just take everything' at low
+    thresholds."""
+    rows = []
+    for pt, nb_model, nb_all in _dca_rows(sf_dir):
+        if nb_model >= nb_all and nb_model >= 0.0:
+            best = "model"
+        elif nb_all >= 0.0:
+            best = "treat_all"
+        else:
+            best = "none"
+        rows.append(
+            {
+                "pt": round(pt, 2),
+                "nb_model": round(nb_model, 6),
+                "nb_treat_all": round(nb_all, 6),
+                "best": best,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+_DCA_SQL = (
+    _CALIB_GRID_SQL
+    + """,
+pts AS (SELECT unnest([0.05, 0.10, 0.15, 0.20, 0.30, 0.40,
+                       0.50, 0.60, 0.70, 0.80]) AS pt),
+nb AS (
+  SELECT pts.pt,
+         (sum(CASE WHEN te.f >= pts.pt THEN te.en ELSE 0 END)
+          - sum(CASE WHEN te.f >= pts.pt THEN te.n - te.en ELSE 0 END)
+            * pts.pt / (1.0 - pts.pt)) / (SELECT nn FROM tot) AS nb_model,
+         ((SELECT sum(en) FROM te)
+          - ((SELECT nn FROM tot) - (SELECT sum(en) FROM te))
+            * pts.pt / (1.0 - pts.pt)) / (SELECT nn FROM tot) AS nb_all
+  FROM te CROSS JOIN pts
+  GROUP BY pts.pt
+)
+"""
+)
+
+DECISION_CURVE_LENGTH_ENGLISH_SQL = (
+    _DCA_SQL
+    + """
+SELECT round(pt, 2) AS pt,
+       round(nb_model, 6) AS nb_model,
+       round(nb_all, 6) AS nb_treat_all,
+       CASE WHEN nb_model >= nb_all AND nb_model >= 0.0 THEN 'model'
+            WHEN nb_all >= 0.0 THEN 'treat_all'
+            ELSE 'none' END AS best
+FROM nb ORDER BY pt
+"""
+)
+
+
+def decision_curve_advantage(sf_dir: str) -> pd.DataFrame:
+    """The usable-range summary of the same curve: how many grid
+    thresholds the model strictly beats BOTH defaults on, the
+    lowest and highest such threshold (-1 sentinels when none), and
+    the largest net-benefit margin over the better default with the
+    threshold where it happens (smallest pt on ties) — 'where in
+    cost-benefit space is this model actually the right policy'."""
+    rows = _dca_rows(sf_dir)
+    wins = [
+        (pt, nb_m - max(nb_a, 0.0))
+        for pt, nb_m, nb_a in rows
+        if nb_m > max(nb_a, 0.0)
+    ]
+    margins = [(nb_m - max(nb_a, 0.0), pt) for pt, nb_m, nb_a in rows]
+    best_margin, best_pt = max(margins, key=lambda t: (t[0], -t[1]))
+    return pd.DataFrame(
+        {
+            "n_win_thresholds": pd.Series([len(wins)], dtype="int64"),
+            "win_pt_lo": [round(min(w[0] for w in wins), 2) if wins else -1.0],
+            "win_pt_hi": [round(max(w[0] for w in wins), 2) if wins else -1.0],
+            "max_margin": [round(best_margin, 6)],
+            "at_pt": [round(best_pt, 2)],
+        }
+    )
+
+
+DECISION_CURVE_ADVANTAGE_SQL = (
+    _DCA_SQL
+    + """,
+wd AS (
+  SELECT pt, nb_model - greatest(nb_all, 0.0) AS margin
+  FROM nb
+),
+wins AS (SELECT pt FROM wd WHERE margin > 0),
+mx AS (SELECT margin, pt FROM wd ORDER BY margin DESC, pt LIMIT 1)
+SELECT CAST((SELECT count(*) FROM wins) AS BIGINT) AS n_win_thresholds,
+       round(coalesce((SELECT min(pt) FROM wins), -1.0), 2) AS win_pt_lo,
+       round(coalesce((SELECT max(pt) FROM wins), -1.0), 2) AS win_pt_hi,
+       round((SELECT margin FROM mx), 6) AS max_margin,
+       round((SELECT pt FROM mx), 2) AS at_pt
+"""
+)
