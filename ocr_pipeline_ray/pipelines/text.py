@@ -10791,3 +10791,164 @@ SELECT CAST((SELECT count(*) FROM wins) AS BIGINT) AS n_win_thresholds,
        round((SELECT pt FROM mx), 2) AS at_pt
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# model-upgrade accounting: NRI + IDI, source forecaster vs length forecaster
+# ---------------------------------------------------------------------------
+
+def _two_model_cells(sf_dir: str, bucket_chars: int = 200) -> pd.DataFrame:
+    """Shared two-forecaster test cells: TRAIN (even doc_id) learns
+    per-length-bucket and per-source English rates separately; TEST
+    (odd doc_id) cells are the (bucket, source) cross grid with
+    exact integer (n, n_en) and both models' forecasts attached
+    (global-train-rate fallback for unseen keys)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "source"])
+
+    def _grid(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "b": (df["n_chars"] // bucket_chars).astype("int64"),
+                "src": df["source"].to_numpy(object),
+                "split": (df["doc_id"].to_numpy("int64") % 2),
+                "n": np.int64(1),
+                "en": (df["lang"] == "en").astype("int64"),
+            }
+        )
+        return out.groupby(["b", "src", "split"], as_index=False).sum()
+
+    g = (
+        bucketed_aggregate(
+            ds.map_batches(_grid, batch_format="pandas"),
+            ["b", "src", "split"],
+            {"n": ("n", "sum"), "en": ("en", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .groupby(["b", "src", "split"], as_index=False)
+        .sum()
+    )
+    tr = g[g["split"] == 0]
+    te = g[g["split"] == 1].copy()
+    glob = float(tr["en"].sum()) / float(tr["n"].sum())
+    rb = tr.groupby("b")[["n", "en"]].sum()
+    rs = tr.groupby("src")[["n", "en"]].sum()
+    fb = {b: float(r["en"]) / float(r["n"]) for b, r in rb.iterrows() if r["n"] > 0}
+    fs = {s: float(r["en"]) / float(r["n"]) for s, r in rs.iterrows() if r["n"] > 0}
+    te["f_len"] = [fb.get(b, glob) for b in te["b"]]
+    te["f_src"] = [fs.get(s, glob) for s in te["src"]]
+    return te.reset_index(drop=True)
+
+
+def nri_source_vs_length(sf_dir: str) -> pd.DataFrame:
+    """Category-free (continuous) Net Reclassification Improvement
+    of upgrading from the length-bucket forecaster to the SOURCE
+    forecaster: among English docs, share moved UP minus share moved
+    DOWN by the new model; among non-English, the reverse — their
+    sum is the Pencina NRI, the 'does the new model move the right
+    documents in the right direction' ledger that a bare AUC delta
+    hides. Exact integer cells on the shared two-model test grid."""
+    te = _two_model_cells(sf_dir)
+    n = te["n"].to_numpy("int64").astype("float64")
+    en = te["en"].to_numpy("int64").astype("float64")
+    up = (te["f_src"].to_numpy("float64") > te["f_len"].to_numpy("float64"))
+    dn = (te["f_src"].to_numpy("float64") < te["f_len"].to_numpy("float64"))
+    ev = en.sum()
+    ne = (n - en).sum()
+    nri_ev = (en[up].sum() - en[dn].sum()) / ev
+    nri_ne = ((n - en)[dn].sum() - (n - en)[up].sum()) / ne
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([int(ev)], dtype="int64"),
+            "n_nonevents": pd.Series([int(ne)], dtype="int64"),
+            "nri_events": [round(float(nri_ev), 6)],
+            "nri_nonevents": [round(float(nri_ne), 6)],
+            "nri_total": [round(float(nri_ev + nri_ne), 6)],
+        }
+    )
+
+
+_TWO_MODEL_SQL = """
+WITH d AS (
+  SELECT n_chars // 200 AS b, source AS src, doc_id % 2 AS split,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents
+),
+g AS (
+  SELECT b, src, split, count(*) * 1.0 AS n, sum(en) * 1.0 AS en
+  FROM d GROUP BY 1, 2, 3
+),
+gl AS (SELECT sum(en) / sum(n) AS p FROM g WHERE split = 0),
+rb AS (SELECT b, sum(en) / sum(n) AS f FROM g WHERE split = 0 GROUP BY b),
+rs AS (SELECT src, sum(en) / sum(n) AS f FROM g WHERE split = 0 GROUP BY src),
+te AS (
+  SELECT t.b, t.src, t.n, t.en,
+         coalesce(rb.f, (SELECT p FROM gl)) AS f_len,
+         coalesce(rs.f, (SELECT p FROM gl)) AS f_src
+  FROM (SELECT b, src, n, en FROM g WHERE split = 1) t
+  LEFT JOIN rb USING (b)
+  LEFT JOIN rs USING (src)
+)
+"""
+
+NRI_SOURCE_VS_LENGTH_SQL = (
+    _TWO_MODEL_SQL
+    + """,
+agg AS (
+  SELECT sum(en) AS ev, sum(n - en) AS ne,
+         sum(CASE WHEN f_src > f_len THEN en ELSE 0 END) AS ev_up,
+         sum(CASE WHEN f_src < f_len THEN en ELSE 0 END) AS ev_dn,
+         sum(CASE WHEN f_src > f_len THEN n - en ELSE 0 END) AS ne_up,
+         sum(CASE WHEN f_src < f_len THEN n - en ELSE 0 END) AS ne_dn
+  FROM te
+)
+SELECT CAST(ev AS BIGINT) AS n_events,
+       CAST(ne AS BIGINT) AS n_nonevents,
+       round((ev_up - ev_dn) / ev, 6) AS nri_events,
+       round((ne_dn - ne_up) / ne, 6) AS nri_nonevents,
+       round((ev_up - ev_dn) / ev + (ne_dn - ne_up) / ne, 6) AS nri_total
+FROM agg
+"""
+)
+
+
+def idi_source_vs_length(sf_dir: str) -> pd.DataFrame:
+    """Integrated Discrimination Improvement on the same upgrade:
+    each model's discrimination slope (mean forecast among English
+    minus mean forecast among non-English — the Yates slope), and
+    IDI = slope_new - slope_old: how much further apart the new
+    model pushes the two classes ON AVERAGE, the magnitude
+    companion to NRI's direction-only count."""
+    te = _two_model_cells(sf_dir)
+    n = te["n"].to_numpy("int64").astype("float64")
+    en = te["en"].to_numpy("int64").astype("float64")
+    ev = en.sum()
+    ne = (n - en).sum()
+    sl_len = float((en * te["f_len"]).sum() / ev - ((n - en) * te["f_len"]).sum() / ne)
+    sl_src = float((en * te["f_src"]).sum() / ev - ((n - en) * te["f_src"]).sum() / ne)
+    return pd.DataFrame(
+        {
+            "slope_length": [round(sl_len, 6)],
+            "slope_source": [round(sl_src, 6)],
+            "idi": [round(sl_src - sl_len, 6)],
+        }
+    )
+
+
+IDI_SOURCE_VS_LENGTH_SQL = (
+    _TWO_MODEL_SQL
+    + """,
+agg AS (
+  SELECT sum(en) AS ev, sum(n - en) AS ne,
+         sum(en * f_len) AS e_len, sum((n - en) * f_len) AS x_len,
+         sum(en * f_src) AS e_src, sum((n - en) * f_src) AS x_src
+  FROM te
+)
+SELECT round(e_len / ev - x_len / ne, 6) AS slope_length,
+       round(e_src / ev - x_src / ne, 6) AS slope_source,
+       round((e_src / ev - x_src / ne) - (e_len / ev - x_len / ne), 6) AS idi
+FROM agg
+"""
+)
