@@ -10952,3 +10952,156 @@ SELECT round(e_len / ev - x_len / ne, 6) AS slope_length,
 FROM agg
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# non-nested model comparison: Vuong + Clarke on the two forecasters
+# ---------------------------------------------------------------------------
+
+def _model_llr_cells(sf_dir: str):
+    """Shared per-cell log-likelihood-ratio terms (source model over
+    length model) on the held-out split: each (bucket, source) cell
+    contributes en docs with llr_pos = ln(fB/fA) and n-en docs with
+    llr_neg = ln((1-fB)/(1-fA)); forecasts clamped to
+    [1e-6, 1-1e-6] identically in both engines so an extreme
+    training bucket can't produce ln 0."""
+    te = _two_model_cells(sf_dir)
+    fa = np.clip(te["f_len"].to_numpy("float64"), 1e-6, 1.0 - 1e-6)
+    fb = np.clip(te["f_src"].to_numpy("float64"), 1e-6, 1.0 - 1e-6)
+    n = te["n"].to_numpy("int64").astype("float64")
+    en = te["en"].to_numpy("int64").astype("float64")
+    lp = np.log(fb / fa)
+    ln_ = np.log((1.0 - fb) / (1.0 - fa))
+    return n, en, lp, ln_
+
+
+def vuong_source_vs_length(sf_dir: str) -> pd.DataFrame:
+    """Vuong's non-nested likelihood-ratio test between the source
+    and length forecasters as Bernoulli models of the same held-out
+    outcomes: z = sum(llr) / (sd(llr) sqrt(N)) — the correction
+    that stops 'higher total likelihood' from being mistaken for
+    significance when per-doc contributions are noisy; two-sided
+    A-S p. Positive z favors the source model. Exact integer cell
+    expansion of the per-doc LLR moments."""
+    n, en, lp, ln_ = _model_llr_cells(sf_dir)
+    nn = n.sum()
+    s1 = float((en * lp).sum() + ((n - en) * ln_).sum())
+    s2 = float((en * lp * lp).sum() + ((n - en) * ln_ * ln_).sum())
+    var = s2 / nn - (s1 / nn) ** 2
+    z = s1 / float(np.sqrt(var * nn))
+    from ocr_pipeline_ray.pipelines.relational import _norm_cdf_as
+
+    p2 = 2.0 * float(_norm_cdf_as(np.array([-abs(z)]))[0])
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([int(nn)], dtype="int64"),
+            "sum_llr": [round(s1, 6)],
+            "vuong_z": [round(z, 6)],
+            "p_two_sided": [round(p2, 6)],
+        }
+    )
+
+
+_LLR_CELLS_SQL = (
+    _TWO_MODEL_SQL
+    + """,
+cl AS (
+  SELECT n, en,
+         ln(greatest(least(f_src, 1.0 - 1e-6), 1e-6)
+            / greatest(least(f_len, 1.0 - 1e-6), 1e-6)) AS lp,
+         ln((1.0 - greatest(least(f_src, 1.0 - 1e-6), 1e-6))
+            / (1.0 - greatest(least(f_len, 1.0 - 1e-6), 1e-6))) AS ln_
+  FROM te
+)
+"""
+)
+
+VUONG_SOURCE_VS_LENGTH_SQL = (
+    _LLR_CELLS_SQL
+    + """,
+mm AS (
+  SELECT sum(n) AS nn,
+         sum(en * lp + (n - en) * ln_) AS s1,
+         sum(en * lp * lp + (n - en) * ln_ * ln_) AS s2
+  FROM cl
+),
+zz AS (
+  SELECT nn, s1,
+         s1 / sqrt((s2 / nn - (s1 / nn) * (s1 / nn)) * nn) AS z
+  FROM mm
+)
+SELECT CAST(nn AS BIGINT) AS n_docs,
+       round(s1, 6) AS sum_llr,
+       round(z, 6) AS vuong_z,
+       round(2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     * (-0.356563782
+                        + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6) AS p_two_sided
+FROM zz
+"""
+)
+
+
+def clarke_sign_test_models(sf_dir: str) -> pd.DataFrame:
+    """Clarke's distribution-free companion: just COUNT the held-out
+    docs whose individual log-likelihood favors each model (exact
+    zeros dropped) and run the exact binomial sign test via the
+    O(N) lgamma tail — robust exactly where Vuong is fragile
+    (heavy-tailed per-doc LLRs let a few extreme docs swing the
+    mean; the median doesn't care). The two tests disagreeing is
+    itself the diagnostic."""
+    n, en, lp, ln_ = _model_llr_cells(sf_dir)
+    pos = int((en[lp > 0]).sum() + ((n - en)[ln_ > 0]).sum())
+    neg = int((en[lp < 0]).sum() + ((n - en)[ln_ < 0]).sum())
+    m = pos + neg
+    from math import lgamma
+
+    def _lchoose(a, b):
+        return lgamma(a + 1) - lgamma(b + 1) - lgamma(a - b + 1)
+
+    k = max(pos, neg)
+    tail = sum(np.exp(_lchoose(m, j) - m * np.log(2.0)) for j in range(k, m + 1))
+    p2 = min(1.0, 2.0 * tail)
+    return pd.DataFrame(
+        {
+            "n_favor_source": pd.Series([pos], dtype="int64"),
+            "n_favor_length": pd.Series([neg], dtype="int64"),
+            "p_two_sided": [round(float(p2), 6)],
+        }
+    )
+
+
+CLARKE_SIGN_TEST_MODELS_SQL = (
+    _LLR_CELLS_SQL
+    + """,
+cnt AS (
+  SELECT CAST(sum(CASE WHEN lp > 0 THEN en ELSE 0 END)
+              + sum(CASE WHEN ln_ > 0 THEN n - en ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN lp < 0 THEN en ELSE 0 END)
+              + sum(CASE WHEN ln_ < 0 THEN n - en ELSE 0 END) AS BIGINT) AS neg
+  FROM cl
+),
+tl AS (
+  SELECT pos, neg,
+         least(1.0, 2.0 * (
+           SELECT sum(exp(lgamma(pos + neg + 1) - lgamma(j + 1)
+                          - lgamma(pos + neg - j + 1)
+                          - (pos + neg) * ln(2.0)))
+           FROM unnest(range(CAST(greatest(pos, neg) AS BIGINT),
+                             CAST(pos + neg + 1 AS BIGINT))) AS t(j)
+         )) AS p2
+  FROM cnt
+)
+SELECT pos AS n_favor_source,
+       neg AS n_favor_length,
+       round(p2, 6) AS p_two_sided
+FROM tl
+"""
+)
