@@ -11219,3 +11219,201 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
        round(hc, 6) AS h_chao_shen
 FROM es
 """
+
+
+# ---------------------------------------------------------------------------
+# DiD credibility: event-study daily gaps + pre-trend placebo
+# ---------------------------------------------------------------------------
+
+def _arm_day_values(sf_dir: str) -> pd.DataFrame:
+    """Shared (arm, day) value partials for the DiD-credibility pair:
+    the same parity arms and value metric as diff_in_diff_value,
+    reduced to per-day (n, sum, sum of squares) cells."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy("float64")
+        return pd.DataFrame(
+            {
+                "arm": np.where(df["user_id"].to_numpy("int64") % 2 == 0, "A", "B"),
+                "day": df["ts"].dt.normalize(),
+                "n": np.int64(1),
+                "s": v,
+                "ss": v * v,
+            }
+        ).groupby(["arm", "day"], as_index=False).sum()
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_p, batch_format="pandas"),
+            ["arm", "day"],
+            {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["day", "arm"])
+        .reset_index(drop=True)
+    )
+
+
+def did_event_study_daily(sf_dir: str) -> pd.DataFrame:
+    """The event-study plot behind the one-number DiD: the daily
+    A-minus-B mean-value gap, re-centered on the PRE-period average
+    gap so each day reads as a dynamic treatment coefficient — flat
+    near zero before the 2024-01-16 split is the parallel-trends
+    license, and the post path shows whether the effect is a step,
+    a ramp, or a transient the pooled DiD averages into mush. One
+    bucketed (arm, day) reduction."""
+    g = _arm_day_values(sf_dir)
+    piv_n = g.pivot(index="day", columns="arm", values="n")
+    piv_s = g.pivot(index="day", columns="arm", values="s")
+    gap = piv_s["A"] / piv_n["A"] - piv_s["B"] / piv_n["B"]
+    pre = gap.index < CUPED_SPLIT
+    base = float(gap[pre].mean())
+    return pd.DataFrame(
+        {
+            "day": gap.index,
+            "gap": np.round(gap.to_numpy("float64"), 6),
+            "gap_vs_pre": np.round(gap.to_numpy("float64") - base, 6),
+            "is_post": (~pre).astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+_ARM_DAY_SQL = """
+WITH c AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(ts AS DATE) AS day,
+         count(*) * 1.0 AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1, 2
+),
+gap AS (
+  SELECT day,
+         max(CASE WHEN arm = 'A' THEN s / n END)
+         - max(CASE WHEN arm = 'B' THEN s / n END) AS gp
+  FROM c GROUP BY day
+),
+base AS (
+  SELECT avg(gp) AS b FROM gap WHERE day < DATE '2024-01-16'
+)
+"""
+
+DID_EVENT_STUDY_DAILY_SQL = (
+    _ARM_DAY_SQL
+    + """
+SELECT CAST(day AS TIMESTAMP) AS day,
+       round(gp, 6) AS gap,
+       round(gp - (SELECT b FROM base), 6) AS gap_vs_pre,
+       CAST(CASE WHEN day >= DATE '2024-01-16' THEN 1 ELSE 0 END AS BIGINT)
+         AS is_post
+FROM gap ORDER BY day
+"""
+)
+
+
+def did_pretrend_placebo(sf_dir: str) -> pd.DataFrame:
+    """The pre-trend placebo: rerun the exact DiD machinery entirely
+    INSIDE the pre period (halves split at 2024-01-08) where the
+    true effect is zero by construction — a placebo 'effect' with
+    |z| > 1.96 (per-cell variance SE) says the arms were already
+    diverging and the real DiD inherits that trend. Reported beside
+    the real DiD for scale."""
+    g = _arm_day_values(sf_dir)
+    g = g.copy()
+    g["day"] = pd.to_datetime(g["day"])
+    mid = pd.Timestamp("2024-01-08")
+
+    def _cells(frame, split):
+        out = {}
+        for (arm, post), d in frame.groupby(
+            [frame["arm"], (frame["day"] >= split)]
+        ):
+            n = float(d["n"].sum())
+            s = float(d["s"].sum())
+            ss = float(d["ss"].sum())
+            mean = s / n
+            var = (ss - s * s / n) / (n - 1.0)
+            out[(arm, bool(post))] = (n, mean, var)
+        return out
+
+    pre = g[g["day"] < CUPED_SPLIT]
+    cp = _cells(pre, mid)
+    placebo = (cp[("A", True)][1] - cp[("A", False)][1]) - (
+        cp[("B", True)][1] - cp[("B", False)][1]
+    )
+    se = float(
+        np.sqrt(sum(cp[k][2] / cp[k][0] for k in cp))
+    )
+    z = placebo / se
+    ca = _cells(g, CUPED_SPLIT)
+    real = (ca[("A", True)][1] - ca[("A", False)][1]) - (
+        ca[("B", True)][1] - ca[("B", False)][1]
+    )
+    from ocr_pipeline_ray.pipelines.relational import _norm_cdf_as
+
+    p2 = 2.0 * float(_norm_cdf_as(np.array([-abs(z)]))[0])
+    return pd.DataFrame(
+        {
+            "placebo_did": [round(placebo, 6)],
+            "placebo_z": [round(z, 6)],
+            "p_two_sided": [round(p2, 6)],
+            "real_did": [round(real, 6)],
+        }
+    )
+
+
+DID_PRETREND_PLACEBO_SQL = (
+    _ARM_DAY_SQL
+    + """,
+cells AS (
+  SELECT arm,
+         CASE WHEN day >= DATE '2024-01-08' THEN 1 ELSE 0 END AS post,
+         sum(n) AS n, sum(s) AS s, sum(ss) AS ss
+  FROM c WHERE day < DATE '2024-01-16'
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT arm, post, s / n AS mean,
+         ((ss - s * s / n) / (n - 1.0)) / n AS vn
+  FROM cells
+),
+pl AS (
+  SELECT (max(CASE WHEN arm = 'A' AND post = 1 THEN mean END)
+          - max(CASE WHEN arm = 'A' AND post = 0 THEN mean END))
+         - (max(CASE WHEN arm = 'B' AND post = 1 THEN mean END)
+            - max(CASE WHEN arm = 'B' AND post = 0 THEN mean END)) AS d,
+         sqrt(sum(vn)) AS se
+  FROM st
+),
+rl AS (
+  SELECT (max(CASE WHEN arm = 'A' AND post = 1 THEN mean END)
+          - max(CASE WHEN arm = 'A' AND post = 0 THEN mean END))
+         - (max(CASE WHEN arm = 'B' AND post = 1 THEN mean END)
+            - max(CASE WHEN arm = 'B' AND post = 0 THEN mean END)) AS d
+  FROM (
+    SELECT arm,
+           CASE WHEN day >= DATE '2024-01-16' THEN 1 ELSE 0 END AS post,
+           sum(s) / sum(n) AS mean
+    FROM c GROUP BY 1, 2
+  )
+),
+zz AS (SELECT d, se, d / se AS z FROM pl)
+SELECT round(d, 6) AS placebo_did,
+       round(z, 6) AS placebo_z,
+       round(2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     * (-0.356563782
+                        + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6) AS p_two_sided,
+       round((SELECT d FROM rl), 6) AS real_did
+FROM zz
+"""
+)
