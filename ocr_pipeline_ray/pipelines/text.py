@@ -11105,3 +11105,158 @@ SELECT pos AS n_favor_source,
 FROM tl
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# data valuation: exact Shapley value of each source for bigram coverage
+# ---------------------------------------------------------------------------
+
+def _bigram_source_grid(sf_dir: str) -> pd.DataFrame:
+    """Shared distinct (bigram, source) membership grid under the
+    vocabulary token convention — the sufficient statistic of the
+    coverage game (type-dimension result: bounded by the bigram
+    type space, not the corpus)."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        rows_b, rows_s = [], []
+        for src, txt in zip(df["source"], df["text"]):
+            ts = TOKEN_RE.findall(txt.lower())
+            for a, b in zip(ts, ts[1:]):
+                rows_b.append(a + " " + b)
+                rows_s.append(src)
+        out = pd.DataFrame({"b": rows_b, "src": rows_s})
+        return out.drop_duplicates().assign(one=np.int64(1))
+
+    return (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["b", "src"],
+            {"n": ("one", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()[["b", "src"]]
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+
+def shapley_source_coverage(sf_dir: str) -> pd.DataFrame:
+    """EXACT Shapley data valuation of the 20 sources for bigram
+    coverage: in the coverage game (a type counts once some source
+    containing it is in the coalition) the Shapley value has a
+    closed form — every bigram splits its unit of value EQUALLY
+    among the k sources that contain it — so no subset enumeration
+    and no sampling, which is what lets a data-valuation number be
+    exactly oracle-checked. Per source: solo coverage, Shapley
+    value, and the uniqueness ratio shapley/solo (near 1/k_typical =
+    redundant commodity data; near 1 = sole owner of its types)."""
+    g = _bigram_source_grid(sf_dir)
+    k = g.groupby("b")["src"].transform("count").to_numpy("float64")
+    g2 = pd.DataFrame({"src": g["src"], "w": 1.0 / k, "one": 1})
+    per = g2.groupby("src").agg(shapley=("w", "sum"), solo=("one", "sum"))
+    per = per.sort_index()
+    return pd.DataFrame(
+        {
+            "source": per.index.to_numpy(object),
+            "solo_coverage": pd.Series(per["solo"].to_numpy("int64"), dtype="int64"),
+            "shapley_value": np.round(per["shapley"].to_numpy("float64"), 6),
+            "uniqueness_ratio": np.round(
+                (per["shapley"] / per["solo"]).to_numpy("float64"), 6
+            ),
+        }
+    )
+
+
+_BIGRAM_GRID_SQL = """
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source AS src, ts[i] || ' ' || ts[i + 1] AS b
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS t(i)
+),
+kk AS (SELECT b, count(*) AS k FROM bg GROUP BY 1)
+"""
+
+SHAPLEY_SOURCE_COVERAGE_SQL = (
+    _BIGRAM_GRID_SQL
+    + """
+SELECT bg.src AS source,
+       CAST(count(*) AS BIGINT) AS solo_coverage,
+       round(sum(1.0 / kk.k), 6) AS shapley_value,
+       round(sum(1.0 / kk.k) / count(*), 6) AS uniqueness_ratio
+FROM bg JOIN kk USING (b)
+GROUP BY bg.src ORDER BY source
+"""
+)
+
+
+def coverage_game_summary(sf_dir: str) -> pd.DataFrame:
+    """The game's audit row: total bigram types, the Shapley
+    EFFICIENCY certificate (values sum to exactly the total — the
+    axiom, so a nonzero residual exposes broken accounting), the
+    most and least valuable sources, and the Gini concentration of
+    data value across sources (0 = every source equally valuable,
+    high = a few sources own the coverage — the 'should we even pay
+    for the rest' number)."""
+    g = _bigram_source_grid(sf_dir)
+    n_types = int(g["b"].nunique())
+    k = g.groupby("b")["src"].transform("count").to_numpy("float64")
+    per = (
+        pd.DataFrame({"src": g["src"], "w": 1.0 / k})
+        .groupby("src")["w"]
+        .sum()
+        .sort_index()
+    )
+    v = np.sort(per.to_numpy("float64"))
+    m = len(v)
+    gini = float(
+        (2.0 * ((np.arange(1, m + 1)) * v).sum() - (m + 1) * v.sum())
+        / (m * v.sum())
+    )
+    order = np.lexsort((per.index.astype(str), -per.to_numpy("float64")))
+    top = per.index[order[0]]
+    bot = per.index[order[-1]]
+    return pd.DataFrame(
+        {
+            "n_types": pd.Series([n_types], dtype="int64"),
+            "shapley_sum": [round(float(per.sum()), 6)],
+            "efficiency_residual": [round(float(per.sum()) - n_types, 6)],
+            "top_source": [top],
+            "bottom_source": [bot],
+            "value_gini": [round(gini, 6)],
+        }
+    )
+
+
+COVERAGE_GAME_SUMMARY_SQL = (
+    _BIGRAM_GRID_SQL
+    + """,
+per AS (
+  SELECT bg.src, sum(1.0 / kk.k) AS w
+  FROM bg JOIN kk USING (b) GROUP BY bg.src
+),
+rk AS (
+  SELECT src, w, row_number() OVER (ORDER BY w) AS i,
+         count(*) OVER () AS m, sum(w) OVER () AS sw
+  FROM per
+),
+gin AS (
+  SELECT (2.0 * sum(i * w) - (max(m) + 1) * max(sw)) / (max(m) * max(sw)) AS g
+  FROM rk
+),
+tp AS (SELECT src FROM per ORDER BY w DESC, src LIMIT 1),
+bt AS (SELECT src FROM per ORDER BY w ASC, src DESC LIMIT 1)
+SELECT CAST((SELECT count(*) FROM kk) AS BIGINT) AS n_types,
+       round((SELECT sum(w) FROM per), 6) AS shapley_sum,
+       round((SELECT sum(w) FROM per) - (SELECT count(*) FROM kk), 6)
+         AS efficiency_residual,
+       (SELECT src FROM tp) AS top_source,
+       (SELECT src FROM bt) AS bottom_source,
+       round((SELECT g FROM gin), 6) AS value_gini
+"""
+)
