@@ -11260,3 +11260,120 @@ SELECT CAST((SELECT count(*) FROM kk) AS BIGINT) AS n_types,
        round((SELECT g FROM gin), 6) AS value_gini
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Banzhaf values of the coverage game + the power-index disagreement
+# ---------------------------------------------------------------------------
+
+def banzhaf_source_coverage(sf_dir: str) -> pd.DataFrame:
+    """Raw Banzhaf value of each source in the same bigram-coverage
+    game — also closed form: a source is PIVOTAL for a type held by
+    k sources in exactly 2^(n-k) of the 2^(n-1) coalitions of the
+    others, so each type contributes 2^(1-k) — which punishes shared
+    types exponentially where Shapley only divides by k. The raw
+    values don't sum to the total (Banzhaf trades the efficiency
+    axiom for a probabilistic-pivot story); the normalized share is
+    reported beside them."""
+    g = _bigram_source_grid(sf_dir)
+    k = g.groupby("b")["src"].transform("count").to_numpy("float64")
+    g2 = pd.DataFrame({"src": g["src"], "w": np.power(2.0, 1.0 - k)})
+    per = g2.groupby("src")["w"].sum().sort_index()
+    tot = float(per.sum())
+    return pd.DataFrame(
+        {
+            "source": per.index.to_numpy(object),
+            "banzhaf_raw": np.round(per.to_numpy("float64"), 6),
+            "banzhaf_share": np.round(per.to_numpy("float64") / tot, 6),
+        }
+    )
+
+
+BANZHAF_SOURCE_COVERAGE_SQL = (
+    _BIGRAM_GRID_SQL
+    + """,
+per AS (
+  SELECT bg.src, sum(pow(2.0, 1.0 - kk.k)) AS w
+  FROM bg JOIN kk USING (b) GROUP BY bg.src
+)
+SELECT src AS source,
+       round(w, 6) AS banzhaf_raw,
+       round(w / (SELECT sum(w) FROM per), 6) AS banzhaf_share
+FROM per ORDER BY source
+"""
+)
+
+
+def power_index_disagreement(sf_dir: str) -> pd.DataFrame:
+    """Do the two power indexes even agree on who matters? Spearman
+    rank correlation between the sources' Shapley and Banzhaf
+    values (value ties broken by source name in both engines), the
+    number of sources whose rank moves, and the biggest mover with
+    its two ranks — they diverge exactly when a source's portfolio
+    mixes a few exclusive types with many widely-shared ones,
+    because Banzhaf discounts sharing exponentially."""
+    g = _bigram_source_grid(sf_dir)
+    k = g.groupby("b")["src"].transform("count").to_numpy("float64")
+    d = pd.DataFrame(
+        {
+            "src": g["src"],
+            "sh": 1.0 / k,
+            "bz": np.power(2.0, 1.0 - k),
+        }
+    ).groupby("src").sum().sort_index()
+    names = d.index.to_numpy(object)
+    m = len(d)
+
+    def _rank(v):
+        order = np.lexsort((names.astype(str), -v))
+        r = np.empty(m, dtype="int64")
+        r[order] = np.arange(1, m + 1)
+        return r
+
+    rs = _rank(d["sh"].to_numpy("float64"))
+    rb = _rank(d["bz"].to_numpy("float64"))
+    dr = rs.astype("float64") - rb.astype("float64")
+    rho = 1.0 - 6.0 * float((dr * dr).sum()) / (m * (m * m - 1.0))
+    moved = int((rs != rb).sum())
+    j = int(np.lexsort((names.astype(str), -np.abs(dr)))[0])
+    return pd.DataFrame(
+        {
+            "spearman_rho": [round(rho, 6)],
+            "n_rank_moves": pd.Series([moved], dtype="int64"),
+            "biggest_mover": [names[j]],
+            "rank_shapley": pd.Series([int(rs[j])], dtype="int64"),
+            "rank_banzhaf": pd.Series([int(rb[j])], dtype="int64"),
+        }
+    )
+
+
+POWER_INDEX_DISAGREEMENT_SQL = (
+    _BIGRAM_GRID_SQL
+    + """,
+per AS (
+  SELECT bg.src,
+         sum(1.0 / kk.k) AS sh,
+         sum(pow(2.0, 1.0 - kk.k)) AS bz
+  FROM bg JOIN kk USING (b) GROUP BY bg.src
+),
+rk AS (
+  SELECT src,
+         row_number() OVER (ORDER BY sh DESC, src) AS rs,
+         row_number() OVER (ORDER BY bz DESC, src) AS rb,
+         count(*) OVER () AS m
+  FROM per
+),
+mv AS (
+  SELECT src, rs, rb FROM rk
+  ORDER BY abs(rs - rb) DESC, src LIMIT 1
+)
+SELECT round(1.0 - 6.0 * (SELECT sum((rs - rb) * (rs - rb) * 1.0) FROM rk)
+             / ((SELECT max(m) FROM rk)
+                * ((SELECT max(m) FROM rk) * (SELECT max(m) FROM rk) - 1.0)), 6)
+         AS spearman_rho,
+       CAST((SELECT count(*) FROM rk WHERE rs <> rb) AS BIGINT) AS n_rank_moves,
+       (SELECT src FROM mv) AS biggest_mover,
+       CAST((SELECT rs FROM mv) AS BIGINT) AS rank_shapley,
+       CAST((SELECT rb FROM mv) AS BIGINT) AS rank_banzhaf
+"""
+)
