@@ -11417,3 +11417,157 @@ SELECT round(d, 6) AS placebo_did,
 FROM zz
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Crow-AMSAA model criticism: CvM goodness-of-fit + MTBF growth projection
+# ---------------------------------------------------------------------------
+
+def _crow_beta_terms(sf_dir: str):
+    """Shared Crow-AMSAA ingredients: the origin, the total span tt
+    (microseconds), event count m and the MLE beta — identical to
+    crow_amsaa_events' reduction."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def _bounds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [df["ts"].min()], "hi": [df["ts"].max()]})
+
+    b = ds.map_batches(_bounds, batch_format="pandas").to_pandas()
+    lo64 = np.int64(pd.Timestamp(b["lo"].min()).value // 1000)
+    tt = float(pd.Timestamp(b["hi"].max()).value // 1000 - lo64)
+
+    def _logs(df: pd.DataFrame) -> pd.DataFrame:
+        tu = (
+            df["ts"].to_numpy(dtype="datetime64[us]").astype("int64") - lo64
+        ).astype("float64")
+        tu = tu[tu > 0]
+        return pd.DataFrame({"m": [len(tu)], "sl": [float(np.log(tt / tu).sum())]})
+
+    p = ds.map_batches(_logs, batch_format="pandas").to_pandas()
+    m, sl = int(p["m"].sum()), float(p["sl"].sum())
+    return ds, lo64, tt, m, m / sl
+
+
+def crow_amsaa_cvm_gof(sf_dir: str) -> pd.DataFrame:
+    """MIL-HDBK-189 model criticism for the Crow-AMSAA fit: under
+    the fitted power law the transformed arrivals z_i = (t_i/T)^
+    betabar (bias-corrected betabar = (m-1)/m beta) are uniform, so
+    the Cramer-von Mises statistic C^2 = 1/(12m) + SUM(z_(i) -
+    (2i-1)/2m)^2 measures exactly how power-law the growth curve
+    is; tied times contribute invariantly, so the distributed rank
+    needs no tiebreak. Reported with the 0.22 large-m 95% critical
+    value flag."""
+    from ocr_pipeline_ray.pipelines.relational import _global_rank
+
+    ds, lo64, tt, m, beta = _crow_beta_terms(sf_dir)
+    bbar = (m - 1.0) / m * beta
+
+    def _tu(df: pd.DataFrame) -> pd.DataFrame:
+        tu = (
+            df["ts"].to_numpy(dtype="datetime64[us]").astype("int64") - lo64
+        ).astype("float64")
+        tu = tu[tu > 0]
+        return pd.DataFrame({"tu": tu})
+
+    ranked = _global_rank(ds.map_batches(_tu, batch_format="pandas"), "tu", [])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.power(df["tu"].to_numpy("float64") / tt, bbar)
+        i = df["rank"].to_numpy("int64").astype("float64")
+        return pd.DataFrame(
+            {"s": [float(((z - (2.0 * i - 1.0) / (2.0 * m)) ** 2).sum())]}
+        )
+
+    s = float(ranked.map_batches(_partial, batch_format="pandas").to_pandas()["s"].sum())
+    c2 = 1.0 / (12.0 * m) + s
+    return pd.DataFrame(
+        {
+            "m": pd.Series([m], dtype="int64"),
+            "beta_corrected": [round(bbar, 6)],
+            "cvm_stat": [round(c2, 6)],
+            "reject_95": pd.Series([int(c2 > 0.22)], dtype="int64"),
+        }
+    )
+
+
+CROW_AMSAA_CVM_GOF_SQL = """
+WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+tt AS (SELECT date_diff('microsecond', lo, hi) * 1.0 AS t FROM b),
+o AS (
+  SELECT date_diff('microsecond', (SELECT lo FROM b), ts) * 1.0 AS tu
+  FROM events
+),
+pos AS (SELECT tu FROM o WHERE tu > 0),
+mb AS (
+  SELECT count(*) * 1.0 AS m,
+         count(*) / sum(ln((SELECT t FROM tt) / tu)) AS beta
+  FROM pos
+),
+rk AS (
+  SELECT tu, row_number() OVER (ORDER BY tu) AS i FROM pos
+),
+st AS (
+  SELECT sum(pow(pow(tu / (SELECT t FROM tt),
+                     ((SELECT m FROM mb) - 1.0) / (SELECT m FROM mb)
+                     * (SELECT beta FROM mb))
+                 - (2.0 * i - 1.0) / (2.0 * (SELECT m FROM mb)), 2)) AS s
+  FROM rk
+)
+SELECT CAST((SELECT m FROM mb) AS BIGINT) AS m,
+       round(((SELECT m FROM mb) - 1.0) / (SELECT m FROM mb)
+             * (SELECT beta FROM mb), 6) AS beta_corrected,
+       round(1.0 / (12.0 * (SELECT m FROM mb)) + s, 6) AS cvm_stat,
+       CAST(CASE WHEN 1.0 / (12.0 * (SELECT m FROM mb)) + s > 0.22
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM st
+"""
+
+
+def duane_mtbf_projection(sf_dir: str) -> pd.DataFrame:
+    """What the fitted growth curve says operationally: cumulative
+    mean time between events T/m vs the INSTANTANEOUS MTBF
+    1/(lambda beta T^(beta-1)) — their ratio is exactly 1/beta, the
+    Duane-plot reading — plus the projected event count over the
+    next 30 days lambda((T+30)^beta - T^beta): the capacity number
+    a reliability review actually wants from the fit."""
+    ds, lo64, tt, m, beta = _crow_beta_terms(sf_dir)
+    t_days = tt / 86400e6
+    lam = m / t_days**beta
+    mtbf_cum = t_days / m
+    mtbf_inst = 1.0 / (lam * beta * t_days ** (beta - 1.0))
+    proj = lam * ((t_days + 30.0) ** beta - t_days**beta)
+    return pd.DataFrame(
+        {
+            "mtbf_cum_days": [round(mtbf_cum, 6)],
+            "mtbf_inst_days": [round(mtbf_inst, 6)],
+            "ratio_inv_beta": [round(mtbf_inst / mtbf_cum, 6)],
+            "projected_events_30d": [round(proj, 4)],
+        }
+    )
+
+
+DUANE_MTBF_PROJECTION_SQL = """
+WITH b AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+tt AS (SELECT date_diff('microsecond', lo, hi) / 86400e6 AS t FROM b),
+o AS (
+  SELECT date_diff('microsecond', (SELECT lo FROM b), ts) * 1.0 AS tu
+  FROM events
+),
+mb AS (
+  SELECT count(*) * 1.0 AS m,
+         count(*) / sum(ln((SELECT t FROM tt) * 86400e6 / tu)) AS beta
+  FROM o WHERE tu > 0
+),
+fit AS (
+  SELECT m, beta, (SELECT t FROM tt) AS t,
+         m / pow((SELECT t FROM tt), beta) AS lam
+  FROM mb
+)
+SELECT round(t / m, 6) AS mtbf_cum_days,
+       round(1.0 / (lam * beta * pow(t, beta - 1.0)), 6) AS mtbf_inst_days,
+       round((1.0 / (lam * beta * pow(t, beta - 1.0))) / (t / m), 6)
+         AS ratio_inv_beta,
+       round(lam * (pow(t + 30.0, beta) - pow(t, beta)), 4)
+         AS projected_events_30d
+FROM fit
+"""
