@@ -11377,3 +11377,183 @@ SELECT round(1.0 - 6.0 * (SELECT sum((rs - rb) * (rs - rb) * 1.0) FROM rk)
        CAST((SELECT rb FROM mv) AS BIGINT) AS rank_banzhaf
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# source LM geometry: unigram cross-entropy between every source pair
+# ---------------------------------------------------------------------------
+
+def _source_term_matrix(sf_dir: str):
+    """Shared (source x term) count matrix under the vocabulary
+    token convention plus per-source totals and the global vocab
+    size V — the sufficient statistic for every smoothed-LM
+    cross-entropy."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_s = [], []
+        for src, txt in zip(df["source"], df["text"]):
+            for tok in TOKEN_RE.findall(txt.lower()):
+                rows_t.append(tok)
+                rows_s.append(src)
+        return pd.DataFrame({"src": rows_s, "term": rows_t, "one": np.int64(1)}).groupby(
+            ["src", "term"], as_index=False
+        ).agg(c=("one", "sum"))
+
+    g = (
+        bucketed_aggregate(
+            ds.map_batches(_prep, batch_format="pandas"),
+            ["src", "term"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+    )
+    piv = g.pivot(index="src", columns="term", values="c").fillna(0).astype("int64")
+    piv = piv.sort_index()
+    return piv, int(piv.shape[1])
+
+
+def _cross_entropy_matrix(sf_dir: str):
+    piv, vsize = _source_term_matrix(sf_dir)
+    c = piv.to_numpy("float64")
+    n = c.sum(axis=1)
+    p = c / n[:, None]
+    q = (c + 1.0) / (n + float(vsize))[:, None]
+    lq = np.log(q)
+    ce = -(p @ lq.T)  # ce[a, b] = cross entropy of a under b's smoothed LM
+    return piv.index.to_numpy(object), ce
+
+
+def source_lm_cross_entropy(sf_dir: str) -> pd.DataFrame:
+    """Who reads like whom: train a Laplace-smoothed unigram LM per
+    source and evaluate every source's term distribution under every
+    other's model — per source the self cross-entropy (its own
+    compressibility), the mean cross-entropy under the other 19
+    models, the excess (how much it costs to read this source with
+    someone else's codebook — the KL-style distinctiveness), and its
+    nearest foreign model (name tiebreak). The routing table for
+    'which existing domain model should score this new source'."""
+    names, ce = _cross_entropy_matrix(sf_dir)
+    m = len(names)
+    rows = []
+    for i in range(m):
+        others = np.array([ce[i, j] for j in range(m) if j != i])
+        idx = [j for j in range(m) if j != i]
+        j = idx[int(np.lexsort((np.array([str(names[k]) for k in idx]), others))[0])]
+        rows.append(
+            {
+                "source": names[i],
+                "self_ce": round(float(ce[i, i]), 6),
+                "mean_cross_ce": round(float(others.mean()), 6),
+                "excess": round(float(others.mean() - ce[i, i]), 6),
+                "nearest_model": names[j],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+_SOURCE_LM_SQL = """
+WITH tok AS (
+  SELECT source AS src, t.term, count(*) AS c
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t(term)
+  GROUP BY 1, 2
+),
+tot AS (SELECT src, sum(c) * 1.0 AS n FROM tok GROUP BY 1),
+vv AS (SELECT count(DISTINCT term) * 1.0 AS v FROM tok),
+ce AS (
+  SELECT a.src AS sa, b2.src AS sb,
+         -sum((a.c / ta.n)
+              * ln((coalesce(bb.c, 0) + 1.0) / (tb.n + (SELECT v FROM vv)))) AS ce
+  FROM tok a
+  JOIN tot ta ON ta.src = a.src
+  CROSS JOIN (SELECT DISTINCT src FROM tok) b2
+  JOIN tot tb ON tb.src = b2.src
+  LEFT JOIN tok bb ON bb.src = b2.src AND bb.term = a.term
+  GROUP BY 1, 2
+)
+"""
+
+SOURCE_LM_CROSS_ENTROPY_SQL = (
+    _SOURCE_LM_SQL
+    + """,
+per AS (
+  SELECT sa AS source,
+         max(CASE WHEN sa = sb THEN ce END) AS self_ce,
+         avg(CASE WHEN sa <> sb THEN ce END) AS mean_cross_ce
+  FROM ce GROUP BY 1
+),
+nearest AS (
+  SELECT sa AS source, sb AS nearest_model,
+         row_number() OVER (PARTITION BY sa ORDER BY ce, sb) AS rk
+  FROM ce WHERE sa <> sb
+)
+SELECT per.source,
+       round(per.self_ce, 6) AS self_ce,
+       round(per.mean_cross_ce, 6) AS mean_cross_ce,
+       round(per.mean_cross_ce - per.self_ce, 6) AS excess,
+       (SELECT nearest_model FROM nearest
+        WHERE nearest.source = per.source AND rk = 1) AS nearest_model
+FROM per ORDER BY per.source
+"""
+)
+
+
+def lm_divergence_extremes(sf_dir: str) -> pd.DataFrame:
+    """The corpus's LM geometry in one row: the most SIMILAR ordered
+    source pair (smallest cross-entropy excess over the target's
+    self-entropy — candidates for merging their domain models) and
+    the most ALIEN pair (largest excess — the pair a single shared
+    tokenizer/model hurts most), with the grand mean excess as the
+    corpus's overall domain-fragmentation score."""
+    names, ce = _cross_entropy_matrix(sf_dir)
+    m = len(names)
+    best = worst = None
+    tot = 0.0
+    cnt = 0
+    for i in range(m):
+        for j in range(m):
+            if i == j:
+                continue
+            ex = float(ce[i, j] - ce[i, i])
+            tot += ex
+            cnt += 1
+            key = (ex, str(names[i]), str(names[j]))
+            if best is None or key < best:
+                best = key
+            if worst is None or (ex, str(names[i]), str(names[j])) > worst:
+                worst = key if False else (ex, str(names[i]), str(names[j]))
+    return pd.DataFrame(
+        {
+            "closest_src": [best[1]],
+            "closest_model": [best[2]],
+            "closest_excess": [round(best[0], 6)],
+            "farthest_src": [worst[1]],
+            "farthest_model": [worst[2]],
+            "farthest_excess": [round(worst[0], 6)],
+            "mean_excess": [round(tot / cnt, 6)],
+        }
+    )
+
+
+LM_DIVERGENCE_EXTREMES_SQL = (
+    _SOURCE_LM_SQL
+    + """,
+ex AS (
+  SELECT a.sa, a.sb, a.ce - s.ce AS excess
+  FROM ce a JOIN ce s ON s.sa = a.sa AND s.sb = a.sa
+  WHERE a.sa <> a.sb
+),
+best AS (SELECT * FROM ex ORDER BY excess, sa, sb LIMIT 1),
+worst AS (SELECT * FROM ex ORDER BY excess DESC, sa, sb LIMIT 1)
+SELECT (SELECT sa FROM best) AS closest_src,
+       (SELECT sb FROM best) AS closest_model,
+       round((SELECT excess FROM best), 6) AS closest_excess,
+       (SELECT sa FROM worst) AS farthest_src,
+       (SELECT sb FROM worst) AS farthest_model,
+       round((SELECT excess FROM worst), 6) AS farthest_excess,
+       round((SELECT avg(excess) FROM ex), 6) AS mean_excess
+"""
+)
