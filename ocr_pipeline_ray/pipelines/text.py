@@ -11557,3 +11557,236 @@ SELECT (SELECT sa FROM best) AS closest_src,
        round((SELECT avg(excess) FROM ex), 6) AS mean_excess
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# signal detection theory for the length->English rule (Acklam inverse normal)
+# ---------------------------------------------------------------------------
+
+def _qnorm_acklam(p: float) -> float:
+    """Acklam's rational approximation to the standard normal
+    quantile — closed-form polynomials only, mirrored verbatim in
+    the SQL oracle (relative error < 1.15e-9, far below the
+    round-6 comparison)."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+    plow = 0.02425
+    if p < plow:
+        q = float(np.sqrt(-2.0 * np.log(p)))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+        )
+    if p <= 1.0 - plow:
+        q = p - 0.5
+        r = q * q
+        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+            ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+        )
+    q = float(np.sqrt(-2.0 * np.log(1.0 - p)))
+    return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0
+    )
+
+
+def _qnorm_sql(expr: str) -> str:
+    """The same Acklam approximation as a SQL expression over
+    `expr` (assumed strictly inside (0,1))."""
+    return f"""
+  CASE WHEN ({expr}) < 0.02425 THEN
+    (((((-7.784894002430293e-03 * sqrt(-2.0 * ln({expr})) - 3.223964580411365e-01)
+        * sqrt(-2.0 * ln({expr})) - 2.400758277161838e+00)
+        * sqrt(-2.0 * ln({expr})) - 2.549732539343734e+00)
+        * sqrt(-2.0 * ln({expr})) + 4.374664141464968e+00)
+        * sqrt(-2.0 * ln({expr})) + 2.938163982698783e+00)
+    / ((((7.784695709041462e-03 * sqrt(-2.0 * ln({expr})) + 3.224671290700398e-01)
+         * sqrt(-2.0 * ln({expr})) + 2.445134137142996e+00)
+         * sqrt(-2.0 * ln({expr})) + 3.754408661907416e+00)
+         * sqrt(-2.0 * ln({expr})) + 1.0)
+  WHEN ({expr}) <= 0.97575 THEN
+    (((((-3.969683028665376e+01 * (({expr}) - 0.5) * (({expr}) - 0.5)
+         + 2.209460984245205e+02) * (({expr}) - 0.5) * (({expr}) - 0.5)
+         - 2.759285104469687e+02) * (({expr}) - 0.5) * (({expr}) - 0.5)
+         + 1.383577518672690e+02) * (({expr}) - 0.5) * (({expr}) - 0.5)
+         - 3.066479806614716e+01) * (({expr}) - 0.5) * (({expr}) - 0.5)
+         + 2.506628277459239e+00) * (({expr}) - 0.5)
+    / (((((-5.447609879822406e+01 * (({expr}) - 0.5) * (({expr}) - 0.5)
+           + 1.615858368580409e+02) * (({expr}) - 0.5) * (({expr}) - 0.5)
+           - 1.556989798598866e+02) * (({expr}) - 0.5) * (({expr}) - 0.5)
+           + 6.680131188771972e+01) * (({expr}) - 0.5) * (({expr}) - 0.5)
+           - 1.328068155288572e+01) * (({expr}) - 0.5) * (({expr}) - 0.5) + 1.0)
+  ELSE
+    -((((((-7.784894002430293e-03) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          - 3.223964580411365e-01) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          - 2.400758277161838e+00) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          - 2.549732539343734e+00) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          + 4.374664141464968e+00) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          + 2.938163982698783e+00)
+    / ((((7.784695709041462e-03 * sqrt(-2.0 * ln(1.0 - ({expr})))
+          + 3.224671290700398e-01) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          + 2.445134137142996e+00) * sqrt(-2.0 * ln(1.0 - ({expr})))
+          + 3.754408661907416e+00) * sqrt(-2.0 * ln(1.0 - ({expr}))) + 1.0)
+  END
+"""
+
+
+def _len_en_rates(sf_dir: str, thr: int):
+    """Hit and false-alarm rates of 'call English when n_chars > thr'
+    with the 1/(2n)-clamp convention so the normal quantiles stay
+    finite, identical in both engines."""
+    from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate, _read as _r
+
+    ds = _r(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "en": (df["lang"] == "en").astype("int64"),
+                "call": (df["n_chars"] > thr).astype("int64"),
+                "one": np.int64(1),
+            }
+        ).groupby(["en", "call"], as_index=False).sum()
+
+    g = (
+        ds.map_batches(_prep, batch_format="pandas")
+        .to_pandas()
+        .groupby(["en", "call"], as_index=False)
+        .sum()
+    )
+    cell = {(int(r["en"]), int(r["call"])): int(r["one"]) for _, r in g.iterrows()}
+    tp = cell.get((1, 1), 0)
+    fn = cell.get((1, 0), 0)
+    fp = cell.get((0, 1), 0)
+    tn = cell.get((0, 0), 0)
+    np_, nn_ = tp + fn, fp + tn
+    h = min(max(tp / np_, 1.0 / (2.0 * np_)), 1.0 - 1.0 / (2.0 * np_))
+    f = min(max(fp / nn_, 1.0 / (2.0 * nn_)), 1.0 - 1.0 / (2.0 * nn_))
+    return h, f
+
+
+def signal_detection_dprime(sf_dir: str, thr: int = 600) -> pd.DataFrame:
+    """Signal detection theory for the length -> English rule at the
+    600-char criterion: sensitivity d' = z(hit) - z(FA) (distance
+    between the class distributions in noise-sd units, the
+    threshold-free cousin of accuracy), the criterion c = -(z(hit)
+    + z(FA))/2 (negative = liberal caller), and ln beta = c d' —
+    the psychophysics coordinates, exactly oracle-able because the
+    normal quantile is Acklam's rational approximation evaluated
+    verbatim in both engines."""
+    h, f = _len_en_rates(sf_dir, thr)
+    zh, zf = _qnorm_acklam(h), _qnorm_acklam(f)
+    dprime = zh - zf
+    c = -(zh + zf) / 2.0
+    return pd.DataFrame(
+        {
+            "hit_rate": [round(h, 6)],
+            "fa_rate": [round(f, 6)],
+            "d_prime": [round(dprime, 6)],
+            "criterion_c": [round(c, 6)],
+            "ln_beta": [round(c * dprime, 6)],
+        }
+    )
+
+
+def _sdt_rates_sql(thr: int) -> str:
+    return f"""
+WITH cf AS (
+  SELECT sum(CASE WHEN lang = 'en' AND n_chars > {thr} THEN 1 ELSE 0 END) * 1.0 AS tp,
+         sum(CASE WHEN lang = 'en' AND n_chars <= {thr} THEN 1 ELSE 0 END) * 1.0 AS fn,
+         sum(CASE WHEN lang <> 'en' AND n_chars > {thr} THEN 1 ELSE 0 END) * 1.0 AS fp,
+         sum(CASE WHEN lang <> 'en' AND n_chars <= {thr} THEN 1 ELSE 0 END) * 1.0 AS tn
+  FROM documents
+),
+rates AS (
+  SELECT least(greatest(tp / (tp + fn), 1.0 / (2.0 * (tp + fn))),
+               1.0 - 1.0 / (2.0 * (tp + fn))) AS h,
+         least(greatest(fp / (fp + tn), 1.0 / (2.0 * (fp + tn))),
+               1.0 - 1.0 / (2.0 * (fp + tn))) AS f
+  FROM cf
+)
+"""
+
+
+SIGNAL_DETECTION_DPRIME_SQL = (
+    _sdt_rates_sql(600)
+    + f""",
+zz AS (
+  SELECT h, f,
+         ({_qnorm_sql('h')}) AS zh,
+         ({_qnorm_sql('f')}) AS zf
+  FROM rates
+)
+SELECT round(h, 6) AS hit_rate,
+       round(f, 6) AS fa_rate,
+       round(zh - zf, 6) AS d_prime,
+       round(-(zh + zf) / 2.0, 6) AS criterion_c,
+       round(-(zh + zf) / 2.0 * (zh - zf), 6) AS ln_beta
+FROM zz
+"""
+)
+
+
+def sdt_isosensitivity_check(sf_dir: str) -> pd.DataFrame:
+    """The equal-variance Gaussian ROC's falsifiable claim: d'
+    should be the SAME at every criterion. Computed at the 200/400/
+    600/800-char cuts — four (z(FA), z(hit)) points that lie on a
+    unit-slope line iff the model holds; the d' spread (max - min)
+    is the violation magnitude, and a systematic drift with the
+    threshold is the classic unequal-variance signature read
+    without any fitting."""
+    rows = []
+    ds = []
+    for thr in (200, 400, 600, 800):
+        h, f = _len_en_rates(sf_dir, thr)
+        d = _qnorm_acklam(h) - _qnorm_acklam(f)
+        ds.append(d)
+        rows.append(
+            {"threshold": np.int64(thr), "hit_rate": round(h, 6),
+             "fa_rate": round(f, 6), "d_prime": round(d, 6)}
+        )
+    out = pd.DataFrame(rows)
+    out["threshold"] = out["threshold"].astype("int64")
+    out["dprime_spread"] = round(max(ds) - min(ds), 6)
+    return out
+
+
+SDT_ISOSENSITIVITY_CHECK_SQL = (
+    """
+WITH thr AS (SELECT unnest([200, 400, 600, 800]) AS t),
+cf AS (
+  SELECT thr.t,
+         sum(CASE WHEN lang = 'en' AND n_chars > thr.t THEN 1 ELSE 0 END) * 1.0 AS tp,
+         sum(CASE WHEN lang = 'en' AND n_chars <= thr.t THEN 1 ELSE 0 END) * 1.0 AS fn,
+         sum(CASE WHEN lang <> 'en' AND n_chars > thr.t THEN 1 ELSE 0 END) * 1.0 AS fp,
+         sum(CASE WHEN lang <> 'en' AND n_chars <= thr.t THEN 1 ELSE 0 END) * 1.0 AS tn
+  FROM documents CROSS JOIN thr
+  GROUP BY thr.t
+),
+rates AS (
+  SELECT t,
+         least(greatest(tp / (tp + fn), 1.0 / (2.0 * (tp + fn))),
+               1.0 - 1.0 / (2.0 * (tp + fn))) AS h,
+         least(greatest(fp / (fp + tn), 1.0 / (2.0 * (fp + tn))),
+               1.0 - 1.0 / (2.0 * (fp + tn))) AS f
+  FROM cf
+),
+zz AS (
+  SELECT t, h, f,
+"""
+    + f"         ({_qnorm_sql('h')}) - ({_qnorm_sql('f')}) AS d"
+    + """
+  FROM rates
+)
+SELECT CAST(t AS BIGINT) AS threshold,
+       round(h, 6) AS hit_rate,
+       round(f, 6) AS fa_rate,
+       round(d, 6) AS d_prime,
+       round((SELECT max(d) - min(d) FROM zz), 6) AS dprime_spread
+FROM zz ORDER BY threshold
+"""
+)
