@@ -11790,3 +11790,196 @@ SELECT CAST(t AS BIGINT) AS threshold,
 FROM zz ORDER BY threshold
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# normal-scores rank tests: van der Waerden location + Klotz scale
+# ---------------------------------------------------------------------------
+
+def _vdw_terms(sf_dir: str):
+    """Shared normal-scores machinery on urgent-vs-other order
+    prices: mid-ranks per distinct cent value (deterministic tie
+    handling), Acklam scores a = qnorm(r/(n+1)), and the group-1
+    partial sums for both the location (a) and scale (a^2)
+    statistics — all off the (value, group) histogram so only cells
+    leave the cluster."""
+    from ocr_pipeline_ray.pipelines.relational import _price_cents_by_urgent
+
+    h = _price_cents_by_urgent(sf_dir)
+    per_v = h.groupby("v", as_index=False).agg(c=("c", "sum")).sort_values("v")
+    cum = per_v["c"].cumsum()
+    lo = cum - per_v["c"]
+    mid = (lo + (cum + 1.0)) / 2.0  # average rank of a tie block
+    n = float(per_v["c"].sum())
+    per_v = per_v.assign(midrank=mid.to_numpy("float64"))
+    scores = np.array(
+        [_qnorm_acklam(r / (n + 1.0)) for r in per_v["midrank"]]
+    )
+    per_v = per_v.assign(a=scores)
+    h = h.merge(per_v[["v", "a"]], on="v", how="left")
+    n1 = float(h.loc[h["g"] == 1, "c"].sum())
+    s1 = float((h.loc[h["g"] == 1, "a"] * h.loc[h["g"] == 1, "c"]).sum())
+    s1_sq = float(
+        (h.loc[h["g"] == 1, "a"] ** 2 * h.loc[h["g"] == 1, "c"]).sum()
+    )
+    sa2 = float((per_v["a"] ** 2 * per_v["c"]).sum())
+    sa4 = float((per_v["a"] ** 4 * per_v["c"]).sum())
+    sa = float((per_v["a"] * per_v["c"]).sum())
+    return n, n1, s1, s1_sq, sa, sa2, sa4
+
+
+def van_der_waerden_urgent_price(sf_dir: str) -> pd.DataFrame:
+    """Van der Waerden normal-scores location test of urgent vs
+    other order prices: replace each mid-rank by qnorm(r/(n+1)) and
+    z-test the urgent group's score sum — asymptotically the MOST
+    efficient rank test under normality while keeping full rank
+    robustness (the ARE-1 sibling of Mann-Whitney, which pays 3/pi
+    there); exactly oracle-able because the scores are Acklam
+    rationals in both engines. Mid-rank ties, two-sided A-S p."""
+    n, n1, s1, _, sa, sa2, _ = _vdw_terms(sf_dir)
+    n2 = n - n1
+    mean1 = n1 * sa / n
+    var1 = n1 * n2 / (n * (n - 1.0)) * (sa2 - sa * sa / n)
+    z = (s1 - mean1) / float(np.sqrt(var1))
+    from ocr_pipeline_ray.pipelines.relational import _norm_cdf_as
+
+    p2 = 2.0 * float(_norm_cdf_as(np.array([-abs(z)]))[0])
+    return pd.DataFrame(
+        {
+            "n_urgent": pd.Series([int(n1)], dtype="int64"),
+            "score_sum": [round(s1, 6)],
+            "z": [round(z, 6)],
+            "p_two_sided": [round(p2, 6)],
+        }
+    )
+
+
+def _vdw_base_sql() -> str:
+    return (
+        """
+WITH h AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+pv AS (
+  SELECT v, sum(c) AS c FROM h GROUP BY 1
+),
+rk AS (
+  SELECT v, c,
+         (sum(c) OVER (ORDER BY v) - c
+          + (sum(c) OVER (ORDER BY v) + 1.0)) / 2.0 AS midrank,
+         (SELECT sum(c) * 1.0 FROM pv) AS n
+  FROM pv
+),
+sc AS (
+  SELECT v, c, ("""
+        + _qnorm_sql("midrank / (n + 1.0)")
+        + """) AS a
+  FROM rk
+),
+j AS (
+  SELECT h.v, h.g, h.c, sc.a FROM h JOIN sc ON sc.v = h.v
+),
+mm AS (
+  SELECT (SELECT sum(c) * 1.0 FROM pv) AS n,
+         sum(CASE WHEN g = 1 THEN c END) * 1.0 AS n1,
+         sum(CASE WHEN g = 1 THEN a * c END) AS s1,
+         sum(CASE WHEN g = 1 THEN a * a * c END) AS s1sq
+  FROM j
+),
+tot AS (
+  SELECT sum(a * c) AS sa, sum(a * a * c) AS sa2,
+         sum(a * a * a * a * c) AS sa4
+  FROM sc
+)
+"""
+    )
+
+
+VAN_DER_WAERDEN_URGENT_PRICE_SQL = (
+    _vdw_base_sql()
+    + """,
+zz AS (
+  SELECT n1,
+         (s1 - n1 * (SELECT sa FROM tot) / n)
+         / sqrt(n1 * (n - n1) / (n * (n - 1.0))
+                * ((SELECT sa2 FROM tot)
+                   - (SELECT sa FROM tot) * (SELECT sa FROM tot) / n)) AS z,
+         s1
+  FROM mm
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent,
+       round(s1, 6) AS score_sum,
+       round(z, 6) AS z,
+       round(2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     * (-0.356563782
+                        + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6) AS p_two_sided
+FROM zz
+"""
+)
+
+
+def klotz_scale_urgent_price(sf_dir: str) -> pd.DataFrame:
+    """The Klotz normal-scores SCALE test on the same machinery:
+    the urgent group's sum of SQUARED normal scores z-tested against
+    its permutation moments — the locally-most-powerful rank test
+    for a variance shift under normality, completing the scale
+    ladder beside Ansari-Bradley / Mood / Siegel-Tukey (which pay
+    efficiency there); same mid-rank scores, two-sided A-S p."""
+    n, n1, _, s1_sq, sa, sa2, sa4 = _vdw_terms(sf_dir)
+    n2 = n - n1
+    mean1 = n1 * sa2 / n
+    var1 = n1 * n2 / (n * (n - 1.0)) * (sa4 - sa2 * sa2 / n)
+    z = (s1_sq - mean1) / float(np.sqrt(var1))
+    from ocr_pipeline_ray.pipelines.relational import _norm_cdf_as
+
+    p2 = 2.0 * float(_norm_cdf_as(np.array([-abs(z)]))[0])
+    return pd.DataFrame(
+        {
+            "n_urgent": pd.Series([int(n1)], dtype="int64"),
+            "sq_score_sum": [round(s1_sq, 6)],
+            "z": [round(z, 6)],
+            "p_two_sided": [round(p2, 6)],
+        }
+    )
+
+
+KLOTZ_SCALE_URGENT_PRICE_SQL = (
+    _vdw_base_sql()
+    + """,
+zz AS (
+  SELECT n1,
+         (s1sq - n1 * (SELECT sa2 FROM tot) / n)
+         / sqrt(n1 * (n - n1) / (n * (n - 1.0))
+                * ((SELECT sa4 FROM tot)
+                   - (SELECT sa2 FROM tot) * (SELECT sa2 FROM tot) / n)) AS z,
+         s1sq
+  FROM mm
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent,
+       round(s1sq, 6) AS sq_score_sum,
+       round(z, 6) AS z,
+       round(2.0 * exp(-z * z / 2.0) / sqrt(2.0 * pi())
+             * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                * (0.319381530
+                   + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     * (-0.356563782
+                        + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6) AS p_two_sided
+FROM zz
+"""
+)
