@@ -11983,3 +11983,189 @@ SELECT CAST(n1 AS BIGINT) AS n_urgent,
 FROM zz
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# grouped probit twin of the Berkson logit + the link-function duel
+# ---------------------------------------------------------------------------
+
+def _probit_fit_terms(sf_dir: str):
+    """Grouped probit by minimum normit chi-square (Berkson's probit
+    twin): z_q = qnorm(p~) at p~ = (r+.5)/(n+1), weights
+    w = n phi(z)^2 / (p(1-p)), WLS line — closed forms with the
+    Acklam quantile, identical in both engines. Returns the 50-cell
+    grid plus both links' fits."""
+    from ocr_pipeline_ray.pipelines.relational import _return_quantity_grid
+
+    g = _return_quantity_grid(sf_dir)
+    q = g["q"].to_numpy("int64").astype("float64")
+    n = g["n"].to_numpy("int64").astype("float64")
+    r = g["r"].to_numpy("int64").astype("float64")
+    p = (r + 0.5) / (n + 1.0)
+    z = np.array([_qnorm_acklam(v) for v in p])
+    phi = np.exp(-z * z / 2.0) / np.sqrt(2.0 * np.pi)
+    w = n * phi * phi / (p * (1.0 - p))
+    sw = w.sum()
+    xb = (w * q).sum() / sw
+    yb = (w * z).sum() / sw
+    b = float((w * (q - xb) * (z - yb)).sum() / (w * (q - xb) ** 2).sum())
+    a = float(yb - b * xb)
+    # logit fit (same as berkson_logit machinery)
+    lo = np.log((r + 0.5) / (n - r + 0.5))
+    wl = n * p * (1.0 - p)
+    swl = wl.sum()
+    xbl = (wl * q).sum() / swl
+    ybl = (wl * lo).sum() / swl
+    bl = float((wl * (q - xbl) * (lo - ybl)).sum() / (wl * (q - xbl) ** 2).sum())
+    al = float(ybl - bl * xbl)
+    return q, n, r, a, b, al, bl
+
+
+def berkson_probit_return_by_quantity(sf_dir: str) -> pd.DataFrame:
+    """The probit twin of the Berkson logit: grouped minimum
+    NORMIT chi-square — empirical normits qnorm((r+.5)/(n+1)) with
+    the textbook n phi^2/(pq) weights, WLS closed form (Bliss's
+    bioassay estimator, pre-computer like Berkson's) — intercept,
+    per-unit slope, and the slope times 1.6 next to it: the folk
+    logit-probit conversion whose accuracy the duel query audits."""
+    q, n, r, a, b, al, bl = _probit_fit_terms(sf_dir)
+    return pd.DataFrame(
+        {
+            "intercept": [round(a, 6)],
+            "slope_per_unit": [round(b, 8)],
+            "slope_x16": [round(1.6 * b, 8)],
+        }
+    )
+
+
+_PROBIT_BASE_SQL = (
+    """
+WITH g AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) * 1.0 AS n,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0 AS r
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT q, n, r, (r + 0.5) / (n + 1.0) AS p,
+         ln((r + 0.5) / (n - r + 0.5)) AS lo,
+         ("""
+    + _qnorm_sql("(r + 0.5) / (n + 1.0)")
+    + """) AS z
+  FROM g
+),
+t2 AS (
+  SELECT q, n, r, p, lo, z,
+         n * exp(-z * z) / (2.0 * pi()) / (p * (1.0 - p)) AS wp,
+         n * p * (1.0 - p) AS wl
+  FROM t
+),
+mp AS (
+  SELECT sum(wp * q) / sum(wp) AS xb, sum(wp * z) / sum(wp) AS yb FROM t2
+),
+fp AS (
+  SELECT (SELECT yb FROM mp)
+         - (SELECT sum(wp * (q - (SELECT xb FROM mp)) * (z - (SELECT yb FROM mp))) FROM t2)
+           / (SELECT sum(wp * pow(q - (SELECT xb FROM mp), 2)) FROM t2)
+           * (SELECT xb FROM mp) AS a,
+         (SELECT sum(wp * (q - (SELECT xb FROM mp)) * (z - (SELECT yb FROM mp))) FROM t2)
+         / (SELECT sum(wp * pow(q - (SELECT xb FROM mp), 2)) FROM t2) AS b
+),
+ml AS (
+  SELECT sum(wl * q) / sum(wl) AS xb, sum(wl * lo) / sum(wl) AS yb FROM t2
+),
+fl AS (
+  SELECT (SELECT yb FROM ml)
+         - (SELECT sum(wl * (q - (SELECT xb FROM ml)) * (lo - (SELECT yb FROM ml))) FROM t2)
+           / (SELECT sum(wl * pow(q - (SELECT xb FROM ml), 2)) FROM t2)
+           * (SELECT xb FROM ml) AS a,
+         (SELECT sum(wl * (q - (SELECT xb FROM ml)) * (lo - (SELECT yb FROM ml))) FROM t2)
+         / (SELECT sum(wl * pow(q - (SELECT xb FROM ml), 2)) FROM t2) AS b
+)
+"""
+)
+
+BERKSON_PROBIT_RETURN_BY_QUANTITY_SQL = (
+    _PROBIT_BASE_SQL
+    + """
+SELECT round(a, 6) AS intercept,
+       round(b, 8) AS slope_per_unit,
+       round(1.6 * b, 8) AS slope_x16
+FROM fp
+"""
+)
+
+
+def link_function_duel(sf_dir: str) -> pd.DataFrame:
+    """Does the link matter? Pearson X^2 of the fitted logit and
+    probit curves against the exact 50-cell counts (fitted rates
+    via the shared A-S Phi / logistic, evaluated identically in
+    both engines), the winner, and the empirical slope ratio
+    logit/probit beside the folk 1.6 — on a fat-middle grid like
+    this the links differ only in the tails, which is exactly where
+    the X^2 terms say so."""
+    from ocr_pipeline_ray.pipelines.relational import _norm_cdf_as
+
+    q, n, r, a, b, al, bl = _probit_fit_terms(sf_dir)
+    p_probit = _norm_cdf_as(a + b * q)
+    p_logit = 1.0 / (1.0 + np.exp(-(al + bl * q)))
+    x2p = float(((r - n * p_probit) ** 2 / (n * p_probit * (1.0 - p_probit))).sum())
+    x2l = float(((r - n * p_logit) ** 2 / (n * p_logit * (1.0 - p_logit))).sum())
+    return pd.DataFrame(
+        {
+            "x2_logit": [round(x2l, 6)],
+            "x2_probit": [round(x2p, 6)],
+            "winner": ["logit" if x2l < x2p else "probit"],
+            "slope_ratio": [round(bl / b, 6)],
+        }
+    )
+
+
+LINK_FUNCTION_DUEL_SQL = (
+    _PROBIT_BASE_SQL
+    + """,
+pred AS (
+  SELECT t2.q, t2.n, t2.r,
+         1.0 / (1.0 + exp(-((SELECT a FROM fl) + (SELECT b FROM fl) * t2.q))) AS pl,
+         (SELECT a FROM fp) + (SELECT b FROM fp) * t2.q AS zp
+  FROM t2
+),
+pp AS (
+  SELECT q, n, r, pl,
+         CASE WHEN zp >= 0
+              THEN 1.0 - exp(-zp * zp / 2.0) / sqrt(2.0 * pi())
+                   * ((1.0 / (1.0 + 0.2316419 * abs(zp)))
+                      * (0.319381530
+                         + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                           * (-0.356563782
+                              + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                                * (1.781477937
+                                   + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                                     * (-1.821255978
+                                        + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                                          * 1.330274429)))))
+              ELSE exp(-zp * zp / 2.0) / sqrt(2.0 * pi())
+                   * ((1.0 / (1.0 + 0.2316419 * abs(zp)))
+                      * (0.319381530
+                         + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                           * (-0.356563782
+                              + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                                * (1.781477937
+                                   + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                                     * (-1.821255978
+                                        + (1.0 / (1.0 + 0.2316419 * abs(zp)))
+                                          * 1.330274429)))))
+         END AS pz
+  FROM pred
+),
+x2 AS (
+  SELECT sum(pow(r - n * pl, 2) / (n * pl * (1.0 - pl))) AS x2l,
+         sum(pow(r - n * pz, 2) / (n * pz * (1.0 - pz))) AS x2p
+  FROM pp
+)
+SELECT round(x2l, 6) AS x2_logit,
+       round(x2p, 6) AS x2_probit,
+       CASE WHEN x2l < x2p THEN 'logit' ELSE 'probit' END AS winner,
+       round((SELECT b FROM fl) / (SELECT b FROM fp), 6) AS slope_ratio
+FROM x2
+"""
+)
