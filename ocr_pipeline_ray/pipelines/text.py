@@ -12169,3 +12169,135 @@ SELECT round(x2l, 6) AS x2_logit,
 FROM x2
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# rankit normality: Shapiro-Francia + the Q-Q plot fit on daily revenue
+# ---------------------------------------------------------------------------
+
+def _rankit_terms(sf_dir: str):
+    """Shared rankit machinery: the sorted daily revenue series and
+    Blom scores qnorm((i - 3/8)/(n + 1/4)) via the Acklam
+    quantile — day-dimension arithmetic, identical in SQL."""
+    from ocr_pipeline_ray.pipelines.relational import _daily_rev_cents
+
+    daily = _daily_rev_cents(sf_dir)
+    y = np.sort(daily["rev_c"].to_numpy("int64").astype("float64")) / 100.0
+    n = len(y)
+    m = np.array(
+        [_qnorm_acklam((i - 0.375) / (n + 0.25)) for i in range(1, n + 1)]
+    )
+    return y, m
+
+
+def shapiro_francia_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Shapiro-Francia normality statistic for daily revenue:
+    W' = the squared correlation between the ORDER STATISTICS and
+    their Blom rankit scores — the probability-plot-straightness
+    number (1 = perfectly normal), the computationally honest
+    sibling of Shapiro-Wilk whose coefficients need no tabled
+    covariances and hence mirror exactly in SQL; reported with
+    1 - W' (the bend) beside it."""
+    y, m = _rankit_terms(sf_dir)
+    n = float(len(y))
+    cy = y - y.mean()
+    cm = m - m.mean()
+    w = float(((cy * cm).sum()) ** 2 / ((cy * cy).sum() * (cm * cm).sum()))
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([int(n)], dtype="int64"),
+            "w_prime": [round(w, 6)],
+            "one_minus_w": [round(1.0 - w, 6)],
+        }
+    )
+
+
+_RANKIT_SQL = (
+    """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS y
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT y, row_number() OVER (ORDER BY y, day) AS i,
+         count(*) OVER () AS n
+  FROM d
+),
+sc AS (
+  SELECT y, ("""
+    + _qnorm_sql("(i - 0.375) / (n + 0.25)")
+    + """) AS m
+  FROM rk
+)
+"""
+)
+
+SHAPIRO_FRANCIA_DAILY_REVENUE_SQL = (
+    _RANKIT_SQL
+    + """,
+mm AS (
+  SELECT count(*) * 1.0 AS n, avg(y) AS ay, avg(m) AS am,
+         sum((y - (SELECT avg(y) FROM sc)) * (m - (SELECT avg(m) FROM sc))) AS cym,
+         sum(pow(y - (SELECT avg(y) FROM sc), 2)) AS cyy,
+         sum(pow(m - (SELECT avg(m) FROM sc), 2)) AS cmm
+  FROM sc
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(cym * cym / (cyy * cmm), 6) AS w_prime,
+       round(1.0 - cym * cym / (cyy * cmm), 6) AS one_minus_w
+FROM mm
+"""
+)
+
+
+def qq_plot_fit_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """The Q-Q plot's fitted line as numbers: OLS of the order
+    statistics on the Blom scores gives the probability-plot
+    estimates of location (intercept) and scale (slope) — the
+    graphical estimator analysts eyeball — compared against the
+    moment mean and sd: slope/sd far from 1 localizes WHERE
+    normality fails (heavy tails inflate the moment sd above the
+    plot slope; skew splits the means)."""
+    y, m = _rankit_terms(sf_dir)
+    n = float(len(y))
+    cm = m - m.mean()
+    slope = float((cm * y).sum() / (cm * cm).sum())
+    intercept = float(y.mean() - slope * m.mean())
+    mu = float(y.mean())
+    sd = float(np.sqrt(((y - mu) ** 2).sum() / (n - 1.0)))
+    return pd.DataFrame(
+        {
+            "plot_location": [round(intercept, 4)],
+            "plot_scale": [round(slope, 4)],
+            "moment_mean": [round(mu, 4)],
+            "moment_sd": [round(sd, 4)],
+            "scale_ratio": [round(slope / sd, 6)],
+        }
+    )
+
+
+QQ_PLOT_FIT_DAILY_REVENUE_SQL = (
+    _RANKIT_SQL
+    + """,
+mm AS (
+  SELECT count(*) * 1.0 AS n, avg(y) AS ay, avg(m) AS am,
+         sum((m - (SELECT avg(m) FROM sc)) * y) AS cmy,
+         sum(pow(m - (SELECT avg(m) FROM sc), 2)) AS cmm,
+         sum(pow(y - (SELECT avg(y) FROM sc), 2)) AS cyy
+  FROM sc
+),
+fit AS (
+  SELECT n, ay, am, cmy / cmm AS slope,
+         ay - (cmy / cmm) * am AS intercept,
+         sqrt(cyy / (n - 1.0)) AS sd
+  FROM mm
+)
+SELECT round(intercept, 4) AS plot_location,
+       round(slope, 4) AS plot_scale,
+       round(ay, 4) AS moment_mean,
+       round(sd, 4) AS moment_sd,
+       round(slope / sd, 6) AS scale_ratio
+FROM fit
+"""
+)
