@@ -12445,3 +12445,209 @@ SELECT round(k, 6) AS k_factor,
 FROM kk
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Tukey g-and-h fit of order prices by Hoaglin's quantile estimators
+# ---------------------------------------------------------------------------
+
+_GH_PS = (0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45)
+
+
+def _gh_terms(sf_dir: str):
+    """Shared g-and-h machinery: exact order-statistic quantiles of
+    order price at the symmetric p grid (rank ceil(p n)), Acklam
+    z_p, Hoaglin's per-p skew estimates g_p, their median g, and
+    the log-spread regression that yields h and ln B — every step a
+    closed form mirrored in SQL."""
+    from ocr_pipeline_ray.pipelines.relational import _price_cents_hist
+
+    h = _price_cents_hist(sf_dir)
+    v = h["v"].to_numpy("int64")
+    c = h["c"].to_numpy("int64")
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def _q_pct(pct):
+        # integer-exact rank ceil(pct n / 100): no float knife edges
+        rank = (pct * n + 99) // 100
+        return float(v[np.searchsorted(cum, rank)]) / 100.0
+
+    med = _q_pct(50)
+    gps, zs, lows, highs = [], [], [], []
+    for p in _GH_PS:
+        pct = int(round(p * 100))
+        zp = abs(_qnorm_acklam(p))
+        xlo, xhi = _q_pct(pct), _q_pct(100 - pct)
+        gps.append(-(1.0 / zp) * float(np.log((xhi - med) / (med - xlo))))
+        zs.append(zp)
+        lows.append(xlo)
+        highs.append(xhi)
+    g = float(np.median(np.array(gps)))
+    # spread regression: ln[ g(x_hi - x_lo) / (e^{g z} - e^{-g z}) ] = ln B + h z^2/2
+    y = np.array(
+        [
+            np.log(
+                g * (hi_ - lo_) / (np.exp(g * z) - np.exp(-g * z))
+            )
+            for z, lo_, hi_ in zip(zs, lows, highs)
+        ]
+    )
+    x = np.array([z * z / 2.0 for z in zs])
+    xm, ym = x.mean(), y.mean()
+    hh = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    lnb = float(ym - hh * xm)
+    return n, med, g, hh, float(np.exp(lnb))
+
+
+def g_and_h_fit_price(sf_dir: str) -> pd.DataFrame:
+    """Tukey's g-and-h distribution fitted to order prices by
+    Hoaglin's closed quantile estimators: per-p skew reads
+    g_p = -(1/z_p) ln((x_{1-p} - med)/(med - x_p)) medianed over
+    the grid, then h and B from the log-spread line against
+    z^2/2 — g is pure asymmetry, h pure tail heaviness (h > 0 means
+    EVERY moment beyond 1/h diverges), the four-number shape
+    audit quantile matching makes exactly oracle-able where MLE
+    cannot be."""
+    n, med, g, hh, b = _gh_terms(sf_dir)
+    return pd.DataFrame(
+        {
+            "median_a": [round(med, 2)],
+            "g_skew": [round(g, 6)],
+            "h_tail": [round(hh, 6)],
+            "scale_b": [round(b, 4)],
+        }
+    )
+
+
+def _gh_base_sql() -> str:
+    pcts = ", ".join(str(int(round(p * 100))) for p in _GH_PS)
+    return (
+        f"""
+WITH h AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
+  FROM orders GROUP BY 1
+),
+nn AS (SELECT sum(c) AS n FROM h),
+rkv AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+qq AS (
+  SELECT ps.pct / 100.0 AS p,
+         (SELECT min(v) FROM rkv
+          WHERE cum >= (ps.pct * (SELECT n FROM nn) + 99) // 100) / 100.0 AS xlo,
+         (SELECT min(v) FROM rkv
+          WHERE cum >= ((100 - ps.pct) * (SELECT n FROM nn) + 99) // 100) / 100.0 AS xhi
+  FROM (SELECT unnest([{pcts}]) AS pct) ps
+),
+md AS (
+  SELECT (SELECT min(v) FROM rkv
+          WHERE cum >= (50 * (SELECT n FROM nn) + 99) // 100) / 100.0 AS med
+),
+gp AS (
+  SELECT p, xlo, xhi,
+         abs("""
+        + _qnorm_sql("p")
+        + """) AS z,
+         -(1.0 / abs("""
+        + _qnorm_sql("p")
+        + """))
+         * ln((xhi - (SELECT med FROM md)) / ((SELECT med FROM md) - xlo)) AS g_p
+  FROM qq
+),
+gg AS (SELECT median(g_p) AS g FROM gp),
+sp AS (
+  SELECT z * z / 2.0 AS x,
+         ln((SELECT g FROM gg) * (xhi - xlo)
+            / (exp((SELECT g FROM gg) * z) - exp(-(SELECT g FROM gg) * z))) AS y
+  FROM gp
+),
+fit AS (
+  SELECT (sum(x * y) - count(*) * avg(x) * avg(y))
+         / (sum(x * x) - count(*) * avg(x) * avg(x)) AS hh,
+         avg(y) - (sum(x * y) - count(*) * avg(x) * avg(y))
+                  / (sum(x * x) - count(*) * avg(x) * avg(x)) * avg(x) AS lnb
+  FROM sp
+)
+"""
+    )
+
+
+G_AND_H_FIT_PRICE_SQL = (
+    _gh_base_sql().replace(
+        "fit AS (",
+        "fit AS (",
+    )
+    + """
+SELECT round((SELECT med FROM md), 2) AS median_a,
+       round((SELECT g FROM gg), 6) AS g_skew,
+       round(hh, 6) AS h_tail,
+       round(exp(lnb), 4) AS scale_b
+FROM fit
+"""
+)
+
+
+def g_and_h_quantile_check(sf_dir: str) -> pd.DataFrame:
+    """The fit talking back: fitted g-and-h quantiles
+    A + B (e^{g z}-1)/g e^{h z^2/2} against the exact order
+    statistics at p = 0.05/0.25/0.5/0.75/0.95 with relative errors
+    — four numbers reproducing five quantiles (and the tails
+    hardest) is the whole point of the parameterization; where the
+    relative error concentrates says which feature (skew vs tail)
+    the data refuses to compress."""
+    from ocr_pipeline_ray.pipelines.relational import _price_cents_hist
+
+    n, med, g, hh, b = _gh_terms(sf_dir)
+    h = _price_cents_hist(sf_dir)
+    v = h["v"].to_numpy("int64")
+    c = h["c"].to_numpy("int64")
+    cum = np.cumsum(c)
+    rows = []
+    for p in (0.05, 0.25, 0.5, 0.75, 0.95):
+        pct = int(round(p * 100))
+        z = _qnorm_acklam(p)
+        if abs(z) < 1e-12:
+            fitted = med
+        else:
+            fitted = med + b * (np.exp(g * z) - 1.0) / g * np.exp(hh * z * z / 2.0)
+        actual = float(v[np.searchsorted(cum, (pct * n + 99) // 100)]) / 100.0
+        rows.append(
+            {
+                "p": round(p, 2),
+                "actual": round(actual, 2),
+                "fitted": round(float(fitted), 2),
+                "rel_err": round(float(fitted) / actual - 1.0, 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+G_AND_H_QUANTILE_CHECK_SQL = (
+    _gh_base_sql()
+    + """,
+chk AS (
+  SELECT ps.pct / 100.0 AS p,
+         (SELECT min(v) FROM rkv
+          WHERE cum >= (ps.pct * (SELECT n FROM nn) + 99) // 100) / 100.0
+           AS actual,
+         ("""
+    + _qnorm_sql("ps.pct / 100.0")
+    + """) AS z
+  FROM (SELECT unnest([5, 25, 50, 75, 95]) AS pct) ps
+)
+SELECT round(p, 2) AS p,
+       round(actual, 2) AS actual,
+       round(CASE WHEN abs(z) < 1e-12 THEN (SELECT med FROM md)
+                  ELSE (SELECT med FROM md)
+                       + exp((SELECT lnb FROM fit))
+                         * (exp((SELECT g FROM gg) * z) - 1.0) / (SELECT g FROM gg)
+                         * exp((SELECT hh FROM fit) * z * z / 2.0)
+             END, 2) AS fitted,
+       round(CASE WHEN abs(z) < 1e-12 THEN (SELECT med FROM md)
+                  ELSE (SELECT med FROM md)
+                       + exp((SELECT lnb FROM fit))
+                         * (exp((SELECT g FROM gg) * z) - 1.0) / (SELECT g FROM gg)
+                         * exp((SELECT hh FROM fit) * z * z / 2.0)
+             END / actual - 1.0, 6) AS rel_err
+FROM chk ORDER BY p
+"""
+)
