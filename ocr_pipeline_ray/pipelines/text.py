@@ -12651,3 +12651,193 @@ SELECT round(p, 2) AS p,
 FROM chk ORDER BY p
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Johnson system: Slifker-Shapiro selector + closed-form SU/SB fit
+# ---------------------------------------------------------------------------
+
+_SS_Z = 0.524
+_SS_PS = (0.05797528178768352, 0.3001392507117573,
+          0.6998607492882427, 0.9420247182123165)
+
+
+def _johnson_terms(sf_dir: str):
+    """Shared Slifker-Shapiro machinery: the four order-price
+    quantiles at the equally-z-spaced probabilities Phi(+-z),
+    Phi(+-3z) for z = 0.524 (the probabilities are precomputed A-S
+    literals shared verbatim by both engines), and the spreads
+    m = x4-x3, n = x2-x1, p = x3-x2 whose ratio mn/p^2 selects the
+    Johnson family."""
+    from ocr_pipeline_ray.pipelines.relational import _price_cents_hist
+
+    h = _price_cents_hist(sf_dir)
+    v = h["v"].to_numpy("int64")
+    c = h["c"].to_numpy("int64")
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def _q(p):
+        return float(v[np.searchsorted(cum, int(np.ceil(p * n)))]) / 100.0
+
+    x1, x2, x3, x4 = (_q(p) for p in _SS_PS)
+    m = x4 - x3
+    nn = x2 - x1
+    p = x3 - x2
+    return (x1, x2, x3, x4), m, nn, p
+
+
+def johnson_family_selector(sf_dir: str) -> pd.DataFrame:
+    """Slifker-Shapiro (1980) family selection for order prices:
+    four quantiles at equal normal spacings decide the Johnson
+    family by the single discriminant mn/p^2 — > 1 unbounded SU,
+    < 1 bounded SB, = 1 lognormal SL — the pre-computer answer to
+    'which transformation makes this normal', with the tail-spread
+    ratios that drive it."""
+    (x1, x2, x3, x4), m, nn, p = _johnson_terms(sf_dir)
+    d = m * nn / (p * p)
+    fam = "SU" if d >= 1.0 else "SB"
+    return pd.DataFrame(
+        {
+            "m_over_p": [round(m / p, 6)],
+            "n_over_p": [round(nn / p, 6)],
+            "discriminant": [round(d, 6)],
+            "family": [fam],
+        }
+    )
+
+
+_JOHNSON_SQL = """
+WITH h AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
+  FROM orders GROUP BY 1
+),
+nn0 AS (SELECT sum(c) AS n FROM h),
+rkv AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+qq AS (
+  SELECT
+    (SELECT min(v) FROM rkv WHERE cum >= CAST(ceil(0.05797528178768352 * (SELECT n FROM nn0)) AS BIGINT)) / 100.0 AS x1,
+    (SELECT min(v) FROM rkv WHERE cum >= CAST(ceil(0.3001392507117573 * (SELECT n FROM nn0)) AS BIGINT)) / 100.0 AS x2,
+    (SELECT min(v) FROM rkv WHERE cum >= CAST(ceil(0.6998607492882427 * (SELECT n FROM nn0)) AS BIGINT)) / 100.0 AS x3,
+    (SELECT min(v) FROM rkv WHERE cum >= CAST(ceil(0.9420247182123165 * (SELECT n FROM nn0)) AS BIGINT)) / 100.0 AS x4
+),
+sp AS (
+  SELECT x1, x2, x3, x4,
+         x4 - x3 AS m, x2 - x1 AS nn, x3 - x2 AS p
+  FROM qq
+)
+"""
+
+JOHNSON_FAMILY_SELECTOR_SQL = (
+    _JOHNSON_SQL
+    + """
+SELECT round(m / p, 6) AS m_over_p,
+       round(nn / p, 6) AS n_over_p,
+       round(m * nn / (p * p), 6) AS discriminant,
+       CASE WHEN m * nn / (p * p) >= 1.0 THEN 'SU' ELSE 'SB' END AS family
+FROM sp
+"""
+)
+
+
+def johnson_fit_price(sf_dir: str) -> pd.DataFrame:
+    """The selected Johnson family's closed-form parameters
+    (Slifker-Shapiro, arccosh/arcsinh written as logarithms so both
+    engines evaluate letter-identical formulas): shape gamma and
+    delta, location xi and scale lam — for SU via the
+    arccosh((m/p + n/p)/2) route, for SB via
+    arccosh(sqrt((1+p/m)(1+p/n))/2... the bounded twin) — the
+    'which transformation makes prices normal' answer as four
+    numbers with the family tag."""
+    (x1, x2, x3, x4), m, nn, p = _johnson_terms(sf_dir)
+    z = _SS_Z
+    mp, np_ = m / p, nn / p
+    d = mp * np_
+    if d >= 1.0:
+        fam = "SU"
+        t = 0.5 * (mp + np_)
+        delta = 2.0 * z / float(np.log(t + np.sqrt(t * t - 1.0)))
+        u = (np_ - mp) / (2.0 * float(np.sqrt(d - 1.0)))
+        gamma = delta * float(np.log(u + np.sqrt(u * u + 1.0)))
+        lam = (
+            2.0 * p * float(np.sqrt(d - 1.0))
+            / ((mp + np_ - 2.0) * float(np.sqrt(mp + np_ + 2.0)))
+        )
+        xi = (x3 + x2) / 2.0 + p * (np_ - mp) / (2.0 * (mp + np_ - 2.0))
+    else:
+        fam = "SB"
+        pm, pn = p / m, p / nn
+        t = 0.5 * float(np.sqrt((1.0 + pm) * (1.0 + pn)))
+        delta = z / float(np.log(t + np.sqrt(t * t - 1.0)))
+        u = (pn - pm) * float(
+            np.sqrt((1.0 + pm) * (1.0 + pn) - 4.0)
+        ) / (2.0 * (pm * pn - 1.0))
+        gamma = delta * float(np.log(u + np.sqrt(u * u + 1.0)))
+        lam = (
+            p
+            * float(np.sqrt(((1.0 + pm) * (1.0 + pn) - 2.0) ** 2 - 4.0))
+            / (pm * pn - 1.0)
+        )
+        xi = (
+            (x3 + x2) / 2.0
+            - lam / 2.0
+            + p * (pn - pm) / (2.0 * (pm * pn - 1.0))
+        )
+    return pd.DataFrame(
+        {
+            "family": [fam],
+            "gamma": [round(gamma, 6)],
+            "delta": [round(delta, 6)],
+            "xi": [round(xi, 4)],
+            "lam": [round(lam, 4)],
+        }
+    )
+
+
+JOHNSON_FIT_PRICE_SQL = (
+    _JOHNSON_SQL
+    + """,
+rt AS (
+  SELECT x1, x2, x3, x4, m, nn, p,
+         m / p AS mp, nn / p AS np_, m * nn / (p * p) AS d
+  FROM sp
+),
+su AS (
+  SELECT 'SU' AS family,
+         2.0 * 0.524 / ln(0.5 * (mp + np_)
+                          + sqrt(0.25 * (mp + np_) * (mp + np_) - 1.0)) AS delta,
+         (np_ - mp) / (2.0 * sqrt(d - 1.0)) AS u,
+         2.0 * p * sqrt(d - 1.0)
+           / ((mp + np_ - 2.0) * sqrt(mp + np_ + 2.0)) AS lam,
+         (x3 + x2) / 2.0 + p * (np_ - mp) / (2.0 * (mp + np_ - 2.0)) AS xi,
+         d
+  FROM rt
+),
+sb AS (
+  SELECT 'SB' AS family,
+         0.524 / ln(0.5 * sqrt((1.0 + p / m) * (1.0 + p / nn))
+                    + sqrt(0.25 * (1.0 + p / m) * (1.0 + p / nn) - 1.0)) AS delta,
+         (p / nn - p / m) * sqrt((1.0 + p / m) * (1.0 + p / nn) - 4.0)
+           / (2.0 * ((p / m) * (p / nn) - 1.0)) AS u,
+         p * sqrt(pow((1.0 + p / m) * (1.0 + p / nn) - 2.0, 2) - 4.0)
+           / ((p / m) * (p / nn) - 1.0) AS lam,
+         (x3 + x2) / 2.0
+           - p * sqrt(pow((1.0 + p / m) * (1.0 + p / nn) - 2.0, 2) - 4.0)
+             / ((p / m) * (p / nn) - 1.0) / 2.0
+           + p * (p / nn - p / m) / (2.0 * ((p / m) * (p / nn) - 1.0)) AS xi,
+         d
+  FROM rt
+),
+pick AS (
+  SELECT * FROM su WHERE d >= 1.0
+  UNION ALL
+  SELECT * FROM sb WHERE d < 1.0
+)
+SELECT family,
+       round(delta * ln(u + sqrt(u * u + 1.0)), 6) AS gamma,
+       round(delta, 6) AS delta,
+       round(xi, 4) AS xi,
+       round(lam, 4) AS lam
+FROM pick
+"""
+)
