@@ -12841,3 +12841,137 @@ SELECT family,
 FROM pick
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Vasicek spacing entropy + the maximum-entropy normality test
+# ---------------------------------------------------------------------------
+
+def _vasicek_terms(sf_dir: str):
+    """Shared m-spacing entropy machinery on order prices: ranks
+    1..n mapped to order-statistic values through the cents
+    histogram (no sample expansion — searchsorted per rank), window
+    m = floor(sqrt(n) + 0.5), spacings floored at one cent so tied
+    blocks cannot produce ln 0 (documented, identical in both
+    engines)."""
+    from ocr_pipeline_ray.pipelines.relational import _price_cents_hist
+
+    h = _price_cents_hist(sf_dir)
+    v = h["v"].to_numpy("int64")
+    c = h["c"].to_numpy("int64")
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    m = int(np.floor(np.sqrt(n) + 0.5))
+    ranks = np.arange(1, n + 1)
+    hi = np.minimum(ranks + m, n)
+    lo = np.maximum(ranks - m, 1)
+    x_hi = v[np.searchsorted(cum, hi)].astype("float64") / 100.0
+    x_lo = v[np.searchsorted(cum, lo)].astype("float64") / 100.0
+    sp = np.maximum(x_hi - x_lo, 0.01)
+    hv = float(np.log(n * sp / (2.0 * m)).mean())
+    mu = float((v * c).sum()) / n / 100.0
+    sd = float(
+        np.sqrt((((v / 100.0) - mu) ** 2 * c).sum() / (n - 1.0))
+    )
+    return n, m, hv, sd
+
+
+def vasicek_entropy_price(sf_dir: str) -> pd.DataFrame:
+    """Vasicek's m-spacing estimator of the DIFFERENTIAL entropy of
+    order prices: H = mean ln(n (x_(i+m) - x_(i-m)) / 2m) with
+    m = floor(sqrt n) — the continuous companion of the discrete
+    Miller-Madow/Chao-Shen table, and the quantity exp(H) is the
+    'effective support width' the price distribution occupies
+    (dollars of genuine spread after discounting clumping)."""
+    n, m, hv, sd = _vasicek_terms(sf_dir)
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "m_window": pd.Series([m], dtype="int64"),
+            "entropy_nats": [round(hv, 6)],
+            "eff_width": [round(float(np.exp(hv)), 2)],
+        }
+    )
+
+
+_VASICEK_SQL = """
+WITH h AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
+  FROM orders GROUP BY 1
+),
+nn AS (
+  SELECT sum(c) AS n,
+         CAST(floor(sqrt(sum(c)) + 0.5) AS BIGINT) AS m
+  FROM h
+),
+rkv AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+ranks AS (
+  SELECT unnest(generate_series(1, CAST((SELECT n FROM nn) AS BIGINT))) AS i
+),
+spc AS (
+  SELECT i,
+         greatest(
+           ((SELECT min(v) FROM rkv
+             WHERE cum >= least(i + (SELECT m FROM nn), (SELECT n FROM nn)))
+            - (SELECT min(v) FROM rkv
+               WHERE cum >= greatest(i - (SELECT m FROM nn), 1))) / 100.0,
+           0.01) AS sp
+  FROM ranks
+),
+hv AS (
+  SELECT avg(ln((SELECT n FROM nn) * sp / (2.0 * (SELECT m FROM nn)))) AS h
+  FROM spc
+)
+"""
+
+VASICEK_ENTROPY_PRICE_SQL = (
+    _VASICEK_SQL
+    + """
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+       CAST((SELECT m FROM nn) AS BIGINT) AS m_window,
+       round((SELECT h FROM hv), 6) AS entropy_nats,
+       round(exp((SELECT h FROM hv)), 2) AS eff_width
+"""
+)
+
+
+def entropy_normality_price(sf_dir: str) -> pd.DataFrame:
+    """Vasicek's maximum-entropy normality test: among ALL
+    distributions with this sd, the normal uniquely maximizes
+    entropy at ln(sd sqrt(2 pi e)) — so K = exp(H)/(sd sqrt(2 pi e))
+    is <= 1 with equality iff normal, and 1 - K is the entropy
+    DEFICIT: how much more structured than noise the price
+    distribution is (the information-theoretic cousin of
+    Shapiro-Francia, agreeing with it is the cross-check)."""
+    n, m, hv, sd = _vasicek_terms(sf_dir)
+    kmax = sd * float(np.sqrt(2.0 * np.pi * np.e))
+    k = float(np.exp(hv)) / kmax
+    return pd.DataFrame(
+        {
+            "entropy_nats": [round(hv, 6)],
+            "max_entropy_nats": [round(float(np.log(kmax)), 6)],
+            "k_statistic": [round(k, 6)],
+            "entropy_deficit": [round(1.0 - k, 6)],
+        }
+    )
+
+
+ENTROPY_NORMALITY_PRICE_SQL = (
+    _VASICEK_SQL
+    + """,
+sdd AS (
+  SELECT sqrt(sum(pow(v / 100.0 - (SELECT sum(v * c) * 1.0 / sum(c) FROM h) / 100.0, 2) * c)
+              / ((SELECT n FROM nn) - 1.0)) AS sd
+  FROM h
+),
+kk AS (
+  SELECT (SELECT h FROM hv) AS hv,
+         (SELECT sd FROM sdd) * sqrt(2.0 * pi() * exp(1.0)) AS kmax
+)
+SELECT round(hv, 6) AS entropy_nats,
+       round(ln(kmax), 6) AS max_entropy_nats,
+       round(exp(hv) / kmax, 6) AS k_statistic,
+       round(1.0 - exp(hv) / kmax, 6) AS entropy_deficit
+FROM kk
+"""
+)
