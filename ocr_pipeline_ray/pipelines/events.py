@@ -11571,3 +11571,150 @@ SELECT round(t / m, 6) AS mtbf_cum_days,
          AS projected_events_30d
 FROM fit
 """
+
+
+# ---------------------------------------------------------------------------
+# SLO arithmetic on the real error stream: burn rates + budget exhaustion
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET = 0.999
+_SLO_WINDOWS = (("1h", 1.0, 14.4), ("6h", 6.0, 6.0), ("24h", 24.0, 3.0), ("3d", 72.0, 1.0))
+
+
+def _slo_window_counts(sf_dir: str):
+    """Shared windowed (events, errors) counts anchored at the
+    stream's max timestamp: one pass emitting per-window partials
+    (window membership tested per event against the broadcast
+    anchor)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    hi = pd.Timestamp(
+        ds.map_batches(
+            lambda df: pd.DataFrame({"m": [df["ts"].max()]}), batch_format="pandas"
+        ).to_pandas()["m"].max()
+    )
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        err = (df["event_type"] == "error").to_numpy("int64")
+        age_h = (hi - df["ts"]).dt.total_seconds().to_numpy("float64") / 3600.0
+        row = {}
+        for name, hours, _ in _SLO_WINDOWS:
+            sel = age_h < hours
+            row[f"n_{name}"] = [np.int64(sel.sum())]
+            row[f"e_{name}"] = [np.int64(err[sel].sum())]
+        row["n_all"] = [np.int64(len(df))]
+        row["e_all"] = [np.int64(err.sum())]
+        return pd.DataFrame(row)
+
+    s = ds.map_batches(_p, batch_format="pandas").to_pandas().sum()
+    return s
+
+
+def slo_burn_rate_windows(sf_dir: str) -> pd.DataFrame:
+    """The Google-SRE multiwindow burn-rate table on the real error
+    stream against a 99.9% SLO: per lookback window (1h/6h/24h/3d
+    from the stream's last event) the error rate, the burn rate
+    (rate over the 0.1% budget), and the alert flag at the workbook
+    thresholds (14.4 / 6 / 3 / 1) — the fast-burn page and the
+    slow-burn ticket computed from the same exact counts."""
+    s = _slo_window_counts(sf_dir)
+    budget = 1.0 - _SLO_TARGET
+    rows = []
+    for name, hours, thr in _SLO_WINDOWS:
+        n = int(s[f"n_{name}"])
+        e = int(s[f"e_{name}"])
+        rate = e / n if n else 0.0
+        burn = rate / budget
+        rows.append(
+            {
+                "window_name": name,
+                "n_events": np.int64(n),
+                "n_errors": np.int64(e),
+                "burn_rate": round(burn, 6),
+                "alert": np.int64(int(burn >= thr)),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_events", "n_errors", "alert"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_SLO_BASE_SQL = """
+WITH hi AS (SELECT max(ts) AS m FROM events),
+w AS (
+  SELECT t.window_name, t.hours, t.thr
+  FROM (VALUES ('1h', 1.0, 14.4), ('6h', 6.0, 6.0),
+               ('24h', 24.0, 3.0), ('3d', 72.0, 1.0))
+       AS t(window_name, hours, thr)
+),
+cnt AS (
+  SELECT w.window_name, w.thr,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+  FROM events CROSS JOIN w
+  WHERE date_diff('microsecond', ts, (SELECT m FROM hi)) / 3600e6 < w.hours
+  GROUP BY 1, 2
+)
+"""
+
+SLO_BURN_RATE_WINDOWS_SQL = (
+    _SLO_BASE_SQL
+    + """
+SELECT window_name,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(e AS BIGINT) AS n_errors,
+       round(e * 1.0 / n / 0.001, 6) AS burn_rate,
+       CAST(CASE WHEN e * 1.0 / n / 0.001 >= thr THEN 1 ELSE 0 END AS BIGINT)
+         AS alert
+FROM cnt ORDER BY window_name
+"""
+)
+
+
+def error_budget_remaining(sf_dir: str) -> pd.DataFrame:
+    """The budget ledger over the whole stream: total error budget
+    at 99.9% (0.1% of all events), errors actually spent, the
+    fraction consumed, and — at the CURRENT 24h burn rate — the
+    days until exhaustion of what remains (sentinel -1 when the
+    recent window is error-free): the one-row answer to 'can we
+    ship this week or are we firefighting'."""
+    s = _slo_window_counts(sf_dir)
+    n_all, e_all = int(s["n_all"]), int(s["e_all"])
+    budget_events = 0.001 * n_all
+    used = e_all / budget_events
+    n24, e24 = int(s["n_24h"]), int(s["e_24h"])
+    daily_spend = e24
+    remaining = budget_events - e_all
+    days = remaining / daily_spend if daily_spend > 0 else -1.0
+    return pd.DataFrame(
+        {
+            "n_events": pd.Series([n_all], dtype="int64"),
+            "budget_events": [round(budget_events, 1)],
+            "errors_spent": pd.Series([e_all], dtype="int64"),
+            "budget_used_frac": [round(used, 6)],
+            "days_to_exhaustion": [round(days, 2)],
+        }
+    )
+
+
+ERROR_BUDGET_REMAINING_SQL = """
+WITH hi AS (SELECT max(ts) AS m FROM events),
+tot AS (
+  SELECT count(*) * 1.0 AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 AS e
+  FROM events
+),
+d24 AS (
+  SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 AS e24
+  FROM events
+  WHERE date_diff('microsecond', ts, (SELECT m FROM hi)) / 3600e6 < 24.0
+)
+SELECT CAST(n AS BIGINT) AS n_events,
+       round(0.001 * n, 1) AS budget_events,
+       CAST(e AS BIGINT) AS errors_spent,
+       round(e / (0.001 * n), 6) AS budget_used_frac,
+       round(CASE WHEN (SELECT e24 FROM d24) > 0
+                  THEN (0.001 * n - e) / (SELECT e24 FROM d24)
+                  ELSE -1.0 END, 2) AS days_to_exhaustion
+FROM tot
+"""
