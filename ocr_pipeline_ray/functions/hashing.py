@@ -9,6 +9,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyarrow as pa
 
 from ocr_pipeline_ray.functions.textstats import tokenize
 
@@ -104,6 +105,62 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.intersect1d(a, b, assume_unique=True).size
     union = a.size + b.size - inter
     return inter / union if union else 0.0
+
+
+_INV31 = np.uint64(pow(31, -1, 1 << 64))  # modular inverse of 31 mod 2^64
+_LEN_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_string_column(col) -> np.ndarray:
+    """Vectorized uint64 hash of an Arrow string column — one numpy
+    pass over the column's offsets + data buffers, zero per-row Python.
+
+    Replaces ``pd.util.hash_array`` over object dtype in Arrow-native
+    stages (the per-row PyObject boxing that conversion pays is the
+    cost being avoided). Polynomial rolling hash with wraparound
+    uint64 arithmetic: with prefix sums ``T[p] = sum_{q<p} (b[q]+1)*31^q``,
+    each row's hash over bytes ``[start, end)`` is
+    ``(T[end] - T[start]) * 31^-start  (mod 2^64)`` — the modular
+    inverse turns per-row polynomial evaluation into two prefix-scan
+    lookups. A splitmix64 finalizer disperses the low bits so
+    ``h % num_buckets`` is uniform. Nulls hash as "" (offsets equal).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        col = col.cast(pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data_buf = col.buffers()[2]
+    total = int(offs[-1])
+    with np.errstate(over="ignore"):
+        if data_buf is None or total == 0:
+            h = np.zeros(n, dtype=np.uint64)
+        else:
+            b = np.frombuffer(data_buf, dtype=np.uint8)[:total].astype(np.uint64)
+            pow31 = np.full(total, 31, dtype=np.uint64)
+            pow31[0] = 1
+            np.cumprod(pow31, out=pow31)  # 31^q mod 2^64, q in [0, total)
+            t = np.empty(total + 1, dtype=np.uint64)
+            t[0] = 0
+            np.cumsum((b + np.uint64(1)) * pow31, out=t[1:])
+            inv = np.full(total + 1, _INV31, dtype=np.uint64)
+            inv[0] = 1
+            np.cumprod(inv, out=inv)  # 31^-p mod 2^64
+            h = (t[offs[1:]] - t[offs[:-1]]) * inv[offs[:-1]]
+        h = h ^ ((offs[1:] - offs[:-1]).astype(np.uint64) * _LEN_MIX)
+        # splitmix64 finalizer
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
 
 
 def simhash64(text: str) -> int:

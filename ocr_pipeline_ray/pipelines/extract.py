@@ -34,6 +34,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -199,22 +200,14 @@ def build_extraction_pipeline(
     engine_kwargs = {} if engine_factory is None else {"engine_factory": engine_factory}
     if media_mode == "join":
         # media too large to broadcast: bucketed hash join attaches
-        # payloads inline, then a stateless-state actor pool extracts
-        import pyarrow as _pa
-
+        # payloads inline (Arrow end-to-end, int32 offsets preserved
+        # through the shuffle), then a stateless-state actor pool extracts
         media_ds = media if isinstance(media, ray.data.Dataset) else ray.data.from_arrow(media)
         spans = docs_ds.map_batches(explode_batch, batch_format="pyarrow")
         joined = join_media_spans(spans, media_ds)
 
-        def _cast_offset(t: "pa.Table") -> "pa.Table":
-            i = t.schema.get_field_index("offset")
-            t = t.set_column(i, "offset", t.column("offset").cast(_pa.int32()))
-            j = t.schema.get_field_index("size_hint")
-            return t.set_column(j, "size_hint", t.column("size_hint").cast(_pa.int32()))
-
         done = (
-            joined.map_batches(_cast_offset, batch_format="pyarrow")
-            .map_batches(strip_html_batch, batch_format="pyarrow", batch_size=text_batch_size)
+            joined.map_batches(strip_html_batch, batch_format="pyarrow", batch_size=text_batch_size)
             .map_batches(
                 InlineMediaExtract,
                 fn_constructor_kwargs=engine_kwargs,
@@ -329,74 +322,89 @@ def build_extraction_pipeline(
 def join_media_spans(
     spans_ds: "ray.data.Dataset",
     media_ds: "ray.data.Dataset",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Attach media payloads to span rows by a bucketed hash join on
     ``media_ref`` — the media path when the media table is TOO LARGE to
     broadcast (the 100 TB regime): both sides shuffle once on
     ``hash(media_ref) % num_buckets`` and join per bucket.
 
+    Arrow end-to-end: the bucket key is
+    :func:`~ocr_pipeline_ray.functions.hashing.hash_string_column`
+    (one numpy pass over the column's offset/data buffers — no
+    pandas/object-dtype boxing on the path every media payload
+    crosses), and the per-bucket join is ``pa.Table.join`` on
+    zero-copy Arrow tables.
+
     Skew guard: text spans carry ``media_ref == ""``; hashing them by
     key would funnel 70% of all rows into one hot bucket, so empty-ref
-    rows are spread by ``(doc_id, offset)`` instead (they match no
-    media and only need to ride through the shuffle).
+    rows are spread by ``hash(doc_id) + offset`` instead (they match
+    no media and only need to ride through the shuffle).
+
+    ``num_buckets=None`` sizes buckets from the input when known from
+    metadata (~256 MiB of span rows per bucket) with a floor of
+    ``max(64, 4x cluster CPUs)`` — at 100 TB that is ~400k buckets, so
+    one bucket always fits a worker's heap.
     """
     import numpy as np
-    import pandas as pd
 
-    _COLS = ["doc_id", "offset", "kind", "text", "media_ref", "error", "size_hint", "payload", "__bucket", "__side"]
+    from ocr_pipeline_ray.functions.hashing import hash_string_column
 
-    def _conform(df: pd.DataFrame) -> pd.DataFrame:
-        df["offset"] = df["offset"].astype("int64")
-        df["size_hint"] = df["size_hint"].astype("int64")
-        return df[_COLS]
+    if num_buckets is None:
+        from ocr_pipeline_ray.stages.reassemble import default_num_buckets
 
-    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        ref_hash = pd.util.hash_array(df["media_ref"].to_numpy(dtype=object))
-        spread = pd.util.hash_array(df["doc_id"].to_numpy(dtype=object)) + df[
-            "offset"
-        ].to_numpy().astype("uint64")
-        empty = (df["media_ref"] == "").to_numpy()
-        df["__bucket"] = (np.where(empty, spread, ref_hash) % num_buckets).astype("int64")
-        df["__side"] = "s"
-        df["payload"] = pd.Series([None] * len(df), dtype=object)
-        return _conform(df)
+        num_buckets = default_num_buckets(spans_ds, floor=64)
 
-    def tag_media(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                # dtype-compatible placeholders so the union schema
-                # matches the span side block-for-block
-                "doc_id": "",
-                "offset": np.int32(-1),
-                "kind": "",
-                "text": "",
-                "media_ref": df["media_ref"].to_numpy(),
-                "error": "",
-                "size_hint": np.int32(0),
-                "payload": df["payload"].to_numpy(dtype=object),
-            }
+    _COLS = SPAN_COLS + ["payload", "__bucket", "__side"]
+
+    def tag_spans(t: pa.Table) -> pa.Table:
+        ref_hash = hash_string_column(t.column("media_ref"))
+        off = t.column("offset").combine_chunks().to_numpy(zero_copy_only=False)
+        spread = hash_string_column(t.column("doc_id")) + off.astype(np.uint64)
+        empty = pc.equal(t.column("media_ref"), "").combine_chunks().to_numpy(
+            zero_copy_only=False
         )
-        out["__bucket"] = (
-            pd.util.hash_array(out["media_ref"].to_numpy(dtype=object)) % num_buckets
-        ).astype("int64")
-        out["__side"] = "m"
-        return _conform(out)
+        bucket = (np.where(empty, spread, ref_hash) % num_buckets).astype(np.int64)
+        t = t.append_column("payload", pa.nulls(len(t), pa.binary()))
+        t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
+        t = t.append_column("__side", pa.array(np.full(len(t), "s"), pa.string()))
+        return t.select(_COLS)
 
-    st = spans_ds.map_batches(tag_spans, batch_format="pandas")
-    mt = media_ds.map_batches(tag_media, batch_format="pandas")
-    span_cols = SPAN_COLS + ["payload"]
+    def tag_media(t: pa.Table) -> pa.Table:
+        n = len(t)
+        bucket = (hash_string_column(t.column("media_ref")) % num_buckets).astype(
+            np.int64
+        )
+        # dtype-compatible placeholders so the union schema matches the
+        # span side block-for-block
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(n, ""), pa.string()),
+                pa.array(np.full(n, -1, dtype=np.int32), pa.int32()),
+                pa.array(np.full(n, ""), pa.string()),
+                pa.array(np.full(n, ""), pa.string()),
+                t.column("media_ref").combine_chunks(),
+                pa.array(np.full(n, ""), pa.string()),
+                pa.array(np.zeros(n, np.int32), pa.int32()),
+                t.column("payload").combine_chunks().cast(pa.binary()),
+                pa.array(bucket, pa.int64()),
+                pa.array(np.full(n, "m"), pa.string()),
+            ],
+            names=_COLS,
+        )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        s = g[g["__side"] == "s"][span_cols].drop(columns=["payload"])
-        m = g[g["__side"] == "m"][["media_ref", "payload"]]
-        out = s.merge(m, on="media_ref", how="left")
-        # text rows have media_ref "" -> payload NaN; normalize to None
-        out["payload"] = out["payload"].where(out["payload"].notna(), None)
-        return out
+    st = spans_ds.map_batches(tag_spans, batch_format="pyarrow")
+    mt = media_ds.map_batches(tag_media, batch_format="pyarrow")
 
-    return st.union(mt).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        smask = pc.equal(g.column("__side"), "s")
+        s = g.filter(smask).drop_columns(["payload", "__bucket", "__side"])
+        m = g.filter(pc.invert(smask)).select(["media_ref", "payload"])
+        return s.combine_chunks().join(
+            m.combine_chunks(), keys="media_ref", join_type="left outer"
+        )
+
+    return st.union(mt).groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 class _SizeRouter:

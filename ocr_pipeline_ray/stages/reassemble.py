@@ -101,18 +101,42 @@ def pack_bucket(group: pa.Table) -> pa.Table:
 
 
 def add_bucket(num_buckets: int):
-    """Vectorized doc_id -> hash bucket column (the shuffle key)."""
+    """Vectorized doc_id -> hash bucket column (the shuffle key):
+    one numpy pass over the Arrow string buffers, no pandas boxing."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        import pandas as pd
+        from ocr_pipeline_ray.functions.hashing import hash_string_column
 
-        h = pd.util.hash_array(np.asarray(batch.column("doc_id").to_pandas(), dtype=object))
+        h = hash_string_column(batch.column("doc_id"))
         return batch.append_column(
             "bucket", pa.array((h % num_buckets).astype("int64"), pa.int64())
         )
 
     return _f
+
+
+def default_num_buckets(
+    ds, floor: int = 32, target_bucket_bytes: int = 256 << 20
+) -> int:
+    """Size-aware shuffle bucket count: enough buckets that one bucket
+    holds ~``target_bucket_bytes``, never fewer than ``floor`` or
+    4x cluster CPUs (the round-3 fixed defaults become FLOORS — at
+    100 TB a fixed 64-bucket shuffle would make ~1.6 TB buckets). The
+    input size comes from plan METADATA only (``infer_metadata`` —
+    known for materialized and freshly-read inputs); an unknown size
+    falls back to the CPU-scaled floor rather than triggering
+    execution of a lazy pipeline.
+    """
+    import ray
+
+    floor = max(floor, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    try:
+        size = ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        size = None
+    if size is None:
+        return floor
+    return max(floor, -(-int(size) // target_bucket_bytes))
 
 
 def reassemble(span_rows_ds, num_buckets: int | None = None):
@@ -122,13 +146,12 @@ def reassemble(span_rows_ds, num_buckets: int | None = None):
     guarantee as grouping by doc_id — bucket is a pure function of
     doc_id) while giving the packer whole buckets to vectorize over.
     ``num_buckets`` must scale with cluster size/data so one bucket
-    fits a worker's heap: default 4x cluster CPUs; at petabyte scale
-    pass an explicit larger value (it only adds tiny per-group calls).
+    fits a worker's heap: default ``default_num_buckets`` (~256 MiB
+    per bucket when the input size is known from metadata, else
+    4x cluster CPUs).
     """
-    import ray
-
     if num_buckets is None:
-        num_buckets = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        num_buckets = default_num_buckets(span_rows_ds, floor=32)
     return (
         span_rows_ds.map_batches(add_bucket(num_buckets), batch_format="pyarrow")
         .groupby("bucket")
