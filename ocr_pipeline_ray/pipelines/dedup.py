@@ -903,6 +903,8 @@ def similar_docs_by_shingles(sf_dir: str, query_doc: int = 0, n: int = 3, k: int
     qset = _shingles(qtxt)
     q_ref = ray.put(qset)
 
+    nq = len(qset)
+
     def _score(df: pd.DataFrame) -> pd.DataFrame:
         qs = ray.get(q_ref)
         rows = []
@@ -912,20 +914,28 @@ def similar_docs_by_shingles(sf_dir: str, query_doc: int = 0, n: int = 3, k: int
             s = _shingles(txt)
             inter = len(s & qs)
             if inter:
-                rows.append((int(did), inter, len(s)))
-        return pd.DataFrame(rows, columns=["doc_id", "inter", "own"]) if rows else pd.DataFrame(
-            {"doc_id": pd.Series(dtype="int64"), "inter": pd.Series(dtype="int64"), "own": pd.Series(dtype="int64")}
+                rows.append((int(did), inter, inter / (nq + len(s) - inter)))
+        return pd.DataFrame(rows, columns=["doc_id", "inter", "jaccard"]) if rows else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "inter": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}
         )
 
-    cand = ds.map_batches(_score, batch_format="pandas").to_pandas()
-    if cand.empty:
+    # two-level distributed top-k (partial_topk): on a corpus with a
+    # stop-shingle the candidate set is corpus-sized, so the reduce to
+    # k rows happens on workers — the driver sees at most buckets x k
+    # rows, never the candidate set.
+    from ocr_pipeline_ray.pipelines.relational import partial_topk
+
+    top = partial_topk(
+        ds.map_batches(_score, batch_format="pandas"),
+        by=["jaccard", "doc_id"],
+        ascending=[False, True],
+        k=k,
+    )
+    if top.empty:
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "n_common": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}
         )
-    nq = len(qset)
-    cand["jaccard"] = cand["inter"] / (nq + cand["own"] - cand["inter"])
-    top = cand.sort_values(["jaccard", "doc_id"], ascending=[False, True]).head(k)
     return pd.DataFrame(
         {
             "doc_id": top["doc_id"].to_numpy("int64"),

@@ -974,7 +974,11 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
             ["left", "right"],
             {"n": ("n", "sum")},
         )
-        top = partial_topk(pair_counts, by=["n", "left", "right"], ascending=[False, True, True], k=1)
+        # k=1 partials are blocks x 1 scalars — bounded at any scale,
+        # so skip the second-level shuffle (8 iterative rounds here)
+        top = partial_topk(
+            pair_counts, by=["n", "left", "right"], ascending=[False, True, True], k=1, two_level=False
+        )
         if top.empty:
             break
         best = (str(top["left"].iloc[0]), str(top["right"].iloc[0]))
