@@ -119,3 +119,36 @@ def test_exact_jaccard_pairs_vs_bruteforce():
         if jaccard(sh[a], sh[b]) >= 0.5
     )
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_hash_string_column_deterministic_and_slicing_invariant():
+    import pyarrow as pa
+
+    from ocr_pipeline_ray.functions.hashing import hash_string_column
+
+    a = pa.array(["", "a", "b", "ab", "ba", "media-000123", "media-000124", "x" * 500, None])
+    h = hash_string_column(a)
+    # null hashes like ""
+    assert h[8] == h[0]
+    # distinct short strings disperse
+    assert len(set(h.tolist())) == 8
+    # same string -> same hash across arrays, chunking and slicing
+    b = pa.chunked_array([pa.array(["media-000123"]), pa.array(["q", "media-000124"]).slice(1, 1)])
+    h2 = hash_string_column(b)
+    assert h2[0] == h[5] and h2[1] == h[6]
+    hs = hash_string_column(a.slice(3, 4))
+    assert (hs == h[3:7]).all()
+    # large_string agrees with string
+    hl = hash_string_column(pa.array(["ab", "ba"], pa.large_string()))
+    assert (hl == h[3:5]).all()
+
+
+def test_hash_string_column_bucket_uniformity():
+    import pyarrow as pa
+
+    from ocr_pipeline_ray.functions.hashing import hash_string_column
+
+    h = hash_string_column(pa.array([f"media-{i:08d}" for i in range(20000)]))
+    assert len(np.unique(h)) == 20000  # no collisions on a real vocab
+    c = np.bincount((h % 64).astype(np.int64), minlength=64)
+    assert c.min() > 20000 / 64 * 0.8 and c.max() < 20000 / 64 * 1.2

@@ -71,3 +71,60 @@ def test_closed_form_matches_brute_force_on_tie_runs():
         truth = np.array([r[ai - 1 : bi].mean() for ai, bi in zip(a, b)])
         got = _closed_abar(l)
         np.testing.assert_allclose(got, truth)
+
+
+# ---------------------------------------------------------------------------
+# _c_index rank-arithmetic concordance vs the brute-force pair census
+# ---------------------------------------------------------------------------
+
+
+def _c_index_brute(fr, tau=None):
+    t = fr["t"].to_numpy()
+    e = fr["e"].to_numpy()
+    s = fr["s"].to_numpy()
+    conc = ties = comp = 0
+    for i in range(len(t)):
+        if e[i] != 1:
+            continue
+        if tau is not None and not t[i] < tau:
+            continue
+        for j in range(len(t)):
+            if t[i] < t[j]:
+                comp += 1
+                if s[i] > s[j]:
+                    conc += 1
+                elif s[i] == s[j]:
+                    ties += 1
+    c = (conc + 0.5 * ties) / comp if comp else 0.0
+    return comp, conc, ties, c
+
+
+def test_c_index_rank_arithmetic_matches_pair_census():
+    import pandas as pd
+
+    from ocr_pipeline_ray.pipelines.relational import _c_index
+
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        n = int(rng.integers(1, 200))
+        fr = pd.DataFrame(
+            {
+                "t": rng.integers(0, 12, n).astype("int64"),  # heavy t ties
+                "e": rng.integers(0, 2, n).astype("int64"),
+                "s": rng.integers(0, 6, n).astype("int64"),  # heavy s ties
+            }
+        )
+        for tau in (None, 5, 0):
+            assert _c_index_brute(fr, tau) == _c_index(fr, tau), (trial, tau)
+
+
+def test_c_index_degenerate_sentinel():
+    import pandas as pd
+
+    from ocr_pipeline_ray.pipelines.relational import _c_index
+
+    # no observed events, and all-equal times: comp == 0 -> c = 0.0
+    fr = pd.DataFrame({"t": [1, 2, 3], "e": [0, 0, 0], "s": [1, 2, 3]})
+    assert _c_index(fr) == (0, 0, 0, 0.0)
+    fr = pd.DataFrame({"t": [5] * 10, "e": [1] * 10, "s": list(range(10))})
+    assert _c_index(fr) == (0, 0, 0, 0.0)
