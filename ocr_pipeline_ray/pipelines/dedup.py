@@ -175,9 +175,38 @@ def _pairs_in_coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
-def minhash_candidate_pairs(sf_dir: str, shingle_k: int = 3) -> pd.DataFrame:
+_CLONE_OFFSET = 1_000_000_000
+
+
+def _clone_augment(plant_every: int):
+    """Distributed verbatim-clone planting: every ``plant_every``-th
+    doc re-emitted under ``doc_id + _CLONE_OFFSET`` inside the batch
+    UDF (no driver materialization) — the text analog of
+    embedding_neardup_lsh_planted's scaled-copy planting."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        clones = t.filter(pa.array((ids % plant_every) == 0))
+        new_ids = pa.array(
+            clones["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            + _CLONE_OFFSET,
+            pa.int64(),
+        )
+        clones = clones.set_column(
+            clones.schema.get_field_index("doc_id"), "doc_id", new_ids
+        )
+        return pa.concat_tables([t, clones])
+
+    return _f
+
+
+def minhash_candidate_pairs(
+    sf_dir: str, shingle_k: int = 3, plant_every: int | None = None
+) -> pd.DataFrame:
     """LSH candidate pairs (unverified), deduplicated across bands."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if plant_every:
+        ds = ds.map_batches(_clone_augment(plant_every), batch_format="pyarrow")
     bands = ds.map_batches(
         _MinhashBands,
         fn_constructor_kwargs={"shingle_k": shingle_k},
@@ -197,7 +226,7 @@ def minhash_candidate_pairs(sf_dir: str, shingle_k: int = 3) -> pd.DataFrame:
 
 
 def candidate_shingle_sets(
-    sf_dir: str, need_ids, shingle_k: int = 3
+    sf_dir: str, need_ids, shingle_k: int = 3, plant_every: int | None = None
 ) -> dict[int, np.ndarray]:
     """Collect the shingle sets of ONLY the candidate docs.
 
@@ -220,11 +249,18 @@ def candidate_shingle_sets(
         )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if plant_every:
+        ds = ds.map_batches(_clone_augment(plant_every), batch_format="pyarrow")
     out = ds.map_batches(_shingle_candidates, batch_format="pyarrow").take_all()
     return {int(r["doc_id"]): np.asarray(r["sh"], dtype=np.uint64) for r in out}
 
 
-def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3) -> pd.DataFrame:
+def minhash_lsh_dedup(
+    sf_dir: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    plant_every: int | None = None,
+) -> pd.DataFrame:
     """MinHash+LSH near-dup pairs verified by exact Jaccard >= threshold.
 
     Verification is distributed: the candidate-id set (small) is
@@ -232,13 +268,13 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.8, shingle_k: int = 3) -
     :func:`candidate_shingle_sets`); the full corpus is never
     materialized driver-side. Returns (a, b, jacc) pairs.
     """
-    pairs = minhash_candidate_pairs(sf_dir, shingle_k)
+    pairs = minhash_candidate_pairs(sf_dir, shingle_k, plant_every)
     if pairs.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "jacc": pd.Series(dtype="float64")}
         )
     need = set(pairs["a"]).union(pairs["b"])
-    sh = candidate_shingle_sets(sf_dir, need, shingle_k)
+    sh = candidate_shingle_sets(sf_dir, need, shingle_k, plant_every)
     jc = [jaccard(sh[a], sh[b]) for a, b in zip(pairs["a"], pairs["b"])]
     pairs = pairs.assign(jacc=np.round(jc, 4))
     out = pairs[pairs["jacc"] >= threshold].reset_index(drop=True)
@@ -356,7 +392,9 @@ def simhash_fingerprints(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_neardup(
+    sf_dir: str, max_hamming: int = 3, plant_every: int | None = None
+) -> pd.DataFrame:
     """SimHash near-dup pairs: pigeonhole banding (4 x 16-bit blocks
     catches all pairs with hamming <= 3) then exact Hamming verify.
 
@@ -365,6 +403,8 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     per coarse bucket inside ``map_groups``; only verified pairs (a
     tiny result) reach the driver."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if plant_every:
+        ds = ds.map_batches(_clone_augment(plant_every), batch_format="pyarrow")
     pairs = (
         ds.map_batches(_SimhashBands, batch_format="pyarrow", batch_size=512, concurrency=(1, 8))
         .map_batches(_add_coarse_bucket, batch_format="pyarrow")
@@ -378,6 +418,73 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")}
         )
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def minhash_lsh_planted_clones(sf_dir: str, plant_every: int = 20) -> pd.DataFrame:
+    """The MinHash+LSH path under an EXACT oracle via deterministic
+    verbatim clones (the embedding_neardup_lsh_planted precedent,
+    promoting the rows-only minhash machinery into the hard-signal
+    column): every ``plant_every``-th doc is re-emitted verbatim under
+    ``doc_id + 1e9`` inside the batch UDF. A verbatim clone has the
+    identical shingle set, hence the identical MinHash signature,
+    hence identical keys in EVERY band — candidacy is structural, not
+    probabilistic — and exact-Jaccard verification returns exactly
+    1.0. Restricted to the (a, a + 1e9) clone pairs, the result is
+    exactly one row per planted doc, which is what the oracle
+    enumerates. (Organic pairs cannot alias into this set: b - a =
+    1e9 forces b to be the clone of a.)"""
+    pairs = minhash_lsh_dedup(sf_dir, threshold=1.0, plant_every=plant_every)
+    sel = pairs[(pairs["b"] - pairs["a"]) == _CLONE_OFFSET]
+    return pd.DataFrame(
+        {
+            "a": sel["a"].to_numpy("int64"),
+            "b": sel["b"].to_numpy("int64"),
+            "jacc": sel["jacc"].to_numpy("float64"),
+        }
+    ).reset_index(drop=True)
+
+
+def minhash_lsh_planted_clones_sql(plant_every: int = 20) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS a,
+       CAST(doc_id + {_CLONE_OFFSET} AS BIGINT) AS b,
+       CAST(1.0 AS DOUBLE) AS jacc
+FROM documents WHERE doc_id % {plant_every} = 0
+ORDER BY a
+"""
+
+
+MINHASH_LSH_PLANTED_CLONES_SQL = minhash_lsh_planted_clones_sql()
+
+
+def simhash_planted_clones(sf_dir: str, plant_every: int = 20) -> pd.DataFrame:
+    """The SimHash banding path under the same planted-clone EXACT
+    oracle: a verbatim clone has the identical 64-bit SimHash, so its
+    Hamming distance to the source is 0 and every 16-bit band block
+    matches — candidacy and verification are both structural. Exactly
+    one (a, a + 1e9, 0) row per planted doc."""
+    pairs = simhash_neardup(sf_dir, plant_every=plant_every)
+    sel = pairs[(pairs["b"] - pairs["a"]) == _CLONE_OFFSET]
+    return pd.DataFrame(
+        {
+            "a": sel["a"].to_numpy("int64"),
+            "b": sel["b"].to_numpy("int64"),
+            "hamming": sel["hamming"].to_numpy("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+def simhash_planted_clones_sql(plant_every: int = 20) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS a,
+       CAST(doc_id + {_CLONE_OFFSET} AS BIGINT) AS b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % {plant_every} = 0
+ORDER BY a
+"""
+
+
+SIMHASH_PLANTED_CLONES_SQL = simhash_planted_clones_sql()
 
 
 # ---------------------------------------------------------------------------
