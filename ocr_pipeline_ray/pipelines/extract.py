@@ -420,13 +420,17 @@ class _SizeRouter:
         self.threshold = heavy_page_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch.column("kind").to_pylist()
-        routes = list(kinds)
-        if "pdf" in set(kinds):
-            refs = batch.column("media_ref").to_pylist()
-            for i, (k, r) in enumerate(zip(kinds, refs)):
-                if k == "pdf" and self.store.n_pages(r) >= self.threshold:
-                    routes[i] = "pdf_heavy"
+        import numpy as np
+
+        kinds = np.asarray(batch.column("kind").to_pylist(), dtype=object)
+        routes = kinds.copy()
+        # only pdf rows need the per-ref page lookup; text/image rows
+        # route vectorized by kind alone
+        pdf_idx = np.flatnonzero(kinds == "pdf")
+        if pdf_idx.size:
+            refs = batch.column("media_ref").take(pa.array(pdf_idx)).to_pylist()
+            heavy = [self.store.n_pages(r) >= self.threshold for r in refs]
+            routes[pdf_idx[np.asarray(heavy, dtype=bool)]] = "pdf_heavy"
         return batch.append_column("route", pa.array(routes, pa.string()))
 
 

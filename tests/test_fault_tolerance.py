@@ -46,3 +46,35 @@ def test_actor_killed_mid_run_still_golden(tmp_path):
 
     res = pq.read_table(out_dir)
     assert _spans_key(res) == _spans_key(gold)
+
+
+def test_actor_killed_mid_run_join_topology_still_golden(tmp_path):
+    """Same hard-kill chaos through the media_mode='join' topology: the
+    Arrow bucketed join feeds InlineMediaExtract actor pools, a killed
+    actor's in-flight joined batch must be retried and the output stay
+    golden — exercising restart recovery across the shuffle boundary."""
+    from ocr_pipeline_ray.sources.gen import write_corpus
+
+    d = str(tmp_path / "corpus")
+    paths = write_corpus(d, 300, seed=42, shards=4)
+    media = pq.read_table(paths["media"])
+    gold = pq.read_table(paths["golden"])
+
+    chaos.arm()
+    try:
+        out = build_extraction_pipeline(
+            read_docs(paths["docs"]),
+            media,
+            media_mode="join",
+            engine_factory=chaos.KillOnceEngine,
+            image_batch_size=64,
+        )
+        out_dir = str(tmp_path / "out")
+        out.write_parquet(out_dir)
+    finally:
+        if chaos.armed():
+            chaos.disarm()
+            raise AssertionError("kill flag never consumed — crash path not exercised")
+
+    res = pq.read_table(out_dir)
+    assert _spans_key(res) == _spans_key(gold)
