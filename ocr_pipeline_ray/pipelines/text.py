@@ -974,10 +974,8 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
             ["left", "right"],
             {"n": ("n", "sum")},
         )
-        # k=1 partials are blocks x 1 scalars — bounded at any scale,
-        # so skip the second-level shuffle (8 iterative rounds here)
         top = partial_topk(
-            pair_counts, by=["n", "left", "right"], ascending=[False, True, True], k=1, two_level=False
+            pair_counts, by=["n", "left", "right"], ascending=[False, True, True], k=1
         )
         if top.empty:
             break
