@@ -108,12 +108,36 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.uint64) << np.arange(planes.shape[1], dtype=np.uint64)).sum(axis=1)
 
 
+def _plant_query_clones(n_queries: int):
+    """Verbatim clones of the query vectors planted at ``vec_id +
+    PLANT_OFFSET`` inside the batch UDF (distributed, no driver
+    materialization) — identical embedding, new id. Arrow-native so
+    the ``list<float>`` embedding type survives the round trip (a
+    pandas UDF re-infers it as a tensor extension dtype that breaks
+    downstream ``to_pandas``)."""
+    import pyarrow as pa
+
+    def _f(t: "pa.Table") -> "pa.Table":
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        clones = t.filter(pa.array(ids < n_queries))
+        idx = clones.schema.get_field_index("vec_id")
+        new_ids = pa.array(
+            clones["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            + PLANT_OFFSET,
+            clones.schema.field("vec_id").type,
+        )
+        return pa.concat_tables([t, clones.set_column(idx, "vec_id", new_ids)])
+
+    return _f
+
+
 def knn_lsh(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 10,
     n_bits: int = 6,
     n_tables: int = 16,
+    plant_queries: bool = False,
 ) -> pd.DataFrame:
     """Random-hyperplane LSH ANN with multiple independent tables.
 
@@ -130,6 +154,8 @@ def knn_lsh(
     of k * n_queries) reduce on the driver.
     """
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if plant_queries:
+        ds = ds.map_batches(_plant_query_clones(n_queries), batch_format="pyarrow")
     qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_ids, q = _to_matrix(qdf)
     qn = _normalize(q)
@@ -231,6 +257,7 @@ def knn_ivf(
     n_lists: int = 16,
     n_probe: int = 6,
     train_cap: int = 4096,
+    plant_queries: bool = False,
 ) -> pd.DataFrame:
     """IVF-bucketed ANN — the centroid-partitioned scale path
     (IVF-flat, the standard inverted-file layout): a coarse quantizer
@@ -251,6 +278,8 @@ def knn_ivf(
     :func:`knn_brute_force` is property-tested
     (tests/test_similarity.py)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if plant_queries:
+        ds = ds.map_batches(_plant_query_clones(n_queries), batch_format="pyarrow")
     train = ds.limit(train_cap).to_pandas().sort_values("vec_id")
     _, tm = _to_matrix(train)
     cents = _kmeans_spherical(tm, n_lists)
@@ -413,6 +442,44 @@ ORDER BY a, b
 
 
 EMBEDDING_NEARDUP_LSH_PLANTED_SQL = embedding_neardup_lsh_planted_sql()
+
+
+def knn_lsh_planted(sf_dir: str, n_queries: int = 10) -> pd.DataFrame:
+    """The multi-table LSH ANN path under an EXACT oracle via planted
+    query clones: each query vector is re-emitted verbatim at
+    ``vec_id + 1e9``. The clone's sign pattern equals the query's in
+    EVERY hash table (identical normalized vector), so candidacy is
+    structural, and its cosine ~1 dominates the corpus (max
+    off-diagonal cosine ~0.51 in the test data) — rank 1 is
+    deterministic. Exactly one (q, q + 1e9, 1) row per query; a
+    missed clone or a wrong rank-1 neighbor fails the oracle."""
+    out = knn_lsh(sf_dir, n_queries=n_queries, plant_queries=True)
+    sel = out[(out["rank"] == 1) & (out["neighbor_id"] >= PLANT_OFFSET)]
+    return sel.sort_values("query_id").reset_index(drop=True)
+
+
+def knn_ivf_planted(sf_dir: str, n_queries: int = 10) -> pd.DataFrame:
+    """The IVF ANN path under the same planted-clone EXACT oracle: the
+    clone's coarse-list assignment is the argmax over similarities
+    identical to the query's own, i.e. the query's first probed list —
+    candidacy is structural, cosine ~1 ranks first. Exactly one
+    (q, q + 1e9, 1) row per query."""
+    out = knn_ivf(sf_dir, n_queries=n_queries, plant_queries=True)
+    sel = out[(out["rank"] == 1) & (out["neighbor_id"] >= PLANT_OFFSET)]
+    return sel.sort_values("query_id").reset_index(drop=True)
+
+
+def knn_planted_sql(n_queries: int = 10) -> str:
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(vec_id + {PLANT_OFFSET} AS BIGINT) AS neighbor_id,
+       CAST(1 AS BIGINT) AS "rank"
+FROM embeddings WHERE vec_id < {n_queries}
+ORDER BY query_id
+"""
+
+
+KNN_PLANTED_SQL = knn_planted_sql()
 
 
 def embedding_neardup_lsh(
