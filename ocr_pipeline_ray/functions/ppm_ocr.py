@@ -191,8 +191,13 @@ def _refine_polygon(mask: np.ndarray, x_off: int) -> list[list[int]] | None:
     return top + bot[::-1]
 
 
-def detect_boxes_ppm(payload: bytes, poly: bool = False) -> list[dict]:
-    """T1-T2(+T3) analog: word-level detection over the raster.
+def detect_boxes_ppm(
+    payload: bytes,
+    poly: bool = False,
+    link_refine: bool = False,
+    link_gap_cells: int = 1,
+) -> list[dict]:
+    """T1-T2(+T3,+T4) analog: word-level detection over the raster.
 
     Binarize, segment fixed-pitch glyph cells, group contiguous
     occupied cells into word regions (the detector), classify each
@@ -201,12 +206,25 @@ def detect_boxes_ppm(payload: bytes, poly: bool = False) -> list[dict]:
     std-detection/test.py:53, api.py:87) — refine each rectangle to a
     14-point polygon via :func:`_refine_polygon`.
 
-    Returns one dict per word region:
+    ``link_refine=True`` is the T4 LinkRefiner analog (reference
+    std-detection/refinenet.py:14-64, wiring test.py:140-153 — shipped
+    commented out there, off by default here): the refiner strengthens
+    inter-word links so whole TEXT LINES group as one region. Here the
+    link score between adjacent word regions is their cell gap — gaps
+    of at most ``link_gap_cells`` (a single inter-word space) link
+    into one line-level region whose text preserves the gap spaces;
+    wider gaps (column breaks) stay separate. Like the reference,
+    enabling the refiner forces ``poly=True`` (test.py:153
+    ``args.poly = True``).
+
+    Returns one dict per (word or linked line) region:
     ``{text, x0, y0, x1, y1, confidence, polygon}`` with pixel
     coordinates snapped to the cell grid (x1/y1 exclusive, i.e. the
     box spans columns ``x0..x1-1``) and confidence = matched-pixel
-    fraction of the winning templates.
+    fraction of the winning templates over the region's glyph cells.
     """
+    if link_refine:
+        poly = True  # the reference forces poly under the refiner
     img = parse_ppm(payload)
     bits = (img[:, :, 0] > 127).astype(np.uint8)
     h, w = bits.shape
@@ -223,7 +241,8 @@ def detect_boxes_ppm(payload: bytes, poly: bool = False) -> list[dict]:
     b = _FONT.reshape(len(_FONT_CHARS), -1).astype(np.int16)
     dist = (a[:, None, :] != b[None, :, :]).sum(axis=2)
     best = dist.argmin(axis=1)
-    regions: list[dict] = []
+    # word runs of contiguous lit cells
+    runs: list[tuple[int, int]] = []
     c = 0
     while c < n_cells:
         if not lit[c]:
@@ -232,10 +251,28 @@ def detect_boxes_ppm(payload: bytes, poly: bool = False) -> list[dict]:
         c0 = c
         while c < n_cells and lit[c]:
             c += 1
-        text = "".join(_FONT_CHARS[k] for k in best[c0:c])
-        n_px = GLYPH_W * GLYPH_H * (c - c0)
-        conf = 1.0 - float(dist[np.arange(c0, c), best[c0:c]].sum()) / n_px
-        x0, x1 = PITCH * c0, PITCH * (c - 1) + GLYPH_W
+        runs.append((c0, c))
+    # T4 linking: merge runs whose gap is within the link threshold
+    groups: list[list[tuple[int, int]]] = []
+    for run in runs:
+        if link_refine and groups and run[0] - groups[-1][-1][1] <= link_gap_cells:
+            groups[-1].append(run)
+        else:
+            groups.append([run])
+    regions: list[dict] = []
+    for grp in groups:
+        text = ""
+        tot_d = 0
+        tot_px = 0
+        for i, (c0, c1) in enumerate(grp):
+            if i:
+                text += " " * (c0 - grp[i - 1][1])
+            text += "".join(_FONT_CHARS[k] for k in best[c0:c1])
+            tot_d += int(dist[np.arange(c0, c1), best[c0:c1]].sum())
+            tot_px += GLYPH_W * GLYPH_H * (c1 - c0)
+        x0 = PITCH * grp[0][0]
+        x1 = PITCH * (grp[-1][1] - 1) + GLYPH_W
+        conf = 1.0 - tot_d / tot_px
         regions.append(
             {
                 "text": text,

@@ -204,6 +204,62 @@ FROM pos ORDER BY doc_id, word_idx
 """
 
 
+def media_line_boxes(sf_dir: str) -> pd.DataFrame:
+    """T4 link refiner (reference std-detection/refinenet.py:14-64,
+    wiring test.py:140-153) as a fully oracled query: the same rasters
+    as :func:`media_word_boxes` through
+    ``detect_boxes_ppm(link_refine=True)``. Every inter-word gap in
+    the raster is a single space, so the refiner links each doc's
+    words into ONE line-level region — whose text and box DuckDB
+    derives from token layout alone (string_agg + glyph-pitch
+    arithmetic). A refiner that under-links (extra regions) or
+    over-links (wrong spans) fails the oracle.
+
+    Output: (doc_id, line_idx, line_text, x0, x1) per linked line.
+    """
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm
+
+    def detect(t: pa.Table) -> pa.Table:
+        doc_ids, idxs, texts, x0s, x1s = [], [], [], [], []
+        for ref, payload in zip(t["media_ref"].to_pylist(), t["payload"].to_pylist()):
+            for i, r in enumerate(detect_boxes_ppm(payload, link_refine=True)):
+                doc_ids.append(int(ref))
+                idxs.append(i)
+                texts.append(r["text"])
+                x0s.append(r["x0"])
+                x1s.append(r["x1"] - 1)  # inclusive last glyph column
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "line_idx": pa.array(idxs, pa.int64()),
+                "line_text": pa.array(texts, pa.string()),
+                "x0": pa.array(x0s, pa.int64()),
+                "x1": pa.array(x1s, pa.int64()),
+            }
+        )
+
+    out = _media_payload_ds(sf_dir).map_batches(detect, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "line_idx"]).reset_index(drop=True)
+
+
+MEDIA_LINE_BOXES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:5]) AS tok,
+         generate_subscripts(regexp_extract_all(text, '[A-Za-z0-9_]+')[1:5], 1) AS idx
+  FROM documents
+), agg AS (
+  SELECT doc_id, string_agg(upper(tok), ' ' ORDER BY idx) AS line_text,
+         sum(length(tok)) + count(*) - 1 AS n_cells
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS line_idx, line_text,
+       CAST(0 AS BIGINT) AS x0,
+       CAST(6 * (n_cells - 1) + 4 AS BIGINT) AS x1
+FROM agg ORDER BY doc_id
+"""
+
+
 def media_channel_stats(sf_dir: str) -> pd.DataFrame:
     """Real pixel statistics per doc raster: mean channel intensity of
     the decoded (resized) image — the feature-extraction stage shape.

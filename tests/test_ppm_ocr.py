@@ -131,3 +131,30 @@ def test_polygon_small_box_fallback():
     assert [r["text"] for r in regs] == ["A", "BC", "DEF"]
     assert regs[0]["polygon"] is None and regs[1]["polygon"] is None
     assert regs[2]["polygon"] is not None
+
+
+def test_link_refiner_links_single_space_words():
+    """T4 LinkRefiner analog (reference refinenet.py:14-64, wiring
+    test.py:140-153): single-space gaps link adjacent words into one
+    line-level region; wider gaps (column breaks) stay separate; the
+    refiner forces poly=True exactly like the reference test.py:153."""
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm, render_text_ppm
+
+    regs = detect_boxes_ppm(render_text_ppm("HELLO WORLD  NEXT"), link_refine=True)
+    assert [r["text"] for r in regs] == ["HELLO WORLD", "NEXT"]
+    # linked box spans both words
+    words = detect_boxes_ppm(render_text_ppm("HELLO WORLD  NEXT"))
+    assert regs[0]["x0"] == words[0]["x0"] and regs[0]["x1"] == words[1]["x1"]
+    # poly forced on: the wide linked region gets a 14-point polygon
+    assert regs[0]["polygon"] is not None and len(regs[0]["polygon"]) == 14
+    # confidence counts only glyph cells (gap cells carry no glyph):
+    # both words decode cleanly, so the linked region stays perfect
+    assert regs[0]["confidence"] == 1.0
+
+
+def test_link_refiner_off_is_unchanged():
+    from ocr_pipeline_ray.functions.ppm_ocr import detect_boxes_ppm, render_text_ppm
+
+    p = render_text_ppm("HELLO WORLD X")
+    assert detect_boxes_ppm(p) == detect_boxes_ppm(p, link_refine=False)
+    assert [r["text"] for r in detect_boxes_ppm(p)] == ["HELLO", "WORLD", "X"]
