@@ -16,8 +16,11 @@ import sys
 
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # NB: pyproject's addopts already contains "-q"; passing another -q
+    # makes pytest -qq, which SUPPRESSES the final "N passed" line —
+    # the round-3 "missing summary" mystery. Rely on the config's -q.
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", "-p", "no:warnings"],
+        [sys.executable, "-m", "pytest", "tests/", "-p", "no:warnings"],
         capture_output=True,
         text=True,
     )
