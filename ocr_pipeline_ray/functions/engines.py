@@ -72,7 +72,9 @@ class PaddleOCREngine:
             from paddleocr import PaddleOCR
         except ImportError as e:  # pragma: no cover - container has no paddle
             raise ImportError(
-                "PaddleOCREngine requires `pip install paddleocr paddlepaddle`"
+                "PaddleOCREngine targets the paddleocr 2.x result format: "
+                "`pip install 'paddleocr<3' paddlepaddle` (3.x renamed "
+                "use_angle_cls and restructured .ocr() results)"
             ) from e
         self._ocr = PaddleOCR(lang=lang, use_angle_cls=False, **ocr_kwargs)
 

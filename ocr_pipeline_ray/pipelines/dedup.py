@@ -175,7 +175,10 @@ def _pairs_in_coarse_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
-_CLONE_OFFSET = 1_000_000_000
+# ONE planted-id offset across every planted oracle (text, embedding,
+# ANN): the selections (b - a == offset) and the f-string SQL literals
+# all depend on this staying equal everywhere
+from ocr_pipeline_ray.pipelines.similarity import PLANT_OFFSET as _CLONE_OFFSET
 
 
 def _clone_augment(plant_every: int):

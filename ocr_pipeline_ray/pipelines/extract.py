@@ -341,10 +341,13 @@ def join_media_spans(
     rows are spread by ``hash(doc_id) + offset`` instead (they match
     no media and only need to ride through the shuffle).
 
-    ``num_buckets=None`` sizes buckets from the input when known from
-    metadata (~256 MiB of span rows per bucket) with a floor of
-    ``max(64, 4x cluster CPUs)`` — at 100 TB that is ~400k buckets, so
-    one bucket always fits a worker's heap.
+    ``num_buckets=None`` sizes buckets from BOTH sides' metadata
+    estimates (~256 MiB per bucket, max of the two — the media side is
+    the payload-heavy reason this join exists and is often the side
+    whose size IS known: a materialized table or a fresh parquet read,
+    while the exploded span side is usually metadata-unknown mid-plan)
+    with a floor of ``max(64, 4x cluster CPUs)`` — at 100 TB of media
+    that is ~400k buckets, so one bucket always fits a worker's heap.
     """
     import numpy as np
 
@@ -353,7 +356,10 @@ def join_media_spans(
     if num_buckets is None:
         from ocr_pipeline_ray.stages.reassemble import default_num_buckets
 
-        num_buckets = default_num_buckets(spans_ds, floor=64)
+        num_buckets = max(
+            default_num_buckets(spans_ds, floor=64),
+            default_num_buckets(media_ds, floor=64),
+        )
 
     _COLS = SPAN_COLS + ["payload", "__bucket", "__side"]
 
