@@ -260,6 +260,83 @@ FROM agg ORDER BY doc_id
 """
 
 
+_MEDIA_PLANT = 1_000_000_000
+
+
+def media_dhash_planted_clones(sf_dir: str, plant_every: int = 20) -> pd.DataFrame:
+    """The decode -> dHash machinery under an EXACT oracle (the
+    planted-clone pattern for perceptual hashing): every
+    ``plant_every``-th raster re-enters BYTE-IDENTICAL under
+    ``media_ref + 1e9``. Identical payload bytes -> identical decode ->
+    identical 64-bit dHash is structural, so each planted pair must
+    agree; disagreement means the decode or hash path is
+    non-deterministic. The pair check runs distributed (grouped by
+    source id); the oracle enumerates one (doc_id, clone_doc_id, 1)
+    row per planted source."""
+    import numpy as np
+
+    from ocr_pipeline_ray.stages.multimodal import dhash_images
+
+    def _plant(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        keep = [i for i, r in enumerate(refs) if int(r) % plant_every == 0]
+        clone = t.take(pa.array(keep, pa.int64()))
+        new_refs = pa.array(
+            [str(int(r) + _MEDIA_PLANT) for r in clone["media_ref"].to_pylist()],
+            pa.string(),
+        )
+        clone = clone.set_column(
+            clone.schema.get_field_index("media_ref"), "media_ref", new_refs
+        )
+        return pa.concat_tables([t, clone])
+
+    hashed = dhash_images(
+        _media_payload_ds(sf_dir).map_batches(_plant, batch_format="pyarrow"),
+        concurrency=(1, 4),
+    )
+
+    def _tag(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        ids = df["media_ref"].astype("int64").to_numpy()
+        src = np.where(ids >= _MEDIA_PLANT, ids - _MEDIA_PLANT, ids)
+        df = df.assign(__src=src)[["__src", "dhash"]]
+        return df[src % plant_every == 0]
+
+    def _check(g: pd.DataFrame) -> pd.DataFrame:
+        src = int(g["__src"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([src], dtype="int64"),
+                "clone_doc_id": pd.Series([src + _MEDIA_PLANT], dtype="int64"),
+                "same_hash": pd.Series(
+                    [1 if (len(g) == 2 and g["dhash"].nunique() == 1) else 0],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    out = (
+        hashed.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__src")
+        .map_groups(_check, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def media_dhash_planted_clones_sql(plant_every: int = 20) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id + {_MEDIA_PLANT} AS BIGINT) AS clone_doc_id,
+       CAST(1 AS BIGINT) AS same_hash
+FROM documents WHERE doc_id % {plant_every} = 0
+ORDER BY doc_id
+"""
+
+
+MEDIA_DHASH_PLANTED_CLONES_SQL = media_dhash_planted_clones_sql()
+
+
 def media_channel_stats(sf_dir: str) -> pd.DataFrame:
     """Real pixel statistics per doc raster: mean channel intensity of
     the decoded (resized) image — the feature-extraction stage shape.
