@@ -987,6 +987,36 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
     )
 
 
+def bpe_first_merge(sf_dir: str) -> pd.DataFrame:
+    """The FIRST BPE merge round as an exact-oracle anchor for the
+    iterative trainer (the anchor pattern for iterative algorithms:
+    the first iterate is closed-form even when the fixpoint is not).
+    With zero merges learned, every word segments to characters, so
+    round 1 is exactly 'the most frequent weighted adjacent character
+    pair, ties lexicographic' — a pure SQL aggregate over the same
+    word-type vocabulary. Runs the IDENTICAL distributed machinery
+    (corpus -> vocab reduce -> pair partials -> bucketed aggregate ->
+    top-1) as the full trainer, for one round."""
+    return bpe_learn_merges(sf_dir, n_merges=1)
+
+
+BPE_FIRST_MERGE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS l,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS r,
+         sum(n) AS n
+  FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM wc)
+  GROUP BY 1, 2
+)
+SELECT CAST(0 AS BIGINT) AS "rank", l AS "left", r AS "right", CAST(n AS BIGINT) AS n
+FROM pairs ORDER BY n DESC, l, r LIMIT 1
+"""
+
+
 def source_term_divergence(sf_dir: str, num_buckets: int = 16) -> pd.DataFrame:
     """Per-source KL divergence of the source's term distribution vs
     the whole corpus — the domain-shift / contamination diagnostic of
