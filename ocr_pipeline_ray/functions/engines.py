@@ -141,7 +141,12 @@ class PdfiumEngine:
             for page in doc:
                 text = page.get_textpage().get_text_range().strip()
                 if not text and self._image_engine is not None:
-                    bitmap = page.render(scale=2.0)
+                    # rev_byteorder gives RGBA; pdfium's default render
+                    # is BGRA, and slicing that [:, :, :3] would hand
+                    # the OCR engine channel-swapped (BGR) pixels —
+                    # wrong for any luminance-weighted processing on
+                    # colored scans.
+                    bitmap = page.render(scale=2.0, rev_byteorder=True)
                     arr = np.asarray(bitmap.to_numpy())[:, :, :3]
                     from ocr_pipeline_ray.functions.bmp import encode_bmp
 

@@ -123,7 +123,12 @@ def hash_string_column(col) -> np.ndarray:
     ``(T[end] - T[start]) * 31^-start  (mod 2^64)`` — the modular
     inverse turns per-row polynomial evaluation into two prefix-scan
     lookups. A splitmix64 finalizer disperses the low bits so
-    ``h % num_buckets`` is uniform. Nulls hash as "" (offsets equal).
+    ``h % num_buckets`` is uniform. Nulls hash as "" — ENFORCED with
+    the validity buffer, not assumed from the offsets: the Arrow spec
+    does not guarantee offset values under null slots for arrays from
+    arbitrary producers (IPC, other libraries), so the hash of a null
+    slot is overwritten with the ""-hash (0) after the vectorized
+    pass rather than trusting whatever bytes the offsets span.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -160,6 +165,11 @@ def hash_string_column(col) -> np.ndarray:
         h ^= h >> np.uint64(27)
         h *= np.uint64(0x94D049BB133111EB)
         h ^= h >> np.uint64(31)
+    if col.null_count:
+        # "" hashes to 0 through this pipeline (zero-length span, zero
+        # length-mix, splitmix64(0) == 0) — pin nulls to the same value
+        null_mask = col.is_null().to_numpy(zero_copy_only=False)
+        h[null_mask] = np.uint64(0)
     return h
 
 

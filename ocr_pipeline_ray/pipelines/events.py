@@ -810,7 +810,6 @@ def user_value_anomalies(sf_dir: str, z_thresh: float = 3.0) -> pd.DataFrame:
         ds.map_batches(_widen, batch_format="pandas"),
         "user_id",
         {"n": ("value", "size"), "sx": ("value", "sum"), "sx2": ("x2", "sum")},
-        num_buckets=32,
     ).to_pandas()
     n = stats["n"].astype(np.float64)
     mu = stats["sx"] / n
@@ -876,7 +875,7 @@ def pivot_user_event_values(sf_dir: str) -> pd.DataFrame:
     spec = {f"{t}_value": (f"{t}_value", "sum") for t in types}
     out = (
         bucketed_aggregate(
-            ds.map_batches(_widen, batch_format="pandas"), "user_id", spec, num_buckets=32
+            ds.map_batches(_widen, batch_format="pandas"), "user_id", spec
         )
         .to_pandas()
         .sort_values("user_id")
@@ -984,7 +983,7 @@ def user_behavior_profile(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
     counts = bucketed_aggregate(
-        ds, ["user_id", "event_type"], {"n": ("event_type", "size")}, num_buckets=32
+        ds, ["user_id", "event_type"], {"n": ("event_type", "size")}
     )
 
     def _ubucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1073,7 +1072,6 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_week, batch_format="pandas"),
         ["user_id", "week"],
         {"n": ("week", "size")},
-        num_buckets=32,
     ).map_batches(
         lambda df: pd.DataFrame(
             {"user_id": df["user_id"].astype("int64"), "week": df["week"].astype("int64")}
@@ -3685,7 +3683,6 @@ def cuped_value_adjustment(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"pre": ("pre", "sum"), "post": ("post", "sum")},
-        num_buckets=32,
     )
 
     def _moments(df: pd.DataFrame) -> pd.DataFrame:
@@ -3776,7 +3773,6 @@ def wilcoxon_signed_rank_prepost(sf_dir: str, n_range_buckets: int = 64) -> pd.D
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"pre": ("pre", "sum"), "post": ("post", "sum")},
-        num_buckets=32,
     )
     lo = 0.0
     hi = float(
@@ -3873,7 +3869,6 @@ def two_proportion_conversion(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"pur": ("pur", "max")},
-        num_buckets=32,
     )
 
     def _counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -3955,7 +3950,6 @@ def view_then_purchase_days(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id", "day"],
         {"mina": ("tsv", "min"), "maxb": ("tsp", "max")},
-        num_buckets=32,
     )
 
     def _counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -4024,7 +4018,6 @@ def score_decile_lift(sf_dir: str) -> pd.DataFrame:
             ds.map_batches(_prep, batch_format="pandas"),
             ["user_id"],
             {"v": ("v", "sum"), "p": ("p", "max")},
-            num_buckets=32,
         )
         .map_batches(
             # rank ascending by negated score = descending by views
@@ -4421,7 +4414,6 @@ def ab_power_mde(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"pur": ("pur", "max")},
-        num_buckets=32,
     )
 
     def _counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -4539,7 +4531,6 @@ def routine_users_entropy(sf_dir: str, k: int = 10, min_events: int = 20) -> pd.
         ),
         ["user_id", "hod"],
         {"c": ("one", "sum")},
-        num_buckets=32,
     )
 
     def _entropy(df: pd.DataFrame) -> pd.DataFrame:
@@ -4779,7 +4770,6 @@ def quantile_treatment_effect(sf_dir: str, n_range_buckets: int = 128) -> pd.Dat
         ),
         ["user_id"],
         {"v": ("v", "sum")},
-        num_buckets=32,
     ).map_batches(
         lambda df: pd.DataFrame(
             {
@@ -4904,7 +4894,6 @@ def matched_att_value(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"pre": ("pre", "sum"), "post": ("post", "sum")},
-        num_buckets=32,
     ).materialize()
     bdf = (
         per_user.map_batches(
@@ -5173,7 +5162,6 @@ def lognormal_fit_user_value(sf_dir: str) -> pd.DataFrame:
         ),
         ["user_id"],
         {"v": ("v", "sum")},
-        num_buckets=32,
     )
 
     def _m(df: pd.DataFrame) -> pd.DataFrame:
@@ -5227,7 +5215,6 @@ def cvm_arm_event_counts(sf_dir: str) -> pd.DataFrame:
         ),
         ["user_id"],
         {"c": ("one", "sum")},
-        num_buckets=32,
     )
     h = (
         per_user.map_batches(
@@ -5484,7 +5471,6 @@ def user_day_surprise(sf_dir: str, k: int = 10) -> pd.DataFrame:
         ),
         ["user_id", "day"],
         {"c": ("one", "sum")},
-        num_buckets=32,
     ).materialize()
     tot = (
         ud.map_batches(
@@ -5563,7 +5549,6 @@ def capture_recapture_users(sf_dir: str) -> pd.DataFrame:
         ),
         ["user_id"],
         {"a": ("a", "max"), "b": ("b", "max")},
-        num_buckets=32,
     )
     s = (
         per.map_batches(
@@ -9342,7 +9327,6 @@ def _user_bucket_grid(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"pur": ("pur", "max")},
-        num_buckets=32,
     )
 
     def _cells(df: pd.DataFrame) -> pd.DataFrame:
@@ -10049,7 +10033,6 @@ def _purchase_count_hist(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_prep, batch_format="pandas"),
         ["user_id"],
         {"k": ("k", "sum")},
-        num_buckets=32,
     )
 
     def _hist(df: pd.DataFrame) -> pd.DataFrame:

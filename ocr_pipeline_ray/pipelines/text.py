@@ -3071,7 +3071,7 @@ def tfidf_cosine_pairs(
     sf_dir: str,
     threshold: float = 0.25,
     df_cap: int = 50,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """ALL-PAIRS SIMILARITY SEARCH (APSS): document pairs whose
     TF-IDF cosine similarity reaches ``threshold`` — the
@@ -3105,6 +3105,10 @@ def tfidf_cosine_pairs(
     from ocr_pipeline_ray.pipelines.relational import bucketed_aggregate
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if num_buckets is None:
+        from ocr_pipeline_ray.stages.reassemble import default_num_buckets
+
+        num_buckets = default_num_buckets(ds, floor=32)
 
     def _doc_terms(t: pa.Table) -> pa.Table:
         terms: list[str] = []

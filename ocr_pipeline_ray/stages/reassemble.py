@@ -115,6 +115,31 @@ def add_bucket(num_buckets: int):
     return _f
 
 
+_META_PROBE_WARNED = False
+
+
+def _plan_size_bytes(dag) -> int | None:
+    """Best-effort size estimate for a logical plan node: its own
+    ``infer_metadata().size_bytes`` when known, else the SUM of its
+    input dependencies' (recursive) estimates. Map/filter chains over
+    parquet reads report ``None`` at the chain head but the read node
+    underneath knows its bytes — the source size is an upper-bound
+    estimate for the shuffled data (reads are column-pruned at every
+    call site, so the bound is tight in practice). Metadata only:
+    never executes the plan. Raises on a moved/renamed private API so
+    the caller can log the probe failure (a bare ``return None`` here
+    would silently disable size-aware bucketing)."""
+    size = dag.infer_metadata().size_bytes
+    if size is not None:
+        return int(size)
+    total = None
+    for dep in getattr(dag, "input_dependencies", []) or []:
+        s = _plan_size_bytes(dep)
+        if s is not None:
+            total = (total or 0) + s
+    return total
+
+
 def default_num_buckets(
     ds, floor: int = 32, target_bucket_bytes: int = 256 << 20
 ) -> int:
@@ -122,18 +147,38 @@ def default_num_buckets(
     holds ~``target_bucket_bytes``, never fewer than ``floor`` or
     4x cluster CPUs (the round-3 fixed defaults become FLOORS — at
     100 TB a fixed 64-bucket shuffle would make ~1.6 TB buckets). The
-    input size comes from plan METADATA only (``infer_metadata`` —
-    known for materialized and freshly-read inputs); an unknown size
-    falls back to the CPU-scaled floor rather than triggering
-    execution of a lazy pipeline.
+    input size comes from plan METADATA only (:func:`_plan_size_bytes`
+    — known for materialized and freshly-read inputs, and resolved
+    through map chains by walking ``input_dependencies`` down to the
+    read); an unknown size falls back to the CPU-scaled floor rather
+    than triggering execution of a lazy pipeline.
+
+    The probe reads private Ray Data internals (``_logical_plan.dag``)
+    and is fully guarded — but a Ray upgrade that renames them would
+    silently drop every size-aware shuffle back to the floor, so the
+    first failure logs a one-time warning (perf-only degradation must
+    be VISIBLE; pinned by tests/test_builder.py's probe test).
     """
     import ray
 
+    global _META_PROBE_WARNED
+
     floor = max(floor, int(ray.cluster_resources().get("CPU", 8)) * 4)
     try:
-        size = ds._logical_plan.dag.infer_metadata().size_bytes
+        size = _plan_size_bytes(ds._logical_plan.dag)
     except Exception:
         size = None
+        if not _META_PROBE_WARNED:
+            _META_PROBE_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "default_num_buckets: Ray Data plan-metadata probe failed "
+                "(private API moved?); size-aware shuffle bucketing is "
+                "DISABLED — every shuffle falls back to the CPU-scaled "
+                "floor. Correctness is unaffected; 100TB-scale bucket "
+                "sizing is."
+            )
     if size is None:
         return floor
     return max(floor, -(-int(size) // target_bucket_bytes))

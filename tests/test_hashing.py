@@ -152,3 +152,25 @@ def test_hash_string_column_bucket_uniformity():
     assert len(np.unique(h)) == 20000  # no collisions on a real vocab
     c = np.bincount((h % 64).astype(np.int64), minlength=64)
     assert c.min() > 20000 / 64 * 0.8 and c.max() < 20000 / 64 * 1.2
+
+
+def test_hash_string_column_null_with_garbage_offsets():
+    """The Arrow spec does not pin offset values under null slots:
+    an array from an arbitrary producer may span garbage bytes there.
+    The validity-buffer mask must pin the null's hash to the ""-hash
+    regardless."""
+    import pyarrow as pa
+
+    from ocr_pipeline_ray.functions.hashing import hash_string_column
+
+    # build [ "ab", NULL-spanning-"cd", "ef" ] from raw buffers: the
+    # null slot's offsets (2, 4) cover real bytes "cd"
+    validity = pa.py_buffer(bytes([0b101]))
+    offsets = pa.py_buffer(np.array([0, 2, 4, 6], dtype=np.int32).tobytes())
+    data = pa.py_buffer(b"abcdef")
+    arr = pa.Array.from_buffers(pa.string(), 3, [validity, offsets, data])
+    assert arr[1].as_py() is None
+    h = hash_string_column(arr)
+    clean = hash_string_column(pa.array(["ab", None, "ef"]))
+    assert (h == clean).all()
+    assert h[1] == hash_string_column(pa.array([""]))[0]

@@ -201,3 +201,25 @@ def test_grouped_kll_close_to_exact():
         vals = t.loc[t["l_returnflag"] == row["l_returnflag"], "l_extendedprice"].to_numpy()
         est_rank = (vals <= row["value"]).mean()
         assert abs(est_rank - row["p"]) < 0.05, (row["l_returnflag"], row["p"], est_rank)
+
+
+def test_exactcap_regime_guard_raises_out_of_regime():
+    """ADVICE r4: the *_exactcap anchors are exact only while n <= k.
+    Running them with a capacity below the corpus size must fail
+    LOUDLY with the violated bound, not silently drift from the SQL
+    oracle into a confusing sweep hash mismatch."""
+    import pytest
+
+    from ocr_pipeline_ray.pipelines.relational import (
+        order_price_quantiles_sketch,
+        order_price_quantiles_sketch_exactcap,
+        price_quantiles_by_flag_sketch,
+    )
+
+    with pytest.raises(ValueError, match="exact-capacity regime violated"):
+        order_price_quantiles_sketch(SF, k=64, exact_capacity=True)
+    with pytest.raises(ValueError, match="exact-capacity regime violated"):
+        price_quantiles_by_flag_sketch(SF, k=64, exact_capacity=True)
+    # in-regime: the default k=1M wrapper still runs exact and clean
+    out = order_price_quantiles_sketch_exactcap(SF)
+    assert len(out) > 0
