@@ -319,10 +319,46 @@ def build_extraction_pipeline(
     return reassemble(merged)
 
 
+def detect_hot_refs(
+    spans_ds: "ray.data.Dataset",
+    hot_fraction: float = 0.05,
+    sample_batches: int = 8,
+) -> list[str]:
+    """Sampled hot-``media_ref`` detection for :func:`join_media_spans`
+    salting: value-counts over the first ``sample_batches`` batches of
+    the span side (a streaming prefix — the plan is NOT fully
+    executed, but the prefix does run; callers joining from a staged
+    parquet read pay one fragment read). Non-empty refs holding more
+    than ``hot_fraction`` of sampled media-span rows are hot. The
+    empty ref ("" = text spans) is excluded — it has its own
+    deterministic spread in the join and must never salt."""
+    import itertools
+
+    counts: dict[str, int] = {}
+    total = 0
+    it = spans_ds.iter_batches(batch_size=4096, batch_format="pyarrow")
+    for t in itertools.islice(it, sample_batches):
+        refs = t.column("media_ref")
+        mask = pc.invert(pc.equal(refs, ""))
+        vc = pc.value_counts(refs.filter(mask))
+        for rec in vc.to_pylist():
+            if rec["values"] is None:
+                continue
+            counts[rec["values"]] = counts.get(rec["values"], 0) + int(rec["counts"])
+            total += int(rec["counts"])
+    if not total:
+        return []
+    return sorted(r for r, n in counts.items() if n / total > hot_fraction)
+
+
 def join_media_spans(
     spans_ds: "ray.data.Dataset",
     media_ds: "ray.data.Dataset",
     num_buckets: int | None = None,
+    hot_refs="auto",
+    salt: int = 8,
+    hot_fraction: float = 0.05,
+    _return_tagged: bool = False,
 ) -> "ray.data.Dataset":
     """Attach media payloads to span rows by a bucketed hash join on
     ``media_ref`` — the media path when the media table is TOO LARGE to
@@ -340,6 +376,26 @@ def join_media_spans(
     key would funnel 70% of all rows into one hot bucket, so empty-ref
     rows are spread by ``hash(doc_id) + offset`` instead (they match
     no media and only need to ride through the shuffle).
+
+    Hot-ref guard (``hot_refs``, default ``"auto"``): one genuinely
+    hot NON-empty ref — a site-wide logo referenced by half the
+    corpus' spans — would still serialize one bucket on one worker
+    (the reference's skew failure: SURVEY §4's one-doc-1000-regions
+    stall). ``"auto"`` samples the span side's leading batches
+    (:func:`detect_hot_refs` — a bounded streaming prefix, never a
+    full execution); detected hot refs get ``salt`` dedicated
+    sub-buckets past ``num_buckets``: their SPAN rows spread by
+    ``hash(doc_id) + offset`` across the sub-buckets, their MEDIA row
+    (exactly one per ref — the media table is a payload store)
+    REPLICATES to all ``salt`` sub-buckets, so no single worker holds
+    a hot ref's whole span set and the replication cost is one
+    payload row x salt per hot ref. Same result as the unsalted join
+    (planted-hot-ref test: tests/test_hot_keys.py). Pass an iterable
+    to pin the hot set, or ``None`` to disable.
+
+    ``_return_tagged=True`` returns the tagged pre-shuffle union
+    (testing seam: lets tests assert the actual bucket histogram the
+    shuffle would see).
 
     ``num_buckets=None`` sizes buckets from BOTH sides' metadata
     estimates (~256 MiB per bucket, max of the two — the media side is
@@ -360,6 +416,11 @@ def join_media_spans(
             default_num_buckets(spans_ds, floor=64),
             default_num_buckets(media_ds, floor=64),
         )
+    if hot_refs == "auto":
+        hot_refs = detect_hot_refs(spans_ds, hot_fraction=hot_fraction)
+    hot_rank: dict[str, int] = (
+        {r: i for i, r in enumerate(sorted(set(hot_refs)))} if hot_refs else {}
+    )
 
     _COLS = SPAN_COLS + ["payload", "__bucket", "__side"]
 
@@ -371,6 +432,13 @@ def join_media_spans(
             zero_copy_only=False
         )
         bucket = (np.where(empty, spread, ref_hash) % num_buckets).astype(np.int64)
+        for ref, rank in hot_rank.items():
+            m = pc.equal(t.column("media_ref"), ref).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            if m.any():
+                base = num_buckets + rank * salt
+                bucket[m] = base + (spread[m] % np.uint64(salt)).astype(np.int64)
         t = t.append_column("payload", pa.nulls(len(t), pa.binary()))
         t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
         t = t.append_column("__side", pa.array(np.full(len(t), "s"), pa.string()))
@@ -383,7 +451,7 @@ def join_media_spans(
         )
         # dtype-compatible placeholders so the union schema matches the
         # span side block-for-block
-        return pa.Table.from_arrays(
+        out = pa.Table.from_arrays(
             [
                 pa.array(np.full(n, ""), pa.string()),
                 pa.array(np.full(n, -1, dtype=np.int32), pa.int32()),
@@ -398,9 +466,37 @@ def join_media_spans(
             ],
             names=_COLS,
         )
+        if not hot_rank:
+            return out
+        # a hot ref's single media row REPLICATES to every sub-bucket
+        # so each salted span slice finds its payload locally (the
+        # cost is one payload row x salt per hot ref, nothing more)
+        hot_mask = pc.is_in(
+            out.column("media_ref"), value_set=pa.array(list(hot_rank), pa.string())
+        )
+        cold = out.filter(pc.invert(hot_mask))
+        hot_t = out.filter(hot_mask)
+        if len(hot_t) == 0:
+            return cold
+        ranks = np.array(
+            [hot_rank[r] for r in hot_t.column("media_ref").to_pylist()], np.int64
+        )
+        bidx = _COLS.index("__bucket")
+        reps = [cold]
+        for j in range(salt):
+            reps.append(
+                hot_t.set_column(
+                    bidx,
+                    "__bucket",
+                    pa.array(num_buckets + ranks * salt + j, pa.int64()),
+                )
+            )
+        return pa.concat_tables(reps)
 
     st = spans_ds.map_batches(tag_spans, batch_format="pyarrow")
     mt = media_ds.map_batches(tag_media, batch_format="pyarrow")
+    if _return_tagged:
+        return st.union(mt)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         smask = pc.equal(g.column("__side"), "s")
