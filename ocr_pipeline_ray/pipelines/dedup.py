@@ -490,6 +490,43 @@ ORDER BY a
 SIMHASH_PLANTED_CLONES_SQL = simhash_planted_clones_sql()
 
 
+def ngram_jaccard_planted_clones(
+    sf_dir: str, plant_every: int = 20, threshold: float = 0.5, shingle_k: int = 3
+) -> pd.DataFrame:
+    """:func:`ngram_jaccard_pairs`'s exact anchor: the SAME
+    LSH-pruned + exact-verified machinery at its production threshold
+    (0.5, k=3 shingles — the branch where ORGANIC candidates also
+    flow through the verifier, unlike the threshold-1.0 minhash
+    anchor), restricted to planted verbatim clones. Identical text ->
+    identical shingle set -> structural candidacy and exact Jaccard
+    1.0 >= any threshold; the (b - a == 1e9) filter can only match
+    true (source, clone) pairs."""
+    pairs = minhash_lsh_dedup(
+        sf_dir, threshold=threshold, shingle_k=shingle_k, plant_every=plant_every
+    )
+    sel = pairs[(pairs["b"] - pairs["a"]) == _CLONE_OFFSET]
+    return pd.DataFrame(
+        {
+            "a": sel["a"].to_numpy("int64"),
+            "b": sel["b"].to_numpy("int64"),
+            "jacc": sel["jacc"].to_numpy("float64"),
+        }
+    ).reset_index(drop=True)
+
+
+def ngram_jaccard_planted_clones_sql(plant_every: int = 20) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS a,
+       CAST(doc_id + {_CLONE_OFFSET} AS BIGINT) AS b,
+       CAST(1.0 AS DOUBLE) AS jacc
+FROM documents WHERE doc_id % {plant_every} = 0
+ORDER BY a
+"""
+
+
+NGRAM_JACCARD_PLANTED_CLONES_SQL = ngram_jaccard_planted_clones_sql()
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (inverted shingle index) + connected-
 # component clustering — the "group near-dups, keep one per cluster"

@@ -352,6 +352,85 @@ def media_channel_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def media_channel_stats_planted_clones(sf_dir: str, plant_every: int = 20) -> pd.DataFrame:
+    """The decode -> channel-statistics machinery under an EXACT
+    oracle (the dHash planted pattern, applied to the feature-extract
+    stage): every ``plant_every``-th raster re-enters BYTE-IDENTICAL
+    under ``media_ref + 1e9``; identical payload bytes -> identical
+    decode -> identical resize -> identical channel means is
+    structural, so each planted pair must agree exactly (pre-round
+    float equality — both sides run the same arithmetic on the same
+    bytes). The pair check runs distributed (grouped by source id,
+    like the dHash anchor); the oracle enumerates one
+    (doc_id, clone_doc_id, 1) row per planted source."""
+    import numpy as np
+
+    from ocr_pipeline_ray.stages.multimodal import decode_images
+
+    def _plant(t: pa.Table) -> pa.Table:
+        refs = t["media_ref"].to_pylist()
+        keep = [i for i, r in enumerate(refs) if int(r) % plant_every == 0]
+        clone = t.take(pa.array(keep, pa.int64()))
+        new_refs = pa.array(
+            [str(int(r) + _MEDIA_PLANT) for r in clone["media_ref"].to_pylist()],
+            pa.string(),
+        )
+        clone = clone.set_column(
+            clone.schema.get_field_index("media_ref"), "media_ref", new_refs
+        )
+        return pa.concat_tables([t, clone])
+
+    decoded = decode_images(
+        _media_payload_ds(sf_dir).map_batches(_plant, batch_format="pyarrow"),
+        target_size=32,
+        concurrency=(1, 4),
+    )
+
+    def _tag(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        ids = df["media_ref"].astype("int64").to_numpy()
+        src = np.where(ids >= _MEDIA_PLANT, ids - _MEDIA_PLANT, ids)
+        df = df.assign(
+            __src=src,
+            __mean=[float(np.mean(v)) for v in df["channel_means"]],
+        )[["__src", "__mean"]]
+        return df[src % plant_every == 0]
+
+    def _check(g: pd.DataFrame) -> pd.DataFrame:
+        src = int(g["__src"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([src], dtype="int64"),
+                "clone_doc_id": pd.Series([src + _MEDIA_PLANT], dtype="int64"),
+                "same_stats": pd.Series(
+                    [1 if (len(g) == 2 and g["__mean"].nunique() == 1) else 0],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    out = (
+        decoded.map_batches(_tag, batch_format="pyarrow")
+        .groupby("__src")
+        .map_groups(_check, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def media_channel_stats_planted_clones_sql(plant_every: int = 20) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id + {_MEDIA_PLANT} AS BIGINT) AS clone_doc_id,
+       CAST(1 AS BIGINT) AS same_stats
+FROM documents WHERE doc_id % {plant_every} = 0
+ORDER BY doc_id
+"""
+
+
+MEDIA_CHANNEL_STATS_PLANTED_CLONES_SQL = media_channel_stats_planted_clones_sql()
+
+
 def media_dimensions_jpeg(sf_dir: str) -> pd.DataFrame:
     """Same geometry oracle, payloads are REAL baseline JPEGs (our
     pure-numpy T.81 encoder): the Ray side must walk markers, Huffman

@@ -882,8 +882,22 @@ def embedding_pca_top(sf_dir: str, iters: int = 50, seed: int = 11) -> pd.DataFr
     pytest checks the vector against numpy on a gathered small corpus).
     ``iters``/``seed`` kept for the power-iteration fallback when
     d is too large for d×d partials (documented scale path)."""
+    cov, _n = _embedding_cov(sf_dir)
+    evals, _ = np.linalg.eigh(cov)
+    top = float(evals[-1])
+    return pd.DataFrame(
+        {
+            "top_eigenvalue": [round(top, ROUND_DECIMALS)],
+            "explained_ratio": [round(top / float(np.trace(cov)), ROUND_DECIMALS)],
+        }
+    )
+
+
+def _embedding_cov(sf_dir: str) -> tuple[np.ndarray, float]:
+    """The shared distributed covariance pass (exact d x d Gram
+    partials per batch, driver combine) behind
+    :func:`embedding_pca_top` and its power-iterate anchor."""
     ds = _read(sf_dir, "embeddings", columns=["embedding"])
-    d_holder = {}
 
     def _gram(df: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
@@ -906,14 +920,44 @@ def embedding_pca_top(sf_dir: str, iters: int = 50, seed: int = 11) -> pd.DataFr
     colsum = parts.groupby("row")["sx_first"].sum().to_numpy()
     mean = colsum / n
     cov = gram / n - np.outer(mean, mean)
-    evals, _ = np.linalg.eigh(cov)
-    top = float(evals[-1])
+    return cov, n
+
+
+def embedding_pca_power_anchor(sf_dir: str, seed_dim: int = 0) -> pd.DataFrame:
+    """The PCA Gram-partial machinery under an EXACT oracle via one
+    CLOSED-FORM power-iteration half-step (the first-iterate pattern:
+    ``bpe_first_merge`` for the trainer, here for the eigensolver):
+    ``y = C @ e_seed`` is just the ``seed_dim``-th column of the exact
+    covariance the distributed pass produces, so ``y[seed]`` (the
+    seed variance) and ``||y||_2`` (the first unnormalized power-step
+    magnitude) are plain SQL aggregates — ``covar_pop`` of dimension
+    ``seed_dim`` against every dimension. The eigendecomposition that
+    keeps the production entry rows-only is exactly the part this
+    anchor bypasses; everything distributed (per-batch d x d Gram
+    partials, column-sum ride-alongs, driver combine) is the
+    IDENTICAL :func:`_embedding_cov` code path."""
+    cov, _n = _embedding_cov(sf_dir)
+    y = cov[:, seed_dim]
     return pd.DataFrame(
         {
-            "top_eigenvalue": [round(top, ROUND_DECIMALS)],
-            "explained_ratio": [round(top / float(np.trace(cov)), ROUND_DECIMALS)],
+            "cov_seed_seed": [round(float(cov[seed_dim, seed_dim]), ROUND_DECIMALS)],
+            "cnorm": [round(float(np.linalg.norm(y)), ROUND_DECIMALS)],
         }
     )
+
+
+def embedding_pca_power_anchor_sql(dim: int = 64, seed_dim: int = 0) -> str:
+    return f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT i, covar_pop(v[{seed_dim + 1}], v[i]) AS cv
+      FROM e, range(1, {dim + 1}) t(i) GROUP BY i)
+SELECT round((SELECT cv FROM c WHERE i = {seed_dim + 1}), {ROUND_DECIMALS}) AS cov_seed_seed,
+       round(sqrt(sum(cv * cv)), {ROUND_DECIMALS}) AS cnorm
+FROM c
+"""
+
+
+EMBEDDING_PCA_POWER_ANCHOR_SQL = embedding_pca_power_anchor_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -936,7 +980,15 @@ def kmeans_clusters(sf_dir: str, k: int = 4, iters: int = 3) -> pd.DataFrame:
     pytest against an independent single-machine numpy reference
     (tests/test_similarity.py)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _kmeans_assignments(ds, k, iters)
 
+
+def _kmeans_assignments(ds: "ray.data.Dataset", k: int, iters: int) -> pd.DataFrame:
+    """The full Lloyd machinery behind :func:`kmeans_clusters` (init
+    from the k lowest vec_ids, per-batch partial sums, driver
+    centroid combine, final assignment pass) — shared with the
+    planted-cluster anchor so the anchor exercises the identical
+    code."""
     init_df = ds.filter(expr=f"vec_id < {k}").to_pandas().sort_values("vec_id")
     _, cents = _to_matrix(init_df)
 
@@ -986,6 +1038,49 @@ def kmeans_clusters(sf_dir: str, k: int = 4, iters: int = 3) -> pd.DataFrame:
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
+
+
+def kmeans_planted_clusters(sf_dir: str, k: int = 4, iters: int = 3) -> pd.DataFrame:
+    """The full Lloyd machinery under an EXACT oracle via planted
+    separated clusters (the r4 verdict's planted pattern for the
+    iterative families): each embedding row is remapped INSIDE the
+    batch UDF to the one-hot point ``1000 * (c + 1) * e_c`` with
+    ``c = vec_id % k`` — every planted cluster is a set of IDENTICAL
+    points, clusters are mutually far, and the deterministic init
+    (k lowest vec_ids = vec_ids 0..k-1 = one point per cluster) starts
+    every centroid exactly on its cluster's value. All ``iters``
+    rounds of the partial-sum machinery then provably return the
+    identity assignment ``cluster = vec_id % k``, which the SQL
+    mirrors as a modulo. Every distributed stage (init filter, k
+    partial rows per batch per round, driver combine, final assign
+    pass) is the IDENTICAL :func:`_kmeans_assignments` code."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        dim = len(df["embedding"].iloc[0]) if len(df) else 64
+        vecs = []
+        for i in ids:
+            v = np.zeros(dim, dtype=np.float64)
+            c = int(i) % k
+            v[c] = 1000.0 * (c + 1)
+            vecs.append(v)
+        return pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    return _kmeans_assignments(
+        ds.map_batches(_plant, batch_format="pandas"), k, iters
+    )
+
+
+def kmeans_planted_clusters_sql(k: int = 4) -> str:
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(vec_id % {k} AS BIGINT) AS cluster
+FROM embeddings ORDER BY vec_id
+"""
+
+
+KMEANS_PLANTED_CLUSTERS_SQL = kmeans_planted_clusters_sql()
 
 
 def kmeans_reference(vec_ids: np.ndarray, m: np.ndarray, k: int = 4, iters: int = 3) -> pd.DataFrame:
@@ -1216,6 +1311,50 @@ def mmr_diverse_selection(sf_dir: str, k: int = 10, lam: float = 0.5) -> pd.Data
             "vec_id": np.array(selected_ids, dtype="int64"),
         }
     )
+
+
+def mmr_relevance_anchor(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The MMR greedy machinery under an EXACT oracle via the
+    degenerate-parameter pattern: at ``lam = 1.0`` the marginal score
+    is pure relevance — the diversity penalty multiplies by zero — so
+    the k sequential rounds provably select the top-k by
+    cosine(embedding, query) with vec_id tie-break, a closed-form SQL
+    ranking (query = mean of the L2-normalized first-10 vectors,
+    mirrored in SQL; cosine ranking is invariant to the query's final
+    normalization). EVERY distributed mechanism still runs for real:
+    k rounds of per-batch argmax partials, broadcast selected-set
+    exclusion, the winner-vector fetch — only the penalty term is
+    zeroed. A wrong exclusion mask, a stale broadcast, or a broken
+    per-batch argmax all surface as a wrong selection order here."""
+    return mmr_diverse_selection(sf_dir, k=k, lam=1.0)
+
+
+def mmr_relevance_anchor_sql(k: int = 10, dim: int = 64, n_query: int = 10) -> str:
+    return f"""
+WITH q10 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < {n_query}
+),
+qn AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS en
+  FROM q10
+),
+qvec AS (
+  SELECT i, avg(en[i]) AS qx FROM qn, range(1, {dim + 1}) t(i) GROUP BY i
+),
+q AS (SELECT list(qx ORDER BY i) AS qe FROM qvec),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM sims ORDER BY sim DESC, vec_id LIMIT {k}
+"""
+
+
+MMR_RELEVANCE_ANCHOR_SQL = mmr_relevance_anchor_sql()
 
 
 # ---------------------------------------------------------------------------

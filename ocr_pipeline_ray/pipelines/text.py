@@ -1552,7 +1552,9 @@ ORDER BY doc_id
 """
 
 
-def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
+def compression_ratio(
+    sf_dir: str, level: int = 6, plant_every: int | None = None
+) -> pd.DataFrame:
     """Per-document zlib compression ratio — the Dolma/RedPajama-style
     redundancy signal (highly repetitive or templated text compresses
     far below natural prose; a common pre-training quality filter
@@ -1564,6 +1566,21 @@ def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
     import zlib
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if plant_every is not None:
+
+        def _plant(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            clones = t.filter(pa.array(ids % plant_every == 0))
+            new_ids = pa.array(
+                clones["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+                + _COMP_PLANT,
+                pa.int64(),
+            )
+            return pa.concat_tables(
+                [t, clones.set_column(clones.schema.get_field_index("doc_id"), "doc_id", new_ids)]
+            )
+
+        docs = docs.map_batches(_plant, batch_format="pyarrow")
 
     def _scan(t: pa.Table) -> pd.DataFrame:
         ids, ratios, sizes = [], [], []
@@ -1585,6 +1602,51 @@ def compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
 
     out = docs.map_batches(_scan, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_COMP_PLANT = 1_000_000_000
+
+
+def compression_ratio_planted_clones(sf_dir: str, plant_every: int = 20) -> pd.DataFrame:
+    """The zlib-scan machinery under an EXACT oracle via planted
+    verbatim clones (DEFLATE itself is not SQL-expressible; identical
+    bytes -> identical deflate stream IS structural): every
+    ``plant_every``-th doc re-enters verbatim at ``doc_id + 1e9``
+    inside the batch UDF, and each planted pair must report the
+    identical (n_bytes, zlib_ratio). The pair check rides the entry's
+    existing per-doc driver-side result contract (the production
+    entry already returns one row per doc). Empty-text docs emit no
+    row in the scan, so the oracle filters ``text <> ''`` exactly as
+    the pipeline skips them."""
+    out = compression_ratio(sf_dir, plant_every=plant_every)
+    ids = out["doc_id"].to_numpy()
+    src = out[(ids % plant_every == 0) & (ids < _COMP_PLANT)]
+    clone = out[ids >= _COMP_PLANT].copy()
+    clone["doc_id"] -= _COMP_PLANT
+    m = src.merge(clone, on="doc_id", suffixes=("", "_c"))
+    same = (
+        (m["n_bytes"] == m["n_bytes_c"]) & (m["zlib_ratio"] == m["zlib_ratio_c"])
+    ).astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": m["doc_id"].to_numpy("int64"),
+            "clone_doc_id": (m["doc_id"] + _COMP_PLANT).to_numpy("int64"),
+            "same_ratio": same.to_numpy(),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def compression_ratio_planted_clones_sql(plant_every: int = 20) -> str:
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id + {_COMP_PLANT} AS BIGINT) AS clone_doc_id,
+       CAST(1 AS BIGINT) AS same_ratio
+FROM documents WHERE doc_id % {plant_every} = 0 AND text <> ''
+ORDER BY doc_id
+"""
+
+
+COMPRESSION_RATIO_PLANTED_CLONES_SQL = compression_ratio_planted_clones_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2036,6 +2098,29 @@ def bpe_apply_tokenize(sf_dir: str, n_merges: int = 8) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def bpe_apply_zero_merges(sf_dir: str) -> pd.DataFrame:
+    """The corpus-scale BPE APPLY machinery under an EXACT oracle via
+    the zero-merge regime (the apply-side sibling of
+    ``bpe_first_merge``): with an EMPTY learned merge table every word
+    segments into its characters, so ``n_subwords`` degenerates to the
+    document's total token characters and ``n_words`` to its token
+    count — both closed-form SQL over the shared TOKEN_RE mirror. The
+    full pipeline still runs for real: the distributed vocabulary
+    pass of the trainer (zero rounds), the ``ray.put`` merge-table
+    broadcast, and the stateless corpus re-segmentation pass with its
+    per-task word cache — a broken broadcast, cache, or segmentation
+    loop all surface here."""
+    return bpe_apply_tokenize(sf_dir, n_merges=0)
+
+
+BPE_APPLY_ZERO_MERGES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(regexp_replace(text, '[^A-Za-z0-9_]+', '', 'g')) AS BIGINT) AS n_subwords,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_words
+FROM documents ORDER BY doc_id
+"""
 
 
 def pmi_collocations(sf_dir: str, min_count: int = 30, k: int = 15) -> pd.DataFrame:
@@ -4383,6 +4468,75 @@ def quality_classifier(
             "value": [round(float(x), 4) for x in w] + [round(acc, 4)],
         }
     )
+
+
+def quality_classifier_first_step(sf_dir: str, target_lang: str = "en") -> pd.DataFrame:
+    """The distributed GD trainer under an EXACT oracle via the
+    first-iterate pattern (``bpe_first_merge``'s sibling for model
+    training): with one iteration from ``w = 0`` every sigmoid is
+    exactly 0.5, so the single gradient step is the closed form
+    ``w = -lr/n * sum_i x_std_i (0.5 - y_i)`` — plain SQL aggregates
+    over the standardized features — and the training accuracy is one
+    more aggregate over ``sign(x_std . w)``. ALL three distributed
+    passes run for real (feature-moment partials, one gradient-partial
+    round, the scoring pass); only the iteration count collapses the
+    math into SQL. Features/standardization mirror the oracled
+    quality_scores entry's SQL building blocks."""
+    return quality_classifier(sf_dir, target_lang=target_lang, iters=1)
+
+
+def quality_classifier_first_step_sql(target_lang: str = "en", lr: float = 1.0) -> str:
+    stop = "('the','and','of','a','to','in','is','that','it','for')"
+    return f"""
+WITH base AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z0-9_]+', '', 'g')) AS tok_chars,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+             x -> x IN {stop})) AS n_stop,
+         length(regexp_replace(text, '[^A-Za-z]+', '', 'g')) AS n_alpha
+  FROM documents
+), feat AS (
+  SELECT CASE WHEN lang = '{target_lang}' THEN 1.0 ELSE 0.0 END AS y,
+         ln(1 + n_chars) AS x1,
+         CASE WHEN n_tokens > 0 THEN tok_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS x2,
+         CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS x3,
+         CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS x4
+  FROM base
+), st AS (
+  SELECT avg(x1) AS m1, CASE WHEN sqrt(greatest(avg(x1*x1) - avg(x1)*avg(x1), 0)) = 0 THEN 1.0 ELSE sqrt(greatest(avg(x1*x1) - avg(x1)*avg(x1), 0)) END AS s1,
+         avg(x2) AS m2, CASE WHEN sqrt(greatest(avg(x2*x2) - avg(x2)*avg(x2), 0)) = 0 THEN 1.0 ELSE sqrt(greatest(avg(x2*x2) - avg(x2)*avg(x2), 0)) END AS s2,
+         avg(x3) AS m3, CASE WHEN sqrt(greatest(avg(x3*x3) - avg(x3)*avg(x3), 0)) = 0 THEN 1.0 ELSE sqrt(greatest(avg(x3*x3) - avg(x3)*avg(x3), 0)) END AS s3,
+         avg(x4) AS m4, CASE WHEN sqrt(greatest(avg(x4*x4) - avg(x4)*avg(x4), 0)) = 0 THEN 1.0 ELSE sqrt(greatest(avg(x4*x4) - avg(x4)*avg(x4), 0)) END AS s4
+  FROM feat
+), z AS (
+  SELECT y, 1.0 AS z0,
+         (x1 - m1) / s1 AS z1, (x2 - m2) / s2 AS z2,
+         (x3 - m3) / s3 AS z3, (x4 - m4) / s4 AS z4
+  FROM feat, st
+), w AS (
+  SELECT -{lr} * avg(z0 * (0.5 - y)) AS w0,
+         -{lr} * avg(z1 * (0.5 - y)) AS w1,
+         -{lr} * avg(z2 * (0.5 - y)) AS w2,
+         -{lr} * avg(z3 * (0.5 - y)) AS w3,
+         -{lr} * avg(z4 * (0.5 - y)) AS w4
+  FROM z
+), acc AS (
+  SELECT avg(CASE WHEN ((z0*w0 + z1*w1 + z2*w2 + z3*w3 + z4*w4) > 0) = (y = 1.0)
+                  THEN 1.0 ELSE 0.0 END) AS a
+  FROM z, w
+)
+SELECT 'bias' AS name, round(w0, 4) AS value FROM w
+UNION ALL SELECT 'log_n_chars', round(w1, 4) FROM w
+UNION ALL SELECT 'mean_word_len', round(w2, 4) FROM w
+UNION ALL SELECT 'stopword_ratio', round(w3, 4) FROM w
+UNION ALL SELECT 'alpha_ratio', round(w4, 4) FROM w
+UNION ALL SELECT 'train_accuracy', round(a, 4) FROM acc
+"""
+
+
+QUALITY_CLASSIFIER_FIRST_STEP_SQL = quality_classifier_first_step_sql()
 
 
 def quality_classifier_reference(
