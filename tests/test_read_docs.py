@@ -3,6 +3,7 @@ else -> parquet; missing lance package degrades to the parquet
 fallback (the container has no `lance`, so the live branch can only
 be exercised via a stub — documented in README)."""
 
+import pyarrow as pa
 import ray
 import ray.data
 
@@ -165,3 +166,62 @@ def test_union_by_name_alignment(tmp_path):
     pd.DataFrame({"a": ["oops"]}).to_parquet(d / "v3.parquet")
     with pytest.raises(TypeError, match="divergent types"):
         resolve_union_schema([str(d / "v1.parquet"), str(d / "v3.parquet")])
+
+
+def test_restriped_shards_golden_equality(tmp_path):
+    """The 100 TB-shaped read path (r4 verdict item 7): the flagship
+    consumes a DIRECTORY of parquet shards, and the extracted output
+    must be invariant to how the same rows are striped across files —
+    shard count, uneven boundaries, and a permuted doc order all
+    produce span-for-span golden equality (reassembly owns ordering,
+    not file layout; the resume lineage already validates
+    input_files)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_pipeline_ray.pipelines.extract import build_extraction_pipeline
+    from ocr_pipeline_ray.sources.gen import write_corpus
+
+    paths = write_corpus(str(tmp_path / "c"), 240, seed=42, shards=8)
+    docs = pq.read_table(paths["docs"])
+    media = pq.read_table(paths["media"])
+    golden = pq.read_table(paths["golden"])
+
+    def key(t):
+        return {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+            ]
+            for r in t.to_pylist()
+        }
+
+    gold = key(golden)
+
+    # three hostile re-stripings of the SAME rows
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(docs.num_rows)
+    layouts = {
+        "one_file": [docs],
+        "uneven_13": [
+            docs.slice(lo, hi - lo)
+            for lo, hi in zip(
+                np.linspace(0, docs.num_rows, 14).astype(int)[:-1],
+                np.linspace(0, docs.num_rows, 14).astype(int)[1:],
+            )
+            if hi > lo
+        ],
+        "permuted_5": [
+            docs.take(perm[i::5]) for i in range(5)
+        ],
+    }
+    for name, tables in layouts.items():
+        d = tmp_path / f"re_{name}"
+        d.mkdir()
+        for i, t in enumerate(tables):
+            pq.write_table(t, d / f"part-{i:03d}.parquet")
+        out = build_extraction_pipeline(read_docs(str(d)), media)
+        got = key(pa.Table.from_batches(
+            [b for b in out.iter_batches(batch_format="pyarrow") for b in b.to_batches()]
+        ))
+        assert got == gold, f"re-striping {name} broke golden equality"
+
