@@ -441,7 +441,7 @@ def join_media_spans(
                 bucket[m] = base + (spread[m] % np.uint64(salt)).astype(np.int64)
         t = t.append_column("payload", pa.nulls(len(t), pa.binary()))
         t = t.append_column("__bucket", pa.array(bucket, pa.int64()))
-        t = t.append_column("__side", pa.array(np.full(len(t), "s"), pa.string()))
+        t = t.append_column("__side", pa.array(np.ones(len(t), np.int8), pa.int8()))
         return t.select(_COLS)
 
     def tag_media(t: pa.Table) -> pa.Table:
@@ -449,20 +449,22 @@ def join_media_spans(
         bucket = (hash_string_column(t.column("media_ref")) % num_buckets).astype(
             np.int64
         )
-        # dtype-compatible placeholders so the union schema matches the
-        # span side block-for-block
+        # typed-NULL placeholders so the union schema matches the span
+        # side block-for-block at zero construction cost (media rows'
+        # placeholder columns are never read — join_bucket keeps only
+        # media_ref + payload from this side)
         out = pa.Table.from_arrays(
             [
-                pa.array(np.full(n, ""), pa.string()),
-                pa.array(np.full(n, -1, dtype=np.int32), pa.int32()),
-                pa.array(np.full(n, ""), pa.string()),
-                pa.array(np.full(n, ""), pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.int32()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
                 t.column("media_ref").combine_chunks(),
-                pa.array(np.full(n, ""), pa.string()),
-                pa.array(np.zeros(n, np.int32), pa.int32()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.int32()),
                 t.column("payload").combine_chunks().cast(pa.binary()),
                 pa.array(bucket, pa.int64()),
-                pa.array(np.full(n, "m"), pa.string()),
+                pa.array(np.zeros(n, np.int8), pa.int8()),
             ],
             names=_COLS,
         )
@@ -499,12 +501,20 @@ def join_media_spans(
         return st.union(mt)
 
     def join_bucket(g: pa.Table) -> pa.Table:
-        smask = pc.equal(g.column("__side"), "s")
+        # media_ref is UNIQUE on the media side (payload store; hot-ref
+        # replicas land in distinct sub-buckets), so the left join is a
+        # vectorized index_in + take — null index -> null payload —
+        # measured ~25% faster than the general pa.Table.join per
+        # bucket (BASELINE.md round-5 A/B) with identical semantics
+        smask = pc.equal(g.column("__side"), 1)
         s = g.filter(smask).drop_columns(["payload", "__bucket", "__side"])
-        m = g.filter(pc.invert(smask)).select(["media_ref", "payload"])
-        return s.combine_chunks().join(
-            m.combine_chunks(), keys="media_ref", join_type="left outer"
+        m = g.filter(pc.invert(smask))
+        idx = pc.index_in(
+            s.column("media_ref").combine_chunks(),
+            value_set=m.column("media_ref").combine_chunks(),
         )
+        payload = m.column("payload").combine_chunks().take(idx)
+        return s.append_column("payload", payload)
 
     return st.union(mt).groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 

@@ -89,7 +89,7 @@ def test_salted_join_matches_unsalted_and_balances_buckets(ray_session):
         ).to_arrow_refs()
         tables = [ray.get(r) for r in tagged]
         t = pa.concat_tables([x for x in tables if len(x)])
-        t = t.filter(pc.equal(t.column("__side"), "s"))
+        t = t.filter(pc.equal(t.column("__side"), 1))  # 1 = span side
         import collections
 
         return collections.Counter(t.column("__bucket").to_pylist())
@@ -108,7 +108,7 @@ def test_salted_join_matches_unsalted_and_balances_buckets(ray_session):
     tagged = join_media_spans(sd, md, num_buckets=NB, hot_refs=["hot-logo"], salt=8,
                               _return_tagged=True)
     t = pa.concat_tables([x for x in (ray.get(r) for r in tagged.to_arrow_refs()) if len(x)])
-    m = t.filter(pc.and_(pc.equal(t.column("__side"), "m"),
+    m = t.filter(pc.and_(pc.equal(t.column("__side"), 0),  # 0 = media side
                          pc.equal(t.column("media_ref"), "hot-logo")))
     assert len(m) == 8
     assert len(set(m.column("__bucket").to_pylist())) == 8
