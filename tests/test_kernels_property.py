@@ -258,3 +258,38 @@ def test_global_rank_skewed_distribution_balances_buckets(ray_session):
     assert len(np.unique(buckets[v > 0])) >= 3
     # all ties share one bucket (the exactness invariant)
     assert len(np.unique(buckets[v == 0.0])) == 1
+
+
+def test_shuffle_hash_join_auto_hot_keys(ray_session):
+    """hot_keys='auto' detects the planted 90%-hot key from the left
+    prefix sample and produces exactly the pandas join result — the
+    analytics-kernel twin of join_media_spans' automatic guard."""
+    from ocr_pipeline_ray.pipelines.relational import shuffle_hash_join
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    keys = np.where(rng.random(n) < 0.9, 13, rng.integers(0, 40, n))
+    left = pd.DataFrame({"k": keys.astype("int64"), "lv": np.arange(n)})
+    right = pd.DataFrame({"k": np.arange(40, dtype="int64"), "rv": np.arange(40) * 10})
+    got = (
+        shuffle_hash_join(
+            _ds(left, 4), _ds(right, 2), on="k", how="inner", num_buckets=8,
+            left_cols=["k", "lv"], right_cols=["k", "rv"], hot_keys="auto", salt=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k", how="inner").sort_values(["k", "lv"]).reset_index(drop=True)
+    assert got["lv"].tolist() == exp["lv"].tolist()
+    assert got["rv"].tolist() == exp["rv"].tolist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        shuffle_hash_join(_ds(left, 2), _ds(right, 2), on="k", hot_keys="bogus")
+    with pytest.raises(ValueError, match="single join column"):
+        shuffle_hash_join(
+            _ds(left, 2), _ds(right, 2), on=["k", "lv"],
+            right_cols=["k", "lv"], hot_keys="auto",
+        )
