@@ -330,25 +330,22 @@ def detect_hot_refs(
     executed, but the prefix does run; callers joining from a staged
     parquet read pay one fragment read). Non-empty refs holding more
     than ``hot_fraction`` of sampled media-span rows are hot. The
-    empty ref ("" = text spans) is excluded — it has its own
-    deterministic spread in the join and must never salt."""
-    import itertools
+    empty ref ("" = text spans) is excluded from both the candidates
+    and the fraction denominator — it has its own deterministic
+    spread in the join and must never salt. Thin wrapper over the
+    repo's single hot-detection implementation
+    (:func:`~ocr_pipeline_ray.pipelines.relational.detect_hot_keys`)
+    so sampling policy can never diverge between the analytics and
+    media joins."""
+    from ocr_pipeline_ray.pipelines.relational import detect_hot_keys
 
-    counts: dict[str, int] = {}
-    total = 0
-    it = spans_ds.iter_batches(batch_size=4096, batch_format="pyarrow")
-    for t in itertools.islice(it, sample_batches):
-        refs = t.column("media_ref")
-        mask = pc.invert(pc.equal(refs, ""))
-        vc = pc.value_counts(refs.filter(mask))
-        for rec in vc.to_pylist():
-            if rec["values"] is None:
-                continue
-            counts[rec["values"]] = counts.get(rec["values"], 0) + int(rec["counts"])
-            total += int(rec["counts"])
-    if not total:
-        return []
-    return sorted(r for r, n in counts.items() if n / total > hot_fraction)
+    return detect_hot_keys(
+        spans_ds,
+        "media_ref",
+        hot_fraction=hot_fraction,
+        sample_batches=sample_batches,
+        exclude="",
+    )
 
 
 def join_media_spans(
@@ -392,6 +389,15 @@ def join_media_spans(
     payload row x salt per hot ref. Same result as the unsalted join
     (planted-hot-ref test: tests/test_hot_keys.py). Pass an iterable
     to pin the hot set, or ``None`` to disable.
+
+    COST of ``"auto"``: the detection prefix (up to 8 x 4096 span
+    rows) executes the span plan's leading stages on the driver
+    BEFORE the join runs, and that upstream prefix re-executes when
+    the join itself consumes the lazy plan. Negligible against a
+    media-scale join (the regime this path exists for) and measured
+    ~nil on the bench extraction topology, but a caller with an
+    expensive span-side plan and known-uniform refs should pass
+    ``hot_refs=None``.
 
     ``_return_tagged=True`` returns the tagged pre-shuffle union
     (testing seam: lets tests assert the actual bucket histogram the

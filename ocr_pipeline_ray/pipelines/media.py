@@ -360,9 +360,13 @@ def media_channel_stats_planted_clones(sf_dir: str, plant_every: int = 20) -> pd
     decode -> identical resize -> identical channel means is
     structural, so each planted pair must agree exactly (pre-round
     float equality — both sides run the same arithmetic on the same
-    bytes). The pair check runs distributed (grouped by source id,
-    like the dHash anchor); the oracle enumerates one
-    (doc_id, clone_doc_id, 1) row per planted source."""
+    bytes). The comparison is over the FULL per-channel vector, not
+    its scalar mean — a mean-of-means is invariant under channel
+    permutation and would be blind to exactly the BGR/RGB-swap bug
+    class this repo fixed in PdfiumEngine. The pair check runs
+    distributed (grouped by source id, like the dHash anchor); the
+    oracle enumerates one (doc_id, clone_doc_id, 1) row per planted
+    source."""
     import numpy as np
 
     from ocr_pipeline_ray.stages.multimodal import decode_images
@@ -390,10 +394,12 @@ def media_channel_stats_planted_clones(sf_dir: str, plant_every: int = 20) -> pd
         df = t.to_pandas()
         ids = df["media_ref"].astype("int64").to_numpy()
         src = np.where(ids >= _MEDIA_PLANT, ids - _MEDIA_PLANT, ids)
+        # exact channel-ORDERED fingerprint (repr of every float, in
+        # channel order) — permutation-sensitive where a mean is not
         df = df.assign(
             __src=src,
-            __mean=[float(np.mean(v)) for v in df["channel_means"]],
-        )[["__src", "__mean"]]
+            __stats=["|".join(f"{float(x):.17g}" for x in v) for v in df["channel_means"]],
+        )[["__src", "__stats"]]
         return df[src % plant_every == 0]
 
     def _check(g: pd.DataFrame) -> pd.DataFrame:
@@ -403,7 +409,7 @@ def media_channel_stats_planted_clones(sf_dir: str, plant_every: int = 20) -> pd
                 "doc_id": pd.Series([src], dtype="int64"),
                 "clone_doc_id": pd.Series([src + _MEDIA_PLANT], dtype="int64"),
                 "same_stats": pd.Series(
-                    [1 if (len(g) == 2 and g["__mean"].nunique() == 1) else 0],
+                    [1 if (len(g) == 2 and g["__stats"].nunique() == 1) else 0],
                     dtype="int64",
                 ),
             }
